@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class KpisSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every registered query runs, returns rows, and is deterministic") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sfDir).collect()
+      assert(a.nonEmpty, s"$name returned no rows")
+      val b = fn(spark, sfDir).collect()
+      assert(a.sameElements(b), s"$name not deterministic across runs")
+    }
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed but should be the exception; track here.
+    assert(missing.forall(n => !n.startsWith("q")),
+      s"KPI queries must all carry oracles, missing: $missing")
+  }
+
+  test("q2 top customers returns exactly 10, descending revenue") {
+    val rows = SparkEntry.queries("q2_top_customers")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q4 rolling average equals revenue on the first day") {
+    val first = SparkEntry.queries("q4_rolling_7day")(spark, sfDir).head()
+    assert(first.getAs[Double]("rolling_avg_7d") == first.getAs[Double]("revenue"))
+  }
+
+  test("q6 rollup includes the grand-total row") {
+    val rows = SparkEntry.queries("q6_revenue_rollup")(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val itemSum = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n_items")).sum
+    assert(grand.head.getAs[Long]("n_items") == itemSum)
+  }
+
+  test("q16 anti join result is disjoint from q15 positives") {
+    val noOrders = SparkEntry.queries("q16_customers_no_orders")(spark, sfDir)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    val withOrders = SparkEntry.queries("q15_customer_order_counts")(spark, sfDir)
+      .collect().filter(_.getAs[Long]("n_orders") > 0)
+      .map(_.getAs[Long]("c_custkey")).toSet
+    assert(noOrders.intersect(withOrders).isEmpty)
+  }
+}
