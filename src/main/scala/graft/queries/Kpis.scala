@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   * date outputs stay date32.
   *
   * Scale notes (100 TB design): every query below is a pure declarative plan —
-  * partial+final hash aggregation, explicit broadcast() of dimension tables
-  * (customer/part/supplier/nation/region are tiny relative to the facts), and
-  * orderBy+limit lowered to TakeOrderedAndProject for top-k (no global sort of
-  * the fact table). Nothing collects to the driver.
+  * partial+final hash aggregation, and orderBy+limit lowered to
+  * TakeOrderedAndProject for top-k (no global sort of the fact table).
+  * Broadcast policy: forced broadcast() ONLY for constant-size dims
+  * (nation=25, region=5 rows at every sf); sf-scaling tables
+  * (customer/part/supplier) are left to AQE's size-based join choice so a
+  * 100× scale-up flips them to shuffled-hash/SMJ instead of OOMing an
+  * executor on a forced broadcast build side. Nothing collects to the driver.
   */
 object Kpis {
   private val Money = DecimalType(18, 4)
@@ -38,12 +41,14 @@ object Kpis {
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 rejects
     * outright; read nanos as long and rebuild a micros timestamp. (DuckDB
     * reads nanos natively — truncation to micros is invisible to any query
-    * that buckets at second granularity or coarser.) */
-  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * that buckets at second granularity or coarser.) Requires
+    * spark.sql.legacy.parquet.nanosAsLong=true, set at session construction
+    * (Verify/Bench/test builders) — not here, to keep query builders pure.
+    * Integer `div` keeps ~1.7e18 nano epochs exact; float division would
+    * round above 2^53 and shift some micros by 1. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
-  }
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Revenue expression used throughout (reference README.md:142). */
   private def revenue: Column =
@@ -68,12 +73,14 @@ object Kpis {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- Q2
-  /** Top 10 customers by revenue (reference README.md:143). Broadcast the
-    * customer dim; top-k plans as TakeOrderedAndProject, not a global sort. */
+  /** Top 10 customers by revenue (reference README.md:143). customer grows
+    * with scale factor, so no forced broadcast — AQE picks broadcast at small
+    * sf and shuffled-hash/SMJ at large sf. Top-k plans as
+    * TakeOrderedAndProject, not a global sort. */
   def q2TopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val c = table(spark, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         moneySum(col("o_totalprice")).as("revenue"),
@@ -91,11 +98,12 @@ object Kpis {
       |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- Q3
-  /** Product (brand) performance (reference README.md:144): fact ⋈ part dim. */
+  /** Product (brand) performance (reference README.md:144): fact ⋈ part dim.
+    * part scales with sf → join strategy left to AQE (no forced broadcast). */
   def q3ProductPerformance(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val p = table(spark, dir, "part")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         moneySum(revenue).as("revenue"),
@@ -120,9 +128,16 @@ object Kpis {
     * algorithm-independent (DuckDB uses segment trees for moving frames;
     * float accumulation order would differ). */
   def q4Rolling7Day(spark: SparkSession, dir: String): DataFrame = {
+    // Keep the naturally widened DECIMAL(28,4) sum type for the window input:
+    // a re-cast to DECIMAL(18,4) could overflow→NULL silently at large sf.
     val daily = table(spark, dir, "lineitem")
       .groupBy(to_date(col("l_shipdate")).as("ship_day"))
-      .agg(sum(revenue.cast(Money)).cast(Money).as("rev"))
+      .agg(sum(revenue.cast(Money)).as("rev"))
+    // Single-partition window is deliberate and bounded: input is the DAILY
+    // aggregate (one row per distinct ship date — ~2.5k rows here, ~36k rows
+    // even for a century of data), so "all data to a single partition" is a
+    // few-KB sort, not a scale hazard. The heavy lifting (fact-table agg)
+    // happened in the partial+final hash aggregate above.
     val w = Window.orderBy("ship_day").rowsBetween(-6, 0)
     daily.select(
         col("ship_day"),
@@ -135,7 +150,7 @@ object Kpis {
   val q4Sql: String =
     """WITH daily AS (
       |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
-      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
       |  FROM lineitem GROUP BY 1)
       |SELECT ship_day, CAST(rev AS DOUBLE) AS revenue,
       |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg_7d
@@ -206,13 +221,15 @@ object Kpis {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- Q8
-  /** Revenue by region/nation: 3-way dim join chain, all broadcast. */
+  /** Revenue by region/nation: 3-way dim join chain. nation/region are
+    * constant-size (25/5 rows at every sf) → safe forced broadcast; customer
+    * scales with sf → strategy left to AQE. */
   def q8RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     val c = table(spark, dir, "customer")
     val n = table(spark, dir, "nation")
     val r = table(spark, dir, "region")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -233,11 +250,12 @@ object Kpis {
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   // ---------------------------------------------------------------- Q9
-  /** Top 5 suppliers by lineitem revenue. */
+  /** Top 5 suppliers by lineitem revenue. supplier scales with sf → join
+    * strategy left to AQE (no forced broadcast). */
   def q9TopSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val s = table(spark, dir, "supplier")
-    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("s_suppkey"))
@@ -308,8 +326,7 @@ object Kpis {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q13
-  /** Hourly event rollup — the batch twin of the streaming tumbling window
-    * (graft.streaming). Hour emitted as string: parquet/duckdb timestamp
+  /** Hourly event rollup. Hour emitted as string: parquet/duckdb timestamp
     * units (us vs ns) would otherwise diverge in the dump. */
   def q13EventsHourly(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

@@ -10,6 +10,7 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -21,10 +22,15 @@ object SparkTestSession {
 class KpisSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  // Queries whose correct result is legitimately empty at small scale
+  // factors (q16: every customer has orders in the testdata; the DuckDB
+  // oracle also returns 0 rows — CORRECTNESS_r01 passes with spark_rows=0).
+  private val mayBeEmpty = Set("q16_customers_no_orders")
+
   test("every registered query runs, returns rows, and is deterministic") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sfDir).collect()
-      assert(a.nonEmpty, s"$name returned no rows")
+      if (!mayBeEmpty(name)) assert(a.nonEmpty, s"$name returned no rows")
       val b = fn(spark, sfDir).collect()
       assert(a.sameElements(b), s"$name not deterministic across runs")
     }

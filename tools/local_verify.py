@@ -79,6 +79,12 @@ def main():
     dumped = sorted(
         d for d in os.listdir(outdir)
         if os.path.isdir(os.path.join(outdir, d)))
+    # A query whose Verify run threw leaves no dump dir (Verify swallows
+    # per-query exceptions) — report it as FAIL and count it in the
+    # denominator instead of silently excluding it.
+    missing = sorted(set(oracles) - set(dumped))
+    for name in missing:
+        print(f"{name}: FAIL no dump dir (Verify threw?)")
     for name in dumped:
         got = load_spark_result(outdir, name)
         if got is None:
@@ -96,7 +102,7 @@ def main():
         if verdict == "OK":
             n_ok += 1
         print(f"{name}: {verdict}")
-    print(f"== {n_ok}/{len(dumped)} hash-exact ==")
+    print(f"== {n_ok}/{len(dumped) + len(missing)} hash-exact ==")
 
 
 if __name__ == "__main__":
