@@ -7,9 +7,15 @@ object SparkEntry {
     queries("q1_daily_revenue")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Kpis.queries ++ graft.queries.PipelineQueries.queries
+    graft.queries.Kpis.queries ++
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.DocQueries.queries ++
+      graft.queries.EmbedQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Kpis.oracles ++ graft.queries.PipelineQueries.oracles
+    graft.queries.Kpis.oracles ++
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.DocQueries.oracles ++
+      graft.queries.EmbedQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline operators
+  * (builder brief: dedup, language-ID, quality scoring, token counting,
+  * fingerprinting). Everything here is built from codegen'd built-ins
+  * (split/transform/aggregate/xxhash64) — no UDFs — so the expressions stay
+  * inside whole-stage codegen and scale with the scan.
+  */
+object TextFunctions {
+
+  /** Canonical form: trim, collapse internal whitespace, lowercase. */
+  def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Whitespace tokenization with an explicit empty-string guard (split of
+    * "" yields [""], which would count 1). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical-form document fingerprint (md5 of normalized text) — the
+    * exact-dedup key and a cheap cross-system document identity. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Word n-gram shingles over a tokens array; documents shorter than n
+    * collapse to a single whole-document shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** MinHash signature: k independent permutations simulated as seeded
+    * xxhash64 over the shingle set; signature element i = min hash under
+    * seed i. Two docs agree on element i with probability = their Jaccard
+    * similarity — the standard MinHash estimator. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH banding of a MinHash signature: `bands` buckets, each hashing
+    * `rowsPerBand` consecutive signature elements. Candidate pairs = docs
+    * sharing any (band index, band hash) bucket — an equi-join key, so
+    * near-dup candidate generation is a hash shuffle, never an all-pairs
+    * product (the 100 TB requirement). */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+          .as("band_hash")))
+
+  /** Exact Jaccard similarity of two docs' distinct shingle sets —
+    * the verification step after LSH candidate generation. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    inter / (size(ad) + size(bd) - size(array_intersect(ad, bd)))
+  }
+
+  /** 64-bit SimHash over a tokens array: bit b of the output is set iff a
+    * majority of token hashes have bit b set. Near-identical documents land
+    * within a small Hamming distance. Pure SQL expression (runs per-row in
+    * codegen); input is the NAME of a tokens column. */
+  def simhash(tokensColName: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), b ->
+       |    case when 2 * size(filter(transform($tokensColName, t -> xxhash64(t)),
+       |                              h -> (shiftright(h, b) & 1) = 1))
+       |              > size($tokensColName)
+       |         then shiftleft(1L, b) else 0L end),
+       |  0L, (acc, v) -> acc | v)""".stripMargin)
+
+  /** SimHash chunking for near-dup candidate generation: split the 64-bit
+    * hash into `chunks` equal bit-ranges. Pairs within Hamming distance
+    * < chunks must share at least one chunk value (pigeonhole), so chunk
+    * equality is a complete candidate filter — again an equi-join key.
+    * Input is the NAME of the simhash column (the shift amount varies per
+    * element, which the Scala shiftright signature can't express). */
+  def simhashChunks(hColName: String, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    expr(
+      s"""transform(sequence(0, ${chunks - 1}), c ->
+         |  struct(c AS chunk,
+         |         (shiftright($hColName, c * $width) & ${mask}L) AS chunk_val))"""
+        .stripMargin)
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * higher-order functions (zip_with/aggregate) — codegen-friendly, no UDFs.
+  *
+  * Numeric-parity convention: elements are cast float→double (exact), the
+  * product of two such doubles is IEEE-exact per element, and `aggregate`
+  * folds left sequentially — so a DuckDB oracle that spells the same
+  * left-associated sum gets bit-identical doubles (same trick as the
+  * decimal-money convention in [[graft.queries.Kpis]]).
+  */
+object VectorFunctions {
+
+  /** Dot product as a sequential left fold: ((0 + x1·y1) + x2·y2) + … */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dotD(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** The DuckDB-side unrolled twin of [[dotD]] for `dim`-element vectors:
+    * explicit left-associated 1-based-index sum, bit-exact vs the fold. */
+  def dotSqlUnrolled(a: String, b: String, dim: Int): String =
+    (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH over
+    * cosine similarity: components from a fixed-seed 64-bit LCG mapped into
+    * [-1, 1]. Pure Scala (plan-time) — the planes become literals in the
+    * plan, identical on every run and every executor. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → [0,1) → [-1,1)
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes, dim)(next())
+  }
+
+  /** Sign-LSH signature: bit j = (v · plane_j) > 0, packed into a long.
+    * Vectors with high cosine similarity agree on most sign bits, so equal
+    * signatures (or equal signature bands) are an equi-join candidate key —
+    * the scale path that replaces the O(N²) all-pairs cosine. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dotD(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Band an LSH signature into `bands` chunk values (same pigeonhole
+    * rationale as SimHash chunking). */
+  def lshBands(sigColName: String, nBits: Int, bands: Int): Column = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    expr(
+      s"""transform(sequence(0, ${bands - 1}), c ->
+         |  struct(c AS band,
+         |         (shiftright($sigColName, c * $width) & ${mask}L) AS band_val))"""
+        .stripMargin)
+  }
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text / dedup operators over the `documents` table (builder brief:
+  * large-scale training-data pipeline ops — exact + near dedup, text
+  * analysis, fingerprinting, language ID).
+  *
+  * The fixture corpus has no duplicate texts, so dup-detection entries run
+  * over a corpus with DETERMINISTICALLY INJECTED duplicates (every 10th doc
+  * cloned, exactly for q19 / perturbed with a 3-token tail for near-dup),
+  * derived identically on the Spark and DuckDB sides.
+  *
+  * Scale posture: every dedup variant generates candidates through an
+  * equi-join key (md5 fingerprint, MinHash band hash, SimHash chunk) — a
+  * hash shuffle over the corpus, NEVER an all-pairs product. Text metrics
+  * are per-row codegen'd expressions that run at scan speed.
+  */
+object DocQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Kpis.table(spark, dir, "documents")
+
+  /** documents ∪ exact clones of every 10th doc (ids offset +100000). */
+  def corpusWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val corpusDupSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** documents ∪ near-clones (3 appended tokens) of every 10th doc. */
+  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zz extra tail"))))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Exact-duplicate groups by canonical-text fingerprint: hash-groupBy on
+    * md5(normalized text) — one shuffle keyed by a 128-bit digest, the
+    * standard exact-dedup at any scale. */
+  def q19ExactDupDocs(spark: SparkSession, dir: String): DataFrame =
+    corpusWithExactDups(spark, dir)
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy("fp")
+
+  val q19Sql: String =
+    s"""WITH corpus AS ($corpusDupSql)
+      |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+      |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Corpus statistics by language: doc/token/char counts — the profiling
+    * pass every training-data pipeline starts with. */
+  def q20TextStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        (sum(tokenCount(col("text"))).cast("double") / count(lit(1)))
+          .as("avg_tokens"),
+        min(length(col("text"))).as("min_chars"),
+        max(length(col("text"))).as("max_chars"))
+      .orderBy("lang")
+
+  val q20Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  CAST(MIN(length(text)) AS INTEGER) AS min_chars,
+      |  CAST(MAX(length(text)) AS INTEGER) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** MinHash+LSH near-duplicate pairs (rows-only entry: xxhash64 has no
+    * DuckDB twin). Pipeline: word-3-gram shingles → 16-element MinHash
+    * signature → 8 bands × 2 rows → explode bands → self-equi-join on
+    * (band, band_hash) → exact Jaccard ≥ 0.5 verification. The join key
+    * makes candidate generation a hash shuffle; the all-pairs product never
+    * materializes. Banding is the recall/cost knob: 8×2 gives
+    * P(candidate) = 1-(1-J²)⁸ ≈ 0.999 at J=0.75 (4×4 missed a J≈0.73
+    * clone); the extra false candidates are discarded by the exact-Jaccard
+    * verification step. */
+  def q22NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpusWithNearDups(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), 3))
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+    val banded = base
+      .select(col("doc_id"), col("sh"),
+        explode(minhashBands(col("sig"), 8, 2)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Per-document quality scoring: token/char counts, stopword ratio,
+    * average token length, and a bounded composite score — the
+    * quality-filter features of a pretraining data pipeline. */
+  def q23DocQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        size(filter(col("toks"), t => t.isin("the", "a"))).as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars").cast("double") - (col("n_tokens") - lit(1)))
+          / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3)
+      .orderBy("doc_id")
+
+  val q23Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+      |    CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              t -> t IN ('the', 'a'))) END AS INTEGER) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_chars, n_stop,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  (CAST(n_chars AS DOUBLE) - (n_tokens - 1)) / n_tokens AS avg_token_len,
+      |  least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |    + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Heuristic language ID (stopword-ratio vote) against the labeled `lang`
+    * column — emitted as a confusion summary. The fixture vocabulary is
+    * language-independent so the heuristic mostly predicts by stopword
+    * density; the operator (per-row classify → confusion rollup) is the
+    * point, and it is deterministic and oracle-checked. */
+  def q24LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("en_ratio",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+          / size(col("toks")))
+      .withColumn("predicted",
+        when(col("en_ratio") >= 0.04, lit("en")).otherwise(lit("und")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  val q24Sql: String =
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                                   t -> t IN ('the', 'a'))) AS DOUBLE)
+      |              / len(regexp_split_to_array(trim(text), '\s+')) >= 0.04
+      |         THEN 'en' ELSE 'und' END AS predicted
+      |  FROM documents)
+      |SELECT lang, predicted, COUNT(*) AS n_docs
+      |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Canonical document fingerprints: md5 of whitespace-normalized
+    * lowercased text + basic size metrics — the cross-system document
+    * identity used for exact dedup and incremental re-crawl diffing. */
+  def q25Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val q25Sql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** SimHash near-dup pairs (rows-only: xxhash64-based). 64-bit SimHash →
+    * 4 × 16-bit chunks → equi-join on chunk value (pigeonhole-complete for
+    * Hamming distance < 4, high-recall candidates beyond) → exact Hamming
+    * ≤ 4 verification. (The fixture's 31-word vocabulary makes unrelated
+    * docs unusually simhash-close; ≤4 keeps noise out while catching the
+    * injected near-clones.) */
+  def q27SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpusWithNearDups(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh64", simhash("toks"))
+    val chunked = base
+      .select(col("doc_id"), col("sh64"),
+        explode(simhashChunks("sh64", 4)).as("c"))
+      .select(col("doc_id"), col("sh64"),
+        col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("a_id"), col("sh64").as("a_h"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("b_id"), col("sh64").as("b_h"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming(col("a_h"), col("b_h")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= 4)
+      .orderBy("a_id", "b_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_exact_dup_docs" -> q19ExactDupDocs _,
+    "q20_text_stats" -> q20TextStats _,
+    "q22_near_dup_minhash" -> q22NearDupMinhash _,
+    "q23_doc_quality" -> q23DocQuality _,
+    "q24_lang_id" -> q24LangId _,
+    "q25_fingerprint" -> q25Fingerprint _,
+    "q27_simhash_near_dup" -> q27SimhashNearDup _)
+
+  /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
+  def oracles: Map[String, String] = Map(
+    "q19_exact_dup_docs" -> q19Sql,
+    "q20_text_stats" -> q20Sql,
+    "q23_doc_quality" -> q23Sql,
+    "q24_lang_id" -> q24Sql,
+    "q25_fingerprint" -> q25Sql)
+}

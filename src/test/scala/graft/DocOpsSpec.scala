@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.queries.{DocQueries, EmbedQueries}
+
+/** Specs for the LLM-pipeline operators: dedup (exact/MinHash/SimHash),
+  * similarity search (brute-force + LSH), text analysis. */
+class DocOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  test("tokens/tokenCount guard the empty string") {
+    val df = Seq("", "   ", "one", " a  b   c ").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fps = Seq("The  Quick Fox", "the quick fox", "the quick foxx")
+      .toDF("text").select(TextFunctions.fingerprint(col("text"))).collect()
+    assert(fps(0) == fps(1))
+    assert(fps(1) != fps(2))
+  }
+
+  test("shingles: n-grams, short docs collapse to one shingle") {
+    val sh = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+
+  test("jaccard of identical sets is 1.0, disjoint is 0.0") {
+    val df = Seq((Seq("x", "y"), Seq("x", "y"), Seq("p", "q")))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      TextFunctions.jaccard(col("a"), col("b")),
+      TextFunctions.jaccard(col("a"), col("c"))).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical token arrays give distance 0, disjoint give large") {
+    val df = Seq(("a b c d e f g h", "a b c d e f g h"),
+                 ("a b c d e f g h", "q r s t u v w x"))
+      .toDF("t1", "t2")
+      .withColumn("k1", TextFunctions.tokens(col("t1")))
+      .withColumn("k2", TextFunctions.tokens(col("t2")))
+      .withColumn("h1", TextFunctions.simhash("k1"))
+      .withColumn("h2", TextFunctions.simhash("k2"))
+      .select(TextFunctions.hamming(col("h1"), col("h2")))
+    val d = df.collect().map(_.getInt(0))
+    assert(d(0) == 0)
+    assert(d(1) > 10)
+  }
+
+  test("minhash near-dup finds every injected clone pair, none spurious below 0.5") {
+    val pairs = DocQueries.q22NearDupMinhash(spark, sfDir).collect()
+    val clonePairs = pairs.filter(r =>
+      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 100000L)
+    // 500 docs → 50 clones injected; banding (4 bands × 4 rows, J≳0.7)
+    // must recall all of them.
+    assert(clonePairs.length == 50, s"recall: ${clonePairs.length}/50")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("exact-dup groups: exactly the 50 injected clones, n_copies=2") {
+    val groups = DocQueries.q19ExactDupDocs(spark, sfDir).collect()
+    assert(groups.length == 50)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2L))
+    assert(groups.forall(r =>
+      r.getAs[Long]("last_id") - r.getAs[Long]("first_id") == 100000L))
+  }
+
+  test("cosine top-k: ranks ordered by descending similarity, no self-match") {
+    val rows = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
+    assert(rows.length == 50) // 5 queries × 10
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), s"query $q not descending")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+  }
+
+  test("lsh ann results are a subset of brute-force ordering candidates") {
+    val brute = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val lsh = EmbedQueries.q28AnnLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // every (q, n, sim) LSH returns must carry the same exact cosine the
+    // brute-force path computes (when the pair appears in brute top-10)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"))
+      val inTop = brute.exists(b => b._1 == key._1 && b._2 == key._2)
+      if (inTop) assert(brute.contains(key), s"cosine mismatch for $key")
+    }
+    // determinism
+    val again = EmbedQueries.q28AnnLsh(spark, sfDir).collect()
+    assert(lsh.sameElements(again))
+  }
+
+  test("dot product fold matches a manual computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dotD(col("a"), col("b")))
+    assert(df.head().getDouble(0) == (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten
+    val b: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten
+    assert(a.sameElements(b))
+    assert(a.forall(v => v >= -1.0 && v <= 1.0))
+  }
+}
