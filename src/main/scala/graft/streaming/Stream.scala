@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.util.control.NonFatal
+
+import graft.ingest.{Clean, Schemas}
+
+/** Incremental ingest as Structured Streaming (SURVEY §2.6 T1–T5): the
+  * reference's 30 s `PythonSensor` poll + cron micro-batch + per-file task
+  * fan-out collapses onto the streaming file source, which IS a
+  * directory-poll discovery mechanism with checkpointed exactly-once file
+  * tracking.
+  *
+  *  - T1 sensor poll      → file source discovery (`Trigger.AvailableNow`
+  *                          for drain-now, `ProcessingTime("30 seconds")`
+  *                          for the literal cadence)
+  *  - T2 serial batches   → default streaming semantics (one micro-batch
+  *                          at a time)
+  *  - T3 per-file fan-out → `input_file_name()` column; Spark additionally
+  *                          parallelizes WITHIN files by split
+  *  - T4 processed-file tracking → the checkpoint's file log (no moves
+  *                          needed for consumption marking)
+  *  - T5 at-least-once + quarantine → task retries + checkpoint replay;
+  *                          `foreachBatch` catches sink failure and
+  *                          quarantines the batch instead of wedging the
+  *                          query
+  *
+  * Scale posture: at 100 TB/day the file source lists incrementally
+  * (`maxFilesPerTrigger` caps batch size), state lives in the checkpoint
+  * not the driver heap, and the clean/dedup/load plan inside each batch is
+  * the same distributed plan as the batch path — one code path for both.
+  */
+object Stream {
+
+  /** All-string CSV file stream over `incoming/`, with source-file
+    * attribution (T3). */
+  def salesFileStream(spark: SparkSession, incomingDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .option("header", "true")
+      .schema(Schemas.allString)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.csv(incomingDir).withColumn("_source_file", input_file_name())
+  }
+
+  final case class BatchResult(batchId: Long, rows: Long, quarantined: Boolean)
+
+  /** Drain everything currently in `incomingDir` through clean→dedup→load
+    * exactly once per file (checkpoint-tracked), quarantining any batch the
+    * sink rejects. Returns per-batch results. */
+  def runAvailableNow(spark: SparkSession, incomingDir: String,
+                      checkpointDir: String, quarantineDir: String,
+                      load: DataFrame => Unit): Seq[BatchResult] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[BatchResult]
+    val query = salesFileStream(spark, incomingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cleaned = Clean.cleanSales(batch.drop("_source_file"))
+        try {
+          val n = cleaned.count()
+          load(cleaned)
+          results += BatchResult(batchId, n, quarantined = false)
+        } catch {
+          case NonFatal(_) =>
+            // T5: quarantine the raw batch (not the half-cleaned frame) so
+            // the payload is re-processable after the sink issue is fixed.
+            batch.write.mode("append").parquet(quarantineDir)
+            results += BatchResult(batchId, 0L, quarantined = true)
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    results.toSeq
+  }
+
+  /** Streaming-capable tumbling-window aggregation (the streaming twin of
+    * the batch hourly rollup, with a watermark bounding state): counts and
+    * value sums per (hour, event_type). Works on any frame with an
+    * event-time `ts` — batch or stream — because it is a pure plan. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Router
+import graft.sink.{AuditLog, Upsert}
+import graft.streaming.Stream
+
+/** Sinks (SQL text + batching), routing state machine e2e smoke, and the
+  * streaming wrapper (SURVEY §2.6, §3.1 intended semantics, §5 "the test
+  * the reference never wrote"). */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  // ------------------------------------------------------------ upsert sink
+  test("upsert SQL text matches the ON CONFLICT contract") {
+    val sql = Upsert.upsertSql("sales",
+      Seq("sale_id", "sale_date", "amount"), "sale_id")
+    assert(sql.contains("INSERT INTO sales (sale_id, sale_date, amount)"))
+    assert(sql.contains("VALUES (?, ?, ?)"))
+    assert(sql.contains("ON CONFLICT (sale_id) DO UPDATE"))
+    assert(sql.contains("sale_date = EXCLUDED.sale_date"))
+    assert(sql.contains("amount = EXCLUDED.amount"))
+    assert(!sql.contains("sale_id = EXCLUDED.sale_id")) // key not updated
+    intercept[IllegalArgumentException] {
+      Upsert.upsertSql("t", Seq("a", "b"), "missing")
+    }
+  }
+
+  test("batching: chunks of batchSize, exact row count, no empty batch") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = Upsert.batched((1 to 2500).iterator, 1000) { chunk =>
+      seen += chunk.size
+    }
+    assert(n == 2500)
+    assert(seen.toSeq == Seq(1000, 1000, 500))
+    assert(Upsert.batched(Iterator.empty[Int], 1000)(_ => fail()) == 0)
+  }
+
+  test("audit upsert SQL keys on file_key and updates status columns") {
+    val sql = AuditLog.auditUpsertSql
+    assert(sql.contains("ON CONFLICT (file_key) DO UPDATE"))
+    assert(sql.contains("status = EXCLUDED.status"))
+  }
+
+  test("in-memory audit sink keeps latest per key plus full history") {
+    import graft.ingest.Schemas.AuditEntry
+    val sink = new AuditLog.InMemorySink
+    sink.log(AuditEntry("f1", "b", "validated", None, None))
+    sink.log(AuditEntry("f1", "b", "processed", Some(10L), None))
+    assert(sink.current("f1").status == "processed")
+    assert(sink.history.map(_.status) == Seq("validated", "processed"))
+  }
+
+  // ------------------------------------------------------------ router e2e
+  private def writeFile(dir: Path, name: String, content: String): Unit =
+    Files.writeString(dir.resolve(name), content)
+
+  private val goodCsv =
+    " Sale_ID ,SALE_DATE,customer_id,product_id,quantity,amount\n" +
+    "g1,2024-01-02 03:04:05,CUST-1,PROD-1,2,20.50\n" +
+    "g2,2024-01-03 00:00:00,CUST-2,PROD-2,1,5.00\n" +
+    "g2,2024-01-04 00:00:00,CUST-2,PROD-2,3,7.50\n" // dup key, later date wins
+
+  test("e2e smoke: adversarial drop routes, audits, and loads correctly") {
+    val base = Files.createTempDirectory("graft-bucket")
+    val incoming = base.resolve("incoming")
+    Files.createDirectories(incoming)
+    writeFile(incoming, "good.csv", goodCsv)
+    writeFile(incoming, "missing_col.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity\nm1,2024-01-01,c,p,1\n")
+    writeFile(incoming, "bad_dates.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
+      "b1,never-a-date,c,p,1,1\n")
+    writeFile(incoming, "records.ndjson",
+      """{"sale_id":"j1","sale_date":"2024-02-01 00:00:00","customer_id":"c","product_id":"p","quantity":"4","amount":"8.25"}""" + "\n")
+    writeFile(incoming, "array.json",
+      """[{"sale_id":"a1","sale_date":"2024-03-01 00:00:00","customer_id":"c","product_id":"p","quantity":2,"amount":3.5}]""")
+
+    val bucket = Router.Bucket(base.toString)
+    val audit = new AuditLog.InMemorySink
+    val loadedRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val report = Router.runBatch(spark, bucket, audit,
+      df => { val n = df.count(); loadedRows += n; n })
+
+    // routing: valid files loaded, invalid quarantined
+    assert(report.byStatus("loaded").toSet ==
+      Set("good.csv", "records.ndjson", "array.json"))
+    assert(report.byStatus("validation_failed").toSet ==
+      Set("missing_col.csv", "bad_dates.csv"))
+    // good.csv: 3 rows, dedup → 2
+    assert(report.outcomes.find(_.key == "good.csv").get.rows == 2)
+    assert(report.totalLoaded == 4)
+
+    // physical moves (the quarantine/archive convention)
+    def names(p: Path): Set[String] =
+      if (!Files.exists(p)) Set.empty
+      else { val s = Files.list(p); try s.map[String](_.getFileName.toString).toArray.map(_.toString).toSet finally s.close() }
+    assert(names(base.resolve("incoming")).isEmpty)
+    assert(names(base.resolve("processed")) ==
+      Set("good.csv", "records.ndjson", "array.json"))
+    assert(names(base.resolve("failed/validation_failed")) ==
+      Set("missing_col.csv", "bad_dates.csv"))
+
+    // audit state machine: full lifecycle for a good file
+    assert(audit.history.filter(_.file_key == "good.csv").map(_.status) ==
+      Seq("validated", "processed", "loaded"))
+    assert(audit.current("missing_col.csv").status == "validation_failed")
+    assert(audit.current("missing_col.csv").error.get.contains("amount"))
+  }
+
+  test("e2e: load failure quarantines to loading_failed with load_failed status") {
+    val base = Files.createTempDirectory("graft-bucket2")
+    val incoming = base.resolve("incoming")
+    Files.createDirectories(incoming)
+    writeFile(incoming, "good.csv", goodCsv)
+    val audit = new AuditLog.InMemorySink
+    val report = Router.runBatch(spark, Router.Bucket(base.toString), audit,
+      _ => throw new RuntimeException("warehouse down"))
+    assert(report.byStatus("load_failed") == Seq("good.csv"))
+    assert(Files.exists(base.resolve("failed/loading_failed/good.csv")))
+    assert(audit.history.filter(_.file_key == "good.csv").map(_.status) ==
+      Seq("validated", "processed", "load_failed"))
+    assert(audit.current("good.csv").error.get.contains("warehouse down"))
+  }
+
+  // ------------------------------------------------------------ streaming
+  test("streaming drain: checkpoint skips already-processed files across runs") {
+    val base = Files.createTempDirectory("graft-stream")
+    val incoming = base.resolve("incoming"); Files.createDirectories(incoming)
+    val ckpt = base.resolve("ckpt").toString
+    val quarantine = base.resolve("quarantine").toString
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    writeFile(incoming, "first.csv", goodCsv)
+    val r1 = Stream.runAvailableNow(spark, incoming.toString, ckpt, quarantine,
+      df => { loaded += df.count(); () })
+    assert(r1.map(_.rows).sum == 2) // 3 rows, dedup → 2
+
+    // second drain with one NEW file: only the new file's rows process (T4)
+    writeFile(incoming, "second.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
+      "n1,2024-05-01 00:00:00,c,p,1,1.0\n")
+    val r2 = Stream.runAvailableNow(spark, incoming.toString, ckpt, quarantine,
+      df => { loaded += df.count(); () })
+    assert(r2.map(_.rows).sum == 1)
+  }
+
+  test("streaming quarantine-on-sink-failure keeps the raw batch replayable") {
+    val base = Files.createTempDirectory("graft-stream2")
+    val incoming = base.resolve("incoming"); Files.createDirectories(incoming)
+    writeFile(incoming, "x.csv", goodCsv)
+    val r = Stream.runAvailableNow(spark, incoming.toString,
+      base.resolve("ckpt").toString, base.resolve("q").toString,
+      _ => throw new RuntimeException("sink down"))
+    assert(r.exists(_.quarantined))
+    // raw all-string rows (3, pre-dedup) landed in quarantine
+    val q = spark.read.parquet(base.resolve("q").toString)
+    assert(q.count() == 3)
+  }
+
+  test("streaming tumbling window equals the batch hourly rollup on events") {
+    import SparkTestSession.sfDir
+    val events = graft.queries.Kpis.eventsTable(spark, sfDir)
+    val windowed = Stream.tumblingHourly(events)
+      .orderBy("hour", "event_type").collect()
+    val batch = graft.queries.Kpis.q13EventsHourly(spark, sfDir)
+      .select("hour", "event_type", "n_events").collect()
+    assert(windowed.length == batch.length)
+    assert(windowed.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sameElements(batch.map(r => (r.getString(0), r.getString(1), r.getLong(2)))))
+  }
+}
