@@ -19,14 +19,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // Warm-up: touches scans + join + agg codegen paths, untimed.
-    try run("q1_daily_revenue") catch { case _: Throwable => () }
+    // Full untimed warm-up pass: JIT/codegen/OS-cache warm-up otherwise
+    // lands unevenly on whichever queries run first (single-query warm-up
+    // still showed 10x run-to-run swings on the heavier entries).
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      try run(n) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }

@@ -64,16 +64,22 @@ object TextFunctions {
     inter / (size(ad) + size(bd) - size(array_intersect(ad, bd)))
   }
 
-  /** 64-bit SimHash over a tokens array: bit b of the output is set iff a
-    * majority of token hashes have bit b set. Near-identical documents land
-    * within a small Hamming distance. Pure SQL expression (runs per-row in
-    * codegen); input is the NAME of a tokens column. */
-  def simhash(tokensColName: String): Column = expr(
+  /** Per-token xxhash64 array — materialize this as its own column before
+    * [[simhash]]: SQL lambdas cannot bind intermediates, so an inlined
+    * version would re-hash every token 64× (measured ~2× of the whole
+    * near-dup query). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** 64-bit SimHash: bit b of the output is set iff a majority of token
+    * hashes have bit b set. Near-identical documents land within a small
+    * Hamming distance. Input is the NAME of a pre-computed [[tokenHashes]]
+    * column (the shift amount varies per bit, which needs the SQL form). */
+  def simhash(hashesColName: String): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, 63), b ->
-       |    case when 2 * size(filter(transform($tokensColName, t -> xxhash64(t)),
+       |    case when 2 * size(filter($hashesColName,
        |                              h -> (shiftright(h, b) & 1) = 1))
-       |              > size($tokensColName)
+       |              > size($hashesColName)
        |         then shiftleft(1L, b) else 0L end),
        |  0L, (acc, v) -> acc | v)""".stripMargin)
 

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graft.DotProductD
+
+/** Session extensions registering graft's native expressions with the SQL
+  * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
+  * next to the DataFrame API. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product_d"),
+      new ExpressionInfo(classOf[DotProductD].getName, "dot_product_d"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product_d takes exactly 2 arguments")
+        DotProductD(children.head, children(1))
+      }))
+  }
+}

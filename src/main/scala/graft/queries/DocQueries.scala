@@ -104,7 +104,13 @@ object DocQueries {
     * clone); the extra false candidates are discarded by the exact-Jaccard
     * verification step. */
   def q22NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // Single-file fixture → single split; spread the per-doc signature
+    // computation across cores (hash-partition on the stable key so the
+    // plan stays deterministic). No-op-sized shuffle at fixture scale;
+    // at 100 TB the scan supplies the partitioning.
+    val par = spark.sparkContext.defaultParallelism
     val base = corpusWithNearDups(spark, dir)
+      .repartition(par, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", shingles(col("toks"), 3))
       .withColumn("sig", minhashSignature(col("sh"), 16))
@@ -225,9 +231,14 @@ object DocQueries {
     * docs unusually simhash-close; ≤4 keeps noise out while catching the
     * injected near-clones.) */
   def q27SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Same single-split spread as q22: the 64×|tokens| SimHash expression
+    // is the compute-bound stage and must parallelize.
+    val par = spark.sparkContext.defaultParallelism
     val base = corpusWithNearDups(spark, dir)
+      .repartition(par, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("sh64", simhash("toks"))
+      .withColumn("hs", tokenHashes(col("toks")))
+      .withColumn("sh64", simhash("hs"))
     val chunked = base
       .select(col("doc_id"), col("sh64"),
         explode(simhashChunks("sh64", 4)).as("c"))

@@ -81,7 +81,14 @@ object EmbedQueries {
     * variant of this exact query). */
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(spark, dir))
-    val a = e.select(col("vec_id").as("a_id"),
+    // The fixture table is one parquet file → one input split; without an
+    // explicit spread the whole O(N²) pair evaluation runs on ONE core
+    // (measured 31 s at sf0.1). Repartitioning the streamed side puts each
+    // core on a slice of the pairs; at production scale the scan itself
+    // supplies the splits and this is a no-op-sized shuffle of the small
+    // side.
+    val par = spark.sparkContext.defaultParallelism
+    val a = e.repartition(par).select(col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("n2").as("an2"))
     val b = e.select(col("vec_id").as("b_id"),
       col("embedding").as("be"), col("n2").as("bn2"))

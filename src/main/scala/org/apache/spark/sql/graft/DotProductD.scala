@@ -1,0 +1,85 @@
+// Lives in the org.apache.spark.sql namespace because ExpectsInputTypes'
+// signature mentions the private[sql] AbstractDataType — the standard
+// placement for extension-library expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, TypeCollection}
+
+/** Native Catalyst expression: dot product of two `array<float>` (or
+  * `array<double>`) columns as a left-folded double accumulation —
+  * `((0 + x₁·y₁) + x₂·y₂) + …` with float elements cast float→double
+  * (exact) before the multiply.
+  *
+  * Semantically identical (bit-for-bit) to the higher-order-function
+  * formulation `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d,
+  * (acc,v) -> acc+v)`, but HOFs evaluate interpreted (lambda dispatch + an
+  * intermediate array allocation per row), which measured ~100 µs/pair in
+  * the all-pairs near-dup scan. This expression code-generates a tight
+  * primitive loop over the two `ArrayData` buffers — no allocation, stays
+  * inside whole-stage codegen — the (b)-tier of the custom-operator ladder:
+  * a custom `Expression` with `doGenCode`, registered SQL-side via
+  * graft.plans.GraftExtensions.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // def, not val: TypeCollection is not Serializable and must not be
+  // captured in the expression instance shipped to executors.
+  private def floatOrDoubleArray: AbstractDataType =
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(floatOrDoubleArray, floatOrDoubleArray)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product_d"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val xGet =
+        if (isFloat(left)) s"((double) $x.getFloat($i))" else s"$x.getDouble($i)"
+      val yGet =
+        if (isFloat(right)) s"((double) $y.getFloat($i))" else s"$y.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $xGet * $yGet;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}

@@ -48,8 +48,8 @@ class DocOpsSpec extends AnyFunSuite {
     val df = Seq(("a b c d e f g h", "a b c d e f g h"),
                  ("a b c d e f g h", "q r s t u v w x"))
       .toDF("t1", "t2")
-      .withColumn("k1", TextFunctions.tokens(col("t1")))
-      .withColumn("k2", TextFunctions.tokens(col("t2")))
+      .withColumn("k1", TextFunctions.tokenHashes(TextFunctions.tokens(col("t1"))))
+      .withColumn("k2", TextFunctions.tokenHashes(TextFunctions.tokens(col("t2"))))
       .withColumn("h1", TextFunctions.simhash("k1"))
       .withColumn("h2", TextFunctions.simhash("k2"))
       .select(TextFunctions.hamming(col("h1"), col("h2")))
@@ -110,6 +110,24 @@ class DocOpsSpec extends AnyFunSuite {
       .toDF("a", "b")
       .select(VectorFunctions.dotD(col("a"), col("b")))
     assert(df.head().getDouble(0) == (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
+  }
+
+  test("native dot expression is bit-identical to the HOF specification") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("be")))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        VectorFunctions.dotD(col("ae"), col("be")).as("native"),
+        VectorFunctions.dotHof(col("ae"), col("be")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dot_product_d is registered for SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dot_product_d(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))").head()
+    assert(r.getDouble(0) == 11.0)
   }
 
   test("hyperplanes are deterministic across calls") {
