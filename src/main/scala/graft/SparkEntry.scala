@@ -11,7 +11,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.DocQueries.queries ++
       graft.queries.EmbedQueries.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++
+      graft.sources.Generator.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

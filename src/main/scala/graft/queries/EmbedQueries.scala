@@ -49,7 +49,10 @@ object EmbedQueries {
       col("embedding").as("ce"), col("n2").as("cn2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    q.crossJoin(c)
+    // Broadcast the provably-tiny QUERY side and stream the corpus —
+    // corpus-side broadcast (the default BuildRight here) would ship the
+    // whole collection to every task at scale.
+    c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         dotD(col("qe"), col("ce")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
