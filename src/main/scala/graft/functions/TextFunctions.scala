@@ -35,13 +35,18 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
-  /** MinHash signature: k independent permutations simulated as seeded
-    * xxhash64 over the shingle set; signature element i = min hash under
-    * seed i. Two docs agree on element i with probability = their Jaccard
-    * similarity — the standard MinHash estimator. */
+  /** MinHash signature: k seeded permutation minima over the shingle set;
+    * element i = min over shingles of `splitmix64(xxhash64(shingle) ^
+    * seed_i)`. Two docs agree on element i with probability ≈ their Jaccard
+    * similarity — the standard MinHash estimator. Backed by the native
+    * codegen'd [[org.apache.spark.sql.graft.MinHashSignature64]]: one
+    * O(k·n) primitive pass instead of k interpreted lambda sweeps. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MinHashSignature64(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          transform(shingleCol, s => xxhash64(s))),
+        org.apache.spark.sql.graft.ColumnShim.expression(lit(k))))
 
   /** LSH banding of a MinHash signature: `bands` buckets, each hashing
     * `rowsPerBand` consecutive signature elements. Candidate pairs = docs
@@ -70,11 +75,20 @@ object TextFunctions {
     * near-dup query). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 
-  /** 64-bit SimHash: bit b of the output is set iff a majority of token
-    * hashes have bit b set. Near-identical documents land within a small
-    * Hamming distance. Input is the NAME of a pre-computed [[tokenHashes]]
-    * column (the shift amount varies per bit, which needs the SQL form). */
-  def simhash(hashesColName: String): Column = expr(
+  /** 64-bit SimHash: bit b of the output is set iff a strict majority of
+    * token hashes have bit b set. Near-identical documents land within a
+    * small Hamming distance. Backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.SimHash64]]; [[simhashSpec]] is the SQL
+    * HOF spelling of the same semantics (asserted bit-equal in tests). */
+  def simhash(hashes: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.SimHash64(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashes)))
+
+  /** Executable specification of [[simhash]] in pure SQL HOFs; input is the
+    * NAME of a pre-computed [[tokenHashes]] column (the per-bit shift needs
+    * the SQL form, and lambdas cannot bind intermediates). */
+  def simhashSpec(hashesColName: String): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, 63), b ->
        |    case when 2 * size(filter($hashesColName,

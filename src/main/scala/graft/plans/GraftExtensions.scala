@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.DotProductD
+import org.apache.spark.sql.graft.{DotProductD, MinHashSignature64, SimHash64}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -19,6 +19,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product_d takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature64"),
+      new ExpressionInfo(classOf[MinHashSignature64].getName, "minhash_signature64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_signature64 takes exactly 2 arguments")
+        MinHashSignature64(children.head, children(1))
       }))
   }
 }

@@ -238,7 +238,7 @@ object DocQueries {
       .repartition(par, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("hs", tokenHashes(col("toks")))
-      .withColumn("sh64", simhash("hs"))
+      .withColumn("sh64", simhash(col("hs")))
     val chunked = base
       .select(col("doc_id"), col("sh64"),
         explode(simhashChunks("sh64", 4)).as("c"))

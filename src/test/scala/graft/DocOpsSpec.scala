@@ -50,8 +50,8 @@ class DocOpsSpec extends AnyFunSuite {
       .toDF("t1", "t2")
       .withColumn("k1", TextFunctions.tokenHashes(TextFunctions.tokens(col("t1"))))
       .withColumn("k2", TextFunctions.tokenHashes(TextFunctions.tokens(col("t2"))))
-      .withColumn("h1", TextFunctions.simhash("k1"))
-      .withColumn("h2", TextFunctions.simhash("k2"))
+      .withColumn("h1", TextFunctions.simhash(col("k1")))
+      .withColumn("h2", TextFunctions.simhash(col("k2")))
       .select(TextFunctions.hamming(col("h1"), col("h2")))
     val d = df.collect().map(_.getInt(0))
     assert(d(0) == 0)
@@ -121,6 +121,25 @@ class DocOpsSpec extends AnyFunSuite {
         VectorFunctions.dotD(col("ae"), col("be")).as("native"),
         VectorFunctions.dotHof(col("ae"), col("be")).as("hof"))
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native simhash is bit-identical to the SQL HOF specification") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("hs", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))
+      .withColumn("native", TextFunctions.simhash(col("hs")))
+      .withColumn("spec", TextFunctions.simhashSpec("hs"))
+    assert(docs.filter(col("native") =!= col("spec")).count() == 0)
+  }
+
+  test("minhash signature: equal docs agree, k-length, deterministic") {
+    val df = Seq("a b c d e f g", "a b c d e f g", "p q r s t u v")
+      .toDF("text")
+      .withColumn("sig", TextFunctions.minhashSignature(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 16))
+    val sigs = df.collect().map(_.getSeq[Long](1))
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
   }
 
   test("dot_product_d is registered for SQL via GraftExtensions") {
