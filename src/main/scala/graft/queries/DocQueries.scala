@@ -257,6 +257,83 @@ object DocQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q31
+  /** Token analysis with two tokenizers per source: whitespace tokens and a
+    * BPE-ish pre-tokenizer regex (`[a-z0-9]+|[^a-z0-9\s]` — word runs plus
+    * standalone punctuation, the coarse shape of a GPT-style pre-tokenizer).
+    * The ratio between the two is a standard corpus-quality signal. ASCII
+    * character classes behave identically in Java regex and DuckDB's RE2,
+    * so the entry is oracle-checked. */
+  def q31TokenAnalysis(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws_tokens", tokenCount(col("text")))
+      .withColumn("bpe_tokens",
+        expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0))"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        (sum(col("bpe_tokens")).cast("double") / sum(col("ws_tokens")))
+          .as("bpe_per_ws"))
+      .orderBy("source")
+
+  val q31Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS ws_tokens,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Exact n-gram Jaccard similarity on known original/perturbed pairs —
+    * the verification metric of the near-dup pipeline as its own
+    * oracle-checked operator (q22's LSH produces candidates; this is the
+    * measure applied to them, here on a deterministic pairing so DuckDB
+    * can replay it with list_intersect/list_distinct). */
+  def q32NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") % 10 === 0)
+    val a = d.select(col("doc_id"),
+      shingles(tokens(col("text")), 3).as("sa"))
+    val b = d.select(col("doc_id"),
+      shingles(tokens(concat(col("text"), lit(" zz extra tail"))), 3).as("sb"))
+    a.join(b, "doc_id")
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("sa"))).as("n_shingles_orig"),
+        size(array_distinct(col("sb"))).as("n_shingles_pert"),
+        jaccard(col("sa"), col("sb")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    regexp_split_to_array(trim(text || ' zz extra tail'), '\s+') AS ptoks
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sa,
+      |    CASE WHEN len(ptoks) < 3 THEN [array_to_string(ptoks, ' ')]
+      |         ELSE list_transform(range(1, len(ptoks) - 1),
+      |                i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2]) END AS sb
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(sa)) AS INTEGER) AS n_shingles_orig,
+      |  CAST(len(list_distinct(sb)) AS INTEGER) AS n_shingles_pert,
+      |  CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+      |    / (len(list_distinct(sa)) + len(list_distinct(sb))
+      |       - len(list_intersect(list_distinct(sa), list_distinct(sb)))) AS jaccard
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -264,7 +341,9 @@ object DocQueries {
     "q23_doc_quality" -> q23DocQuality _,
     "q24_lang_id" -> q24LangId _,
     "q25_fingerprint" -> q25Fingerprint _,
-    "q27_simhash_near_dup" -> q27SimhashNearDup _)
+    "q27_simhash_near_dup" -> q27SimhashNearDup _,
+    "q31_token_analysis" -> q31TokenAnalysis _,
+    "q32_ngram_jaccard" -> q32NgramJaccard _)
 
   /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
   def oracles: Map[String, String] = Map(
@@ -272,5 +351,7 @@ object DocQueries {
     "q20_text_stats" -> q20Sql,
     "q23_doc_quality" -> q23Sql,
     "q24_lang_id" -> q24Sql,
-    "q25_fingerprint" -> q25Sql)
+    "q25_fingerprint" -> q25Sql,
+    "q31_token_analysis" -> q31Sql,
+    "q32_ngram_jaccard" -> q32Sql)
 }
