@@ -35,15 +35,24 @@ import graft.ingest.{Clean, Schemas}
   */
 object Stream {
 
-  /** All-string CSV file stream over `incoming/`, with source-file
-    * attribution (T3). */
+  /** All-string file stream over `incoming/`, with source-file attribution
+    * (T3). Streaming sources are single-format (the file source binds one
+    * parser), so a mixed-format drop zone runs one stream per format over a
+    * glob — the same discipline as partitioned lake layouts. `format` is
+    * "csv" (default), "json" (NDJSON), or "parquet". */
   def salesFileStream(spark: SparkSession, incomingDir: String,
+                      format: String = "csv",
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream
-      .option("header", "true")
-      .schema(Schemas.allString)
+    val r = spark.readStream.schema(Schemas.allString)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.csv(incomingDir).withColumn("_source_file", input_file_name())
+    val df = format match {
+      case "csv" => r.option("header", "true").csv(s"$incomingDir/*.csv")
+      case "json" =>
+        r.option("primitivesAsString", "true").json(s"$incomingDir/*.{json,ndjson}")
+      case "parquet" => r.parquet(s"$incomingDir/*.parquet")
+      case other => throw new IllegalArgumentException(s"Unsupported format: $other")
+    }
+    df.withColumn("_source_file", input_file_name())
   }
 
   final case class BatchResult(batchId: Long, rows: Long, quarantined: Boolean)
@@ -53,9 +62,10 @@ object Stream {
     * sink rejects. Returns per-batch results. */
   def runAvailableNow(spark: SparkSession, incomingDir: String,
                       checkpointDir: String, quarantineDir: String,
-                      load: DataFrame => Unit): Seq[BatchResult] = {
+                      load: DataFrame => Unit,
+                      format: String = "csv"): Seq[BatchResult] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[BatchResult]
-    val query = salesFileStream(spark, incomingDir)
+    val query = salesFileStream(spark, incomingDir, format)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

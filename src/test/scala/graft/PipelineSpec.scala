@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.Router
@@ -160,6 +161,35 @@ class PipelineSpec extends AnyFunSuite {
     // raw all-string rows (3, pre-dedup) landed in quarantine
     val q = spark.read.parquet(base.resolve("q").toString)
     assert(q.count() == 3)
+  }
+
+  test("streaming drain handles NDJSON sources") {
+    val base = Files.createTempDirectory("graft-stream3")
+    val incoming = base.resolve("incoming"); Files.createDirectories(incoming)
+    writeFile(incoming, "r.ndjson",
+      """{"sale_id":"j1","sale_date":"2024-02-01 00:00:00","customer_id":"c","product_id":"p","quantity":"4","amount":"8.25"}""" + "\n" +
+      """{"sale_id":"j2","sale_date":"bad","customer_id":"nan","product_id":"p","quantity":"x","amount":""}""" + "\n")
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    val r = Stream.runAvailableNow(spark, incoming.toString,
+      base.resolve("ckpt").toString, base.resolve("q").toString,
+      df => { loaded += df.orderBy("sale_id").collect(); () }, format = "json")
+    assert(r.map(_.rows).sum == 2)
+    val rows = loaded.flatten
+    assert(rows.find(_.getString(0) == "j2").get.getAs[Int]("quantity") == 1)
+    assert(rows.find(_.getString(0) == "j2").get.getAs[Double]("amount") == 0.0)
+  }
+
+  test("pandas-parity date forms: datetime, date-only, ISO-T all parse; junk nulls") {
+    import spark.implicits._
+    val out = Seq("2024-01-02 03:04:05", "2024-01-02", "2024-01-02T03:04:05",
+      "02/01/2024", "never").toDF("s")
+      .select(expr("try_to_timestamp(s)").as("ts")).collect().map(_.isNullAt(0))
+    // Spark's default parser accepts the reference generator's format
+    // (yyyy-MM-dd HH:mm:ss — SURVEY §7.3b pins it canonical), date-only,
+    // and ISO-T; locale-ambiguous and junk forms coerce to NULL like
+    // pandas errors="coerce" (pandas would parse 02/01/2024 — documented
+    // permissiveness delta).
+    assert(out.toSeq == Seq(false, false, false, true, true))
   }
 
   test("streaming tumbling window equals the batch hourly rollup on events") {
