@@ -149,10 +149,73 @@ object EmbedQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q33
+  /** IVF (inverted-file) ANN. Index build: a coarse quantizer assigns every
+    * vector to a cell (here: a 4-bit sign-LSH signature → 16 cells; a
+    * k-means quantizer would slot in identically) and each cell gets an
+    * element-wise mean centroid. Query: rank the 16 centroids by cosine,
+    * probe only the `nprobe` best cells, exact-rank inside them.
+    *
+    * Scale shape: the centroid table is tiny (cells × dim — broadcast), the
+    * query→cell ranking is O(|Q|·cells), and the candidate join is an
+    * equi-join on cell id — the corpus scan prunes to nprobe/cells of the
+    * data. With nprobe = all cells the result is EXACTLY brute force
+    * (asserted in tests); smaller nprobe trades recall for scan fraction.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nprobe: Int, k: Int): DataFrame = {
+    val cellPlanes = hyperplanes(4, Dim, seed = 7L)
+    val e = withNorm(emb(spark, dir))
+      .withColumn("cell", lshSignature(col("embedding"), cellPlanes))
+    // element-wise mean centroid per cell (posexplode → per-dim avg →
+    // reassemble in dim order)
+    val centroids = e
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .withColumn("cn2", norm2(col("centroid")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    // rank cells per query by centroid cosine, keep the nprobe best
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        dotD(col("qe"), col("centroid")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("c_rank", row_number().over(wCell))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qn2"), col("cell"))
+    // search only the probed cells: equi-join on cell id
+    val cand = e.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("n2").as("cn2v"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probed.join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotD(col("qe"), col("ce")) / (sqrt(col("qn2")) * sqrt(col("cn2v"))))
+          .as("cos_sim"))
+      .distinct() // a pair may surface via several probed cells? (cells are disjoint — kept for safety)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Rows-only registered entry: probe 4 of 16 cells, top-5. */
+  def q33AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, nprobe = 4, k = 5)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cosine_topk" -> q21CosineTopk _,
     "q26_embedding_near_dup" -> q26EmbeddingNearDup _,
-    "q28_ann_lsh" -> q28AnnLsh _)
+    "q28_ann_lsh" -> q28AnnLsh _,
+    "q33_ann_ivf" -> q33AnnIvf _)
 
   /** q28 is rows-only (LCG hyperplanes have no SQL twin). */
   def oracles: Map[String, String] = Map(

@@ -105,6 +105,27 @@ class DocOpsSpec extends AnyFunSuite {
     assert(lsh.sameElements(again))
   }
 
+  test("ivf with nprobe=all equals brute force; partial probe is a valid subset") {
+    val brute = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // probing every cell must reproduce brute-force exactly (same cosine
+    // computation, same tiebreaks)
+    val full = EmbedQueries.ivfTopK(spark, sfDir, nprobe = 16, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == brute)
+    // partial probe: ≤k per query, deterministic, ranks contiguous from 1
+    val part = EmbedQueries.q33AnnIvf(spark, sfDir).collect()
+    assert(part.nonEmpty)
+    part.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length))
+    }
+    val again = EmbedQueries.q33AnnIvf(spark, sfDir).collect()
+    assert(part.sameElements(again))
+  }
+
   test("dot product fold matches a manual computation") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
