@@ -12,12 +12,14 @@ object SparkEntry {
       graft.queries.DocQueries.queries ++
       graft.queries.EmbedQueries.queries ++
       graft.multimodal.Multimodal.queries ++
-      graft.sources.Generator.queries
+      graft.sources.Generator.queries ++
+      graft.queries.SessionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Kpis.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.DocQueries.oracles ++
-      graft.queries.EmbedQueries.oracles
+      graft.queries.EmbedQueries.oracles ++
+      graft.queries.SessionQueries.oracles
 }

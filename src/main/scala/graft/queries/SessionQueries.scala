@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over the events stream table — the classic
+  * behavioral-analytics operator. Batch formulation: per user, a new
+  * session starts when the gap to the previous event exceeds the
+  * threshold; session id = running count of session starts; then a
+  * per-(user, session) rollup. The whole thing is two window functions +
+  * one aggregation — each a single hash shuffle on user_id, which also
+  * co-locates the session rollup (Catalyst reuses the partitioning).
+  *
+  * The streaming twin with explicit state lives in
+  * graft.streaming.Sessionize; the two are asserted equivalent in tests.
+  */
+object SessionQueries {
+
+  val GapMinutes = 30
+
+  // ---------------------------------------------------------------- q34
+  def q34Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Kpis.eventsTable(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // integer microseconds on both sides: a seconds-granularity compare
+      // (cast long vs DuckDB's fractional epoch()) can disagree on gaps
+      // within 1s of the threshold
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q34Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_sessions" -> q34Sessions _)
+
+  def oracles: Map[String, String] = Map(
+    "q34_sessions" -> q34Sql)
+}
