@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting: the standard two-stage rewrite for
+  * aggregations whose key distribution is pathological (one key holding a
+  * large fraction of all rows ⇒ one reducer task holding the job hostage).
+  *
+  * Stage 1 groups on (key, salt) — the hot key's rows spread over
+  * `saltBuckets` tasks and combine map-side; stage 2 merges the ≤
+  * `saltBuckets` partial rows per key. Total shuffle volume grows by at
+  * most a factor of buckets on the PARTIAL rows (tiny), while the max
+  * task size shrinks by the same factor on the raw rows (huge).
+  *
+  * Note Spark's hash aggregate already does partial+final combining, which
+  * handles most groupBy skew on its own; explicit salting earns its keep
+  * for high-cardinality-payload aggregations (collect_list/distinct-heavy)
+  * and as the building block of salted JOINS (replicate the small side per
+  * salt). AQE's skew-join handling covers the sort-merge-join case at
+  * runtime; this utility is the plan-level tool.
+  */
+object Salting {
+
+  /** Two-stage salted sum/count aggregation: returns one row per key with
+    * `sum(valueCol)` and `count(*)`, computed via (key, salt) partials.
+    * Deterministic: the salt is a hash of stable columns, not rand(). */
+  def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
+                     saltCol: Column, saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(saltCol), lit(saltBuckets)))
+    salted
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
+        sum(col("_pcnt")).as("n_rows"))
+  }
+}

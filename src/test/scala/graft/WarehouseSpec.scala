@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Salting
+import graft.sink.Warehouse
+
+/** Date-partitioned warehouse sink (partition pruning) + salted
+  * aggregation (skew mitigation). */
+class WarehouseSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("warehouse write partitions by day and prunes on read") {
+    val dir = Files.createTempDirectory("graft-wh").resolve("sales").toString
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00", "c", "p", 1, 5.0),
+      ("b", "2024-01-01 11:00:00", "c", "p", 1, 6.0),
+      ("c", "2024-01-02 09:00:00", "c", "p", 2, 7.0))
+      .toDF("sale_id", "sale_date", "customer_id", "product_id", "quantity", "amount")
+      .withColumn("sale_date", to_timestamp(col("sale_date")))
+    Warehouse.writeSales(df, dir)
+    // physical layout: one directory per day
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(days.toSeq == Seq("sale_day=2024-01-01", "sale_day=2024-01-02"))
+    // a day predicate reaches the scan as a PartitionFilter
+    val pruned = Warehouse.readSales(spark, dir)
+      .filter(col("sale_day") === "2024-01-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("sale_day"), s"no partition pruning in:\n$plan")
+    assert(pruned.count() == 2)
+    // append mode accumulates
+    Warehouse.writeSales(df.filter(col("sale_id") === "a"), dir)
+    assert(Warehouse.readSales(spark, dir).count() == 4)
+  }
+
+  test("salted aggregation equals plain aggregation on a skewed key") {
+    // 10k rows of one hot key + scattered tail
+    val hot = (1 to 10000).map(i => ("HOT", i.toDouble))
+    val tail = (1 to 500).map(i => (s"k${i % 37}", i.toDouble))
+    val df = (hot ++ tail).toDF("key", "v")
+    val plain = df.groupBy("key")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Salting.saltedSumCount(df, "key", "v",
+        saltCol = col("v"), saltBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    // the stage-1 grouping genuinely spreads the hot key
+    val spread = df.withColumn("_salt", pmod(hash(col("v")), lit(16)))
+      .filter(col("key") === "HOT")
+      .select(countDistinct(col("_salt"))).head().getLong(0)
+    assert(spread == 16)
+  }
+}
