@@ -334,6 +334,56 @@ object DocQueries {
       |       - len(list_intersect(list_distinct(sa), list_distinct(sb)))) AS jaccard
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Character-trigram language ID (rows-only): per-language trigram
+    * profiles LEARNED from the labeled corpus (top-64 trigrams by
+    * frequency, deterministic count/trigram tiebreak), broadcast to a
+    * scoring join where each document picks the language whose profile
+    * covers the largest fraction of its distinct trigrams. Output is the
+    * (lang, predicted) confusion rollup.
+    *
+    * Shape at scale: profile building is one hash-aggregate over exploded
+    * trigrams + a WindowGroupLimit top-k per language (tiny result);
+    * scoring is a broadcast join of that tiny profile table against the
+    * corpus — no all-pairs, no driver loops. (The fixture corpus shares
+    * one vocabulary across langs, so accuracy here is chance — the
+    * operator, not the fixture, is what's under test.) */
+  def q35LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("tgs", expr(
+        "case when length(norm) < 3 then array(norm) " +
+          "else transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3)) end"))
+    // top-64 trigrams per language = the profile
+    val wTop = Window.partitionBy(col("p_lang"))
+      .orderBy(col("cnt").desc, col("tg"))
+    val profiles = d
+      .select(col("lang").as("p_lang"), explode(col("tgs")).as("tg"))
+      .groupBy(col("p_lang"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= 64)
+      .groupBy(col("p_lang"))
+      .agg(collect_set(col("tg")).as("profile"))
+    // score: fraction of the doc's distinct trigrams inside each profile
+    val scored = d
+      .select(col("doc_id"), col("lang"),
+        array_distinct(col("tgs")).as("dtgs"))
+      .crossJoin(broadcast(profiles))
+      .withColumn("score",
+        size(array_intersect(col("dtgs"), col("profile"))).cast("double")
+          / size(col("dtgs")))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("p_lang"))
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("p_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("score")) / count(lit(1))).as("avg_score"))
+      .orderBy("lang", "predicted")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -343,7 +393,8 @@ object DocQueries {
     "q25_fingerprint" -> q25Fingerprint _,
     "q27_simhash_near_dup" -> q27SimhashNearDup _,
     "q31_token_analysis" -> q31TokenAnalysis _,
-    "q32_ngram_jaccard" -> q32NgramJaccard _)
+    "q32_ngram_jaccard" -> q32NgramJaccard _,
+    "q35_langid_ngram" -> q35LangIdNgram _)
 
   /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
   def oracles: Map[String, String] = Map(

@@ -126,6 +126,16 @@ class DocOpsSpec extends AnyFunSuite {
     assert(part.sameElements(again))
   }
 
+  test("ngram language-id: predictions from the label set, confusion sums to corpus") {
+    val rows = DocQueries.q35LangIdNgram(spark, sfDir).collect()
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(rows.forall(r => langs(r.getAs[String]("lang"))))
+    assert(rows.forall(r => langs(r.getAs[String]("predicted"))))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500)
+    val again = DocQueries.q35LangIdNgram(spark, sfDir).collect()
+    assert(rows.sameElements(again))
+  }
+
   test("dot product fold matches a manual computation") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")

@@ -41,7 +41,8 @@ class KpisSpec extends AnyFunSuite {
   // weaker rows-only check for these. Everything else must carry an oracle.
   private val rowsOnly = Set(
     "q22_near_dup_minhash", "q27_simhash_near_dup", "q28_ann_lsh",
-    "q29_media_features", "q30_synthetic_sales", "q33_ann_ivf")
+    "q29_media_features", "q30_synthetic_sales", "q33_ann_ivf",
+    "q35_langid_ngram")
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
