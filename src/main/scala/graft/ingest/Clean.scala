@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -98,5 +98,14 @@ object Clean {
     val coerced = coerce(ensureRequired(ordered))
     val deduped = if (dedup) dedupLatest(coerced) else coerced
     deduped.select(required.map(col): _*)
+  }
+
+  /** Typed view of the cleaned frame: downstream code that wants
+    * compile-time field access works on `Dataset[Sale]` (the post-clean
+    * schema is exactly the case class; NULL quantity/amount cannot occur —
+    * both carry defaults). */
+  def cleanSalesTyped(df: DataFrame, dedup: Boolean = true): Dataset[Schemas.Sale] = {
+    val cleaned = cleanSales(df, dedup)
+    cleaned.as[Schemas.Sale](org.apache.spark.sql.Encoders.product[Schemas.Sale])
   }
 }

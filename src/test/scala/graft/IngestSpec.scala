@@ -220,6 +220,30 @@ class IngestSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("typed clean: Dataset[Sale] round-trip with compile-time fields") {
+    val p = tmpFile("typed.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
+      "t1,2024-01-02 03:04:05,CUST-1,PROD-1,2,20.50\n")
+    val ds = Clean.cleanSalesTyped(Readers.readCsv(spark, p))
+    val s = ds.collect().head
+    assert(s.sale_id == "t1" && s.quantity == 2 && s.amount == 20.50)
+    assert(s.sale_date == Timestamp.valueOf("2024-01-02 03:04:05"))
+  }
+
+  test("edge inputs: empty file, header-only file, zero-byte detection") {
+    // zero-byte extensionless file → default csv, validation fails cleanly
+    val empty = tmpFile("noext3", "")
+    assert(Detect.forPath(empty) == "csv")
+    val (ok1, _) = Validate.validateCsv(spark, empty)
+    assert(!ok1)
+    // header-only CSV: validates (columns present, no dates to probe),
+    // cleans to zero rows
+    val hdr = tmpFile("hdr.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n")
+    assert(Validate.validateCsv(spark, hdr) == (true, ""))
+    assert(Clean.cleanSales(Readers.readCsv(spark, hdr)).count() == 0)
+  }
+
   test("clean is idempotent on its own output") {
     val p = tmpFile("in.csv",
       "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
