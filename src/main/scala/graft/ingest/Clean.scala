@@ -24,6 +24,10 @@ import org.apache.spark.sql.types._
   * Everything is a narrow, codegen'd projection/filter — no shuffle — so at
   * 100 TB this runs at scan speed; the only shuffle in the whole transform is
   * the dedup window's hash partitioning on `sale_id` (below).
+  *
+  * Parity evidence: `cleanSales` over the reference's committed 1,200-row
+  * sample (`data/sales.csv`) matches a pandas `clean_df`-semantics run
+  * column-exactly on every field (ids, µs timestamps, coerced ints/doubles).
   */
 object Clean {
   import Schemas.required

@@ -400,6 +400,60 @@ object Kpis {
       |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q36
+  /** Orders with at least one line shipped after the order date, by
+    * priority: the EXISTS/semi-join pattern (plans as a LeftSemi hash join
+    * — each order tested once, no row explosion from multiple matching
+    * lines). */
+  def q36LateShipOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |FROM orders o WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q37
+  /** Exact value percentiles per event type. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the same linear-interpolation formula
+    * (verified bit-identical on this data), so the entry is hash-exact.
+    * Scale note: exact percentile sorts each group's values — fine for
+    * bounded group counts; at row-scale cardinalities switch to
+    * `approx_percentile` (t-digest sketch, mergeable map-side — not
+    * oracle-comparable, so not registered). */
+  def q37ValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  val q37Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_daily_revenue" -> q1DailyRevenue _,
     "q2_top_customers" -> q2TopCustomers _,
@@ -416,7 +470,9 @@ object Kpis {
     "q13_events_hourly" -> q13EventsHourly _,
     "q14_events_json" -> q14EventsJson _,
     "q15_customer_order_counts" -> q15CustomerOrderCounts _,
-    "q16_customers_no_orders" -> q16CustomersNoOrders _
+    "q16_customers_no_orders" -> q16CustomersNoOrders _,
+    "q36_late_ship_orders" -> q36LateShipOrders _,
+    "q37_value_percentiles" -> q37ValuePercentiles _
   )
 
   def oracles: Map[String, String] = Map(
@@ -435,6 +491,8 @@ object Kpis {
     "q13_events_hourly" -> q13Sql,
     "q14_events_json" -> q14Sql,
     "q15_customer_order_counts" -> q15Sql,
-    "q16_customers_no_orders" -> q16Sql
+    "q16_customers_no_orders" -> q16Sql,
+    "q36_late_ship_orders" -> q36Sql,
+    "q37_value_percentiles" -> q37Sql
   )
 }
