@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.EmbedQueries.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.sources.Generator.queries ++
-      graft.queries.SessionQueries.queries
+      graft.queries.SessionQueries.queries ++
+      graft.operators.ConsistentSample.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.DocQueries.oracles ++
       graft.queries.EmbedQueries.oracles ++
-      graft.queries.SessionQueries.oracles
+      graft.queries.SessionQueries.oracles ++
+      graft.operators.ConsistentSample.oracles
 }
