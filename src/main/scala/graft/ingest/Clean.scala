@@ -104,6 +104,35 @@ object Clean {
     deduped.select(required.map(col): _*)
   }
 
+  /** cleanSales with drop-count observability (the reference logs
+    * "Dropped %d rows missing sale_id", `processor.py:69-71`). Metrics ride
+    * the SAME action via the Observation API — no second pass over the
+    * data: after the caller's first action, `obs.get` carries `rows_in`
+    * and `rows_null_key` (dropped = rows_null_key; dedup removals =
+    * rows_in - rows_null_key - output count). */
+  def cleanSalesObserved(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                         dedup: Boolean = true): DataFrame = {
+    val ordered =
+      if (df.columns.contains(IngestOrder)) df else withIngestOrder(df)
+    val prepared = ensureRequired(ordered)
+    val stringCols = prepared.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSet
+    val scrubbed = prepared.columns.foldLeft(prepared)((d, c) =>
+      if (stringCols(c)) d.withColumn(c, scrub(col(c))) else d)
+    val observed = scrubbed.observe(obs,
+      count(lit(1)).as("rows_in"),
+      count(when(col("sale_id").isNull, 1)).as("rows_null_key"))
+    val coerced = observed
+      .withColumn("sale_date", expr("try_to_timestamp(sale_date)"))
+      .withColumn("quantity",
+        coalesce(expr("try_cast(try_cast(quantity AS double) AS int)"), lit(1)))
+      .withColumn("amount",
+        coalesce(expr("try_cast(amount AS double)"), lit(0.0)))
+      .filter(col("sale_id").isNotNull)
+    val deduped = if (dedup) dedupLatest(coerced) else coerced
+    deduped.select(required.map(col): _*)
+  }
+
   /** Typed view of the cleaned frame: downstream code that wants
     * compile-time field access works on `Dataset[Sale]` (the post-clean
     * schema is exactly the case class; NULL quantity/amount cannot occur —

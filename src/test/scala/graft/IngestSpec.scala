@@ -244,6 +244,21 @@ class IngestSpec extends AnyFunSuite {
     assert(Clean.cleanSales(Readers.readCsv(spark, hdr)).count() == 0)
   }
 
+  test("observed clean reports input and dropped-null-key counts in one pass") {
+    val p = tmpFile("obs.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
+      ",2024-01-01 00:00:00,c,p,1,1\n" +
+      "nan,2024-01-01 00:00:00,c,p,1,1\n" +
+      "s1,2024-01-01 00:00:00,c,p,1,1\n" +
+      "s1,2024-01-02 00:00:00,c,p,1,1\n")
+    val obs = new org.apache.spark.sql.Observation("clean_stats")
+    val out = Clean.cleanSalesObserved(Readers.readCsv(spark, p), obs)
+    assert(out.count() == 1) // one surviving key after dedup
+    val m = obs.get
+    assert(m("rows_in") == 4L)
+    assert(m("rows_null_key") == 2L) // empty cell + "nan"
+  }
+
   test("clean is idempotent on its own output") {
     val p = tmpFile("in.csv",
       "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
