@@ -115,4 +115,18 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Overlapping character n-grams (native codegen'd
+    * [[org.apache.spark.sql.graft.CharNGrams]]; the SQL HOF spelling is
+    * the executable spec, asserted bit-equal in tests). */
+  def charNgrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.CharNGrams(
+        org.apache.spark.sql.graft.ColumnShim.expression(c), n))
+
+  /** SQL HOF specification of [[charNgrams]]; input is a column NAME. */
+  def charNgramsSpec(colName: String, n: Int): Column = expr(
+    s"case when length($colName) < $n then array($colName) " +
+      s"else transform(sequence(1, length($colName) - ${n - 1}), " +
+      s"i -> substring($colName, i, $n)) end")
 }

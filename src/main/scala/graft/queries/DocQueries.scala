@@ -349,11 +349,14 @@ object DocQueries {
     * one vocabulary across langs, so accuracy here is chance — the
     * operator, not the fixture, is what's under test.) */
   def q35LangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    // single-file fixture → one split; spread the per-char trigram
+    // extraction (the compute-bound stage, evaluated on both the profile
+    // and scoring branches) across cores
+    val par = spark.sparkContext.defaultParallelism
     val d = docs(spark, dir)
+      .repartition(par, col("doc_id"))
       .withColumn("norm", normText(col("text")))
-      .withColumn("tgs", expr(
-        "case when length(norm) < 3 then array(norm) " +
-          "else transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3)) end"))
+      .withColumn("tgs", charNgrams(col("norm"), 3))
     // top-64 trigrams per language = the profile
     val wTop = Window.partitionBy(col("p_lang"))
       .orderBy(col("cnt").desc, col("tg"))

@@ -126,6 +126,18 @@ class DocOpsSpec extends AnyFunSuite {
     assert(part.sameElements(again))
   }
 
+  test("native char-ngrams are identical to the SQL HOF specification") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("norm", TextFunctions.normText(col("text")))
+      .withColumn("native", TextFunctions.charNgrams(col("norm"), 3))
+      .withColumn("spec", TextFunctions.charNgramsSpec("norm", 3))
+    assert(docs.filter(col("native") =!= col("spec")).count() == 0)
+    // short-string collapse
+    val s = Seq("ab").toDF("t")
+      .select(TextFunctions.charNgrams(col("t"), 3)).head().getSeq[String](0)
+    assert(s == Seq("ab"))
+  }
+
   test("ngram language-id: predictions from the label set, confusion sums to corpus") {
     val rows = DocQueries.q35LangIdNgram(spark, sfDir).collect()
     val langs = Set("de", "en", "es", "fr", "zh")
