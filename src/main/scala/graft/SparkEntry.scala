@@ -14,7 +14,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++
       graft.sources.Generator.queries ++
       graft.queries.SessionQueries.queries ++
-      graft.operators.ConsistentSample.queries
+      graft.operators.ConsistentSample.queries ++
+      graft.operators.AsOfJoin.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.DocQueries.oracles ++
       graft.queries.EmbedQueries.oracles ++
       graft.queries.SessionQueries.oracles ++
-      graft.operators.ConsistentSample.oracles
+      graft.operators.ConsistentSample.oracles ++
+      graft.operators.AsOfJoin.oracles
 }

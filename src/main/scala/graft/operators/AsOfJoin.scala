@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the most recent right row with
+  * `rightTime <= leftTime` within the same key — the time-series join
+  * Spark has no built-in for (the canonical example of the
+  * custom-operator ladder's "compose existing ops if semantics allow"
+  * tier).
+  *
+  * Implementation is the union+window formulation, NOT a range join:
+  * tag both sides, union, then `last(right payload, ignoreNulls) OVER
+  * (PARTITION BY key ORDER BY time, side ROWS UNBOUNDED PRECEDING)` —
+  * right rows sort before left rows at equal timestamps, so an
+  * equal-time right row IS visible to the left row (inclusive as-of,
+  * matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle).
+  *
+  * Scale shape: ONE hash shuffle on the key + a per-key sort — the same
+  * cost as any groupBy over the union. A naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + max-per-group) explodes to every
+  * (left, right-earlier) pair before pruning; this never materializes
+  * more than left+right rows.
+  */
+object AsOfJoin {
+
+  /** `right` must be deduplicated on (key, rightTime) beforehand if ties
+    * are possible — within-tie choice would otherwise be nondeterministic
+    * on any engine. Payload columns are the right columns to carry. */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = payload.foldLeft(
+      left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1)))(
+      (d, p) => d.withColumn(p, lit(null)))
+    val r = leftCols.filterNot(c => c == key).foldLeft(
+      right.withColumn("_t", col(rightTime)).withColumn("_side", lit(0)))(
+      (d, c) => d.withColumn(c, lit(null)))
+    val unioned = l.select((leftCols ++ Seq("_t", "_side") ++ payload).map(col): _*)
+      .unionByName(
+        r.select((leftCols ++ Seq("_t", "_side") ++ payload).map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    filled.filter(col("_side") === 1).drop("_t", "_side")
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** Each event matched to the user's most recent order at-or-before the
+    * event time (order stream derived deterministically from `orders`;
+    * right side deduped per (user, ts) with a max-orderkey tiebreak). */
+  def q39EventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.queries.Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val wDedup = Window.partitionBy(col("user_id"), col("o_ts"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = graft.queries.Kpis.table(spark, dir, "orders")
+      .select((col("o_custkey") % 15).as("user_id"),
+        col("o_orderdate").as("o_ts"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1).drop("_rn")
+    joinAsOf(events, orders, "user_id", "ts", "o_ts",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q39Sql: String =
+    """WITH r0 AS (
+      |  SELECT o_custkey % 15 AS user_id, o_orderdate AS o_ts,
+      |         o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey % 15, o_orderdate
+      |                            ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |r AS (SELECT user_id, o_ts, o_orderkey, o_totalprice FROM r0 WHERE rn = 1)
+      |SELECT e.user_id, e.event_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+      |  r.o_orderkey, r.o_totalprice
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts >= r.o_ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_events_asof_orders" -> q39EventsAsofOrders _)
+
+  def oracles: Map[String, String] = Map(
+    "q39_events_asof_orders" -> q39Sql)
+}
