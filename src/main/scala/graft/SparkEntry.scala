@@ -15,7 +15,8 @@ object SparkEntry {
       graft.sources.Generator.queries ++
       graft.queries.SessionQueries.queries ++
       graft.operators.ConsistentSample.queries ++
-      graft.operators.AsOfJoin.queries
+      graft.operators.AsOfJoin.queries ++
+      graft.operators.RangeJoin.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.EmbedQueries.oracles ++
       graft.queries.SessionQueries.oracles ++
       graft.operators.ConsistentSample.oracles ++
-      graft.operators.AsOfJoin.oracles
+      graft.operators.AsOfJoin.oracles ++
+      graft.operators.RangeJoin.oracles
 }
