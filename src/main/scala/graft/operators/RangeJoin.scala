@@ -39,13 +39,19 @@ object RangeJoin {
   }
 
   // ---------------------------------------------------------------- q40
-  /** Each event matched to the order-validity interval containing it:
-    * per-user intervals [o_orderdate, next o_orderdate) derived with
-    * lead(), the final interval capped at +30 days. Intervals partition
-    * time within a user, so each event lands in at most one interval. */
+  /** Each event matched to the order-validity interval containing it.
+    * The orders table's dates (1995–2001) don't overlap the events stream
+    * (Jan 2024), so interval starts are the order dates projected
+    * deterministically into the event month (2024-01-01 + date µs mod
+    * 30 days — identical arithmetic on both engines); per-user intervals
+    * are [start, next start) via lead(), the final one capped at +7 days.
+    * Intervals partition time within a user, so each event lands in at
+    * most one interval. */
   def q40EventsInOrderWindows(spark: SparkSession, dir: String): DataFrame = {
-    val binUs = 7L * 24 * 3600 * 1000000 // 1-week bins
-    val capUs = 30L * 24 * 3600 * 1000000
+    val binUs = 24L * 3600 * 1000000 // 1-day bins
+    val capUs = 7L * 24 * 3600 * 1000000
+    val month0 = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    val monthUs = 30L * 24 * 3600 * 1000000
     val events = graft.queries.Kpis.eventsTable(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("t_us"))
@@ -56,7 +62,9 @@ object RangeJoin {
       .select((col("o_custkey") % 15).as("user_id"),
         // o_orderdate is TIMESTAMP_NTZ; under the pinned-UTC session the
         // ltz cast is instant-preserving and unix_micros-compatible
-        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"),
+        (lit(month0) +
+          unix_micros(col("o_orderdate").cast("timestamp")) % monthUs)
+          .as("start_us"),
         col("o_orderkey"))
       .withColumn("_rn", row_number().over(wDedup))
       .filter(col("_rn") === 1).drop("_rn")
@@ -73,15 +81,18 @@ object RangeJoin {
 
   val q40Sql: String =
     """WITH o0 AS (
-      |  SELECT o_custkey % 15 AS user_id, epoch_us(o_orderdate) AS start_us,
+      |  SELECT o_custkey % 15 AS user_id,
+      |         1704067200000000 + epoch_us(o_orderdate) % 2592000000000 AS start_us,
       |         o_orderkey,
-      |         row_number() OVER (PARTITION BY o_custkey % 15, epoch_us(o_orderdate)
-      |                            ORDER BY o_orderkey DESC) AS rn
+      |         row_number() OVER (
+      |           PARTITION BY o_custkey % 15,
+      |             1704067200000000 + epoch_us(o_orderdate) % 2592000000000
+      |           ORDER BY o_orderkey DESC) AS rn
       |  FROM orders),
       |iv AS (
       |  SELECT user_id, start_us, o_orderkey,
       |    COALESCE(lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us),
-      |             start_us + 2592000000000) AS end_us
+      |             start_us + 604800000000) AS end_us
       |  FROM o0 WHERE rn = 1),
       |m AS (
       |  SELECT e.user_id, e.event_id, iv.o_orderkey
