@@ -54,7 +54,13 @@ object Validate {
     * all required keys (`validator.py:64-82` checks record-by-record, so one
     * key-less record among 100 fails the file even if other records have the
     * key). NDJSON: first 100 text lines, `json_object_keys` per line; array
-    * form: schema-union check (pandas reads the array as one frame too). */
+    * form: schema-union check.
+    *
+    * Intended-semantics divergence (same policy as the routing bug, SURVEY
+    * §3.1): the reference's `validate_json` line-parses array files too, so
+    * it rejects EVERY array-form file (`json.loads` on a bracket line
+    * throws) even though its own reader supports arrays
+    * (`processor.py:27-29`). We validate arrays properly. */
   def validateJson(spark: SparkSession, path: String): (Boolean, String) =
     try {
       val isArray = Detect.firstNonWsChar(
