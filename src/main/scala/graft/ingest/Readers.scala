@@ -21,7 +21,7 @@ object Readers {
 
   /** `strip().lower()` on every column name (`processor.py:40`). */
   def normalizeColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim.toLowerCase): _*)
 
   /** CSV with header, no inference → every column StringType
     * (`processor.py:23`). */
@@ -48,7 +48,7 @@ object Readers {
   def readParquet(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     normalizeColumns(
-      df.select(df.columns.map(c => col(c).cast("string").as(c)): _*))
+      df.select(df.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*))
   }
 
   /** Dispatch on detected format (`processor.py:15-41`). */
