@@ -102,7 +102,9 @@ object Router {
         // Spark task retry inside the actions; stage failure → quarantine.
         val cleanedOrErr =
           try {
-            val df = Clean.cleanSales(Readers.readAllString(spark, path))
+            // cache: the count here and the load below would otherwise
+            // each re-read and re-clean the file
+            val df = Clean.cleanSales(Readers.readAllString(spark, path)).cache()
             val n = df.count()
             Right((df, n))
           } catch { case NonFatal(e) => Left(e) }
@@ -128,7 +130,7 @@ object Router {
                   Some(0L), Some(String.valueOf(e.getMessage))))
                 move(spark, path, bucket.failed("loading_failed"))
                 FileOutcome(name, "load_failed", 0L, Some(String.valueOf(e.getMessage)))
-            }
+            } finally cleaned.unpersist()
         }
       }
     }

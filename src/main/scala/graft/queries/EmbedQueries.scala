@@ -91,7 +91,9 @@ object EmbedQueries {
     // supplies the splits and this is a no-op-sized shuffle of the small
     // side.
     val par = spark.sparkContext.defaultParallelism
-    val a = e.repartition(par).select(col("vec_id").as("a_id"),
+    // hash- (not round-robin-) partitioned: assignment is a pure function
+    // of the key, deterministic under any task retry order
+    val a = e.repartition(par, col("vec_id")).select(col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("n2").as("an2"))
     val b = e.select(col("vec_id").as("b_id"),
       col("embedding").as("be"), col("n2").as("bn2"))

@@ -24,7 +24,10 @@ object Generator {
     val id =
       if (withUuid) expr("uuid()")
       else concat(lit("S-"), lpad(col("id").cast("string"), 10, "0"))
-    spark.range(n).select(
+    // fixed partition count: seeded rand() streams are a function of
+    // (partition index, offset), so letting the range default to the
+    // session's parallelism would change values across cluster sizes
+    spark.range(0, n, 1, numPartitions = 8).select(
       id.as("sale_id"),
       date_format(
         timestamp_seconds(
