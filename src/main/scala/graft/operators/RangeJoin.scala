@@ -28,6 +28,11 @@ object RangeJoin {
                       binUs: Long): DataFrame = {
     val binnedLeft = left.withColumn("_bin", col(pointCol).divide(binUs).cast("long"))
     val binnedRight = right
+      // drop malformed/empty intervals: sequence(a, b) generates a
+      // DESCENDING range when b < a, which would explode an end<=start
+      // interval into spurious bins (the residual filter keeps results
+      // correct, but the replication is unbounded garbage)
+      .filter(col(endCol) > col(startCol))
       .withColumn("_bin", explode(sequence(
         col(startCol).divide(binUs).cast("long"),
         // end is exclusive: an interval ending exactly on a bin edge does

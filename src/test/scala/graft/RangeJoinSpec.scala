@@ -20,6 +20,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 12L)) // 100 in, 200 out (exclusive), 199 in, 99 out
   }
 
+  test("malformed (end <= start) intervals are dropped, not exploded") {
+    val points = Seq((1L, 10L, 150L)).toDF("k", "id", "t")
+    val iv = Seq((1L, 200L, 100L, "backwards"), (1L, 150L, 150L, "empty"),
+      (1L, 100L, 200L, "ok")).toDF("k", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(points, iv, "k", "t", "s", "e", binUs = 50L)
+      .select("tag").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("ok"))
+  }
+
   test("binned join equals the naive inequality join on random data") {
     val rnd = new scala.util.Random(7)
     val points = (1 to 300).map(i =>
