@@ -54,11 +54,16 @@ object Upsert {
     * (commit at partition end, rollback + rethrow on failure — Spark's task
     * retry then re-runs the partition; ON CONFLICT makes the retry
     * idempotent, the same at-least-once + idempotent-write contract as the
-    * reference). Returns total rows written. */
+    * reference). Returns total rows written.
+    *
+    * `sqlOverride` swaps the statement text (same `?`-per-column binding
+    * order) for non-Postgres dialects — also how the embedded-Derby
+    * integration test drives this exact partition/batch/transaction path. */
   def upsert(df: DataFrame, url: String, props: Properties, table: String,
-             conflictKey: String, batchSize: Int = 1000): Long = {
+             conflictKey: String, batchSize: Int = 1000,
+             sqlOverride: Option[String] = None): Long = {
     val cols = df.columns.toSeq
-    val sql = upsertSql(table, cols, conflictKey)
+    val sql = sqlOverride.getOrElse(upsertSql(table, cols, conflictKey))
     val acc: LongAccumulator =
       df.sparkSession.sparkContext.longAccumulator("upserted_rows")
     df.foreachPartition { (rows: Iterator[Row]) =>
