@@ -55,4 +55,16 @@ class UpsertJdbcSpec extends AnyFunSuite {
     }
     assert(count("sales_r") == 2) // "c" rolled back with the batch
   }
+
+  test("audit JDBC sink swallows its own errors (db.py:96 contract)") {
+    import graft.ingest.Schemas.AuditEntry
+    // Postgres ON CONFLICT syntax against Derby → SQL error; unreachable
+    // URL → connection error. Neither may propagate.
+    val badDialect = new graft.sink.AuditLog.JdbcSink(url, new Properties())
+    badDialect.log(AuditEntry("f1", "b", "validated", None, None))
+    val unreachable = new graft.sink.AuditLog.JdbcSink(
+      "jdbc:derby:memory:noSuchDbNoCreate", new Properties())
+    unreachable.log(AuditEntry("f2", "b", "loaded", Some(5L), Some("e")))
+    succeed
+  }
 }
