@@ -387,6 +387,28 @@ object DocQueries {
       .orderBy("lang", "predicted")
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Sketch-based corpus profile (rows-only: sketches are engine-specific):
+    * HyperLogLog++ distinct counts and t-digest percentiles per lang. These
+    * are the 100 TB-scale stand-ins for q12's exact countDistinct and
+    * q37's exact percentile — both sketches merge map-side (constant-size
+    * state per partition), where the exact forms shuffle full key sets /
+    * sort full groups. Accuracy vs the exact operators is asserted in
+    * tests. */
+  def q41SketchProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
+        approx_count_distinct(col("source"), 0.02).as("approx_distinct_sources"),
+        // cast: approx_percentile preserves the int input type; double
+        // keeps the profile schema aligned with the exact-percentile twin
+        expr("approx_percentile(n_tokens, 0.5, 1000)").cast("double")
+          .as("approx_median_tokens"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -397,7 +419,8 @@ object DocQueries {
     "q27_simhash_near_dup" -> q27SimhashNearDup _,
     "q31_token_analysis" -> q31TokenAnalysis _,
     "q32_ngram_jaccard" -> q32NgramJaccard _,
-    "q35_langid_ngram" -> q35LangIdNgram _)
+    "q35_langid_ngram" -> q35LangIdNgram _,
+    "q41_sketch_profile" -> q41SketchProfile _)
 
   /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
   def oracles: Map[String, String] = Map(

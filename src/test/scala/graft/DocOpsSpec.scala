@@ -148,6 +148,26 @@ class DocOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("sketch profile tracks the exact operators within tolerance") {
+    val sk = DocQueries.q41SketchProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("approx_distinct_texts"),
+          r.getAs[Double]("approx_median_tokens"))).toMap
+    val exact = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(countDistinct(col("text")).as("d"),
+        expr("percentile(n_tokens, 0.5)").as("m"))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("d"), r.getAs[Double]("m"))).toMap
+    exact.foreach { case (lang, (d, m)) =>
+      val (_, ad, am) = sk(lang)
+      assert(math.abs(ad - d).toDouble / d <= 0.1, s"$lang distinct: $ad vs $d")
+      assert(math.abs(am - m) / m <= 0.25, s"$lang median: $am vs $m")
+    }
+  }
+
   test("dot product fold matches a manual computation") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")

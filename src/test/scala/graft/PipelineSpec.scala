@@ -212,6 +212,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r.exists(_.quarantined))
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size (serial batches, T2)") {
+    val base = Files.createTempDirectory("graft-mft")
+    val incoming = base.resolve("incoming"); Files.createDirectories(incoming)
+    (1 to 3).foreach(i => writeFile(incoming, s"f$i.csv",
+      "sale_id,sale_date,customer_id,product_id,quantity,amount\n" +
+      s"k$i,2024-01-0$i 00:00:00,c,p,1,1.0\n"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Stream.salesFileStream(spark, incoming.toString,
+        maxFilesPerTrigger = Some(1))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) => batches += b.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(batches.toSeq == Seq(1L, 1L, 1L)) // one file per micro-batch
+  }
+
   test("streaming tumbling window equals the batch hourly rollup on events") {
     import SparkTestSession.sfDir
     val events = graft.queries.Kpis.eventsTable(spark, sfDir)
