@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{DotProductD, MinHashSignature64, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.{CharNGrams, DotProductD, MinHashSignature64, SimHash64}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -26,6 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash64 takes exactly 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "char_ngrams takes (string, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams n must be an integer literal, got $other")
+        }
+        CharNGrams(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature64"),

@@ -37,4 +37,22 @@ object Warehouse {
     writeSales(df, path)
     n
   }
+
+  /** Compact one day-partition to `targetFiles` files — the maintenance
+    * pass for the small-files problem every incremental lake accumulates
+    * (each micro-batch appends its own files; scan overhead grows with
+    * file count, not data size). Rewrites atomically-enough for a
+    * single-writer maintenance window: stage → swap. */
+  def compactDay(spark: SparkSession, path: String, day: String,
+                 targetFiles: Int = 1): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDir = new org.apache.hadoop.fs.Path(s"$path/$PartitionCol=$day")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_$day")
+    val df = spark.read.parquet(partDir.toString)
+    df.repartition(targetFiles).write.mode("overwrite").parquet(staged.toString)
+    fs.delete(partDir, true)
+    if (!fs.rename(staged, partDir))
+      throw new java.io.IOException(s"compaction swap failed for $day")
+  }
 }

@@ -89,6 +89,19 @@ object Stream {
     results.toSeq
   }
 
+  /** Streaming dedup — the streaming twin of the batch
+    * dedup-by-key-keep-latest (SURVEY §2.4): `dropDuplicates` on the key
+    * with a watermark bounding the dedup state (keys older than the
+    * watermark are evicted — without it, state grows with every key ever
+    * seen). Semantics differ from batch deliberately: streaming keeps the
+    * FIRST arrival per key inside the watermark (matching the upsert
+    * sink's at-least-once replay protection), while the batch operator
+    * picks latest-by-sale-date within a complete file. */
+  def dedupStream(sales: DataFrame, eventTimeCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    sales.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("sale_id", eventTimeCol)
+
   /** Streaming-capable tumbling-window aggregation (the streaming twin of
     * the batch hourly rollup, with a watermark bounding state): counts and
     * value sums per (hour, event_type). Works on any frame with an

@@ -212,6 +212,11 @@ class DocOpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("char_ngrams is registered for SQL and requires a literal n") {
+    val r = spark.sql("SELECT char_ngrams('abcd', 2)").head().getSeq[String](0)
+    assert(r == Seq("ab", "bc", "cd"))
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten
     val b: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten

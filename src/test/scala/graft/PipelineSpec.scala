@@ -230,6 +230,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(1L, 1L, 1L)) // one file per micro-batch
   }
 
+  test("streaming dedup drops same-key re-arrivals within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    import SparkTestSession.spark.implicits._
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val in = mem.toDF().toDF("sale_id", "sale_date", "amount")
+    val q = Stream.dedupStream(in, "sale_date")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(("a", t, 1.0), ("a", t, 2.0), ("b", t, 3.0))
+      q.processAllAvailable()
+      mem.addData(("a", t, 4.0)) // replay across batches, same key+time
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2) // one per (key, event-time)
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("streaming tumbling window equals the batch hourly rollup on events") {
     import SparkTestSession.sfDir
     val events = graft.queries.Kpis.eventsTable(spark, sfDir)

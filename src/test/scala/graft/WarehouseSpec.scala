@@ -39,6 +39,25 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.readSales(spark, dir).count() == 4)
   }
 
+  test("day-partition compaction collapses files, preserves rows and pruning") {
+    val dir = Files.createTempDirectory("graft-compact").resolve("sales").toString
+    val df = (1 to 9).map(i => (s"c$i", "2024-02-01 10:00:00", "c", "p", 1, i * 1.0))
+      .toDF("sale_id", "sale_date", "customer_id", "product_id", "quantity", "amount")
+      .withColumn("sale_date", to_timestamp(col("sale_date")))
+    // three appends → at least three files in the partition
+    (0 until 3).foreach(i => Warehouse.writeSales(
+      df.filter(col("amount") > i * 3.0 && col("amount") <= (i + 1) * 3.0), dir))
+    val partDir = new java.io.File(s"$dir/sale_day=2024-02-01")
+    val before = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 3)
+    Warehouse.compactDay(spark, dir, "2024-02-01", targetFiles = 1)
+    val after = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    val back = Warehouse.readSales(spark, dir)
+    assert(back.count() == 9)
+    assert(back.filter(col("sale_day") === "2024-02-01").count() == 9)
+  }
+
   test("salted aggregation equals plain aggregation on a skewed key") {
     // 10k rows of one hot key + scattered tail
     val hot = (1 to 10000).map(i => ("HOT", i.toDouble))
