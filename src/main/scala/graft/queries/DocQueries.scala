@@ -335,12 +335,13 @@ object DocQueries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q35
-  /** Character-trigram language ID (rows-only): per-language trigram
-    * profiles LEARNED from the labeled corpus (top-64 trigrams by
-    * frequency, deterministic count/trigram tiebreak), broadcast to a
-    * scoring join where each document picks the language whose profile
-    * covers the largest fraction of its distinct trigrams. Output is the
-    * (lang, predicted) confusion rollup.
+  /** Character-trigram language ID: per-language trigram profiles LEARNED
+    * from the labeled corpus (top-64 trigrams by frequency, deterministic
+    * count/trigram tiebreak), broadcast to a scoring join where each
+    * document picks the language whose profile covers the largest fraction
+    * of its distinct trigrams. Output is the (lang, predicted) confusion
+    * rollup — oracle-checked: the whole train-then-classify pipeline
+    * replays in DuckDB SQL with exact-decimal score means.
     *
     * Shape at scale: profile building is one hash-aggregate over exploded
     * trigrams + a WindowGroupLimit top-k per language (tiny result);
@@ -383,9 +384,46 @@ object DocQueries {
       .filter(col("rk") === 1)
       .groupBy(col("lang"), col("p_lang").as("predicted"))
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("score")) / count(lit(1))).as("avg_score"))
+        // per-doc scores are bit-identical doubles on both engines (same
+        // int/int division); summing through decimal makes the group
+        // aggregate order-independent, so the mean is oracle-exact
+        (sum(col("score").cast("decimal(18,12)")).cast("double")
+          / count(lit(1))).as("avg_score"))
       .orderBy("lang", "predicted")
   }
+
+  val q35Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(norm) < 3 THEN [norm]
+      |         ELSE list_transform(range(1, length(norm) - 1),
+      |                i -> substring(norm, i, 3)) END AS tgs
+      |  FROM d),
+      |ex AS (SELECT lang AS p_lang, unnest(tgs) AS tg FROM t),
+      |cnt AS (SELECT p_lang, tg, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+      |topk AS (
+      |  SELECT p_lang, tg FROM (
+      |    SELECT p_lang, tg,
+      |      row_number() OVER (PARTITION BY p_lang ORDER BY cnt DESC, tg) AS r
+      |    FROM cnt) WHERE r <= 64),
+      |prof AS (SELECT p_lang, list(tg) AS profile FROM topk GROUP BY p_lang),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, p.p_lang,
+      |    CAST(len(list_intersect(list_distinct(t.tgs), p.profile)) AS DOUBLE)
+      |      / len(list_distinct(t.tgs)) AS score
+      |  FROM t CROSS JOIN prof p),
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+      |    FROM scored) WHERE rk = 1)
+      |SELECT lang, p_lang AS predicted, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_score
+      |FROM best GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
   // ---------------------------------------------------------------- q41
   /** Sketch-based corpus profile (rows-only: sketches are engine-specific):
@@ -430,5 +468,6 @@ object DocQueries {
     "q24_lang_id" -> q24Sql,
     "q25_fingerprint" -> q25Sql,
     "q31_token_analysis" -> q31Sql,
-    "q32_ngram_jaccard" -> q32Sql)
+    "q32_ngram_jaccard" -> q32Sql,
+    "q35_langid_ngram" -> q35Sql)
 }
