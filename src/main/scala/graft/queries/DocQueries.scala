@@ -447,6 +447,59 @@ object DocQueries {
           .as("approx_median_tokens"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q42
+  /** Capstone corpus-curation pipeline (rows-only): the operators above
+    * composed in the order a real pretraining-data pipeline runs them —
+    * exact-dedup (min doc_id per fingerprint wins) → MinHash near-dedup
+    * (larger id of each pair dropped) → quality filter → per-lang
+    * survivor stats. One declarative plan: Catalyst fuses the projections,
+    * and every dedup stage is equi-join keyed as before. */
+  def q42CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val corpus = corpusWithNearDups(spark, dir)
+      .repartition(par, col("doc_id"))
+      .withColumn("fp", fingerprint(col("text")))
+    // stage 1: exact dedup — keep the smallest doc_id per canonical text
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val exactDeduped = corpus
+      .withColumn("_r", row_number().over(wFp)).filter(col("_r") === 1).drop("_r")
+    // stage 2: near-dedup — drop the larger id of every MinHash pair
+    val nearPairs = {
+      val base = exactDeduped
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("sh", shingles(col("toks"), 3))
+        .withColumn("sig", minhashSignature(col("sh"), 16))
+      val banded = base.select(col("doc_id"), col("sh"),
+          explode(minhashBands(col("sig"), 8, 2)).as("b"))
+        .select(col("doc_id"), col("sh"),
+          col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      val a = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_sh"), col("b_sh")).as("j"))
+        .distinct()
+        .filter(col("j") >= 0.5)
+    }
+    val dropIds = nearPairs.select(col("b_id").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+    // stage 3: quality floor
+    val curated = nearDeduped
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality",
+        least(lit(1.0), size(col("toks")).cast("double") / 100.0) * 0.5
+          + least(lit(1.0), length(col("text")).cast("double") / 500.0) * 0.5)
+      .filter(col("quality") >= 0.2)
+    curated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(size(col("toks"))).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -458,7 +511,8 @@ object DocQueries {
     "q31_token_analysis" -> q31TokenAnalysis _,
     "q32_ngram_jaccard" -> q32NgramJaccard _,
     "q35_langid_ngram" -> q35LangIdNgram _,
-    "q41_sketch_profile" -> q41SketchProfile _)
+    "q41_sketch_profile" -> q41SketchProfile _,
+    "q42_corpus_curation" -> q42CorpusCuration _)
 
   /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
   def oracles: Map[String, String] = Map(

@@ -42,7 +42,7 @@ class KpisSpec extends AnyFunSuite {
   private val rowsOnly = Set(
     "q22_near_dup_minhash", "q27_simhash_near_dup", "q28_ann_lsh",
     "q29_media_features", "q30_synthetic_sales", "q33_ann_ivf",
-    "q41_sketch_profile")
+    "q41_sketch_profile", "q42_corpus_curation")
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
