@@ -67,6 +67,20 @@ object VectorFunctions {
       when(dotD(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127, elements
+    * round to [-127, 127]. 4× storage reduction for embedding columns — at
+    * 100 TB the difference between shuffling floats and shuffling bytes in
+    * every similarity stage; cosine on dequantized vectors is within ~1%
+    * of exact (asserted in tests). All built-ins, codegen-friendly. */
+  def quantizeScale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-12f)).cast("double") / 127.0
+
+  def quantize8(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("byte"))
+
+  def dequantize8(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
   /** Band an LSH signature into `bands` chunk values (same pigeonhole
     * rationale as SimHash chunking). */
   def lshBands(sigColName: String, nBits: Int, bands: Int): Column = {

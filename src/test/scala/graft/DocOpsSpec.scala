@@ -231,6 +231,26 @@ class DocOpsSpec extends AnyFunSuite {
     assert(r == Seq("ab", "bc", "cd"))
   }
 
+  test("int8 quantization: byte range, 4x narrower type, <1% cosine error") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+      .withColumn("scale", VectorFunctions.quantizeScale(col("embedding")))
+      .withColumn("q8", VectorFunctions.quantize8(col("embedding"), col("scale")))
+      .withColumn("deq", VectorFunctions.dequantize8(col("q8"), col("scale")))
+    assert(e.schema("q8").dataType.simpleString == "array<tinyint>")
+    // reconstruction keeps pairwise cosine within 1%
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("deq").as("da"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("deq").as("db")))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        VectorFunctions.cosine(col("ae"), col("be")).as("exact"),
+        VectorFunctions.cosine(col("da"), col("db")).as("approx"))
+    val maxErr = pairs
+      .select(max(abs(col("exact") - col("approx")))).head().getDouble(0)
+    assert(maxErr < 0.01, s"max cosine error $maxErr")
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten
     val b: Array[Double] = VectorFunctions.hyperplanes(4, 8).flatten
