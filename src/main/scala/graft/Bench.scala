@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Optional args: bench only the named queries (local iteration); the
+    // driver invokes with no args → full registered set.
+    val selected: Seq[String] =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,23 +33,25 @@ object Bench {
     // Full untimed warm-up pass: JIT/codegen/OS-cache warm-up otherwise
     // lands unevenly on whichever queries run first (single-query warm-up
     // still showed 10x run-to-run swings on the heavier entries).
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+    selected.foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
     // min of two timed runs per query: the shared JVM shows multi-second
     // GC/throttle spikes on otherwise sub-second plans; the minimum is the
-    // steady-state cost.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
+    // steady-state cost. A run that throws contributes no time; a query with
+    // NO successful run records the -1 sentinel (a broken query must not
+    // masquerade as a fast one).
+    val results = selected.map { name =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { run(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

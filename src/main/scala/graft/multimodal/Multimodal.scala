@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * per-row feature extraction that runs as codegen'd expressions where
   * possible.
   *
-  * Scale posture: media blobs are large; the transforms below never shuffle
-  * the payload — metadata/features project out early so downstream
-  * aggregations move kilobytes, not the blobs. Partitioning is whatever the
-  * source scan gives (size-split files), which is exactly right for
-  * embarrassingly-parallel decode.
+  * Scale posture: media blobs are large; after the decode, only
+  * metadata/features flow downstream so aggregations move kilobytes, not the
+  * blobs. The decode itself is embarrassingly parallel but the source scan's
+  * split count is NOT a reliable parallelism source (a single parquet file —
+  * like the fixture corpus — scans as ONE split), so `q29MediaFeatures`
+  * explicitly repartitions on `media_id` before the per-row decode, the same
+  * pattern as the other compute-heavy per-row stages (q22/q26/q35). That one
+  * shuffle moves the payload once, and buys a cluster-wide decode instead of
+  * a one-core decode of whatever splits the scan happens to give.
   */
 object Multimodal {
 
@@ -153,7 +157,13 @@ object Multimodal {
     * binary corpus, aggregated per media kind. */
   def q29MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    extractFeatures(mediaFromDocuments(spark, dir), frameEvery = 2)
+    // Spread the decode across all cores: the fixture corpus is a single
+    // parquet file (one scan split), and mapPartitions inherits the scan's
+    // partitioning — without this shuffle the whole decode runs on one task.
+    val spread = mediaFromDocuments(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .as[MediaRow]
+    extractFeatures(spread, frameEvery = 2)
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),

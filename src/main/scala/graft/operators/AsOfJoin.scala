@@ -27,26 +27,40 @@ object AsOfJoin {
 
   /** `right` must be deduplicated on (key, rightTime) beforehand if ties
     * are possible — within-tie choice would otherwise be nondeterministic
-    * on any engine. Payload columns are the right columns to carry. */
+    * on any engine. Payload columns are the right columns to carry.
+    *
+    * The payload travels as ONE packed struct filled by a single
+    * `last(_, ignoreNulls = true)`: filling each payload column with its
+    * own `last` would backfill a NULL payload value from an OLDER right
+    * row, mixing columns from different right rows and fabricating a value
+    * where the true as-of match is NULL. The struct itself is non-null for
+    * every right row (even when every field is NULL), so the window picks
+    * exactly the most recent right row and its fields — NULLs included —
+    * unpack together. */
   def joinAsOf(left: DataFrame, right: DataFrame,
                key: String, leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = payload.foldLeft(
-      left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1)))(
-      (d, p) => d.withColumn(p, lit(null)))
-    val r = leftCols.filterNot(c => c == key).foldLeft(
-      right.withColumn("_t", col(rightTime)).withColumn("_side", lit(0)))(
-      (d, c) => d.withColumn(c, lit(null)))
-    val unioned = l.select((leftCols ++ Seq("_t", "_side") ++ payload).map(col): _*)
-      .unionByName(
-        r.select((leftCols ++ Seq("_t", "_side") ++ payload).map(col): _*))
+    val rPacked = right
+      .withColumn("_t", col(rightTime)).withColumn("_side", lit(0))
+      .withColumn("_p", struct(payload.map(col): _*))
+    val pType = rPacked.schema("_p").dataType
+    val l = left
+      .withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(pType))
+    val unionCols = leftCols ++ Seq("_t", "_side", "_p")
+    val r = leftCols.filterNot(c => c == key)
+      .foldLeft(rPacked)((d, c) => d.withColumn(c, lit(null)))
+    val unioned = l.select(unionCols.map(col): _*)
+      .unionByName(r.select(unionCols.map(col): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-    filled.filter(col("_side") === 1).drop("_t", "_side")
+    val filled = unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(filled)((d, p) =>
+      d.withColumn(p, col("_p").getField(p)))
+    unpacked.filter(col("_side") === 1).drop("_t", "_side", "_p")
   }
 
   // ---------------------------------------------------------------- q39

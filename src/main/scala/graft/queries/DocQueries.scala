@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -461,8 +462,16 @@ object DocQueries {
       .withColumn("fp", fingerprint(col("text")))
     // stage 1: exact dedup — keep the smallest doc_id per canonical text
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // exactDeduped feeds TWO consumers (the MinHash candidate generator and
+    // the survivor anti-join). Exchange reuse only covers the shuffle below
+    // the window, so without persisting, the scan+union+fingerprint subtree
+    // re-executes per branch — at 100 TB that is the whole corpus read twice.
+    // MEMORY_AND_DISK: the deduped corpus may not fit in memory at scale;
+    // spilling beats recomputing. CacheManager keys on the canonicalized
+    // plan, so repeated invocations reuse (not duplicate) this entry.
     val exactDeduped = corpus
       .withColumn("_r", row_number().over(wFp)).filter(col("_r") === 1).drop("_r")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 2: near-dedup — drop the larger id of every MinHash pair
     val nearPairs = {
       val base = exactDeduped

@@ -41,18 +41,28 @@ object Warehouse {
   /** Compact one day-partition to `targetFiles` files — the maintenance
     * pass for the small-files problem every incremental lake accumulates
     * (each micro-batch appends its own files; scan overhead grows with
-    * file count, not data size). Rewrites atomically-enough for a
-    * single-writer maintenance window: stage → swap. */
+    * file count, not data size). Single-writer maintenance window, but the
+    * swap keeps a recoverable copy at every step: stage the compacted data,
+    * rename the live partition aside as a backup, rename staged into place,
+    * THEN delete the backup — a crash at any point leaves either the live
+    * dir or the backup dir holding a complete copy (delete-before-rename
+    * would open a window where the partition exists nowhere visible). */
   def compactDay(spark: SparkSession, path: String, day: String,
                  targetFiles: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partDir = new org.apache.hadoop.fs.Path(s"$path/$PartitionCol=$day")
     val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_$day")
+    val backup = new org.apache.hadoop.fs.Path(s"$path/.compact_backup_$day")
     val df = spark.read.parquet(partDir.toString)
     df.repartition(targetFiles).write.mode("overwrite").parquet(staged.toString)
-    fs.delete(partDir, true)
-    if (!fs.rename(staged, partDir))
+    fs.delete(backup, true) // stale leftover from a prior crashed run
+    if (!fs.rename(partDir, backup))
+      throw new java.io.IOException(s"compaction backup rename failed for $day")
+    if (!fs.rename(staged, partDir)) {
+      fs.rename(backup, partDir) // restore the live partition
       throw new java.io.IOException(s"compaction swap failed for $day")
+    }
+    fs.delete(backup, true)
   }
 }

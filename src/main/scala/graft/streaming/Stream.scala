@@ -90,17 +90,21 @@ object Stream {
   }
 
   /** Streaming dedup — the streaming twin of the batch
-    * dedup-by-key-keep-latest (SURVEY §2.4): `dropDuplicates` on the key
-    * with a watermark bounding the dedup state (keys older than the
-    * watermark are evicted — without it, state grows with every key ever
-    * seen). Semantics differ from batch deliberately: streaming keeps the
-    * FIRST arrival per key inside the watermark (matching the upsert
+    * dedup-by-key-keep-latest (SURVEY §2.4): keeps the FIRST arrival per
+    * `sale_id` inside the watermark via `dropDuplicatesWithinWatermark`,
+    * which dedups on the KEY ALONE — a replayed key with a different
+    * sale_date is still a duplicate and is dropped (plain
+    * `dropDuplicates(key, eventTime)` would pass it through, protecting
+    * only against bit-identical replays). The watermark bounds the dedup
+    * state: keys older than the watermark are evicted — without it, state
+    * grows with every key ever seen. Semantics differ from batch
+    * deliberately: streaming keeps first-arrival (matching the upsert
     * sink's at-least-once replay protection), while the batch operator
     * picks latest-by-sale-date within a complete file. */
   def dedupStream(sales: DataFrame, eventTimeCol: String,
                   watermark: String = "1 hour"): DataFrame =
     sales.withWatermark(eventTimeCol, watermark)
-      .dropDuplicates("sale_id", eventTimeCol)
+      .dropDuplicatesWithinWatermark("sale_id")
 
   /** Streaming-capable tumbling-window aggregation (the streaming twin of
     * the batch hourly rollup, with a watermark bounding state): counts and

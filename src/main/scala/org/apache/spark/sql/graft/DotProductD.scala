@@ -36,6 +36,10 @@ case class DotProductD(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Always nullable: mismatched-dimension inputs yield NULL (below) even
+  // when both child arrays are non-null.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product_d"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -43,12 +47,17 @@ case class DotProductD(left: Expression, right: Expression)
     case _ => false
   }
 
+  // Mismatched dimensions → NULL, bit-identical to the HOF spec (zip_with
+  // null-pads the shorter array, the per-element multiply nulls out, and the
+  // aggregate sum propagates it). Silently truncating to min(length) would
+  // hide exactly the dimension bug a caller most needs to see.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -70,12 +79,16 @@ case class DotProductD(left: Expression, right: Expression)
       val yGet =
         if (isFloat(right)) s"((double) $y.getFloat($i))" else s"$y.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $xGet * $yGet;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $xGet * $yGet;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

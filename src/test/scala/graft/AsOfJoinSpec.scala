@@ -35,6 +35,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       (200L, null)))        // key isolation
   }
 
+  test("NULL payload values propagate; all payload columns come from the same right row") {
+    // The 11:00 right row carries tag=NULL: a per-column fill would backfill
+    // tag from the OLDER 10:00 row, mixing two right rows' columns. The
+    // as-of match for the 12:00 left row is the 11:00 row — tag must be
+    // NULL and v must be 7, together.
+    val left = Seq((1L, 100L, ts("2024-01-01 12:00:00")))
+      .toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option("early"), Option(5)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String], Option(7))
+    ).toDF("k", "rt", "tag", "v")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "rt", Seq("tag", "v"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("tag") == null, "NULL payload must not be backfilled")
+    assert(out(0).getAs[Int]("v") == 7)
+  }
+
+  test("all-NULL right payload row still wins over older rows") {
+    val left = Seq((1L, 100L, ts("2024-01-01 12:00:00"))).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option("early")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String])
+    ).toDF("k", "rt", "tag")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "rt", Seq("tag")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("tag") == null)
+  }
+
   test("left row count is preserved (no range explosion)") {
     val left = (1 to 50).map(i => (1L, i.toLong, ts(f"2024-01-01 ${i % 24}%02d:30:00")))
       .toDF("k", "id", "t")

@@ -200,6 +200,24 @@ class DocOpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("dot product on mismatched dimensions is NULL, matching the HOF spec") {
+    // A dimension bug must surface as NULL (as the zip_with-null-pad HOF
+    // does), never as a silently truncated partial dot product.
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.dotD(col("a"), col("b")).as("native"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("hof"))
+    val r = df.head()
+    assert(r.isNullAt(0), "native must be NULL on length mismatch")
+    assert(r.isNullAt(1), "HOF spec is NULL on length mismatch")
+    // and via SQL (codegen path)
+    val sqlRow = spark.sql(
+      "SELECT dot_product_d(array(CAST(1 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))").head()
+    assert(sqlRow.isNullAt(0))
+  }
+
   test("native simhash is bit-identical to the SQL HOF specification") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("hs", TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))))

@@ -242,12 +242,15 @@ class PipelineSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append()).start()
     try {
       val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
       mem.addData(("a", t, 1.0), ("a", t, 2.0), ("b", t, 3.0))
       q.processAllAvailable()
-      mem.addData(("a", t, 4.0)) // replay across batches, same key+time
+      // replay across batches: same key+time AND same key with a DIFFERENT
+      // event time — per-key dedup must drop both within the watermark
+      mem.addData(("a", t, 4.0), ("a", t2, 5.0))
       q.processAllAvailable()
       val rows = spark.table("dedup_out").collect()
-      assert(rows.length == 2) // one per (key, event-time)
+      assert(rows.length == 2) // one per key
       assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
