@@ -1,12 +1,14 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 
 import scala.util.control.NonFatal
 
-import graft.ingest.{Clean, Schemas}
+import graft.ingest.{Clean, Readers, Schemas}
 
 /** Incremental ingest as Structured Streaming (SURVEY §2.6 T1–T5): the
   * reference's 30 s `PythonSensor` poll + cron micro-batch + per-file task
@@ -81,6 +83,71 @@ object Stream {
             // the payload is re-processable after the sink issue is fixed.
             batch.write.mode("append").parquet(quarantineDir)
             results += BatchResult(batchId, 0L, quarantined = true)
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    results.toSeq
+  }
+
+  /** Discovery-only file stream over EVERYTHING in the drop zone: the
+    * `binaryFile` source with only `path` selected — `BinaryFileFormat`
+    * prunes the `content` column, so no file data is ever read — giving a
+    * checkpoint-tracked, exactly-once file LISTING. This is the streaming
+    * twin of `Router.listIncoming`, and it is format-agnostic: no extension
+    * glob, so array-form JSON and extensionless files are discovered too. */
+  def fileDiscoveryStream(spark: SparkSession, incomingDir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile").schema(binaryFileSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(s"$incomingDir/*").select(col("path"))
+  }
+
+  final case class FileResult(path: String, rows: Long, quarantined: Boolean)
+
+  /** Format-sweeping streaming ingest: drain every file currently in the
+    * drop zone — CSV, NDJSON, ARRAY-form JSON, parquet, and extensionless
+    * files (magic-byte detection) — through detect→read→clean→load, exactly
+    * once per file (checkpoint-tracked). Closes the single-format stream's
+    * two gaps: the json file source cannot mix multiLine (array) and NDJSON
+    * parsing in one glob, and extension globs skip extensionless files
+    * silently. A file whose read/clean/load fails is MOVED to the
+    * quarantine dir (loud, re-processable) instead of wedging the query.
+    *
+    * The per-batch `collect()` is file PATHS only — one row per file,
+    * metadata scale, same as the Router's driver-side listing; each file's
+    * actual read → clean → load is a fully distributed splittable scan. */
+  def runAvailableNowSweep(spark: SparkSession, incomingDir: String,
+                           checkpointDir: String, quarantineDir: String,
+                           load: DataFrame => Unit): Seq[FileResult] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[FileResult]
+    val query = fileDiscoveryStream(spark, incomingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select("path").collect().map(_.getString(0)).sorted
+        files.foreach { f =>
+          try {
+            val cleaned = Clean.cleanSales(Readers.readAllString(spark, f))
+            val n = cleaned.count()
+            load(cleaned)
+            results += FileResult(f, n, quarantined = false)
+          } catch {
+            case NonFatal(_) =>
+              val src = new Path(f)
+              val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val dir = new Path(quarantineDir)
+              fs.mkdirs(dir)
+              fs.rename(src, new Path(dir, src.getName))
+              results += FileResult(f, 0L, quarantined = true)
+          }
         }
         ()
       }

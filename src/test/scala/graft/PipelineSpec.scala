@@ -230,6 +230,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(1L, 1L, 1L)) // one file per micro-batch
   }
 
+  test("format sweep stream drains a mixed drop zone exactly once, quarantining corrupt files") {
+    import SparkTestSession.spark.implicits._
+    val base = Files.createTempDirectory("graft-sweep")
+    val incoming = base.resolve("incoming"); Files.createDirectories(incoming)
+    val header = "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+    writeFile(incoming, "a.csv", header + "s1,2024-01-02 03:04:05,c,p,1,2.0\n")
+    // ARRAY-form JSON — the single-format json stream cannot parse this
+    writeFile(incoming, "b.json",
+      """[
+        |  {"sale_id":"s2","sale_date":"2024-01-03 00:00:00","customer_id":"c","product_id":"p","quantity":"1","amount":"3.0"},
+        |  {"sale_id":"s3","sale_date":"2024-01-04 00:00:00","customer_id":"c","product_id":"p","quantity":"2","amount":"4.0"}
+        |]""".stripMargin)
+    writeFile(incoming, "c.ndjson",
+      """{"sale_id":"s4","sale_date":"2024-01-05 00:00:00","customer_id":"c","product_id":"p","quantity":"1","amount":"5.0"}""" + "\n")
+    // extensionless parquet — only magic-byte detection can classify it
+    val pqDir = base.resolve("pq")
+    Seq(("s5", "2024-01-06 00:00:00", "c", "p", "1", "6.0"))
+      .toDF("sale_id", "sale_date", "customer_id", "product_id", "quantity", "amount")
+      .coalesce(1).write.parquet(pqDir.toString)
+    val part = Files.list(pqDir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, incoming.resolve("blob_noext"))
+    // a file that cannot be read must quarantine loudly, not wedge the query
+    writeFile(incoming, "corrupt.parquet", "this is not parquet")
+
+    val quarantine = base.resolve("quarantine").toString
+    val loaded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = Stream.runAvailableNowSweep(spark, incoming.toString,
+      base.resolve("ckpt").toString, quarantine,
+      df => { loaded ++= df.select("sale_id").collect().map(_.getString(0)); () })
+
+    assert(results.length == 5)
+    assert(results.count(_.quarantined) == 1)
+    assert(results.find(_.quarantined).get.path.endsWith("corrupt.parquet"))
+    assert(loaded.sorted.toSeq == Seq("s1", "s2", "s3", "s4", "s5"))
+    assert(Files.exists(base.resolve("quarantine").resolve("corrupt.parquet")))
+    assert(!Files.exists(incoming.resolve("corrupt.parquet")))
+
+    // exactly-once: a re-run over the same checkpoint re-processes nothing
+    val again = Stream.runAvailableNowSweep(spark, incoming.toString,
+      base.resolve("ckpt").toString, quarantine,
+      df => { loaded ++= df.select("sale_id").collect().map(_.getString(0)); () })
+    assert(again.isEmpty)
+    assert(loaded.length == 5)
+  }
+
   test("streaming dedup drops same-key re-arrivals within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
