@@ -15,10 +15,13 @@ import graft.functions.TextFunctions
   *
   * Implemented as a typed `Aggregator` (the (b)-tier TypedColumn path)
   * rather than a row_number window, because the aggregate form PARTIALLY
-  * AGGREGATES: each map task ships at most k rows per key into the
-  * shuffle, vs the window form shuffling every row to sort it. At 100 TB
-  * with a handful of groups, that is the difference between a k-row and an
-  * everything shuffle.
+  * AGGREGATES: each map task ships ONE merged k-bounded buffer per key into
+  * the shuffle. Measured against the window twin (ConsistentSampleSpec):
+  * Spark 4's `WindowGroupLimit` rule also bounds a rank<=k window map-side
+  * (k rows per key per map task), so both plans are shuffle-safe at 100 TB;
+  * the aggregator still ships k× fewer shuffle records (one buffer vs k
+  * rows per key), and — the real point — the Aggregator shape generalizes
+  * to ANY associative bounded state, not just rank-expressible limits.
   */
 object ConsistentSample {
 
