@@ -16,7 +16,9 @@ object SparkEntry {
       graft.queries.SessionQueries.queries ++
       graft.operators.ConsistentSample.queries ++
       graft.operators.AsOfJoin.queries ++
-      graft.operators.RangeJoin.queries
+      graft.operators.RangeJoin.queries ++
+      graft.functions.Salting.queries ++
+      graft.queries.TermQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +29,7 @@ object SparkEntry {
       graft.queries.SessionQueries.oracles ++
       graft.operators.ConsistentSample.oracles ++
       graft.operators.AsOfJoin.oracles ++
-      graft.operators.RangeJoin.oracles
+      graft.operators.RangeJoin.oracles ++
+      graft.functions.Salting.oracles ++
+      graft.queries.TermQueries.oracles
 }

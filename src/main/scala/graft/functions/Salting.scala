@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting: the standard two-stage rewrite for
@@ -36,4 +36,36 @@ object Salting {
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n_rows"))
   }
+
+  /** q43: the salted rewrite on a genuinely pathological distribution —
+    * lineitem grouped by `l_returnflag` (3 distinct keys over every row, so
+    * a plain final aggregate lands ~1/3 of the table on each of THREE
+    * reducer tasks no matter how many cores exist). The salt spreads each
+    * key over 32 buckets; stage 2 merges ≤32 partial rows per key.
+    *
+    * Values are summed as DECIMAL(18,4) so the two-stage regroup is exact
+    * (decimal addition is associative; a double sum would hash-diverge from
+    * the oracle under regrouping), then cast to double for the output —
+    * the same parity convention as Kpis q1/q7.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_salted_sum" -> ((spark: SparkSession, dir: String) => {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,4)").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      saltedSumCount(li, "l_returnflag", "qty",
+          struct(col("l_orderkey"), col("l_linenumber")), saltBuckets = 32)
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q43_salted_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }
