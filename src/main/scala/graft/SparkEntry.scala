@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.AsOfJoin.queries ++
       graft.operators.RangeJoin.queries ++
       graft.functions.Salting.queries ++
-      graft.queries.TermQueries.queries
+      graft.queries.TermQueries.queries ++
+      graft.operators.DupClusters.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.operators.AsOfJoin.oracles ++
       graft.operators.RangeJoin.oracles ++
       graft.functions.Salting.oracles ++
-      graft.queries.TermQueries.oracles
+      graft.queries.TermQueries.oracles ++
+      graft.operators.DupClusters.oracles
 }
