@@ -19,7 +19,8 @@ object SparkEntry {
       graft.operators.RangeJoin.queries ++
       graft.functions.Salting.queries ++
       graft.queries.TermQueries.queries ++
-      graft.operators.DupClusters.queries
+      graft.operators.DupClusters.queries ++
+      graft.queries.SplitQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.operators.RangeJoin.oracles ++
       graft.functions.Salting.oracles ++
       graft.queries.TermQueries.oracles ++
-      graft.operators.DupClusters.oracles
+      graft.operators.DupClusters.oracles ++
+      graft.queries.SplitQueries.oracles
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Salting
-import graft.queries.TermQueries
+import graft.queries.{SplitQueries, TermQueries}
 
 /** q43 salted aggregation and q44 TF-IDF: result equivalence with the
   * straightforward single-stage formulations, plan shape, and invariants. */
@@ -68,5 +68,31 @@ class TermSaltSpec extends AnyFunSuite {
     assert(out.contains(("en", "alpha", 3L, 2L)))
     // beta: df=2 (docs 1,3); fr tf(beta)=3
     assert(out.contains(("fr", "beta", 3L, 2L)))
+  }
+
+  test("q46: split assignment is stable under corpus growth and ~80/10/10") {
+    import spark.implicits._
+    val half = (0L until 500L by 2).toDF("k")
+      .select(col("k"), SplitQueries.splitFor(col("k").cast("string")).as("s"))
+    val full = (0L until 500L).toDF("k")
+      .select(col("k"), SplitQueries.splitFor(col("k").cast("string")).as("s"))
+    val halfMap = half.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fullMap = full.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a key's split never changes when the corpus grows (pure key function)
+    halfMap.foreach { case (k, s) => assert(fullMap(k) == s) }
+    // proportions near 204/26/26 out of 256 (binomial slack at n=500)
+    val counts = fullMap.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 350 && counts("train") < 450, counts.toString)
+    assert(counts("val") > 20 && counts("val") < 90, counts.toString)
+    assert(counts("test") > 20 && counts("test") < 90, counts.toString)
+  }
+
+  test("q46: census fractions sum to 1 within each lang") {
+    val out = SplitQueries.queries("q46_split_census")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val total = rows.map(_.getDouble(4)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"$lang fracs sum to $total")
+    }
   }
 }
