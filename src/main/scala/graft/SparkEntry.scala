@@ -20,7 +20,8 @@ object SparkEntry {
       graft.functions.Salting.queries ++
       graft.queries.TermQueries.queries ++
       graft.operators.DupClusters.queries ++
-      graft.queries.SplitQueries.queries
+      graft.queries.SplitQueries.queries ++
+      graft.operators.SequencePack.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.functions.Salting.oracles ++
       graft.queries.TermQueries.oracles ++
       graft.operators.DupClusters.oracles ++
-      graft.queries.SplitQueries.oracles
+      graft.queries.SplitQueries.oracles ++
+      graft.operators.SequencePack.oracles
 }
