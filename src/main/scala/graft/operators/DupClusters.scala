@@ -42,10 +42,18 @@ import graft.functions.TextFunctions
   */
 object DupClusters {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Undirected connected components over an edge list. Returns one row
     * per node appearing in at least one non-self edge: (node, comp) where
     * comp = the minimum node id in the component. Node ids must be
     * integral (cast to long).
+    *
+    * Throws `IllegalStateException` if min-label propagation has not
+    * converged after `maxIter` rounds — exiting silently would hand the
+    * caller labels that look valid but under-merge components (a graph of
+    * diameter > maxIter needs more rounds, or the O(log n)
+    * large-star/small-star contraction).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -61,25 +69,32 @@ object DupClusters {
       .localCheckpoint(true)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      val viaNeighbors = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("nnode"))
-        .agg(min("comp").as("ncomp"))
-      val next = labels
-        .join(viaNeighbors, labels("node") === viaNeighbors("nnode"), "left")
-        .select(labels("node"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
-            .as("comp"))
-        .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("comp", "oldComp"), "node")
-        .where(col("comp") =!= col("oldComp"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
-      i += 1
+    try {
+      while (!converged && i < maxIter) {
+        val viaNeighbors = sym.join(labels, sym("dst") === labels("node"))
+          .groupBy(sym("src").as("nnode"))
+          .agg(min("comp").as("ncomp"))
+        val next = labels
+          .join(viaNeighbors, labels("node") === viaNeighbors("nnode"), "left")
+          .select(labels("node"),
+            least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
+              .as("comp"))
+          .localCheckpoint(true)
+        converged = next
+          .join(labels.withColumnRenamed("comp", "oldComp"), "node")
+          .where(col("comp") =!= col("oldComp"))
+          .isEmpty
+        labels = next
+        i += 1
+      }
+    } finally sym.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; labels would be silently under-merged. Raise maxIter " +
+          "(diameter-many rounds needed) for this graph.")
     }
-    sym.unpersist()
+    log.info(s"connectedComponents converged in $i rounds")
     labels
   }
 
@@ -138,10 +153,19 @@ object DupClusters {
       .select("a", "b")
     val comp = connectedComponents(edges, "a", "b")
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "comp")
+    // Eagerly materialize the (tiny: one row per clustered doc) final
+    // output so withShingles can be unpersisted HERE instead of leaking in
+    // the shared bench/driver JVM — CacheManager holds persist() entries
+    // strongly, so without this the shingle table is retained forever.
+    // The loop's intermediate localCheckpoint blocks are unreferenced once
+    // this returns and are reclaimed by the ContextCleaner on GC.
+    val out = comp.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    withShingles.unpersist()
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,7 +44,13 @@ object SequencePack {
       // land a hair above an exact quotient and truncate to the wrong
       // sequence for non-power-of-two capacities
       .withColumn("first_seq", expr(s"cum_before div $capacity"))
-      .withColumn("last_seq", expr(s"(cum_after - 1) div $capacity"))
+      // greatest(..) clamp: a zero-token doc at a stream head has
+      // cum_after - 1 = -1, where Spark `div` truncates toward zero but
+      // DuckDB `//` floors toward -inf — clamping to cum_before (always
+      // >= 0) keeps both engines on integer ground they agree on and
+      // pins the n_seqs = 1 convention for empty docs
+      .withColumn("last_seq",
+        expr(s"greatest(cum_after - 1, cum_before) div $capacity"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
       .withColumn("offset_in_seq",
         (col("cum_before") % capacity).cast("int"))
@@ -81,8 +87,8 @@ object SequencePack {
         |  FROM d)
         |SELECT doc_id, lang, shard, n_tokens,
         |  CAST((cum_after - n_tokens) // 512 AS BIGINT) AS first_seq,
-        |  CAST((cum_after - 1) // 512 - (cum_after - n_tokens) // 512 + 1
-        |    AS BIGINT) AS n_seqs,
+        |  CAST(greatest(cum_after - 1, cum_after - n_tokens) // 512
+        |    - (cum_after - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs,
         |  CAST((cum_after - n_tokens) % 512 AS INTEGER) AS offset_in_seq
         |FROM c ORDER BY doc_id""".stripMargin)
 }

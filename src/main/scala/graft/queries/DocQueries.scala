@@ -502,11 +502,18 @@ object DocQueries {
         least(lit(1.0), size(col("toks")).cast("double") / 100.0) * 0.5
           + least(lit(1.0), length(col("text")).cast("double") / 500.0) * 0.5)
       .filter(col("quality") >= 0.2)
-    curated.groupBy(col("lang"))
+    // Eagerly materialize the per-lang summary (a handful of rows) so the
+    // deduped-corpus cache can be released before returning: CacheManager
+    // holds persist() entries strongly, so a lazy return would retain the
+    // whole deduped corpus for the lifetime of the shared bench/driver JVM.
+    val out = curated.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_survivors"),
         sum(size(col("toks"))).as("total_tokens"),
         min(col("doc_id")).as("min_doc_id"))
       .orderBy("lang")
+      .localCheckpoint(true)
+    exactDeduped.unpersist()
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -51,12 +51,19 @@ object TermQueries {
             log(col("n_docs").cast("double") / col("df").cast("double")), 6))
       val w = Window.partitionBy("lang")
         .orderBy(col("score").desc, col("term"))
-      scored
+      // Eager top-k materialization (3 rows per lang) lets perDoc be
+      // unpersisted here — CacheManager pins persist() entries strongly,
+      // so returning a lazy plan over perDoc would retain the exploded
+      // token table for the JVM's lifetime.
+      val out = scored
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("lang"), col("term"), col("tf"), col("df"),
           col("score"), col("rank"))
         .orderBy("lang", "rank")
+        .localCheckpoint(true)
+      perDoc.unpersist()
+      out
     }))
 
   def oracles: Map[String, String] = Map(

@@ -118,7 +118,10 @@ object Stream {
     * two gaps: the json file source cannot mix multiLine (array) and NDJSON
     * parsing in one glob, and extension globs skip extensionless files
     * silently. A file whose read/clean/load fails is MOVED to the
-    * quarantine dir (loud, re-processable) instead of wedging the query.
+    * quarantine dir instead of wedging the query. To re-process a repaired
+    * file, use `requeueQuarantined` — dropping it back under its ORIGINAL
+    * name is silently skipped forever, because the file source's checkpoint
+    * dedups discovery on the path.
     *
     * The per-batch `collect()` is file PATHS only — one row per file,
     * metadata scale, same as the Router's driver-side listing; each file's
@@ -154,6 +157,33 @@ object Stream {
       .start()
     query.awaitTermination()
     results.toSeq
+  }
+
+  /** Re-queue a repaired quarantined file for ingestion. `FileStreamSource`
+    * dedups discovery on the file PATH for the checkpoint's lifetime, so a
+    * repaired file dropped back into the drop zone under its original name
+    * is never picked up again. This moves it back under a fresh
+    * attempt-suffixed name (`name.retry1.csv`, `.retry2.csv`, ...) — a path
+    * the checkpoint has never seen — keeping the extension in place so
+    * format dispatch still works. Returns the new path. */
+  def requeueQuarantined(spark: SparkSession, quarantinedFile: String,
+                         incomingDir: String): String = {
+    val src = new Path(quarantinedFile)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"no such quarantined file: $quarantinedFile")
+    val name = src.getName
+    val (stem, ext) = name.lastIndexOf('.') match {
+      case -1 => (name, "")
+      case i => (name.substring(0, i), name.substring(i))
+    }
+    val dst = Iterator.from(1)
+      .map(n => new Path(incomingDir, s"$stem.retry$n$ext"))
+      .find(p => !fs.exists(p))
+      .get
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+    dst.toString
   }
 
   /** Streaming dedup — the streaming twin of the batch

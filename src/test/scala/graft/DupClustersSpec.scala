@@ -31,6 +31,16 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L) && got.size == n.toInt)
   }
 
+  test("non-convergence at maxIter throws instead of returning wrong labels") {
+    // path of diameter 9 cannot finish min-label propagation in 3 rounds;
+    // a silent return here would hand back under-merged components
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      DupClusters.connectedComponents(edges, "src", "dst", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("triangle, reversed/duplicate edges, and self-loops are harmless") {
     val got = comps(Seq((3L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 1L),
       (5L, 5L)))

@@ -274,6 +274,23 @@ class PipelineSpec extends AnyFunSuite {
       df => { loaded ++= df.select("sale_id").collect().map(_.getString(0)); () })
     assert(again.isEmpty)
     assert(loaded.length == 5)
+
+    // repair + requeue: fixing the file in place under its ORIGINAL name
+    // would be skipped forever (checkpoint dedups on path); the requeue
+    // helper moves it back under a fresh retry-suffixed name that the
+    // checkpoint has never seen, so the next drain picks it up.
+    Files.write(base.resolve("quarantine").resolve("corrupt.parquet"),
+      (header + "s6,2024-01-07 00:00:00,c,p,1,7.0\n").getBytes)
+    val fixedCsv = base.resolve("quarantine").resolve("corrupt.csv")
+    Files.move(base.resolve("quarantine").resolve("corrupt.parquet"), fixedCsv)
+    val requeued = Stream.requeueQuarantined(spark, fixedCsv.toString,
+      incoming.toString)
+    assert(requeued.endsWith("corrupt.retry1.csv"))
+    val third = Stream.runAvailableNowSweep(spark, incoming.toString,
+      base.resolve("ckpt").toString, quarantine,
+      df => { loaded ++= df.select("sale_id").collect().map(_.getString(0)); () })
+    assert(third.map(_.path) == Seq(requeued) && !third.head.quarantined)
+    assert(loaded.sorted.toSeq == Seq("s1", "s2", "s3", "s4", "s5", "s6"))
   }
 
   test("streaming dedup drops same-key re-arrivals within the watermark") {

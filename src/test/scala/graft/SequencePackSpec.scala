@@ -45,6 +45,22 @@ class SequencePackSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1L, 0), (1L, 1L, 0), (2L, 1L, 0)))
   }
 
+  test("zero-token doc at a stream head keeps integer math non-negative") {
+    // cum_after - 1 = -1 for an empty doc opening a stream: Spark `div`
+    // truncates toward zero, DuckDB `//` floors toward -inf — the
+    // greatest(..) clamp keeps both engines on the same (non-negative)
+    // dividends and pins the n_seqs = 1 convention for empty docs.
+    val docs = Seq((0L, "en", 0), (1L, "en", 5), (2L, "en", 0))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = SequencePack.pack(docs, capacity = 512, shards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(out(0) == ((0L, 1L, 0)))  // empty head doc sits in seq 0
+    assert(out(1) == ((0L, 1L, 0)))
+    assert(out(2) == ((0L, 1L, 5)))  // empty doc mid-stream: first_seq from cum
+    assert(out.forall { case (first, n, off) => first >= 0 && n >= 1 && off >= 0 })
+  }
+
   test("q47: tokens are conserved and streams pack independently") {
     val out = SequencePack.queries("q47_sequence_pack")(spark, sfDir)
     val rows = out.collect()
