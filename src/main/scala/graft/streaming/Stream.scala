@@ -183,7 +183,11 @@ object Stream {
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename $src -> $dst failed")
-    dst.toString
+    // Contract: return the FULLY-QUALIFIED path (scheme + authority), i.e.
+    // exactly the string the binaryFile discovery stream will report for
+    // this file — so callers can correlate the requeue with the next
+    // sweep's FileResult.path by plain equality.
+    fs.makeQualified(dst).toString
   }
 
   /** Streaming dedup — the streaming twin of the batch
