@@ -44,6 +44,26 @@ object VectorFunctions {
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
 
+  /** The DuckDB-side twin of `dotD(v, typedLit(plane))`: the same
+    * left-associated fold, with the plane components emitted as double
+    * LITERALS (Java's shortest-round-trip decimal repr, which DuckDB's
+    * correctly-rounded parser maps back to the identical double) — so the
+    * per-element product and the running sum are bit-identical IEEE ops on
+    * both engines. */
+  def dotSqlPlaneLit(a: String, plane: Array[Double]): String =
+    plane.zipWithIndex
+      .map { case (p, i) => s"CAST($a[${i + 1}] AS DOUBLE)*($p)" }
+      .mkString(" + ")
+
+  /** The DuckDB-side twin of [[lshSignature]]: per-plane sign bit from the
+    * replayed literal dot product, packed by integer addition. Lets an
+    * oracle reproduce the exact LSH bucketing — the hyperplanes are
+    * plan-time constants, so they are just more literals in the SQL. */
+  def sigSqlLit(a: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN (${dotSqlPlaneLit(a, p)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH over
     * cosine similarity: components from a fixed-seed 64-bit LCG mapped into
     * [-1, 1]. Pure Scala (plan-time) — the planes become literals in the

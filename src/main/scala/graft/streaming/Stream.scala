@@ -81,6 +81,11 @@ object Stream {
           case NonFatal(_) =>
             // T5: quarantine the raw batch (not the half-cleaned frame) so
             // the payload is re-processable after the sink issue is fixed.
+            // "Re-processable" = read the quarantined parquet and re-run
+            // clean→load directly (its part-files are fresh paths, so
+            // re-dropping them into the drop zone also works); the
+            // original SOURCE file's path stays checkpoint-seen forever —
+            // re-submitting that one needs `requeueQuarantined`'s rename.
             batch.write.mode("append").parquet(quarantineDir)
             results += BatchResult(batchId, 0L, quarantined = true)
         }

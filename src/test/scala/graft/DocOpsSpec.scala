@@ -131,6 +131,30 @@ class DocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("banded q26 equals the all-pairs near-dup ground truth") {
+    // The registered q26 generates candidates from a (band, band_val)
+    // equi-join; this asserts the banding lost NO pair vs the O(N²) form
+    // (i.e. banded ⊇ ground truth; ⊆ holds because the exact cosine ≥ 0.4
+    // verify runs on both paths) — bit-exact cosines included.
+    val truth = EmbedQueries.q26AllPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val banded = EmbedQueries.q26EmbeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    assert(truth.nonEmpty)
+    assert(banded == truth,
+      s"banding missed ${(truth -- banded).size} pairs / " +
+        s"fabricated ${(banded -- truth).size}")
+    // plan-shape guard: the registered q26 must be an equi-join on the
+    // band key, never an all-pairs product
+    val plan = EmbedQueries.q26EmbeddingNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q26 plan regressed to an all-pairs product:\n$plan")
+  }
+
   test("lsh ann results are a subset of brute-force ordering candidates") {
     val brute = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),

@@ -31,6 +31,18 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L) && got.size == n.toInt)
   }
 
+  test("round count is exactly diameter + one zero-change detection round") {
+    // labels travel one hop per round on a path graph, so a diameter-5
+    // chain converges in 5 rounds and the 6th observes zero changes —
+    // pinning this catches both extra rounds AND any regression to a
+    // separate convergence-check action (the count is observed inside the
+    // round's single materialization)
+    val (labels, rounds) = DupClusters.connectedComponentsWithRounds(
+      (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst")
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    assert(rounds == 6)
+  }
+
   test("non-convergence at maxIter throws instead of returning wrong labels") {
     // path of diameter 9 cannot finish min-label propagation in 3 rounds;
     // a silent return here would hand back under-merged components

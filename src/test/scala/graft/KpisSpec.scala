@@ -40,8 +40,8 @@ class KpisSpec extends AnyFunSuite {
   // Hash-function-based ops that have no DuckDB twin; the driver records a
   // weaker rows-only check for these. Everything else must carry an oracle.
   private val rowsOnly = Set(
-    "q22_near_dup_minhash", "q27_simhash_near_dup", "q28_ann_lsh",
-    "q29_media_features", "q30_synthetic_sales", "q33_ann_ivf",
+    "q22_near_dup_minhash", "q27_simhash_near_dup",
+    "q29_media_features", "q30_synthetic_sales",
     "q41_sketch_profile", "q42_corpus_curation")
 
   test("every query has an oracle or is explicitly rows-only") {
