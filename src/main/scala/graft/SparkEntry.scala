@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TermQueries.queries ++
       graft.operators.DupClusters.queries ++
       graft.queries.SplitQueries.queries ++
-      graft.operators.SequencePack.queries
+      graft.operators.SequencePack.queries ++
+      graft.queries.DecontamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.TermQueries.oracles ++
       graft.operators.DupClusters.oracles ++
       graft.queries.SplitQueries.oracles ++
-      graft.operators.SequencePack.oracles
+      graft.operators.SequencePack.oracles ++
+      graft.queries.DecontamQueries.oracles
 }
