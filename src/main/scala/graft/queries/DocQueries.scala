@@ -355,10 +355,15 @@ object DocQueries {
     // extraction (the compute-bound stage, evaluated on both the profile
     // and scoring branches) across cores
     val par = spark.sparkContext.defaultParallelism
+    // persist: the trigram table feeds BOTH the profile build and the
+    // scoring branch — without it the extraction (the compute-bound
+    // stage) runs twice; released after the (tiny) confusion rollup is
+    // materialized (q42's persist-then-eager-output convention)
     val d = docs(spark, dir)
       .repartition(par, col("doc_id"))
       .withColumn("norm", normText(col("text")))
       .withColumn("tgs", charNgrams(col("norm"), 3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // top-64 trigrams per language = the profile
     val wTop = Window.partitionBy(col("p_lang"))
       .orderBy(col("cnt").desc, col("tg"))
@@ -380,7 +385,7 @@ object DocQueries {
           / size(col("dtgs")))
     val wBest = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("p_lang"))
-    scored
+    val out = scored
       .withColumn("rk", row_number().over(wBest))
       .filter(col("rk") === 1)
       .groupBy(col("lang"), col("p_lang").as("predicted"))
@@ -391,6 +396,9 @@ object DocQueries {
         (sum(col("score").cast("decimal(18,12)")).cast("double")
           / count(lit(1))).as("avg_score"))
       .orderBy("lang", "predicted")
+      .localCheckpoint(true)
+    d.unpersist()
+    out
   }
 
   val q35Sql: String =
