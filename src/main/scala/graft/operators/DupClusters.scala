@@ -23,11 +23,13 @@ import graft.functions.TextFunctions
   * the cap that is a constant, and dropping ultra-common shingles loses
   * no discriminative signal — standard prefix-filtering practice).
   *
-  * Connected components is iterative min-label propagation: each round,
-  * every node takes the minimum component id among itself and its
-  * neighbors — one equi-join plus one map-side-partial min aggregate per
-  * round, converging in O(graph diameter) rounds (near-dup components are
-  * shallow in practice; `maxIter` guards pathological chains). Each
+  * Connected components is iterative min-label propagation with path
+  * halving: each round, every node takes the minimum component id among
+  * itself and its neighbors (one equi-join plus one map-side-partial min
+  * aggregate), then shortcuts through the cached label table
+  * (comp ← labels[comp]) so long chains collapse in well under diameter
+  * rounds (near-dup components are shallow in practice; `maxIter` guards
+  * pathological chains). Each
   * round's label table is EAGERLY local-checkpointed and the previous one
   * dropped: the round's plan references the prior labels twice (the join
   * and the fallback), so without lineage truncation the logical plan
@@ -78,6 +80,15 @@ object DupClusters {
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+      // pre-partition AND pre-sort the cached edge table on the per-round
+      // join key: every propagation round joins sym on dst, and a cache
+      // that already satisfies the join's partitioning + ordering means
+      // rounds shuffle ONLY the (node-scale) label table — the edge
+      // table, the dominant volume at scale, crosses the network once for
+      // the whole loop instead of once per round. (Fixture-scale effect
+      // is within bench noise; the win is proportional to |edges|.)
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -90,10 +101,23 @@ object DupClusters {
           .groupBy(sym("src").as("nnode"))
           .agg(min("comp").as("ncomp"))
         val obs = org.apache.spark.sql.Observation()
-        val next = labels
+        val stepped = labels
           .join(viaNeighbors, labels("node") === viaNeighbors("nnode"), "left")
           .select(labels("node"), labels("comp").as("oldComp"),
             least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
+              .as("comp"))
+        // path halving: also take the label OF the label (comp is always
+        // some member's node id, so labels[comp] is sound and ≤ comp) —
+        // long chains collapse in far fewer rounds (a diameter-16 fixture
+        // graph drops 17 → 12). The lookup joins the CACHED start-of-round
+        // label table keyed by node — node-scale, cheap — NOT a second
+        // pass over the edge table, so the per-round dominant cost (the
+        // sym shuffle) is unchanged at scale.
+        val lookup = labels.select(col("node").as("hn"), col("comp").as("hc"))
+        val next = stepped
+          .join(lookup, stepped("comp") === lookup("hn"), "left")
+          .select(stepped("node"), stepped("oldComp"),
+            least(stepped("comp"), coalesce(col("hc"), stepped("comp")))
               .as("comp"))
           .observe(obs,
             coalesce(sum(when(col("comp") =!= col("oldComp"), 1L)

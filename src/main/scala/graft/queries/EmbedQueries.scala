@@ -120,7 +120,12 @@ object EmbedQueries {
   private val Q26Bands = 20
   private val Q26Seed = 11L
 
-  def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The banded near-dup pair core (unsorted) — shared by q26 and the
+    * q50 semantic-dedup clustering. */
+  private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val planes = hyperplanes(Q26Bits, Dim, seed = Q26Seed)
     val e = withNorm(emb(spark, dir))
     val banded = e
@@ -152,7 +157,6 @@ object EmbedQueries {
         dotD(col("ae"), col("be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The O(N²) all-pairs form of q26 — NOT registered; kept as the
@@ -369,15 +373,77 @@ object EmbedQueries {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Semantic dedup: embedding-cosine near-dup CLUSTERS. The text-side
+    * twin of q45 — q26's banded pair generator feeds connected
+    * components, yielding one cluster id (min member) per vector in at
+    * least one near-dup pair, its cluster size, and an is_rep flag (the
+    * kept representative). Pair-level semantic dedup breaks on
+    * transitive chains A≈B≈C with A̸≈C exactly like text near-dup does;
+    * a curation pipeline drops every non-representative member.
+    *
+    * Scale shape: candidates/verification inherit q26's equi-join plan;
+    * clustering is the bounded-round edge shuffle of
+    * [[graft.operators.DupClusters.connectedComponents]]. The oracle
+    * replays all-pairs edges + a recursive-CTE closure (q45's pattern),
+    * so the hash match certifies banding recall AND the closure. */
+  def q50SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // eager-checkpoint the (tiny: one row per near-dup pair) edge list:
+    // connectedComponents references its edge input twice (forward +
+    // reversed union), which would re-execute the whole banded candidate
+    // pipeline per branch
+    val edges = nearDupPairs(spark, dir).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val comp = graft.operators.DupClusters
+      .connectedComponents(edges, "a_id", "b_id")
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("node").as("vec_id"), col("comp").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("comp")).cast("int").as("is_rep"))
+      .orderBy("vec_id")
+  }
+
+  val q50Sql: String = {
+    val dot = dotSqlUnrolled("a.embedding", "b.embedding", Dim)
+    s"""WITH RECURSIVE
+      |e AS ($normSqlCte),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM e a, e b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND ($dot) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+      |sym AS (
+      |  SELECT a_id AS src, b_id AS dst FROM p
+      |  UNION
+      |  SELECT b_id, a_id FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+      |SELECT node AS vec_id, cluster_id, CAST(n AS BIGINT) AS cluster_size,
+      |  CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS INTEGER)
+      |    AS is_rep
+      |FROM comp JOIN sizes USING (cluster_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cosine_topk" -> q21CosineTopk _,
     "q26_embedding_near_dup" -> q26EmbeddingNearDup _,
     "q28_ann_lsh" -> q28AnnLsh _,
-    "q33_ann_ivf" -> q33AnnIvf _)
+    "q33_ann_ivf" -> q33AnnIvf _,
+    "q50_semantic_dedup" -> q50SemanticDedup _)
 
   def oracles: Map[String, String] = Map(
     "q21_cosine_topk" -> q21Sql,
     "q26_embedding_near_dup" -> q26Sql,
     "q28_ann_lsh" -> q28Sql,
-    "q33_ann_ivf" -> q33Sql)
+    "q33_ann_ivf" -> q33Sql,
+    "q50_semantic_dedup" -> q50Sql)
 }

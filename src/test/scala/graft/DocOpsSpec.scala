@@ -155,6 +155,36 @@ class DocOpsSpec extends AnyFunSuite {
       s"q26 plan regressed to an all-pairs product:\n$plan")
   }
 
+  test("q50 semantic-dedup clusters equal a brute-force union-find closure") {
+    // ground truth: all-pairs cosine edges (the unregistered O(N²) form)
+    // + plain Scala union-find — independent of both the banded candidate
+    // generator and the Spark connected-components loop
+    val edges = EmbedQueries.q26AllPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byComp = members.groupBy(find)
+    val expected = byComp.toSeq.flatMap { case (_, ms) =>
+      val cid = ms.min
+      ms.toSeq.map(m => (m, cid, ms.length.toLong, if (m == cid) 1 else 0))
+    }.toSet
+    val got = EmbedQueries.q50SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Int]("is_rep"))).toSet
+    assert(got == expected)
+    // the fixture must exercise a real multi-member merge, not just pairs
+    assert(expected.exists(_._3 > 2L))
+  }
+
   test("lsh ann results are a subset of brute-force ordering candidates") {
     val brute = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),

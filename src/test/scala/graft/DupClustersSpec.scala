@@ -31,16 +31,17 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L) && got.size == n.toInt)
   }
 
-  test("round count is exactly diameter + one zero-change detection round") {
-    // labels travel one hop per round on a path graph, so a diameter-5
-    // chain converges in 5 rounds and the 6th observes zero changes —
-    // pinning this catches both extra rounds AND any regression to a
-    // separate convergence-check action (the count is observed inside the
-    // round's single materialization)
+  test("round count reflects path halving (sub-diameter) + detection round") {
+    // with one-hop propagation a diameter-5 chain needs 5 rounds + a
+    // zero-change detection round = 6; path halving (comp ← labels[comp])
+    // collapses the chain in 3 productive rounds + detection = 4.
+    // Pinning the exact count catches extra rounds, a lost halving step,
+    // AND any regression to a separate convergence-check action (the
+    // count is observed inside each round's single materialization).
     val (labels, rounds) = DupClusters.connectedComponentsWithRounds(
       (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst")
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
-    assert(rounds == 6)
+    assert(rounds == 4)
   }
 
   test("non-convergence at maxIter throws instead of returning wrong labels") {
