@@ -54,6 +54,15 @@ class DupClustersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("empty and self-loop-only edge inputs yield empty labels in one round") {
+    val (l1, r1) = DupClusters.connectedComponentsWithRounds(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    assert(l1.isEmpty && r1 == 1)
+    val (l2, r2) = DupClusters.connectedComponentsWithRounds(
+      Seq((7L, 7L)).toDF("src", "dst"), "src", "dst")
+    assert(l2.isEmpty && r2 == 1)
+  }
+
   test("triangle, reversed/duplicate edges, and self-loops are harmless") {
     val got = comps(Seq((3L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 1L),
       (5L, 5L)))
