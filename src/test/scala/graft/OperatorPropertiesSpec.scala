@@ -50,6 +50,36 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals a brute-force per-row scan on random inputs") {
+    val leftGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L)
+      } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) =>
+        (k, i.toLong, t)
+      })
+    val rightGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 3L); rt <- Gen.choose(0L, 50L)
+      } yield (k, rt)).map(_.distinct) // contract: right deduped on (k, rt)
+    (1L to 4L).foreach { seed =>
+      val left = sample(leftGen, seed)
+      val right = sample(rightGen, seed + 100)
+      val rightTagged = right.map { case (k, rt) => (k, rt, s"r$k-$rt") }
+      val got = graft.operators.AsOfJoin.joinAsOf(
+          left.toDF("k", "id", "t"),
+          rightTagged.toDF("k", "rt", "tag"),
+          "k", "t", "rt", Seq("tag"))
+        .collect()
+        .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("tag"))))
+        .sortBy(_._1)
+      val expected = left.map { case (k, id, t) =>
+        val best = rightTagged.filter(r => r._1 == k && r._2 <= t)
+        (id, best.sortBy(_._2).lastOption.map(_._3))
+      }.sortBy(_._1)
+      assert(got.toSeq == expected, s"seed $seed")
+    }
+  }
+
   test("sequence packing equals a sequential per-stream packer") {
     val capacity = 512
     val shards = 4
