@@ -170,7 +170,11 @@ object DupClusters {
     * — those components only assemble through transitive propagation,
     * so the oracle genuinely checks the closure, not just the edge list.
     */
-  def q45DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** q45's derived corpus (every 10th doc + two appended-tail variants)
+    * with distinct 3-shingles, spread across cores and PERSISTED — the
+    * caller must unpersist. Shared with [[graft.Profile45]] so the
+    * profiler measures exactly the registered pipeline's stages. */
+  private[graft] def q45ShingleTable(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
@@ -181,7 +185,7 @@ object DupClusters {
     val variants = variant(0L, "")
       .unionByName(variant(100000L, " zz extra tail"))
       .unionByName(variant(200000L, " zz extra tail rr more pad"))
-    val withShingles = variants
+    variants
       .select(col("id"),
         array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(col("text")), 3)).as("sh"))
@@ -190,12 +194,22 @@ object DupClusters {
       .repartition(variants.sparkSession.sparkContext.defaultParallelism,
         col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = shingleCandidatePairs(withShingles, dfCap = 20)
-    val edges = cand
+  }
+
+  /** Exact-Jaccard-verified similarity edges over a (id, sh) shingle
+    * table: df-capped inverted-index candidates, then the threshold
+    * verify. Shared with [[graft.Profile45]]. */
+  private[graft] def jaccardEdges(withShingles: DataFrame, dfCap: Int,
+                                  threshold: Double): DataFrame =
+    shingleCandidatePairs(withShingles, dfCap)
       .join(withShingles.select(col("id").as("a"), col("sh").as("sa")), "a")
       .join(withShingles.select(col("id").as("b"), col("sh").as("sb")), "b")
-      .where(TextFunctions.jaccard(col("sa"), col("sb")) >= 0.7)
+      .where(TextFunctions.jaccard(col("sa"), col("sb")) >= threshold)
       .select("a", "b")
+
+  def q45DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = q45ShingleTable(spark, dir)
+    val edges = jaccardEdges(withShingles, dfCap = 20, threshold = 0.7)
     val comp = connectedComponents(edges, "a", "b")
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     // Eagerly materialize the (tiny: one row per clustered doc) final

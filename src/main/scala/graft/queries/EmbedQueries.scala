@@ -86,8 +86,8 @@ object EmbedQueries {
     * cosine ≥ 0.4 verification — candidates come from an EQUI-JOIN on
     * (band, band_val), so the plan is a hash shuffle, not a cross join of
     * two unbounded sides. [[q26AllPairs]] keeps the O(N²) form as the
-    * test-side ground truth (EmbedSpec asserts banded == all-pairs at
-    * sf0.001).
+    * test-side ground truth (DocOpsSpec "banded q26 equals the all-pairs
+    * near-dup ground truth" asserts equality at sf0.001).
     *
     * Banding math (sign-LSH over cosine): P(sign bit agrees) =
     * 1 − acos(c)/π; at the c = 0.4 threshold that is ≈ 0.631, so a width-3
@@ -127,7 +127,13 @@ object EmbedQueries {
     * q50 semantic-dedup clustering. */
   private[graft] def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val planes = hyperplanes(Q26Bits, Dim, seed = Q26Seed)
+    // persist: the scan+norm frame feeds THREE consumers (the banded
+    // signature branch and both candidate fetch joins) — without it the
+    // corpus scan and the norm fold execute three times per run (the
+    // q48/q35 persist-for-multiple-consumers convention). Released after
+    // the (tiny: one row per verified pair) result materializes.
     val e = withNorm(emb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = e
       .withColumn("sig", lshSignature(col("embedding"), planes))
       .select(col("vec_id"), explode(lshBands("sig", Q26Bits, Q26Bands)).as("b"))
@@ -148,7 +154,7 @@ object EmbedQueries {
       // (wide) embedding fetch and the dot products
       .select(col("a_id"), col("b_id"))
       .distinct()
-    candidates
+    val out = candidates
       .join(e.select(col("vec_id").as("a_id"),
         col("embedding").as("ae"), col("n2").as("an2")), "a_id")
       .join(e.select(col("vec_id").as("b_id"),
@@ -157,6 +163,9 @@ object EmbedQueries {
         dotD(col("ae"), col("be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** The O(N²) all-pairs form of q26 — NOT registered; kept as the
@@ -251,11 +260,13 @@ object EmbedQueries {
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       // round(…,6): a cross-row double SUM is order-dependent in the last
-      // bits (partial-aggregation order differs between engines and runs);
-      // rounding the centroid component to 6 dp makes it a deterministic
-      // plan-independent value BOTH engines agree on bit-exactly, so every
-      // downstream cosine is bit-identical too (same trick as the
-      // round-both-sides convention for libm functions).
+      // bits (partial-aggregation order differs between engines and
+      // runs); rounding the centroid component to 6 dp collapses that
+      // ~1-ulp jitter onto a shared grid, so both engines agree
+      // bit-exactly UNLESS a true mean sits within ~1 ulp of a 0.5e-6
+      // rounding boundary — ~1e-10 odds across all 16×64 components here,
+      // accepted and certified per-run by the oracle gate. Downstream
+      // cosines inherit the agreed centroids, so they are bit-identical.
       .agg(round(avg(col("v")), 6).as("cv"))
       .groupBy(col("cell"))
       .agg(transform(
@@ -388,12 +399,10 @@ object EmbedQueries {
     * replays all-pairs edges + a recursive-CTE closure (q45's pattern),
     * so the hash match certifies banding recall AND the closure. */
   def q50SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    // eager-checkpoint the (tiny: one row per near-dup pair) edge list:
-    // connectedComponents references its edge input twice (forward +
-    // reversed union), which would re-execute the whole banded candidate
-    // pipeline per branch
+    // nearDupPairs returns an eagerly-checkpointed pair table, so
+    // connectedComponents referencing its edge input twice (forward +
+    // reversed union) re-reads cached blocks, not the banded pipeline
     val edges = nearDupPairs(spark, dir).select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
     val comp = graft.operators.DupClusters
       .connectedComponents(edges, "a_id", "b_id")
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))

@@ -36,12 +36,13 @@ class DecontamSpec extends AnyFunSuite {
       val hit = sh.count(holdout.contains)
       (id, sh.length, hit.toLong, hit.toDouble / sh.length)
     }.sortBy(_._1)
-    val got = DecontamQueries.q48Decontam(spark, sfDir).collect()
+    val rows = DecontamQueries.q48Decontam(spark, sfDir).collect()
+    val got = rows
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shingles"),
         r.getAs[Long]("n_hit"), r.getAs[Double]("overlap_frac")))
     assert(got.toSeq == expected.toSeq)
     // the verdict column is a pure function of overlap_frac
-    DecontamQueries.q48Decontam(spark, sfDir).collect().foreach { r =>
+    rows.foreach { r =>
       assert((r.getAs[Int]("drop_doc") == 1) ==
         (r.getAs[Double]("overlap_frac") >= 0.5))
     }
