@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.DocQueries.oracles ++
       graft.queries.EmbedQueries.oracles ++
+      graft.multimodal.Multimodal.oracles ++
       graft.queries.SessionQueries.oracles ++
       graft.operators.ConsistentSample.oracles ++
       graft.operators.AsOfJoin.oracles ++

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column functions for the training-data-pipeline operators
   * (builder brief: dedup, language-ID, quality scoring, token counting,
   * fingerprinting). Everything here is built from codegen'd built-ins
-  * (split/transform/aggregate/xxhash64) — no UDFs — so the expressions stay
+  * (split/transform/aggregate/md5/conv) — no UDFs — so the expressions stay
   * inside whole-stage codegen and scale with the scan.
   */
 object TextFunctions {
@@ -35,30 +35,49 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
-  /** MinHash signature: k seeded permutation minima over the shingle set;
-    * element i = min over shingles of `splitmix64(xxhash64(shingle) ^
-    * seed_i)`. Two docs agree on element i with probability ≈ their Jaccard
-    * similarity — the standard MinHash estimator. Backed by the native
-    * codegen'd [[org.apache.spark.sql.graft.MinHashSignature64]]: one
-    * O(k·n) primitive pass instead of k interpreted lambda sweeps. */
+  /** md5-derived 60-bit hash: the first 15 hex digits of md5 parsed as an
+    * unsigned integer. This is the base hash under MinHash and SimHash
+    * because — unlike xxhash64 — it replays exactly in DuckDB as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` ([[md5Hash60Sql]]), which is
+    * what makes q22/q27/q42 oracle-checkable. All-builtin (md5/conv are
+    * codegen'd), value < 2^60 so it is a valid input to the mod-(2^61-1)
+    * permutation family. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[md5Hash60]] applied to SQL expression `e`. */
+  def md5Hash60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** MinHash signature: k universal-hash permutation minima over the
+    * shingle set; element j = min over shingles of
+    * `(a_j * md5Hash60(shingle) + b_j) mod (2^61-1)`. Two docs agree on
+    * element j with probability ≈ their Jaccard similarity — the standard
+    * MinHash estimator. Backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.MinHashMod61]]: one O(k·n) primitive pass
+    * instead of k interpreted lambda sweeps, bit-equal to the DuckDB
+    * HUGEINT replay (constants shared via
+    * [[org.apache.spark.sql.graft.MinHashP61]]). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
-      org.apache.spark.sql.graft.MinHashSignature64(
+      org.apache.spark.sql.graft.MinHashMod61(
         org.apache.spark.sql.graft.ColumnShim.expression(
-          transform(shingleCol, s => xxhash64(s))),
-        org.apache.spark.sql.graft.ColumnShim.expression(lit(k))))
+          transform(shingleCol, s => md5Hash60(s))),
+        k))
 
-  /** LSH banding of a MinHash signature: `bands` buckets, each hashing
-    * `rowsPerBand` consecutive signature elements. Candidate pairs = docs
-    * sharing any (band index, band hash) bucket — an equi-join key, so
-    * near-dup candidate generation is a hash shuffle, never an all-pairs
-    * product (the 100 TB requirement). */
+  /** LSH banding of a MinHash signature: `bands` buckets, each keyed by the
+    * `rowsPerBand` consecutive signature elements joined into a string (a
+    * replayable key — DuckDB concatenates the same decimal renderings).
+    * Candidate pairs = docs sharing any (band index, band key) bucket — an
+    * equi-join key, so near-dup candidate generation is a hash shuffle,
+    * never an all-pairs product (the 100 TB requirement). */
   def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
-          .as("band_hash")))
+        concat_ws(",",
+          transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            v => v.cast("string"))).as("band_hash")))
 
   /** Exact Jaccard similarity of two docs' distinct shingle sets —
     * the verification step after LSH candidate generation. */
@@ -69,11 +88,13 @@ object TextFunctions {
     inter / (size(ad) + size(bd) - size(array_intersect(ad, bd)))
   }
 
-  /** Per-token xxhash64 array — materialize this as its own column before
-    * [[simhash]]: SQL lambdas cannot bind intermediates, so an inlined
-    * version would re-hash every token 64× (measured ~2× of the whole
-    * near-dup query). */
-  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+  /** Per-token [[md5Hash60]] array — materialize this as its own column
+    * before [[simhash]]: SQL lambdas cannot bind intermediates, so an
+    * inlined version would re-hash every token 64× (measured ~2× of the
+    * whole near-dup query). 60-bit hashes mean simhash bits 60-63 are
+    * structurally zero (a majority over all-zero bits is zero), so the
+    * DuckDB replay only sweeps bits 0-59. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => md5Hash60(t))
 
   /** 64-bit SimHash: bit b of the output is set iff a strict majority of
     * token hashes have bit b set. Near-identical documents land within a

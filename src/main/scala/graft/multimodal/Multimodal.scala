@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,15 +10,29 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, processed in partition-local
   * batches.
   *
-  * The actual media codecs are NOT in this environment, so the decode step is
-  * a STUB — `FakeDecoder` below derives deterministic "pixels"/"samples" from
-  * the bytes themselves (xxhash-style mixing), clearly marked as a fake. What
-  * IS real and tested: the schema (binary payload + typed metadata struct),
-  * the partition-batched execution shape (`mapPartitions` over an iterator —
-  * the Scala analogue of a batched pandas UDF: one decoder init per
-  * partition, streamed rows, no whole-partition materialization), and the
-  * per-row feature extraction that runs as codegen'd expressions where
-  * possible.
+  * The media containers are REAL pure-JVM-decodable formats — no external
+  * codec libraries needed, and no stub:
+  *   - image: binary PPM (P6) — ASCII header `P6\nW H\n255\n` + W×H×3 RGB
+  *     bytes (netpbm spec);
+  *   - audio: WAV — canonical 44-byte RIFF/fmt/data header + 8-bit PCM mono
+  *     samples;
+  *   - video: YUV4MPEG2 (y4m) — ASCII stream header `YUV4MPEG2 W8 H8
+  *     F25:1 Cmono\n` + per-frame `FRAME\n` markers + raw W×H luma planes.
+  * [[Codec]] writes and parses all three for real: magic detection, header
+  * field extraction (dimensions, sample rate, bit depth), chunk walking,
+  * frame-marker counting, and payload extraction with length validation —
+  * malformed containers throw. What the fixture lacks is real media BYTES,
+  * so the payloads are derived deterministically from document text (bytes
+  * cycled to fill the payload), which is exactly what makes the whole
+  * decode → feature path oracle-checkable: DuckDB replays the payload
+  * derivation and the feature arithmetic in SQL, so a green q29 hash
+  * certifies the parser extracted headers, frame counts, and payload bytes
+  * correctly.
+  *
+  * Execution shape: the decode runs in partition-local batches
+  * (`mapPartitions` over an iterator — the Scala analogue of a batched
+  * pandas UDF: one decoder init per partition, streamed rows, no
+  * whole-partition materialization).
   *
   * Scale posture: media blobs are large; after the decode, only
   * metadata/features flow downstream so aggregations move kilobytes, not the
@@ -36,21 +52,26 @@ object Multimodal {
       width: Int,            // image/video frame width (0 for audio)
       height: Int,
       sampleRate: Int,       // audio sample rate (0 for image)
-      nFrames: Int)          // video frames / audio chunks (1 for image)
+      nFrames: Int)          // video frames (1 for image/audio)
 
   final case class MediaRow(
       media_id: Long,
       content: Array[Byte],
       meta: MediaMeta)
 
+  /** Per-row decode output: everything below `n_bytes` comes from PARSING
+    * the container, not from the row's metadata — the spec asserts the two
+    * agree, and the q29 oracle re-derives them independently. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Int,
-      checksum: Long,
-      mean_byte: Double,
-      entropy_bits: Double,
-      decoded_frames: Int)
+      n_bytes: Int,          // container size (header + payload)
+      parsed_width: Int,     // from the PPM/y4m header (0 for audio)
+      parsed_sample_rate: Int, // from the WAV fmt chunk (0 otherwise)
+      decoded_frames: Int,   // y4m FRAME markers counted (1 for image/audio)
+      payload_len: Int,      // decoded payload bytes
+      payload_sum: Long,     // sum of decoded payload byte values
+      entropy_bits: Double)  // Shannon entropy of the payload byte histogram
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -63,42 +84,147 @@ object Multimodal {
       StructField("nFrames", IntegerType, nullable = false))),
       nullable = false)))
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg/etc.
-    * Produces `nFrames` pseudo-frames, each a `width×height` byte plane
-    * derived from (content hash, frame index) with a splitmix64 mix. The
-    * real implementation would replace ONLY this object; every caller keeps
-    * the same batch shape. */
-  object FakeDecoder {
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+  /** Real encoders + parsers for the three container formats. Encoding is
+    * used to derive the demo corpus; parsing is the decode stage under
+    * test. Both are pure JVM — byte and ASCII manipulation only. */
+  object Codec {
+
+    final case class Decoded(
+        kind: String, width: Int, height: Int, sampleRate: Int,
+        frames: Int, payload: Array[Byte])
+
+    private def ascii(s: String): Array[Byte] =
+      s.getBytes(StandardCharsets.US_ASCII)
+
+    /** Fill `n` payload bytes by cycling the source bytes (the oracle
+      * replays this as `ascii(substr(text, i % len + 1, 1))`). */
+    def cyclePayload(src: Array[Byte], n: Int): Array[Byte] = {
+      require(src.nonEmpty, "cannot derive a payload from empty content")
+      Array.tabulate(n)(i => src(i % src.length))
     }
 
-    def contentHash(bytes: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      h
+    // ------------------------------------------------------------- PPM
+    /** Binary PPM (P6): `P6\nW H\n255\n` + W*H*3 RGB bytes. */
+    def buildPpm(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(pixels.length == w * h * 3, "PPM payload must be W*H*3 bytes")
+      ascii(s"P6\n$w $h\n255\n") ++ pixels
     }
 
-    /** ??? in a real deployment: decode one frame to a byte plane. */
-    def decodeFrame(content: Array[Byte], meta: MediaMeta, frame: Int): Array[Byte] = {
-      val n = math.max(1, meta.width * meta.height)
-      val seed = mix(contentHash(content) ^ frame.toLong)
-      val out = new Array[Byte](n)
-      var s = seed
-      var i = 0
-      while (i < n) { s = mix(s); out(i) = (s & 0xff).toByte; i += 1 }
-      out
+    def parsePpm(bytes: Array[Byte]): Decoded = {
+      val s = new String(bytes, 0, math.min(bytes.length, 32),
+        StandardCharsets.US_ASCII)
+      require(s.startsWith("P6\n"), "not a P6 PPM")
+      val afterMagic = s.drop(3)
+      val nl1 = afterMagic.indexOf('\n')
+      require(nl1 > 0, "truncated PPM dimension line")
+      val dims = afterMagic.take(nl1).split(" ")
+      require(dims.length == 2, "malformed PPM dimension line")
+      val (w, h) = (dims(0).toInt, dims(1).toInt)
+      val afterDims = afterMagic.drop(nl1 + 1)
+      val nl2 = afterDims.indexOf('\n')
+      require(nl2 > 0 && afterDims.take(nl2).toInt == 255, "PPM maxval != 255")
+      val headerLen = 3 + nl1 + 1 + nl2 + 1
+      val payload = bytes.drop(headerLen)
+      require(payload.length == w * h * 3,
+        s"PPM payload ${payload.length} != ${w * h * 3}")
+      Decoded("image", w, h, 0, 1, payload)
     }
 
-    /** ??? in a real deployment: area-resample to (w, h). The fake keeps
-      * determinism by re-deriving from the same seed stream. */
-    def resize(plane: Array[Byte], w: Int, h: Int): Array[Byte] =
-      if (plane.isEmpty) new Array[Byte](w * h)
-      else Array.tabulate(w * h)(i => plane(i % plane.length))
+    // ------------------------------------------------------------- WAV
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def readLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def readLe16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** Canonical 44-byte-header WAV: 8-bit PCM, mono. */
+    def buildWav(samples: Array[Byte], sampleRate: Int): Array[Byte] =
+      ascii("RIFF") ++ le32(36 + samples.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(sampleRate) ++ le32(sampleRate) ++ le16(1) ++ le16(8) ++
+        ascii("data") ++ le32(samples.length) ++ samples
+
+    def parseWav(bytes: Array[Byte]): Decoded = {
+      def tag(off: Int): String =
+        new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE container")
+      require(readLe32(bytes, 4) == bytes.length - 8, "RIFF size mismatch")
+      // walk chunks (fmt may precede data by spec; tolerate any order)
+      var off = 12
+      var sampleRate = -1
+      var payload: Array[Byte] = null
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val size = readLe32(bytes, off + 4)
+        id match {
+          case "fmt " =>
+            require(readLe16(bytes, off + 8) == 1, "not PCM")
+            require(readLe16(bytes, off + 10) == 1, "not mono")
+            sampleRate = readLe32(bytes, off + 12)
+            require(readLe16(bytes, off + 22) == 8, "not 8-bit")
+          case "data" =>
+            payload = bytes.slice(off + 8, off + 8 + size)
+            require(payload.length == size, "truncated data chunk")
+          case _ => // unknown chunk: skip
+        }
+        off += 8 + size
+      }
+      require(sampleRate > 0 && payload != null, "missing fmt or data chunk")
+      Decoded("audio", 0, 0, sampleRate, 1, payload)
+    }
+
+    // ------------------------------------------------------------- y4m
+    /** YUV4MPEG2 with mono chroma (one W×H luma plane per frame). */
+    def buildY4m(planes: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      require(planes.forall(_.length == w * h), "y4m frame must be W*H bytes")
+      ascii(s"YUV4MPEG2 W$w H$h F25:1 Cmono\n") ++
+        planes.flatMap(p => ascii("FRAME\n") ++ p)
+    }
+
+    def parseY4m(bytes: Array[Byte]): Decoded = {
+      val headEnd = bytes.indexOf('\n'.toByte)
+      require(headEnd > 0, "missing y4m header terminator")
+      val header = new String(bytes, 0, headEnd, StandardCharsets.US_ASCII)
+      val parts = header.split(" ")
+      require(parts(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      def param(p: Char): Option[String] =
+        parts.drop(1).find(_.head == p).map(_.tail)
+      val w = param('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m header missing W"))
+      val h = param('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("y4m header missing H"))
+      require(param('C').forall(_ == "mono"), "only Cmono supported")
+      val frameBytes = w * h
+      val payload = Array.newBuilder[Byte]
+      var frames = 0
+      var off = headEnd + 1
+      while (off < bytes.length) {
+        require(off + 6 <= bytes.length &&
+          new String(bytes, off, 6, StandardCharsets.US_ASCII) == "FRAME\n",
+          s"expected FRAME marker at offset $off")
+        off += 6
+        require(off + frameBytes <= bytes.length, "truncated y4m frame")
+        payload ++= bytes.slice(off, off + frameBytes)
+        off += frameBytes
+        frames += 1
+      }
+      Decoded("video", w, h, 0, frames, payload.result())
+    }
+
+    /** Magic-sniffing dispatch — the decode entry point. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 4, "container too short")
+      if (bytes(0) == 'P' && bytes(1) == '6') parsePpm(bytes)
+      else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') parseWav(bytes)
+      else if (bytes(0) == 'Y' && bytes(1) == 'U' && bytes(2) == 'V') parseY4m(bytes)
+      else throw new IllegalArgumentException("unrecognized container magic")
+    }
   }
 
   /** Every k-th frame index — the frame-sampling policy of a video
@@ -106,55 +232,79 @@ object Multimodal {
   def sampleFrameIndices(nFrames: Int, every: Int): Seq[Int] =
     (0 until nFrames by math.max(1, every))
 
+  /** Fixture geometry: 8×8 frames, 256 audio samples, 16 kHz. */
+  val FrameW = 8
+  val FrameH = 8
+  val AudioSamples = 256
+  val AudioRate = 16000
+
   /** Partition-batched decode + feature extraction: one pass per partition,
-    * iterator-in/iterator-out (constant memory), decoder state initialized
-    * once per partition — the exact execution shape a batched media UDF
-    * needs, minus the real codec. */
-  def extractFeatures(ds: Dataset[MediaRow], frameEvery: Int = 1): Dataset[MediaFeatures] = {
+    * iterator-in/iterator-out (constant memory) — the exact execution shape
+    * a batched media UDF needs. The parse is real: malformed containers
+    * throw rather than yielding silently-wrong features. */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // (real impl: initialize the codec/context HERE, once per partition)
       rows.map { r =>
         val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
-        val frames = sampleFrameIndices(math.max(1, r.meta.nFrames), frameEvery)
-        val decoded = frames.map(f => FakeDecoder.decodeFrame(bytes, r.meta, f))
+        val d = Codec.decode(bytes)
         val hist = new Array[Long](256)
-        decoded.foreach(_.foreach(b => hist(b & 0xff) += 1))
-        val total = hist.sum.toDouble
-        val mean =
-          if (total == 0) 0.0
-          else hist.zipWithIndex.map { case (c, v) => c.toDouble * v }.sum / total
+        var sum = 0L
+        d.payload.foreach { b => hist(b & 0xff) += 1; sum += (b & 0xff) }
+        val total = d.payload.length.toDouble
         val entropy =
           if (total == 0) 0.0
           else -hist.filter(_ > 0).map { c =>
             val p = c / total; p * math.log(p) / math.log(2.0)
           }.sum
-        MediaFeatures(r.media_id, r.meta.kind, bytes.length,
-          FakeDecoder.contentHash(bytes), mean, entropy, decoded.size)
+        MediaFeatures(r.media_id, d.kind, bytes.length, d.width,
+          d.sampleRate, d.frames, d.payload.length, sum, entropy)
       }
     }
   }
 
-  /** Demo corpus: documents' text bytes standing in for opaque media blobs
-    * (the fixture set has no real media). Metadata is derived
-    * deterministically from doc_id. */
+  /** Demo corpus: REAL containers (PPM/WAV/y4m by `media_id % 3`) whose
+    * payload bytes are the document's UTF-8 text bytes cycled to fill the
+    * payload — deterministic, and replayable in SQL because the fixture
+    * text is pure ASCII (one byte per char, `ascii(substr(...))` in
+    * DuckDB). Video length varies per doc (`doc_id % 5 + 1` frames). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("content"),
-        struct(
-          element_at(typedLit(Seq("image", "audio", "video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          lit(8).as("width"), lit(8).as("height"),
-          when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sampleRate"),
-          (col("doc_id") % 5 + 1).cast("int").as("nFrames")).as("meta"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val src = text.getBytes(StandardCharsets.UTF_8)
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val nFrames = if (kind == "video") (id % 5 + 1).toInt else 1
+        val content = kind match {
+          case "image" =>
+            Codec.buildPpm(Codec.cyclePayload(src, FrameW * FrameH * 3),
+              FrameW, FrameH)
+          case "audio" =>
+            Codec.buildWav(Codec.cyclePayload(src, AudioSamples), AudioRate)
+          case _ =>
+            val all = Codec.cyclePayload(src, nFrames * FrameW * FrameH)
+            Codec.buildY4m(all.grouped(FrameW * FrameH).toSeq, FrameW, FrameH)
+        }
+        MediaRow(id, content, MediaMeta(kind,
+          if (kind == "audio") 0 else FrameW,
+          if (kind == "audio") 0 else FrameH,
+          if (kind == "audio") AudioRate else 0, nFrames))
+      }
   }
 
-  /** Registered rows-only query: decode-stub + feature extraction over the
-    * binary corpus, aggregated per media kind. */
+  /** q29 (oracle-checked): decode the binary corpus with the real parsers,
+    * aggregate per-kind feature stats. Integer totals (`total_bytes`,
+    * `total_frames`, `total_payload_bytes`, `payload_byte_sum`) are exact
+    * cross-engine; `avg_payload_byte` is one exact int/int division;
+    * per-doc entropies are rounded to 6 dp before an order-independent
+    * decimal-sum mean (the q33-centroid / q35-score convention for
+    * libm-adjacent doubles). */
   def q29MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Spread the decode across all cores: the fixture corpus is a single
@@ -163,18 +313,67 @@ object Multimodal {
     val spread = mediaFromDocuments(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .as[MediaRow]
-    extractFeatures(spread, frameEvery = 2)
+    extractFeatures(spread)
+      .withColumn("entropy_r", round(col("entropy_bits"), 6))
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("decoded_frames")).as("total_frames"),
-        (sum(col("mean_byte")) / count(lit(1))).as("avg_mean_byte"),
-        (sum(col("entropy_bits")) / count(lit(1))).as("avg_entropy_bits"))
+        sum(col("payload_len")).as("total_payload_bytes"),
+        sum(col("payload_sum")).as("payload_byte_sum"),
+        (sum(col("payload_sum")).cast("double") / sum(col("payload_len")))
+          .as("avg_payload_byte"),
+        (sum(col("entropy_r").cast("decimal(18,12)")).cast("double")
+          / count(lit(1))).as("avg_entropy_bits"))
       .orderBy("kind")
   }
 
-  /** Rows-only entry (the splitmix fake decoder has no SQL twin). */
+  /** DuckDB replay of q29 from `documents` directly: container sizes from
+    * the format specs (PPM header 11 bytes for 8×8, WAV 44, y4m 28 + 6 per
+    * frame), payload bytes re-derived by cycling the ASCII text, entropy
+    * from a per-doc byte histogram. A hash match certifies the JVM parsers
+    * recovered exactly the headers, frame counts, and payload bytes the
+    * encoders wrote. */
+  val q29Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1
+      |         ELSE CAST(doc_id % 5 + 1 AS INTEGER) END AS frames,
+      |    CASE doc_id % 3 WHEN 0 THEN 192 WHEN 1 THEN 256
+      |         ELSE CAST(64 * (doc_id % 5 + 1) AS INTEGER) END AS plen,
+      |    CASE doc_id % 3 WHEN 0 THEN 11 WHEN 1 THEN 44
+      |         ELSE CAST(28 + 6 * (doc_id % 5 + 1) AS INTEGER) END AS hlen,
+      |    text, length(text) AS tlen
+      |  FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, kind, frames, plen, hlen,
+      |    ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1)) AS b
+      |  FROM d CROSS JOIN LATERAL unnest(range(0, plen)) AS t(i)),
+      |hist AS (
+      |  SELECT doc_id, kind, frames, plen, hlen, b, COUNT(*) AS c
+      |  FROM bytes GROUP BY ALL),
+      |per_doc AS (
+      |  SELECT doc_id, kind, frames, plen, hlen,
+      |    SUM(b * c) AS psum,
+      |    round(-SUM((CAST(c AS DOUBLE) / plen)
+      |               * ln(CAST(c AS DOUBLE) / plen) / ln(2.0)), 6) AS ent
+      |  FROM hist GROUP BY ALL)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  CAST(SUM(hlen + plen) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(frames) AS BIGINT) AS total_frames,
+      |  CAST(SUM(plen) AS BIGINT) AS total_payload_bytes,
+      |  CAST(SUM(psum) AS BIGINT) AS payload_byte_sum,
+      |  CAST(SUM(psum) AS DOUBLE) / SUM(plen) AS avg_payload_byte,
+      |  CAST(SUM(CAST(ent AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+      |    AS avg_entropy_bits
+      |FROM per_doc GROUP BY kind ORDER BY kind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> q29MediaFeatures _)
+
+  def oracles: Map[String, String] = Map(
+    "q29_media_features" -> q29Sql)
 }

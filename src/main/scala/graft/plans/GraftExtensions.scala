@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharNGrams, DotProductD, MinHashSignature64, SimHash64}
+import org.apache.spark.sql.graft.{CharNGrams, DotProductD, MinHashMod61, SimHash64}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -41,11 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharNGrams(children.head, n)
       }))
     ext.injectFunction((
-      new FunctionIdentifier("minhash_signature64"),
-      new ExpressionInfo(classOf[MinHashSignature64].getName, "minhash_signature64"),
+      new FunctionIdentifier("minhash_mod61"),
+      new ExpressionInfo(classOf[MinHashMod61].getName, "minhash_mod61"),
       (children: Seq[Expression]) => {
-        require(children.size == 2, "minhash_signature64 takes exactly 2 arguments")
-        MinHashSignature64(children.head, children(1))
+        require(children.size == 2, "minhash_mod61 takes (array<long>, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_mod61 k must be an integer literal, got $other")
+        }
+        MinHashMod61(children.head, k)
       }))
   }
 }

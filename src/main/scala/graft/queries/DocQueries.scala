@@ -46,6 +46,57 @@ object DocQueries {
       .withColumn("text", concat(col("text"), lit(" zz extra tail"))))
   }
 
+  private val corpusNearDupSql =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text || ' zz extra tail' AS text, lang
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** DuckDB replay of the MinHash near-dup pipeline over corpus CTE
+    * `corpusCte` (doc_id, text): shingles → md5-60-bit base hash →
+    * 16 mod-(2^61-1) permutation minima (constants embedded as literals
+    * from [[org.apache.spark.sql.graft.MinHashP61]]) → 8 bands × 2 rows →
+    * band self-join → exact-Jaccard pairs. Emits CTEs ending in `pairs`
+    * (a_id, b_id, jaccard); the caller filters/sorts. Shared by the q22 and
+    * q42 oracles so the signature arithmetic has exactly one SQL spelling. */
+  private def minhashPairsSqlFragment(corpusCte: String): String = {
+    val P = org.apache.spark.sql.graft.MinHashP61.P
+    val sigCols = (0 until 16).map { j =>
+      val a = org.apache.spark.sql.graft.MinHashP61.a(j)
+      val b = org.apache.spark.sql.graft.MinHashP61.b(j)
+      s"MIN((h * ${a}::HUGEINT + $b) % $P)::BIGINT AS s$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { bd =>
+      s"SELECT doc_id, $bd AS band, s${2 * bd}::VARCHAR || ',' || s${2 * bd + 1}::VARCHAR AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $corpusCte),
+       |shg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+       |  FROM tk),
+       |hs AS (SELECT doc_id, ${md5Hash60Sql("s")} AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM shg)),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE)
+       |      / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+       |         - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))) AS jaccard
+       |  FROM cand c
+       |  JOIN shg sa ON c.a_id = sa.doc_id
+       |  JOIN shg sb ON c.b_id = sb.doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q19
   /** Exact-duplicate groups by canonical-text fingerprint: hash-groupBy on
     * md5(normalized text) — one shuffle keyed by a 128-bit digest, the
@@ -95,15 +146,17 @@ object DocQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q22
-  /** MinHash+LSH near-duplicate pairs (rows-only entry: xxhash64 has no
-    * DuckDB twin). Pipeline: word-3-gram shingles → 16-element MinHash
-    * signature → 8 bands × 2 rows → explode bands → self-equi-join on
-    * (band, band_hash) → exact Jaccard ≥ 0.5 verification. The join key
-    * makes candidate generation a hash shuffle; the all-pairs product never
-    * materializes. Banding is the recall/cost knob: 8×2 gives
-    * P(candidate) = 1-(1-J²)⁸ ≈ 0.999 at J=0.75 (4×4 missed a J≈0.73
-    * clone); the extra false candidates are discarded by the exact-Jaccard
-    * verification step. */
+  /** MinHash+LSH near-duplicate pairs, fully oracle-checked: the signature
+    * is built from md5-derived 60-bit base hashes under mod-(2^61-1)
+    * universal-hash permutations, which DuckDB replays exactly in HUGEINT
+    * arithmetic ([[minhashPairsSqlFragment]]). Pipeline: word-3-gram
+    * shingles → 16-element MinHash signature → 8 bands × 2 rows → explode
+    * bands → self-equi-join on (band, band_key) → exact Jaccard ≥ 0.5
+    * verification. The join key makes candidate generation a hash shuffle;
+    * the all-pairs product never materializes. Banding is the recall/cost
+    * knob: 8×2 gives P(candidate) = 1-(1-J²)⁸ ≈ 0.999 at J=0.75 (4×4
+    * missed a J≈0.73 clone); the extra false candidates are discarded by
+    * the exact-Jaccard verification step. */
   def q22NearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // Single-file fixture → single split; spread the per-doc signature
     // computation across cores (hash-partition on the stable key so the
@@ -132,6 +185,12 @@ object DocQueries {
       .filter(col("jaccard") >= 0.5)
       .orderBy("a_id", "b_id")
   }
+
+  val q22Sql: String =
+    s"""WITH corpus AS ($corpusNearDupSql),
+       |${minhashPairsSqlFragment("corpus")}
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- q23
   /** Per-document quality scoring: token/char counts, stopword ratio,
@@ -225,12 +284,14 @@ object DocQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q27
-  /** SimHash near-dup pairs (rows-only: xxhash64-based). 64-bit SimHash →
-    * 4 × 16-bit chunks → equi-join on chunk value (pigeonhole-complete for
-    * Hamming distance < 4, high-recall candidates beyond) → exact Hamming
-    * ≤ 4 verification. (The fixture's 31-word vocabulary makes unrelated
-    * docs unusually simhash-close; ≤4 keeps noise out while catching the
-    * injected near-clones.) */
+  /** SimHash near-dup pairs, fully oracle-checked: token hashes are
+    * md5-derived 60-bit values, so DuckDB replays the per-bit majority vote
+    * (bits 0-59; bits 60-63 are structurally zero) and the chunk join
+    * exactly. 64-bit SimHash → 4 × 16-bit chunks → equi-join on chunk value
+    * (pigeonhole-complete for Hamming distance < 4, high-recall candidates
+    * beyond) → exact Hamming ≤ 4 verification. (The fixture's 31-word
+    * vocabulary makes unrelated docs unusually simhash-close; ≤4 keeps
+    * noise out while catching the injected near-clones.) */
   def q27SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Same single-split spread as q22: the 64×|tokens| SimHash expression
     // is the compute-bound stage and must parallelize.
@@ -257,6 +318,34 @@ object DocQueries {
       .filter(col("hamming_dist") <= 4)
       .orderBy("a_id", "b_id")
   }
+
+  val q27Sql: String =
+    s"""WITH corpus AS ($corpusNearDupSql),
+       |tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |       FROM corpus),
+       |hs AS (SELECT doc_id, ${md5Hash60Sql("t")} AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, bs.b, SUM((h >> bs.b) & 1) AS cnt, COUNT(*) AS n
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+       |  GROUP BY doc_id, bs.b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN 2 * cnt > n THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS h64
+       |  FROM bits GROUP BY doc_id),
+       |chunked AS (
+       |  SELECT doc_id, cs.c AS chunk, (h64 >> (cs.c * 16)) & 65535 AS cv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.cv = b.cv
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT c.a_id, c.b_id,
+       |  CAST(bit_count(xor(sa.h64, sb.h64)) AS INTEGER) AS hamming_dist
+       |FROM cand c
+       |JOIN sig sa ON c.a_id = sa.doc_id
+       |JOIN sig sb ON c.b_id = sb.doc_id
+       |WHERE bit_count(xor(sa.h64, sb.h64)) <= 4
+       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- q31
   /** Token analysis with two tokenizers per source: whitespace tokens and a
@@ -457,7 +546,8 @@ object DocQueries {
       .orderBy("lang")
 
   // ---------------------------------------------------------------- q42
-  /** Capstone corpus-curation pipeline (rows-only): the operators above
+  /** Capstone corpus-curation pipeline (oracle-checked end to end now that
+    * the MinHash stage replays in DuckDB): the operators above
     * composed in the order a real pretraining-data pipeline runs them —
     * exact-dedup (min doc_id per fingerprint wins) → MinHash near-dedup
     * (larger id of each pair dropped) → quality filter → per-lang
@@ -524,6 +614,30 @@ object DocQueries {
     out
   }
 
+  val q42Sql: String =
+    s"""WITH corpus0 AS ($corpusNearDupSql),
+       |corpus AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang, row_number() OVER (
+       |      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS r
+       |    FROM corpus0) WHERE r = 1),
+       |${minhashPairsSqlFragment("corpus")},
+       |drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs WHERE jaccard >= 0.5),
+       |surv AS (
+       |  SELECT c.doc_id, c.text, c.lang,
+       |    CASE WHEN length(trim(c.text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(c.text), '\\s+')) END AS n_toks
+       |  FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id),
+       |curated AS (
+       |  SELECT * FROM surv
+       |  WHERE least(1.0, CAST(n_toks AS DOUBLE) / 100.0) * 0.5
+       |      + least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 >= 0.2)
+       |SELECT lang, COUNT(*) AS n_survivors,
+       |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS min_doc_id
+       |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -538,14 +652,17 @@ object DocQueries {
     "q41_sketch_profile" -> q41SketchProfile _,
     "q42_corpus_curation" -> q42CorpusCuration _)
 
-  /** q22/q27 are rows-only (hash-function-based; no DuckDB twin). */
+  /** q41 is rows-only (engine-specific sketches have no DuckDB twin). */
   def oracles: Map[String, String] = Map(
     "q19_exact_dup_docs" -> q19Sql,
     "q20_text_stats" -> q20Sql,
+    "q22_near_dup_minhash" -> q22Sql,
     "q23_doc_quality" -> q23Sql,
     "q24_lang_id" -> q24Sql,
     "q25_fingerprint" -> q25Sql,
+    "q27_simhash_near_dup" -> q27Sql,
     "q31_token_analysis" -> q31Sql,
     "q32_ngram_jaccard" -> q32Sql,
-    "q35_langid_ngram" -> q35Sql)
+    "q35_langid_ngram" -> q35Sql,
+    "q42_corpus_curation" -> q42Sql)
 }

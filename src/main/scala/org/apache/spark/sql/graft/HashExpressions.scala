@@ -2,10 +2,10 @@
 // private[sql] AbstractDataType (see DotProductD).
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
 
 /** Shared splitmix64 finalizer — the seed-mixing step of the native hash
   * expressions below. Public static so generated Java can call it. */
@@ -19,8 +19,8 @@ object HashMix {
 }
 
 /** 64-bit SimHash over a pre-hashed token array (`array<long>` from
-  * `transform(toks, t -> xxhash64(t))`): output bit b is set iff a strict
-  * majority of input hashes have bit b set.
+  * TextFunctions.tokenHashes, md5-derived 60-bit values): output bit b is
+  * set iff a strict majority of input hashes have bit b set.
   *
   * Bit-for-bit equal to the SQL HOF spelling (kept as the executable spec in
   * TextFunctions and asserted equal in tests), but the HOF form pays
@@ -86,36 +86,75 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** MinHash signature from a pre-hashed shingle array: element i of the
-  * k-element output is `min over h of splitmix64(h ^ mix(i))` — k seeded
-  * permutation minima derived from one base hash per shingle (the
-  * Kirsch–Mitzenmacher-style re-seeding), one O(k·n) primitive pass,
-  * no per-seed lambda re-evaluation.
+/** Fixed parameters of the mod-(2^61-1) universal-hash MinHash family.
+  *
+  * Permutation j is `h -> (a(j)*h + b(j)) mod P` with P = 2^61-1 (Mersenne),
+  * over md5-derived base hashes < 2^60. The point of this family (vs the
+  * earlier splitmix64 re-seeding) is cross-engine replayability: the exact
+  * same permutation is one line of DuckDB HUGEINT arithmetic
+  * (`(h * a + b) % P`), so MinHash signatures — and everything downstream of
+  * them — are oracle-checkable. Constants are deterministic (splitmix64
+  * stream), shared between the native expression and the generated oracle
+  * SQL, which embeds them as literals.
   */
-case class MinHashSignature64(child: Expression, k: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+object MinHashP61 {
+  /** 2^61 - 1, prime. */
+  val P: Long = (1L << 61) - 1
+  val MaxK = 64
 
-  override def left: Expression = child
-  override def right: Expression = k
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(LongType), IntegerType)
+  private def draw(i: Int): Long = HashMix.mix(0x9e2f5eedL + i) & Long.MaxValue
+
+  /** Multipliers in [1, P-1]. */
+  val A: Array[Long] = Array.tabulate(MaxK)(j => 1L + draw(2 * j) % (P - 1))
+  /** Offsets in [0, P-1]. */
+  val B: Array[Long] = Array.tabulate(MaxK)(j => draw(2 * j + 1) % P)
+
+  def a(j: Int): Long = A(j)
+  def b(j: Int): Long = B(j)
+
+  /** `(a*h + b) mod P` exactly, for 0 <= h < 2^61, via 128-bit decomposition
+    * and Mersenne folding (2^61 ≡ 1 mod P). Public static so generated Java
+    * can call it; bit-equal to DuckDB's `(h * a::HUGEINT + b) % P`. */
+  def permute(a: Long, b: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var s = (lo & P) + (((lo >>> 61) | (hi << 3)) & P) + (hi >>> 58)
+    s = (s & P) + (s >>> 61)
+    if (s >= P) s -= P
+    s += b
+    if (s >= P) s -= P
+    s
+  }
+}
+
+/** MinHash signature from a pre-hashed shingle array (md5-derived 60-bit
+  * values): element j of the k-element output is
+  * `min over h of (a_j*h + b_j) mod (2^61-1)` — k universal-hash permutation
+  * minima in one O(k·n) primitive pass, no per-seed lambda re-evaluation.
+  * The permutation family ([[MinHashP61]]) is chosen to be exactly
+  * replayable in DuckDB SQL, making the signature oracle-checkable.
+  */
+case class MinHashMod61(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && k <= MinHashP61.MaxK, s"k must be in [1, ${MinHashP61.MaxK}]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature64"
+  override def prettyName: String = "minhash_mod61"
 
-  override def foldable: Boolean = child.foldable && k.foldable
-
-  override protected def nullSafeEval(input: Any, kVal: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
-    val kk = kVal.asInstanceOf[Int]
     val n = hs.numElements()
-    val out = new Array[Long](kk)
+    val out = new Array[Long](k)
     var j = 0
-    while (j < kk) {
-      val seed = HashMix.mix(j.toLong)
+    while (j < k) {
+      val aj = MinHashP61.a(j)
+      val bj = MinHashP61.b(j)
       var best = Long.MaxValue
       var i = 0
       while (i < n) {
-        val v = HashMix.mix(hs.getLong(i) ^ seed)
+        val v = MinHashP61.permute(aj, bj, hs.getLong(i))
         if (v < best) best = v
         i += 1
       }
@@ -126,23 +165,25 @@ case class MinHashSignature64(child: Expression, k: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, kv) => {
+    nullSafeCodeGen(ctx, ev, x => {
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
-      val seed = ctx.freshName("seed")
+      val aj = ctx.freshName("aj")
+      val bj = ctx.freshName("bj")
       val best = ctx.freshName("best")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
-      val mixer = "org.apache.spark.sql.graft.HashMix"
+      val fam = "org.apache.spark.sql.graft.MinHashP61"
       s"""
          |int $n = $x.numElements();
-         |long[] $out = new long[$kv];
-         |for (int $j = 0; $j < $kv; $j++) {
-         |  long $seed = $mixer.mix((long) $j);
+         |long[] $out = new long[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  long $aj = $fam.a($j);
+         |  long $bj = $fam.b($j);
          |  long $best = Long.MAX_VALUE;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $v = $mixer.mix($x.getLong($i) ^ $seed);
+         |    long $v = $fam.permute($aj, $bj, $x.getLong($i));
          |    if ($v < $best) $best = $v;
          |  }
          |  $out[$j] = $best;
@@ -151,7 +192,6 @@ case class MinHashSignature64(child: Expression, k: Expression)
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MinHashSignature64 =
-    copy(child = newLeft, k = newRight)
+  override protected def withNewChildInternal(newChild: Expression): MinHashMod61 =
+    copy(child = newChild)
 }

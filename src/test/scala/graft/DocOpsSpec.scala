@@ -62,7 +62,7 @@ class DocOpsSpec extends AnyFunSuite {
     val pairs = DocQueries.q22NearDupMinhash(spark, sfDir).collect()
     val clonePairs = pairs.filter(r =>
       r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 100000L)
-    // 500 docs → 50 clones injected; banding (4 bands × 4 rows, J≳0.7)
+    // 500 docs → 50 clones injected; banding (8 bands × 2 rows, J≳0.7)
     // must recall all of them.
     assert(clonePairs.length == 50, s"recall: ${clonePairs.length}/50")
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
@@ -146,10 +146,16 @@ class DocOpsSpec extends AnyFunSuite {
     assert(banded == truth,
       s"banding missed ${(truth -- banded).size} pairs / " +
         s"fabricated ${(banded -- truth).size}")
-    // plan-shape guard: the registered q26 must be an equi-join on the
-    // band key, never an all-pairs product
-    val plan = EmbedQueries.q26EmbeddingNearDup(spark, sfDir)
+    // plan-shape guard: the q26 pipeline must generate candidates from an
+    // equi-join on the band key, never an all-pairs product. Inspect the
+    // PLAN-ONLY variant: the registered entry ends in an eager
+    // localCheckpoint, whose executed plan is just a scan of cached rows —
+    // asserting on it would be vacuous (r5 advisor finding).
+    val plan = EmbedQueries.nearDupPairsPlanOnly(spark, sfDir)
       .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q26 candidate generation lost its equi-join:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"q26 plan regressed to an all-pairs product:\n$plan")

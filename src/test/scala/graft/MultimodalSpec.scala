@@ -3,10 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{FakeDecoder, MediaMeta, MediaRow}
+import graft.multimodal.Multimodal.{Codec, MediaMeta, MediaRow}
 
-/** Multimodal plumbing: schema, batch shape, determinism of the stubbed
-  * decode, frame sampling policy. */
+/** Multimodal plumbing: real container round-trips (PPM/WAV/y4m),
+  * malformed-input rejection, batch shape, per-kind aggregation. */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
 
@@ -16,35 +16,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrameIndices(4, 0) == Seq(0, 1, 2, 3))
   }
 
-  test("fake decoder is deterministic and shapes to width*height") {
-    val meta = MediaMeta("image", 4, 3, 0, 1)
-    val a = FakeDecoder.decodeFrame("hello".getBytes, meta, 0)
-    val b = FakeDecoder.decodeFrame("hello".getBytes, meta, 0)
-    val c = FakeDecoder.decodeFrame("hello".getBytes, meta, 1)
-    assert(a.sameElements(b))
-    assert(!a.sameElements(c)) // frame index enters the seed
-    assert(a.length == 12)
-    assert(FakeDecoder.resize(a, 2, 2).length == 4)
+  test("PPM round-trip: header fields and payload bytes recovered exactly") {
+    val pixels = Array.tabulate(4 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val d = Codec.decode(Codec.buildPpm(pixels, 4, 3))
+    assert(d.kind == "image" && d.width == 4 && d.height == 3 && d.frames == 1)
+    assert(d.payload.sameElements(pixels))
   }
 
-  test("extractFeatures: one row per media, stable across runs") {
+  test("WAV round-trip: fmt chunk parsed, data chunk extracted") {
+    val samples = Array.tabulate(100)(i => (i % 256).toByte)
+    val d = Codec.decode(Codec.buildWav(samples, 16000))
+    assert(d.kind == "audio" && d.sampleRate == 16000 && d.frames == 1)
+    assert(d.payload.sameElements(samples))
+  }
+
+  test("y4m round-trip: frame markers counted, planes concatenated in order") {
+    val planes = Seq.tabulate(3)(f => Array.fill(8 * 8)((f + 1).toByte))
+    val d = Codec.decode(Codec.buildY4m(planes, 8, 8))
+    assert(d.kind == "video" && d.width == 8 && d.height == 8 && d.frames == 3)
+    assert(d.payload.sameElements(planes.flatten))
+  }
+
+  test("malformed containers are rejected, not silently mis-featured") {
+    // truncated PPM payload
+    val ppm = Codec.buildPpm(Array.fill(8 * 8 * 3)(1.toByte), 8, 8)
+    intercept[IllegalArgumentException](Codec.decode(ppm.dropRight(1)))
+    // RIFF size field inconsistent with actual length
+    val wav = Codec.buildWav(Array.fill(10)(1.toByte), 8000)
+    intercept[IllegalArgumentException](Codec.decode(wav ++ Array(0.toByte)))
+    // y4m frame cut mid-plane
+    val y4m = Codec.buildY4m(Seq(Array.fill(64)(1.toByte)), 8, 8)
+    intercept[IllegalArgumentException](Codec.decode(y4m.dropRight(5)))
+    // unknown magic
+    intercept[IllegalArgumentException](Codec.decode("nope".getBytes))
+  }
+
+  test("extractFeatures: parsed fields, payload stats, deterministic") {
     import spark.implicits._
+    val px = Codec.cyclePayload("abc".getBytes, 8 * 8 * 3)
     val ds = Seq(
-      MediaRow(1L, "abc".getBytes, MediaMeta("image", 4, 4, 0, 1)),
-      MediaRow(2L, "defghij".getBytes, MediaMeta("video", 4, 4, 0, 6)),
-      MediaRow(3L, null, MediaMeta("audio", 0, 0, 16000, 3))
+      MediaRow(1L, Codec.buildPpm(px, 8, 8), MediaMeta("image", 8, 8, 0, 1)),
+      MediaRow(2L, Codec.buildWav(Array.fill(256)(65.toByte), 16000),
+        MediaMeta("audio", 0, 0, 16000, 1)),
+      MediaRow(3L, Codec.buildY4m(Seq.fill(2)(Array.fill(64)(7.toByte)), 8, 8),
+        MediaMeta("video", 8, 8, 0, 2))
     ).toDS().repartition(2) // exercise the per-partition batch path
-    val out1 = Multimodal.extractFeatures(ds, frameEvery = 2)
-      .collect().sortBy(_.media_id)
-    val out2 = Multimodal.extractFeatures(ds, frameEvery = 2)
-      .collect().sortBy(_.media_id)
-    assert(out1.length == 3)
-    assert(out1.map(_.media_id).sameElements(out2.map(_.media_id)))
-    assert(out1.map(_.checksum).sameElements(out2.map(_.checksum)))
-    // video with 6 frames sampled every 2 → 3 decoded frames
-    assert(out1.find(_.media_id == 2L).get.decoded_frames == 3)
-    // null payload handled, entropy of empty content is 0
-    assert(out1.find(_.media_id == 3L).get.n_bytes == 0)
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    val img = out(0)
+    assert(img.kind == "image" && img.parsed_width == 8 &&
+      img.decoded_frames == 1 && img.payload_len == 192)
+    assert(img.payload_sum == px.map(_ & 0xff).map(_.toLong).sum)
+    val aud = out(1)
+    assert(aud.kind == "audio" && aud.parsed_sample_rate == 16000 &&
+      aud.payload_len == 256 && aud.payload_sum == 256L * 65)
+    assert(aud.entropy_bits == 0.0) // constant signal
+    val vid = out(2)
+    assert(vid.kind == "video" && vid.decoded_frames == 2 &&
+      vid.payload_len == 128)
+    val again = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(out.sameElements(again))
+  }
+
+  test("derived corpus containers parse back consistent with their metadata") {
+    val rows = Multimodal.mediaFromDocuments(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val d = Codec.decode(r.content)
+      assert(d.kind == r.meta.kind, s"media ${r.media_id} kind")
+      assert(d.frames == r.meta.nFrames, s"media ${r.media_id} frames")
+      assert(d.sampleRate == r.meta.sampleRate, s"media ${r.media_id} rate")
+      assert(d.width == r.meta.width, s"media ${r.media_id} width")
+    }
   }
 
   test("registered media query aggregates per kind deterministically") {
