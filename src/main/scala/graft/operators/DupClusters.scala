@@ -23,24 +23,27 @@ import graft.functions.TextFunctions
   * the cap that is a constant, and dropping ultra-common shingles loses
   * no discriminative signal — standard prefix-filtering practice).
   *
-  * Connected components is iterative min-label propagation with path
-  * halving: each round, every node takes the minimum component id among
-  * itself and its neighbors (one equi-join plus one map-side-partial min
-  * aggregate), then shortcuts through the cached label table
-  * (comp ← labels[comp]) so long chains collapse in well under diameter
-  * rounds (near-dup components are shallow in practice; `maxIter` guards
-  * pathological chains). Each
-  * round's label table is EAGERLY local-checkpointed and the previous one
-  * dropped: the round's plan references the prior labels twice (the join
-  * and the fallback), so without lineage truncation the logical plan
-  * doubles per round and the driver dies on plan strings alone long
-  * before data size matters — persist caches data but keeps lineage.
-  * On a real cluster swap `localCheckpoint` for reliable `checkpoint`
-  * every few rounds (executor loss discards local checkpoint blocks).
-  * At 1000-executor scale the same loop runs unchanged — the per-round
-  * cost is one shuffle of the EDGE table, and the star-contraction
-  * variants (large-star/small-star) that cut rounds to O(log n) slot
-  * into the same driver loop if diameters ever warrant it.
+  * Connected components is alternating large-star / small-star
+  * contraction (the canonical MapReduce CC algorithm): each round
+  * rewires every node's strictly-larger neighbors to its neighborhood
+  * minimum (large-star), then collapses the remaining larger→smaller
+  * edges into stars per larger endpoint (small-star). Distances to the
+  * component minimum roughly halve per round, so convergence takes
+  * O(log n) rounds instead of diameter-many — the edge set is a fixed
+  * point exactly when it is a disjoint union of min-rooted stars, which
+  * read off directly as (node, component) labels. Each round's edge
+  * table is EAGERLY local-checkpointed and the previous one dropped:
+  * the round's plan references the prior table several times, so
+  * without lineage truncation the logical plan multiplies per round and
+  * the driver dies on plan strings alone long before data size matters
+  * — persist caches data but keeps lineage. On a real cluster pass
+  * `checkpointEveryK` (with a configured checkpoint dir) so every k-th
+  * round writes a RELIABLE checkpoint — executor loss discards
+  * localCheckpoint blocks, and a lost block mid-loop would otherwise
+  * kill the whole run. At 1000-executor scale the same loop runs
+  * unchanged: per-round cost is a handful of hash shuffles of the edge
+  * table, and the table SHRINKS toward one edge per non-root node as
+  * components contract.
   */
 object DupClusters {
 
@@ -51,95 +54,141 @@ object DupClusters {
     * comp = the minimum node id in the component. Node ids must be
     * integral (cast to long).
     *
-    * Throws `IllegalStateException` if min-label propagation has not
-    * converged after `maxIter` rounds — exiting silently would hand the
-    * caller labels that look valid but under-merge components (a graph of
-    * diameter > maxIter needs more rounds, or the O(log n)
-    * large-star/small-star contraction).
+    * `checkpointEveryK` > 0 makes every k-th round write a RELIABLE
+    * `checkpoint` (requires `sparkContext.setCheckpointDir`) instead of a
+    * `localCheckpoint` — the cluster-mode posture, where an executor loss
+    * must not discard the loop's only copy of the edge state. Default 0
+    * (local blocks only) is right for local mode and tests.
+    *
+    * Throws `IllegalStateException` if star contraction has not converged
+    * after `maxIter` rounds — exiting silently would hand the caller
+    * labels that look valid but under-merge components.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+                          maxIter: Int = 25,
+                          checkpointEveryK: Int = 0): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter,
+      checkpointEveryK)._1
 
-  /** [[connectedComponents]] plus the number of propagation rounds it
-    * took to converge (exposed so tests can pin the round count ==
-    * graph diameter and catch accidental extra actions/rounds).
+  /** Bounded wait for an eager-checkpoint-populated observation (r5
+    * advisor: a blocking `Observation.get` would hang the driver loop
+    * forever if a Spark behavior change stopped the internal action from
+    * reaching the listener). Falls back to a direct count — loud, never
+    * wrong. */
+  private def observedCountSum(obs: org.apache.spark.sql.Observation,
+                               df: DataFrame): (Long, Long) =
+    try {
+      val row = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(30, "s"))
+      (row.getAs[Long]("n_edges"), row.getAs[Long]("efp"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        log.warn("edge observation absent 30s after the eager checkpoint; " +
+          "falling back to an aggregate job")
+        val r = df.agg(count(lit(1)).as("n_edges"),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("efp")).head()
+        (r.getAs[Long]("n_edges"), r.getAs[Long]("efp"))
+    }
+
+  /** [[connectedComponents]] plus the number of contraction rounds it took
+    * to converge (exposed so tests can pin the round count and catch
+    * accidental extra rounds or actions).
     *
-    * ONE Spark action per round: the changed-label count is collected
-    * via `observe` DURING the round's eager localCheckpoint
-    * materialization, so convergence costs no separate job — the
-    * previous shape (a second join + isEmpty per round) re-shuffled
-    * both label tables once more per round just to answer "did
-    * anything change?". */
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): with edges held
+    * canonically as (a, b), a > b,
+    *   - large-star: per node u over the SYMMETRIC neighbor view, connect
+    *     every strictly-larger neighbor to m = min(N(u) ∪ {u});
+    *   - small-star: per larger endpoint a, connect a and its (all
+    *     smaller) neighbors to m = min(N(a)).
+    * Both emit only (bigger, smaller) pairs, distances to the component
+    * minimum contract geometrically, and the fixed point is a disjoint
+    * union of min-rooted stars — the labels. ONE action per round: the
+    * new edge count is observed during the round's eager checkpoint;
+    * set equality (the convergence test) is only verified by an `except`
+    * job when the counts match, which near-converged rounds are the only
+    * ones to reach. */
   def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
                                     dstCol: String,
-                                    maxIter: Int = 25): (DataFrame, Int) = {
+                                    maxIter: Int = 25,
+                                    checkpointEveryK: Int = 0): (DataFrame, Int) = {
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = fwd.where(col("src") =!= col("dst"))
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
+    val obs0 = org.apache.spark.sql.Observation()
+    var cur = fwd
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
       .distinct()
-      // pre-partition AND pre-sort the cached edge table on the per-round
-      // join key: every propagation round joins sym on dst, and a cache
-      // that already satisfies the join's partitioning + ordering means
-      // rounds shuffle ONLY the (node-scale) label table — the edge
-      // table, the dominant volume at scale, crosses the network once for
-      // the whole loop instead of once per round. (Fixture-scale effect
-      // is within bench noise; the win is proportional to |edges|.)
-      .repartition(col("dst"))
-      .sortWithinPartitions("dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+      .observe(obs0, count(lit(1)).as("n_edges"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("efp"))
       .localCheckpoint(true)
+    var (prevCount, prevFp) = observedCountSum(obs0, cur)
+    if (prevCount == 0L) {
+      // no non-self edges → no labeled nodes; "one round" to mirror the
+      // single detection pass the loop would have made
+      return (cur.select(col("a").as("node"), col("b").as("comp")), 1)
+    }
     var converged = false
     var i = 0
-    try {
-      while (!converged && i < maxIter) {
-        val viaNeighbors = sym.join(labels, sym("dst") === labels("node"))
-          .groupBy(sym("src").as("nnode"))
-          .agg(min("comp").as("ncomp"))
-        val obs = org.apache.spark.sql.Observation()
-        val stepped = labels
-          .join(viaNeighbors, labels("node") === viaNeighbors("nnode"), "left")
-          .select(labels("node"), labels("comp").as("oldComp"),
-            least(labels("comp"), coalesce(col("ncomp"), labels("comp")))
-              .as("comp"))
-        // path halving: also take the label OF the label (comp is always
-        // some member's node id, so labels[comp] is sound and ≤ comp) —
-        // long chains collapse in far fewer rounds (a diameter-16 fixture
-        // graph drops 17 → 12). The lookup joins the CACHED start-of-round
-        // label table keyed by node — node-scale, cheap — NOT a second
-        // pass over the edge table, so the per-round dominant cost (the
-        // sym shuffle) is unchanged at scale.
-        val lookup = labels.select(col("node").as("hn"), col("comp").as("hc"))
-        val next = stepped
-          .join(lookup, stepped("comp") === lookup("hn"), "left")
-          .select(stepped("node"), stepped("oldComp"),
-            least(stepped("comp"), coalesce(col("hc"), stepped("comp")))
-              .as("comp"))
-          .observe(obs,
-            coalesce(sum(when(col("comp") =!= col("oldComp"), 1L)
-              .otherwise(0L)), lit(0L)).as("n_changed"))
-          .select(col("node"), col("comp"))
-          .localCheckpoint(true)
-        // the eager checkpoint above IS the round's single action; the
-        // observation was populated by it, so get returns immediately.
-        // (Superseded rounds' checkpoint blocks become unreferenced here
-        // and are reclaimed by the ContextCleaner.)
-        converged = obs.get.apply("n_changed").asInstanceOf[Long] == 0L
-        labels = next
-        i += 1
-      }
-    } finally sym.unpersist()
+    while (!converged && i < maxIter) {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
+      // large-star: m = min(N(u) ∪ {u}); edge (v, m) for each v ∈ N(u),
+      // v > u. (v > u ≥ m keeps the canonical orientation.) The groupBy
+      // and the join shuffle sym on the same key, so the exchange is
+      // planned once and reused.
+      val mins1 = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: duplicate (v, m) rows don't affect small-star's
+      // min aggregate, and the round's final distinct dedups anyway —
+      // an intermediate dedup would be one more full shuffle per round
+      val ls = sym.join(mins1, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      // small-star: per larger endpoint a (every neighbor b < a),
+      // m = min(N(a)); edges (b, m) for b ≠ m, plus (a, m).
+      val mins2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, "a")
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("x"), col("m").as("y"))
+        .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
+        .distinct()
+        .select(col("x").as("a"), col("y").as("b"))
+      val obs = org.apache.spark.sql.Observation()
+      val observed = ss.observe(obs, count(lit(1)).as("n_edges"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("efp"))
+      val next =
+        if (checkpointEveryK > 0 && (i + 1) % checkpointEveryK == 0)
+          observed.checkpoint(true)
+        else observed.localCheckpoint(true)
+      // the eager checkpoint above IS the round's single action; superseded
+      // rounds' blocks become unreferenced and are reclaimed by the
+      // ContextCleaner.
+      val (nextCount, nextFp) = observedCountSum(obs, next)
+      // the star fixed point is reached when the edge SET is unchanged;
+      // count and an order-independent xor fingerprint are observed for
+      // free, so the (shuffling) exact except check only runs on rounds
+      // where both are stable — in practice only at convergence.
+      converged = nextCount == prevCount && nextFp == prevFp &&
+        next.except(cur).isEmpty
+      prevCount = nextCount
+      prevFp = nextFp
+      cur = next
+      i += 1
+    }
     if (!converged) {
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
           "rounds; labels would be silently under-merged. Raise maxIter " +
-          "(diameter-many rounds needed) for this graph.")
+          "for this graph (rounds grow ~log of the component size).")
     }
     log.info(s"connectedComponents converged in $i rounds")
+    // converged edge set = min-rooted stars: children label from their
+    // root edge; each root labels itself
+    val labels = cur.select(col("a").as("node"), col("b").as("comp"))
+      .unionByName(cur.select(col("b").as("node"), col("b").as("comp"))
+        .distinct())
     (labels, i)
   }
 

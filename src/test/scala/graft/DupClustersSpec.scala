@@ -31,17 +31,35 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L) && got.size == n.toInt)
   }
 
-  test("round count reflects path halving (sub-diameter) + detection round") {
-    // with one-hop propagation a diameter-5 chain needs 5 rounds + a
-    // zero-change detection round = 6; path halving (comp ← labels[comp])
-    // collapses the chain in 3 productive rounds + detection = 4.
-    // Pinning the exact count catches extra rounds, a lost halving step,
-    // AND any regression to a separate convergence-check action (the
-    // count is observed inside each round's single materialization).
+  test("round count reflects star contraction (sub-diameter) + detection round") {
+    // one-hop label propagation would need diameter-many (5) productive
+    // rounds on this chain; large-star/small-star contracts distances
+    // geometrically: 3 productive rounds + 1 set-stable detection round.
+    // Pinning the exact count catches extra rounds, a lost contraction
+    // step, AND any regression to a separate convergence-check action
+    // (the edge count is observed inside each round's materialization).
     val (labels, rounds) = DupClusters.connectedComponentsWithRounds(
       (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst"), "src", "dst")
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
     assert(rounds == 4)
+  }
+
+  test("reliable-checkpoint mode yields identical labels") {
+    // cluster posture: checkpointEveryK writes every k-th round's edge
+    // state through the configured checkpoint dir (survives executor
+    // loss, unlike localCheckpoint blocks)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    val base = DupClusters.connectedComponents(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ckpt, _) = DupClusters.connectedComponentsWithRounds(
+      edges, "src", "dst", checkpointEveryK = 1)
+    assert(ckpt.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == base)
+    // the reliable checkpoint actually went through the configured dir
+    assert(java.nio.file.Files.list(dir).count() > 0,
+      "no checkpoint data written to the checkpoint dir")
   }
 
   test("non-convergence at maxIter throws instead of returning wrong labels") {
