@@ -98,7 +98,11 @@ object EmbedQueries {
     * chosen so measured recall on the fixtures is 100% at sf0.001, sf0.01
     * AND sf0.1 — which is why the DuckDB oracle can stay the ALL-PAIRS
     * SQL: the green hash-match doesn't just check the arithmetic, it
-    * certifies that the banded plan lost no pair.
+    * certifies that the banded plan lost no pair. NOTE the recall
+    * certificate is per-fixture and per-run (the oracle gate re-proves it
+    * each verification), NOT structural: on new data the ≈0.3%
+    * boundary-pair miss probability is real, so the all-pairs oracle must
+    * stay mandatory in every verification profile.
     *
     * Scale note: a 0.4 threshold is intrinsically loose — with width-3
     * bands the bucket count is 8 per band, so banding here bounds the
@@ -281,7 +285,10 @@ object EmbedQueries {
       // ~1-ulp jitter onto a shared grid, so both engines agree
       // bit-exactly UNLESS a true mean sits within ~1 ulp of a 0.5e-6
       // rounding boundary — ~1e-10 odds across all 16×64 components here,
-      // accepted and certified per-run by the oracle gate. Downstream
+      // accepted and certified per-run by the oracle gate. (A second,
+      // similarly tiny failure mode: Spark rounds through a decimal
+      // string, DuckDB through scaled binary, so boundary-adjacent values
+      // can also pick different grid points — same odds, same gate.) Downstream
       // cosines inherit the agreed centroids, so they are bit-identical.
       .agg(round(avg(col("v")), 6).as("cv"))
       .groupBy(col("cell"))
