@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.DocQueries.oracles ++
       graft.queries.EmbedQueries.oracles ++
       graft.multimodal.Multimodal.oracles ++
+      graft.sources.Generator.oracles ++
       graft.queries.SessionQueries.oracles ++
       graft.operators.ConsistentSample.oracles ++
       graft.operators.AsOfJoin.oracles ++

@@ -44,15 +44,15 @@ class GeneratorSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_sales")).sum == 1000)
   }
 
-  test("q30 output is pinned byte-for-byte (strongest check for a rows-only entry)") {
-    // q30 has no DuckDB oracle (seeded rand has no cross-engine twin), so pin
-    // an md5 of the full canonicalized output — any semantic drift in the
-    // generator, the clean/dedup path, or the aggregation shows up here.
+  test("q30 output is pinned byte-for-byte (drift tripwire)") {
+    // q30 is oracle-checked since the hash-derived generator rewrite; the
+    // byte pin stays as a cheap in-suite tripwire for semantic drift in
+    // the generator, the clean/dedup path, or the aggregation.
     val rows = Generator.q30SyntheticSales(spark, "unused").collect()
     val canon = rows.map(_.toString).mkString("\n")
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(hash == "16287c3242120da936a4afc249aa8c73",
+    assert(hash == "f67a0dcbca97bc8370e82a1a840e2962",
       s"q30 output drifted; hash=$hash\n$canon")
   }
 }

@@ -37,12 +37,12 @@ class KpisSpec extends AnyFunSuite {
     }
   }
 
-  // Ops with no DuckDB twin (q30: Spark-seeded rand; q41: engine-specific
-  // sketches); the driver records a weaker rows-only check for these.
-  // Everything else must carry an oracle — since round 6 that includes the
-  // md5-keyed MinHash/SimHash family (q22/q27/q42) and the real-container
-  // media decode (q29).
-  private val rowsOnly = Set("q30_synthetic_sales", "q41_sketch_profile")
+  // Ops with no DuckDB twin; the driver records a weaker rows-only check
+  // for these. Since round 6 only q41 remains (HLL++/t-digest sketches are
+  // genuinely engine-specific): the md5-keyed MinHash/SimHash family
+  // (q22/q27/q42), the real-container media decode (q29), and the
+  // hash-derived generator (q30) all gained oracles.
+  private val rowsOnly = Set("q41_sketch_profile")
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
