@@ -19,6 +19,60 @@ class OperatorPropertiesSpec extends AnyFunSuite {
     g.apply(Gen.Parameters.default, Seed(seed))
       .getOrElse(fail(s"generator exhausted at seed $seed"))
 
+  test("mod-2^61-1 permutation equals BigInteger arithmetic exactly") {
+    // the cross-engine contract of the MinHash family: the long-only
+    // Mersenne-folded permute must equal (a*h + b) mod P computed in
+    // arbitrary precision for every input — this is what lets DuckDB
+    // HUGEINT replay Spark's signatures bit-for-bit
+    import org.apache.spark.sql.graft.MinHashP61
+    val P = java.math.BigInteger.valueOf(MinHashP61.P)
+    val gen = for {
+      a <- Gen.choose(1L, MinHashP61.P - 1)
+      b <- Gen.choose(0L, MinHashP61.P - 1)
+      h <- Gen.choose(0L, (1L << 60) - 1)
+    } yield (a, b, h)
+    (1L to 500L).foreach { seed =>
+      val (a, b, h) = sample(gen, seed)
+      val expected = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(h))
+        .add(java.math.BigInteger.valueOf(b))
+        .mod(P).longValueExact()
+      assert(MinHashP61.permute(a, b, h) == expected,
+        s"permute($a, $b, $h)")
+    }
+    // boundary inputs: h at the domain edges, a/b at the field edges
+    for (a <- Seq(1L, MinHashP61.P - 1); b <- Seq(0L, MinHashP61.P - 1);
+         h <- Seq(0L, 1L, (1L << 60) - 1)) {
+      val expected = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(h))
+        .add(java.math.BigInteger.valueOf(b))
+        .mod(P).longValueExact()
+      assert(MinHashP61.permute(a, b, h) == expected, s"permute($a, $b, $h)")
+    }
+  }
+
+  test("media codecs round-trip random payloads and dimensions") {
+    import graft.multimodal.Multimodal.Codec
+    val byteGen = Gen.choose(Byte.MinValue, Byte.MaxValue)
+    (1L to 20L).foreach { seed =>
+      val w = sample(Gen.choose(1, 16), seed)
+      val h = sample(Gen.choose(1, 16), seed + 100)
+      val frames = sample(Gen.choose(1, 6), seed + 200)
+      val rate = sample(Gen.choose(8000, 48000), seed + 300)
+      val px = sample(Gen.listOfN(w * h * 3, byteGen), seed + 400).toArray
+      val ppm = Codec.decode(Codec.buildPpm(px, w, h))
+      assert(ppm.width == w && ppm.height == h && ppm.payload.sameElements(px))
+      val samples = sample(Gen.listOfN(w * h, byteGen), seed + 500).toArray
+      val wav = Codec.decode(Codec.buildWav(samples, rate))
+      assert(wav.sampleRate == rate && wav.payload.sameElements(samples))
+      val planes = Seq.tabulate(frames)(f =>
+        sample(Gen.listOfN(w * h, byteGen), seed + 600 + f).toArray)
+      val y4m = Codec.decode(Codec.buildY4m(planes, w, h))
+      assert(y4m.frames == frames && y4m.width == w &&
+        y4m.payload.sameElements(planes.flatten))
+    }
+  }
+
   test("connected components equals union-find min-labels on random graphs") {
     val edgesGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(60, for {
