@@ -22,7 +22,8 @@ object SparkEntry {
       graft.operators.DupClusters.queries ++
       graft.queries.SplitQueries.queries ++
       graft.operators.SequencePack.queries ++
-      graft.queries.DecontamQueries.queries
+      graft.queries.DecontamQueries.queries ++
+      graft.queries.ScrubQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.operators.DupClusters.oracles ++
       graft.queries.SplitQueries.oracles ++
       graft.operators.SequencePack.oracles ++
-      graft.queries.DecontamQueries.oracles
+      graft.queries.DecontamQueries.oracles ++
+      graft.queries.ScrubQueries.oracles
 }

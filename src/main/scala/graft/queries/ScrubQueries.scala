@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the scrubbing stage every production
+  * training-data pipeline runs before anything else touches the text
+  * (extension scope: the reference has no text operators at all).
+  *
+  * The operator finds emails and URLs with conservative ASCII regexes
+  * (identical semantics in Java regex and DuckDB's RE2 — the q31
+  * compatibility class), counts them, and rewrites the text with
+  * `<EMAIL>` / `<URL>` placeholders. The fixture corpus has a 31-word
+  * vocabulary with no real PII, so — exactly like the q19/q22 clone
+  * injection — PII is INJECTED deterministically (every 7th doc gains an
+  * email, every 11th a URL, both derived from doc_id) so both engines
+  * derive the same corpus and the whole detect→redact→report path is
+  * oracle-checked.
+  *
+  * Scale posture: everything here is a per-row codegen'd projection
+  * (regexp_extract_all / regexp_replace) followed by one map-side-combinable
+  * hash aggregate on `source` — no shuffle beyond the 5-group rollup, runs
+  * at scan speed at any corpus size.
+  */
+object ScrubQueries {
+
+  /** Conservative ASCII email/URL patterns — every construct (literal
+    * classes, +, {2,}) behaves identically in Java regex and RE2. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[a-z0-9./-]+"
+
+  /** documents with deterministically injected PII (mirrored in SQL by
+    * [[corpusPiiSql]]). */
+  def corpusWithPii(spark: SparkSession, dir: String): DataFrame =
+    Kpis.table(spark, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" see https://site"),
+            (col("doc_id") % 5).cast("string"), lit(".example/page ok")))
+          .otherwise(col("text")))
+
+  private val corpusPiiSql =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN base || ' see https://site' || (doc_id % 5) || '.example/page ok'
+      |       ELSE base END AS text
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact user' || doc_id || '@example.com now'
+      |         ELSE text END AS base
+      |  FROM documents)""".stripMargin
+
+  private def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      UrlRe, "<URL>")
+
+  // ---------------------------------------------------------------- q51
+  /** Per-source PII report over the injected corpus: doc counts, hit
+    * counts, match totals, and the exact character delta removed by
+    * redaction. Integer totals plus one exact int/int division keep the
+    * entry bit-exact cross-engine. */
+  def q51PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    corpusWithPii(spark, dir)
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))))
+      .withColumn("redacted", redact(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_emails") > 0).cast("int")).as("docs_with_email"),
+        sum((col("n_urls") > 0).cast("int")).as("docs_with_url"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(col("n_urls")).as("total_urls"),
+        sum(length(col("text")) - length(col("redacted")))
+          .as("chars_removed"),
+        (sum(((col("n_emails") > 0) || (col("n_urls") > 0)).cast("int"))
+          .cast("double") / count(lit(1))).as("pii_doc_rate"))
+      .orderBy("source")
+
+  val q51Sql: String =
+    s"""WITH corpus AS ($corpusPiiSql),
+       |m AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+       |    length(text)
+       |      - length(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                              '$UrlRe', '<URL>', 'g')) AS delta
+       |  FROM corpus)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       |  CAST(SUM(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+       |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       |  CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+       |  CAST(SUM(delta) AS BIGINT) AS chars_removed,
+       |  CAST(SUM(CASE WHEN n_emails > 0 OR n_urls > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS pii_doc_rate
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pii_scrub" -> q51PiiScrub _)
+
+  def oracles: Map[String, String] = Map(
+    "q51_pii_scrub" -> q51Sql)
+}
