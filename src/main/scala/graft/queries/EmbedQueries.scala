@@ -411,6 +411,89 @@ object EmbedQueries {
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Approximate kNN JOIN: top-3 banded-candidate neighbors for EVERY
+    * corpus vector — the neighbor-list builder that feeds kNN-graph
+    * diversity sampling and graph-based clustering. q21/q28 answer "top-k
+    * for these few probe queries"; this is the self-join form whose scale
+    * shape actually matters: candidates come from the sign-LSH band
+    * equi-join on SKINNY id rows (q26's candidate→fetch→verify pattern),
+    * and the per-vector top-k lowers to a rank window that Spark 4 bounds
+    * map-side via WindowGroupLimit — so no stage ever holds more than the
+    * banded candidate set. Vectors sharing no band with any other vector
+    * have no row — an approximate kNN join reports reachable neighbors,
+    * not a dense matrix.
+    *
+    * The oracle replays the same bands (plan-time literal hyperplanes,
+    * q28's convention) as an OR-of-bands join plus the same rank window,
+    * so candidate generation, cosine arithmetic, and tie-breaks are all
+    * hash-certified. */
+  def q53KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(16, Dim)
+    val par = spark.sparkContext.defaultParallelism
+    // persist: feeds the banded branch + both candidate fetches (q26's
+    // persist-for-multiple-consumers convention); released after the
+    // (small: ≤k rows per vector) result materializes
+    val e = withNorm(emb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = e
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .select(col("vec_id"), explode(lshBands("sig", 16, 2)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.band_val").as("band_val"))
+      // single-file fixture scan = one split; the repartition IS the
+      // band join's shuffle (hash on the join key), not an extra one
+      .repartition(par, col("band"), col("band_val"))
+    val a = banded.select(col("band"), col("band_val"), col("vec_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_val"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") =!= col("b_id")) // directed: both (a,b) and (b,a)
+      .select(col("a_id"), col("b_id"))
+      .distinct() // a pair can share both bands; dedup before the wide fetch
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_sim").desc, col("b_id"))
+    val out = cand
+      .join(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("n2").as("an2")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("n2").as("bn2")), "b_id")
+      .withColumn("cos_sim",
+        dotD(col("ae"), col("be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), col("cos_sim"))
+      .orderBy("vec_id", "rank")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  val q53Sql: String = {
+    val sig = sigSqlLit("embedding", hyperplanes(16, Dim))
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($sig) AS sig
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, n2,
+      |    sig & 255 AS b0, (sig >> 8) & 255 AS b1
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+      |    ($dot) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      |  WHERE q.vec_id != c.vec_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM p)
+      |SELECT vec_id, neighbor_id, rank, cos_sim
+      |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q50
   /** Semantic dedup: embedding-cosine near-dup CLUSTERS. The text-side
     * twin of q45 — q26's banded pair generator feeds connected
@@ -474,12 +557,14 @@ object EmbedQueries {
     "q26_embedding_near_dup" -> q26EmbeddingNearDup _,
     "q28_ann_lsh" -> q28AnnLsh _,
     "q33_ann_ivf" -> q33AnnIvf _,
-    "q50_semantic_dedup" -> q50SemanticDedup _)
+    "q50_semantic_dedup" -> q50SemanticDedup _,
+    "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
     "q21_cosine_topk" -> q21Sql,
     "q26_embedding_near_dup" -> q26Sql,
     "q28_ann_lsh" -> q28Sql,
     "q33_ann_ivf" -> q33Sql,
-    "q50_semantic_dedup" -> q50Sql)
+    "q50_semantic_dedup" -> q50Sql,
+    "q53_knn_join" -> q53Sql)
 }

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Consistent train/val/test splitting — the assignment primitive of a
-  * training-data pipeline. Extension scope (no reference twin; the
-  * reference has no notion of splits).
+/** Consistent train/val/test splitting and mixture-weighted sampling —
+  * the dataset-composition primitives of a training-data pipeline.
+  * Extension scope (no reference twin; the reference has no notion of
+  * splits or mixtures).
   *
   * The split is a pure function of the document key: hash the key with a
   * salt ("split:" prefix, so re-keying for a different experiment is just
@@ -33,7 +34,72 @@ object SplitQueries {
     when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
   }
 
+  /** Target mixture weights: the fraction of each language's documents to
+    * keep. Literal in both engines; a production pipeline feeds these from
+    * its mixture config. */
+  val MixRates: Seq[(String, Double)] = Seq(
+    "de" -> 0.5, "en" -> 1.0, "es" -> 0.25, "fr" -> 0.75, "zh" -> 0.1)
+
+  // ---------------------------------------------------------------- q52
+  /** Mixture-weighted consistent sampling ("data mixing"): keep each doc
+    * iff its salted hash fraction falls below the language's target rate.
+    * Same stateless-hash family as [[splitFor]] and the q38/q46 samplers:
+    * no shuffle to assign, stable under corpus growth (a doc's keep
+    * decision never changes when other docs arrive), reproducible
+    * anywhere the key exists — and rate changes are monotone (raising a
+    * rate only ADDS docs, it never swaps the kept set), which is what
+    * makes mixture re-weighting between training runs incremental instead
+    * of a reshuffle of the corpus. The rollup reports kept doc/token
+    * counts and realized vs target rate per language. */
+  def q52MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.functions.TextFunctions
+      .md5Hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val rate = MixRates.foldLeft(lit(0.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("kept", (u < rate).cast("int"))
+      .withColumn("toks", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("toks")).as("kept_tokens"),
+        (sum(col("kept")).cast("double") / count(lit(1))).as("realized_rate"))
+      .withColumn("target_rate",
+        MixRates.foldLeft(lit(0.0)) { case (acc, (l, r)) =>
+          when(col("lang") === l, r).otherwise(acc)
+        })
+      .orderBy("lang")
+  }
+
+  val q52Sql: String = {
+    // CAST: DuckDB types a CASE of numeric literals as DECIMAL; the keep
+    // comparison must run double-vs-double or exact-decimal 0.1 and the
+    // double 0.1 Spark compares against would disagree near the boundary
+    val rateCase = MixRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CAST(CASE lang ", " ", " ELSE 0.0 END AS DOUBLE)")
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |              / 1152921504606846976.0 < ($rateCase)
+       |         THEN 1 ELSE 0 END AS kept,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS toks
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(kept * toks) AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate,
+       |  ($rateCase) AS target_rate
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_mixture_sample" -> q52MixtureSample _,
     "q46_split_census" -> ((spark: SparkSession, dir: String) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"))
@@ -49,6 +115,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q52_mixture_sample" -> q52Sql,
     "q46_split_census" ->
       """WITH d AS (
         |  SELECT lang, length(text) AS chars,

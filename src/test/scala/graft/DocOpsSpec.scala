@@ -191,6 +191,52 @@ class DocOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 2L))
   }
 
+  test("knn join: ranked neighbor lists, exact cosines, deterministic") {
+    val rows = EmbedQueries.q53KnnJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length), s"vec $v ranks not contiguous")
+      assert(ranks.length <= 3)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), s"vec $v not descending")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == v), s"vec $v self-match")
+    }
+    // candidate cosines must be the exact values the brute-force path
+    // computes for the same pairs
+    val brute = EmbedQueries.q26AllPairs(spark, sfDir).collect()
+      .flatMap(r => {
+        val (a, b, c) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("cos_sim"))
+        Seq((a, b) -> c, (b, a) -> c)
+      }).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+    val again = EmbedQueries.q53KnnJoin(spark, sfDir).collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("mixture sampling: rates monotone, hash-stable, bounds respected") {
+    val rows = graft.queries.SplitQueries.q52MixtureSample(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSeq.sorted ==
+      graft.queries.SplitQueries.MixRates.map(_._1).sorted)
+    rows.foreach { r =>
+      val (n, kept, target, realized) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("target_rate"),
+        r.getAs[Double]("realized_rate"))
+      assert(kept >= 0 && kept <= n)
+      // realized tracks target within a generous binomial bound at ~100
+      // docs/lang; rate-1.0 languages must keep EVERYTHING
+      if (target == 1.0) assert(kept == n)
+      else assert(math.abs(realized - target) < 0.2,
+        s"${r.getAs[String]("lang")}: realized $realized vs target $target")
+    }
+    val again = graft.queries.SplitQueries.q52MixtureSample(spark, sfDir).collect()
+    assert(rows.sameElements(again))
+  }
+
   test("lsh ann results are a subset of brute-force ordering candidates") {
     val brute = EmbedQueries.q21CosineTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
