@@ -162,6 +162,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val size = readLe32(bytes, off + 4)
+        // guard the skip of UNKNOWN chunks too: a negative or overlong size
+        // field must throw, not stall the walk (off would stop advancing)
+        require(size >= 0 && off + 8 + size <= bytes.length,
+          s"bad chunk size $size at offset $off")
         id match {
           case "fmt " =>
             require(readLe16(bytes, off + 8) == 1, "not PCM")

@@ -322,7 +322,7 @@ object DocQueries {
   val q27Sql: String =
     s"""WITH corpus AS ($corpusNearDupSql),
        |tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-       |       FROM corpus),
+       |       FROM corpus WHERE length(trim(text)) > 0),
        |hs AS (SELECT doc_id, ${md5Hash60Sql("t")} AS h FROM tk),
        |bits AS (
        |  SELECT doc_id, bs.b, SUM((h >> bs.b) & 1) AS cnt, COUNT(*) AS n
@@ -331,7 +331,12 @@ object DocQueries {
        |sig AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN 2 * cnt > n THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS h64
-       |  FROM bits GROUP BY doc_id),
+       |  FROM bits GROUP BY doc_id
+       |  UNION ALL
+       |  -- mirror Spark: tokens('') = [] so an empty/whitespace-only doc
+       |  -- gets signature 0 (regexp_split_to_array('') would yield [''])
+       |  SELECT doc_id, 0::BIGINT AS h64
+       |  FROM corpus WHERE length(trim(text)) = 0),
        |chunked AS (
        |  SELECT doc_id, cs.c AS chunk, (h64 >> (cs.c * 16)) & 65535 AS cv
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),

@@ -51,6 +51,19 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codec.decode("nope".getBytes))
   }
 
+  test("wav unknown chunk with negative size throws instead of hanging") {
+    // an unrecognized chunk whose size field is -8 would leave the chunk
+    // walk's offset unchanged forever without the size guard
+    val wav = Codec.buildWav(Array.fill(10)(1.toByte), 8000)
+    val junk = "junk".getBytes ++
+      Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) // le32(-8)
+    val bytes = wav.take(12) ++ junk ++ wav.drop(12)
+    val sz = bytes.length - 8 // keep the RIFF size field consistent
+    bytes(4) = (sz & 0xff).toByte; bytes(5) = ((sz >> 8) & 0xff).toByte
+    bytes(6) = ((sz >> 16) & 0xff).toByte; bytes(7) = ((sz >> 24) & 0xff).toByte
+    intercept[IllegalArgumentException](Codec.decode(bytes))
+  }
+
   test("extractFeatures: parsed fields, payload stats, deterministic") {
     import spark.implicits._
     val px = Codec.cyclePayload("abc".getBytes, 8 * 8 * 3)
