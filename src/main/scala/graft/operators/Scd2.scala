@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Kpis
+
+/** SCD type-2 history builder — collapses a per-key ordered attribute
+  * stream into validity intervals (the "gaps and islands" rewrite of a
+  * slowly-changing-dimension merge). The reference's warehouse loads
+  * overwrite dimension rows in place (`load_postgres.py` upsert semantics,
+  * see sink/Upsert.scala); this is the companion operator a warehouse needs
+  * to RETAIN history instead: each run of consecutive equal attribute
+  * values per key becomes one row with [valid_from, valid_to) bounds and a
+  * version number.
+  *
+  * Scale posture: one hash shuffle on the key for the run-detection window
+  * (lag + running sum share the same partitioning/sort, so Catalyst plans
+  * them in a single Window exec over one Exchange); the groupBy that
+  * collapses runs emits one row per run, so its exchange moves interval
+  * rows, not the input. No total order, no driver loops — keys process
+  * independently, exactly how a dimension-history build must behave on a
+  * 100 TB fact stream.
+  */
+object Scd2 {
+
+  /** One row per (key, run of consecutive equal `attr` values) when rows
+    * are ordered by (`ord`, `tie`) within the key. `tie` must make the
+    * order total or run boundaries are nondeterministic. NULL `attr` is
+    * treated as a run-breaker both entering and leaving (matches SQL
+    * IS DISTINCT FROM semantics via the explicit null checks).
+    */
+  def collapse(df: DataFrame, key: Column, ord: Column, tie: Column,
+               attr: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord, tie)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(attr, 1).over(w)
+    val changed = when(
+      prev.isNull && attr.isNull, lit(0)) // null run continues
+      .when(prev.isNull || attr.isNull || prev =!= attr, lit(1))
+      .otherwise(lit(0))
+    df.select(key.as("k"), ord.as("o"), tie.as("t"), attr.as("a"))
+      .withColumn("version", sum(changed).over(cum))
+      .groupBy(col("k"), col("version"))
+      .agg(
+        // all rows in a run share the attribute value by construction
+        min(col("a")).as("value"),
+        min(col("o")).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q54: order-priority history per customer — each customer's stream of
+    * orders (by order date, order key as tiebreak) collapsed into SCD2
+    * intervals of constant o_orderpriority. valid_to is the next
+    * interval's valid_from, with an explicit far-future sentinel for the
+    * open current interval (a sentinel, not NULL, so the driver's
+    * hash-compare is unambiguous cross-engine). */
+  def q54PriorityScd2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+    val runs = collapse(
+      o,
+      key = col("o_custkey"),
+      ord = to_date(col("o_orderdate")),
+      tie = col("o_orderkey"),
+      attr = col("o_orderpriority"))
+    val byVersion = Window.partitionBy(col("k")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byVersion),
+          to_date(lit("9999-12-31"))))
+      .select(
+        col("k").as("custkey"),
+        col("version"),
+        col("value").as("priority"),
+        col("valid_from"),
+        col("valid_to"),
+        col("n_rows").as("n_orders"))
+      .orderBy("custkey", "version")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_priority_scd2" -> (q54PriorityScd2 _))
+
+  def oracles: Map[String, String] = Map(
+    "q54_priority_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS od,
+        |         o_orderkey AS ok, o_orderpriority AS pr
+        |  FROM orders),
+        |f AS (
+        |  SELECT *, CASE WHEN pr IS DISTINCT FROM
+        |                      lag(pr) OVER (PARTITION BY k ORDER BY od, ok)
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |v AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY od, ok
+        |                           ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |g AS (
+        |  SELECT k, version, MIN(pr) AS priority, MIN(od) AS valid_from,
+        |         COUNT(*) AS n_orders
+        |  FROM v GROUP BY k, version)
+        |SELECT k AS custkey, CAST(version AS BIGINT) AS version, priority,
+        |  valid_from,
+        |  COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY version),
+        |           DATE '9999-12-31') AS valid_to,
+        |  CAST(n_orders AS BIGINT) AS n_orders
+        |FROM g ORDER BY custkey, version""".stripMargin)
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions._
+import graft.operators.DupClusters
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and packing: excerpt/containment detection (a doc embedded inside a
+  * larger one — quotes, boilerplate, page-in-page — which symmetric
+  * Jaccard misses), per-language quality quotas (the data-mixture step
+  * that caps each language at a target document budget), and the
+  * deterministic global shuffle that fixes a training order without a
+  * global sort. Extension scope: the reference pipeline stops at
+  * warehouse KPIs; these are the corpus-side operators its data model
+  * feeds at scale.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q55
+  /** Shingle-containment excerpt detection. Symmetric Jaccard
+    * |A∩B| / |A∪B| scores a 12-token excerpt of a 30-token doc at ~0.4 —
+    * invisible to a near-dup threshold — while containment
+    * |A∩B| / min(|A|,|B|) scores it 1.0. Candidates come from the same
+    * df-capped shingle inverted index as q45 (equi-join on shingle, never
+    * all-pairs; ultra-common shingles dropped at the cap, the documented
+    * recall trade), then exact set intersection verifies each candidate.
+    *
+    * Derived corpus: documents ∪ a 12-token prefix excerpt of every 10th
+    * doc (ids offset +200000, the clone-id convention of q19/q22/q45).
+    * Scale posture: the shingle table is computed once, spread across
+    * cores, and persisted for its two uses (inverted index + verify
+    * fetch); candidate generation and verification are both equi-joins.
+    */
+  def q55ContainmentDup(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val base = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id")) // single-file scan = one partition
+      .withColumn("toks", tokens(col("text")))
+    val full = base.select(col("doc_id").as("id"), col("toks"))
+    val excerpts = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("id"),
+        slice(col("toks"), 1, 12).as("toks"))
+    val shs = full.unionAll(excerpts)
+      .select(col("id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shs.count() // materialize once for both downstream uses
+    try {
+      val cand = DupClusters.shingleCandidatePairs(shs, dfCap = 20)
+      val sa = shs.select(col("id").as("a"), col("sh").as("sha"))
+      val sb = shs.select(col("id").as("b"), col("sh").as("shb"))
+      val out = cand.join(sa, "a").join(sb, "b")
+        .withColumn("n_shared",
+          size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("containment",
+          col("n_shared").cast("double") /
+            least(size(col("sha")), size(col("shb"))))
+        .filter(col("containment") >= 0.9)
+        .select(col("a").as("a_id"), col("b").as("b_id"),
+          col("n_shared"), col("containment"))
+        .orderBy("a_id", "b_id")
+      out.localCheckpoint(true)
+    } finally shs.unpersist()
+  }
+
+  val q55Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id AS id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, toks[1:12] FROM base WHERE doc_id % 10 = 0),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END) AS sh
+      |  FROM corpus),
+      |inv AS (
+      |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
+      |kept AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 20),
+      |cand AS (
+      |  SELECT DISTINCT i1.id AS a, i2.id AS b
+      |  FROM inv i1 JOIN kept USING (s) JOIN inv i2 USING (s)
+      |  WHERE i1.id < i2.id)
+      |SELECT a AS a_id, b AS b_id,
+      |  CAST(len(list_intersect(sa.sh, sb.sh)) AS INTEGER) AS n_shared,
+      |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |    / LEAST(len(sa.sh), len(sb.sh)) AS containment
+      |FROM cand
+      |JOIN shs sa ON cand.a = sa.id
+      |JOIN shs sb ON cand.b = sb.id
+      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / LEAST(len(sa.sh), len(sb.sh)) >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Per-language quality quota: rank documents inside each language by a
+    * replayable quality score (lexical diversity × log length, the
+    * distinct-token-ratio signal of q23/q49 in ranking form) and keep each
+    * language's top `quota`. The rank filter is a LITERAL bound
+    * (maxQuota), so Spark 4 plans it as WindowGroupLimit — each map task
+    * keeps only its local top-maxQuota per language BEFORE the shuffle;
+    * the per-language CASE quota then trims inside the surviving rows.
+    * Score is rounded to 6dp before ranking (libm ln differs cross-engine
+    * in the last ulps) with doc_id as the total-order tiebreak.
+    */
+  def q56QuotaCuration(spark: SparkSession, dir: String): DataFrame = {
+    val maxQuota = 40 // literal bound → WindowGroupLimit map-side prune
+    val quota = when(col("lang") === "en", lit(40)).otherwise(lit(25))
+    val scored = Kpis.table(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("score",
+        when(col("n_toks") === 0, lit(0.0)).otherwise(round(
+          log(lit(1.0) + col("n_toks")) *
+            (size(array_distinct(col("toks"))).cast("double") /
+              col("n_toks")), 6)))
+      .drop("toks")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxQuota)
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score"),
+        col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val q56Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(toks) AS INTEGER) AS n_toks,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE round(ln(1.0 + len(toks)) *
+      |                (len(list_distinct(toks))::DOUBLE / len(toks)), 6)
+      |    END AS score
+      |  FROM (SELECT doc_id, lang,
+      |          regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT doc_id, lang, n_toks, score, CAST(rk AS INTEGER) AS rk
+      |FROM ranked
+      |WHERE rk <= CASE WHEN lang = 'en' THEN 40 ELSE 25 END
+      |ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Deterministic global shuffle + shard assignment — the training-order
+    * step. A salted 60-bit md5 key gives every doc a reproducible
+    * pseudo-random position; shard = key mod nShards balances shards
+    * uniformly, and the within-shard order is the key itself (doc_id
+    * tiebreak on collisions). No global sort and no single-partition
+    * window: position is computed per shard, so parallelism scales with
+    * the shard count (at 100 TB you raise nShards so each shard's window
+    * sort fits one task, then write with
+    * repartition(shard) + sortWithinPartitions — same plan shape).
+    */
+  def q57GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val key = md5Hash60(
+      concat(lit("graft-shuffle-r7:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("sort_key"), col("doc_id"))
+    Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), key.as("sort_key"))
+      .withColumn("shard",
+        pmod(col("sort_key"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("sort_key"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val q57Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('graft-shuffle-r7:' || doc_id::VARCHAR),
+      |                    1, 15))::BIGINT AS sort_key
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(sort_key % 16 AS INTEGER) AS shard,
+      |  sort_key,
+      |  CAST(row_number() OVER
+      |    (PARTITION BY sort_key % 16 ORDER BY sort_key, doc_id)
+      |    AS INTEGER) AS pos
+      |FROM keyed
+      |ORDER BY shard, pos""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_containment_dup" -> (q55ContainmentDup _),
+    "q56_quota_curation" -> (q56QuotaCuration _),
+    "q57_global_shuffle" -> (q57GlobalShuffle _))
+
+  def oracles: Map[String, String] = Map(
+    "q55_containment_dup" -> q55Sql,
+    "q56_quota_curation" -> q56Sql,
+    "q57_global_shuffle" -> q57Sql)
+}

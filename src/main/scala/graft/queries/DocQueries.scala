@@ -550,6 +550,38 @@ object DocQueries {
           .as("approx_median_tokens"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q58
+  /** Exact corpus profile — the ground-truth twin of q41's sketches, as
+    * its own oracle-checked entry. At fixture scale the exact forms are
+    * cheap and give the driver a cross-engine-verified reference that
+    * DocOpsSpec pins q41's HLL++/t-digest estimates against; at 100 TB
+    * the roles invert (exact NDV shuffles the full key set per group,
+    * exact percentile sorts full groups — q41's merge-only sketches are
+    * the plan you run there, with this entry as the audit query on
+    * samples). */
+  def q58ExactProfile(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_texts"),
+        countDistinct(col("source")).as("distinct_sources"),
+        expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+      .orderBy("lang")
+
+  val q58Sql: String =
+    """WITH d AS (
+      |  SELECT lang, source, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS distinct_texts,
+      |  COUNT(DISTINCT source) AS distinct_sources,
+      |  quantile_cont(n_tokens, 0.5) AS median_tokens
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q42
   /** Capstone corpus-curation pipeline (oracle-checked end to end now that
     * the MinHash stage replays in DuckDB): the operators above
@@ -655,7 +687,8 @@ object DocQueries {
     "q32_ngram_jaccard" -> q32NgramJaccard _,
     "q35_langid_ngram" -> q35LangIdNgram _,
     "q41_sketch_profile" -> q41SketchProfile _,
-    "q42_corpus_curation" -> q42CorpusCuration _)
+    "q42_corpus_curation" -> q42CorpusCuration _,
+    "q58_exact_profile" -> q58ExactProfile _)
 
   /** q41 is rows-only (engine-specific sketches have no DuckDB twin). */
   def oracles: Map[String, String] = Map(
@@ -669,5 +702,6 @@ object DocQueries {
     "q31_token_analysis" -> q31Sql,
     "q32_ngram_jaccard" -> q32Sql,
     "q35_langid_ngram" -> q35Sql,
-    "q42_corpus_curation" -> q42Sql)
+    "q42_corpus_curation" -> q42Sql,
+    "q58_exact_profile" -> q58Sql)
 }
