@@ -23,7 +23,9 @@ object SparkEntry {
       graft.queries.SplitQueries.queries ++
       graft.operators.SequencePack.queries ++
       graft.queries.DecontamQueries.queries ++
-      graft.queries.ScrubQueries.queries
+      graft.queries.ScrubQueries.queries ++
+      graft.operators.Scd2.queries ++
+      graft.queries.CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.queries.SplitQueries.oracles ++
       graft.operators.SequencePack.oracles ++
       graft.queries.DecontamQueries.oracles ++
-      graft.queries.ScrubQueries.oracles
+      graft.queries.ScrubQueries.oracles ++
+      graft.operators.Scd2.oracles ++
+      graft.queries.CurationQueries.oracles
 }

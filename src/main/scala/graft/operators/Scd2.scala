@@ -33,14 +33,17 @@ object Scd2 {
     */
   def collapse(df: DataFrame, key: Column, ord: Column, tie: Column,
                attr: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ord, tie)
+    // rename FIRST, then window over the renamed frame — window exprs built
+    // against the caller's columns would not resolve after the select
+    val base = df.select(key.as("k"), ord.as("o"), tie.as("t"), attr.as("a"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("t"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = lag(attr, 1).over(w)
+    val prev = lag(col("a"), 1).over(w)
     val changed = when(
-      prev.isNull && attr.isNull, lit(0)) // null run continues
-      .when(prev.isNull || attr.isNull || prev =!= attr, lit(1))
+      prev.isNull && col("a").isNull, lit(0)) // null run continues
+      .when(prev.isNull || col("a").isNull || prev =!= col("a"), lit(1))
       .otherwise(lit(0))
-    df.select(key.as("k"), ord.as("o"), tie.as("t"), attr.as("a"))
+    base
       .withColumn("version", sum(changed).over(cum))
       .groupBy(col("k"), col("version"))
       .agg(

@@ -304,14 +304,11 @@ class DocOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("lang") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("approx_distinct_texts"),
           r.getAs[Double]("approx_median_tokens"))).toMap
-    val exact = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .groupBy("lang")
-      .agg(countDistinct(col("text")).as("d"),
-        expr("percentile(n_tokens, 0.5)").as("m"))
-      .collect()
+    // q58 is the oracle-checked exact twin — pin the sketches against it
+    val exact = DocQueries.q58ExactProfile(spark, sfDir).collect()
       .map(r => r.getAs[String]("lang") ->
-        (r.getAs[Long]("d"), r.getAs[Double]("m"))).toMap
+        (r.getAs[Long]("distinct_texts"),
+          r.getAs[Double]("median_tokens"))).toMap
     exact.foreach { case (lang, (d, m)) =>
       val (_, ad, am) = sk(lang)
       assert(math.abs(ad - d).toDouble / d <= 0.1, s"$lang distinct: $ad vs $d")
