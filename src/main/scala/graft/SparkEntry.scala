@@ -25,7 +25,9 @@ object SparkEntry {
       graft.queries.DecontamQueries.queries ++
       graft.queries.ScrubQueries.queries ++
       graft.operators.Scd2.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.LmQueries.queries ++
+      graft.operators.KMeans.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -47,5 +49,7 @@ object SparkEntry {
       graft.queries.DecontamQueries.oracles ++
       graft.queries.ScrubQueries.oracles ++
       graft.operators.Scd2.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.LmQueries.oracles ++
+      graft.operators.KMeans.oracles
 }
