@@ -27,7 +27,8 @@ object SparkEntry {
       graft.operators.Scd2.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.LmQueries.queries ++
-      graft.operators.KMeans.queries
+      graft.operators.KMeans.queries ++
+      graft.operators.ChangelogCompact.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.operators.Scd2.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.LmQueries.oracles ++
-      graft.operators.KMeans.oracles
+      graft.operators.KMeans.oracles ++
+      graft.operators.ChangelogCompact.oracles
 }

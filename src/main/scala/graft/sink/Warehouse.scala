@@ -38,6 +38,26 @@ object Warehouse {
     n
   }
 
+  /** Bucketed warehouse table: hash-bucket the data on its join/agg key at
+    * WRITE time so every later join between co-bucketed tables and every
+    * aggregation on the bucket key runs shuffle-free — the scan itself
+    * satisfies the required hash distribution (and, via sortBy, the sort
+    * order). This is the 100 TB answer to "the same fact/dim join runs
+    * every hour": pay the shuffle once at load, never again at query time.
+    * The spec asserts the plan property: a join of two co-bucketed tables
+    * contains NO Exchange. `path` makes the table external so tests (and
+    * lakes) control the location. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, nBuckets: Int,
+                    mode: String = "overwrite"): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .mode(mode)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Compact one day-partition to `targetFiles` files — the maintenance
     * pass for the small-files problem every incremental lake accumulates
     * (each micro-batch appends its own files; scan overhead grows with

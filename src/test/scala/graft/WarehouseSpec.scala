@@ -76,4 +76,44 @@ class WarehouseSpec extends AnyFunSuite {
       .select(countDistinct(col("_salt"))).head().getLong(0)
     assert(spread == 16)
   }
+
+  test("co-bucketed tables join and aggregate with no Exchange") {
+    val base = Files.createTempDirectory("graft-bucketed")
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Warehouse.writeBucketed(orders, "wh_orders",
+        base.resolve("orders").toString, "o_custkey", nBuckets = 4)
+      Warehouse.writeBucketed(cust, "wh_cust",
+        base.resolve("cust").toString, "o_custkey", nBuckets = 4)
+      // forbid broadcast so the join must pick SMJ — the property under
+      // test is that the bucketed scans satisfy its distribution
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("wh_orders")
+        .join(spark.table("wh_cust"), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
+      val expected = orders.join(cust, "o_custkey").groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == expected)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg must be shuffle-free, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS wh_orders")
+      spark.sql("DROP TABLE IF EXISTS wh_cust")
+    }
+  }
 }
