@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.LmQueries.queries ++
       graft.operators.KMeans.queries ++
-      graft.operators.ChangelogCompact.queries
+      graft.operators.ChangelogCompact.queries ++
+      graft.queries.SeriesQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracles ++
       graft.queries.LmQueries.oracles ++
       graft.operators.KMeans.oracles ++
-      graft.operators.ChangelogCompact.oracles
+      graft.operators.ChangelogCompact.oracles ++
+      graft.queries.SeriesQueries.oracles
 }

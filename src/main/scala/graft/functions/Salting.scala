@@ -37,6 +37,26 @@ object Salting {
         sum(col("_pcnt")).as("n_rows"))
   }
 
+  /** Salted equi-join for a skewed BIG side: the big side gets a
+    * deterministic salt from stable non-key columns, the small side is
+    * replicated once per salt bucket, and the join key becomes
+    * (key, salt) — so a key holding 30% of all rows spreads over
+    * `saltBuckets` reducer tasks instead of hostaging one. Inner-join
+    * semantics are preserved exactly: every big row carries ONE salt and
+    * meets each matching small row exactly once (the small side has every
+    * salt). Cost: small-side volume × buckets — the right trade whenever
+    * the small side is dimension-sized. AQE's skew-join split covers the
+    * SMJ case at runtime; this is the plan-level rewrite that also works
+    * under AQE-hostile plans (cached frames, non-SMJ joins).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+                 saltCol: Column, saltBuckets: Int): DataFrame = {
+    val b = big.withColumn("_salt", pmod(hash(saltCol), lit(saltBuckets)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    b.join(s, Seq(keyCol, "_salt")).drop("_salt")
+  }
+
   /** q43: the salted rewrite on a genuinely pathological distribution —
     * lineitem grouped by `l_returnflag` (3 distinct keys over every row, so
     * a plain final aggregate lands ~1/3 of the table on each of THREE
@@ -60,12 +80,47 @@ object Salting {
           col("sum_qty").cast("double").as("sum_qty"),
           col("n_rows"))
         .orderBy("l_returnflag")
-    }))
+    }),
+    "q63_salted_join" -> (q63SaltedJoin _))
+
+  /** q63: salted join under synthetic skew — every 3rd lineitem is
+    * remapped to supplier 1 (~33% of the fact table on one key), then
+    * joined to the supplier dim through [[saltedJoin]] with 16 buckets
+    * and aggregated to per-supplier revenue. The oracle is the PLAIN
+    * join+group — certifying the rewrite changes the plan, not the
+    * result. Revenue follows the exact decimal-sum→double convention. */
+  def q63SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"),
+        col("l_orderkey"), col("l_linenumber"))
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    saltedJoin(li, sup, "suppkey",
+        struct(col("l_orderkey"), col("l_linenumber")), saltBuckets = 16)
+      .groupBy(col("suppkey"), col("s_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("suppkey")
+  }
 
   def oracles: Map[String, String] = Map(
     "q43_salted_sum" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_salted_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS suppkey,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem)
+        |SELECT s_suppkey AS suppkey, s_name,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM li JOIN supplier ON li.suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 }
