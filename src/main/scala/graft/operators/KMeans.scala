@@ -88,51 +88,119 @@ object KMeans {
         round(col("d2"), 6).as("d2"))
       .orderBy("vec_id")
 
-  val q60Sql: String = {
-    val centroidList = (1 to Dim)
+  /** DuckDB replay of [[lloyd]] as a reusable CTE chain. `srcSelect` must
+    * emit (vec_id, embedding[`dim`]); every CTE is prefixed `p_` so
+    * several chains (e.g. one per PQ subspace) compose in one statement.
+    * Returns (cteChainSql, finalAssignmentCteName). */
+  def lloydSqlCtes(srcSelect: String, dim: Int, k: Int, iters: Int,
+                   p: String): (String, String) = {
+    val centroidList = (1 to dim)
       .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
       .mkString("[", ", ", "]")
-    val initList = (1 to Dim)
+    val initList = (1 to dim)
       .map(i => s"CAST(embedding[$i] AS DOUBLE)")
       .mkString("[", ", ", "]")
     def assignCte(name: String, centCte: String) =
       s"""$name AS (
         |  SELECT vec_id, cluster, d2 FROM (
         |    SELECT e.vec_id, c.cluster,
-        |      (e.n2 + c.cn2) - 2 * (${dotSqlUnrolled("e.embedding", "c.centroid", Dim)}) AS d2,
+        |      (e.n2 + c.cn2) - 2 * (${dotSqlUnrolled("e.embedding", "c.centroid", dim)}) AS d2,
         |      row_number() OVER (
         |        PARTITION BY e.vec_id
-        |        ORDER BY (e.n2 + c.cn2) - 2 * (${dotSqlUnrolled("e.embedding", "c.centroid", Dim)}), c.cluster
+        |        ORDER BY (e.n2 + c.cn2) - 2 * (${dotSqlUnrolled("e.embedding", "c.centroid", dim)}), c.cluster
         |      ) AS rn
-        |    FROM e, $centCte c) WHERE rn = 1)""".stripMargin
+        |    FROM ${p}_e e, $centCte c) WHERE rn = 1)""".stripMargin
     def updateCte(name: String, asgCte: String) =
-      s"""${name}0 AS (
+      s"""${name}p AS (
         |  SELECT cluster, $centroidList AS centroid
-        |  FROM $asgCte JOIN e USING (vec_id) GROUP BY cluster),
+        |  FROM $asgCte JOIN ${p}_e USING (vec_id) GROUP BY cluster),
         |$name AS (
         |  SELECT cluster, centroid,
-        |    ${dotSqlUnrolled("centroid", "centroid", Dim)} AS cn2
-        |  FROM ${name}0)""".stripMargin
-    s"""WITH e AS (
-      |  SELECT vec_id, embedding,
-      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2
-      |  FROM embeddings),
-      |c0 AS (
-      |  SELECT vec_id AS cluster, $initList AS centroid,
-      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS cn2
-      |  FROM embeddings WHERE vec_id < 8),
-      |${assignCte("a0", "c0")},
-      |${updateCte("c1", "a0")},
-      |${assignCte("a1", "c1")},
-      |${updateCte("c2", "a1")},
-      |${assignCte("a2", "c2")}
+        |    ${dotSqlUnrolled("centroid", "centroid", dim)} AS cn2
+        |  FROM ${name}p)""".stripMargin
+    val rounds = (1 to iters).map(t =>
+      s"""${assignCte(s"${p}_a${t - 1}", s"${p}_c${t - 1}")},
+        |${updateCte(s"${p}_c$t", s"${p}_a${t - 1}")}""".stripMargin)
+    val chain =
+      s"""${p}_e AS (
+        |  SELECT vec_id, embedding,
+        |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS n2
+        |  FROM ($srcSelect)),
+        |${p}_c0 AS (
+        |  SELECT vec_id AS cluster, $initList AS centroid,
+        |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS cn2
+        |  FROM ${p}_e WHERE vec_id < $k),
+        |${rounds.mkString(",\n")},
+        |${assignCte(s"${p}_a$iters", s"${p}_c$iters")}""".stripMargin
+    (chain, s"${p}_a$iters")
+  }
+
+  val q60Sql: String = {
+    val (chain, out) = lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", Dim, k = 8, iters = 2,
+      p = "km")
+    s"""WITH $chain
       |SELECT vec_id, cluster, round(d2, 6) AS d2
-      |FROM a2 ORDER BY vec_id""".stripMargin
+      |FROM $out ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Product quantization — the memory-side scale technique IVF (q33)
+    * pairs with in a production ANN index: split each vector into 4
+    * subspaces of 16 dims, run [[lloyd]] independently per subspace
+    * (k = 4, one update round), and compress every vector to 4 codebook
+    * ids (4 × 2 bits here; 4 × 8 bits at production k=256 — same plan)
+    * plus its total squared quantization error. 64 floats → one small
+    * code: the candidate set of a 100 TB ANN scan fits in memory and
+    * distance estimation becomes 4 table lookups.
+    *
+    * Scale shape: the 4 subspace trainings are independent narrow plans
+    * over SLICED vectors (each ships 1/4 of the data through k-means);
+    * the final join is vec_id-to-vec_id on k-row-wide outputs. The
+    * codebooks themselves are 4 × k × 16 doubles — always broadcast.
+    */
+  def q64PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val base = Kpis.table(spark, dir, "embeddings")
+    val parts = (0 until 4).map { s =>
+      val es = base.select(col("vec_id"),
+        slice(col("embedding"), s * 16 + 1, 16).as("embedding"))
+        .withColumn("n2", norm2(col("embedding")))
+      lloyd(es, k = 4, iters = 1)
+        .select(col("vec_id"), col("cluster").as(s"code_$s"),
+          col("d2").as(s"d2_$s"))
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+        round(((col("d2_0") + col("d2_1")) + col("d2_2")) + col("d2_3"), 6)
+          .as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  val q64Sql: String = {
+    val chains = (0 until 4).map { s =>
+      lloydSqlCtes(
+        s"SELECT vec_id, embedding[${s * 16 + 1}:${s * 16 + 16}] AS embedding FROM embeddings",
+        dim = 16, k = 4, iters = 1, p = s"s$s")
+    }
+    val Seq(o0, o1, o2, o3) = chains.map(_._2).toSeq
+    s"""WITH ${chains.map(_._1).mkString(",\n")}
+      |SELECT s0.vec_id,
+      |  s0.cluster AS code_0, s1.cluster AS code_1,
+      |  s2.cluster AS code_2, s3.cluster AS code_3,
+      |  round(((s0.d2 + s1.d2) + s2.d2) + s3.d2, 6) AS sq_err
+      |FROM $o0 s0
+      |JOIN $o1 s1 ON s0.vec_id = s1.vec_id
+      |JOIN $o2 s2 ON s0.vec_id = s2.vec_id
+      |JOIN $o3 s3 ON s0.vec_id = s3.vec_id
+      |ORDER BY s0.vec_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_kmeans" -> (q60Kmeans _))
+    "q60_kmeans" -> (q60Kmeans _),
+    "q64_pq_codes" -> (q64PqCodes _))
 
   def oracles: Map[String, String] = Map(
-    "q60_kmeans" -> q60Sql)
+    "q60_kmeans" -> q60Sql,
+    "q64_pq_codes" -> q64Sql)
 }

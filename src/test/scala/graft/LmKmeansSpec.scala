@@ -66,6 +66,25 @@ class LmKmeansSpec extends AnyFunSuite {
     got.values.foreach { case (_, d2) => assert(d2 >= 0.0 && d2 < 2.6) }
   }
 
+  test("q64 codes every vector into 4 subspace books with bounded error") {
+    val rows = KMeans.q64PqCodes(spark, sfDir).collect()
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == all)
+    rows.foreach { r =>
+      (0 to 3).foreach { s =>
+        val c = r.getAs[Long](s"code_$s")
+        assert(c >= 0 && c < 4, s"code_$s out of book range: $c")
+      }
+      assert(r.getAs[Double]("sq_err") >= 0.0)
+    }
+    // quantization is not degenerate: multiple distinct codes in use
+    assert(rows.map(r => (0 to 3).map(s => r.getAs[Long](s"code_$s")))
+      .distinct.length > 1)
+    val again = KMeans.q64PqCodes(spark, sfDir).collect()
+    assert(rows.sameElements(again))
+  }
+
   test("q60 assigns every vector exactly once, deterministically") {
     val rows = KMeans.q60Kmeans(spark, sfDir).collect()
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
