@@ -81,7 +81,32 @@ object Salting {
           col("n_rows"))
         .orderBy("l_returnflag")
     }),
-    "q63_salted_join" -> (q63SaltedJoin _))
+    "q63_salted_join" -> (q63SaltedJoin _),
+    "q65_skew_profile" -> (q65SkewProfile _))
+
+  /** q65: key-distribution profiler — the diagnostic you run BEFORE
+    * reaching for [[saltedJoin]]/[[saltedSumCount]]: per-key row counts
+    * reduced to the top-5 hot keys with their share of all rows and a
+    * hot_factor (multiple of the mean key load; 1.0 = perfectly uniform).
+    * Run against q63's synthetic skew so the fixture demonstrably trips
+    * the alarm. Shape: one map-side-combined count agg, one 1-row totals
+    * broadcast, top-k via TakeOrderedAndProject — nothing scales with
+    * input volume except the first agg. */
+  def q65SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(when(col("l_orderkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("suppkey"))
+    val counts = keyed.groupBy(col("suppkey")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("suppkey"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        ((col("n") * col("n_keys")).cast("double") / col("total"))
+          .as("hot_factor"))
+      .orderBy(col("n").desc, col("suppkey"))
+      .limit(5)
+  }
 
   /** q63: salted join under synthetic skew — every 3rd lineitem is
     * remapped to supplier 1 (~33% of the fact table on one key), then
@@ -122,5 +147,16 @@ object Salting {
         |  CAST(SUM(rev) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM li JOIN supplier ON li.suppkey = s_suppkey
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q65_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS suppkey,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |totals AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts)
+        |SELECT suppkey, n,
+        |  CAST(n AS DOUBLE) / total AS share,
+        |  CAST(n * n_keys AS DOUBLE) / total AS hot_factor
+        |FROM counts, totals
+        |ORDER BY n DESC, suppkey LIMIT 5""".stripMargin)
 }

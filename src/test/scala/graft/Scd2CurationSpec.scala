@@ -73,14 +73,21 @@ class Scd2CurationSpec extends AnyFunSuite {
       val c = r.getAs[Double]("containment")
       assert(c >= 0.9 && c <= 1.0 + 1e-12)
     }
-    // planted pairs: excerpt id = doc_id + 200000; every reported
-    // (d, d+200000) pair must be full containment (prefix shingles are a
-    // subset of the doc's shingles)
+    // planted pairs: excerpt id = doc_id + 200000, always containment 1.0
+    // (prefix-excerpt shingles ⊆ the doc's shingles). Prefix filtering's
+    // recall is COMPLETE, so EVERY planted pair must surface — the
+    // df-capped candidate scheme this replaced could legally drop some.
     val planted = rows.filter(r =>
       r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 200000L)
-    assert(planted.nonEmpty, "no planted excerpt pair surfaced")
-    planted.foreach(r =>
-      assert(math.abs(r.getAs[Double]("containment") - 1.0) < 1e-12))
+      .map(_.getAs[Long]("a_id")).toSet
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(planted == expected,
+      s"missing planted pairs for docs ${expected -- planted}")
+    rows.filter(r => r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 200000L)
+      .foreach(r =>
+        assert(math.abs(r.getAs[Double]("containment") - 1.0) < 1e-12))
   }
 
   test("q56 respects per-language quotas with contiguous dense ranks") {

@@ -73,6 +73,20 @@ class SeriesSaltedJoinSpec extends AnyFunSuite {
     assert(spread == 16L)
   }
 
+  test("q65 flags the synthetic hot key with a dominant hot_factor") {
+    val rows = Salting.q65SkewProfile(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val top = rows.head
+    assert(top.getAs[Long]("suppkey") == 1L, "hot key must rank first")
+    assert(top.getAs[Double]("hot_factor") > 2.0,
+      "synthetic skew must exceed 2x the mean key load")
+    assert(top.getAs[Double]("share") > rows(1).getAs[Double]("share"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") > 0.0 &&
+        r.getAs[Double]("share") <= 1.0)
+    }
+  }
+
   test("q63 is deterministic and covers every matched supplier") {
     val rows = Salting.q63SaltedJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)
