@@ -24,13 +24,13 @@ object Profile45 {
     // warm
     DupClusters.q45DupClusters(spark, sfDir).write.format("noop").mode("overwrite").save()
     // stage breakdown over the SAME stage helpers q45DupClusters runs
-    // (q45ShingleTable / shingleCandidatePairs / jaccardEdges) — the
+    // (q45ShingleTable / prefixCandidatePairs / jaccardEdges) — the
     // profiler cannot drift from the registered pipeline
     val withShingles = DupClusters.q45ShingleTable(spark, sfDir)
     time("shingles materialize")(withShingles.count())
-    val cand = DupClusters.shingleCandidatePairs(withShingles, dfCap = 20)
+    val cand = DupClusters.prefixCandidatePairs(withShingles, t = 0.7)
     val candC = time("candidates")(cand.count())
-    val edges = DupClusters.jaccardEdges(withShingles, dfCap = 20, threshold = 0.7)
+    val edges = DupClusters.jaccardEdges(withShingles, threshold = 0.7)
     val edgesCk = time("edges + checkpoint")(edges.localCheckpoint(true))
     val (labels, rounds) = time("connected components")(
       DupClusters.connectedComponentsWithRounds(edgesCk, "a", "b"))

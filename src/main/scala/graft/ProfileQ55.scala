@@ -6,6 +6,7 @@ package graft
 object ProfileQ55 {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.SparkSession
+    import graft.operators.DupClusters
     import graft.queries.CurationQueries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,7 +26,7 @@ object ProfileQ55 {
     // stage breakdown over the SAME helpers the registered entry runs
     val shs = CurationQueries.q55ShingleTable(spark, sfDir)
     time("shingle table materialize")(shs.count())
-    val cand = CurationQueries.q55PrefixCandidates(shs, t = 0.9)
+    val cand = DupClusters.prefixCandidatePairs(shs, t = 0.9)
     val candC = time("candidates")(cand.count())
     val out = CurationQueries.q55Verify(shs, cand, threshold = 0.9)
     val outC = time("verify")(out.count())

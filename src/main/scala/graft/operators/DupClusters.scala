@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -192,9 +193,41 @@ object DupClusters {
     (labels, i)
   }
 
+  /** Prefix-filtered candidate pairs (the PPJoin-family bound): under the
+    * global rarest-first (df, shingle) order, only each doc's first
+    * ⌊(1−t)·|S|⌋+1 shingles probe the full inverted index. Complete
+    * recall for any measure m with m(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·min(|A|,|B|)⌉
+    * — Jaccard (|A∩B| ≥ t·|A∪B| ≥ t·min) and smaller-set containment both
+    * qualify: if the smaller set S shares no prefix shingle with the
+    * other side, |A∩B| ≤ |S| − (|S| − ⌈t·|S|⌉ + 1) < t·|S|. Candidate
+    * volume scales with Σ df(prefix shingle) — rare by construction —
+    * instead of Σ C(df, 2) over the whole index. Input must have columns
+    * (id: long, sh: array<_>) with sh already element-distinct.
+    */
+  def prefixCandidatePairs(docsWithShingles: DataFrame,
+                           t: Double): DataFrame = {
+    val inv = docsWithShingles.select(col("id"), explode(col("sh")).as("s"))
+    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = inv.join(dfs, "s")
+      .join(docsWithShingles.select(col("id"), size(col("sh")).as("sz")),
+        "id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(t)) + lit(1))
+      .select(col("id").as("x"), col("s"))
+    prefix.join(inv.select(col("id").as("y"), col("s")), "s")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+  }
+
   /** Inverted-index candidate pairs: distinct (a, b), a < b, sharing at
     * least one shingle whose document frequency is ≤ dfCap. Input must
     * have columns (id: long, sh: array<string>) with sh already distinct.
+    * The df-cap variant trades recall on ultra-common shingles for a
+    * hard bound on per-shingle join width; [[prefixCandidatePairs]] is
+    * the recall-complete alternative used by the registered pipelines.
     */
   def shingleCandidatePairs(docsWithShingles: DataFrame, dfCap: Int): DataFrame = {
     val inv = docsWithShingles
@@ -246,11 +279,11 @@ object DupClusters {
   }
 
   /** Exact-Jaccard-verified similarity edges over a (id, sh) shingle
-    * table: df-capped inverted-index candidates, then the threshold
-    * verify. Shared with [[graft.Profile45]]. */
-  private[graft] def jaccardEdges(withShingles: DataFrame, dfCap: Int,
+    * table: prefix-filtered candidates (recall-complete at `threshold`),
+    * then the threshold verify. Shared with [[graft.Profile45]]. */
+  private[graft] def jaccardEdges(withShingles: DataFrame,
                                   threshold: Double): DataFrame =
-    shingleCandidatePairs(withShingles, dfCap)
+    prefixCandidatePairs(withShingles, threshold)
       .join(withShingles.select(col("id").as("a"), col("sh").as("sa")), "a")
       .join(withShingles.select(col("id").as("b"), col("sh").as("sb")), "b")
       .where(TextFunctions.jaccard(col("sa"), col("sb")) >= threshold)
@@ -258,7 +291,7 @@ object DupClusters {
 
   def q45DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val withShingles = q45ShingleTable(spark, dir)
-    val edges = jaccardEdges(withShingles, dfCap = 20, threshold = 0.7)
+    val edges = jaccardEdges(withShingles, threshold = 0.7)
     val comp = connectedComponents(edges, "a", "b")
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     // Eagerly materialize the (tiny: one row per clustered doc) final
@@ -301,10 +334,9 @@ object DupClusters {
         |        FROM variants)),
         |inv AS (
         |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
-        |kept AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 20),
         |cand AS (
         |  SELECT DISTINCT i1.id AS a, i2.id AS b
-        |  FROM inv i1 JOIN kept USING (s) JOIN inv i2 USING (s)
+        |  FROM inv i1 JOIN inv i2 USING (s)
         |  WHERE i1.id < i2.id),
         |edges AS (
         |  SELECT a, b

@@ -86,33 +86,11 @@ object CurationQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** Prefix-filtered candidate pairs: probe each doc's rarest
-    * (⌊(1−t)·sz⌋+1) shingles (global (df, shingle) order) against the
-    * full inverted index. If the smaller set S of a pair shares no prefix
-    * shingle with the other side, then |S∩L| ≤ ⌈t·|S|⌉ − 1 < t·|S| — so
-    * every pair at containment ≥ t survives. */
-  private[graft] def q55PrefixCandidates(shs: DataFrame,
-                                         t: Double): DataFrame = {
-    val inv = shs.select(col("id"), explode(col("sh")).as("s"))
-    val dfs = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val prefix = inv.join(dfs, "s")
-      .join(shs.select(col("id"), size(col("sh")).as("sz")), "id")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(t)) + lit(1))
-      .select(col("id").as("x"), col("s"))
-    prefix.join(inv.select(col("id").as("y"), col("s")), "s")
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-  }
-
   def q55ContainmentDup(spark: SparkSession, dir: String): DataFrame = {
     val shs = q55ShingleTable(spark, dir)
     shs.count() // materialize once for both downstream uses
     try {
-      val cand = q55PrefixCandidates(shs, t = 0.9)
+      val cand = DupClusters.prefixCandidatePairs(shs, t = 0.9)
       q55Verify(shs, cand, threshold = 0.9).localCheckpoint(true)
     } finally shs.unpersist()
   }

@@ -17,6 +17,32 @@ class DupClustersSpec extends AnyFunSuite {
         edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("prefix candidates are recall-complete vs brute-force Jaccard") {
+    // corpus with controlled overlap: clones, a near-clone, and noise.
+    // brute-force every pair; every pair at Jaccard >= 0.7 must appear in
+    // the prefix-filtered candidate set (completeness is the contract —
+    // extra candidates are fine, the verify stage removes them).
+    val docs = Seq(
+      1L -> Seq("a b c", "b c d", "c d e", "d e f"),
+      2L -> Seq("a b c", "b c d", "c d e", "d e f"),          // clone of 1
+      3L -> Seq("a b c", "b c d", "c d e", "x y z"),          // 3/5 vs 1
+      4L -> Seq("p q r", "q r s"),                            // unrelated
+      5L -> Seq("p q r", "q r s"),                            // clone of 4
+      6L -> Seq("m n o"))                                     // singleton
+    val t = 0.7
+    val truth = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.union(sb.toSet).size
+      if inter.toDouble / union >= t
+    } yield (a, b)).toSet
+    assert(truth == Set((1L, 2L), (4L, 5L))) // fixture sanity
+    val got = DupClusters.prefixCandidatePairs(
+        docs.toDF("id", "sh"), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(got), s"missing pairs: ${truth -- got}")
+  }
+
   test("chain merges transitively; separate components stay separate") {
     // 1-2, 2-3, 3-4 is one component even though 1 and 4 share no edge;
     // 10-11 is another
