@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.LmQueries.queries ++
       graft.operators.KMeans.queries ++
       graft.operators.ChangelogCompact.queries ++
-      graft.queries.SeriesQueries.queries
+      graft.queries.SeriesQueries.queries ++
+      graft.operators.IvfPq.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.LmQueries.oracles ++
       graft.operators.KMeans.oracles ++
       graft.operators.ChangelogCompact.oracles ++
-      graft.queries.SeriesQueries.oracles
+      graft.queries.SeriesQueries.oracles ++
+      graft.operators.IvfPq.oracles
 }

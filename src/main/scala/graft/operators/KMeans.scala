@@ -43,7 +43,7 @@ object KMeans {
     * fold the k candidates per vector with a map-side-combined
     * min(struct(dist2, cluster)) — the (dist2, cluster) lexicographic min
     * IS the deterministic argmin. */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("d2",
         dist2(col("cn2"), dotD(col("embedding"), col("centroid")),
@@ -68,16 +68,21 @@ object KMeans {
         s => s.getField("cv")).as("centroid"))
       .withColumn("cn2", norm2(col("centroid")))
 
-  /** `iters` update rounds from the deterministic init, then a final
-    * assignment against the last centroids. */
-  def lloyd(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The trained codebook: `iters` update rounds from the deterministic
+    * first-k init. (cluster, centroid, cn2) — k rows, always
+    * broadcast-sized. */
+  def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val init = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
       .withColumn("cn2", norm2(col("centroid")))
-    val last = (1 to iters).foldLeft(init)((c, _) => update(e, assign(e, c)))
-    assign(e, last)
+    (1 to iters).foldLeft(init)((c, _) => update(e, assign(e, c)))
   }
+
+  /** `iters` update rounds from the deterministic init, then a final
+    * assignment against the last centroids. */
+  def lloyd(e: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(e, lloydCentroids(e, k, iters))
 
   // ---------------------------------------------------------------- q60
   /** k=8, two update rounds, per-vector assignment with the final squared

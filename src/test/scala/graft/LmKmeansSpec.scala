@@ -85,6 +85,29 @@ class LmKmeansSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("q66 returns a full exact-reranked top-5 per probe query") {
+    val rows = graft.operators.IvfPq.q66IvfPq(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L to 4L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5),
+        s"query $qid ranks not contiguous")
+      // exact re-rank: cosine non-increasing down the list, self excluded
+      sorted.map(_.getAs[Double]("cos_sim")).sliding(2).foreach {
+        case Array(hi, lo) => assert(hi >= lo, s"query $qid order")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != qid)
+        val c = r.getAs[Double]("cos_sim")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+    val again = graft.operators.IvfPq.q66IvfPq(spark, sfDir).collect()
+    assert(rows.sameElements(again))
+  }
+
   test("q60 assigns every vector exactly once, deterministically") {
     val rows = KMeans.q60Kmeans(spark, sfDir).collect()
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
