@@ -30,7 +30,9 @@ object SparkEntry {
       graft.operators.KMeans.queries ++
       graft.operators.ChangelogCompact.queries ++
       graft.queries.SeriesQueries.queries ++
-      graft.operators.IvfPq.queries
+      graft.operators.IvfPq.queries ++
+      graft.queries.TpchQueries.queries ++
+      graft.queries.StatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -57,5 +59,7 @@ object SparkEntry {
       graft.operators.KMeans.oracles ++
       graft.operators.ChangelogCompact.oracles ++
       graft.queries.SeriesQueries.oracles ++
-      graft.operators.IvfPq.oracles
+      graft.operators.IvfPq.oracles ++
+      graft.queries.TpchQueries.oracles ++
+      graft.queries.StatsQueries.oracles
 }

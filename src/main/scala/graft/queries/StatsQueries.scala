@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grouped statistical modeling over the event stream: closed-form OLS
+  * trend fitting and robust (median/MAD) outlier detection — the two
+  * monitoring primitives a pipeline runs on its own telemetry.
+  */
+object StatsQueries {
+
+  // ---------------------------------------------------------------- q69
+  /** Per-event-type OLS trend of value over time (hours since
+    * 2024-01-01): slope and intercept from the closed-form sums.
+    *
+    * Exactness: x is an integer hour index, y is exact DECIMAL(18,4)
+    * (events.value is ≤4 dp), so every sum (Σx, Σx², Σxy, Σy) is exact
+    * integer/decimal arithmetic with NO float summation-order jitter; the
+    * slope/intercept divisions are then single double ops on identical
+    * exact operands in both engines — bit-exact without rounding fudge.
+    *
+    * Scale shape: one map-side-combinable hash agg over the scan; the
+    * closed form needs no second pass and no window. */
+  def q69TrendFit(spark: SparkSession, dir: String): DataFrame = {
+    val baseEpoch = 1704067200L // 2024-01-01 00:00:00 UTC
+    val x = ((col("ts").cast("long") - baseEpoch) / lit(3600L)).cast("long")
+    val y = col("value").cast("decimal(18,4)")
+    Kpis.eventsTable(spark, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val q69Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+      |    CAST(value AS DECIMAL(18,4)) AS y
+      |  FROM events),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * x) AS sxy
+      |  FROM pts GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM sums ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Robust per-type outlier detection: median + MAD (median absolute
+    * deviation), flagging events beyond 3 MADs. Two exact-percentile
+    * passes (the q37-proven interpolation parity) joined by type — the
+    * median broadcast back over the scan, never a per-row window.
+    * Everything downstream of the percentiles is bit-exact double
+    * arithmetic spelled identically in both engines. */
+  def q70MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("median"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("median")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("median")).as("median"), // constant per group
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median"),
+        col("mad"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_events"))
+          .as("outlier_share"))
+      .orderBy("event_type")
+  }
+
+  val q70Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS median
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.median,
+      |    abs(e.value - m.median) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n_events,
+      |  any_value(d.median) AS median, any_value(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+      |       AS DOUBLE) / COUNT(*) AS outlier_share
+      |FROM dev d JOIN mad USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_trend_fit" -> (q69TrendFit _),
+    "q70_mad_outliers" -> (q70MadOutliers _))
+
+  def oracles: Map[String, String] = Map(
+    "q69_trend_fit" -> q69Sql,
+    "q70_mad_outliers" -> q70Sql)
+}

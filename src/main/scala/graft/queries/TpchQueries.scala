@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shape multi-way join analytics over the star schema —
+  * the join-planning stress tests every warehouse engine is measured by.
+  * The value at 100 TB is in the PLAN: selective dimension filters reach
+  * the scans (PushedFilters), the fact table joins shuffle on their keys
+  * exactly once, constant-size dims broadcast, and top-k lowers to
+  * TakeOrderedAndProject instead of a global sort.
+  */
+object TpchQueries {
+
+  private def rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast("decimal(18,4)")
+
+  // ---------------------------------------------------------------- q67
+  /** TPC-H Q3 shape (shipping priority): revenue of BUILDING-segment
+    * orders placed before the cutoff with lines still unshipped after it
+    * — customer⋈orders⋈lineitem, grouped per order, top-10 by revenue.
+    * The two date filters prune both fact scans before any join. */
+  def q67ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1996-03-15"
+    val c = Kpis.table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    // raw-timestamp predicates (≡ the date comparisons for ANY data:
+    // ts < day 00:00 ⟺ date < day; ts >= next-day 00:00 ⟺ date > day)
+    // so they reach the parquet scan as PushedFilters — a to_date()
+    // wrapper would compute the cast per row instead of pruning I/O
+    val o = Kpis.table(spark, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit(s"$cutoff 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+    val l = Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-16 00:00:00")))
+      .select(col("l_orderkey"), rev.as("rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "revenue")
+  }
+
+  val q67Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** TPC-H Q5 shape (local supplier volume): revenue per nation for 1997
+    * ASIA orders where the supplying and buying nations coincide — the
+    * 6-way join whose plan quality separates engines: region/nation
+    * broadcast (constant size), the c=s nation equality prunes the
+    * supplier join, and the fact tables shuffle once each. */
+  def q68LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Kpis.table(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Kpis.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val asiaNations = broadcast(
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val c = Kpis.table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val o = Kpis.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val l = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+    val s = Kpis.table(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    c.join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q68Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_shipping_priority" -> (q67ShippingPriority _),
+    "q68_local_supplier_volume" -> (q68LocalSupplierVolume _))
+
+  def oracles: Map[String, String] = Map(
+    "q67_shipping_priority" -> q67Sql,
+    "q68_local_supplier_volume" -> q68Sql)
+}
