@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.SeriesQueries.queries ++
       graft.operators.IvfPq.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.StatsQueries.queries
+      graft.queries.StatsQueries.queries ++
+      graft.queries.ReshapeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.SeriesQueries.oracles ++
       graft.operators.IvfPq.oracles ++
       graft.queries.TpchQueries.oracles ++
-      graft.queries.StatsQueries.oracles
+      graft.queries.StatsQueries.oracles ++
+      graft.queries.ReshapeQueries.oracles
 }

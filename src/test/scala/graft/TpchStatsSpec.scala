@@ -78,6 +78,68 @@ class TpchStatsSpec extends AnyFunSuite {
     assert(got.getAs[Double]("intercept") == intercept, "intercept mismatch")
   }
 
+  test("q71 bins are balanced, ordered, and partition each type") {
+    val rows = graft.queries.ReshapeQueries.q71QuartileBins(spark, sfDir)
+      .collect()
+    val total = Kpis.eventsTable(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bin"))
+      assert(sorted.map(_.getAs[Int]("bin")).toSeq == (1 to 4))
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"$et bins unbalanced: ${ns.toSeq}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+            s"$et bins overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q72 matches the built-in corr estimate") {
+    val rows = graft.queries.ReshapeQueries.q72ExactCorr(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val builtin = Kpis.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("c"))
+      .toMap
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - builtin(r.getAs[String]("l_returnflag"))) < 1e-9,
+        "closed form diverges from built-in corr")
+    }
+  }
+
+  test("q73 pivot cells sum to the event total with no negative cells") {
+    val rows = graft.queries.ReshapeQueries.q73DailyPivot(spark, sfDir)
+      .collect()
+    val total = Kpis.eventsTable(spark, sfDir).count()
+    val cells = rows.flatMap(r => Seq("click", "error", "purchase",
+      "signup", "view").map(r.getAs[Long]))
+    assert(cells.forall(_ >= 0L))
+    assert(cells.sum == total)
+  }
+
+  test("q74 growth is consistent with consecutive revenue rows") {
+    val rows = graft.queries.ReshapeQueries.q74DodGrowth(spark, sfDir)
+      .collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("dod_growth")))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val expected = (cur.getAs[Double]("revenue") -
+          prev.getAs[Double]("revenue")) / prev.getAs[Double]("revenue")
+        assert(cur.getAs[Double]("prev_revenue") ==
+          prev.getAs[Double]("revenue"))
+        assert(cur.getAs[Double]("dod_growth") == expected)
+      case _ =>
+    }
+  }
+
   test("q70 outlier counts agree with a direct ungrouped recount") {
     val rows = StatsQueries.q70MadOutliers(spark, sfDir).collect()
     assert(rows.nonEmpty)
