@@ -33,7 +33,8 @@ object SparkEntry {
       graft.operators.IvfPq.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.StatsQueries.queries ++
-      graft.queries.ReshapeQueries.queries
+      graft.queries.ReshapeQueries.queries ++
+      graft.streaming.Attribution.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.operators.IvfPq.oracles ++
       graft.queries.TpchQueries.oracles ++
       graft.queries.StatsQueries.oracles ++
-      graft.queries.ReshapeQueries.oracles
+      graft.queries.ReshapeQueries.oracles ++
+      graft.streaming.Attribution.oracles
 }
