@@ -22,15 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** First name in `base`, `base1`, `base2`, … that collides with no
+    * column of any input frame — the working salt column must never
+    * silently replace (or be dropped in place of) data a caller owns. */
+  private def freshCol(base: String, dfs: DataFrame*): String = {
+    val taken = dfs.flatMap(_.columns).toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(!taken(_)).get
+  }
+
   /** Two-stage salted sum/count aggregation: returns one row per key with
     * `sum(valueCol)` and `count(*)`, computed via (key, salt) partials.
     * Deterministic: the salt is a hash of stable columns, not rand(). */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
                      saltCol: Column, saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt",
+    val salt = freshCol("_salt", df)
+    val salted = df.withColumn(salt,
       pmod(hash(saltCol), lit(saltBuckets)))
     salted
-      .groupBy(col(keyCol), col("_salt"))
+      .groupBy(col(keyCol), col(salt))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
@@ -51,10 +62,11 @@ object Salting {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
                  saltCol: Column, saltBuckets: Int): DataFrame = {
-    val b = big.withColumn("_salt", pmod(hash(saltCol), lit(saltBuckets)))
-    val s = small.withColumn("_salt",
+    val salt = freshCol("_salt", big, small)
+    val b = big.withColumn(salt, pmod(hash(saltCol), lit(saltBuckets)))
+    val s = small.withColumn(salt,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    b.join(s, Seq(keyCol, "_salt")).drop("_salt")
+    b.join(s, Seq(keyCol, salt)).drop(salt)
   }
 
   /** q43: the salted rewrite on a genuinely pathological distribution —

@@ -26,13 +26,32 @@ object ChangelogCompact {
   /** Latest-version-wins compaction. `seq` must totally order each key's
     * versions (unique per key — CDC logs carry an LSN/offset with that
     * property); rows whose final `op` equals `deleteOp` are dropped.
-    * Output: key, last_seq, payload…, n_versions. */
+    * Output: key, last_seq, payload…, n_versions.
+    *
+    * If the uniqueness contract is violated, the winner at equal seq is
+    * the lexicographically GREATEST (op, payload…) tuple — a documented
+    * deterministic order (the struct-max comparison), mirrored by the
+    * oracle's `ORDER BY seq DESC, op DESC, payload… DESC`, so a
+    * duplicate-LSN log still compacts identically in both engines.
+    * `assertUniqueSeq = true` instead fails fast on the first duplicate
+    * (key, seq) pair: a distinct-count guard checked in-plan via
+    * assert_true — a debug/backfill mode; the distinct count adds an
+    * Expand pass, so the default leaves it off. */
   def compact(log: DataFrame, key: Column, seq: Column, op: Column,
-              payload: Seq[String], deleteOp: String = "D"): DataFrame = {
+              payload: Seq[String], deleteOp: String = "D",
+              assertUniqueSeq: Boolean = false): DataFrame = {
     val packed = struct(
       (seq.as("seq") +: op.as("op") +: payload.map(col)): _*)
-    log.groupBy(key.as("key"))
-      .agg(max(packed).as("m"), count(lit(1)).as("n_versions"))
+    val base = log.groupBy(key.as("key"))
+    val agged =
+      if (assertUniqueSeq)
+        base.agg(max(packed).as("m"), count(lit(1)).as("n_versions"),
+            countDistinct(seq).as("_n_seq"))
+          .where(assert_true(col("_n_seq") === col("n_versions"),
+            concat(lit("duplicate (key, seq) in changelog for key "),
+              col("key").cast("string"))).isNull)
+      else base.agg(max(packed).as("m"), count(lit(1)).as("n_versions"))
+    agged
       .filter(col("m.op") =!= deleteOp)
       .select(
         (col("key") +: col("m.seq").as("last_seq") +:
@@ -85,7 +104,11 @@ object ChangelogCompact {
       |  FROM o WHERE k % 5 = 0),
       |last AS (
       |  SELECT *, COUNT(*) OVER (PARTITION BY k) AS n_versions,
-      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    -- tie-break mirrors compact()'s struct-max: at equal seq the
+      |    -- greatest (op, payload…) tuple wins in BOTH engines
+      |    row_number() OVER (PARTITION BY k
+      |      ORDER BY seq DESC, op DESC, custkey DESC, totalprice DESC,
+      |        status DESC) AS rn
       |  FROM log)
       |SELECT k AS orderkey, CAST(seq AS INTEGER) AS last_seq, custkey,
       |  totalprice, status, CAST(n_versions AS BIGINT) AS n_versions

@@ -69,10 +69,12 @@ object KMeans {
       .withColumn("cn2", norm2(col("centroid")))
 
   /** The trained codebook: `iters` update rounds from the deterministic
-    * first-k init. (cluster, centroid, cn2) — k rows, always
-    * broadcast-sized. */
+    * first-k init — the k SMALLEST vec_ids (distributed top-k via
+    * TakeOrderedAndProject, not `vec_id < k`, so sparse or offset id
+    * spaces still seed exactly k centroids). (cluster, centroid, cn2) —
+    * k rows, always broadcast-sized. */
   def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val init = e.filter(col("vec_id") < k)
+    val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cluster"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
       .withColumn("cn2", norm2(col("centroid")))
@@ -134,7 +136,7 @@ object KMeans {
         |${p}_c0 AS (
         |  SELECT vec_id AS cluster, $initList AS centroid,
         |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS cn2
-        |  FROM ${p}_e WHERE vec_id < $k),
+        |  FROM (SELECT * FROM ${p}_e ORDER BY vec_id LIMIT $k)),
         |${rounds.mkString(",\n")},
         |${assignCte(s"${p}_a$iters", s"${p}_c$iters")}""".stripMargin
     (chain, s"${p}_a$iters")

@@ -56,7 +56,14 @@ object ReshapeQueries {
     * same IEEE instruction in the same association), so the result is
     * still bit-exact cross-engine. Decimal products of the sums would
     * exceed 38 digits — the documented reason the composite drops to
-    * doubles after the exact aggregation. */
+    * doubles after the exact aggregation.
+    *
+    * Declared widths differ across engines BY NECESSITY (values are
+    * identical): Spark casts inputs to (18,4) so x*y stays (37,8) with no
+    * precision-loss rescale; the oracle casts to (19,4) because DuckDB
+    * multiplies in the operand's physical type and DECIMAL(18)=int64
+    * overflows on ~1e9-unit inputs — 19 digits forces int128. See the
+    * matching comment in the SQL. */
   def q72ExactCorr(spark: SparkSession, dir: String): DataFrame =
     Kpis.table(spark, dir, "lineitem")
       .select(col("l_returnflag"),
@@ -92,6 +99,14 @@ object ReshapeQueries {
       |    CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
       |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM (SELECT l_returnflag,
+      |          -- 19,4 here vs Spark's 18,4 is DELIBERATE, not drift:
+      |          -- DuckDB multiplies in the operand's PHYSICAL type, and
+      |          -- DECIMAL(18) is int64 — x*x overflows int64 at ~1e9
+      |          -- units. 19 digits forces int128 storage so the product
+      |          -- ((38,8), at DuckDB's cap) is exact. Spark stays 18,4
+      |          -- because (19,4)² would be (39,8) > 38 and trigger
+      |          -- precision-loss rescaling to scale 7. Same VALUES, both
+      |          -- engines exact; only the declared widths differ.
       |          CAST(l_quantity AS DECIMAL(19,4)) AS x,
       |          CAST(l_extendedprice AS DECIMAL(19,4)) AS y
       |        FROM lineitem)

@@ -23,7 +23,10 @@ object StatsQueries {
     * closed form needs no second pass and no window. */
   def q69TrendFit(spark: SparkSession, dir: String): DataFrame = {
     val baseEpoch = 1704067200L // 2024-01-01 00:00:00 UTC
-    val x = ((col("ts").cast("long") - baseEpoch) / lit(3600L)).cast("long")
+    // floor, not cast-truncation: DuckDB's `//` floors, so a pre-2024
+    // timestamp (negative offset) must floor here too (-0.5 → -1, not 0)
+    val x = floor((col("ts").cast("long") - baseEpoch) / lit(3600.0))
+      .cast("long")
     val y = col("value").cast("decimal(18,4)")
     Kpis.eventsTable(spark, dir)
       .select(col("event_type"), x.as("x"), y.as("y"))

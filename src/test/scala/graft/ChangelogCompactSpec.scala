@@ -48,6 +48,26 @@ class ChangelogCompactSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), s"no map-side combine in:\n$plan")
   }
 
+  test("duplicate seq ties break on the documented (op, payload) order") {
+    // two rows at seq 2 for key 1: 'U'/"z" beats 'D'/"a" (op compares
+    // first, 'U' > 'D') — the struct-max order the Scaladoc + oracle pin
+    val log = Seq((1L, 1, "U", "a"), (1L, 2, "D", "a"), (1L, 2, "U", "z"))
+    assert(compact(log) == Set((1L, 2, "z", 3L)))
+  }
+
+  test("assertUniqueSeq fails fast on a duplicate (key, seq) pair") {
+    val dup = Seq((1L, 1, "U", "a"), (1L, 1, "U", "b")).toDF("k", "seq", "op", "v")
+    val ok = Seq((1L, 1, "U", "a"), (1L, 2, "U", "b")).toDF("k", "seq", "op", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ChangelogCompact.compact(df, key = col("k"), seq = col("seq"),
+        op = col("op"), payload = Seq("v"), assertUniqueSeq = true).collect()
+    assert(run(ok).length == 1)
+    val e = intercept[Exception] { run(dup) }
+    assert(e.getMessage.contains("duplicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate")),
+      s"wrong failure: $e")
+  }
+
   test("q61 snapshot honors the synthetic revision/delete pattern") {
     val rows = ChangelogCompact.q61CdcCompact(spark, sfDir).collect()
     assert(rows.nonEmpty)

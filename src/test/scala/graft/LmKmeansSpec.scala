@@ -66,6 +66,23 @@ class LmKmeansSpec extends AnyFunSuite {
     got.values.foreach { case (_, d2) => assert(d2 >= 0.0 && d2 < 2.6) }
   }
 
+  test("lloyd seeds k centroids even on a sparse, non-zero-based id space") {
+    // ids 100/201/302/… — `vec_id < k` would seed ZERO centroids here;
+    // the top-k-by-id init must still produce a 2-cluster split
+    val pts = Seq(
+      (100L, vec(0, 10f)), (201L, vec(1, 10f)),
+      (302L, vec(0, 9f)), (403L, vec(0, 11f)),
+      (504L, vec(1, 9f)), (605L, vec(1, 11f)))
+    val e = pts.toDF("vec_id", "embedding")
+      .withColumn("n2", graft.functions.VectorFunctions.norm2(col("embedding")))
+    val got = KMeans.lloyd(e, k = 2, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got.size == 6)
+    assert(got.values.toSet.size == 2, s"degenerate clustering: $got")
+    assert(got(302L) == got(100L) && got(403L) == got(100L))
+    assert(got(504L) == got(201L) && got(605L) == got(201L))
+  }
+
   test("q64 codes every vector into 4 subspace books with bounded error") {
     val rows = KMeans.q64PqCodes(spark, sfDir).collect()
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")

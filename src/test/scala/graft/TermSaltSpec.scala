@@ -31,6 +31,23 @@ class TermSaltSpec extends AnyFunSuite {
     assert("_salt".r.findAllIn(plan).nonEmpty, s"no salt column in plan:\n$plan")
   }
 
+  test("salting never clobbers a caller-owned _salt column") {
+    import spark.implicits._
+    // big side already carries a data column literally named _salt
+    val big = Seq((1L, "keep-a", 10.0), (1L, "keep-b", 20.0), (2L, "keep-c", 5.0))
+      .toDF("k", "_salt", "v")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "name")
+    val joined = Salting.saltedJoin(big, small, "k",
+      struct(col("v")), saltBuckets = 4)
+    // caller's _salt values survive the join untouched
+    assert(joined.select("_salt").as[String].collect().sorted.toSeq ==
+      Seq("keep-a", "keep-b", "keep-c"))
+    val agg = Salting.saltedSumCount(big, "k", "v",
+      struct(col("_salt")), saltBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg == Map(1L -> 30.0, 2L -> 5.0))
+  }
+
   test("q44: tf-idf output invariants (rank bounds, df consistency, score math)") {
     val out = TermQueries.queries("q44_tfidf_terms")(spark, sfDir).collect()
     assert(out.nonEmpty)
