@@ -34,7 +34,12 @@ object SparkEntry {
       graft.queries.TpchQueries.queries ++
       graft.queries.StatsQueries.queries ++
       graft.queries.ReshapeQueries.queries ++
-      graft.streaming.Attribution.queries
+      graft.streaming.Attribution.queries ++
+      graft.queries.Tpch2Queries.queries ++
+      graft.queries.RankQueries.queries ++
+      graft.operators.WeightedSample.queries ++
+      graft.operators.PageRank.queries ++
+      graft.queries.EntityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -65,5 +70,10 @@ object SparkEntry {
       graft.queries.TpchQueries.oracles ++
       graft.queries.StatsQueries.oracles ++
       graft.queries.ReshapeQueries.oracles ++
-      graft.streaming.Attribution.oracles
+      graft.streaming.Attribution.oracles ++
+      graft.queries.Tpch2Queries.oracles ++
+      graft.queries.RankQueries.oracles ++
+      graft.operators.WeightedSample.oracles ++
+      graft.operators.PageRank.oracles ++
+      graft.queries.EntityQueries.oracles
 }

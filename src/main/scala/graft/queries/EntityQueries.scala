@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution by blocked fuzzy string matching: find same-length
+  * name pairs within levenshtein distance 1 — the dedup primitive for
+  * dirty dimension data (typo'd customer/vendor names), sibling of the
+  * document near-dup family (q22/q27/q55).
+  *
+  * Scale shape — the pigeonhole blocking q27 uses for simhash, applied
+  * to strings: equal-length strings at levenshtein ≤ 1 differ by at most
+  * ONE substitution, so they agree exactly on at least one of the two
+  * halves of the string. Candidates are the union of two equi-self-joins
+  * on (length, half) — recall-COMPLETE at the threshold with no
+  * all-pairs pass anywhere; the exact levenshtein runs only on
+  * candidates. (Cross-length matches — pure insert/delete edits — are a
+  * third block on the deleted-char projections; out of scope here where
+  * every name is fixed-width.)
+  *
+  * Every value is an integer or string — no float conventions needed for
+  * the cross-engine hash; the DuckDB oracle is the brute-force all-pairs
+  * scan, so a hash match CERTIFIES the blocking lost no pair (the q26
+  * oracle pattern).
+  */
+object EntityQueries {
+
+  // ---------------------------------------------------------------- q81
+  def q81FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val c = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .withColumn("len", length(col("name")))
+      .withColumn("h1", substring(col("name"), 1, 9))
+      .withColumn("h2", substring(col("name"), 10, 9))
+    def side(tag: String) = c.select(
+      col("id").as(s"id_$tag"), col("name").as(s"name_$tag"),
+      col("len").as(s"len_$tag"), col("h1").as(s"h1_$tag"),
+      col("h2").as(s"h2_$tag"))
+    val a = side("1"); val b = side("2")
+    val byH1 = a.join(b,
+      col("len_1") === col("len_2") && col("h1_1") === col("h1_2") &&
+        col("id_1") < col("id_2"))
+    val byH2 = a.join(b,
+      col("len_1") === col("len_2") && col("h2_1") === col("h2_2") &&
+        col("id_1") < col("id_2"))
+    val cols = Seq("id_1", "id_2", "name_1", "name_2")
+    byH1.select(cols.map(col): _*)
+      .unionAll(byH2.select(cols.map(col): _*))
+      .distinct() // a pair agreeing on BOTH halves appears in both blocks
+      .withColumn("dist", levenshtein(col("name_1"), col("name_2")))
+      .filter(col("dist") <= 1)
+      .orderBy("id_1", "id_2")
+  }
+
+  val q81Sql: String =
+    """SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+      |  a.c_name AS name_1, b.c_name AS name_2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND length(a.c_name) = length(b.c_name)
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_1, id_2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_fuzzy_names" -> (q81FuzzyNames _))
+
+  def oracles: Map[String, String] = Map(
+    "q81_fuzzy_names" -> q81Sql)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PageRank, WeightedSample}
+import graft.queries.{EntityQueries, RankQueries, Tpch2Queries}
+
+/** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
+  * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
+  * fuzzy entity resolution (q81). */
+class Round8Spec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  test("q76 top-20 is revenue-ordered; filters pushed; top-k not a global sort") {
+    val df = Tpch2Queries.q76ReturnedItems(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.map(_.getAs[Double]("revenue")).sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo, "revenue order broken")
+      case _ =>
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 global-sorts:\n$plan")
+  }
+
+  test("q77 promo share is a true ratio of the two reported sums") {
+    val r = Tpch2Queries.q77PromoRevenue(spark, sfDir).head()
+    val (promo, total, pct) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo > 0 && total > promo, s"degenerate month: $promo/$total")
+    assert(math.abs(pct - 100.0 * promo / total) < 1e-9)
+    assert(pct > 0 && pct < 100)
+  }
+
+  test("q78 BM25 scores only docs containing query terms, descending") {
+    val rows = RankQueries.q78Bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_terms")
+      assert(n >= 1 && n <= 3, s"n_terms $n out of range")
+      assert(r.getAs[Double]("bm25") > 0)
+    }
+    rows.map(_.getAs[Double]("bm25")).sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo, "bm25 order broken")
+      case _ =>
+    }
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").rlike("(^| )(spark|query|join)( |$)"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
+  test("q79 A-ES sample is deterministic and favors heavy orders") {
+    val a = WeightedSample.q79WeightedSample(spark, sfDir).collect()
+    val b = WeightedSample.q79WeightedSample(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "weighted sample not reproducible")
+    assert(a.length == 20)
+    val sampleMean = a.map(_.getAs[Double]("o_totalprice")).sum / a.length
+    val corpusMean = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(avg("o_totalprice")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighting had no effect: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("pageRank on a star graph ranks the hub first; mass is conserved") {
+    // star: hub h ↔ leaves l1..l4 (symmetric edges, no dangling nodes)
+    val leaves = (1 to 4).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq(("h", l), (l, "h")))
+      .toDF("src", "dst")
+    val got = PageRank.pageRank(edges, iters = 3).collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Double]("r"), r.getAs[Long]("n_out"))).toMap
+    assert(got("h")._2 == 4 && got("l1")._2 == 1)
+    assert(leaves.forall(l => got("h")._1 > got(l)._1), s"hub not top: $got")
+    // symmetric + no dangling ⇒ total mass stays ~1 (12-dp grid slack)
+    val mass = got.values.map(_._1).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass leaked: $mass")
+    // all leaves are symmetric — identical ranks
+    assert(leaves.map(got(_)._1).distinct.size == 1)
+  }
+
+  test("q80 plan broadcasts the rank-vector side, no cartesian product") {
+    val df = PageRank.queries("q80_pagerank")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[Double]("rank_score") > 0))
+  }
+
+  test("q81 blocking finds 1-edit pairs in either half and rejects 2-edit") {
+    val dir = java.nio.file.Files.createTempDirectory("er").toString
+    Seq(
+      (1L, "Customer#000000001"), // pair with 2 (last digit — half 2)
+      (2L, "Customer#000000002"),
+      (3L, "Custoner#000000002"), // 1 edit in half 1 vs id 2
+      (4L, "Xustoner#100000002")  // 2 edits vs id 3 — must be rejected
+    ).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = EntityQueries.q81FuzzyNames(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"),
+        r.getAs[Int]("dist"))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 1)), s"got $got")
+  }
+
+  test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
+    val df = EntityQueries.q81FuzzyNames(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in:\n$plan")
+  }
+}
