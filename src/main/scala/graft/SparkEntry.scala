@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.RankQueries.queries ++
       graft.operators.WeightedSample.queries ++
       graft.operators.PageRank.queries ++
-      graft.queries.EntityQueries.queries
+      graft.queries.EntityQueries.queries ++
+      graft.operators.ColumnProfile.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.RankQueries.oracles ++
       graft.operators.WeightedSample.oracles ++
       graft.operators.PageRank.oracles ++
-      graft.queries.EntityQueries.oracles
+      graft.queries.EntityQueries.oracles ++
+      graft.operators.ColumnProfile.oracles
 }

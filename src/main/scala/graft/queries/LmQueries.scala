@@ -73,9 +73,73 @@ object LmQueries {
       |GROUP BY doc_id, lang, n_tokens
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Per-document mean bigram NLL — the sharper perplexity signal beside
+    * q59's unigram score: P(w2|w1) = count(w1 w2) / count(w1 ·) from the
+    * self-trained conditional MLE (no OOV/zero mass by construction).
+    * Documents need ≥ 2 tokens to have a bigram; shorter ones are
+    * excluded, mirrored by the oracle's length guard.
+    *
+    * Scale shape: bigrams come from an ARRAY-level zip_with on the
+    * already-tokenized row (no positional self-join shuffle of the
+    * exploded corpus); both count tables are vocab²-bounded hash aggs;
+    * scoring is one equi-join + one hash agg, exactly q59's plan family.
+    * Rounding grid: per-bigram ln at 9 dp, per-doc mean at 6 dp. */
+  def q83BigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = d.select(col("doc_id"), col("lang"),
+      (size(col("toks")) - 1).as("n_bigrams"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val lp = cb.join(cw, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c").cast("double") / col("ctx").cast("double")), 9)
+          .as("lp"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"), col("n_bigrams"))
+      .agg(round(-avg(col("lp")), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+      |pos AS (
+      |  SELECT doc_id, lang, toks,
+      |    CAST(len(toks) - 1 AS INTEGER) AS n_bigrams,
+      |    unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM d2),
+      |bg AS (
+      |  SELECT doc_id, lang, n_bigrams, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM pos),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx FROM cb GROUP BY 1),
+      |lp AS (
+      |  SELECT w1, w2,
+      |    round(ln(CAST(c AS DOUBLE) / CAST(ctx AS DOUBLE)), 9) AS lp
+      |  FROM cb JOIN cw USING (w1))
+      |SELECT doc_id, lang, n_bigrams, round(-avg(lp), 6) AS avg_nll
+      |FROM bg JOIN lp USING (w1, w2)
+      |GROUP BY doc_id, lang, n_bigrams
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q59_unigram_nll" -> (q59UnigramNll _))
+    "q59_unigram_nll" -> (q59UnigramNll _),
+    "q83_bigram_nll" -> (q83BigramNll _))
 
   def oracles: Map[String, String] = Map(
-    "q59_unigram_nll" -> q59Sql)
+    "q59_unigram_nll" -> q59Sql,
+    "q83_bigram_nll" -> q83Sql)
 }

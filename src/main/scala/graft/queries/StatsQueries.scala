@@ -117,11 +117,61 @@ object StatsQueries {
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Equi-WIDTH histogram of order totals (the value-axis complement of
+    * q71's equi-depth ntile bins): 20 fixed-width buckets between the
+    * observed min and max. The min/max pre-aggregate broadcasts back over
+    * the scan (one row), so bucketing is a pure map — one shuffle total,
+    * for the final 20-row count agg; no windows anywhere (ntile needs a
+    * per-partition sort; this shape doesn't).
+    *
+    * Exactness: bucket = least(floor((v-min)/width), 19) is the same IEEE
+    * chain in both engines on exact decimal-cast-double values; the edge
+    * clamp puts v = max in the last bucket. Bounds are re-derived from
+    * (min, width) with the identical chain, rounded to 6 dp for output. */
+  def q84EquiwidthHist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_totalprice").cast("decimal(18,4)").cast("double")
+        .as("v"))
+    val mm = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val w = (col("mx") - col("mn")) / lit(20.0)
+    o.crossJoin(broadcast(mm))
+      .select(col("v"), col("mn"),
+        least(floor((col("v") - col("mn")) / w), lit(19.0))
+          .cast("int").as("bucket"), w.as("w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("mn")) + col("bucket").cast("double") * min(col("w")), 6)
+          .as("lo"),
+        round(min(col("mn")) + (col("bucket").cast("double") + lit(1.0))
+          * min(col("w")), 6).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val q84Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS v
+      |  FROM orders),
+      |mm AS (
+      |  SELECT MIN(v) AS mn, MAX(v) AS mx,
+      |    (MAX(v) - MIN(v)) / 20.0 AS w
+      |  FROM o)
+      |SELECT CAST(LEAST(FLOOR((v - mn) / w), 19.0) AS INTEGER) AS bucket,
+      |  COUNT(*) AS n,
+      |  round(MIN(mn) + CAST(CAST(LEAST(FLOOR((v - mn) / w), 19.0)
+      |    AS INTEGER) AS DOUBLE) * MIN(w), 6) AS lo,
+      |  round(MIN(mn) + (CAST(CAST(LEAST(FLOOR((v - mn) / w), 19.0)
+      |    AS INTEGER) AS DOUBLE) + 1.0) * MIN(w), 6) AS hi
+      |FROM o CROSS JOIN mm
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_trend_fit" -> (q69TrendFit _),
-    "q70_mad_outliers" -> (q70MadOutliers _))
+    "q70_mad_outliers" -> (q70MadOutliers _),
+    "q84_equiwidth_hist" -> (q84EquiwidthHist _))
 
   def oracles: Map[String, String] = Map(
     "q69_trend_fit" -> q69Sql,
-    "q70_mad_outliers" -> q70Sql)
+    "q70_mad_outliers" -> q70Sql,
+    "q84_equiwidth_hist" -> q84Sql)
 }

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{PageRank, WeightedSample}
-import graft.queries.{EntityQueries, RankQueries, Tpch2Queries}
+import graft.operators.{ColumnProfile, PageRank, WeightedSample}
+import graft.queries.{EntityQueries, LmQueries, RankQueries, StatsQueries,
+  Tpch2Queries}
 
 /** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
   * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
@@ -107,6 +108,60 @@ class Round8Spec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id_1"), r.getAs[Long]("id_2"),
         r.getAs[Int]("dist"))).toSet
     assert(got == Set((1L, 2L, 1), (2L, 3L, 1)), s"got $got")
+  }
+
+  test("q82 profiles prune each scan to its single column") {
+    val df = ColumnProfile.q82ColumnProfile(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("mean_v") &&
+        r.getAs[Double]("mean_v") <= r.getAs[Double]("max_v"))
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    // each unioned branch reads exactly one column
+    Seq("l_quantity", "l_discount").foreach { c =>
+      assert(plan.contains(s"ReadSchema: struct<$c:double>"),
+        s"$c scan not pruned to one column:\n$plan")
+    }
+  }
+
+  test("q83 bigram NLL: model probabilities are conditionals that sum to 1") {
+    val rows = LmQueries.q83BigramNll(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_nll") > 0)
+      assert(r.getAs[Int]("n_bigrams") >= 1)
+    }
+    // a two-token doc scores exactly -ln P(w2|w1) under the corpus model
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bg").toString
+    Seq((1L, "en", "a b"), (2L, "en", "a b"), (3L, "en", "a c"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LmQueries.q83BigramNll(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    val nll = (p: Double) => BigDecimal(-BigDecimal(math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L) - nll(2.0 / 3.0)) < 1e-9) // P(b|a) = 2/3
+    assert(math.abs(got(3L) - nll(1.0 / 3.0)) < 1e-9) // P(c|a) = 1/3
+  }
+
+  test("q84 buckets cover every order exactly once with monotone bounds") {
+    val rows = StatsQueries.q84EquiwidthHist(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 19)
+      assert(r.getAs[Double]("lo") < r.getAs[Double]("hi"))
+    }
+    val plan = StatsQueries.q84EquiwidthHist(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "equi-width hist must not sort/window")
   }
 
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
