@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution by blocked fuzzy string matching: find same-length
@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — the pigeonhole blocking q27 uses for simhash, applied
   * to strings: equal-length strings at levenshtein ≤ 1 differ by at most
-  * ONE substitution, so they agree exactly on at least one of the two
-  * halves of the string. Candidates are the union of two equi-self-joins
-  * on (length, half) — recall-COMPLETE at the threshold with no
-  * all-pairs pass anywhere; the exact levenshtein runs only on
-  * candidates. (Cross-length matches — pure insert/delete edits — are a
-  * third block on the deleted-char projections; out of scope here where
-  * every name is fixed-width.)
+  * ONE substitution, and the changed position lands in exactly one of
+  * any two disjoint position sets — so the pair agrees EXACTLY on the
+  * other set. Candidates are the union of two equi-self-joins on
+  * (length, position-set projection) — recall-COMPLETE at the threshold
+  * with no all-pairs pass anywhere; the exact levenshtein runs only on
+  * candidates. The position sets are INTERLEAVED (even/odd characters),
+  * not contiguous halves: real-world ids and names concentrate their
+  * entropy in a suffix or infix (every name here shares the literal
+  * prefix "Customer#"), and a contiguous first-half key would collapse
+  * to one corpus-sized block — an all-pairs join in disguise. Striding
+  * spreads whatever positions vary across BOTH keys. (Cross-length
+  * matches — pure insert/delete edits — are a third block on
+  * deleted-char projections; out of scope here where every name is
+  * fixed-width.)
   *
   * Every value is an integer or string — no float conventions needed for
   * the cross-engine hash; the DuckDB oracle is the brute-force all-pairs
@@ -25,13 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object EntityQueries {
 
-  // ---------------------------------------------------------------- q81
-  def q81FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
-    val c = Kpis.table(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      .withColumn("len", length(col("name")))
-      .withColumn("h1", substring(col("name"), 1, 9))
-      .withColumn("h2", substring(col("name"), 10, 9))
+  /** Characters at odd positions 1,3,5,… (`keep1`) or even 2,4,6,…:
+    * each regex match consumes two chars and keeps one. */
+  private def stride(c: Column, keepFirst: Boolean): Column =
+    if (keepFirst) regexp_replace(c, "(.).?", "$1")
+    else regexp_replace(c, ".(.)?", "$1")
+
+  /** Blocked candidate pairs (id_1 < id_2), recall-complete for
+    * same-length substitution edits. Package-visible so the spec can
+    * assert the candidate count stays far below all-pairs. */
+  private[graft] def candidatePairs(c: DataFrame): DataFrame = {
     def side(tag: String) = c.select(
       col("id").as(s"id_$tag"), col("name").as(s"name_$tag"),
       col("len").as(s"len_$tag"), col("h1").as(s"h1_$tag"),
@@ -47,6 +57,16 @@ object EntityQueries {
     byH1.select(cols.map(col): _*)
       .unionAll(byH2.select(cols.map(col): _*))
       .distinct() // a pair agreeing on BOTH halves appears in both blocks
+  }
+
+  // ---------------------------------------------------------------- q81
+  def q81FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val c = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .withColumn("len", length(col("name")))
+      .withColumn("h1", stride(col("name"), keepFirst = true))
+      .withColumn("h2", stride(col("name"), keepFirst = false))
+    candidatePairs(c)
       .withColumn("dist", levenshtein(col("name_1"), col("name_2")))
       .filter(col("dist") <= 1)
       .orderBy("id_1", "id_2")

@@ -171,4 +171,23 @@ class Round8Spec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join shape in:\n$plan")
   }
+
+  test("q81 interleaved blocking keeps candidates far below all-pairs") {
+    // contiguous halves would degenerate here: every name shares the
+    // literal prefix "Customer#", making a first-half block corpus-sized
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .withColumn("len", length(col("name")))
+      .withColumn("h1", regexp_replace(col("name"), "(.).?", "$1"))
+      .withColumn("h2", regexp_replace(col("name"), ".(.)?", "$1"))
+    val n = c.count()
+    val cand = EntityQueries.candidatePairs(c).count()
+    val allPairs = n * (n - 1) / 2
+    // threshold is loose because n is tiny here (~150 names ⇒ coarse
+    // blocks); the cut ratio grows with corpus size (≈6% at sf0.01).
+    // the guarded failure mode — a corpus-sized block — would put cand
+    // at ≈ allPairs
+    assert(cand < allPairs / 4,
+      s"blocking degenerated: $cand candidates vs $allPairs all-pairs")
+  }
 }
