@@ -31,39 +31,49 @@ object PageRank {
 
   /** `iters` rounds over `edges` (src, dst; every node must appear as a
     * src — feed symmetric edges for undirected graphs, or pre-patch
-    * dangling nodes). Returns (node, r, n_out). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
-    val edgesW = edges.join(outdeg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
-    val nodes = edgesW.select(col("src").as("node")).distinct()
+    * dangling nodes). Returns (node, r, n_out).
+    *
+    * `broadcastRanks` (default true) ships the node-sized rank vector to
+    * the edge partitions each round — right whenever nodes ≪ edges fits
+    * in executor memory (dimension-graph scale, like this trade graph).
+    * For billion-node web graphs set it false: the contribution join
+    * then shuffles BOTH sides on src, and the persisted edge list keeps
+    * a stable partitioning across rounds so only the skinny rank vector
+    * actually moves. */
+  def pageRank(edges: DataFrame, iters: Int,
+               broadcastRanks: Boolean = true): DataFrame = {
+    val edgesW = edges.persist(StorageLevel.MEMORY_AND_DISK) // reused every round
+    // outdeg doubles as the node set: one row per src = one per node
+    // (every node appears as a src by contract) — no separate distinct
+    // pass over the edges, and n_out rides along to the output for free
+    val nodes = edgesW.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_out"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nn = nodes.agg(count(lit(1)).as("n"))
     val r0 = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), col("n"),
+      .select(col("node"), col("n_out"), col("n"),
         round(lit(1.0) / col("n").cast("double"), 12).as("r"))
     val rFinal = (1 to iters).foldLeft(r0) { (ranks, _) =>
-      val contrib = ranks
-        .join(edgesW, ranks("node") === edgesW("src"))
-        .select(col("dst"),
-          round(col("r") / col("n_out").cast("double"), 12)
-            .cast("decimal(38,12)").as("c"))
+      val shares = ranks.select(col("node"),
+        round(col("r") / col("n_out").cast("double"), 12).as("share"))
+      val contrib = (if (broadcastRanks) broadcast(shares) else shares)
+        .join(edgesW, col("node") === edgesW("src"))
+        .select(col("dst"), col("share").cast("decimal(38,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       nodes.crossJoin(broadcast(nn))
         .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"), col("n"),
+        .select(col("node"), col("n_out"), col("n"),
           round(lit(0.15) / col("n").cast("double") + lit(Damping) *
             coalesce(col("s"), lit(0).cast("decimal(38,12)")).cast("double"),
             12).as("r"))
     }
-    // Materialize the node-sized rank vector eagerly so edgesW can be
-    // unpersisted HERE (the q44 lesson: CacheManager pins persist()
-    // entries strongly, so a lazy plan over edgesW would retain the edge
-    // table for the JVM's lifetime).
-    val out = rFinal
-      .join(outdeg, rFinal("node") === outdeg("src"))
-      .select(col("node"), col("r"), col("n_out"))
+    // Materialize the node-sized rank vector eagerly so the persisted
+    // inputs can be unpersisted HERE (the q44 lesson: CacheManager pins
+    // persist() entries strongly, so a lazy plan over them would retain
+    // the edge table for the JVM's lifetime).
+    val out = rFinal.select(col("node"), col("r"), col("n_out"))
       .localCheckpoint(true)
-    edgesW.unpersist()
+    edgesW.unpersist(); nodes.unpersist()
     out
   }
 
