@@ -128,6 +128,80 @@ object CurationQueries {
       |      / LEAST(len(sa.sh), len(sb.sh)) >= 0.9
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** C4-style span-level exact dedup: chunk every document into
+    * non-overlapping 16-token spans (the paragraph unit of a corpus with
+    * no layout structure — C4 proper keys on three-sentence spans, same
+    * plan), fingerprint each span, and keep only the FIRST occurrence
+    * (smallest (doc_id, chunk_idx)) of every repeated span. Reported per
+    * document: span counts, how many of its spans lost to an earlier
+    * occurrence, and the duplicate fraction — the per-doc removal mask a
+    * curation pass applies before packing. Catches the cross-document
+    * boilerplate/excerpt repetition that whole-doc fingerprints (q19/q25)
+    * miss and near-dup thresholds under-weigh.
+    *
+    * Scale shape: chunking is ARRAY-level on the tokenized row (no
+    * shuffle); the winner election is one hash-shuffle on the span
+    * fingerprint with full map-side partial aggregation (min(struct) —
+    * the q61 compaction shape, NOT a window over the span stream); the
+    * mark-back is an equi-join on the same fingerprint key; the per-doc
+    * rollup is one more map-side-combinable agg. Fingerprints are md5
+    * hex (16 bytes) so the two span-keyed exchanges never carry span
+    * TEXT — the q55 hashed-shingle lesson.
+    *
+    * Winner parity: Spark's min(struct(doc_id, ci)) ≡ the oracle's
+    * row_number ORDER BY doc_id, ci — (doc_id, ci) is unique by
+    * construction, so the tie question never arises (unlike q61). */
+  def q85ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val spans = d.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(P.toDouble))
+            .cast("int") - 1),
+          i => array_join(slice(col("toks"), i * P + 1, lit(P)), " ")))
+          .as(Seq("ci", "span")))
+      .select(col("doc_id"), col("ci"), md5(col("span")).as("fp"))
+    val winners = spans.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("w"))
+    spans.join(winners, "fp")
+      .select(col("doc_id"), col("ci"),
+        (!(col("doc_id") === col("w.doc_id") && col("ci") === col("w.ci")))
+          .cast("long").as("is_dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("is_dup")).as("n_dup"),
+        round(sum(col("is_dup")).cast("double") / count(lit(1)), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q85Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |pos AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(len(toks) / 16.0) AS INTEGER) - 1)) AS ci
+      |  FROM d),
+      |spans AS (
+      |  SELECT doc_id, ci,
+      |    md5(array_to_string(toks[ci * 16 + 1 : ci * 16 + 16], ' ')) AS fp
+      |  FROM pos),
+      |marked AS (
+      |  SELECT doc_id, ci,
+      |    CASE WHEN row_number() OVER (
+      |      PARTITION BY fp ORDER BY doc_id, ci) = 1
+      |    THEN 0 ELSE 1 END AS is_dup
+      |  FROM spans)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+      |  round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** Per-language quality quota: rank documents inside each language by a
     * replayable quality score (lexical diversity × log length, the
@@ -226,10 +300,12 @@ object CurationQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_containment_dup" -> (q55ContainmentDup _),
     "q56_quota_curation" -> (q56QuotaCuration _),
-    "q57_global_shuffle" -> (q57GlobalShuffle _))
+    "q57_global_shuffle" -> (q57GlobalShuffle _),
+    "q85_paragraph_dedup" -> (q85ParagraphDedup _))
 
   def oracles: Map[String, String] = Map(
     "q55_containment_dup" -> q55Sql,
     "q56_quota_curation" -> q56Sql,
-    "q57_global_shuffle" -> q57Sql)
+    "q57_global_shuffle" -> q57Sql,
+    "q85_paragraph_dedup" -> q85Sql)
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ColumnProfile, PageRank, WeightedSample}
-import graft.queries.{EntityQueries, LmQueries, RankQueries, StatsQueries,
-  Tpch2Queries}
+import graft.queries.{CurationQueries, EntityQueries, LmQueries,
+  RankQueries, StatsQueries, Tpch2Queries}
 
 /** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
   * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
@@ -162,6 +162,37 @@ class Round8Spec extends AnyFunSuite {
     val plan = StatsQueries.q84EquiwidthHist(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "equi-width hist must not sort/window")
+  }
+
+  test("q85 span dedup: first occurrence wins, repeats are marked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("c4").toString
+    val span = (1 to 16).map(i => s"w$i").mkString(" ") // one exact span
+    Seq(
+      (1L, span),                                  // owns the span
+      (2L, span),                                  // full repeat → dup
+      (3L, span + " tail words here"),             // span + partial tail
+      (4L, "completely different words only")      // untouched
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.q85ParagraphDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"))).toMap
+    assert(got(1L) == (1L, 0L), s"owner marked dup: $got")
+    assert(got(2L) == (1L, 1L), s"repeat not marked: $got")
+    assert(got(3L) == (2L, 1L), s"span+tail wrong: $got") // tail unique
+    assert(got(4L) == (1L, 0L), s"clean doc flagged: $got")
+  }
+
+  test("q85 plans winner election as an agg with map-side partials, not a window") {
+    val df = CurationQueries.q85ParagraphDedup(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"span winner must not window:\n$plan")
+    assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the fixture's planted excerpts yield at least one duplicated span
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0, "no dup spans found")
   }
 
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
