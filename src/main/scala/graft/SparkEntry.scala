@@ -40,7 +40,8 @@ object SparkEntry {
       graft.operators.WeightedSample.queries ++
       graft.operators.PageRank.queries ++
       graft.queries.EntityQueries.queries ++
-      graft.operators.ColumnProfile.queries
+      graft.operators.ColumnProfile.queries ++
+      graft.queries.FunnelQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.operators.WeightedSample.oracles ++
       graft.operators.PageRank.oracles ++
       graft.queries.EntityQueries.oracles ++
-      graft.operators.ColumnProfile.oracles
+      graft.operators.ColumnProfile.oracles ++
+      graft.queries.FunnelQueries.oracles
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over the event stream —
+  * the two product-analytics primitives (beside q34's sessionization and
+  * q75's attribution) every event warehouse is asked for.
+  */
+object FunnelQueries {
+
+  // ---------------------------------------------------------------- q86
+  /** Strictly-ordered view→click→purchase funnel: a user clears stage 2
+    * only with a click STRICTLY AFTER their first view, stage 3 only
+    * with a purchase strictly after that click. Computed as a cascade of
+    * per-user min-timestamp aggregates — each stage is one selective
+    * scan (event_type is a PushedFilter) joined to the previous stage's
+    * user-sized frame, never a per-user event-sequence sort: the window
+    * formulation would shuffle and sort the WHOLE stream; this shape
+    * shuffles one row per qualifying user per stage.
+    *
+    * Output: one row per stage with user counts and the conversion rate
+    * from stage 1 (exact integer counts; one double division). */
+  def q86Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, n: Int, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(label).as("step"), col("n_users"))
+    val out = stage(v, 1, "view")
+      .unionAll(stage(c, 2, "view>click"))
+      .unionAll(stage(p, 3, "view>click>purchase"))
+    val base = v.agg(count(lit(1)).as("n_base"))
+    out.crossJoin(broadcast(base))
+      .select(col("stage"), col("step"), col("n_users"),
+        (col("n_users").cast("double") / col("n_base").cast("double"))
+          .as("conversion"))
+      .orderBy("stage")
+  }
+
+  val q86Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'view>click', COUNT(*) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', COUNT(*) FROM p),
+      |base AS (SELECT COUNT(*) AS n_base FROM v)
+      |SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE) AS conversion
+      |FROM stages CROSS JOIN base
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** Weekly cohort retention: users grouped by their first-activity week
+    * (date_trunc 'week' — Monday starts in both engines), counted in
+    * every later week they re-appear, as (cohort_week, week_offset)
+    * cells with the retention rate against the cohort's size.
+    *
+    * Scale shape: one distinct over (user, week) — the only
+    * corpus-sized shuffle; the first-seen reduction and the cohort-size
+    * join are user- and cohort-sized. Offsets are exact integer
+    * day-diffs / 7; the rate is one double division. */
+  def q87Retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q87Sql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+      |      AS week_offset,
+      |    COUNT(*) AS n_users
+      |  FROM weeks JOIN cohort USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_funnel" -> (q86Funnel _),
+    "q87_retention" -> (q87Retention _))
+
+  def oracles: Map[String, String] = Map(
+    "q86_funnel" -> q86Sql,
+    "q87_retention" -> q87Sql)
+}

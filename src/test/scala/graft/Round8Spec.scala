@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ColumnProfile, PageRank, WeightedSample}
-import graft.queries.{CurationQueries, EntityQueries, LmQueries,
-  RankQueries, StatsQueries, Tpch2Queries}
+import graft.queries.{CurationQueries, EntityQueries, FunnelQueries,
+  LmQueries, RankQueries, StatsQueries, Tpch2Queries}
 
 /** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
   * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
@@ -193,6 +193,51 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // the fixture's planted excerpts yield at least one duplicated span
     assert(rows.map(_.getAs[Long]("n_dup")).sum > 0, "no dup spans found")
+  }
+
+  test("q86 funnel stages shrink monotonically and honor strict order") {
+    val rows = FunnelQueries.q86Funnel(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val ns = rows.sortBy(_.getAs[Int]("stage")).map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel widened: ${ns.toSeq}")
+    assert(rows.head.getAs[Double]("conversion") == 1.0)
+    // strict ordering on a crafted stream: click at the SAME ts as the
+    // first view must NOT clear stage 2
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fun").toString
+    // events.ts is a nanosecond long in the testdata layout (eventsTable
+    // rebuilds the timestamp via integer division)
+    val t0 = 1704067200L * 1000000000L
+    val t1 = t0 + 3600L * 1000000000L
+    Seq(
+      (1L, t0, 10L, "view", 0.0, "{}"),
+      (2L, t0, 10L, "click", 0.0, "{}"),  // tie — excluded
+      (3L, t0, 20L, "view", 0.0, "{}"),
+      (4L, t1, 20L, "click", 0.0, "{}"),  // strictly after — counts
+      (5L, t1, 30L, "click", 0.0, "{}"))  // click with no view at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = FunnelQueries.q86Funnel(spark, dir).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got(1) == 2L && got(2) == 1L && got(3) == 0L, s"got $got")
+  }
+
+  test("q87 retention: offset-0 cells cover every cohort at rate 1.0") {
+    val rows = FunnelQueries.q87Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.filter(_.getAs[Int]("week_offset") == 0)
+    // every user is active in their own cohort week ⇒ offset 0 = size
+    zero.foreach(r => assert(r.getAs[Double]("retention") == 1.0,
+      s"cohort ${r.get(0)} offset-0 rate ${r.get(3)}"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("week_offset") >= 0)
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0 && ret <= 1.0)
+    }
+    // cohorts partition the user base: offset-0 counts sum to all users
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(zero.map(_.getAs[Long]("n_users")).sum == users)
   }
 
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
