@@ -20,10 +20,9 @@ import org.apache.spark.sql.functions._
   * entropy in a suffix or infix (every name here shares the literal
   * prefix "Customer#"), and a contiguous first-half key would collapse
   * to one corpus-sized block — an all-pairs join in disguise. Striding
-  * spreads whatever positions vary across BOTH keys. (Cross-length
-  * matches — pure insert/delete edits — are a third block on
-  * deleted-char projections; out of scope here where every name is
-  * fixed-width.)
+  * spreads whatever positions vary across BOTH keys. Cross-length
+  * matches — pure insert/delete edits — are q88's deletion-neighborhood
+  * (SymSpell) blocking below.
   *
   * Every value is an integer or string — no float conventions needed for
   * the cross-engine hash; the DuckDB oracle is the brute-force all-pairs
@@ -113,9 +112,87 @@ object EntityQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_1, id_2""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** SymSpell deletion-neighborhood blocking — the cross-length
+    * completion of q81: every string's block keys are ITSELF plus all
+    * single-character deletions. Any pair at levenshtein ≤ 1 shares a
+    * key: a substitution pair meets at the variant deleting the changed
+    * position from both; an insert/delete pair meets at the shorter
+    * string itself (= one of the longer's deletion variants); identical
+    * strings meet at themselves. Recall-complete for the FULL lev ≤ 1
+    * relation, not just same-length — at |s|+1 keys per row instead of
+    * q81's two.
+    *
+    * Derived corpus: customer names ∪ a typo'd variant of every 7th name
+    * (one character deleted at a name-dependent position; clone ids
+    * offset +1000000 — the q55 derived-corpus convention), so the
+    * cross-length path is actually exercised and the all-pairs oracle
+    * certifies it.
+    *
+    * Scale shape: the key index is an explode (≤ |s|+1 entries per row,
+    * dedup'd), candidates come from one equi-self-join on the key, the
+    * exact verify runs before the pair-dedup (the q81 ordering), and the
+    * probe side is explicitly repartitioned for the same
+    * single-input-split reason. */
+  def q88SymspellNames(spark: SparkSession, dir: String): DataFrame = {
+    val base = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val typos = base.filter(col("id") % 7 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        // delete the (id mod len)+1-th character
+        concat(
+          substr(col("name"), lit(1), pmod(col("id"), length(col("name")))),
+          substr(col("name"),
+            pmod(col("id"), length(col("name"))) + lit(2),
+            length(col("name")))).as("name"))
+    val corpus = base.unionAll(typos)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // key set: self ∪ all delete-1 variants (dedup'd — deleting any char
+    // of a run yields the same string)
+    val keyed = corpus.select(col("id"), col("name"),
+        explode(array_distinct(concat(
+          array(col("name")),
+          transform(sequence(lit(1), length(col("name"))),
+            i => concat(substr(col("name"), lit(1), i - 1),
+              substr(col("name"), i + 1, length(col("name")))))
+        ))).as("key"))
+      .repartition(nPart, col("key"))
+    val a = keyed.select(col("id").as("id_1"), col("name").as("name_1"),
+      col("key"))
+    val b = keyed.select(col("id").as("id_2"), col("name").as("name_2"),
+      col("key"))
+    a.join(b, Seq("key"))
+      .filter(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"),
+        levenshtein(col("name_1"), col("name_2")).as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct() // a pair may share several keys
+      .orderBy("id_1", "id_2")
+  }
+
+  val q88Sql: String =
+    """WITH corpus AS (
+      |  SELECT c_custkey AS id, c_name AS name FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
+      |      || substr(c_name,
+      |           CAST(c_custkey % length(c_name) AS INTEGER) + 2,
+      |           length(c_name))
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT a.id AS id_1, b.id AS id_2,
+      |  a.name AS name_1, b.name AS name_2,
+      |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+      |FROM corpus a JOIN corpus b
+      |  ON a.id < b.id
+      |WHERE levenshtein(a.name, b.name) <= 1
+      |ORDER BY id_1, id_2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_fuzzy_names" -> (q81FuzzyNames _))
+    "q81_fuzzy_names" -> (q81FuzzyNames _),
+    "q88_symspell_names" -> (q88SymspellNames _))
 
   def oracles: Map[String, String] = Map(
-    "q81_fuzzy_names" -> q81Sql)
+    "q81_fuzzy_names" -> q81Sql,
+    "q88_symspell_names" -> q88Sql)
 }

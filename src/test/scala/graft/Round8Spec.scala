@@ -240,6 +240,27 @@ class Round8Spec extends AnyFunSuite {
     assert(zero.map(_.getAs[Long]("n_users")).sum == users)
   }
 
+  test("q88 SymSpell blocking recovers every planted cross-length typo") {
+    val rows = EntityQueries.q88SymspellNames(spark, sfDir).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_1"),
+      r.getAs[Long]("id_2"), r.getAs[Int]("dist")))
+    // every 7th customer has a one-char-deleted clone at id+1000000:
+    // each must pair with its base at dist 1 (cross-length — q81's
+    // same-length scheme cannot see these)
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    val planted = (0L until n by 7).map(id => (id, id + 1000000L)).toSet
+    val found = pairs.filter { case (a, b, _) => b == a + 1000000L }
+      .map { case (a, b, _) => (a, b) }.toSet
+    assert(planted.subsetOf(found),
+      s"missed typo pairs: ${(planted -- found).take(5)}")
+    pairs.foreach { case (_, _, d) => assert(d >= 0 && d <= 1) }
+    val plan = EntityQueries.q88SymspellNames(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in:\n$plan")
+  }
+
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
     val df = EntityQueries.q81FuzzyNames(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
