@@ -170,15 +170,63 @@ object ReshapeQueries {
       |    / lag(revenue) OVER (ORDER BY day) AS dod_growth
       |FROM daily ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Per-customer running order balance — the PARTITIONED window shape
+    * (unlike q4/q74, whose inputs are pre-reduced to day grain and whose
+    * single-partition windows are justified by that): every customer's
+    * orders in date order with a cumulative total. The window partitions
+    * by custkey, so the sort is per-customer within hash partitions —
+    * fully distributed, no global sort until the (bounded) output
+    * ordering.
+    *
+    * Exactness: the running sum accumulates DECIMAL(18,4) (associative,
+    * so the frame-by-frame accumulation cannot drift from DuckDB's) and
+    * casts to double per output row; the frame order is TOTAL
+    * ((orderdate, orderkey)) so every prefix is identical cross-engine.
+    * Output is capped to the first 50 customers to keep the verify dump
+    * bounded — the cap is a pushed-down key filter, not a limit after
+    * the window. */
+  def q89RunningBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Kpis.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,4)").as("p"))
+      .withColumn("running_total", sum(col("p")).over(w).cast("double"))
+      .withColumn("order_seq", row_number().over(w))
+      .select(col("o_custkey"), col("order_seq"), col("o_orderkey"),
+        col("o_orderdate"), col("p").cast("double").as("o_totalprice"),
+        col("running_total"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val q89Sql: String =
+    """SELECT o_custkey,
+      |  CAST(row_number() OVER w AS INTEGER) AS order_seq,
+      |  o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    AS running_total
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_quartile_bins" -> (q71QuartileBins _),
     "q72_exact_corr" -> (q72ExactCorr _),
     "q73_daily_pivot" -> (q73DailyPivot _),
-    "q74_dod_growth" -> (q74DodGrowth _))
+    "q74_dod_growth" -> (q74DodGrowth _),
+    "q89_running_balance" -> (q89RunningBalance _))
 
   def oracles: Map[String, String] = Map(
     "q71_quartile_bins" -> q71Sql,
     "q72_exact_corr" -> q72Sql,
     "q73_daily_pivot" -> q73Sql,
-    "q74_dod_growth" -> q74Sql)
+    "q74_dod_growth" -> q74Sql,
+    "q89_running_balance" -> q89Sql)
 }

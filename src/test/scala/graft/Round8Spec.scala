@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ColumnProfile, PageRank, WeightedSample}
 import graft.queries.{CurationQueries, EntityQueries, FunnelQueries,
-  LmQueries, RankQueries, StatsQueries, Tpch2Queries}
+  LmQueries, RankQueries, ReshapeQueries, StatsQueries, Tpch2Queries}
 
 /** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
   * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
@@ -259,6 +259,32 @@ class Round8Spec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join shape in:\n$plan")
+  }
+
+  test("q89 running balance: prefix sums reconcile and the filter is pushed") {
+    val df = ReshapeQueries.q89RunningBalance(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per customer: seq is 1..n and the final running total equals the
+    // independent sum of that customer's order totals
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (ck, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("order_seq"))
+      assert(sorted.map(_.getAs[Int]("order_seq")).toSeq ==
+        (1 to rs.length), s"cust $ck seq broken")
+      val direct = BigDecimal(sorted.map(r =>
+        BigDecimal(r.getAs[Double]("o_totalprice"))).sum.toDouble)
+      val last = sorted.last.getAs[Double]("running_total")
+      assert(math.abs(last - direct.toDouble) < 1e-6,
+        s"cust $ck total $last vs $direct")
+      sorted.map(_.getAs[Double]("running_total")).sliding(2).foreach {
+        case Array(a2, b2) => assert(b2 >= a2, s"cust $ck not monotone")
+        case _ =>
+      }
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,50)"),
+      s"custkey cap not pushed to scan:\n$plan")
+    assert(plan.contains("Window"), "running total must be a window")
   }
 
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
