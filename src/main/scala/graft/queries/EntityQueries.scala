@@ -87,8 +87,10 @@ object EntityQueries {
           col(s"${h}_1") === col(s"${h}_2") &&
           col("id_1") < col("id_2"))
       .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"),
-        levenshtein(col("name_1"), col("name_2")).as("dist"))
-      .filter(col("dist") <= 1)
+        // threshold form: the DP aborts once the running minimum
+        // exceeds 1 (returns -1), instead of filling the full matrix
+        levenshtein(col("name_1"), col("name_2"), 1).as("dist"))
+      .filter(col("dist") >= 0)
     block("h1").unionAll(block("h2")).distinct()
   }
 
@@ -164,8 +166,8 @@ object EntityQueries {
     a.join(b, Seq("key"))
       .filter(col("id_1") < col("id_2"))
       .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"),
-        levenshtein(col("name_1"), col("name_2")).as("dist"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("name_1"), col("name_2"), 1).as("dist"))
+      .filter(col("dist") >= 0) // -1 = early-exited past the threshold
       .distinct() // a pair may share several keys
       .orderBy("id_1", "id_2")
   }

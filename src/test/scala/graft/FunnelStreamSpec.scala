@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.FunnelQueries
+import graft.streaming.FunnelStream
+import graft.streaming.FunnelStream.{Ev, StageHit}
+
+/** Streaming funnel: batch-equivalence against q86 and cross-batch state. */
+class FunnelStreamSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  import spark.implicits._
+
+  test("static stageHits reproduce the batch funnel counts exactly") {
+    val evs = queries.Kpis.eventsTable(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[Ev]
+    val streamed = FunnelStream.stageHits(evs).collect()
+      .groupBy(_.stage).view.mapValues(_.length.toLong).toMap
+    val batch = FunnelQueries.q86Funnel(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert((1 to 3).forall(s =>
+      streamed.getOrElse(s, 0L) == batch(s)),
+      s"streamed $streamed vs batch $batch")
+  }
+
+  test("funnel state persists across micro-batches; ties stay rejected") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = FunnelStream.stageHits(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: view at t=1s, click at the SAME instant (must not clear)
+      mem.addData(Ev(7, 1, 1000000L, "view"), Ev(7, 2, 1000000L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").as[StageHit].collect().toSet ==
+        Set(StageHit(7, 1, 1000000L)))
+      // batch 2: a later click clears stage 2 using batch-1 state;
+      // a purchase strictly after it clears stage 3 in the same batch
+      mem.addData(Ev(7, 3, 2000000L, "click"), Ev(7, 4, 3000000L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").as[StageHit].collect().toSet ==
+        Set(StageHit(7, 1, 1000000L), StageHit(7, 2, 2000000L),
+          StageHit(7, 3, 3000000L)))
+    } finally q.stop()
+  }
+}
