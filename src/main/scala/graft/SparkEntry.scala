@@ -41,7 +41,8 @@ object SparkEntry {
       graft.operators.PageRank.queries ++
       graft.queries.EntityQueries.queries ++
       graft.operators.ColumnProfile.queries ++
-      graft.queries.FunnelQueries.queries
+      graft.queries.FunnelQueries.queries ++
+      graft.operators.SnapshotDiff.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.operators.PageRank.oracles ++
       graft.queries.EntityQueries.oracles ++
       graft.operators.ColumnProfile.oracles ++
-      graft.queries.FunnelQueries.oracles
+      graft.queries.FunnelQueries.oracles ++
+      graft.operators.SnapshotDiff.oracles
 }

@@ -4,7 +4,8 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DupClusters, SequencePack}
+import graft.operators.{DupClusters, PageRank, SequencePack, SnapshotDiff,
+  WeightedSample}
 
 /** Property-based invariants for the distributed graph/packing operators,
   * driven by ScalaCheck generators with fixed seeds (deterministic CI)
@@ -170,6 +171,94 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       // structural invariants independent of the model above
       got.foreach { case (id, _, nSeqs, off) =>
         assert(nSeqs >= 1 && off >= 0 && off < capacity, s"doc $id seed $seed")
+      }
+    }
+  }
+
+  test("pageRank conserves mass and matches a sequential power iteration") {
+    import org.apache.spark.sql.functions.col
+    val graphGen = for {
+      n <- Gen.choose(3, 10)
+      m <- Gen.choose(n, 3 * n)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (s"v$a", s"v$b"))
+      if pairs.nonEmpty
+    } yield pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    (1L to 8L).foreach { seed =>
+      val edges = sample(graphGen, seed)
+      val got = PageRank.pageRank(edges.toDF("src", "dst"), iters = 2)
+        .collect().map(r => r.getAs[String]("node") ->
+          (r.getAs[Double]("r"), r.getAs[Long]("n_out"))).toMap
+      // independent sequential power iteration on the same 12-dp grid
+      val nodes = edges.map(_._1).distinct.sorted
+      val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      def rnd12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var r = nodes.map(_ -> rnd12(1.0 / nodes.size)).toMap
+      (1 to 2).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        r = nodes.map { v =>
+          val s = in.getOrElse(v, Nil)
+            .map(u => BigDecimal(rnd12(r(u) / out(u)))).sum
+          v -> rnd12(0.15 / nodes.size + 0.85 * s.toDouble)
+        }.toMap
+      }
+      nodes.foreach { v =>
+        assert(got(v)._1 == r(v), s"seed $seed node $v: ${got(v)._1} vs ${r(v)}")
+        assert(got(v)._2 == out(v).toLong, s"seed $seed outdeg $v")
+      }
+      // symmetric graph, no dangling ⇒ total mass ≈ 1 on the 12-dp grid
+      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-6, s"seed $seed")
+    }
+  }
+
+  test("A-ES weighted sample: k >= n returns everything; order is scale-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rowsGen = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.choose(0.5, 500.0))
+    } yield ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    (1L to 8L).foreach { seed =>
+      val rows = sample(rowsGen, seed)
+      val df = rows.toDF("id", "w")
+      def pick(k: Int, scale: Double) = WeightedSample.sampleByWeight(
+          df.withColumn("w", col("w") * scale),
+          key = col("id").cast("string"), weight = col("w"), k = k)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(pick(rows.size + 5, 1.0).toSet == rows.map(_._1).toSet,
+        s"seed $seed: k >= n must return all rows")
+      // scaling every weight by a constant rescales ln(u)/w uniformly —
+      // the selected set AND its order cannot change
+      assert(pick(3, 1.0) == pick(3, 7.5), s"seed $seed: not scale-invariant")
+    }
+  }
+
+  test("snapshot diff classifies against a sequential model incl. null flips") {
+    val snapGen = for {
+      n <- Gen.choose(4, 15)
+      olds <- Gen.listOfN(n, Gen.option(Gen.choose(0, 3)))
+      news <- Gen.listOfN(n, Gen.option(Gen.choose(0, 3)))
+      inOld <- Gen.listOfN(n, Gen.prob(0.8))
+      inNew <- Gen.listOfN(n, Gen.prob(0.8))
+    } yield (0 until n).map(i =>
+      (i.toLong, olds(i).map(_.toString), news(i).map(_.toString),
+        inOld(i), inNew(i)))
+    (1L to 10L).foreach { seed =>
+      val rows = sample(snapGen, seed)
+      val oldDf = rows.filter(_._4).map(r => (r._1, r._2)).toDF("k", "v")
+      val newDf = rows.filter(_._5).map(r => (r._1, r._3)).toDF("k", "v")
+      val got = SnapshotDiff.diff(oldDf, newDf, "k", Seq("v")).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("change")).toMap
+      rows.foreach { case (k, ov, nv, inOld, inNew) =>
+        val expected = (inOld, inNew) match {
+          case (false, false) => None
+          case (false, true) => Some("added")
+          case (true, false) => Some("removed")
+          case (true, true) =>
+            Some(if (ov == nv) "unchanged" else "changed")
+        }
+        assert(got.get(k) == expected, s"seed $seed key $k")
       }
     }
   }
