@@ -139,6 +139,39 @@ object ReshapeQueries {
       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Wide→long unpivot (melt) — the inverse reshape of q73, composed ON
+    * q73's pivot so one plan round-trips both directions: the daily
+    * event matrix melts back to (day, event_type, n) rows, keeping
+    * zero-count cells (the pivot's fill) — which is exactly how the two
+    * reshapes differ from a plain groupBy: the long form is DENSE over
+    * days × the declared type columns. Unpivot is a pure-map Expand
+    * (5 output rows per input row, no shuffle of its own); the only
+    * exchanges are q73's. */
+  def q91UnpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    q73DailyPivot(spark, dir)
+      .unpivot(
+        ids = Array(col("day")),
+        values = Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        variableColumnName = "event_type",
+        valueColumnName = "n")
+      .orderBy("day", "event_type")
+
+  val q91Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |types AS (
+      |  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+      |    AS event_type),
+      |counts AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT d.day, t.event_type,
+      |  COALESCE(c.n, 0) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+      |ORDER BY d.day, t.event_type""".stripMargin
+
   // ---------------------------------------------------------------- q74
   /** Day-over-day revenue growth: lag window over the (bounded, one row
     * per day) daily aggregate — the single-partition window is justified
@@ -221,12 +254,14 @@ object ReshapeQueries {
     "q72_exact_corr" -> (q72ExactCorr _),
     "q73_daily_pivot" -> (q73DailyPivot _),
     "q74_dod_growth" -> (q74DodGrowth _),
-    "q89_running_balance" -> (q89RunningBalance _))
+    "q89_running_balance" -> (q89RunningBalance _),
+    "q91_unpivot_daily" -> (q91UnpivotDaily _))
 
   def oracles: Map[String, String] = Map(
     "q71_quartile_bins" -> q71Sql,
     "q72_exact_corr" -> q72Sql,
     "q73_daily_pivot" -> q73Sql,
     "q74_dod_growth" -> q74Sql,
-    "q89_running_balance" -> q89Sql)
+    "q89_running_balance" -> q89Sql,
+    "q91_unpivot_daily" -> q91Sql)
 }

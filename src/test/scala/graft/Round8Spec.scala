@@ -287,6 +287,20 @@ class Round8Spec extends AnyFunSuite {
     assert(plan.contains("Window"), "running total must be a window")
   }
 
+  test("q91 unpivot round-trips q73's pivot cells exactly") {
+    val wide = ReshapeQueries.q73DailyPivot(spark, sfDir).collect()
+    val long = ReshapeQueries.q91UnpivotDaily(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    assert(long.size == wide.length * 5, "melt must be dense: days × types")
+    wide.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      Seq("click", "error", "purchase", "signup", "view").foreach { t =>
+        assert(long((day, t)) == r.getAs[Long](t), s"cell ($day, $t)")
+      }
+    }
+  }
+
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
     val df = EntityQueries.q81FuzzyNames(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
