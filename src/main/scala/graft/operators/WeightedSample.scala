@@ -38,7 +38,11 @@ object WeightedSample {
        |  / 1152921504606846976.0) / CAST($weightE AS DOUBLE), 9)""".stripMargin
 
   /** The k rows with the largest [[aesScore]]; ties (p ≈ 2^-60) break on
-    * the key so the sample is a total function of the corpus. */
+    * the key so the sample is a total function of the corpus.
+    * PRECONDITION: weights must be strictly positive (the A-ES key
+    * ln(u)/w flips sign at w < 0 and degenerates at 0 — standard for the
+    * algorithm; filter or clamp upstream if a weight column can be
+    * non-positive). */
   def sampleByWeight(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame =
     df.withColumn("aes_score", aesScore(key, weight))

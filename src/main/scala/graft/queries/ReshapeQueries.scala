@@ -222,12 +222,16 @@ object ReshapeQueries {
   def q89RunningBalance(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // explicit ROWS frame, spelled like the oracle (Spark's default for
+    // an ordered window is RANGE, which only coincides with ROWS because
+    // the order is total — say what we mean instead of relying on that)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Kpis.table(spark, dir, "orders")
       .filter(col("o_custkey") < 50)
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_totalprice").cast("decimal(18,4)").as("p"))
-      .withColumn("running_total", sum(col("p")).over(w).cast("double"))
+      .withColumn("running_total", sum(col("p")).over(frame).cast("double"))
       .withColumn("order_seq", row_number().over(w))
       .select(col("o_custkey"), col("order_seq"), col("o_orderkey"),
         col("o_orderdate"), col("p").cast("double").as("o_totalprice"),

@@ -135,10 +135,14 @@ object StatsQueries {
         .as("v"))
     val mm = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val w = (col("mx") - col("mn")) / lit(20.0)
+    // degenerate constant column (mn = mx ⇒ width 0): everything lands
+    // in bucket 0 by definition — without the guard the division yields
+    // NaN/∞, where the engines' floor/least semantics diverge
+    val bucket = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(least(floor((col("v") - col("mn")) / w), lit(19.0)))
     o.crossJoin(broadcast(mm))
       .select(col("v"), col("mn"),
-        least(floor((col("v") - col("mn")) / w), lit(19.0))
-          .cast("int").as("bucket"), w.as("w"))
+        bucket.cast("int").as("bucket"), w.as("w"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col("mn")) + col("bucket").cast("double") * min(col("w")), 6)
@@ -156,11 +160,14 @@ object StatsQueries {
       |  SELECT MIN(v) AS mn, MAX(v) AS mx,
       |    (MAX(v) - MIN(v)) / 20.0 AS w
       |  FROM o)
-      |SELECT CAST(LEAST(FLOOR((v - mn) / w), 19.0) AS INTEGER) AS bucket,
+      |SELECT CAST(CASE WHEN mx = mn THEN 0.0
+      |    ELSE LEAST(FLOOR((v - mn) / w), 19.0) END AS INTEGER) AS bucket,
       |  COUNT(*) AS n,
-      |  round(MIN(mn) + CAST(CAST(LEAST(FLOOR((v - mn) / w), 19.0)
+      |  round(MIN(mn) + CAST(CAST(CASE WHEN mx = mn THEN 0.0
+      |    ELSE LEAST(FLOOR((v - mn) / w), 19.0) END
       |    AS INTEGER) AS DOUBLE) * MIN(w), 6) AS lo,
-      |  round(MIN(mn) + (CAST(CAST(LEAST(FLOOR((v - mn) / w), 19.0)
+      |  round(MIN(mn) + (CAST(CAST(CASE WHEN mx = mn THEN 0.0
+      |    ELSE LEAST(FLOOR((v - mn) / w), 19.0) END
       |    AS INTEGER) AS DOUBLE) + 1.0) * MIN(w), 6) AS hi
       |FROM o CROSS JOIN mm
       |GROUP BY 1 ORDER BY 1""".stripMargin

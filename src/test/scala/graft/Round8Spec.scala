@@ -162,6 +162,15 @@ class Round8Spec extends AnyFunSuite {
     val plan = StatsQueries.q84EquiwidthHist(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "equi-width hist must not sort/window")
+    // degenerate constant column: width 0 must land everything in
+    // bucket 0, not NaN/∞ buckets
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    (1L to 7L).map(i => (i, 42.5)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val deg = StatsQueries.q84EquiwidthHist(spark, dir).collect()
+    assert(deg.length == 1 && deg.head.getAs[Int]("bucket") == 0 &&
+      deg.head.getAs[Long]("n") == 7L, deg.mkString(","))
   }
 
   test("q85 span dedup: first occurrence wins, repeats are marked") {
