@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.EntityQueries.queries ++
       graft.operators.ColumnProfile.queries ++
       graft.queries.FunnelQueries.queries ++
-      graft.operators.SnapshotDiff.queries
+      graft.operators.SnapshotDiff.queries ++
+      graft.queries.BasketQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -81,5 +82,6 @@ object SparkEntry {
       graft.queries.EntityQueries.oracles ++
       graft.operators.ColumnProfile.oracles ++
       graft.queries.FunnelQueries.oracles ++
-      graft.operators.SnapshotDiff.oracles
+      graft.operators.SnapshotDiff.oracles ++
+      graft.queries.BasketQueries.oracles
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ColumnProfile, PageRank, WeightedSample}
-import graft.queries.{CurationQueries, EntityQueries, FunnelQueries,
-  LmQueries, RankQueries, ReshapeQueries, StatsQueries, Tpch2Queries}
+import graft.queries.{BasketQueries, CurationQueries, EntityQueries,
+  FunnelQueries, LmQueries, RankQueries, ReshapeQueries, StatsQueries,
+  Tpch2Queries}
 
 /** Round-8 additions: TPC-H Q10/Q14 shapes (q76/q77), BM25 retrieval
   * (q78), A-ES weighted sampling (q79), PageRank (q80), and blocked
@@ -308,6 +309,44 @@ class Round8Spec extends AnyFunSuite {
         assert(long((day, t)) == r.getAs[Long](t), s"cell ($day, $t)")
       }
     }
+  }
+
+  test("q92 array-local pair explosion equals the relational self-join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    // baskets: {1,2,3}, {2,3}, {3}, plus a duplicate line (must dedup)
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L),
+        (20L, 2L), (20L, 3L),
+        (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = BasketQueries.q92Copurchase(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        (r.getAs[Long]("n_both"), r.getAs[Double]("lift"))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((2L, 3L))._1 == 2L) // baskets 10 and 20
+    assert(got((1L, 2L))._1 == 1L && got((1L, 3L))._1 == 1L)
+    // lift(2,3) = P(2,3)/(P(2)P(3)) = (2/3)/((2/3)*(3/3)) = 1.0
+    assert(math.abs(got((2L, 3L))._2 - 1.0) < 1e-12)
+    // lift(1,2) = (1/3)/((1/3)*(2/3)) = 1.5
+    assert(math.abs(got((1L, 2L))._2 - 1.5) < 1e-12)
+  }
+
+  test("q92 plan has no orderkey self-join of the exploded corpus") {
+    val df = BasketQueries.q92Copurchase(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("n_both") >= 1 && r.getAs[Double]("lift") > 0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    // pairs come from the array-level nested transform, not a join of
+    // the exploded lineitem against itself on l_orderkey
+    assert(!plan.contains("l_orderkey#") ||
+      !"SortMergeJoin.*l_orderkey".r.findFirstIn(plan).isDefined,
+      s"orderkey self-join shape in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 global-sorts")
   }
 
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
