@@ -27,6 +27,13 @@ object Explain {
           "entry truncates at its eager localCheckpoint)")
         graft.queries.EmbedQueries.nearDupPairsPlanOnly(spark, sfDir)
           .explain("formatted")
+      } else if (n == "q80_pagerank") {
+        // same truncation: the operator checkpoints its rank vector
+        println("(pre-checkpoint 3-iteration plan — the registered " +
+          "entry truncates at its eager localCheckpoint)")
+        graft.operators.PageRank.pageRankPlanOnly(
+            graft.operators.PageRank.q80Edges(spark, sfDir), iters = 3)
+          .explain("formatted")
       } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
