@@ -123,11 +123,66 @@ object FunnelQueries {
       |FROM cells JOIN sizes USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Time-to-convert distribution: for every user who cleared q86's full
+    * funnel, the view→purchase latency in whole seconds, reduced to
+    * count / mean / exact percentiles (p50/p90) / max. Latencies are
+    * exact integer second differences; the mean is one double division;
+    * the percentiles use the q37/q70-proven interpolation parity
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`). Plan shape: the q86
+    * cascade (selective scans + user-sized joins) feeding one global
+    * aggregate — the percentile's single-reducer reduction is over ONE
+    * row per converted user, not the event stream. */
+  def q93ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    p.select((col("t3").cast("long") - col("t1").cast("long")).as("dt"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        (sum(col("dt")).cast("double") / count(lit(1))).as("mean_sec"),
+        expr("percentile(dt, 0.5)").as("p50_sec"),
+        expr("percentile(dt, 0.9)").as("p90_sec"),
+        max(col("dt")).as("max_sec"))
+  }
+
+  val q93Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3, MIN(c.t1) AS t1
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+      |dt AS (
+      |  SELECT CAST(floor(epoch(t3)) AS BIGINT)
+      |    - CAST(floor(epoch(t1)) AS BIGINT) AS dt
+      |  FROM p)
+      |SELECT COUNT(*) AS n_converted,
+      |  CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_sec,
+      |  quantile_cont(dt, 0.5) AS p50_sec,
+      |  quantile_cont(dt, 0.9) AS p90_sec,
+      |  MAX(dt) AS max_sec
+      |FROM dt""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_funnel" -> (q86Funnel _),
-    "q87_retention" -> (q87Retention _))
+    "q87_retention" -> (q87Retention _),
+    "q93_conversion_latency" -> (q93ConversionLatency _))
 
   def oracles: Map[String, String] = Map(
     "q86_funnel" -> q86Sql,
-    "q87_retention" -> q87Sql)
+    "q87_retention" -> q87Sql,
+    "q93_conversion_latency" -> q93Sql)
 }

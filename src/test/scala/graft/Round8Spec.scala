@@ -349,6 +349,19 @@ class Round8Spec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 global-sorts")
   }
 
+  test("q93 latency stats agree with the q86 stage-3 population") {
+    val r = FunnelQueries.q93ConversionLatency(spark, sfDir).head()
+    val stage3 = FunnelQueries.q86Funnel(spark, sfDir).collect()
+      .find(_.getAs[Int]("stage") == 3).get.getAs[Long]("n_users")
+    assert(r.getAs[Long]("n_converted") == stage3)
+    val (mean, p50, p90, mx) = (r.getAs[Double]("mean_sec"),
+      r.getAs[Double]("p50_sec"), r.getAs[Double]("p90_sec"),
+      r.getAs[Long]("max_sec"))
+    assert(mean > 0 && p50 > 0)
+    assert(p50 <= p90 && p90 <= mx.toDouble)
+    assert(mean <= mx.toDouble)
+  }
+
   test("q81 plan is equi-join blocked — no nested-loop all-pairs") {
     val df = EntityQueries.q81FuzzyNames(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
