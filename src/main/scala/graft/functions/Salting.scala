@@ -22,15 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** First name in `base`, `base1`, `base2`, … that collides with no
-    * column of any input frame — the working salt column must never
-    * silently replace (or be dropped in place of) data a caller owns. */
-  private def freshCol(base: String, dfs: DataFrame*): String = {
-    val taken = dfs.flatMap(_.columns).toSet
-    Iterator.from(0)
-      .map(i => if (i == 0) base else s"$base$i")
-      .find(!taken(_)).get
-  }
+  /** Collision-proof working-column name (see [[Cols.fresh]]). */
+  private def freshCol(base: String, dfs: DataFrame*): String =
+    Cols.fresh(base, dfs: _*)
 
   /** Two-stage salted sum/count aggregation: returns one row per key with
     * `sum(valueCol)` and `count(*)`, computed via (key, salt) partials.

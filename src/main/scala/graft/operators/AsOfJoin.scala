@@ -40,27 +40,33 @@ object AsOfJoin {
   def joinAsOf(left: DataFrame, right: DataFrame,
                key: String, leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
+    // collision-proof working names: a caller frame already carrying
+    // `_t`/`_side`/`_p` must not have its data replaced then dropped
+    val (tC, sideC, pC) = (
+      graft.functions.Cols.fresh("_t", left, right),
+      graft.functions.Cols.fresh("_side", left, right),
+      graft.functions.Cols.fresh("_p", left, right))
     val leftCols = left.columns.toSeq
     val rPacked = right
-      .withColumn("_t", col(rightTime)).withColumn("_side", lit(0))
-      .withColumn("_p", struct(payload.map(col): _*))
-    val pType = rPacked.schema("_p").dataType
+      .withColumn(tC, col(rightTime)).withColumn(sideC, lit(0))
+      .withColumn(pC, struct(payload.map(col): _*))
+    val pType = rPacked.schema(pC).dataType
     val l = left
-      .withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
-      .withColumn("_p", lit(null).cast(pType))
-    val unionCols = leftCols ++ Seq("_t", "_side", "_p")
+      .withColumn(tC, col(leftTime)).withColumn(sideC, lit(1))
+      .withColumn(pC, lit(null).cast(pType))
+    val unionCols = leftCols ++ Seq(tC, sideC, pC)
     val r = leftCols.filterNot(c => c == key)
       .foldLeft(rPacked)((d, c) => d.withColumn(c, lit(null)))
     val unioned = l.select(unionCols.map(col): _*)
       .unionByName(r.select(unionCols.map(col): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col(tC), col(sideC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
-      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .withColumn(pC, last(col(pC), ignoreNulls = true).over(w))
     val unpacked = payload.foldLeft(filled)((d, p) =>
-      d.withColumn(p, col("_p").getField(p)))
-    unpacked.filter(col("_side") === 1).drop("_t", "_side", "_p")
+      d.withColumn(p, col(pC).getField(p)))
+    unpacked.filter(col(sideC) === 1).drop(tC, sideC, pC)
   }
 
   // ---------------------------------------------------------------- q39

@@ -26,21 +26,30 @@ object RangeJoin {
   def pointInInterval(left: DataFrame, right: DataFrame, key: String,
                       pointCol: String, startCol: String, endCol: String,
                       binUs: Long): DataFrame = {
-    val binnedLeft = left.withColumn("_bin", col(pointCol).divide(binUs).cast("long"))
+    // collision-proof working name (the Salting/AsOfJoin convention)
+    val binC = graft.functions.Cols.fresh("_bin", left, right)
+    // cast-long bin ids TRUNCATE toward zero rather than floor — safe:
+    // truncation is still monotone non-decreasing in the timestamp, so a
+    // point inside [start, end) always lands within the interval's
+    // exploded bin span even for negative (pre-1970) epochs; bin 0 is
+    // merely double-width there, costing a little extra residual
+    // filtering, never recall
+    val binnedLeft = left.withColumn(binC,
+      col(pointCol).divide(binUs).cast("long"))
     val binnedRight = right
       // drop malformed/empty intervals: sequence(a, b) generates a
       // DESCENDING range when b < a, which would explode an end<=start
       // interval into spurious bins (the residual filter keeps results
       // correct, but the replication is unbounded garbage)
       .filter(col(endCol) > col(startCol))
-      .withColumn("_bin", explode(sequence(
+      .withColumn(binC, explode(sequence(
         col(startCol).divide(binUs).cast("long"),
         // end is exclusive: an interval ending exactly on a bin edge does
         // not cover that bin
         ((col(endCol) - 1).divide(binUs)).cast("long"))))
-    binnedLeft.join(binnedRight, Seq(key, "_bin"))
+    binnedLeft.join(binnedRight, Seq(key, binC))
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
-      .drop("_bin")
+      .drop(binC)
   }
 
   // ---------------------------------------------------------------- q40

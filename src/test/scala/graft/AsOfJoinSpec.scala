@@ -35,6 +35,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       (200L, null)))        // key isolation
   }
 
+  test("caller-owned _t/_side/_p columns survive the join untouched") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 12:00:00"), "keep-t", 9L))
+      .toDF("k", "id", "t", "_t", "_p") // working names already taken
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), "match"))
+      .toDF("k", "rt", "tag")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "t", "rt", Seq("tag"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("_t") == "keep-t")
+    assert(out.head.getAs[Long]("_p") == 9L)
+    assert(out.head.getAs[String]("tag") == "match")
+  }
+
   test("NULL payload values propagate; all payload columns come from the same right row") {
     // The 11:00 right row carries tag=NULL: a per-column fill would backfill
     // tag from the OLDER 10:00 row, mixing two right rows' columns. The

@@ -20,6 +20,20 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 12L)) // 100 in, 200 out (exclusive), 199 in, 99 out
   }
 
+  test("caller-owned _bin column survives; negative epochs still match") {
+    val points = Seq((1L, 10L, -150L, "keep"), (1L, 11L, 150L, "keep2"))
+      .toDF("k", "id", "t", "_bin") // working name already taken
+    val iv = Seq((1L, -200L, -100L, "neg"), (1L, 100L, 200L, "pos"))
+      .toDF("k", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(points, iv, "k", "t", "s", "e",
+        binUs = 50L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"),
+        r.getAs[String]("_bin"))).sortBy(_._1)
+    // pre-1970 point matched despite cast-long truncation (monotone);
+    // the caller's _bin data is intact on the output
+    assert(out.toSeq == Seq((10L, "neg", "keep"), (11L, "pos", "keep2")))
+  }
+
   test("malformed (end <= start) intervals are dropped, not exploded") {
     val points = Seq((1L, 10L, 150L)).toDF("k", "id", "t")
     val iv = Seq((1L, 200L, 100L, "backwards"), (1L, 150L, 150L, "empty"),
