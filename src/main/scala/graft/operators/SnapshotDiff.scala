@@ -39,7 +39,8 @@ object SnapshotDiff {
   // ---------------------------------------------------------------- q90
   /** Diff the orders table against a deterministically perturbed next
     * version (every 4th order re-priced, every 9th dropped, clones of
-    * every 11th appended with +3000000 ids — the q61 synthetic-changelog
+    * every 11th appended with ids offset +1e12 — far above any real
+    * orderkey at any scale factor — the q61 synthetic-changelog
     * convention), summarized per change class. */
   def q90SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val o = Kpis.table(spark, dir, "orders")
@@ -51,7 +52,8 @@ object SnapshotDiff {
           .otherwise(col("price")).as("price"),
         col("status"))
       .unionAll(o.filter(col("k") % 11 === 0)
-        .select((col("k") + 3000000L).as("k"), col("price"), col("status")))
+        .select((col("k") + 1000000000000L).as("k"), col("price"),
+          col("status")))
     diff(o, newSnap, "k", Seq("price", "status"))
       .groupBy(col("change"))
       .agg(count(lit(1)).as("n_keys"))
@@ -69,7 +71,7 @@ object SnapshotDiff {
       |    status
       |  FROM o WHERE k % 9 <> 0
       |  UNION ALL
-      |  SELECT k + 3000000, price, status FROM o WHERE k % 11 = 0),
+      |  SELECT k + 1000000000000, price, status FROM o WHERE k % 11 = 0),
       |d AS (
       |  SELECT
       |    CASE WHEN o.k IS NULL THEN 'added'

@@ -139,8 +139,11 @@ object EntityQueries {
   def q88SymspellNames(spark: SparkSession, dir: String): DataFrame = {
     val base = Kpis.table(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // clone-id offset far above any real custkey at ANY scale factor
+    // (custkey grows with SF; a fixture-sized offset like 1e6 would
+    // collide with real ids beyond ~sf7)
     val typos = base.filter(col("id") % 7 === 0)
-      .select((col("id") + 1000000L).as("id"),
+      .select((col("id") + 1000000000000L).as("id"),
         // delete the (id mod len)+1-th character
         concat(
           substr(col("name"), lit(1), pmod(col("id"), length(col("name")))),
@@ -176,7 +179,7 @@ object EntityQueries {
     """WITH corpus AS (
       |  SELECT c_custkey AS id, c_name AS name FROM customer
       |  UNION ALL
-      |  SELECT c_custkey + 1000000,
+      |  SELECT c_custkey + 1000000000000,
       |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
       |      || substr(c_name,
       |           CAST(c_custkey % length(c_name) AS INTEGER) + 2,

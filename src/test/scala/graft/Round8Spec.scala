@@ -254,12 +254,12 @@ class Round8Spec extends AnyFunSuite {
     val rows = EntityQueries.q88SymspellNames(spark, sfDir).collect()
     val pairs = rows.map(r => (r.getAs[Long]("id_1"),
       r.getAs[Long]("id_2"), r.getAs[Int]("dist")))
-    // every 7th customer has a one-char-deleted clone at id+1000000:
+    // every 7th customer has a one-char-deleted clone at id+1e12:
     // each must pair with its base at dist 1 (cross-length — q81's
     // same-length scheme cannot see these)
     val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
-    val planted = (0L until n by 7).map(id => (id, id + 1000000L)).toSet
-    val found = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    val planted = (0L until n by 7).map(id => (id, id + 1000000000000L)).toSet
+    val found = pairs.filter { case (a, b, _) => b == a + 1000000000000L }
       .map { case (a, b, _) => (a, b) }.toSet
     assert(planted.subsetOf(found),
       s"missed typo pairs: ${(planted -- found).take(5)}")
