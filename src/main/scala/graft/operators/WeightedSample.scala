@@ -26,23 +26,31 @@ object WeightedSample {
   /** ln(u)/w, u = (md5_60(key)+0.5)/2^60 ∈ (0,1) strictly. Rounded to
     * 9 dp (the per-element ln grid) so ranking and output agree
     * cross-engine. Maximizing ln(u)/w ⟺ maximizing u^(1/w): the A-ES
-    * key, monotone-transformed. */
+    * key, monotone-transformed.
+    *
+    * The trailing `+ 0.0` normalizes IEEE negative zero: a score in
+    * (-5e-10, 0) rounds to zero, which Spark's BigDecimal-backed round
+    * emits as +0.0 while DuckDB's ROUND keeps the sign bit (-0.0) —
+    * value-equal but byte-hash-distinct. `-0.0 + 0.0 = +0.0` on both
+    * engines, so both sides carry the normalization. */
   def aesScore(key: Column, weight: Column): Column =
     round(
       log((md5Hash60(key).cast("double") + lit(0.5)) /
-        lit(1152921504606846976.0)) / weight.cast("double"), 9)
+        lit(1152921504606846976.0)) / weight.cast("double"), 9) + lit(0.0)
 
   /** DuckDB spelling of [[aesScore]] over SQL expressions. */
   def aesScoreSql(keyE: String, weightE: String): String =
     s"""ROUND(LN((CAST(${md5Hash60Sql(keyE)} AS DOUBLE) + 0.5)
-       |  / 1152921504606846976.0) / CAST($weightE AS DOUBLE), 9)""".stripMargin
+       |  / 1152921504606846976.0) / CAST($weightE AS DOUBLE), 9) + 0.0""".stripMargin
 
   /** The k rows with the largest [[aesScore]]; ties (p ≈ 2^-60) break on
     * the key so the sample is a total function of the corpus.
     * PRECONDITION: weights must be strictly positive (the A-ES key
     * ln(u)/w flips sign at w < 0 and degenerates at 0 — standard for the
     * algorithm; filter or clamp upstream if a weight column can be
-    * non-positive). */
+    * non-positive).
+    * OUTPUT CONTRACT: adds the reserved column `aes_score` (part of the
+    * q79 result schema); a caller column of that name is replaced. */
   def sampleByWeight(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame =
     df.withColumn("aes_score", aesScore(key, weight))

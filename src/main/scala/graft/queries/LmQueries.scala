@@ -49,7 +49,9 @@ object LmQueries {
         round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
     tok.join(lp, "token")
       .groupBy(col("doc_id"), col("lang"), col("n_tokens"))
-      .agg(round(-avg(col("lp")), 6).as("avg_nll"))
+      // + 0.0 normalizes IEEE -0.0 (all-zero lp corner) — see README
+      // "negative zero" determinism convention
+      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nll"))
       .orderBy("doc_id")
   }
@@ -68,7 +70,7 @@ object LmQueries {
       |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab)), 9) AS lp
       |  FROM vocab)
       |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
-      |  round(-avg(lp), 6) AS avg_nll
+      |  round(-avg(lp), 6) + 0.0 AS avg_nll
       |FROM tok JOIN lp USING (token)
       |GROUP BY doc_id, lang, n_tokens
       |ORDER BY doc_id""".stripMargin
@@ -106,7 +108,8 @@ object LmQueries {
           .as("lp"))
     bg.join(lp, Seq("w1", "w2"))
       .groupBy(col("doc_id"), col("lang"), col("n_bigrams"))
-      .agg(round(-avg(col("lp")), 6).as("avg_nll"))
+      // + 0.0: negative-zero normalization, same corner as q59
+      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
       .orderBy("doc_id")
   }
 
@@ -130,7 +133,7 @@ object LmQueries {
       |  SELECT w1, w2,
       |    round(ln(CAST(c AS DOUBLE) / CAST(ctx AS DOUBLE)), 9) AS lp
       |  FROM cb JOIN cw USING (w1))
-      |SELECT doc_id, lang, n_bigrams, round(-avg(lp), 6) AS avg_nll
+      |SELECT doc_id, lang, n_bigrams, round(-avg(lp), 6) + 0.0 AS avg_nll
       |FROM bg JOIN lp USING (w1, w2)
       |GROUP BY doc_id, lang, n_bigrams
       |ORDER BY doc_id""".stripMargin

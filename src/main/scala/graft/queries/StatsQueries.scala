@@ -145,10 +145,12 @@ object StatsQueries {
         bucket.cast("int").as("bucket"), w.as("w"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(min(col("mn")) + col("bucket").cast("double") * min(col("w")), 6)
-          .as("lo"),
-        round(min(col("mn")) + (col("bucket").cast("double") + lit(1.0))
-          * min(col("w")), 6).as("hi"))
+        // + 0.0 on both edges: a negative-domain edge in (-5e-7, 0) rounds
+        // to -0.0 in DuckDB but +0.0 in Spark — normalize (README convention)
+        (round(min(col("mn")) + col("bucket").cast("double") * min(col("w")), 6)
+          + lit(0.0)).as("lo"),
+        (round(min(col("mn")) + (col("bucket").cast("double") + lit(1.0))
+          * min(col("w")), 6) + lit(0.0)).as("hi"))
       .orderBy("bucket")
   }
 
@@ -165,10 +167,10 @@ object StatsQueries {
       |  COUNT(*) AS n,
       |  round(MIN(mn) + CAST(CAST(CASE WHEN mx = mn THEN 0.0
       |    ELSE LEAST(FLOOR((v - mn) / w), 19.0) END
-      |    AS INTEGER) AS DOUBLE) * MIN(w), 6) AS lo,
+      |    AS INTEGER) AS DOUBLE) * MIN(w), 6) + 0.0 AS lo,
       |  round(MIN(mn) + (CAST(CAST(CASE WHEN mx = mn THEN 0.0
       |    ELSE LEAST(FLOOR((v - mn) / w), 19.0) END
-      |    AS INTEGER) AS DOUBLE) + 1.0) * MIN(w), 6) AS hi
+      |    AS INTEGER) AS DOUBLE) + 1.0) * MIN(w), 6) + 0.0 AS hi
       |FROM o CROSS JOIN mm
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
