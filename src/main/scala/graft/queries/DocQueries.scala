@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -529,14 +529,16 @@ object DocQueries {
       |FROM best GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
   // ---------------------------------------------------------------- q41
-  /** Sketch-based corpus profile (rows-only: sketches are engine-specific):
-    * HyperLogLog++ distinct counts and t-digest percentiles per lang. These
-    * are the 100 TB-scale stand-ins for q12's exact countDistinct and
-    * q37's exact percentile — both sketches merge map-side (constant-size
-    * state per partition), where the exact forms shuffle full key sets /
-    * sort full groups. Accuracy vs the exact operators is asserted in
-    * tests. */
-  def q41SketchProfile(spark: SparkSession, dir: String): DataFrame =
+  /** Sketch-only corpus profile — the 100 TB production entry point:
+    * HyperLogLog++ distinct counts and t-digest percentiles per lang,
+    * the scale stand-ins for q12's exact countDistinct and q37's exact
+    * percentile. Both sketches merge map-side (constant-size state per
+    * partition), where the exact forms shuffle full key sets / sort full
+    * groups. Sketch values are engine-specific (no DuckDB twin), so this
+    * function is NOT registered directly; the registered q41 is
+    * [[q41SketchProfile]], which certifies these sketches against the
+    * exact aggregates inside the oracle-checked plan. */
+  def sketchProfile(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("n_tokens", tokenCount(col("text")))
       .groupBy(col("lang"))
@@ -549,6 +551,54 @@ object DocQueries {
         expr("approx_percentile(n_tokens, 0.5, 1000)").cast("double")
           .as("approx_median_tokens"))
       .orderBy("lang")
+
+  /** Registered q41: deterministic sketch CERTIFICATION (round 9 — ends
+    * the one `no_oracle` CORRECTNESS row). Sketch estimates themselves
+    * can't hash-match a DuckDB twin, but their ACCURACY can: compute
+    * sketch and exact side by side, emit exact `n_docs` plus integer
+    * flags `|sketch − exact| ≤ tol` (HLL at rsd 0.02 certified to 5% + 2;
+    * t-digest median to 2% + 1), and let the oracle pin the flags to 1.
+    * A hash match now re-certifies the sketches on every driver run —
+    * strictly stronger than the old rows-only check; DocOpsSpec keeps the
+    * sharper numeric pins. The exact aggregates make this the AUDIT query
+    * (fixture/sample scale); the sketch-only production plan stays
+    * [[sketchProfile]]. */
+  def q41SketchProfile(spark: SparkSession, dir: String): DataFrame = {
+    val exact = docs(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("text")).as("x_texts"),
+        countDistinct(col("source")).as("x_sources"),
+        expr("percentile(n_tokens, 0.5)").as("x_median"))
+    val okInt = (d: Column, tol: Column) =>
+      when(d <= tol, lit(1)).otherwise(lit(0))
+    sketchProfile(spark, dir).join(exact, "lang")
+      .select(
+        col("lang"), col("n_docs"),
+        okInt(abs(col("approx_distinct_texts") - col("x_texts"))
+          .cast("double"), col("x_texts") * lit(0.05) + lit(2.0))
+          .as("hll_texts_ok"),
+        okInt(abs(col("approx_distinct_sources") - col("x_sources"))
+          .cast("double"), col("x_sources") * lit(0.05) + lit(2.0))
+          .as("hll_sources_ok"),
+        okInt(abs(col("approx_median_tokens") - col("x_median")),
+          col("x_median") * lit(0.02) + lit(1.0)).as("tdigest_median_ok"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of the registered q41: exact `n_docs` per lang, flags
+    * pinned to literal 1 — the hash gate then fails exactly when a Spark
+    * sketch drifts outside its certified tolerance. */
+  val q41Sql: String =
+    """WITH d AS (
+      |  SELECT lang, source, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  1 AS hll_texts_ok, 1 AS hll_sources_ok, 1 AS tdigest_median_ok
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q58
   /** Exact corpus profile — the ground-truth twin of q41's sketches, as
@@ -690,8 +740,8 @@ object DocQueries {
     "q42_corpus_curation" -> q42CorpusCuration _,
     "q58_exact_profile" -> q58ExactProfile _)
 
-  /** q41 is rows-only (engine-specific sketches have no DuckDB twin). */
   def oracles: Map[String, String] = Map(
+    "q41_sketch_profile" -> q41Sql,
     "q19_exact_dup_docs" -> q19Sql,
     "q20_text_stats" -> q20Sql,
     "q22_near_dup_minhash" -> q22Sql,

@@ -300,7 +300,7 @@ class DocOpsSpec extends AnyFunSuite {
   }
 
   test("sketch profile tracks the exact operators within tolerance") {
-    val sk = DocQueries.q41SketchProfile(spark, sfDir).collect()
+    val sk = DocQueries.sketchProfile(spark, sfDir).collect()
       .map(r => r.getAs[String]("lang") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("approx_distinct_texts"),
           r.getAs[Double]("approx_median_tokens"))).toMap
@@ -313,6 +313,17 @@ class DocOpsSpec extends AnyFunSuite {
       val (_, ad, am) = sk(lang)
       assert(math.abs(ad - d).toDouble / d <= 0.1, s"$lang distinct: $ad vs $d")
       assert(math.abs(am - m) / m <= 0.25, s"$lang median: $am vs $m")
+    }
+  }
+
+  test("registered q41 certifies every sketch inside its oracle tolerance") {
+    val rows = DocQueries.q41SketchProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Int]("hll_texts_ok") == 1, s"$lang HLL texts drifted")
+      assert(r.getAs[Int]("hll_sources_ok") == 1, s"$lang HLL sources drifted")
+      assert(r.getAs[Int]("tdigest_median_ok") == 1, s"$lang median drifted")
     }
   }
 
