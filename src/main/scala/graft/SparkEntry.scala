@@ -43,7 +43,8 @@ object SparkEntry {
       graft.operators.ColumnProfile.queries ++
       graft.queries.FunnelQueries.queries ++
       graft.operators.SnapshotDiff.queries ++
-      graft.queries.BasketQueries.queries
+      graft.queries.BasketQueries.queries ++
+      graft.operators.IncrementalDedup.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.operators.ColumnProfile.oracles ++
       graft.queries.FunnelQueries.oracles ++
       graft.operators.SnapshotDiff.oracles ++
-      graft.queries.BasketQueries.oracles
+      graft.queries.BasketQueries.oracles ++
+      graft.operators.IncrementalDedup.oracles
 }
