@@ -33,10 +33,13 @@ object ChangelogCompact {
     * deterministic order (the struct-max comparison), mirrored by the
     * oracle's `ORDER BY seq DESC, op DESC, payload… DESC`, so a
     * duplicate-LSN log still compacts identically in both engines.
-    * `assertUniqueSeq = true` instead fails fast on the first duplicate
-    * (key, seq) pair: a distinct-count guard checked in-plan via
-    * assert_true — a debug/backfill mode; the distinct count adds an
-    * Expand pass, so the default leaves it off. */
+    * `assertUniqueSeq = true` instead fails fast on contract violations,
+    * each with its own message: a NULL `seq` (which cannot order versions
+    * at all — and which a bare countDistinct would silently exclude,
+    * mislabeling the failure as a duplicate) and a duplicate non-null
+    * (key, seq) pair. Both guards run in-plan via assert_true — a
+    * debug/backfill mode; the distinct count adds an Expand pass, so the
+    * default leaves it off. */
   def compact(log: DataFrame, key: Column, seq: Column, op: Column,
               payload: Seq[String], deleteOp: String = "D",
               assertUniqueSeq: Boolean = false): DataFrame = {
@@ -46,8 +49,13 @@ object ChangelogCompact {
     val agged =
       if (assertUniqueSeq)
         base.agg(max(packed).as("m"), count(lit(1)).as("n_versions"),
-            countDistinct(seq).as("_n_seq"))
-          .where(assert_true(col("_n_seq") === col("n_versions"),
+            countDistinct(seq).as("_n_seq"), count(seq).as("_n_nonnull"))
+          // count(seq) skips NULLs: first prove there are none (its own
+          // message), THEN distinct-vs-nonnull catches true duplicates
+          .where(assert_true(col("_n_nonnull") === col("n_versions"),
+            concat(lit("NULL seq in changelog for key "),
+              col("key").cast("string"))).isNull)
+          .where(assert_true(col("_n_seq") === col("_n_nonnull"),
             concat(lit("duplicate (key, seq) in changelog for key "),
               col("key").cast("string"))).isNull)
       else base.agg(max(packed).as("m"), count(lit(1)).as("n_versions"))

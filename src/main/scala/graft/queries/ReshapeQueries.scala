@@ -216,9 +216,9 @@ object ReshapeQueries {
     * so the frame-by-frame accumulation cannot drift from DuckDB's) and
     * casts to double per output row; the frame order is TOTAL
     * ((orderdate, orderkey)) so every prefix is identical cross-engine.
-    * Output is capped to the first 50 customers to keep the verify dump
-    * bounded — the cap is a pushed-down key filter, not a limit after
-    * the window. */
+    * Output is capped to customers with custkey < 50 (49 keys) to keep
+    * the verify dump bounded — the cap is a pushed-down key filter, not
+    * a limit after the window. */
   def q89RunningBalance(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

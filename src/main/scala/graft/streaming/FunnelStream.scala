@@ -23,7 +23,15 @@ object FunnelStream {
   final case class Ev(
       user_id: Long, event_id: Long, ts_us: Long, event_type: String)
 
-  /** -1 = stage not reached yet. */
+  /** Stage-not-reached sentinel. Long.MinValue, NOT -1: event times are
+    * microseconds since epoch and may legitimately be negative (pre-1970
+    * archives); a -1 sentinel would leave stage 1 permanently "unset" for
+    * such streams, re-emitting hits and breaking the q86 batch
+    * equivalence. Long.MinValue is unreachable as a real timestamp
+    * (−292k years, and `ts > prev` can never fire at it). */
+  val Unset: Long = Long.MinValue
+
+  /** [[Unset]] = stage not reached yet. */
   final case class FState(t1: Long, t2: Long, t3: Long)
 
   final case class StageHit(user_id: Long, stage: Int, ts_us: Long)
@@ -34,12 +42,12 @@ object FunnelStream {
     var st = st0
     val hits = List.newBuilder[StageHit]
     evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      if (st.t1 < 0 && e.event_type == "view") {
+      if (st.t1 == Unset && e.event_type == "view") {
         st = st.copy(t1 = e.ts_us); hits += StageHit(uid, 1, e.ts_us)
-      } else if (st.t1 >= 0 && st.t2 < 0 && e.event_type == "click" &&
+      } else if (st.t1 != Unset && st.t2 == Unset && e.event_type == "click" &&
           e.ts_us > st.t1) {
         st = st.copy(t2 = e.ts_us); hits += StageHit(uid, 2, e.ts_us)
-      } else if (st.t2 >= 0 && st.t3 < 0 && e.event_type == "purchase" &&
+      } else if (st.t2 != Unset && st.t3 == Unset && e.event_type == "purchase" &&
           e.ts_us > st.t2) {
         st = st.copy(t3 = e.ts_us); hits += StageHit(uid, 3, e.ts_us)
       }
@@ -58,7 +66,7 @@ object FunnelStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[FState]) =>
           val (hits, st) = fold(uid, evs.toSeq,
-            state.getOption.getOrElse(FState(-1L, -1L, -1L)))
+            state.getOption.getOrElse(FState(Unset, Unset, Unset)))
           state.update(st)
           hits.iterator
       }

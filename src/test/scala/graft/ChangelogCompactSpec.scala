@@ -68,6 +68,21 @@ class ChangelogCompactSpec extends AnyFunSuite {
       s"wrong failure: $e")
   }
 
+  test("assertUniqueSeq names a NULL seq as such, not as a duplicate") {
+    // countDistinct skips NULLs: a lone NULL seq is NOT a duplicate and
+    // must fail with its own message (round-9 ADVICE fix)
+    val withNull = Seq((1L, Option(1), "U", "a"), (1L, Option.empty[Int], "U", "b"))
+      .toDF("k", "seq", "op", "v")
+    val e = intercept[Exception] {
+      ChangelogCompact.compact(withNull, key = col("k"), seq = col("seq"),
+        op = col("op"), payload = Seq("v"), assertUniqueSeq = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("NULL seq")),
+      s"expected the NULL-seq message, got: $e")
+  }
+
   test("q61 snapshot honors the synthetic revision/delete pattern") {
     val rows = ChangelogCompact.q61CdcCompact(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -49,4 +49,21 @@ class FunnelStreamSpec extends AnyFunSuite {
           StageHit(7, 3, 3000000L)))
     } finally q.stop()
   }
+
+  test("pre-1970 event times clear stages once (Unset sentinel, not -1)") {
+    // ts_us < 0: with the old -1 sentinel stage 1 could never 'set',
+    // re-emitting a hit on every later view and never clearing stage 2
+    val (hits1, st1) = FunnelStream.fold(9L,
+      Seq(Ev(9, 1, -5000000L, "view")),
+      FunnelStream.FState(FunnelStream.Unset, FunnelStream.Unset,
+        FunnelStream.Unset))
+    assert(hits1 == List(StageHit(9, 1, -5000000L)))
+    assert(st1.t1 == -5000000L && st1.t2 == FunnelStream.Unset)
+    val (hits2, st2) = FunnelStream.fold(9L,
+      Seq(Ev(9, 2, -4000000L, "view"),      // second view: must NOT re-emit
+        Ev(9, 3, -3000000L, "click"),        // clears stage 2 (after t1)
+        Ev(9, 4, -2000000L, "purchase")), st1)
+    assert(hits2 == List(StageHit(9, 2, -3000000L), StageHit(9, 3, -2000000L)))
+    assert(st2 == FunnelStream.FState(-5000000L, -3000000L, -2000000L))
+  }
 }
