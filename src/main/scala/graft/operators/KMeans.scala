@@ -72,13 +72,30 @@ object KMeans {
     * first-k init — the k SMALLEST vec_ids (distributed top-k via
     * TakeOrderedAndProject, not `vec_id < k`, so sparse or offset id
     * spaces still seed exactly k centroids). (cluster, centroid, cn2) —
-    * k rows, always broadcast-sized. */
-  def lloydCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    * k rows, always broadcast-sized.
+    *
+    * Iteration hygiene (the PageRank treatment, round 9): every
+    * `checkpointEveryK` rounds the k-row centroid frame is eagerly
+    * localCheckpoint-ed, truncating lineage — without it each round's
+    * plan nests the previous round's, and analysis cost/driver stack
+    * depth grow without bound (fine at the registered iters ≤ 2, a
+    * plan-depth bomb at production iters = 20+). The checkpointed frame
+    * is k×(dim+2) values — materializing it is trivia next to the
+    * corpus pass each round already does. The LAST round stays lazy so
+    * callers' plans remain auditable end to end; on real clusters
+    * prefer `spark.sparkContext.setCheckpointDir` + `.checkpoint` for
+    * executor-loss resilience (same shape, reliable storage). */
+  def lloydCentroids(e: DataFrame, k: Int, iters: Int,
+                     checkpointEveryK: Int = 5): DataFrame = {
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cluster"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
       .withColumn("cn2", norm2(col("centroid")))
-    (1 to iters).foldLeft(init)((c, _) => update(e, assign(e, c)))
+    (1 to iters).foldLeft(init) { (c, t) =>
+      val next = update(e, assign(e, c))
+      if (t % checkpointEveryK == 0 && t < iters) next.localCheckpoint(true)
+      else next
+    }
   }
 
   /** `iters` update rounds from the deterministic init, then a final

@@ -83,6 +83,40 @@ class LmKmeansSpec extends AnyFunSuite {
     assert(got(504L) == got(201L) && got(605L) == got(201L))
   }
 
+  test("20-iteration lloyd keeps a bounded plan via periodic checkpoints") {
+    // round-9 hygiene (VERDICT r8 #6): without lineage truncation each
+    // round's plan nests the previous round's — at iters=20 the analyzed
+    // tree is hundreds of nodes deep and analysis cost compounds
+    val pts = Seq(
+      (0L, vec(0, 10f)), (1L, vec(1, 10f)),
+      (2L, vec(0, 9f)), (3L, vec(0, 11f)),
+      (4L, vec(1, 9f)), (5L, vec(1, 11f)))
+    val e = pts.toDF("vec_id", "embedding")
+      .withColumn("n2", graft.functions.VectorFunctions.norm2(col("embedding")))
+    def planNodes(iters: Int, everyK: Int): Int =
+      KMeans.lloydCentroids(e, k = 2, iters = iters, checkpointEveryK = everyK)
+        .queryExecution.analyzed.collect { case n => n }.size
+    val bounded = planNodes(20, 5)
+    val unbounded = planNodes(20, Int.MaxValue)
+    assert(bounded < unbounded / 3,
+      s"checkpointing must truncate lineage: $bounded vs $unbounded nodes")
+    // the residual plan covers at most checkpointEveryK rounds — the
+    // depth of a 5-round plan, independent of total iters
+    assert(bounded <= planNodes(5, Int.MaxValue),
+      s"bounded plan ($bounded nodes) deeper than a 5-round plan")
+    // and the checkpointed path computes the same assignment
+    val viaCheckpoint = KMeans.assign(e,
+      KMeans.lloydCentroids(e, k = 2, iters = 6, checkpointEveryK = 2))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("cluster")).toMap
+    val plain = KMeans.assign(e,
+      KMeans.lloydCentroids(e, k = 2, iters = 6,
+        checkpointEveryK = Int.MaxValue))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("cluster")).toMap
+    assert(viaCheckpoint == plain)
+  }
+
   test("q64 codes every vector into 4 subspace books with bounded error") {
     val rows = KMeans.q64PqCodes(spark, sfDir).collect()
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
