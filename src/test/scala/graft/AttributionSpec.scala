@@ -60,6 +60,43 @@ class AttributionSpec extends AnyFunSuite {
     }
   }
 
+  test("purchase behind the watermark is dropped; aged click cannot rematch") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Attribution.attribute(
+        clicks.toDF().withWatermark("ts", "10 minutes"),
+        purchases.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("attr_late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def pairs(): Set[(Long, Long)] = spark.table("attr_late_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      // sanity: an in-window purchase attributes
+      clicks.addData(Ev(1L, t(0), 100L, 0.0))
+      purchases.addData(Ev(1L, t(600), 200L, 9.99))
+      q.processAllAvailable()
+      assert(pairs() == Set((100L, 200L)))
+      // advance BOTH streams ~2 h → global watermark ≈ t+6600 s; user 1's
+      // click state ages out (watermark passed c_ts + 30 min interval)
+      clicks.addData(Ev(7L, t(7200), 777L, 0.0))
+      purchases.addData(Ev(8L, t(7200), 888L, 1.0))
+      q.processAllAvailable()
+      // a purchase at t+20 min — inside the click's window but BEHIND the
+      // watermark. Documented semantics (Attribution scaladoc): join state
+      // ages out once the watermark passes the interval, and late input
+      // rows are dropped — so this purchase must produce NO pair
+      purchases.addData(Ev(1L, t(1200), 299L, 3.0))
+      q.processAllAvailable()
+      assert(pairs() == Set((100L, 200L)),
+        s"behind-watermark purchase must be dropped (aged click state " +
+          s"cannot rematch); got ${pairs()}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS attr_late_out")
+      q.stop()
+    }
+  }
+
   test("static attribution: strict ordering, bounded window, same user") {
     val rows = Attribution.q75Attribution(spark, SparkTestSession.sfDir)
       .collect()

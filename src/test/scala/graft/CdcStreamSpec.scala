@@ -53,6 +53,33 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("late-arriving lower-seq change never rewinds the snapshot") {
+    // CdcStream is deliberately unwatermarked (seq, not event time, is
+    // the order): a change arriving arbitrarily late with a stale seq
+    // must only bump n_versions — payload, last_seq, and deleted flag
+    // all stand (the documented max-seq-wins fold)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = CdcStream.snapshot(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_late_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Change(5L, 10L, "U", "current"))
+      q.processAllAvailable()
+      mem.addData(Change(9L, 1L, "U", "other-key")) // unrelated traffic
+      q.processAllAvailable()
+      mem.addData(Change(5L, 2L, "U", "ancient")) // LATE, stale seq
+      q.processAllAvailable()
+      val last = spark.table("cdc_late_out").as[Snap].collect()
+        .filter(_.key == 5L).maxBy(_.n_versions)
+      assert(last == Snap(5L, 10L, deleted = false, "current", 2L),
+        s"late stale change must not rewind the snapshot; got $last")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdc_late_out")
+      q.stop()
+    }
+  }
+
   test("static fold agrees with any batch split of the same changelog") {
     val log = Seq(
       Change(1L, 1L, "U", "a"), Change(1L, 3L, "U", "c"),

@@ -64,6 +64,38 @@ class DedupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("document behind the watermark is DROPPED, novel or duplicate") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val q = DedupStream.dedupedDocs(mem.toDF(), "ts", "30 seconds")
+      .writeStream.format("memory").queryName("dedup_late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // start above 0: a ts at the initial watermark would itself drop
+      mem.addData(DocIn(1, t(1000), "alpha beta gamma"))
+      q.processAllAvailable()
+      // advance event time to t=1500 → watermark moves to ~1470
+      mem.addData(DocIn(2, t(1500), "fresh content"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_late_out").count() == 2)
+      // behind the watermark: a NOVEL doc and a duplicate, both at t=1100.
+      // Documented semantics: rows older than the watermark are late and
+      // dropped by the stateful dedup — they must NOT emit (novel one
+      // included; cross-horizon work belongs to the exact batch pass q19)
+      mem.addData(
+        DocIn(3, t(1100), "never seen before text"),
+        DocIn(4, t(1100), "alpha beta gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_late_out").as[(Long, Timestamp, String, String)]
+        .collect().map(_._1).toSet
+      assert(ids == Set(1L, 2L),
+        s"late-behind-watermark docs must be dropped, not emitted; got $ids")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dedup_late_out")
+      q.stop()
+    }
+  }
+
   test("static-frame form dedups like the batch fingerprint family") {
     val docs = Seq(
       DocIn(1, t(0), "one two three"),

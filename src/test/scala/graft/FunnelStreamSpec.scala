@@ -50,6 +50,40 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late earlier-time events never retract or re-emit a cleared stage") {
+    // FunnelStream documents Append-mode monotonicity: a hit, once
+    // emitted, can never be retracted — so an event-time-EARLIER event
+    // arriving in a later micro-batch (violating the per-key ordering
+    // assumption) must neither re-emit stage 1 nor clear stage 2 with a
+    // timestamp at-or-before t1
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = FunnelStream.stageHits(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(3, 1, 5000000L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_out").as[StageHit].collect().toSet ==
+        Set(StageHit(3, 1, 5000000L)))
+      // late batch: an earlier view (no re-emit) and an earlier click
+      // (ts <= t1 — must NOT clear stage 2)
+      mem.addData(Ev(3, 2, 3000000L, "view"), Ev(3, 3, 4000000L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_out").as[StageHit].collect().toSet ==
+        Set(StageHit(3, 1, 5000000L)),
+        "late earlier events must not re-emit or clear stages (monotone Append)")
+      // a genuinely later click still clears stage 2
+      mem.addData(Ev(3, 4, 6000000L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_out").as[StageHit].collect().toSet ==
+        Set(StageHit(3, 1, 5000000L), StageHit(3, 2, 6000000L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS funnel_late_out")
+      q.stop()
+    }
+  }
+
   test("pre-1970 event times clear stages once (Unset sentinel, not -1)") {
     // ts_us < 0: with the old -1 sentinel stage 1 could never 'set',
     // re-emitting a hit on every later view and never clearing stage 2
