@@ -50,9 +50,21 @@ object Salting {
     * semantics are preserved exactly: every big row carries ONE salt and
     * meets each matching small row exactly once (the small side has every
     * salt). Cost: small-side volume × buckets — the right trade whenever
-    * the small side is dimension-sized. AQE's skew-join split covers the
-    * SMJ case at runtime; this is the plan-level rewrite that also works
-    * under AQE-hostile plans (cached frames, non-SMJ joins).
+    * the small side is dimension-sized.
+    *
+    * When to reach for this — MEASURED (ProfileQ63, sf0.1, local[32],
+    * BENCH_NOTES_r09): a broadcastable dim makes salting strictly
+    * overhead (plain AQE join 0.74 s vs salted 0.95 s); with broadcast
+    * forbidden, plain SMJ + AQE still wins (0.84 vs 0.90 s) even though
+    * AQE's skew split doesn't fire below its 256 MB partition threshold —
+    * the salted plan pays 16× dim replication for skew the downstream
+    * partial agg absorbs anyway. Salting's regime is therefore: no
+    * broadcast possible AND AQE cannot rewrite the join (cached/reused
+    * exchanges, non-SMJ strategies, static plans), or payloads AQE can't
+    * split (collect_list/distinct-heavy aggregation). q63 stays registered
+    * on the salted plan as the rewrite's correctness certification — its
+    * oracle is the PLAIN join, so the hash match proves the rewrite
+    * changes the plan, not the result.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
                  saltCol: Column, saltBuckets: Int): DataFrame = {
