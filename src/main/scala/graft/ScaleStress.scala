@@ -1,0 +1,130 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// Driver-tooling scale-stress main (VERDICT r8 #3): builds deterministic
+// 1x and 10x fixtures from sf0.1 and measures wall time + shuffle-write
+// bytes for the dedup/ANN/ER family (q45/q50/q55/q66/q81/q88). Growth
+// ratios are the evidence: sub-quadratic (ideally ~linear) time and
+// shuffle growth at 10x the corpus certifies the plan shapes' 100 TB
+// claims empirically, not just structurally.
+//
+// Clone construction keeps the workload's TRUE structure linear: each
+// clone is an ISOMORPHIC copy of the corpus that is disjoint from every
+// other clone in its similarity space —
+//   documents:  every token suffixed "_c<i>" (shingle spaces disjoint;
+//               intra-clone near-dup structure preserved exactly)
+//   embeddings: components circularly rotated by <i> (norms + intra-clone
+//               distances exact-preserved; cross-clone cosines ~random)
+//   customer:   keys offset by i*1e9; names suffixed with a 6-hex-char
+//               md5 tag (cross-clone levenshtein >> any verify threshold)
+// so true pairs/clusters grow exactly 10x while candidate generation has
+// 10x the input to prune. Results → artifacts/SCALE_NOTES_r09.md.
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def build(nClones: Int, out: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
+        return
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val dim = 64
+      (0 until nClones).map { c =>
+        if (c == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(c * 1000000000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, lit(s"_c$c")))))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      (0 until nClones).map { c =>
+        if (c == 0) emb
+        else emb
+          .withColumn("vec_id", col("vec_id") + lit(c * 1000000000000L))
+          .withColumn("embedding", concat(
+            slice(col("embedding"), c + 1, dim - c),
+            slice(col("embedding"), 1, c)))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      (0 until nClones).map { c =>
+        if (c == 0) cust
+        else cust
+          .withColumn("c_custkey", col("c_custkey") + lit(c * 1000000000L))
+          .withColumn("c_name",
+            concat(col("c_name"), lit("_"), substring(md5(lit(c.toString)), 1, 6)))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
+
+    val queries = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("q45_dup_clusters",
+        "q50_semantic_dedup", "q55_containment_dup", "q66_ivf_pq",
+        "q81_fuzzy_names", "q88_symspell_names"))
+    val scales = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 10))
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    scales.foreach { n =>
+      val dir = s"$tmp/graft_scale_$n"
+      build(n, dir)
+      // warm the scans once so timing excludes first-touch I/O
+      spark.read.parquet(s"$dir/documents.parquet").write
+        .format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$dir/customer.parquet").write
+        .format("noop").mode("overwrite").save()
+      queries.foreach { name =>
+        val times = (1 to 2).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val b0 = shuffleBytes.get()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          (secs, shuffleBytes.get() - b0)
+        }
+        val (bestT, bytesAt) = times.minBy(_._1)
+        println(f"scale=$n%2d $name%-22s ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
+      }
+      // the linear-scale semantic-dedup path: constant cell size (k ∝ N)
+      if (sys.env.get("SPARK_GRAFT_CELLS").contains("1")) {
+        val e = graft.operators.SemanticCells.embFrom(spark, dir)
+        val times = (1 to 2).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val b0 = shuffleBytes.get()
+          val t0 = System.nanoTime()
+          graft.operators.SemanticCells
+            .clusters(spark, e, k = 16 * n, iters = 2, t = 0.4)
+            .write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, shuffleBytes.get() - b0)
+        }
+        val (bestT, bytesAt) = times.minBy(_._1)
+        println(f"scale=$n%2d semantic_cells_k${16 * n}%-8d ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
+      }
+    }
+    spark.stop()
+  }
+}

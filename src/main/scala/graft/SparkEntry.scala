@@ -44,7 +44,9 @@ object SparkEntry {
       graft.queries.FunnelQueries.queries ++
       graft.operators.SnapshotDiff.queries ++
       graft.queries.BasketQueries.queries ++
-      graft.operators.IncrementalDedup.queries
+      graft.operators.IncrementalDedup.queries ++
+      graft.queries.Round9Queries.queries ++
+      graft.operators.SemanticCells.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -85,5 +87,7 @@ object SparkEntry {
       graft.queries.FunnelQueries.oracles ++
       graft.operators.SnapshotDiff.oracles ++
       graft.queries.BasketQueries.oracles ++
-      graft.operators.IncrementalDedup.oracles
+      graft.operators.IncrementalDedup.oracles ++
+      graft.queries.Round9Queries.oracles ++
+      graft.operators.SemanticCells.oracles
 }

@@ -59,7 +59,7 @@ object DocQueries {
     * band self-join → exact-Jaccard pairs. Emits CTEs ending in `pairs`
     * (a_id, b_id, jaccard); the caller filters/sorts. Shared by the q22 and
     * q42 oracles so the signature arithmetic has exactly one SQL spelling. */
-  private def minhashPairsSqlFragment(corpusCte: String): String = {
+  private[graft] def minhashPairsSqlFragment(corpusCte: String): String = {
     val P = org.apache.spark.sql.graft.MinHashP61.P
     val sigCols = (0 until 16).map { j =>
       val a = org.apache.spark.sql.graft.MinHashP61.a(j)

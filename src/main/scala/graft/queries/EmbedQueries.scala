@@ -503,8 +503,15 @@ object EmbedQueries {
     * transitive chains A≈B≈C with A̸≈C exactly like text near-dup does;
     * a curation pipeline drops every non-representative member.
     *
-    * Scale shape: candidates/verification inherit q26's equi-join plan;
-    * clustering is the bounded-round edge shuffle of
+    * Scale posture (measured, SCALE_NOTES_r09): this is a CERTIFICATION
+    * query, not the 100 TB plan. Its all-pairs oracle demands ~complete
+    * recall at cos ≥ 0.4, which forces 3-bit LSH bands — and a 3-bit band
+    * admits ~93% of RANDOM pairs (1 − (1 − 2⁻³)²⁰), so candidates grow
+    * QUADRATICALLY (measured 87.7× shuffle at 10× corpus). The linear
+    * production path is [[graft.operators.SemanticCells]] (q99): k-means
+    * cells with k ∝ N, within-cell verify at the same threshold —
+    * measured 10.8× shuffle at 10×, 14× faster than this query there.
+    * Clustering here is the bounded-round edge shuffle of
     * [[graft.operators.DupClusters.connectedComponents]]. The oracle
     * replays all-pairs edges + a recursive-CTE closure (q45's pattern),
     * so the hash match certifies banding recall AND the closure. */

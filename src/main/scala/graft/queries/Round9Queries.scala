@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.IncrementalDedup
+import graft.sink.Warehouse
+
+/** Round-9 widening: the TPC-H Q18 shape (q95), URL/host normalization
+  * stats (q96), the vocabulary-coverage curve (q97), and incremental
+  * NEAR-dup flagging against a persisted MinHash band store (q98 — the
+  * near-dup twin of [[IncrementalDedup]]'s exact q94).
+  */
+object Round9Queries {
+
+  // ---------------------------------------------------------------- q95
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds 200, with the customer, top-100 by order value.
+    *
+    * Scale shape: the quantity rollup is a map-side-combinable hash agg
+    * on l_orderkey (lineitem's natural clustering); its HAVING filter
+    * prunes to a tiny order set BEFORE any join; the two joins then hash
+    * on keys the planner can broadcast-or-shuffle by size; top-100 lowers
+    * to TakeOrderedAndProject. Quantities sum as DECIMAL(18,4) (exact),
+    * cast double at output (the money convention). */
+  def q95BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,4)").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("q")).as("sq"))
+      .filter(col("sq") > 200)
+    Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"), col("sq").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q95Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      |  o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** URL normalization + host-level rollup — the per-domain accounting
+    * every web-corpus curation pass runs (domain quotas, robots policy
+    * buckets, host skew). The fixture's `source` is not a URL, so the
+    * query first derives one deterministically (source × a doc-keyed
+    * TLD), then does what production does: EXTRACT the host back out of
+    * the raw URL (certifying the regex cross-engine) and aggregate per
+    * host. Share-of-corpus is exact long division at the end.
+    *
+    * Scale shape: pure per-row regex + one map-side-combinable agg; the
+    * 1-row total is the only broadcast. */
+  def q96HostStats(spark: SparkSession, dir: String): DataFrame = {
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val d = Kpis.table(spark, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example."), tld,
+          lit("/d/"), col("doc_id").cast("string")))
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+    val hosts = d.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+    val tot = hosts.agg(sum(col("n_docs")).as("total"))
+    hosts.crossJoin(broadcast(tot))
+      .select(col("host"), col("n_docs"), col("total_chars"),
+        (col("n_docs").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("host")
+  }
+
+  val q96Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    'https://' || source || '.example.' ||
+      |      (['com', 'org', 'net'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+      |      '/d/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, text
+      |  FROM d),
+      |hosts AS (
+      |  SELECT host, COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |  FROM h GROUP BY 1)
+      |SELECT host, n_docs, total_chars,
+      |  CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM hosts) AS share
+      |FROM hosts ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Vocabulary coverage curve (Zipf head): the top-50 tokens by corpus
+    * frequency with rank, count, and CUMULATIVE share of all token
+    * occurrences — the statistic that sizes a tokenizer vocabulary
+    * ("how much of the corpus do the top N types cover?").
+    *
+    * Scale shape: token counts are one map-side-combinable agg; the
+    * top-50 lowers to TakeOrderedAndProject, and the running sum windows
+    * over those 50 rows ONLY (never the full vocab — a whole-vocab
+    * unpartitioned window would serialize on one task; the corpus total
+    * instead rides a 1-row broadcast). Counts are longs, so the shares
+    * are exact integer-ratio doubles — no rounding grid needed. */
+  def q97VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Kpis.table(spark, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("total"))
+    val top = vocab.orderBy(col("cnt").desc, col("token")).limit(50)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("cum_cnt").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
+  val q97Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |top AS (SELECT token, cnt FROM vocab ORDER BY cnt DESC, token LIMIT 50)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+      |  token, cnt,
+      |  CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM vocab) AS share,
+      |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (SELECT SUM(cnt) FROM vocab) AS cum_share
+      |FROM top ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** Incremental NEAR-dup flagging against a persisted MinHash band
+    * store — q94's exact-dedup twin for the fuzzy case: crawl N's
+    * documents are banded (8×2 over 16-element signatures, the q22
+    * parameters) and joined against the accumulated corpus's band table;
+    * only band-colliding pairs are exact-Jaccard verified.
+    *
+    * Store layout mirrors q94: (band, band_hash, doc_id) bucketed on
+    * band_hash via [[Warehouse.writeBucketed]], so the store side of
+    * every batch's candidate join comes straight off the bucketed scan —
+    * the accumulated band table (8 rows per admitted doc) never
+    * re-shuffles. Verification re-reads shingles ONLY for candidate
+    * store docs (an equi-join on doc_id), never the whole corpus.
+    *
+    * The simulated batch: every 10th doc returns as a near-clone
+    * (+1e12 ids, 3 appended tokens — must flag against its original) and
+    * every 7th doc arrives token-remapped (+2e12 ids, '_n9' suffix —
+    * disjoint shingles, must NOT flag). The oracle replays store ∪ batch
+    * through the shared MinHash SQL fragment and keeps only cross-side
+    * pairs — a hash match certifies the store round-trip plus banding
+    * arithmetic end to end. */
+  def q98MinhashStoreDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def withBands(df: DataFrame): DataFrame = df
+      .withColumn("sh", shingles(tokens(col("text")), 3))
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+      .select(col("doc_id"), col("sh"),
+        explode(minhashBands(col("sig"), 8, 2)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    // the persisted store: corpus bands, bucketed on the join key
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_q98_bands$slug"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q98_bands$slug"
+    Warehouse.writeBucketed(
+      withBands(d).select(col("band"), col("band_hash"), col("doc_id")),
+      table, path, "band_hash", IncrementalDedup.StoreBuckets,
+      mode = "overwrite")
+    // the incoming crawl
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz extra tail")).as("text"))
+    val novel = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(2000000000000L)).as("doc_id"),
+        concat_ws(" ", transform(tokens(col("text")),
+          t => concat(t, lit("_n9")))).as("text"))
+    val batch = withBands(near.unionAll(novel))
+    val cand = spark.table(table)
+      .withColumnRenamed("doc_id", "a_id")
+      .join(batch.select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("band", "band_hash"))
+    // verify: shingles for candidate STORE docs only (no re-banding)
+    val aSh = d
+      .select(col("doc_id").as("a_id"),
+        shingles(tokens(col("text")), 3).as("a_sh"))
+    cand.select(col("a_id"), col("b_id"), col("b_sh")).distinct()
+      .join(aSh, "a_id")
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  val q98Sql: String = {
+    val corpus =
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 AS doc_id,
+        |    text || ' zz extra tail' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000 AS doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN ''
+        |         ELSE array_to_string(list_transform(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           t -> t || '_n9'), ' ') END AS text
+        |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    s"""WITH corpus AS ($corpus),
+       |${DocQueries.minhashPairsSqlFragment("corpus")}
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |WHERE jaccard >= 0.5 AND a_id < 1000000000000
+       |  AND b_id >= 1000000000000
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_big_orders" -> (q95BigOrders _),
+    "q96_host_stats" -> (q96HostStats _),
+    "q97_vocab_coverage" -> (q97VocabCoverage _),
+    "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
+
+  def oracles: Map[String, String] = Map(
+    "q95_big_orders" -> q95Sql,
+    "q96_host_stats" -> q96Sql,
+    "q97_vocab_coverage" -> q97Sql,
+    "q98_minhash_store_dedup" -> q98Sql)
+}

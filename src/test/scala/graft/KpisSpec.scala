@@ -38,11 +38,11 @@ class KpisSpec extends AnyFunSuite {
   }
 
   // Ops with no DuckDB twin; the driver records a weaker rows-only check
-  // for these. Since round 6 only q41 remains (HLL++/t-digest sketches are
-  // genuinely engine-specific): the md5-keyed MinHash/SimHash family
-  // (q22/q27/q42), the real-container media decode (q29), and the
-  // hash-derived generator (q30) all gained oracles.
-  private val rowsOnly = Set("q41_sketch_profile")
+  // for these. EMPTY since round 9: q41 — the last holdout (HLL++/t-digest
+  // sketch values are genuinely engine-specific) — now registers the
+  // sketch-vs-exact CERTIFICATION projection, whose accuracy flags the
+  // oracle pins to 1. Every registered query is oracle-checked.
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

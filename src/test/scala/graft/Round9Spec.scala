@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SemanticCells
+import graft.queries.{EmbedQueries, Round9Queries}
+
+/** Round-9 additions: TPC-H Q18 shape (q95), host stats (q96), vocab
+  * coverage (q97), MinHash band-store near-dedup (q98), and cell-based
+  * semantic dedup (q99). */
+class Round9Spec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("q95 keeps only >200-quantity orders, value-ordered, agg before join") {
+    val df = Round9Queries.q95BigOrders(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getAs[Double]("sum_qty") > 200.0))
+    rows.map(_.getAs[Double]("o_totalprice")).sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo, "value order broken")
+      case _ =>
+    }
+    // the HAVING filter must prune BEFORE the joins: the plan aggregates
+    // lineitem then filters, with no join below the aggregate
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
+  test("q96 host extraction recovers source x tld exactly; shares sum to 1") {
+    val rows = Round9Queries.q96HostStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[String]("host")
+      assert(h.matches("src\\d+\\.example\\.(com|org|net)"), s"bad host $h")
+    }
+    val total = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"shares sum to $total")
+  }
+
+  test("q97 coverage is monotone, rank-ordered, bounded by 1") {
+    val rows = Round9Queries.q97VocabCoverage(spark, sfDir).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    var prevCum = 0.0
+    var prevCnt = Long.MaxValue
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      val cum = r.getAs[Double]("cum_share")
+      assert(cnt <= prevCnt, "counts must be non-increasing by rank")
+      assert(cum > prevCum && cum <= 1.0, s"cum_share not monotone: $cum")
+      prevCum = cum; prevCnt = cnt
+    }
+  }
+
+  test("q98 flags near-clones against the band store, never novel docs") {
+    val rows = Round9Queries.q98MinhashStoreDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a_id")
+      val b = r.getAs[Long]("b_id")
+      assert(a < 1000000000000L, s"store side must be a corpus doc: $a")
+      // token-remapped novel docs (+2e12) have disjoint shingles — any
+      // band collision must die in the exact-Jaccard verify
+      assert(b >= 1000000000000L && b < 2000000000000L,
+        s"only near-clone batch docs may flag, got $b")
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+    // every near-clone flags against its own original
+    val flagged = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val selfPairs = flagged.count { case (a, b) => b - 1000000000000L == a }
+    assert(selfPairs > 0, "near-clones must flag their originals")
+  }
+
+  test("q99 cells edge set is q50's restricted within cells; reps are minima") {
+    val cells = SemanticCells.q99SemanticCells(spark, sfDir).collect()
+    if (cells.nonEmpty) {
+      cells.foreach { r =>
+        assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("vec_id"),
+          "cluster id must be the min member")
+      }
+      val reps = cells.filter(_.getAs[Int]("is_rep") == 1)
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(reps == cells.map(_.getAs[Long]("cluster_id")).toSet)
+    }
+    // recall containment: every q99 clustered vector is q50-clustered too
+    // (within-cell edges are a subset of the full banded edge set)
+    val q50Vecs = EmbedQueries.q50SemanticDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val q99Vecs = cells.map(_.getAs[Long]("vec_id")).toSet
+    assert(q99Vecs.subsetOf(q50Vecs),
+      s"q99 found vectors q50 didn't: ${q99Vecs.diff(q50Vecs)}")
+  }
+}
