@@ -9,9 +9,10 @@ import graft.operators.IncrementalDedup
 import graft.sink.Warehouse
 
 /** Round-9 widening: the TPC-H Q18 shape (q95), URL/host normalization
-  * stats (q96), the vocabulary-coverage curve (q97), and incremental
+  * stats (q96), the vocabulary-coverage curve (q97), incremental
   * NEAR-dup flagging against a persisted MinHash band store (q98 — the
-  * near-dup twin of [[IncrementalDedup]]'s exact q94).
+  * near-dup twin of [[IncrementalDedup]]'s exact q94), and the TPC-H Q7
+  * nation-pair volume shape (q100).
   */
 object Round9Queries {
 
@@ -241,13 +242,70 @@ object Round9Queries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q100
+  /** TPC-H Q7 shape (volume shipping): revenue between every
+    * (supplier-nation, customer-nation) pair for 1995–1996 ship dates,
+    * by ship year. Five-way join: two fact tables meet on l_orderkey,
+    * the two nation lookups ride broadcast; the ship-date window is a
+    * PushedFilter on the lineitem scan. Output is nations² × years —
+    * dimension-bounded, so the final agg is tiny; revenue follows the
+    * exact decimal-sum→double convention. */
+  def q100NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+    val s = Kpis.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n1 = broadcast(Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("sk"))
+      .join(n2, col("c_nationkey") === col("ck"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q100Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+      |FROM l
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_nation_volume" -> (q100NationVolume _),
     "q95_big_orders" -> (q95BigOrders _),
     "q96_host_stats" -> (q96HostStats _),
     "q97_vocab_coverage" -> (q97VocabCoverage _),
     "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q100_nation_volume" -> q100Sql,
     "q95_big_orders" -> q95Sql,
     "q96_host_stats" -> q96Sql,
     "q97_vocab_coverage" -> q97Sql,

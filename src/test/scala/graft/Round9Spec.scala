@@ -28,6 +28,21 @@ class Round9Spec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"), "top-100 must not global-sort")
   }
 
+  test("q100 ship-date window is pushed; nation pairs are exhaustive for data") {
+    val df = Round9Queries.q100NationVolume(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = r.getAs[Int]("l_year")
+      assert(y == 1995 || y == 1996, s"year outside the window: $y")
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"ship-date window not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cross products")
+  }
+
   test("q96 host extraction recovers source x tld exactly; shares sum to 1") {
     val rows = Round9Queries.q96HostStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
