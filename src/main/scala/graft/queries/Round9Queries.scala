@@ -177,10 +177,19 @@ object Round9Queries {
     * pairs — a hash match certifies the store round-trip plus banding
     * arithmetic end to end. */
   def q98MinhashStoreDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Kpis.table(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    // (doc_id, sh) feeds TWO consumers — the store's band/signature build
+    // and the verify-side shingle fetch; persist so the scan + tokenize +
+    // shingle pass runs once (the q42/q48 convention). The repartition
+    // spreads the single-file fixture scan so the 16-permutation
+    // signature pass parallelizes (q22's lesson).
+    val corpusSh = Kpis.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    def withBands(df: DataFrame): DataFrame = df
-      .withColumn("sh", shingles(tokens(col("text")), 3))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        shingles(tokens(col("text")), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(df: DataFrame): DataFrame = df
       .withColumn("sig", minhashSignature(col("sh"), 16))
       .select(col("doc_id"), col("sh"),
         explode(minhashBands(col("sig"), 8, 2)).as("b"))
@@ -191,33 +200,36 @@ object Round9Queries {
     val table = s"graft_q98_bands$slug"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q98_bands$slug"
     Warehouse.writeBucketed(
-      withBands(d).select(col("band"), col("band_hash"), col("doc_id")),
+      bandsOf(corpusSh).select(col("band"), col("band_hash"), col("doc_id")),
       table, path, "band_hash", IncrementalDedup.StoreBuckets,
       mode = "overwrite")
     // the incoming crawl
-    val near = d.filter(col("doc_id") % 10 === 0)
+    val near = corpusSh.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
         concat(col("text"), lit(" zz extra tail")).as("text"))
-    val novel = d.filter(col("doc_id") % 7 === 0)
+    val novel = corpusSh.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + lit(2000000000000L)).as("doc_id"),
         concat_ws(" ", transform(tokens(col("text")),
           t => concat(t, lit("_n9")))).as("text"))
-    val batch = withBands(near.unionAll(novel))
+    val batch = bandsOf(near.unionAll(novel)
+      .select(col("doc_id"), col("text"),
+        shingles(tokens(col("text")), 3).as("sh")))
     val cand = spark.table(table)
       .withColumnRenamed("doc_id", "a_id")
       .join(batch.select(col("band"), col("band_hash"),
         col("doc_id").as("b_id"), col("sh").as("b_sh")),
         Seq("band", "band_hash"))
     // verify: shingles for candidate STORE docs only (no re-banding)
-    val aSh = d
-      .select(col("doc_id").as("a_id"),
-        shingles(tokens(col("text")), 3).as("a_sh"))
-    cand.select(col("a_id"), col("b_id"), col("b_sh")).distinct()
+    val aSh = corpusSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val out = cand.select(col("a_id"), col("b_id"), col("b_sh")).distinct()
       .join(aSh, "a_id")
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("a_id", "b_id")
+      .localCheckpoint(true)
+    corpusSh.unpersist()
+    out
   }
 
   val q98Sql: String = {
