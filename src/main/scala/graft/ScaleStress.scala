@@ -109,20 +109,23 @@ object ScaleStress {
         val (bestT, bytesAt) = times.minBy(_._1)
         println(f"scale=$n%2d $name%-22s ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
       }
-      // the linear-scale semantic-dedup path: constant cell size (k ∝ N)
+      // the linear-scale semantic-dedup path: constant cell size (k ∝ N),
+      // single- and multi-probe variants
       if (sys.env.get("SPARK_GRAFT_CELLS").contains("1")) {
         val e = graft.operators.SemanticCells.embFrom(spark, dir)
-        val times = (1 to 2).map { _ =>
-          spark.sharedState.cacheManager.clearCache()
-          val b0 = shuffleBytes.get()
-          val t0 = System.nanoTime()
-          graft.operators.SemanticCells
-            .clusters(spark, e, k = 16 * n, iters = 2, t = 0.4)
-            .write.format("noop").mode("overwrite").save()
-          ((System.nanoTime() - t0) / 1e9, shuffleBytes.get() - b0)
+        Seq(1, 2).foreach { probes =>
+          val times = (1 to 2).map { _ =>
+            spark.sharedState.cacheManager.clearCache()
+            val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            graft.operators.SemanticCells
+              .clusters(spark, e, k = 16 * n, iters = 2, t = 0.4, probes)
+              .write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9, shuffleBytes.get() - b0)
+          }
+          val (bestT, bytesAt) = times.minBy(_._1)
+          println(f"scale=$n%2d cells_k${16 * n}_p$probes%-10s ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
         }
-        val (bestT, bytesAt) = times.minBy(_._1)
-        println(f"scale=$n%2d semantic_cells_k${16 * n}%-8d ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
       }
     }
     spark.stop()

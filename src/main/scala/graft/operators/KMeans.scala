@@ -53,6 +53,25 @@ object KMeans {
       .select(col("vec_id"), col("m.cluster").as("cluster"),
         col("m.d2").as("d2"))
 
+  /** Top-`probes` nearest centroids per vector — multi-probe assignment
+    * for cell-partitioned similarity search/dedup (the standard
+    * mitigation for pairs straddling a cell boundary). The window
+    * partitions per vector over k candidate rows (bounded by k, never by
+    * the corpus), ordered by the same (d2, cluster) lexicographic key as
+    * [[assign]]'s argmin, so probe 1 IS the [[assign]] cell. */
+  private[graft] def assignTop(e: DataFrame, cent: DataFrame,
+                               probes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        dist2(col("cn2"), dotD(col("embedding"), col("centroid")),
+          col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("cluster"), col("d2"), col("rn"))
+  }
+
   /** Per-cluster element-wise mean centroid, each component rounded to
     * 6 dp (q33's cross-engine grid), reassembled in dimension order.
     * Clusters that lose every member drop out — k shrinks, consistently

@@ -36,19 +36,41 @@ object SemanticCells {
         norm2(col("embedding")).as("n2"))
 
   /** Within-cell verified near-dup pairs: assign every vector to its
-    * k-means cell, self-join ON THE CELL ID (never across cells), keep
-    * cosine ≥ `t`. Each pair lives in exactly one cell, so no distinct
-    * pass is needed. `k` is the scale knob: cells of ~constant size keep
-    * the per-cell quadratic bounded (k ∝ N). */
-  def cellPairs(e: DataFrame, k: Int, iters: Int, t: Double): DataFrame = {
-    val asg = KMeans.lloyd(e, k, iters).select(col("vec_id"), col("cluster"))
-    val m = asg.join(e, "vec_id")
-    val a = m.select(col("cluster"), col("vec_id").as("a_id"),
-      col("embedding").as("ae"), col("n2").as("an2"))
-    val b = m.select(col("cluster"), col("vec_id").as("b_id"),
-      col("embedding").as("be"), col("n2").as("bn2"))
-    a.join(b, "cluster")
-      .filter(col("a_id") < col("b_id"))
+    * `probes` nearest k-means cells, self-join ON THE CELL ID (never
+    * across cells), keep cosine ≥ `t`. `k` is the scale knob: cells of
+    * ~constant size keep the per-cell quadratic bounded (k ∝ N).
+    * `probes` is the recall knob: multi-probe assignment (probes = 2)
+    * recovers pairs straddling a cell boundary at ≤ probes² × the
+    * candidate volume — still linear in N for fixed probes. With
+    * probes > 1 a pair can co-occur in up to probes shared cells, so
+    * candidates dedup BEFORE the embedding fetch + verify (the q26
+    * convention). */
+  def cellPairs(e: DataFrame, k: Int, iters: Int, t: Double,
+                probes: Int = 1): DataFrame = {
+    val cent = KMeans.lloydCentroids(e, k, iters)
+    val asg = KMeans.assignTop(e, cent, probes)
+      .select(col("vec_id"), col("cluster"))
+    val verified =
+      if (probes == 1) {
+        // single-probe: each pair lives in exactly one cell — carry the
+        // embeddings through the cell join, no dedup pass needed
+        val m = asg.join(e, "vec_id")
+        val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+          col("embedding").as("ae"), col("n2").as("an2"))
+        val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+          col("embedding").as("be"), col("n2").as("bn2"))
+        a.join(b, "cluster").filter(col("a_id") < col("b_id"))
+      } else {
+        val a = asg.select(col("cluster"), col("vec_id").as("a_id"))
+        val b = asg.select(col("cluster"), col("vec_id").as("b_id"))
+        a.join(b, "cluster").filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+          .join(e.select(col("vec_id").as("a_id"),
+            col("embedding").as("ae"), col("n2").as("an2")), "a_id")
+          .join(e.select(col("vec_id").as("b_id"),
+            col("embedding").as("be"), col("n2").as("bn2")), "b_id")
+      }
+    verified
       .withColumn("cos_sim",
         dotD(col("ae"), col("be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
       .filter(col("cos_sim") >= t)
@@ -60,9 +82,9 @@ object SemanticCells {
     * with the corpus (constant cell size); the registered q99 pins k=16
     * for the oracle, [[graft.ScaleStress]] drives k ∝ N. */
   def clusters(spark: SparkSession, e: DataFrame, k: Int, iters: Int,
-               t: Double): DataFrame = {
+               t: Double, probes: Int = 1): DataFrame = {
     val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = cellPairs(ep, k, iters, t)
+    val edges = cellPairs(ep, k, iters, t, probes)
       .select(col("a_id"), col("b_id")).localCheckpoint(true)
     ep.unpersist()
     val comp = DupClusters.connectedComponents(edges, "a_id", "b_id")
@@ -128,9 +150,66 @@ object SemanticCells {
       |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+  /** Multi-probe cell dedup: q99 with probes = 2 — every vector joins its
+    * TWO nearest cells, recovering near-dup pairs that straddle a cell
+    * boundary (the recall gap q99's scaladoc documents). Candidate
+    * volume stays linear in N for fixed probes; Round9Spec asserts the
+    * recall ordering q99 ⊆ q101 ⊆ q50 on the fixture. */
+  def q101SemanticCellsMp(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, emb(spark, dir), k = 16, iters = 2, t = 0.4, probes = 2)
+      .orderBy("vec_id")
+
+  val q101Sql: String = {
+    val (chain0, _) = KMeans.lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", Dim, k = 16, iters = 2,
+      p = "mp")
+    val chain = chain0.replaceAll(
+      "(mp_[a-z0-9]+p?) AS \\(", "$1 AS MATERIALIZED (")
+    val adot = dotSqlUnrolled("e.embedding", "c.centroid", Dim)
+    val pdot = dotSqlUnrolled("a.embedding", "b.embedding", Dim)
+    // the final single-probe assignment CTE from the chain goes unused —
+    // masg re-ranks against the SAME final centroids (mp_c2) keeping rn<=2
+    s"""WITH RECURSIVE $chain,
+      |masg AS MATERIALIZED (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (
+      |        PARTITION BY e.vec_id
+      |        ORDER BY (e.n2 + c.cn2) - 2 * ($adot), c.cluster) AS rn
+      |    FROM mp_e e, mp_c2 c) WHERE rn <= 2),
+      |p AS (
+      |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      |  FROM masg x JOIN masg y
+      |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      |  JOIN mp_e a ON a.vec_id = x.vec_id
+      |  JOIN mp_e b ON b.vec_id = y.vec_id
+      |  WHERE ($pdot) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+      |sym AS (
+      |  SELECT a_id AS src, b_id AS dst FROM p
+      |  UNION
+      |  SELECT b_id, a_id FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+      |SELECT node AS vec_id, cluster_id, CAST(n AS BIGINT) AS cluster_size,
+      |  CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS INTEGER)
+      |    AS is_rep
+      |FROM comp JOIN sizes USING (cluster_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q99_semantic_cells" -> (q99SemanticCells _))
+    "q99_semantic_cells" -> (q99SemanticCells _),
+    "q101_semantic_cells_mp" -> (q101SemanticCellsMp _))
 
   def oracles: Map[String, String] = Map(
-    "q99_semantic_cells" -> q99Sql)
+    "q99_semantic_cells" -> q99Sql,
+    "q101_semantic_cells_mp" -> q101Sql)
 }

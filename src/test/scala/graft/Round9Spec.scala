@@ -106,4 +106,19 @@ class Round9Spec extends AnyFunSuite {
     assert(q99Vecs.subsetOf(q50Vecs),
       s"q99 found vectors q50 didn't: ${q99Vecs.diff(q50Vecs)}")
   }
+
+  test("q101 multi-probe recall sits between q99's and q50's") {
+    val q99Vecs = SemanticCells.q99SemanticCells(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val q101Vecs = SemanticCells.q101SemanticCellsMp(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val q50Vecs = EmbedQueries.q50SemanticDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    // probe 1 of assignTop IS the single-probe cell, so q99's edges are a
+    // subset of q101's; both are within-cell restrictions of q50's
+    assert(q99Vecs.subsetOf(q101Vecs),
+      s"multi-probe lost single-probe vectors: ${q99Vecs.diff(q101Vecs)}")
+    assert(q101Vecs.subsetOf(q50Vecs),
+      s"q101 found vectors q50 didn't: ${q101Vecs.diff(q50Vecs)}")
+  }
 }
