@@ -309,7 +309,77 @@ object Round9Queries {
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** Partition-digest reconciliation — the scale complement to q90's
+    * row-level snapshot diff: to compare two 100 TB table versions you do
+    * NOT ship rows; each side computes one digest row per key-bucket
+    * (order-independent XOR of row hashes + a count — merkle-style), the
+    * k digest rows travel, and only the buckets whose digests differ get
+    * the row-level q90 treatment. XOR is commutative/associative, so the
+    * digest is partition-layout- and order-independent — any cluster
+    * computes the same 64 rows for the same data.
+    *
+    * Fixture: version B perturbs orders deterministically (every 1000th
+    * key re-priced, every 997th dropped). Output = the differing buckets
+    * with both sides' counts and digests. Scale shape: two
+    * map-side-combinable aggs (bucket cardinality k each) + one k-row
+    * join; nothing else moves. */
+  def q102PartitionDigest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val a = o
+    val b = o.filter(col("o_orderkey") % 997 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 1000 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    def digest(df: DataFrame, pfx: String): DataFrame = df
+      .select(pmod(col("o_orderkey"), lit(64)).as("bucket"),
+        md5Hash60(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").cast("string"),
+          col("o_orderstatus"))).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(s"${pfx}_cnt"),
+        expr("bit_xor(h)").as(s"${pfx}_digest"))
+    digest(a, "a").join(digest(b, "b"), Seq("bucket"), "full_outer")
+      .filter(!(col("a_digest") <=> col("b_digest"))
+        || !(col("a_cnt") <=> col("b_cnt")))
+      .select(col("bucket"), col("a_cnt"), col("b_cnt"),
+        col("a_digest"), col("b_digest"))
+      .orderBy("bucket")
+  }
+
+  val q102Sql: String = {
+    val h = md5Hash60Sql(
+      "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+        " || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)" +
+        " || '|' || o_orderstatus")
+    s"""WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders),
+      |b0 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM o WHERE o_orderkey % 997 <> 0),
+      |da AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS a_cnt,
+      |    BIT_XOR($h) AS a_digest
+      |  FROM o GROUP BY 1),
+      |db AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS b_cnt,
+      |    BIT_XOR($h) AS b_digest
+      |  FROM b0 GROUP BY 1)
+      |SELECT bucket, a_cnt, b_cnt, a_digest, b_digest
+      |FROM da FULL OUTER JOIN db USING (bucket)
+      |WHERE a_digest IS DISTINCT FROM b_digest
+      |   OR a_cnt IS DISTINCT FROM b_cnt
+      |ORDER BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_partition_digest" -> (q102PartitionDigest _),
     "q100_nation_volume" -> (q100NationVolume _),
     "q95_big_orders" -> (q95BigOrders _),
     "q96_host_stats" -> (q96HostStats _),
@@ -317,6 +387,7 @@ object Round9Queries {
     "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q102_partition_digest" -> q102Sql,
     "q100_nation_volume" -> q100Sql,
     "q95_big_orders" -> q95Sql,
     "q96_host_stats" -> q96Sql,

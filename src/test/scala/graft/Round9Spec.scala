@@ -107,6 +107,26 @@ class Round9Spec extends AnyFunSuite {
       s"q99 found vectors q50 didn't: ${q99Vecs.diff(q50Vecs)}")
   }
 
+  test("q102 digests flag exactly the perturbed buckets, none clean") {
+    val rows = Round9Queries.q102PartitionDigest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the perturbation touches keys %997==0 (dropped) and %1000==0
+    // (re-priced): a flagged bucket must contain at least one such key,
+    // and every such key's bucket must be flagged
+    val flagged = rows.map(_.getAs[Long]("bucket").toInt).toSet
+    val keys = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val dirtyBuckets = keys
+      .filter(k => k % 997 == 0 || k % 1000 == 0)
+      .map(k => (k % 64).toInt).toSet
+    assert(flagged == dirtyBuckets,
+      s"flagged $flagged but perturbed buckets are $dirtyBuckets")
+    // count mismatch only where rows were dropped; digest differs everywhere flagged
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_cnt") >= r.getAs[Long]("b_cnt"))
+    }
+  }
+
   test("q101 multi-probe recall sits between q99's and q50's") {
     val q99Vecs = SemanticCells.q99SemanticCells(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
