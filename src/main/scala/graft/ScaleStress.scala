@@ -44,6 +44,10 @@ object ScaleStress {
     })
 
     def build(nClones: Int, out: String): Unit = {
+      // a rotation by >= dim degenerates clone c=dim into an exact copy of
+      // the base corpus (silently breaking the disjoint-clone invariant
+      // the measurements depend on) and errors beyond
+      require(nClones <= 64, s"at most 64 clones (embedding dim): $nClones")
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
@@ -119,7 +123,7 @@ object ScaleStress {
             val b0 = shuffleBytes.get()
             val t0 = System.nanoTime()
             graft.operators.SemanticCells
-              .clusters(spark, e, k = 16 * n, iters = 2, t = 0.4, probes)
+              .clusters(e, k = 16 * n, iters = 2, t = 0.4, probes)
               .write.format("noop").mode("overwrite").save()
             ((System.nanoTime() - t0) / 1e9, shuffleBytes.get() - b0)
           }

@@ -112,7 +112,9 @@ object KMeans {
       .withColumn("cn2", norm2(col("centroid")))
     (1 to iters).foldLeft(init) { (c, t) =>
       val next = update(e, assign(e, c))
-      if (t % checkpointEveryK == 0 && t < iters) next.localCheckpoint(true)
+      // checkpointEveryK <= 0 disables checkpointing (no modulo-zero trap)
+      if (checkpointEveryK > 0 && t % checkpointEveryK == 0 && t < iters)
+        next.localCheckpoint(true)
       else next
     }
   }
@@ -124,11 +126,14 @@ object KMeans {
 
   // ---------------------------------------------------------------- q60
   /** k=8, two update rounds, per-vector assignment with the final squared
-    * distance rounded to 6 dp for the cross-engine hash. */
+    * distance rounded to 6 dp for the cross-engine hash. `+ 0.0`: d2 is
+    * non-negative mathematically, but the (n2 + cn2) - 2·dot spelling can
+    * cancel to a TINY NEGATIVE double (vector ≈ its rounded centroid),
+    * which rounds to sign-split zero — the README negative-zero rule. */
   def q60Kmeans(spark: SparkSession, dir: String): DataFrame =
     lloyd(emb(spark, dir), k = 8, iters = 2)
       .select(col("vec_id"), col("cluster"),
-        round(col("d2"), 6).as("d2"))
+        (round(col("d2"), 6) + lit(0.0)).as("d2"))
       .orderBy("vec_id")
 
   /** DuckDB replay of [[lloyd]] as a reusable CTE chain. `srcSelect` must
@@ -183,7 +188,7 @@ object KMeans {
       "SELECT vec_id, embedding FROM embeddings", Dim, k = 8, iters = 2,
       p = "km")
     s"""WITH $chain
-      |SELECT vec_id, cluster, round(d2, 6) AS d2
+      |SELECT vec_id, cluster, round(d2, 6) + 0.0 AS d2
       |FROM $out ORDER BY vec_id""".stripMargin
   }
 
@@ -215,8 +220,9 @@ object KMeans {
     parts.reduce(_.join(_, "vec_id"))
       .select(col("vec_id"),
         col("code_0"), col("code_1"), col("code_2"), col("code_3"),
-        round(((col("d2_0") + col("d2_1")) + col("d2_2")) + col("d2_3"), 6)
-          .as("sq_err"))
+        // + 0.0: each subspace d2 can cancel tiny-negative (q60's hazard)
+        (round(((col("d2_0") + col("d2_1")) + col("d2_2")) + col("d2_3"), 6)
+          + lit(0.0)).as("sq_err"))
       .orderBy("vec_id")
   }
 
@@ -231,7 +237,7 @@ object KMeans {
       |SELECT s0.vec_id,
       |  s0.cluster AS code_0, s1.cluster AS code_1,
       |  s2.cluster AS code_2, s3.cluster AS code_3,
-      |  round(((s0.d2 + s1.d2) + s2.d2) + s3.d2, 6) AS sq_err
+      |  round(((s0.d2 + s1.d2) + s2.d2) + s3.d2, 6) + 0.0 AS sq_err
       |FROM $o0 s0
       |JOIN $o1 s1 ON s0.vec_id = s1.vec_id
       |JOIN $o2 s2 ON s0.vec_id = s2.vec_id

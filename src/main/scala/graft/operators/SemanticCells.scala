@@ -81,7 +81,7 @@ object SemanticCells {
     * (vec_id, cluster_id = min member, cluster_size, is_rep). `k` scales
     * with the corpus (constant cell size); the registered q99 pins k=16
     * for the oracle, [[graft.ScaleStress]] drives k ∝ N. */
-  def clusters(spark: SparkSession, e: DataFrame, k: Int, iters: Int,
+  def clusters(e: DataFrame, k: Int, iters: Int,
                t: Double, probes: Int = 1): DataFrame = {
     val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = cellPairs(ep, k, iters, t, probes)
@@ -107,7 +107,7 @@ object SemanticCells {
     * the hash match certifies the k-means cells, the within-cell pair
     * set, AND the closure. */
   def q99SemanticCells(spark: SparkSession, dir: String): DataFrame =
-    clusters(spark, emb(spark, dir), k = 16, iters = 2, t = 0.4)
+    clusters(emb(spark, dir), k = 16, iters = 2, t = 0.4)
       .orderBy("vec_id")
 
   val q99Sql: String = {
@@ -157,7 +157,7 @@ object SemanticCells {
     * volume stays linear in N for fixed probes; Round9Spec asserts the
     * recall ordering q99 ⊆ q101 ⊆ q50 on the fixture. */
   def q101SemanticCellsMp(spark: SparkSession, dir: String): DataFrame =
-    clusters(spark, emb(spark, dir), k = 16, iters = 2, t = 0.4, probes = 2)
+    clusters(emb(spark, dir), k = 16, iters = 2, t = 0.4, probes = 2)
       .orderBy("vec_id")
 
   val q101Sql: String = {

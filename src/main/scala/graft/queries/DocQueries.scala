@@ -564,25 +564,30 @@ object DocQueries {
     * (fixture/sample scale); the sketch-only production plan stays
     * [[sketchProfile]]. */
   def q41SketchProfile(spark: SparkSession, dir: String): DataFrame = {
-    val exact = docs(spark, dir)
+    val okInt = (d: Column, tol: Column) =>
+      when(d <= tol, lit(1)).otherwise(lit(0))
+    // ONE scan, ONE aggregation: sketch and exact aggregates side by side
+    // in the same groupBy (multiple distincts plan via Expand) — no second
+    // corpus pass, no join (round-9 review fix)
+    docs(spark, dir)
       .withColumn("n_tokens", tokenCount(col("text")))
       .groupBy(col("lang"))
       .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text"), 0.02).as("a_texts"),
+        approx_count_distinct(col("source"), 0.02).as("a_sources"),
+        expr("approx_percentile(n_tokens, 0.5, 1000)").cast("double")
+          .as("a_median"),
         countDistinct(col("text")).as("x_texts"),
         countDistinct(col("source")).as("x_sources"),
         expr("percentile(n_tokens, 0.5)").as("x_median"))
-    val okInt = (d: Column, tol: Column) =>
-      when(d <= tol, lit(1)).otherwise(lit(0))
-    sketchProfile(spark, dir).join(exact, "lang")
       .select(
         col("lang"), col("n_docs"),
-        okInt(abs(col("approx_distinct_texts") - col("x_texts"))
-          .cast("double"), col("x_texts") * lit(0.05) + lit(2.0))
-          .as("hll_texts_ok"),
-        okInt(abs(col("approx_distinct_sources") - col("x_sources"))
-          .cast("double"), col("x_sources") * lit(0.05) + lit(2.0))
-          .as("hll_sources_ok"),
-        okInt(abs(col("approx_median_tokens") - col("x_median")),
+        okInt(abs(col("a_texts") - col("x_texts")).cast("double"),
+          col("x_texts") * lit(0.05) + lit(2.0)).as("hll_texts_ok"),
+        okInt(abs(col("a_sources") - col("x_sources")).cast("double"),
+          col("x_sources") * lit(0.05) + lit(2.0)).as("hll_sources_ok"),
+        okInt(abs(col("a_median") - col("x_median")),
           col("x_median") * lit(0.02) + lit(1.0)).as("tdigest_median_ok"))
       .orderBy("lang")
   }

@@ -100,7 +100,7 @@ object Round9Queries {
       |h AS (
       |  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, text
       |  FROM d),
-      |hosts AS (
+      |hosts AS MATERIALIZED (
       |  SELECT host, COUNT(*) AS n_docs,
       |    CAST(SUM(length(text)) AS BIGINT) AS total_chars
       |  FROM h GROUP BY 1)
@@ -144,7 +144,7 @@ object Round9Queries {
     """WITH tok AS (
       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
       |  FROM documents WHERE length(trim(text)) > 0),
-      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |vocab AS MATERIALIZED (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
       |top AS (SELECT token, cnt FROM vocab ORDER BY cnt DESC, token LIMIT 50)
       |SELECT
       |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
@@ -211,18 +211,22 @@ object Round9Queries {
       .select((col("doc_id") + lit(2000000000000L)).as("doc_id"),
         concat_ws(" ", transform(tokens(col("text")),
           t => concat(t, lit("_n9")))).as("text"))
-    val batch = bandsOf(near.unionAll(novel)
+    val batchSh = near.unionAll(novel)
       .select(col("doc_id"), col("text"),
-        shingles(tokens(col("text")), 3).as("sh")))
+        shingles(tokens(col("text")), 3).as("sh"))
     val cand = spark.table(table)
       .withColumnRenamed("doc_id", "a_id")
-      .join(batch.select(col("band"), col("band_hash"),
-        col("doc_id").as("b_id"), col("sh").as("b_sh")),
+      .join(bandsOf(batchSh).select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id")),
         Seq("band", "band_hash"))
-    // verify: shingles for candidate STORE docs only (no re-banding)
+    // verify: dedup BARE id pairs first (a pair colliding in several bands
+    // must not ship its shingle array once per band — the q26 convention),
+    // then fetch both sides' shingles by id
     val aSh = corpusSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val out = cand.select(col("a_id"), col("b_id"), col("b_sh")).distinct()
+    val bSh = batchSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val out = cand.select(col("a_id"), col("b_id")).distinct()
       .join(aSh, "a_id")
+      .join(bSh, "b_id")
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
