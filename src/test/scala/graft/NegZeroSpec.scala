@@ -19,9 +19,12 @@ import graft.queries.{LmQueries, StatsQueries}
   *
   * Applied sites: WeightedSample.aesScore/aesScoreSql (q79 — the round-8
   * failure), q59/q83 avg_nll (the `-avg(lp)` negation corner), q84 lo/hi
-  * bin edges (negative-domain generality). q29's entropy needs none: it
-  * routes the rounded double through DECIMAL(18,12), and decimals have no
-  * signed zero.
+  * bin edges (negative-domain generality), and q60 d2 / q64 sq_err
+  * (squared distances spelled (n2 + cn2) - 2·dot are non-negative only in
+  * REAL arithmetic — cancellation can land a tiny negative double when a
+  * vector numerically coincides with its rounded centroid). q29's entropy
+  * needs none: it routes the rounded double through DECIMAL(18,12), and
+  * decimals have no signed zero.
   */
 class NegZeroSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
@@ -80,5 +83,8 @@ class NegZeroSpec extends AnyFunSuite {
     assert(StatsQueries.q84Sql.contains("+ 0.0 AS lo"))
     assert(StatsQueries.q84Sql.contains("+ 0.0 AS hi"))
     assert(WeightedSample.aesScoreSql("k", "w").contains("+ 0.0"))
+    // squared distances (cancellation corner): q60 d2, q64 sq_err
+    assert(graft.operators.KMeans.q60Sql.contains("round(d2, 6) + 0.0"))
+    assert(graft.operators.KMeans.q64Sql.contains("+ 0.0 AS sq_err"))
   }
 }
