@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -328,6 +328,20 @@ object Round9Queries {
     * with both sides' counts and digests. Scale shape: two
     * map-side-combinable aggs (bucket cardinality k each) + one k-row
     * join; nothing else moves. */
+  /** Per-bucket merkle digest of a keyed frame: bucket = key mod
+    * `buckets`; digest = order-independent BIT_XOR of md5-derived row
+    * hashes over `rowExpr` + a row count. XOR commutativity makes the
+    * result partition-layout- and order-independent (property-tested in
+    * Round9PropertiesSpec); any single-row change flips its bucket's
+    * digest. */
+  def bucketDigest(df: DataFrame, keyCol: Column, rowExpr: Column,
+                   buckets: Int, pfx: String): DataFrame = df
+    .select(pmod(keyCol, lit(buckets)).as("bucket"),
+      md5Hash60(rowExpr).as("h"))
+    .groupBy(col("bucket"))
+    .agg(count(lit(1)).as(s"${pfx}_cnt"),
+      expr("bit_xor(h)").as(s"${pfx}_digest"))
+
   def q102PartitionDigest(spark: SparkSession, dir: String): DataFrame = {
     val o = Kpis.table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -337,14 +351,11 @@ object Round9Queries {
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 1000 === 0, col("o_totalprice") + lit(1.0))
           .otherwise(col("o_totalprice")))
-    def digest(df: DataFrame, pfx: String): DataFrame = df
-      .select(pmod(col("o_orderkey"), lit(64)).as("bucket"),
-        md5Hash60(concat_ws("|", col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,4)").cast("string"),
-          col("o_orderstatus"))).as("h"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as(s"${pfx}_cnt"),
-        expr("bit_xor(h)").as(s"${pfx}_digest"))
+    val row = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,4)").cast("string"),
+      col("o_orderstatus"))
+    def digest(df: DataFrame, pfx: String): DataFrame =
+      bucketDigest(df, col("o_orderkey"), row, 64, pfx)
     digest(a, "a").join(digest(b, "b"), Seq("bucket"), "full_outer")
       .filter(!(col("a_digest") <=> col("b_digest"))
         || !(col("a_cnt") <=> col("b_cnt")))
