@@ -393,7 +393,105 @@ object Round9Queries {
       |ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- q103
+  /** Event-type transition matrix — first-order Markov statistics over
+    * each user's event stream (the path-analysis primitive behind "what
+    * do users do after an error?"): consecutive (current → next) pairs
+    * via a per-user lead window, counted, with P(next | current) as an
+    * exact long-ratio double.
+    *
+    * Scale shape: ONE per-user window (state bounded by a user's events,
+    * the q34 sessionization partitioning), one hash agg to the
+    * |types|²-bounded matrix, and a broadcast-sized per-current totals
+    * join. Order is total (ts, event_id), so the lead is deterministic. */
+  def q103EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = tr.groupBy(col("cur_type"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    tr.join(broadcast(totals), "cur_type")
+      .select(col("cur_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p_next"))
+      .orderBy("cur_type", "next_type")
+  }
+
+  val q103Sql: String =
+    """WITH tr0 AS (
+      |  SELECT event_type AS cur_type,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT cur_type, next_type, COUNT(*) AS n_transitions
+      |  FROM tr0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT cur_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+      |  FROM tr GROUP BY 1)
+      |SELECT cur_type, next_type, n_transitions,
+      |  CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_next
+      |FROM tr JOIN tot USING (cur_type)
+      |ORDER BY cur_type, next_type""".stripMargin
+
+  // --------------------------------------------------------------- q104
+  /** TPC-H Q19 shape (disjunctive brand/size/quantity bands): revenue per
+    * matched brand band from lineitem ⋈ part under an OR-of-ANDs
+    * predicate — the "discounted promo revenue" join Catalyst handles by
+    * pushing the disjunction's COMMON constraints (size ≥ 1, qty bounds)
+    * to the scans and evaluating the full predicate at the join.
+    * part is dimension-sized → broadcast; revenue is the exact
+    * decimal-sum convention. */
+  def q104BrandBands(spark: SparkSession, dir: String): DataFrame = {
+    val l = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+    val p = Kpis.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val band = when(col("p_brand") === "Brand#2"
+        && col("p_size").between(1, 10)
+        && col("l_quantity").between(1, 20), lit("band_small"))
+      .when(col("p_brand") === "Brand#4"
+        && col("p_size").between(1, 25)
+        && col("l_quantity").between(10, 35), lit("band_mid"))
+      .when(col("p_brand") === "Brand#19"
+        && col("p_size").between(1, 50)
+        && col("l_quantity").between(20, 50), lit("band_large"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("band", band)
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("band")
+  }
+
+  val q104Sql: String =
+    """WITH j AS (
+      |  SELECT CASE
+      |    WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |         AND l_quantity BETWEEN 1 AND 20 THEN 'band_small'
+      |    WHEN p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25
+      |         AND l_quantity BETWEEN 10 AND 35 THEN 'band_mid'
+      |    WHEN p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50
+      |         AND l_quantity BETWEEN 20 AND 50 THEN 'band_large'
+      |    END AS band,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT band, CAST(SUM(rev) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM j WHERE band IS NOT NULL
+      |GROUP BY band ORDER BY band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_event_transitions" -> (q103EventTransitions _),
+    "q104_brand_bands" -> (q104BrandBands _),
     "q102_partition_digest" -> (q102PartitionDigest _),
     "q100_nation_volume" -> (q100NationVolume _),
     "q95_big_orders" -> (q95BigOrders _),
@@ -402,6 +500,8 @@ object Round9Queries {
     "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q103_event_transitions" -> q103Sql,
+    "q104_brand_bands" -> q104Sql,
     "q102_partition_digest" -> q102Sql,
     "q100_nation_volume" -> q100Sql,
     "q95_big_orders" -> q95Sql,

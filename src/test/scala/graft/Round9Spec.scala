@@ -127,6 +127,31 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("q103 transition probabilities are a proper distribution per source") {
+    val rows = Round9Queries.q103EventTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("cur_type"))
+    bySrc.foreach { case (src, trs) =>
+      val total = trs.map(_.getAs[Double]("p_next")).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"$src: probabilities sum to $total")
+      trs.foreach(r => assert(r.getAs[Double]("p_next") > 0.0))
+    }
+    // 5 event types -> at most 25 cells
+    assert(rows.length <= 25)
+  }
+
+  test("q104 bands partition matched rows; unmatched brands never appear") {
+    val rows = Round9Queries.q104BrandBands(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bands = rows.map(_.getAs[String]("band")).toSet
+    assert(bands.subsetOf(Set("band_small", "band_mid", "band_large")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0)
+      assert(r.getAs[Long]("n_items") > 0)
+    }
+  }
+
   test("q101 multi-probe recall sits between q99's and q50's") {
     val q99Vecs = SemanticCells.q99SemanticCells(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
