@@ -489,7 +489,132 @@ object Round9Queries {
       |FROM j WHERE band IS NOT NULL
       |GROUP BY band ORDER BY band""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  /** Daily-revenue anomaly days: |z| ≥ 2 against the all-days mean/std —
+    * the monitoring query a pipeline alerts on. Exactness is the q69
+    * closed-form discipline: daily sums are DECIMAL(18,4) (exact), mean
+    * and variance come from (n·Σx² − (Σx)²) in exact decimal arithmetic,
+    * and only the final divisions/sqrt are single double ops on identical
+    * operands — no rounding fudge anywhere.
+    *
+    * Scale shape: one map-side-combinable daily agg, one 1-row stats
+    * broadcast, pure-map z computation. Population std (n divisor),
+    * mirrored by the oracle. */
+  def q105RevenueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    // s1/s2 are exact decimal sums; they cast to double BEFORE the moment
+    // arithmetic (an n·s2 decimal product would overflow precision 38 and
+    // precision-loss-rescale). Both engines then run the identical IEEE
+    // chain on identical doubles; DuckDB's decimal→double cast is 1 ulp
+    // off beyond 2^53 units, so its twin routes through VARCHAR (the q72
+    // convention).
+    val stats = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("rev")).cast("double").as("s1"),
+      sum(col("rev") * col("rev")).cast("double").as("s2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean", col("s1") / col("nd"))
+      .withColumn("var",
+        (col("nd") * col("s2") - col("s1") * col("s1"))
+          / (col("nd") * col("nd")))
+      .withColumn("z",
+        (col("rev").cast("double") - col("mean")) / sqrt(col("var")))
+      .filter(abs(col("z")) >= 2.0)
+      .select(date_format(col("ship_day"), "yyyy-MM-dd").as("ship_day"),
+        col("rev").cast("double").as("revenue"), col("z"))
+      .orderBy("ship_day")
+  }
+
+  val q105Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(rev * rev) AS VARCHAR) AS DOUBLE) AS s2
+      |  FROM daily),
+      |z AS (
+      |  SELECT ship_day, rev,
+      |    (CAST(rev AS DOUBLE) - s1 / nd)
+      |      / sqrt((nd * s2 - s1 * s1) / (nd * nd)) AS z
+      |  FROM daily CROSS JOIN stats)
+      |SELECT strftime(ship_day, '%Y-%m-%d') AS ship_day,
+      |  CAST(rev AS DOUBLE) AS revenue, z
+      |FROM z WHERE abs(z) >= 2.0 ORDER BY ship_day""".stripMargin
+
+  // --------------------------------------------------------------- q106
+  /** Referential-integrity audit across the star schema's FK edges: for
+    * each edge, total child rows and orphan rows (children whose parent
+    * key is absent) via LEFT ANTI joins — the data-quality gate every
+    * warehouse load runs. On healthy fixtures all orphan counts are 0;
+    * the query still scans and proves it.
+    *
+    * Scale shape: each edge is one anti-join on its FK (broadcast where
+    * the parent is dimension-sized); counts are map-side-combinable; the
+    * result is one row per edge. */
+  def q106FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    // one lazy distributed plan per edge (left join + null-count agg) —
+    // no driver-side counts; the union stays a single job
+    def edge(name: String, child: DataFrame, fk: String, parent: DataFrame,
+             pk: String): DataFrame =
+      child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("n_children"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_children"),
+          col("n_orphans"))
+    val li = Kpis.table(spark, dir, "lineitem")
+    val o = Kpis.table(spark, dir, "orders")
+    edge("customer->nation", Kpis.table(spark, dir, "customer"),
+        "c_nationkey", Kpis.table(spark, dir, "nation"), "n_nationkey")
+      .unionAll(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+      .unionAll(edge("lineitem->part", li, "l_partkey",
+        Kpis.table(spark, dir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey",
+        Kpis.table(spark, dir, "supplier"), "s_suppkey"))
+      .unionAll(edge("orders->customer", o, "o_custkey",
+        Kpis.table(spark, dir, "customer"), "c_custkey"))
+      .unionAll(edge("supplier->nation", Kpis.table(spark, dir, "supplier"),
+        "s_nationkey", Kpis.table(spark, dir, "nation"), "n_nationkey"))
+      .orderBy("fk_edge")
+  }
+
+  val q106Sql: String =
+    """SELECT 'customer->nation' AS fk_edge, COUNT(*) AS n_children,
+      |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |UNION ALL
+      |SELECT 'lineitem->orders', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem->part', COUNT(*),
+      |  CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |UNION ALL
+      |SELECT 'lineitem->supplier', COUNT(*),
+      |  CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |UNION ALL
+      |SELECT 'orders->customer', COUNT(*),
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'supplier->nation', COUNT(*),
+      |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY fk_edge""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_revenue_anomalies" -> (q105RevenueAnomalies _),
+    "q106_fk_audit" -> (q106FkAudit _),
     "q103_event_transitions" -> (q103EventTransitions _),
     "q104_brand_bands" -> (q104BrandBands _),
     "q102_partition_digest" -> (q102PartitionDigest _),
@@ -500,6 +625,8 @@ object Round9Queries {
     "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q105_revenue_anomalies" -> q105Sql,
+    "q106_fk_audit" -> q106Sql,
     "q103_event_transitions" -> q103Sql,
     "q104_brand_bands" -> q104Sql,
     "q102_partition_digest" -> q102Sql,

@@ -152,6 +152,34 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("q105 flags only |z| >= 2 days; z matches a sequential recompute") {
+    val rows = Round9Queries.q105RevenueAnomalies(spark, sfDir).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) >= 2.0))
+    // sequential ground truth over the same daily sums
+    val daily = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("rev"))
+      .collect().map(_.getAs[Double]("rev"))
+    val n = daily.length.toDouble
+    val mean = daily.sum / n
+    val variance = daily.map(x => (x - mean) * (x - mean)).sum / n
+    val expected = daily.count(x => math.abs((x - mean) / math.sqrt(variance)) >= 2.0)
+    assert(rows.length == expected,
+      s"flagged ${rows.length} days, sequential model says $expected")
+  }
+
+  test("q106 audits all six FK edges; the fixture is referentially clean") {
+    val rows = Round9Queries.q106FkAudit(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_children") > 0)
+      assert(r.getAs[Long]("n_orphans") == 0L,
+        s"${r.getAs[String]("fk_edge")} has orphans")
+    }
+  }
+
   test("q101 multi-probe recall sits between q99's and q50's") {
     val q99Vecs = SemanticCells.q99SemanticCells(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
