@@ -612,7 +612,54 @@ object Round9Queries {
       |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY fk_edge""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Rolling 4-week active users — the WAU/MAU-style sliding-window
+    * DISTINCT count, computed WITHOUT a window function: a user's
+    * (user, week) presence row contributes to target weeks w..w+3 via a
+    * bounded explode, and the rolling count is a plain distinct-then-agg.
+    * A windowed `approx/count_distinct OVER (RANGE 3 PRECEDING)` cannot
+    * partial-aggregate and re-scans the frame per row; the contribution
+    * rewrite is two hash shuffles with map-side combine — the scale
+    * shape for sliding distinct counts. Weeks are integer indexes from a
+    * fixed anchor (floored division — identical for pre-anchor dates in
+    * both engines). Output covers weeks WITH activity (inner join with
+    * the per-week presence table). */
+  def q107RollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val wk = floor(datediff(col("ts").cast("date"),
+      lit("2024-01-01").cast("date")) / 7).cast("long")
+    val pres = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val wau = pres.groupBy(col("wk")).agg(count(lit(1)).as("weekly_users"))
+    val roll = pres
+      .select(col("user_id"),
+        explode(sequence(col("wk"), col("wk") + lit(3))).as("wk"))
+      .distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("rolling_4wk_users"))
+    wau.join(roll, "wk")
+      .select(col("wk").as("week_idx"), col("weekly_users"),
+        col("rolling_4wk_users"))
+      .orderBy("week_idx")
+  }
+
+  val q107Sql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+      |  FROM events),
+      |wau AS (SELECT wk, COUNT(*) AS weekly_users FROM pres GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, wk + d AS wk2
+      |  FROM pres CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(d)),
+      |roll AS (
+      |  SELECT wk2 AS wk, COUNT(*) AS rolling_4wk_users
+      |  FROM contrib GROUP BY 1)
+      |SELECT wk AS week_idx, weekly_users, rolling_4wk_users
+      |FROM wau JOIN roll USING (wk)
+      |ORDER BY week_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_rolling_wau" -> (q107RollingWau _),
     "q105_revenue_anomalies" -> (q105RevenueAnomalies _),
     "q106_fk_audit" -> (q106FkAudit _),
     "q103_event_transitions" -> (q103EventTransitions _),
@@ -625,6 +672,7 @@ object Round9Queries {
     "q98_minhash_store_dedup" -> (q98MinhashStoreDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q107_rolling_wau" -> q107Sql,
     "q105_revenue_anomalies" -> q105Sql,
     "q106_fk_audit" -> q106Sql,
     "q103_event_transitions" -> q103Sql,

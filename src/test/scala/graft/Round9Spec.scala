@@ -180,6 +180,34 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("q107 rolling window bounds weekly count and a sequential recompute") {
+    val rows = Round9Queries.q107RollingWau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rolling_4wk_users") >=
+        r.getAs[Long]("weekly_users"),
+        "rolling window cannot have fewer users than its newest week")
+    }
+    // sequential ground truth: distinct users over weeks [w-3, w]
+    val pres = queries.Kpis.eventsTable(spark, SparkTestSession.sfDir)
+      .select(col("user_id"),
+        floor(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")) / 7).cast("long").as("wk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = pres.groupBy(_._2)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("week_idx")
+      val expected = pres
+        .filter { case (_, pw) => pw >= w - 3 && pw <= w }
+        .map(_._1).distinct.length
+      assert(r.getAs[Long]("rolling_4wk_users") == expected,
+        s"week $w rolling mismatch")
+      assert(r.getAs[Long]("weekly_users") ==
+        byWeek(w).map(_._1).distinct.length)
+    }
+  }
+
   test("q101 multi-probe recall sits between q99's and q50's") {
     val q99Vecs = SemanticCells.q99SemanticCells(spark, sfDir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
