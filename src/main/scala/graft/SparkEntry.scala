@@ -46,7 +46,10 @@ object SparkEntry {
       graft.queries.BasketQueries.queries ++
       graft.operators.IncrementalDedup.queries ++
       graft.queries.Round9Queries.queries ++
-      graft.operators.SemanticCells.queries
+      graft.operators.SemanticCells.queries ++
+      graft.queries.Tpch3Queries.queries ++
+      graft.queries.GraphQueries.queries ++
+      graft.queries.CorpusStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -89,5 +92,8 @@ object SparkEntry {
       graft.queries.BasketQueries.oracles ++
       graft.operators.IncrementalDedup.oracles ++
       graft.queries.Round9Queries.oracles ++
-      graft.operators.SemanticCells.oracles
+      graft.operators.SemanticCells.oracles ++
+      graft.queries.Tpch3Queries.oracles ++
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.CorpusStatsQueries.oracles
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-level statistical text mining beside [[LmQueries]]' perplexity
+  * scores: PMI collocation extraction (the classic phrase/term-pair
+  * discovery signal) and a per-language Zipf rank-frequency fit (the
+  * standard sanity check that a crawled corpus has natural-language token
+  * statistics rather than boilerplate or spam mass).
+  */
+object CorpusStatsQueries {
+
+  // --------------------------------------------------------------- q112
+  /** Top-30 bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over the bigram corpus, with
+    * positional marginals (a as first word, b as second) and a minimum
+    * support of 5 to keep the estimator out of its noisy low-count
+    * regime. High-PMI pairs are multi-word expressions ("Hong Kong")
+    * whose joint probability far exceeds chance co-occurrence.
+    *
+    * Scale shape: bigrams come from the array-level zip_with on each
+    * already-tokenized row (q83's shape — no positional self-join of an
+    * exploded corpus); the three count tables are vocab-bounded hash
+    * aggs with map-side partials; N is a 1-row broadcast; the top-30
+    * lowers to TakeOrderedAndProject. Exactness: the PMI argument is a
+    * ratio of exact long products in one double division; the single ln
+    * is collapsed to the 9-dp grid with the negative-zero guard, and the
+    * ordering key includes (w1, w2) so equal-PMI rows select
+    * deterministically. */
+  def q112PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = d.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n_bigrams"))
+    cab.filter(col("c_ab") >= 5)
+      .join(ca, "w1")
+      .join(cb, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (round(log((col("c_ab") * col("n_bigrams")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 9) + lit(0.0))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val q112Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+      |pos AS (
+      |  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM d2),
+      |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+      |cab AS MATERIALIZED (
+      |  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+      |       FROM cab GROUP BY 1),
+      |cb AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b
+      |       FROM cab GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM cab)
+      |SELECT w1, w2, c_ab,
+      |  round(ln(CAST(c_ab * n_bigrams AS DOUBLE)
+      |           / CAST(c_a * c_b AS DOUBLE)), 9) + 0.0 AS pmi
+      |FROM cab
+      |JOIN ca USING (w1)
+      |JOIN cb USING (w2)
+      |CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 30""".stripMargin
+
+  // --------------------------------------------------------------- q115
+  /** Per-language Zipf fit: OLS slope/intercept of ln(frequency) against
+    * ln(rank) over each language's token frequency table. Natural text
+    * sits near slope ≈ −1; a corpus slice whose slope drifts far from
+    * that is boilerplate, spam, or mis-identified language — this is the
+    * distribution-level quality gate next to q59/q83's per-document
+    * scores.
+    *
+    * Scale shape: the heavy work is one hash agg over the exploded
+    * corpus (token counts); the rank window is PARTITIONED BY lang over
+    * the vocabulary table only — vocabulary is orders of magnitude
+    * smaller than the corpus, and no global single-partition sort ever
+    * touches the token stream.
+    *
+    * Exactness: ln values are collapsed to the 9-dp grid and cast to
+    * DECIMAL(18,9), so all five OLS sums are EXACT decimal/integer
+    * arithmetic with no float summation-order jitter (the q69
+    * convention, upgraded to decimal because ln outputs are not integer
+    * grid points); the closed form is then single double ops on
+    * identical exact operands, with a 6-dp output rounding absorbing the
+    * ≤1-ulp cross-engine ln boundary odds. */
+  def q115ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Kpis.table(spark, dir, "documents")
+      .select(col("lang"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("f").desc, col("token"))
+    val pts = freq.withColumn("r", row_number().over(w))
+      .select(col("lang"),
+        round(log(col("r").cast("double")), 9).cast("decimal(18,9)").as("x"),
+        round(log(col("f").cast("double")), 9).cast("decimal(18,9)").as("y"))
+    val sums = pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    sums
+      .withColumn("slope", slope)
+      .select(col("lang"), col("n").as("n_types"),
+        (round(col("slope"), 6) + lit(0.0)).as("zipf_slope"),
+        (round((col("sy") - col("slope") * col("sx")) / nd, 6) + lit(0.0))
+          .as("zipf_intercept"))
+      .orderBy("lang")
+  }
+
+  val q115Sql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |freq AS (SELECT lang, token, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY f DESC, token) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+      |    CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      |  FROM freq),
+      |sums AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT lang, n AS n_types,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+      |  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+      |        / CAST(n AS DOUBLE), 6) + 0.0 AS zipf_intercept
+      |FROM sums ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_pmi_collocations" -> (q112PmiCollocations _),
+    "q115_zipf_fit" -> (q115ZipfFit _))
+
+  def oracles: Map[String, String] = Map(
+    "q112_pmi_collocations" -> q112Sql,
+    "q115_zipf_fit" -> q115Sql)
+}
