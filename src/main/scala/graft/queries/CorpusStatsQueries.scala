@@ -82,6 +82,60 @@ object CorpusStatsQueries {
       |ORDER BY pmi DESC, w1, w2
       |LIMIT 30""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Pairwise cross-language vocabulary overlap: for every language pair
+    * the shared-type count and vocabulary Jaccard. High overlap between
+    * two language slices of a crawl flags mislabeled language ID or
+    * boilerplate contamination — the corpus-level twin of q24/q35's
+    * per-document language signals.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (lang, token)
+    * vocabulary table first (hash agg with map-side partials), and the
+    * pair enumeration is a self-equi-join ON TOKEN of that small table —
+    * never a document-level cross join; with L languages a token shared
+    * by all of them expands to only C(L,2) rows. Jaccard is one double
+    * division of exact longs. */
+  def q114LangOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Kpis.table(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("lang").as("lang_a"), col("token"))
+      .join(vocab.select(col("lang").as("lang_b"), col("token")), "token")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("lang").as("lang_a"), col("n").as("n_a")),
+        "lang_a")
+      .join(sizes.select(col("lang").as("lang_b"), col("n").as("n_b")),
+        "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("vocab_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val q114Sql: String =
+    """WITH vocab AS MATERIALIZED (
+      |  SELECT DISTINCT lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sizes AS (SELECT lang, COUNT(*) AS n FROM vocab GROUP BY 1),
+      |inter AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+      |  FROM vocab a JOIN vocab b ON a.token = b.token AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  CAST(n_shared AS DOUBLE)
+      |    / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS vocab_jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.lang = lang_a
+      |JOIN sizes sb ON sb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   // --------------------------------------------------------------- q115
   /** Per-language Zipf fit: OLS slope/intercept of ln(frequency) against
     * ln(rank) over each language's token frequency table. Natural text
@@ -164,9 +218,11 @@ object CorpusStatsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_pmi_collocations" -> (q112PmiCollocations _),
+    "q114_lang_overlap" -> (q114LangOverlap _),
     "q115_zipf_fit" -> (q115ZipfFit _))
 
   def oracles: Map[String, String] = Map(
     "q112_pmi_collocations" -> q112Sql,
+    "q114_lang_overlap" -> q114Sql,
     "q115_zipf_fit" -> q115Sql)
 }

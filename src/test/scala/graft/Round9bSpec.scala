@@ -165,6 +165,34 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("q114 vocabulary overlap matches sequential set intersection") {
+    val rows = CorpusStatsQueries.q114LangOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vocab = Kpis.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .flatMap { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(t => (r.getString(0), t))
+      }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val langs = vocab.keys.toArray.sorted
+    val expectPairs = for {
+      i <- langs.indices; j <- i + 1 until langs.length
+      inter = (vocab(langs(i)) & vocab(langs(j))).size if inter > 0
+    } yield (langs(i), langs(j))
+    assert(rows.map(r => (r.getAs[String]("lang_a"),
+      r.getAs[String]("lang_b"))).toSeq == expectPairs)
+    rows.foreach { r =>
+      val a = vocab(r.getAs[String]("lang_a"))
+      val b = vocab(r.getAs[String]("lang_b"))
+      val inter = (a & b).size
+      assert(r.getAs[Long]("n_a") == a.size.toLong)
+      assert(r.getAs[Long]("n_b") == b.size.toLong)
+      assert(r.getAs[Long]("n_shared") == inter.toLong)
+      assert(r.getAs[Double]("vocab_jaccard") ==
+        inter.toDouble / (a.size + b.size - inter))
+    }
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
