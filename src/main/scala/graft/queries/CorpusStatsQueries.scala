@@ -39,7 +39,11 @@ object CorpusStatsQueries {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // cab feeds four consumers (marginals, N, and the output join) —
+    // checkpoint so the corpus tokenize + bigram explode runs ONCE, not
+    // once per reference (the DuckDB twin's AS MATERIALIZED)
     val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val n = cab.agg(sum(col("c_ab")).as("n_bigrams"))
@@ -47,9 +51,14 @@ object CorpusStatsQueries {
       .join(ca, "w1")
       .join(cb, "w2")
       .crossJoin(broadcast(n))
+      // counts cast to double BEFORE multiplying: web-corpus marginal
+      // products (c_a·c_b) overflow BIGINT long before the counts
+      // themselves stop being exact doubles (< 2^53)
       .select(col("w1"), col("w2"), col("c_ab"),
-        (round(log((col("c_ab") * col("n_bigrams")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")), 9) + lit(0.0))
+        (round(log(
+          (col("c_ab").cast("double") * col("n_bigrams").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double"))), 9)
+          + lit(0.0))
           .as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(30)
@@ -72,8 +81,9 @@ object CorpusStatsQueries {
       |       FROM cab GROUP BY 1),
       |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM cab)
       |SELECT w1, w2, c_ab,
-      |  round(ln(CAST(c_ab * n_bigrams AS DOUBLE)
-      |           / CAST(c_a * c_b AS DOUBLE)), 9) + 0.0 AS pmi
+      |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+      |           / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 9)
+      |    + 0.0 AS pmi
       |FROM cab
       |JOIN ca USING (w1)
       |JOIN cb USING (w2)
@@ -96,9 +106,12 @@ object CorpusStatsQueries {
     * by all of them expands to only C(L,2) rows. Jaccard is one double
     * division of exact longs. */
   def q114LangOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // vocab feeds four consumers (both self-join sides + two size
+    // branches) — checkpoint so the corpus tokenize + distinct runs once
     val vocab = Kpis.table(spark, dir, "documents")
       .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
       .distinct()
+      .localCheckpoint()
     val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val inter = vocab.select(col("lang").as("lang_a"), col("token"))
       .join(vocab.select(col("lang").as("lang_b"), col("token")), "token")

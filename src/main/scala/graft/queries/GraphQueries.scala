@@ -78,8 +78,11 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val nWedges = deg.agg(sum((col("d") * (col("d") - 1)) / lit(2))
-      .cast("long").as("n_wedges"))
+    // integer sum then integer halving (`div`): the double route loses
+    // exactness past 2^53 total wedges, where the DuckDB twin's HUGEINT
+    // sum stays exact
+    val nWedges = deg.agg(sum(col("d") * (col("d") - 1)).as("s2"))
+      .select(expr("s2 div 2").cast("long").as("n_wedges"))
     tri.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
       .crossJoin(broadcast(nWedges))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),

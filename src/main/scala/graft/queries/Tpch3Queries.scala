@@ -21,9 +21,11 @@ object Tpch3Queries {
     * 20% of that part's average order quantity were no longer taken.
     * The correlated scalar subquery (per-part average) lowers to one
     * hash aggregate over the brand's semi-joined lineitems, re-joined on
-    * partkey — at scale the brand filter prunes the part scan, both
-    * joins are broadcastable (one brand ≈ 1/25 of parts), and nothing
-    * shuffles the full lineitem twice.
+    * partkey — at scale the brand filter prunes the part scan to ~1/25
+    * of parts, and nothing shuffles the full lineitem twice. The
+    * brand slice and the threshold table scale with sf, so their join
+    * strategy is left to AQE's size-based choice (the Kpis broadcast
+    * policy: forced broadcast only for constant-size dims).
     *
     * Exactness: l_quantity is a double in the data, so the per-part
     * average goes through the exact-decimal-sum convention
@@ -35,11 +37,11 @@ object Tpch3Queries {
       .select("p_partkey")
     val l = Kpis.table(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     val thresh = l.groupBy(col("l_partkey").as("t_partkey"))
       .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,4)"))
         .cast("double") / count(lit(1)).cast("double"))).as("qty_limit"))
-    l.join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+    l.join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_limit"))
       .agg((sum(col("l_extendedprice").cast("decimal(18,4)"))
         .cast("double") / lit(7.0)).as("avg_yearly"))
@@ -67,7 +69,9 @@ object Tpch3Queries {
     * happens only at output), so tie detection is bit-safe in both
     * engines — the reason Q15 is a determinism trap when computed in
     * floats. Plan: one hash agg over the quarter's lineitems, a 1-row
-    * broadcast max, and a broadcast supplier dim join. */
+    * broadcast max, and a supplier dim join whose strategy is AQE's
+    * size-based choice (supplier scales with sf — the Kpis broadcast
+    * policy). */
   def q109TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val revs = Kpis.table(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
@@ -79,7 +83,7 @@ object Tpch3Queries {
     val s = Kpis.table(spark, dir, "supplier").select("s_suppkey", "s_name")
     revs.crossJoin(broadcast(best))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
@@ -165,7 +169,7 @@ object Tpch3Queries {
       .select("s_suppkey", "s_nationkey")
     val n = Kpis.table(spark, dir, "nation").select("n_nationkey", "n_name")
     val agg = l
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("l_partkey"))
       .agg(sum(col("rev")).as("total_rev"))
