@@ -16,21 +16,12 @@ object GraphQueries {
     * distinct orders — the support threshold that keeps incidental
     * one-basket pairings out and the graph sparse).
     *
-    * Algorithm is DEGREE-ORIENTED wedge closure (the MapReduce-era
-    * standard for distributed triangle counting): orient every edge from
-    * its lower-(degree, id) endpoint to the higher one, self-join the
-    * oriented edges on their source to enumerate wedges (u→v, u→w with
-    * rank(v) < rank(w)), and close each wedge with an equi-join back on
-    * the oriented (v, w) edge. Orientation makes every out-degree
-    * O(√m) on any graph (arboricity bound), so the wedge join produces
-    * O(m^1.5) rows worst-case instead of Σdeg² — the difference between
-    * feasible and not on a skewed 100 TB graph. Each triangle
-    * {x<y<z by rank} is counted exactly once, at its lowest-rank apex.
-    *
-    * Both the edge table and the oriented table are eagerly
-    * localCheckpoint'd: each is reused by 2–3 downstream joins, and the
-    * checkpoint truncates the basket-explosion lineage so the pair
-    * generation runs once, not once per reference.
+    * Counting is [[graft.operators.TriangleCount.summary]] — the
+    * degree-oriented wedge-closure operator (see its scaladoc for the
+    * O(m^1.5) argument); this query owns only the edge construction:
+    * order-local pair explosion (q92's shape) → support filter →
+    * localCheckpoint (reused by the operator's degree and count
+    * branches without re-running the basket explosion).
     *
     * Output is one summary row; the clustering coefficient divides two
     * exact integer counts in one double op — bit-identical cross-engine.
@@ -53,42 +44,7 @@ object GraphQueries {
       .filter(col("support") >= 2)
       .select("pa", "pb")
       .localCheckpoint()
-    val und = edges.select(col("pa").as("u"))
-      .unionAll(edges.select(col("pb").as("u")))
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val withDeg = edges
-      .join(deg.select(col("u").as("pa"), col("d").as("da")), "pa")
-      .join(deg.select(col("u").as("pb"), col("d").as("db")), "pb")
-    val aFirst = (col("da") < col("db")) ||
-      (col("da") === col("db") && col("pa") < col("pb"))
-    val oriented = withDeg.select(
-        when(aFirst, col("pa")).otherwise(col("pb")).as("src"),
-        when(aFirst, col("pb")).otherwise(col("pa")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dst_deg"))
-      .localCheckpoint()
-    val e1 = oriented.select(col("src"), col("dst").as("v"),
-      col("dst_deg").as("dv"))
-    val e2 = oriented.select(col("src"), col("dst").as("w"),
-      col("dst_deg").as("dw"))
-    val e3 = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tri = e1.join(e2, "src")
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .join(e3, Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    // integer sum then integer halving (`div`): the double route loses
-    // exactness past 2^53 total wedges, where the DuckDB twin's HUGEINT
-    // sum stays exact
-    val nWedges = deg.agg(sum(col("d") * (col("d") - 1)).as("s2"))
-      .select(expr("s2 div 2").cast("long").as("n_wedges"))
-    tri.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
-      .crossJoin(broadcast(nWedges))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        (lit(3.0) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double")).as("global_cc"))
+    graft.operators.TriangleCount.summary(edges, "pa", "pb")
   }
 
   val q111Sql: String =

@@ -99,4 +99,26 @@ class Round9PropertiesSpec extends AnyFunSuite {
         s"seed $seed: expected only bucket ${pk % 8} to flip, got $changed")
     }
   }
+
+  test("triangle summary equals brute force on random graphs") {
+    // random canonical edge lists over 24 nodes; the sequential model
+    // counts triangles by common-neighbor intersection per edge
+    val edgeGen = Gen.listOfN(70, for {
+      x <- Gen.choose(1L, 24L); y <- Gen.choose(1L, 24L) if x != y
+    } yield (math.min(x, y), math.max(x, y))).map(_.distinct)
+    (1L to 10L).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val tri = edges.map { case (x, y) => (adj(x) & adj(y)).size }.sum / 3
+      val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+      val row = graft.operators.TriangleCount
+        .summary(edges.toDF("a", "b")).collect().head
+      assert(row.getAs[Long]("n_nodes") == adj.size.toLong, s"seed $seed")
+      assert(row.getAs[Long]("n_edges") == edges.length.toLong, s"seed $seed")
+      assert(row.getAs[Long]("n_wedges") == wedges, s"seed $seed")
+      assert(row.getAs[Long]("n_triangles") == tri.toLong,
+        s"seed $seed: oriented closure diverges from brute force")
+    }
+  }
 }
