@@ -188,11 +188,48 @@ object DecontamQueries {
       |FROM l JOIN gs USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** q48's decontamination report computed through the BLOOM-PRUNED
+    * plan ([[graft.operators.BloomPrune.prunedSemiJoin]]): the holdout
+    * shingle set collapses to one broadcast bloom filter, the exploded
+    * corpus shingles are pruned MAP-SIDE at the scan, and only the
+    * survivors (true hits + the bloom's small false-positive mass) pay
+    * the exact semi-join. The exact verify means the RESULT is
+    * byte-identical to q48's — same oracle — while the plan is the one
+    * that survives a holdout set too large to broadcast as a hash
+    * relation: the full corpus shingle stream never shuffles, only the
+    * pruned remnant does. */
+  def q116BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(spark, dir, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val holdout = docs.filter(col("doc_id") % 10 === 7)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val hits = graft.operators.BloomPrune.prunedSemiJoin(
+        corpus.select(col("doc_id"), explode(col("sh")).as("s")),
+        holdout, "s", expectedItems = 1L << 20, numBits = 1L << 23)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val out = corpus
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("drop_doc", (col("overlap_frac") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_decontam" -> q48Decontam _,
-    "q49_repetition" -> q49Repetition _)
+    "q49_repetition" -> q49Repetition _,
+    "q116_bloom_decontam" -> q116BloomDecontam _)
 
   def oracles: Map[String, String] = Map(
     "q48_decontam" -> q48Sql,
-    "q49_repetition" -> q49Sql)
+    "q49_repetition" -> q49Sql,
+    // identical output contract to q48 — the bloom is plan-side only
+    "q116_bloom_decontam" -> q48Sql)
 }

@@ -193,6 +193,34 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 bloom-pruned decontamination is byte-identical to q48's report") {
+    val plain = graft.queries.DecontamQueries.q48Decontam(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val df = graft.queries.DecontamQueries.q116BloomDecontam(spark, sfDir)
+    val pruned = df.collect().map(_.toSeq).toSeq
+    assert(pruned == plain,
+      "bloom must be plan-side only — exact verify guarantees q48's result")
+    assert(plain.nonEmpty)
+  }
+
+  test("bloom prunedSemiJoin equals a plain semi-join on adversarial keys") {
+    import spark.implicits._
+    // keys engineered so the bloom sees misses, hits, and duplicates
+    val left = (1L to 500L).map(i => (i, s"k${i % 120}")).toDF("id", "s")
+    val right = (0L to 29L).map(i => s"k${i * 3}").toDF("s")
+    val got = graft.operators.BloomPrune
+      .prunedSemiJoin(left, right, "s", 1000L, 8192L)
+      .collect().map(_.getAs[Long]("id")).sorted
+    val want = left.join(right, Seq("s"), "leftsemi")
+      .collect().map(_.getAs[Long]("id")).sorted
+    assert(got.toSeq == want.toSeq)
+    // and the probe plan really carries the bloom predicate
+    val plan = graft.operators.BloomPrune
+      .prunedSemiJoin(left, right, "s", 1000L, 8192L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
