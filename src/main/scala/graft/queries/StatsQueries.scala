@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Grouped statistical modeling over the event stream: closed-form OLS
@@ -174,13 +174,79 @@ object StatsQueries {
       |FROM o CROSS JOIN mm
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q117
+  /** Quantile SKETCH certification — q41's sketch-certification pattern
+    * applied to quantiles: per event type, the exact interpolated
+    * p50/p90 (q37's proven parity columns) plus two-sided RANK
+    * certificates that `approx_percentile`'s GK sketch (accuracy 1000 —
+    * the mergeable, one-pass, bounded-memory path a 100 TB quantile
+    * job actually runs) landed within its ±n/1000 rank guarantee:
+    * #{v ≤ approx} ≥ ⌈(p−ε)·n⌉ and #{v < approx} ≤ ⌊(p+ε)·n⌋ (the
+    * two-sided form is tie-robust). The sketch VALUE itself is
+    * merge-order-dependent and never surfaces; the flags hold for any
+    * merge order by the GK bound, so the oracle pins them to 1 — sketch
+    * drift turns the gate red.
+    *
+    * Scale shape: pass 1 is one hash agg per type (exact percentile is
+    * the certification reference — at 100 TB one would certify on a
+    * stratified slice); the tiny per-type row set is localCheckpoint'd
+    * and re-joined for the rank count, so the events scan runs exactly
+    * twice (agg + rank), both map-side-combinable. */
+  def q117QuantileSketchCert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("event_type"), col("value"))
+    val agg = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.9)").as("p90_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+      .localCheckpoint()
+    val ranks = ev
+      .join(agg.select(col("event_type"), col("a50"), col("a90")),
+        "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < col("a90"), 1L).otherwise(0L)).as("lt90"))
+    def flag(p: Double, le: Column, lt: Column): Column = {
+      val n = col("n_events").cast("double")
+      ((le.cast("double") >= floor((lit(p) - lit(0.001)) * n)) &&
+        (lt.cast("double") <= ceil((lit(p) + lit(0.001)) * n)))
+        .cast("int")
+    }
+    agg.join(ranks, "event_type")
+      .select(col("event_type"), col("n_events"),
+        col("p50_exact"), col("p90_exact"),
+        flag(0.5, col("le50"), col("lt50")).as("p50_sketch_ok"),
+        flag(0.9, col("le90"), col("lt90")).as("p90_sketch_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: exact percentiles via the q37-proven quantile_cont parity;
+    * the certificates are pinned literal 1 — any GK-guarantee violation
+    * (or a broken rank computation) flips the Spark side to 0 and the
+    * hash gate red. */
+  val q117Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  quantile_cont(value, 0.9) AS p90_exact,
+      |  CAST(1 AS INTEGER) AS p50_sketch_ok,
+      |  CAST(1 AS INTEGER) AS p90_sketch_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_trend_fit" -> (q69TrendFit _),
     "q70_mad_outliers" -> (q70MadOutliers _),
-    "q84_equiwidth_hist" -> (q84EquiwidthHist _))
+    "q84_equiwidth_hist" -> (q84EquiwidthHist _),
+    "q117_quantile_sketch_cert" -> (q117QuantileSketchCert _))
 
   def oracles: Map[String, String] = Map(
     "q69_trend_fit" -> q69Sql,
     "q70_mad_outliers" -> q70Sql,
-    "q84_equiwidth_hist" -> q84Sql)
+    "q84_equiwidth_hist" -> q84Sql,
+    "q117_quantile_sketch_cert" -> q117Sql)
 }

@@ -221,6 +221,32 @@ class Round9bSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("q117 certifies the GK sketch within its rank bound, exact p50/p90 right") {
+    val rows = graft.queries.StatsQueries
+      .q117QuantileSketchCert(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = Kpis.eventsTable(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(vs: Array[Double], p: Double): Double = {
+      val pos = p * (vs.length - 1)
+      val lo = pos.toInt
+      if (lo == vs.length - 1) vs(lo)
+      else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+    }
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == vs.length.toLong)
+      assert(math.abs(r.getAs[Double]("p50_exact") - interp(vs, 0.5)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("p90_exact") - interp(vs, 0.9)) < 1e-9)
+      assert(r.getAs[Int]("p50_sketch_ok") == 1,
+        "GK sketch broke its p50 rank guarantee")
+      assert(r.getAs[Int]("p90_sketch_ok") == 1,
+        "GK sketch broke its p90 rank guarantee")
+    }
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
