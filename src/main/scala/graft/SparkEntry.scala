@@ -49,7 +49,8 @@ object SparkEntry {
       graft.operators.SemanticCells.queries ++
       graft.queries.Tpch3Queries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.CorpusStatsQueries.queries
+      graft.queries.CorpusStatsQueries.queries ++
+      graft.operators.IncrementalRollup.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -95,5 +96,6 @@ object SparkEntry {
       graft.operators.SemanticCells.oracles ++
       graft.queries.Tpch3Queries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.CorpusStatsQueries.oracles
+      graft.queries.CorpusStatsQueries.oracles ++
+      graft.operators.IncrementalRollup.oracles
 }

@@ -247,6 +247,67 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("q118 merged rollup equals the one-shot rollup; merge is associative") {
+    import graft.operators.IncrementalRollup
+    val rows = IncrementalRollup.q118IncrementalRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val oneShot = Kpis.table(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("v"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.length == oneShot.size)
+    rows.foreach { r =>
+      val (n, t) = oneShot(r.getAs[Long]("o_custkey"))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("total_spent") == t,
+        "decimal monoid merge must be exact, not approximately equal")
+    }
+    // associativity: (b1 ⊕ b2) ⊕ b3 = b1 ⊕ (b2 ⊕ b3) on a synthetic split
+    import spark.implicits._
+    def agg(rows0: Seq[(Long, Double)]) = IncrementalRollup.aggBatch(
+      rows0.toDF("k0", "v0"), "k0", "v0")
+    val all = (1L to 120L).map(i => (i % 11, i * 1.37))
+    val (b1, rest) = all.splitAt(40); val (b2, b3) = rest.splitAt(40)
+    val left = IncrementalRollup.merge(
+      IncrementalRollup.merge(agg(b1), agg(b2)), agg(b3))
+    val right = IncrementalRollup.merge(
+      agg(b1), IncrementalRollup.merge(agg(b2), agg(b3)))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("cnt"),
+        r.getDecimal(2).toPlainString)).sortBy(_._1).toSeq
+    assert(key(left) == key(right))
+  }
+
+  test("q118 store side of the merge is shuffle-free off the bucketed scan") {
+    import graft.operators.IncrementalRollup
+    val base = java.nio.file.Files.createTempDirectory("graft-incroll-plan")
+    val table = "inc_rollup_store_t1"
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    import spark.implicits._
+    try {
+      val store = IncrementalRollup.aggBatch(
+        (1L to 300L).map(i => (i % 40, i * 0.25)).toDF("k0", "v0"),
+        "k0", "v0")
+      IncrementalRollup.writeStore(store, table, base.resolve("s").toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = IncrementalRollup.aggBatch(
+        (1L to 100L).map(i => (i % 55, i * 0.5)).toDF("k0", "v0"),
+        "k0", "v0")
+      val out = IncrementalRollup.merge(spark.table(table), batch)
+      assert(out.count() == 55) // keys 0..39 merged, 40..54 batch-only
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly one Exchange (batch side), got $exchanges in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS inc_rollup_store_t1")
+    }
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
