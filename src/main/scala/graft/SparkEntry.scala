@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.Tpch3Queries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.CorpusStatsQueries.queries ++
-      graft.operators.IncrementalRollup.queries
+      graft.operators.IncrementalRollup.queries ++
+      graft.queries.EmbedStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -97,5 +98,6 @@ object SparkEntry {
       graft.queries.Tpch3Queries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.CorpusStatsQueries.oracles ++
-      graft.operators.IncrementalRollup.oracles
+      graft.operators.IncrementalRollup.oracles ++
+      graft.queries.EmbedStatsQueries.oracles
 }

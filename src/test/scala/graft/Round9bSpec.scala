@@ -308,6 +308,34 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 covariance matches sequential recompute; diagonal is variance") {
+    val rows = graft.queries.EmbedStatsQueries
+      .q119EmbedCovariance(spark, sfDir).collect()
+    assert(rows.length == 64 * 65 / 2)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        BigDecimal(f.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    val n = vecs.length
+    def grid6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val check = rows.filter(r => r.getAs[Int]("dim_j") % 17 == 0) // sample
+    check.foreach { r =>
+      val (i, j) = (r.getAs[Int]("dim_i") - 1, r.getAs[Int]("dim_j") - 1)
+      val si = vecs.map(_(i)).sum.toDouble
+      val sj = vecs.map(_(j)).sum.toDouble
+      val sxy = vecs.map(v => v(i) * v(j)).sum.toDouble
+      val cov = sxy / n - (si / n) * (sj / n)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(math.abs(r.getAs[Double]("cov") - grid6(cov)) <= 1e-6,
+        s"cov($i,$j)")
+      assert(math.abs(r.getAs[Double]("mean_i") - grid6(si / n)) <= 1e-6)
+    }
+    rows.filter(r => r.getAs[Int]("dim_i") == r.getAs[Int]("dim_j"))
+      .foreach(r => assert(r.getAs[Double]("cov") >= 0.0,
+        "a variance (diagonal entry) cannot be negative"))
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
