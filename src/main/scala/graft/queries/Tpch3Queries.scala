@@ -201,15 +201,50 @@ object Tpch3Queries {
       |FROM ranked WHERE rk <= 3
       |ORDER BY n_name, rk""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** TPC-H Q6 shape (forecast revenue change): revenue delta from
+    * discount-band lineitems in one shipping year — the canonical
+    * SCAN-DOMINATED query: no join, no window, one map-side-combinable
+    * aggregate, and every predicate (date window, discount band,
+    * quantity cap) a PushedFilter on the parquet scan reading exactly
+    * four columns. On 100 TB this query IS the scan; anything beyond
+    * pushdown + pruning + whole-stage codegen would be overhead
+    * (spec-asserted: all three predicates reach the scan).
+    *
+    * Exactness: the discount band uses the repo's literal-folding rule —
+    * both bounds are spelled as plain literals (0.05 / 0.07), never
+    * Scala arithmetic that could land 1 ulp off the SQL spelling. */
+  def q120ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00"))
+        && col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07)
+        && col("l_quantity") < lit(24.0))
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue_delta"),
+        count(lit(1)).as("n_lineitems"))
+
+  val q120Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue_delta,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_small_qty_revenue" -> (q108SmallQtyRevenue _),
     "q109_top_supplier" -> (q109TopSupplier _),
     "q110_idle_customers" -> (q110IdleCustomers _),
-    "q113_top_parts_per_nation" -> (q113TopPartsPerNation _))
+    "q113_top_parts_per_nation" -> (q113TopPartsPerNation _),
+    "q120_forecast_revenue" -> (q120ForecastRevenue _))
 
   def oracles: Map[String, String] = Map(
     "q108_small_qty_revenue" -> q108Sql,
     "q109_top_supplier" -> q109Sql,
     "q110_idle_customers" -> q110Sql,
-    "q113_top_parts_per_nation" -> q113Sql)
+    "q113_top_parts_per_nation" -> q113Sql,
+    "q120_forecast_revenue" -> q120Sql)
 }

@@ -336,6 +336,20 @@ class Round9bSpec extends AnyFunSuite {
         "a variance (diagonal entry) cannot be negative"))
   }
 
+  test("q120 is scan-dominated: every predicate pushed, no join, rows counted") {
+    val df = Tpch3Queries.q120ForecastRevenue(spark, sfDir)
+    val row = df.collect().head
+    assert(row.getAs[Long]("n_lineitems") > 0)
+    assert(row.getAs[Double]("revenue_delta") > 0.0)
+    val formatted = df.queryExecution.executedPlan.toString
+    assert(!formatted.contains("Join"), "Q6 shape must not join")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.contains(c), s"predicate on $c should reach the scan:\n$scan")
+    }
+  }
+
   test("q115 fits a negative Zipf slope per language, matching sequential OLS") {
     val rows = CorpusStatsQueries.q115ZipfFit(spark, sfDir).collect()
     assert(rows.nonEmpty)
