@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.CorpusStatsQueries.queries ++
       graft.operators.IncrementalRollup.queries ++
-      graft.queries.EmbedStatsQueries.queries
+      graft.queries.EmbedStatsQueries.queries ++
+      graft.queries.Tpch4Queries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -99,5 +100,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracles ++
       graft.queries.CorpusStatsQueries.oracles ++
       graft.operators.IncrementalRollup.oracles ++
-      graft.queries.EmbedStatsQueries.oracles
+      graft.queries.EmbedStatsQueries.oracles ++
+      graft.queries.Tpch4Queries.oracles
 }
