@@ -26,7 +26,16 @@ object GraphQueries {
     * Output is one summary row; the clustering coefficient divides two
     * exact integer counts in one double op — bit-identical cross-engine.
     */
-  def q111Triangles(spark: SparkSession, dir: String): DataFrame = {
+  def q111Triangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TriangleCount.summary(
+      coPurchaseEdges(spark, dir), "pa", "pb")
+
+  /** The co-purchase edge list shared by q111/q123: order-local pair
+    * explosion (q92's shape) → support ≥ 2 filter → localCheckpoint so
+    * downstream iterative consumers (degree + count branches, BFS
+    * rounds) reuse the materialized edges without re-running the basket
+    * explosion. */
+  private[queries] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val baskets = Kpis.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
@@ -39,12 +48,31 @@ object GraphQueries {
             b => struct(a.as("pa"), b.as("pb"))))))
         .as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-    val edges = pairs.groupBy(col("pa"), col("pb"))
+    pairs.groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("pa", "pb")
       .localCheckpoint()
-    graft.operators.TriangleCount.summary(edges, "pa", "pb")
+  }
+
+  // --------------------------------------------------------------- q123
+  /** Bounded BFS hop distances over the co-purchase graph: every part
+    * within 4 hops of the seed (the minimum node id in the edge set —
+    * deterministic and guaranteed to have neighbors), with its exact
+    * hop distance. The Spark side is [[graft.operators.BfsDistance]]'s
+    * frontier iteration (per-round shuffle cost = frontier size, edges
+    * stay put); the oracle replays it as a DuckDB RECURSIVE CTE whose
+    * UNION-distinct semantics bound the working set to (node, dist)
+    * pairs — the first recursive oracle in the suite, certifying the
+    * iterative Spark loop against a declarative fixpoint. All-integer
+    * output: hash-safe. */
+  def q123KhopBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val seed = edges
+      .select(least(min(col("pa")), min(col("pb"))).as("node"))
+    graft.operators.BfsDistance.distances(edges, "pa", "pb", seed, maxHops = 4)
+      .select(col("node").as("p_partkey"), col("dist"))
+      .orderBy("p_partkey")
   }
 
   val q111Sql: String =
@@ -89,9 +117,36 @@ object GraphQueries {
       |           AS DOUBLE) AS global_cc
       |FROM tri""".stripMargin
 
+  val q123Sql: String =
+    """WITH RECURSIVE baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |r(node, dist) AS (
+      |  SELECT (SELECT MIN(src) FROM und), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT u.dst, r.dist + 1
+      |  FROM r JOIN und u ON u.src = r.node
+      |  WHERE r.dist < 4)
+      |SELECT node AS p_partkey, MIN(dist) AS dist
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q111_triangles" -> (q111Triangles _))
+    "q111_triangles" -> (q111Triangles _),
+    "q123_khop_bfs" -> (q123KhopBfs _))
 
   def oracles: Map[String, String] = Map(
-    "q111_triangles" -> q111Sql)
+    "q111_triangles" -> q111Sql,
+    "q123_khop_bfs" -> q123Sql)
 }
