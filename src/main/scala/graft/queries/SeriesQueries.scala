@@ -71,9 +71,133 @@ object SeriesQueries {
       |FROM grid g LEFT JOIN hourly USING (event_type, h)
       |ORDER BY event_type, hour""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** Gaps-and-islands: per-user activity streaks from the events stream.
+    * A streak is a maximal run of CONSECUTIVE active days; the island id
+    * is the classic `day_number - row_number()` constant — consecutive
+    * days share it, any gap shifts it — computed per user. Output: each
+    * user's longest streak, streak count, and total active days.
+    *
+    * Scale shape: the (user, day) dedup is one hash aggregate on the
+    * fact table (partial+final — the heavy input collapses map-side);
+    * everything after runs on ≤ |users|×|days| rows. The window
+    * partitions BY USER, so unlike a global-series window it
+    * parallelizes across the cluster; within a user a decade is ≤ ~3.7k
+    * rows. All-integer output: hash-safe.
+    */
+  def q124ActivityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val q124Sql: String =
+    """WITH days AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |islands AS (
+      |  SELECT user_id,
+      |    CAST(day - DATE '1970-01-01' AS BIGINT)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest_streak,
+      |  COUNT(*) AS n_streaks, CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** Exponential smoothing (truncated EWMA) of daily revenue — the
+    * forecasting companion to q4's flat rolling mean and q120's forecast
+    * shape: weight w_j = 2^-j on the j-th most recent of the last 10
+    * observations, renormalized over the lags that exist (so the first
+    * rows are exact, not NULL).
+    *
+    * Determinism: EWMA is the textbook float-order trap (a recursive
+    * s_t = αx + (1-α)s_{t-1} accumulates rounding differently per
+    * engine). Here numerator and denominator are both scaled by 2^9 —
+    * which cancels in the ratio — so every weight is an exact INTEGER
+    * (512, 256, …, 1), all sums are exact decimal/integer arithmetic,
+    * and BOTH engines perform ONE double division of identical operands
+    * at the end — bit-identical by IEEE 754, pinned by the oracle hash.
+    *
+    * Scale shape: same argument as q4 — the single-partition window runs
+    * over the DAILY aggregate (calendar-bounded, ~2.5k rows), after the
+    * fact table collapsed in a partial+final hash aggregate. The 10
+    * lags unroll into one window spec, one sort, one pass.
+    */
+  def q125EwmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy("ship_day")
+    // 2^9 × the dyadic weights ⇒ INTEGER weights 512, 256, …, 1. The 2^9
+    // factor cancels in the ratio, and integer weights keep the numerator
+    // at SCALE 4: products are DECIMAL(18,4)×DECIMAL(4,0) = (23,4), the
+    // ten-term addition chain peaks at (32,4) — exact in both engines.
+    // Two rejected development versions both split hashes: fractional
+    // DECIMAL(10,9) weights at scale 13 either overflow DuckDB's
+    // width-38 addition into DOUBLE (maxdiff 7e-7), or — after narrowing
+    // — produce an unscaled int128 above 2^53 whose decimal→double cast
+    // DuckDB computes 1–2 ulp off correct rounding (maxdiff 2e-10); Java's
+    // BigDecimal.doubleValue is always correctly rounded, so exactness of
+    // the final cast requires unscaled values below 2^53 (holds through
+    // ~10^9/day revenue at scale 4).
+    val num = (0 to 9).map { j =>
+      coalesce(lag(col("rev"), j).over(w).cast("decimal(18,4)")
+        * lit(512 >> j).cast("decimal(4,0)"),
+        lit("0").cast("decimal(23,4)"))
+    }.reduce(_ + _)
+    val den = (0 to 9).map { j =>
+      when(lag(col("rev"), j).over(w).isNotNull, lit((512 >> j).toLong))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    daily.select(col("ship_day"),
+        col("rev").cast("double").as("revenue"),
+        (num.cast("double") / den.cast("double")).as("ewma"))
+      .orderBy("ship_day")
+  }
+
+  val q125Sql: String = {
+    val num = (0 to 9).map { j =>
+      s"COALESCE(CAST(LAG(rev, $j) OVER w AS DECIMAL(18,4)) " +
+        s"* CAST(${512 >> j} AS DECIMAL(4,0)), CAST(0 AS DECIMAL(23,4)))"
+    }.mkString(" + ")
+    val den = (0 to 9).map { j =>
+      s"CASE WHEN LAG(rev, $j) OVER w IS NOT NULL " +
+        s"THEN CAST(${512 >> j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ship_day, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+       |FROM daily
+       |WINDOW w AS (ORDER BY ship_day)
+       |ORDER BY ship_day""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q62_gap_fill" -> (q62GapFill _))
+    "q62_gap_fill" -> (q62GapFill _),
+    "q124_activity_streaks" -> (q124ActivityStreaks _),
+    "q125_ewma_revenue" -> (q125EwmaRevenue _))
 
   def oracles: Map[String, String] = Map(
-    "q62_gap_fill" -> q62Sql)
+    "q62_gap_fill" -> q62Sql,
+    "q124_activity_streaks" -> q124Sql,
+    "q125_ewma_revenue" -> q125Sql)
 }
