@@ -97,9 +97,154 @@ object EmbedStatsQueries {
       |JOIN dims dj ON dj.i = p.j
       |ORDER BY dim_i, dim_j""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  /** Top principal component of the embedding cloud via POWER ITERATION
+    * on the covariance matrix — the drift detector one level up from
+    * q119: a shift in the dominant variance direction catches encoder
+    * swaps and population drift that per-element covariance deltas blur.
+    *
+    * Two-phase plan, each phase scale-appropriate: (1) the DATA-scale
+    * pass is q119's covariance machinery (exact decimal sums, map-side
+    * partial aggregation — shuffle volume independent of corpus size),
+    * mirrored from the upper triangle to the full dim×dim matrix;
+    * (2) the ITERATION runs on the dim²-row matrix frame (KB-sized,
+    * corpus-independent) as three matvec join+agg rounds — grid state
+    * as DECIMAL(14,12), fully exact decimal products and sums inside
+    * each matvec (see the inline note for why PageRank's round-then-sum
+    * recipe is unsound here), and each round renormalizes by the
+    * ∞-norm pivot (largest |y|, smallest-index tiebreak, compared on
+    * exact decimals). Dividing by the SIGNED pivot also fixes the
+    * eigenvector's sign ambiguity: the pivot component is exactly 1.0.
+    * v0 = 0.125 (= 1/√64) is exact dyadic. λ∞ is the last pivot — an
+    * ∞-norm Rayleigh estimate. Three rounds is the registered contract
+    * (production iterates to tolerance; each extra round is one more
+    * KB-sized join — the cost story does not change).
+    */
+  def q126PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val iters = 3
+    // 6-dp entry grid — COARSER than q119's 9 dp, deliberately: products
+    // then carry scale 12, so the Σxy sums' unscaled int128 stays below
+    // 2^53 (≤ corpus_n × 10^12) and BOTH engines' decimal→double casts
+    // are exact. q119 can afford scale-18 sums because it rounds the
+    // final covariance at 6 dp, where a 1–2 ulp operand wobble almost
+    // never flips the grid; this query rounds at 12 dp, where it does
+    // (seen in development: maxdiff 4.6e-10 on loadings).
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(transform(col("embedding"),
+        x => round(x.cast("double"), 6).cast("decimal(12,6)")).as("vv"))
+    val stats = v
+      .select(explode(transform(sequence(lit(1), lit(dim)),
+        i => struct(i.as("i"), element_at(col("vv"), i).as("x")))).as("e"))
+      .groupBy(col("e.i").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("e.x")).as("sx"))
+    val tri = v
+      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
+        transform(sequence(i, lit(dim)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("vv"), i) * element_at(col("vv"), j))
+              .as("p")))))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sxy"))
+    val full = tri.union(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+    val mi = stats.select(col("i"), col("n"), col("sx").as("si"))
+    val mj = stats.select(col("i").as("j"), col("sx").as("sj"))
+    val nd = col("n").cast("double")
+    val g = full.join(mi, "i").join(mj, "j")
+      .select(col("i"), col("j"),
+        (round(col("sxy").cast("double") / nd -
+          (col("si").cast("double") / nd) * (col("sj").cast("double") / nd),
+          12) + lit(0.0)).cast("decimal(14,12)").as("g"))
+      .localCheckpoint() // iterated 3×: materialize the corpus pass once
+    // Matvec arithmetic is EXACT decimal end-to-end: g and v live on the
+    // 12-dp grid as DECIMAL(14,12), each product infers (29,24) — no
+    // precision clamp — and the row sum is an exact DECIMAL(38,24). The
+    // obvious alternative (round each double product to 12 dp, sum as
+    // decimal — PageRank's recipe) FAILS here: g·0.125 lands EXACTLY on
+    // the half-grid for ⅛ of entries (g is grid-aligned, 0.125 dyadic),
+    // and Spark rounds the shortest-decimal repr HALF_UP while DuckDB
+    // rounds the true binary value — a coin-flip per tie (seen in
+    // development: 10/64 rows off by 1 grid ulp in round 1). The (38,24)
+    // sum then narrows back to (14,12): Spark's decimal cast rounds
+    // HALF_UP, but DuckDB's decimal cast TRUNCATES (measured:
+    // …7189 → …718), so the oracle spells it round(x, 12) — DuckDB's
+    // decimal round is exact half-away-from-zero, same as HALF_UP —
+    // before its cast. The narrowed value's unscaled form sits below
+    // 2^53, so the cast to double for the normalize step is exact.
+    var vec = g.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(0.125).cast("decimal(14,12)").as("v"))
+    var pivot: DataFrame = null
+    for (_ <- 1 to iters) {
+      val y = g.join(vec, "j")
+        .select(col("i"), (col("g") * col("v")).as("t"))
+        .groupBy("i").agg(sum(col("t")).cast("decimal(14,12)").as("y"))
+      pivot = y.orderBy(abs(col("y")).desc, col("i")).limit(1)
+        .select(col("y").cast("double").as("m"))
+      vec = y.crossJoin(broadcast(pivot))
+        .select(col("i").as("j"),
+          (round(col("y").cast("double") / col("m"), 12) + lit(0.0))
+            .cast("decimal(14,12)").as("v"))
+    }
+    vec.crossJoin(broadcast(pivot.select(col("m").as("lambda_inf"))))
+      .select(col("j").cast("int").as("dim"),
+        col("v").cast("double").as("loading"), col("lambda_inf"))
+      .orderBy("dim")
+  }
+
+  val q126Sql: String = {
+    val iterCtes = (1 to 3).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""y$k AS (
+         |  SELECT g.i, CAST(round(SUM(g.g * p.v), 12) AS DECIMAL(14,12)) AS y
+         |  FROM g JOIN $prev p ON p.j = g.j GROUP BY 1),
+         |m$k AS (SELECT CAST(y AS DOUBLE) AS m FROM y$k
+         |        ORDER BY abs(y) DESC, i LIMIT 1),
+         |v$k AS (SELECT y$k.i AS j,
+         |          CAST(round(CAST(y$k.y AS DOUBLE) / m$k.m, 12) + 0.0
+         |               AS DECIMAL(14,12)) AS v
+         |        FROM y$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS vv
+       |  FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT i, COUNT(*) AS n, SUM(vv[i]) AS sx
+       |  FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+       |  GROUP BY i),
+       |tri AS MATERIALIZED (
+       |  SELECT i, j, SUM(vv[i] * vv[j]) AS sxy
+       |  FROM v
+       |  CROSS JOIN generate_series(1, 64) AS ti(i)
+       |  CROSS JOIN generate_series(1, 64) AS tj(j)
+       |  WHERE j >= i
+       |  GROUP BY i, j),
+       |fullm AS (
+       |  SELECT i, j, sxy FROM tri
+       |  UNION ALL SELECT j, i, sxy FROM tri WHERE i < j),
+       |g AS MATERIALIZED (
+       |  SELECT f.i, f.j,
+       |    CAST(round(CAST(f.sxy AS DOUBLE) / CAST(di.n AS DOUBLE)
+       |          - (CAST(di.sx AS DOUBLE) / CAST(di.n AS DOUBLE))
+       |            * (CAST(dj.sx AS DOUBLE) / CAST(di.n AS DOUBLE)), 12)
+       |      + 0.0 AS DECIMAL(14,12)) AS g
+       |  FROM fullm f
+       |  JOIN dims di ON di.i = f.i
+       |  JOIN dims dj ON dj.i = f.j),
+       |v0 AS (SELECT i AS j, CAST(0.125 AS DECIMAL(14,12)) AS v FROM dims),
+       |$iterCtes
+       |SELECT CAST(v3.j AS INTEGER) AS dim, CAST(v3.v AS DOUBLE) AS loading,
+       |  m3.m AS lambda_inf
+       |FROM v3, m3 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q119_embed_covariance" -> (q119EmbedCovariance _))
+    "q119_embed_covariance" -> (q119EmbedCovariance _),
+    "q126_pca_power" -> (q126PcaPower _))
 
   def oracles: Map[String, String] = Map(
-    "q119_embed_covariance" -> q119Sql)
+    "q119_embed_covariance" -> q119Sql,
+    "q126_pca_power" -> q126Sql)
 }
