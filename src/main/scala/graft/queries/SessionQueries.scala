@@ -66,9 +66,52 @@ object SessionQueries {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Top-20 event 3-paths (trigram path mining): the most frequent
+    * length-3 consecutive event-type sequences across all user streams —
+    * q103's first-order transition matrix extended one hop, the primitive
+    * behind "what journeys lead to checkout_failure?". Two leads over
+    * ONE per-user window (q103's proven total order (ts, event_id)),
+    * concat to a path string, count, deterministic top-k.
+    *
+    * Scale shape: a single shuffle on user_id for the window (per-user
+    * state only), then a hash agg bounded by |types|³ — dozens of rows —
+    * so the ORDER BY + LIMIT is TakeOrderedAndProject, never a global
+    * sort of the event stream. The (count DESC, path ASC) order makes
+    * the cut deterministic under ties. All-long/string output. */
+  def q128Event3Paths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(20)
+  }
+
+  val q128Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+      |  COUNT(*) AS n_occurrences
+      |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_sessions" -> q34Sessions _)
+    "q34_sessions" -> q34Sessions _,
+    "q128_event_3paths" -> (q128Event3Paths _))
 
   def oracles: Map[String, String] = Map(
-    "q34_sessions" -> q34Sql)
+    "q34_sessions" -> q34Sql,
+    "q128_event_3paths" -> q128Sql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped statistical modeling over the event stream: closed-form OLS
@@ -238,15 +239,116 @@ object StatsQueries {
       |  CAST(1 AS INTEGER) AS p90_sketch_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Per-nation robust location/spread of customer balances via EXACT
+    * order statistics — lower median, p25/p75 (ceil-rank), IQR, and MAD —
+    * with NO quantile interpolation anywhere. q70's `percentile`/
+    * `quantile_cont` parity holds only when the interpolation arithmetic
+    * happens to agree; selecting an actual element of the column is
+    * bit-exact by construction (the double came off the same parquet
+    * page on both engines) and IQR/MAD stay exact because they
+    * subtract/abs identical selected doubles.
+    *
+    * Rank convention (shared with the oracle, spelled in integer math):
+    * median = rank ⌊(n+1)/2⌋ (lower median), p25 = rank ⌈n/4⌉, p75 =
+    * rank ⌈3n/4⌉; MAD = lower median of |x − median|.
+    *
+    * Scale shape: the raw column NEVER enters a window — rows collapse to
+    * (group, value) COUNTS first, and the cumulative-count window runs
+    * over distinct values only (bounded by value cardinality, not row
+    * count: at 100 TB a 2-dp balance column has ~10⁶ distinct values per
+    * group vs ~10⁹ rows, and a per-group sort of 10⁹ rows is exactly the
+    * skew bomb the q70 broadcast-median shape avoids — this keeps that
+    * property while dropping interpolation). The selected rank is the
+    * value whose cumulative range [cum−c, cum) covers k. Two such passes
+    * (values, then absolute deviations), stitched by a 25-row broadcast. */
+  def q127NationOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    def rankStats(df: DataFrame, grp: String, v: String): DataFrame = {
+      val byG = Window.partitionBy(col(grp))
+      val cumW = byG.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(byG))
+        .withColumn("lo", col("cum") - col("c"))
+    }
+    def pick(k: Column, v: String): Column =
+      max(when(col("lo") < k && k <= col("cum"), col(v)))
+
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"), col("c_acctbal"))
+    val kMed = expr("(n + 1) div 2") // integer div: lower median
+    val sel = rankStats(cust, "nk", "c_acctbal")
+      .groupBy(col("nk"))
+      .agg(
+        max(col("n")).as("n_customers"),
+        pick(kMed, "c_acctbal").as("median"),
+        pick(expr("(n + 3) div 4"), "c_acctbal").as("p25"),
+        pick(expr("(3 * n + 3) div 4"), "c_acctbal").as("p75"))
+    val dev = cust
+      .join(broadcast(sel.select(col("nk"), col("median"))), "nk")
+      .select(col("nk"), abs(col("c_acctbal") - col("median")).as("d"))
+    val mad = rankStats(dev, "nk", "d")
+      .groupBy(col("nk")).agg(pick(kMed, "d").as("mad"))
+    sel.join(broadcast(mad), "nk")
+      .select(col("nk").as("c_nationkey"), col("n_customers"),
+        col("median"), col("p25"), col("p75"),
+        (col("p75") - col("p25")).as("iqr"), col("mad"))
+      .orderBy("c_nationkey")
+  }
+
+  val q127Sql: String =
+    """WITH counts AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nk, c_acctbal AS v,
+      |         COUNT(*) AS c
+      |  FROM customer GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT nk, v, c,
+      |    SUM(c) OVER (PARTITION BY nk ORDER BY v
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    SUM(c) OVER (PARTITION BY nk) AS n
+      |  FROM counts),
+      |sel AS (
+      |  SELECT nk, CAST(MAX(n) AS BIGINT) AS n_customers,
+      |    MAX(CASE WHEN cum - c < (n+1)//2 AND (n+1)//2 <= cum
+      |             THEN v END) AS median,
+      |    MAX(CASE WHEN cum - c < (n+3)//4 AND (n+3)//4 <= cum
+      |             THEN v END) AS p25,
+      |    MAX(CASE WHEN cum - c < (3*n+3)//4 AND (3*n+3)//4 <= cum
+      |             THEN v END) AS p75
+      |  FROM cum GROUP BY nk),
+      |dev AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+      |         abs(c.c_acctbal - s.median) AS d
+      |  FROM customer c JOIN sel s ON CAST(c.c_nationkey AS BIGINT) = s.nk),
+      |dcounts AS (SELECT nk, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+      |dcum AS (
+      |  SELECT nk, d, c,
+      |    SUM(c) OVER (PARTITION BY nk ORDER BY d
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    SUM(c) OVER (PARTITION BY nk) AS n
+      |  FROM dcounts),
+      |madsel AS (
+      |  SELECT nk, MAX(CASE WHEN cum - c < (n+1)//2 AND (n+1)//2 <= cum
+      |                      THEN d END) AS mad
+      |  FROM dcum GROUP BY nk)
+      |SELECT s.nk AS c_nationkey, s.n_customers, s.median, s.p25, s.p75,
+      |  s.p75 - s.p25 AS iqr, m.mad
+      |FROM sel s JOIN madsel m USING (nk) ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_trend_fit" -> (q69TrendFit _),
     "q70_mad_outliers" -> (q70MadOutliers _),
     "q84_equiwidth_hist" -> (q84EquiwidthHist _),
-    "q117_quantile_sketch_cert" -> (q117QuantileSketchCert _))
+    "q117_quantile_sketch_cert" -> (q117QuantileSketchCert _),
+    "q127_nation_order_stats" -> (q127NationOrderStats _))
 
   def oracles: Map[String, String] = Map(
     "q69_trend_fit" -> q69Sql,
     "q70_mad_outliers" -> q70Sql,
     "q84_equiwidth_hist" -> q84Sql,
-    "q117_quantile_sketch_cert" -> q117Sql)
+    "q117_quantile_sketch_cert" -> q117Sql,
+    "q127_nation_order_stats" -> q127Sql)
 }
