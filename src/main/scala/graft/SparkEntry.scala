@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.CorpusStatsQueries.queries ++
       graft.operators.IncrementalRollup.queries ++
       graft.queries.EmbedStatsQueries.queries ++
-      graft.queries.Tpch4Queries.queries
+      graft.queries.Tpch4Queries.queries ++
+      graft.queries.ExperimentQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -101,5 +102,6 @@ object SparkEntry {
       graft.queries.CorpusStatsQueries.oracles ++
       graft.operators.IncrementalRollup.oracles ++
       graft.queries.EmbedStatsQueries.oracles ++
-      graft.queries.Tpch4Queries.oracles
+      graft.queries.Tpch4Queries.oracles ++
+      graft.queries.ExperimentQueries.oracles
 }

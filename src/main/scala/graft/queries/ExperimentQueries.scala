@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Experiment (A/B) analysis over the event stream — the product-analytics
+  * primitive that turns raw events into a ship/no-ship decision. Variant
+  * assignment is DETERMINISTIC hashing (md5 of the user id, the q30-proven
+  * cross-engine hash), so the "experiment" is replayable on both engines
+  * with no stored assignment table — exactly how large experimentation
+  * platforms bucket users (hash(unit_id, salt) mod buckets), minus the salt.
+  */
+object ExperimentQueries {
+
+  // --------------------------------------------------------------- q129
+  /** Two-sample Welch z-test on per-user purchase counts between
+    * hash-assigned variants A/B: per-arm user counts, exact sums and
+    * sums-of-squares of the metric, means, and the z statistic.
+    *
+    * Assignment: first hex digit of md5(user_id) < '8' → A (50/50 split
+    * in expectation, deterministic per user). Both engines emit lowercase
+    * hex md5 and compare strings identically.
+    *
+    * Metric: a COUNT, not a 0/1 conversion flag — on this corpus every
+    * user eventually purchases, so a binary-conversion z-test is
+    * degenerate (pooled variance 0, division by zero). Counts carry real
+    * variance at any scale.
+    *
+    * Exactness: every input to the float stage is an exact BIGINT sum
+    * (Σx, Σx² per arm); the mean/variance/z chain is then the SAME
+    * double-op sequence spelled on both sides (parenthesized
+    * identically), so it is bit-exact — the q69/q72 closed-form
+    * convention applied to hypothesis testing. Sample variance uses the
+    * n−1 closed form var = (Σx² − (Σx)²/n)/(n−1).
+    *
+    * Scale shape: one shuffle (user_id grain pre-aggregate, map-side
+    * partials), then a single-row global aggregate — the classic
+    * two-level "reduce to per-unit, then to per-arm" experiment plan.
+    * Nothing about it changes at 10⁹ users; the per-user frame is the
+    * same one funnel/retention (q86/q87) build. */
+  def q129AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Kpis.eventsTable(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", lit(1L))
+        .otherwise(lit(0L))).as("purchases"))
+      .withColumn("is_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val counts = perUser.agg(
+      sum(when(col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_a"),
+      sum(when(!col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_b"),
+      sum(when(col("is_a"), col("purchases")).otherwise(lit(0L)))
+        .as("s_a"),
+      sum(when(!col("is_a"), col("purchases")).otherwise(lit(0L)))
+        .as("s_b"),
+      sum(when(col("is_a"), col("purchases") * col("purchases"))
+        .otherwise(lit(0L))).as("ss_a"),
+      sum(when(!col("is_a"), col("purchases") * col("purchases"))
+        .otherwise(lit(0L))).as("ss_b"))
+    counts
+      .withColumn("mean_a",
+        col("s_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b",
+        col("s_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("var_a",
+        (col("ss_a").cast("double") -
+          (col("s_a").cast("double") * col("s_a").cast("double")) /
+            col("n_a").cast("double")) /
+          (col("n_a").cast("double") - lit(1.0)))
+      .withColumn("var_b",
+        (col("ss_b").cast("double") -
+          (col("s_b").cast("double") * col("s_b").cast("double")) /
+            col("n_b").cast("double")) /
+          (col("n_b").cast("double") - lit(1.0)))
+      .withColumn("z_score",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double")))
+      .select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        col("mean_a"), col("mean_b"), col("z_score"))
+  }
+
+  val q129Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS purchases,
+      |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS is_a
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN is_a THEN purchases ELSE 0 END) AS BIGINT)
+      |      AS s_a,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN purchases ELSE 0 END) AS BIGINT)
+      |      AS s_b,
+      |    CAST(SUM(CASE WHEN is_a THEN purchases * purchases ELSE 0 END)
+      |      AS BIGINT) AS ss_a,
+      |    CAST(SUM(CASE WHEN NOT is_a THEN purchases * purchases ELSE 0 END)
+      |      AS BIGINT) AS ss_b
+      |  FROM pu),
+      |r AS (
+      |  SELECT *,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    (CAST(ss_a AS DOUBLE) -
+      |      (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) /
+      |        CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+      |    (CAST(ss_b AS DOUBLE) -
+      |      (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) /
+      |        CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+      |  FROM s)
+      |SELECT n_a, n_b, s_a, s_b, mean_a, mean_b,
+      |  (mean_a - mean_b) /
+      |    sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+      |    AS z_score
+      |FROM r""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_ab_test" -> (q129AbTest _))
+
+  def oracles: Map[String, String] = Map(
+    "q129_ab_test" -> q129Sql)
+}

@@ -191,13 +191,93 @@ object SeriesQueries {
        |ORDER BY ship_day""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+  /** Autocorrelation function of daily revenue at lags 1–7 — the
+    * seasonality detector behind q120's forecast (a weekly cycle shows up
+    * as an ACF spike at lag 7). For each lag k, Pearson r between the
+    * series and its k-shifted self over the n−k aligned pairs, computed
+    * from EXACT decimal sums (Σx, Σy, Σxy, Σx², Σy²) with the q72
+    * closed-form convention — no mean-centering pass, so no
+    * float-summation jitter anywhere before the final double chain.
+    *
+    * Exactness: daily revenue re-narrowed to DECIMAL(18,4) (exact while
+    * a day stays under ~10¹⁴ revenue units); products are (37,8) in
+    * Spark, and the oracle widens to (19,4) so DuckDB multiplies in
+    * int128 (the q72 width note). Sums cross to double via the
+    * varchar-bridge on the DuckDB side.
+    *
+    * Scale shape: the only window runs over the DAILY aggregate (|days|
+    * rows — thousands, after the one real shuffle collapses the fact
+    * table), and all seven lags come from ONE window pass, stacked to
+    * (lag, x, y) pairs and hash-aggregated to 7 rows. The q125
+    * single-partition note applies: input is the day grain, never raw
+    * lineitem. */
+  def q130AutocorrRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"))
+    val w = Window.orderBy("ship_day")
+    val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"lag$k", lag(col("rev"), k).over(w))
+    }
+    val stackExpr = (1 to 7)
+      .map(k => s"CAST($k AS BIGINT), lag$k").mkString(", ")
+    lagged
+      .select(col("rev").as("x"),
+        expr(s"stack(7, $stackExpr) AS (lag, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(lit(1)).cast("double").as("n_d"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_d") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_d") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_d") * col("syy") - col("sy") * col("sy"))))
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  val q130Sql: String = {
+    val one =
+      (k: Int) => s"""SELECT CAST($k AS BIGINT) AS lag, rev AS x,
+                     |    LAG(rev, $k) OVER (ORDER BY ship_day) AS y
+                     |  FROM daily""".stripMargin
+    s"""WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                  AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (
+      |  ${(1 to 7).map(one).mkString("\n  UNION ALL\n  ")}),
+      |s AS (
+      |  SELECT lag, COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n_d,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY lag)
+      |SELECT lag, n_pairs,
+      |  (n_d * sxy - sx * sy) /
+      |    (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS acf
+      |FROM s ORDER BY lag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_gap_fill" -> (q62GapFill _),
     "q124_activity_streaks" -> (q124ActivityStreaks _),
-    "q125_ewma_revenue" -> (q125EwmaRevenue _))
+    "q125_ewma_revenue" -> (q125EwmaRevenue _),
+    "q130_autocorr_revenue" -> (q130AutocorrRevenue _))
 
   def oracles: Map[String, String] = Map(
     "q62_gap_fill" -> q62Sql,
     "q124_activity_streaks" -> q124Sql,
-    "q125_ewma_revenue" -> q125Sql)
+    "q125_ewma_revenue" -> q125Sql,
+    "q130_autocorr_revenue" -> q130Sql)
 }

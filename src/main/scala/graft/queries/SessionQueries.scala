@@ -107,11 +107,106 @@ object SessionQueries {
       |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** Peak concurrent sessions (interval max-overlap, the sweep-line
+    * classic): rebuild q34's session bounds, emit (+1 at start, −1 just
+    * after end — inclusive-end semantics via end+1µs), running-sum the
+    * sweep, report the global peak, the first instant it is reached, and
+    * the session count. Sorting −1 before +1 at equal instants (ORDER BY
+    * t, delta) keeps back-to-back sessions from counting as overlapping.
+    *
+    * Scale shape: the sweep is TWO-LEVEL — the running sum is partitioned
+    * by calendar day with a per-day carry (cumulative day totals minus
+    * the current day, a |days|-row second window) added back, so no
+    * single-partition window ever sees the full sweep (the global-window
+    * formulation DuckDB uses as the oracle is the semantics, not the
+    * plan). Peak extraction is an aggregate + broadcast-back filter,
+    * never a driver-side collect. Within equal (t, delta) runs the
+    * running sum is monotone, so the set of prefix values — hence the
+    * max and its first instant — is tie-order invariant. */
+  def q131PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val sweep = sess.select(col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("end_us") + 1L).as("t"),
+        lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("t"))))
+    val inDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayTotals = sweep.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_total"))
+      .withColumn("carry",
+        sum(col("day_total")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("day_total"))
+      .select(col("day"), col("carry"))
+    val cum = sweep
+      .withColumn("in_day", sum(col("delta")).over(inDay))
+      .join(broadcast(dayTotals), "day")
+      .withColumn("cum", col("carry") + col("in_day"))
+    val peak = cum.agg(max(col("cum")).as("peak_concurrent"))
+    cum.join(broadcast(peak), col("cum") === col("peak_concurrent"))
+      .agg(max(col("cum")).as("peak_concurrent"), min(col("t")).as("at_us"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("peak_concurrent"), col("at_us"), col("n_sessions"))
+  }
+
+  val q131Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) >
+      |         ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |  FROM s GROUP BY user_id, session_seq),
+      |sweep AS (
+      |  SELECT start_us AS t, CAST(1 AS BIGINT) AS delta FROM sess
+      |  UNION ALL
+      |  SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+      |cum AS (
+      |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM sweep),
+      |pk AS (SELECT MAX(cum) AS peak_concurrent FROM cum)
+      |SELECT pk.peak_concurrent,
+      |  (SELECT MIN(t) FROM cum WHERE cum = pk.peak_concurrent) AS at_us,
+      |  (SELECT COUNT(*) FROM sess) AS n_sessions
+      |FROM pk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessions" -> q34Sessions _,
-    "q128_event_3paths" -> (q128Event3Paths _))
+    "q128_event_3paths" -> (q128Event3Paths _),
+    "q131_peak_concurrency" -> (q131PeakConcurrency _))
 
   def oracles: Map[String, String] = Map(
     "q34_sessions" -> q34Sql,
-    "q128_event_3paths" -> q128Sql)
+    "q128_event_3paths" -> q128Sql,
+    "q131_peak_concurrency" -> q131Sql)
 }
