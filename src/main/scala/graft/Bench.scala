@@ -49,10 +49,30 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-resolution per-query timings go to a file: the driver captures
+    // only the last ~2000 chars of stdout, and a 100+-query JSON line is ~4 KB
+    // — it has never fit (BENCH_r08/r09 record "parsed": null with the line
+    // truncated mid-stream in the raw tail).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json")
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // The ONE stdout JSON line must survive the driver's tail window: shorten
+    // keys to their unique qNN prefix and round to 10 ms so ~130 queries stay
+    // well under ~1900 chars (falls back to full names only on prefix
+    // collision; full names + ns precision are in BENCH_FULL.json).
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val shortOk = prefixes.distinct.size == prefixes.size
+    val qs = results.zip(prefixes).map { case ((k, v), p) =>
+      "\"" + (if (shortOk) p else k) + "\":" + (math.rint(v * 100) / 100)
+    }.mkString("{", ",", "}")
+    val tot2 = math.rint(total * 100) / 100
+    println(s"""{"metric":"total","value":$tot2,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,17 +38,23 @@ object Kpis {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright; read nanos as long and rebuild a micros timestamp. (DuckDB
-    * reads nanos natively — truncation to micros is invisible to any query
-    * that buckets at second granularity or coarser.) Requires
-    * spark.sql.legacy.parquet.nanosAsLong=true, set at session construction
-    * (Verify/Bench/test builders) — not here, to keep query builders pure.
-    * Integer `div` keeps ~1.7e18 nano epochs exact; float division would
-    * round above 2^53 and shift some micros by 1. */
-  def eventsTable(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** The events table's `ts` column has shipped in two physical forms across
+    * testdata generations: TIMESTAMP(NANOS) parquet (Spark 4 rejects it
+    * outright; with spark.sql.legacy.parquet.nanosAsLong=true it surfaces as
+    * LongType nanos) and plain TIMESTAMP(MICROS) without UTC adjustment
+    * (surfaces as TIMESTAMP_NTZ). Normalize both to session-zoned
+    * TimestampType so every downstream query sees one type: nanos → integer
+    * `div 1000` (exact at ~1.7e18 nano epochs; float division would round
+    * above 2^53 and shift some micros by 1), NTZ → cast, which under the
+    * UTC session timezone is the same wall-clock instant DuckDB reads. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Revenue expression used throughout (reference README.md:142). */
   private def revenue: Column =
