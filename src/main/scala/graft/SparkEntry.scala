@@ -53,7 +53,11 @@ object SparkEntry {
       graft.operators.IncrementalRollup.queries ++
       graft.queries.EmbedStatsQueries.queries ++
       graft.queries.Tpch4Queries.queries ++
-      graft.queries.ExperimentQueries.queries
+      graft.queries.ExperimentQueries.queries ++
+      graft.queries.Tpch5Queries.queries ++
+      graft.operators.Skyline.queries ++
+      graft.queries.MarketQueries.queries ++
+      graft.queries.InfoQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -103,5 +107,9 @@ object SparkEntry {
       graft.operators.IncrementalRollup.oracles ++
       graft.queries.EmbedStatsQueries.oracles ++
       graft.queries.Tpch4Queries.oracles ++
-      graft.queries.ExperimentQueries.oracles
+      graft.queries.ExperimentQueries.oracles ++
+      graft.queries.Tpch5Queries.oracles ++
+      graft.operators.Skyline.oracles ++
+      graft.queries.MarketQueries.oracles ++
+      graft.queries.InfoQueries.oracles
 }

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic data-quality metrics: column-dependence
+  * (mutual information), digit-law conformance (Benford), and
+  * distribution drift (per-slice KL divergence) — the audits a corpus
+  * pipeline runs to catch leaking joins, fabricated numbers, and
+  * source skew before training on the data.
+  *
+  * Shared exactness recipe (q112's): every ln() is computed on an
+  * IDENTICALLY-ASSOCIATED double expression in both engines, rounded
+  * to 9 dp and cast to exact decimal; weights are integer counts, so
+  * the weighted sums are exact decimal arithmetic and the single
+  * closing division is one double op on identical operands.
+  */
+object InfoQueries {
+
+  /** DECIMAL(12,9), not (18,9): Spark widens decimal×BIGINT to precision
+    * 18+20+1=39 > 38 and TRIMS THE SCALE to 8 (DuckDB keeps 9) — the
+    * narrower operand keeps the weighted products exact in both engines
+    * (|ln| of any count ratio is < 10³ by a huge margin). */
+  private def ln9(e: Column): Column =
+    round(log(e), 9).cast("decimal(12,9)")
+
+  // --------------------------------------------------------------- q137
+  /** Mutual information (nats) between customer market segment and
+    * nation, with both marginal entropies: MI ≈ 0 certifies the two
+    * dimensions are independent (what a synthetic generator intends);
+    * MI near min(H) flags a dependence that would leak one column
+    * through the other in a train/test split.
+    *
+    * Scale shape: ONE map-combinable hash agg over the entity table
+    * produces the |segments|×|nations| joint census (≤125 rows);
+    * marginals and totals are windows OVER THAT CENSUS, never a second
+    * data pass; the three entropy sums collapse on one row. */
+  def q137MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Kpis.table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("cxy"))
+    val withMarginals = joint
+      .withColumn("cx", sum(col("cxy")).over(Window.partitionBy(col("seg"))))
+      .withColumn("cy", sum(col("cxy")).over(Window.partitionBy(col("nat"))))
+      .withColumn("n", sum(col("cxy")).over(Window.partitionBy()))
+    val dbl = (c: String) => col(c).cast("double")
+    withMarginals
+      .select(col("cxy"), col("cx"), col("cy"), col("n"),
+        (ln9(dbl("cxy") * dbl("n") / (dbl("cx") * dbl("cy"))) * col("cxy"))
+          .as("mi_w"),
+        // entropy terms are per-(x,y) cell but weighted so each marginal
+        // cell counts once: cxy/cx of the seg term per joint row sums to 1
+        // per segment — algebraically Σ cxy·ln(n/cx) / n = H(seg).
+        (ln9(dbl("n") / dbl("cx")) * col("cxy")).as("hx_w"),
+        (ln9(dbl("n") / dbl("cy")) * col("cxy")).as("hy_w"))
+      .agg(
+        max(col("n")).as("n_customers"),
+        (sum(col("mi_w")).cast("double") / max(col("n")).cast("double"))
+          .as("mi_nats"),
+        (sum(col("hx_w")).cast("double") / max(col("n")).cast("double"))
+          .as("h_segment"),
+        (sum(col("hy_w")).cast("double") / max(col("n")).cast("double"))
+          .as("h_nation"))
+  }
+
+  val q137Sql: String =
+    """WITH joint AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS cxy
+      |  FROM customer GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cxy,
+      |    SUM(cxy) OVER (PARTITION BY seg) AS cx,
+      |    SUM(cxy) OVER (PARTITION BY nat) AS cy,
+      |    SUM(cxy) OVER () AS n
+      |  FROM joint),
+      |terms AS (
+      |  SELECT cxy, n,
+      |    CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+      |           / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+      |         AS DECIMAL(12,9)) * cxy AS mi_w,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE)), 9)
+      |         AS DECIMAL(12,9)) * cxy AS hx_w,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE)), 9)
+      |         AS DECIMAL(12,9)) * cxy AS hy_w
+      |  FROM m)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+      |  CAST(SUM(mi_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mi_nats,
+      |  CAST(SUM(hx_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_segment,
+      |  CAST(SUM(hy_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_nation
+      |FROM terms""".stripMargin
+
+  // --------------------------------------------------------------- q138
+  /** Benford first-digit audit of order totals: observed leading-digit
+    * counts vs Benford's log₁₀(1+1/d) expectation, with each digit's
+    * χ² contribution. Fabricated or unit-capped monetary columns jump
+    * out here long before a distribution test on the values would.
+    *
+    * The leading digit is extracted in EXACT integer space — 2-dp
+    * prices to cents via round, then integer division by 10^(len−1) —
+    * never via floor(log10(x)), whose ulp behavior at powers of ten
+    * differs between engines.
+    *
+    * Scale shape: digit extraction is per-row scalar work inside the
+    * scan, one 9-group map-combinable agg on top. */
+  def q138BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    // explicit floor, NOT a long cast: Spark's double→long cast truncates
+    // but DuckDB's ROUNDS — floor is the one spelling both engines share
+    val digit = floor(col("cents").cast("double") /
+      pow(lit(10.0), length(col("cents").cast("string")) - 1))
+    val expected =
+      ln9(lit(1.0) + lit(1.0) / col("digit").cast("double")).cast("double") /
+        ln9(lit(10.0)).cast("double")
+    Kpis.table(spark, dir, "orders")
+      .select(cents.as("cents"))
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_total", sum(col("n_orders")).over(Window.partitionBy()))
+      .withColumn("expected_freq", expected)
+      .withColumn("chi2_term", {
+        val exp = col("expected_freq") * col("n_total").cast("double")
+        val diff = col("n_orders").cast("double") - exp
+        diff * diff / exp
+      })
+      .select("digit", "n_orders", "expected_freq", "chi2_term")
+      .orderBy("digit")
+  }
+
+  val q138Sql: String =
+    """WITH digits AS (
+      |  SELECT CAST(FLOOR(CAST(cents AS DOUBLE)
+      |              / POWER(10.0, LENGTH(CAST(cents AS VARCHAR)) - 1))
+      |              AS BIGINT) AS digit
+      |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |        FROM orders)),
+      |census AS (
+      |  SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY 1),
+      |freq AS (
+      |  SELECT digit, n_orders, SUM(n_orders) OVER () AS n_total,
+      |    CAST(CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+      |              AS DECIMAL(12,9)) AS DOUBLE)
+      |      / CAST(CAST(round(ln(10.0), 9) AS DECIMAL(12,9)) AS DOUBLE)
+      |      AS expected_freq
+      |  FROM census)
+      |SELECT digit, n_orders, expected_freq,
+      |  (CAST(n_orders AS DOUBLE) - expected_freq * CAST(n_total AS DOUBLE))
+      |    * (CAST(n_orders AS DOUBLE) - expected_freq * CAST(n_total AS DOUBLE))
+      |    / (expected_freq * CAST(n_total AS DOUBLE)) AS chi2_term
+      |FROM freq ORDER BY digit""".stripMargin
+
+  // --------------------------------------------------------------- q140
+  /** Per-source language drift: KL(P(lang|source) ‖ P(lang)) in nats
+    * for every document source — the standard skew monitor for a
+    * multi-source corpus (a crawler that silently went monolingual
+    * shows up as a KL spike while every per-language count still looks
+    * plausible).
+    *
+    * Scale shape: one map-combinable (source, lang) census off the
+    * scan; source/corpus marginals are windows over the census (≤
+    * |sources|·|langs| rows); final agg by source. */
+  def q140SourceLangKl(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cls"))
+    val dbl = (c: String) => col(c).cast("double")
+    census
+      .withColumn("cs", sum(col("cls")).over(Window.partitionBy(col("source"))))
+      .withColumn("cl", sum(col("cls")).over(Window.partitionBy(col("lang"))))
+      .withColumn("n", sum(col("cls")).over(Window.partitionBy()))
+      .select(col("source"), col("cs"),
+        (ln9(dbl("cls") * dbl("n") / (dbl("cs") * dbl("cl"))) * col("cls"))
+          .as("kl_w"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("cs")).as("n_docs"),
+        (sum(col("kl_w")).cast("double") / max(col("cs")).cast("double"))
+          .as("kl_nats"))
+      .orderBy("source")
+  }
+
+  val q140Sql: String =
+    """WITH census AS (
+      |  SELECT source, lang, COUNT(*) AS cls
+      |  FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, cls,
+      |    SUM(cls) OVER (PARTITION BY source) AS cs,
+      |    SUM(cls) OVER (PARTITION BY lang) AS cl,
+      |    SUM(cls) OVER () AS n
+      |  FROM census)
+      |SELECT source, CAST(MAX(cs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(round(ln(CAST(cls AS DOUBLE) * CAST(n AS DOUBLE)
+      |         / (CAST(cs AS DOUBLE) * CAST(cl AS DOUBLE))), 9)
+      |       AS DECIMAL(12,9)) * cls) AS DOUBLE)
+      |    / CAST(MAX(cs) AS DOUBLE) AS kl_nats
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_mutual_info" -> (q137MutualInfo _),
+    "q138_benford_audit" -> (q138BenfordAudit _),
+    "q140_source_lang_kl" -> (q140SourceLangKl _))
+
+  def oracles: Map[String, String] = Map(
+    "q137_mutual_info" -> q137Sql,
+    "q138_benford_audit" -> q138Sql,
+    "q140_source_lang_kl" -> q140Sql)
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-style temporal aggregates over the event stream: OHLC bars,
+  * time-weighted averages, and RFM behavioral segmentation — the three
+  * shapes where WHICH row wins inside a group (first/last/weighted)
+  * matters as much as the aggregate itself.
+  */
+object MarketQueries {
+
+  // --------------------------------------------------------------- q135
+  /** Hourly OHLC bars over event values: open/close are the first/last
+    * value by (ts, event_id) — the unique composite makes the pick
+    * deterministic — high/low/count are plain extremes.
+    *
+    * Scale shape: open and close come from `min_by`/`max_by` keyed on
+    * the (ts, event_id) struct, so the WHOLE query is one hash
+    * aggregate with map-side combine — no window, no sort, no second
+    * pass. (The oracle uses ROW_NUMBER windows instead: arg-extremes
+    * via windows is the formulation that does NOT scale — partial
+    * aggregation can't see through a rank.) Raw doubles pass through
+    * untouched: hash-safe. */
+  def q135OhlcHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Kpis.eventsTable(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("bar_hour"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("bar_hour")
+  }
+
+  val q135Sql: String =
+    """WITH ranked AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |      AS bar_hour, value,
+      |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT bar_hour,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  COUNT(*) AS n_events
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q136
+  /** Per-user time-weighted average value: each reading holds until the
+    * user's next event; TWAP = Σ(value·Δt) / Σ(Δt) with microsecond
+    * intervals. A user's last event has no successor and contributes no
+    * interval (standard step-function TWAP over the observed span).
+    *
+    * Exactness: value is ≤4 dp (exact DECIMAL(18,4)), Δt_µs is a long,
+    * so every product and both sums are exact decimal/integer
+    * arithmetic; the single closing division is one double op on
+    * identical operands in both engines.
+    *
+    * Scale shape: the lead() window partitions BY USER — thousands of
+    * small independent per-key sorts that scale out with the key count,
+    * nothing global — then one map-combinable hash agg on the same key,
+    * which AQE coalesces with the window's shuffle. Users with one
+    * event drop (no intervals): the n_intervals floor documents it. */
+  def q136TwapValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      // the weighted decimal sum exceeds 2^53 in scaled-integer units
+      // (µs weights), where DuckDB's two-step decimal→double cast can be
+      // 1 ulp off Java's exact conversion — q59's round-and-settle
+      // convention absorbs it
+      .agg(
+        (round(sum(col("v") * col("dur_us")).cast("double") /
+          sum(col("dur_us")).cast("double"), 6) + lit(0.0)).as("twap"),
+        sum(col("dur_us")).as("span_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val q136Sql: String =
+    """WITH spans AS (
+      |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS dur_us
+      |  FROM events)
+      |SELECT user_id,
+      |  round(CAST(SUM(v * dur_us) AS DOUBLE)
+      |        / CAST(SUM(dur_us) AS DOUBLE), 6) + 0.0 AS twap,
+      |  CAST(SUM(dur_us) AS BIGINT) AS span_us, COUNT(*) AS n_intervals
+      |FROM spans WHERE dur_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q139
+  /** RFM segmentation: per ordering customer, recency (days from last
+    * order to the corpus max date), frequency (order count), monetary
+    * (exact decimal spend); each dimension is scored into quintiles and
+    * the output is the (r, f, m) cell census with its exact spend.
+    *
+    * Determinism: every ntile orders by a TOTAL key — the metric plus
+    * c_custkey — because quintile boundaries on a tied metric are
+    * otherwise implementation-defined. Recency scoring orders by
+    * last_order ASC (most-stale first, score 5 = most recent, matching
+    * f/m where 5 = highest): days-since-max DESC is the same total
+    * order, so the corpus-max anchor never needs computing.
+    *
+    * Scale shape: the per-customer rollup is a map-combinable hash agg
+    * on o_custkey; the three ntiles then run over ONE partition of
+    * |customers| rows — the classic exact-quantile chokepoint, same
+    * posture as q71: acceptable because the scored table is the
+    * already-aggregated entity table (orders-of-magnitude below fact
+    * rows); the percentile-sketch path (q117) is the stand-in when even
+    * the entity table outgrows a partition. Final census ≤125 rows. */
+  def q139RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
+    val scored = perCust
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("last_order"), col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary"), col("o_custkey"))))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("segment_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val q139Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT o_custkey, monetary,
+      |    NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      |  FROM per_cust)
+      |SELECT CAST(r_score AS INTEGER) AS r_score,
+      |  CAST(f_score AS INTEGER) AS f_score,
+      |  CAST(m_score AS INTEGER) AS m_score, COUNT(*) AS n_customers,
+      |  CAST(SUM(monetary) AS DOUBLE) AS segment_spend
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_ohlc_hourly" -> (q135OhlcHourly _),
+    "q136_twap_value" -> (q136TwapValue _),
+    "q139_rfm_segments" -> (q139RfmSegments _))
+
+  def oracles: Map[String, String] = Map(
+    "q135_ohlc_hourly" -> q135Sql,
+    "q136_twap_value" -> q136Sql,
+    "q139_rfm_segments" -> q139Sql)
+}

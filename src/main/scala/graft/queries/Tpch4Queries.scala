@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * twice under two different roles) and Q13 (customer order-count
   * distribution — the canonical LEFT-OUTER + two-level aggregation,
   * where the zero-order group only exists because the join is outer).
-  * With these, every classic TPC-H shape this schema supports is
-  * registered (no partsupp ⇒ Q2/Q9/Q11/Q16/Q20 out of scope; no
+  * Q7 and the Q9 shape land in [[Tpch5Queries]]; with those, every
+  * classic TPC-H shape this schema supports is registered (no partsupp
+  * ⇒ Q2/Q11/Q16/Q20 out of scope and Q9 runs on a list-price proxy; no
   * l_shipmode/l_receiptdate/l_commitdate ⇒ Q4/Q12/Q21 out).
   */
 object Tpch4Queries {

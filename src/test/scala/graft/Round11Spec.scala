@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skyline
+import graft.queries.{InfoQueries, MarketQueries, Tpch5Queries}
+
+/** Round-11 additions: skyline operator (brute-force cross-check on
+  * random data), TPC-H Q7/Q9 shapes, OHLC/TWAP determinism, and the
+  * information-theoretic audits' analytic invariants.
+  */
+class Round11Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ------------------------------------------------------------ skyline
+  test("skyline2d matches the quadratic dominance definition on random data") {
+    import spark.implicits._
+    // deterministic LCG — Math.random would make failures unreproducible
+    var seed = 0x2545F4914F6CDD1DL
+    def next(mod: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % mod).toInt + mod) % mod
+    }
+    // duplicate-heavy domain: ties on cost, gain, and full (cost,gain)
+    val pts = (1 to 400).map(i => (i.toLong, next(40), next(25)))
+    val df = pts.toDF("id", "cost", "gain")
+    val got = Skyline.skyline2d(df, col("cost"), col("gain"))
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("skyline frontier is an antichain with strictly improving gain") {
+    val rows = Skyline.q134PartSkyline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val frontier = rows.map(r =>
+      (r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+    // distinct (cost,gain) cells sorted by cost must strictly increase gain
+    val cells = frontier.distinct.sortBy(_._1)
+    cells.sliding(2).foreach {
+      case Array((c1, g1), (c2, g2)) =>
+        assert(c1 < c2 && g1 < g2,
+          s"dominated cell on frontier: ($c1,$g1) vs ($c2,$g2)")
+      case _ => ()
+    }
+  }
+
+  // -------------------------------------------------------------- TPC-H
+  test("q132 volume shipping: both directions, filter years only") {
+    val rows = Tpch5Queries.q132VolumeShipping(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    pairs.foreach { case (s, c) => assert(s != c) }
+    assert(rows.forall(r => Set(1996L, 1997L)(r.getAs[Long]("l_year"))))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
+  }
+
+  test("q133 nation profit: n_items positive, grouped keys unique") {
+    val rows = Tpch5Queries.q133NationProfit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall(_.getAs[Long]("n_items") > 0))
+  }
+
+  // ---------------------------------------------------------- OHLC/TWAP
+  test("q135 OHLC: low <= open/close <= high, bars cover all events") {
+    val bars = MarketQueries.q135OhlcHourly(spark, sfDir).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val (o, h, l, c) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+        b.getAs[Double]("low"), b.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+    val nEvents = graft.queries.Kpis.eventsTable(spark, sfDir).count()
+    assert(bars.map(_.getAs[Long]("n_events")).sum == nEvents)
+  }
+
+  test("q136 TWAP: bounded by per-user min/max value") {
+    val twap = MarketQueries.q136TwapValue(spark, sfDir)
+    val bounds = graft.queries.Kpis.eventsTable(spark, sfDir)
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+    val joined = twap.join(bounds, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val t = r.getAs[Double]("twap")
+      assert(t >= r.getAs[Double]("lo") - 1e-6 &&
+        t <= r.getAs[Double]("hi") + 1e-6, s"TWAP $t outside value range")
+    }
+  }
+
+  // ----------------------------------------------------- info-theoretic
+  test("q137 MI: 0 <= MI <= min(H(seg), H(nation)), entropies <= ln(k)") {
+    val r = InfoQueries.q137MutualInfo(spark, sfDir).collect().head
+    val (mi, hs, hn) = (r.getAs[Double]("mi_nats"),
+      r.getAs[Double]("h_segment"), r.getAs[Double]("h_nation"))
+    // 9-dp rounding of each weighted log term can push the aggregate a
+    // hair past the analytic bound — tolerance covers exactly that
+    val eps = 1e-6
+    assert(mi >= -eps && mi <= math.min(hs, hn) + eps)
+    assert(hs > 0 && hs <= math.log(5.0) + eps) // 5 market segments
+    assert(hn > 0)
+  }
+
+  test("q138 Benford: digits 1-9, expected freqs sum to 1, chi2 >= 0") {
+    val rows = InfoQueries.q138BenfordAudit(spark, sfDir).collect()
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(digits.distinct.length == digits.length)
+    // expected Benford masses over ALL nine digits sum to 1 (data may
+    // not surface every digit; check the law itself on 1..9)
+    val law = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0)).sum
+    assert(math.abs(law - 1.0) < 1e-12)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+  }
+
+  test("q140 KL: non-negative per source, doc counts partition the corpus") {
+    val rows = InfoQueries.q140SourceLangKl(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("kl_nats") >= -1e-6))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+  }
+
+  // ------------------------------------------------------------- RFM
+  test("q139 RFM: scores in 1..5, customer census partitions orderers") {
+    val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5)
+      }
+    }
+    val nOrderers = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nOrderers)
+  }
+}
