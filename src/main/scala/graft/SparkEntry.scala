@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.Tpch5Queries.queries ++
       graft.operators.Skyline.queries ++
       graft.queries.MarketQueries.queries ++
-      graft.queries.InfoQueries.queries
+      graft.queries.InfoQueries.queries ++
+      graft.queries.NoveltyQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -111,5 +112,6 @@ object SparkEntry {
       graft.queries.Tpch5Queries.oracles ++
       graft.operators.Skyline.oracles ++
       graft.queries.MarketQueries.oracles ++
-      graft.queries.InfoQueries.oracles
+      graft.queries.InfoQueries.oracles ++
+      graft.queries.NoveltyQueries.oracles
 }

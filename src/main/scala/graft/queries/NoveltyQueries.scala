@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus novelty/diversity scoring — the curation signals that rank
+  * documents by how much NEW content they contribute: trigram novelty
+  * (share of a doc's shingles it is the earliest carrier of) and
+  * character entropy (the compression-ratio proxy that catches
+  * keyboard-mash and boilerplate at opposite ends of the scale).
+  */
+object NoveltyQueries {
+
+  /** ln rounded to 9 dp as exact DECIMAL(12,9) — see InfoQueries.ln9
+    * for why the precision must stay ≤12 (Spark decimal×BIGINT scale
+    * trimming). */
+  private def ln9(e: org.apache.spark.sql.Column) =
+    round(log(e), 9).cast("decimal(12,9)")
+
+  // --------------------------------------------------------------- q141
+  /** Per-document trigram novelty: over each doc's DISTINCT word
+    * trigrams, the fraction whose earliest corpus occurrence (min
+    * doc_id) is this very doc. Rank-by-novelty is the greedy
+    * first-pass of corpus selection: near-1 docs carry fresh content,
+    * near-0 docs restate what an earlier doc already contributed —
+    * the cross-document complement of q49's within-doc repetition.
+    *
+    * Scale shape: explode → array_distinct keeps per-doc dedup local;
+    * the global min(doc_id) per trigram is ONE map-combinable hash agg
+    * (min is algebraic — no shuffle of doc lists); the join back is
+    * shuffle-on-trigram against that aggregate, then a per-doc count
+    * agg. No windows, no driver state; every stage keys on trigram or
+    * doc_id. Docs under 3 tokens have no trigram and drop (documented:
+    * novelty is undefined on them). */
+  def q141TrigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tg = d.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), 3))).as("tg"))
+    val first = tg.groupBy(col("tg")).agg(min(col("doc_id")).as("first_doc"))
+    tg.join(first, "tg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_trigrams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") /
+          col("n_distinct_trigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val q141Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d3 AS (SELECT * FROM d WHERE len(toks) >= 3),
+      |pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM d3),
+      |tg AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+      |  FROM pos),
+      |first AS (SELECT tg, MIN(doc_id) AS first_doc FROM tg GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_distinct_trigrams,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM tg JOIN first USING (tg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q142
+  /** Per-document character entropy (nats) over normalized text — the
+    * cheap compressibility proxy: repeated boilerplate and single-key
+    * mash sit near 0, natural prose clusters tightly by language, and
+    * random noise tops out near ln(alphabet). Flagging both tails is
+    * a standard pre-training quality filter.
+    *
+    * Scale shape: the char explode is transform(sequence)+explode
+    * inside the scan stage; the (doc, char) census is a map-combinable
+    * hash agg; per-doc totals are a window OVER THE CENSUS partitioned
+    * by doc_id (alphabet-sized groups, shuffled once on doc_id, which
+    * the final per-doc agg then reuses). Weighted-log exactness recipe
+    * as in InfoQueries. */
+  def q142CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) > 0)
+    val census = d
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("norm"))),
+        i => col("norm").substr(i, lit(1)))).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    census
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("cnt"), col("n"),
+        (ln9(col("cnt").cast("double") / col("n").cast("double")) * col("cnt"))
+          .as("hw"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        (-(sum(col("hw")).cast("double") / max(col("n")).cast("double"))
+          + lit(0.0)).as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
+  val q142Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0),
+      |pos AS (
+      |  SELECT doc_id, norm, unnest(generate_series(1, length(norm))) AS i
+      |  FROM d),
+      |census AS (
+      |  SELECT doc_id, substr(norm, i, 1) AS ch, COUNT(*) AS cnt
+      |  FROM pos GROUP BY 1, 2),
+      |m AS (
+      |  SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+      |  FROM census)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+      |  COUNT(*) AS n_distinct_chars,
+      |  -(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |              AS DECIMAL(12,9)) * cnt) AS DOUBLE)
+      |    / CAST(MAX(n) AS DOUBLE)) + 0.0 AS entropy_nats
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_trigram_novelty" -> (q141TrigramNovelty _),
+    "q142_char_entropy" -> (q142CharEntropy _))
+
+  def oracles: Map[String, String] = Map(
+    "q141_trigram_novelty" -> q141Sql,
+    "q142_char_entropy" -> q142Sql)
+}

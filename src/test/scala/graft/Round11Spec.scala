@@ -128,6 +128,33 @@ class Round11Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
   }
 
+  // ---------------------------------------------------------- novelty
+  test("q141 novelty: in [0,1], first doc fully novel, counts bounded") {
+    val rows = graft.queries.NoveltyQueries.q141TrigramNovelty(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_distinct_trigrams"))
+    }
+    // the lowest doc_id can't restate anyone earlier
+    assert(rows.minBy(_.getAs[Long]("doc_id")).getAs[Double]("novelty") == 1.0)
+  }
+
+  test("q142 entropy: 0 <= H <= ln(distinct chars), counts consistent") {
+    val rows = graft.queries.NoveltyQueries.q142CharEntropy(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val k = r.getAs[Long]("n_distinct_chars")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+        s"H=$h outside [0, ln($k)]")
+      assert(k <= r.getAs[Long]("n_chars"))
+    }
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
