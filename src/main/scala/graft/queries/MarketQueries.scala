@@ -17,12 +17,13 @@ object MarketQueries {
     * deterministic — high/low/count are plain extremes.
     *
     * Scale shape: open and close come from `min_by`/`max_by` keyed on
-    * the (ts, event_id) struct, so the WHOLE query is one hash
-    * aggregate with map-side combine — no window, no sort, no second
-    * pass. (The oracle uses ROW_NUMBER windows instead: arg-extremes
-    * via windows is the formulation that does NOT scale — partial
-    * aggregation can't see through a rank.) Raw doubles pass through
-    * untouched: hash-safe. */
+    * the (ts, event_id) struct, so the WHOLE query is one two-phase
+    * aggregate with map-side partials (struct-typed buffers land it in
+    * SortAggregate rather than hash — still partial-combine before the
+    * one exchange) and no second pass over the data. (The oracle uses
+    * ROW_NUMBER windows instead: arg-extremes via windows is the
+    * formulation that does NOT scale — partial aggregation can't see
+    * through a rank.) Raw doubles pass through untouched: hash-safe. */
   def q135OhlcHourly(spark: SparkSession, dir: String): DataFrame = {
     val ord = struct(col("ts"), col("event_id"))
     Kpis.eventsTable(spark, dir)

@@ -29,11 +29,16 @@ object NoveltyQueries {
     * the cross-document complement of q49's within-doc repetition.
     *
     * Scale shape: explode → array_distinct keeps per-doc dedup local;
-    * the global min(doc_id) per trigram is ONE map-combinable hash agg
-    * (min is algebraic — no shuffle of doc lists); the join back is
-    * shuffle-on-trigram against that aggregate, then a per-doc count
-    * agg. No windows, no driver state; every stage keys on trigram or
-    * doc_id. Docs under 3 tokens have no trigram and drop (documented:
+    * then NO pair-level join — joining the min-doc table back onto the
+    * (doc, trigram) pair stream would shuffle the full pair set twice
+    * (13.6 s at sf0.1, the suite's slowest plan). Instead both outputs
+    * are map-combinable aggregates over the one pair stream: per-doc
+    * distinct counts directly, and first-carrier credits via
+    * min(doc_id)-per-trigram re-aggregated BY THAT WINNING DOC —
+    * the only join left is doc-level (entity-sized, AQE-broadcast).
+    * The pair stream is localCheckpoint'd so tokenize+explode runs
+    * once, not once per consumer (q112's multi-consumer convention).
+    * Docs under 3 tokens have no trigram and drop (documented:
     * novelty is undefined on them). */
   def q141TrigramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val d = Kpis.table(spark, dir, "documents")
@@ -41,13 +46,14 @@ object NoveltyQueries {
       .filter(size(col("toks")) >= 3)
     val tg = d.select(col("doc_id"),
       explode(array_distinct(shingles(col("toks"), 3))).as("tg"))
-    val first = tg.groupBy(col("tg")).agg(min(col("doc_id")).as("first_doc"))
-    tg.join(first, "tg")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_distinct_trigrams"),
-        sum(when(col("first_doc") === col("doc_id"), lit(1L))
-          .otherwise(lit(0L))).as("n_novel"))
+      .localCheckpoint()
+    val perDoc = tg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_trigrams"))
+    val novel = tg.groupBy(col("tg")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel0"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_distinct_trigrams"),
+        coalesce(col("n_novel0"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") /
           col("n_distinct_trigrams").cast("double"))
@@ -83,20 +89,21 @@ object NoveltyQueries {
     * random noise tops out near ln(alphabet). Flagging both tails is
     * a standard pre-training quality filter.
     *
-    * Scale shape: the char explode is transform(sequence)+explode
-    * inside the scan stage; the (doc, char) census is a map-combinable
-    * hash agg; per-doc totals are a window OVER THE CENSUS partitioned
-    * by doc_id (alphabet-sized groups, shuffled once on doc_id, which
-    * the final per-doc agg then reuses). Weighted-log exactness recipe
-    * as in InfoQueries. */
+    * Scale shape: chars come from ONE split-by-empty-pattern pass —
+    * NOT transform(sequence, i => substr(i, 1)), whose per-char seek is
+    * O(i) on variable-width UTF-8 (quadratic per document; measured
+    * 7.9 s → this form, with identical CJK semantics in both engines).
+    * The (doc, char) census is a map-combinable hash agg; per-doc
+    * totals are a window OVER THE CENSUS partitioned by doc_id
+    * (alphabet-sized groups, shuffled once on doc_id, which the final
+    * per-doc agg then reuses). Weighted-log exactness recipe as in
+    * InfoQueries. */
   def q142CharEntropy(spark: SparkSession, dir: String): DataFrame = {
     val d = Kpis.table(spark, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .filter(length(col("norm")) > 0)
     val census = d
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), length(col("norm"))),
-        i => col("norm").substr(i, lit(1)))).as("ch"))
+      .select(col("doc_id"), explode(split(col("norm"), "")).as("ch"))
       .groupBy(col("doc_id"), col("ch"))
       .agg(count(lit(1)).as("cnt"))
     census

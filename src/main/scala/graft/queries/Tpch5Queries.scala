@@ -19,11 +19,14 @@ object Tpch5Queries {
   /** TPC-H Q7 shape (volume shipping): revenue flowing between NATION_18
     * and NATION_19 (a pair with suppliers at every test scale factor) in
     * BOTH directions, by (supplier nation, customer nation, ship year).
-    * Unlike Q8's one-role-filtered share, Q7 filters
-    * the CROSS-nation pair: each side is pre-restricted to the two
-    * nations (so the fact shrinks before any wide join), and the
-    * direction predicate — supplier and customer nations must differ —
-    * runs after both roles are attached.
+    * q100_nation_volume computes the UNFILTERED all-pairs matrix (every
+    * nation² cell, full fact scan); this is the other half of Q7's
+    * lesson — when the question names specific partners, the pair
+    * restriction must reach the DIMENSIONS before the fact join, not
+    * run as a post-join filter on the matrix: each side is
+    * pre-restricted to the two nations (so the fact shrinks before any
+    * wide join), and only the direction predicate — supplier and
+    * customer nations must differ — runs after both roles are attached.
     *
     * Scale shape: supplier and customer are each semi-reduced by a
     * broadcast of the 2-row nation slice BEFORE touching the fact, so
