@@ -25,16 +25,14 @@ object MarketQueries {
     * formulation that does NOT scale — partial aggregation can't see
     * through a rank.) Raw doubles pass through untouched: hash-safe. */
   def q135OhlcHourly(spark: SparkSession, dir: String): DataFrame = {
-    val ord = struct(col("ts"), col("event_id"))
+    // the aggregation itself is shared with the streaming twin
+    // (OhlcStream.barAggs) — one definition, two drivers
+    val aggs = graft.streaming.OhlcStream
+      .barAggs(struct(col("ts"), col("event_id")))
     Kpis.eventsTable(spark, dir)
       .groupBy(date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm:ss").as("bar_hour"))
-      .agg(
-        min_by(col("value"), ord).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), ord).as("close"),
-        count(lit(1)).as("n_events"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("bar_hour")
   }
 
@@ -164,13 +162,72 @@ object MarketQueries {
       |  CAST(SUM(monetary) AS DOUBLE) AS segment_spend
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** Revenue-concentration deciles (the Pareto 80/20 audit): customers
+    * sorted by lifetime spend descending, cut into ten equal-REVENUE
+    * (not equal-count) buckets; the output census shows how few
+    * customers carry each tenth of total revenue.
+    *
+    * Exactness: everything up to the final share is INTEGER arithmetic
+    * — 2-dp spend to exact cents, cumulative and total sums of longs,
+    * and the bucket index ((cum−1)·10) div total + 1, floor-division on
+    * integers in both engines (never float division, whose rounding at
+    * decile boundaries could split a customer differently). One double
+    * division for the share at the end.
+    *
+    * Scale shape: per-customer rollup is a map-combinable hash agg; the
+    * cumulative window is the q139 posture — a single ordered pass over
+    * the ENTITY table, not the fact table — and the final census is 10
+    * rows. */
+  def q143RevenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val cust = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), cents.as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("spend"))
+    val cum = Window.orderBy(col("spend").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cust
+      .withColumn("cum", sum(col("spend")).over(cum))
+      .withColumn("total", sum(col("spend")).over(Window.partitionBy()))
+      .withColumn("decile",
+        (expr("((cum - 1) * 10) div total") + lit(1)).cast("int"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("decile_cents"),
+        (sum(col("spend")).cast("double") /
+          max(col("total")).cast("double")).as("revenue_share"))
+      .orderBy("decile")
+  }
+
+  val q143Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT o_custkey, spend,
+      |    SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+      |                     ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(spend) OVER () AS total
+      |  FROM cust)
+      |SELECT CAST(((cum - 1) * 10) // total + 1 AS INTEGER) AS decile,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(spend) AS BIGINT) AS decile_cents,
+      |  CAST(SUM(spend) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+      |    AS revenue_share
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
     "q136_twap_value" -> (q136TwapValue _),
-    "q139_rfm_segments" -> (q139RfmSegments _))
+    "q139_rfm_segments" -> (q139RfmSegments _),
+    "q143_revenue_deciles" -> (q143RevenueDeciles _))
 
   def oracles: Map[String, String] = Map(
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,
-    "q139_rfm_segments" -> q139Sql)
+    "q139_rfm_segments" -> q139Sql,
+    "q143_revenue_deciles" -> q143Sql)
 }

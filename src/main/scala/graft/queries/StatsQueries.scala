@@ -338,7 +338,75 @@ object StatsQueries {
       |  s.p75 - s.p25 AS iqr, m.mad
       |FROM sel s JOIN madsel m USING (nk) ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q144
+  /** Theil–Sen robust trend of 1996 daily revenue: the median of all
+    * pairwise slopes (y_j−y_i)/(d_j−d_i), plus the matching robust
+    * intercept (median of y_i − slope·d_i). Immune to the outlier days
+    * that drag q69's OLS around — the third member of the robust-stats
+    * family (q70 MAD spread, q127 order-statistic location, q144 trend).
+    *
+    * Scale shape: AGGREGATE FIRST, quadratic ONLY on the aggregate —
+    * the fact table collapses to ≤366 daily points (map-combinable
+    * exact-decimal agg), and the O(n²)/2 pair enumeration runs on that
+    * dimension-bounded series (≤67k pairs regardless of fact size; the
+    * oracle replays it as a self-join). The same discipline as q127:
+    * never a quadratic on raw rows.
+    *
+    * Exactness: day index and daily revenue are exact
+    * (integer / decimal→double); each slope is ONE double division of
+    * identical operands, the median selects/interpolates on identical
+    * doubles (q70's proven percentile parity), and the intercept chain
+    * reuses the already-agreed slope. */
+  def q144TheilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .groupBy(datediff(to_date(col("l_shipdate")), lit("1996-01-01"))
+        .cast("long").as("d"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("y"))
+      .localCheckpoint() // three consumers: two pair sides + residuals
+    val a = daily.select(col("d").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("d").as("d2"), col("y").as("y2"))
+    val slope = a.join(b, col("d1") < col("d2"))
+      .select(((col("y2") - col("y1")) /
+        (col("d2") - col("d1")).cast("double")).as("s"))
+      .agg((expr("percentile(s, 0.5)") + lit(0.0)).as("ts_slope"),
+        count(lit(1)).as("n_pairs"))
+    daily.crossJoin(broadcast(slope))
+      .select(col("ts_slope"), col("n_pairs"), col("d"),
+        (col("y") - col("ts_slope") * col("d").cast("double")).as("r"))
+      .groupBy(col("ts_slope"), col("n_pairs"))
+      .agg(count(lit(1)).as("n_days"),
+        (expr("percentile(r, 0.5)") + lit(0.0)).as("ts_intercept"))
+      .select("n_days", "n_pairs", "ts_slope", "ts_intercept")
+  }
+
+  val q144Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1996-01-01' AS BIGINT)
+      |      AS d,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                  AS DECIMAL(18,4))) AS DOUBLE) AS y
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS s
+      |  FROM daily a JOIN daily b ON a.d < b.d),
+      |sl AS (
+      |  SELECT quantile_cont(s, 0.5) + 0.0 AS ts_slope,
+      |    COUNT(*) AS n_pairs
+      |  FROM pairs)
+      |SELECT COUNT(*) AS n_days, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+      |  MAX(ts_slope) + 0.0 AS ts_slope,
+      |  quantile_cont(y - ts_slope * CAST(d AS DOUBLE), 0.5) + 0.0
+      |    AS ts_intercept
+      |FROM daily CROSS JOIN sl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_theilsen_trend" -> (q144TheilsenTrend _),
     "q69_trend_fit" -> (q69TrendFit _),
     "q70_mad_outliers" -> (q70MadOutliers _),
     "q84_equiwidth_hist" -> (q84EquiwidthHist _),
@@ -346,6 +414,7 @@ object StatsQueries {
     "q127_nation_order_stats" -> (q127NationOrderStats _))
 
   def oracles: Map[String, String] = Map(
+    "q144_theilsen_trend" -> q144Sql,
     "q69_trend_fit" -> q69Sql,
     "q70_mad_outliers" -> q70Sql,
     "q84_equiwidth_hist" -> q84Sql,

@@ -155,6 +155,40 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q143 deciles: all ten present, masses partition total revenue") {
+    val rows = MarketQueries.q143RevenueDeciles(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val shares = rows.map(_.getAs[Double]("revenue_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    // equal-revenue cuts: each bucket holds ~1/10th of revenue, off by
+    // at most one customer's spend
+    shares.foreach(s => assert(s > 0.02 && s < 0.2, s"share $s"))
+    // concentration: the top-revenue decile needs the fewest customers
+    val counts = rows.map(_.getAs[Long]("n_customers"))
+    assert(counts.head == counts.min)
+  }
+
+  test("q144 Theil-Sen: slope bracketed by pairwise extremes, counts right") {
+    val r = graft.queries.StatsQueries.q144TheilsenTrend(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_days")
+    assert(n > 300 && n <= 366, s"1996 daily series has $n days")
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    val slope = r.getAs[Double]("ts_slope")
+    // a median of slopes lies strictly inside the pairwise extremes,
+    // and the robust fit should reconstruct typical daily revenue
+    val daily = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .groupBy(to_date(col("l_shipdate"))).agg(sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("y"))
+      .agg(min("y"), max("y")).collect().head
+    val (lo, hi) = (daily.getDouble(0), daily.getDouble(1))
+    val mid = r.getAs[Double]("ts_intercept") + slope * 183.0
+    assert(mid >= lo && mid <= hi,
+      s"fit at mid-year $mid outside daily range [$lo, $hi]")
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
