@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel and cohort-retention analytics over the event stream —
@@ -176,13 +177,78 @@ object FunnelQueries {
       |  MAX(dt) AS max_sec
       |FROM dt""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** Cohort LTV curves: customers grouped by first-order month, and for
+    * each months-since-acquisition k the CUMULATIVE revenue per cohort
+    * member — q87's retention matrix with money attached (retention
+    * answers "how many come back"; LTV answers "what are they worth by
+    * month k", which is what an acquisition budget is set against).
+    *
+    * Scale shape: cohort assignment is one hash agg on customer; the
+    * (cohort, k) revenue cells are a second map-combinable agg; the
+    * cumulative window then runs over the ≤|months|² CELL table, never
+    * the orders. Exact decimal revenue all the way to one double
+    * division per output row.
+    *
+    * Exactness: month arithmetic stays on month-truncated DATES —
+    * months_between of first-of-month dates is integral (.0 exact) —
+    * and both engines count month boundaries identically there. */
+  def q146CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("om"),
+        col("o_totalprice").cast("decimal(18,4)").as("p"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("om")).as("cm"))
+    val cells = o.join(cohort, "o_custkey")
+      .groupBy(col("cm"),
+        months_between(col("om"), col("cm")).cast("long").as("k"))
+      .agg(sum(col("p")).as("rev"), count(lit(1)).as("n_orders"))
+    val sizes = cohort.groupBy(col("cm")).agg(count(lit(1)).as("n_customers"))
+    val cum = Window.partitionBy(col("cm")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, "cm")
+      .withColumn("cumrev", sum(col("rev")).over(cum))
+      .select(
+        date_format(col("cm"), "yyyy-MM").as("cohort_month"),
+        col("k"), col("n_orders"), col("n_customers"),
+        (col("cumrev").cast("double") / col("n_customers").cast("double"))
+          .as("ltv_per_customer"))
+      .orderBy("cohort_month", "k")
+  }
+
+  val q146Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    date_trunc('month', CAST(o_orderdate AS DATE)) AS om,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+      |  FROM orders),
+      |cohort AS (SELECT o_custkey, MIN(om) AS cm FROM o GROUP BY 1),
+      |cells AS (
+      |  SELECT cm, CAST(datediff('month', cm, om) AS BIGINT) AS k,
+      |    SUM(p) AS rev, COUNT(*) AS n_orders
+      |  FROM o JOIN cohort USING (o_custkey) GROUP BY 1, 2),
+      |sizes AS (SELECT cm, COUNT(*) AS n_customers FROM cohort GROUP BY 1),
+      |cum AS (
+      |  SELECT cm, k, n_orders,
+      |    SUM(rev) OVER (PARTITION BY cm ORDER BY k
+      |                   ROWS UNBOUNDED PRECEDING) AS cumrev
+      |  FROM cells)
+      |SELECT strftime(cm, '%Y-%m') AS cohort_month, k, n_orders,
+      |  n_customers,
+      |  CAST(cumrev AS DOUBLE) / CAST(n_customers AS DOUBLE)
+      |    AS ltv_per_customer
+      |FROM cum JOIN sizes USING (cm)
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_funnel" -> (q86Funnel _),
     "q87_retention" -> (q87Retention _),
-    "q93_conversion_latency" -> (q93ConversionLatency _))
+    "q93_conversion_latency" -> (q93ConversionLatency _),
+    "q146_cohort_ltv" -> (q146CohortLtv _))
 
   def oracles: Map[String, String] = Map(
     "q86_funnel" -> q86Sql,
     "q87_retention" -> q87Sql,
-    "q93_conversion_latency" -> q93Sql)
+    "q93_conversion_latency" -> q93Sql,
+    "q146_cohort_ltv" -> q146Sql)
 }

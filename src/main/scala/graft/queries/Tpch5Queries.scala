@@ -143,11 +143,56 @@ object Tpch5Queries {
       |JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** Order-fulfillment lead time by priority: days from order placement
+    * to line-item ship, with exact p50/p90 — the operational-SLA
+    * distribution the reference's dashboards report from Postgres.
+    *
+    * Scale shape: the orderkey equi-join of the two fact tables is the
+    * one big shuffle (both sides pruned to three columns at the scan);
+    * the grouped exact percentile sorts per 5-priority group — the
+    * documented exact-audit posture (q37/q117): the sketch path takes
+    * over when a group outgrows a partition. Lead days are exact
+    * integers; mean = one double division of exact sums. */
+  def q145LeadtimePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("sd"), col("od")).cast("long").as("lead_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(col("lead_days")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_days"),
+        expr("percentile(lead_days, 0.5)").as("p50_days"),
+        expr("percentile(lead_days, 0.9)").as("p90_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q145Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(lead_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_days,
+      |  quantile_cont(lead_days, 0.5) AS p50_days,
+      |  quantile_cont(lead_days, 0.9) AS p90_days
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+      |         AS BIGINT) AS lead_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_volume_shipping" -> (q132VolumeShipping _),
-    "q133_nation_profit" -> (q133NationProfit _))
+    "q133_nation_profit" -> (q133NationProfit _),
+    "q145_leadtime_percentiles" -> (q145LeadtimePercentiles _))
 
   def oracles: Map[String, String] = Map(
     "q132_volume_shipping" -> q132Sql,
-    "q133_nation_profit" -> q133Sql)
+    "q133_nation_profit" -> q133Sql,
+    "q145_leadtime_percentiles" -> q145Sql)
 }

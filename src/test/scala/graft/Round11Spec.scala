@@ -189,6 +189,32 @@ class Round11Spec extends AnyFunSuite {
       s"fit at mid-year $mid outside daily range [$lo, $hi]")
   }
 
+  test("q145 lead times: ship never precedes order; p50 <= p90 <= max") {
+    val rows = Tpch5Queries.q145LeadtimePercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_days"), r.getAs[Double]("p90_days"))
+      assert(p50 >= 0.0 && p50 <= p90,
+        s"${r.getAs[String]("o_orderpriority")}: p50=$p50 p90=$p90")
+      assert(r.getAs[Double]("mean_days") >= 0.0)
+    }
+  }
+
+  test("q146 LTV: cumulative per cohort is monotone in k") {
+    val rows = graft.queries.FunnelQueries.q146CohortLtv(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_month")).foreach { case (cm, rs) =>
+      val ltv = rs.sortBy(_.getAs[Long]("k")).map(_.getAs[Double]("ltv_per_customer"))
+      ltv.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"cohort $cm LTV not monotone")
+        case _ => ()
+      }
+      // month 0 always exists: every cohort member ordered in its month
+      assert(rs.exists(_.getAs[Long]("k") == 0L), s"cohort $cm missing k=0")
+    }
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
