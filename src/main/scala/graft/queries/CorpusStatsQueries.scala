@@ -229,13 +229,98 @@ object CorpusStatsQueries {
       |        / CAST(n AS DOUBLE), 6) + 0.0 AS zipf_intercept
       |FROM sums ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** Heaps'-law vocabulary growth: V(N) ≈ K·N^β fitted as OLS of ln V
+    * against ln N over the document stream in doc_id order — q115's
+    * power-law companion (Zipf describes the frequency profile at a
+    * corpus snapshot; Heaps predicts how the vocabulary GROWS, which is
+    * what sizes a tokenizer's vocab budget as the corpus scales).
+    *
+    * Scale shape: per-token first-carrier via one min() hash agg (the
+    * q141 machinery), re-aggregated into per-doc new-type credits; the
+    * cumulative (N, V) series is a window over the DOC series (entity-
+    * sized, q139 posture), and the OLS runs on q115's exact 9-dp
+    * decimal grid with the same 6-dp output rounding. */
+  def q147HeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val newTypes = d
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(newTypes, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(
+        round(log(sum(col("n_toks")).over(w).cast("double")), 9)
+          .cast("decimal(18,9)").as("x"),
+        round(log(sum(col("new_types")).over(w).cast("double")), 9)
+          .cast("decimal(18,9)").as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    sums.withColumn("slope", slope)
+      .select(col("n").as("n_docs"),
+        (round(col("slope"), 6) + lit(0.0)).as("heaps_beta"),
+        (round((col("sy") - col("slope") * col("sx")) / nd, 6) + lit(0.0))
+          .as("heaps_ln_k"))
+  }
+
+  val q147Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tokd AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(toks) AS tok FROM d)),
+      |nt AS (
+      |  SELECT fd AS doc_id, COUNT(*) AS new_types FROM (
+      |    SELECT tok, MIN(doc_id) AS fd FROM tokd GROUP BY 1)
+      |  GROUP BY 1),
+      |series AS (
+      |  SELECT doc_id, len(toks) AS n_toks,
+      |    COALESCE(new_types, 0) AS new_types
+      |  FROM d LEFT JOIN nt USING (doc_id)),
+      |pts AS (
+      |  SELECT
+      |    CAST(round(ln(CAST(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+      |    CAST(round(ln(CAST(SUM(new_types) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      |  FROM series),
+      |sums AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM pts)
+      |SELECT n AS n_docs,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS heaps_beta,
+      |  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+      |        / CAST(n AS DOUBLE), 6) + 0.0 AS heaps_ln_k
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_pmi_collocations" -> (q112PmiCollocations _),
     "q114_lang_overlap" -> (q114LangOverlap _),
-    "q115_zipf_fit" -> (q115ZipfFit _))
+    "q115_zipf_fit" -> (q115ZipfFit _),
+    "q147_heaps_fit" -> (q147HeapsFit _))
 
   def oracles: Map[String, String] = Map(
     "q112_pmi_collocations" -> q112Sql,
     "q114_lang_overlap" -> q114Sql,
-    "q115_zipf_fit" -> q115Sql)
+    "q115_zipf_fit" -> q115Sql,
+    "q147_heaps_fit" -> q147Sql)
 }

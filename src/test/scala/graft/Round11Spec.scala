@@ -215,6 +215,19 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q147 Heaps: sublinear growth exponent in (0,1), all docs counted") {
+    val r = graft.queries.CorpusStatsQueries.q147HeapsFit(spark, sfDir)
+      .collect().head
+    val beta = r.getAs[Double]("heaps_beta")
+    // natural-language vocabulary grows sublinearly; a beta at or above
+    // 1 would mean every token is forever new (broken first-carrier
+    // credit), at or below 0 a non-growing vocabulary
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta outside (0,1)")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
