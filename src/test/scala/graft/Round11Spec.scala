@@ -50,6 +50,25 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q132 plan: ship-date pushed to lineitem scan; dims broadcast; no product") {
+    val df = Tpch5Queries.q132VolumeShipping(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val liScan = scans.find(_.contains("lineitem.parquet")).getOrElse("")
+    assert(liScan.contains("PushedFilters") && liScan.contains("l_shipdate"),
+      s"ship-date predicate not pushed:\n$liScan")
+    assert(plan.contains("BroadcastHashJoin"), "nation slices not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q134 plan: frontier restored via broadcast semi-join, no product") {
+    val plan = Skyline.q134PartSkyline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"skyline restore is not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // -------------------------------------------------------------- TPC-H
   test("q132 volume shipping: both directions, filter years only") {
     val rows = Tpch5Queries.q132VolumeShipping(spark, sfDir).collect()
