@@ -63,13 +63,18 @@ object Bench {
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The ONE stdout JSON line must survive the driver's tail window: shorten
-    // keys to their unique qNN prefix and round to 10 ms so ~130 queries stay
-    // well under ~1900 chars (falls back to full names only on prefix
-    // collision; full names + ns precision are in BENCH_FULL.json).
+    // keys to their unique qNN prefix and round to 10 ms so ~150 queries stay
+    // well under ~1900 chars. A prefix collision keeps ONLY the colliding
+    // names long (a wholesale fallback would regrow the line past the window
+    // — the very regression this encoding repairs) and warns on stderr; full
+    // names + ns precision are always in BENCH_FULL.json.
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    val shortOk = prefixes.distinct.size == prefixes.size
+    val dup = prefixes.groupBy(identity).filter(_._2.size > 1).keySet
+    if (dup.nonEmpty)
+      System.err.println(s"[bench] qNN prefix collision, keeping full names " +
+        s"for: ${dup.toSeq.sorted.mkString(",")}")
     val qs = results.zip(prefixes).map { case ((k, v), p) =>
-      "\"" + (if (shortOk) p else k) + "\":" + (math.rint(v * 100) / 100)
+      "\"" + (if (dup(p)) k else p) + "\":" + (math.rint(v * 100) / 100)
     }.mkString("{", ",", "}")
     val tot2 = math.rint(total * 100) / 100
     println(s"""{"metric":"total","value":$tot2,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -18,12 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object InfoQueries {
 
-  /** DECIMAL(12,9), not (18,9): Spark widens decimal×BIGINT to precision
-    * 18+20+1=39 > 38 and TRIMS THE SCALE to 8 (DuckDB keeps 9) — the
-    * narrower operand keeps the weighted products exact in both engines
-    * (|ln| of any count ratio is < 10³ by a huge margin). */
-  private def ln9(e: Column): Column =
-    round(log(e), 9).cast("decimal(12,9)")
+  import graft.functions.ExactMath.ln9
 
   // --------------------------------------------------------------- q137
   /** Mutual information (nats) between customer market segment and

@@ -127,7 +127,10 @@ object MarketQueries {
   def q139RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Kpis.table(spark, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate")).as("last_order"),
+      // DATE grain before max, like q145/q146: the oracle ranks DATE
+      // last-orders, and ranking raw timestamps would tie-break by
+      // time-of-day instead of custkey if intra-day order times ever ship
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
     val scored = perCust

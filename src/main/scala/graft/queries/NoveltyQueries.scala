@@ -14,11 +14,7 @@ import graft.functions.TextFunctions._
   */
 object NoveltyQueries {
 
-  /** ln rounded to 9 dp as exact DECIMAL(12,9) — see InfoQueries.ln9
-    * for why the precision must stay ≤12 (Spark decimal×BIGINT scale
-    * trimming). */
-  private def ln9(e: org.apache.spark.sql.Column) =
-    round(log(e), 9).cast("decimal(12,9)")
+  import graft.functions.ExactMath.ln9
 
   // --------------------------------------------------------------- q141
   /** Per-document trigram novelty: over each doc's DISTINCT word
