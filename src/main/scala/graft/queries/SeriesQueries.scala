@@ -269,13 +269,69 @@ object SeriesQueries {
       |FROM s ORDER BY lag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q148
+  /** Calendar-month seasonal indices of shipped revenue: for each month
+    * 1–12, mean daily revenue across all years divided by the overall
+    * mean daily revenue — the classical ratio-to-overall-average
+    * seasonal decomposition (index > 1 = hot month). q130's
+    * autocorrelation detects THAT revenue has periodic structure; this
+    * names the months carrying it.
+    *
+    * Exactness: monthly and total sums are exact decimals with day
+    * counts as integers; the three divisions (monthly mean, overall
+    * mean, their ratio) are the identical double-op chain in both
+    * engines.
+    *
+    * Scale shape: one map-combinable daily agg off the scan, a 12-row
+    * monthly rollup, windows only over those 12 rows. */
+  def q148SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    val monthly = daily
+      .groupBy(month(col("day")).as("month"))
+      .agg(sum(col("rev")).as("sm"), count(lit(1)).as("dm"))
+    val w = Window.partitionBy()
+    val meanDaily = col("sm").cast("double") / col("dm").cast("double")
+    val overall = col("st").cast("double") / col("dt").cast("double")
+    monthly
+      .withColumn("st", sum(col("sm")).over(w))
+      .withColumn("dt", sum(col("dm")).over(w))
+      .select(col("month"), col("dm").as("n_days"),
+        meanDaily.as("mean_daily"),
+        (meanDaily / overall).as("seasonal_index"))
+      .orderBy("month")
+  }
+
+  val q148Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |monthly AS (
+      |  SELECT CAST(EXTRACT(MONTH FROM day) AS INTEGER) AS month,
+      |    SUM(rev) AS sm, COUNT(*) AS dm
+      |  FROM daily GROUP BY 1),
+      |tot AS (
+      |  SELECT month, sm, dm, SUM(sm) OVER () AS st, SUM(dm) OVER () AS dt
+      |  FROM monthly)
+      |SELECT month, CAST(dm AS BIGINT) AS n_days,
+      |  CAST(sm AS DOUBLE) / CAST(dm AS DOUBLE) AS mean_daily,
+      |  (CAST(sm AS DOUBLE) / CAST(dm AS DOUBLE))
+      |    / (CAST(st AS DOUBLE) / CAST(dt AS DOUBLE)) AS seasonal_index
+      |FROM tot ORDER BY month""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_seasonal_index" -> (q148SeasonalIndex _),
     "q62_gap_fill" -> (q62GapFill _),
     "q124_activity_streaks" -> (q124ActivityStreaks _),
     "q125_ewma_revenue" -> (q125EwmaRevenue _),
     "q130_autocorr_revenue" -> (q130AutocorrRevenue _))
 
   def oracles: Map[String, String] = Map(
+    "q148_seasonal_index" -> q148Sql,
     "q62_gap_fill" -> q62Sql,
     "q124_activity_streaks" -> q124Sql,
     "q125_ewma_revenue" -> q125Sql,

@@ -405,8 +405,62 @@ object StatsQueries {
       |    AS ts_intercept
       |FROM daily CROSS JOIN sl""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** Revenue-weighted median order quantity per return flag: the
+    * quantity at which half the REVENUE (not half the line items) sits
+    * at or below — "what order size does a typical dollar ship in".
+    * Weighted quantiles are what q37/q117's unweighted percentiles
+    * can't express.
+    *
+    * Exactness: all integer/decimal — the (flag, quantity) census holds
+    * exact decimal revenue weights, the lower-median pick compares
+    * cum + cum ≥ total in exact decimal arithmetic (never a float
+    * half-threshold whose rounding could flip a boundary), and the
+    * selected quantity is a raw column value.
+    *
+    * Scale shape: the q127 census discipline — the fact collapses to
+    * ≤|flags|·50 (flag, quantity) cells in ONE map-combinable agg, and
+    * every window runs over that cell table, never the rows. Weighted
+    * quantiles this way stay exact at any scale when the value domain
+    * is small; for continuous domains the q117 sketch path applies. */
+  def q149WeightedMedianQty(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("wgt"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    census
+      .withColumn("cum", sum(col("wgt")).over(cum))
+      .withColumn("total", sum(col("wgt")).over(tot))
+      .filter(col("cum") + col("cum") >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("qty")).as("wmedian_qty"),
+        max(col("total")).cast("double").as("total_revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val q149Sql: String =
+    """WITH census AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS wgt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT l_returnflag, qty, wgt,
+      |    SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(wgt) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM census)
+      |SELECT l_returnflag, MIN(qty) AS wmedian_qty,
+      |  CAST(MAX(total) AS DOUBLE) AS total_revenue
+      |FROM cw WHERE cum + cum >= total
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_theilsen_trend" -> (q144TheilsenTrend _),
+    "q149_weighted_median_qty" -> (q149WeightedMedianQty _),
     "q69_trend_fit" -> (q69TrendFit _),
     "q70_mad_outliers" -> (q70MadOutliers _),
     "q84_equiwidth_hist" -> (q84EquiwidthHist _),
@@ -415,6 +469,7 @@ object StatsQueries {
 
   def oracles: Map[String, String] = Map(
     "q144_theilsen_trend" -> q144Sql,
+    "q149_weighted_median_qty" -> q149Sql,
     "q69_trend_fit" -> q69Sql,
     "q70_mad_outliers" -> q70Sql,
     "q84_equiwidth_hist" -> q84Sql,

@@ -247,6 +247,39 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_docs") == nDocs)
   }
 
+  test("q148 seasonal: 12 indices averaging to ~1 weighted by days") {
+    val rows = graft.queries.SeriesQueries.q148SeasonalIndex(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("month")).toSeq == (1 to 12))
+    rows.foreach(r => assert(r.getAs[Double]("seasonal_index") > 0.0))
+    // day-weighted mean of the indices is exactly 1 by construction
+    val wsum = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum
+    val days = rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wsum / days - 1.0) < 1e-9)
+  }
+
+  test("q149 weighted median: splits revenue mass at the pick") {
+    val rows = graft.queries.StatsQueries.q149WeightedMedianQty(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .collect()
+    rows.foreach { r =>
+      val (flag, m) = (r.getAs[String]("l_returnflag"), r.getAs[Long]("wmedian_qty"))
+      val g = li.filter(_.getAs[String]("l_returnflag") == flag)
+      val tot = g.map(_.getAs[Double]("rev")).sum
+      val below = g.filter(_.getAs[Double]("l_quantity") < m)
+        .map(_.getAs[Double]("rev")).sum
+      val atOrBelow = g.filter(_.getAs[Double]("l_quantity") <= m)
+        .map(_.getAs[Double]("rev")).sum
+      assert(below < tot / 2 + 1e-6 && atOrBelow >= tot / 2 - 1e-6,
+        s"$flag: median $m does not split revenue ($below / $atOrBelow / $tot)")
+    }
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
