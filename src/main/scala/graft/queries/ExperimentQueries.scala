@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment (A/B) analysis over the event stream — the product-analytics
@@ -116,9 +117,81 @@ object ExperimentQueries {
       |    AS z_score
       |FROM r""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of 'click' and 'purchase' events: D = max over the
+    * observed support of |F_click(x) − F_purchase(x)|, with the
+    * smallest value attaining it. The standard distribution-drift gate
+    * (did this batch's metric distribution shift?) — q129 compares
+    * MEANS; KS sees shape changes a mean test is blind to.
+    *
+    * Exactness: the joint census holds integer counts; cumulative
+    * counts are integer window sums over the census; each CDF value is
+    * one double division of exact integers, and the argmax selection
+    * filters on EXACT equality with the window max — safe because both
+    * engines computed every d through the identical op chain — with
+    * min(v) as the tie-break.
+    *
+    * Scale shape: q127's census discipline again — the fact collapses
+    * to per-distinct-value counts in ONE map-combinable agg (4-dp
+    * values bound the census regardless of row count), and every
+    * window runs over the census ordered by value. A truly continuous
+    * metric would route through the q117 sketch grid instead. */
+  def q150KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val census = graft.queries.Kpis.eventsTable(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("value").cast("decimal(18,4)").as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", lit(1L)).otherwise(lit(0L)))
+          .as("c1"),
+        sum(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("c2"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    census
+      .withColumn("f1", sum(col("c1")).over(cum).cast("double") /
+        sum(col("c1")).over(tot).cast("double"))
+      .withColumn("f2", sum(col("c2")).over(cum).cast("double") /
+        sum(col("c2")).over(tot).cast("double"))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") - col("f2")).as("d"), col("v"))
+      .withColumn("ks", max(col("d")).over(Window.partitionBy()))
+      .filter(col("d") === col("ks"))
+      .groupBy(col("n1"), col("n2"), col("ks").as("ks_stat"))
+      .agg(min(col("v")).cast("double").as("ks_at_value"))
+      .select("n1", "n2", "ks_stat", "ks_at_value")
+  }
+
+  val q150Sql: String =
+    """WITH census AS (
+      |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |cw AS (
+      |  SELECT v,
+      |    CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |         AS DOUBLE) / CAST(SUM(c1) OVER () AS DOUBLE) AS f1,
+      |    CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |         AS DOUBLE) / CAST(SUM(c2) OVER () AS DOUBLE) AS f2,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      |  FROM census),
+      |d AS (SELECT n1, n2, abs(f1 - f2) AS d, v FROM cw),
+      |k AS (SELECT *, MAX(d) OVER () AS ks FROM d)
+      |SELECT n1, n2, ks AS ks_stat,
+      |  CAST(MIN(v) AS DOUBLE) AS ks_at_value
+      |FROM k WHERE d = ks GROUP BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q129_ab_test" -> (q129AbTest _))
+    "q129_ab_test" -> (q129AbTest _),
+    "q150_ks_drift" -> (q150KsDrift _))
 
   def oracles: Map[String, String] = Map(
-    "q129_ab_test" -> q129Sql)
+    "q129_ab_test" -> q129Sql,
+    "q150_ks_drift" -> q150Sql)
 }

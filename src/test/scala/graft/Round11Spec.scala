@@ -280,6 +280,27 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q150 KS: statistic in [0,1] and reproducible from raw CDFs") {
+    val r = graft.queries.ExperimentQueries.q150KsDrift(spark, sfDir)
+      .collect().head
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    // brute-force replica from raw rows
+    val ev = queries.Kpis.eventsTable(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+    val click = ev.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val buy = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1)).sorted
+    val support = (click ++ buy).distinct.sorted
+    val brute = support.map { x =>
+      math.abs(click.count(_ <= x).toDouble / click.length -
+        buy.count(_ <= x).toDouble / buy.length)
+    }.max
+    assert(math.abs(ks - brute) < 1e-12, s"KS $ks vs brute $brute")
+    assert(r.getAs[Long]("n1") == click.length &&
+      r.getAs[Long]("n2") == buy.length)
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
