@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dotD, dotSqlUnrolled, norm2}
 
 /** BM25 ranked retrieval over the `documents` table — the lexical-scoring
   * complement of q44's corpus TF-IDF and the standard first-stage
@@ -28,7 +31,9 @@ object RankQueries {
   private val K1 = 1.2
 
   // ---------------------------------------------------------------- q78
-  def q78Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** Full BM25-scored frame (no rank cut) — shared by q78's top-20 and
+    * q151's rank fusion. */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val toks = docs
@@ -61,12 +66,17 @@ object RankQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("score")).cast("double").as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
-  val q78Sql: String =
-    """WITH tok AS (
+  def q78Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** The CTE chain ending in `bm(doc_id, n_terms, bm25)` — shared by the
+    * q78 and q151 oracles. */
+  private val bm25Cte: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
       |tok1 AS (SELECT * FROM tok WHERE length(term) > 0),
@@ -89,14 +99,104 @@ object RankQueries {
       |                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
       |      9) AS DECIMAL(28,9)) AS score
       |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
-      |  CROSS JOIN stats)
-      |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(score) AS DOUBLE) AS bm25
-      |FROM scored GROUP BY doc_id
+      |  CROSS JOIN stats),
+      |bm AS (
+      |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(score) AS DOUBLE) AS bm25
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val q78Sql: String =
+    s"""WITH $bm25Cte
+      |SELECT doc_id, n_terms, bm25 FROM bm
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Hybrid retrieval via reciprocal-rank fusion: RRF(d) =
+    * Σ_lists 1/(60 + rank_list(d)) over the lexical BM25 ranking (q78's
+    * scored frame) and a semantic cosine ranking against document 0's
+    * embedding — the standard fusion every hybrid search stack runs,
+    * robust to the two scores living on incomparable scales (that is
+    * the whole point of fusing RANKS, not scores). Docs absent from a
+    * list contribute nothing for it (rank 0 in the output).
+    *
+    * Exactness: ranks are integers from totally-ordered windows
+    * (score desc, doc_id); each RRF term is the single double division
+    * 1/(60+r); the two-term sum is one further IEEE add — identical in
+    * both engines.
+    *
+    * Scale shape: both rankings are global top-style windows over
+    * SCORED tables (matched docs for BM25, the corpus for cosine) —
+    * single-partition, rank-only; at retrieval scale both lists arrive
+    * already cut to top-k per shard and fusion joins k-sized lists.
+    * The query embedding broadcasts; the corpus streams. */
+  def q151RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scored(spark, dir)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val e = Kpis.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        dotD(col("qe"), col("embedding")) /
+          (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).as("r_sem"))
+      .withColumn("rrf",
+        when(col("r_lex") > 0,
+          lit(1.0) / (lit(60.0) + col("r_lex").cast("double")))
+          .otherwise(lit(0.0)) +
+          when(col("r_sem") > 0,
+            lit(1.0) / (lit(60.0) + col("r_sem").cast("double")))
+            .otherwise(lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q151Sql: String = {
+    val dim = 64
+    s"""WITH $bm25Cte,
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS n2
+      |  FROM embeddings),
+      |sem AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    (${dotSqlUnrolled("q.embedding", "c.embedding", dim)})
+      |      / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM e q, e c
+      |  WHERE q.vec_id = 0 AND c.vec_id != 0),
+      |lr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm),
+      |sr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_sem FROM sem),
+      |f AS (
+      |  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+      |    COALESCE(r_lex, 0) AS r_lex, COALESCE(r_sem, 0) AS r_sem
+      |  FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id)
+      |SELECT doc_id, r_lex, r_sem,
+      |  (CASE WHEN r_lex > 0
+      |        THEN 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) ELSE 0.0 END)
+      |    + (CASE WHEN r_sem > 0
+      |        THEN 1.0 / (60.0 + CAST(r_sem AS DOUBLE)) ELSE 0.0 END)
+      |    AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q78_bm25" -> (q78Bm25 _))
+    "q78_bm25" -> (q78Bm25 _),
+    "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
-    "q78_bm25" -> q78Sql)
+    "q78_bm25" -> q78Sql,
+    "q151_rrf_fusion" -> q151Sql)
 }

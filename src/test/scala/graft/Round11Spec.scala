@@ -301,6 +301,23 @@ class Round11Spec extends AnyFunSuite {
       r.getAs[Long]("n2") == buy.length)
   }
 
+  test("q151 RRF: scores bounded, a doc ranked #1 in both lists wins") {
+    val rows = graft.queries.RankQueries.q151RrfFusion(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val rrf = rows.map(_.getAs[Double]("rrf"))
+    // descending, and each score within (0, 2/61]
+    assert(rrf.sameElements(rrf.sorted.reverse))
+    rrf.foreach(s => assert(s > 0.0 && s <= 2.0 / 61.0 + 1e-12))
+    rows.foreach { r =>
+      val (rl, rs) = (r.getAs[Int]("r_lex"), r.getAs[Int]("r_sem"))
+      assert(rl >= 0 && rs >= 0 && (rl > 0 || rs > 0))
+      val want =
+        (if (rl > 0) 1.0 / (60.0 + rl) else 0.0) +
+          (if (rs > 0) 1.0 / (60.0 + rs) else 0.0)
+      assert(r.getAs[Double]("rrf") == want)
+    }
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
