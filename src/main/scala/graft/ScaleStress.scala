@@ -50,6 +50,19 @@ object ScaleStress {
       require(nClones <= 64, s"at most 64 clones (embedding dim): $nClones")
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // events added in round 11 — build it even into a pre-round-11 dir
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        (0 until nClones).map { c =>
+          if (c == 0) ev
+          else ev
+            .withColumn("event_id", col("event_id") + lit(c * 1000000000000L))
+            // disjoint user spaces: per-user windows/sessions replicate
+            // exactly; hour buckets and the value domain stay shared
+            .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+      }
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
         return
       val docs = spark.read.parquet(s"$src/documents.parquet")
