@@ -138,11 +138,102 @@ object NoveltyQueries {
       |    / CAST(MAX(n) AS DOUBLE)) + 0.0 AS entropy_nats
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  /** Greedy coverage-maximizing selection (facility-location greedy):
+    * K=3 rounds of "pick the document adding the most trigrams not yet
+    * covered" (ties → smallest doc_id) — the 1−1/e-approximate
+    * submodular selector behind coverage-driven corpus subsampling,
+    * where q141 SCORES docs individually and this picks a SET whose
+    * members complement each other.
+    *
+    * Scale shape: the PageRank-style driver loop — K iterations, each
+    * one distributed anti-join + count aggregate over the (doc,
+    * trigram) pair stream, with ONLY the 1-row winner collected per
+    * round and the covered set kept as a (checkpointed) DataFrame, so
+    * nothing corpus-sized ever reaches the driver. The oracle unrolls
+    * the identical 3 rounds as CTEs.
+    *
+    * Output is all-integer (step, winner, marginal gain, cumulative
+    * distinct coverage): hash-safe. */
+  def q152GreedyCover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tg = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("tg"))
+      .localCheckpoint()
+    var covered = tg.filter(lit(false)).select(col("tg"))
+    var picked = Seq.empty[Long]
+    val steps = (1 to 3).map { step =>
+      val winner = tg
+        .filter(!col("doc_id").isInCollection(
+          if (picked.isEmpty) Seq(-1L) else picked))
+        .join(covered, Seq("tg"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .as[(Long, Long)].collect().head
+      picked :+= winner._1
+      covered = covered
+        .union(tg.filter(col("doc_id") === winner._1).select(col("tg")))
+        .distinct().localCheckpoint()
+      (step, winner._1, winner._2, covered.count())
+    }
+    steps.toDF("step", "doc_id", "gain", "covered")
+      .orderBy("step")
+  }
+
+  val q152Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d3 AS (SELECT * FROM d WHERE len(toks) >= 3),
+      |pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM d3),
+      |tg AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg
+      |  FROM pos),
+      |p1 AS (
+      |  SELECT doc_id, COUNT(*) AS gain FROM tg GROUP BY 1
+      |  ORDER BY gain DESC, doc_id LIMIT 1),
+      |c1 AS (
+      |  SELECT DISTINCT tg FROM tg
+      |  WHERE doc_id = (SELECT doc_id FROM p1)),
+      |p2 AS (
+      |  SELECT t.doc_id, COUNT(*) AS gain FROM tg t
+      |  WHERE t.doc_id != (SELECT doc_id FROM p1)
+      |    AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.tg = t.tg)
+      |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c2 AS (
+      |  SELECT tg FROM c1 UNION
+      |  SELECT DISTINCT tg FROM tg WHERE doc_id = (SELECT doc_id FROM p2)),
+      |p3 AS (
+      |  SELECT t.doc_id, COUNT(*) AS gain FROM tg t
+      |  WHERE t.doc_id NOT IN
+      |      ((SELECT doc_id FROM p1) UNION ALL (SELECT doc_id FROM p2))
+      |    AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.tg = t.tg)
+      |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c3 AS (
+      |  SELECT tg FROM c2 UNION
+      |  SELECT DISTINCT tg FROM tg WHERE doc_id = (SELECT doc_id FROM p3))
+      |SELECT 1 AS step, doc_id, gain,
+      |  (SELECT COUNT(*) FROM c1) AS covered FROM p1
+      |UNION ALL
+      |SELECT 2, doc_id, gain, (SELECT COUNT(*) FROM c2) FROM p2
+      |UNION ALL
+      |SELECT 3, doc_id, gain, (SELECT COUNT(*) FROM c3) FROM p3
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_trigram_novelty" -> (q141TrigramNovelty _),
-    "q142_char_entropy" -> (q142CharEntropy _))
+    "q142_char_entropy" -> (q142CharEntropy _),
+    "q152_greedy_cover" -> (q152GreedyCover _))
 
   def oracles: Map[String, String] = Map(
     "q141_trigram_novelty" -> q141Sql,
-    "q142_char_entropy" -> q142Sql)
+    "q142_char_entropy" -> q142Sql,
+    "q152_greedy_cover" -> q152Sql)
 }

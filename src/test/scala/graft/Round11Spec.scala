@@ -318,6 +318,22 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q152 greedy cover: gains non-increasing, coverage telescopes") {
+    val rows = graft.queries.NoveltyQueries.q152GreedyCover(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3))
+    val gains = rows.map(_.getAs[Long]("gain"))
+    // submodularity: each marginal gain can't beat the previous pick's
+    gains.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"gains not non-increasing: $gains")
+      case _ => ()
+    }
+    // coverage after step k = sum of the marginal gains so far
+    val covered = rows.map(_.getAs[Long]("covered"))
+    assert(covered.toSeq == gains.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+  }
+
   // ------------------------------------------------------------- RFM
   test("q139 RFM: scores in 1..5, customer census partitions orderers") {
     val rows = MarketQueries.q139RfmSegments(spark, sfDir).collect()
