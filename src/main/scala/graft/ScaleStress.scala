@@ -50,8 +50,12 @@ object ScaleStress {
       require(nClones <= 64, s"at most 64 clones (embedding dim): $nClones")
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // events added in round 11 — build it even into a pre-round-11 dir
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
+      // events added in round 11 — build it even into a pre-round-11 dir;
+      // skip (with a note) when the SOURCE generation predates events, so
+      // the TPC-H clone path keeps working against older testdata (ADVICE r11)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/events.parquet"))) {
+        System.err.println(s"ScaleStress: $src/events.parquet absent; skipping events clone")
+      } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
         val ev = spark.read.parquet(s"$src/events.parquet")
         (0 until nClones).map { c =>
           if (c == 0) ev

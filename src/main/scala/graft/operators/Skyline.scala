@@ -31,9 +31,17 @@ object Skyline {
     * scale). For a truly continuous cost at extreme cardinality, bucket
     * costs first and run this per-bucket with carried prefix maxima —
     * same algebra, one more agg.
+    *
+    * NULL contract (ADVICE r11): rows with a NULL cost or gain are
+    * EXCLUDED from both the frontier and the output — dominance is
+    * undefined on a missing coordinate, so such rows are filtered
+    * explicitly up front rather than dropped incidentally by the
+    * non-null-safe semi-join. Callers who want NULL-coordinate rows
+    * kept must route them around the operator.
     */
   def skyline2d(df: DataFrame, cost: Column, gain: Column): DataFrame = {
-    val frontier = df
+    val rows = df.filter(cost.isNotNull && gain.isNotNull)
+    val frontier = rows
       .groupBy(cost.as("sky_cost"))
       .agg(max(gain).as("sky_gain"))
     val prevBest = Window.orderBy(col("sky_cost"))
@@ -42,7 +50,7 @@ object Skyline {
       .withColumn("sky_prev", max(col("sky_gain")).over(prevBest))
       .filter(col("sky_prev").isNull || col("sky_gain") > col("sky_prev"))
       .select("sky_cost", "sky_gain")
-    df.join(broadcast(survivors),
+    rows.join(broadcast(survivors),
       cost === col("sky_cost") && gain === col("sky_gain"), "left_semi")
   }
 

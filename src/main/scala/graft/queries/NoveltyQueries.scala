@@ -165,20 +165,26 @@ object NoveltyQueries {
       .localCheckpoint()
     var covered = tg.filter(lit(false)).select(col("tg"))
     var picked = Seq.empty[Long]
-    val steps = (1 to 3).map { step =>
+    // headOption + takeWhile: when fewer than K documents have any
+    // uncovered trigram (tiny or fully-duplicated corpus) the round's
+    // aggregate is empty — emit only the completed steps, mirroring the
+    // oracle's empty-CTE degradation, instead of crashing (ADVICE r11)
+    val steps = (1 to 3).iterator.map { step =>
       val winner = tg
         .filter(!col("doc_id").isInCollection(
           if (picked.isEmpty) Seq(-1L) else picked))
         .join(covered, Seq("tg"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id")).limit(1)
-        .as[(Long, Long)].collect().head
-      picked :+= winner._1
-      covered = covered
-        .union(tg.filter(col("doc_id") === winner._1).select(col("tg")))
-        .distinct().localCheckpoint()
-      (step, winner._1, winner._2, covered.count())
-    }
+        .as[(Long, Long)].collect().headOption
+      winner.map { w =>
+        picked :+= w._1
+        covered = covered
+          .union(tg.filter(col("doc_id") === w._1).select(col("tg")))
+          .distinct().localCheckpoint()
+        (step, w._1, w._2, covered.count())
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
     steps.toDF("step", "doc_id", "gain", "covered")
       .orderBy("step")
   }

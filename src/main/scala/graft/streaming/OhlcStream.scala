@@ -32,11 +32,13 @@ object OhlcStream {
     * (ts: timestamp, event_id, value). Streaming callers must pass a
     * watermarked frame; Append emission then fires once per closed
     * hour. */
-  def hourlyBars(events: DataFrame): DataFrame =
+  def hourlyBars(events: DataFrame): DataFrame = {
+    val aggs = barAggs(ord)
     events
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(barAggs(ord).head, barAggs(ord).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bar_hour"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
 }
