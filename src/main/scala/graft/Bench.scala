@@ -62,22 +62,42 @@ object Bench {
       val p = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json")
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // The ONE stdout JSON line must survive the driver's tail window: shorten
-    // keys to their unique qNN prefix and round to 10 ms so ~150 queries stay
-    // well under ~1900 chars. A prefix collision keeps ONLY the colliding
-    // names long (a wholesale fallback would regrow the line past the window
-    // — the very regression this encoding repairs) and warns on stderr; full
-    // names + ns precision are always in BENCH_FULL.json.
+    // The stdout JSON line must survive the driver's ~2000-char stdout TAIL:
+    // round 11 proved a 1.8 KB line fits the window only until sbt's trailing
+    // "[success]" noise head-truncates it (BENCH_r11 "parsed": null even
+    // though the extracted line parses). So (VERDICT r11 #4): keep the line
+    // UNDER ~850 chars — qNN-prefix keys, 0.1 s rounding, and the per-query
+    // map truncated SLOWEST-FIRST to the budget with an explicit
+    // "queries_omitted" count — and print it TWICE, so even if trailing noise
+    // head-truncates the last copy, the first copy sits fully inside any
+    // 2000-char tail (2×850 + noise < 2000 only guards the second copy; a
+    // parser scanning the tail for '{"metric"' always finds copy #1 intact).
+    // Full names + ns precision for ALL queries are always in BENCH_FULL.json.
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val dup = prefixes.groupBy(identity).filter(_._2.size > 1).keySet
     if (dup.nonEmpty)
       System.err.println(s"[bench] qNN prefix collision, keeping full names " +
         s"for: ${dup.toSeq.sorted.mkString(",")}")
-    val qs = results.zip(prefixes).map { case ((k, v), p) =>
-      "\"" + (if (dup(p)) k else p) + "\":" + (math.rint(v * 100) / 100)
-    }.mkString("{", ",", "}")
+    val entries = results.zip(prefixes)
+      .sortBy { case ((_, v), _) => -v }
+      .map { case ((k, v), p) =>
+        "\"" + (if (dup(p)) k else p) + "\":" + (math.rint(v * 10) / 10)
+      }
+    val budget = 850
     val tot2 = math.rint(total * 100) / 100
-    println(s"""{"metric":"total","value":$tot2,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: Seq[String], omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$tot2,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qs.mkString("{", ",", "}")}$om,""" +
+        s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    }
+    var keep = entries.size
+    while (keep > 1 && line(entries.take(keep), entries.size - keep).length > budget)
+      keep -= 1
+    val out = line(entries.take(keep), entries.size - keep)
+    println(out)
+    println(out)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.graft.PlanProbe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Window guardrails (VERDICT r11 #3): every registered query whose plan
+  * contains a GLOBAL window — a `Window` node with an empty partitionSpec,
+  * which Spark executes on ONE partition — is enforced here as an
+  * invariant, not a prose rationale: the window's exact input row count at
+  * the sf0.1 stress fixture must stay under the entity/census bound.
+  *
+  * The bound (50k rows) is the dividing line the rationales have always
+  * claimed: global windows in this library run over COLLAPSED frames —
+  * entity tables (customer 15k, part 20k at sf0.1), value censuses
+  * (domain-bounded 4-dp grids), frontier/cell/rank-list tables — never
+  * over fact tables (lineitem 600k, events 100k at sf0.1 are both safely
+  * above the bound, so a fact-table regression trips the assert).
+  *
+  * Mechanics: sites are discovered from each query's OPTIMIZED logical
+  * plan at sf0.001 (construction is cheap there), pinned against the
+  * expected inventory below so a new global window is a conscious,
+  * reviewed addition — then each site's child subtree is re-derived at
+  * sf0.1 and counted exactly via [[PlanProbe]] (WindowExec exposes no
+  * row metric; counting the analyzed child subplan is precise and
+  * metric-API-independent). Eagerly-materialized segments (localCheckpoint
+  * inside e.g. q50/q152) truncate their internal plans to cached scans, so
+  * windows inside them are certified by their own operator specs instead —
+  * this guard covers every site visible in the declarative plan.
+  */
+class WindowGuardSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val StressDir = "/root/testdata/sf0.1"
+  private val Bound = 50000L
+
+  private def globalWindowChildren(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan.collect { case w: Window if w.partitionSpec.isEmpty => w.child }
+
+  test("global-window inventory is pinned and every site is entity/census-bounded at sf0.1") {
+    // Phase 1 (sf0.001): discover which queries carry global windows.
+    val discovered = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val sites = globalWindowChildren(
+          fn(spark, sfDir).queryExecution.optimizedPlan)
+        if (sites.isEmpty) None else Some(name -> sites.size)
+    }
+    val names = discovered.map(_._1).toSet
+    assert(names == PinnedSites,
+      s"global-window inventory drifted.\n  discovered: ${names.toSeq.sorted.mkString(", ")}\n" +
+        s"  pinned:     ${PinnedSites.toSeq.sorted.mkString(", ")}\n" +
+        "A new global window needs a scale rationale + an entry in PinnedSites.")
+
+    // Phase 2 (sf0.1): count the exact input of every site at stress scale.
+    val report = discovered.map { case (name, _) =>
+      val sites = globalWindowChildren(
+        SparkEntry.queries(name)(spark, StressDir).queryExecution.optimizedPlan)
+      val counts = sites.map(c => PlanProbe.ofRows(spark, c).count())
+      counts.foreach { n =>
+        assert(n <= Bound,
+          s"$name: global-window input $n rows exceeds entity/census bound $Bound at sf0.1")
+      }
+      f"$name%-28s sites=${sites.size} maxInput=${counts.max}"
+    }
+    info(s"${discovered.size} queries with global windows, all bounded at sf0.1:")
+    report.foreach(info(_))
+  }
+
+  /** The reviewed inventory of queries with at least one global-window
+    * site (from a verified discovery run; the test failure message lists
+    * the discovered set when this drifts). Adding a global window to any
+    * query makes the discovery assert fail until it is listed here —
+    * which is the point: the addition must come with a written scale
+    * rationale at the site. */
+  private val PinnedSites: Set[String] = Set(
+    "q4_rolling_7day",       // daily-revenue table: |distinct days|
+    "q74_dod_growth",        // daily-revenue table
+    "q97_vocab_coverage",    // token-frequency census (vocab-bounded)
+    "q125_ewma_revenue",     // daily-revenue table
+    "q130_autocorr_revenue", // daily-revenue table
+    "q131_peak_concurrency", // per-hour event census
+    "q134_part_skyline",     // collapsed price frontier: |distinct cost|
+    "q137_mutual_info",      // (lang, source) contingency cells
+    "q138_benford_audit",    // 9-row leading-digit census
+    "q139_rfm_segments",     // customer entity table (15k at sf0.1)
+    "q140_source_lang_kl",   // (source, lang) contingency cells
+    "q143_revenue_deciles",  // customer entity table
+    "q147_heaps_fit",        // per-token first-carrier census
+    "q148_seasonal_index",   // monthly cells
+    "q150_ks_drift",         // domain-bounded 4-dp value census
+    "q151_rrf_fusion")       // scored rank lists
+}
