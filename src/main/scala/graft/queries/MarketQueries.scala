@@ -117,13 +117,14 @@ object MarketQueries {
     * f/m where 5 = highest): days-since-max DESC is the same total
     * order, so the corpus-max anchor never needs computing.
     *
-    * Scale shape: the per-customer rollup is a map-combinable hash agg
-    * on o_custkey; the three ntiles then run over ONE partition of
-    * |customers| rows — the classic exact-quantile chokepoint, same
-    * posture as q71: acceptable because the scored table is the
-    * already-aggregated entity table (orders-of-magnitude below fact
-    * rows); the percentile-sketch path (q117) is the stand-in when even
-    * the entity table outgrows a partition. Final census ≤125 rows. */
+    * Scale shape (re-registered round 12, VERDICT r11 #6): the
+    * per-customer rollup is a map-combinable hash agg on o_custkey; the
+    * three quintiles run on [[graft.operators.RangeRank.withNtile]] —
+    * range shuffle + partitioned local ranks + broadcast offsets, exact
+    * SQL NTILE semantics with no single-partition window — so the plan
+    * holds even when the entity table outgrows one partition (the old
+    * chokepoint; q117's sketch remains the approximate alternative).
+    * Final census ≤125 rows. */
   def q139RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Kpis.table(spark, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -133,13 +134,18 @@ object MarketQueries {
       .agg(max(to_date(col("o_orderdate"))).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,4)")).as("monetary"))
-    val scored = perCust
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("last_order"), col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))))
+    // round 12 (VERDICT r11 #6): the three quintiles run on the
+    // range-partitioned exact-NTILE operator — bit-identical to the
+    // single-ORDER-BY-window form the oracle still spells, but each pass
+    // is a parallel range shuffle + partitioned window, so the plan
+    // survives an entity table that outgrows one partition.
+    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("r_score", Seq(col("last_order"), col("o_custkey"))),
+      ("f_score", Seq(col("freq"), col("o_custkey"))),
+      ("m_score", Seq(col("monetary"), col("o_custkey"))))
+      .foldLeft(perCust) { case (df, (name, keys)) =>
+        graft.operators.RangeRank.withNtile(df, name, 5, keys)
+      }
     scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
@@ -178,21 +184,28 @@ object MarketQueries {
     * decile boundaries could split a customer differently). One double
     * division for the share at the end.
     *
-    * Scale shape: per-customer rollup is a map-combinable hash agg; the
-    * cumulative window is the q139 posture — a single ordered pass over
-    * the ENTITY table, not the fact table — and the final census is 10
-    * rows. */
+    * Scale shape (re-registered round 12, VERDICT r11 #6): per-customer
+    * rollup is a map-combinable hash agg; the cumulative spend comes
+    * from [[graft.operators.RangeRank.withRunningSum]] (range shuffle +
+    * partitioned local cumsums + broadcast offsets — exact, no
+    * single-partition window) and the grand total is a 1-row broadcast.
+    * Final census is 10 rows. */
   def q143RevenueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val cust = Kpis.table(spark, dir, "orders")
       .select(col("o_custkey"), cents.as("cents"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("cents")).as("spend"))
-    val cum = Window.orderBy(col("spend").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cust
-      .withColumn("cum", sum(col("spend")).over(cum))
-      .withColumn("total", sum(col("spend")).over(Window.partitionBy()))
+    // round 12 (VERDICT r11 #6): cumulative spend via the
+    // range-partitioned exact running sum (bit-identical to the ordered
+    // window the oracle spells), and the grand total as a 1-row
+    // broadcast instead of a global window — no single-partition pass
+    // anywhere in the plan.
+    val total = cust.agg(sum(col("spend")).as("total"))
+    graft.operators.RangeRank
+      .withRunningSum(cust, col("spend"), "cum",
+        Seq(col("spend").desc, col("o_custkey")))
+      .crossJoin(broadcast(total))
       .withColumn("decile",
         (expr("((cum - 1) * 10) div total") + lit(1)).cast("int"))
       .groupBy(col("decile"))

@@ -82,9 +82,9 @@ class WindowGuardSpec extends AnyFunSuite {
     "q134_part_skyline",     // collapsed price frontier: |distinct cost|
     "q137_mutual_info",      // (lang, source) contingency cells
     "q138_benford_audit",    // 9-row leading-digit census
-    "q139_rfm_segments",     // customer entity table (15k at sf0.1)
+    "q139_rfm_segments",     // RangeRank offset prefix: <= #partitions rows
     "q140_source_lang_kl",   // (source, lang) contingency cells
-    "q143_revenue_deciles",  // customer entity table
+    "q143_revenue_deciles",  // RangeRank offset prefix: <= #partitions rows
     "q147_heaps_fit",        // per-token first-carrier census
     "q148_seasonal_index",   // monthly cells
     "q150_ks_drift",         // domain-bounded 4-dp value census
