@@ -58,7 +58,8 @@ object SparkEntry {
       graft.operators.Skyline.queries ++
       graft.queries.MarketQueries.queries ++
       graft.queries.InfoQueries.queries ++
-      graft.queries.NoveltyQueries.queries
+      graft.queries.NoveltyQueries.queries ++
+      graft.operators.IncrementalIvf.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -113,5 +114,6 @@ object SparkEntry {
       graft.operators.Skyline.oracles ++
       graft.queries.MarketQueries.oracles ++
       graft.queries.InfoQueries.oracles ++
-      graft.queries.NoveltyQueries.oracles
+      graft.queries.NoveltyQueries.oracles ++
+      graft.operators.IncrementalIvf.oracles
 }
