@@ -59,7 +59,8 @@ object SparkEntry {
       graft.queries.MarketQueries.queries ++
       graft.queries.InfoQueries.queries ++
       graft.queries.NoveltyQueries.queries ++
-      graft.operators.IncrementalIvf.queries
+      graft.operators.IncrementalIvf.queries ++
+      graft.queries.CurationPipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -115,5 +116,6 @@ object SparkEntry {
       graft.queries.MarketQueries.oracles ++
       graft.queries.InfoQueries.oracles ++
       graft.queries.NoveltyQueries.oracles ++
-      graft.operators.IncrementalIvf.oracles
+      graft.operators.IncrementalIvf.oracles ++
+      graft.queries.CurationPipeline.oracles
 }

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** q154: the END-TO-END curation pipeline (VERDICT r11 #7) — the
+  * library's curation operators composed as ONE query, certifying
+  * operator COMPOSITION rather than operators in isolation:
+  *
+  *   ingest (dup-injected corpus) → lang-id gate (q24's heuristic) →
+  *   quality gate (q23's composite ≥ 0.5) → exact dedup (q19's
+  *   fingerprint, keep-min) → near dedup (q22's MinHash banding + exact
+  *   Jaccard ≥ 0.5, drop the larger id of each pair) → decontamination
+  *   (q48's holdout-shingle overlap ≥ 0.5 rule + eval-set removal) →
+  *   per-language quality quota (q56's ranked quota).
+  *
+  * The registered OUTPUT is the per-stage row LEDGER — (stage_no,
+  * stage, rows_in, rows_out), one row per stage — the artifact a
+  * production curation run has to publish anyway. It is all-integer
+  * (hash-trivially-safe) and pins the exact survivor count of every
+  * stage boundary, so any drift in any composed operator breaks the
+  * hash. The DuckDB oracle replays all seven stages as one WITH chain
+  * (reusing the proven q19/q22/q23/q24/q48/q56 SQL spellings, including
+  * [[DocQueries.minhashPairsSqlFragment]]) and counts the same
+  * boundaries.
+  *
+  * Corpus: documents ∪ exact clones of every doc_id % 10 == 0
+  * (+100000) ∪ near clones (3-token tail) of every doc_id % 10 == 5
+  * (+200000) — so the exact-dedup AND near-dedup stages both have
+  * real work, derived identically in both engines (the q19/q22
+  * injection convention).
+  *
+  * Scale shape: every stage is the same plan the standalone query runs
+  * — hash/band equi-joins and broadcast semi-joins, no all-pairs
+  * product, the only windows per-language — composed through eager
+  * stage barriers (`localCheckpoint`, the q53 convention) so the ledger
+  * counts rescan cached stage outputs instead of re-deriving the chain
+  * 7×. At 100 TB each barrier is a materialized intermediate table —
+  * exactly how a production pipeline stages its curation hops. */
+object CurationPipeline {
+
+  private val QualityMin = 0.5
+  private val JaccardMin = 0.5
+  private val OverlapMax = 0.5
+
+  // --------------------------------------------------------------- q154
+  def q154CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    // stage 0 — ingest with injected exact + near duplicates
+    val s0 = d
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      .unionAll(d.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" zz extra tail"))))
+      // single-file fixture scan = one split; spread before the per-doc
+      // lambdas downstream (q29's lesson)
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+
+    // stage 1 — language gate: q24's stopword-density heuristic, keep 'en'
+    val s1 = s0
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+        / size(col("toks")) >= 0.04)
+      .select("doc_id", "text", "lang")
+      .localCheckpoint(true)
+
+    // stage 2 — quality gate: q23's composite score
+    val s2 = s1
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3)
+      .filter(col("quality") >= QualityMin)
+      .select("doc_id", "text", "lang")
+      .localCheckpoint(true)
+
+    // stage 3 — exact dedup: q19's fingerprint, keep the smallest doc_id
+    val fp3 = s2.withColumn("fp", fingerprint(col("text")))
+    val s3 = fp3
+      .join(fp3.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text", "lang")
+      .localCheckpoint(true)
+
+    // stage 4 — near dedup: q22's MinHash banding over the SURVIVORS,
+    // exact-Jaccard verify, drop the larger id of every verified pair
+    val base4 = s3.repartition(par, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), 3))
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+    val banded = base4
+      .select(col("doc_id"), col("sh"),
+        explode(minhashBands(col("sig"), 8, 2)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val aSide = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val bSide = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val dropNear = aSide.join(bSide, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= JaccardMin)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s4 = s3.join(dropNear, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 5 — decontamination: q48's rule against the %10==7 holdout
+    // (holdout shingles from the ORIGINAL table — the eval set is
+    // external to the pipeline), plus removal of the eval docs themselves
+    val holdout = d.filter(col("doc_id") % 10 === 7)
+      .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+      .distinct()
+    val sh5 = s4.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val hits = sh5.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(holdout), Seq("s"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val s5 = s4
+      .join(sh5, "doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .filter(col("doc_id") % 10 =!= 7)
+      .filter(coalesce(col("n_hit"), lit(0L)).cast("double")
+        / size(col("sh")).cast("double") < OverlapMax)
+      .select("doc_id", "text", "lang")
+      .localCheckpoint(true)
+
+    // stage 6 — per-language quality quota: q56's ranked quota (the
+    // literal bound keeps Spark 4's WindowGroupLimit map-side prune)
+    val maxQuota = 40
+    val quota = when(col("lang") === "en", lit(40)).otherwise(lit(25))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    val s6 = s5
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("score",
+        when(col("n_toks") === 0, lit(0.0)).otherwise(round(
+          log(lit(1.0) + col("n_toks")) *
+            (size(array_distinct(col("toks"))).cast("double") /
+              col("n_toks")), 6)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxQuota)
+      .filter(col("rk") <= quota)
+      .select("doc_id", "text", "lang")
+      .localCheckpoint(true)
+
+    // the ledger: one row per stage boundary, counts over the cached
+    // stage outputs
+    val stages = Seq(
+      (0, "ingest", d, s0), (1, "lang_id", s0, s1),
+      (2, "quality", s1, s2), (3, "exact_dedup", s2, s3),
+      (4, "near_dedup", s3, s4), (5, "decontam", s4, s5),
+      (6, "quota", s5, s6))
+    stages.map { case (no, nm, prev, cur) =>
+      prev.agg(count(lit(1)).as("rows_in"))
+        .crossJoin(cur.agg(count(lit(1)).as("rows_out")))
+        .select(lit(no).as("stage_no"), lit(nm).as("stage"),
+          col("rows_in"), col("rows_out"))
+    }.reduce(_.unionAll(_)).orderBy("stage_no")
+  }
+
+  val q154Sql: String = {
+    val langGate =
+      """CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     t -> t IN ('the', 'a'))) AS DOUBLE)
+        |  / len(regexp_split_to_array(trim(text), '\s+')) >= 0.04""".stripMargin
+    val shingleList =
+      """list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+      |s0 AS (
+      |  SELECT doc_id, text, lang FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang FROM d WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz extra tail', lang
+      |  FROM d WHERE doc_id % 10 = 5),
+      |s1 AS (SELECT * FROM s0 WHERE $langGate),
+      |s2 AS (
+      |  SELECT doc_id, text, lang FROM (
+      |    SELECT doc_id, text, lang,
+      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+      |      length(text) AS n_chars,
+      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |                                t -> t IN ('the', 'a'))) END AS n_stop
+      |    FROM s1)
+      |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 >= $QualityMin),
+      |fp3 AS (
+      |  SELECT doc_id, text, lang,
+      |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM s2),
+      |s3 AS (
+      |  SELECT doc_id, text, lang FROM fp3
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM fp3 GROUP BY fp)),
+      |${DocQueries.minhashPairsSqlFragment("s3")},
+      |s4 AS (
+      |  SELECT * FROM s3 WHERE doc_id NOT IN
+      |    (SELECT b_id FROM pairs WHERE jaccard >= $JaccardMin)),
+      |shs5 AS (
+      |  SELECT doc_id, $shingleList AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |        FROM s4)),
+      |hold AS (
+      |  SELECT DISTINCT unnest(sh) AS s FROM (
+      |    SELECT $shingleList AS sh
+      |    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+      |          FROM documents WHERE doc_id % 10 = 7))),
+      |hits5 AS (
+      |  SELECT doc_id, COUNT(*) AS n_hit
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs5) e
+      |  JOIN hold USING (s) GROUP BY doc_id),
+      |s5 AS (
+      |  SELECT s4.doc_id, s4.text, s4.lang
+      |  FROM s4 JOIN shs5 USING (doc_id) LEFT JOIN hits5 USING (doc_id)
+      |  WHERE doc_id % 10 != 7
+      |    AND CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+      |          < $OverlapMax),
+      |sc6 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE round(ln(1.0 + len(toks)) *
+      |                (len(list_distinct(toks))::DOUBLE / len(toks)), 6)
+      |    END AS score
+      |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |        FROM s5)),
+      |s6 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+      |    FROM sc6)
+      |  WHERE rk <= CASE WHEN lang = 'en' THEN 40 ELSE 25 END)
+      |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+      |  CAST(rows_in AS BIGINT) AS rows_in, CAST(rows_out AS BIGINT) AS rows_out
+      |FROM (
+      |  SELECT 0 AS stage_no, 'ingest' AS stage,
+      |    (SELECT COUNT(*) FROM d) AS rows_in, (SELECT COUNT(*) FROM s0) AS rows_out
+      |  UNION ALL SELECT 1, 'lang_id',
+      |    (SELECT COUNT(*) FROM s0), (SELECT COUNT(*) FROM s1)
+      |  UNION ALL SELECT 2, 'quality',
+      |    (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT 3, 'exact_dedup',
+      |    (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+      |  UNION ALL SELECT 4, 'near_dedup',
+      |    (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+      |  UNION ALL SELECT 5, 'decontam',
+      |    (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
+      |  UNION ALL SELECT 6, 'quota',
+      |    (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6))
+      |ORDER BY stage_no""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_curation_pipeline" -> (q154CurationPipeline _))
+
+  def oracles: Map[String, String] = Map(
+    "q154_curation_pipeline" -> q154Sql)
+}
