@@ -50,61 +50,79 @@ object ScaleStress {
       require(nClones <= 64, s"at most 64 clones (embedding dim): $nClones")
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // events added in round 11 — build it even into a pre-round-11 dir;
-      // skip (with a note) when the SOURCE generation predates events, so
-      // the TPC-H clone path keeps working against older testdata (ADVICE r11)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/events.parquet"))) {
-        System.err.println(s"ScaleStress: $src/events.parquet absent; skipping events clone")
-      } else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
-        val ev = spark.read.parquet(s"$src/events.parquet")
-        (0 until nClones).map { c =>
-          if (c == 0) ev
-          else ev
-            .withColumn("event_id", col("event_id") + lit(c * 1000000000000L))
-            // disjoint user spaces: per-user windows/sessions replicate
-            // exactly; hour buckets and the value domain stay shared
-            .withColumn("user_id", col("user_id") + lit(c * 1000000L))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$out/events.parquet")
-      }
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
-        return
-      val docs = spark.read.parquet(s"$src/documents.parquet")
-      val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      val cust = spark.read.parquet(s"$src/customer.parquet")
       val dim = 64
-      (0 until nClones).map { c =>
-        if (c == 0) docs
-        else docs
-          .withColumn("doc_id", col("doc_id") + lit(c * 1000000000000L))
+      // per-table build (round 12, full-suite sweep): each table is
+      // checked and built independently, so a clone dir produced by an
+      // older ScaleStress gains the newly-cloned tables instead of being
+      // trusted wholesale; tables missing at the SOURCE are skipped with
+      // a note so older testdata generations keep working (ADVICE r11)
+      def cloneTable(t: String)(f: (org.apache.spark.sql.DataFrame, Int)
+          => org.apache.spark.sql.DataFrame): Unit =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/$t.parquet")))
+          System.err.println(s"ScaleStress: $src/$t.parquet absent; skipping")
+        else if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet"))) {
+          val base = spark.read.parquet(s"$src/$t.parquet")
+          (0 until nClones).map(c => if (c == 0) base else f(base, c))
+            .reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
+      cloneTable("events") { (ev, c) =>
+        ev.withColumn("event_id", col("event_id") + lit(c * 1000000000000L))
+          // disjoint user spaces: per-user windows/sessions replicate
+          // exactly; hour buckets and the value domain stay shared
+          .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+      }
+      cloneTable("documents") { (docs, c) =>
+        docs.withColumn("doc_id", col("doc_id") + lit(c * 1000000000000L))
           .withColumn("text", concat_ws(" ",
             transform(split(trim(col("text")), "\\s+"),
               t => concat(t, lit(s"_c$c")))))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      (0 until nClones).map { c =>
-        if (c == 0) emb
-        else emb
-          .withColumn("vec_id", col("vec_id") + lit(c * 1000000000000L))
+      }
+      cloneTable("embeddings") { (emb, c) =>
+        emb.withColumn("vec_id", col("vec_id") + lit(c * 1000000000000L))
           .withColumn("embedding", concat(
             slice(col("embedding"), c + 1, dim - c),
             slice(col("embedding"), 1, c)))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      (0 until nClones).map { c =>
-        if (c == 0) cust
-        else cust
-          .withColumn("c_custkey", col("c_custkey") + lit(c * 1000000000L))
+      }
+      cloneTable("customer") { (cust, c) =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(c * 1000000000L))
           .withColumn("c_name",
             concat(col("c_name"), lit("_"), substring(md5(lit(c.toString)), 1, 6)))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      }
+      // TPC-H facts (round 12): clone-local order keys; o_custkey follows
+      // the customer offset so each clone is an isomorphic order history
+      cloneTable("orders") { (o, c) =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(c * 1000000000L))
+      }
+      cloneTable("lineitem") { (l, c) =>
+        // l_partkey / l_suppkey stay on the SHARED dims: scaling facts 10x
+        // against fixed dimensions is the realistic fan-out shape
+        l.withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000000000L))
+      }
+      // dims are shared across clones — copied once, unscaled
+      Seq("region", "nation", "supplier", "part").foreach { t =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$src/$t.parquet")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet")))
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
     }
 
-    val queries = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("q45_dup_clusters",
+    // SPARK_GRAFT_QUERIES=ALL sweeps the ENTIRE registered set (the
+    // round-12 full-suite scale flush); a comma list selects; default is
+    // the historical dedup/ANN/ER family
+    val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq.filter(_.nonEmpty)
+      case None => Seq("q45_dup_clusters",
         "q50_semantic_dedup", "q55_containment_dup", "q66_ivf_pq",
-        "q81_fuzzy_names", "q88_symspell_names"))
+        "q81_fuzzy_names", "q88_symspell_names")
+    }
+    // runs per (query, scale): min-of-N guards against GC/throttle noise;
+    // the full sweep uses 1 (shuffle bytes — the headline metric — are
+    // deterministic regardless)
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val scales = sys.env.get("SPARK_GRAFT_SCALES")
       .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 10))
 
@@ -113,22 +131,32 @@ object ScaleStress {
       val dir = s"$tmp/graft_scale_$n"
       build(n, dir)
       // warm the scans once so timing excludes first-touch I/O
-      spark.read.parquet(s"$dir/documents.parquet").write
-        .format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$dir/customer.parquet").write
-        .format("noop").mode("overwrite").save()
+      Seq("documents", "customer", "orders", "lineitem", "events").foreach { t =>
+        try spark.read.parquet(s"$dir/$t.parquet").write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       queries.foreach { name =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to runsPer).flatMap { _ =>
           spark.sharedState.cacheManager.clearCache()
           val b0 = shuffleBytes.get()
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          val secs = (System.nanoTime() - t0) / 1e9
-          (secs, shuffleBytes.get() - b0)
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            Some((secs, shuffleBytes.get() - b0))
+          } catch { case e: Throwable =>
+            // a failed query must not kill the sweep — report and move on
+            System.err.println(s"[scale] $name FAILED at $n x: ${e.getMessage}")
+            None
+          }
         }
-        val (bestT, bytesAt) = times.minBy(_._1)
-        println(f"scale=$n%2d $name%-22s ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
+        if (times.nonEmpty) {
+          val (bestT, bytesAt) = times.minBy(_._1)
+          println(f"scale=$n%2d $name%-22s ${bestT}%7.2f s  shuffle=${bytesAt / 1048576.0}%9.2f MiB")
+        } else
+          println(f"scale=$n%2d $name%-22s    FAIL s  shuffle=     FAIL MiB")
       }
       // the linear-scale semantic-dedup path: constant cell size (k ∝ N),
       // single- and multi-probe variants

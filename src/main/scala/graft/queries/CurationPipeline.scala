@@ -47,7 +47,14 @@ object CurationPipeline {
   private val OverlapMax = 0.5
 
   // --------------------------------------------------------------- q154
-  def q154CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def q154CurationPipeline(spark: SparkSession, dir: String): DataFrame =
+    pipeline(spark, dir, _ => ())
+
+  /** The staged pipeline with a per-stage completion callback (`lap`) so
+    * diagnostics can attribute wall time to stages — each stage is
+    * eagerly materialized, so the callback fires when its work is done. */
+  private[graft] def pipeline(spark: SparkSession, dir: String,
+      lap: String => Unit): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val d = Kpis.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
@@ -63,6 +70,7 @@ object CurationPipeline {
       // lambdas downstream (q29's lesson)
       .repartition(par, col("doc_id"))
       .localCheckpoint(true)
+    lap("s0_ingest")
 
     // stage 1 — language gate: q24's stopword-density heuristic, keep 'en'
     val s1 = s0
@@ -71,6 +79,7 @@ object CurationPipeline {
         / size(col("toks")) >= 0.04)
       .select("doc_id", "text", "lang")
       .localCheckpoint(true)
+    lap("s1_lang")
 
     // stage 2 — quality gate: q23's composite score
     val s2 = s1
@@ -88,6 +97,7 @@ object CurationPipeline {
       .filter(col("quality") >= QualityMin)
       .select("doc_id", "text", "lang")
       .localCheckpoint(true)
+    lap("s2_quality")
 
     // stage 3 — exact dedup: q19's fingerprint, keep the smallest doc_id
     val fp3 = s2.withColumn("fp", fingerprint(col("text")))
@@ -96,6 +106,7 @@ object CurationPipeline {
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "text", "lang")
       .localCheckpoint(true)
+    lap("s3_exact")
 
     // stage 4 — near dedup: q22's MinHash banding over the SURVIVORS,
     // exact-Jaccard verify, drop the larger id of every verified pair
@@ -121,6 +132,7 @@ object CurationPipeline {
       .select(col("b_id").as("doc_id")).distinct()
     val s4 = s3.join(dropNear, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    lap("s4_near")
 
     // stage 5 — decontamination: q48's rule against the %10==7 holdout
     // (holdout shingles from the ORIGINAL table — the eval set is
@@ -128,8 +140,13 @@ object CurationPipeline {
     val holdout = d.filter(col("doc_id") % 10 === 7)
       .select(explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
       .distinct()
+    // materialized once: the shingle table feeds BOTH the hit count and
+    // the overlap-fraction join — computing tokens+shingles over the
+    // survivor texts is the stage's dominant cost and must not run twice
+    // (measured 7.2 s -> 3.6 s warm at sf0.1)
     val sh5 = s4.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      .localCheckpoint(true)
     val hits = sh5.select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(holdout), Seq("s"), "leftsemi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -141,6 +158,7 @@ object CurationPipeline {
         / size(col("sh")).cast("double") < OverlapMax)
       .select("doc_id", "text", "lang")
       .localCheckpoint(true)
+    lap("s5_decontam")
 
     // stage 6 — per-language quality quota: q56's ranked quota (the
     // literal bound keeps Spark 4's WindowGroupLimit map-side prune)
@@ -161,6 +179,7 @@ object CurationPipeline {
       .filter(col("rk") <= quota)
       .select("doc_id", "text", "lang")
       .localCheckpoint(true)
+    lap("s6_quota")
 
     // the ledger: one row per stage boundary, counts over the cached
     // stage outputs

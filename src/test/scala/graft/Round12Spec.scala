@@ -25,6 +25,21 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("round-12 query plans contain no cartesian product and keep the cert-slice pushdown") {
+    // the q26/q50 certification cap must reach the parquet scan
+    val p26 = SparkEntry.queries("q26_embedding_near_dup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p26.contains("PushedFilters") && p26.contains("LessThan(vec_id,2000)"),
+      "cert-slice cap not pushed into the embeddings scan")
+    // new/re-registered round-12 plans: every join is equi or broadcast
+    for (q <- Seq("q139_rfm_segments", "q143_revenue_deciles",
+        "q153_ivf_append", "q154_curation_pipeline")) {
+      val s = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("ingest adds duplicates; every later stage only removes rows") {
     val ing = ledger.head
     assert(ing.getAs[Long]("rows_out") > ing.getAs[Long]("rows_in"))
