@@ -60,7 +60,9 @@ object SparkEntry {
       graft.queries.InfoQueries.queries ++
       graft.queries.NoveltyQueries.queries ++
       graft.operators.IncrementalIvf.queries ++
-      graft.queries.CurationPipeline.queries
+      graft.queries.CurationPipeline.queries ++
+      graft.queries.Tpch6Queries.queries ++
+      graft.queries.MiningQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -117,5 +119,7 @@ object SparkEntry {
       graft.queries.InfoQueries.oracles ++
       graft.queries.NoveltyQueries.oracles ++
       graft.operators.IncrementalIvf.oracles ++
-      graft.queries.CurationPipeline.oracles
+      graft.queries.CurationPipeline.oracles ++
+      graft.queries.Tpch6Queries.oracles ++
+      graft.queries.MiningQueries.oracles
 }
