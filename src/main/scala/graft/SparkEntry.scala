@@ -62,7 +62,8 @@ object SparkEntry {
       graft.operators.IncrementalIvf.queries ++
       graft.queries.CurationPipeline.queries ++
       graft.queries.Tpch6Queries.queries ++
-      graft.queries.MiningQueries.queries
+      graft.queries.MiningQueries.queries ++
+      graft.queries.QuantQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -121,5 +122,6 @@ object SparkEntry {
       graft.operators.IncrementalIvf.oracles ++
       graft.queries.CurationPipeline.oracles ++
       graft.queries.Tpch6Queries.oracles ++
-      graft.queries.MiningQueries.oracles
+      graft.queries.MiningQueries.oracles ++
+      graft.queries.QuantQueries.oracles
 }
