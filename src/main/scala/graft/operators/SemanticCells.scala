@@ -79,8 +79,9 @@ object SemanticCells {
 
   /** Full cell-dedup pipeline: within-cell pairs → connected components →
     * (vec_id, cluster_id = min member, cluster_size, is_rep). `k` scales
-    * with the corpus (constant cell size); the registered q99 pins k=16
-    * for the oracle, [[graft.ScaleStress]] drives k ∝ N. */
+    * with the corpus (constant cell size); the registered q99/q101 size
+    * it via [[adaptiveK]] — identical to the oracle's k = 16 at every
+    * fixture scale, k ∝ N beyond. */
   def clusters(e: DataFrame, k: Int, iters: Int,
                t: Double, probes: Int = 1): DataFrame = {
     val ep = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -98,6 +99,19 @@ object SemanticCells {
   /** Loader for callers outside the registered entry (ScaleStress). */
   def embFrom(spark: SparkSession, dir: String): DataFrame = emb(spark, dir)
 
+  /** The k ∝ N knob, applied (round 12): k = max(16, ⌈N/125⌉) keeps
+    * cells at ~125 vectors regardless of corpus size, which is what
+    * makes the within-cell quadratic a LINEAR total (Σ cells·(125)² =
+    * N·125). Every test fixture has N ≤ 2000, so this returns exactly
+    * the historical k = 16 there — oracle hashes and bench continuity
+    * untouched — while the 10× ScaleStress clone (N = 20 000) gets
+    * k = 160 instead of 16-cells-of-1250 (whose candidate volume grew
+    * ~100×/16 and made q101's wall measurably super-linear: 63 s
+    * steady-state at 10× pre-fix). The count() is parquet-metadata
+    * cheap next to the clustering it sizes. */
+  private def adaptiveK(e: DataFrame): Int =
+    math.max(16, ((e.count() + 124) / 125).toInt)
+
   // ---------------------------------------------------------------- q99
   /** Registered cell-based semantic dedup: 16 cells (2 Lloyd rounds),
     * within-cell cosine ≥ 0.4 (q50's verify threshold, so q99's edge set
@@ -106,9 +120,11 @@ object SemanticCells {
     * min member, size, is_rep). The oracle replays the full chain, so
     * the hash match certifies the k-means cells, the within-cell pair
     * set, AND the closure. */
-  def q99SemanticCells(spark: SparkSession, dir: String): DataFrame =
-    clusters(emb(spark, dir), k = 16, iters = 2, t = 0.4)
+  def q99SemanticCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    clusters(e, k = adaptiveK(e), iters = 2, t = 0.4)
       .orderBy("vec_id")
+  }
 
   val q99Sql: String = {
     // MATERIALIZED hints: the final assignment CTE is referenced twice in
@@ -156,9 +172,11 @@ object SemanticCells {
     * boundary (the recall gap q99's scaladoc documents). Candidate
     * volume stays linear in N for fixed probes; Round9Spec asserts the
     * recall ordering q99 ⊆ q101 ⊆ q50 on the fixture. */
-  def q101SemanticCellsMp(spark: SparkSession, dir: String): DataFrame =
-    clusters(emb(spark, dir), k = 16, iters = 2, t = 0.4, probes = 2)
+  def q101SemanticCellsMp(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    clusters(e, k = adaptiveK(e), iters = 2, t = 0.4, probes = 2)
       .orderBy("vec_id")
+  }
 
   val q101Sql: String = {
     val (chain0, _) = KMeans.lloydSqlCtes(
