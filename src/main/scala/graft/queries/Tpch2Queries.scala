@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Second batch of TPC-H-shape analytics (companions to [[TpchQueries]]
   * q67/q68): the returned-item report and the promo-revenue ratio — the
-  * two remaining classic shapes this schema supports (no l_shipmode /
-  * l_receiptdate columns, so Q12-style shapes are out of scope for this
-  * data model).
+  * two remaining classic shapes this schema supports directly. (The
+  * schema has no l_shipmode/l_receiptdate columns; round 12's
+  * [[Tpch6Queries]] covers the Q4/Q12/Q21 SHAPES anyway via a
+  * ship-vs-order-date lateness adaptation — q159/q164/q165.)
   */
 object Tpch2Queries {
 

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Third batch of TPC-H-shape analytics — the remaining classic shapes
-  * this schema supports (no partsupp table, so Q2/Q11/Q16/Q20 are out of
-  * scope; no l_shipmode/l_receiptdate, so Q4/Q12/Q21 are out):
+  * this schema supports directly (no partsupp table and no
+  * l_shipmode/l_receiptdate; round 12's [[Tpch6Queries]] later covered
+  * the Q2/Q11/Q16/Q20 shapes on the lineitem-derived supply relation and
+  * Q4/Q12/Q21 via the lateness adaptation):
   * Q17 (correlated per-part average threshold), Q15 (argmax-by-revenue
   * via exact-decimal max equality), Q22 (anti-join + global-average
   * subquery), and the per-group top-k window every warehouse runs.

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * twice under two different roles) and Q13 (customer order-count
   * distribution — the canonical LEFT-OUTER + two-level aggregation,
   * where the zero-order group only exists because the join is outer).
-  * Q7 and the Q9 shape land in [[Tpch5Queries]]; with those, every
-  * classic TPC-H shape this schema supports is registered (no partsupp
-  * ⇒ Q2/Q11/Q16/Q20 out of scope and Q9 runs on a list-price proxy; no
-  * l_shipmode/l_receiptdate/l_commitdate ⇒ Q4/Q12/Q21 out).
+  * Q7 and the Q9 shape land in [[Tpch5Queries]]; [[Tpch6Queries]]
+  * (round 12) closes the remainder — Q2/Q11/Q16/Q20 on the
+  * lineitem-derived supply relation (no partsupp, so Q9 runs on a
+  * list-price proxy) and Q4/Q12/Q21 via the ship-vs-order-date
+  * lateness adaptation — so every classic TPC-H SHAPE is registered.
   */
 object Tpch4Queries {
 

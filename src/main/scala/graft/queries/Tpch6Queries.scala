@@ -308,17 +308,98 @@ object Tpch6Queries {
       |ORDER BY numwait DESC, s_name ASC
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q164
+  /** TPC-H Q4 shape (order-priority checking): orders placed in 1996
+    * with AT LEAST ONE line shipped more than 90 days after the order
+    * date, counted by priority. Q4's correlated EXISTS decorrelates to
+    * a LEFT SEMI join whose ON clause carries the lateness predicate —
+    * each order tests once, with no row explosion from multiple
+    * matching lines (q36's semi-join discipline) — followed by a
+    * 5-group rollup.
+    *
+    * Scale shape: the order-date year is a pushed parquet filter on the
+    * probe side BEFORE the semi-join, orders⋈lineitem on orderkey is
+    * the one fact shuffle, and the rollup output is 5 rows. Exact
+    * integer counts. */
+  def q164LatePriorityDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q164Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q165
+  /** TPC-H Q12 shape (shipping-mode priority audit): among SEVERELY
+    * late lines (shipped >180 days after the order date), per return
+    * flag (the mode column stand-in — this schema has no l_shipmode),
+    * how many belong to critical-priority orders (1-URGENT/2-HIGH)
+    * versus not. Q12's signature is the conditional CASE-sum pair
+    * inside one aggregate over the order⋈lineitem join — both counts in
+    * one pass, not two filtered scans.
+    *
+    * Scale shape: one orderkey shuffle; the lateness predicate is
+    * join-time (needs both sides), the CASE-sums are map-side
+    * combinable; 3-row output. Exact integers. */
+  def q165ModePriority(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Kpis.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Kpis.table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q165Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_mincost_supplier" -> (q155MincostSupplier _),
     "q156_important_parts" -> (q156ImportantParts _),
     "q157_supplier_part_counts" -> (q157SupplierPartCounts _),
     "q158_dominant_suppliers" -> (q158DominantSuppliers _),
-    "q159_sole_late_supplier" -> (q159SoleLateSupplier _))
+    "q159_sole_late_supplier" -> (q159SoleLateSupplier _),
+    "q164_late_priority_dist" -> (q164LatePriorityDist _),
+    "q165_mode_priority" -> (q165ModePriority _))
 
   def oracles: Map[String, String] = Map(
     "q155_mincost_supplier" -> q155Sql,
     "q156_important_parts" -> q156Sql,
     "q157_supplier_part_counts" -> q157Sql,
     "q158_dominant_suppliers" -> q158Sql,
-    "q159_sole_late_supplier" -> q159Sql)
+    "q159_sole_late_supplier" -> q159Sql,
+    "q164_late_priority_dist" -> q164Sql,
+    "q165_mode_priority" -> q165Sql)
 }
