@@ -240,11 +240,97 @@ object EmbedStatsQueries {
        |FROM v3, m3 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q166
+  /** Per-source centroid drift matrix: the exact per-label centroid of
+    * the embedding corpus (labels are the source/class partition), then
+    * every label pair's centroid cosine and L2 gap — the "which sources
+    * drifted apart" audit run before re-balancing a training mixture,
+    * and the aggregate companion to q163's per-vector view.
+    *
+    * Exactness (the q119 convention end-to-end): elements snap to the
+    * 9-dp grid and sum as DECIMAL(18,9) (exact, order-free), centroid
+    * components re-snap to 9 dp after the mean division, and the THREE
+    * quadratic forms (dot, |a|², |b|²) sum 12-dp-gridded component
+    * products as DECIMAL(28,12) — so even the pair metrics have zero
+    * float summation-order jitter; the final cosine/L2 are single
+    * double ops on identical exact operands, 6-dp rounded with the
+    * negative-zero guard.
+    *
+    * Scale shape: the mean pass is the q119 explode — map-side partials
+    * collapse to (labels × dim) groups before any shuffle, so shuffle
+    * volume is corpus-size-independent; everything after runs on the
+    * |labels|·dim centroid table (entity-scale). The pair join is over
+    * labels² rows — dozens — never vectors. */
+  def q166SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val cent = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("label"), transform(col("embedding"),
+        x => round(x.cast("double"), 9).cast("decimal(18,9)")).as("vv"))
+      .select(col("label"), explode(transform(sequence(lit(1), lit(dim)),
+        i => struct(i.as("i"), element_at(col("vv"), i).as("x")))).as("e"))
+      .groupBy(col("label"), col("e.i").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("e.x")).as("sx"))
+      .select(col("label"), col("i"), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 9)
+          .as("c"))
+    val a = cent.select(col("label").as("label_a"), col("i"),
+      col("n").as("n_a"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("i"),
+      col("n").as("n_b"), col("c").as("cb"))
+    val grid = (x: org.apache.spark.sql.Column) =>
+      round(x, 12).cast("decimal(28,12)")
+    a.join(b, Seq("i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(grid(col("ca") * col("cb"))).as("dot"),
+        sum(grid(col("ca") * col("ca"))).as("n2a"),
+        sum(grid(col("cb") * col("cb"))).as("n2b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))),
+          6) + lit(0.0)).as("centroid_cos"),
+        (round(sqrt((col("n2a") + col("n2b") - col("dot") - col("dot"))
+          .cast("double")), 6) + lit(0.0)).as("centroid_l2"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val q166Sql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,9))) AS vv
+      |  FROM embeddings),
+      |cent AS MATERIALIZED (
+      |  SELECT label, i, COUNT(*) AS n,
+      |    round(CAST(SUM(vv[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+      |      AS c
+      |  FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    a.n AS n_a, b.n AS n_b,
+      |    SUM(CAST(round(a.c * b.c, 12) AS DECIMAL(28,12))) AS dot,
+      |    SUM(CAST(round(a.c * a.c, 12) AS DECIMAL(28,12))) AS n2a,
+      |    SUM(CAST(round(b.c * b.c, 12) AS DECIMAL(28,12))) AS n2b
+      |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6)
+      |    + 0.0 AS centroid_cos,
+      |  round(sqrt(CAST(n2a + n2b - dot - dot AS DOUBLE)), 6) + 0.0
+      |    AS centroid_l2
+      |FROM pairs
+      |ORDER BY label_a, label_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_embed_covariance" -> (q119EmbedCovariance _),
-    "q126_pca_power" -> (q126PcaPower _))
+    "q126_pca_power" -> (q126PcaPower _),
+    "q166_source_drift" -> (q166SourceDrift _))
 
   def oracles: Map[String, String] = Map(
     "q119_embed_covariance" -> q119Sql,
-    "q126_pca_power" -> q126Sql)
+    "q126_pca_power" -> q126Sql,
+    "q166_source_drift" -> q166Sql)
 }
