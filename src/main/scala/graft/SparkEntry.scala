@@ -63,7 +63,8 @@ object SparkEntry {
       graft.queries.CurationPipeline.queries ++
       graft.queries.Tpch6Queries.queries ++
       graft.queries.MiningQueries.queries ++
-      graft.queries.QuantQueries.queries
+      graft.queries.QuantQueries.queries ++
+      graft.queries.SearchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -123,5 +124,6 @@ object SparkEntry {
       graft.queries.CurationPipeline.oracles ++
       graft.queries.Tpch6Queries.oracles ++
       graft.queries.MiningQueries.oracles ++
-      graft.queries.QuantQueries.oracles
+      graft.queries.QuantQueries.oracles ++
+      graft.queries.SearchQueries.oracles
 }
