@@ -64,7 +64,8 @@ object SparkEntry {
       graft.queries.Tpch6Queries.queries ++
       graft.queries.MiningQueries.queries ++
       graft.queries.QuantQueries.queries ++
-      graft.queries.SearchQueries.queries
+      graft.queries.SearchQueries.queries ++
+      graft.operators.TopK.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -125,5 +126,6 @@ object SparkEntry {
       graft.queries.Tpch6Queries.oracles ++
       graft.queries.MiningQueries.oracles ++
       graft.queries.QuantQueries.oracles ++
-      graft.queries.SearchQueries.oracles
+      graft.queries.SearchQueries.oracles ++
+      graft.operators.TopK.oracles
 }

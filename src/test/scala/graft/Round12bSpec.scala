@@ -72,6 +72,34 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
+  test("native TopKLongPairs equals the window top-k on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic pseudo-random (group, key, id) rows with DUPLICATE
+    // keys inside groups so the tie-break (key DESC, id ASC) is exercised,
+    // spread over several partitions so partial aggregation + merge runs
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      (rng.nextInt(37), rng.nextInt(50).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "k", "id").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(graft.operators.TopK.topKLongPairs(col("k"), col("id"), 4).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).as("rk"),
+        col("e.key").as("k"), col("e.id").as("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("k").desc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("g"), col("rk"), col("k"), col("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("q161 directed rules are consistent: confidence*n_ante == n_both") {
     MiningQueries.q161AssocRules(spark, sfDir).collect().foreach { r =>
       val conf = r.getAs[Double]("confidence")
