@@ -65,7 +65,9 @@ object SparkEntry {
       graft.queries.MiningQueries.queries ++
       graft.queries.QuantQueries.queries ++
       graft.queries.SearchQueries.queries ++
-      graft.operators.TopK.queries
+      graft.operators.TopK.queries ++
+      graft.queries.TextMetricsQueries.queries ++
+      graft.queries.QualityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -127,5 +129,7 @@ object SparkEntry {
       graft.queries.MiningQueries.oracles ++
       graft.queries.QuantQueries.oracles ++
       graft.queries.SearchQueries.oracles ++
-      graft.operators.TopK.oracles
+      graft.operators.TopK.oracles ++
+      graft.queries.TextMetricsQueries.oracles ++
+      graft.queries.QualityQueries.oracles
 }

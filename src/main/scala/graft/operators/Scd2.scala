@@ -82,32 +82,85 @@ object Scd2 {
       .orderBy("custkey", "version")
   }
 
+  /** The q54 history build as a reusable oracle CTE prefix (`scd` is the
+    * interval table), shared by the q54 dump and the q171 as-of probe. */
+  private val scd2Cte: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS od,
+      |         o_orderkey AS ok, o_orderpriority AS pr
+      |  FROM orders),
+      |f AS (
+      |  SELECT *, CASE WHEN pr IS DISTINCT FROM
+      |                      lag(pr) OVER (PARTITION BY k ORDER BY od, ok)
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM o),
+      |v AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY od, ok
+      |                           ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM f),
+      |g AS (
+      |  SELECT k, version, MIN(pr) AS priority, MIN(od) AS valid_from,
+      |         COUNT(*) AS n_orders
+      |  FROM v GROUP BY k, version),
+      |scd AS (
+      |  SELECT k AS custkey, CAST(version AS BIGINT) AS version, priority,
+      |    valid_from,
+      |    COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY version),
+      |             DATE '9999-12-31') AS valid_to,
+      |    CAST(n_orders AS BIGINT) AS n_orders
+      |  FROM g)
+      |""".stripMargin
+
+  // --------------------------------------------------------------- q171
+  /** Point-in-time (as-of) reconstruction from the q54 SCD2 history: the
+    * state every tracked customer was in on 1997-06-01, summarized per
+    * priority — how many customers were "in" each priority that day, how
+    * many had already changed at least once (version > 1), and the
+    * total orders carried by the as-of intervals. THE reason a warehouse
+    * keeps SCD2 instead of upsert-in-place is exactly this query: "what
+    * did the dimension look like on day X".
+    *
+    * Semantics: interval membership is the half-open [valid_from,
+    * valid_to) the builder emits, so a customer whose priority changed ON
+    * the probe day counts under the NEW value — and customers whose
+    * first order is after the probe day simply have no interval covering
+    * it (they did not exist in the dimension yet).
+    *
+    * Scale shape: the history build is q54's (one key-partitioned window
+    * + run-collapse agg); the as-of filter is a per-row predicate on the
+    * interval frame (no join — the probe date is a literal), and the
+    * summary is one map-combinable agg to ≤|priorities| rows. At 100 TB
+    * the interval table is the compact artifact (one row per run, not
+    * per order) — the snapshot never touches the fact table. */
+  def q171Scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit("1997-06-01"))
+    q54PriorityScd2(spark, dir)
+      .filter(col("valid_from") <= asOf && col("valid_to") > asOf)
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("version") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_changed_before"),
+        sum(col("n_orders")).as("orders_in_interval"))
+      .orderBy("priority")
+  }
+
+  val q171Sql: String = scd2Cte +
+    """SELECT priority, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN version > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed_before,
+      |  CAST(SUM(n_orders) AS BIGINT) AS orders_in_interval
+      |FROM scd
+      |WHERE valid_from <= DATE '1997-06-01'
+      |  AND valid_to > DATE '1997-06-01'
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q54_priority_scd2" -> (q54PriorityScd2 _))
+    "q54_priority_scd2" -> (q54PriorityScd2 _),
+    "q171_scd2_asof" -> (q171Scd2Asof _))
 
   def oracles: Map[String, String] = Map(
     "q54_priority_scd2" ->
-      """WITH o AS (
-        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS od,
-        |         o_orderkey AS ok, o_orderpriority AS pr
-        |  FROM orders),
-        |f AS (
-        |  SELECT *, CASE WHEN pr IS DISTINCT FROM
-        |                      lag(pr) OVER (PARTITION BY k ORDER BY od, ok)
-        |                 THEN 1 ELSE 0 END AS chg
-        |  FROM o),
-        |v AS (
-        |  SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY od, ok
-        |                           ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM f),
-        |g AS (
-        |  SELECT k, version, MIN(pr) AS priority, MIN(od) AS valid_from,
-        |         COUNT(*) AS n_orders
-        |  FROM v GROUP BY k, version)
-        |SELECT k AS custkey, CAST(version AS BIGINT) AS version, priority,
-        |  valid_from,
-        |  COALESCE(LEAD(valid_from) OVER (PARTITION BY k ORDER BY version),
-        |           DATE '9999-12-31') AS valid_to,
-        |  CAST(n_orders AS BIGINT) AS n_orders
-        |FROM g ORDER BY custkey, version""".stripMargin)
+      (scd2Cte + "SELECT * FROM scd ORDER BY custkey, version"),
+    "q171_scd2_asof" -> q171Sql)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,11 +187,120 @@ object ExperimentQueries {
       |  CAST(MIN(v) AS DOUBLE) AS ks_at_value
       |FROM k WHERE d = ks GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Permutation test for the q129 A/B mean difference: 64 deterministic
+    * re-randomizations of the per-user variant assignment (bit b of the
+    * user = first hex digit of md5(user_id ∥ '_' ∥ b) < '8'), each
+    * producing a mean-difference under the null; the reported p-value is
+    * the add-one-smoothed fraction of permutations whose |difference|
+    * reaches the observed one. The distribution-free companion to q129's
+    * Welch z — no normality assumption, just exchangeability, which the
+    * hash-assignment makes literally true.
+    *
+    * Exactness: every permutation's difference comes from exact BIGINT
+    * (n, Σx) per arm and ONE double chain spelled identically in the
+    * twin (q129's convention ×65); the exceedance comparison is between
+    * doubles both engines computed through identical op sequences, so
+    * the count — and hence the p-value — is deterministic cross-engine.
+    *
+    * Scale shape: the fact stream collapses to the per-user entity table
+    * once (q129's first shuffle); the 64-way explode multiplies ENTITY
+    * rows, not events, and feeds one map-combinable agg down to 64 rows.
+    * Linear with a 64× constant on the entity table — the exact-replay
+    * certification tier; a production gate at 10⁹ users keeps B modest
+    * or falls back to q129's closed form. */
+  def q172PermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Kpis.eventsTable(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", lit(1L))
+        .otherwise(lit(0L))).as("purchases"))
+      .localCheckpoint(true)
+    def armAgg(isA: Column): Seq[(Column, String)] = Seq(
+      (sum(when(isA, lit(1L)).otherwise(lit(0L))), "n_a"),
+      (sum(lit(1L)), "n"),
+      (sum(when(isA, col("purchases")).otherwise(lit(0L))), "s_a"),
+      (sum(col("purchases")), "s"))
+    // reads the arm-agg columns (n_a, n, s_a, s) of the frame it is
+    // selected against
+    val diff: Column =
+      (col("s_a").cast("double") / col("n_a").cast("double")) -
+        ((col("s") - col("s_a")).cast("double") /
+          (col("n") - col("n_a")).cast("double"))
+    val obsIsA = substring(md5(col("user_id").cast("string")), 1, 1) < "8"
+    val obsAggs = armAgg(obsIsA).map { case (c, n) => c.as(n) }
+    val obs = perUser.agg(obsAggs.head, obsAggs.tail: _*)
+      .select(abs(diff).as("obs_abs_diff"),
+        col("n").as("n_users"))
+    val permIsA = substring(md5(concat(col("user_id").cast("string"),
+      lit("_"), col("b").cast("string"))), 1, 1) < "8"
+    val permAggs = armAgg(permIsA).map { case (c, n) => c.as(n) }
+    val perms = perUser
+      .select(col("user_id"), col("purchases"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy(col("b"))
+      .agg(permAggs.head, permAggs.tail: _*)
+      .select(col("b"), abs(diff).as("abs_diff"))
+    perms.crossJoin(broadcast(obs))
+      .agg(
+        max(col("n_users")).as("n_users"),
+        max(col("obs_abs_diff")).as("obs_abs_diff"),
+        count(lit(1)).as("n_perms"),
+        sum(when(col("abs_diff") >= col("obs_abs_diff"), lit(1L))
+          .otherwise(lit(0L))).as("n_exceed"))
+      .withColumn("p_value",
+        (col("n_exceed").cast("double") + lit(1.0)) /
+          (col("n_perms").cast("double") + lit(1.0)))
+  }
+
+  val q172Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS purchases
+      |  FROM events GROUP BY user_id),
+      |obs AS (
+      |  SELECT
+      |    abs((CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |                        < '8' THEN purchases ELSE 0 END) AS DOUBLE) /
+      |         CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |                        < '8' THEN 1 ELSE 0 END) AS DOUBLE)) -
+      |        (CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |                        < '8' THEN 0 ELSE purchases END) AS DOUBLE) /
+      |         CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |                        < '8' THEN 0 ELSE 1 END) AS DOUBLE)))
+      |      AS obs_abs_diff,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM pu),
+      |perms AS (
+      |  SELECT b,
+      |    abs((CAST(SUM(CASE WHEN flip THEN purchases ELSE 0 END) AS DOUBLE) /
+      |         CAST(SUM(CASE WHEN flip THEN 1 ELSE 0 END) AS DOUBLE)) -
+      |        (CAST(SUM(CASE WHEN flip THEN 0 ELSE purchases END) AS DOUBLE) /
+      |         CAST(SUM(CASE WHEN flip THEN 0 ELSE 1 END) AS DOUBLE)))
+      |      AS abs_diff
+      |  FROM (
+      |    SELECT pu.*, g.b,
+      |      substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+      |                 CAST(g.b AS VARCHAR)), 1, 1) < '8' AS flip
+      |    FROM pu CROSS JOIN
+      |      (SELECT unnest(generate_series(0, 63)) AS b) g)
+      |  GROUP BY b)
+      |SELECT MAX(n_users) AS n_users,
+      |  MAX(obs_abs_diff) AS obs_abs_diff,
+      |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+      |  CAST(SUM(CASE WHEN abs_diff >= obs_abs_diff THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_exceed,
+      |  (CAST(SUM(CASE WHEN abs_diff >= obs_abs_diff THEN 1 ELSE 0 END)
+      |        AS DOUBLE) + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0) AS p_value
+      |FROM perms CROSS JOIN obs""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_ab_test" -> (q129AbTest _),
-    "q150_ks_drift" -> (q150KsDrift _))
+    "q150_ks_drift" -> (q150KsDrift _),
+    "q172_permutation_test" -> (q172PermutationTest _))
 
   def oracles: Map[String, String] = Map(
     "q129_ab_test" -> q129Sql,
-    "q150_ks_drift" -> q150Sql)
+    "q150_ks_drift" -> q150Sql,
+    "q172_permutation_test" -> q172Sql)
 }

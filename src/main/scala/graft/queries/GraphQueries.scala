@@ -35,7 +35,12 @@ object GraphQueries {
     * downstream iterative consumers (degree + count branches, BFS
     * rounds) reuse the materialized edges without re-running the basket
     * explosion. */
-  private[queries] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseWeighted(spark, dir).select("pa", "pb")
+
+  /** Same edge list with the co-purchase support kept — q173's weight
+    * input. Materialized once; q111/q123 project the support away. */
+  private[queries] def coPurchaseWeighted(spark: SparkSession, dir: String): DataFrame = {
     val baskets = Kpis.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
@@ -51,7 +56,6 @@ object GraphQueries {
     pairs.groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-      .select("pa", "pb")
       .localCheckpoint()
   }
 
@@ -142,11 +146,64 @@ object GraphQueries {
       |SELECT node AS p_partkey, MIN(dist) AS dist
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q173
+  /** Bounded weighted shortest paths over the co-purchase graph: min
+    * path cost from the seed (minimum node id, q123's convention) to
+    * every part within 4 hops, where an edge costs 10⁶ div support —
+    * strongly co-purchased parts are "close", incidental pairings are
+    * expensive. q123 answers "how many hops away"; this answers "how
+    * STRONGLY connected", the similarity-radius primitive behind
+    * substitute-product and related-item recommendations.
+    *
+    * The Spark side is [[graft.operators.ShortestPath]]'s pruned
+    * Bellman-Ford (per-round shuffle = frontier size, edges stay put);
+    * the oracle replays it as a recursive CTE enumerating ≤4-edge walks
+    * and taking MIN(cost) — equal because integer edge weights make path
+    * costs exact and positive weights make walks no cheaper than their
+    * embedded paths. All-integer output: hash-safe. */
+  def q173CheapestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseWeighted(spark, dir)
+      .withColumn("w", expr("CAST(1000000 AS BIGINT) div support"))
+    val seed = edges.select(least(min(col("pa")), min(col("pb"))).as("node"))
+    graft.operators.ShortestPath
+      .costs(edges, "pa", "pb", "w", seed, maxHops = 4)
+      .select(col("node").as("p_partkey"), col("cost").as("path_cost"))
+      .orderBy("p_partkey")
+  }
+
+  val q173Sql: String =
+    """WITH RECURSIVE baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb, CAST(1000000 // COUNT(*) AS BIGINT) AS w
+      |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst, w FROM edges
+      |  UNION ALL SELECT pb, pa, w FROM edges),
+      |r(node, cost, hop) AS (
+      |  SELECT (SELECT MIN(src) FROM und), CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT u.dst, r.cost + u.w, r.hop + 1
+      |  FROM r JOIN und u ON u.src = r.node
+      |  WHERE r.hop < 4)
+      |SELECT node AS p_partkey, MIN(cost) AS path_cost
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_triangles" -> (q111Triangles _),
-    "q123_khop_bfs" -> (q123KhopBfs _))
+    "q123_khop_bfs" -> (q123KhopBfs _),
+    "q173_cheapest_paths" -> (q173CheapestPaths _))
 
   def oracles: Map[String, String] = Map(
     "q111_triangles" -> q111Sql,
-    "q123_khop_bfs" -> q123Sql)
+    "q123_khop_bfs" -> q123Sql,
+    "q173_cheapest_paths" -> q173Sql)
 }

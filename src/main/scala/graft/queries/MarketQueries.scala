@@ -239,11 +239,88 @@ object MarketQueries {
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
     "q136_twap_value" -> (q136TwapValue _),
     "q139_rfm_segments" -> (q139RfmSegments _),
-    "q143_revenue_deciles" -> (q143RevenueDeciles _))
+    "q143_revenue_deciles" -> (q143RevenueDeciles _),
+    "q174_nation_gini" -> (q174NationGini _))
+
+  // --------------------------------------------------------------- q174
+  /** Gini coefficient of customer spend per nation — the inequality
+    * summary behind q143's decile view: one number per market saying how
+    * concentrated revenue is (0 = equal, →1 = one customer is the
+    * market). Uses the exact rank formula over ascending spend:
+    * G = (2·Σ r·x − (n+1)·Σx) / (n·Σx).
+    *
+    * Exactness: per-customer spend is the exact decimal rollup (q139's
+    * monetary); the rank weight r is DECIMAL(8,0), so every r·x product
+    * is an exact (27,4)/(26,4) decimal and both Σ terms stay exact until
+    * the single double chain per nation. Ranks order by (spend,
+    * custkey) — a total order, so tied spends get deterministic ranks
+    * and the SAME G on both engines.
+    *
+    * Scale shape: orders collapse to the per-customer entity table in
+    * one map-combinable agg; the nation and customer joins are
+    * broadcast-able dims; the rank window is PARTITIONED by nation — 25
+    * parallel sorts over entity-scale slices, no global window. If one
+    * nation's customer count outgrew a partition, the same formula runs
+    * on [[graft.operators.RangeRank.withGlobalRank]] per nation — the
+    * q139/q143 migration path. */
+  def q174NationGini(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(18,4)")
+        .as("spend"))
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend"), col("o_custkey"))
+    perCust
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("r", row_number().over(w).cast("decimal(8,0)"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("decimal(28,4)").as("sx"),
+        sum(col("r") * col("spend")).cast("decimal(28,4)").as("srx"))
+      .select(col("n_name"), col("n_customers"),
+        col("sx").cast("double").as("total_spend"),
+        ((lit(2.0) * col("srx").cast("double") -
+          (col("n_customers").cast("double") + lit(1.0)) *
+            col("sx").cast("double")) /
+          (col("n_customers").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+      .orderBy("n_name")
+  }
+
+  val q174Sql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+      |      AS spend
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT n_name, spend, o_custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+      |      ORDER BY spend, o_custkey) AS DECIMAL(8,0)) AS r
+      |  FROM per_cust
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |agg AS (
+      |  SELECT n_name, COUNT(*) AS n_customers,
+      |    CAST(SUM(spend) AS DECIMAL(28,4)) AS sx,
+      |    CAST(SUM(r * spend) AS DECIMAL(28,4)) AS srx
+      |  FROM ranked GROUP BY 1)
+      |SELECT n_name, n_customers, CAST(sx AS DOUBLE) AS total_spend,
+      |  (2.0 * CAST(srx AS DOUBLE) -
+      |    (CAST(n_customers AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+      |FROM agg ORDER BY n_name""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,
     "q139_rfm_segments" -> q139Sql,
-    "q143_revenue_deciles" -> q143Sql)
+    "q143_revenue_deciles" -> q143Sql,
+    "q174_nation_gini" -> q174Sql)
 }

@@ -137,9 +137,102 @@ object QuantQueries {
       |ORDER BY probe_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q176
+  /** Matryoshka (prefix-truncation) retrieval recall: rank the corpus by
+    * cosine over the FIRST 16 of 64 dimensions and report, per cert
+    * probe, how many of the prefix top-5 are in the exact-64d top-5,
+    * plus the worst |prefix_cos − exact_cos| across the prefix top-5.
+    * The q163 discipline applied to the OTHER standard embedding
+    * compression: SQ8 shrinks bits per dimension, MRL-style truncation
+    * drops dimensions — a 4× cut with zero decode cost, which is why
+    * coarse-stage rankers at 100 TB run on prefixes and re-rank the
+    * shortlist at full width. This certifies exactly how much that
+    * coarse stage loses on this corpus.
+    *
+    * Scale/exactness: identical to q163 — probe slice capped to the
+    * deterministic cert ids (fixed |probes|·N pair stream, linear in
+    * corpus), one window partitioning carrying both rank columns, and
+    * every cosine a left-associated [[dotD]] fold (the 16-d prefix fold
+    * is the same op sequence as the oracle's 16-term unrolled sum). */
+  def q176MrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val PDim = 16
+    val e = Kpis.table(spark, dir, "embeddings")
+      .withColumn("pre", slice(col("embedding"), 1, PDim))
+      .select(col("vec_id"), col("embedding"), col("pre"),
+        norm2(col("embedding")).as("n2"), norm2(col("pre")).as("n2p"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qe"),
+        col("pre").as("qpre"), col("n2").as("qn2"), col("n2p").as("qn2p"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dotD(col("qpre"), col("pre")) /
+          (sqrt(col("qn2p")) * sqrt(col("n2p")))).as("pre_cos"),
+        (dotD(col("qe"), col("embedding")) /
+          (sqrt(col("qn2")) * sqrt(col("n2")))).as("exact_cos"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    val rpre = row_number().over(
+      byProbe.orderBy(col("pre_cos").desc, col("vec_id")))
+    val rex = row_number().over(
+      byProbe.orderBy(col("exact_cos").desc, col("vec_id")))
+    pairs
+      .select(col("probe_id"), col("pre_cos"), col("exact_cos"),
+        rpre.as("rank_pre"), rex.as("rank_exact"))
+      .filter(col("rank_pre") <= K || col("rank_exact") <= K)
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("rank_pre") <= K && col("rank_exact") <= K, 1L)
+          .otherwise(0L)).as("n_common"),
+        max(when(col("rank_pre") <= K,
+          abs(col("pre_cos") - col("exact_cos")))).as("max_abs_cos_err"))
+      .withColumn("recall5", col("n_common").cast("double") / K)
+      .select(col("probe_id"), col("n_common"), col("recall5"),
+        col("max_abs_cos_err"))
+      .orderBy("probe_id")
+  }
+
+  val q176Sql: String = {
+    val PDim = 16
+    val dotPre = dotSqlUnrolled("c.embedding", "q.embedding", PDim)
+    val dotEx = dotSqlUnrolled("c.embedding", "q.embedding", Dim)
+    val n2pre = dotSqlUnrolled("embedding", "embedding", PDim)
+    val n2ex = dotSqlUnrolled("embedding", "embedding", Dim)
+    s"""WITH n AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    $n2ex AS n2, $n2pre AS n2p
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS probe_id, c.vec_id,
+      |    ($dotPre) / (sqrt(q.n2p) * sqrt(c.n2p)) AS pre_cos,
+      |    ($dotEx) / (sqrt(q.n2) * sqrt(c.n2)) AS exact_cos
+      |  FROM n c, n q
+      |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
+      |    AND c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT probe_id, pre_cos, exact_cos,
+      |    row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY pre_cos DESC, vec_id) AS rank_pre,
+      |    row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY exact_cos DESC, vec_id) AS rank_exact
+      |  FROM p)
+      |SELECT probe_id,
+      |  CAST(SUM(CASE WHEN rank_pre <= $K AND rank_exact <= $K
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(SUM(CASE WHEN rank_pre <= $K AND rank_exact <= $K
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall5,
+      |  MAX(CASE WHEN rank_pre <= $K
+      |    THEN abs(pre_cos - exact_cos) END) AS max_abs_cos_err
+      |FROM r
+      |WHERE rank_pre <= $K OR rank_exact <= $K
+      |GROUP BY probe_id
+      |ORDER BY probe_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q163_sq8_recall" -> (q163Sq8Recall _))
+    "q163_sq8_recall" -> (q163Sq8Recall _),
+    "q176_mrl_recall" -> (q176MrlRecall _))
 
   def oracles: Map[String, String] = Map(
-    "q163_sq8_recall" -> q163Sql)
+    "q163_sq8_recall" -> q163Sql,
+    "q176_mrl_recall" -> q176Sql)
 }

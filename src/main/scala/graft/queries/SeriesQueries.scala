@@ -323,17 +323,191 @@ object SeriesQueries {
       |    / (CAST(st AS DOUBLE) / CAST(dt AS DOUBLE)) AS seasonal_index
       |FROM tot ORDER BY month""".stripMargin
 
+  // --------------------------------------------------------------- q169
+  /** CUSUM changepoint detection on daily shipped revenue: the day k
+    * maximizing |Σ_{i≤k} rev_i − (k/n)·Σrev| — the classical
+    * cumulative-sum level-shift detector (the retrospective twin of the
+    * q105 rolling-z anomaly gate: q105 flags single outlier DAYS, CUSUM
+    * finds the point where the MEAN LEVEL of the whole series shifts).
+    * Reports the changepoint day, the normalized peak statistic, and the
+    * exact mean revenue before/after the split.
+    *
+    * Exactness: the drift is kept RATIONAL — D_k = n·cum_k − k·S with
+    * n, k as DECIMAL(8,0) and cum/S as exact decimal sums, so every D_k
+    * is an exact decimal in BOTH engines (the widths are chosen so
+    * neither engine saturates its 38-digit cap: (8,0)×(24,4) → (33,4)
+    * Spark / (32,4) DuckDB, both lossless). The argmax then filters on
+    * EXACT decimal equality with the window max (the q150 argmax
+    * convention) with min(day) as tie-break; doubles appear only in the
+    * final reported columns, through the varchar-bridge on the DuckDB
+    * side.
+    *
+    * Scale shape: the fact table collapses to the daily census in one
+    * map-combinable agg (the q130 discipline); every window — cumulative
+    * sum, row_number, global max — runs over |days| rows (thousands),
+    * never over lineitem. The global-window sites are census-scale by
+    * construction (WindowGuardSpec's bound). */
+  def q169CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"))
+    val w = Window.orderBy(col("ship_day"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val cum = daily
+      .withColumn("k", row_number().over(w).cast("decimal(8,0)"))
+      .withColumn("cum", sum(col("rev")).over(cumW).cast("decimal(24,4)"))
+      .withColumn("n", count(lit(1)).over(tot).cast("decimal(8,0)"))
+      .withColumn("s", sum(col("rev")).over(tot).cast("decimal(24,4)"))
+      .withColumn("d", abs(col("n") * col("cum") - col("k") * col("s")))
+    cum
+      .withColumn("dmax", max(col("d")).over(tot))
+      .filter(col("d") === col("dmax"))
+      .groupBy(col("n"), col("s"), col("dmax"))
+      .agg(min(struct(col("ship_day"), col("k"), col("cum"))).as("at"))
+      .select(
+        col("at.ship_day").as("change_day"),
+        col("at.k").cast("long").as("day_index"),
+        col("n").cast("long").as("n_days"),
+        (col("dmax").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("cusum_stat"),
+        (col("at.cum").cast("double") / col("at.k").cast("double"))
+          .as("mean_before"),
+        ((col("s") - col("at.cum")).cast("double") /
+          (col("n") - col("at.k")).cast("double")).as("mean_after"))
+  }
+
+  val q169Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                  AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT ship_day,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY ship_day) AS DECIMAL(8,0)) AS k,
+      |    CAST(SUM(rev) OVER (ORDER BY ship_day ROWS UNBOUNDED PRECEDING)
+      |         AS DECIMAL(24,4)) AS cum,
+      |    CAST(COUNT(*) OVER () AS DECIMAL(8,0)) AS n,
+      |    CAST(SUM(rev) OVER () AS DECIMAL(24,4)) AS s
+      |  FROM daily),
+      |d AS (
+      |  SELECT *, abs(n * cum - k * s) AS d FROM c),
+      |m AS (
+      |  SELECT *, MAX(d) OVER () AS dmax FROM d),
+      |hit AS (
+      |  SELECT n, s, dmax,
+      |    MIN(struct_pack(ship_day := ship_day, k := k, cum := cum)) AS at
+      |  FROM m WHERE d = dmax GROUP BY 1, 2, 3)
+      |SELECT at.ship_day AS change_day,
+      |  CAST(at.k AS BIGINT) AS day_index,
+      |  CAST(n AS BIGINT) AS n_days,
+      |  CAST(CAST(dmax AS VARCHAR) AS DOUBLE) /
+      |    (CAST(CAST(n AS VARCHAR) AS DOUBLE) *
+      |     CAST(CAST(n AS VARCHAR) AS DOUBLE)) AS cusum_stat,
+      |  CAST(CAST(at.cum AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(at.k AS VARCHAR) AS DOUBLE) AS mean_before,
+      |  CAST(CAST(s - at.cum AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(n - at.k AS VARCHAR) AS DOUBLE) AS mean_after
+      |FROM hit""".stripMargin
+
+  // --------------------------------------------------------------- q177
+  /** AR(1) fit + one-step forecast of daily revenue: OLS of rev_t on
+    * rev_{t−1} over the lag-aligned day pairs — slope (the
+    * autoregression coefficient φ), intercept, and the forecast for the
+    * day after the last observed day (c + φ·rev_last). q130 measures the
+    * raw lag correlations; this turns lag 1 into an actual forecasting
+    * model with a point prediction — the simplest member of the family
+    * every metric-monitoring pipeline runs nightly.
+    *
+    * Exactness: the five OLS sums (Σx, Σy, Σxy, Σx², n) are exact
+    * decimal/bigint aggregates of the lag-pair stream (products at
+    * (37,8)/(38,8) exactly as q130); φ, c, and the forecast are ONE
+    * double chain spelled identically on both sides, with decimal→double
+    * through the varchar-bridge. The last observation is selected by
+    * max(struct(day, rev)) — exact, no window needed.
+    *
+    * Scale shape: identical to q130 — one shuffle to the daily census,
+    * a lag window over |days| rows, one global aggregate. */
+  def q177Ar1Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"))
+    val w = Window.orderBy("ship_day")
+    val pairs = daily
+      .withColumn("x", lag(col("rev"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("ship_day"), col("x"), col("rev").as("y"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count(lit(1)).cast("double").as("n_d"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      max(struct(col("ship_day"), col("y"))).as("last"))
+    agg
+      .withColumn("phi",
+        (col("n_d") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_d") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("phi") * col("sx")) / col("n_d"))
+      .select(col("n_pairs"), col("phi"), col("intercept"),
+        col("last.ship_day").as("last_day"),
+        col("last.y").cast("double").as("last_rev"),
+        (col("intercept") + col("phi") * col("last.y").cast("double"))
+          .as("forecast_next"))
+  }
+
+  val q177Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                  AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT ship_day, LAG(rev, 1) OVER (ORDER BY ship_day) AS x,
+      |    rev AS y
+      |  FROM daily),
+      |s AS (
+      |  SELECT COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n_d,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    MAX(struct_pack(ship_day := ship_day, y := y)) AS last
+      |  FROM p WHERE x IS NOT NULL),
+      |f AS (
+      |  SELECT *,
+      |    (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) AS phi
+      |  FROM s),
+      |g AS (
+      |  SELECT *, (sy - phi * sx) / n_d AS intercept FROM f)
+      |SELECT n_pairs, phi, intercept,
+      |  last.ship_day AS last_day,
+      |  CAST(CAST(last.y AS VARCHAR) AS DOUBLE) AS last_rev,
+      |  intercept + phi * CAST(CAST(last.y AS VARCHAR) AS DOUBLE)
+      |    AS forecast_next
+      |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_seasonal_index" -> (q148SeasonalIndex _),
     "q62_gap_fill" -> (q62GapFill _),
     "q124_activity_streaks" -> (q124ActivityStreaks _),
     "q125_ewma_revenue" -> (q125EwmaRevenue _),
-    "q130_autocorr_revenue" -> (q130AutocorrRevenue _))
+    "q130_autocorr_revenue" -> (q130AutocorrRevenue _),
+    "q169_cusum_changepoint" -> (q169CusumChangepoint _),
+    "q177_ar1_forecast" -> (q177Ar1Forecast _))
 
   def oracles: Map[String, String] = Map(
     "q148_seasonal_index" -> q148Sql,
     "q62_gap_fill" -> q62Sql,
     "q124_activity_streaks" -> q124Sql,
     "q125_ewma_revenue" -> q125Sql,
-    "q130_autocorr_revenue" -> q130Sql)
+    "q130_autocorr_revenue" -> q130Sql,
+    "q169_cusum_changepoint" -> q169Sql,
+    "q177_ar1_forecast" -> q177Sql)
 }

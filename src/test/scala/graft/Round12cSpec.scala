@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12c invariants for q169–q177: the oracle hashes pin exact
+  * values; these assert the STRUCTURAL properties any correct
+  * implementation must have, plus cross-operator consistency (weighted
+  * SSSP vs BFS reachability, AR(1) vs CUSUM day accounting). */
+class Round12cSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q169 CUSUM: interior changepoint, level shift is real, stat positive") {
+    val r = SparkEntry.queries("q169_cusum_changepoint")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val k = row.getAs[Long]("day_index")
+    val n = row.getAs[Long]("n_days")
+    assert(k >= 1 && k < n, s"changepoint must be interior: k=$k n=$n")
+    assert(row.getAs[Double]("cusum_stat") > 0.0)
+    // the split means must actually differ (else no argmax uniqueness)
+    assert(row.getAs[Double]("mean_before") != row.getAs[Double]("mean_after"))
+  }
+
+  test("q177 AR(1): pair accounting matches q169's day census; forecast reconciles") {
+    val cusum = SparkEntry.queries("q169_cusum_changepoint")(spark, sfDir)
+      .collect().head
+    val ar = SparkEntry.queries("q177_ar1_forecast")(spark, sfDir)
+      .collect().head
+    assert(ar.getAs[Long]("n_pairs") == cusum.getAs[Long]("n_days") - 1,
+      "lag-1 pairs must be exactly |days| - 1")
+    val phi = ar.getAs[Double]("phi")
+    val c = ar.getAs[Double]("intercept")
+    val last = ar.getAs[Double]("last_rev")
+    assert(ar.getAs[Double]("forecast_next") == c + phi * last,
+      "forecast must be the exact double chain c + phi*last")
+  }
+
+  test("q172 permutation test: p in (0,1], 64 perms, observed diff finite") {
+    val r = SparkEntry.queries("q172_permutation_test")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_perms") == 64L)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0, s"p=$p")
+    assert(r.getAs[Long]("n_exceed") <= 64L)
+    assert(!r.getAs[Double]("obs_abs_diff").isNaN)
+  }
+
+  test("q174 Gini: every nation in [0,1), spend positive") {
+    val rows = SparkEntry.queries("q174_nation_gini")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"${r.getAs[String]("n_name")}: gini=$g")
+      assert(r.getAs[Double]("total_spend") > 0.0)
+    }
+  }
+
+  test("q173 weighted SSSP reaches exactly q123's 4-hop BFS set; seed cost 0") {
+    val bfs = SparkEntry.queries("q123_khop_bfs")(spark, sfDir)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val sp = SparkEntry.queries("q173_cheapest_paths")(spark, sfDir).collect()
+    val nodes = sp.map(_.getAs[Long]("p_partkey")).toSet
+    assert(nodes == bfs,
+      "positive weights cannot change 4-hop reachability vs BFS")
+    val costs = sp.map(r =>
+      r.getAs[Long]("p_partkey") -> r.getAs[Long]("path_cost")).toMap
+    assert(costs.values.count(_ == 0L) == 1, "exactly one zero-cost node (the seed)")
+    assert(costs(nodes.min) >= 0L && costs.values.forall(_ >= 0L))
+  }
+
+  test("q176 MRL recall: probe slice matches q163's cert ids, recall in [0,1]") {
+    val mrl = SparkEntry.queries("q176_mrl_recall")(spark, sfDir).collect()
+    val sq8 = SparkEntry.queries("q163_sq8_recall")(spark, sfDir).collect()
+    assert(mrl.map(_.getAs[Long]("probe_id")).toSet ==
+      sq8.map(_.getAs[Long]("probe_id")).toSet,
+      "both certifications must audit the same fixed probe slice")
+    mrl.foreach { r =>
+      val rec = r.getAs[Double]("recall5")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Double]("max_abs_cos_err") >= 0.0)
+    }
+  }
+
+  test("q171 as-of snapshot: covered customers <= SCD2 key count, versions start at 1") {
+    val snap = SparkEntry.queries("q171_scd2_asof")(spark, sfDir).collect()
+    assert(snap.nonEmpty)
+    val covered = snap.map(_.getAs[Long]("n_customers")).sum
+    val keys = SparkEntry.queries("q54_priority_scd2")(spark, sfDir)
+      .select("custkey").distinct().count()
+    assert(covered <= keys,
+      "as-of rows are a sub-state of the dimension: one interval max per key")
+    snap.foreach { r =>
+      assert(r.getAs[Long]("n_changed_before") <= r.getAs[Long]("n_customers"))
+    }
+  }
+
+  test("q175 FD audit: the key positive-control holds exactly, false FDs carry violations") {
+    val rows = SparkEntry.queries("q175_fd_audit")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("lhs")) -> r)
+      .toMap
+    val control = rows(("orders", "o_orderkey"))
+    assert(control.getAs[Long]("g3_violations") == 0L &&
+      control.getAs[Double]("g3_error") == 0.0,
+      "o_orderkey is a key: its FD must hold exactly")
+    val false1 = rows(("orders", "o_custkey"))
+    assert(false1.getAs[Long]("g3_violations") > 0L)
+    rows.values.foreach { r =>
+      val g3 = r.getAs[Double]("g3_error")
+      assert(g3 >= 0.0 && g3 < 1.0)
+      assert(r.getAs[Long]("n_lhs_values") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("q170 readability: all langs present, counts consistent, flesch finite") {
+    val rows = SparkEntry.queries("q170_readability")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet ==
+      Set("en", "zh", "es", "de", "fr"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_syllables") <= 10L * r.getAs[Long]("n_words"),
+        "vowel runs are bounded by a small multiple of words on this corpus")
+      assert(r.getAs[Long]("n_words") > 0L)
+      assert(!r.getAs[Double]("flesch").isNaN)
+    }
+  }
+
+  test("new query plans: no cartesian product outside broadcast cert joins") {
+    for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
+        "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
+        "q170_readability")) {
+      val s = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}

@@ -88,5 +88,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q147_heaps_fit",        // per-token first-carrier census
     "q148_seasonal_index",   // monthly cells
     "q150_ks_drift",         // domain-bounded 4-dp value census
-    "q151_rrf_fusion")       // scored rank lists
+    "q151_rrf_fusion",       // scored rank lists
+    "q169_cusum_changepoint", // daily-revenue table: |distinct days|
+    "q177_ar1_forecast")     // daily-revenue table
 }
