@@ -33,7 +33,7 @@ object DocQueries {
       .withColumn("doc_id", col("doc_id") + 100000))
   }
 
-  private val corpusDupSql =
+  private[queries] val corpusDupSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin

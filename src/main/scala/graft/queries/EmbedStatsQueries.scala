@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions._
+
 /** Embedding-space distribution statistics — the drift-monitoring
   * primitive of an embedding pipeline: per-dimension means and the full
   * upper-triangle covariance matrix of the corpus embeddings. Comparing
@@ -324,13 +326,100 @@ object EmbedStatsQueries {
       |FROM pairs
       |ORDER BY label_a, label_b""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  /** Simplified (centroid-based) silhouette score per label: for every
+    * vector, a = squared distance to its own label's centroid, b = the
+    * squared distance to the nearest OTHER centroid, s = (b−a)/max(a,b);
+    * the output is each label's mean s — the standard clustering-quality
+    * audit (s → 1: compact and far from neighbors; s ≤ 0: the label
+    * overlaps another). The full-pairwise silhouette is O(N²); the
+    * centroid form is THE variant that scales — one corpus pass against
+    * a broadcast k×dim table — and is exactly what an embedding pipeline
+    * checks after retraining before swapping an index (complements
+    * q166's drift matrix, which compares centroids ACROSS sources).
+    *
+    * Exactness: centroid components round to the 6-dp grid (the
+    * q33/q60 k-means convention); every d2 is the (n2 + cn2) − 2·dot
+    * spelling with [[graft.functions.VectorFunctions.dotD]]'s exact
+    * fold; per-vector s snaps to the 9-dp decimal grid (q137's trick)
+    * so the per-label mean is an exact decimal sum divided once.
+    *
+    * Scale shape: the centroid pass is one map-combinable agg to
+    * |labels|·dim cells; assignment is a broadcast product with NO
+    * shuffle of the corpus; the final agg is |labels| rows. Linear in N
+    * with a |labels| constant — q60's plan shape without the Lloyd
+    * iterations. */
+  def q180Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Kpis.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+    val cent = e
+      .select(col("label").as("clabel"), posexplode(col("embedding")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("cv"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .withColumn("cn2", norm2(col("centroid")))
+    val pairs = e.crossJoin(broadcast(cent))
+      .withColumn("d2", (col("n2") + col("cn2")) -
+        lit(2.0) * dotD(col("embedding"), col("centroid")))
+    pairs
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      .withColumn("s",
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 9)
+          .cast("decimal(12,9)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("s")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
+  val q180Sql: String = {
+    val dim = 64
+    val centCols = (1 to dim)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6) AS c$i")
+      .mkString(",\n    ")
+    val cn2 = (1 to dim).map(i => s"c.c$i*c.c$i").mkString(" + ")
+    val dot = (1 to dim)
+      .map(i => s"CAST(e.embedding[$i] AS DOUBLE)*c.c$i").mkString(" + ")
+    val n2 = graft.functions.VectorFunctions
+      .dotSqlUnrolled("e.embedding", "e.embedding", dim)
+    s"""WITH cent AS MATERIALIZED (
+      |  SELECT label AS clabel,
+      |    $centCols
+      |  FROM embeddings GROUP BY label),
+      |pairs AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |    (($n2) + ($cn2)) - 2.0*($dot) AS d2
+      |  FROM embeddings e, cent c),
+      |pv AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN clabel = label THEN d2 END) AS a,
+      |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+      |  FROM pairs GROUP BY 1, 2),
+      |s AS (
+      |  SELECT label,
+      |    CAST(round((b - a) / GREATEST(a, b), 9) AS DECIMAL(12,9)) AS s
+      |  FROM pv)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_silhouette
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_embed_covariance" -> (q119EmbedCovariance _),
     "q126_pca_power" -> (q126PcaPower _),
-    "q166_source_drift" -> (q166SourceDrift _))
+    "q166_source_drift" -> (q166SourceDrift _),
+    "q180_silhouette" -> (q180Silhouette _))
 
   def oracles: Map[String, String] = Map(
     "q119_embed_covariance" -> q119Sql,
     "q126_pca_power" -> q126Sql,
-    "q166_source_drift" -> q166Sql)
+    "q166_source_drift" -> q166Sql,
+    "q180_silhouette" -> q180Sql)
 }

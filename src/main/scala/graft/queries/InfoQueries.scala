@@ -192,13 +192,95 @@ object InfoQueries {
       |    / CAST(MAX(cs) AS DOUBLE) AS kl_nats
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  /** Pearson chi-square test of independence between customer market
+    * segment and order priority, with Cramér's V as the normalized
+    * effect size. q137 measures the dependence in nats (information);
+    * this is the classical TEST form of the same question — the number
+    * an experimentation/QA gate actually thresholds (χ² far above dof
+    * ⇒ the generator leaked one column into the other).
+    *
+    * Exactness: observed counts are exact BIGINTs from ONE hash agg;
+    * each cell's χ² term is computed in doubles through an identical
+    * chain, then snapped to the 9-dp decimal grid (the q137 ln9
+    * convention — makes the 25-term sum order-independent and hence
+    * engine-independent), summed exactly, and only then divided. dof
+    * and the V normalizer come from exact distinct counts.
+    *
+    * Scale shape: one map-combinable agg over the orders↔customer join
+    * (broadcast-able customer at dim scale; at fact-scale both sides
+    * hash-shuffle once on custkey) down to the ≤|seg|·|pri| census;
+    * marginals are windows over the census; one output row. */
+  def q179Chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val joint = Kpis.table(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("o"))
+    val m = joint
+      .withColumn("cx", sum(col("o")).over(Window.partitionBy(col("seg"))))
+      .withColumn("cy", sum(col("o")).over(Window.partitionBy(col("pri"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("nx", size(collect_set(col("seg"))
+        .over(Window.partitionBy())))
+      .withColumn("ny", size(collect_set(col("pri"))
+        .over(Window.partitionBy())))
+    val dbl = (c: String) => col(c).cast("double")
+    val e = dbl("cx") * dbl("cy") / dbl("n")
+    m.select(col("n"), col("nx"), col("ny"),
+        round((dbl("o") - e) * (dbl("o") - e) / e, 9)
+          .cast("decimal(22,9)").as("term"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        sum(col("term")).cast("double").as("chi2"),
+        ((max(col("nx")) - lit(1)) * (max(col("ny")) - lit(1)))
+          .cast("long").as("dof"),
+        sqrt(sum(col("term")).cast("double") /
+          (max(col("n")).cast("double") *
+            least(max(col("nx")) - lit(1), max(col("ny")) - lit(1))
+              .cast("double"))).as("cramers_v"))
+  }
+
+  val q179Sql: String =
+    """WITH joint AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri, COUNT(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT o,
+      |    SUM(o) OVER (PARTITION BY seg) AS cx,
+      |    SUM(o) OVER (PARTITION BY pri) AS cy,
+      |    SUM(o) OVER () AS n,
+      |    COUNT(DISTINCT seg) OVER () AS nx,
+      |    COUNT(DISTINCT pri) OVER () AS ny
+      |  FROM joint),
+      |t AS (
+      |  SELECT n, nx, ny,
+      |    CAST(round((CAST(o AS DOUBLE) -
+      |        CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(o AS DOUBLE) -
+      |        CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |      AS DECIMAL(22,9)) AS term
+      |  FROM m)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(term) AS DOUBLE) AS chi2,
+      |  CAST((MAX(nx) - 1) * (MAX(ny) - 1) AS BIGINT) AS dof,
+      |  sqrt(CAST(SUM(term) AS DOUBLE) /
+      |    (CAST(MAX(n) AS DOUBLE) *
+      |     CAST(LEAST(MAX(nx) - 1, MAX(ny) - 1) AS DOUBLE))) AS cramers_v
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_mutual_info" -> (q137MutualInfo _),
     "q138_benford_audit" -> (q138BenfordAudit _),
-    "q140_source_lang_kl" -> (q140SourceLangKl _))
+    "q140_source_lang_kl" -> (q140SourceLangKl _),
+    "q179_chi2_independence" -> (q179Chi2Independence _))
 
   def oracles: Map[String, String] = Map(
     "q137_mutual_info" -> q137Sql,
     "q138_benford_audit" -> q138Sql,
-    "q140_source_lang_kl" -> q140Sql)
+    "q140_source_lang_kl" -> q140Sql,
+    "q179_chi2_independence" -> q179Sql)
 }

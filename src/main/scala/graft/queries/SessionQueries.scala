@@ -200,13 +200,78 @@ object SessionQueries {
       |  (SELECT COUNT(*) FROM sess) AS n_sessions
       |FROM pk""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  /** Inter-arrival-time audit per event type: mean gap, coefficient of
+    * variation, and the implied Poisson rate, over the gaps between a
+    * user's consecutive events of the same type. The point-process
+    * health check behind q34's session gap threshold: a Poisson arrival
+    * stream has CV ≈ 1; CV ≫ 1 means bursty (sessions exist — gap
+    * sessionization is meaningful), CV ≪ 1 means a scheduler/bot is
+    * emitting on a timer (worth quarantining). So this query is how the
+    * q34 gap parameter gets justified from the data instead of guessed.
+    *
+    * Exactness: gaps are exact integer SECONDS (unix_micros difference
+    * div 10⁶ — truncating integer division, identical both engines);
+    * Σg and Σg² are exact decimal sums (g as DECIMAL(18,0): the square
+    * stays in int128/Decimal(38) at any realistic gap), and the
+    * mean/CV/rate chain is one identically-spelled double expression
+    * (q129's convention). CV uses the population form √(nΣg²−(Σg)²)/Σg.
+    *
+    * Scale shape: one hash shuffle on (user_id, event_type) for the lag
+    * window (users process independently — q34's plan), then one
+    * map-combinable agg to |event types| rows. */
+  def q182InterarrivalFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Kpis.eventsTable(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - prev_us) div 1000000")
+          .cast("decimal(18,0)").as("g"))
+    gaps
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        count(lit(1)).cast("double").as("n_d"),
+        sum(col("g")).cast("double").as("sg"),
+        sum(col("g") * col("g")).cast("double").as("sgg"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("sg") / col("n_d")).as("mean_gap_seconds"),
+        (sqrt(col("n_d") * col("sgg") - col("sg") * col("sg")) / col("sg"))
+          .as("cv"),
+        (lit(3600.0) * col("n_d") / col("sg")).as("rate_per_hour"))
+      .orderBy("event_type")
+  }
+
+  val q182Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST((epoch_us(ts) -
+      |      LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts, event_id)) // 1000000
+      |      AS DECIMAL(18,0)) AS g
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_d,
+      |    CAST(CAST(SUM(g) AS VARCHAR) AS DOUBLE) AS sg,
+      |    CAST(CAST(SUM(g * g) AS VARCHAR) AS DOUBLE) AS sgg
+      |  FROM g WHERE g IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_gaps,
+      |  sg / n_d AS mean_gap_seconds,
+      |  sqrt(n_d * sgg - sg * sg) / sg AS cv,
+      |  3600.0 * n_d / sg AS rate_per_hour
+      |FROM s ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessions" -> q34Sessions _,
     "q128_event_3paths" -> (q128Event3Paths _),
-    "q131_peak_concurrency" -> (q131PeakConcurrency _))
+    "q131_peak_concurrency" -> (q131PeakConcurrency _),
+    "q182_interarrival_fit" -> (q182InterarrivalFit _))
 
   def oracles: Map[String, String] = Map(
     "q34_sessions" -> q34Sql,
     "q128_event_3paths" -> q128Sql,
-    "q131_peak_concurrency" -> q131Sql)
+    "q131_peak_concurrency" -> q131Sql,
+    "q182_interarrival_fit" -> q182Sql)
 }

@@ -98,8 +98,94 @@ object SplitQueries {
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q181
+  /** Cross-split contamination audit: how many EXACT-DUPLICATE document
+    * pairs straddle the q46 train/val/test boundary? A hash split
+    * assigns duplicates independently, so a corpus with unremoved dups
+    * leaks test content into training — the classic eval-inflation bug
+    * this query counts BEFORE anyone trains. Output is the 6-cell pair
+    * census (within- and cross-split) over q19's fingerprint groups.
+    *
+    * The count never enumerates pairs: per fingerprint, the per-split
+    * membership counts (nt, nv, ns) give within-pairs n(n−1)/2 and
+    * cross-pairs nᵢ·nⱼ arithmetically — the census discipline (q150),
+    * so a pathological million-copy document costs one row, not 10¹²
+    * pairs. Cross-split cells > 0 on this corpus (the fixture's
+    * injected dups split across buckets) — the audit FINDS leakage, and
+    * q19's dedup-before-split is the fix it motivates.
+    *
+    * Scale shape: one hash shuffle keyed by the 128-bit fingerprint
+    * (q19's plan), one map-combinable global agg to 6 numbers, stacked
+    * to rows. All-integer output: hash-safe. */
+  def q181SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    // q19's dup-injected corpus (the raw fixture is dup-free): clones get
+    // doc_id + 100000, so the hash split scatters them across buckets —
+    // exactly the leakage a real undeduped crawl exhibits
+    val d = DocQueries.corpusWithExactDups(spark, dir)
+      .select(col("doc_id"),
+        splitFor(col("doc_id").cast("string")).as("split"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val perFp = d.groupBy(col("fp")).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns"))
+    perFp.agg(
+        sum(col("nt") * (col("nt") - 1) / 2).cast("long").as("tt"),
+        sum(col("nv") * (col("nv") - 1) / 2).cast("long").as("vv"),
+        sum(col("ns") * (col("ns") - 1) / 2).cast("long").as("ss"),
+        sum(col("nt") * col("nv")).as("tv"),
+        sum(col("nt") * col("ns")).as("ts"),
+        sum(col("nv") * col("ns")).as("vs"))
+      .selectExpr(
+        """stack(6,
+          |  'train', 'train', tt,
+          |  'train', 'val',   tv,
+          |  'train', 'test',  ts,
+          |  'val',   'val',   vv,
+          |  'val',   'test',  vs,
+          |  'test',  'test',  ss) AS (split_a, split_b, n_dup_pairs)
+          |""".stripMargin)
+      .orderBy("split_a", "split_b")
+  }
+
+  val q181Sql: String =
+    s"""WITH corpus AS (${DocQueries.corpusDupSql}),
+      |d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |           < 'cc' THEN 'train'
+      |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |           < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM corpus),
+      |g AS (
+      |  SELECT fp,
+      |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS nt,
+      |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nv,
+      |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS ns
+      |  FROM d GROUP BY fp),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(nt * (nt - 1) / 2) AS BIGINT) AS tt,
+      |    CAST(SUM(nv * (nv - 1) / 2) AS BIGINT) AS vv,
+      |    CAST(SUM(ns * (ns - 1) / 2) AS BIGINT) AS ss,
+      |    CAST(SUM(nt * nv) AS BIGINT) AS tv,
+      |    CAST(SUM(nt * ns) AS BIGINT) AS ts,
+      |    CAST(SUM(nv * ns) AS BIGINT) AS vs
+      |  FROM g)
+      |SELECT split_a, split_b, n_dup_pairs FROM (
+      |  SELECT 'train' AS split_a, 'train' AS split_b, tt AS n_dup_pairs FROM s
+      |  UNION ALL SELECT 'train', 'val', tv FROM s
+      |  UNION ALL SELECT 'train', 'test', ts FROM s
+      |  UNION ALL SELECT 'val', 'val', vv FROM s
+      |  UNION ALL SELECT 'val', 'test', vs FROM s
+      |  UNION ALL SELECT 'test', 'test', ss FROM s)
+      |ORDER BY split_a, split_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_mixture_sample" -> q52MixtureSample _,
+    "q181_split_leakage" -> (q181SplitLeakage _),
     "q46_split_census" -> ((spark: SparkSession, dir: String) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"))
@@ -116,6 +202,7 @@ object SplitQueries {
 
   def oracles: Map[String, String] = Map(
     "q52_mixture_sample" -> q52Sql,
+    "q181_split_leakage" -> q181Sql,
     "q46_split_census" ->
       """WITH d AS (
         |  SELECT lang, length(text) AS chars,

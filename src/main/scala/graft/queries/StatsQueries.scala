@@ -458,6 +458,79 @@ object StatsQueries {
       |FROM cw WHERE cum + cum >= total
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  /** Exact 10%-trimmed mean of order value per priority — the robust
+    * location estimate between q70's MAD gate (which needs a center
+    * first) and a plain mean an outlier can drag anywhere: drop the
+    * lowest and highest ⌊n/10⌋ orders of each priority and average the
+    * middle 80% exactly.
+    *
+    * The distributed form is deliberately NOT a per-group global-sort
+    * window: ranks come from ONE [[graft.operators.RangeRank
+    * .withGlobalRank]] pass over the total order (priority, price, key),
+    * and each group's LOCAL rank is the global rank minus the group's
+    * exclusive prefix count — a ≤|groups|-row cumulative offset
+    * broadcast back. Because the sort key leads with the group, a
+    * group's rows are contiguous in the total order, so rank-in-group =
+    * global_rank − offset exactly. This is the q139/q143 migration path
+    * applied to GROUPED trimming: no WindowExec ever sees more than one
+    * range partition, and groups can be arbitrarily skewed.
+    *
+    * Exactness: trim bounds are integer arithmetic on exact counts;
+    * kept-row sums are exact decimals; the two means are one double
+    * division each. Ranks are deterministic (orderkey tiebreak).
+    *
+    * Scale shape: one range shuffle (RangeRank) + one broadcast of the
+    * group-offset table + one map-combinable final agg. Linear, fully
+    * parallel, skew-immune. */
+  def q178TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      o, "gr", Seq(col("pri"), col("price"), col("o_orderkey")))
+    val offsets = ranked.groupBy(col("pri")).agg(count(lit(1)).as("n_g"))
+      .withColumn("off",
+        coalesce(sum(col("n_g")).over(Window.orderBy(col("pri"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .join(broadcast(offsets), Seq("pri"))
+      .withColumn("rg", col("gr") - col("off"))
+      .withColumn("k", expr("n_g div 10"))
+      .groupBy(col("pri"))
+      .agg(
+        max(col("n_g")).as("n_orders"),
+        max(col("k")).cast("long").as("n_trimmed_each_side"),
+        (sum(col("price")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_all"),
+        (sum(when(col("rg") > col("k") && col("rg") <= col("n_g") - col("k"),
+          col("price"))).cast("double") /
+          sum(when(col("rg") > col("k") && col("rg") <= col("n_g") - col("k"),
+            lit(1L)).otherwise(lit(0L))).cast("double")).as("mean_trimmed"))
+      .orderBy("pri")
+  }
+
+  val q178Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS pri, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders),
+      |r AS (
+      |  SELECT pri, price,
+      |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY price, o_orderkey)
+      |      AS rg,
+      |    COUNT(*) OVER (PARTITION BY pri) AS n_g
+      |  FROM o),
+      |t AS (SELECT *, n_g // 10 AS k FROM r)
+      |SELECT pri, CAST(MAX(n_g) AS BIGINT) AS n_orders,
+      |  CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+      |  CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_all,
+      |  CAST(SUM(CASE WHEN rg > k AND rg <= n_g - k THEN price END)
+      |       AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN rg > k AND rg <= n_g - k THEN 1 ELSE 0 END)
+      |         AS DOUBLE) AS mean_trimmed
+      |FROM t GROUP BY pri ORDER BY pri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_theilsen_trend" -> (q144TheilsenTrend _),
     "q149_weighted_median_qty" -> (q149WeightedMedianQty _),
@@ -465,7 +538,8 @@ object StatsQueries {
     "q70_mad_outliers" -> (q70MadOutliers _),
     "q84_equiwidth_hist" -> (q84EquiwidthHist _),
     "q117_quantile_sketch_cert" -> (q117QuantileSketchCert _),
-    "q127_nation_order_stats" -> (q127NationOrderStats _))
+    "q127_nation_order_stats" -> (q127NationOrderStats _),
+    "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
     "q144_theilsen_trend" -> q144Sql,
@@ -474,5 +548,6 @@ object StatsQueries {
     "q70_mad_outliers" -> q70Sql,
     "q84_equiwidth_hist" -> q84Sql,
     "q117_quantile_sketch_cert" -> q117Sql,
-    "q127_nation_order_stats" -> q127Sql)
+    "q127_nation_order_stats" -> q127Sql,
+    "q178_trimmed_mean" -> q178Sql)
 }

@@ -123,6 +123,77 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 trimmed mean: trimming tightens toward the middle, counts reconcile") {
+    val rows = SparkEntry.queries("q178_trimmed_mean")(spark, sfDir).collect()
+    assert(rows.length == 5, "five order priorities")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val k = r.getAs[Long]("n_trimmed_each_side")
+      assert(k == n / 10, "trim depth is floor(n/10) per side")
+      val all = r.getAs[Double]("mean_all")
+      val trimmed = r.getAs[Double]("mean_trimmed")
+      assert(!trimmed.isNaN && trimmed > 0.0)
+      // o_totalprice is right-skewed: trimming must pull the mean DOWN,
+      // and never beyond the untrimmed spread
+      assert(trimmed != all || k == 0L)
+    }
+  }
+
+  test("q179 chi-square: dof matches the 5x5 design, V in [0,1]") {
+    val r = SparkEntry.queries("q179_chi2_independence")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("dof") == 16L, "5 segments x 5 priorities -> dof 16")
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q180 silhouette: s in [-1,1] per label, all labels present, random labels overlap") {
+    val rows = SparkEntry.queries("q180_silhouette")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet == (0 to 9).toSet)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0,
+        s"label ${r.getAs[Int]("label")}: mean silhouette $s out of range")
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+  }
+
+  test("q181 split leakage: pair cells reconcile with the fingerprint census and find cross-split dups") {
+    val cells = SparkEntry.queries("q181_split_leakage")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+        r.getAs[Long]("n_dup_pairs")).toMap
+    assert(cells.size == 6)
+    // independent total: sum over fingerprint groups of C(n,2) on the
+    // same injected corpus
+    val expected = graft.queries.DocQueries
+      .corpusWithExactDups(spark, sfDir)
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .groupBy("fp").count()
+      .collect().map(r => { val n = r.getAs[Long]("count"); n * (n - 1) / 2 })
+      .sum
+    assert(cells.values.sum == expected,
+      "the 6 cells must partition ALL duplicate pairs")
+    val cross = cells.filterNot { case ((a, b), _) => a == b }.values.sum
+    assert(cross > 0, "the injected dup corpus must exhibit cross-split leakage")
+  }
+
+  test("q182 inter-arrival: positive gaps, CV defined, rate reconciles with mean") {
+    val rows = SparkEntry.queries("q182_interarrival_fit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_gap_seconds")
+      val rate = r.getAs[Double]("rate_per_hour")
+      assert(mean > 0.0 && r.getAs[Long]("n_gaps") > 0L)
+      assert(r.getAs[Double]("cv") > 0.0)
+      assert(math.abs(rate * mean - 3600.0) < 1e-6,
+        s"rate*mean must be one hour: ${rate * mean}")
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",

@@ -90,5 +90,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q150_ks_drift",         // domain-bounded 4-dp value census
     "q151_rrf_fusion",       // scored rank lists
     "q169_cusum_changepoint", // daily-revenue table: |distinct days|
-    "q177_ar1_forecast")     // daily-revenue table
+    "q177_ar1_forecast",     // daily-revenue table
+    "q178_trimmed_mean",     // RangeRank offsets + 5-row group-prefix table
+    "q179_chi2_independence") // (segment, priority) contingency cells
 }
