@@ -312,15 +312,71 @@ object CorpusStatsQueries {
       |        / CAST(n AS DOUBLE), 6) + 0.0 AS heaps_ln_k
       |FROM sums""".stripMargin
 
+  // --------------------------------------------------------------- q184
+  /** Vocabulary-richness census per language: token count, vocabulary
+    * size, hapax legomena (tokens occurring exactly once), the hapax
+    * fraction of the vocabulary, and the type-token ratio. The
+    * lexical-diversity siblings of q115's Zipf slope and q147's Heaps
+    * exponent — and the practical dedup/quality tell: boilerplate-heavy
+    * or template-generated corpora collapse the hapax fraction long
+    * before a Zipf fit moves, so curation pipelines track it per source
+    * per batch.
+    *
+    * Exactness: everything through the final two ratios is exact BIGINT
+    * census arithmetic; the ratios are single double divisions.
+    *
+    * Scale shape: one shuffle to the (lang, token) census (map-side
+    * combine absorbs the explode fan-out), one map-combinable rollup to
+    * |langs| rows. The census is vocabulary-bounded — corpus growth
+    * adds occurrences, not rows, past the vocabulary's saturation. */
+  def q184VocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    census
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_frac"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy("lang")
+  }
+
+  val q184Sql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (
+      |  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS vocab,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM census GROUP BY 1)
+      |SELECT lang, n_tokens, vocab, hapax,
+      |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_frac,
+      |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+      |FROM r ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_pmi_collocations" -> (q112PmiCollocations _),
     "q114_lang_overlap" -> (q114LangOverlap _),
     "q115_zipf_fit" -> (q115ZipfFit _),
-    "q147_heaps_fit" -> (q147HeapsFit _))
+    "q147_heaps_fit" -> (q147HeapsFit _),
+    "q184_vocab_richness" -> (q184VocabRichness _))
 
   def oracles: Map[String, String] = Map(
     "q112_pmi_collocations" -> q112Sql,
     "q114_lang_overlap" -> q114Sql,
     "q115_zipf_fit" -> q115Sql,
-    "q147_heaps_fit" -> q147Sql)
+    "q147_heaps_fit" -> q147Sql,
+    "q184_vocab_richness" -> q184Sql)
 }

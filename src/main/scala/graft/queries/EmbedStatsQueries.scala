@@ -411,15 +411,92 @@ object EmbedStatsQueries {
       |FROM s GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // --------------------------------------------------------------- q183
+  /** Effective dimensionality of the embedding cloud — the participation
+    * ratio PR = (Σᵢ varᵢ)² / Σᵢ varᵢ² over the per-dimension variances:
+    * 64 if every dimension carries equal variance, → 1 as the cloud
+    * collapses onto one axis. The one-number summary of what q119's full
+    * covariance and q126's top component resolve in detail — the
+    * embedding-health gauge tracked per encoder release (anisotropic
+    * collapse is the classic failure mode of a bad checkpoint).
+    *
+    * Exactness: elements snap to the 6-dp grid (q126's width note:
+    * scale-12 products keep every decimal→double cast exact in both
+    * engines — scale-18 sums would NOT cast exactly and the wobble can
+    * flip a 9-dp rounding); each variance is one identically-spelled
+    * double chain rounded to the 9-dp grid; the two PR sums are then
+    * exact decimal sums over 64 rows, divided once.
+    *
+    * Scale shape: q119's mean pass only — one explode collapsed by
+    * map-side combine to 64 groups, then a 64-row reduce. Shuffle volume
+    * independent of corpus size. */
+  def q183EffectiveDim(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(transform(col("embedding"),
+        x => round(x.cast("double"), 6).cast("decimal(12,6)")).as("vv"))
+    val perDim = v
+      .select(explode(transform(sequence(lit(1), lit(dim)),
+        i => struct(i.as("i"), element_at(col("vv"), i).as("x")))).as("e"))
+      .groupBy(col("e.i").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("e.x")).as("sx"),
+        sum(col("e.x") * col("e.x")).as("sxx"))
+    val nd = col("n").cast("double")
+    perDim
+      .select(col("n"),
+        round(col("sxx").cast("double") / nd -
+          (col("sx").cast("double") / nd) * (col("sx").cast("double") / nd),
+          9).cast("decimal(12,9)").as("v9"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum(col("v9")).cast("double").as("total_var"),
+        // the squared terms snap to a 12-dp decimal BEFORE summing: a
+        // scale-18 sum's unscaled value exceeds 2^53 and its
+        // decimal→double cast is then engine-dependent (the q126 trap,
+        // one level up)
+        ((sum(col("v9")).cast("double") * sum(col("v9")).cast("double")) /
+          sum(round(col("v9") * col("v9"), 12).cast("decimal(14,12)"))
+            .cast("double")).as("effective_dim"))
+      .select(col("n_vecs"), lit(dim).cast("long").as("n_dims"),
+        col("total_var"), col("effective_dim"))
+  }
+
+  val q183Sql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS vv
+      |  FROM embeddings),
+      |per_dim AS (
+      |  SELECT i, COUNT(*) AS n, SUM(vv[i]) AS sx, SUM(vv[i] * vv[i]) AS sxx
+      |  FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+      |  GROUP BY i),
+      |v9 AS (
+      |  SELECT n,
+      |    CAST(round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) AS v9
+      |  FROM per_dim)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+      |  CAST(64 AS BIGINT) AS n_dims,
+      |  CAST(SUM(v9) AS DOUBLE) AS total_var,
+      |  (CAST(SUM(v9) AS DOUBLE) * CAST(SUM(v9) AS DOUBLE)) /
+      |    CAST(SUM(CAST(round(v9 * v9, 12) AS DECIMAL(14,12))) AS DOUBLE)
+      |    AS effective_dim
+      |FROM v9""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_embed_covariance" -> (q119EmbedCovariance _),
     "q126_pca_power" -> (q126PcaPower _),
     "q166_source_drift" -> (q166SourceDrift _),
-    "q180_silhouette" -> (q180Silhouette _))
+    "q180_silhouette" -> (q180Silhouette _),
+    "q183_effective_dim" -> (q183EffectiveDim _))
 
   def oracles: Map[String, String] = Map(
     "q119_embed_covariance" -> q119Sql,
     "q126_pca_power" -> q126Sql,
     "q166_source_drift" -> q166Sql,
-    "q180_silhouette" -> q180Sql)
+    "q180_silhouette" -> q180Sql,
+    "q183_effective_dim" -> q183Sql)
 }

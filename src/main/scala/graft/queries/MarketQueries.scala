@@ -240,7 +240,8 @@ object MarketQueries {
     "q136_twap_value" -> (q136TwapValue _),
     "q139_rfm_segments" -> (q139RfmSegments _),
     "q143_revenue_deciles" -> (q143RevenueDeciles _),
-    "q174_nation_gini" -> (q174NationGini _))
+    "q174_nation_gini" -> (q174NationGini _),
+    "q185_churn_risk" -> (q185ChurnRisk _))
 
   // --------------------------------------------------------------- q174
   /** Gini coefficient of customer spend per nation — the inequality
@@ -317,10 +318,79 @@ object MarketQueries {
       |    (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
       |FROM agg ORDER BY n_name""".stripMargin
 
+  // --------------------------------------------------------------- q185
+  /** Personalized churn-risk census per market segment: a repeat
+    * customer is "overdue" when the time since their last order exceeds
+    * 2× their OWN mean inter-order cadence — the data-driven version of
+    * q110's fixed idle threshold, and the number a retention team
+    * actually pages on (a weekly buyer gone 3 weeks is churning; a
+    * yearly buyer gone 3 weeks is fine). q139 scores recency against
+    * the population; this scores it against each customer's history.
+    *
+    * Exactness: ALL-INTEGER — the overdue predicate cross-multiplies to
+    * (n−1)·days_since > 2·(last−first) in whole days, so there is no
+    * division anywhere before the final rate; day differences are exact
+    * DATE arithmetic in both engines. Mean cadence never materializes.
+    *
+    * Scale shape: one map-combinable rollup of orders to the customer
+    * entity grain, a 1-row max-date broadcast, a broadcast-able customer
+    * dim join, and a |segments|-row census. No window at all. */
+  def q185ChurnRisk(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("first_od"), max(col("od")).as("last_od"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    val mx = o.agg(max(col("od")).as("corpus_max"))
+    val seg = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    per.crossJoin(broadcast(mx))
+      .withColumn("days_since", datediff(col("corpus_max"), col("last_od")))
+      .withColumn("span_days", datediff(col("last_od"), col("first_od")))
+      .withColumn("overdue",
+        (col("n_orders") - 1) * col("days_since") > lit(2) * col("span_days"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_repeat_customers"),
+        sum(when(col("overdue"), 1L).otherwise(0L)).as("n_overdue"),
+        (sum(when(col("overdue"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("overdue_rate"),
+        (sum(col("days_since")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_days_since_last"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q185Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |per AS (
+      |  SELECT o_custkey, MIN(od) AS first_od, MAX(od) AS last_od,
+      |    COUNT(*) AS n_orders
+      |  FROM o GROUP BY 1 HAVING COUNT(*) >= 2),
+      |mx AS (SELECT MAX(od) AS corpus_max FROM o),
+      |f AS (
+      |  SELECT c_mktsegment,
+      |    date_diff('day', last_od, corpus_max) AS days_since,
+      |    (n_orders - 1) * date_diff('day', last_od, corpus_max)
+      |      > 2 * date_diff('day', first_od, last_od) AS overdue
+      |  FROM per CROSS JOIN mx
+      |  JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_repeat_customers,
+      |  CAST(SUM(CASE WHEN overdue THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overdue,
+      |  CAST(SUM(CASE WHEN overdue THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS overdue_rate,
+      |  CAST(SUM(days_since) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS avg_days_since_last
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,
     "q139_rfm_segments" -> q139Sql,
     "q143_revenue_deciles" -> q143Sql,
-    "q174_nation_gini" -> q174Sql)
+    "q174_nation_gini" -> q174Sql,
+    "q185_churn_risk" -> q185Sql)
 }

@@ -194,6 +194,41 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 effective dim: PR in (1, 64], variance positive") {
+    val r = SparkEntry.queries("q183_effective_dim")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_dims") == 64L)
+    assert(r.getAs[Double]("total_var") > 0.0)
+    val ed = r.getAs[Double]("effective_dim")
+    assert(ed > 1.0 && ed <= 64.0, s"participation ratio $ed out of range")
+  }
+
+  test("q184 vocab richness: census inequalities hold per language") {
+    val rows = SparkEntry.queries("q184_vocab_richness")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet ==
+      Set("en", "zh", "es", "de", "fr"))
+    rows.foreach { r =>
+      val (n, v, h) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("hapax"))
+      assert(v <= n && h <= v,
+        s"${r.getAs[String]("lang")}: vocab $v tokens $n hapax $h")
+      assert(r.getAs[Double]("type_token_ratio") > 0.0 &&
+        r.getAs[Double]("type_token_ratio") <= 1.0)
+    }
+  }
+
+  test("q185 churn risk: rates bounded, overdue never exceeds repeat customers") {
+    val rows = SparkEntry.queries("q185_churn_risk")(spark, sfDir).collect()
+    assert(rows.length == 5, "five market segments")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_overdue") <= r.getAs[Long]("n_repeat_customers"))
+      val rate = r.getAs[Double]("overdue_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("avg_days_since_last") >= 0.0)
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
