@@ -197,13 +197,108 @@ object GraphQueries {
       |SELECT node AS p_partkey, MIN(cost) AS path_cost
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  /** Degree distribution of the co-purchase graph with a log-log
+    * power-law fit — the graph-shape telemetry that decides which
+    * algorithms are safe: a heavy-tailed degree distribution (slope
+    * around −2..−3) means hub nodes exist, so triangle counting needs
+    * q111's degree-orientation and joins need skew handling; a flat
+    * distribution means neither. Output: node/edge totals, the maximum
+    * degree, and the OLS slope/intercept of ln(count) on ln(degree)
+    * over the degree census — q115's Zipf machinery pointed at graph
+    * degrees instead of token ranks.
+    *
+    * Exactness: the census is exact integers; log points snap to the
+    * 9-dp grid so the OLS sums are exact decimals (q115's recipe,
+    * including its final 6-dp output rounding with the negative-zero
+    * guard, which absorbs the scale-18 cast wobble).
+    *
+    * Scale shape: degrees are one map-combinable agg over the edge
+    * list; the census collapses to |distinct degrees| rows (hundreds at
+    * any corpus size — degree values saturate long before node counts);
+    * the fit is a single reduce over the census. */
+  def q186DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val und = edges.select(col("pa").as("u"))
+      .union(edges.select(col("pb").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val census = deg.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val pts = census.select(col("d"), col("cnt"),
+      round(log(col("d").cast("double")), 9).cast("decimal(18,9)").as("x"),
+      round(log(col("cnt").cast("double")), 9).cast("decimal(18,9)").as("y"))
+    val sums = pts.agg(
+      count(lit(1)).as("n_points"),
+      sum(col("d") * col("cnt")).as("deg_sum"),
+      max(col("d")).as("max_degree"),
+      sum(col("cnt")).as("n_nodes"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val nd = col("n_points").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    sums
+      .withColumn("slope", slope)
+      .select(col("n_nodes"), expr("deg_sum div 2").as("n_edges"),
+        col("max_degree"), col("n_points").as("n_distinct_degrees"),
+        (round(col("slope"), 6) + lit(0.0)).as("powerlaw_slope"),
+        (round((col("sy") - col("slope") * col("sx")) / nd, 6) + lit(0.0))
+          .as("powerlaw_intercept"))
+  }
+
+  val q186Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT pa AS u FROM edges UNION ALL SELECT pb FROM edges),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+      |census AS (SELECT d, COUNT(*) AS cnt FROM deg GROUP BY 1),
+      |pts AS (
+      |  SELECT d, cnt,
+      |    CAST(round(ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      |  FROM census),
+      |sums AS (
+      |  SELECT COUNT(*) AS n_points,
+      |    CAST(SUM(d * cnt) AS BIGINT) AS deg_sum,
+      |    MAX(d) AS max_degree,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM pts),
+      |f AS (
+      |  SELECT *,
+      |    (CAST(n_points AS DOUBLE) * sxy - sx * sy) /
+      |      (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS slope
+      |  FROM sums)
+      |SELECT n_nodes, deg_sum // 2 AS n_edges, max_degree,
+      |  n_points AS n_distinct_degrees,
+      |  round(slope, 6) + 0.0 AS powerlaw_slope,
+      |  round((sy - slope * sx) / CAST(n_points AS DOUBLE), 6) + 0.0
+      |    AS powerlaw_intercept
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_triangles" -> (q111Triangles _),
     "q123_khop_bfs" -> (q123KhopBfs _),
-    "q173_cheapest_paths" -> (q173CheapestPaths _))
+    "q173_cheapest_paths" -> (q173CheapestPaths _),
+    "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
     "q111_triangles" -> q111Sql,
     "q123_khop_bfs" -> q123Sql,
-    "q173_cheapest_paths" -> q173Sql)
+    "q173_cheapest_paths" -> q173Sql,
+    "q186_degree_dist" -> q186Sql)
 }

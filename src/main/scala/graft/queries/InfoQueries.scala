@@ -272,15 +272,110 @@ object InfoQueries {
       |     CAST(LEAST(MAX(nx) - 1, MAX(ny) - 1) AS DOUBLE))) AS cramers_v
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  /** Population Stability Index of the document-length distribution per
+    * source, against the corpus-wide baseline: PSI = Σ_b (pᵦ−qᵦ)·ln(pᵦ/qᵦ)
+    * over fixed 200-char length buckets. THE production drift gate of
+    * scoring pipelines (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 shift)
+    * — q140's KL is its asymmetric cousin; PSI is symmetric and is the
+    * number risk/quality dashboards actually threshold. A source whose
+    * length profile drifts from the corpus is the first sign its crawler
+    * or extractor changed behavior.
+    *
+    * Semantics: the (source × bucket) grid is completed via a cross
+    * join of the distinct sides (missing cells = 0) and both
+    * distributions get +0.5 additive smoothing per cell — otherwise an
+    * empty cell makes ln(p/q) singular; the smoothing is spelled
+    * identically in the twin so the statistic is deterministic.
+    *
+    * Exactness: counts exact; each bucket's PSI term snaps to the 9-dp
+    * decimal grid (q137's ln9 convention) so the per-source sum is
+    * order-independent; one double division chain per cell before the
+    * grid snap, spelled identically both sides.
+    *
+    * Scale shape: one map-combinable agg to the (source, bucket) census
+    * (bucket domain is bounded by max doc length / 200); the grid
+    * completion crosses two TINY distinct lists; windows run over the
+    * census only. */
+  def q187PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "documents")
+      .groupBy(col("source"), expr("n_chars div 200").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val sources = census.select(col("source")).distinct()
+    val buckets = census.select(col("bucket")).distinct()
+    val grid = sources.crossJoin(buckets)
+      .join(census, Seq("source", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val m = grid
+      .withColumn("tot_s", sum(col("cnt"))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("tot_b", sum(col("cnt"))
+        .over(Window.partitionBy(col("bucket"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("nb", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+    val dbl = (c: String) => col(c).cast("double")
+    val p = (dbl("cnt") + lit(0.5)) /
+      (dbl("tot_s") + lit(0.5) * dbl("nb"))
+    val q = (dbl("tot_b") + lit(0.5)) /
+      (dbl("tot") + lit(0.5) * dbl("nb"))
+    // the whole (p−q)·ln(p/q) term is one identically-spelled double
+    // chain snapped ONCE to the 9-dp grid — the sum is then an exact,
+    // order-independent decimal whose unscaled value stays far under
+    // 2^53 (PSI is O(10)), so the final cast is exact in both engines
+    m.select(col("source"), col("tot_s"),
+        round((p - q) * log(p / q), 9).cast("decimal(12,9)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_docs"),
+        sum(col("term")).cast("double").as("psi"))
+      .orderBy("source")
+  }
+
+  val q187Sql: String =
+    """WITH census AS (
+      |  SELECT source, n_chars // 200 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, b.bucket, COALESCE(c.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT source FROM census) s
+      |  CROSS JOIN (SELECT DISTINCT bucket FROM census) b
+      |  LEFT JOIN census c ON c.source = s.source AND c.bucket = b.bucket),
+      |m AS (
+      |  SELECT source, cnt,
+      |    SUM(cnt) OVER (PARTITION BY source) AS tot_s,
+      |    SUM(cnt) OVER (PARTITION BY bucket) AS tot_b,
+      |    SUM(cnt) OVER () AS tot,
+      |    COUNT(*) OVER (PARTITION BY source) AS nb
+      |  FROM grid),
+      |t AS (
+      |  SELECT source, tot_s,
+      |    CAST(round(
+      |      (((CAST(cnt AS DOUBLE) + 0.5) /
+      |         (CAST(tot_s AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE))) -
+      |       ((CAST(tot_b AS DOUBLE) + 0.5) /
+      |         (CAST(tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)))) *
+      |      ln(((CAST(cnt AS DOUBLE) + 0.5) /
+      |           (CAST(tot_s AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE))) /
+      |          ((CAST(tot_b AS DOUBLE) + 0.5) /
+      |           (CAST(tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)))), 9)
+      |      AS DECIMAL(12,9)) AS term
+      |  FROM m)
+      |SELECT source, CAST(MAX(tot_s) AS BIGINT) AS n_docs,
+      |  CAST(SUM(term) AS DOUBLE) AS psi
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_mutual_info" -> (q137MutualInfo _),
     "q138_benford_audit" -> (q138BenfordAudit _),
     "q140_source_lang_kl" -> (q140SourceLangKl _),
-    "q179_chi2_independence" -> (q179Chi2Independence _))
+    "q179_chi2_independence" -> (q179Chi2Independence _),
+    "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
     "q137_mutual_info" -> q137Sql,
     "q138_benford_audit" -> q138Sql,
     "q140_source_lang_kl" -> q140Sql,
-    "q179_chi2_independence" -> q179Sql)
+    "q179_chi2_independence" -> q179Sql,
+    "q187_psi_drift" -> q187Sql)
 }

