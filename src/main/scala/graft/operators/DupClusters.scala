@@ -310,56 +310,87 @@ object DupClusters {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q45_dup_clusters" -> (q45DupClusters _))
+    "q45_dup_clusters" -> (q45DupClusters _),
+    "q189_cluster_census" -> (q189ClusterCensus _))
+
+  /** The q45 cluster build as a reusable oracle CTE prefix (`comp` =
+    * (node, cluster_id), `sizes` = (cluster_id, n)) shared by the q45
+    * dump and the q189 census. */
+  private val q45Cte: String =
+    """WITH RECURSIVE
+      |base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |variants AS (
+      |  SELECT doc_id AS id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz extra tail' FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz extra tail rr more pad'
+      |  FROM base),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END) AS sh
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM variants)),
+      |inv AS (
+      |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
+      |cand AS (
+      |  SELECT DISTINCT i1.id AS a, i2.id AS b
+      |  FROM inv i1 JOIN inv i2 USING (s)
+      |  WHERE i1.id < i2.id),
+      |edges AS (
+      |  SELECT a, b
+      |  FROM cand
+      |  JOIN shs sa ON cand.a = sa.id
+      |  JOIN shs sb ON cand.b = sb.id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION
+      |  SELECT b, a FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+      |""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** Near-dup cluster-size census — the dedup TELEMETRY over q45's
+    * clusters: for each cluster size, how many clusters and how many
+    * documents they hold. The number a curation run reports ("38
+    * clusters of size 3, 0 mega-clusters") and the canary for banding
+    * bugs — a too-loose candidate stage shows up here as one giant
+    * cluster long before anyone inspects pairs. Runs the SAME operator
+    * as q45 (PPJoin candidates → large-star/small-star CC) and
+    * collapses its output; the oracle reuses q45's recursive-CTE prefix
+    * verbatim, so the census is certified against the identical
+    * fixpoint. All-integer output. */
+  def q189ClusterCensus(spark: SparkSession, dir: String): DataFrame =
+    q45DupClusters(spark, dir)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("cluster_size")
+
+  val q189Sql: String = q45Cte +
+    """SELECT CAST(n AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs
+      |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
-    "q45_dup_clusters" ->
-      """WITH RECURSIVE
-        |base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        |variants AS (
-        |  SELECT doc_id AS id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' zz extra tail' FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' zz extra tail rr more pad'
-        |  FROM base),
-        |shs AS (
-        |  SELECT id, list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |    END) AS sh
-        |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |        FROM variants)),
-        |inv AS (
-        |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
-        |cand AS (
-        |  SELECT DISTINCT i1.id AS a, i2.id AS b
-        |  FROM inv i1 JOIN inv i2 USING (s)
-        |  WHERE i1.id < i2.id),
-        |edges AS (
-        |  SELECT a, b
-        |  FROM cand
-        |  JOIN shs sa ON cand.a = sa.id
-        |  JOIN shs sb ON cand.b = sb.id
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |        / (len(sa.sh) + len(sb.sh)
-        |           - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
-        |sym AS (
-        |  SELECT a AS src, b AS dst FROM edges
-        |  UNION
-        |  SELECT b, a FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM sym
-        |  UNION
-        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        |comp AS (
-        |  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |sizes AS (
-        |  SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
-        |SELECT node AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+    "q189_cluster_census" -> q189Sql,
+    "q45_dup_clusters" -> (q45Cte +
+      """SELECT node AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
         |FROM comp JOIN sizes USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin))
 }

@@ -109,11 +109,68 @@ object TpchQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // --------------------------------------------------------------- q188
+  /** Supplier-concentration risk per part — the Herfindahl–Hirschman
+    * index of each part's lineitem volume across its suppliers, with
+    * the top 20 most concentrated multi-supplier parts (ties broken by
+    * part key). HHI = Σᵢ shareᵢ² ∈ (1/k, 1]: 1 means single-sourced;
+    * procurement risk dashboards page when a revenue-critical part
+    * drifts toward 1. Complements q65's key-skew profile (which finds
+    * skewed JOIN keys; this finds skewed SUPPLY).
+    *
+    * Exactness: HHI is kept RATIONAL until the last op — Σcᵢ² and
+    * (Σcᵢ)² are exact BIGINTs (per-(part, supplier) counts are far
+    * below the ~3×10⁹ that would overflow a squared BIGINT), so the
+    * index is ONE double division per part; the top-20 ranking orders
+    * by that double (identical chains both sides, so ranks agree) with
+    * the part key as tiebreak.
+    *
+    * Scale shape: one map-combinable agg to the (part, supplier)
+    * census, one to the per-part sums, then TakeOrderedAndProject for
+    * the top 20 — no full sort, no window. */
+  def q188SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    perSupp
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c")).as("n_lineitems"),
+        sum(col("c") * col("c")).as("sc2"))
+      .filter(col("n_suppliers") >= 2)
+      .withColumn("hhi",
+        col("sc2").cast("double") /
+          (col("n_lineitems").cast("double") *
+            col("n_lineitems").cast("double")))
+      .orderBy(col("hhi").desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey").as("p_partkey"), col("n_suppliers"),
+        col("n_lineitems"), col("hhi"))
+  }
+
+  val q188Sql: String =
+    """WITH per_supp AS (
+      |  SELECT l_partkey, l_suppkey, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |per_part AS (
+      |  SELECT l_partkey, COUNT(*) AS n_suppliers,
+      |    CAST(SUM(c) AS BIGINT) AS n_lineitems,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM per_supp GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, n_suppliers, n_lineitems,
+      |  CAST(sc2 AS DOUBLE) /
+      |    (CAST(n_lineitems AS DOUBLE) * CAST(n_lineitems AS DOUBLE)) AS hhi
+      |FROM per_part
+      |WHERE n_suppliers >= 2
+      |ORDER BY hhi DESC, l_partkey LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_shipping_priority" -> (q67ShippingPriority _),
-    "q68_local_supplier_volume" -> (q68LocalSupplierVolume _))
+    "q68_local_supplier_volume" -> (q68LocalSupplierVolume _),
+    "q188_supplier_hhi" -> (q188SupplierHhi _))
 
   def oracles: Map[String, String] = Map(
     "q67_shipping_priority" -> q67Sql,
-    "q68_local_supplier_volume" -> q68Sql)
+    "q68_local_supplier_volume" -> q68Sql,
+    "q188_supplier_hhi" -> q188Sql)
 }

@@ -255,6 +255,34 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 supplier HHI: index bounded by (1/k, 1], top list ordered") {
+    val rows = SparkEntry.queries("q188_supplier_hhi")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      assert(k >= 2L)
+      assert(hhi > 1.0 / k && hhi <= 1.0,
+        s"part ${r.getAs[Long]("p_partkey")}: hhi $hhi with $k suppliers")
+    }
+    val hhis = rows.map(_.getAs[Double]("hhi")).toSeq
+    assert(hhis == hhis.sorted.reverse, "must be ordered most-concentrated first")
+  }
+
+  test("q189 cluster census: doc accounting reconciles with q45's labels") {
+    val labels = SparkEntry.queries("q45_dup_clusters")(spark, sfDir).collect()
+    val census = SparkEntry.queries("q189_cluster_census")(spark, sfDir)
+      .collect()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == labels.length,
+      "census docs must equal labeled docs")
+    census.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("cluster_size") >= 2L,
+        "CC labels only nodes with at least one edge")
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
