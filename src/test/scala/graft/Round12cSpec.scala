@@ -283,6 +283,24 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 segment digests flag exactly the perturbed segments with the right class") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val keys = graft.queries.Kpis.table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), expr("o_orderkey div 1024").as("seg"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("seg")))
+    val dropSegs = keys.filter(_._1 % 1000 == 7).map(_._2).toSet
+    val repriceSegs = keys.filter(_._1 % 1000 == 13).map(_._2).toSet
+    val flagged = SparkEntry.queries("q190_segment_digest_diff")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("segment") -> r.getAs[String]("status")).toMap
+    assert(flagged.keySet == (dropSegs ++ repriceSegs),
+      "flagged segments must be exactly those containing a perturbed key")
+    flagged.foreach { case (seg, status) =>
+      if (dropSegs(seg)) assert(status == "count_drift", s"seg $seg")
+      else assert(status == "content_drift", s"seg $seg")
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
