@@ -193,11 +193,68 @@ object EntityQueries {
       |WHERE levenshtein(a.name, b.name) <= 1
       |ORDER BY id_1, id_2""".stripMargin
 
+  // --------------------------------------------------------------- q191
+  /** Entity-resolution clusters — the transitive-closure completion of
+    * q81's PAIRS: connected components over the verified lev ≤ 1 match
+    * graph, reported as a cluster-size census. Pairwise ER under-merges
+    * (A≈B, B≈C with A,C two edits apart still name ONE entity); the
+    * standard fix is exactly this — components over the match graph —
+    * and the census is the audit number: a mega-cluster here means the
+    * match threshold chains unrelated entities (as TPC-H's sequential
+    * customer names deliberately do), which is precisely what an ER
+    * operator must surface before anyone merges records.
+    *
+    * Spark side: q81's blocked equi-join pair generation feeding
+    * [[graft.operators.DupClusters.connectedComponents]] (large-star/
+    * small-star, O(log n) rounds). Oracle: the same closure as a
+    * recursive CTE over the identical pair set (q45's fixpoint
+    * pattern). All-integer output: hash-safe.
+    *
+    * Scale shape: pair generation is q81's (equi-join on blocking keys,
+    * measured 10.1× at 10×); CC shuffles only the edge table per round
+    * and the census is a two-level rollup. */
+  def q191EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q81FuzzyNames(spark, dir).select(col("id_1"), col("id_2"))
+    graft.operators.DupClusters
+      .connectedComponents(pairs, "id_1", "id_2")
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_entities"))
+      .orderBy("cluster_size")
+  }
+
+  val q191Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2
+      |  FROM customer a JOIN customer b
+      |    ON a.c_custkey < b.c_custkey
+      |    AND length(a.c_name) = length(b.c_name)
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |sym AS (
+      |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+      |  UNION
+      |  SELECT id_2, id_1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+      |  FROM reach GROUP BY src),
+      |sizes AS (
+      |  SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp)
+      |SELECT CAST(n AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(n) AS BIGINT) AS n_entities
+      |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_fuzzy_names" -> (q81FuzzyNames _),
-    "q88_symspell_names" -> (q88SymspellNames _))
+    "q88_symspell_names" -> (q88SymspellNames _),
+    "q191_entity_clusters" -> (q191EntityClusters _))
 
   def oracles: Map[String, String] = Map(
     "q81_fuzzy_names" -> q81Sql,
-    "q88_symspell_names" -> q88Sql)
+    "q88_symspell_names" -> q88Sql,
+    "q191_entity_clusters" -> q191Sql)
 }

@@ -240,15 +240,132 @@ object FunnelQueries {
       |FROM cum JOIN sizes USING (cm)
       |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q192
+  /** Kaplan–Meier survival curve for the first→second order gap, with
+    * right-censoring: customers who never ordered twice are censored at
+    * the corpus horizon instead of being dropped (dropping them — what
+    * a naive "average days to repeat" does, q93's latency stat — biases
+    * the estimate toward fast repeaters). S(t) = Π_{u≤t} (1 − dᵤ/nᵤ)
+    * over event days u, the standard estimator for "what fraction of
+    * customers have NOT repeat-purchased by day t". Reported on event
+    * days ≤ 60.
+    *
+    * Exactness: the (day, events, censored) census is exact integers;
+    * the at-risk count nᵤ is an integer window sum over the census;
+    * each ln(1 − d/n) term snaps to the 9-dp grid (q137), the running
+    * product is exp of an EXACT decimal prefix sum, and exp is one
+    * final double op per row. n > d on every emitted day by
+    * construction (censored-only tail days carry d = 0 and never reach
+    * ln(0); the largest event day has later censors at risk).
+    *
+    * Scale shape: orders collapse to the per-customer (first, second)
+    * frame in one agg; the census is |distinct gap days| rows and every
+    * window runs over it (WindowGuard bound). */
+  def q192KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("corpus_max"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+    val perCust = o
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("first_od"),
+        max(when(col("rn") === 2, col("od"))).as("second_od"))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("second_od").isNotNull,
+          datediff(col("second_od"), col("first_od")))
+          .otherwise(datediff(col("corpus_max"), col("first_od"))).as("t"),
+        col("second_od").isNotNull.as("event"))
+    val census = perCust.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val byT = Window.orderBy(col("t"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val cumLn = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("n_at_risk",
+        sum(col("d") + col("c")).over(Window.partitionBy()) -
+          coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      // d = n_at_risk happens only on the TERMINAL census day (survival
+      // hits exactly 0, far beyond the 60-day report window) — guard it
+      // or the oracle's ln(0) errors where Spark's log returns NULL
+      .withColumn("ln_term",
+        when(col("d") > 0 && col("d") < col("n_at_risk"),
+          graft.functions.ExactMath.ln9(
+            lit(1.0) - col("d").cast("double") /
+              col("n_at_risk").cast("double")))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(12,9)")))
+      // exp is libm (not correctly rounded) — a 1-ulp engine skew is
+      // real; the 6-dp output rounding is the q115 absorb convention
+      .withColumn("survival", round(exp(sum(col("ln_term")).over(cumLn)
+        .cast("double")), 6))
+      .filter(col("d") > 0 && col("t") <= 60)
+      .select(col("t").cast("long").as("gap_days"), col("n_at_risk"),
+        col("d").as("events"),
+        col("c").as("censored"), col("survival"))
+      .orderBy("gap_days")
+  }
+
+  val q192Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |mx AS (SELECT MAX(od) AS corpus_max FROM o),
+      |r AS (
+      |  SELECT o_custkey, od,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY od) AS rn
+      |  FROM o),
+      |pc AS (
+      |  SELECT o_custkey, MIN(od) AS first_od,
+      |    MAX(CASE WHEN rn = 2 THEN od END) AS second_od
+      |  FROM r WHERE rn <= 2 GROUP BY 1),
+      |t AS (
+      |  SELECT CASE WHEN second_od IS NOT NULL
+      |              THEN date_diff('day', first_od, second_od)
+      |              ELSE date_diff('day', first_od, corpus_max) END AS t,
+      |    second_od IS NOT NULL AS event
+      |  FROM pc CROSS JOIN mx),
+      |census AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM t GROUP BY 1),
+      |k AS (
+      |  SELECT t, d, c,
+      |    SUM(d + c) OVER () -
+      |      COALESCE(SUM(d + c) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_at_risk
+      |  FROM census),
+      |l AS (
+      |  SELECT *,
+      |    CASE WHEN d > 0 AND d < n_at_risk THEN
+      |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)),
+      |        9) AS DECIMAL(12,9))
+      |    ELSE CAST(0 AS DECIMAL(12,9)) END AS ln_term
+      |  FROM k)
+      |SELECT CAST(t AS BIGINT) AS gap_days,
+      |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  d AS events, c AS censored,
+      |  round(exp(CAST(SUM(ln_term) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+      |    AS survival
+      |FROM l
+      |QUALIFY d > 0 AND t <= 60
+      |ORDER BY gap_days""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_funnel" -> (q86Funnel _),
     "q87_retention" -> (q87Retention _),
     "q93_conversion_latency" -> (q93ConversionLatency _),
-    "q146_cohort_ltv" -> (q146CohortLtv _))
+    "q146_cohort_ltv" -> (q146CohortLtv _),
+    "q192_kaplan_meier" -> (q192KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
     "q86_funnel" -> q86Sql,
     "q87_retention" -> q87Sql,
     "q93_conversion_latency" -> q93Sql,
-    "q146_cohort_ltv" -> q146Sql)
+    "q146_cohort_ltv" -> q146Sql,
+    "q192_kaplan_meier" -> q192Sql)
 }

@@ -301,6 +301,42 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 entity clusters: census covers every node of q81's match graph") {
+    val pairs = SparkEntry.queries("q81_fuzzy_names")(spark, sfDir)
+      .select("id_1", "id_2").collect()
+    val nodes = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("id_1"), r.getAs[Long]("id_2"))).toSet
+    val census = SparkEntry.queries("q191_entity_clusters")(spark, sfDir)
+      .collect()
+    assert(census.map(_.getAs[Long]("n_entities")).sum == nodes.size,
+      "every matched entity must land in exactly one cluster")
+    census.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L)
+      assert(r.getAs[Long]("n_entities") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("q192 Kaplan-Meier: survival is a monotone non-increasing curve in (0,1]") {
+    val rows = SparkEntry.queries("q192_kaplan_meier")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val surv = rows.sortBy(_.getAs[Long]("gap_days"))
+      .map(_.getAs[Double]("survival")).toSeq
+    assert(surv.head <= 1.0 && surv.forall(s => s > 0.0 && s <= 1.0))
+    surv.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "survival must be non-increasing")
+      case _ => ()
+    }
+    // at-risk counts strictly decrease across event days
+    val risk = rows.sortBy(_.getAs[Long]("gap_days"))
+      .map(_.getAs[Long]("n_at_risk")).toSeq
+    risk.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a)
+      case _ => ()
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",

@@ -93,5 +93,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q177_ar1_forecast",     // daily-revenue table
     "q178_trimmed_mean",     // RangeRank offsets + 5-row group-prefix table
     "q179_chi2_independence", // (segment, priority) contingency cells
-    "q187_psi_drift")        // (source, length-bucket) grid census
+    "q187_psi_drift",        // (source, length-bucket) grid census
+    "q192_kaplan_meier")     // gap-day census (date-range-bounded)
 }
