@@ -108,9 +108,80 @@ object AsOfJoin {
       |  ON e.user_id = r.user_id AND e.ts >= r.o_ts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  // --------------------------------------------------------------- q193
+  /** As-of join FRESHNESS audit — q39 with a tolerance contract: every
+    * event classified by the age of its as-of order match (fresh =
+    * within 3 days, stale = older, unmatched = no order at-or-before),
+    * rolled up per event type with the fresh share. Real enrichment
+    * pipelines always carry this tolerance ("join the latest state, but
+    * only if it isn't ancient"); the census is the data-quality number
+    * that says how often the tolerance bites — and the unmatched band
+    * is exactly the left-rows a plain as-of silently fills with
+    * arbitrarily old state.
+    *
+    * Exactness: ages are exact microsecond BIGINT differences against a
+    * literal threshold; the census is integers; the share is one double
+    * division. Scale shape: q39's single union+window shuffle, then a
+    * map-combinable census and a window over ≤|event types|·3 rows. */
+  def q193AsofFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.queries.Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val wDedup = Window.partitionBy(col("user_id"), col("o_ts"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = graft.queries.Kpis.table(spark, dir, "orders")
+      .select((col("o_custkey") % 15).as("user_id"),
+        col("o_orderdate").as("o_ts"), col("o_orderkey"))
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1).drop("_rn")
+    val horizonUs = 3L * 86400L * 1000000L
+    val classified = joinAsOf(events, orders, "user_id", "ts", "o_ts",
+        payload = Seq("o_ts", "o_orderkey"))
+      .select(col("event_type"),
+        when(col("o_orderkey").isNull, lit("unmatched"))
+          // o_orderdate parquet-loads as TIMESTAMP_NTZ; the UTC session
+          // makes the cast to TIMESTAMP wall-clock-identical
+          .when(unix_micros(col("ts")) -
+            unix_micros(col("o_ts").cast("timestamp"))
+            <= horizonUs, lit("fresh"))
+          .otherwise(lit("stale")).as("match_class"))
+    val census = classified.groupBy(col("event_type"), col("match_class"))
+      .agg(count(lit(1)).as("n_events"))
+    census
+      .withColumn("share", col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy(col("event_type")))
+          .cast("double"))
+      .orderBy("event_type", "match_class")
+  }
+
+  val q193Sql: String =
+    """WITH r0 AS (
+      |  SELECT o_custkey % 15 AS user_id, o_orderdate AS o_ts, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey % 15, o_orderdate
+      |                            ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |r AS (SELECT user_id, o_ts, o_orderkey FROM r0 WHERE rn = 1),
+      |cls AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN r.o_orderkey IS NULL THEN 'unmatched'
+      |         WHEN epoch_us(e.ts) - epoch_us(r.o_ts) <= 259200000000
+      |           THEN 'fresh'
+      |         ELSE 'stale' END AS match_class
+      |  FROM events e ASOF LEFT JOIN r
+      |    ON e.user_id = r.user_id AND e.ts >= r.o_ts),
+      |census AS (
+      |  SELECT event_type, match_class, COUNT(*) AS n_events
+      |  FROM cls GROUP BY 1, 2)
+      |SELECT event_type, match_class, n_events,
+      |  CAST(n_events AS DOUBLE) /
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+      |    AS share
+      |FROM census ORDER BY event_type, match_class""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q39_events_asof_orders" -> q39EventsAsofOrders _)
+    "q39_events_asof_orders" -> q39EventsAsofOrders _,
+    "q193_asof_freshness" -> (q193AsofFreshness _))
 
   def oracles: Map[String, String] = Map(
-    "q39_events_asof_orders" -> q39Sql)
+    "q39_events_asof_orders" -> q39Sql,
+    "q193_asof_freshness" -> q193Sql)
 }

@@ -263,15 +263,101 @@ object SessionQueries {
       |  3600.0 * n_d / sg AS rate_per_hour
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** 9-dp cos/sin grid for the 24 clock angles θₕ = 2πh/24, generated
+    * ONCE in Scala and emitted as DECIMAL(12,9) literals in BOTH engines
+    * — the dotSqlPlaneLit discipline: no engine ever calls its own
+    * cos/sin (libm, not correctly rounded), so the trigonometric
+    * "measurements" are exact by construction. */
+  private val hourCos: IndexedSeq[java.math.BigDecimal] = (0 until 24).map {
+    h => new java.math.BigDecimal(math.cos(2.0 * math.Pi * h / 24.0))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+  }
+  private val hourSin: IndexedSeq[java.math.BigDecimal] = (0 until 24).map {
+    h => new java.math.BigDecimal(math.sin(2.0 * math.Pi * h / 24.0))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+  }
+
+  // --------------------------------------------------------------- q194
+  /** Circular (directional) statistics of event time-of-day per event
+    * type: the mean clock direction and the resultant length R ∈ [0, 1]
+    * — the CORRECT "average hour" when activity wraps midnight (a naive
+    * mean of {23h, 1h} says noon; the circular mean says midnight, with
+    * R ≈ 1 flagging strong concentration). R near 0 = uniform usage;
+    * R near 1 = single daily peak — the telemetry behind load-shaped
+    * scheduling and bot detection (bots burst at one clock hour).
+    *
+    * Exactness: the 24-cell hour census is exact integers; Σc·cosθ and
+    * Σc·sinθ are exact decimal sums over the 9-dp literal grid above
+    * (count × DECIMAL(12,9) products are exact); R and the mean hour
+    * are one double chain, with atan2/sqrt wobble absorbed by the 6-dp
+    * output rounding (q115's convention) and the negative-zero guard.
+    *
+    * Scale shape: one map-combinable agg to |types|×24 cells; every
+    * later step runs on that census. */
+  def q194CircadianProfile(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.eventsTable(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val cosCol = (0 until 24).foldLeft(lit(null).cast("decimal(12,9)")) {
+      (acc, h) => when(col("h") === h,
+        lit(hourCos(h)).cast("decimal(12,9)")).otherwise(acc)
+    }
+    val sinCol = (0 until 24).foldLeft(lit(null).cast("decimal(12,9)")) {
+      (acc, h) => when(col("h") === h,
+        lit(hourSin(h)).cast("decimal(12,9)")).otherwise(acc)
+    }
+    census
+      .select(col("event_type"), col("c"),
+        (cosCol * col("c")).as("wc"), (sinCol * col("c")).as("ws"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("wc")).cast("double").as("sc"),
+        sum(col("ws")).cast("double").as("ss"))
+      .select(col("event_type"), col("n_events"),
+        (round(sqrt(col("sc") * col("sc") + col("ss") * col("ss")) /
+          col("n_events").cast("double"), 6) + lit(0.0)).as("resultant_r"),
+        (round(
+          ((atan2(col("ss"), col("sc")) / lit(2.0 * math.Pi) + lit(1.0)) %
+            lit(1.0)) * lit(24.0), 6) + lit(0.0)).as("mean_hour"))
+      .orderBy("event_type")
+  }
+
+  val q194Sql: String = {
+    def grid(vals: IndexedSeq[java.math.BigDecimal]): String =
+      (0 until 24).map(h => s"WHEN $h THEN CAST(${vals(h).toPlainString} " +
+        "AS DECIMAL(12,9))").mkString("CASE h ", " ", " END")
+    s"""WITH census AS (
+      |  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS h,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, c,
+      |    (${grid(hourCos)}) * c AS wc,
+      |    (${grid(hourSin)}) * c AS ws
+      |  FROM census),
+      |s AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(wc) AS DOUBLE) AS sc, CAST(SUM(ws) AS DOUBLE) AS ss
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, n_events,
+      |  round(sqrt(sc * sc + ss * ss) / CAST(n_events AS DOUBLE), 6) + 0.0
+      |    AS resultant_r,
+      |  round(((atan2(ss, sc) / ${2.0 * math.Pi} + 1.0) % 1.0) * 24.0, 6)
+      |    + 0.0 AS mean_hour
+      |FROM s ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessions" -> q34Sessions _,
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
-    "q182_interarrival_fit" -> (q182InterarrivalFit _))
+    "q182_interarrival_fit" -> (q182InterarrivalFit _),
+    "q194_circadian_profile" -> (q194CircadianProfile _))
 
   def oracles: Map[String, String] = Map(
     "q34_sessions" -> q34Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
-    "q182_interarrival_fit" -> q182Sql)
+    "q182_interarrival_fit" -> q182Sql,
+    "q194_circadian_profile" -> q194Sql)
 }

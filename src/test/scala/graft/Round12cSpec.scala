@@ -337,6 +337,37 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 as-of freshness: per-type shares partition to 1, classes reconcile with q39") {
+    val rows = SparkEntry.queries("q193_asof_freshness")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val total = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$t shares sum to $total")
+    }
+    // unmatched count must equal q39's NULL-match rows (same join contract)
+    val unmatched = rows.filter(_.getAs[String]("match_class") == "unmatched")
+      .map(_.getAs[Long]("n_events")).sum
+    val q39Nulls = SparkEntry.queries("q39_events_asof_orders")(spark, sfDir)
+      .filter("o_orderkey IS NULL").count()
+    assert(unmatched == q39Nulls)
+  }
+
+  test("q194 circadian profile: R in [0,1], mean hour on the clock, counts reconcile") {
+    val rows = SparkEntry.queries("q194_circadian_profile")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalEvents = rows.map(_.getAs[Long]("n_events")).sum
+    val rawCount = graft.queries.Kpis.eventsTable(spark, sfDir).count()
+    assert(totalEvents == rawCount)
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("resultant_r")
+      val mh = r.getAs[Double]("mean_hour")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(mh >= 0.0 && mh < 24.0)
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
