@@ -46,7 +46,7 @@ object DocQueries {
       .withColumn("text", concat(col("text"), lit(" zz extra tail"))))
   }
 
-  private val corpusNearDupSql =
+  private[queries] val corpusNearDupSql =
     """SELECT doc_id, text, lang FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text || ' zz extra tail' AS text, lang

@@ -531,7 +531,57 @@ object StatsQueries {
       |         AS DOUBLE) AS mean_trimmed
       |FROM t GROUP BY pri ORDER BY pri""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  /** Exact equi-DEPTH histogram of lineitem extended price: ten bins of
+    * equal row count with their exact boundaries and exact decimal
+    * mass. q84 fixes the bin WIDTH and lets counts vary; this fixes the
+    * COUNT and reports where the boundaries land — the histogram an
+    * optimizer's statistics collector and a fairness/SLA report
+    * actually need (equal-width bins are useless on skewed money
+    * columns: one bin gets 90% of rows).
+    *
+    * The point of this entry is WHERE the ntile runs: over the FACT
+    * table, on [[graft.operators.RangeRank.withNtile]] — a range
+    * shuffle + partitioned local ranks + a broadcast offset join, exact
+    * SQL NTILE semantics with no single-partition window anywhere.
+    * q139/q143 certified the operator at entity scale; this is the
+    * fact-scale certification (600k rows at sf0.1, 10× linear), i.e.
+    * the configuration that would actually matter at 100 TB.
+    *
+    * Exactness: ntile is exact by the operator's contract (bit-equal to
+    * NTILE(10) over the same total order — price with the (orderkey,
+    * linenumber) unique tiebreak); min/max/sums are exact decimals;
+    * the mean is one double division. */
+  def q196EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("decimal(18,4)").as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.operators.RangeRank
+      .withNtile(li, "bin", 10,
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price")).cast("double").as("lo"),
+        max(col("price")).cast("double").as("hi"),
+        (sum(col("price")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_price"))
+      .orderBy("bin")
+  }
+
+  val q196Sql: String =
+    """WITH r AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+      |    NTILE(10) OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4)),
+      |                    l_orderkey, l_linenumber) AS bin
+      |  FROM lineitem)
+      |SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_rows,
+      |  CAST(MIN(price) AS DOUBLE) AS lo,
+      |  CAST(MAX(price) AS DOUBLE) AS hi,
+      |  CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_price
+      |FROM r GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_equidepth_hist" -> (q196EquidepthHist _),
     "q144_theilsen_trend" -> (q144TheilsenTrend _),
     "q149_weighted_median_qty" -> (q149WeightedMedianQty _),
     "q69_trend_fit" -> (q69TrendFit _),
@@ -549,5 +599,6 @@ object StatsQueries {
     "q84_equiwidth_hist" -> q84Sql,
     "q117_quantile_sketch_cert" -> q117Sql,
     "q127_nation_order_stats" -> q127Sql,
-    "q178_trimmed_mean" -> q178Sql)
+    "q178_trimmed_mean" -> q178Sql,
+    "q196_equidepth_hist" -> q196Sql)
 }

@@ -368,6 +368,39 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 TF-IDF pair cosine: one row per planted pair, high-but-below-1 similarity") {
+    val rows = SparkEntry.queries("q195_tfidf_pair_cosine")(spark, sfDir)
+      .collect()
+    val planted = graft.queries.Kpis.table(spark, sfDir, "documents")
+      .filter("doc_id % 10 = 0").count()
+    assert(rows.length == planted, "every planted clone pair must be scored")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      // strictly below 1 (the 3 appended tokens are RARE → high idf, so
+      // they weigh heavily on short fixture docs; no absolute floor)
+      assert(c > 0.0 && c < 1.0,
+        s"doc ${r.getAs[Long]("doc_id")}: clone cosine $c out of (0,1)")
+      assert(r.getAs[Long]("n_shared_terms") > 0L)
+    }
+    val mean = rows.map(_.getAs[Double]("cosine")).sum / rows.length
+    assert(mean > 0.3, s"clone pairs should still dominate idf noise: mean $mean")
+  }
+
+  test("q196 equi-depth histogram: depths differ by at most 1, boundaries ordered") {
+    val rows = SparkEntry.queries("q196_equidepth_hist")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    assert(counts.max - counts.min <= 1L, s"equi-depth violated: ${counts.toSeq}")
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("hi") <= hi.getAs[Double]("lo"),
+          "bin boundaries must be non-overlapping and ordered")
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",

@@ -94,5 +94,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q178_trimmed_mean",     // RangeRank offsets + 5-row group-prefix table
     "q179_chi2_independence", // (segment, priority) contingency cells
     "q187_psi_drift",        // (source, length-bucket) grid census
-    "q192_kaplan_meier")     // gap-day census (date-range-bounded)
+    "q192_kaplan_meier",     // gap-day census (date-range-bounded)
+    "q196_equidepth_hist")   // RangeRank offset prefix: <= #partitions rows
 }
