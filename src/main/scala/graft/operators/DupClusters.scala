@@ -311,7 +311,8 @@ object DupClusters {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_dup_clusters" -> (q45DupClusters _),
-    "q189_cluster_census" -> (q189ClusterCensus _))
+    "q189_cluster_census" -> (q189ClusterCensus _),
+    "q198_similarity_histogram" -> (q198SimilarityHistogram _))
 
   /** The q45 cluster build as a reusable oracle CTE prefix (`comp` =
     * (node, cluster_id), `sizes` = (cluster_id, n)) shared by the q45
@@ -364,6 +365,82 @@ object DupClusters {
       |  SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
       |""".stripMargin
 
+  // --------------------------------------------------------------- q198
+  /** Similarity gray-zone census — the THRESHOLD-TUNING telemetry for
+    * the whole near-dup family: every candidate pair with Jaccard ≥ 0.3
+    * over the q45 corpus, bucketed into 0.05-wide similarity bins. A
+    * dedup threshold is chosen by looking at exactly this histogram: a
+    * valley between the "unrelated" mass and the "clone" mass says 0.7
+    * is safe; mass piled against the threshold says matches are being
+    * split. The prefix-filtered candidate stage runs at 0.3 — the
+    * operator's recall-completeness contract extends to every bucket
+    * reported, so the histogram is EXACT above 0.3, not a sample.
+    *
+    * Exactness: the bucket index is floor(20·j) on a Jaccard both
+    * engines compute through identical chains from exact integer set
+    * sizes (the q45-proven spelling), capped at bin 19; counts are
+    * exact. Scale shape: q45's candidate plan (inverted-index equi-join
+    * with df pruning) followed by one map-combinable census — strictly
+    * cheaper than q45 itself (no CC rounds). */
+  def q198SimilarityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = q45ShingleTable(spark, dir)
+    val pairs = prefixCandidatePairs(withShingles, 0.3)
+      .join(withShingles.select(col("id").as("a"), col("sh").as("sa")), "a")
+      .join(withShingles.select(col("id").as("b"), col("sh").as("sb")), "b")
+      .select(TextFunctions.jaccard(col("sa"), col("sb")).as("j"))
+      .where(col("j") >= 0.3)
+    val out = pairs
+      .select(least(floor(col("j") * lit(20.0)), lit(19.0)).cast("int")
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(20.0)).as("bucket_lo"),
+        col("n_pairs"))
+      .orderBy("bucket")
+      .localCheckpoint(true)
+    withShingles.unpersist()
+    out
+  }
+
+  val q198Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |variants AS (
+      |  SELECT doc_id AS id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz extra tail' FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz extra tail rr more pad'
+      |  FROM base),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END) AS sh
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM variants)),
+      |inv AS (
+      |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
+      |cand AS (
+      |  SELECT DISTINCT i1.id AS a, i2.id AS b
+      |  FROM inv i1 JOIN inv i2 USING (s)
+      |  WHERE i1.id < i2.id),
+      |j AS (
+      |  SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_intersect(sa.sh, sb.sh))) AS j
+      |  FROM cand
+      |  JOIN shs sa ON cand.a = sa.id
+      |  JOIN shs sb ON cand.b = sb.id),
+      |b AS (
+      |  SELECT CAST(LEAST(floor(j * 20.0), 19.0) AS INTEGER) AS bucket
+      |  FROM j WHERE j >= 0.3)
+      |SELECT bucket, CAST(bucket AS DOUBLE) / 20.0 AS bucket_lo,
+      |  COUNT(*) AS n_pairs
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // --------------------------------------------------------------- q189
   /** Near-dup cluster-size census — the dedup TELEMETRY over q45's
     * clusters: for each cluster size, how many clusters and how many
@@ -389,6 +466,7 @@ object DupClusters {
 
   def oracles: Map[String, String] = Map(
     "q189_cluster_census" -> q189Sql,
+    "q198_similarity_histogram" -> q198Sql,
     "q45_dup_clusters" -> (q45Cte +
       """SELECT node AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
         |FROM comp JOIN sizes USING (cluster_id)

@@ -493,7 +493,92 @@ object SeriesQueries {
       |    AS forecast_next
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------------- q197
+  /** Lead–lag cross-correlation between the daily click series and the
+    * daily purchase series at lags −5..+5: Pearson r between clicks on
+    * day t and purchases on day t+k, from exact integer sums (the q130
+    * closed form, pointed at TWO series instead of one series and its
+    * shifted self). The argmax lag answers the marketing question
+    * q130's autocorrelation cannot: how many days does purchase volume
+    * trail click volume? A peak at k > 0 = conversion delay; at k = 0 =
+    * same-session conversion dominates.
+    *
+    * Exactness: daily counts are exact BIGINTs; the 11 lag series come
+    * from ONE window pass (lead on the joined daily frame); all five
+    * OLS sums per lag are exact integer aggregates, and r is one double
+    * chain (q130's spelling verbatim).
+    *
+    * Scale shape: the event stream collapses to |days| rows in one
+    * map-combinable agg; the lag window and final 11-row aggregate run
+    * over that census (WindowGuard bound). */
+  def q197CrossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.eventsTable(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    val w = Window.orderBy(col("day"))
+    val lagged = (-5 to 5).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"y_$k".replace("-", "m"),
+        lead(col("purchases"), k).over(w))
+    }
+    val stackExpr = (-5 to 5)
+      .map(k => s"CAST($k AS BIGINT), y_${k.toString.replace("-", "m")}")
+      .mkString(", ")
+    lagged
+      .select(col("clicks").as("x"),
+        expr(s"stack(11, $stackExpr) AS (lag, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(lit(1)).cast("double").as("n_d"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_d") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_d") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_d") * col("syy") - col("sy") * col("sy"))))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
+  val q197Sql: String = {
+    val one = (k: Int) =>
+      s"""SELECT CAST($k AS BIGINT) AS lag, clicks AS x,
+         |    LEAD(purchases, $k) OVER (ORDER BY day) AS y
+         |  FROM daily""".stripMargin
+    s"""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS clicks,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS purchases
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |pairs AS (
+      |  ${(-5 to 5).map(one).mkString("\n  UNION ALL\n  ")}),
+      |s AS (
+      |  SELECT lag, COUNT(*) AS n_pairs, CAST(COUNT(*) AS DOUBLE) AS n_d,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y * y) AS DOUBLE) AS syy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY lag)
+      |SELECT lag, n_pairs,
+      |  (n_d * sxy - sx * sy) /
+      |    (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy)) AS xcorr
+      |FROM s ORDER BY lag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_crosscorr" -> (q197CrossCorrelation _),
     "q148_seasonal_index" -> (q148SeasonalIndex _),
     "q62_gap_fill" -> (q62GapFill _),
     "q124_activity_streaks" -> (q124ActivityStreaks _),
@@ -503,6 +588,7 @@ object SeriesQueries {
     "q177_ar1_forecast" -> (q177Ar1Forecast _))
 
   def oracles: Map[String, String] = Map(
+    "q197_crosscorr" -> q197Sql,
     "q148_seasonal_index" -> q148Sql,
     "q62_gap_fill" -> q62Sql,
     "q124_activity_streaks" -> q124Sql,

@@ -401,6 +401,34 @@ class Round12cSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
   }
 
+  test("q197 cross-correlation: 11 lags, r bounded, lag accounting correct") {
+    val rows = SparkEntry.queries("q197_crosscorr")(spark, sfDir).collect()
+    assert(rows.length == 11)
+    val n0 = rows.find(_.getAs[Long]("lag") == 0L).get.getAs[Long]("n_pairs")
+    rows.foreach { r =>
+      val x = r.getAs[Double]("xcorr")
+      assert(x >= -1.0 && x <= 1.0)
+      val k = math.abs(r.getAs[Long]("lag"))
+      assert(r.getAs[Long]("n_pairs") == n0 - k,
+        "each lag k loses exactly k aligned days")
+    }
+  }
+
+  test("q198 similarity histogram: clone bands populated, census counts positive") {
+    val rows = SparkEntry.queries("q198_similarity_histogram")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 6 && b <= 19, "buckets start at the 0.3 floor")
+      assert(r.getAs[Double]("bucket_lo") == b / 20.0)
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    // the planted clone pairs (3-token tails) must land in the HIGH bands
+    assert(rows.exists(_.getAs[Int]("bucket") >= 14),
+      "near-clone mass missing from the high-similarity bands")
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",

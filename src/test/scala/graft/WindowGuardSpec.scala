@@ -95,5 +95,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q179_chi2_independence", // (segment, priority) contingency cells
     "q187_psi_drift",        // (source, length-bucket) grid census
     "q192_kaplan_meier",     // gap-day census (date-range-bounded)
-    "q196_equidepth_hist")   // RangeRank offset prefix: <= #partitions rows
+    "q196_equidepth_hist",   // RangeRank offset prefix: <= #partitions rows
+    "q197_crosscorr")        // daily click/purchase census
 }
