@@ -241,7 +241,8 @@ object MarketQueries {
     "q139_rfm_segments" -> (q139RfmSegments _),
     "q143_revenue_deciles" -> (q143RevenueDeciles _),
     "q174_nation_gini" -> (q174NationGini _),
-    "q185_churn_risk" -> (q185ChurnRisk _))
+    "q185_churn_risk" -> (q185ChurnRisk _),
+    "q201_trajectory_census" -> (q201TrajectoryCensus _))
 
   // --------------------------------------------------------------- q174
   /** Gini coefficient of customer spend per nation — the inequality
@@ -386,11 +387,89 @@ object MarketQueries {
       |    AS avg_days_since_last
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  /** Customer trajectory census — a tiny OLS regression PER CUSTOMER
+    * (order value against order index), reduced to the sign of the
+    * slope and rolled up per market segment: how many repeat customers
+    * are spending more over time, fewer, or flat. The "millions of tiny
+    * models" pattern: the regression never materializes — only its
+    * closed-form numerator n·Σxy − Σx·Σy, whose SIGN is the answer, so
+    * the whole thing is exact integer/decimal arithmetic with no
+    * division anywhere (no float, no rounding, hash-safe by
+    * construction). q185 asks "who went quiet"; this asks "who is
+    * ramping" — the expansion-revenue metric.
+    *
+    * Scale shape: one key-partitioned window for the order index
+    * (customers process independently), one map-combinable per-customer
+    * agg, one census agg to |segments| rows. */
+  def q201TrajectoryCensus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val perCust = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        row_number().over(w).cast("decimal(8,0)").as("x"),
+        col("o_totalprice").cast("decimal(18,4)").as("y"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(8,0)").as("sx"),
+        sum(col("y")).cast("decimal(28,4)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(28,4)").as("sxy"))
+      .filter(col("n") >= 3)
+      // n and sx are narrowed to DECIMAL(8,0) BEFORE the multiplies:
+      // bigint x decimal(28,4) widens past 38 digits in both engines
+      // (Spark trims scale, DuckDB errors) — the ExactMath width rule
+      .withColumn("numer",
+        col("n").cast("decimal(8,0)") * col("sxy") -
+          col("sx") * col("sy"))
+    val seg = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    perCust.join(seg, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_repeat_customers"),
+        sum(when(col("numer") > 0, 1L).otherwise(0L)).as("n_growing"),
+        sum(when(col("numer") < 0, 1L).otherwise(0L)).as("n_shrinking"),
+        sum(when(col("numer") === 0, 1L).otherwise(0L)).as("n_flat"))
+      .withColumn("growing_share",
+        col("n_growing").cast("double") /
+          col("n_repeat_customers").cast("double"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q201Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS DECIMAL(8,0)) AS x,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS y
+      |  FROM orders),
+      |pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DECIMAL(8,0)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(28,4)) AS sy,
+      |    CAST(SUM(x * y) AS DECIMAL(28,4)) AS sxy
+      |  FROM r GROUP BY 1 HAVING COUNT(*) >= 3),
+      |num AS (
+      |  SELECT o_custkey,
+      |    CAST(n AS DECIMAL(8,0)) * sxy - sx * sy AS numer
+      |  FROM pc)
+      |SELECT c_mktsegment, COUNT(*) AS n_repeat_customers,
+      |  CAST(SUM(CASE WHEN numer > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_growing,
+      |  CAST(SUM(CASE WHEN numer < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shrinking,
+      |  CAST(SUM(CASE WHEN numer = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flat,
+      |  CAST(SUM(CASE WHEN numer > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS growing_share
+      |FROM num JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,
     "q139_rfm_segments" -> q139Sql,
     "q143_revenue_deciles" -> q143Sql,
     "q174_nation_gini" -> q174Sql,
-    "q185_churn_risk" -> q185Sql)
+    "q185_churn_risk" -> q185Sql,
+    "q201_trajectory_census" -> q201Sql)
 }

@@ -347,17 +347,88 @@ object SessionQueries {
       |FROM s ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q200
+  /** Bounce-rate census by session entry point: sessions (q34's 30-min
+    * gap definition, identical spelling) grouped by their FIRST event's
+    * type, with the share that never produced a second event — the
+    * landing-page quality metric product teams steer by, and the
+    * session-level complement of q86's user-level funnel: q86 asks "did
+    * the user ever convert", this asks "how often does a session die on
+    * arrival, and does it depend on how it started".
+    *
+    * Determinism: the session's first event is min(struct(ts, event_id,
+    * event_type)) — a total order, so ties at the same microsecond
+    * resolve identically in both engines.
+    *
+    * Exactness: all-integer census + one double division per row.
+    * Scale shape: q34's one key-partitioned window, a session-grain
+    * agg, then a ≤|event types| census. */
+  def q200BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Kpis.eventsTable(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"))
+    sess
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy("entry_type")
+  }
+
+  val q200Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR
+      |      epoch_us(ts) - epoch_us(prev_ts) > ${GapMinutes * 60L * 1000000L}
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |    MIN(struct_pack(ts := ts, event_id := event_id,
+      |                    event_type := event_type)).event_type AS entry_type
+      |  FROM s GROUP BY 1, 2)
+      |SELECT entry_type, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sessions" -> q34Sessions _,
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
     "q182_interarrival_fit" -> (q182InterarrivalFit _),
-    "q194_circadian_profile" -> (q194CircadianProfile _))
+    "q194_circadian_profile" -> (q194CircadianProfile _),
+    "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
     "q34_sessions" -> q34Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
     "q182_interarrival_fit" -> q182Sql,
-    "q194_circadian_profile" -> q194Sql)
+    "q194_circadian_profile" -> q194Sql,
+    "q200_bounce_rate" -> q200Sql)
 }

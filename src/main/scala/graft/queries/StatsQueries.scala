@@ -531,6 +531,70 @@ object StatsQueries {
       |         AS DOUBLE) AS mean_trimmed
       |FROM t GROUP BY pri ORDER BY pri""".stripMargin
 
+  // --------------------------------------------------------------- q199
+  /** Discount elasticity per brand: the OLS slope of line-item quantity
+    * on discount over every sale of the brand's parts — "does
+    * discounting actually move volume, and for which brands?" The
+    * merchandising question behind TPC-H Q19's revenue bands, answered
+    * with q69's closed-form machinery: slope > 0 = discounts correlate
+    * with bigger quantities (working promotions), ≈ 0 = margin given
+    * away for nothing.
+    *
+    * Exactness: x (discount) and y (quantity) are narrowed to exact
+    * decimals; all five OLS sums are exact decimal aggregates with
+    * widths chosen so every sum's unscaled value stays far below 2^53
+    * (direct-cast-exact in both engines — the q183 discipline); slope
+    * and intercept are one double chain (q130's spelling).
+    *
+    * Scale shape: lineitem joins the part dim via broadcast, then ONE
+    * map-combinable agg to |brands| rows. No window. */
+  def q199DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_discount").cast("decimal(8,4)").as("x"),
+        col("l_quantity").cast("decimal(12,4)").as("y"))
+    val parts = Kpis.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_sales"),
+        count(lit(1)).cast("double").as("n_d"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("p_brand"), col("n_sales"),
+        ((col("n_d") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_d") * col("sxx") - col("sx") * col("sx")))
+          .as("slope_qty_per_discount"),
+        ((col("sy") -
+          ((col("n_d") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_d") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n_d")).as("intercept_qty"))
+      .orderBy("p_brand")
+  }
+
+  val q199Sql: String =
+    """WITH j AS (
+      |  SELECT p_brand,
+      |    CAST(l_discount AS DECIMAL(8,4)) AS x,
+      |    CAST(l_quantity AS DECIMAL(12,4)) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |s AS (
+      |  SELECT p_brand, COUNT(*) AS n_sales,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_d,
+      |    CAST(SUM(x) AS DOUBLE) AS sx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+      |  FROM j GROUP BY 1)
+      |SELECT p_brand, n_sales,
+      |  (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+      |    AS slope_qty_per_discount,
+      |  (sy - ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)) * sx) / n_d
+      |    AS intercept_qty
+      |FROM s ORDER BY p_brand""".stripMargin
+
   // --------------------------------------------------------------- q196
   /** Exact equi-DEPTH histogram of lineitem extended price: ten bins of
     * equal row count with their exact boundaries and exact decimal
@@ -582,6 +646,7 @@ object StatsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_equidepth_hist" -> (q196EquidepthHist _),
+    "q199_discount_elasticity" -> (q199DiscountElasticity _),
     "q144_theilsen_trend" -> (q144TheilsenTrend _),
     "q149_weighted_median_qty" -> (q149WeightedMedianQty _),
     "q69_trend_fit" -> (q69TrendFit _),
@@ -600,5 +665,6 @@ object StatsQueries {
     "q117_quantile_sketch_cert" -> q117Sql,
     "q127_nation_order_stats" -> q127Sql,
     "q178_trimmed_mean" -> q178Sql,
-    "q196_equidepth_hist" -> q196Sql)
+    "q196_equidepth_hist" -> q196Sql,
+    "q199_discount_elasticity" -> q199Sql)
 }

@@ -429,6 +429,43 @@ class Round12cSpec extends AnyFunSuite {
       "near-clone mass missing from the high-similarity bands")
   }
 
+  test("q199 discount elasticity: one row per traded brand, finite fits") {
+    val rows = SparkEntry.queries("q199_discount_elasticity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sales") > 0L)
+      assert(!r.getAs[Double]("slope_qty_per_discount").isNaN)
+      assert(!r.getAs[Double]("intercept_qty").isNaN)
+    }
+  }
+
+  test("q200 bounce rate: session accounting reconciles with q34") {
+    val rows = SparkEntry.queries("q200_bounce_rate")(spark, sfDir).collect()
+    val totalSessions = rows.map(_.getAs[Long]("n_sessions")).sum
+    val q34Sessions = SparkEntry.queries("q34_sessions")(spark, sfDir).count()
+    assert(totalSessions == q34Sessions,
+      "bounce census must partition exactly q34's session set")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+      val b = r.getAs[Double]("bounce_rate")
+      assert(b >= 0.0 && b <= 1.0)
+    }
+  }
+
+  test("q201 trajectory census: sign classes partition the repeat customers") {
+    val rows = SparkEntry.queries("q201_trajectory_census")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_growing") + r.getAs[Long]("n_shrinking") +
+        r.getAs[Long]("n_flat") == r.getAs[Long]("n_repeat_customers"),
+        "every >=3-order customer gets exactly one sign class")
+      val g = r.getAs[Double]("growing_share")
+      assert(g >= 0.0 && g <= 1.0)
+    }
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
