@@ -164,13 +164,73 @@ object TpchQueries {
       |WHERE n_suppliers >= 2
       |ORDER BY hhi DESC, l_partkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  /** Dead-stock census: parts with NO shipment after the 2001-06-01
+    * cutoff (the corpus's final months), per brand — count, share of
+    * the brand's catalog, and the retail
+    * value parked in them. The inventory-health anti-join (q16's
+    * "customers without orders" pattern pointed at merchandising): a
+    * brand whose dead share climbs is over-assorted, and the value
+    * column is what a markdown plan is sized from.
+    *
+    * Exactness: the cutoff is a literal date predicate pushed into the
+    * lineitem scan; counts are exact; dead_value is an exact decimal sum
+    * cast once; the share is one double division.
+    *
+    * Scale shape: the recent-part key set collapses out of lineitem via
+    * one DISTINCT (map-combinable) and anti-joins the part dim —
+    * dim-sized build side, fact scanned once with the date filter
+    * pushed; then a |brands| census. */
+  def q202DeadStock(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2001-06-01 00:00:00")))
+      .select(col("l_partkey")).distinct()
+    val parts = Kpis.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast("decimal(18,4)").as("rp"))
+    val dead = parts.join(recent, col("p_partkey") === col("l_partkey"),
+      "left_anti")
+    val perBrand = parts.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+    dead.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_dead"),
+        sum(col("rp")).cast("double").as("dead_value"))
+      .join(perBrand, "p_brand")
+      .select(col("p_brand"), col("n_parts"), col("n_dead"),
+        (col("n_dead").cast("double") / col("n_parts").cast("double"))
+          .as("dead_share"),
+        col("dead_value"))
+      .orderBy("p_brand")
+  }
+
+  val q202Sql: String =
+    """WITH recent AS (
+      |  SELECT DISTINCT l_partkey FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '2001-06-01'),
+      |dead AS (
+      |  SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,4)) AS rp
+      |  FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM recent)),
+      |per_brand AS (
+      |  SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY 1),
+      |d AS (
+      |  SELECT p_brand, COUNT(*) AS n_dead,
+      |    CAST(SUM(rp) AS DOUBLE) AS dead_value
+      |  FROM dead GROUP BY 1)
+      |SELECT p_brand, n_parts, n_dead,
+      |  CAST(n_dead AS DOUBLE) / CAST(n_parts AS DOUBLE) AS dead_share,
+      |  dead_value
+      |FROM d JOIN per_brand USING (p_brand)
+      |ORDER BY p_brand""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_shipping_priority" -> (q67ShippingPriority _),
     "q68_local_supplier_volume" -> (q68LocalSupplierVolume _),
-    "q188_supplier_hhi" -> (q188SupplierHhi _))
+    "q188_supplier_hhi" -> (q188SupplierHhi _),
+    "q202_dead_stock" -> (q202DeadStock _))
 
   def oracles: Map[String, String] = Map(
     "q67_shipping_priority" -> q67Sql,
     "q68_local_supplier_volume" -> q68Sql,
-    "q188_supplier_hhi" -> q188Sql)
+    "q188_supplier_hhi" -> q188Sql,
+    "q202_dead_stock" -> q202Sql)
 }

@@ -466,6 +466,22 @@ class Round12cSpec extends AnyFunSuite {
     }
   }
 
+  test("q202 dead stock: shares bounded, dead never exceeds catalog, anti-join plan") {
+    val rows = SparkEntry.queries("q202_dead_stock")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dead") <= r.getAs[Long]("n_parts"))
+      val s = r.getAs[Double]("dead_share")
+      assert(s > 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("dead_value") > 0.0)
+    }
+    val plan = SparkEntry.queries("q202_dead_stock")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "dead-stock detection must be an anti-join")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "the recency cutoff must reach the lineitem scan")
+  }
+
   test("new query plans: no cartesian product outside broadcast cert joins") {
     for (q <- Seq("q169_cusum_changepoint", "q177_ar1_forecast",
         "q174_nation_gini", "q171_scd2_asof", "q175_fd_audit",
