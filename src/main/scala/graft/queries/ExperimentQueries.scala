@@ -294,13 +294,110 @@ object ExperimentQueries {
       |        AS DOUBLE) + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0) AS p_value
       |FROM perms CROSS JOIN obs""".stripMargin
 
+  // --------------------------------------------------------------- q203
+  /** Exact tie-corrected Mann–Whitney U test: do RETURNED lineitems
+    * (l_returnflag 'R') ship systematically different quantities than
+    * delivered ones ('N')? The rank-based two-sample companion to q129
+    * (means) and q150 (CDF shape): U is the number of (returned,
+    * delivered) pairs where the returned quantity is larger, counting
+    * ties half — robust to outliers a t-test would chase.
+    *
+    * Exactness: the fact collapses to a per-quantity census (cA, cB);
+    * 2·U = Σ_v cA(v)·(2·Σ_{w<v} cB(w) + cB(v)) is an exact DECIMAL sum
+    * (no halves: everything is doubled), the tie term Σ(t³−t) likewise;
+    * the normal-approximation z is then a single double expression over
+    * those exact integers, spelled identically in both engines, with the
+    * −0.0 guard on the rounded output.
+    *
+    * Scale shape: ONE map-combinable agg collapses the fact to its
+    * value census (|distinct l_quantity| = 50 — domain-bounded like
+    * q150's 4-dp grid), and the cumulative window + final reduction run
+    * over the census only. Counts are cast to DECIMAL(12,0)/(18,0)
+    * before multiplying so products stay exact past BIGINT range at
+    * 100 TB row counts (DuckDB caps decimal width at 38, so the casts
+    * keep both engines inside p1+p2 ≤ 38). */
+  def q203MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val census = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_quantity").cast("decimal(18,2)").as("v"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)))
+          .as("ca"),
+        sum(when(col("l_returnflag") === "N", lit(1L)).otherwise(lit(0L)))
+          .as("cb"))
+    val cumBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = census
+      .withColumn("cumb", coalesce(sum(col("cb")).over(cumBefore), lit(0L)))
+      .select(
+        col("ca"), col("cb"),
+        (col("ca").cast("decimal(12,0)") *
+          (lit(2) * col("cumb") + col("cb")).cast("decimal(18,0)"))
+          .as("u2term"),
+        ((col("ca") + col("cb")).cast("decimal(12,0)") *
+          (col("ca") + col("cb")).cast("decimal(12,0)") *
+          (col("ca") + col("cb")).cast("decimal(12,0)") -
+          (col("ca") + col("cb")).cast("decimal(12,0)")).as("t3term"))
+    terms
+      .agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("u2term")).as("u2"), sum(col("t3term")).as("t3t"))
+      .select(
+        col("n_a"), col("n_b"),
+        (col("u2").cast("double") / lit(2.0)).as("u_stat"),
+        (round(
+          (col("u2").cast("double") -
+            col("n_a").cast("double") * col("n_b").cast("double")) /
+            (lit(2.0) * sqrt(
+              (col("n_a").cast("double") * col("n_b").cast("double") /
+                lit(12.0)) *
+                ((col("n_a") + col("n_b") + lit(1)).cast("double") -
+                  col("t3t").cast("double") /
+                    ((col("n_a") + col("n_b")).cast("double") *
+                      (col("n_a") + col("n_b") - lit(1)).cast("double"))))),
+          6) + lit(0.0)).as("z_score"))
+  }
+
+  val q203Sql: String =
+    """WITH census AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |terms AS (
+      |  SELECT ca, cb,
+      |    CAST(ca AS DECIMAL(12,0)) *
+      |      CAST(2 * COALESCE(SUM(cb) OVER
+      |        (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        0) + cb AS DECIMAL(18,0)) AS u2term,
+      |    CAST(ca + cb AS DECIMAL(12,0)) * CAST(ca + cb AS DECIMAL(12,0)) *
+      |      CAST(ca + cb AS DECIMAL(12,0)) -
+      |      CAST(ca + cb AS DECIMAL(12,0)) AS t3term
+      |  FROM census),
+      |sums AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    SUM(u2term) AS u2, SUM(t3term) AS t3t
+      |  FROM terms)
+      |SELECT n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+      |  round(
+      |    (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |    (2.0 * sqrt(
+      |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+      |      (CAST(n_a + n_b + 1 AS DOUBLE) -
+      |        CAST(t3t AS DOUBLE) /
+      |          (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))),
+      |    6) + 0.0 AS z_score
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_ab_test" -> (q129AbTest _),
     "q150_ks_drift" -> (q150KsDrift _),
-    "q172_permutation_test" -> (q172PermutationTest _))
+    "q172_permutation_test" -> (q172PermutationTest _),
+    "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
     "q129_ab_test" -> q129Sql,
     "q150_ks_drift" -> q150Sql,
-    "q172_permutation_test" -> q172Sql)
+    "q172_permutation_test" -> q172Sql,
+    "q203_mann_whitney" -> q203Sql)
 }

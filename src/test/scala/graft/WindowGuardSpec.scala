@@ -96,5 +96,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q187_psi_drift",        // (source, length-bucket) grid census
     "q192_kaplan_meier",     // gap-day census (date-range-bounded)
     "q196_equidepth_hist",   // RangeRank offset prefix: <= #partitions rows
-    "q197_crosscorr")        // daily click/purchase census
+    "q197_crosscorr",        // daily click/purchase census
+    "q203_mann_whitney")     // l_quantity value census: 50 rows
 }
