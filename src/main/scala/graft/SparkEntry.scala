@@ -67,7 +67,8 @@ object SparkEntry {
       graft.queries.SearchQueries.queries ++
       graft.operators.TopK.queries ++
       graft.queries.TextMetricsQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.EstimateQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -131,5 +132,6 @@ object SparkEntry {
       graft.queries.SearchQueries.oracles ++
       graft.operators.TopK.oracles ++
       graft.queries.TextMetricsQueries.oracles ++
-      graft.queries.QualityQueries.oracles
+      graft.queries.QualityQueries.oracles ++
+      graft.queries.EstimateQueries.oracles
 }

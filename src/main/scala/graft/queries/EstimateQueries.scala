@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling-based estimators for dedup/curation PLANNING: before paying
+  * for a full 100 TB dedup pass, estimate what it will save from a
+  * consistent hash-sample of the key space, and certify the estimator
+  * against the exact answer at fixture scale.
+  */
+object EstimateQueries {
+
+  // --------------------------------------------------------------- q204
+  /** Sampled dedup-rate estimation over the lineitem (partkey, suppkey)
+    * key space, certified against the exact rate. The sample is a
+    * CONSISTENT 51/256 hash-sample of KEYS (first two hex digits of
+    * md5(partkey_suppkey_dr) below '33'), not of rows — sampling rows
+    * would bias the dup rate down (a group's duplicates must enter the
+    * sample together or not at all); sampling the key space keeps every
+    * sampled group intact, so distinct_s/rows_s estimates distinct/rows
+    * as a standard ratio estimator.
+    *
+    * Exactness: all six counts are exact BIGINTs; the two rates and the
+    * estimator error are single double expressions over them, spelled
+    * identically in both engines, rounded at 6 dp with the −0.0 guard.
+    *
+    * Scale shape: the production branch is the SAMPLED one — a filter
+    * that drops ~80% of rows BEFORE the distinct shuffle, so the
+    * estimator costs a fifth of the pass it predicts (any sample rate
+    * works the same way: the filter is on a deterministic md5 prefix).
+    * The exact branch exists to certify the estimator at fixture scale;
+    * on a real corpus you run it only after the estimate justifies it.
+    * Both branches are one map-side-combinable distinct each. */
+  def q204SampledDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat_ws("_", col("l_partkey"), col("l_suppkey")).as("k"))
+      .withColumn("in_sample",
+        substring(md5(concat(col("k"), lit("_dr"))), 1, 2) < "33")
+    keyed
+      .agg(
+        count(lit(1)).as("rows_all"),
+        count_distinct(col("k")).as("distinct_all"),
+        sum(when(col("in_sample"), lit(1L)).otherwise(lit(0L)))
+          .as("rows_s"),
+        count_distinct(when(col("in_sample"), col("k"))).as("distinct_s"))
+      .select(
+        col("rows_all"), col("distinct_all"), col("rows_s"),
+        col("distinct_s"),
+        (round(lit(1.0) - col("distinct_all").cast("double") /
+          col("rows_all").cast("double"), 6) + lit(0.0)).as("exact_rate"),
+        (round(lit(1.0) - col("distinct_s").cast("double") /
+          col("rows_s").cast("double"), 6) + lit(0.0)).as("est_rate"),
+        (round(abs(
+          (lit(1.0) - col("distinct_all").cast("double") /
+            col("rows_all").cast("double")) -
+            (lit(1.0) - col("distinct_s").cast("double") /
+              col("rows_s").cast("double"))), 6) + lit(0.0)).as("abs_err"))
+  }
+
+  val q204Sql: String =
+    """WITH keyed AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) || '_' ||
+      |      CAST(l_suppkey AS VARCHAR) AS k,
+      |    substr(md5(CAST(l_partkey AS VARCHAR) || '_' ||
+      |      CAST(l_suppkey AS VARCHAR) || '_dr'), 1, 2) < '33' AS in_sample
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT COUNT(*) AS rows_all, COUNT(DISTINCT k) AS distinct_all,
+      |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS rows_s,
+      |    COUNT(DISTINCT CASE WHEN in_sample THEN k END) AS distinct_s
+      |  FROM keyed)
+      |SELECT rows_all, distinct_all, rows_s, distinct_s,
+      |  round(1.0 - CAST(distinct_all AS DOUBLE) / CAST(rows_all AS DOUBLE),
+      |    6) + 0.0 AS exact_rate,
+      |  round(1.0 - CAST(distinct_s AS DOUBLE) / CAST(rows_s AS DOUBLE),
+      |    6) + 0.0 AS est_rate,
+      |  round(abs(
+      |    (1.0 - CAST(distinct_all AS DOUBLE) / CAST(rows_all AS DOUBLE)) -
+      |    (1.0 - CAST(distinct_s AS DOUBLE) / CAST(rows_s AS DOUBLE))),
+      |    6) + 0.0 AS abs_err
+      |FROM sums""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_sampled_dup_rate" -> (q204SampledDupRate _))
+
+  def oracles: Map[String, String] = Map(
+    "q204_sampled_dup_rate" -> q204Sql)
+}
