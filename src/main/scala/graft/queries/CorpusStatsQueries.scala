@@ -366,17 +366,87 @@ object CorpusStatsQueries {
       |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
       |FROM r ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** Term burstiness for the 20 highest-document-frequency terms:
+    * Church–Gale "burstiness" (mean within-document tf over the docs that
+    * CONTAIN the term) and the Fano factor (variance-to-mean ratio of tf
+    * over containing docs). A term with fano ≈ 0 appears a fixed number
+    * of times wherever it appears (function-word behavior); fano ≫ 1
+    * marks topical terms that cluster — the standard signal for keyword
+    * extraction and stopword-list induction over a training corpus.
+    *
+    * Exactness: df, cf = Σtf, s2 = Σtf² are exact integers from the
+    * (doc, term) tf census; mean and Fano are single double expressions
+    * over them — Fano via the integer numerator s2·df − cf² (DECIMAL-cast
+    * so products stay exact past BIGINT at corpus scale) — rounded at
+    * 6 dp with the −0.0 guard. Top-20 selection is deterministic:
+    * df DESC, token ASC.
+    *
+    * Scale shape: explode → (doc, term) hash agg (map-combinable) →
+    * vocab-bounded per-term agg; the top-20 lowers to
+    * TakeOrderedAndProject, never a global sort. */
+  def q205TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        sum(col("tf").cast("decimal(18,0)") * col("tf").cast("decimal(18,0)"))
+          .as("s2"))
+      .select(
+        col("token"), col("df"), col("cf"),
+        (round(col("cf").cast("double") / col("df").cast("double"), 6) +
+          lit(0.0)).as("burstiness"),
+        (round(
+          (col("s2") * col("df").cast("decimal(18,0)") -
+            col("cf").cast("decimal(18,0)") *
+              col("cf").cast("decimal(18,0)")).cast("double") /
+            (col("df").cast("double") * col("cf").cast("double")),
+          6) + lit(0.0)).as("fano"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(20)
+  }
+
+  val q205Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |term AS (
+      |  SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |    SUM(CAST(tf AS DECIMAL(18,0)) * CAST(tf AS DECIMAL(18,0))) AS s2
+      |  FROM tf GROUP BY 1)
+      |SELECT token, df, cf,
+      |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) + 0.0
+      |    AS burstiness,
+      |  round(
+      |    CAST(s2 * CAST(df AS DECIMAL(18,0)) -
+      |      CAST(cf AS DECIMAL(18,0)) * CAST(cf AS DECIMAL(18,0))
+      |      AS DOUBLE) /
+      |    (CAST(df AS DOUBLE) * CAST(cf AS DOUBLE)),
+      |    6) + 0.0 AS fano
+      |FROM term ORDER BY df DESC, token LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_pmi_collocations" -> (q112PmiCollocations _),
     "q114_lang_overlap" -> (q114LangOverlap _),
     "q115_zipf_fit" -> (q115ZipfFit _),
     "q147_heaps_fit" -> (q147HeapsFit _),
-    "q184_vocab_richness" -> (q184VocabRichness _))
+    "q184_vocab_richness" -> (q184VocabRichness _),
+    "q205_term_burstiness" -> (q205TermBurstiness _))
 
   def oracles: Map[String, String] = Map(
     "q112_pmi_collocations" -> q112Sql,
     "q114_lang_overlap" -> q114Sql,
     "q115_zipf_fit" -> q115Sql,
     "q147_heaps_fit" -> q147Sql,
-    "q184_vocab_richness" -> q184Sql)
+    "q184_vocab_richness" -> q184Sql,
+    "q205_term_burstiness" -> q205Sql)
 }
