@@ -235,6 +235,108 @@ object MarketQueries {
       |    AS revenue_share
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q206
+  /** Score-decile lift curve (model calibration audit): customers are
+    * scored by their lifetime spend BEFORE 2001, deciled on the score,
+    * and each decile is graded on the actual outcome — did the customer
+    * order IN 2001? Per decile: response rate, lift over the base rate,
+    * and cumulative capture (what share of all 2001 buyers the top-k
+    * deciles contain) — the standard audit for any propensity/churn
+    * score before it gates a campaign or a retention spend.
+    *
+    * Exactness: the score is exact cents (long), responders are 0/1
+    * ints; every rate/lift/capture is a single double expression over
+    * exact integer sums, spelled identically in both engines, rounded
+    * at 6 dp with the −0.0 guard.
+    *
+    * Scale shape: two map-combinable rollups over orders + two
+    * broadcast-left-joins onto the customer table; the decile comes
+    * from [[graft.operators.RangeRank.withNtile]] (range shuffle +
+    * broadcast offsets — exact NTILE, no single-partition window over
+    * the entity table); the only global windows run over the 10-row
+    * decile census (WindowGuardSpec-pinned). */
+  def q206LiftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2001-01-01").cast("date")
+    val orders = Kpis.table(spark, dir, "orders")
+    val hist = orders
+      .filter(to_date(col("o_orderdate")) < cut)
+      .groupBy(col("o_custkey").as("hk"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("score"))
+    val fut = orders
+      .filter(to_date(col("o_orderdate")) >= cut)
+      .groupBy(col("o_custkey").as("fk")).agg(lit(1L).as("responded"))
+    val base = Kpis.table(spark, dir, "customer").select(col("c_custkey"))
+      .join(hist, col("c_custkey") === col("hk"), "left")
+      .join(fut, col("c_custkey") === col("fk"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("responded"), lit(0L)).as("responded"))
+    val census = graft.operators.RangeRank
+      .withNtile(base, "decile", 10, Seq(col("score").desc, col("c_custkey")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("responded")).as("responders"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    census
+      .withColumn("cum_resp", sum(col("responders")).over(cum))
+      .withColumn("tot_resp", sum(col("responders")).over(tot))
+      .withColumn("tot_n", sum(col("n_customers")).over(tot))
+      .select(
+        col("decile"), col("n_customers"), col("responders"),
+        (round(col("responders").cast("double") /
+          col("n_customers").cast("double"), 6) + lit(0.0))
+          .as("response_rate"),
+        (round(
+          (col("responders").cast("double") /
+            col("n_customers").cast("double")) /
+            (col("tot_resp").cast("double") / col("tot_n").cast("double")),
+          6) + lit(0.0)).as("lift"),
+        (round(col("cum_resp").cast("double") /
+          col("tot_resp").cast("double"), 6) + lit(0.0)).as("cum_capture"))
+      .orderBy("decile")
+  }
+
+  val q206Sql: String =
+    """WITH hist AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS score
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-01-01'
+      |  GROUP BY 1),
+      |fut AS (
+      |  SELECT o_custkey, 1 AS responded FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01' GROUP BY 1),
+      |base AS (
+      |  SELECT c.c_custkey, COALESCE(h.score, 0) AS score,
+      |    COALESCE(f.responded, 0) AS responded
+      |  FROM customer c
+      |  LEFT JOIN hist h ON h.o_custkey = c.c_custkey
+      |  LEFT JOIN fut f ON f.o_custkey = c.c_custkey),
+      |dec AS (
+      |  SELECT *, NTILE(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+      |  FROM base),
+      |census AS (
+      |  SELECT decile, COUNT(*) AS n_customers,
+      |    CAST(SUM(responded) AS BIGINT) AS responders
+      |  FROM dec GROUP BY 1),
+      |w AS (
+      |  SELECT *,
+      |    SUM(responders) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |      AS cum_resp,
+      |    SUM(responders) OVER () AS tot_resp,
+      |    SUM(n_customers) OVER () AS tot_n
+      |  FROM census)
+      |SELECT CAST(decile AS INTEGER) AS decile, n_customers, responders,
+      |  round(CAST(responders AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+      |    + 0.0 AS response_rate,
+      |  round((CAST(responders AS DOUBLE) / CAST(n_customers AS DOUBLE)) /
+      |    (CAST(tot_resp AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6) + 0.0
+      |    AS lift,
+      |  round(CAST(cum_resp AS DOUBLE) / CAST(tot_resp AS DOUBLE), 6) + 0.0
+      |    AS cum_capture
+      |FROM w ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
     "q136_twap_value" -> (q136TwapValue _),
@@ -242,7 +344,8 @@ object MarketQueries {
     "q143_revenue_deciles" -> (q143RevenueDeciles _),
     "q174_nation_gini" -> (q174NationGini _),
     "q185_churn_risk" -> (q185ChurnRisk _),
-    "q201_trajectory_census" -> (q201TrajectoryCensus _))
+    "q201_trajectory_census" -> (q201TrajectoryCensus _),
+    "q206_lift_curve" -> (q206LiftCurve _))
 
   // --------------------------------------------------------------- q174
   /** Gini coefficient of customer spend per nation — the inequality
@@ -471,5 +574,6 @@ object MarketQueries {
     "q143_revenue_deciles" -> q143Sql,
     "q174_nation_gini" -> q174Sql,
     "q185_churn_risk" -> q185Sql,
-    "q201_trajectory_census" -> q201Sql)
+    "q201_trajectory_census" -> q201Sql,
+    "q206_lift_curve" -> q206Sql)
 }
