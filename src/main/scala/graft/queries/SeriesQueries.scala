@@ -585,7 +585,64 @@ object SeriesQueries {
     "q125_ewma_revenue" -> (q125EwmaRevenue _),
     "q130_autocorr_revenue" -> (q130AutocorrRevenue _),
     "q169_cusum_changepoint" -> (q169CusumChangepoint _),
-    "q177_ar1_forecast" -> (q177Ar1Forecast _))
+    "q177_ar1_forecast" -> (q177Ar1Forecast _),
+    "q207_rolling_median" -> (q207RollingMedian _))
+
+  // --------------------------------------------------------------- q207
+  /** Rolling 7-day exact MEDIAN of daily revenue — the robust companion
+    * to q4's rolling mean: one anomalous day (a flash sale, a backfill
+    * burst) drags a 7-day mean for a week but leaves the rolling median
+    * untouched, which is why monitoring baselines prefer it.
+    *
+    * Exactness: the window's decimal revenues are collected, sorted, and
+    * the median is taken STRUCTURALLY — twice the median is the sum of
+    * the two middle order statistics (the same element twice when the
+    * frame is odd), an exact decimal add; the single ÷2.0 happens once
+    * in double on identical operands in both engines. No median()
+    * builtin on either side: window-median algorithms (segment trees,
+    * interpolation conventions) are engine-specific; order statistics
+    * are not.
+    *
+    * Scale shape: q4's argument — the fact table collapses in a
+    * partial+final hash agg; the single-partition window runs over the
+    * DAILY table (calendar-bounded, WindowGuardSpec-pinned) and each
+    * frame sorts ≤7 elements. */
+  def q207RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    daily
+      .select(
+        col("ship_day"),
+        col("rev").cast("double").as("revenue"),
+        sort_array(collect_list(col("rev")).over(w)).as("ls"))
+      .withColumn("n", size(col("ls")))
+      .select(
+        col("ship_day"), col("revenue"),
+        (expr("""CAST(element_at(ls, CAST((n + 1) div 2 AS INT)) +
+                 element_at(ls, CAST(n div 2 + 1 AS INT)) AS DOUBLE)""") /
+          lit(2.0)).as("rolling_med_7d"))
+      .orderBy("ship_day")
+  }
+
+  val q207Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |win AS (
+      |  SELECT ship_day, CAST(rev AS DOUBLE) AS revenue,
+      |    list_sort(list(rev) OVER
+      |      (ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |      AS ls
+      |  FROM daily)
+      |SELECT ship_day, revenue,
+      |  CAST(ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS DOUBLE) / 2.0
+      |    AS rolling_med_7d
+      |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q197_crosscorr" -> q197Sql,
@@ -595,5 +652,6 @@ object SeriesQueries {
     "q125_ewma_revenue" -> q125Sql,
     "q130_autocorr_revenue" -> q130Sql,
     "q169_cusum_changepoint" -> q169Sql,
-    "q177_ar1_forecast" -> q177Sql)
+    "q177_ar1_forecast" -> q177Sql,
+    "q207_rolling_median" -> q207Sql)
 }

@@ -98,5 +98,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q196_equidepth_hist",   // RangeRank offset prefix: <= #partitions rows
     "q197_crosscorr",        // daily click/purchase census
     "q203_mann_whitney",     // l_quantity value census: 50 rows
-    "q206_lift_curve")       // 10-row decile census
+    "q206_lift_curve",       // 10-row decile census
+    "q207_rolling_median")   // daily-revenue table: |distinct days|
 }
