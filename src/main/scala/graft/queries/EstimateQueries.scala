@@ -81,9 +81,83 @@ object EstimateQueries {
       |    6) + 0.0 AS abs_err
       |FROM sums""".stripMargin
 
+  // --------------------------------------------------------------- q208
+  /** Neyman allocation for stratified sampling: given a 1000-row sample
+    * budget over the order-priority strata, allocate n_h ∝ N_h·σ_h —
+    * the variance-minimizing design for estimating mean order value.
+    * The planning table a curation pipeline computes BEFORE drawing a
+    * stratified QA sample (q52/q56 draw; this query decides how much
+    * to draw from where: big, volatile strata get more).
+    *
+    * Exactness: per-stratum N, Σx, Σx² are exact decimal sums; σ_h is
+    * one double expression over them rounded at 6 dp; the weight N_h·σ_h
+    * is re-rounded into DECIMAL(28,4) BEFORE the cross-stratum total so
+    * the 5-term sum is exact decimal arithmetic (a double sum's order
+    * dependence never enters); share and allocation are single double
+    * divisions, −0.0-guarded.
+    *
+    * Scale shape: one map-combinable hash agg over orders → 5-row strata
+    * census → 1-row broadcast total. No window anywhere. */
+  def q208NeymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    // exact CENTS at DECIMAL(19,0): the square promotes to int128-backed
+    // decimal in BOTH engines (DuckDB multiplies DECIMAL(18) in int64 and
+    // overflows on fact-scale prices; 19 digits forces the wide path)
+    val x = round(col("o_totalprice") * 100).cast("decimal(19,0)")
+    val s = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .withColumn("sigma",
+        round(sqrt(
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))) /
+          lit(100.0), 6) + lit(0.0))
+      .withColumn("wgt",
+        round(col("n").cast("double") * col("sigma"), 4)
+          .cast("decimal(28,4)"))
+    val tot = s.agg(sum(col("wgt")).as("tot"))
+    s.crossJoin(broadcast(tot))
+      .select(
+        col("priority"), col("n"), col("sigma"),
+        (round(col("wgt").cast("double") / col("tot").cast("double"), 6) +
+          lit(0.0)).as("alloc_share"),
+        round(lit(1000.0) * col("wgt").cast("double") /
+          col("tot").cast("double")).cast("long").as("n_alloc"))
+      .orderBy("priority")
+  }
+
+  val q208Sql: String =
+    """WITH s AS (
+      |  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |    SUM(CAST(round(o_totalprice * 100) AS DECIMAL(19,0))) AS sx,
+      |    SUM(CAST(round(o_totalprice * 100) AS DECIMAL(19,0)) *
+      |        CAST(round(o_totalprice * 100) AS DECIMAL(19,0))) AS sxx
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT priority, n,
+      |    round(sqrt(
+      |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0, 6) + 0.0
+      |      AS sigma
+      |  FROM s),
+      |w2 AS (
+      |  SELECT *, CAST(round(CAST(n AS DOUBLE) * sigma, 4) AS DECIMAL(28,4))
+      |    AS wgt
+      |  FROM w),
+      |t AS (SELECT SUM(wgt) AS tot FROM w2)
+      |SELECT priority, n, sigma,
+      |  round(CAST(wgt AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+      |    AS alloc_share,
+      |  CAST(round(1000.0 * CAST(wgt AS DOUBLE) / CAST(tot AS DOUBLE))
+      |    AS BIGINT) AS n_alloc
+      |FROM w2, t ORDER BY priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q204_sampled_dup_rate" -> (q204SampledDupRate _))
+    "q204_sampled_dup_rate" -> (q204SampledDupRate _),
+    "q208_neyman_alloc" -> (q208NeymanAlloc _))
 
   def oracles: Map[String, String] = Map(
-    "q204_sampled_dup_rate" -> q204Sql)
+    "q204_sampled_dup_rate" -> q204Sql,
+    "q208_neyman_alloc" -> q208Sql)
 }
