@@ -588,7 +588,65 @@ object EmbedQueries {
       |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q209
+  /** Reciprocal nearest neighbors: pairs (a, b) where b is a's top-1
+    * banded-candidate neighbor AND a is b's — the classic high-precision
+    * match signal for entity resolution and near-dup mining (a one-way
+    * NN often hits a hub vector; a MUTUAL top-1 almost never does).
+    * Emits each mutual pair once (a_id < b_id) with its cosine.
+    *
+    * Built ON q53's kNN join: take rank-1 rows, self-join on mutuality.
+    * Exactness: the cosine and rank-1 selection are exactly q53's
+    * hash-certified arithmetic; the mutuality join adds only integer id
+    * equality.
+    *
+    * Scale shape: q53's banded candidate plan (skinny-id band equi-join,
+    * WindowGroupLimit top-1), then a self-equi-join of the NN list on
+    * (vec_id, neighbor_id) — two hash shuffles of id-width rows. */
+  def q209ReciprocalNn(spark: SparkSession, dir: String): DataFrame = {
+    val nn = q53KnnJoin(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+    val other = nn.select(col("vec_id").as("o_vec"),
+      col("neighbor_id").as("o_nbr"))
+    nn.join(other,
+        col("neighbor_id") === col("o_vec") && col("o_nbr") === col("vec_id"))
+      .filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cos_sim"))
+      .orderBy("a_id")
+  }
+
+  val q209Sql: String = {
+    val sig = sigSqlLit("embedding", hyperplanes(16, Dim))
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($sig) AS sig
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, n2,
+      |    sig & 255 AS b0, (sig >> 8) & 255 AS b1
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+      |    ($dot) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      |  WHERE q.vec_id != c.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM p),
+      |nn AS (SELECT vec_id, neighbor_id, cos_sim FROM r WHERE rank = 1)
+      |SELECT a.vec_id AS a_id, a.neighbor_id AS b_id, a.cos_sim
+      |FROM nn a JOIN nn b
+      |  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+      |WHERE a.vec_id < a.neighbor_id ORDER BY a_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_reciprocal_nn" -> q209ReciprocalNn _,
     "q21_cosine_topk" -> q21CosineTopk _,
     "q26_embedding_near_dup" -> q26EmbeddingNearDup _,
     "q28_ann_lsh" -> q28AnnLsh _,
@@ -597,6 +655,7 @@ object EmbedQueries {
     "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
+    "q209_reciprocal_nn" -> q209Sql,
     "q21_cosine_topk" -> q21Sql,
     "q26_embedding_near_dup" -> q26Sql,
     "q28_ann_lsh" -> q28Sql,
