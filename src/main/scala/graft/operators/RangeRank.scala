@@ -91,6 +91,40 @@ object RangeRank {
       .drop(Pid, "rr_lsum", "rr_cnt_off", "rr_sum_off")
   }
 
+  /** Add `outCol`: the exact running MAX of `value` (current row
+    * INCLUSIVE) in `keys` order — the distributed form of
+    * `max(value) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)`.
+    * Same discipline as [[withRunningSum]]: partitioned local cummax +
+    * a broadcast exclusive-prefix max per range partition (max is
+    * associative, so prefix-combining per-partition maxima is exact).
+    * The prefix for the first partition is NULL; `greatest` skips NULLs,
+    * matching the window semantics (max over an empty prefix
+    * contributes nothing).
+    *
+    * `inclusive = false` gives the EXCLUSIVE form — `ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING` — which is NULL on the global
+    * first row, exactly like the window it replaces; record/high-water
+    * detection (is this row strictly above everything before it?) needs
+    * this form, since an inclusive max can never distinguish the first
+    * achiever of a value from a later tie. */
+  def withRunningMax(df: DataFrame, value: Column, outCol: String,
+      keys: Seq[Column], inclusive: Boolean = true): DataFrame = {
+    val r = ranged(df, keys)
+    val local = Window.partitionBy(col(Pid)).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    val byPid = r.groupBy(col(Pid)).agg(max(value).as("rr_m"))
+    val prev = Window.orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = byPid
+      .withColumn("rr_max_off", max(col("rr_m")).over(prev))
+      .drop("rr_m")
+    r.withColumn("rr_lmax", max(value).over(local))
+      .join(broadcast(off), Pid)
+      .withColumn(outCol, greatest(col("rr_lmax"), col("rr_max_off")))
+      .drop(Pid, "rr_lmax", "rr_max_off")
+  }
+
   /** Add `ntileCol` with SQL NTILE(n) semantics over the total order
     * `keys`: bucket sizes differ by at most one, larger buckets first —
     * derived arithmetically from the exact global rank, so the result is

@@ -586,7 +586,55 @@ object SeriesQueries {
     "q130_autocorr_revenue" -> (q130AutocorrRevenue _),
     "q169_cusum_changepoint" -> (q169CusumChangepoint _),
     "q177_ar1_forecast" -> (q177Ar1Forecast _),
-    "q207_rolling_median" -> (q207RollingMedian _))
+    "q207_rolling_median" -> (q207RollingMedian _),
+    "q210_record_orders" -> (q210RecordOrders _))
+
+  // --------------------------------------------------------------- q210
+  /** All-time record-setting orders: every order whose value strictly
+    * exceeds EVERY earlier order (chronological total order: orderdate,
+    * then orderkey). The classic streaming-monitoring question — "was
+    * this the biggest ever?" — asked of the batch history; the output is
+    * the record progression (expected O(log n) rows by the records
+    * theorem for exchangeable sequences).
+    *
+    * Exactness: values are exact cents (long); "strictly exceeds all
+    * before" is evaluated against the EXCLUSIVE running max, so the
+    * FIRST achiever of a value is the record and later ties are not —
+    * both engines spell that identically (NULL exclusive max ⇒ first
+    * row is a record).
+    *
+    * Scale shape: the running max comes from
+    * [[graft.operators.RangeRank.withRunningMax]] (inclusive = false) —
+    * a range shuffle + per-partition local cummax + a broadcast
+    * exclusive-prefix max over the per-partition maxima — so the global
+    * order statistic costs two linear shuffles and NO single-partition
+    * window over the fact table (the oracle spells the one-window form;
+    * results are bit-identical). */
+  def q210RecordOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.operators.RangeRank
+      .withRunningMax(ev, col("cents"), "prev_max",
+        Seq(col("day"), col("o_orderkey")), inclusive = false)
+      .filter(col("prev_max").isNull || col("cents") > col("prev_max"))
+      .select(col("o_orderkey"), col("day"),
+        (col("cents").cast("double") / lit(100.0)).as("record_price"))
+      .orderBy("day", "o_orderkey")
+  }
+
+  val q210Sql: String =
+    """WITH ev AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |rm AS (
+      |  SELECT *, MAX(cents) OVER (ORDER BY day, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM ev)
+      |SELECT o_orderkey, day, CAST(cents AS DOUBLE) / 100.0 AS record_price
+      |FROM rm WHERE prev_max IS NULL OR cents > prev_max
+      |ORDER BY day, o_orderkey""".stripMargin
 
   // --------------------------------------------------------------- q207
   /** Rolling 7-day exact MEDIAN of daily revenue — the robust companion
@@ -653,5 +701,6 @@ object SeriesQueries {
     "q130_autocorr_revenue" -> q130Sql,
     "q169_cusum_changepoint" -> q169Sql,
     "q177_ar1_forecast" -> q177Sql,
-    "q207_rolling_median" -> q207Sql)
+    "q207_rolling_median" -> q207Sql,
+    "q210_record_orders" -> q210Sql)
 }

@@ -47,6 +47,30 @@ class RangeRankSpec extends AnyFunSuite {
     assert(parts > 1, s"expected multi-partition execution, got $parts")
   }
 
+  test("withRunningMax (inclusive + exclusive) equals the single-partition window") {
+    val keys = Seq(col("score"), col("id"))
+    val wIncl = Window.orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gotI = RangeRank.withRunningMax(scored, col("spend"), "rm", keys)
+      .select("id", "rm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantI = scored.withColumn("rm", max(col("spend")).over(wIncl))
+      .select("id", "rm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotI == wantI)
+    val gotE = RangeRank
+      .withRunningMax(scored, col("spend"), "rm", keys, inclusive = false)
+      .select("id", "rm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val wantE = scored.withColumn("rm", max(col("spend")).over(wExcl))
+      .select("id", "rm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(gotE == wantE)
+    assert(gotE.values.exists(_.isEmpty), "exclusive form must yield a NULL first row")
+  }
+
   test("withRunningSum equals the single-partition cumulative window, desc keys") {
     val keys = Seq(col("spend").desc, col("id"))
     val got = RangeRank.withRunningSum(scored, col("spend"), "cum", keys)

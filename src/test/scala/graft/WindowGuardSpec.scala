@@ -99,5 +99,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q197_crosscorr",        // daily click/purchase census
     "q203_mann_whitney",     // l_quantity value census: 50 rows
     "q206_lift_curve",       // 10-row decile census
-    "q207_rolling_median")   // daily-revenue table: |distinct days|
+    "q207_rolling_median",   // daily-revenue table: |distinct days|
+    "q210_record_orders")    // RangeRank offset prefix: <= #partitions rows
 }
