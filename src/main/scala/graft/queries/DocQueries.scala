@@ -730,7 +730,88 @@ object DocQueries {
        |  MIN(doc_id) AS min_doc_id
        |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Dedup-detector agreement audit: the Venn decomposition of the pair
+    * sets flagged by MinHash-LSH (q22, word-shingle Jaccard ≥ 0.5) and
+    * SimHash (q27, 64-bit Hamming ≤ 4) over the same near-dup corpus —
+    * pairs both agree on, pairs only one finds, and the pair-set Jaccard.
+    * The operational question it answers: do the two detectors
+    * substitute for or complement each other (should the pipeline run
+    * both)? Built by COMPOSING the registered q22/q27 plans, so the
+    * audit certifies the combination, not re-derived copies.
+    *
+    * Exactness: pair ids are integers; the three counts are exact; the
+    * agreement ratio is one double division of exact counts.
+    *
+    * Scale shape: the q22/q27 stages keep their banded equi-join plans;
+    * the audit adds one full-outer hash join of two id-pair lists (each
+    * orders of magnitude below the corpus) and a 1-row aggregate. */
+  def q211DedupVenn(spark: SparkSession, dir: String): DataFrame = {
+    val mh = q22NearDupMinhash(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_mh"))
+    val sh = q27SimhashNearDup(spark, dir)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_sh"))
+    mh.join(sh, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNull, 1L)
+          .otherwise(0L)).as("n_minhash_only"),
+        sum(when(col("in_mh").isNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_simhash_only"),
+        count(lit(1)).as("n_union"))
+      .select(
+        col("n_both"), col("n_minhash_only"), col("n_simhash_only"),
+        col("n_union"),
+        (col("n_both").cast("double") / col("n_union").cast("double"))
+          .as("agreement"))
+  }
+
+  val q211Sql: String =
+    s"""WITH corpus AS ($corpusNearDupSql),
+       |${minhashPairsSqlFragment("corpus")},
+       |mh AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
+       |stk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |        FROM corpus WHERE length(trim(text)) > 0),
+       |shs AS (SELECT doc_id, ${md5Hash60Sql("t")} AS h FROM stk),
+       |sbits AS (
+       |  SELECT doc_id, bs.b, SUM((h >> bs.b) & 1) AS cnt, COUNT(*) AS n
+       |  FROM shs CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+       |  GROUP BY doc_id, bs.b),
+       |ssig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN 2 * cnt > n THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS h64
+       |  FROM sbits GROUP BY doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 0::BIGINT AS h64
+       |  FROM corpus WHERE length(trim(text)) = 0),
+       |schunked AS (
+       |  SELECT doc_id, cs.c AS chunk, (h64 >> (cs.c * 16)) & 65535 AS cv
+       |  FROM ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+       |scand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM schunked a JOIN schunked b ON a.chunk = b.chunk AND a.cv = b.cv
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM scand c
+       |  JOIN ssig sa ON c.a_id = sa.doc_id
+       |  JOIN ssig sb ON c.b_id = sb.doc_id
+       |  WHERE bit_count(xor(sa.h64, sb.h64)) <= 4),
+       |v AS (
+       |  SELECT m.a_id AS m_a, s.a_id AS s_a
+       |  FROM mh m FULL JOIN sh s ON m.a_id = s.a_id AND m.b_id = s.b_id)
+       |SELECT
+       |  CAST(SUM(CASE WHEN m_a IS NOT NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN m_a IS NOT NULL AND s_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+       |  CAST(SUM(CASE WHEN m_a IS NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
+       |  COUNT(*) AS n_union,
+       |  CAST(SUM(CASE WHEN m_a IS NOT NULL AND s_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS agreement
+       |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_dedup_venn" -> q211DedupVenn _,
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
     "q22_near_dup_minhash" -> q22NearDupMinhash _,
@@ -746,6 +827,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q211_dedup_venn" -> q211Sql,
     "q41_sketch_profile" -> q41Sql,
     "q19_exact_dup_docs" -> q19Sql,
     "q20_text_stats" -> q20Sql,
