@@ -587,7 +587,108 @@ object SeriesQueries {
     "q169_cusum_changepoint" -> (q169CusumChangepoint _),
     "q177_ar1_forecast" -> (q177Ar1Forecast _),
     "q207_rolling_median" -> (q207RollingMedian _),
-    "q210_record_orders" -> (q210RecordOrders _))
+    "q210_record_orders" -> (q210RecordOrders _),
+    "q212_weekday_anova" -> (q212WeekdayAnova _))
+
+  // --------------------------------------------------------------- q212
+  /** One-way ANOVA of daily revenue by weekday: how much of the
+    * day-to-day revenue variance is the weekly cycle? Reports the
+    * between-weekday and total sums of squares and η² = SSB/SST — the
+    * "seasonal strength" gate that decides whether a forecast (q120,
+    * q177) should carry weekday terms at all. Complements q148 (monthly
+    * indices) and q194 (hour-of-day profile) at the weekly grain.
+    *
+    * Exactness: weekday is pure integer arithmetic — (days-since-epoch
+    * + 4) mod 7, no engine calendar API (Spark's dayofweek and DuckDB's
+    * disagree on numbering). Daily revenues are exact decimals; SST =
+    * Σx² − n·x̄² is one double expression over exact sums; SSB's 7
+    * per-weekday terms are each rounded into DECIMAL(28,4) BEFORE the
+    * cross-cell total (q208's discipline: never a multi-row double sum).
+    *
+    * Scale shape: fact → daily census (map-combinable agg) → 7-cell
+    * weekday census → 1-row broadcast totals. No window. */
+  def q212WeekdayAnova(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .withColumn("wd",
+        ((datediff(col("ship_day"), lit("1970-01-01").cast("date")) +
+          lit(4)) % 7).cast("int"))
+      // re-narrow the widened DECIMAL(28,4) day sum before squaring:
+      // 19 digits forces DuckDB's int128 decimal path (an 18-digit
+      // decimal multiplies in int64 and overflows — q208's discovery)
+      // while (19,4)² still fits both engines' 38-digit cap
+      .withColumn("rev", col("rev").cast("decimal(19,4)"))
+    val cells = daily.groupBy(col("wd"))
+      .agg(count(lit(1)).as("nd"), sum(col("rev")).as("sx"),
+        sum(col("rev") * col("rev")).as("sxx"))
+    val tot = cells.agg(
+      sum(col("nd")).as("n"), sum(col("sx")).as("tsx"),
+      sum(col("sxx")).as("tsxx"))
+    val withGm = cells.crossJoin(broadcast(tot))
+      .withColumn("gm", col("tsx").cast("double") / col("n").cast("double"))
+      .withColumn("cm", col("sx").cast("double") / col("nd").cast("double"))
+      .withColumn("ssb_term",
+        round(col("nd").cast("double") *
+          (col("cm") - col("gm")) * (col("cm") - col("gm")), 4)
+          .cast("decimal(28,4)"))
+    withGm
+      .groupBy(col("n"), col("tsx"), col("tsxx"))
+      .agg(sum(col("ssb_term")).as("ssb"))
+      .select(
+        col("n").as("n_days"),
+        col("ssb").cast("double").as("ss_between"),
+        (col("tsxx").cast("double") -
+          col("n").cast("double") *
+            (col("tsx").cast("double") / col("n").cast("double")) *
+            (col("tsx").cast("double") / col("n").cast("double")))
+          .as("ss_total"))
+      .select(
+        col("n_days"), col("ss_between"), col("ss_total"),
+        (round(col("ss_between") / col("ss_total"), 6) + lit(0.0))
+          .as("eta_squared"))
+  }
+
+  val q212Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |wd AS (
+      |  SELECT (date_diff('day', DATE '1970-01-01', ship_day) + 4) % 7
+      |      AS wd, CAST(rev AS DECIMAL(19,4)) AS rev
+      |  FROM daily),
+      |cells AS (
+      |  SELECT wd, COUNT(*) AS nd, SUM(rev) AS sx, SUM(rev * rev) AS sxx
+      |  FROM wd GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(nd) AS BIGINT) AS n, SUM(sx) AS tsx,
+      |    SUM(sxx) AS tsxx
+      |  FROM cells),
+      |terms AS (
+      |  SELECT n, tsx, tsxx,
+      |    CAST(round(CAST(nd AS DOUBLE) *
+      |      (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)
+      |        - CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)
+      |        - CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+      |      AS DECIMAL(28,4)) AS ssb_term
+      |  FROM cells, tot),
+      |agg AS (
+      |  SELECT n, tsx, tsxx, SUM(ssb_term) AS ssb
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT n AS n_days, CAST(ssb AS DOUBLE) AS ss_between,
+      |  CAST(tsxx AS DOUBLE) - CAST(n AS DOUBLE) *
+      |    (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |    (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_total,
+      |  round(CAST(ssb AS DOUBLE) /
+      |    (CAST(tsxx AS DOUBLE) - CAST(n AS DOUBLE) *
+      |     (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |     (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))), 6) + 0.0
+      |    AS eta_squared
+      |FROM agg""".stripMargin
 
   // --------------------------------------------------------------- q210
   /** All-time record-setting orders: every order whose value strictly
@@ -702,5 +803,6 @@ object SeriesQueries {
     "q169_cusum_changepoint" -> q169Sql,
     "q177_ar1_forecast" -> q177Sql,
     "q207_rolling_median" -> q207Sql,
-    "q210_record_orders" -> q210Sql)
+    "q210_record_orders" -> q210Sql,
+    "q212_weekday_anova" -> q212Sql)
 }
