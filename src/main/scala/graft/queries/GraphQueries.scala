@@ -290,13 +290,94 @@ object GraphQueries {
       |    AS powerlaw_intercept
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  /** Degree assortativity (Newman's r) of the co-purchase graph: the
+    * Pearson correlation of end-point degrees over edges. r > 0 means
+    * popular parts co-sell with popular parts (a rich-club basket
+    * structure — recommendation quality suffers); r < 0 means hubs
+    * attach to niches. Complements q186 (what the degree DISTRIBUTION
+    * is) with HOW degrees wire together.
+    *
+    * Exactness: degrees and edge-end sums are exact integers over the
+    * symmetric directed edge list (each undirected edge counted both
+    * ways, which is exactly Newman's estimator); r is one double
+    * expression over four exact sums, rounded at 6 dp, −0.0-guarded.
+    *
+    * Scale shape: edge list → degree table (hash agg) → two broadcast
+    * degree-lookup joins onto edges → one map-combinable sum pass. The
+    * degree table is node-scale; edges never self-join. */
+  def q213Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val dir2 = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .union(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = dir2.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("u").as("ju"), col("d").as("dj"))
+    val dv = deg.select(col("u").as("kv"), col("d").as("dk"))
+    dir2
+      .join(du, col("u") === col("ju"))
+      .join(dv, col("v") === col("kv"))
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(col("dj")).as("sj"),
+        sum(col("dj").cast("decimal(18,0)") * col("dk").cast("decimal(18,0)"))
+          .as("sjk"),
+        sum(col("dj").cast("decimal(18,0)") * col("dj").cast("decimal(18,0)"))
+          .as("sjj"))
+      .select(
+        (col("m2") / lit(2)).cast("long").as("n_edges"),
+        (round(
+          (col("m2").cast("double") * col("sjk").cast("double") -
+            col("sj").cast("double") * col("sj").cast("double")) /
+            (col("m2").cast("double") * col("sjj").cast("double") -
+              col("sj").cast("double") * col("sj").cast("double")), 6) +
+          lit(0.0)).as("assortativity"))
+  }
+
+  val q213Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |dir2 AS (
+      |  SELECT pa AS u, pb AS v FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT u, COUNT(*) AS d FROM dir2 GROUP BY 1),
+      |sums AS (
+      |  SELECT COUNT(*) AS m2,
+      |    CAST(SUM(dj.d) AS BIGINT) AS sj,
+      |    SUM(CAST(dj.d AS DECIMAL(18,0)) * CAST(dk.d AS DECIMAL(18,0)))
+      |      AS sjk,
+      |    SUM(CAST(dj.d AS DECIMAL(18,0)) * CAST(dj.d AS DECIMAL(18,0)))
+      |      AS sjj
+      |  FROM dir2 e
+      |  JOIN deg dj ON e.u = dj.u
+      |  JOIN deg dk ON e.v = dk.u)
+      |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+      |  round(
+      |    (CAST(m2 AS DOUBLE) * CAST(sjk AS DOUBLE) -
+      |     CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) /
+      |    (CAST(m2 AS DOUBLE) * CAST(sjj AS DOUBLE) -
+      |     CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6) + 0.0
+      |    AS assortativity
+      |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_assortativity" -> (q213Assortativity _),
     "q111_triangles" -> (q111Triangles _),
     "q123_khop_bfs" -> (q123KhopBfs _),
     "q173_cheapest_paths" -> (q173CheapestPaths _),
     "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
+    "q213_assortativity" -> q213Sql,
     "q111_triangles" -> q111Sql,
     "q123_khop_bfs" -> q123Sql,
     "q173_cheapest_paths" -> q173Sql,
