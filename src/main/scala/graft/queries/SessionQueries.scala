@@ -416,7 +416,96 @@ object SessionQueries {
       |    CAST(COUNT(*) AS DOUBLE) AS bounce_rate
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  /** Stationary distribution of the event-type Markov chain: where does
+    * a user's session settle in the long run? Transition probabilities
+    * come from q103's per-user consecutive-event pairs; the stationary
+    * vector is 12 power-iteration rounds from the uniform start — the
+    * per-type long-run occupancy that tells capacity planning which
+    * event handlers dominate steady-state load.
+    *
+    * Exactness: q80's iteration discipline — the probability matrix is
+    * rounded into DECIMAL(14,12) once, and each round's mat-vec sums
+    * exact decimals, casts the exact sum to double, rounds at 12 dp,
+    * and re-narrows to DECIMAL(14,12) — so every iteration is
+    * bit-replayable and the oracle unrolls the SAME twelve rounds as
+    * generated CTEs.
+    *
+    * Scale shape: the fact collapses to the (cur, next) transition
+    * census (per-user lead + hash agg); all twelve iterations join a
+    * |types|-row vector against a |types|²-row matrix — census-scale
+    * work after one fact pass, the q80 pattern with a bounded state
+    * space. */
+  def q214MarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy(col("src")).agg(sum(col("cnt")).as("n_from"))
+    val pm = tr.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"),
+        round(col("cnt").cast("double") / col("n_from").cast("double"), 12)
+          .cast("decimal(14,12)").as("prob"))
+      .localCheckpoint(true)
+    val states = pm.select(col("src").as("state")).distinct()
+    val n = states.agg(count(lit(1)).as("n"))
+    var pi = states.crossJoin(broadcast(n))
+      .select(col("state"),
+        round(lit(1.0) / col("n").cast("double"), 12)
+          .cast("decimal(14,12)").as("pi"))
+    for (_ <- 1 to 12) {
+      pi = pi.join(pm, col("state") === col("src"))
+        .groupBy(col("dst"))
+        .agg(round(sum(col("pi") * col("prob")).cast("double"), 12)
+          .cast("decimal(14,12)").as("pi"))
+        .withColumnRenamed("dst", "state")
+    }
+    pi.select(col("state"),
+        col("pi").cast("double").as("stationary_prob"))
+      .orderBy("state")
+  }
+
+  val q214Sql: String = {
+    val iters = (1 to 12).map { k =>
+      s"""it$k AS (
+         |  SELECT p.dst AS state,
+         |    CAST(round(CAST(SUM(i.pi * p.prob) AS DOUBLE), 12)
+         |      AS DECIMAL(14,12)) AS pi
+         |  FROM it${k - 1} i JOIN pm p ON i.state = p.src GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tr0 AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type, 1) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |tr AS (
+       |  SELECT src, dst, COUNT(*) AS cnt
+       |  FROM tr0 WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS n_from
+       |        FROM tr GROUP BY 1),
+       |pm AS (
+       |  SELECT tr.src, tr.dst,
+       |    CAST(round(CAST(cnt AS DOUBLE) / CAST(n_from AS DOUBLE), 12)
+       |      AS DECIMAL(14,12)) AS prob
+       |  FROM tr JOIN tot ON tr.src = tot.src),
+       |states AS (SELECT DISTINCT src AS state FROM pm),
+       |nn AS (SELECT COUNT(*) AS n FROM states),
+       |it0 AS (
+       |  SELECT state,
+       |    CAST(round(1.0 / CAST(n AS DOUBLE), 12) AS DECIMAL(14,12)) AS pi
+       |  FROM states, nn),
+       |$iters
+       |SELECT state, CAST(pi AS DOUBLE) AS stationary_prob
+       |FROM it12 ORDER BY state""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_markov_stationary" -> (q214MarkovStationary _),
     "q34_sessions" -> q34Sessions _,
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
@@ -425,6 +514,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q214_markov_stationary" -> q214Sql,
     "q34_sessions" -> q34Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
