@@ -337,7 +337,71 @@ object MarketQueries {
       |    AS cum_capture
       |FROM w ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  /** ABC inventory classification: parts ranked by discounted revenue,
+    * class A = parts while the cumulative share is ≤ 80%, B to 95%, C
+    * the tail — the census (how many SKUs carry each band) that drives
+    * stocking policy. The part-side companion to q143's customer
+    * deciles.
+    *
+    * Exactness: revenue in exact ten-thousandths (4-dp product of 2-dp
+    * price × 2-dp discount factor); the 80/95 boundaries are INTEGER
+    * comparisons (cum·100 ≤ total·80 / ·95), never a float share at the
+    * class edge; doubles appear only in the two output measures.
+    *
+    * Scale shape: per-part rollup (hash agg on the fact) →
+    * [[graft.operators.RangeRank.withRunningSum]] for the exact
+    * cumulative (range shuffle, no single-partition window) → 1-row
+    * broadcast total → 3-row census. The ·100 products stay in BIGINT
+    * (headroom to ~9·10¹⁶ ten-thousandths ≈ 9 trillion currency units;
+    * route through DECIMAL(38,0) beyond that). */
+  def q215AbcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)") * lit(10000))
+        .cast("long").as("rt"))
+    val total = perPart.agg(sum(col("rt")).as("total"))
+    graft.operators.RangeRank
+      .withRunningSum(perPart, col("rt"), "cum",
+        Seq(col("rt").desc, col("l_partkey")))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (sum(col("rt")).cast("double") / lit(10000.0)).as("class_revenue"),
+        (sum(col("rt")).cast("double") / max(col("total")).cast("double"))
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
+  val q215Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rt
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, rt,
+      |    SUM(rt) OVER (ORDER BY rt DESC, l_partkey
+      |                  ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(rt) OVER () AS total
+      |  FROM pp)
+      |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(rt) AS DOUBLE) / 10000.0 AS class_revenue,
+      |  CAST(SUM(rt) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+      |    AS revenue_share
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_abc_classification" -> (q215AbcClassification _),
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
     "q136_twap_value" -> (q136TwapValue _),
     "q139_rfm_segments" -> (q139RfmSegments _),
@@ -575,5 +639,6 @@ object MarketQueries {
     "q174_nation_gini" -> q174Sql,
     "q185_churn_risk" -> q185Sql,
     "q201_trajectory_census" -> q201Sql,
-    "q206_lift_curve" -> q206Sql)
+    "q206_lift_curve" -> q206Sql,
+    "q215_abc_classification" -> q215Sql)
 }
