@@ -100,5 +100,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q203_mann_whitney",     // l_quantity value census: 50 rows
     "q206_lift_curve",       // 10-row decile census
     "q207_rolling_median",   // daily-revenue table: |distinct days|
-    "q210_record_orders")    // RangeRank offset prefix: <= #partitions rows
+    "q210_record_orders",    // RangeRank offset prefix: <= #partitions rows
+    "q215_abc_classification") // RangeRank offset prefix: <= #partitions rows
 }
