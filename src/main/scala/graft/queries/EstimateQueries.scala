@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.md5Hash60Sql
+
 /** Sampling-based estimators for dedup/curation PLANNING: before paying
   * for a full 100 TB dedup pass, estimate what it will save from a
   * consistent hash-sample of the key space, and certify the estimator
@@ -153,11 +155,110 @@ object EstimateQueries {
       |    AS BIGINT) AS n_alloc
       |FROM w2, t ORDER BY priority""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** Poisson-bootstrap confidence interval for mean order value: 32
+    * deterministic bootstrap replicas, each re-weighting every order by
+    * a Poisson(1) count derived from an md5 uniform (the streaming-
+    * friendly bootstrap — Poisson weights need no global resample
+    * index, so replicas are one map-side expression per row), then the
+    * 2nd/31st order statistics of the replica means as a ~94% interval.
+    * The error-bar machinery a metrics pipeline attaches to any mean
+    * without distributional assumptions; q172 is the hypothesis-test
+    * sibling (same md5 derandomization, permutation nulls instead of
+    * resampling).
+    *
+    * Exactness: Poisson weights are integer CASE cuts of the md5
+    * uniform at Poisson-CDF double literals (identical in both
+    * engines); each replica mean is ONE double division of exact
+    * integer sums (Σw·cents / Σw), rounded at 6 dp; the interval picks
+    * order statistics from the sorted 32-element replica list — no
+    * percentile interpolation convention to disagree on.
+    *
+    * Scale shape: one 32-way explode over orders (q172's ENTITY-times-
+    * replicas note, here fact-times-32 — linear, map-generated, no
+    * join), one map-combinable hash agg by replica, one 32-row final
+    * collect_list. At a row budget, thin replicas (Poisson(m/n)
+    * subsampling) cut the explode factor. */
+  def q216BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val reps = orders
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u",
+        md5Hash60(concat(lit("bs:"), col("b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))).cast("double") / lit(twoPow60))
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0)
+          .when(col("u") < 0.7357588823428847, 1)
+          .when(col("u") < 0.9196986029286058, 2)
+          .when(col("u") < 0.9810118431238463, 3)
+          .when(col("u") < 0.9963401531726563, 4)
+          .otherwise(5).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (round(col("swx").cast("double") / col("sw").cast("double"), 6) +
+          lit(0.0)).as("m"))
+    val obs = orders.agg(
+      count(lit(1)).as("n_orders"), sum(col("cents")).as("sc"))
+    reps.agg(sort_array(collect_list(col("m"))).as("ms"))
+      .crossJoin(broadcast(obs))
+      .select(
+        col("n_orders"),
+        (col("sc").cast("double") /
+          (lit(100.0) * col("n_orders").cast("double"))).as("obs_mean"),
+        (element_at(col("ms"), 2) / lit(100.0)).as("boot_lo"),
+        (element_at(col("ms"), 31) / lit(100.0)).as("boot_hi"),
+        size(col("ms")).as("n_replicas"))
+  }
+
+  val q216Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |reps AS (
+      |  SELECT o_orderkey, cents, unnest(range(0, 32)) AS b FROM o),
+      |wts AS (
+      |  SELECT b, cents,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238463 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         ELSE 5 END AS w
+      |  FROM (SELECT b, cents,
+      |          ${md5Hash60Sql(
+             "'bs:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}
+      |            / 1152921504606846976.0 AS u
+      |        FROM reps)),
+      |rm AS (
+      |  SELECT b,
+      |    round(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+      |      + 0.0 AS m
+      |  FROM wts GROUP BY b),
+      |l AS (SELECT list_sort(list(m)) AS ms FROM rm),
+      |obs AS (
+      |  SELECT COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sc
+      |  FROM o)
+      |SELECT n_orders,
+      |  CAST(sc AS DOUBLE) / (100.0 * CAST(n_orders AS DOUBLE)) AS obs_mean,
+      |  ms[2] / 100.0 AS boot_lo,
+      |  ms[31] / 100.0 AS boot_hi,
+      |  CAST(len(ms) AS INTEGER) AS n_replicas
+      |FROM l, obs""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
-    "q208_neyman_alloc" -> (q208NeymanAlloc _))
+    "q208_neyman_alloc" -> (q208NeymanAlloc _),
+    "q216_bootstrap_ci" -> (q216BootstrapCi _))
 
   def oracles: Map[String, String] = Map(
     "q204_sampled_dup_rate" -> q204Sql,
-    "q208_neyman_alloc" -> q208Sql)
+    "q208_neyman_alloc" -> q208Sql,
+    "q216_bootstrap_ci" -> q216Sql)
 }
