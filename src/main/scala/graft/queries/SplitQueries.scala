@@ -183,7 +183,92 @@ object SplitQueries {
       |  UNION ALL SELECT 'test', 'test', ss FROM s)
       |ORDER BY split_a, split_b""".stripMargin
 
+  // --------------------------------------------------------------- q217
+  /** Held-out out-of-vocabulary rate: build the vocabulary from the
+    * TRAIN split ([[splitFor]]'s consistent hash) and measure what
+    * fraction of VAL-split tokens (and distinct token types) it has
+    * never seen. The generalization sibling of q97 (in-corpus coverage)
+    * and q59 (in-corpus NLL): a high held-out OOV rate means the corpus
+    * is too fragmented for its size and a tokenizer/vocab trained on it
+    * will fray on fresh data.
+    *
+    * Exactness: all six measures are exact integer counts off one
+    * (split, token) census; the two rates are single double divisions,
+    * 6 dp, −0.0-guarded.
+    *
+    * Scale shape: one tokenize+explode pass → (split, token) hash agg;
+    * the train vocab and val census join token-keyed (skinny string
+    * keys); no window, no driver collection. */
+  def q217OovRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("split", splitFor(col("doc_id").cast("string")))
+      .select(col("split"), explode(tokens(lower(col("text")))).as("token"))
+    val trainVocab = tok.filter(col("split") === "train")
+      .select(col("token")).distinct()
+      .withColumn("known", lit(1))
+    val valCensus = tok.filter(col("split") === "val")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val vocabSize = trainVocab.agg(count(lit(1)).as("train_vocab"))
+    valCensus.join(trainVocab, Seq("token"), "left")
+      .agg(
+        sum(col("cnt")).as("val_tokens"),
+        sum(when(col("known").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("val_oov_tokens"),
+        count(lit(1)).as("val_types"),
+        sum(when(col("known").isNull, 1L).otherwise(0L))
+          .as("val_oov_types"))
+      .crossJoin(broadcast(vocabSize))
+      .select(
+        col("train_vocab"), col("val_tokens"), col("val_oov_tokens"),
+        (round(col("val_oov_tokens").cast("double") /
+          col("val_tokens").cast("double"), 6) + lit(0.0))
+          .as("oov_token_rate"),
+        col("val_types"), col("val_oov_types"),
+        (round(col("val_oov_types").cast("double") /
+          col("val_types").cast("double"), 6) + lit(0.0))
+          .as("oov_type_rate"))
+  }
+
+  val q217Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |           < 'cc' THEN 'train'
+      |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |           < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT split,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM d),
+      |tv AS (SELECT DISTINCT token FROM tok WHERE split = 'train'),
+      |vc AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE split = 'val'
+      |       GROUP BY 1),
+      |j AS (
+      |  SELECT vc.cnt, tv.token IS NOT NULL AS known
+      |  FROM vc LEFT JOIN tv ON vc.token = tv.token),
+      |s AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS val_tokens,
+      |    CAST(SUM(CASE WHEN known THEN 0 ELSE cnt END) AS BIGINT)
+      |      AS val_oov_tokens,
+      |    COUNT(*) AS val_types,
+      |    CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS val_oov_types
+      |  FROM j),
+      |v AS (SELECT COUNT(*) AS train_vocab FROM tv)
+      |SELECT train_vocab, val_tokens, val_oov_tokens,
+      |  round(CAST(val_oov_tokens AS DOUBLE) / CAST(val_tokens AS DOUBLE),
+      |    6) + 0.0 AS oov_token_rate,
+      |  val_types, val_oov_types,
+      |  round(CAST(val_oov_types AS DOUBLE) / CAST(val_types AS DOUBLE),
+      |    6) + 0.0 AS oov_type_rate
+      |FROM s, v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_oov_rate" -> (q217OovRate _),
     "q52_mixture_sample" -> q52MixtureSample _,
     "q181_split_leakage" -> (q181SplitLeakage _),
     "q46_split_census" -> ((spark: SparkSession, dir: String) => {
@@ -201,6 +286,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q217_oov_rate" -> q217Sql,
     "q52_mixture_sample" -> q52Sql,
     "q181_split_leakage" -> q181Sql,
     "q46_split_census" ->
