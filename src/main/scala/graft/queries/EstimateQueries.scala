@@ -252,13 +252,106 @@ object EstimateQueries {
       |  CAST(len(ms) AS INTEGER) AS n_replicas
       |FROM l, obs""".stripMargin
 
+  // --------------------------------------------------------------- q218
+  /** Cross-field data-quality rule census: one pass over the
+    * order-joined fact evaluating every declarative rule (temporal
+    * sanity: shipped before ordered / shipped more than a year late;
+    * domain: non-positive quantity or price, discount outside [0, 0.1],
+    * negative tax), emitting per-rule violation counts and rates. The
+    * per-RULE rollup that complements q17's row-level validate-and-clean
+    * (which rows survive) and q106's FK audit (referential integrity) —
+    * this is what a DQ dashboard trends day over day.
+    *
+    * Exactness: each rule is a boolean over exact column comparisons
+    * (dates at DATE grain, money at raw parquet doubles compared to
+    * constants — no arithmetic); counts are exact; rates are single
+    * double divisions.
+    *
+    * Scale shape: ONE fact-scale hash join (lineitem ⋈ orders on the
+    * order key) feeding ONE map-combinable aggregate that evaluates all
+    * six rules simultaneously — adding a rule is one more sum, not one
+    * more pass; the 6-row output unpivots from that single row. */
+  def q218RuleViolations(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+    val j = li
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val sums = j.agg(
+      count(lit(1)).as("n_checked"),
+      viol(col("sdate") < col("odate")).as("v_ship_before_order"),
+      viol(col("sdate") > add_months(col("odate"), 12))
+        .as("v_ship_over_year"),
+      viol(col("l_quantity") <= 0).as("v_nonpos_qty"),
+      viol(col("l_extendedprice") <= 0).as("v_nonpos_price"),
+      viol(col("l_discount") < 0 || col("l_discount") > 0.1)
+        .as("v_discount_range"),
+      viol(col("l_tax") < 0).as("v_neg_tax"))
+    sums.select(col("n_checked"), expr(
+      """stack(6,
+        |  'ship_before_order', v_ship_before_order,
+        |  'ship_over_year', v_ship_over_year,
+        |  'nonpos_qty', v_nonpos_qty,
+        |  'nonpos_price', v_nonpos_price,
+        |  'discount_range', v_discount_range,
+        |  'neg_tax', v_neg_tax) AS (rule, n_violations)""".stripMargin))
+      .select(col("rule"), col("n_violations"), col("n_checked"),
+        (round(col("n_violations").cast("double") /
+          col("n_checked").cast("double"), 6) + lit(0.0))
+          .as("violation_rate"))
+      .orderBy("rule")
+  }
+
+  val q218Sql: String =
+    """WITH j AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS sdate,
+      |    CAST(o_orderdate AS DATE) AS odate,
+      |    l_quantity, l_extendedprice, l_discount, l_tax
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |s AS (
+      |  SELECT COUNT(*) AS n_checked,
+      |    CAST(SUM(CASE WHEN sdate < odate THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_ship_before_order,
+      |    CAST(SUM(CASE WHEN sdate > odate + INTERVAL 12 MONTH
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_ship_over_year,
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_nonpos_qty,
+      |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v_nonpos_price,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range,
+      |    CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_neg_tax
+      |  FROM j),
+      |u AS (
+      |  SELECT 'ship_before_order' AS rule, v_ship_before_order
+      |    AS n_violations, n_checked FROM s
+      |  UNION ALL SELECT 'ship_over_year', v_ship_over_year, n_checked
+      |    FROM s
+      |  UNION ALL SELECT 'nonpos_qty', v_nonpos_qty, n_checked FROM s
+      |  UNION ALL SELECT 'nonpos_price', v_nonpos_price, n_checked FROM s
+      |  UNION ALL SELECT 'discount_range', v_discount_range, n_checked
+      |    FROM s
+      |  UNION ALL SELECT 'neg_tax', v_neg_tax, n_checked FROM s)
+      |SELECT rule, n_violations, n_checked,
+      |  round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
+      |    + 0.0 AS violation_rate
+      |FROM u ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
     "q208_neyman_alloc" -> (q208NeymanAlloc _),
-    "q216_bootstrap_ci" -> (q216BootstrapCi _))
+    "q216_bootstrap_ci" -> (q216BootstrapCi _),
+    "q218_rule_violations" -> (q218RuleViolations _))
 
   def oracles: Map[String, String] = Map(
     "q204_sampled_dup_rate" -> q204Sql,
     "q208_neyman_alloc" -> q208Sql,
-    "q216_bootstrap_ci" -> q216Sql)
+    "q216_bootstrap_ci" -> q216Sql,
+    "q218_rule_violations" -> q218Sql)
 }
