@@ -20,16 +20,23 @@ object Warehouse {
 
   val PartitionCol = "sale_day"
 
-  def writeSales(df: DataFrame, path: String, mode: String = "append"): Unit =
+  /** `format`: "parquet" (default) or "orc" — both columnar, both
+    * predicate-pushdown- and partition-pruning-capable; ORC is the
+    * interchange format when the downstream warehouse is Hive/Trino
+    * ORC-native. Same layout contract either way. */
+  def writeSales(df: DataFrame, path: String, mode: String = "append",
+                 format: String = "parquet"): Unit =
     df.withColumn(PartitionCol, to_date(col("sale_date")))
       .write
       .partitionBy(PartitionCol)
       .option("maxRecordsPerFile", 5000000)
       .mode(mode)
-      .parquet(path)
+      .format(format)
+      .save(path)
 
-  def readSales(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readSales(spark: SparkSession, path: String,
+                format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 
   /** A `Router.runBatch` load function writing to the lake. */
   def loader(path: String): DataFrame => Long = { df =>

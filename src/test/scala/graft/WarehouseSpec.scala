@@ -39,6 +39,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.readSales(spark, dir).count() == 4)
   }
 
+  test("ORC warehouse round-trips with the same layout and pruning contract") {
+    val dir = Files.createTempDirectory("graft-wh-orc").resolve("sales").toString
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00", "c", "p", 1, 5.0),
+      ("b", "2024-01-02 11:00:00", "c", "p", 2, 6.0))
+      .toDF("sale_id", "sale_date", "customer_id", "product_id", "quantity", "amount")
+      .withColumn("sale_date", to_timestamp(col("sale_date")))
+    Warehouse.writeSales(df, dir, format = "orc")
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(days.toSeq == Seq("sale_day=2024-01-01", "sale_day=2024-01-02"))
+    assert(new java.io.File(dir, "sale_day=2024-01-01").listFiles()
+      .exists(_.getName.endsWith(".orc")), "partition holds no .orc files")
+    val pruned = Warehouse.readSales(spark, dir, format = "orc")
+      .filter(col("sale_day") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sale_day"),
+      s"no partition pruning in:\n$plan")
+    assert(pruned.select("sale_id").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("day-partition compaction collapses files, preserves rows and pruning") {
     val dir = Files.createTempDirectory("graft-compact").resolve("sales").toString
     val df = (1 to 9).map(i => (s"c$i", "2024-02-01 10:00:00", "c", "p", 1, i * 1.0))
