@@ -365,7 +365,117 @@ object InfoQueries {
       |  CAST(SUM(term) AS DOUBLE) AS psi
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  /** Information-gain feature ranking for the churn label (q206's
+    * outcome: did the customer order in 2001?): for each candidate
+    * feature — market segment, nation, an account-balance band — the
+    * reduction in label entropy IG = H(y) − Σ_v p(v)·H(y|v). The
+    * feature-selection audit run before fitting any churn model:
+    * it ranks which dimensions are worth splitting on and exposes
+    * leakage (a feature with IG ≈ H(y) is a proxy for the label).
+    *
+    * Exactness: per-(feature, value) counts are exact; each weighted
+    * conditional-entropy term p(v)·H(y|v) is one double expression
+    * rounded into DECIMAL(16,12) BEFORE the cross-value sum (q208's
+    * no-multi-row-double-sum discipline; value sets reach 25 cells);
+    * H(y) is a single closed-form double; pure-class cells short-circuit
+    * to 0 rather than evaluating ln(0).
+    *
+    * Scale shape: one orders rollup (hash agg) broadcast-joined onto
+    * customer, a 3-way stack unpivot (map-side), one (feature, value)
+    * hash agg, one per-feature agg — every frame after the first join
+    * is census-scale. */
+  def q219FeatureGain(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2001-01-01").cast("date")
+    val fut = Kpis.table(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= cut)
+      .groupBy(col("o_custkey").as("fk")).agg(lit(1L).as("responded"))
+    val base = Kpis.table(spark, dir, "customer")
+      .join(fut, col("c_custkey") === col("fk"), "left")
+      .select(
+        coalesce(col("responded"), lit(0L)).as("y"),
+        col("c_mktsegment").as("f_segment"),
+        col("c_nationkey").cast("string").as("f_nation"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low").otherwise("high")
+          .as("f_balance_band"))
+    val cells = base
+      .select(col("y"), expr(
+        """stack(3,
+          |  'segment', f_segment,
+          |  'nation', f_nation,
+          |  'balance_band', f_balance_band) AS (feature, value)"""
+          .stripMargin))
+      .groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("nv"), sum(col("y")).as("pv"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    def hOf(p: Column): Column =
+      when(p <= 0.0 || p >= 1.0, 0.0)
+        .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+    val withTerm = cells.crossJoin(broadcast(tot))
+      .withColumn("term",
+        round((col("nv").cast("double") / col("n").cast("double")) *
+          hOf(col("pv").cast("double") / col("nv").cast("double")), 12)
+          .cast("decimal(16,12)"))
+    withTerm
+      .groupBy(col("feature"), col("n"), col("pos"))
+      .agg(count(lit(1)).as("n_values"), sum(col("term")).as("cond_h"))
+      .select(
+        col("feature"), col("n_values"),
+        (round(
+          hOf(col("pos").cast("double") / col("n").cast("double")) -
+            col("cond_h").cast("double"), 6) + lit(0.0)).as("info_gain"))
+      .orderBy("feature")
+  }
+
+  val q219Sql: String =
+    """WITH fut AS (
+      |  SELECT o_custkey, 1 AS responded FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01' GROUP BY 1),
+      |base AS (
+      |  SELECT COALESCE(f.responded, 0) AS y,
+      |    c_mktsegment AS f_segment,
+      |    CAST(c_nationkey AS VARCHAR) AS f_nation,
+      |    CASE WHEN c_acctbal < 0 THEN 'neg'
+      |         WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END
+      |      AS f_balance_band
+      |  FROM customer c LEFT JOIN fut f ON f.o_custkey = c.c_custkey),
+      |u AS (
+      |  SELECT y, 'segment' AS feature, f_segment AS value FROM base
+      |  UNION ALL SELECT y, 'nation', f_nation FROM base
+      |  UNION ALL SELECT y, 'balance_band', f_balance_band FROM base),
+      |cells AS (
+      |  SELECT feature, value, COUNT(*) AS nv,
+      |    CAST(SUM(y) AS BIGINT) AS pv
+      |  FROM u GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM base),
+      |terms AS (
+      |  SELECT feature, n, pos,
+      |    CAST(round(
+      |      (CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CASE WHEN pv = 0 OR pv = nv THEN 0.0
+      |            ELSE -((CAST(pv AS DOUBLE) / CAST(nv AS DOUBLE)) *
+      |                     ln(CAST(pv AS DOUBLE) / CAST(nv AS DOUBLE)) +
+      |                   (1.0 - CAST(pv AS DOUBLE) / CAST(nv AS DOUBLE)) *
+      |                     ln(1.0 - CAST(pv AS DOUBLE) / CAST(nv AS DOUBLE)))
+      |       END), 12) AS DECIMAL(16,12)) AS term
+      |  FROM cells, tot),
+      |agg AS (
+      |  SELECT feature, n, pos, COUNT(*) AS n_values, SUM(term) AS cond_h
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT feature, n_values,
+      |  round(
+      |    (CASE WHEN pos = 0 OR pos = n THEN 0.0
+      |          ELSE -((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |                   ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |                 (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |                   ln(1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+      |     END) - CAST(cond_h AS DOUBLE), 6) + 0.0 AS info_gain
+      |FROM agg ORDER BY feature""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_feature_gain" -> (q219FeatureGain _),
     "q137_mutual_info" -> (q137MutualInfo _),
     "q138_benford_audit" -> (q138BenfordAudit _),
     "q140_source_lang_kl" -> (q140SourceLangKl _),
@@ -373,6 +483,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q219_feature_gain" -> q219Sql,
     "q137_mutual_info" -> q137Sql,
     "q138_benford_audit" -> q138Sql,
     "q140_source_lang_kl" -> q140Sql,
