@@ -504,7 +504,99 @@ object SessionQueries {
        |FROM it12 ORDER BY state""".stripMargin
   }
 
+  // --------------------------------------------------------------- q220
+  /** Mean reciprocal rank of the first PURCHASE within each q34 gap
+    * session: how deep into a session does conversion happen? MRR = 1
+    * means sessions open with a purchase; 1/k means the k-th event;
+    * sessions that never convert contribute 0 — so MRR blends
+    * conversion RATE and conversion DEPTH into the single figure
+    * ranking/search teams track. Complements q86 (did the funnel
+    * complete) and q93 (wall-clock latency) with position.
+    *
+    * Exactness: the event's in-session position is an integer
+    * row_number under the (ts, event_id) total order; each session's
+    * reciprocal rank is rounded into DECIMAL(16,12) BEFORE the
+    * cross-session sum (no multi-row double sum), and MRR is one double
+    * division.
+    *
+    * Scale shape: q34's sessionization windows (partitioned by user,
+    * never global), one per-session min, one map-combinable final agg. */
+  def q220SessionMrr(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Kpis.eventsTable(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = e
+      .withColumn("pos", row_number().over(bySession).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(when(col("event_type") === "purchase", col("pos")))
+        .as("first_purchase"))
+      .select(
+        when(col("first_purchase").isNotNull, 1L).otherwise(0L)
+          .as("converted"),
+        coalesce(
+          round(lit(1.0) / col("first_purchase").cast("double"), 12)
+            .cast("decimal(16,12)"),
+          lit(0).cast("decimal(16,12)")).as("rr"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("rr")).as("rr_sum"))
+      .select(
+        col("n_sessions"), col("n_converted"),
+        (round(col("rr_sum").cast("double") /
+          col("n_sessions").cast("double"), 6) + lit(0.0)).as("mrr"))
+  }
+
+  val q220Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_seq
+      |  FROM m),
+      |p AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+      |    AS BIGINT) AS pos
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN pos END)
+      |      AS first_purchase
+      |  FROM p GROUP BY 1, 2),
+      |rr AS (
+      |  SELECT CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END
+      |      AS converted,
+      |    COALESCE(CAST(round(1.0 / CAST(first_purchase AS DOUBLE), 12)
+      |      AS DECIMAL(16,12)), CAST(0 AS DECIMAL(16,12))) AS rr
+      |  FROM sess)
+      |SELECT COUNT(*) AS n_sessions,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(SUM(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS mrr
+      |FROM rr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_session_mrr" -> (q220SessionMrr _),
     "q214_markov_stationary" -> (q214MarkovStationary _),
     "q34_sessions" -> q34Sessions _,
     "q128_event_3paths" -> (q128Event3Paths _),
@@ -514,6 +606,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q220_session_mrr" -> q220Sql,
     "q214_markov_stationary" -> q214Sql,
     "q34_sessions" -> q34Sql,
     "q128_event_3paths" -> q128Sql,
