@@ -347,11 +347,87 @@ object EstimateQueries {
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
     "q208_neyman_alloc" -> (q208NeymanAlloc _),
     "q216_bootstrap_ci" -> (q216BootstrapCi _),
-    "q218_rule_violations" -> (q218RuleViolations _))
+    "q218_rule_violations" -> (q218RuleViolations _),
+    "q221_order_reconciliation" -> (q221OrderReconciliation _))
+
+  // --------------------------------------------------------------- q221
+  /** Header/detail financial reconciliation: does each order's
+    * o_totalprice match the sum of its lineitems' discounted, taxed
+    * extended prices? Emits the mismatch census — orders checked,
+    * orders without details, match rates at 1%/10% relative tolerance,
+    * and the mean absolute relative difference. The cross-table audit
+    * every warehouse runs after load (q190 reconciles row DIGESTS;
+    * this reconciles BUSINESS ARITHMETIC).
+    *
+    * Exactness: detail sums are exact DECIMAL(18,6) per order
+    * (2 dp price × 2 dp discount × 2 dp tax = ≤6 dp products);
+    * tolerance tests are integer-scaled decimal comparisons
+    * (|detail − header|·100 ≤ header, etc.), not float ratios at the
+    * boundary; each order's relative difference is rounded into
+    * DECIMAL(16,12) before the corpus mean.
+    *
+    * Scale shape: one map-combinable detail rollup keyed by order, one
+    * hash join to headers, one final aggregate — two linear shuffles. */
+  def q221OrderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val detail = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("detail_sum"))
+    val j = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("header"))
+      .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+    val diff = abs(col("detail_sum") - col("header"))
+    j.agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("detail_sum").isNull, 1L).otherwise(0L))
+          .as("n_no_detail"),
+        sum(when(col("detail_sum").isNotNull &&
+          diff * 100 <= col("header"), 1L).otherwise(0L)).as("n_within_1pct"),
+        sum(when(col("detail_sum").isNotNull &&
+          diff * 10 <= col("header"), 1L).otherwise(0L)).as("n_within_10pct"),
+        sum(when(col("detail_sum").isNotNull,
+          round(diff.cast("double") / col("header").cast("double"), 12)
+            .cast("decimal(16,12)")).otherwise(lit(0).cast("decimal(16,12)")))
+          .as("rd_sum"))
+      .select(
+        col("n_orders"), col("n_no_detail"), col("n_within_1pct"),
+        col("n_within_10pct"),
+        (round(col("rd_sum").cast("double") /
+          (col("n_orders") - col("n_no_detail")).cast("double"), 6) +
+          lit(0.0)).as("mean_abs_rel_diff"))
+  }
+
+  val q221Sql: String =
+    """WITH detail AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |        AS DECIMAL(18,6))) AS detail_sum
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS header, detail_sum
+      |  FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey)
+      |SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN detail_sum IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_no_detail,
+      |  CAST(SUM(CASE WHEN detail_sum IS NOT NULL
+      |      AND abs(detail_sum - header) * 100 <= header
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(SUM(CASE WHEN detail_sum IS NOT NULL
+      |      AND abs(detail_sum - header) * 10 <= header
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+      |  round(CAST(SUM(CASE WHEN detail_sum IS NOT NULL
+      |      THEN CAST(round(CAST(abs(detail_sum - header) AS DOUBLE)
+      |          / CAST(header AS DOUBLE), 12) AS DECIMAL(16,12))
+      |      ELSE CAST(0 AS DECIMAL(16,12)) END) AS DOUBLE) /
+      |    CAST(COUNT(*) - SUM(CASE WHEN detail_sum IS NULL THEN 1 ELSE 0
+      |      END) AS DOUBLE), 6) + 0.0 AS mean_abs_rel_diff
+      |FROM j""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q204_sampled_dup_rate" -> q204Sql,
     "q208_neyman_alloc" -> q208Sql,
     "q216_bootstrap_ci" -> q216Sql,
-    "q218_rule_violations" -> q218Sql)
+    "q218_rule_violations" -> q218Sql,
+    "q221_order_reconciliation" -> q221Sql)
 }
