@@ -588,7 +588,146 @@ object SeriesQueries {
     "q177_ar1_forecast" -> (q177Ar1Forecast _),
     "q207_rolling_median" -> (q207RollingMedian _),
     "q210_record_orders" -> (q210RecordOrders _),
-    "q212_weekday_anova" -> (q212WeekdayAnova _))
+    "q212_weekday_anova" -> (q212WeekdayAnova _),
+    "q222_hurst_exponent" -> (q222HurstExponent _))
+
+  // --------------------------------------------------------------- q222
+  /** Hurst exponent of daily revenue by rescaled-range (R/S) analysis:
+    * split the day-indexed series into blocks of m ∈ {8, 16, 32, 64}
+    * days, compute each block's range-of-cumulative-deviations over
+    * standard deviation, average per m, and fit the log-log slope —
+    * H ≈ 0.5 is a memoryless series, H > 0.5 long-range persistence
+    * (trends compound: plan safety stock accordingly), H < 0.5 mean
+    * reversion. The long-memory companion to q130's short-lag ACF.
+    *
+    * Exactness: block sums Σx, Σx² are exact decimals; each per-row
+    * cumulative deviation is a SINGLE double expression over exact
+    * operands (m·cum − j·Σx, never an accumulating float sum — block
+    * range uses max/min, which are order-independent); per-block R/S is
+    * rounded into DECIMAL(20,12) before the per-m mean; the 4-point
+    * log-log fit reuses q186's rounded-DECIMAL(18,9) sums.
+    *
+    * Scale shape: fact → daily census; the day index is the census's
+    * one global window (WindowGuardSpec-pinned); everything after is
+    * partitioned by (m, block) — bounded frames of ≤64 rows — plus two
+    * census-scale aggregates. */
+  def q222HurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(19,4)").as("x"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("ship_day"))).cast("long"))
+    val rows = daily
+      .select(col("idx"), col("x"),
+        explode(array(lit(8), lit(16), lit(32), lit(64))).as("m"))
+      .withColumn("block", expr("(idx - 1) div m"))
+    val byBlock = Window.partitionBy(col("m"), col("block"))
+      .orderBy(col("idx"))
+    val withCum = rows
+      .withColumn("jb", row_number().over(byBlock).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        byBlock.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = rows.groupBy(col("m"), col("block"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") === col("m"))
+    val rsBlocks = withCum
+      .join(stats, Seq("m", "block"))
+      .withColumn("cd",
+        col("m").cast("double") * col("cum").cast("double") -
+          col("jb").cast("double") * col("sx").cast("double"))
+      .groupBy(col("m"), col("block"), col("sx"), col("sxx"))
+      .agg(max(col("cd")).as("mx"), min(col("cd")).as("mn"))
+      .select(col("m"),
+        round(
+          ((col("mx") - col("mn")) / col("m").cast("double")) /
+            sqrt(
+              (col("m").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) /
+                (col("m").cast("double") * col("m").cast("double"))),
+          12).cast("decimal(20,12)").as("rs"))
+    val perM = rsBlocks.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs")).as("rs_sum"))
+      .withColumn("mean_rs",
+        col("rs_sum").cast("double") / col("n_blocks").cast("double"))
+      .withColumn("lx",
+        round(log(col("m").cast("double")), 9).cast("decimal(18,9)"))
+      .withColumn("ly", round(log(col("mean_rs")), 9).cast("decimal(18,9)"))
+    val fit = perM.agg(
+        count(lit(1)).as("np"),
+        sum(col("lx")).cast("double").as("sx2"),
+        sum(col("lx") * col("lx")).cast("double").as("sxx2"),
+        sum(col("ly")).cast("double").as("sy2"),
+        sum(col("lx") * col("ly")).cast("double").as("sxy2"))
+      .select((round(
+        (col("np").cast("double") * col("sxy2") - col("sx2") * col("sy2")) /
+          (col("np").cast("double") * col("sxx2") - col("sx2") * col("sx2")),
+        6) + lit(0.0)).as("hurst"))
+    perM
+      .select(col("m"), col("n_blocks"),
+        (round(col("mean_rs"), 6) + lit(0.0)).as("mean_rs"))
+      .crossJoin(broadcast(fit))
+      .orderBy("m")
+  }
+
+  val q222Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS x
+      |  FROM lineitem GROUP BY 1),
+      |di AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY ship_day) AS BIGINT)
+      |    AS idx
+      |  FROM daily),
+      |rows0 AS (
+      |  SELECT idx, x, m, (idx - 1) // m AS block
+      |  FROM di CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m) ms),
+      |wc AS (
+      |  SELECT m, block, x,
+      |    CAST(row_number() OVER (PARTITION BY m, block ORDER BY idx)
+      |      AS BIGINT) AS jb,
+      |    SUM(x) OVER (PARTITION BY m, block ORDER BY idx
+      |                 ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM rows0),
+      |stats AS (
+      |  SELECT m, block, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM rows0 GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT wc.m, wc.block, s.sx, s.sxx,
+      |    CAST(wc.m AS DOUBLE) * CAST(wc.cum AS DOUBLE) -
+      |      CAST(wc.jb AS DOUBLE) * CAST(s.sx AS DOUBLE) AS cd
+      |  FROM wc JOIN stats s ON wc.m = s.m AND wc.block = s.block
+      |  WHERE s.n = s.m),
+      |rsb AS (
+      |  SELECT m,
+      |    CAST(round(
+      |      ((MAX(cd) - MIN(cd)) / CAST(m AS DOUBLE)) /
+      |      sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |           (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))), 12)
+      |      AS DECIMAL(20,12)) AS rs
+      |  FROM cd GROUP BY m, block, sx, sxx),
+      |perm AS (
+      |  SELECT m, COUNT(*) AS n_blocks,
+      |    CAST(SUM(rs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+      |  FROM rsb GROUP BY 1),
+      |pts AS (
+      |  SELECT m, n_blocks, mean_rs,
+      |    CAST(round(ln(CAST(m AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+      |    CAST(round(ln(mean_rs), 9) AS DECIMAL(18,9)) AS ly
+      |  FROM perm),
+      |fit AS (
+      |  SELECT round(
+      |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(lx * ly) AS DOUBLE) -
+      |     CAST(SUM(lx) AS DOUBLE) * CAST(SUM(ly) AS DOUBLE)) /
+      |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(lx * lx) AS DOUBLE) -
+      |     CAST(SUM(lx) AS DOUBLE) * CAST(SUM(lx) AS DOUBLE)), 6) + 0.0
+      |    AS hurst
+      |  FROM pts)
+      |SELECT m, n_blocks, round(mean_rs, 6) + 0.0 AS mean_rs, hurst
+      |FROM pts, fit ORDER BY m""".stripMargin
 
   // --------------------------------------------------------------- q212
   /** One-way ANOVA of daily revenue by weekday: how much of the
@@ -804,5 +943,6 @@ object SeriesQueries {
     "q177_ar1_forecast" -> q177Sql,
     "q207_rolling_median" -> q207Sql,
     "q210_record_orders" -> q210Sql,
-    "q212_weekday_anova" -> q212Sql)
+    "q212_weekday_anova" -> q212Sql,
+    "q222_hurst_exponent" -> q222Sql)
 }

@@ -101,5 +101,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q206_lift_curve",       // 10-row decile census
     "q207_rolling_median",   // daily-revenue table: |distinct days|
     "q210_record_orders",    // RangeRank offset prefix: <= #partitions rows
-    "q215_abc_classification") // RangeRank offset prefix: <= #partitions rows
+    "q215_abc_classification", // RangeRank offset prefix: <= #partitions rows
+    "q222_hurst_exponent")   // daily-census day index: |distinct days|
 }
