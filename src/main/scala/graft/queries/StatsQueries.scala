@@ -644,7 +644,64 @@ object StatsQueries {
       |  CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_price
       |FROM r GROUP BY bin ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q223
+  /** Exact tail percentiles of line revenue — p50/p90/p99/p999 by
+    * type-1 (order-statistic) selection at FACT scale: target rank
+    * ⌈p·n⌉ computed in pure integer arithmetic ((n·k + 999) div 1000
+    * for p = k/1000 — no float at the rank boundary), value picked by
+    * exact global rank. The SLO-grade tail readout (p99 is a real
+    * observed value, not an interpolation), certifying the exact path
+    * that q117's mergeable sketch approximates and q196 buckets.
+    *
+    * Scale shape: [[graft.operators.RangeRank.withGlobalRank]] — range
+    * shuffle + partitioned local ranks + broadcast offsets — then a
+    * broadcast join against the 4-row target table. No
+    * single-partition pass over the fact (the oracle spells the
+    * one-window form; bit-identical). */
+  def q223ExactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      li, "rk", Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+    val tot = li.agg(count(lit(1)).as("n"))
+    val targets = spark.range(1)
+      .select(explode(array(lit(500), lit(900), lit(990), lit(999)))
+        .as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n"),
+        expr("(n * k + 999) div 1000").as("target"))
+    ranked.join(broadcast(targets), col("rk") === col("target"))
+      .select(
+        (col("k").cast("double") / lit(1000.0)).as("pct"),
+        col("target").as("rank"), col("n"),
+        col("v").cast("double").as("value"))
+      .orderBy("pct")
+  }
+
+  val q223Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      AS v,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT v, CAST(row_number() OVER
+      |    (ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rk
+      |  FROM li),
+      |t AS (
+      |  SELECT k, (SELECT COUNT(*) FROM li) AS n,
+      |    ((SELECT COUNT(*) FROM li) * k + 999) // 1000 AS target
+      |  FROM (SELECT unnest([500, 900, 990, 999]) AS k) ks)
+      |SELECT CAST(k AS DOUBLE) / 1000.0 AS pct, target AS rank, n,
+      |  CAST(v AS DOUBLE) AS value
+      |FROM r JOIN t ON r.rk = t.target
+      |ORDER BY pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_exact_percentiles" -> (q223ExactPercentiles _),
     "q196_equidepth_hist" -> (q196EquidepthHist _),
     "q199_discount_elasticity" -> (q199DiscountElasticity _),
     "q144_theilsen_trend" -> (q144TheilsenTrend _),
@@ -657,6 +714,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q223_exact_percentiles" -> q223Sql,
     "q144_theilsen_trend" -> q144Sql,
     "q149_weighted_median_qty" -> q149Sql,
     "q69_trend_fit" -> q69Sql,
