@@ -102,5 +102,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q207_rolling_median",   // daily-revenue table: |distinct days|
     "q210_record_orders",    // RangeRank offset prefix: <= #partitions rows
     "q215_abc_classification", // RangeRank offset prefix: <= #partitions rows
-    "q222_hurst_exponent")   // daily-census day index: |distinct days|
+    "q222_hurst_exponent",   // daily-census day index: |distinct days|
+    "q223_exact_percentiles") // RangeRank offset prefix: <= #partitions rows
 }
