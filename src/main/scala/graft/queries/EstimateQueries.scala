@@ -348,7 +348,84 @@ object EstimateQueries {
     "q208_neyman_alloc" -> (q208NeymanAlloc _),
     "q216_bootstrap_ci" -> (q216BootstrapCi _),
     "q218_rule_violations" -> (q218RuleViolations _),
-    "q221_order_reconciliation" -> (q221OrderReconciliation _))
+    "q221_order_reconciliation" -> (q221OrderReconciliation _),
+    "q224_stratified_draw" -> (q224StratifiedDraw _))
+
+  // --------------------------------------------------------------- q224
+  /** EXECUTE the q208 Neyman allocation: deterministically draw n_h
+    * orders from each priority stratum (bottom-k by salted md5 — the
+    * q38 consistent-sample discipline, so the draw is reproducible and
+    * stable under appends of non-sampled rows) and certify the result:
+    * realized counts equal the allocation, and the stratified
+    * mean-of-means tracks the population mean. Planner (q208) →
+    * executor (this) is the composition a QA-sampling pipeline actually
+    * ships.
+    *
+    * Exactness: the draw is rank ≤ n_h under the md5 total order
+    * (ties impossible: the salted key embeds the unique order key);
+    * sample means are single double divisions of exact cent sums.
+    *
+    * Scale shape: the allocation reuses q208's censuses (strata-scale,
+    * broadcast); the draw is ONE partitioned window (rank within
+    * stratum — 5 partitions of fact scale, the same shape as any
+    * per-group top-k, lowered map-side via WindowGroupLimit after the
+    * rank filter) over rows carrying only key+cents. */
+  def q224StratifiedDraw(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = q208NeymanAlloc(spark, dir)
+      .select(col("priority").as("a_priority"), col("n_alloc"))
+    val keyed = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("h",
+        md5(concat(lit("draw:"), col("o_orderkey").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("h"))
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), col("priority") === col("a_priority"))
+      .filter(col("rk") <= col("n_alloc"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(col("cents")).as("sc"), max(col("n_alloc")).as("n_alloc"))
+      .select(col("priority"), col("n_alloc"), col("n_drawn"),
+        (round(col("sc").cast("double") /
+          (lit(100.0) * col("n_drawn").cast("double")), 6) + lit(0.0))
+          .as("sample_mean"))
+      .orderBy("priority")
+  }
+
+  val q224Sql: String = {
+    // reuse q208's CTE chain verbatim (one SQL spelling of the
+    // allocation arithmetic), dropping its final SELECT
+    val allocCte = q208Sql
+      .replace("WITH s AS (", "s AS (")
+      .replaceAll("(?s)\\nSELECT priority, n, sigma,.*$", "")
+      .trim
+    s"""WITH $allocCte,
+      |alloc AS (
+      |  SELECT priority AS a_priority,
+      |    CAST(round(1000.0 * CAST(wgt AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      AS BIGINT) AS n_alloc
+      |  FROM w2, t),
+      |keyed AS (
+      |  SELECT o_orderkey, o_orderpriority AS priority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    md5('draw:' || CAST(o_orderkey AS VARCHAR)) AS h
+      |  FROM orders),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY priority ORDER BY h) AS BIGINT) AS rk
+      |  FROM keyed),
+      |drawn AS (
+      |  SELECT r.priority, r.cents, a.n_alloc
+      |  FROM rk r JOIN alloc a ON r.priority = a.a_priority
+      |  WHERE r.rk <= a.n_alloc)
+      |SELECT priority, CAST(MAX(n_alloc) AS BIGINT) AS n_alloc,
+      |  COUNT(*) AS n_drawn,
+      |  round(CAST(SUM(cents) AS DOUBLE) /
+      |    (100.0 * CAST(COUNT(*) AS DOUBLE)), 6) + 0.0 AS sample_mean
+      |FROM drawn GROUP BY priority ORDER BY priority""".stripMargin
+  }
 
   // --------------------------------------------------------------- q221
   /** Header/detail financial reconciliation: does each order's
@@ -429,5 +506,6 @@ object EstimateQueries {
     "q208_neyman_alloc" -> q208Sql,
     "q216_bootstrap_ci" -> q216Sql,
     "q218_rule_violations" -> q218Sql,
-    "q221_order_reconciliation" -> q221Sql)
+    "q221_order_reconciliation" -> q221Sql,
+    "q224_stratified_draw" -> q224Sql)
 }
