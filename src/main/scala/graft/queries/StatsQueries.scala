@@ -700,7 +700,111 @@ object StatsQueries {
       |FROM r JOIN t ON r.rk = t.target
       |ORDER BY pct""".stripMargin
 
+  // --------------------------------------------------------------- q225
+  /** Tie-corrected Spearman rank correlation between quantity and
+    * discount — monotone association robust to the heavy ties of
+    * discrete columns (midranks, the textbook correction), answering
+    * "do bigger lines get deeper discounts?" without assuming
+    * linearity. q72 is the Pearson sibling; q203 the two-sample rank
+    * test.
+    *
+    * Scale + exactness shape: ranks NEVER materialize per row. The
+    * fact collapses to the |X|·|Y| JOINT census in one map-combinable
+    * agg; doubled midranks (2·cum_before + t + 1) are exact integers
+    * off each marginal census; every Spearman moment is a per-CELL
+    * double term rounded into DECIMAL(24,12) before the ≤550-cell
+    * exact sum (never a multi-row double sum); ρ is one closed-form
+    * double. The two cum windows run over the 50-row / 11-row marginal
+    * censuses (WindowGuardSpec-pinned). */
+  def q225Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val joint = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_discount").cast("decimal(18,2)").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    def marginal(key: String, out: String): DataFrame = {
+      val cum = Window.orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy(col(key)).agg(sum(col("cnt")).as("t"))
+        .withColumn("cb", coalesce(sum(col("t")).over(cum), lit(0L)))
+        .select(col(key), (lit(2) * col("cb") + col("t") + 1).as(out))
+    }
+    val n1 = joint.agg(sum(col("cnt")).as("n"))
+    val cells = joint
+      .join(broadcast(marginal("x", "ax")), "x")
+      .join(broadcast(marginal("y", "ay")), "y")
+      .crossJoin(broadcast(n1))
+      .withColumn("rx",
+        col("ax").cast("double") / (lit(2.0) * col("n").cast("double")))
+      .withColumn("ry",
+        col("ay").cast("double") / (lit(2.0) * col("n").cast("double")))
+    def t(e: Column, name: String): Column =
+      sum(round(e, 12).cast("decimal(24,12)")).as(name)
+    cells
+      .groupBy(col("n"))
+      .agg(
+        t(col("cnt") * col("rx") * col("ry"), "s_xy"),
+        t(col("cnt") * col("rx"), "s_x"),
+        t(col("cnt") * col("ry"), "s_y"),
+        t(col("cnt") * col("rx") * col("rx"), "s_xx"),
+        t(col("cnt") * col("ry") * col("ry"), "s_yy"))
+      .select(col("n"),
+        (round(
+          (col("n").cast("double") * col("s_xy").cast("double") -
+            col("s_x").cast("double") * col("s_y").cast("double")) /
+            sqrt(
+              (col("n").cast("double") * col("s_xx").cast("double") -
+                col("s_x").cast("double") * col("s_x").cast("double")) *
+                (col("n").cast("double") * col("s_yy").cast("double") -
+                  col("s_y").cast("double") * col("s_y").cast("double"))),
+          6) + lit(0.0)).as("spearman_rho"))
+  }
+
+  val q225Sql: String =
+    """WITH joint AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS y, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      |      AS ax
+      |  FROM (SELECT x, CAST(SUM(cnt) AS BIGINT) AS t FROM joint
+      |        GROUP BY 1)),
+      |my AS (
+      |  SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      |      AS ay
+      |  FROM (SELECT y, CAST(SUM(cnt) AS BIGINT) AS t FROM joint
+      |        GROUP BY 1)),
+      |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint),
+      |cells AS (
+      |  SELECT j.cnt, n,
+      |    CAST(ax AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS rx,
+      |    CAST(ay AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS ry
+      |  FROM joint j
+      |  JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN nn),
+      |s AS (
+      |  SELECT n,
+      |    SUM(CAST(round(cnt * rx * ry, 12) AS DECIMAL(24,12))) AS s_xy,
+      |    SUM(CAST(round(cnt * rx, 12) AS DECIMAL(24,12))) AS s_x,
+      |    SUM(CAST(round(cnt * ry, 12) AS DECIMAL(24,12))) AS s_y,
+      |    SUM(CAST(round(cnt * rx * rx, 12) AS DECIMAL(24,12))) AS s_xx,
+      |    SUM(CAST(round(cnt * ry * ry, 12) AS DECIMAL(24,12))) AS s_yy
+      |  FROM cells GROUP BY 1)
+      |SELECT n,
+      |  round(
+      |    (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE) -
+      |     CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE)) /
+      |    sqrt(
+      |      (CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE) -
+      |       CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE) -
+      |       CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))), 6) + 0.0
+      |    AS spearman_rho
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_spearman" -> (q225Spearman _),
     "q223_exact_percentiles" -> (q223ExactPercentiles _),
     "q196_equidepth_hist" -> (q196EquidepthHist _),
     "q199_discount_elasticity" -> (q199DiscountElasticity _),
@@ -714,6 +818,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q225_spearman" -> q225Sql,
     "q223_exact_percentiles" -> q223Sql,
     "q144_theilsen_trend" -> q144Sql,
     "q149_weighted_median_qty" -> q149Sql,

@@ -103,5 +103,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q210_record_orders",    // RangeRank offset prefix: <= #partitions rows
     "q215_abc_classification", // RangeRank offset prefix: <= #partitions rows
     "q222_hurst_exponent",   // daily-census day index: |distinct days|
-    "q223_exact_percentiles") // RangeRank offset prefix: <= #partitions rows
+    "q223_exact_percentiles", // RangeRank offset prefix: <= #partitions rows
+    "q225_spearman")         // marginal value censuses: 50 + 11 rows
 }
