@@ -349,7 +349,59 @@ object EstimateQueries {
     "q216_bootstrap_ci" -> (q216BootstrapCi _),
     "q218_rule_violations" -> (q218RuleViolations _),
     "q221_order_reconciliation" -> (q221OrderReconciliation _),
-    "q224_stratified_draw" -> (q224StratifiedDraw _))
+    "q224_stratified_draw" -> (q224StratifiedDraw _),
+    "q226_double_charges" -> (q226DoubleCharges _))
+
+  // --------------------------------------------------------------- q226
+  /** Duplicate-payment screening: orders that repeat the SAME
+    * (customer, order date, total price) — the standard double-charge /
+    * double-submission signature an AP-audit runs before clawbacks.
+    * Emits the census by repetition count (how many groups appear
+    * exactly k times) plus the money at risk (the duplicated excess:
+    * (k−1)·amount per group).
+    *
+    * Exactness: grouping keys are exact (date grain, cents); "at risk"
+    * is exact cent arithmetic; one double division at the end for the
+    * excess share of total revenue.
+    *
+    * Scale shape: two chained map-combinable hash aggs (fact →
+    * signature groups → k-census) and a 1-row broadcast total; no
+    * window, no join back to the fact. */
+  def q226DoubleCharges(spark: SparkSession, dir: String): DataFrame = {
+    val sig = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("day"), col("cents"))
+      .agg(count(lit(1)).as("k"))
+    val tot = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total"))
+    sig.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum((col("k") - 1) * col("cents")).as("excess_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_groups"),
+        (col("excess_cents").cast("double") / lit(100.0))
+          .as("money_at_risk"),
+        (round(col("excess_cents").cast("double") /
+          col("total").cast("double"), 9) + lit(0.0)).as("risk_share"))
+      .orderBy("k")
+  }
+
+  val q226Sql: String =
+    """WITH sig AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    COUNT(*) AS k
+      |  FROM orders GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    AS BIGINT) AS total
+      |  FROM orders)
+      |SELECT k, COUNT(*) AS n_groups,
+      |  CAST(SUM((k - 1) * cents) AS DOUBLE) / 100.0 AS money_at_risk,
+      |  round(CAST(SUM((k - 1) * cents) AS DOUBLE) /
+      |    CAST(total AS DOUBLE), 9) + 0.0 AS risk_share
+      |FROM sig, tot GROUP BY k, total ORDER BY k""".stripMargin
 
   // --------------------------------------------------------------- q224
   /** EXECUTE the q208 Neyman allocation: deterministically draw n_h
@@ -507,5 +559,6 @@ object EstimateQueries {
     "q216_bootstrap_ci" -> q216Sql,
     "q218_rule_violations" -> q218Sql,
     "q221_order_reconciliation" -> q221Sql,
-    "q224_stratified_draw" -> q224Sql)
+    "q224_stratified_draw" -> q224Sql,
+    "q226_double_charges" -> q226Sql)
 }
