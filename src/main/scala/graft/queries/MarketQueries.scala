@@ -400,7 +400,73 @@ object MarketQueries {
       |    AS revenue_share
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q227
+  /** Laspeyres price index by ship month: how have prices moved for the
+    * base-period basket? I_t = Σ_p q₀(p)·p_t(p) / Σ_p q₀(p)·p₀(p) over
+    * parts traded in BOTH the base month (the first month, 1995-01)
+    * and month t — base-month quantities freeze the basket so the
+    * index isolates PRICE motion from mix shift. The macro lens on
+    * pricing that q199's elasticity views microscopically.
+    *
+    * Exactness: per-(part, month) quantity and revenue are exact
+    * decimals; each part's unit price and basket term is a single
+    * double expression rounded into DECIMAL(24,6) before the
+    * cross-part sums (no multi-row double sum); the index is one
+    * division.
+    *
+    * Scale shape: fact → (part, month) rollup (map-combinable);
+    * base-month slice broadcast-joins back; the per-month sums are a
+    * second hash agg. Months are calendar-bounded. */
+  def q227PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("ext"))
+    val base = pm.filter(col("m") === "1995-01")
+      .select(col("l_partkey").as("bp"), col("qty").as("q0"),
+        (col("ext").cast("double") / col("qty").cast("double")).as("p0"))
+    pm.join(broadcast(base), col("l_partkey") === col("bp"))
+      .select(col("m"),
+        round(col("q0").cast("double") *
+          (col("ext").cast("double") / col("qty").cast("double")), 6)
+          .cast("decimal(24,6)").as("num_term"),
+        round(col("q0").cast("double") * col("p0"), 6)
+          .cast("decimal(24,6)").as("den_term"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts_matched"),
+        sum(col("num_term")).as("num"), sum(col("den_term")).as("den"))
+      .select(col("m").as("month"), col("n_parts_matched"),
+        (round(col("num").cast("double") / col("den").cast("double"), 6) +
+          lit(0.0)).as("laspeyres_index"))
+      .orderBy("month")
+  }
+
+  val q227Sql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ext
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT l_partkey AS bp, qty AS q0,
+      |    CAST(ext AS DOUBLE) / CAST(qty AS DOUBLE) AS p0
+      |  FROM pm WHERE m = '1995-01'),
+      |terms AS (
+      |  SELECT m,
+      |    CAST(round(CAST(q0 AS DOUBLE) *
+      |      (CAST(ext AS DOUBLE) / CAST(qty AS DOUBLE)), 6)
+      |      AS DECIMAL(24,6)) AS num_term,
+      |    CAST(round(CAST(q0 AS DOUBLE) * p0, 6) AS DECIMAL(24,6))
+      |      AS den_term
+      |  FROM pm JOIN base ON l_partkey = bp)
+      |SELECT m AS month, COUNT(*) AS n_parts_matched,
+      |  round(CAST(SUM(num_term) AS DOUBLE) / CAST(SUM(den_term) AS DOUBLE),
+      |    6) + 0.0 AS laspeyres_index
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_price_index" -> (q227PriceIndex _),
     "q215_abc_classification" -> (q215AbcClassification _),
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
     "q136_twap_value" -> (q136TwapValue _),
@@ -640,5 +706,6 @@ object MarketQueries {
     "q185_churn_risk" -> q185Sql,
     "q201_trajectory_census" -> q201Sql,
     "q206_lift_curve" -> q206Sql,
-    "q215_abc_classification" -> q215Sql)
+    "q215_abc_classification" -> q215Sql,
+    "q227_price_index" -> q227Sql)
 }
