@@ -440,7 +440,70 @@ object CorpusStatsQueries {
     "q115_zipf_fit" -> (q115ZipfFit _),
     "q147_heaps_fit" -> (q147HeapsFit _),
     "q184_vocab_richness" -> (q184VocabRichness _),
-    "q205_term_burstiness" -> (q205TermBurstiness _))
+    "q205_term_burstiness" -> (q205TermBurstiness _),
+    "q228_token_gini" -> (q228TokenGini _))
+
+  // --------------------------------------------------------------- q228
+  /** Gini coefficient of the token-frequency distribution: how
+    * concentrated is the corpus's token mass? G ≈ 0 means every type
+    * carries equal weight; G → 1 means a few function words dominate —
+    * the single-number companion to q115's Zipf slope and q184's
+    * hapax/TTR, and the metric dedup/diversity work moves.
+    *
+    * Exactness: G = (2·Σᵢ i·xᵢ)/(V·Σx) − (V+1)/V over frequencies
+    * sorted ascending (rank ties carry equal x, so the formula is
+    * tie-order invariant); Σ i·xᵢ is an exact DECIMAL sum of 19-digit
+    * cast products; one double expression at the end.
+    *
+    * Scale shape: explode → vocab census (hash agg); ranks come from
+    * [[graft.operators.RangeRank.withGlobalRank]] over the census —
+    * vocabulary can exceed any single partition at corpus scale, so no
+    * census-ordered global window (the oracle spells the one-window
+    * form; bit-identical). */
+  def q228TokenGini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val census = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    graft.operators.RangeRank
+      .withGlobalRank(census, "rk", Seq(col("cnt"), col("token")))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("total_tokens"),
+        sum(col("rk").cast("decimal(19,0)") *
+          col("cnt").cast("decimal(19,0)")).as("srx"))
+      .select(
+        col("vocab"), col("total_tokens"),
+        (round(
+          lit(2.0) * col("srx").cast("double") /
+            (col("vocab").cast("double") * col("total_tokens").cast("double")) -
+            (col("vocab") + 1).cast("double") / col("vocab").cast("double"),
+          6) + lit(0.0)).as("gini"))
+  }
+
+  val q228Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |r AS (
+      |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt, token)
+      |    AS BIGINT) AS rk
+      |  FROM census),
+      |s AS (
+      |  SELECT COUNT(*) AS vocab, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+      |    SUM(CAST(rk AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+      |      AS srx
+      |  FROM r)
+      |SELECT vocab, total_tokens,
+      |  round(
+      |    2.0 * CAST(srx AS DOUBLE) /
+      |      (CAST(vocab AS DOUBLE) * CAST(total_tokens AS DOUBLE)) -
+      |    CAST(vocab + 1 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) + 0.0
+      |    AS gini
+      |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q112_pmi_collocations" -> q112Sql,
@@ -448,5 +511,6 @@ object CorpusStatsQueries {
     "q115_zipf_fit" -> q115Sql,
     "q147_heaps_fit" -> q147Sql,
     "q184_vocab_richness" -> q184Sql,
-    "q205_term_burstiness" -> q205Sql)
+    "q205_term_burstiness" -> q205Sql,
+    "q228_token_gini" -> q228Sql)
 }
