@@ -355,7 +355,80 @@ object FunnelQueries {
       |QUALIFY d > 0 AND t <= 60
       |ORDER BY gap_days""".stripMargin
 
+  // --------------------------------------------------------------- q229
+  /** New-vs-returning revenue split by quarter: each quarter's revenue
+    * decomposed into orders from customers whose FIRST-ever order falls
+    * in that quarter (acquisition) vs earlier (retention) — the
+    * growth-accounting census behind "are we growing by acquiring or by
+    * retaining?". q87 tracks cohort RETENTION rates; this tracks the
+    * MONEY split per calendar quarter.
+    *
+    * Exactness: quarter labels are string arithmetic off the date
+    * (no engine quarter() conventions); revenue in exact cents; one
+    * double division for the new share.
+    *
+    * Scale shape: per-customer first-order rollup (hash agg), one hash
+    * join back to orders, one quarterly census agg. */
+  def q229NewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    def quarter(d: org.apache.spark.sql.Column) =
+      concat(year(d).cast("string"), lit("-Q"),
+        (((month(d) - 1) / lit(3)).cast("int") + 1).cast("string"))
+    val orders = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val firstDay = orders.groupBy(col("o_custkey").as("fc"))
+      .agg(min(col("day")).as("first_day"))
+    orders.join(firstDay, col("o_custkey") === col("fc"))
+      .withColumn("q", quarter(col("day")))
+      .withColumn("is_new", quarter(col("first_day")) === col("q"))
+      .groupBy(col("q"))
+      .agg(
+        sum(when(col("is_new"), col("cents")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(!col("is_new"), col("cents")).otherwise(0L))
+          .as("ret_cents"),
+        count_distinct(when(col("is_new"), col("o_custkey")))
+          .as("new_customers"))
+      .select(col("q").as("quarter"),
+        (col("new_cents").cast("double") / lit(100.0)).as("new_revenue"),
+        (col("ret_cents").cast("double") / lit(100.0))
+          .as("returning_revenue"),
+        col("new_customers"),
+        (round(col("new_cents").cast("double") /
+          (col("new_cents") + col("ret_cents")).cast("double"), 6) +
+          lit(0.0)).as("new_share"))
+      .orderBy("quarter")
+  }
+
+  val q229Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey AS fc, MIN(day) AS first_day FROM o
+      |      GROUP BY 1),
+      |j AS (
+      |  SELECT cents, o_custkey,
+      |    CAST(year(day) AS VARCHAR) || '-Q' ||
+      |      CAST((month(day) - 1) // 3 + 1 AS VARCHAR) AS q,
+      |    (CAST(year(day) AS VARCHAR) || '-Q' ||
+      |      CAST((month(day) - 1) // 3 + 1 AS VARCHAR)) =
+      |    (CAST(year(first_day) AS VARCHAR) || '-Q' ||
+      |      CAST((month(first_day) - 1) // 3 + 1 AS VARCHAR)) AS is_new
+      |  FROM o JOIN f ON o_custkey = fc)
+      |SELECT q AS quarter,
+      |  CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS DOUBLE) / 100.0
+      |    AS new_revenue,
+      |  CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS DOUBLE) / 100.0
+      |    AS returning_revenue,
+      |  COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END)
+      |    AS new_customers,
+      |  round(CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(cents) AS DOUBLE), 6) + 0.0 AS new_share
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_new_vs_returning" -> (q229NewVsReturning _),
     "q86_funnel" -> (q86Funnel _),
     "q87_retention" -> (q87Retention _),
     "q93_conversion_latency" -> (q93ConversionLatency _),
@@ -363,6 +436,7 @@ object FunnelQueries {
     "q192_kaplan_meier" -> (q192KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
+    "q229_new_vs_returning" -> q229Sql,
     "q86_funnel" -> q86Sql,
     "q87_retention" -> q87Sql,
     "q93_conversion_latency" -> q93Sql,
