@@ -810,7 +810,73 @@ object DocQueries {
        |    / CAST(COUNT(*) AS DOUBLE) AS agreement
        |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** Exact-dedup savings ledger: BEFORE running dedup, what does it
+    * buy? Over q19's dup-bearing corpus: docs/tokens/chars that vanish
+    * when each fingerprint group keeps its min-doc_id representative,
+    * and the char-share saved. The one-row business case for the dedup
+    * pass (q204 estimates the same from a sample; this is the exact
+    * ledger).
+    *
+    * Exactness: all counts exact; removable chars/tokens are group
+    * sums MINUS the kept copy's (min_by doc_id — copies can differ in
+    * raw whitespace, so the kept copy's own counts matter); one double
+    * division.
+    *
+    * Scale shape: one fingerprint hash agg with min_by partials; one
+    * 1-row final aggregate. */
+  def q230DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = corpusWithExactDups(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        length(col("text")).cast("long").as("chars"),
+        tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("chars")).as("sc"), sum(col("toks")).as("st"),
+        min_by(col("chars"), col("doc_id")).as("kc"),
+        min_by(col("toks"), col("doc_id")).as("kt"))
+    grouped.agg(
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(col("n") - 1).as("docs_removable"),
+        sum(col("st") - col("kt")).as("tokens_removable"),
+        sum(col("sc") - col("kc")).as("chars_removable"),
+        sum(col("sc")).as("total_chars"))
+      .select(
+        col("n_docs"), col("n_dup_groups"), col("docs_removable"),
+        col("tokens_removable"), col("chars_removable"),
+        (round(col("chars_removable").cast("double") /
+          col("total_chars").cast("double"), 6) + lit(0.0))
+          .as("char_savings_share"))
+  }
+
+  val q230Sql: String =
+    s"""WITH corpus AS ($corpusDupSql),
+      |g AS (
+      |  SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      |      AS fp,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(length(text)) AS BIGINT) AS sc,
+      |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+      |      AS BIGINT) AS st,
+      |    CAST(min_by(length(text), doc_id) AS BIGINT) AS kc,
+      |    CAST(min_by(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+      |      doc_id) AS BIGINT) AS kt
+      |  FROM corpus GROUP BY 1)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups,
+      |  CAST(SUM(n - 1) AS BIGINT) AS docs_removable,
+      |  CAST(SUM(st - kt) AS BIGINT) AS tokens_removable,
+      |  CAST(SUM(sc - kc) AS BIGINT) AS chars_removable,
+      |  round(CAST(SUM(sc - kc) AS DOUBLE) / CAST(SUM(sc) AS DOUBLE), 6)
+      |    + 0.0 AS char_savings_share
+      |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_dedup_savings" -> q230DedupSavings _,
     "q211_dedup_venn" -> q211DedupVenn _,
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
     "q20_text_stats" -> q20TextStats _,
@@ -827,6 +893,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q230_dedup_savings" -> q230Sql,
     "q211_dedup_venn" -> q211Sql,
     "q41_sketch_profile" -> q41Sql,
     "q19_exact_dup_docs" -> q19Sql,
