@@ -803,7 +803,80 @@ object StatsQueries {
       |    AS spearman_rho
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  /** Freedman–Diaconis histogram planning: exact quartiles of line
+    * revenue (type-1 selection at ⌈n/4⌉ and ⌈3n/4⌉, q223's integer-rank
+    * discipline), bin width 2·IQR/n^⅓, and the recommended bin count
+    * for the observed range. The planner that sizes q84's equi-width
+    * histogram from the data instead of a guessed constant.
+    *
+    * Scale shape: one RangeRank global-rank pass + a broadcast 2-row
+    * target join + a 1-row min/max/count aggregate. */
+  def q231FdBinning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      li, "rk", Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+    val tot = li.agg(count(lit(1)).as("n"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val targets = spark.range(1)
+      .select(explode(array(lit(250), lit(750))).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), col("vmin"), col("vmax"),
+        expr("(n * k + 999) div 1000").as("target"))
+    ranked.join(broadcast(targets), col("rk") === col("target"))
+      .groupBy(col("n"), col("vmin"), col("vmax"))
+      .agg(
+        min(when(col("k") === 250, col("v"))).as("q1"),
+        min(when(col("k") === 750, col("v"))).as("q3"))
+      .select(
+        col("n"),
+        col("q1").cast("double").as("q1"),
+        col("q3").cast("double").as("q3"),
+        (col("q3") - col("q1")).cast("double").as("iqr"),
+        (round(lit(2.0) * (col("q3") - col("q1")).cast("double") /
+          pow(col("n").cast("double"), lit(1.0) / lit(3.0)), 6) + lit(0.0))
+          .as("fd_width"),
+        ceil((col("vmax") - col("vmin")).cast("double") /
+          (lit(2.0) * (col("q3") - col("q1")).cast("double") /
+            pow(col("n").cast("double"), lit(1.0) / lit(3.0))))
+          .cast("long").as("fd_bins"))
+  }
+
+  val q231Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      AS v,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT v, CAST(row_number() OVER
+      |    (ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rk
+      |  FROM li),
+      |tot AS (
+      |  SELECT COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax FROM li),
+      |t AS (
+      |  SELECT k, n, vmin, vmax, (n * k + 999) // 1000 AS target
+      |  FROM (SELECT unnest([250, 750]) AS k) ks, tot),
+      |q AS (
+      |  SELECT n, vmin, vmax,
+      |    MIN(CASE WHEN k = 250 THEN v END) AS q1,
+      |    MIN(CASE WHEN k = 750 THEN v END) AS q3
+      |  FROM r JOIN t ON r.rk = t.target GROUP BY 1, 2, 3)
+      |SELECT n, CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+      |  CAST(q3 - q1 AS DOUBLE) AS iqr,
+      |  round(2.0 * CAST(q3 - q1 AS DOUBLE) /
+      |    pow(CAST(n AS DOUBLE), 1.0 / 3.0), 6) + 0.0 AS fd_width,
+      |  CAST(ceil(CAST(vmax - vmin AS DOUBLE) /
+      |    (2.0 * CAST(q3 - q1 AS DOUBLE) /
+      |     pow(CAST(n AS DOUBLE), 1.0 / 3.0))) AS BIGINT) AS fd_bins
+      |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_fd_binning" -> (q231FdBinning _),
     "q225_spearman" -> (q225Spearman _),
     "q223_exact_percentiles" -> (q223ExactPercentiles _),
     "q196_equidepth_hist" -> (q196EquidepthHist _),
@@ -818,6 +891,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q231_fd_binning" -> q231Sql,
     "q225_spearman" -> q225Sql,
     "q223_exact_percentiles" -> q223Sql,
     "q144_theilsen_trend" -> q144Sql,

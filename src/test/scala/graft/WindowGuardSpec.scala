@@ -105,5 +105,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q222_hurst_exponent",   // daily-census day index: |distinct days|
     "q223_exact_percentiles", // RangeRank offset prefix: <= #partitions rows
     "q225_spearman",         // marginal value censuses: 50 + 11 rows
-    "q228_token_gini")       // RangeRank offset prefix: <= #partitions rows
+    "q228_token_gini",       // RangeRank offset prefix: <= #partitions rows
+    "q231_fd_binning")       // RangeRank offset prefix: <= #partitions rows
 }
