@@ -441,7 +441,84 @@ object CorpusStatsQueries {
     "q147_heaps_fit" -> (q147HeapsFit _),
     "q184_vocab_richness" -> (q184VocabRichness _),
     "q205_term_burstiness" -> (q205TermBurstiness _),
-    "q228_token_gini" -> (q228TokenGini _))
+    "q228_token_gini" -> (q228TokenGini _),
+    "q232_distinctive_terms" -> (q232DistinctiveTerms _))
+
+  // --------------------------------------------------------------- q232
+  /** Distinctive terms of source src0 vs the rest of the corpus by
+    * Dirichlet-smoothed log-odds z-scores (Monroe et al.'s "fightin'
+    * words"): for each token, δ = log-odds(src0) − log-odds(rest) under
+    * a +0.01 pseudo-count prior, z = δ/√(1/(y₁+α) + 1/(y₂+α)); top 15
+    * by |z|. Token-level ATTRIBUTION of corpus drift — q140's KL says
+    * THAT two sources differ, this says WHICH words carry it (and the
+    * prior keeps rare-word z-scores from exploding, the failure mode of
+    * raw log-odds).
+    *
+    * Exactness: per-token counts are exact; δ and z are single double
+    * expressions over them (totals broadcast); top-15 is deterministic
+    * (|z| desc, token asc).
+    *
+    * Scale shape: one tokenize pass → (token, side) census → broadcast
+    * totals → per-token map math; top-15 lowers to
+    * TakeOrderedAndProject. */
+  def q232DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val a = 0.01
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select((col("source") === "src0").as("side"),
+        explode(tokens(lower(col("text")))).as("token"))
+    val census = tok.groupBy(col("token"))
+      .agg(
+        sum(when(col("side"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("side"), 1L).otherwise(0L)).as("c2"))
+    val tot = census.agg(
+      count(lit(1)).as("v"), sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"))
+    def lo(y: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      log((y.cast("double") + lit(a)) /
+        (n.cast("double") + lit(a) * v.cast("double") -
+          y.cast("double") - lit(a)))
+    census.crossJoin(broadcast(tot))
+      .withColumn("z", round(
+        (lo(col("c1"), col("n1"), col("v")) -
+          lo(col("c2"), col("n2"), col("v"))) /
+          sqrt(lit(1.0) / (col("c1").cast("double") + lit(a)) +
+            lit(1.0) / (col("c2").cast("double") + lit(a))), 6) + lit(0.0))
+      .select(col("token"), col("c1"), col("c2"), col("z"))
+      .orderBy(abs(col("z")).desc, col("token"))
+      .limit(15)
+  }
+
+  val q232Sql: String =
+    """WITH tok AS (
+      |  SELECT source = 'src0' AS side,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM tok GROUP BY 1),
+      |tot AS (
+      |  SELECT COUNT(*) AS v, CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM census),
+      |z AS (
+      |  SELECT token, c1, c2,
+      |    round(
+      |      (ln((CAST(c1 AS DOUBLE) + 0.01) /
+      |          (CAST(n1 AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) -
+      |           CAST(c1 AS DOUBLE) - 0.01)) -
+      |       ln((CAST(c2 AS DOUBLE) + 0.01) /
+      |          (CAST(n2 AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) -
+      |           CAST(c2 AS DOUBLE) - 0.01))) /
+      |      sqrt(1.0 / (CAST(c1 AS DOUBLE) + 0.01) +
+      |           1.0 / (CAST(c2 AS DOUBLE) + 0.01)), 6) + 0.0 AS z
+      |  FROM census, tot)
+      |SELECT token, c1, c2, z
+      |FROM z ORDER BY abs(z) DESC, token LIMIT 15""".stripMargin
 
   // --------------------------------------------------------------- q228
   /** Gini coefficient of the token-frequency distribution: how
@@ -512,5 +589,6 @@ object CorpusStatsQueries {
     "q147_heaps_fit" -> q147Sql,
     "q184_vocab_richness" -> q184Sql,
     "q205_term_burstiness" -> q205Sql,
-    "q228_token_gini" -> q228Sql)
+    "q228_token_gini" -> q228Sql,
+    "q232_distinctive_terms" -> q232Sql)
 }
