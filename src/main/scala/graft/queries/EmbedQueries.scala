@@ -600,9 +600,15 @@ object EmbedQueries {
     * hash-certified arithmetic; the mutuality join adds only integer id
     * equality.
     *
-    * Scale shape: q53's banded candidate plan (skinny-id band equi-join,
-    * WindowGroupLimit top-1), then a self-equi-join of the NN list on
-    * (vec_id, neighbor_id) — two hash shuffles of id-width rows. */
+    * Scale shape: the mutuality join itself is linear (id-pair hash
+    * joins). The CANDIDATE stage inherits q53's fixture-tuned operating
+    * point — two 8-bit sign-LSH bands admit ~0.8% of random pairs, a
+    * quadratic term the 2 000-vector certification accepts for recall
+    * (measured 62× shuffle at 10× clones, SCALE_NOTES_r12). At corpus
+    * scale band bits grow with log N, or the NN feed routes through the
+    * measured-linear IVF/semantic-cell paths (q33/q66/q99); this entry
+    * certifies the reciprocal-match arithmetic at the fixture point,
+    * mirroring q50's certification-slice discipline. */
   def q209ReciprocalNn(spark: SparkSession, dir: String): DataFrame = {
     val nn = q53KnnJoin(spark, dir)
       .filter(col("rank") === 1)
