@@ -442,7 +442,94 @@ object CorpusStatsQueries {
     "q184_vocab_richness" -> (q184VocabRichness _),
     "q205_term_burstiness" -> (q205TermBurstiness _),
     "q228_token_gini" -> (q228TokenGini _),
-    "q232_distinctive_terms" -> (q232DistinctiveTerms _))
+    "q232_distinctive_terms" -> (q232DistinctiveTerms _),
+    "q233_countmin_cert" -> (q233CountMinCert _))
+
+  // --------------------------------------------------------------- q233
+  /** Count-Min sketch certification: build a d=4 × w=1024 CMS over the
+    * token stream with md5-derived row hashes (cross-engine
+    * replayable, the q22/q27 discipline), then compare the sketch
+    * estimate min_i cells[i][h_i(token)] against the EXACT count for
+    * the 20 highest-frequency tokens. CMS never underestimates; the
+    * output shows each heavy hitter's overestimate and its share of
+    * the ε·N = N/w theoretical bound — the calibration a pipeline
+    * checks before trusting sketch counts at 100 TB (where the exact
+    * census this query affords at fixture scale is the thing being
+    * replaced).
+    *
+    * Exactness: every cell and estimate is an exact integer; one
+    * double division for the bound share.
+    *
+    * Scale shape: token census (hash agg) → 4-way hash explode →
+    * (row, cell) agg (4·1024 cells regardless of corpus size) → the
+    * top-20 probe joins the 4 relevant cells per token (broadcast:
+    * the cell table is KB-scale). */
+  def q233CountMinCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokens}
+    val census = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val hashed = census.select(col("token"), col("cnt"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("i"),
+          pmod(md5Hash60(concat(lit(s"cms:$i:"), col("token"))), lit(1024L))
+            .as("cell"))): _*)).as("h"))
+      .select(col("token"), col("cnt"), col("h.i").as("i"),
+        col("h.cell").as("cell"))
+    val cells = hashed.groupBy(col("i"), col("cell"))
+      .agg(sum(col("cnt")).as("cell_sum"))
+    val tot = census.agg(sum(col("cnt")).as("n"))
+    val top = census.orderBy(desc("cnt"), asc("token")).limit(20)
+    top
+      .join(hashed.select(col("token").as("ht"), col("i"), col("cell")),
+        col("token") === col("ht"))
+      .join(broadcast(cells), Seq("i", "cell"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("cell_sum")).as("cms_est"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt").as("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overestimate"),
+        (round((col("cms_est") - col("cnt")).cast("double") /
+          (col("n").cast("double") / lit(1024.0)), 6) + lit(0.0))
+          .as("bound_share"))
+      .orderBy(desc("true_cnt"), asc("token"))
+  }
+
+  val q233Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val hashUnion = (0 until 4).map { i =>
+      s"""SELECT token, cnt, $i AS i,
+         |  ((${md5Hash60Sql(s"'cms:$i:' || token")}) % 1024 + 1024) % 1024
+         |    AS cell
+         |  FROM census""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      |    AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |hashed AS (
+      |  $hashUnion),
+      |cells AS (
+      |  SELECT i, cell, CAST(SUM(cnt) AS BIGINT) AS cell_sum
+      |  FROM hashed GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM census),
+      |top AS (
+      |  SELECT token, cnt FROM census ORDER BY cnt DESC, token LIMIT 20),
+      |est AS (
+      |  SELECT t.token, t.cnt, MIN(c.cell_sum) AS cms_est
+      |  FROM top t
+      |  JOIN hashed h ON h.token = t.token
+      |  JOIN cells c ON c.i = h.i AND c.cell = h.cell
+      |  GROUP BY 1, 2)
+      |SELECT token, cnt AS true_cnt, cms_est,
+      |  cms_est - cnt AS overestimate,
+      |  round(CAST(cms_est - cnt AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) / 1024.0), 6) + 0.0 AS bound_share
+      |FROM est, tot ORDER BY true_cnt DESC, token""".stripMargin
+  }
 
   // --------------------------------------------------------------- q232
   /** Distinctive terms of source src0 vs the rest of the corpus by
@@ -590,5 +677,6 @@ object CorpusStatsQueries {
     "q184_vocab_richness" -> q184Sql,
     "q205_term_burstiness" -> q205Sql,
     "q228_token_gini" -> q228Sql,
-    "q232_distinctive_terms" -> q232Sql)
+    "q232_distinctive_terms" -> q232Sql,
+    "q233_countmin_cert" -> q233Sql)
 }
