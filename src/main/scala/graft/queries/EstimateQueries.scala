@@ -350,7 +350,90 @@ object EstimateQueries {
     "q218_rule_violations" -> (q218RuleViolations _),
     "q221_order_reconciliation" -> (q221OrderReconciliation _),
     "q224_stratified_draw" -> (q224StratifiedDraw _),
-    "q226_double_charges" -> (q226DoubleCharges _))
+    "q226_double_charges" -> (q226DoubleCharges _),
+    "q234_join_card_est" -> (q234JoinCardEst _))
+
+  // --------------------------------------------------------------- q234
+  /** Join-cardinality estimator certification: the textbook
+    * containment-assumption estimate |A ⋈ B| ≈ |A|·|B| / max(dA, dB)
+    * (what a cost-based optimizer computes from table stats) versus the
+    * ACTUAL join size, for the two workhorse joins (orders⋈lineitem on
+    * the order key, part⋈lineitem on the part key). The ratio is the
+    * calibration a planner audit tracks — a misestimate here is how a
+    * 100 TB join picks the wrong side to broadcast.
+    *
+    * Exactness: all row/distinct counts and actual join sizes are
+    * exact; the estimate and q-error are single double expressions.
+    *
+    * Scale shape: per-join, two 1-row stats aggregates plus one
+    * count-after-join (the certification cost; a production audit
+    * samples instead). Everything reduces before the union of two
+    * 1-row frames. */
+  def q234JoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, a: DataFrame, ak: String, b: DataFrame,
+        bk: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("na"),
+        count_distinct(col(ak)).as("da"))
+      val sb = b.agg(count(lit(1)).as("nb"),
+        count_distinct(col(bk)).as("db"))
+      val actual = a.join(b, col(ak) === col(bk))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(
+          lit(name).as("join_name"), col("na"), col("nb"),
+          col("da"), col("db"), col("actual"),
+          round(col("na").cast("double") * col("nb").cast("double") /
+            greatest(col("da"), col("db")).cast("double")).cast("long")
+            .as("estimate"))
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val a = one("orders_lineitem",
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey")), "o_orderkey",
+      li.select(col("l_orderkey")), "l_orderkey")
+    val b = one("part_lineitem",
+      spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey")), "p_partkey",
+      li.select(col("l_partkey")), "l_partkey")
+    a.unionAll(b)
+      .select(col("join_name"), col("na"), col("nb"), col("da"), col("db"),
+        col("actual"), col("estimate"),
+        (round(
+          greatest(
+            col("estimate").cast("double") / col("actual").cast("double"),
+            col("actual").cast("double") / col("estimate").cast("double")),
+          6) + lit(0.0)).as("q_error"))
+      .orderBy("join_name")
+  }
+
+  val q234Sql: String =
+    """WITH oj AS (
+      |  SELECT 'orders_lineitem' AS join_name,
+      |    (SELECT COUNT(*) FROM orders) AS na,
+      |    (SELECT COUNT(*) FROM lineitem) AS nb,
+      |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS da,
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS db,
+      |    (SELECT COUNT(*) FROM orders JOIN lineitem
+      |       ON o_orderkey = l_orderkey) AS actual),
+      |pj AS (
+      |  SELECT 'part_lineitem' AS join_name,
+      |    (SELECT COUNT(*) FROM part) AS na,
+      |    (SELECT COUNT(*) FROM lineitem) AS nb,
+      |    (SELECT COUNT(DISTINCT p_partkey) FROM part) AS da,
+      |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS db,
+      |    (SELECT COUNT(*) FROM part JOIN lineitem
+      |       ON p_partkey = l_partkey) AS actual),
+      |u AS (SELECT * FROM oj UNION ALL SELECT * FROM pj),
+      |e AS (
+      |  SELECT *, CAST(round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+      |      CAST(greatest(da, db) AS DOUBLE)) AS BIGINT) AS estimate
+      |  FROM u)
+      |SELECT join_name, na, nb, da, db, actual, estimate,
+      |  round(greatest(
+      |    CAST(estimate AS DOUBLE) / CAST(actual AS DOUBLE),
+      |    CAST(actual AS DOUBLE) / CAST(estimate AS DOUBLE)), 6) + 0.0
+      |    AS q_error
+      |FROM e ORDER BY join_name""".stripMargin
 
   // --------------------------------------------------------------- q226
   /** Duplicate-payment screening: orders that repeat the SAME
@@ -560,5 +643,6 @@ object EstimateQueries {
     "q218_rule_violations" -> q218Sql,
     "q221_order_reconciliation" -> q221Sql,
     "q224_stratified_draw" -> q224Sql,
-    "q226_double_charges" -> q226Sql)
+    "q226_double_charges" -> q226Sql,
+    "q234_join_card_est" -> q234Sql)
 }
