@@ -369,7 +369,88 @@ object GraphQueries {
       |    AS assortativity
       |FROM sums""".stripMargin
 
+  // --------------------------------------------------------------- q235
+  /** Rich-club coefficient of the co-purchase graph: among nodes of
+    * degree > k, the realized fraction of possible edges, for
+    * k ∈ {4, 8, 16}. A rising φ(k) means best-sellers preferentially
+    * co-sell with each other — the mechanism behind q213's
+    * assortativity sign, localized to the top of the degree
+    * distribution (where recommendation feedback loops live).
+    *
+    * Exactness: node/edge counts are exact integers; φ is one double
+    * division against n·(n−1)/2 computed in integer arithmetic.
+    *
+    * Scale shape: degree table (hash agg) → two broadcast degree
+    * lookups onto the edge list → per-k conditional sums in ONE edge
+    * pass (k thresholds evaluate as three sums, not three passes);
+    * node counts per k from one degree-table pass. */
+  def q235RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val und = edges.select(col("pa").as("u"))
+      .union(edges.select(col("pb").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ks = Seq(4, 8, 16)
+    val nAggs = ks.map(k =>
+      sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+    val nodeCounts = deg.agg(nAggs.head, nAggs.tail: _*)
+    val e = edges
+      .join(deg.select(col("u").as("ua"), col("d").as("da")),
+        col("pa") === col("ua"))
+      .join(deg.select(col("u").as("ub"), col("d").as("db")),
+        col("pb") === col("ub"))
+    val eAggs = ks.map(k =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L))
+        .as(s"e$k"))
+    val edgeCounts = e.agg(eAggs.head, eAggs.tail: _*)
+    val wide = nodeCounts.crossJoin(broadcast(edgeCounts))
+    val rows = ks.map { k =>
+      wide.select(lit(k).as("k"), col(s"n$k").as("n_club"),
+        col(s"e$k").as("club_edges"),
+        // clubs of <2 nodes have no possible edges: phi undefined (NULL)
+        when(col(s"n$k") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col(s"e$k").cast("double") /
+            (col(s"n$k") * (col(s"n$k") - 1)).cast("double"), 6) + lit(0.0))
+          .as("phi"))
+    }
+    rows.reduce(_ unionAll _).orderBy("k")
+  }
+
+  val q235Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT pa AS u FROM edges UNION ALL SELECT pb FROM edges),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+      |e AS (
+      |  SELECT da.d AS da, db.d AS db
+      |  FROM edges
+      |  JOIN deg da ON pa = da.u JOIN deg db ON pb = db.u),
+      |ks AS (SELECT unnest([4, 8, 16]) AS k),
+      |nc AS (
+      |  SELECT k, CAST(SUM(CASE WHEN d > k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_club
+      |  FROM deg, ks GROUP BY k),
+      |ec AS (
+      |  SELECT k, CAST(SUM(CASE WHEN da > k AND db > k THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS club_edges
+      |  FROM e, ks GROUP BY k)
+      |SELECT nc.k, n_club, club_edges,
+      |  CASE WHEN n_club < 2 THEN NULL
+      |       ELSE round(2.0 * CAST(club_edges AS DOUBLE) /
+      |         CAST(n_club * (n_club - 1) AS DOUBLE), 6) + 0.0 END AS phi
+      |FROM nc JOIN ec ON nc.k = ec.k ORDER BY nc.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_rich_club" -> (q235RichClub _),
     "q213_assortativity" -> (q213Assortativity _),
     "q111_triangles" -> (q111Triangles _),
     "q123_khop_bfs" -> (q123KhopBfs _),
@@ -377,6 +458,7 @@ object GraphQueries {
     "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
+    "q235_rich_club" -> q235Sql,
     "q213_assortativity" -> q213Sql,
     "q111_triangles" -> q111Sql,
     "q123_khop_bfs" -> q123Sql,
