@@ -125,6 +125,38 @@ object RangeRank {
       .drop(Pid, "rr_lmax", "rr_max_off")
   }
 
+  /** Exact type-1 (order-statistic) quantiles of `value` at the given
+    * per-mille points: for each p = k/1000 the value whose exact global
+    * rank is ⌈p·n⌉ — computed with INTEGER arithmetic
+    * ((n·k + 999) div 1000), so no float decides a rank boundary.
+    * Returns (pct: double, rank, n, value) rows, one per requested
+    * point. `keys` must extend `value` to a total order (unique
+    * tiebreaks), exactly like [[withGlobalRank]].
+    *
+    * This is the EXACT fact-scale quantile path (range shuffle +
+    * broadcast target join); the mergeable-sketch path (q117) is the
+    * approximate alternative when one pass over unsorted data must
+    * also serve other aggregations. */
+  def quantiles(df: DataFrame, value: Column, keys: Seq[Column],
+      permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(k => k >= 1 && k <= 1000),
+      s"per-mille points must be in [1,1000]: $permille")
+    val spark = df.sparkSession
+    val v = df.select(value.as("rr_v") +: keys: _*)
+    val ranked = withGlobalRank(v, "rr_rk", col("rr_v") +: keys)
+    val tot = v.agg(count(lit(1)).as("rr_n"))
+    val targets = spark.range(1)
+      .select(explode(array(permille.map(lit(_)): _*)).as("rr_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("rr_k"), col("rr_n"),
+        expr("(rr_n * rr_k + 999) div 1000").as("rr_target"))
+    ranked.join(broadcast(targets), col("rr_rk") === col("rr_target"))
+      .select(
+        (col("rr_k").cast("double") / lit(1000.0)).as("pct"),
+        col("rr_target").as("rank"), col("rr_n").as("n"),
+        col("rr_v").as("value"))
+  }
+
   /** Add `ntileCol` with SQL NTILE(n) semantics over the total order
     * `keys`: bucket sizes differ by at most one, larger buckets first —
     * derived arithmetically from the exact global rank, so the result is

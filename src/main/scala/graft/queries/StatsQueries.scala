@@ -658,28 +658,18 @@ object StatsQueries {
     * broadcast join against the 4-row target table. No
     * single-partition pass over the fact (the oracle spells the
     * one-window form; bit-identical). */
-  def q223ExactPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Kpis.table(spark, dir, "lineitem")
-      .select(
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)").as("v"),
-        col("l_orderkey"), col("l_linenumber"))
-    val ranked = graft.operators.RangeRank.withGlobalRank(
-      li, "rk", Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
-    val tot = li.agg(count(lit(1)).as("n"))
-    val targets = spark.range(1)
-      .select(explode(array(lit(500), lit(900), lit(990), lit(999)))
-        .as("k"))
-      .crossJoin(broadcast(tot))
-      .select(col("k"), col("n"),
-        expr("(n * k + 999) div 1000").as("target"))
-    ranked.join(broadcast(targets), col("rk") === col("target"))
-      .select(
-        (col("k").cast("double") / lit(1000.0)).as("pct"),
-        col("target").as("rank"), col("n"),
-        col("v").cast("double").as("value"))
+  def q223ExactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RangeRank.quantiles(
+      Kpis.table(spark, dir, "lineitem")
+        .select(
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)").as("v"),
+          col("l_orderkey"), col("l_linenumber")),
+      col("v"), Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq(500, 900, 990, 999))
+      .select(col("pct"), col("rank"), col("n"),
+        col("value").cast("double").as("value"))
       .orderBy("pct")
-  }
 
   val q223Sql: String =
     """WITH li AS (
