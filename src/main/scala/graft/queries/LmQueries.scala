@@ -138,11 +138,86 @@ object LmQueries {
       |GROUP BY doc_id, lang, n_bigrams
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q236
+  /** Context-length overflow census: for candidate context sizes
+    * L ∈ {512, 2048, 8192} tokens, how many documents exceed L and what
+    * share of corpus tokens a truncate-at-L policy discards
+    * (Σ(tokens−L)⁺ / Σtokens). The sizing study run BEFORE q47's
+    * sequence packing: it picks the context length (and decides between
+    * truncation and document splitting) from the corpus's own length
+    * distribution.
+    *
+    * Exactness: per-doc token counts are exact integers; overflow sums
+    * are exact; shares are single double divisions, 6 dp, −0.0-guarded.
+    *
+    * Scale shape: one tokenize pass collapses to a per-doc length
+    * table; the three L thresholds evaluate as conditional sums in ONE
+    * aggregate (adding a candidate L is one more column, not another
+    * pass); the L-census output unpivots from that single row. */
+  def q236ContextOverflow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val ls = Seq(512, 2048, 8192)
+    val perDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(tokenCount(col("text")).cast("long").as("t"))
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("t")).as("tot")) ++
+        ls.flatMap(l => Seq(
+          sum(when(col("t") > l, 1L).otherwise(0L)).as(s"over$l"),
+          sum(when(col("t") > l, col("t") - l).otherwise(0L))
+            .as(s"lost$l")))
+    val wide = perDoc.agg(aggs.head, aggs.tail: _*)
+    ls.map { l =>
+      wide.select(lit(l).as("context_len"), col("n_docs"),
+        col(s"over$l").as("n_docs_over"),
+        (round(col(s"over$l").cast("double") /
+          col("n_docs").cast("double"), 6) + lit(0.0)).as("doc_over_share"),
+        col(s"lost$l").as("tokens_lost"),
+        (round(col(s"lost$l").cast("double") /
+          col("tot").cast("double"), 6) + lit(0.0)).as("token_loss_share"))
+    }.reduce(_ unionAll _).orderBy("context_len")
+  }
+
+  val q236Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |    AS BIGINT) AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN t > 512 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS over512,
+      |    CAST(SUM(CASE WHEN t > 512 THEN t - 512 ELSE 0 END) AS BIGINT)
+      |      AS lost512,
+      |    CAST(SUM(CASE WHEN t > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS over2048,
+      |    CAST(SUM(CASE WHEN t > 2048 THEN t - 2048 ELSE 0 END) AS BIGINT)
+      |      AS lost2048,
+      |    CAST(SUM(CASE WHEN t > 8192 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS over8192,
+      |    CAST(SUM(CASE WHEN t > 8192 THEN t - 8192 ELSE 0 END) AS BIGINT)
+      |      AS lost8192
+      |  FROM d),
+      |u AS (
+      |  SELECT 512 AS context_len, n_docs, over512 AS n_docs_over,
+      |    lost512 AS tokens_lost, tot FROM s
+      |  UNION ALL SELECT 2048, n_docs, over2048, lost2048, tot FROM s
+      |  UNION ALL SELECT 8192, n_docs, over8192, lost8192, tot FROM s)
+      |SELECT context_len, n_docs, n_docs_over,
+      |  round(CAST(n_docs_over AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    + 0.0 AS doc_over_share,
+      |  tokens_lost,
+      |  round(CAST(tokens_lost AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+      |    AS token_loss_share
+      |FROM u ORDER BY context_len""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_context_overflow" -> (q236ContextOverflow _),
     "q59_unigram_nll" -> (q59UnigramNll _),
     "q83_bigram_nll" -> (q83BigramNll _))
 
   def oracles: Map[String, String] = Map(
+    "q236_context_overflow" -> q236Sql,
     "q59_unigram_nll" -> q59Sql,
     "q83_bigram_nll" -> q83Sql)
 }
