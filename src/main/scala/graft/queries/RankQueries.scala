@@ -192,11 +192,128 @@ object RankQueries {
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q237
+  /** BM25 parameter-stability audit: the same query scored under three
+    * canonical (k1, b) settings — Robertson's (1.2, 0.75), the
+    * Lucene-ish (0.9, 0.4), and a high-saturation (2.0, 0.75) — and,
+    * per setting pair, how much of the top-10 survives the change
+    * (set overlap + Jaccard). A retrieval stack runs exactly this
+    * before trusting a tuned parameter: rankings that reshuffle under
+    * defensible settings are telling you the scores, not the
+    * parameters, are fragile. Extends q78 (one fixed setting).
+    *
+    * Exactness: per-term scores keep q78's discipline — every
+    * parameter is a pre-folded double LITERAL (k1+1 is written 2.2 /
+    * 1.9 / 3.0, never summed at runtime: the Scala 1.2+1.0 is one ulp
+    * off DuckDB's parsed 2.2), 9-dp decimal rounding before the
+    * per-doc sum; top-10 cuts are deterministic (score desc, doc_id).
+    *
+    * Scale shape: ONE tokenize/tf/df/dl pass shared by all settings
+    * (the settings table cross-joins as 3 broadcast rows); per-setting
+    * ranking is a 3-partition window over query-term-matched docs
+    * only; the pair audit joins 10-row lists. */
+  def q237Bm25Stability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val settings = spark.range(1).select(explode(array(
+      struct(lit("a_k12_b075").as("s"), lit(1.2).as("k1"),
+        lit(0.25).as("b1m"), lit(0.75).as("b"), lit(2.2).as("k1p1")),
+      struct(lit("b_k09_b040").as("s"), lit(0.9).as("k1"),
+        lit(0.6).as("b1m"), lit(0.4).as("b"), lit(1.9).as("k1p1")),
+      struct(lit("c_k20_b075").as("s"), lit(2.0).as("k1"),
+        lit(0.25).as("b1m"), lit(0.75).as("b"), lit(3.0).as("k1p1"))))
+      .as("st")).select(col("st.*"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("n_docs").cast("double") - col("df")) + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val scored = tf.join(broadcast(dfTbl), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(settings))
+      .withColumn("avgdl", avgdl)
+      .withColumn("score", round(idf *
+        (col("tf").cast("double") * col("k1p1")) /
+        (col("tf").cast("double") + col("k1") *
+          (col("b1m") + col("b") *
+            (col("dl").cast("double") / col("avgdl")))), 9)
+        .cast("decimal(28,9)"))
+      .groupBy(col("s"), col("doc_id"))
+      .agg(sum(col("score")).as("bm25"))
+    val w = Window.partitionBy(col("s"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("s"), col("doc_id"))
+    val t2 = top.select(col("s").as("s2"), col("doc_id").as("d2"))
+    top.join(t2, col("doc_id") === col("d2") && col("s") < col("s2"))
+      .groupBy(col("s").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("s1"), col("s2"), col("n_common"),
+        (round(col("n_common").cast("double") /
+          (lit(20) - col("n_common")).cast("double"), 6) + lit(0.0))
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  val q237Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tok1 AS (SELECT * FROM tok WHERE length(term) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok1 GROUP BY 1),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok1
+      |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |settings AS (
+      |  SELECT 'a_k12_b075' AS s, 1.2 AS k1, 0.25 AS b1m, 0.75 AS b,
+      |    2.2 AS k1p1
+      |  UNION ALL SELECT 'b_k09_b040', 0.9, 0.6, 0.4, 1.9
+      |  UNION ALL SELECT 'c_k20_b075', 2.0, 0.25, 0.75, 3.0),
+      |scored AS (
+      |  SELECT s, tf.doc_id,
+      |    CAST(ROUND(
+      |      LN(1.0 + ((CAST(n_docs AS DOUBLE) - df) + 0.5)
+      |                / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * k1p1)
+      |      / (CAST(tf AS DOUBLE) + k1 * (b1m + b * (CAST(dl AS DOUBLE)
+      |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+      |      9) AS DECIMAL(28,9)) AS score
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats CROSS JOIN settings),
+      |bm AS (
+      |  SELECT s, doc_id, SUM(score) AS bm25 FROM scored GROUP BY 1, 2),
+      |top AS (
+      |  SELECT s, doc_id FROM (
+      |    SELECT s, doc_id, row_number() OVER (
+      |      PARTITION BY s ORDER BY bm25 DESC, doc_id) AS rk
+      |    FROM bm) WHERE rk <= 10)
+      |SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_common,
+      |  round(CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(20 - COUNT(*) AS DOUBLE), 6) + 0.0 AS jaccard
+      |FROM top a JOIN top b ON a.doc_id = b.doc_id AND a.s < b.s
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_bm25_stability" -> (q237Bm25Stability _),
     "q78_bm25" -> (q78Bm25 _),
     "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "q237_bm25_stability" -> q237Sql,
     "q78_bm25" -> q78Sql,
     "q151_rrf_fusion" -> q151Sql)
 }
