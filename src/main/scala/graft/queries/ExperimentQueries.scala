@@ -389,13 +389,84 @@ object ExperimentQueries {
       |    6) + 0.0 AS z_score
       |FROM sums""".stripMargin
 
+  // --------------------------------------------------------------- q238
+  /** Cross-fold stability of the q69 value-over-time trend: the same
+    * closed-form OLS slope fitted independently on 5 disjoint
+    * md5-assigned folds of the event stream, with each fold's slope and
+    * the max pairwise spread. The cheap robustness audit behind any
+    * fitted coefficient — a slope that flips sign across folds is
+    * noise wearing a trend costume (q172 asks the same question of a
+    * mean difference via permutation).
+    *
+    * Exactness: fold assignment is md5 mod 5 (exact integer);
+    * per-fold sums are exact (q69's integer-hour × 4-dp decimal
+    * discipline); each slope is one double expression rounded at 9 dp;
+    * the spread is max−min over 5 rounded values (order-independent).
+    *
+    * Scale shape: ONE map-combinable hash agg keyed by fold (the fold
+    * column is map-side arithmetic); the 5-row fold table then
+    * aggregates to the spread, broadcast back onto the rows. */
+  def q238FoldStability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val baseEpoch = 1704067200L
+    val x = floor((col("ts").cast("long") - baseEpoch) / lit(3600.0))
+      .cast("long")
+    val folds = graft.queries.Kpis.eventsTable(spark, dir)
+      .select(
+        pmod(md5Hash60(concat(lit("fold:"), col("event_id").cast("string"))),
+          lit(5L)).cast("int").as("fold"),
+        x.as("x"), col("value").cast("decimal(18,4)").as("y"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"))
+      .withColumn("slope", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        9) + lit(0.0))
+    val spread = folds.agg(
+      (round(max(col("slope")) - min(col("slope")), 9) + lit(0.0))
+        .as("slope_spread"),
+      sum(when(col("slope") > 0, 1L).otherwise(0L)).as("n_positive"))
+    folds.select(col("fold"), col("n"), col("slope"))
+      .crossJoin(broadcast(spread))
+      .orderBy("fold")
+  }
+
+  val q238Sql: String =
+    s"""WITH pts AS (
+      |  SELECT CAST(((('0x' || substr(md5('fold:' ||
+      |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 5) + 5) % 5
+      |      AS INTEGER) AS fold,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+      |    CAST(value AS DECIMAL(18,4)) AS y
+      |  FROM events),
+      |folds AS (
+      |  SELECT fold, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * x) AS sxy
+      |  FROM pts GROUP BY 1),
+      |sl AS (
+      |  SELECT fold, n,
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE), 9) + 0.0 AS slope
+      |  FROM folds),
+      |sp AS (
+      |  SELECT round(MAX(slope) - MIN(slope), 9) + 0.0 AS slope_spread,
+      |    CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_positive
+      |  FROM sl)
+      |SELECT fold, n, slope, slope_spread, n_positive
+      |FROM sl, sp ORDER BY fold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_fold_stability" -> (q238FoldStability _),
     "q129_ab_test" -> (q129AbTest _),
     "q150_ks_drift" -> (q150KsDrift _),
     "q172_permutation_test" -> (q172PermutationTest _),
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q238_fold_stability" -> q238Sql,
     "q129_ab_test" -> q129Sql,
     "q150_ks_drift" -> q150Sql,
     "q172_permutation_test" -> q172Sql,
