@@ -474,7 +474,69 @@ object InfoQueries {
       |     END) - CAST(cond_h AS DOUBLE), 6) + 0.0 AS info_gain
       |FROM agg ORDER BY feature""".stripMargin
 
+  // --------------------------------------------------------------- q239
+  /** Pearson-residual drill-down of the q179 segment × priority
+    * contingency: per cell, observed, independence-expected count, and
+    * the standardized residual (o − e)/√e, all 25 cells ordered by
+    * |residual|. q179 answers WHETHER the table deviates from
+    * independence; this is the follow-up every analyst runs — WHICH
+    * segment/priority pairs carry the deviation, with |r| ≳ 2 the
+    * usual attention line.
+    *
+    * Exactness: observed and marginal counts are exact integers; e and
+    * r are single double expressions over them, 6 dp, −0.0-guarded;
+    * ordering is deterministic (|r| desc, seg, pri).
+    *
+    * Scale shape: one fact join + hash agg to cells; marginals are
+    * windows PARTITIONED by seg/pri plus one global sum over the
+    * 25-cell census (WindowGuardSpec covers q179's identical sites). */
+  def q239ResidualCells(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val joint = Kpis.table(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("o"))
+    val m = joint
+      .withColumn("cx", sum(col("o")).over(Window.partitionBy(col("seg"))))
+      .withColumn("cy", sum(col("o")).over(Window.partitionBy(col("pri"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("cx").cast("double") * col("cy").cast("double") /
+      col("n").cast("double")
+    m.select(col("seg"), col("pri"), col("o"),
+        (round(e, 6) + lit(0.0)).as("expected"),
+        (round((col("o").cast("double") - e) / sqrt(e), 6) + lit(0.0))
+          .as("residual"))
+      .orderBy(abs(col("residual")).desc, col("seg"), col("pri"))
+  }
+
+  val q239Sql: String =
+    """WITH joint AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+      |    COUNT(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT seg, pri, o,
+      |    SUM(o) OVER (PARTITION BY seg) AS cx,
+      |    SUM(o) OVER (PARTITION BY pri) AS cy,
+      |    SUM(o) OVER () AS n
+      |  FROM joint)
+      |SELECT seg, pri, o,
+      |  round(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) /
+      |    CAST(n AS DOUBLE), 6) + 0.0 AS expected,
+      |  round((CAST(o AS DOUBLE) -
+      |      CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    sqrt(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) /
+      |      CAST(n AS DOUBLE)), 6) + 0.0 AS residual
+      |FROM m
+      |ORDER BY abs(round((CAST(o AS DOUBLE) -
+      |    CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |  sqrt(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) /
+      |    CAST(n AS DOUBLE)), 6) + 0.0) DESC, seg, pri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_residual_cells" -> (q239ResidualCells _),
     "q219_feature_gain" -> (q219FeatureGain _),
     "q137_mutual_info" -> (q137MutualInfo _),
     "q138_benford_audit" -> (q138BenfordAudit _),
@@ -483,6 +545,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q239_residual_cells" -> q239Sql,
     "q219_feature_gain" -> q219Sql,
     "q137_mutual_info" -> q137Sql,
     "q138_benford_audit" -> q138Sql,
