@@ -875,7 +875,59 @@ object DocQueries {
       |    + 0.0 AS char_savings_share
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  /** Boilerplate span detection: the word-5-grams repeated across the
+    * most DOCUMENTS (doc-frequency, not raw count — a phrase repeated
+    * inside one doc is style; across many docs it's template), with how
+    * many sources carry each. The C4-style boilerplate surface — q85
+    * REMOVES repeated spans; this names them first, which is how a
+    * curation pipeline builds its strip-list (navigation chrome, cookie
+    * banners, license footers).
+    *
+    * Exactness: distinct-per-doc shingles (array_distinct before
+    * explode) make df an exact count; top-15 is deterministic
+    * (df desc, shingle asc).
+    *
+    * Scale shape: tokenize + shingle + distinct-explode → one
+    * map-combinable (shingle → df, source-set) agg; top-15 lowers to
+    * TakeOrderedAndProject. Shingle cardinality is corpus-scale but the
+    * agg is a plain hash shuffle — the same shape as every dedup
+    * signature pass. */
+  def q240BoilerplateShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(tokens(lower(col("text"))), 5)))
+          .as("shingle"))
+    sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy(desc("df"), asc("shingle"))
+      .limit(15)
+  }
+
+  val q240Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |shg AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                     || ' ' || toks[i+3] || ' ' || toks[i+4]) END
+      |      AS sh
+      |  FROM tk),
+      |ex AS (
+      |  SELECT doc_id, source, unnest(list_distinct(sh)) AS shingle
+      |  FROM shg)
+      |SELECT shingle, COUNT(*) AS df,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM ex GROUP BY 1 ORDER BY df DESC, shingle LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_boilerplate_shingles" -> q240BoilerplateShingles _,
     "q230_dedup_savings" -> q230DedupSavings _,
     "q211_dedup_venn" -> q211DedupVenn _,
     "q19_exact_dup_docs" -> q19ExactDupDocs _,
@@ -893,6 +945,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q240_boilerplate_shingles" -> q240Sql,
     "q230_dedup_savings" -> q230Sql,
     "q211_dedup_venn" -> q211Sql,
     "q41_sketch_profile" -> q41Sql,
