@@ -589,7 +589,81 @@ object SeriesQueries {
     "q207_rolling_median" -> (q207RollingMedian _),
     "q210_record_orders" -> (q210RecordOrders _),
     "q212_weekday_anova" -> (q212WeekdayAnova _),
-    "q222_hurst_exponent" -> (q222HurstExponent _))
+    "q222_hurst_exponent" -> (q222HurstExponent _),
+    "q241_p_chart" -> (q241PChart _))
+
+  // --------------------------------------------------------------- q241
+  /** p-chart (attribute control chart) for the monthly return rate:
+    * per ship month, the fraction of lineitems with l_returnflag 'R',
+    * Shewhart 3σ control limits around the overall rate
+    * (p̄ ± 3·√(p̄(1−p̄)/n_t), clamped to [0,1]), and the out-of-control
+    * flag. The SPC complement to q169's CUSUM: CUSUM finds WHERE the
+    * level shifted; the p-chart flags which periods breach limits under
+    * stationarity — the chart an ops review actually reads.
+    *
+    * Exactness: monthly counts are exact; p, limits, and the flag are
+    * single double expressions over them (the flag compares the SAME
+    * spelled expressions both engines computed), 6 dp, −0.0-guarded.
+    *
+    * Scale shape: one map-combinable monthly census + a 1-row
+    * broadcast overall rate. Months are calendar-bounded. */
+  def q241PChart(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Kpis.table(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val overall = monthly.agg(
+      sum(col("n")).as("tn"), sum(col("r")).as("tr"))
+    val pbar = col("tr").cast("double") / col("tn").cast("double")
+    val sigma = sqrt(pbar * (lit(1.0) - pbar) / col("n").cast("double"))
+    monthly.crossJoin(broadcast(overall))
+      .select(
+        col("m").as("month"), col("n"),
+        (round(col("r").cast("double") / col("n").cast("double"), 6) +
+          lit(0.0)).as("p"),
+        (round(pbar, 6) + lit(0.0)).as("p_bar"),
+        (round(greatest(pbar - lit(3.0) * sigma, lit(0.0)), 6) + lit(0.0))
+          .as("lcl"),
+        (round(least(pbar + lit(3.0) * sigma, lit(1.0)), 6) + lit(0.0))
+          .as("ucl"),
+        (col("r").cast("double") / col("n").cast("double") >
+          pbar + lit(3.0) * sigma ||
+          col("r").cast("double") / col("n").cast("double") <
+            pbar - lit(3.0) * sigma).as("out_of_control"))
+      .orderBy("month")
+  }
+
+  val q241Sql: String =
+    """WITH monthly AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |overall AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(r) AS BIGINT) AS tr
+      |  FROM monthly)
+      |SELECT m AS month, n,
+      |  round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS p,
+      |  round(CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE), 6) + 0.0 AS p_bar,
+      |  round(greatest(CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) -
+      |    3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) *
+      |      (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) /
+      |      CAST(n AS DOUBLE)), 0.0), 6) + 0.0 AS lcl,
+      |  round(least(CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) +
+      |    3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) *
+      |      (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) /
+      |      CAST(n AS DOUBLE)), 1.0), 6) + 0.0 AS ucl,
+      |  (CAST(r AS DOUBLE) / CAST(n AS DOUBLE) >
+      |     CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) +
+      |     3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) *
+      |       (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) /
+      |       CAST(n AS DOUBLE))
+      |   OR CAST(r AS DOUBLE) / CAST(n AS DOUBLE) <
+      |     CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) -
+      |     3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) *
+      |       (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)) /
+      |       CAST(n AS DOUBLE))) AS out_of_control
+      |FROM monthly, overall ORDER BY month""".stripMargin
 
   // --------------------------------------------------------------- q222
   /** Hurst exponent of daily revenue by rescaled-range (R/S) analysis:
@@ -944,5 +1018,6 @@ object SeriesQueries {
     "q207_rolling_median" -> q207Sql,
     "q210_record_orders" -> q210Sql,
     "q212_weekday_anova" -> q212Sql,
-    "q222_hurst_exponent" -> q222Sql)
+    "q222_hurst_exponent" -> q222Sql,
+    "q241_p_chart" -> q241Sql)
 }
