@@ -443,7 +443,75 @@ object CorpusStatsQueries {
     "q205_term_burstiness" -> (q205TermBurstiness _),
     "q228_token_gini" -> (q228TokenGini _),
     "q232_distinctive_terms" -> (q232DistinctiveTerms _),
-    "q233_countmin_cert" -> (q233CountMinCert _))
+    "q233_countmin_cert" -> (q233CountMinCert _),
+    "q242_vocab_sizing" -> (q242VocabSizing _))
+
+  // --------------------------------------------------------------- q242
+  /** Tokenizer vocabulary sizing: what share of corpus token MASS do
+    * the k most frequent types cover, for k ∈ {100, 1000, 10000}? The
+    * planning table behind choosing a vocab size — the complement of
+    * q217 (held-out OOV for a FIXED vocab) and q97 (top-50 coverage
+    * detail): the k where coverage plateaus is where a larger vocab
+    * stops paying for its embedding rows.
+    *
+    * Exactness: ranks are exact global ranks (freq desc, token) from
+    * RangeRank; covered mass per k is a conditional exact sum (rank ≤ k
+    * — no cumulative window at all); shares are single double
+    * divisions.
+    *
+    * Scale shape: token census (hash agg) →
+    * [[graft.operators.RangeRank.withGlobalRank]] over the census →
+    * ONE conditional-sum aggregate for all three k at once. */
+  def q242VocabSizing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val ks = Seq(100, 1000, 10000)
+    val census = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.RangeRank
+      .withGlobalRank(census, "rk", Seq(col("cnt").desc, col("token")))
+    val aggs =
+      Seq(count(lit(1)).as("vocab"), sum(col("cnt")).as("tot")) ++
+        ks.map(k => sum(when(col("rk") <= k, col("cnt")).otherwise(0L))
+          .as(s"cov$k"))
+    val wide = ranked.agg(aggs.head, aggs.tail: _*)
+    ks.map { k =>
+      wide.select(lit(k).as("vocab_size"), col("vocab").as("corpus_vocab"),
+        col(s"cov$k").as("covered_tokens"),
+        (round(col(s"cov$k").cast("double") / col("tot").cast("double"),
+          6) + lit(0.0)).as("coverage"))
+    }.reduce(_ unionAll _).orderBy("vocab_size")
+  }
+
+  val q242Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |r AS (
+      |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token)
+      |    AS BIGINT) AS rk
+      |  FROM census),
+      |s AS (
+      |  SELECT COUNT(*) AS corpus_vocab, CAST(SUM(cnt) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS cov100,
+      |    CAST(SUM(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS cov1000,
+      |    CAST(SUM(CASE WHEN rk <= 10000 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS cov10000
+      |  FROM r),
+      |u AS (
+      |  SELECT 100 AS vocab_size, corpus_vocab, cov100 AS covered_tokens,
+      |    tot FROM s
+      |  UNION ALL SELECT 1000, corpus_vocab, cov1000, tot FROM s
+      |  UNION ALL SELECT 10000, corpus_vocab, cov10000, tot FROM s)
+      |SELECT vocab_size, corpus_vocab, covered_tokens,
+      |  round(CAST(covered_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+      |    + 0.0 AS coverage
+      |FROM u ORDER BY vocab_size""".stripMargin
 
   // --------------------------------------------------------------- q233
   /** Count-Min sketch certification: build a d=4 × w=1024 CMS over the
@@ -678,5 +746,6 @@ object CorpusStatsQueries {
     "q205_term_burstiness" -> q205Sql,
     "q228_token_gini" -> q228Sql,
     "q232_distinctive_terms" -> q232Sql,
-    "q233_countmin_cert" -> q233Sql)
+    "q233_countmin_cert" -> q233Sql,
+    "q242_vocab_sizing" -> q242Sql)
 }
