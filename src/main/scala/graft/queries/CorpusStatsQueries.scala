@@ -444,7 +444,90 @@ object CorpusStatsQueries {
     "q228_token_gini" -> (q228TokenGini _),
     "q232_distinctive_terms" -> (q232DistinctiveTerms _),
     "q233_countmin_cert" -> (q233CountMinCert _),
-    "q242_vocab_sizing" -> (q242VocabSizing _))
+    "q242_vocab_sizing" -> (q242VocabSizing _),
+    "q243_skipgram_pmi" -> (q243SkipgramPmi _))
+
+  // --------------------------------------------------------------- q243
+  /** Skip-gram PMI associations within a ±3 word window: q112 measures
+    * ADJACENT collocations ("new york"); widening the window to skip
+    * distances 1–3 surfaces looser ASSOCIATIONS ("query … engine") —
+    * the co-occurrence statistic word-vector training actually
+    * consumes. Ordered pairs at each distance d ∈ {1,2,3}, pooled, with
+    * q112's exact-count PMI and the same ≥5-count floor.
+    *
+    * Exactness: the three shifted zips are deterministic array
+    * arithmetic; counts exact; PMI is one double expression, 9 dp,
+    * −0.0-guarded; top-30 ordering is total.
+    *
+    * Scale shape: 3 shifted-zip explodes in ONE projection (3× the
+    * q112 pair volume, still linear) → one checkpointed pair census →
+    * marginals and N as census rollups — q112's plan, wider window. */
+  def q243SkipgramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    def shifted(k: Int) = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - k),
+      slice(col("toks"), lit(1 + k), size(col("toks")) - k),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val pairs = d
+      .filter(size(col("toks")) >= 2)
+      .select(explode(concat(
+        shifted(1),
+        when(size(col("toks")) >= 3, shifted(2))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")),
+        when(size(col("toks")) >= 4, shifted(3))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cab = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n_pairs"))
+    cab.filter(col("c_ab") >= 5)
+      .join(ca, "w1")
+      .join(cb, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (round(log(
+          (col("c_ab").cast("double") * col("n_pairs").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double"))), 9)
+          + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val q243Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+      |pos AS (
+      |  SELECT toks, k,
+      |    unnest(generate_series(1, len(toks) - k)) AS i
+      |  FROM d2, (SELECT unnest([1, 2, 3]) AS k) ks
+      |  WHERE len(toks) > k),
+      |pairs AS (SELECT toks[i] AS w1, toks[i + k] AS w2 FROM pos),
+      |cab AS MATERIALIZED (
+      |  SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+      |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+      |       FROM cab GROUP BY 1),
+      |cb AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b
+      |       FROM cab GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM cab)
+      |SELECT w1, w2, c_ab,
+      |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_pairs AS DOUBLE))
+      |           / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 9)
+      |    + 0.0 AS pmi
+      |FROM cab
+      |JOIN ca USING (w1)
+      |JOIN cb USING (w2)
+      |CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 30""".stripMargin
 
   // --------------------------------------------------------------- q242
   /** Tokenizer vocabulary sizing: what share of corpus token MASS do
@@ -747,5 +830,6 @@ object CorpusStatsQueries {
     "q228_token_gini" -> q228Sql,
     "q232_distinctive_terms" -> q232Sql,
     "q233_countmin_cert" -> q233Sql,
-    "q242_vocab_sizing" -> q242Sql)
+    "q242_vocab_sizing" -> q242Sql,
+    "q243_skipgram_pmi" -> q243Sql)
 }
