@@ -351,7 +351,132 @@ object EstimateQueries {
     "q221_order_reconciliation" -> (q221OrderReconciliation _),
     "q224_stratified_draw" -> (q224StratifiedDraw _),
     "q226_double_charges" -> (q226DoubleCharges _),
-    "q234_join_card_est" -> (q234JoinCardEst _))
+    "q234_join_card_est" -> (q234JoinCardEst _),
+    "q244_eb_shrinkage" -> (q244EbShrinkage _))
+
+  // --------------------------------------------------------------- q244
+  /** Empirical-Bayes shrinkage of per-supplier mean lead times: raw
+    * group means ranked naively put small-n suppliers at both extremes
+    * (they're the noisiest); the EB estimate pulls each mean toward the
+    * grand mean in proportion to its noise, B_s = (σ²/n_s)/(σ²/n_s+τ²),
+    * with method-of-moments τ² = max(0, var_between − σ²·mean(1/n_s)).
+    * Output: the 10 suppliers whose rank the shrinkage CORRECTS most
+    * (largest |raw − shrunk|) — invariably the thin-history ones a
+    * naive SLA scorecard would have flagged.
+    *
+    * Exactness: lead times are exact integer days; σ², var_between,
+    * Σ(1/n_s) are assembled from exact sums with per-group double terms
+    * rounded into DECIMAL before every cross-group total (q208's
+    * discipline); each supplier's shrunk mean is then one double
+    * expression; top-10 ordering is total.
+    *
+    * Scale shape: one fact join + per-supplier hash agg; two
+    * census-level rollups; one broadcast of the 1-row hyperparameters
+    * back onto the supplier census. */
+  def q244EbShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val lead = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("x"))
+    val grp = lead.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .localCheckpoint(true)
+    val hyper = grp
+      .select(col("n"), col("sx"), col("sxx"),
+        (col("sx").cast("double") / col("n").cast("double")).as("m"))
+      .agg(
+        count(lit(1)).as("s_groups"),
+        sum(col("n")).as("nn"), sum(col("sx")).as("tsx"),
+        sum(col("sxx")).as("tsxx"),
+        sum(round(col("n").cast("double") * col("m") * col("m"), 6)
+          .cast("decimal(28,6)")).as("snm2"),
+        sum(round(lit(1.0) / col("n").cast("double"), 9)
+          .cast("decimal(18,9)")).as("sinv"))
+      .select(col("s_groups"), col("nn"),
+        (col("tsx").cast("double") / col("nn").cast("double")).as("g"),
+        // pooled within-group variance: (Σx² − Σ n_s·m_s²)/(N − S)
+        ((col("tsxx").cast("double") - col("snm2").cast("double")) /
+          (col("nn") - col("s_groups")).cast("double")).as("sig2"),
+        // between-group variance of means around the grand mean
+        ((col("snm2").cast("double") -
+          col("nn").cast("double") *
+            (col("tsx").cast("double") / col("nn").cast("double")) *
+            (col("tsx").cast("double") / col("nn").cast("double"))) /
+          col("nn").cast("double")).as("var_b"),
+        (col("sinv").cast("double") / col("s_groups").cast("double"))
+          .as("mean_inv_n"))
+      .select(col("g"), col("sig2"),
+        greatest(col("var_b") - col("sig2") * col("mean_inv_n"), lit(0.0))
+          .as("tau2"))
+    val withM = grp.select(col("l_suppkey"), col("n"),
+      (col("sx").cast("double") / col("n").cast("double")).as("raw_mean"))
+    withM.crossJoin(broadcast(hyper))
+      .withColumn("b",
+        (col("sig2") / col("n").cast("double")) /
+          (col("sig2") / col("n").cast("double") + col("tau2")))
+      .select(col("l_suppkey"), col("n"),
+        (round(col("raw_mean"), 6) + lit(0.0)).as("raw_mean"),
+        (round(col("b") * col("g") + (lit(1.0) - col("b")) *
+          col("raw_mean"), 6) + lit(0.0)).as("shrunk_mean"),
+        (round(abs(col("b") * (col("g") - col("raw_mean"))), 6) + lit(0.0))
+          .as("correction"))
+      .orderBy(desc("correction"), asc("l_suppkey"))
+      .limit(10)
+  }
+
+  val q244Sql: String =
+    """WITH lead AS (
+      |  SELECT l_suppkey,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |grp AS (
+      |  SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM lead GROUP BY 1),
+      |hyper0 AS (
+      |  SELECT COUNT(*) AS s_groups, CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(SUM(sx) AS BIGINT) AS tsx, CAST(SUM(sxx) AS BIGINT) AS tsxx,
+      |    SUM(CAST(round(CAST(n AS DOUBLE) *
+      |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6))) AS snm2,
+      |    SUM(CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)))
+      |      AS sinv
+      |  FROM grp),
+      |hyper AS (
+      |  SELECT CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE) AS g,
+      |    (CAST(tsxx AS DOUBLE) - CAST(snm2 AS DOUBLE)) /
+      |      CAST(nn - s_groups AS DOUBLE) AS sig2,
+      |    greatest(
+      |      (CAST(snm2 AS DOUBLE) - CAST(nn AS DOUBLE) *
+      |        (CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |        (CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE))) /
+      |        CAST(nn AS DOUBLE) -
+      |      ((CAST(tsxx AS DOUBLE) - CAST(snm2 AS DOUBLE)) /
+      |        CAST(nn - s_groups AS DOUBLE)) *
+      |      (CAST(sinv AS DOUBLE) / CAST(s_groups AS DOUBLE)), 0.0)
+      |      AS tau2
+      |  FROM hyper0),
+      |m AS (
+      |  SELECT l_suppkey, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean
+      |  FROM grp),
+      |sc AS (
+      |  SELECT l_suppkey, n, raw_mean, g, tau2,
+      |    (sig2 / CAST(n AS DOUBLE)) /
+      |      (sig2 / CAST(n AS DOUBLE) + tau2) AS b
+      |  FROM m, hyper)
+      |SELECT l_suppkey, n,
+      |  round(raw_mean, 6) + 0.0 AS raw_mean,
+      |  round(b * g + (1.0 - b) * raw_mean, 6) + 0.0 AS shrunk_mean,
+      |  round(abs(b * (g - raw_mean)), 6) + 0.0 AS correction
+      |FROM sc
+      |ORDER BY correction DESC, l_suppkey LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------- q234
   /** Join-cardinality estimator certification: the textbook
@@ -644,5 +769,6 @@ object EstimateQueries {
     "q221_order_reconciliation" -> q221Sql,
     "q224_stratified_draw" -> q224Sql,
     "q226_double_charges" -> q226Sql,
-    "q234_join_card_est" -> q234Sql)
+    "q234_join_card_est" -> q234Sql,
+    "q244_eb_shrinkage" -> q244Sql)
 }
