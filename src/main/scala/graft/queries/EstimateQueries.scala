@@ -352,7 +352,77 @@ object EstimateQueries {
     "q224_stratified_draw" -> (q224StratifiedDraw _),
     "q226_double_charges" -> (q226DoubleCharges _),
     "q234_join_card_est" -> (q234JoinCardEst _),
-    "q244_eb_shrinkage" -> (q244EbShrinkage _))
+    "q244_eb_shrinkage" -> (q244EbShrinkage _),
+    "q245_capture_recapture" -> (q245CaptureRecapture _))
+
+  // --------------------------------------------------------------- q245
+  /** Capture-recapture (Chapman) estimate of the distinct key
+    * population: two INDEPENDENT deterministic hash-samples of the
+    * (partkey, suppkey) key space play the two "captures";
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from their sizes and overlap, certified
+    * against the exact distinct count. The ecology estimator is exactly
+    * the dedup-planning tool for when even one full distinct pass is
+    * too expensive: two cheap samples bound the population. Extends
+    * q204 (which samples ONE stream against a full pass).
+    *
+    * Exactness: membership in each capture is an md5-prefix test on
+    * DISTINCT keys; n₁, n₂, m, and the true count are exact; the
+    * Chapman estimate and relative error are single double expressions,
+    * rounded, −0.0-guarded.
+    *
+    * Scale shape: one distinct shuffle on the key, then one
+    * map-combinable conditional-sum aggregate (the production variant
+    * distincts only rows passing either capture filter — a ~40% scan). */
+  def q245CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val keys = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat_ws("_", col("l_partkey"), col("l_suppkey")).as("k"))
+      .distinct()
+      .withColumn("in1",
+        substring(md5(concat(col("k"), lit("_cap1"))), 1, 2) < "33")
+      .withColumn("in2",
+        substring(md5(concat(col("k"), lit("_cap2"))), 1, 2) < "33")
+    keys.agg(
+        count(lit(1)).as("true_distinct"),
+        sum(when(col("in1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("in2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("in1") && col("in2"), 1L).otherwise(0L)).as("m"))
+      .select(col("true_distinct"), col("n1"), col("n2"), col("m"),
+        round((col("n1") + 1).cast("double") *
+          (col("n2") + 1).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0)).cast("long")
+          .as("chapman_est"),
+        (round(abs(
+          (col("n1") + 1).cast("double") * (col("n2") + 1).cast("double") /
+            (col("m") + 1).cast("double") - lit(1.0) -
+            col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double"), 6) + lit(0.0))
+          .as("rel_error"))
+  }
+
+  val q245Sql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) || '_' ||
+      |    CAST(l_suppkey AS VARCHAR) AS k
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT k,
+      |    substr(md5(k || '_cap1'), 1, 2) < '33' AS in1,
+      |    substr(md5(k || '_cap2'), 1, 2) < '33' AS in2
+      |  FROM keys),
+      |s AS (
+      |  SELECT COUNT(*) AS true_distinct,
+      |    CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS m
+      |  FROM f)
+      |SELECT true_distinct, n1, n2, m,
+      |  CAST(round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) /
+      |    CAST(m + 1 AS DOUBLE) - 1.0) AS BIGINT) AS chapman_est,
+      |  round(abs(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) /
+      |    CAST(m + 1 AS DOUBLE) - 1.0 - CAST(true_distinct AS DOUBLE)) /
+      |    CAST(true_distinct AS DOUBLE), 6) + 0.0 AS rel_error
+      |FROM s""".stripMargin
 
   // --------------------------------------------------------------- q244
   /** Empirical-Bayes shrinkage of per-supplier mean lead times: raw
@@ -770,5 +840,6 @@ object EstimateQueries {
     "q224_stratified_draw" -> q224Sql,
     "q226_double_charges" -> q226Sql,
     "q234_join_card_est" -> q234Sql,
-    "q244_eb_shrinkage" -> q244Sql)
+    "q244_eb_shrinkage" -> q244Sql,
+    "q245_capture_recapture" -> q245Sql)
 }
