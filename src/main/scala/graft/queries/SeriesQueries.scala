@@ -590,7 +590,108 @@ object SeriesQueries {
     "q210_record_orders" -> (q210RecordOrders _),
     "q212_weekday_anova" -> (q212WeekdayAnova _),
     "q222_hurst_exponent" -> (q222HurstExponent _),
-    "q241_p_chart" -> (q241PChart _))
+    "q241_p_chart" -> (q241PChart _),
+    "q246_runs_test" -> (q246RunsTest _))
+
+  // --------------------------------------------------------------- q246
+  /** Wald–Wolfowitz runs test on daily revenue: is the sequence of
+    * above/below-median days random, or does it clump? Too FEW runs
+    * means persistent regimes (q222's H > 0.5 told the same story via
+    * scaling; this is the classical nonparametric test with a z-score);
+    * too many means oscillation. Median-split signs, run count R, and
+    * z = (R − μ_R)/σ_R with μ_R = 1 + 2n₊n₋/n.
+    *
+    * Exactness: the median split uses DOUBLED order statistics of the
+    * daily census (exact decimal compare, q207's convention; exact-
+    * median days are excluded as the test prescribes); the run count
+    * is an exact lag-compare sum; z is one double expression over
+    * exact integers, 6 dp, −0.0-guarded.
+    *
+    * Scale shape: daily census from one fact agg; the sign/lag windows
+    * run over the census (WindowGuardSpec-pinned). */
+  def q246RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    // exact doubled median of the daily census: sum of the two middle
+    // order statistics under (rev, ship_day) order
+    val w = Window.orderBy(col("rev"), col("ship_day"))
+    val n1 = daily.agg(count(lit(1)).as("nd"))
+    val med2 = daily
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n1))
+      .filter(col("rk") === expr("(nd + 1) div 2") ||
+        col("rk") === expr("nd div 2 + 1"))
+      .agg(sum(when(expr("(nd + 1) div 2 = nd div 2 + 1"),
+        col("rev") * 2).otherwise(col("rev"))).as("m2"))
+    val signed = daily.crossJoin(broadcast(med2))
+      .filter(col("rev") * 2 =!= col("m2"))
+      .withColumn("s", when(col("rev") * 2 > col("m2"), 1).otherwise(0))
+    val lagw = Window.orderBy(col("ship_day"))
+    signed
+      .withColumn("prev", lag(col("s"), 1).over(lagw))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s")).as("n_pos"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"))
+      .select(col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"), col("runs"),
+        (round(
+          (col("runs").cast("double") -
+            (lit(1.0) + lit(2.0) * col("n_pos").cast("double") *
+              (col("n") - col("n_pos")).cast("double") /
+              col("n").cast("double"))) /
+            sqrt(
+              lit(2.0) * col("n_pos").cast("double") *
+                (col("n") - col("n_pos")).cast("double") *
+                (lit(2.0) * col("n_pos").cast("double") *
+                  (col("n") - col("n_pos")).cast("double") -
+                  col("n").cast("double")) /
+                (col("n").cast("double") * col("n").cast("double") *
+                  (col("n") - 1).cast("double"))), 6) + lit(0.0))
+          .as("z_score"))
+  }
+
+  val q246Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS nd FROM daily),
+      |rk AS (
+      |  SELECT rev,
+      |    CAST(row_number() OVER (ORDER BY rev, ship_day) AS BIGINT) AS rk
+      |  FROM daily),
+      |med AS (
+      |  SELECT SUM(CASE WHEN (nd + 1) // 2 = nd // 2 + 1 THEN rev * 2
+      |             ELSE rev END) AS m2
+      |  FROM rk, nn
+      |  WHERE rk = (nd + 1) // 2 OR rk = nd // 2 + 1),
+      |signed AS (
+      |  SELECT ship_day,
+      |    CASE WHEN rev * 2 > m2 THEN 1 ELSE 0 END AS s
+      |  FROM daily, med WHERE rev * 2 <> m2),
+      |lagged AS (
+      |  SELECT s, lag(s) OVER (ORDER BY ship_day) AS prev FROM signed),
+      |sums AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS runs
+      |  FROM lagged)
+      |SELECT n, n_pos, n - n_pos AS n_neg, runs,
+      |  round(
+      |    (CAST(runs AS DOUBLE) -
+      |      (1.0 + 2.0 * CAST(n_pos AS DOUBLE) *
+      |        CAST(n - n_pos AS DOUBLE) / CAST(n AS DOUBLE))) /
+      |    sqrt(2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE) *
+      |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE) -
+      |       CAST(n AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |       CAST(n - 1 AS DOUBLE))), 6) + 0.0 AS z_score
+      |FROM sums""".stripMargin
 
   // --------------------------------------------------------------- q241
   /** p-chart (attribute control chart) for the monthly return rate:
@@ -1019,5 +1120,6 @@ object SeriesQueries {
     "q210_record_orders" -> q210Sql,
     "q212_weekday_anova" -> q212Sql,
     "q222_hurst_exponent" -> q222Sql,
-    "q241_p_chart" -> q241Sql)
+    "q241_p_chart" -> q241Sql,
+    "q246_runs_test" -> q246Sql)
 }

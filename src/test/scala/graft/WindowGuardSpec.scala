@@ -107,5 +107,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q225_spearman",         // marginal value censuses: 50 + 11 rows
     "q228_token_gini",       // RangeRank offset prefix: <= #partitions rows
     "q231_fd_binning",       // RangeRank offset prefix: <= #partitions rows
-    "q239_residual_cells")   // (segment, priority) contingency cells
+    "q239_residual_cells",   // (segment, priority) contingency cells
+    "q246_runs_test")        // daily-census rank + lag: |distinct days|
 }
