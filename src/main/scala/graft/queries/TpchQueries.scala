@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic TPC-H-shape multi-way join analytics over the star schema —
@@ -222,13 +223,98 @@ object TpchQueries {
       |FROM d JOIN per_brand USING (p_brand)
       |ORDER BY p_brand""".stripMargin
 
+  // --------------------------------------------------------------- q248
+  /** Kendall-τ stability of the nation revenue league table between
+    * 2000 and 2001: rank nations by order revenue in each year, count
+    * concordant/discordant pairs, τ = (C − D)/(C + D). τ ≈ 1 means the
+    * league table froze; low τ means the market reshuffled — the
+    * single-number answer to "did this year change who our big
+    * geographies are?" (q197 correlates LEVELS; τ compares ORDERINGS,
+    * immune to scale drift).
+    *
+    * Exactness: yearly revenue is exact cents; ranks are deterministic
+    * integers ((rev desc, nation) total order); C and D are exact pair
+    * counts from the 25×25 census cross join; τ is one double
+    * division, 6 dp, −0.0-guarded.
+    *
+    * Scale shape: fact → (nation, year) rollup via two broadcast dim
+    * joins; ranking windows run per year over the 25-row nation
+    * census; the pair count is a census×census join (≤|nations|²). */
+  def q248RankStability(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Kpis.table(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(2000, 2001))
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        year(col("o_orderdate")).as("y"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("y"))
+      .orderBy(col("cents").desc, col("nk"))
+    val ranked = rev.withColumn("rk", row_number().over(w))
+    val r0 = ranked.filter(col("y") === 2000)
+      .select(col("nk"), col("rk").as("rk0"))
+    val r1 = ranked.filter(col("y") === 2001)
+      .select(col("nk").as("nk1"), col("rk").as("rk1"))
+    val joined = r0.join(r1, col("nk") === col("nk1"))
+      .select(col("nk"), col("rk0"), col("rk1"))
+    val b = joined.select(col("nk").as("nkb"), col("rk0").as("rk0b"),
+      col("rk1").as("rk1b"))
+    joined.join(b, col("nk") < col("nkb"))
+      .agg(
+        sum(when((col("rk0") < col("rk0b")) === (col("rk1") < col("rk1b")),
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("rk0") < col("rk0b")) =!= (col("rk1") < col("rk1b")),
+          1L).otherwise(0L)).as("discordant"))
+      .select(col("concordant"), col("discordant"),
+        (round(
+          (col("concordant") - col("discordant")).cast("double") /
+            (col("concordant") + col("discordant")).cast("double"), 6) +
+          lit(0.0)).as("kendall_tau"))
+  }
+
+  val q248Sql: String =
+    """WITH rev AS (
+      |  SELECT c_nationkey AS nk, year(o_orderdate) AS y,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (2000, 2001)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT nk, y, CAST(row_number() OVER (
+      |    PARTITION BY y ORDER BY cents DESC, nk) AS BIGINT) AS rk
+      |  FROM rev),
+      |j AS (
+      |  SELECT r0.nk, r0.rk AS rk0, r1.rk AS rk1
+      |  FROM (SELECT nk, rk FROM ranked WHERE y = 2000) r0
+      |  JOIN (SELECT nk, rk FROM ranked WHERE y = 2001) r1
+      |    ON r0.nk = r1.nk),
+      |p AS (
+      |  SELECT a.rk0 < b.rk0 AS c0, a.rk1 < b.rk1 AS c1
+      |  FROM j a JOIN j b ON a.nk < b.nk),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN c0 = c1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS concordant,
+      |    CAST(SUM(CASE WHEN c0 <> c1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS discordant
+      |  FROM p)
+      |SELECT concordant, discordant,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    CAST(concordant + discordant AS DOUBLE), 6) + 0.0
+      |    AS kendall_tau
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_rank_stability" -> (q248RankStability _),
     "q67_shipping_priority" -> (q67ShippingPriority _),
     "q68_local_supplier_volume" -> (q68LocalSupplierVolume _),
     "q188_supplier_hhi" -> (q188SupplierHhi _),
     "q202_dead_stock" -> (q202DeadStock _))
 
   def oracles: Map[String, String] = Map(
+    "q248_rank_stability" -> q248Sql,
     "q67_shipping_priority" -> q67Sql,
     "q68_local_supplier_volume" -> q68Sql,
     "q188_supplier_hhi" -> q188Sql,
