@@ -312,7 +312,74 @@ object DupClusters {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_dup_clusters" -> (q45DupClusters _),
     "q189_cluster_census" -> (q189ClusterCensus _),
-    "q198_similarity_histogram" -> (q198SimilarityHistogram _))
+    "q198_similarity_histogram" -> (q198SimilarityHistogram _),
+    "q247_dedup_keep_audit" -> (q247DedupKeepAudit _))
+
+  // --------------------------------------------------------------- q247
+  /** Dedup keep-choice audit: q45's clusters keep the MIN-id member —
+    * this measures what that convention costs. Per cluster, compare the
+    * kept member's token count against the cluster's longest member;
+    * report how often the kept doc IS the longest, and the total tokens
+    * foregone by keeping a shorter copy. Pipelines that keep-by-id
+    * (deterministic, join-free) should know the price vs
+    * keep-best-quality (q56's richer survivorship); this query prices
+    * it on the operator's own output.
+    *
+    * Exactness: token counts and per-cluster max / kept (min_by doc)
+    * picks are exact; one double division for the share.
+    *
+    * Scale shape: q45's cluster build (its cost dominates) + one
+    * member-token join and two census-scale aggregates. */
+  def q247DedupKeepAudit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q45DupClusters(spark, dir)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    def variant(offset: Long, tail: String): DataFrame =
+      base.select((col("doc_id") + offset).as("id"),
+        (if (tail.isEmpty) col("text") else concat(col("text"), lit(tail)))
+          .as("text"))
+    val toks = variant(0L, "")
+      .unionByName(variant(100000L, " zz extra tail"))
+      .unionByName(variant(200000L, " zz extra tail rr more pad"))
+      .select(col("id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    clusters.join(toks, col("doc_id") === col("id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("n_tok")).as("max_tok"),
+        min_by(col("n_tok"), col("doc_id")).as("kept_tok"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("kept_tok") === col("max_tok"), 1L).otherwise(0L))
+          .as("n_keep_longest"),
+        sum(col("max_tok") - col("kept_tok")).as("tokens_foregone"))
+      .select(col("n_clusters"), col("n_keep_longest"),
+        (round(col("n_keep_longest").cast("double") /
+          col("n_clusters").cast("double"), 6) + lit(0.0))
+          .as("keep_longest_share"),
+        col("tokens_foregone"))
+  }
+
+  // lazy: declared above q45Cte in source order, referenced only at
+  // oracle-dump time
+  lazy val q247Sql: String = q45Cte +
+    """,toks AS (
+      |  SELECT id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |    AS BIGINT) AS n_tok
+      |  FROM variants),
+      |percl AS (
+      |  SELECT cluster_id, MAX(n_tok) AS max_tok,
+      |    min_by(n_tok, node) AS kept_tok
+      |  FROM comp JOIN toks ON node = id GROUP BY 1)
+      |SELECT COUNT(*) AS n_clusters,
+      |  CAST(SUM(CASE WHEN kept_tok = max_tok THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keep_longest,
+      |  round(CAST(SUM(CASE WHEN kept_tok = max_tok THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS keep_longest_share,
+      |  CAST(SUM(max_tok - kept_tok) AS BIGINT) AS tokens_foregone
+      |FROM percl""".stripMargin
 
   /** The q45 cluster build as a reusable oracle CTE prefix (`comp` =
     * (node, cluster_id), `sizes` = (cluster_id, n)) shared by the q45
@@ -465,6 +532,7 @@ object DupClusters {
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q247_dedup_keep_audit" -> q247Sql,
     "q189_cluster_census" -> q189Sql,
     "q198_similarity_histogram" -> q198Sql,
     "q45_dup_clusters" -> (q45Cte +
