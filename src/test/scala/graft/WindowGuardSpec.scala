@@ -108,5 +108,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q228_token_gini",       // RangeRank offset prefix: <= #partitions rows
     "q231_fd_binning",       // RangeRank offset prefix: <= #partitions rows
     "q239_residual_cells",   // (segment, priority) contingency cells
-    "q246_runs_test")        // daily-census rank + lag: |distinct days|
+    "q246_runs_test",        // daily-census rank + lag: |distinct days|
+    "q242_vocab_sizing")     // RangeRank offset prefix: <= #partitions rows
 }
