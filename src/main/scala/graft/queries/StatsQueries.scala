@@ -865,7 +865,70 @@ object StatsQueries {
       |     pow(CAST(n AS DOUBLE), 1.0 / 3.0))) AS BIGINT) AS fd_bins
       |FROM q""".stripMargin
 
+  // --------------------------------------------------------------- q249
+  /** Newsvendor stocking levels for the top-10 revenue parts: the
+    * critical-fractile rule says stock the service-level quantile of
+    * per-order demand — here the EXACT 90th-percentile line quantity
+    * (type-1, rank ⌈0.9·n⌉ in pure integer arithmetic), next to the
+    * mean that a naive plan would stock. The per-GROUP companion of
+    * q223's global percentiles: the quantile windows are PARTITIONED by
+    * part (parallel at any scale), never global.
+    *
+    * Exactness: quantities are exact decimals; target ranks are
+    * integer ((9n+9) div 10); the top-10 part selection is a
+    * deterministic revenue order.
+    *
+    * Scale shape: one revenue rollup → broadcast top-10 semi-join
+    * prunes the fact BEFORE the rank window (only 10 parts' rows sort);
+    * per-part windows are partitioned. */
+  def q249Newsvendor(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+    val top = li
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .orderBy(desc("rev"), asc("l_partkey")).limit(10)
+      .select(col("l_partkey").as("tp"),
+        col("rev").cast("double").as("revenue"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("q"))
+      .join(broadcast(top), col("l_partkey") === col("tp"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_obs",
+        count(lit(1)).over(Window.partitionBy(col("l_partkey"))))
+    ranked
+      .filter(col("rk") === expr("(n_obs * 9 + 9) div 10"))
+      .select(col("l_partkey"), col("n_obs"), col("revenue"),
+        col("q").cast("double").as("q90_qty"))
+      .orderBy(desc("revenue"), asc("l_partkey"))
+  }
+
+  val q249Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |top AS (
+      |  SELECT l_partkey AS tp, CAST(rev AS DOUBLE) AS revenue
+      |  FROM rev ORDER BY rev DESC, l_partkey LIMIT 10),
+      |r AS (
+      |  SELECT l_partkey, revenue,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |    CAST(row_number() OVER (PARTITION BY l_partkey
+      |      ORDER BY CAST(l_quantity AS DECIMAL(18,2)), l_orderkey,
+      |        l_linenumber) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_obs
+      |  FROM lineitem JOIN top ON l_partkey = tp)
+      |SELECT l_partkey, n_obs, revenue, CAST(q AS DOUBLE) AS q90_qty
+      |FROM r WHERE rk = (n_obs * 9 + 9) // 10
+      |ORDER BY revenue DESC, l_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_newsvendor" -> (q249Newsvendor _),
     "q231_fd_binning" -> (q231FdBinning _),
     "q225_spearman" -> (q225Spearman _),
     "q223_exact_percentiles" -> (q223ExactPercentiles _),
@@ -881,6 +944,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q249_newsvendor" -> q249Sql,
     "q231_fd_binning" -> q231Sql,
     "q225_spearman" -> q225Sql,
     "q223_exact_percentiles" -> q223Sql,
