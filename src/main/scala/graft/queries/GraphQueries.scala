@@ -449,7 +449,74 @@ object GraphQueries {
       |         CAST(n_club * (n_club - 1) AS DOUBLE), 6) + 0.0 END AS phi
       |FROM nc JOIN ec ON nc.k = ec.k ORDER BY nc.k""".stripMargin
 
+  // --------------------------------------------------------------- q250
+  /** Average-neighbor-degree curve knn(k): for each degree class k, the
+    * mean over degree-k nodes of their neighbors' average degree. The
+    * FUNCTION whose overall slope q213 compresses to one number (and
+    * q235 samples at the top): a falling knn(k) curve shows hubs
+    * surrounded by niches (disassortative detail invisible to the
+    * scalar r).
+    *
+    * Exactness: per-node neighbor-degree sums are exact integers; each
+    * node's mean is rounded into DECIMAL(18,9) before the per-class
+    * sum (no multi-row double sum); the class mean is one double
+    * division.
+    *
+    * Scale shape: degree table → one broadcast degree lookup on the
+    * directed edge list → per-node hash agg → per-degree-class census
+    * agg. Same two-shuffle shape as q213. */
+  def q250NeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val dir2 = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .union(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = dir2.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val nbr = dir2
+      .join(deg.select(col("u").as("vn"), col("d").as("dv")),
+        col("v") === col("vn"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("du"), sum(col("dv")).as("s_nb"))
+      .withColumn("node_mean",
+        round(col("s_nb").cast("double") / col("du").cast("double"), 9)
+          .cast("decimal(18,9)"))
+    nbr.groupBy(col("du").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("node_mean")).as("sm"))
+      .select(col("degree"), col("n_nodes"),
+        (round(col("sm").cast("double") / col("n_nodes").cast("double"),
+          6) + lit(0.0)).as("knn"))
+      .orderBy("degree")
+  }
+
+  val q250Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |dir2 AS (
+      |  SELECT pa AS u, pb AS v FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT u, COUNT(*) AS d FROM dir2 GROUP BY 1),
+      |nbr AS (
+      |  SELECT e.u, COUNT(*) AS du,
+      |    CAST(round(CAST(SUM(dv.d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+      |      9) AS DECIMAL(18,9)) AS node_mean
+      |  FROM dir2 e JOIN deg dv ON e.v = dv.u
+      |  GROUP BY e.u)
+      |SELECT du AS degree, COUNT(*) AS n_nodes,
+      |  round(CAST(SUM(node_mean) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+      |    6) + 0.0 AS knn
+      |FROM nbr GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_neighbor_degree" -> (q250NeighborDegree _),
     "q235_rich_club" -> (q235RichClub _),
     "q213_assortativity" -> (q213Assortativity _),
     "q111_triangles" -> (q111Triangles _),
@@ -458,6 +525,7 @@ object GraphQueries {
     "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
+    "q250_neighbor_degree" -> q250Sql,
     "q235_rich_club" -> q235Sql,
     "q213_assortativity" -> q213Sql,
     "q111_triangles" -> q111Sql,
