@@ -926,7 +926,135 @@ object DocQueries {
       |  COUNT(DISTINCT source) AS n_sources
       |FROM ex GROUP BY 1 ORDER BY df DESC, shingle LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q251
+  /** Code-switch / mislabel detection: classify each document's FIRST
+    * and SECOND half independently with q35's trigram-profile language
+    * ID; halves that disagree flag mixed-language documents (or
+    * profiles too weak to be stable — either way, docs a monolingual
+    * training mix shouldn't ingest unsplit). Per-language census of
+    * disagreement rates.
+    *
+    * Exactness: profiles, scores, and argmax picks reuse q35's exact
+    * spelling (integer trigram counts, deterministic top-64 and argmax
+    * tie-breaks); the census is exact counts + one double division.
+    *
+    * Scale shape: q35's plan run over 2× the rows (halves) — profile
+    * build on full docs, half scoring via one broadcast profile
+    * cross-join, per-(doc, half) argmax partitioned window. */
+  def q251CodeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val d = docs(spark, dir)
+      .repartition(par, col("doc_id"))
+      .withColumn("norm", normText(col("text")))
+      .filter(length(col("norm")) >= 6)
+      .withColumn("tgs", charNgrams(col("norm"), 3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wTop = Window.partitionBy(col("p_lang"))
+      .orderBy(col("cnt").desc, col("tg"))
+    val profiles = d
+      .select(col("lang").as("p_lang"), explode(col("tgs")).as("tg"))
+      .groupBy(col("p_lang"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= 64)
+      .groupBy(col("p_lang"))
+      .agg(collect_set(col("tg")).as("profile"))
+    val halves = d
+      .select(col("doc_id"), col("lang"), lit(1).as("half"),
+        expr("substring(norm, 1, length(norm) div 2)").as("seg"))
+      .unionByName(d.select(col("doc_id"), col("lang"), lit(2).as("half"),
+        expr("substring(norm, length(norm) div 2 + 1, length(norm))")
+          .as("seg")))
+      .withColumn("dtgs", array_distinct(charNgrams(col("seg"), 3)))
+    val wBest = Window.partitionBy(col("doc_id"), col("half"))
+      .orderBy(col("score").desc, col("p_lang"))
+    val best = halves
+      .crossJoin(broadcast(profiles))
+      .withColumn("score",
+        size(array_intersect(col("dtgs"), col("profile"))).cast("double") /
+          size(col("dtgs")).cast("double"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("half"), col("p_lang"))
+    val h1 = best.filter(col("half") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("l1"))
+    val h2 = best.filter(col("half") === 2)
+      .select(col("doc_id").as("d2"), col("p_lang").as("l2"))
+    val out = h1.join(h2, col("doc_id") === col("d2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("l1") =!= col("l2"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("lang"), col("n_docs"), col("n_disagree"),
+        (round(col("n_disagree").cast("double") /
+          col("n_docs").cast("double"), 6) + lit(0.0))
+          .as("disagree_rate"))
+      .orderBy("lang")
+      .localCheckpoint(true)
+    d.unpersist()
+    out
+  }
+
+  val q251Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |    >= 6),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(norm) < 3 THEN [norm]
+      |         ELSE list_transform(range(1, length(norm) - 1),
+      |                i -> substring(norm, i, 3)) END AS tgs
+      |  FROM d),
+      |ex AS (SELECT lang AS p_lang, unnest(tgs) AS tg FROM t),
+      |cnt AS (SELECT p_lang, tg, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+      |topk AS (
+      |  SELECT p_lang, tg FROM (
+      |    SELECT p_lang, tg,
+      |      row_number() OVER (PARTITION BY p_lang ORDER BY cnt DESC, tg)
+      |        AS r
+      |    FROM cnt) WHERE r <= 64),
+      |prof AS (SELECT p_lang, list(tg) AS profile FROM topk
+      |         GROUP BY p_lang),
+      |halves AS (
+      |  SELECT doc_id, lang, 1 AS half,
+      |    substring(norm, 1, length(norm) // 2) AS seg FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, 2,
+      |    substring(norm, length(norm) // 2 + 1, length(norm)) FROM d),
+      |ht AS (
+      |  SELECT doc_id, lang, half,
+      |    list_distinct(
+      |      CASE WHEN length(seg) < 3 THEN [seg]
+      |           ELSE list_transform(range(1, length(seg) - 1),
+      |                  i -> substring(seg, i, 3)) END) AS dtgs
+      |  FROM halves),
+      |scored AS (
+      |  SELECT ht.doc_id, ht.lang, ht.half, p.p_lang,
+      |    CAST(len(list_intersect(ht.dtgs, p.profile)) AS DOUBLE)
+      |      / len(ht.dtgs) AS score
+      |  FROM ht CROSS JOIN prof p),
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY doc_id, half ORDER BY score DESC, p_lang) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |j AS (
+      |  SELECT a.lang, a.p_lang AS l1, b.p_lang AS l2
+      |  FROM (SELECT * FROM best WHERE half = 1) a
+      |  JOIN (SELECT * FROM best WHERE half = 2) b
+      |    ON a.doc_id = b.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN l1 <> l2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_disagree,
+      |  round(CAST(SUM(CASE WHEN l1 <> l2 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS disagree_rate
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_code_switch" -> q251CodeSwitch _,
     "q240_boilerplate_shingles" -> q240BoilerplateShingles _,
     "q230_dedup_savings" -> q230DedupSavings _,
     "q211_dedup_venn" -> q211DedupVenn _,
@@ -945,6 +1073,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q251_code_switch" -> q251Sql,
     "q240_boilerplate_shingles" -> q240Sql,
     "q230_dedup_savings" -> q230Sql,
     "q211_dedup_venn" -> q211Sql,
