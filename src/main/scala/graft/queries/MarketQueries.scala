@@ -465,7 +465,143 @@ object MarketQueries {
       |    6) + 0.0 AS laspeyres_index
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q252
+  /** Month-over-month revenue bridge (the FP&A waterfall): each month's
+    * revenue delta decomposed into price effect Σ(p₁−p₀)·q₀, volume
+    * effect Σ(q₁−q₀)·p₀, their interaction, and net part churn
+    * (revenue from parts that entered minus parts that exited the
+    * basket). `bridge_gap` = actual delta − Σ(components) certifies
+    * closure (≈0 up to the per-part 6-dp rounding) — q227 indexes the
+    * price component; this explains the whole delta.
+    *
+    * Exactness: monthly part revenues/quantities are exact decimals;
+    * the actual delta is exact decimal subtraction; each matched
+    * part's three effects are double terms rounded into DECIMAL(24,6)
+    * before the month sums; churn components are exact.
+    *
+    * Scale shape: one (part, month) rollup, one self-join on
+    * (part, consecutive month index) — a hash join, with churn from
+    * the same join's anti sides (full-outer, one pass) — then
+    * month-census aggregates. */
+  def q252RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"),
+        ((year(col("l_shipdate")) - 1995) * 12 +
+          month(col("l_shipdate")) - 1).as("mi"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      .localCheckpoint(true)
+    val prev = pm.select(col("pk").as("pk0"), (col("mi") + 1).as("mi0"),
+      col("qty").as("qty0"), col("rev").as("rev0"))
+    val cur = pm.select(col("pk").as("pk1"), col("mi").as("mi1"),
+      col("qty").as("qty1"), col("rev").as("rev1"))
+    val joined = cur.join(prev,
+      col("pk1") === col("pk0") && col("mi1") === col("mi0"), "full_outer")
+      .withColumn("mi", coalesce(col("mi1"), col("mi0")))
+    val p0 = col("rev0").cast("double") / col("qty0").cast("double")
+    val p1 = col("rev1").cast("double") / col("qty1").cast("double")
+    val dq = col("qty1").cast("double") - col("qty0").cast("double")
+    // floor-quantize per-part terms to exact micro-units: floor of the
+    // SAME double is bit-identical across engines, while round(x, 6)'s
+    // tie-breaking on arbitrary doubles is not (Spark rounds the
+    // shortest decimal rendering, DuckDB the binary value — q252's
+    // first cut differed by 1e-6 on real data)
+    def micro(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * lit(1000000.0)).cast("long")
+    val bridged = joined.groupBy(col("mi"))
+      .agg(
+        sum(when(col("pk1").isNotNull && col("pk0").isNotNull,
+          micro((p1 - p0) * col("qty0").cast("double")))
+          .otherwise(0L)).as("price_micro"),
+        sum(when(col("pk1").isNotNull && col("pk0").isNotNull,
+          micro(dq * p0)).otherwise(0L)).as("volume_micro"),
+        sum(when(col("pk1").isNotNull && col("pk0").isNotNull,
+          micro((p1 - p0) * dq)).otherwise(0L)).as("inter_micro"),
+        sum(when(col("pk0").isNull, col("rev1"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("entered_rev"),
+        sum(when(col("pk1").isNull, col("rev0"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("exited_rev"))
+    val totals = pm.groupBy(col("mi").as("tmi"))
+      .agg(sum(col("rev")).as("mrev"))
+    val deltas = totals
+      .join(totals.select((col("tmi") + 1).as("dmi"),
+        col("mrev").as("prev_rev")), col("tmi") === col("dmi"))
+      .select(col("tmi"), (col("mrev") - col("prev_rev")).as("actual"))
+    bridged.join(deltas, col("mi") === col("tmi"))
+      .select(col("mi").cast("long").as("month_index"),
+        (col("price_micro").cast("double") / lit(1e6)).as("price_effect"),
+        (col("volume_micro").cast("double") / lit(1e6))
+          .as("volume_effect"),
+        (col("inter_micro").cast("double") / lit(1e6)).as("interaction"),
+        (col("entered_rev") - col("exited_rev")).cast("double")
+          .as("net_churn"),
+        col("actual").cast("double").as("actual_delta"),
+        (round(col("actual").cast("double") -
+          (col("price_micro") + col("volume_micro") + col("inter_micro"))
+            .cast("double") / lit(1e6) -
+          (col("entered_rev") - col("exited_rev")).cast("double"), 2) +
+          lit(0.0)).as("bridge_gap"))
+      .orderBy("month_index")
+  }
+
+  val q252Sql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey AS pk,
+      |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS mi,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(c.mi, p.mi0) AS mi,
+      |    c.pk AS pk1, p.pk0, c.qty AS qty1, c.rev AS rev1,
+      |    p.qty0, p.rev0
+      |  FROM pm c
+      |  FULL JOIN (SELECT pk AS pk0, mi + 1 AS mi0, qty AS qty0,
+      |               rev AS rev0 FROM pm) p
+      |    ON c.pk = p.pk0 AND c.mi = p.mi0),
+      |b AS (
+      |  SELECT mi,
+      |    SUM(CASE WHEN pk1 IS NOT NULL AND pk0 IS NOT NULL THEN
+      |      CAST(floor((CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE) -
+      |        CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE)) *
+      |        CAST(qty0 AS DOUBLE) * 1000000.0) AS BIGINT)
+      |      ELSE 0 END) AS price_micro,
+      |    SUM(CASE WHEN pk1 IS NOT NULL AND pk0 IS NOT NULL THEN
+      |      CAST(floor((CAST(qty1 AS DOUBLE) - CAST(qty0 AS DOUBLE)) *
+      |        (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE)) * 1000000.0)
+      |        AS BIGINT)
+      |      ELSE 0 END) AS volume_micro,
+      |    SUM(CASE WHEN pk1 IS NOT NULL AND pk0 IS NOT NULL THEN
+      |      CAST(floor((CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE) -
+      |        CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE)) *
+      |        (CAST(qty1 AS DOUBLE) - CAST(qty0 AS DOUBLE)) * 1000000.0)
+      |        AS BIGINT)
+      |      ELSE 0 END) AS inter_micro,
+      |    SUM(CASE WHEN pk0 IS NULL THEN rev1
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS entered_rev,
+      |    SUM(CASE WHEN pk1 IS NULL THEN rev0
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS exited_rev
+      |  FROM j GROUP BY 1),
+      |tot AS (SELECT mi AS tmi, SUM(rev) AS mrev FROM pm GROUP BY 1),
+      |d AS (
+      |  SELECT t1.tmi, t1.mrev - t2.mrev AS actual
+      |  FROM tot t1 JOIN tot t2 ON t1.tmi = t2.tmi + 1)
+      |SELECT CAST(b.mi AS BIGINT) AS month_index,
+      |  CAST(price_micro AS DOUBLE) / 1e6 AS price_effect,
+      |  CAST(volume_micro AS DOUBLE) / 1e6 AS volume_effect,
+      |  CAST(inter_micro AS DOUBLE) / 1e6 AS interaction,
+      |  CAST(entered_rev - exited_rev AS DOUBLE) AS net_churn,
+      |  CAST(actual AS DOUBLE) AS actual_delta,
+      |  round(CAST(actual AS DOUBLE) -
+      |    CAST(price_micro + volume_micro + inter_micro AS DOUBLE) / 1e6 -
+      |    CAST(entered_rev - exited_rev AS DOUBLE), 2) + 0.0 AS bridge_gap
+      |FROM b JOIN d ON b.mi = d.tmi
+      |ORDER BY month_index""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_revenue_bridge" -> (q252RevenueBridge _),
     "q227_price_index" -> (q227PriceIndex _),
     "q215_abc_classification" -> (q215AbcClassification _),
     "q135_ohlc_hourly" -> (q135OhlcHourly _),
@@ -707,5 +843,6 @@ object MarketQueries {
     "q201_trajectory_census" -> q201Sql,
     "q206_lift_curve" -> q206Sql,
     "q215_abc_classification" -> q215Sql,
-    "q227_price_index" -> q227Sql)
+    "q227_price_index" -> q227Sql,
+    "q252_revenue_bridge" -> q252Sql)
 }
