@@ -591,7 +591,67 @@ object SeriesQueries {
     "q212_weekday_anova" -> (q212WeekdayAnova _),
     "q222_hurst_exponent" -> (q222HurstExponent _),
     "q241_p_chart" -> (q241PChart _),
-    "q246_runs_test" -> (q246RunsTest _))
+    "q246_runs_test" -> (q246RunsTest _),
+    "q253_c_chart" -> (q253CChart _))
+
+  // --------------------------------------------------------------- q253
+  /** c-chart for daily error-event counts: Shewhart limits c̄ ± 3√c̄
+    * (LCL clamped at 0) around the mean daily error count, flagging
+    * out-of-control days. q241 charts a PROPORTION (per-unit
+    * denominators); the c-chart is its count-data sibling for a
+    * constant exposure window — together they're the SPC pair an ops
+    * dashboard runs on pipeline telemetry.
+    *
+    * Exactness: daily counts exact; c̄ is one double division; limits
+    * and flags are single double expressions (identical spelling), 6
+    * dp, −0.0-guarded.
+    *
+    * Scale shape: one filtered map-combinable daily census + 1-row
+    * broadcast mean. */
+  def q253CChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.eventsTable(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val overall = daily.agg(
+      count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+    val cbar = col("total").cast("double") / col("n_days").cast("double")
+    daily.crossJoin(broadcast(overall))
+      .select(
+        col("day"), col("c"),
+        (round(cbar, 6) + lit(0.0)).as("c_bar"),
+        (round(greatest(cbar - lit(3.0) * sqrt(cbar), lit(0.0)), 6) +
+          lit(0.0)).as("lcl"),
+        (round(cbar + lit(3.0) * sqrt(cbar), 6) + lit(0.0)).as("ucl"),
+        (col("c").cast("double") > cbar + lit(3.0) * sqrt(cbar) ||
+          col("c").cast("double") < cbar - lit(3.0) * sqrt(cbar))
+          .as("out_of_control"))
+      .orderBy("day")
+  }
+
+  val q253Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |o AS (
+      |  SELECT COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total
+      |  FROM daily)
+      |SELECT day, c,
+      |  round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 6) + 0.0
+      |    AS c_bar,
+      |  round(greatest(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) -
+      |    3.0 * sqrt(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)),
+      |    0.0), 6) + 0.0 AS lcl,
+      |  round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) +
+      |    3.0 * sqrt(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+      |    + 0.0 AS ucl,
+      |  (CAST(c AS DOUBLE) > CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |     + 3.0 * sqrt(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |   OR CAST(c AS DOUBLE) <
+      |     CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |     - 3.0 * sqrt(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |    AS out_of_control
+      |FROM daily, o ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------- q246
   /** Wald–Wolfowitz runs test on daily revenue: is the sequence of
@@ -1121,5 +1181,6 @@ object SeriesQueries {
     "q212_weekday_anova" -> q212Sql,
     "q222_hurst_exponent" -> q222Sql,
     "q241_p_chart" -> q241Sql,
-    "q246_runs_test" -> q246Sql)
+    "q246_runs_test" -> q246Sql,
+    "q253_c_chart" -> q253Sql)
 }
