@@ -651,7 +651,108 @@ object EmbedQueries {
       |WHERE a.vec_id < a.neighbor_id ORDER BY a_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q254
+  /** TwoNN intrinsic-dimension estimate (Facco et al.): for each vector
+    * the ratio μ = d₂/d₁ of its 2nd- to 1st-nearest-neighbor EUCLIDEAN
+    * distance; the MLE intrinsic dimension is n/Σln μ. The nonlinear
+    * companion to q183's participation ratio (a covariance/linear
+    * notion): embeddings that live on a curved low-dimensional manifold
+    * inside the 64-d ambient space show it here first — and the ID
+    * value is what sizes IVF cell counts and PQ codebooks (q33/q66).
+    *
+    * Exactness: distances come from the exact-double identity
+    * d² = |a|² + |b|² − 2a·b over q53's hash-certified norms/dots; each
+    * vector's ln μ is rounded into DECIMAL(18,12) before the corpus
+    * sum; the estimate is one double division. Neighbors are q53's
+    * banded candidates (rank by distance asc with id tie-break);
+    * vectors with <2 reachable neighbors drop, as TwoNN prescribes.
+    *
+    * Scale shape: q53's candidate plan with the same WindowGroupLimit
+    * top-2; the estimator adds one census-scale aggregate. Operating
+    * point caveat as q209/q53 (band bits are the knob). */
+  def q254IntrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(16, Dim)
+    val par = spark.sparkContext.defaultParallelism
+    val e = withNorm(emb(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = e
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .select(col("vec_id"), explode(lshBands("sig", 16, 2)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.band_val").as("band_val"))
+      .repartition(par, col("band"), col("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("vec_id").as("a_id"))
+    val bb = banded.select(col("band"), col("band_val"),
+      col("vec_id").as("b_id"))
+    val cand = a.join(bb, Seq("band", "band_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("d2sq").asc, col("b_id"))
+    val ranked = cand
+      .join(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("n2").as("an2")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("n2").as("bn2")), "b_id")
+      .withColumn("d2sq",
+        col("an2") + col("bn2") - lit(2.0) * dotD(col("ae"), col("be")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("k"),
+        min(when(col("rank") === 1, col("d2sq"))).as("d1sq"),
+        min(when(col("rank") === 2, col("d2sq"))).as("d2sq2"))
+      .filter(col("k") === 2 && col("d1sq") > 0)
+      .select(round(log(sqrt(col("d2sq2") / col("d1sq"))), 12)
+        .cast("decimal(18,12)").as("lnmu"))
+      .localCheckpoint(true)
+    e.unpersist()
+    ranked.agg(count(lit(1)).as("n_vectors"), sum(col("lnmu")).as("s"))
+      .select(col("n_vectors"),
+        (round(col("n_vectors").cast("double") / col("s").cast("double"),
+          6) + lit(0.0)).as("intrinsic_dim"))
+  }
+
+  val q254Sql: String = {
+    val sig = sigSqlLit("embedding", hyperplanes(16, Dim))
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($sig) AS sig
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, n2,
+      |    sig & 255 AS b0, (sig >> 8) & 255 AS b1
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+      |    q.n2 + c.n2 - 2.0 * ($dot) AS d2sq
+      |  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      |  WHERE q.vec_id != c.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY a_id ORDER BY d2sq ASC, b_id) AS rank
+      |  FROM p),
+      |nn AS (
+      |  SELECT a_id, COUNT(*) AS k,
+      |    MIN(CASE WHEN rank = 1 THEN d2sq END) AS d1sq,
+      |    MIN(CASE WHEN rank = 2 THEN d2sq END) AS d2sq2
+      |  FROM r WHERE rank <= 2 GROUP BY 1),
+      |lnmu AS (
+      |  SELECT CAST(round(ln(sqrt(d2sq2 / d1sq)), 12) AS DECIMAL(18,12))
+      |    AS lnmu
+      |  FROM nn WHERE k = 2 AND d1sq > 0)
+      |SELECT COUNT(*) AS n_vectors,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 6)
+      |    + 0.0 AS intrinsic_dim
+      |FROM lnmu""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_intrinsic_dim" -> q254IntrinsicDim _,
     "q209_reciprocal_nn" -> q209ReciprocalNn _,
     "q21_cosine_topk" -> q21CosineTopk _,
     "q26_embedding_near_dup" -> q26EmbeddingNearDup _,
@@ -661,6 +762,7 @@ object EmbedQueries {
     "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
+    "q254_intrinsic_dim" -> q254Sql,
     "q209_reciprocal_nn" -> q209Sql,
     "q21_cosine_topk" -> q21Sql,
     "q26_embedding_near_dup" -> q26Sql,
