@@ -600,7 +600,82 @@ object MarketQueries {
       |FROM b JOIN d ON b.mi = d.tmi
       |ORDER BY month_index""".stripMargin
 
+  // --------------------------------------------------------------- q255
+  /** Spend-quintile migration matrix: customers active in BOTH
+    * 1995–1997 and 1998–2000 are quintiled on spend within each period
+    * (exact partitioned NTILE), and the 5×5 transition census shows who
+    * climbed, who slipped, and how sticky the top tier is — the segment
+    * dynamics q139's static RFM snapshot can't see.
+    *
+    * Exactness: period spends are exact cents; quintiles come from
+    * [[graft.operators.RangeRank.withNtile]] over the BOTH-ACTIVE
+    * population (bit-identical to SQL NTILE); the matrix is exact
+    * counts plus one double share.
+    *
+    * Scale shape: two conditional rollups in ONE orders pass; the
+    * inner join keeps both-active customers; two RangeRank passes
+    * (range shuffle + broadcast offsets each); final 25-cell census. */
+  def q255SegmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") <= 1997,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("s1"),
+        sum(when(col("yr") >= 1998,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("s2"),
+        sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") >= 1998, 1L).otherwise(0L)).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val q1 = graft.operators.RangeRank.withNtile(o, "seg_from", 5,
+      Seq(col("s1"), col("o_custkey")))
+    val q2 = graft.operators.RangeRank.withNtile(q1, "seg_to", 5,
+      Seq(col("s2"), col("o_custkey")))
+    val tot = o.agg(count(lit(1)).as("n_total"))
+    q2.groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg_from"), col("seg_to"), col("n_customers"),
+        (round(col("n_customers").cast("double") /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("share"))
+      .orderBy("seg_from", "seg_to")
+  }
+
+  val q255Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997
+      |        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |        ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN year(o_orderdate) >= 1998
+      |        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |        ELSE 0 END) AS s2,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS n1,
+      |    SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS n2
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |act AS (SELECT * FROM o WHERE n1 > 0 AND n2 > 0),
+      |seg AS (
+      |  SELECT o_custkey,
+      |    NTILE(5) OVER (ORDER BY s1, o_custkey) AS seg_from,
+      |    NTILE(5) OVER (ORDER BY s2, o_custkey) AS seg_to
+      |  FROM act),
+      |tot AS (SELECT COUNT(*) AS n_total FROM act)
+      |SELECT CAST(seg_from AS INTEGER) AS seg_from,
+      |  CAST(seg_to AS INTEGER) AS seg_to,
+      |  COUNT(*) AS n_customers,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE), 6)
+      |    + 0.0 AS share
+      |FROM seg, tot GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_segment_migration" -> (q255SegmentMigration _),
     "q252_revenue_bridge" -> (q252RevenueBridge _),
     "q227_price_index" -> (q227PriceIndex _),
     "q215_abc_classification" -> (q215AbcClassification _),
@@ -844,5 +919,6 @@ object MarketQueries {
     "q206_lift_curve" -> q206Sql,
     "q215_abc_classification" -> q215Sql,
     "q227_price_index" -> q227Sql,
-    "q252_revenue_bridge" -> q252Sql)
+    "q252_revenue_bridge" -> q252Sql,
+    "q255_segment_migration" -> q255Sql)
 }
