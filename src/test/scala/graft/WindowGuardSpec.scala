@@ -109,5 +109,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q231_fd_binning",       // RangeRank offset prefix: <= #partitions rows
     "q239_residual_cells",   // (segment, priority) contingency cells
     "q246_runs_test",        // daily-census rank + lag: |distinct days|
-    "q242_vocab_sizing")     // RangeRank offset prefix: <= #partitions rows
+    "q242_vocab_sizing",     // RangeRank offset prefix: <= #partitions rows
+    "q255_segment_migration") // RangeRank offset prefix: <= #partitions rows
 }
