@@ -674,7 +674,131 @@ object MarketQueries {
       |    + 0.0 AS share
       |FROM seg, tot GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q256
+  /** Theil-T decomposition of customer-spend inequality: unlike the
+    * Gini (q174, per-nation only), Theil's entropy index decomposes
+    * ADDITIVELY — T_total = T_between + Σ shareᵢ·T_withinᵢ — so it
+    * answers "is revenue inequality a geography story or a
+    * within-market story?" in one exact identity, with the residual
+    * printed as the audit (`decomposition_gap` ≈ 0 up to term
+    * quantization).
+    *
+    * Exactness: spends are exact cents; every entropy term
+    * ((x/μ)·ln(x/μ) at customer grain, share·ln ratio at nation grain)
+    * is floor-quantized to nano-units (the q252 convention — floor of
+    * the same double is engine-exact, round() is not) and summed as
+    * exact DECIMAL; the three index values are single double
+    * divisions.
+    *
+    * Scale shape: per-customer rollup → 25-row nation stats broadcast
+    * back → ONE more customer pass for the within terms → census
+    * aggregates. No window. */
+  def q256TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    def nano(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1e9)).cast("decimal(28,0)")
+    val cust = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nk")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("nk"), col("x"))
+      .localCheckpoint(true)
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val nat = cust.groupBy(col("nk"))
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"))
+      .localCheckpoint(true)
+    val mu = col("s").cast("double") / col("n").cast("double")
+    val mui = col("si").cast("double") / col("ni").cast("double")
+    val tTotal = cust.crossJoin(broadcast(tot))
+      .select(nano((col("x").cast("double") / mu) *
+        log(col("x").cast("double") / mu)).as("t"))
+      .agg(sum(col("t")).as("ts"))
+      .crossJoin(broadcast(tot))
+      .select((col("ts").cast("double") / lit(1e9) /
+        col("n").cast("double")).as("t_total"))
+    val tBetween = nat.crossJoin(broadcast(tot))
+      .select(nano((col("ni").cast("double") / col("n").cast("double")) *
+        (mui / mu) * log(mui / mu)).as("t"))
+      .agg((sum(col("t")).cast("double") / lit(1e9)).as("t_between"))
+    val withinTerms = cust
+      .join(broadcast(nat), "nk")
+      .select(col("nk"), col("ni"), col("si"),
+        nano((col("x").cast("double") / mui) *
+          log(col("x").cast("double") / mui)).as("t"))
+      .groupBy(col("nk"), col("ni"), col("si"))
+      .agg(sum(col("t")).as("tw"))
+      .crossJoin(broadcast(tot))
+      .select(nano((col("si").cast("double") / col("s").cast("double")) *
+        (col("tw").cast("double") / lit(1e9) / col("ni").cast("double")))
+        .as("wt"))
+      .agg((sum(col("wt")).cast("double") / lit(1e9))
+        .as("t_within_weighted"))
+    tTotal.crossJoin(broadcast(tBetween))
+      .crossJoin(broadcast(withinTerms))
+      .select(
+        (round(col("t_total"), 6) + lit(0.0)).as("t_total"),
+        (round(col("t_between"), 6) + lit(0.0)).as("t_between"),
+        (round(col("t_within_weighted"), 6) + lit(0.0))
+          .as("t_within_weighted"),
+        (round(col("t_total") - col("t_between") -
+          col("t_within_weighted"), 4) + lit(0.0))
+          .as("decomposition_gap"))
+  }
+
+  val q256Sql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY o_custkey, c_nationkey),
+      |tot AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM cust),
+      |nat AS (
+      |  SELECT nk, COUNT(*) AS ni, CAST(SUM(x) AS BIGINT) AS si
+      |  FROM cust GROUP BY 1),
+      |tt AS (
+      |  SELECT CAST(SUM(CAST(floor(
+      |      (CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) *
+      |      ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9 /
+      |    CAST(MAX(n) AS DOUBLE) AS t_total
+      |  FROM cust, tot),
+      |tb AS (
+      |  SELECT CAST(SUM(CAST(floor(
+      |      (CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ((CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) /
+      |       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) *
+      |      ln((CAST(si AS DOUBLE) / CAST(ni AS DOUBLE)) /
+      |         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9)
+      |      AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS t_between
+      |  FROM nat, tot),
+      |wi AS (
+      |  SELECT c.nk, nat.ni, nat.si,
+      |    CAST(floor((CAST(c.x AS DOUBLE) /
+      |      (CAST(nat.si AS DOUBLE) / CAST(nat.ni AS DOUBLE))) *
+      |      ln(CAST(c.x AS DOUBLE) /
+      |        (CAST(nat.si AS DOUBLE) / CAST(nat.ni AS DOUBLE))) * 1e9)
+      |      AS DECIMAL(28,0)) AS t
+      |  FROM cust c JOIN nat ON c.nk = nat.nk),
+      |twn AS (
+      |  SELECT nk, ni, si, SUM(t) AS tw FROM wi GROUP BY 1, 2, 3),
+      |tw AS (
+      |  SELECT CAST(SUM(CAST(floor(
+      |      (CAST(si AS DOUBLE) / CAST(s AS DOUBLE)) *
+      |      (CAST(tw AS DOUBLE) / 1e9 / CAST(ni AS DOUBLE)) * 1e9)
+      |      AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS t_within_weighted
+      |  FROM twn, tot)
+      |SELECT round(t_total, 6) + 0.0 AS t_total,
+      |  round(t_between, 6) + 0.0 AS t_between,
+      |  round(t_within_weighted, 6) + 0.0 AS t_within_weighted,
+      |  round(t_total - t_between - t_within_weighted, 4) + 0.0
+      |    AS decomposition_gap
+      |FROM tt, tb, tw""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_theil_decomposition" -> (q256TheilDecomposition _),
     "q255_segment_migration" -> (q255SegmentMigration _),
     "q252_revenue_bridge" -> (q252RevenueBridge _),
     "q227_price_index" -> (q227PriceIndex _),
@@ -920,5 +1044,6 @@ object MarketQueries {
     "q215_abc_classification" -> q215Sql,
     "q227_price_index" -> q227Sql,
     "q252_revenue_bridge" -> q252Sql,
-    "q255_segment_migration" -> q255Sql)
+    "q255_segment_migration" -> q255Sql,
+    "q256_theil_decomposition" -> q256Sql)
 }
