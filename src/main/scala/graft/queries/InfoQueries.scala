@@ -535,7 +535,90 @@ object InfoQueries {
       |  sqrt(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) /
       |    CAST(n AS DOUBLE)), 6) + 0.0) DESC, seg, pri""".stripMargin
 
+  // --------------------------------------------------------------- q257
+  /** Pairwise Jensen–Shannon divergence between every two document
+    * sources' language distributions — the symmetric, bounded (≤ ln 2)
+    * companion to q140's KL-vs-corpus: q140 flags a source that drifted
+    * from the corpus mix; this matrix says WHICH sources resemble each
+    * other, the input a curation plan needs to merge redundant crawls
+    * or balance a mixture (two sources with JS ≈ 0 are interchangeable
+    * supply; a pair near ln 2 covers disjoint languages).
+    *
+    * Exactness: the (source, lang) census is exact integer counts; the
+    * grid is DENSIFIED (every source × every observed lang, absent
+    * cells = 0) so zero-probability terms are an explicit CASE → exact
+    * 0 in both engines rather than a missing row. Each pair-lang JS
+    * term is one double chain with identical association —
+    * ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) — snapped to the 9-dp
+    * DECIMAL(12,9) grid (the q179 convention: the snap absorbs libm
+    * ulp differences and makes the ≤|langs|-term sum order-independent);
+    * the per-pair sum is exact decimal arithmetic, emitted as one
+    * double.
+    *
+    * Scale shape: ONE map-combinable hash agg collapses the corpus to
+    * the |sources|·|langs| census; everything after — densify, pair
+    * self-join on lang, term sum — runs on census-scale rows
+    * (|sources|²·|langs| ≪ data). At 10⁶ sources the pair matrix, not
+    * the corpus, would be the object that needs pruning (band by a
+    * coarse mix signature first); at catalog scale (10²–10³ sources)
+    * the full matrix is the product. */
+  def q257SourceJsMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val sources = census.select(col("source")).distinct()
+    val langs = census.select(col("lang")).distinct()
+    val grid = sources.crossJoin(broadcast(langs))
+      .join(census, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val a = grid.select(col("source").as("source_a"), col("lang"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = grid.select(col("source").as("source_b"), col("lang"),
+      col("c").as("cb"), col("n").as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val qq = col("cb").cast("double") / col("nb").cast("double")
+    val halfA = when(col("ca") === 0, lit(0.0))
+      .otherwise(p * log(lit(2.0) * p / (p + qq)))
+    val halfB = when(col("cb") === 0, lit(0.0))
+      .otherwise(qq * log(lit(2.0) * qq / (p + qq)))
+    a.join(b, Seq("lang"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(lit(0.5) * (halfA + halfB), 9).cast("decimal(12,9)").as("t"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("t")).cast("double").as("js_nats"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q257Sql: String =
+    """WITH census AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, l.lang, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM census) s
+      |  CROSS JOIN (SELECT DISTINCT lang FROM census) l
+      |  LEFT JOIN census c ON c.source = s.source AND c.lang = l.lang),
+      |g AS (
+      |  SELECT source, lang, c, SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM grid),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+      |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.source < b.source),
+      |terms AS (
+      |  SELECT source_a, source_b,
+      |    CAST(round(0.5 * (
+      |      CASE WHEN p = 0 THEN 0.0 ELSE p * ln(2 * p / (p + q)) END +
+      |      CASE WHEN q = 0 THEN 0.0 ELSE q * ln(2 * q / (p + q)) END), 9)
+      |      AS DECIMAL(12,9)) AS t
+      |  FROM pairs)
+      |SELECT source_a, source_b, CAST(SUM(t) AS DOUBLE) AS js_nats
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_source_js_matrix" -> (q257SourceJsMatrix _),
     "q239_residual_cells" -> (q239ResidualCells _),
     "q219_feature_gain" -> (q219FeatureGain _),
     "q137_mutual_info" -> (q137MutualInfo _),
@@ -545,6 +628,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q257_source_js_matrix" -> q257Sql,
     "q239_residual_cells" -> q239Sql,
     "q219_feature_gain" -> q219Sql,
     "q137_mutual_info" -> q137Sql,
