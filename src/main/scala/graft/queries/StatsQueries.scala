@@ -927,7 +927,75 @@ object StatsQueries {
       |FROM r WHERE rk = (n_obs * 9 + 9) // 10
       |ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q258
+  /** Hill tail-index estimator of the customer-spend distribution: over
+    * the top-decile order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ with threshold
+    * x₍ₖ₊₁₎, α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎). The tail-heaviness number the
+    * inequality family lacks: q174's Gini and q143's deciles describe
+    * the WHOLE distribution; α̂ says how the extreme tail decays
+    * (α ≤ 2 ⇒ infinite variance — means and CIs on spend stop being
+    * meaningful; capacity planning must switch to quantiles).
+    *
+    * Exactness: per-customer spend is the exact BIGINT cent rollup; the
+    * rank is RangeRank's exact global rank under the total order
+    * (spend DESC, custkey) — bit-identical to the oracle's row_number.
+    * Each tail term ln(xᵢ/x₍ₖ₊₁₎) is ln9-snapped (weight 1 ⇒ the k-term
+    * sum is exact DECIMAL arithmetic); α̂ is one closing double
+    * division on identical operands.
+    *
+    * Scale shape: orders collapse to the per-customer entity table in
+    * one map-combinable agg; the global rank is RangeRank's two linear
+    * shuffles (range + hash), NO single-partition window; the threshold
+    * row is a 1-row broadcast. Survives any entity-table size. */
+  def q258HillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    import graft.operators.RangeRank
+    val spend = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val ranked = RangeRank.withGlobalRank(spend, "rk",
+      Seq(col("x").desc, col("o_custkey").asc))
+    val n = spend.count()
+    val k = n / 10
+    val thr = ranked.filter(col("rk") === (k + 1))
+      .select(col("x").as("x_thr"))
+    ranked.filter(col("rk") <= k)
+      .crossJoin(broadcast(thr))
+      .select(
+        ln9(col("x").cast("double") / col("x_thr").cast("double")).as("t"),
+        col("x_thr"))
+      .agg(
+        lit(n).as("n_customers"),
+        lit(k).as("k_tail"),
+        (max(col("x_thr")).cast("double") / lit(100.0)).as("threshold_spend"),
+        (lit(k).cast("double") / sum(col("t")).cast("double"))
+          .as("hill_alpha"))
+  }
+
+  val q258Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x DESC, o_custkey)
+      |    AS BIGINT) AS rk, COUNT(*) OVER () AS n
+      |  FROM spend),
+      |thr AS (SELECT x AS x_thr FROM ranked WHERE rk = n // 10 + 1),
+      |tail AS (
+      |  SELECT CAST(round(ln(CAST(r.x AS DOUBLE) /
+      |      CAST(t.x_thr AS DOUBLE)), 9) AS DECIMAL(12,9)) AS t,
+      |    t.x_thr, r.n
+      |  FROM ranked r, thr t WHERE r.rk <= r.n // 10)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+      |  CAST(MAX(n) // 10 AS BIGINT) AS k_tail,
+      |  CAST(MAX(x_thr) AS DOUBLE) / 100.0 AS threshold_spend,
+      |  CAST(MAX(n) // 10 AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS hill_alpha
+      |FROM tail""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_hill_tail_index" -> (q258HillTailIndex _),
     "q249_newsvendor" -> (q249Newsvendor _),
     "q231_fd_binning" -> (q231FdBinning _),
     "q225_spearman" -> (q225Spearman _),
@@ -944,6 +1012,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q258_hill_tail_index" -> q258Sql,
     "q249_newsvendor" -> q249Sql,
     "q231_fd_binning" -> q231Sql,
     "q225_spearman" -> q225Sql,
