@@ -617,7 +617,97 @@ object InfoQueries {
       |SELECT source_a, source_b, CAST(SUM(t) AS DOUBLE) AS js_nats
       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q259
+  /** Entropy rate of the per-user event-type chain: for each current
+    * state c, the conditional next-step entropy H(next | cur = c) in
+    * nats, alongside the unconditional H(next) and the information gain
+    * H(next) − H(next|c). The sequence-predictability companion to
+    * q103's transition matrix and q214's stationary distribution:
+    * gain ≈ 0 says the chain is memoryless (knowing the current event
+    * doesn't help predict the next — sessionization features are
+    * useless); a state with a large gain is a strong predictor (e.g.
+    * "error" funnels into a narrow follow-up set).
+    *
+    * Exactness: transitions use q103's deterministic per-user lead
+    * (total order ts, event_id); the |types|² cell census is exact
+    * BIGINTs; every entropy term is a count-weighted ln9 on the exact
+    * decimal grid (q137's convention — the marginal H(next) is summed
+    * over CELLS with weight c_cn, algebraically identical to the
+    * per-state sum since Σ_cur c_cn = c_n); the two divisions and one
+    * subtraction are double ops on identical operands.
+    *
+    * Scale shape: the per-user lead window is q34's sessionization
+    * partitioning (state bounded by one user's events); ONE hash agg
+    * collapses to the ≤|types|² census; marginals are windows over the
+    * census; the global row is a 1-row broadcast. */
+  def q259EntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val dbl = (c: String) => col(c).cast("double")
+    val cells = tr
+      .withColumn("cc", sum(col("c")).over(Window.partitionBy(col("cur_type"))))
+      .withColumn("cn", sum(col("c")).over(Window.partitionBy(col("next_type"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+      .select(col("cur_type"), col("c"), col("cc"), col("nn"),
+        (ln9(dbl("cc") / dbl("c")) * col("c")).as("hc_w"),
+        (ln9(dbl("nn") / dbl("cn")) * col("c")).as("hn_w"))
+    val byCur = cells.groupBy(col("cur_type"))
+      .agg(max(col("cc")).as("n_from"),
+        (sum(col("hc_w")).cast("double") / max(col("cc")).cast("double"))
+          .as("h_cond_nats"))
+    val g = cells.agg(
+      (sum(col("hn_w")).cast("double") / max(col("nn")).cast("double"))
+        .as("h_next_nats"))
+    byCur.crossJoin(broadcast(g))
+      .select(col("cur_type"), col("n_from"), col("h_cond_nats"),
+        col("h_next_nats"),
+        (col("h_next_nats") - col("h_cond_nats")).as("info_gain_nats"))
+      .orderBy("cur_type")
+  }
+
+  val q259Sql: String =
+    """WITH tr0 AS (
+      |  SELECT event_type AS cur_type,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT cur_type, next_type, COUNT(*) AS c
+      |  FROM tr0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cur_type, c,
+      |    SUM(c) OVER (PARTITION BY cur_type) AS cc,
+      |    SUM(c) OVER (PARTITION BY next_type) AS cn,
+      |    SUM(c) OVER () AS nn
+      |  FROM tr),
+      |cells AS (
+      |  SELECT cur_type, c, cc, nn,
+      |    CAST(round(ln(CAST(cc AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) * c AS hc_w,
+      |    CAST(round(ln(CAST(nn AS DOUBLE) / CAST(cn AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) * c AS hn_w
+      |  FROM m),
+      |bycur AS (
+      |  SELECT cur_type, CAST(MAX(cc) AS BIGINT) AS n_from,
+      |    CAST(SUM(hc_w) AS DOUBLE) / CAST(MAX(cc) AS DOUBLE)
+      |      AS h_cond_nats
+      |  FROM cells GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(SUM(hn_w) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)
+      |    AS h_next_nats
+      |  FROM cells)
+      |SELECT cur_type, n_from, h_cond_nats, h_next_nats,
+      |  h_next_nats - h_cond_nats AS info_gain_nats
+      |FROM bycur, g ORDER BY cur_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_entropy_rate" -> (q259EntropyRate _),
     "q257_source_js_matrix" -> (q257SourceJsMatrix _),
     "q239_residual_cells" -> (q239ResidualCells _),
     "q219_feature_gain" -> (q219FeatureGain _),
@@ -628,6 +718,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q259_entropy_rate" -> q259Sql,
     "q257_source_js_matrix" -> q257Sql,
     "q239_residual_cells" -> q239Sql,
     "q219_feature_gain" -> q219Sql,

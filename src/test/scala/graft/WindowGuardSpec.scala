@@ -111,5 +111,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q246_runs_test",        // daily-census rank + lag: |distinct days|
     "q242_vocab_sizing",     // RangeRank offset prefix: <= #partitions rows
     "q255_segment_migration", // RangeRank offset prefix: <= #partitions rows
-    "q258_hill_tail_index")  // RangeRank offset prefix: <= #partitions rows
+    "q258_hill_tail_index",  // RangeRank offset prefix: <= #partitions rows
+    "q259_entropy_rate")     // (cur,next) transition cells: <= |types|^2
 }
