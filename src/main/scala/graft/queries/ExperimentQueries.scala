@@ -458,7 +458,90 @@ object ExperimentQueries {
       |SELECT fold, n, slope, slope_spread, n_positive
       |FROM sl, sp ORDER BY fold""".stripMargin
 
+  // --------------------------------------------------------------- q260
+  /** McNemar's paired test of customer activity between the two halves
+    * of the order history (1995–1997 vs 1998–2000): the 2×2 paired
+    * census over ALL customers (both active / P1 only / P2 only /
+    * neither) and the continuity-corrected statistic
+    * χ² = (|b−c|−1)²/(b+c) on the discordant cells. The PAIRED
+    * companion to q229's new-vs-returning view: each customer is their
+    * own control, so secular size differences between the periods
+    * cancel and only the churn↔activation asymmetry is tested (χ² ≫
+    * 3.84 ⇒ the base is systematically growing or shrinking, not just
+    * rotating).
+    *
+    * Exactness: the four cells are exact BIGINTs from one agg over the
+    * customer↔order-activity left join; the statistic is one double
+    * chain on the two integer cells, CASE-guarded for b + c = 0.
+    *
+    * Scale shape: orders collapse to a per-customer activity pair in
+    * one map-combinable agg; the customer left join is an entity-scale
+    * hash join (broadcast-able at dim scale); one 4-cell census row
+    * out. */
+  def q260McnemarActivity(spark: SparkSession, dir: String): DataFrame = {
+    val act = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("yr") <= 1997, 1L).otherwise(0L)).as("a1"),
+        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("a2"))
+    val cells = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(act, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("a1"), lit(0L)).as("a1"),
+        coalesce(col("a2"), lit(0L)).as("a2"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L))
+          .as("both_active"),
+        sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L))
+          .as("p1_only"),
+        sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L))
+          .as("p2_only"),
+        sum(when(col("a1") === 0 && col("a2") === 0, 1L).otherwise(0L))
+          .as("neither"))
+    val b = col("p1_only").cast("double")
+    val c = col("p2_only").cast("double")
+    cells.withColumn("mcnemar_chi2",
+      when(col("p1_only") + col("p2_only") === 0, lit(0.0))
+        .otherwise((abs(b - c) - lit(1.0)) * (abs(b - c) - lit(1.0)) /
+          (b + c)))
+  }
+
+  val q260Sql: String =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS a1,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS a2
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |cells AS (
+      |  SELECT COUNT(*) AS n_customers,
+      |    CAST(SUM(CASE WHEN COALESCE(a1, 0) = 1 AND COALESCE(a2, 0) = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS both_active,
+      |    CAST(SUM(CASE WHEN COALESCE(a1, 0) = 1 AND COALESCE(a2, 0) = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS p1_only,
+      |    CAST(SUM(CASE WHEN COALESCE(a1, 0) = 0 AND COALESCE(a2, 0) = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS p2_only,
+      |    CAST(SUM(CASE WHEN COALESCE(a1, 0) = 0 AND COALESCE(a2, 0) = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS neither
+      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey)
+      |SELECT n_customers, both_active, p1_only, p2_only, neither,
+      |  CASE WHEN p1_only + p2_only = 0 THEN 0.0
+      |    ELSE (abs(CAST(p1_only AS DOUBLE) - CAST(p2_only AS DOUBLE))
+      |        - 1.0) *
+      |      (abs(CAST(p1_only AS DOUBLE) - CAST(p2_only AS DOUBLE))
+      |        - 1.0) /
+      |      (CAST(p1_only AS DOUBLE) + CAST(p2_only AS DOUBLE))
+      |  END AS mcnemar_chi2
+      |FROM cells""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_mcnemar_activity" -> (q260McnemarActivity _),
     "q238_fold_stability" -> (q238FoldStability _),
     "q129_ab_test" -> (q129AbTest _),
     "q150_ks_drift" -> (q150KsDrift _),
@@ -466,6 +549,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q260_mcnemar_activity" -> q260Sql,
     "q238_fold_stability" -> q238Sql,
     "q129_ab_test" -> q129Sql,
     "q150_ks_drift" -> q150Sql,
