@@ -577,7 +577,94 @@ object SeriesQueries {
       |FROM s ORDER BY lag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q261
+  /** Gumbel extreme-value fit of monthly block maxima of daily order
+    * revenue, by method of moments: β̂ = s·√6/π, μ̂ = m̄ − γ·β̂ (γ the
+    * Euler–Mascheroni constant), and the 12-block return level
+    * μ̂ − β̂·ln(−ln(1 − 1/12)) — "the daily revenue exceeded about once
+    * a year". The tail question q105's anomaly z-scores can't answer:
+    * z-scores assume the BULK distribution; capacity/risk planning
+    * needs the distribution OF THE MAXIMA, which is what block-maxima
+    * EVT estimates (Gumbel is the light-tailed domain of attraction —
+    * sums/rollups of many bounded order totals land here).
+    *
+    * Exactness: daily revenue is the exact BIGINT cent sum; monthly
+    * maxima are exact; n, Σm, Σm² are exact DECIMAL arithmetic (m is
+    * widened to DECIMAL(18,0) so m² sums stay exact at any scale); the
+    * moment chain (mean, sample variance, √, the two Gumbel constants,
+    * the double-log return factor) is ONE double expression spelled
+    * identically in both engines, and every emitted statistic is
+    * 6-dp-rounded (−0.0-guarded) to absorb libm ulp in ln/√.
+    *
+    * Scale shape: two map-combinable aggs (day census → month maxima)
+    * and a 1-row moment agg — no window, no join. */
+  def q261GumbelMaxima(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val maxima = daily
+      .groupBy((year(col("day")) * 100 + month(col("day"))).as("blk"))
+      .agg(max(col("rev")).cast("decimal(18,0)").as("m"))
+    val st = maxima.agg(
+      count(lit(1)).as("n"),
+      sum(col("m")).as("sm"),
+      sum(col("m") * col("m")).as("smm"))
+    val n = col("n").cast("double")
+    val mean = col("sm").cast("double") / n
+    val variance = (col("smm").cast("double") -
+      col("sm").cast("double") * col("sm").cast("double") / n) /
+      (n - lit(1.0))
+    val beta = sqrt(variance) * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    val rl = mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(12.0)))
+    st.select(
+      col("n").as("n_blocks"),
+      (round(mean / 100.0, 6) + lit(0.0)).as("mean_max"),
+      (round(mu / 100.0, 6) + lit(0.0)).as("gumbel_mu"),
+      (round(beta / 100.0, 6) + lit(0.0)).as("gumbel_beta"),
+      (round(rl / 100.0, 6) + lit(0.0)).as("return_level_12"))
+  }
+
+  val q261Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |maxima AS (
+      |  SELECT year(day) * 100 + month(day) AS blk,
+      |    CAST(MAX(rev) AS DECIMAL(18,0)) AS m
+      |  FROM daily GROUP BY 1),
+      |st AS (
+      |  SELECT COUNT(*) AS n, SUM(m) AS sm, SUM(m * m) AS smm
+      |  FROM maxima)
+      |SELECT CAST(n AS BIGINT) AS n_blocks,
+      |  round((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) + 0.0
+      |    AS mean_max,
+      |  round((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - 0.5772156649015329 *
+      |      (sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+      |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)) * sqrt(6.0) / pi()))
+      |    / 100.0, 6) + 0.0 AS gumbel_mu,
+      |  round((sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+      |        * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0)) * sqrt(6.0) / pi())
+      |    / 100.0, 6) + 0.0 AS gumbel_beta,
+      |  round((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - 0.5772156649015329 *
+      |      (sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+      |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)) * sqrt(6.0) / pi())
+      |    - (sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+      |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)) * sqrt(6.0) / pi())
+      |      * ln(-ln(1.0 - 1.0 / 12.0)))
+      |    / 100.0, 6) + 0.0 AS return_level_12
+      |FROM st""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_gumbel_maxima" -> (q261GumbelMaxima _),
     "q197_crosscorr" -> (q197CrossCorrelation _),
     "q148_seasonal_index" -> (q148SeasonalIndex _),
     "q62_gap_fill" -> (q62GapFill _),
@@ -1168,6 +1255,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q261_gumbel_maxima" -> q261Sql,
     "q197_crosscorr" -> q197Sql,
     "q148_seasonal_index" -> q148Sql,
     "q62_gap_fill" -> q62Sql,
