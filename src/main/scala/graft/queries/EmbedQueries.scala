@@ -751,7 +751,94 @@ object EmbedQueries {
       |FROM lnmu""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q262
+  /** Hubness audit of the kNN graph: the k-occurrence census N₃(x) =
+    * how often vector x appears in OTHER vectors' q53 top-3 lists,
+    * summarized as mean / max / antihub count (N₃ = 0, unreachable as a
+    * neighbor) / the occurrence share held by the top-5% most-listed
+    * vectors. THE intrinsic ANN failure mode q254's dimension estimate
+    * predicts: in high intrinsic dimension a few hub vectors dominate
+    * everyone's neighbor lists (top-5% share → 1, antihubs pile up),
+    * silently collapsing kNN-graph diversity sampling and degrading
+    * recall — this census is the go/no-go check before trusting q53's
+    * graph downstream.
+    *
+    * Exactness: occurrences are exact counts over q53's hash-certified
+    * lists, densified to EVERY corpus vector (left join, 0-fill); the
+    * hub cut is RangeRank's exact global rank under the total order
+    * (occ DESC, vec_id) — no third-moment arithmetic anywhere, so every
+    * statistic is exact integer work plus ONE closing double division.
+    *
+    * Scale shape: q53's candidate plan (fixture operating point, the
+    * q209/q254 documented class) feeds one map-combinable occurrence
+    * agg; the densify join is entity-scale; the rank is RangeRank's two
+    * linear shuffles — no single-partition pass at any size. */
+  def q262HubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeRank
+    val occ = q53KnnJoin(spark, dir)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("occ0"))
+    val dense = emb(spark, dir).select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(col("vec_id"), coalesce(col("occ0"), lit(0L)).as("occ"))
+    val ranked = RangeRank.withGlobalRank(dense, "rk",
+      Seq(col("occ").desc, col("vec_id").asc))
+    val n = dense.count()
+    val hubK = n / 20
+    ranked.agg(
+      lit(n).as("n_vectors"),
+      sum(col("occ")).as("n_occurrences"),
+      sum(when(col("occ") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+      max(col("occ")).as("max_occurrence"),
+      (sum(when(col("rk") <= hubK, col("occ")).otherwise(0L))
+        .cast("double") / sum(col("occ")).cast("double"))
+        .as("hub_share_top5pct"))
+  }
+
+  val q262Sql: String = {
+    val sig = sigSqlLit("embedding", hyperplanes(16, Dim))
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($sig) AS sig
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, embedding, n2,
+      |    sig & 255 AS b0, (sig >> 8) & 255 AS b1
+      |  FROM e),
+      |p AS (
+      |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+      |    ($dot) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+      |  WHERE q.vec_id != c.vec_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id)
+      |    AS INTEGER) AS rank
+      |  FROM p),
+      |occ AS (
+      |  SELECT neighbor_id, COUNT(*) AS occ0
+      |  FROM r WHERE rank <= 3 GROUP BY 1),
+      |dense AS (
+      |  SELECT e.vec_id, COALESCE(occ.occ0, 0) AS occ
+      |  FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id),
+      |ranked AS (
+      |  SELECT occ, CAST(row_number() OVER (ORDER BY occ DESC, vec_id)
+      |    AS BIGINT) AS rk, COUNT(*) OVER () AS n
+      |  FROM dense)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+      |  CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+      |  CAST(SUM(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_antihubs,
+      |  CAST(MAX(occ) AS BIGINT) AS max_occurrence,
+      |  CAST(SUM(CASE WHEN rk <= n // 20 THEN occ ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(occ) AS DOUBLE) AS hub_share_top5pct
+      |FROM ranked""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_hubness_audit" -> q262HubnessAudit _,
     "q254_intrinsic_dim" -> q254IntrinsicDim _,
     "q209_reciprocal_nn" -> q209ReciprocalNn _,
     "q21_cosine_topk" -> q21CosineTopk _,
@@ -762,6 +849,7 @@ object EmbedQueries {
     "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
+    "q262_hubness_audit" -> q262Sql,
     "q254_intrinsic_dim" -> q254Sql,
     "q209_reciprocal_nn" -> q209Sql,
     "q21_cosine_topk" -> q21Sql,

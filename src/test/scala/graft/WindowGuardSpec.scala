@@ -112,5 +112,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q242_vocab_sizing",     // RangeRank offset prefix: <= #partitions rows
     "q255_segment_migration", // RangeRank offset prefix: <= #partitions rows
     "q258_hill_tail_index",  // RangeRank offset prefix: <= #partitions rows
-    "q259_entropy_rate")     // (cur,next) transition cells: <= |types|^2
+    "q259_entropy_rate",     // (cur,next) transition cells: <= |types|^2
+    "q262_hubness_audit")    // RangeRank offset prefix: <= #partitions rows
 }
