@@ -540,7 +540,122 @@ object ExperimentQueries {
       |  END AS mcnemar_chi2
       |FROM cells""".stripMargin
 
+  // --------------------------------------------------------------- q263
+  /** Calibration / Brier audit of a FIXED logistic retention score:
+    * predict P(customer active 1998–2000) from their 1995–1997 order
+    * count x via p̂ = 1/(1+e^−(x/4−1)), then score the prediction
+    * against what happened — per score group: mean prediction vs
+    * observed rate (the reliability-diagram row) and the group's Brier
+    * contribution Σ(p̂−y)², plus the overall Brier score. The
+    * model-evaluation primitive q206's lift curve lacks: lift ranks,
+    * calibration says whether the PROBABILITIES are honest (a miscalibrated
+    * score can't drive expected-value decisions like retention spend).
+    *
+    * Groups are the integer x itself, never bins of p̂ — p̂ is monotone
+    * in x, and binning on a computed double would let one ulp flip a
+    * customer across a bin edge between engines.
+    *
+    * Exactness: x and the active flag are exact integers over the full
+    * customer universe (left join, 0-fill); p̂ is ONE double chain on
+    * integer x snapped to the 9-dp decimal grid, so the group Brier sum
+    * n·p̂² − 2·p̂·k + k is EXACT decimal arithmetic (no float
+    * summation anywhere); observed rate and the overall Brier are
+    * single closing double divisions.
+    *
+    * Scale shape: orders collapse to per-customer (x, y) in one
+    * map-combinable agg; groups are the ≤|max orders| census; the
+    * overall row is a 1-row broadcast. */
+  def q263BrierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val act = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
+        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
+    val xy = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(act, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val p = round(lit(1.0) /
+      (lit(1.0) + exp(-(col("x").cast("double") / lit(4.0) - lit(1.0)))), 9)
+      .cast("decimal(12,9)")
+    // exact decimal widths chosen so no product exceeds DECIMAL(38):
+    // p is (12,9) ⇒ p² is exactly 18 dp and < 10, cast (19,18) is exact;
+    // n,k as (10,0) keep n·p² at (30,18) and 2·p·k at (24,9) — both
+    // lossless, so the three-term group sum is exact decimal arithmetic.
+    val nD = col("n_customers").cast("decimal(10,0)")
+    val kD = col("k").cast("decimal(10,0)")
+    val p2 = (col("p") * col("p")).cast("decimal(19,18)")
+    val grp = xy.groupBy(col("x"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("y")).as("k"))
+      .withColumn("p", p)
+      .withColumn("brier_sum",
+        (nD * p2).cast("decimal(32,18)") -
+          (lit(2).cast("decimal(2,0)") * col("p") * kD)
+            .cast("decimal(32,18)") +
+          kD.cast("decimal(32,18)"))
+    // 6-dp final grid: a scale-18 decimal→double cast double-rounds
+    // (int128 → double → ÷10¹⁸) differently across engines at 1 ulp;
+    // the exact decimal stays the comparison anchor, the EMITTED double
+    // is its 6-dp rounding, which both engines agree on.
+    val tot = grp.agg(
+      (round(sum(col("brier_sum")).cast("double") /
+        sum(col("n_customers")).cast("double"), 6) + lit(0.0))
+        .as("brier_score"))
+    grp.crossJoin(broadcast(tot))
+      .select(col("x").as("p1_orders"), col("n_customers"),
+        col("p").cast("double").as("predicted"),
+        (round(col("k").cast("double") /
+          col("n_customers").cast("double"), 6) + lit(0.0)).as("observed"),
+        (round(col("brier_sum").cast("double"), 6) + lit(0.0))
+          .as("brier_sum"),
+        col("brier_score"))
+      .orderBy("p1_orders")
+  }
+
+  val q263Sql: String =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS x0,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS y0
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(COALESCE(x0, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(y0, 0) AS BIGINT) AS y
+      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+      |grp AS (
+      |  SELECT x, COUNT(*) AS n_customers, CAST(SUM(y) AS BIGINT) AS k,
+      |    CAST(round(1.0 / (1.0 +
+      |      exp(-(CAST(x AS DOUBLE) / 4.0 - 1.0))), 9) AS DECIMAL(12,9))
+      |      AS p
+      |  FROM xy GROUP BY 1),
+      |g2 AS (
+      |  SELECT x, n_customers, k, p,
+      |    CAST(CAST(n_customers AS DECIMAL(10,0)) *
+      |         CAST(p * p AS DECIMAL(19,18)) AS DECIMAL(32,18))
+      |    - CAST(CAST(2 AS DECIMAL(2,0)) * p *
+      |         CAST(k AS DECIMAL(10,0)) AS DECIMAL(32,18))
+      |    + CAST(k AS DECIMAL(32,18)) AS brier_sum
+      |  FROM grp),
+      |tot AS (
+      |  SELECT round(CAST(SUM(brier_sum) AS DOUBLE) /
+      |    CAST(SUM(n_customers) AS DOUBLE), 6) + 0.0 AS brier_score
+      |  FROM g2)
+      |SELECT x AS p1_orders, n_customers, CAST(p AS DOUBLE) AS predicted,
+      |  round(CAST(k AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) + 0.0
+      |    AS observed,
+      |  round(CAST(brier_sum AS DOUBLE), 6) + 0.0 AS brier_sum,
+      |  brier_score
+      |FROM g2, tot ORDER BY p1_orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_brier_calibration" -> (q263BrierCalibration _),
     "q260_mcnemar_activity" -> (q260McnemarActivity _),
     "q238_fold_stability" -> (q238FoldStability _),
     "q129_ab_test" -> (q129AbTest _),
@@ -549,6 +664,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q263_brier_calibration" -> q263Sql,
     "q260_mcnemar_activity" -> q260Sql,
     "q238_fold_stability" -> q238Sql,
     "q129_ab_test" -> q129Sql,
