@@ -663,7 +663,79 @@ object SeriesQueries {
       |    / 100.0, 6) + 0.0 AS return_level_12
       |FROM st""".stripMargin
 
+  // --------------------------------------------------------------- q264
+  /** Index of dispersion (variance-to-mean ratio) of DAILY order counts
+    * per order priority, over the DENSIFIED day grid (every observed
+    * order day × every priority, absent cells = 0). The Poissonness
+    * check that picks the right control chart: D ≈ 1 says counts are
+    * Poisson and q253's c-chart limits are valid; D ≫ 1 (overdispersion
+    * — bursty arrivals) means c̄ ± 3√c̄ will false-alarm constantly and
+    * the monitor needs negative-binomial limits; D ≪ 1 says arrivals
+    * are scheduled, not random.
+    *
+    * Exactness: cell counts are exact; Σc and Σc² are exact DECIMAL
+    * sums (c widened to DECIMAL(18,0) so squares stay exact at any
+    * daily volume); mean, sample variance, and D are one double chain
+    * spelled identically, 6-dp-rounded, −0.0-guarded.
+    *
+    * Scale shape: one map-combinable (priority, day) agg; the densify
+    * is a broadcast cross of the two small censuses; per-priority
+    * moments are a second census-scale agg. No window, no fact-scale
+    * join. */
+  def q264DispersionIndex(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+    val days = o.select(to_date(col("o_orderdate")).as("day")).distinct()
+    val cnt = o.groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("c0"))
+    val pris = cnt.select(col("pri")).distinct()
+    val dense = pris.crossJoin(days)
+      .join(cnt, Seq("pri", "day"), "left")
+      .select(col("pri"),
+        coalesce(col("c0"), lit(0L)).cast("decimal(18,0)").as("c"))
+    val st = dense.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val n = col("n_days").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) /
+      (n - lit(1.0))
+    st.select(col("pri"), col("n_days"),
+        col("s1").cast("long").as("n_orders"),
+        (round(mean, 6) + lit(0.0)).as("mean_daily"),
+        (round(variance / mean, 6) + lit(0.0)).as("dispersion_index"))
+      .orderBy("pri")
+  }
+
+  val q264Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day
+      |  FROM orders),
+      |days AS (SELECT DISTINCT day FROM o),
+      |cnt AS (SELECT pri, day, COUNT(*) AS c0 FROM o GROUP BY 1, 2),
+      |pris AS (SELECT DISTINCT pri FROM cnt),
+      |dense AS (
+      |  SELECT p.pri,
+      |    CAST(COALESCE(c.c0, 0) AS DECIMAL(18,0)) AS c
+      |  FROM pris p CROSS JOIN days d
+      |  LEFT JOIN cnt c ON c.pri = p.pri AND c.day = d.day),
+      |st AS (
+      |  SELECT pri, COUNT(*) AS n_days, SUM(c) AS s1, SUM(c * c) AS s2
+      |  FROM dense GROUP BY 1)
+      |SELECT pri, n_days, CAST(s1 AS BIGINT) AS n_orders,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) + 0.0
+      |    AS mean_daily,
+      |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |      CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+      |      (CAST(n_days AS DOUBLE) - 1.0)) /
+      |    (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) + 0.0
+      |    AS dispersion_index
+      |FROM st ORDER BY pri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_dispersion_index" -> (q264DispersionIndex _),
     "q261_gumbel_maxima" -> (q261GumbelMaxima _),
     "q197_crosscorr" -> (q197CrossCorrelation _),
     "q148_seasonal_index" -> (q148SeasonalIndex _),
@@ -1255,6 +1327,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q264_dispersion_index" -> q264Sql,
     "q261_gumbel_maxima" -> q261Sql,
     "q197_crosscorr" -> q197Sql,
     "q148_seasonal_index" -> q148Sql,
