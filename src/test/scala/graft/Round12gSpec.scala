@@ -42,4 +42,77 @@ class Round12gSpec extends AnyFunSuite {
     val alpha = r.getAs[Double]("hill_alpha")
     assert(alpha > 0 && alpha < 1000, s"alpha $alpha")
   }
+
+  test("q259: entropies bounded by ln|types|, weighted gain is non-negative") {
+    val rows = queries.InfoQueries.q259EntropyRate(spark, sfDir).collect()
+    val lnTypes = math.log(rows.length.toDouble)
+    var wGain = 0.0; var wTot = 0L
+    rows.foreach { r =>
+      val h = r.getAs[Double]("h_cond_nats")
+      assert(h >= -1e-9 && h <= lnTypes + 1e-9, s"h_cond $h")
+      assert(r.getAs[Double]("h_next_nats") <= lnTypes + 1e-9)
+      wGain += r.getAs[Double]("info_gain_nats") * r.getAs[Long]("n_from")
+      wTot += r.getAs[Long]("n_from")
+    }
+    // per-state gain may be negative; the transition-weighted average
+    // is H(next) − H(next|cur) = I(cur; next) ≥ 0 by definition
+    assert(wGain / wTot >= -1e-9, s"weighted gain ${wGain / wTot}")
+  }
+
+  test("q260: the four cells partition the customer universe") {
+    val r = queries.ExperimentQueries.q260McnemarActivity(spark, sfDir)
+      .collect().head
+    val total = r.getAs[Long]("both_active") + r.getAs[Long]("p1_only") +
+      r.getAs[Long]("p2_only") + r.getAs[Long]("neither")
+    assert(total == r.getAs[Long]("n_customers"))
+    assert(r.getAs[Double]("mcnemar_chi2") >= 0)
+  }
+
+  test("q261: Gumbel scale positive, return level beyond the mean max") {
+    val r = queries.SeriesQueries.q261GumbelMaxima(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") >= 12)
+    assert(r.getAs[Double]("gumbel_beta") > 0)
+    assert(r.getAs[Double]("return_level_12") >
+      r.getAs[Double]("mean_max"))
+  }
+
+  test("q262: occurrence accounting and top-5pct share bounds") {
+    val r = queries.EmbedQueries.q262HubnessAudit(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_vectors")
+    assert(r.getAs[Long]("n_antihubs") <= n)
+    assert(r.getAs[Long]("max_occurrence") <= n - 1)
+    val share = r.getAs[Double]("hub_share_top5pct")
+    // the top-5% most-listed vectors hold at least a 5% share by
+    // construction (they are the maxima of the occurrence order)
+    assert(share >= 0.05 - 1e-9 && share <= 1.0 + 1e-9, s"share $share")
+  }
+
+  test("q263: probabilities proper, overall Brier matches the group ledger") {
+    val rows = queries.ExperimentQueries.q263BrierCalibration(spark, sfDir)
+      .collect()
+    val brier = rows.head.getAs[Double]("brier_score")
+    assert(brier >= 0 && brier <= 1)
+    var s = 0.0; var n = 0L
+    rows.foreach { r =>
+      val p = r.getAs[Double]("predicted")
+      assert(p > 0 && p < 1)
+      val o = r.getAs[Double]("observed")
+      assert(o >= 0 && o <= 1)
+      s += r.getAs[Double]("brier_sum"); n += r.getAs[Long]("n_customers")
+    }
+    assert(math.abs(s / n - brier) < 1e-5, s"ledger ${s / n} vs $brier")
+  }
+
+  test("q264: one row per priority, same densified day grid, D positive") {
+    val rows = queries.SeriesQueries.q264DispersionIndex(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("n_days")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dispersion_index") > 0)
+      assert(r.getAs[Double]("mean_daily") > 0)
+    }
+  }
 }
