@@ -434,7 +434,91 @@ object CorpusStatsQueries {
       |    6) + 0.0 AS fano
       |FROM term ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q265
+  /** Lexical-diversity profile per language, three classical indices
+    * off one token-frequency census: Yule's K = 10⁴·(Σc² − N)/N²
+    * (repeat-rate characteristic, length-invariant where q184's raw
+    * TTR is not), Simpson's repeat probability (Σc(c−1))/(N(N−1))
+    * (chance two random tokens are the same type), and the Shannon
+    * effective vocabulary e^H (Hill number q=1 — "the corpus behaves
+    * like this many equally-common types"). Together they grade corpus
+    * richness on a scale that can be compared ACROSS differently-sized
+    * language slices — the check that a filtering pass didn't collapse
+    * a language's diversity even when its token count looks healthy.
+    *
+    * Exactness: the (lang, token, count) census is exact; Σc² is an
+    * exact DECIMAL sum, so Yule's K and Simpson have exact integer
+    * numerators/denominators with ONE closing double op each; H is the
+    * q137 count-weighted ln9 grid; e^H and the two ratios are
+    * 6-dp-rounded (−0.0-guarded) to absorb libm ulp.
+    *
+    * Scale shape: explode → map-combinable (lang, token) agg →
+    * vocab-bounded census; the per-lang N is a window over the census
+    * partitioned by lang; one final census-scale agg. */
+  def q265YuleDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    import org.apache.spark.sql.expressions.Window
+    val census = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    val cD = col("cnt").cast("decimal(18,0)")
+    val st = census
+      .select(col("lang"), col("cnt"), col("n"),
+        (cD * cD).as("c2"),
+        (ln9(col("n").cast("double") / col("cnt").cast("double")) *
+          col("cnt")).as("hw"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c2")).as("s2"), sum(col("hw")).as("sh"))
+    val n = col("n_tokens").cast("double")
+    st.select(col("lang"), col("n_tokens"), col("vocab"),
+        (round((col("s2") - col("n_tokens").cast("decimal(18,0)"))
+          .cast("double") * lit(10000.0) / (n * n), 6) + lit(0.0))
+          .as("yule_k"),
+        (round((col("s2") - col("n_tokens").cast("decimal(18,0)"))
+          .cast("double") / (n * (n - lit(1.0))), 6) + lit(0.0))
+          .as("simpson_repeat"),
+        (round(exp(col("sh").cast("double") / n), 6) + lit(0.0))
+          .as("eff_vocab"))
+      .orderBy("lang")
+  }
+
+  val q265Sql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (
+      |  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |m AS (
+      |  SELECT lang, cnt, SUM(cnt) OVER (PARTITION BY lang) AS n
+      |  FROM census),
+      |st AS (
+      |  SELECT lang, CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS vocab,
+      |    SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(cnt AS DECIMAL(18,0)))
+      |      AS s2,
+      |    SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) * cnt) AS sh
+      |  FROM m GROUP BY 1)
+      |SELECT lang, n_tokens, vocab,
+      |  round(CAST(s2 - CAST(n_tokens AS DECIMAL(18,0)) AS DOUBLE)
+      |      * 10000.0 /
+      |      (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+      |    + 0.0 AS yule_k,
+      |  round(CAST(s2 - CAST(n_tokens AS DECIMAL(18,0)) AS DOUBLE)
+      |      / (CAST(n_tokens AS DOUBLE) *
+      |         (CAST(n_tokens AS DOUBLE) - 1.0)), 6) + 0.0
+      |    AS simpson_repeat,
+      |  round(exp(CAST(sh AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+      |    + 0.0 AS eff_vocab
+      |FROM st ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_yule_diversity" -> (q265YuleDiversity _),
     "q112_pmi_collocations" -> (q112PmiCollocations _),
     "q114_lang_overlap" -> (q114LangOverlap _),
     "q115_zipf_fit" -> (q115ZipfFit _),
@@ -821,6 +905,7 @@ object CorpusStatsQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q265_yule_diversity" -> q265Sql,
     "q112_pmi_collocations" -> q112Sql,
     "q114_lang_overlap" -> q114Sql,
     "q115_zipf_fit" -> q115Sql,
