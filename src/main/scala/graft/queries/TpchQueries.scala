@@ -306,7 +306,74 @@ object TpchQueries {
       |    AS kendall_tau
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q266
+  /** Supplier reliability league table by the Wilson-score LOWER bound
+    * of the on-time rate (shipped ≤ 365 days after order, the library's
+    * q159 lateness convention), z = 1.96. The ranking statistic a naive
+    * rate gets wrong: a supplier with 3/3 on-time outranks one with
+    * 96/100 by raw rate, but the Wilson bound (what we can CLAIM at 95%
+    * confidence given n) puts the experienced supplier first —
+    * exactly the small-sample correction procurement scorecards and
+    * review-site rankings use.
+    *
+    * Exactness: n and k are exact counts from one agg over the
+    * lineitem↔orders join; the Wilson chain is one double expression
+    * on (k, n) spelled identically in both engines, 6-dp-rounded
+    * (−0.0-guarded); the ordering is total (bound DESC, suppkey).
+    *
+    * Scale shape: the fact join shuffles once on orderkey (both sides
+    * co-keyed), collapses map-combinably to the supplier entity table;
+    * the name join is a broadcast. No window. */
+  def q266WilsonReliability(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val onTime = col("l_shipdate") <=
+      col("o_orderdate") + expr("INTERVAL 365 DAYS")
+    val st = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(onTime, 1L).otherwise(0L)).as("k_ontime"))
+    val n = col("n_items").cast("double")
+    val p = col("k_ontime").cast("double") / n
+    val z2 = lit(1.96) * lit(1.96)
+    val lb = (p + z2 / (lit(2.0) * n) -
+      lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+      (lit(1.0) + z2 / n)
+    st.join(broadcast(Kpis.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        col("k_ontime"),
+        (round(p, 6) + lit(0.0)).as("ontime_rate"),
+        (round(lb, 6) + lit(0.0)).as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("s_suppkey"))
+  }
+
+  val q266Sql: String =
+    """WITH st AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_items,
+      |    CAST(SUM(CASE WHEN l_shipdate <=
+      |        o_orderdate + INTERVAL 365 DAY THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k_ontime
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT l_suppkey, n_items, k_ontime,
+      |    CAST(k_ontime AS DOUBLE) / CAST(n_items AS DOUBLE) AS p,
+      |    CAST(n_items AS DOUBLE) AS n
+      |  FROM st)
+      |SELECT s_suppkey, s_name, n_items, k_ontime,
+      |  round(p, 6) + 0.0 AS ontime_rate,
+      |  round((p + 1.96 * 1.96 / (2.0 * n) -
+      |      1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * n)) / n)) /
+      |    (1.0 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_lb
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY wilson_lb DESC, s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_wilson_reliability" -> (q266WilsonReliability _),
     "q248_rank_stability" -> (q248RankStability _),
     "q67_shipping_priority" -> (q67ShippingPriority _),
     "q68_local_supplier_volume" -> (q68LocalSupplierVolume _),
@@ -314,6 +381,7 @@ object TpchQueries {
     "q202_dead_stock" -> (q202DeadStock _))
 
   def oracles: Map[String, String] = Map(
+    "q266_wilson_reliability" -> q266Sql,
     "q248_rank_stability" -> q248Sql,
     "q67_shipping_priority" -> q67Sql,
     "q68_local_supplier_volume" -> q68Sql,
