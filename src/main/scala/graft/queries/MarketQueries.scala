@@ -797,7 +797,101 @@ object MarketQueries {
       |    AS decomposition_gap
       |FROM tt, tb, tw""".stripMargin
 
+  // --------------------------------------------------------------- q267
+  /** Assortment-diversity profile per supplier nation — the Hill-number
+    * triple over the nation's revenue-by-part distribution: richness
+    * (q=0, parts with any revenue), Shannon effective parts e^H (q=1),
+    * and inverse-Simpson effective parts 1/Σp² (q=2), plus evenness
+    * e^H/richness. The assortment answer q188's HHI only hints at: HHI
+    * is 1/(q=2 diversity) for suppliers; this profiles how CONCENTRATED
+    * each market's product mix is — a nation with 500 parts but
+    * e^H ≈ 20 sells 500 SKUs and depends on 20; the q-gradient
+    * (richness ≫ e^H ≫ 1/Σp²) says the concentration lives in the
+    * tail, not the head.
+    *
+    * Exactness: per-(nation, part) revenue is the exact DECIMAL(18,4)
+    * sum; Σx² is an exact DECIMAL(38,8) sum; H is the revenue-weighted
+    * ln9 grid (exact DECIMAL products, q137's convention); e^H,
+    * 1/Σp² = S²/Σx², and evenness are closing double chains,
+    * 6-dp-rounded (−0.0-guarded) to absorb the wide-decimal→double cast
+    * ulp and libm exp.
+    *
+    * Scale shape: ONE map-combinable (nation, part) agg off the
+    * lineitem↔supplier broadcast join; the per-nation S is a window
+    * over that part-bounded census; one census-scale closing agg. */
+  def q267DiversityProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    val s = broadcast(Kpis.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val nat = broadcast(Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val census = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_partkey"))
+      .agg(sum(col("rev")).as("x"))
+      .filter(col("x") > 0)
+      .withColumn("stot",
+        sum(col("x")).over(Window.partitionBy(col("s_nationkey"))))
+    // re-narrow the summed x to (18,4): the sum widens to (28,4) and a
+    // (12,9)×(28,4) product would exceed DECIMAL(38), where Spark trims
+    // scale and DuckDB errors — the ExactMath.ln9 width contract
+    val xN = col("x").cast("decimal(18,4)")
+    val st = census
+      .select(col("s_nationkey"), col("x"), col("stot"),
+        (xN * xN).cast("decimal(38,8)").as("x2"),
+        (ln9(col("stot").cast("double") / col("x").cast("double")) * xN)
+          .as("hw"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_parts"), max(col("stot")).as("stot"),
+        sum(col("x2")).as("sx2"), sum(col("hw")).as("sh"))
+    val sD = col("stot").cast("double")
+    val effH = exp(col("sh").cast("double") / sD)
+    val effS = sD * sD / col("sx2").cast("double")
+    st.join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_parts"),
+        col("stot").cast("double").as("revenue"),
+        (round(effH, 6) + lit(0.0)).as("eff_parts_shannon"),
+        (round(effS, 6) + lit(0.0)).as("eff_parts_simpson"),
+        (round(effH / col("n_parts").cast("double"), 6) + lit(0.0))
+          .as("evenness"))
+      .orderBy("nation")
+  }
+
+  val q267Sql: String =
+    """WITH census AS (
+      |  SELECT s_nationkey, l_partkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS x
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2 HAVING SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) > 0),
+      |m AS (
+      |  SELECT s_nationkey, x,
+      |    SUM(x) OVER (PARTITION BY s_nationkey) AS stot
+      |  FROM census),
+      |st AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_parts, MAX(stot) AS stot,
+      |    SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))
+      |      AS DECIMAL(38,8))) AS sx2,
+      |    SUM(CAST(round(ln(CAST(stot AS DOUBLE) / CAST(x AS DOUBLE)), 9)
+      |      AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,4))) AS sh
+      |  FROM m GROUP BY 1)
+      |SELECT n_name AS nation, n_parts,
+      |  CAST(stot AS DOUBLE) AS revenue,
+      |  round(exp(CAST(sh AS DOUBLE) / CAST(stot AS DOUBLE)), 6) + 0.0
+      |    AS eff_parts_shannon,
+      |  round(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+      |    CAST(sx2 AS DOUBLE), 6) + 0.0 AS eff_parts_simpson,
+      |  round(exp(CAST(sh AS DOUBLE) / CAST(stot AS DOUBLE)) /
+      |    CAST(n_parts AS DOUBLE), 6) + 0.0 AS evenness
+      |FROM st JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_diversity_profile" -> (q267DiversityProfile _),
     "q256_theil_decomposition" -> (q256TheilDecomposition _),
     "q255_segment_migration" -> (q255SegmentMigration _),
     "q252_revenue_bridge" -> (q252RevenueBridge _),
@@ -1045,5 +1139,6 @@ object MarketQueries {
     "q227_price_index" -> q227Sql,
     "q252_revenue_bridge" -> q252Sql,
     "q255_segment_migration" -> q255Sql,
-    "q256_theil_decomposition" -> q256Sql)
+    "q256_theil_decomposition" -> q256Sql,
+    "q267_diversity_profile" -> q267Sql)
 }
