@@ -427,7 +427,100 @@ object FunnelQueries {
       |    CAST(SUM(cents) AS DOUBLE), 6) + 0.0 AS new_share
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q268
+  /** Inter-purchase regularity per market segment: each repeat
+    * customer's coefficient of variation of order-date gaps
+    * (CV = s/ḡ over their consecutive-order day gaps), rolled up to the
+    * segment as mean CV plus the shares of clockwork (CV < 0.5) and
+    * bursty (CV > 1, super-Poisson) customers. The timing complement to
+    * q87's retention and q192's survival: WHO comes back is only half
+    * the replenishment story — HOW REGULARLY they come back decides
+    * whether reminder campaigns and demand forecasts can be scheduled
+    * (an exponential/Poisson buyer has CV ≈ 1; subscriptions sit near
+    * 0).
+    *
+    * Exactness: gaps are exact day integers from a per-customer lag
+    * under the total order (date, orderkey); per-customer n, Σg, Σg²
+    * are exact; each customer's CV is ONE double chain snapped to the
+    * 9-dp decimal grid, so segment sums are exact decimal arithmetic
+    * and the CV < 0.5 / CV > 1 cuts compare exact decimals (no
+    * boundary ulp). Customers need ≥ 2 gaps and ḡ > 0.
+    *
+    * Scale shape: the lag window is partitioned by customer (q34's
+    * sessionization bound); two map-combinable aggs (customer → cv,
+    * segment census); the segment join is entity-scale. */
+  def q268PurchaseRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("g",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .filter(col("g").isNotNull)
+    val perCust = gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("ng"), sum(col("g")).as("sg"),
+        sum(col("g").cast("decimal(18,0)") * col("g").cast("decimal(18,0)"))
+          .as("sg2"))
+      .filter(col("ng") >= 2 && col("sg") > 0)
+    val nD = col("ng").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val cv = sqrt((col("sg2").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / nD) /
+      (nD - lit(1.0))) / mean
+    val cvD = perCust
+      .select(col("o_custkey"), round(cv, 9).cast("decimal(12,9)").as("cv"))
+    val seg = broadcast(Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    cvD.join(seg, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(sum(col("cv")).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_cv"),
+        (round(sum(when(col("cv") < 0.5, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0))
+          .as("share_clockwork"),
+        (round(sum(when(col("cv") > 1.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("share_bursty"))
+      .orderBy("segment")
+  }
+
+  val q268Sql: String =
+    """WITH g0 AS (
+      |  SELECT o_custkey,
+      |    datediff('day',
+      |      LAG(CAST(o_orderdate AS DATE), 1) OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS g
+      |  FROM orders),
+      |gaps AS (SELECT o_custkey, CAST(g AS BIGINT) AS g
+      |  FROM g0 WHERE g IS NOT NULL),
+      |pc AS (
+      |  SELECT o_custkey, COUNT(*) AS ng,
+      |    CAST(SUM(g) AS BIGINT) AS sg,
+      |    SUM(CAST(g AS DECIMAL(18,0)) * CAST(g AS DECIMAL(18,0))) AS sg2
+      |  FROM gaps GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(g) > 0),
+      |cv AS (
+      |  SELECT o_custkey,
+      |    CAST(round(sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE)
+      |          * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |        / (CAST(ng AS DOUBLE) - 1.0))
+      |      / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) AS cv
+      |  FROM pc)
+      |SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+      |  round(CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS avg_cv,
+      |  round(CAST(SUM(CASE WHEN cv < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS share_clockwork,
+      |  round(CAST(SUM(CASE WHEN cv > 1.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS share_bursty
+      |FROM cv JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_purchase_regularity" -> (q268PurchaseRegularity _),
     "q229_new_vs_returning" -> (q229NewVsReturning _),
     "q86_funnel" -> (q86Funnel _),
     "q87_retention" -> (q87Retention _),
@@ -436,6 +529,7 @@ object FunnelQueries {
     "q192_kaplan_meier" -> (q192KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
+    "q268_purchase_regularity" -> q268Sql,
     "q229_new_vs_returning" -> q229Sql,
     "q86_funnel" -> q86Sql,
     "q87_retention" -> q87Sql,
