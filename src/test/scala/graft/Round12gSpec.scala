@@ -115,4 +115,57 @@ class Round12gSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_daily") > 0)
     }
   }
+
+  test("q265: diversity indices within their analytic ranges") {
+    val rows = queries.CorpusStatsQueries.q265YuleDiversity(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("yule_k") > 0)
+      val s = r.getAs[Double]("simpson_repeat")
+      assert(s > 0 && s < 1)
+      val eff = r.getAs[Double]("eff_vocab")
+      assert(eff > 1 && eff <= r.getAs[Long]("vocab") + 1e-6,
+        s"${r.getAs[String]("lang")} eff=$eff vocab=${r.getAs[Long]("vocab")}")
+    }
+  }
+
+  test("q266: the Wilson bound never exceeds the raw rate") {
+    val rows = queries.TpchQueries.q266WilsonReliability(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lb = r.getAs[Double]("wilson_lb")
+      val p = r.getAs[Double]("ontime_rate")
+      assert(lb >= 0 && lb <= p + 1e-6, s"lb $lb rate $p")
+      assert(r.getAs[Long]("k_ontime") <= r.getAs[Long]("n_items"))
+    }
+  }
+
+  test("q267: Hill-number monotonicity q0 >= q1 >= q2") {
+    val rows = queries.MarketQueries.q267DiversityProfile(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q0 = r.getAs[Long]("n_parts").toDouble
+      val q1 = r.getAs[Double]("eff_parts_shannon")
+      val q2 = r.getAs[Double]("eff_parts_simpson")
+      assert(q0 + 1e-6 >= q1 && q1 + 1e-6 >= q2 && q2 >= 1 - 1e-6,
+        s"${r.getAs[String]("nation")}: $q0 >= $q1 >= $q2 violated")
+      val e = r.getAs[Double]("evenness")
+      assert(e > 0 && e <= 1 + 1e-6)
+    }
+  }
+
+  test("q268: regularity shares are disjoint fractions") {
+    val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cw = r.getAs[Double]("share_clockwork")
+      val b = r.getAs[Double]("share_bursty")
+      assert(cw >= 0 && b >= 0 && cw + b <= 1 + 1e-6)
+      assert(r.getAs[Double]("avg_cv") > 0)
+    }
+  }
 }
