@@ -1053,7 +1053,72 @@ object DocQueries {
       |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS disagree_rate
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q269
+  /** Cross-source duplicate-flow matrix: for every exact-duplicate
+    * group, attribute the copies to the group's CANONICAL source (the
+    * source of its min doc_id — the keep-latest twin of q18's
+    * tiebreak) and count (canonical source → copying source) flows.
+    * The provenance view q19's group census and q230's savings ledger
+    * both flatten away: at corpus scale this matrix is how you find
+    * mirror sites and scraped-content launderers (a source whose
+    * column is large COPIES; one whose row is large GETS COPIED) and
+    * decide which feed to drop entirely rather than dedup forever.
+    *
+    * Fixture: the q19 exact-dup corpus re-homed — every 10th doc's
+    * clone lands in the deterministically shifted source
+    * src((doc_id/10) mod 20), so flows genuinely cross sources.
+    *
+    * Exactness: the fingerprint is the q19/q25 md5 normalization; the
+    * canonical pick is a min(doc_id) window per group (deterministic);
+    * flows are exact counts; no floats anywhere.
+    *
+    * Scale shape: the fingerprint agg is the exact-dedup shuffle
+    * (q19's); the canonical window is partitioned by fingerprint
+    * (group-bounded state); the flow census is |sources|². */
+  def q269DupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("source",
+        concat(lit("src"), (floor(col("doc_id") / 10) % 20).cast("long"))))
+    val g = corpus
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val canon = g.filter(col("doc_id") === col("min_id"))
+      .select(col("fp"), col("source").as("source_from"))
+    g.filter(col("doc_id") =!= col("min_id"))
+      .join(canon, "fp")
+      .groupBy(col("source_from"), col("source").as("source_to"))
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy("source_from", "source_to")
+  }
+
+  val q269Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    'src' || CAST(((doc_id + 100000) // 10) % 20 AS VARCHAR)
+      |      AS source, text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM corpus),
+      |m AS (
+      |  SELECT doc_id, source, fp,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS min_id
+      |  FROM g),
+      |canon AS (
+      |  SELECT fp, source AS source_from FROM m WHERE doc_id = min_id)
+      |SELECT source_from, m.source AS source_to, COUNT(*) AS n_copies
+      |FROM m JOIN canon USING (fp)
+      |WHERE m.doc_id <> m.min_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_dup_flow_matrix" -> q269DupFlowMatrix _,
     "q251_code_switch" -> q251CodeSwitch _,
     "q240_boilerplate_shingles" -> q240BoilerplateShingles _,
     "q230_dedup_savings" -> q230DedupSavings _,
@@ -1073,6 +1138,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q269_dup_flow_matrix" -> q269Sql,
     "q251_code_switch" -> q251Sql,
     "q240_boilerplate_shingles" -> q240Sql,
     "q230_dedup_savings" -> q230Sql,
