@@ -519,7 +519,69 @@ object FunnelQueries {
       |FROM cv JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q270
+  /** Recency-conversion curve at a reference date (1999-01-01): bucket
+    * every customer with pre-reference history by QUARTERS since their
+    * last order (0–7, capped at 8 = "2+ years"), then measure the share
+    * that orders again within the following year. The empirical decay
+    * curve behind every win-back campaign and the discrete-hazard
+    * complement to q192's Kaplan–Meier: KM asks "how long until the
+    * next purchase", this asks "given silence of length r, what are the
+    * odds they EVER come back inside a year" — the number that sets the
+    * cutoff where win-back spend stops paying for itself.
+    *
+    * Exactness: the last-order date and the conversion flag are exact
+    * per-customer aggregates; the bucket is exact integer day
+    * arithmetic (floor of days/91, least-capped); rates are one double
+    * division, 6-dp-rounded.
+    *
+    * Scale shape: orders collapse once map-combinably per customer;
+    * the bucket census is ≤ 9 rows. No window, no fact-side join. */
+  def q270RecencyConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ref = to_date(lit("1999-01-01"))
+    val perCust = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("day") < ref, col("day"))).as("last_before"),
+        max(when(col("day") >= ref &&
+          col("day") < add_months(ref, 12), 1L).otherwise(0L))
+          .as("converted"))
+      .filter(col("last_before").isNotNull)
+    perCust
+      .withColumn("bucket",
+        least(floor(datediff(ref, col("last_before")) / lit(91)), lit(8L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conversion_rate",
+        round(col("n_converted").cast("double") /
+          col("n_customers").cast("double"), 6) + lit(0.0))
+      .orderBy("bucket")
+  }
+
+  val q270Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      |      THEN CAST(o_orderdate AS DATE) END) AS last_before,
+      |    MAX(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      |      AND CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      |      THEN 1 ELSE 0 END) AS converted
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT LEAST(datediff('day', last_before, DATE '1999-01-01') // 91,
+      |      8) AS bucket,
+      |    converted
+      |  FROM pc WHERE last_before IS NOT NULL)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_customers,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS conversion_rate
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_recency_conversion" -> (q270RecencyConversion _),
     "q268_purchase_regularity" -> (q268PurchaseRegularity _),
     "q229_new_vs_returning" -> (q229NewVsReturning _),
     "q86_funnel" -> (q86Funnel _),
@@ -529,6 +591,7 @@ object FunnelQueries {
     "q192_kaplan_meier" -> (q192KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
+    "q270_recency_conversion" -> q270Sql,
     "q268_purchase_regularity" -> q268Sql,
     "q229_new_vs_returning" -> q229Sql,
     "q86_funnel" -> q86Sql,
