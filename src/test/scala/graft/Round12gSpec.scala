@@ -157,6 +157,33 @@ class Round12gSpec extends AnyFunSuite {
     }
   }
 
+  test("q269: flow totals equal the planted clone count, sources resolve") {
+    val rows = queries.DocQueries.q269DupFlowMatrix(spark, sfDir).collect()
+    val planted = queries.Kpis.table(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count()
+    // every planted clone is a copy of a doc that now exists twice, so
+    // total flow = number of clones (each group has exactly 1 non-canon)
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == planted)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_from").startsWith("src"))
+      assert(r.getAs[String]("source_to").startsWith("src"))
+    }
+  }
+
+  test("q270: buckets within range, conversion rates are probabilities") {
+    val rows = queries.FunnelQueries.q270RecencyConversion(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 8)
+      val c = r.getAs[Double]("conversion_rate")
+      assert(c >= 0 && c <= 1)
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_customers"))
+    }
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
