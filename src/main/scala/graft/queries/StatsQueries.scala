@@ -994,7 +994,90 @@ object StatsQueries {
       |  CAST(MAX(n) // 10 AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS hill_alpha
       |FROM tail""".stripMargin
 
+  // --------------------------------------------------------------- q271
+  /** Negative-binomial fit of per-customer ORDER COUNTS per market
+    * segment, by method of moments: r̂ = m̄²/(s² − m̄), p̂ = m̄/s² —
+    * the parametric step after q264's dispersion verdict: once counts
+    * are known to be overdispersed (s² > m̄, which Poisson can't
+    * express), NB(r, p) is the standard purchase-frequency model, and
+    * (r̂, p̂) feed directly into expected-purchases forecasts and
+    * "probability a customer is alive" scores (the NBD half of
+    * BG/NBD). Segments where s² ≤ m̄ get NULL parameters — the honest
+    * "Poisson is enough here" answer rather than a garbage negative r.
+    *
+    * Exactness: counts include the ZERO class (customer left join,
+    * 0-fill — dropping silent customers biases m̄ up and the fit
+    * wrong); n, Σx, Σx² are exact (x² widened to DECIMAL); the moment
+    * chain is one double expression spelled identically, 6-dp-rounded,
+    * −0.0-guarded, NULL-guarded on the overdispersion condition in
+    * exact integer space (n·Σx² − (Σx)² > Σx·n compares exact
+    * decimals, so the branch cannot disagree between engines).
+    *
+    * Scale shape: orders collapse map-combinably per customer; the
+    * segment census is one entity-scale agg. No window. */
+  def q271NegbinFit(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x0"))
+    val xy = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("segment"),
+        // (7,0): a customer places < 10⁷ orders; the narrow width keeps
+        // every product in the exact inequality below within DECIMAL(38)
+        coalesce(col("x0"), lit(0L)).cast("decimal(7,0)").as("x"))
+    val st = xy.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) /
+      (n - lit(1.0))
+    // overdispersion decided in EXACT space: s² > m̄ ⇔
+    // n·Σx² − (Σx)² > Σx·(n−1) with exact decimals — spell both
+    // engines on the same exact inequality so the NULL branch agrees
+    val nDec = col("n").cast("decimal(10,0)")
+    val over = nDec * col("s2") - col("s1") * col("s1") >
+      col("s1") * (nDec - lit(1).cast("decimal(10,0)"))
+    st.select(col("segment"), col("n").as("n_customers"),
+        (round(mean, 6) + lit(0.0)).as("mean_orders"),
+        (round(variance, 6) + lit(0.0)).as("var_orders"),
+        when(over, round(mean * mean / (variance - mean), 6) + lit(0.0))
+          .as("nb_r"),
+        when(over, round(mean / variance, 6) + lit(0.0)).as("nb_p"))
+      .orderBy("segment")
+  }
+
+  val q271Sql: String =
+    """WITH cnt AS (
+      |  SELECT o_custkey, COUNT(*) AS x0 FROM orders GROUP BY 1),
+      |xy AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(COALESCE(x0, 0) AS DECIMAL(7,0)) AS x
+      |  FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      |st AS (
+      |  SELECT segment, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+      |  FROM xy GROUP BY 1),
+      |m AS (
+      |  SELECT segment, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var,
+      |    CAST(n AS DECIMAL(10,0)) * s2 - s1 * s1 >
+      |      s1 * (CAST(n AS DECIMAL(10,0)) - CAST(1 AS DECIMAL(10,0)))
+      |      AS over
+      |  FROM st)
+      |SELECT segment, n AS n_customers,
+      |  round(mean, 6) + 0.0 AS mean_orders,
+      |  round(var, 6) + 0.0 AS var_orders,
+      |  CASE WHEN over THEN round(mean * mean / (var - mean), 6) + 0.0
+      |    END AS nb_r,
+      |  CASE WHEN over THEN round(mean / var, 6) + 0.0 END AS nb_p
+      |FROM m ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_negbin_fit" -> (q271NegbinFit _),
     "q258_hill_tail_index" -> (q258HillTailIndex _),
     "q249_newsvendor" -> (q249Newsvendor _),
     "q231_fd_binning" -> (q231FdBinning _),
@@ -1012,6 +1095,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q271_negbin_fit" -> q271Sql,
     "q258_hill_tail_index" -> q258Sql,
     "q249_newsvendor" -> q249Sql,
     "q231_fd_binning" -> q231Sql,
