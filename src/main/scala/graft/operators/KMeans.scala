@@ -245,11 +245,93 @@ object KMeans {
       |ORDER BY s0.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q272
+  /** PQ codebook-utilization audit: per subspace, the entropy of the
+    * code-usage histogram from q64's codes, the effective codebook
+    * e^H/k (1.0 = all k codes carry equal load), and the share of the
+    * single most-used code. The index-health metric PQ deployments
+    * watch alongside q163's recall: a subspace whose codes collapse
+    * onto one centroid (utilization → 1/k, top share → 1) contributes
+    * ~zero bits to the distance estimate — recall degrades with no
+    * error in the code path, and the fix is retraining that subspace's
+    * codebook, which THIS census localizes.
+    *
+    * Exactness: code assignments are q64's hash-certified Lloyd's
+    * output; histogram counts are exact; entropy is the q137
+    * count-weighted ln9 grid; e^H/k and the top share are closing
+    * double ops, 6-dp-rounded, −0.0-guarded.
+    *
+    * Scale shape: q64's plan (independent narrow subspace trainings)
+    * plus a stack → 4·k-cell census agg; everything after the codes is
+    * census-scale. */
+  def q272PqUtilization(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    import org.apache.spark.sql.expressions.Window
+    val census = q64PqCodes(spark, dir)
+      .select(expr("stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3)" +
+        " as (subspace, code)"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("subspace"))))
+    census
+      .select(col("subspace"), col("c"), col("n"),
+        (ln9(col("n").cast("double") / col("c").cast("double")) * col("c"))
+          .as("hw"))
+      .groupBy(col("subspace"))
+      .agg(max(col("n")).as("n_vectors"), count(lit(1)).as("codes_used"),
+        (round(sum(col("hw")).cast("double") / max(col("n")).cast("double"),
+          6) + lit(0.0)).as("entropy_nats"),
+        (round(exp(sum(col("hw")).cast("double") /
+          max(col("n")).cast("double")) / lit(4.0), 6) + lit(0.0))
+          .as("utilization"),
+        (round(max(col("c")).cast("double") / max(col("n")).cast("double"),
+          6) + lit(0.0)).as("top_code_share"))
+      .orderBy("subspace")
+  }
+
+  val q272Sql: String = {
+    val chains = (0 until 4).map { s =>
+      lloydSqlCtes(
+        s"SELECT vec_id, embedding[${s * 16 + 1}:${s * 16 + 16}] AS embedding FROM embeddings",
+        dim = 16, k = 4, iters = 1, p = s"s$s")
+    }
+    val stacked = chains.zipWithIndex.map { case ((_, out), s) =>
+      s"SELECT $s AS subspace, cluster AS code FROM $out"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${chains.map(_._1).mkString(",\n")},
+      |stacked AS ($stacked),
+      |census AS (
+      |  SELECT subspace, code, COUNT(*) AS c
+      |  FROM stacked GROUP BY 1, 2),
+      |m AS (
+      |  SELECT subspace, c,
+      |    SUM(c) OVER (PARTITION BY subspace) AS n
+      |  FROM census),
+      |st AS (
+      |  SELECT subspace, CAST(MAX(n) AS BIGINT) AS n_vectors,
+      |    COUNT(*) AS codes_used,
+      |    SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) * c) AS sh,
+      |    CAST(MAX(c) AS BIGINT) AS cmax
+      |  FROM m GROUP BY 1)
+      |SELECT subspace, n_vectors, codes_used,
+      |  round(CAST(sh AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) + 0.0
+      |    AS entropy_nats,
+      |  round(exp(CAST(sh AS DOUBLE) / CAST(n_vectors AS DOUBLE)) / 4.0, 6)
+      |    + 0.0 AS utilization,
+      |  round(CAST(cmax AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) + 0.0
+      |    AS top_code_share
+      |FROM st ORDER BY subspace""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_kmeans" -> (q60Kmeans _),
-    "q64_pq_codes" -> (q64PqCodes _))
+    "q64_pq_codes" -> (q64PqCodes _),
+    "q272_pq_utilization" -> (q272PqUtilization _))
 
   def oracles: Map[String, String] = Map(
     "q60_kmeans" -> q60Sql,
-    "q64_pq_codes" -> q64Sql)
+    "q64_pq_codes" -> q64Sql,
+    "q272_pq_utilization" -> q272Sql)
 }
