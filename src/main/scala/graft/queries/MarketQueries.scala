@@ -890,7 +890,98 @@ object MarketQueries {
       |FROM st JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------- q273
+  /** Market growth table per customer nation over the fully-covered
+    * 1995–2000 span: endpoint revenues, the compound annual growth rate
+    * (rev₂₀₀₀/rev₁₉₉₅)^(1/5) − 1, and the mean absolute year-over-year
+    * growth as a volatility companion (two markets with the same CAGR
+    * can be a smooth climb or a rollercoaster; a planner treats them
+    * differently). The longitudinal complement to q121's market-share
+    * snapshot and q256's inequality decomposition.
+    *
+    * Exactness: per-(nation, year) revenue is the exact BIGINT cent
+    * sum; the yearly join is a dense census self-join; CAGR and the
+    * volatility mean are double chains on exact operands spelled
+    * identically, 6-dp-rounded (pow/abs are the only libm ops, ulp
+    * absorbed by the rounding); nations missing an endpoint year drop
+    * (inner join) — the honest "no CAGR without both endpoints".
+    *
+    * Scale shape: one map-combinable (nation, year) agg off the
+    * orders↔customer join; everything downstream is the ≤|nations|·6
+    * census. */
+  def q273NationCagr(spark: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val nat = broadcast(Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val yearly = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("yr"))
+    val yoy = yearly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("c_nationkey"),
+        abs(col("rev").cast("double") / col("prev").cast("double") -
+          lit(1.0)).as("g"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_yoy"),
+        (round(sum(round(col("g"), 9).cast("decimal(12,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_abs_yoy"))
+    val ends = yearly.filter(col("yr") === 1995)
+      .select(col("c_nationkey"), col("rev").as("r0"))
+      .join(yearly.filter(col("yr") === 2000)
+        .select(col("c_nationkey").as("nk2"), col("rev").as("r1")),
+        col("c_nationkey") === col("nk2"))
+    ends.join(yoy, "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (col("r0").cast("double") / lit(100.0)).as("rev_1995"),
+        (col("r1").cast("double") / lit(100.0)).as("rev_2000"),
+        (round(pow(col("r1").cast("double") / col("r0").cast("double"),
+          lit(1.0) / lit(5.0)) - lit(1.0), 6) + lit(0.0)).as("cagr"),
+        col("n_yoy"), col("mean_abs_yoy"))
+      .orderBy("nation")
+  }
+
+  val q273Sql: String =
+    """WITH yearly AS (
+      |  SELECT c_nationkey, year(o_orderdate) AS yr,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT c_nationkey, rev,
+      |    LAG(rev, 1) OVER (PARTITION BY c_nationkey ORDER BY yr) AS prev
+      |  FROM yearly),
+      |yoy AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_yoy,
+      |    round(CAST(SUM(CAST(round(abs(CAST(rev AS DOUBLE) /
+      |          CAST(prev AS DOUBLE) - 1.0), 9) AS DECIMAL(12,9)))
+      |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |      AS mean_abs_yoy
+      |  FROM lagged WHERE prev IS NOT NULL AND prev > 0
+      |  GROUP BY 1)
+      |SELECT n_name AS nation,
+      |  CAST(a.rev AS DOUBLE) / 100.0 AS rev_1995,
+      |  CAST(b.rev AS DOUBLE) / 100.0 AS rev_2000,
+      |  round(pow(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE),
+      |    1.0 / 5.0) - 1.0, 6) + 0.0 AS cagr,
+      |  n_yoy, mean_abs_yoy
+      |FROM yearly a
+      |JOIN yearly b ON a.c_nationkey = b.c_nationkey AND b.yr = 2000
+      |JOIN yoy y ON a.c_nationkey = y.c_nationkey
+      |JOIN nation ON a.c_nationkey = n_nationkey
+      |WHERE a.yr = 1995
+      |ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_nation_cagr" -> (q273NationCagr _),
     "q267_diversity_profile" -> (q267DiversityProfile _),
     "q256_theil_decomposition" -> (q256TheilDecomposition _),
     "q255_segment_migration" -> (q255SegmentMigration _),
@@ -1140,5 +1231,6 @@ object MarketQueries {
     "q252_revenue_bridge" -> q252Sql,
     "q255_segment_migration" -> q255Sql,
     "q256_theil_decomposition" -> q256Sql,
-    "q267_diversity_profile" -> q267Sql)
+    "q267_diversity_profile" -> q267Sql,
+    "q273_nation_cagr" -> q273Sql)
 }
