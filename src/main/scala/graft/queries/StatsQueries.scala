@@ -1076,7 +1076,80 @@ object StatsQueries {
       |  CASE WHEN over THEN round(mean / var, 6) + 0.0 END AS nb_p
       |FROM m ORDER BY segment""".stripMargin
 
+  // --------------------------------------------------------------- q274
+  /** Law-of-one-price audit: the 20 parts (≥ 10 sale lines) whose
+    * realized UNIT price disperses most across line items, measured by
+    * the coefficient of variation of the per-line unit price, with the
+    * min/max unit-price ratio alongside. Near-zero CV says the part
+    * trades at list (pricing discipline holds); a fat CV flags
+    * discount leakage, unit mix-ups, or data-entry corruption — the
+    * pricing-QA screen that runs beside q218's rule census and feeds
+    * q199's elasticity fits (which silently assume price VARIATION is
+    * signal, not noise).
+    *
+    * Exactness: each line's unit price is snapped once to the 4-dp
+    * DECIMAL grid (the monetary grid prices live on), so n, Σp, Σp²
+    * are exact decimal sums and min/max are exact decimal comparisons;
+    * the CV chain is one double expression, 6-dp-rounded; the top-20
+    * order is total (rounded CV desc, partkey).
+    *
+    * Scale shape: one map-combinable per-part agg off the scan; the
+    * top-20 lowers to TakeOrderedAndProject. No join, no window. */
+  def q274PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val p = round(col("l_extendedprice") / col("l_quantity"), 4)
+      .cast("decimal(18,4)")
+    val st = Kpis.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), p.as("p"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("p")).as("s1"),
+        sum((col("p") * col("p")).cast("decimal(38,8)")).as("s2"),
+        min(col("p")).as("pmin"), max(col("p")).as("pmax"))
+      .filter(col("n_lines") >= 10)
+    val n = col("n_lines").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) /
+      (n - lit(1.0))
+    st.select(col("l_partkey"), col("n_lines"),
+        (round(mean, 6) + lit(0.0)).as("mean_unit_price"),
+        (round(sqrt(variance) / mean, 6) + lit(0.0)).as("price_cv"),
+        (round(col("pmax").cast("double") / col("pmin").cast("double"), 6)
+          + lit(0.0)).as("max_min_ratio"))
+      .orderBy(col("price_cv").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  val q274Sql: String =
+    """WITH pl AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_extendedprice / l_quantity, 4) AS DECIMAL(18,4))
+      |      AS p
+      |  FROM lineitem WHERE l_quantity > 0),
+      |st AS (
+      |  SELECT l_partkey, COUNT(*) AS n_lines,
+      |    SUM(p) AS s1,
+      |    SUM(CAST(CAST(p AS DECIMAL(19,4)) * CAST(p AS DECIMAL(19,4))
+      |      AS DECIMAL(38,8))) AS s2,
+      |    MIN(p) AS pmin, MAX(p) AS pmax
+      |  FROM pl GROUP BY 1 HAVING COUNT(*) >= 10)
+      |SELECT l_partkey, n_lines,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) + 0.0
+      |    AS mean_unit_price,
+      |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |      CAST(s1 AS DOUBLE) / CAST(n_lines AS DOUBLE)) /
+      |      (CAST(n_lines AS DOUBLE) - 1.0)) /
+      |    (CAST(s1 AS DOUBLE) / CAST(n_lines AS DOUBLE)), 6) + 0.0
+      |    AS price_cv,
+      |  round(CAST(pmax AS DOUBLE) / CAST(pmin AS DOUBLE), 6) + 0.0
+      |    AS max_min_ratio
+      |FROM st
+      |ORDER BY price_cv DESC, l_partkey
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_price_dispersion" -> (q274PriceDispersion _),
     "q271_negbin_fit" -> (q271NegbinFit _),
     "q258_hill_tail_index" -> (q258HillTailIndex _),
     "q249_newsvendor" -> (q249Newsvendor _),
@@ -1095,6 +1168,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q274_price_dispersion" -> q274Sql,
     "q271_negbin_fit" -> q271Sql,
     "q258_hill_tail_index" -> q258Sql,
     "q249_newsvendor" -> q249Sql,
