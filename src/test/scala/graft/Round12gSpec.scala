@@ -184,6 +184,85 @@ class Round12gSpec extends AnyFunSuite {
     }
   }
 
+  test("q271: NB parameters appear exactly when overdispersed, p in (0,1)") {
+    val rows = queries.StatsQueries.q271NegbinFit(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_orders")
+      val v = r.getAs[Double]("var_orders")
+      assert(m > 0 && v > 0)
+      if (v > m) {
+        assert(r.getAs[Double]("nb_r") > 0)
+        val p = r.getAs[Double]("nb_p")
+        assert(p > 0 && p < 1)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("nb_r")))
+        assert(r.isNullAt(r.fieldIndex("nb_p")))
+      }
+    }
+  }
+
+  test("q272: per-subspace utilization within the k=4 codebook bounds") {
+    val rows = operators.KMeans.q272PqUtilization(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val used = r.getAs[Long]("codes_used")
+      assert(used >= 1 && used <= 4)
+      val h = r.getAs[Double]("entropy_nats")
+      assert(h >= -1e-9 && h <= math.log(4.0) + 1e-6)
+      val u = r.getAs[Double]("utilization")
+      assert(u > 0 && u <= 1 + 1e-6)
+      assert(r.getAs[Double]("top_code_share") >= 0.25 - 1e-9)
+    }
+  }
+
+  test("q273: CAGR consistent with the endpoint ratio") {
+    val rows = queries.MarketQueries.q273NationCagr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rev_2000") / r.getAs[Double]("rev_1995")
+      val c = r.getAs[Double]("cagr")
+      assert(math.abs(math.pow(1.0 + c, 5.0) - ratio) < 1e-3,
+        s"${r.getAs[String]("nation")}: (1+$c)^5 vs $ratio")
+      assert(r.getAs[Long]("n_yoy") <= 5)
+    }
+  }
+
+  test("q274: top-20 dispersion screen is sane and sorted") {
+    val rows = queries.StatsQueries.q274PriceDispersion(spark, sfDir)
+      .collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val cvs = rows.map(_.getAs[Double]("price_cv"))
+    assert(cvs.sameElements(cvs.sorted.reverse))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("price_cv") >= 0)
+      assert(r.getAs[Double]("max_min_ratio") >= 1 - 1e-9)
+      assert(r.getAs[Long]("n_lines") >= 10)
+    }
+  }
+
+  test("q275: the build ledger balances stage by stage") {
+    val rows = queries.VectorPipeline.q275VectorStoreLedger(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage_no"))
+    assert(rows.length == 6)
+    val byName = rows.map(r =>
+      r.getAs[String]("stage") ->
+        (r.getAs[Long]("rows_in"), r.getAs[Long]("rows_out"))).toMap
+    val (nRaw, nIngest) = byName("ingest")
+    val planted = queries.Kpis.table(spark, sfDir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .count()
+    assert(nIngest == nRaw + planted)
+    assert(byName("exact_dedup")._1 == nIngest)
+    // every planted clone collapses back onto its original
+    assert(byName("exact_dedup")._2 <= nRaw)
+    // the gates/assignments preserve what dedup kept
+    assert(byName("norm_gate")._2 == byName("ivf_assign")._1)
+    assert(byName("ivf_assign")._2 == byName("ivf_assign")._1)
+    assert(byName("pq_encode")._2 == byName("pq_encode")._1)
+    assert(byName("probe_smoke")._2 > 0)
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
