@@ -734,7 +734,75 @@ object SeriesQueries {
       |    AS dispersion_index
       |FROM st ORDER BY pri""".stripMargin
 
+  // --------------------------------------------------------------- q276
+  /** Forecast backtest on monthly revenue: MAE of the naive (lag-1) and
+    * seasonal-naive (lag-12) forecasters over the months where both are
+    * defined, and their ratio — the MASE denominator logic (Hyndman):
+    * any model worth deploying must beat these free baselines, and
+    * WHICH baseline wins is itself the diagnosis (seasonal-naive
+    * winning ⇒ the series is seasonal; q177's AR(1) should then be
+    * swapped for a seasonal model). Registered as the evaluation
+    * companion to q120/q177's forecasters.
+    *
+    * Exactness: monthly revenue is the exact BIGINT cent sum; both
+    * absolute errors are exact integer differences; the two MAEs and
+    * the ratio are closing double chains, 6-dp-rounded.
+    *
+    * Scale shape: one map-combinable month census; lags are ONE window
+    * over the ≤|months| census (global by construction — the census IS
+    * the entity table); one output row. */
+  def q276MaseBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Kpis.table(spark, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val w = Window.orderBy(col("ym"))
+    val lagged = monthly
+      .withColumn("l1", lag(col("rev"), 1).over(w))
+      .withColumn("l12", lag(col("rev"), 12).over(w))
+      .filter(col("l1").isNotNull && col("l12").isNotNull)
+    lagged.agg(
+        count(lit(1)).as("n_months"),
+        sum(abs(col("rev") - col("l1"))).as("ae1"),
+        sum(abs(col("rev") - col("l12"))).as("ae12"))
+      .select(col("n_months"),
+        (round(col("ae1").cast("double") /
+          col("n_months").cast("double") / lit(100.0), 6) + lit(0.0))
+          .as("mae_naive"),
+        (round(col("ae12").cast("double") /
+          col("n_months").cast("double") / lit(100.0), 6) + lit(0.0))
+          .as("mae_seasonal_naive"),
+        (round(col("ae12").cast("double") / col("ae1").cast("double"), 6)
+          + lit(0.0)).as("seasonal_vs_naive"))
+  }
+
+  val q276Sql: String =
+    """WITH monthly AS (
+      |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT rev,
+      |    LAG(rev, 1) OVER (ORDER BY ym) AS l1,
+      |    LAG(rev, 12) OVER (ORDER BY ym) AS l12
+      |  FROM monthly),
+      |st AS (
+      |  SELECT COUNT(*) AS n_months,
+      |    CAST(SUM(abs(rev - l1)) AS BIGINT) AS ae1,
+      |    CAST(SUM(abs(rev - l12)) AS BIGINT) AS ae12
+      |  FROM lagged WHERE l1 IS NOT NULL AND l12 IS NOT NULL)
+      |SELECT n_months,
+      |  round(CAST(ae1 AS DOUBLE) / CAST(n_months AS DOUBLE) / 100.0, 6)
+      |    + 0.0 AS mae_naive,
+      |  round(CAST(ae12 AS DOUBLE) / CAST(n_months AS DOUBLE) / 100.0, 6)
+      |    + 0.0 AS mae_seasonal_naive,
+      |  round(CAST(ae12 AS DOUBLE) / CAST(ae1 AS DOUBLE), 6) + 0.0
+      |    AS seasonal_vs_naive
+      |FROM st""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_mase_backtest" -> (q276MaseBacktest _),
     "q264_dispersion_index" -> (q264DispersionIndex _),
     "q261_gumbel_maxima" -> (q261GumbelMaxima _),
     "q197_crosscorr" -> (q197CrossCorrelation _),
@@ -1327,6 +1395,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q276_mase_backtest" -> q276Sql,
     "q264_dispersion_index" -> q264Sql,
     "q261_gumbel_maxima" -> q261Sql,
     "q197_crosscorr" -> q197Sql,

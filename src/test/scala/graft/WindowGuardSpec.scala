@@ -113,5 +113,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q255_segment_migration", // RangeRank offset prefix: <= #partitions rows
     "q258_hill_tail_index",  // RangeRank offset prefix: <= #partitions rows
     "q259_entropy_rate",     // (cur,next) transition cells: <= |types|^2
-    "q262_hubness_audit")    // RangeRank offset prefix: <= #partitions rows
+    "q262_hubness_audit",    // RangeRank offset prefix: <= #partitions rows
+    "q276_mase_backtest")    // monthly census lag: |distinct months|
 }
