@@ -325,13 +325,74 @@ object KMeans {
       |FROM st ORDER BY subspace""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q277
+  /** IVF cell-imbalance factor over the q60/q275 Lloyd cells (k = 8,
+    * one round): λ = k·Σc²/N² — FAISS's imbalance metric, the expected
+    * slowdown multiplier of a 1-probe scan relative to perfectly
+    * balanced cells (λ = 1): a probe lands in cell i with probability
+    * cᵢ/N and then scans cᵢ candidates, so expected scan cost is
+    * Σcᵢ²/N = λ·(N/k). The partition-skew audit for the VECTOR index —
+    * q65 profiles key skew for joins, this is the same question for
+    * ANN probes, and with q272 (PQ side) it completes the index-health
+    * pair: λ says probes are slow, q272 says codes are blunt.
+    *
+    * Exactness: cell sizes are exact counts off the hash-certified
+    * assignment; Σc² is an exact DECIMAL sum; λ and the min/max shares
+    * are closing double chains, 6-dp-rounded.
+    *
+    * Scale shape: one Lloyd pass (broadcast k-row centroids) + one
+    * k-cell census agg. */
+  def q277IvfImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Kpis.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.VectorFunctions.norm2(col("embedding")))
+    val cells = lloyd(e, k = 8, iters = 1)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("decimal(18,0)")
+    cells.agg(
+        sum(col("c")).as("n_vectors"),
+        count(lit(1)).as("n_cells_used"),
+        min(col("c")).as("min_cell"),
+        max(col("c")).as("max_cell"),
+        sum(cD * cD).as("s2"))
+      .select(col("n_vectors"), col("n_cells_used"), col("min_cell"),
+        col("max_cell"),
+        (round(lit(8.0) * col("s2").cast("double") /
+          (col("n_vectors").cast("double") *
+            col("n_vectors").cast("double")), 6) + lit(0.0))
+          .as("imbalance_factor"))
+  }
+
+  val q277Sql: String = {
+    val (chain, out) = lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", dim = Dim, k = 8,
+      iters = 1, p = "iv")
+    s"""WITH $chain,
+      |cells AS (SELECT cluster, COUNT(*) AS c FROM $out GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_vectors,
+      |    COUNT(*) AS n_cells_used,
+      |    CAST(MIN(c) AS BIGINT) AS min_cell,
+      |    CAST(MAX(c) AS BIGINT) AS max_cell,
+      |    SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS s2
+      |  FROM cells)
+      |SELECT n_vectors, n_cells_used, min_cell, max_cell,
+      |  round(8.0 * CAST(s2 AS DOUBLE) /
+      |    (CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE)), 6)
+      |    + 0.0 AS imbalance_factor
+      |FROM st""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_kmeans" -> (q60Kmeans _),
     "q64_pq_codes" -> (q64PqCodes _),
-    "q272_pq_utilization" -> (q272PqUtilization _))
+    "q272_pq_utilization" -> (q272PqUtilization _),
+    "q277_ivf_imbalance" -> (q277IvfImbalance _))
 
   def oracles: Map[String, String] = Map(
     "q60_kmeans" -> q60Sql,
     "q64_pq_codes" -> q64Sql,
-    "q272_pq_utilization" -> q272Sql)
+    "q272_pq_utilization" -> q272Sql,
+    "q277_ivf_imbalance" -> q277Sql)
 }
