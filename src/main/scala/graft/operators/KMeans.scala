@@ -384,15 +384,109 @@ object KMeans {
       |FROM st""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q278
+  /** External clustering validity: normalized mutual information
+    * between the q277 Lloyd cells and the embeddings' LABEL column,
+    * NMI = I(cell; label)/√(H(cell)·H(label)) with both entropies
+    * alongside. The ground-truth check q180's silhouette can't do:
+    * silhouette grades geometry against ITSELF; NMI grades the cells
+    * against an external labeling — NMI ≈ 0 says the index's
+    * partition is orthogonal to the semantics users will query by
+    * (cells won't help filtered/labelled search), NMI near 1 says
+    * cell-routing doubles as a classifier.
+    *
+    * Exactness: the |cells|×|labels| contingency is exact counts off
+    * the hash-certified assignment; MI and both entropies are the q137
+    * count-weighted ln9 grid; NMI is one closing double chain,
+    * 6-dp-rounded.
+    *
+    * Scale shape: one Lloyd pass + an id-equi-join to labels + ONE
+    * map-combinable contingency agg; marginals are windows over the
+    * census. */
+  def q278CellLabelNmi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    import org.apache.spark.sql.expressions.Window
+    val base = Kpis.table(spark, dir, "embeddings")
+    val e = base.select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.VectorFunctions.norm2(col("embedding")))
+    val joint = lloyd(e, k = 8, iters = 1)
+      .join(base.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cxy"))
+    val dbl = (c: String) => col(c).cast("double")
+    val m = joint
+      .withColumn("cx", sum(col("cxy")).over(Window.partitionBy(col("cluster"))))
+      .withColumn("cy", sum(col("cxy")).over(Window.partitionBy(col("label"))))
+      .withColumn("n", sum(col("cxy")).over(Window.partitionBy()))
+    val st = m.select(col("cxy"), col("n"),
+        (ln9(dbl("cxy") * dbl("n") / (dbl("cx") * dbl("cy"))) * col("cxy"))
+          .as("mi_w"),
+        (ln9(dbl("n") / dbl("cx")) * col("cxy")).as("hx_w"),
+        (ln9(dbl("n") / dbl("cy")) * col("cxy")).as("hy_w"))
+      .agg(max(col("n")).as("n_vectors"),
+        sum(col("mi_w")).as("smi"), sum(col("hx_w")).as("shx"),
+        sum(col("hy_w")).as("shy"))
+    val nD = col("n_vectors").cast("double")
+    val mi = col("smi").cast("double") / nD
+    val hx = col("shx").cast("double") / nD
+    val hy = col("shy").cast("double") / nD
+    st.select(col("n_vectors"),
+      (round(mi, 6) + lit(0.0)).as("mi_nats"),
+      (round(hx, 6) + lit(0.0)).as("h_cell"),
+      (round(hy, 6) + lit(0.0)).as("h_label"),
+      (round(mi / sqrt(hx * hy), 6) + lit(0.0)).as("nmi"))
+  }
+
+  val q278Sql: String = {
+    val (chain, out) = lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", dim = Dim, k = 8,
+      iters = 1, p = "nm")
+    s"""WITH $chain,
+      |joint AS (
+      |  SELECT a.cluster, e.label, COUNT(*) AS cxy
+      |  FROM $out a JOIN embeddings e ON a.vec_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cxy,
+      |    SUM(cxy) OVER (PARTITION BY cluster) AS cx,
+      |    SUM(cxy) OVER (PARTITION BY label) AS cy,
+      |    SUM(cxy) OVER () AS n
+      |  FROM joint),
+      |st AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+      |    SUM(CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+      |          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+      |        AS DECIMAL(12,9)) * cxy) AS smi,
+      |    SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE)), 9)
+      |        AS DECIMAL(12,9)) * cxy) AS shx,
+      |    SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE)), 9)
+      |        AS DECIMAL(12,9)) * cxy) AS shy
+      |  FROM m)
+      |SELECT n_vectors,
+      |  round(CAST(smi AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) + 0.0
+      |    AS mi_nats,
+      |  round(CAST(shx AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) + 0.0
+      |    AS h_cell,
+      |  round(CAST(shy AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) + 0.0
+      |    AS h_label,
+      |  round((CAST(smi AS DOUBLE) / CAST(n_vectors AS DOUBLE)) /
+      |    sqrt((CAST(shx AS DOUBLE) / CAST(n_vectors AS DOUBLE)) *
+      |         (CAST(shy AS DOUBLE) / CAST(n_vectors AS DOUBLE))), 6)
+      |    + 0.0 AS nmi
+      |FROM st""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_kmeans" -> (q60Kmeans _),
     "q64_pq_codes" -> (q64PqCodes _),
     "q272_pq_utilization" -> (q272PqUtilization _),
-    "q277_ivf_imbalance" -> (q277IvfImbalance _))
+    "q277_ivf_imbalance" -> (q277IvfImbalance _),
+    "q278_cell_label_nmi" -> (q278CellLabelNmi _))
 
   def oracles: Map[String, String] = Map(
     "q60_kmeans" -> q60Sql,
     "q64_pq_codes" -> q64Sql,
     "q272_pq_utilization" -> q272Sql,
-    "q277_ivf_imbalance" -> q277Sql)
+    "q277_ivf_imbalance" -> q277Sql,
+    "q278_cell_label_nmi" -> q278Sql)
 }

@@ -114,5 +114,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q258_hill_tail_index",  // RangeRank offset prefix: <= #partitions rows
     "q259_entropy_rate",     // (cur,next) transition cells: <= |types|^2
     "q262_hubness_audit",    // RangeRank offset prefix: <= #partitions rows
-    "q276_mase_backtest")    // monthly census lag: |distinct months|
+    "q276_mase_backtest",    // monthly census lag: |distinct months|
+    "q278_cell_label_nmi")   // (cell,label) contingency cells: <= 8*|labels|
 }
