@@ -263,6 +263,34 @@ class Round12gSpec extends AnyFunSuite {
     assert(byName("probe_smoke")._2 > 0)
   }
 
+  test("q276: MAE pair consistent with the emitted ratio") {
+    val r = queries.SeriesQueries.q276MaseBacktest(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_months") >= 12)
+    val m1 = r.getAs[Double]("mae_naive")
+    val m12 = r.getAs[Double]("mae_seasonal_naive")
+    assert(m1 > 0 && m12 > 0)
+    assert(math.abs(m12 / m1 - r.getAs[Double]("seasonal_vs_naive")) < 1e-3)
+  }
+
+  test("q277: imbalance at least 1, cell accounting closes") {
+    val r = operators.KMeans.q277IvfImbalance(spark, sfDir).collect().head
+    assert(r.getAs[Double]("imbalance_factor") >= 1.0 - 1e-6)
+    assert(r.getAs[Long]("n_cells_used") <= 8)
+    assert(r.getAs[Long]("min_cell") <= r.getAs[Long]("max_cell"))
+    assert(r.getAs[Long]("max_cell") <= r.getAs[Long]("n_vectors"))
+  }
+
+  test("q278: NMI within [0,1], MI bounded by both entropies") {
+    val r = operators.KMeans.q278CellLabelNmi(spark, sfDir).collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    val hx = r.getAs[Double]("h_cell")
+    val hy = r.getAs[Double]("h_label")
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-6)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1 + 1e-6, s"nmi $nmi")
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
