@@ -595,7 +595,77 @@ object SessionQueries {
       |    AS mrr
       |FROM rr""".stripMargin
 
+  // --------------------------------------------------------------- q279
+  /** Event-type co-occurrence lift within user-days: for every pair of
+    * event types, lift = N·n_ab/(n_a·n_b) over the user-day universe
+    * (N user-days; n_a days containing type a; n_ab containing both).
+    * The SET-based association q103's transition matrix can't see:
+    * transitions only count ADJACENT steps, so "users who error
+    * eventually purchase the same day" never shows up there — lift > 1
+    * here is the signal behind "these behaviors cluster in the same
+    * visits", the basis for feature crosses and triggered campaigns.
+    *
+    * Exactness: the (user, day, type) distinct census and all pair
+    * counts are exact integers; lift is one double chain, 6-dp-rounded;
+    * the pair ordering is total (type_a < type_b lexicographically).
+    *
+    * Scale shape: one distinct agg to the user-day-type census (≤
+    * |user-days|·|types|); the pair self-join is keyed on (user, day) —
+    * per-key fan-out bounded by |types|² = 25; marginals join
+    * broadcast-size type censuses. No window. */
+  def q279CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val udt = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .distinct()
+    val nDays = udt.select(col("user_id"), col("day")).distinct().count()
+    val perType = udt.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val a = udt.select(col("user_id"), col("day"),
+      col("event_type").as("type_a"))
+    val b = udt.select(col("user_id"), col("day"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("t").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("t").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (round(lit(nDays).cast("double") * col("n_both").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          + lit(0.0)).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q279Sql: String =
+    """WITH udt AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |nd AS (
+      |  SELECT COUNT(*) AS n_days
+      |  FROM (SELECT DISTINCT user_id, day FROM udt)),
+      |pt AS (SELECT event_type AS t, COUNT(*) AS n_t FROM udt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM udt a JOIN udt b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  round(CAST(n_days AS DOUBLE) * CAST(n_both AS DOUBLE) /
+      |    (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)), 6) + 0.0
+      |    AS lift
+      |FROM pairs, nd
+      |JOIN pt pa ON pa.t = type_a
+      |JOIN pt pb ON pb.t = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_cooccurrence_lift" -> (q279CooccurrenceLift _),
     "q220_session_mrr" -> (q220SessionMrr _),
     "q214_markov_stationary" -> (q214MarkovStationary _),
     "q34_sessions" -> q34Sessions _,
@@ -606,6 +676,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q279_cooccurrence_lift" -> q279Sql,
     "q220_session_mrr" -> q220Sql,
     "q214_markov_stationary" -> q214Sql,
     "q34_sessions" -> q34Sql,
