@@ -1148,7 +1148,123 @@ object StatsQueries {
       |ORDER BY price_cv DESC, l_partkey
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q280
+  /** Simpson's-paradox screen on the discount→quantity relationship:
+    * the pooled OLS slope of quantity on discount across ALL lineitems
+    * vs the per-brand slopes, counting brands whose slope SIGN opposes
+    * the pooled sign. The aggregation-bias audit q199's per-brand
+    * elasticities assume away: a positive pooled slope with half the
+    * brands negative means "discounts work" is an artifact of WHICH
+    * brands discount, not a causal lever — the classic trap in any
+    * observational revenue analysis.
+    *
+    * Exactness: the OLS slope sign is the sign of n·Σxy − Σx·Σy, a
+    * PURE exact-decimal quantity (x = 2-dp discount, y = 2-dp
+    * quantity; widths chosen so every product stays inside
+    * DECIMAL(38)) — so the reversal COUNT involves no floating point
+    * at all; only the reported pooled slope value is a closing double,
+    * 6-dp-rounded. Brands with zero discount variance (exact
+    * denominator = 0) are excluded in exact space.
+    *
+    * Scale shape: ONE map-combinable per-brand moment agg off the
+    * lineitem↔part broadcast join; the pooled row is the same sums
+    * re-aggregated; everything after is a |brands| census. */
+  def q280SimpsonScreen(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Kpis.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand")))
+    val base = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_discount").cast("decimal(4,2)").as("x"),
+        col("l_quantity").cast("decimal(9,2)").as("y"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val byBrand = base.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("decimal(11,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(14,4)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(9,4)")).as("sxx"))
+    val num = (col("n") * col("sxy")).cast("decimal(38,4)") -
+      (col("sx") * col("sy")).cast("decimal(38,4)")
+    val den = (col("n") * col("sxx")).cast("decimal(38,4)") -
+      (col("sx") * col("sx")).cast("decimal(38,4)")
+    val brands = byBrand
+      .select(col("p_brand"), num.as("num"), den.as("den"))
+      .filter(col("den") > 0)
+    // re-narrow the re-aggregated sums (sum() widens by 10 digits) so
+    // the pooled n·Σxy product stays inside DECIMAL(38)
+    val pooled = byBrand.agg(
+        sum(col("n")).cast("decimal(12,0)").as("n"),
+        sum(col("sx")).cast("decimal(15,2)").as("sx"),
+        sum(col("sy")).cast("decimal(20,2)").as("sy"),
+        sum(col("sxy")).cast("decimal(25,4)").as("sxy"),
+        sum(col("sxx")).cast("decimal(20,4)").as("sxx"))
+      .select(
+        ((col("n") * col("sxy")).cast("decimal(38,4)") -
+          (col("sx") * col("sy")).cast("decimal(38,4)")).as("pnum"),
+        ((col("n") * col("sxx")).cast("decimal(38,4)") -
+          (col("sx") * col("sx")).cast("decimal(38,4)")).as("pden"))
+    brands.crossJoin(broadcast(pooled))
+      .agg(
+        (round(max(col("pnum")).cast("double") /
+          max(col("pden")).cast("double"), 6) + lit(0.0))
+          .as("pooled_slope"),
+        count(lit(1)).as("n_brands"),
+        sum(when((col("num") > 0 && col("pnum") < 0) ||
+          (col("num") < 0 && col("pnum") > 0), 1L).otherwise(0L))
+          .as("n_reversed"))
+      .withColumn("share_reversed",
+        round(col("n_reversed").cast("double") /
+          col("n_brands").cast("double"), 6) + lit(0.0))
+  }
+
+  val q280Sql: String =
+    """WITH base AS (
+      |  SELECT p_brand,
+      |    CAST(l_discount AS DECIMAL(4,2)) AS x,
+      |    CAST(l_quantity AS DECIMAL(9,2)) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |bb AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS DECIMAL(11,0)) AS n,
+      |    CAST(SUM(x) AS DECIMAL(14,2)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(14,4))) AS DECIMAL(24,4)) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(9,4))) AS DECIMAL(19,4)) AS sxx
+      |  FROM base GROUP BY 1),
+      |br AS (
+      |  SELECT p_brand,
+      |    CAST(n * sxy AS DECIMAL(38,4)) - CAST(sx * sy AS DECIMAL(38,4))
+      |      AS num,
+      |    CAST(n * sxx AS DECIMAL(38,4)) - CAST(sx * sx AS DECIMAL(38,4))
+      |      AS den
+      |  FROM bb),
+      |pl AS (
+      |  SELECT CAST(SUM(n) AS DECIMAL(12,0)) AS n,
+      |    CAST(SUM(sx) AS DECIMAL(15,2)) AS sx,
+      |    CAST(SUM(sy) AS DECIMAL(20,2)) AS sy,
+      |    CAST(SUM(sxy) AS DECIMAL(25,4)) AS sxy,
+      |    CAST(SUM(sxx) AS DECIMAL(20,4)) AS sxx
+      |  FROM bb),
+      |pp AS (
+      |  SELECT
+      |    CAST(n * sxy AS DECIMAL(38,4)) - CAST(sx * sy AS DECIMAL(38,4))
+      |      AS pnum,
+      |    CAST(n * sxx AS DECIMAL(38,4)) - CAST(sx * sx AS DECIMAL(38,4))
+      |      AS pden
+      |  FROM pl)
+      |SELECT
+      |  round(CAST(MAX(pnum) AS DOUBLE) / CAST(MAX(pden) AS DOUBLE), 6)
+      |    + 0.0 AS pooled_slope,
+      |  COUNT(*) AS n_brands,
+      |  CAST(SUM(CASE WHEN (num > 0 AND pnum < 0)
+      |      OR (num < 0 AND pnum > 0) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reversed,
+      |  round(CAST(SUM(CASE WHEN (num > 0 AND pnum < 0)
+      |      OR (num < 0 AND pnum > 0) THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS share_reversed
+      |FROM br, pp WHERE den > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_simpson_screen" -> (q280SimpsonScreen _),
     "q274_price_dispersion" -> (q274PriceDispersion _),
     "q271_negbin_fit" -> (q271NegbinFit _),
     "q258_hill_tail_index" -> (q258HillTailIndex _),
@@ -1168,6 +1284,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q280_simpson_screen" -> q280Sql,
     "q274_price_dispersion" -> q274Sql,
     "q271_negbin_fit" -> q271Sql,
     "q258_hill_tail_index" -> q258Sql,
