@@ -291,6 +291,27 @@ class Round12gSpec extends AnyFunSuite {
     assert(nmi >= -1e-9 && nmi <= 1 + 1e-6, s"nmi $nmi")
   }
 
+  test("q279: at most C(5,2) pairs, counts within marginals") {
+    val rows = queries.SessionQueries.q279CooccurrenceLift(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_both") > 0)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("q280: reversal accounting bounded by the brand census") {
+    val r = queries.StatsQueries.q280SimpsonScreen(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_brands")
+    val rev = r.getAs[Long]("n_reversed")
+    assert(n > 0 && rev >= 0 && rev <= n)
+    assert(math.abs(r.getAs[Double]("share_reversed") -
+      rev.toDouble / n) < 1e-3)
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
