@@ -1117,7 +1117,156 @@ object DocQueries {
       |WHERE m.doc_id <> m.min_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q281
+  /** LSH operating-point calibration: the SAME 16-element MinHash
+    * signature banded three ways — 2 bands × 8 rows, 4 × 4, 8 × 2 —
+    * each configuration measured on the dup-injected corpus for
+    * candidate volume, verified near-dups (exact Jaccard ≥ 0.5),
+    * precision, and recall relative to the loosest (8 × 2) banding.
+    * THE table behind every banding decision this library registers
+    * (q22/q98/q154) and behind VERDICT r11's q50 finding: r rows per
+    * band admits random pairs at ~(1/k)^r per band, so walking r from
+    * 8 → 2 trades precision for recall — this query turns that theory
+    * into measured numbers on real text, per configuration, in one
+    * pass over one signature table.
+    *
+    * Exactness: signatures/bands are the hash-certified q22 machinery;
+    * Jaccard is an exact integer ratio (≥ 0.5 compares exactly);
+    * verification runs ONCE over the union of all configs' candidates
+    * and each config's counts are exact joins against that verdict
+    * table; rates are closing double divisions, 6-dp-rounded.
+    *
+    * Scale shape: one shingle+signature pass (localCheckpoint barrier,
+    * the q154 convention), three band equi-joins on skinny id rows
+    * (each the q22 candidate shape — a hash shuffle, never all-pairs),
+    * one shingle fetch for the UNION of candidates. Recall here is
+    * relative-to-loosest by construction — no all-pairs truth scan. */
+  def q281LshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val base = corpusWithNearDups(spark, dir)
+      .repartition(par, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", array_distinct(shingles(col("toks"), 3)))
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .localCheckpoint(true)
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    val candByCfg = configs.map { case (b, r) =>
+      val banded = base
+        .select(col("doc_id"), explode(minhashBands(col("sig"), b, r)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_hash").as("bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      val rr = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+      (b, r, l.join(rr, Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .localCheckpoint(true))
+    }
+    val allCand = candByCfg.map(_._3).reduce(_.unionAll(_)).distinct()
+    val verdict = allCand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (jaccard(col("a_sh"), col("b_sh")) >= 0.5).as("is_dup"))
+      .localCheckpoint(true)
+    val loosestVerified = candByCfg.last._3.join(verdict, Seq("a_id", "b_id"))
+      .filter(col("is_dup")).count()
+    candByCfg.map { case (b, r, cand) =>
+      val joined = cand.join(verdict, Seq("a_id", "b_id"))
+      joined.agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_verified"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          (round(col("n_verified").cast("double") /
+            col("n_candidates").cast("double"), 6) + lit(0.0))
+            .as("precision"),
+          (round(col("n_verified").cast("double") / lit(loosestVerified), 6)
+            + lit(0.0)).as("recall_vs_loosest"))
+    }.reduce(_.unionAll(_)).orderBy("bands")
+  }
+
+  val q281Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val P = org.apache.spark.sql.graft.MinHashP61.P
+    val sigCols = (0 until 16).map { j =>
+      val a = org.apache.spark.sql.graft.MinHashP61.a(j)
+      val b = org.apache.spark.sql.graft.MinHashP61.b(j)
+      s"MIN((h * ${a}::HUGEINT + $b) % $P)::BIGINT AS s$j"
+    }.mkString(",\n    ")
+    def bandCte(name: String, bands: Int, rows: Int): String = {
+      val sels = (0 until bands).map { bd =>
+        val key = (0 until rows)
+          .map(i => s"s${bd * rows + i}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bd AS band, $key AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""${name}_b AS (
+        |  $sels),
+        |$name AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ${name}_b a JOIN ${name}_b b
+        |    ON a.band = b.band AND a.bh = b.bh
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH corpus AS ($corpusNearDupSql),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |       FROM corpus),
+      |shg AS (
+      |  SELECT doc_id,
+      |    list_distinct(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      END) AS sh
+      |  FROM tk),
+      |hs AS (SELECT doc_id, ${md5Hash60Sql("s")} AS h
+      |       FROM (SELECT doc_id, unnest(sh) AS s FROM shg)),
+      |sig AS (SELECT doc_id,
+      |    $sigCols
+      |  FROM hs GROUP BY doc_id),
+      |${bandCte("c2", 2, 8)},
+      |${bandCte("c4", 4, 4)},
+      |${bandCte("c8", 8, 2)},
+      |allc AS (
+      |  SELECT a_id, b_id FROM c2
+      |  UNION SELECT a_id, b_id FROM c4
+      |  UNION SELECT a_id, b_id FROM c8),
+      |verdict AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= 0.5
+      |      AS is_dup
+      |  FROM allc c
+      |  JOIN shg sa ON c.a_id = sa.doc_id
+      |  JOIN shg sb ON c.b_id = sb.doc_id),
+      |loosest AS (
+      |  SELECT COUNT(*) AS t FROM c8 JOIN verdict USING (a_id, b_id)
+      |  WHERE is_dup),
+      |stats AS (
+      |  SELECT 2 AS bands, 8 AS rows_per_band, COUNT(*) AS n_candidates,
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_verified
+      |  FROM c2 JOIN verdict USING (a_id, b_id)
+      |  UNION ALL
+      |  SELECT 4, 4, COUNT(*),
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM c4 JOIN verdict USING (a_id, b_id)
+      |  UNION ALL
+      |  SELECT 8, 2, COUNT(*),
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM c8 JOIN verdict USING (a_id, b_id))
+      |SELECT bands, rows_per_band, n_candidates, n_verified,
+      |  round(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+      |    + 0.0 AS precision,
+      |  round(CAST(n_verified AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+      |    AS recall_vs_loosest
+      |FROM stats, loosest ORDER BY bands""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_lsh_calibration" -> q281LshCalibration _,
     "q269_dup_flow_matrix" -> q269DupFlowMatrix _,
     "q251_code_switch" -> q251CodeSwitch _,
     "q240_boilerplate_shingles" -> q240BoilerplateShingles _,
@@ -1138,6 +1287,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q281_lsh_calibration" -> q281Sql,
     "q269_dup_flow_matrix" -> q269Sql,
     "q251_code_switch" -> q251Sql,
     "q240_boilerplate_shingles" -> q240Sql,
