@@ -372,7 +372,73 @@ object TpchQueries {
       |FROM w JOIN supplier ON l_suppkey = s_suppkey
       |ORDER BY wilson_lb DESC, s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- q282
+  /** Order shipment-spread census: days between an order's FIRST and
+    * LAST line shipment, bucketed (same-day / within-week / within-
+    * month / longer), with per-bucket order counts, share, and mean
+    * line count. The fulfillment-fragmentation KPI between q145's
+    * lead-time percentiles (how LATE) and q221's reconciliation (how
+    * COMPLETE): a fat "longer" bucket with high lines-per-order means
+    * orders ship piecemeal — each line a separate delivery cost and a
+    * separate customer touch.
+    *
+    * Exactness: spreads are exact day integers from one per-order
+    * min/max agg; buckets are integer CASE cuts; share and mean are
+    * closing double divisions, 6-dp-rounded.
+    *
+    * Scale shape: one map-combinable per-order agg off the scan, then
+    * a 4-row census. No join, no window. */
+  def q282ShipmentSpread(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        datediff(max(to_date(col("l_shipdate"))),
+          min(to_date(col("l_shipdate")))).as("spread"))
+    val bucket = when(col("spread") === 0, "0_same_day")
+      .when(col("spread") <= 7, "1_within_week")
+      .when(col("spread") <= 30, "2_within_month")
+      .otherwise("3_longer")
+    perOrder
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"))
+      .withColumn("n_total",
+        sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n_orders"),
+        (round(col("n_orders").cast("double") /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("share"),
+        (round(col("n_lines").cast("double") /
+          col("n_orders").cast("double"), 6) + lit(0.0))
+          .as("avg_lines_per_order"))
+      .orderBy("bucket")
+  }
+
+  val q282Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    datediff('day', MIN(CAST(l_shipdate AS DATE)),
+      |      MAX(CAST(l_shipdate AS DATE))) AS spread
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN spread = 0 THEN '0_same_day'
+      |    WHEN spread <= 7 THEN '1_within_week'
+      |    WHEN spread <= 30 THEN '2_within_month'
+      |    ELSE '3_longer' END AS bucket, n_lines
+      |  FROM po),
+      |c AS (
+      |  SELECT bucket, COUNT(*) AS n_orders,
+      |    CAST(SUM(n_lines) AS BIGINT) AS n_lines
+      |  FROM b GROUP BY 1),
+      |m AS (SELECT bucket, n_orders, n_lines,
+      |  SUM(n_orders) OVER () AS n_total FROM c)
+      |SELECT bucket, n_orders,
+      |  round(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE), 6) + 0.0
+      |    AS share,
+      |  round(CAST(n_lines AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) + 0.0
+      |    AS avg_lines_per_order
+      |FROM m ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_shipment_spread" -> (q282ShipmentSpread _),
     "q266_wilson_reliability" -> (q266WilsonReliability _),
     "q248_rank_stability" -> (q248RankStability _),
     "q67_shipping_priority" -> (q67ShippingPriority _),
@@ -381,6 +447,7 @@ object TpchQueries {
     "q202_dead_stock" -> (q202DeadStock _))
 
   def oracles: Map[String, String] = Map(
+    "q282_shipment_spread" -> q282Sql,
     "q266_wilson_reliability" -> q266Sql,
     "q248_rank_stability" -> q248Sql,
     "q67_shipping_priority" -> q67Sql,

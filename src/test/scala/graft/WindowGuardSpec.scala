@@ -115,5 +115,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q259_entropy_rate",     // (cur,next) transition cells: <= |types|^2
     "q262_hubness_audit",    // RangeRank offset prefix: <= #partitions rows
     "q276_mase_backtest",    // monthly census lag: |distinct months|
-    "q278_cell_label_nmi")   // (cell,label) contingency cells: <= 8*|labels|
+    "q278_cell_label_nmi",   // (cell,label) contingency cells: <= 8*|labels|
+    "q282_shipment_spread")  // 4-row bucket census
 }
