@@ -1265,7 +1265,63 @@ object DocQueries {
       |FROM stats, loosest ORDER BY bands""".stripMargin
   }
 
+  // --------------------------------------------------------------- q283
+  /** Duplication rate by document-length decile: over the dup-injected
+    * corpus, the share of documents sitting in an exact-duplicate group
+    * within each length decile (exact NTILE on (n_chars, doc_id) via
+    * RangeRank). The length-bias audit for dedup policy: web-scale
+    * corpora duplicate SHORT documents (boilerplate, templates) at a
+    * far higher rate than long ones, so a flat sampled dup-rate
+    * (q204) under-states the short-doc problem — and a dedup pass
+    * evaluated only on the overall rate can pass while leaving the
+    * short tail duplicate-ridden.
+    *
+    * Exactness: group membership is exact (q19's fingerprint, group
+    * size > 1); deciles are RangeRank's exact NTILE under a total
+    * order — bit-identical to the oracle's NTILE(10); shares are one
+    * double division, 6-dp-rounded.
+    *
+    * Scale shape: fingerprint agg (the exact-dedup shuffle) + a
+    * broadcast-size group census join + RangeRank's two linear
+    * shuffles; the decile census is 10 rows. */
+  def q283DupByLength(spark: SparkSession, dir: String): DataFrame = {
+    val g = corpusWithExactDups(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        length(col("text")).as("len"))
+    val d = g.join(g.groupBy(col("fp")).agg(count(lit(1)).as("gsz")), "fp")
+      .select(col("doc_id"), col("len"),
+        when(col("gsz") > 1, 1L).otherwise(0L).as("in_dup"))
+    graft.operators.RangeRank.withNtile(d, "decile", 10,
+        Seq(col("len"), col("doc_id")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("in_dup")).as("n_in_dup"))
+      .withColumn("dup_share",
+        round(col("n_in_dup").cast("double") /
+          col("n_docs").cast("double"), 6) + lit(0.0))
+      .orderBy("decile")
+  }
+
+  val q283Sql: String =
+    s"""WITH corpus AS ($corpusDupSql),
+      |g AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+      |    length(text) AS len
+      |  FROM corpus),
+      |gs AS (SELECT fp, COUNT(*) AS gsz FROM g GROUP BY 1),
+      |d AS (
+      |  SELECT doc_id, len,
+      |    CASE WHEN gsz > 1 THEN 1 ELSE 0 END AS in_dup,
+      |    CAST(NTILE(10) OVER (ORDER BY len, doc_id) AS INTEGER) AS decile
+      |  FROM g JOIN gs USING (fp))
+      |SELECT decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(in_dup) AS BIGINT) AS n_in_dup,
+      |  round(CAST(SUM(in_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS dup_share
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_dup_by_length" -> q283DupByLength _,
     "q281_lsh_calibration" -> q281LshCalibration _,
     "q269_dup_flow_matrix" -> q269DupFlowMatrix _,
     "q251_code_switch" -> q251CodeSwitch _,
@@ -1287,6 +1343,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q283_dup_by_length" -> q283Sql,
     "q281_lsh_calibration" -> q281Sql,
     "q269_dup_flow_matrix" -> q269Sql,
     "q251_code_switch" -> q251Sql,
