@@ -312,6 +312,45 @@ class Round12gSpec extends AnyFunSuite {
       rev.toDouble / n) < 1e-3)
   }
 
+  test("q281: three operating points, loosest banding has full recall") {
+    val rows = queries.DocQueries.q281LshCalibration(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("bands"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bands") * r.getAs[Int]("rows_per_band") == 16)
+      val p = r.getAs[Double]("precision")
+      assert(p > 0 && p <= 1)
+      val rec = r.getAs[Double]("recall_vs_loosest")
+      assert(rec > 0 && rec <= 1 + 1e-9)
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+    }
+    assert(math.abs(rows.last.getAs[Double]("recall_vs_loosest") - 1.0)
+      < 1e-9, "the reference banding must have recall 1 vs itself")
+  }
+
+  test("q282: bucket shares partition the orders") {
+    val rows = queries.TpchQueries.q282ShipmentSpread(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val s = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(s - 1.0) < 1e-3, s"shares sum to $s")
+    rows.foreach(r =>
+      assert(r.getAs[Double]("avg_lines_per_order") >= 1 - 1e-9))
+  }
+
+  test("q283: deciles cover the dup-injected corpus") {
+    val rows = queries.DocQueries.q283DupByLength(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = queries.Kpis.table(spark, sfDir, "documents").count()
+    assert(total == nDocs + nDocs / 10,
+      s"decile total $total vs corpus ${nDocs + nDocs / 10}")
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("dup_share")
+      assert(sh >= 0 && sh <= 1)
+    }
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
