@@ -706,7 +706,60 @@ object InfoQueries {
       |  h_next_nats - h_cond_nats AS info_gain_nats
       |FROM bycur, g ORDER BY cur_type""".stripMargin
 
+  // --------------------------------------------------------------- q284
+  /** Cents-heaping audit of order totals: the distribution of the last
+    * two digits (price mod 1 dollar, in cents) against the uniform
+    * expectation, emitting every cell's count, its ratio to uniform,
+    * and its χ² contribution. The MODULO companion to q138's Benford
+    * leading-digit test: Benford catches fabricated MAGNITUDES; digit
+    * preference ("heaping" at .00/.50/.99) catches hand-entered or
+    * psychologically-priced values and rounding bugs — a synthetic
+    * generator should be FLAT here, so any spike is a data-lineage
+    * finding.
+    *
+    * Exactness: cents are exact integers (round to cents, then mod
+    * 100 in integer space); counts exact; ratio and χ² terms are
+    * single double expressions, 6-dp-rounded.
+    *
+    * Scale shape: per-row integer scalar + one 100-cell map-combinable
+    * agg; the total is a window over the 100-cell census. */
+  def q284CentsHeaping(spark: SparkSession, dir: String): DataFrame = {
+    val cents = pmod(round(col("o_totalprice") * 100).cast("long"), lit(100L))
+    Kpis.table(spark, dir, "orders")
+      .select(cents.as("cents"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_total", sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("cents"), col("n_orders"),
+        (round(col("n_orders").cast("double") * lit(100.0) /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("ratio_vs_uniform"),
+        {
+          val e = col("n_total").cast("double") / lit(100.0)
+          val d = col("n_orders").cast("double") - e
+          (round(d * d / e, 6) + lit(0.0)).as("chi2_term")
+        })
+      .orderBy("cents")
+  }
+
+  val q284Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS cents
+      |  FROM orders),
+      |census AS (
+      |  SELECT cents, COUNT(*) AS n_orders FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT cents, n_orders, SUM(n_orders) OVER () AS n_total
+      |  FROM census)
+      |SELECT cents, n_orders,
+      |  round(CAST(n_orders AS DOUBLE) * 100.0 /
+      |    CAST(n_total AS DOUBLE), 6) + 0.0 AS ratio_vs_uniform,
+      |  round((CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE) / 100.0)
+      |    * (CAST(n_orders AS DOUBLE) - CAST(n_total AS DOUBLE) / 100.0)
+      |    / (CAST(n_total AS DOUBLE) / 100.0), 6) + 0.0 AS chi2_term
+      |FROM m ORDER BY cents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_cents_heaping" -> (q284CentsHeaping _),
     "q259_entropy_rate" -> (q259EntropyRate _),
     "q257_source_js_matrix" -> (q257SourceJsMatrix _),
     "q239_residual_cells" -> (q239ResidualCells _),
@@ -718,6 +771,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q284_cents_heaping" -> q284Sql,
     "q259_entropy_rate" -> q259Sql,
     "q257_source_js_matrix" -> q257Sql,
     "q239_residual_cells" -> q239Sql,

@@ -117,5 +117,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q276_mase_backtest",    // monthly census lag: |distinct months|
     "q278_cell_label_nmi",   // (cell,label) contingency cells: <= 8*|labels|
     "q282_shipment_spread",  // 4-row bucket census
-    "q283_dup_by_length")    // RangeRank offset prefix: <= #partitions rows
+    "q283_dup_by_length",    // RangeRank offset prefix: <= #partitions rows
+    "q284_cents_heaping")    // 100-cell cents census
 }
