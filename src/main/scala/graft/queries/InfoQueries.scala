@@ -758,7 +758,89 @@ object InfoQueries {
       |    / (CAST(n_total AS DOUBLE) / 100.0), 6) + 0.0 AS chi2_term
       |FROM m ORDER BY cents""".stripMargin
 
+  // --------------------------------------------------------------- q285
+  /** Pairwise Jensen–Shannon divergence between event types' CIRCADIAN
+    * profiles (hour-of-day distributions): q194 describes each type's
+    * clock shape with circular statistics; this matrix says which
+    * types SHARE a clock — JS ≈ 0 pairs ride the same daily rhythm
+    * (schedule their pipelines together; one can forecast the other),
+    * a pair near ln 2 lives in disjoint hours (batch vs interactive
+    * traffic). Same exactness machinery as q257, different axis:
+    * q257 compares sources over languages, this compares event types
+    * over the 24-hour grid.
+    *
+    * Exactness: the (type, hour) census is exact; the grid densifies
+    * (every type × every observed hour, zero cells explicit); each
+    * pair-hour JS term is the q257 double chain snapped to
+    * DECIMAL(12,9); per-pair sums are exact decimal; one double out.
+    *
+    * Scale shape: one map-combinable census off the scan; everything
+    * after runs on ≤ |types|²·24 rows. */
+  def q285CircadianJs(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.eventsTable(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val types = census.select(col("event_type")).distinct()
+    val hours = census.select(col("hr")).distinct()
+    val grid = types.crossJoin(broadcast(hours))
+      .join(census, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val a = grid.select(col("event_type").as("type_a"), col("hr"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = grid.select(col("event_type").as("type_b"), col("hr"),
+      col("c").as("cb"), col("n").as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val qq = col("cb").cast("double") / col("nb").cast("double")
+    val halfA = when(col("ca") === 0, lit(0.0))
+      .otherwise(p * log(lit(2.0) * p / (p + qq)))
+    val halfB = when(col("cb") === 0, lit(0.0))
+      .otherwise(qq * log(lit(2.0) * qq / (p + qq)))
+    a.join(b, Seq("hr"))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(lit(0.5) * (halfA + halfB), 9).cast("decimal(12,9)").as("t"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("t")).cast("double").as("js_nats"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q285Sql: String =
+    """WITH census AS (
+      |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, h.hr, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM census) t
+      |  CROSS JOIN (SELECT DISTINCT hr FROM census) h
+      |  LEFT JOIN census c
+      |    ON c.event_type = t.event_type AND c.hr = h.hr),
+      |g AS (
+      |  SELECT event_type, hr, c,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM grid),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+      |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q,
+      |    a.c AS ca, b.c AS cb
+      |  FROM g a JOIN g b
+      |    ON a.hr = b.hr AND a.event_type < b.event_type),
+      |terms AS (
+      |  SELECT type_a, type_b,
+      |    CAST(round(0.5 * (
+      |      CASE WHEN ca = 0 THEN 0.0
+      |        ELSE p * ln(2 * p / (p + q)) END +
+      |      CASE WHEN cb = 0 THEN 0.0
+      |        ELSE q * ln(2 * q / (p + q)) END), 9)
+      |      AS DECIMAL(12,9)) AS t
+      |  FROM pairs)
+      |SELECT type_a, type_b, CAST(SUM(t) AS DOUBLE) AS js_nats
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_circadian_js" -> (q285CircadianJs _),
     "q284_cents_heaping" -> (q284CentsHeaping _),
     "q259_entropy_rate" -> (q259EntropyRate _),
     "q257_source_js_matrix" -> (q257SourceJsMatrix _),
@@ -771,6 +853,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q285_circadian_js" -> q285Sql,
     "q284_cents_heaping" -> q284Sql,
     "q259_entropy_rate" -> q259Sql,
     "q257_source_js_matrix" -> q257Sql,
