@@ -351,6 +351,29 @@ class Round12gSpec extends AnyFunSuite {
     }
   }
 
+  test("q284: 100-cell census, ratios mean 1, chi2 non-negative") {
+    val rows = queries.InfoQueries.q284CentsHeaping(spark, sfDir).collect()
+    assert(rows.length <= 100)
+    val nTotal = rows.map(_.getAs[Long]("n_orders")).sum
+    val wMean = rows.map(r => r.getAs[Double]("ratio_vs_uniform") *
+      r.getAs[Long]("n_orders")).sum / nTotal
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cents") >= 0 && r.getAs[Long]("cents") < 100)
+      assert(r.getAs[Double]("chi2_term") >= 0)
+    }
+    assert(wMean > 0, s"weighted ratio mean $wMean")
+  }
+
+  test("q285: circadian JS matrix within [0, ln 2]") {
+    val rows = queries.InfoQueries.q285CircadianJs(spark, sfDir).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val js = r.getAs[Double]("js_nats")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9)
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+    }
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
