@@ -64,4 +64,42 @@ object TriangleCount {
         (lit(3.0) * col("n_triangles").cast("double") /
           col("n_wedges").cast("double")).as("global_cc"))
   }
+
+  /** Per-node triangle incidence: (u, d, t) — degree and the number of
+    * triangles containing u — for every node of the graph. Same
+    * degree-oriented enumeration as [[summary]], but the oriented rank
+    * join is kept as a LIST (each triangle appears exactly once as
+    * (src, v, w)) and exploded to its three corners. Feeds local
+    * clustering coefficients: cc(u) = 2t / (d·(d−1)). */
+  def perNodeCc(edges: DataFrame, a: String = "a", b: String = "b"): DataFrame = {
+    val e = edges.select(col(a).as("ea"), col(b).as("eb")).localCheckpoint()
+    val und = e.select(col("ea").as("u"))
+      .unionAll(e.select(col("eb").as("u")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("u").as("ea"), col("d").as("da")), "ea")
+      .join(deg.select(col("u").as("eb"), col("d").as("db")), "eb")
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("ea") < col("eb"))
+    val oriented = withDeg.select(
+        when(aFirst, col("ea")).otherwise(col("eb")).as("src"),
+        when(aFirst, col("eb")).otherwise(col("ea")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst_deg"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src"), col("dst").as("v"),
+      col("dst_deg").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"),
+      col("dst_deg").as("dw"))
+    val e3 = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val triangles = e1.join(e2, "src")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(e3, Seq("v", "w"), "left_semi")
+      .select(col("src"), col("v"), col("w"))
+    val incid = triangles
+      .select(explode(array(col("src"), col("v"), col("w"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("t0"))
+    deg.join(incid, Seq("u"), "left")
+      .select(col("u"), col("d"), coalesce(col("t0"), lit(0L)).as("t"))
+  }
 }

@@ -515,7 +515,94 @@ object GraphQueries {
       |    6) + 0.0 AS knn
       |FROM nbr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q286
+  /** Average LOCAL clustering coefficient of the co-purchase graph
+    * (Watts–Strogatz), over nodes with degree ≥ 2: cc(u) = 2t(u)/(d(d−1))
+    * averaged per NODE, plus the share of closed-out nodes (cc = 0) and
+    * the max. The node-centric complement to q111's global coefficient:
+    * global CC weights hubs quadratically, so a few dense hubs can mask
+    * an otherwise tree-like catalog — avg-local ≫ global is exactly
+    * that signature, and it changes how much a basket recommender can
+    * rely on neighborhood closure for the long tail.
+    *
+    * Exactness: per-node (degree, triangle count) are exact integers
+    * from [[graft.operators.TriangleCount.perNodeCc]]'s hash-certified
+    * enumeration; each cc is one double ratio snapped to DECIMAL(12,9)
+    * so the average is an exact decimal sum; outputs 6-dp-rounded.
+    *
+    * Scale shape: the q111 oriented-triangle plan plus one explode +
+    * map-combinable agg; the census is node-bounded. */
+  def q286LocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val pn = graft.operators.TriangleCount
+      .perNodeCc(coPurchaseEdges(spark, dir), "pa", "pb")
+      .filter(col("d") >= 2)
+    val cc = round(lit(2.0) * col("t").cast("double") /
+      (col("d").cast("double") * (col("d").cast("double") - lit(1.0))), 9)
+      .cast("decimal(12,9)")
+    pn.select(col("t"), cc.as("cc"))
+      .agg(count(lit(1)).as("n_nodes"),
+        (round(sum(col("cc")).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("avg_local_cc"),
+        (round(sum(when(col("t") === 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("share_zero_cc"),
+        max(col("cc")).cast("double").as("max_local_cc"))
+  }
+
+  val q286Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT pa AS u FROM edges UNION ALL SELECT pb FROM edges),
+      |deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+      |o AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS src,
+      |    CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS dst,
+      |    CASE WHEN (da.d, pa) < (db.d, pb) THEN db.d ELSE da.d END
+      |      AS dst_deg
+      |  FROM edges
+      |  JOIN deg da ON da.u = pa
+      |  JOIN deg db ON db.u = pb),
+      |trl AS MATERIALIZED (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM o e1
+      |  JOIN o e2 ON e1.src = e2.src
+      |    AND ((e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst))
+      |  WHERE EXISTS (SELECT 1 FROM o e3
+      |                WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+      |incid AS (
+      |  SELECT u, COUNT(*) AS t FROM (
+      |    SELECT x AS u FROM trl
+      |    UNION ALL SELECT y FROM trl
+      |    UNION ALL SELECT z FROM trl) GROUP BY 1),
+      |pn AS (
+      |  SELECT deg.u, d, COALESCE(t, 0) AS t
+      |  FROM deg LEFT JOIN incid USING (u) WHERE d >= 2),
+      |cc AS (
+      |  SELECT t,
+      |    CAST(round(2.0 * CAST(t AS DOUBLE) /
+      |      (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)), 9)
+      |      AS DECIMAL(12,9)) AS cc
+      |  FROM pn)
+      |SELECT COUNT(*) AS n_nodes,
+      |  round(CAST(SUM(cc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS avg_local_cc,
+      |  round(CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS share_zero_cc,
+      |  CAST(MAX(cc) AS DOUBLE) AS max_local_cc
+      |FROM cc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_local_clustering" -> (q286LocalClustering _),
     "q250_neighbor_degree" -> (q250NeighborDegree _),
     "q235_rich_club" -> (q235RichClub _),
     "q213_assortativity" -> (q213Assortativity _),
@@ -525,6 +612,7 @@ object GraphQueries {
     "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
+    "q286_local_clustering" -> q286Sql,
     "q250_neighbor_degree" -> q250Sql,
     "q235_rich_club" -> q235Sql,
     "q213_assortativity" -> q213Sql,
