@@ -374,6 +374,19 @@ class Round12gSpec extends AnyFunSuite {
     }
   }
 
+  test("q286: local cc within [0,1], zero-share consistent") {
+    val r = queries.GraphQueries.q286LocalClustering(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") > 0)
+    val avg = r.getAs[Double]("avg_local_cc")
+    val mx = r.getAs[Double]("max_local_cc")
+    assert(avg >= 0 && avg <= mx + 1e-9 && mx <= 1 + 1e-9)
+    val z = r.getAs[Double]("share_zero_cc")
+    assert(z >= 0 && z <= 1)
+    // if every node had cc 0 the average must be 0 too
+    if (z == 1.0) assert(avg == 0.0)
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
