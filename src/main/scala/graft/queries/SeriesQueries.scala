@@ -801,7 +801,67 @@ object SeriesQueries {
       |    AS seasonal_vs_naive
       |FROM st""".stripMargin
 
+  // --------------------------------------------------------------- q288
+  /** Maximum drawdown of cumulative daily revenue: the deepest
+    * peak-to-trough fall of the running revenue total, with the day it
+    * bottomed, the peak it fell from, and the fractional depth. The
+    * risk summary the trend family (q120/q125/q169) doesn't produce:
+    * CUSUM flags WHEN the level shifted; max drawdown is the
+    * worst-case "how far under water did the business go and when" —
+    * the number a treasury/runway model consumes directly.
+    *
+    * Exactness: cumulative and running-max are exact BIGINT cent sums
+    * over the day census (running windows, integer arithmetic); the
+    * trough pick is the total order (drawdown DESC, day) — no floats
+    * until the two emitted ratios, 6-dp-rounded.
+    *
+    * Scale shape: one map-combinable day census; both windows run over
+    * the |days| census (the entity table — the q4/q74 class); one
+    * ordered limit 1. */
+  def q288MaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("runmax", max(col("cum")).over(w))
+      .withColumn("dd", col("runmax") - col("cum"))
+    dd.orderBy(col("dd").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("trough_day"),
+        (col("runmax").cast("double") / lit(100.0)).as("peak_revenue"),
+        (col("dd").cast("double") / lit(100.0)).as("max_drawdown"),
+        (round(col("dd").cast("double") / col("runmax").cast("double"), 6)
+          + lit(0.0)).as("drawdown_share"))
+  }
+
+  val q288Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT day,
+      |    SUM(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM daily),
+      |m AS (
+      |  SELECT day, cum,
+      |    MAX(cum) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |  FROM c)
+      |SELECT day AS trough_day,
+      |  CAST(runmax AS DOUBLE) / 100.0 AS peak_revenue,
+      |  CAST(runmax - cum AS DOUBLE) / 100.0 AS max_drawdown,
+      |  round(CAST(runmax - cum AS DOUBLE) / CAST(runmax AS DOUBLE), 6)
+      |    + 0.0 AS drawdown_share
+      |FROM m ORDER BY runmax - cum DESC, day LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_max_drawdown" -> (q288MaxDrawdown _),
     "q276_mase_backtest" -> (q276MaseBacktest _),
     "q264_dispersion_index" -> (q264DispersionIndex _),
     "q261_gumbel_maxima" -> (q261GumbelMaxima _),
@@ -1395,6 +1455,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q288_max_drawdown" -> q288Sql,
     "q276_mase_backtest" -> q276Sql,
     "q264_dispersion_index" -> q264Sql,
     "q261_gumbel_maxima" -> q261Sql,

@@ -664,7 +664,77 @@ object SessionQueries {
       |JOIN pt pb ON pb.t = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------- q287
+  /** Behavioral diversity by activity tier: each user's event-type
+    * entropy (nats over their own type mix), averaged within
+    * light/mid/heavy activity buckets (<10 / <100 / ≥100 events). The
+    * user-level companion to q259's chain entropy: q259 says how
+    * predictable the NEXT event is corpus-wide; this says how
+    * specialized individual USERS are — heavy users converging to low
+    * entropy are power users in one feature (monetize it), heavy users
+    * at high entropy are explorers (cross-sell to them); and a
+    * light-bucket entropy near ln|types| is the bot-traffic smell.
+    *
+    * Exactness: per-user type counts are exact; each user's entropy is
+    * the q137 count-weighted ln9 grid closed by one double division,
+    * snapped to DECIMAL(12,9) so bucket averages are exact decimal
+    * sums; bucket cuts are integer comparisons.
+    *
+    * Scale shape: one (user, type) map-combinable agg, a per-user
+    * window bounded by |types|, one user-level agg, a 3-row census. */
+  def q287BehavioralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    val perType = Kpis.eventsTable(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("user_id"))))
+    val perUser = perType
+      .select(col("user_id"), col("n"),
+        (ln9(col("n").cast("double") / col("c").cast("double")) * col("c"))
+          .as("hw"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        round(sum(col("hw")).cast("double") / max(col("n")).cast("double"),
+          9).cast("decimal(12,9)").as("h"))
+    val bucket = when(col("n_events") < 10, "1_light")
+      .when(col("n_events") < 100, "2_mid")
+      .otherwise("3_heavy")
+    perUser.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        (round(sum(col("h")).cast("double") /
+          count(lit(1)).cast("double"), 6) + lit(0.0))
+          .as("avg_entropy_nats"),
+        max(col("h")).cast("double").as("max_entropy_nats"))
+      .orderBy("bucket")
+  }
+
+  val q287Sql: String =
+    """WITH pt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, c,
+      |    SUM(c) OVER (PARTITION BY user_id) AS n
+      |  FROM pt),
+      |pu AS (
+      |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+      |    CAST(round(CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE) /
+      |          CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) * c) AS DOUBLE)
+      |        / CAST(MAX(n) AS DOUBLE), 9) AS DECIMAL(12,9)) AS h
+      |  FROM m GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN n_events < 10 THEN '1_light'
+      |    WHEN n_events < 100 THEN '2_mid' ELSE '3_heavy' END AS bucket,
+      |    h
+      |  FROM pu)
+      |SELECT bucket, COUNT(*) AS n_users,
+      |  round(CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS avg_entropy_nats,
+      |  CAST(MAX(h) AS DOUBLE) AS max_entropy_nats
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_behavioral_entropy" -> (q287BehavioralEntropy _),
     "q279_cooccurrence_lift" -> (q279CooccurrenceLift _),
     "q220_session_mrr" -> (q220SessionMrr _),
     "q214_markov_stationary" -> (q214MarkovStationary _),
@@ -676,6 +746,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q287_behavioral_entropy" -> q287Sql,
     "q279_cooccurrence_lift" -> q279Sql,
     "q220_session_mrr" -> q220Sql,
     "q214_markov_stationary" -> q214Sql,

@@ -118,5 +118,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q278_cell_label_nmi",   // (cell,label) contingency cells: <= 8*|labels|
     "q282_shipment_spread",  // 4-row bucket census
     "q283_dup_by_length",    // RangeRank offset prefix: <= #partitions rows
-    "q284_cents_heaping")    // 100-cell cents census
+    "q284_cents_heaping",    // 100-cell cents census
+    "q288_max_drawdown")     // daily-revenue table: |distinct days|
 }
