@@ -387,6 +387,30 @@ class Round12gSpec extends AnyFunSuite {
     if (z == 1.0) assert(avg == 0.0)
   }
 
+  test("q287: bucket entropies bounded by ln|types|") {
+    val rows = queries.SessionQueries.q287BehavioralEntropy(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val cap = math.log(5.0) + 1e-6
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_entropy_nats")
+      val mx = r.getAs[Double]("max_entropy_nats")
+      assert(avg >= -1e-9 && avg <= mx + 1e-9 && mx <= cap,
+        s"${r.getAs[String]("bucket")}: avg=$avg max=$mx")
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+  }
+
+  test("q288: drawdown bounded by its peak") {
+    val r = queries.SeriesQueries.q288MaxDrawdown(spark, sfDir)
+      .collect().head
+    val peak = r.getAs[Double]("peak_revenue")
+    val dd = r.getAs[Double]("max_drawdown")
+    assert(peak > 0 && dd >= 0 && dd <= peak)
+    val sh = r.getAs[Double]("drawdown_share")
+    assert(sh >= 0 && sh <= 1)
+  }
+
   test("q268: regularity shares are disjoint fractions") {
     val rows = queries.FunnelQueries.q268PurchaseRegularity(spark, sfDir)
       .collect()
