@@ -654,7 +654,120 @@ object ExperimentQueries {
       |  brier_score
       |FROM g2, tot ORDER BY p1_orders""".stripMargin
 
+  // --------------------------------------------------------------- q291
+  /** Discrimination triple (AUC / Gini / KS) of q263's FIXED retention
+    * score: q263 certifies the score's CALIBRATION (are the probabilities
+    * honest); this is its companion — does the score RANK active
+    * customers above inactive ones at all. Same (x, y) construction:
+    * x = 1995–97 order count over the full customer universe (left join,
+    * 0-fill), y = active 1998+. Since the logistic p̂ is monotone in x,
+    * AUC/Gini/KS of p̂ equal those of raw x — so the score census IS the
+    * integer x census and no float ever enters the ranking.
+    *
+    * Exactness — the whole computation stays in BIGINT space until three
+    * closing divisions: with per-score counts (k pos, neg) and exclusive
+    * negative prefix negBelow,
+    *   2U    = Σ_s k_s·(2·negBelow_s + neg_s)        (midrank tie form)
+    *   AUC   = 2U / (2·n₊·n₋)
+    *   Gini  = (2U − n₊·n₋) / (n₊·n₋)
+    *   KSnum = max_s |cumPos_s·n₋ − cumNeg_s·n₊|     (common-denominator
+    *           form of max |TPR−FPR|), KS = KSnum / (n₊·n₋)
+    * Each emitted double is ONE integer division — bit-exact across
+    * engines. q203 runs the same U machinery as a two-sample location
+    * test on event values; here it is the model-evaluation surface
+    * (ROC summary) over a behavioral score.
+    *
+    * Scale shape: orders collapse to per-customer (x,y) in one
+    * map-combinable agg; everything after runs on the ≤|max orders|
+    * score census (a global window over ~30 rows — WindowGuardSpec
+    * pins it); totals broadcast as 1-row frames. */
+  def q291ScoreDiscrimination(spark: SparkSession, dir: String): DataFrame = {
+    val act = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
+        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
+    val xy = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(act, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val census = xy.groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .withColumn("neg", col("n") - col("k"))
+    val wBelow = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .withColumn("cum_pos", sum(col("k")).over(wIncl))
+      .withColumn("cum_neg", sum(col("neg")).over(wIncl))
+    val tot = cum.agg(
+      sum(col("k")).as("n_pos"), sum(col("neg")).as("n_neg"),
+      sum(col("k") * (lit(2L) * col("neg_below") + col("neg")))
+        .as("u_times2"))
+    val ksn = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum_pos") * col("n_neg") -
+        col("cum_neg") * col("n_pos"))).as("ks_num"))
+    val pairs = col("n_pos") * col("n_neg")
+    tot.crossJoin(broadcast(ksn)).select(
+      col("n_pos"), col("n_neg"), col("u_times2"),
+      (col("u_times2").cast("double") /
+        (lit(2L) * pairs).cast("double")).as("auc"),
+      ((col("u_times2") - pairs).cast("double") /
+        pairs.cast("double")).as("gini"),
+      (col("ks_num").cast("double") / pairs.cast("double")).as("ks_stat"))
+  }
+
+  val q291Sql: String =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS x0,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS y0
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(COALESCE(x0, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(y0, 0) AS BIGINT) AS y
+      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+      |census AS (
+      |  SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k,
+      |    COUNT(*) - CAST(SUM(y) AS BIGINT) AS neg
+      |  FROM xy GROUP BY 1),
+      |cum AS (
+      |  SELECT x, k, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS neg_below,
+      |    SUM(k) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+      |    SUM(neg) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+      |  FROM census),
+      |tot AS (
+      |  SELECT CAST(SUM(k) AS BIGINT) AS n_pos,
+      |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |    CAST(SUM(k * (2*neg_below + neg)) AS BIGINT) AS u_times2
+      |  FROM cum),
+      |ksn AS (
+      |  SELECT CAST(MAX(ABS(cum_pos * (SELECT n_neg FROM tot)
+      |    - cum_neg * (SELECT n_pos FROM tot))) AS BIGINT) AS ks_num
+      |  FROM cum)
+      |SELECT n_pos, n_neg, u_times2,
+      |  CAST(u_times2 AS DOUBLE) / CAST(2*n_pos*n_neg AS DOUBLE) AS auc,
+      |  CAST(u_times2 - n_pos*n_neg AS DOUBLE)
+      |    / CAST(n_pos*n_neg AS DOUBLE) AS gini,
+      |  CAST(ks_num AS DOUBLE) / CAST(n_pos*n_neg AS DOUBLE) AS ks_stat
+      |FROM tot, ksn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_score_discrimination" -> (q291ScoreDiscrimination _),
     "q263_brier_calibration" -> (q263BrierCalibration _),
     "q260_mcnemar_activity" -> (q260McnemarActivity _),
     "q238_fold_stability" -> (q238FoldStability _),
@@ -664,6 +777,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q291_score_discrimination" -> q291Sql,
     "q263_brier_calibration" -> q263Sql,
     "q260_mcnemar_activity" -> q260Sql,
     "q238_fold_stability" -> q238Sql,

@@ -601,7 +601,104 @@ object GraphQueries {
       |  CAST(MAX(cc) AS DOUBLE) AS max_local_cc
       |FROM cc""".stripMargin
 
+  // --------------------------------------------------------------- q294
+  /** 3-core peel convergence ledger: iteratively delete nodes with
+    * undirected co-purchase degree < 3 (each deletion lowers neighbours'
+    * degrees, so the peel repeats) and emit, per round, how many nodes
+    * survive — round 0 is every node with ≥1 edge, round r the nodes
+    * with degree ≥ 3 inside round r−1's induced subgraph. The k-core is
+    * the fixpoint; Round12hSpec certifies the ledger converged (last two
+    * rounds equal) and is monotone non-increasing, so the final row IS
+    * the 3-core size. This is the standard distributed k-core algorithm
+    * (bounded peeling), the cohesion primitive the degree-based family
+    * (q186/q235/q250) can't see: a high-degree node OUTSIDE the core is
+    * separated from a low-degree node inside it.
+    *
+    * Rounds are FIXED at 6 in both engines (the oracle unrolls six CTE
+    * stages — SQL recursion cannot reference the working set twice per
+    * step), making the query deterministic even on a corpus where 6
+    * rounds is not yet the fixpoint: the ledger simply shows a
+    * non-converged tail, and the spec's fixture assertion is the
+    * convergence certificate at test scale.
+    *
+    * Scale shape: per round, one map-combinable degree agg plus two
+    * semi-joins over the SURVIVING edge set (monotonically shrinking);
+    * each round localCheckpoints so the 6-round plan never compounds.
+    * All-integer; bit-exact. */
+  def q294CorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val edges = coPurchaseEdges(spark, dir)
+    var cur = edges.select(col("pa").as("s"), col("pb").as("t"))
+      .unionAll(edges.select(col("pb").as("s"), col("pa").as("t")))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.select(col("s")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(0L).as("round"), col("n_nodes")))
+    for (r <- 1 to 6) {
+      val keep = cur.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("v"))
+        .localCheckpoint()
+      cur = cur
+        .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+        .join(keep.select(col("v").as("t")), Seq("t"), "left_semi")
+        .localCheckpoint()
+      rounds += keep.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
+
+  val q294Sql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT l_orderkey,
+      |    list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |pr AS MATERIALIZED (
+      |  SELECT t1.p AS pa, t2.p AS pb
+      |  FROM (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t1
+      |  JOIN (SELECT l_orderkey AS ok, unnest(parts) AS p FROM baskets) t2
+      |    USING (ok)
+      |  WHERE t1.p < t2.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT pa AS s, pb AS t FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |n1 AS MATERIALIZED (
+      |  SELECT s AS v FROM und GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e1 AS MATERIALIZED (SELECT s, t FROM und
+      |  WHERE s IN (SELECT v FROM n1) AND t IN (SELECT v FROM n1)),
+      |n2 AS MATERIALIZED (
+      |  SELECT s AS v FROM e1 GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e2 AS MATERIALIZED (SELECT s, t FROM e1
+      |  WHERE s IN (SELECT v FROM n2) AND t IN (SELECT v FROM n2)),
+      |n3 AS MATERIALIZED (
+      |  SELECT s AS v FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e3 AS MATERIALIZED (SELECT s, t FROM e2
+      |  WHERE s IN (SELECT v FROM n3) AND t IN (SELECT v FROM n3)),
+      |n4 AS MATERIALIZED (
+      |  SELECT s AS v FROM e3 GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e4 AS MATERIALIZED (SELECT s, t FROM e3
+      |  WHERE s IN (SELECT v FROM n4) AND t IN (SELECT v FROM n4)),
+      |n5 AS MATERIALIZED (
+      |  SELECT s AS v FROM e4 GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e5 AS MATERIALIZED (SELECT s, t FROM e4
+      |  WHERE s IN (SELECT v FROM n5) AND t IN (SELECT v FROM n5)),
+      |n6 AS MATERIALIZED (
+      |  SELECT s AS v FROM e5 GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT CAST(0 AS BIGINT) AS round,
+      |  (SELECT COUNT(DISTINCT s) FROM und) AS n_nodes
+      |UNION ALL SELECT 1, (SELECT COUNT(*) FROM n1)
+      |UNION ALL SELECT 2, (SELECT COUNT(*) FROM n2)
+      |UNION ALL SELECT 3, (SELECT COUNT(*) FROM n3)
+      |UNION ALL SELECT 4, (SELECT COUNT(*) FROM n4)
+      |UNION ALL SELECT 5, (SELECT COUNT(*) FROM n5)
+      |UNION ALL SELECT 6, (SELECT COUNT(*) FROM n6)
+      |ORDER BY round""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_core_peel" -> (q294CorePeel _),
     "q286_local_clustering" -> (q286LocalClustering _),
     "q250_neighbor_degree" -> (q250NeighborDegree _),
     "q235_rich_club" -> (q235RichClub _),
@@ -612,6 +709,7 @@ object GraphQueries {
     "q186_degree_dist" -> (q186DegreeDist _))
 
   def oracles: Map[String, String] = Map(
+    "q294_core_peel" -> q294Sql,
     "q286_local_clustering" -> q286Sql,
     "q250_neighbor_degree" -> q250Sql,
     "q235_rich_club" -> q235Sql,

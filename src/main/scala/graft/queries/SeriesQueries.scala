@@ -860,7 +860,73 @@ object SeriesQueries {
       |    + 0.0 AS drawdown_share
       |FROM m ORDER BY runmax - cum DESC, day LIMIT 1""".stripMargin
 
+  // --------------------------------------------------------------- q293
+  /** Individuals / moving-range (I-MR) control chart over daily order
+    * counts — the SPC chart for UNGROUPED individual measurements,
+    * completing the attribute-chart family (q241 p-chart for rates, q253
+    * c-chart for counts-per-unit): center = mean daily count, short-term
+    * noise σ̂ estimated from the mean absolute successive difference
+    * MR̄/1.128 (limits written in the standard 2.66·MR̄ form), each day
+    * flagged when it breaches center ± 2.66·MR̄. Chart scope is the
+    * MR-bearing days (day 2 onward — the first day has no successive
+    * difference), so center and MR̄ share one frame.
+    *
+    * Exactness: daily counts and moving ranges are integers; center and
+    * MR̄ are each ONE integer division, the limits one multiply-add —
+    * identical IEEE chains in both engines, so even the boolean
+    * breach flags agree bit-exactly.
+    *
+    * Scale shape: one map-combinable date agg; the lag window runs over
+    * the |distinct days| census (global window — WindowGuardSpec pins
+    * it); limits broadcast as a 1-row frame. */
+  def q293ImrChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("d"))
+    val mr = daily.withColumn("moving_range",
+        abs(col("n_orders") - lag(col("n_orders"), 1).over(w)))
+      .filter(col("moving_range").isNotNull)
+    val limits = mr.agg(
+      (sum(col("n_orders")).cast("double") / count(lit(1)).cast("double"))
+        .as("center"),
+      (sum(col("moving_range")).cast("double") /
+        count(lit(1)).cast("double")).as("mr_bar"))
+    val ucl = col("center") + lit(2.66) * col("mr_bar")
+    val lcl = col("center") - lit(2.66) * col("mr_bar")
+    mr.crossJoin(broadcast(limits))
+      .select(col("d"), col("n_orders"), col("moving_range"),
+        ucl.as("ucl"), lcl.as("lcl"),
+        (col("n_orders").cast("double") > ucl ||
+          col("n_orders").cast("double") < lcl).as("out_of_control"))
+      .orderBy("d")
+  }
+
+  val q293Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |mr AS (
+      |  SELECT d, n_orders,
+      |    ABS(n_orders - LAG(n_orders) OVER (ORDER BY d)) AS moving_range
+      |  FROM daily),
+      |m2 AS (SELECT * FROM mr WHERE moving_range IS NOT NULL),
+      |lim AS (
+      |  SELECT CAST(SUM(n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      AS center,
+      |    CAST(SUM(moving_range) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      AS mr_bar
+      |  FROM m2)
+      |SELECT d, n_orders, CAST(moving_range AS BIGINT) AS moving_range,
+      |  center + 2.66 * mr_bar AS ucl,
+      |  center - 2.66 * mr_bar AS lcl,
+      |  (CAST(n_orders AS DOUBLE) > center + 2.66 * mr_bar
+      |   OR CAST(n_orders AS DOUBLE) < center - 2.66 * mr_bar)
+      |    AS out_of_control
+      |FROM m2, lim ORDER BY d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_imr_chart" -> (q293ImrChart _),
     "q288_max_drawdown" -> (q288MaxDrawdown _),
     "q276_mase_backtest" -> (q276MaseBacktest _),
     "q264_dispersion_index" -> (q264DispersionIndex _),
@@ -1455,6 +1521,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q293_imr_chart" -> q293Sql,
     "q288_max_drawdown" -> q288Sql,
     "q276_mase_backtest" -> q276Sql,
     "q264_dispersion_index" -> q264Sql,

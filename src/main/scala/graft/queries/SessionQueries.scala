@@ -733,7 +733,49 @@ object SessionQueries {
       |  CAST(MAX(h) AS DOUBLE) AS max_entropy_nats
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q292
+  /** Longest daily-activity streak per user (the classic gaps-and-islands
+    * shape), emitted as a census: for each streak length L, how many
+    * users' LONGEST run of consecutive active days is exactly L. The
+    * island key is the textbook row_number trick — day − row_number() is
+    * constant exactly within a run of consecutive dates — which turns
+    * streak detection into one partitioned window plus one aggregate, no
+    * self-join and no iteration.
+    *
+    * Scale shape: one shuffle to distinct (user, day), one per-USER
+    * window (partitioned — never global), two map-combinable aggs, and a
+    * final ≤|max streak| census. All-integer/date arithmetic; bit-exact. */
+  def q292ActivityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("grp", date_sub(col("d"), row_number().over(wu)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"))
+      .groupBy(col("longest_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("longest_streak"))
+  }
+
+  val q292Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |g AS (
+      |  SELECT user_id, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS INTEGER) AS grp
+      |  FROM days),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+      |l AS (SELECT user_id, MAX(len) AS longest_streak FROM s GROUP BY 1)
+      |SELECT longest_streak, COUNT(*) AS n_users
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_activity_streaks" -> (q292ActivityStreaks _),
     "q287_behavioral_entropy" -> (q287BehavioralEntropy _),
     "q279_cooccurrence_lift" -> (q279CooccurrenceLift _),
     "q220_session_mrr" -> (q220SessionMrr _),
@@ -746,6 +788,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q292_activity_streaks" -> q292Sql,
     "q287_behavioral_entropy" -> q287Sql,
     "q279_cooccurrence_lift" -> q279Sql,
     "q220_session_mrr" -> q220Sql,

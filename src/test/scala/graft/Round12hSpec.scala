@@ -29,6 +29,96 @@ class Round12hSpec extends AnyFunSuite {
     assert(got == expected, s"$got vs $expected")
   }
 
+  test("q291: AUC in [0,1], Gini = 2·AUC−1, KS in [0,1], pair identity") {
+    val r = queries.ExperimentQueries.q291ScoreDiscrimination(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nPos = row.getAs[Long]("n_pos")
+    val nNeg = row.getAs[Long]("n_neg")
+    val u2 = row.getAs[Long]("u_times2")
+    val auc = row.getAs[Double]("auc")
+    val gini = row.getAs[Double]("gini")
+    val ks = row.getAs[Double]("ks_stat")
+    assert(nPos > 0 && nNeg > 0)
+    // 2U counts each of the n+·n- pairs 0, 1, or 2 (ties once each)
+    assert(u2 >= 0 && u2 <= 2 * nPos * nNeg)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(gini - (2 * auc - 1)) < 1e-12)
+    assert(ks >= 0.0 && ks <= 1.0)
+    // NOT asserted: auc > 0.5 — whether the score discriminates is a
+    // property of the synthetic fixture (it doesn't at sf0.001), not of
+    // the operator; the math identities above are the invariants.
+  }
+
+  test("q291: AUC agrees with a brute-force pair count on a slice") {
+    import org.apache.spark.sql.functions._
+    // independent recount on the same (x, y) construction
+    val act = queries.Kpis.table(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
+        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
+    val xy = queries.Kpis.table(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+      .join(act, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = xy.filter(_._2 == 1L).map(_._1)
+    val neg = xy.filter(_._2 == 0L).map(_._1)
+    val u2Brute = pos.iterator.map { p =>
+      neg.count(_ < p).toLong * 2 + neg.count(_ == p).toLong
+    }.sum
+    val row = queries.ExperimentQueries
+      .q291ScoreDiscrimination(spark, sfDir).collect().head
+    assert(row.getAs[Long]("u_times2") == u2Brute)
+    assert(row.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.length.toLong)
+  }
+
+  test("q292: census user total matches active users; lengths positive") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SessionQueries.q292ActivityStreaks(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("longest_streak") >= 1))
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val users = queries.Kpis.eventsTable(spark, sfDir)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(total == users, s"census covers $total of $users users")
+  }
+
+  test("q293: limits symmetric around center; flags match the limits") {
+    val rows = queries.SeriesQueries.q293ImrChart(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getAs[Long]("n_orders").toDouble
+      val ucl = r.getAs[Double]("ucl")
+      val lcl = r.getAs[Double]("lcl")
+      assert(ucl > lcl)
+      val expected = x > ucl || x < lcl
+      assert(r.getAs[Boolean]("out_of_control") == expected)
+      assert(r.getAs[Long]("moving_range") >= 0)
+    }
+    // one shared pair of limits across the whole chart
+    assert(rows.map(_.getAs[Double]("ucl")).distinct.length == 1)
+  }
+
+  test("q294: peel ledger is monotone non-increasing and converged") {
+    val rows = queries.GraphQueries.q294CorePeel(spark, sfDir).collect()
+    assert(rows.length == 7)
+    val byRound = rows.sortBy(_.getAs[Long]("round"))
+      .map(_.getAs[Long]("n_nodes"))
+    byRound.zip(byRound.tail).foreach { case (a, b) =>
+      assert(b <= a, s"peel grew: $a -> $b")
+    }
+    assert(byRound(5) == byRound(6),
+      s"6 rounds did not reach the 3-core fixpoint at fixture scale: " +
+        byRound.mkString(","))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()

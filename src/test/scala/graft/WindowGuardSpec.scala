@@ -119,5 +119,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q282_shipment_spread",  // 4-row bucket census
     "q283_dup_by_length",    // RangeRank offset prefix: <= #partitions rows
     "q284_cents_heaping",    // 100-cell cents census
-    "q288_max_drawdown")     // daily-revenue table: |distinct days|
+    "q288_max_drawdown",     // daily-revenue table: |distinct days|
+    "q291_score_discrimination", // order-count score census: <= |max orders|
+    "q293_imr_chart")        // daily order-count census: |distinct days|
 }
