@@ -137,6 +137,15 @@ object TextFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Jaro-Winkler similarity (native codegen'd
+    * [[org.apache.spark.sql.graft.JaroWinkler]], DuckDB-compatible
+    * semantics — see the expression's scaladoc). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.JaroWinkler(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
   /** Overlapping character n-grams (native codegen'd
     * [[org.apache.spark.sql.graft.CharNGrams]]; the SQL HOF spelling is
     * the executable spec, asserted bit-equal in tests). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharNGrams, DotProductD, MinHashMod61, SimHash64}
+import org.apache.spark.sql.graft.{CharNGrams, DotProductD, JaroWinkler, MinHashMod61, SimHash64}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product_d takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

@@ -119,6 +119,56 @@ class Round12hSpec extends AnyFunSuite {
         byRound.mkString(","))
   }
 
+  test("jaro_winkler: canonical examples, DuckDB edge semantics, bounds") {
+    import org.apache.spark.sql.graft.JaroWinklerImpl
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double = JaroWinklerImpl.jw(u(a), u(b))
+    // classic literature examples (also DuckDB's values)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // boost threshold: jaro <= 0.7 gets NO prefix boost despite prefix "AB"
+    assert(math.abs(jw("ABCDEF", "ABXXXX") - 0.5555555555555555) < 1e-15)
+    // prefix cap at 4
+    assert(math.abs(jw("PREFIX", "PREFIXTAIL") - 0.92) < 1e-15)
+    // DuckDB scores empty-vs-empty 0, unlike the classic convention
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // symmetry + bounds on a small grid
+    val words = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "small gizmo", "old bolt", "red bolt", "ab", "ba", "abc")
+    for (a <- words; b <- words) {
+      val v = jw(a, b)
+      assert(v >= 0.0 && v <= 1.0)
+      assert(v == jw(b, a), s"asymmetric on ($a, $b)")
+      if (a == b) assert(v == 1.0)
+    }
+  }
+
+  test("jaro_winkler: codegen path equals interpreted eval and SQL registry works") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.jaroWinkler
+    val df = queries.Kpis.table(spark, sfDir, "part")
+      .select(col("p_name")).distinct().limit(40)
+      .withColumnRenamed("p_name", "a")
+      .crossJoin(queries.Kpis.table(spark, sfDir, "part")
+        .select(col("p_name").as("b")).distinct().limit(40))
+    // whole-stage codegen on (default) vs off → identical doubles
+    val on = df.select(jaroWinkler(col("a"), col("b")).as("v")).collect()
+      .map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off =
+      try df.select(jaroWinkler(col("a"), col("b")).as("v")).collect()
+        .map(_.getDouble(0))
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.sameElements(off))
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS v").collect().head
+      .getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
