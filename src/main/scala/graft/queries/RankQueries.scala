@@ -307,12 +307,111 @@ object RankQueries {
       |FROM top a JOIN top b ON a.doc_id = b.doc_id AND a.s < b.s
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q296
+  /** nDCG@10 of the BM25 ranking — the canonical graded ranking-quality
+    * metric, closing the retrieval-eval loop the family opened (q78
+    * scores, q151 fuses, q237 checks parameter stability; none says how
+    * GOOD the ranking is). Relevance grade = raw query-term frequency in
+    * the document (an integer ground truth independent of the scoring
+    * function's length/idf shaping); DCG@10 discounts each ranked grade
+    * by 1/log₂(rank+1), IDCG@10 is the same sum over the 10 best grades,
+    * and nDCG = DCG/IDCG. Emits the 10 actual ranked positions with
+    * their gains plus the three summary columns.
+    *
+    * Exactness: grades are integers; the discount grid is a 10-entry
+    * 9-dp DECIMAL LITERAL table (no cross-engine log2 ever runs);
+    * gain = grade·w and both DCG sums are exact decimal arithmetic;
+    * nDCG is one double division. Ranks come from totally-ordered
+    * windows (bm25 desc / grade desc, doc_id tiebreak) over bit-equal
+    * inputs (q78's 9-dp-snapped scores).
+    *
+    * Scale shape: the two rank windows are global but run over the
+    * MATCHED-doc frame (docs containing a query term — WindowGuardSpec
+    * pins both sites); at retrieval scale the standard top-k-per-shard
+    * cut applies before any global rank, as in q151. */
+  def q296NdcgAt10(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Seq(
+      "1.000000000", "0.630929754", "0.500000000", "0.430676558",
+      "0.386852807", "0.356207187", "0.333333333", "0.315464877",
+      "0.301029996", "0.289064826")
+    val wArr = array(weights.map(w => lit(w).cast("decimal(12,9)")): _*)
+    val rel = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    val ranked = bm25Scored(spark, dir).join(rel, "doc_id")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .withColumn("gain",
+        (col("rel").cast("decimal(10,0)") *
+          element_at(wArr, col("rank"))).cast("decimal(22,9)"))
+    val ideal = rel
+      .withColumn("irank",
+        row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irank") <= 10)
+      .withColumn("gain",
+        (col("rel").cast("decimal(10,0)") *
+          element_at(wArr, col("irank"))).cast("decimal(22,9)"))
+    val dcg = ranked.agg(sum(col("gain")).cast("double").as("dcg"))
+    val idcg = ideal.agg(sum(col("gain")).cast("double").as("idcg"))
+    ranked
+      .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("rel").as("rel_grade"), col("bm25"),
+        col("gain").cast("double").as("gain"),
+        col("dcg"), col("idcg"), (col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy("rank")
+  }
+
+  val q296Sql: String =
+    s"""WITH $bm25Cte,
+      |rel AS (
+      |  SELECT doc_id, COUNT(*) AS rel FROM tok1
+      |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1),
+      |wt(r, w) AS (VALUES
+      |  (1, CAST(1.000000000 AS DECIMAL(12,9))),
+      |  (2, CAST(0.630929754 AS DECIMAL(12,9))),
+      |  (3, CAST(0.500000000 AS DECIMAL(12,9))),
+      |  (4, CAST(0.430676558 AS DECIMAL(12,9))),
+      |  (5, CAST(0.386852807 AS DECIMAL(12,9))),
+      |  (6, CAST(0.356207187 AS DECIMAL(12,9))),
+      |  (7, CAST(0.333333333 AS DECIMAL(12,9))),
+      |  (8, CAST(0.315464877 AS DECIMAL(12,9))),
+      |  (9, CAST(0.301029996 AS DECIMAL(12,9))),
+      |  (10, CAST(0.289064826 AS DECIMAL(12,9)))),
+      |ranked AS (
+      |  SELECT bm.doc_id, bm.bm25, rel.rel,
+      |    ROW_NUMBER() OVER (ORDER BY bm.bm25 DESC, bm.doc_id) AS rank
+      |  FROM bm JOIN rel USING (doc_id)),
+      |g AS (
+      |  SELECT ranked.*,
+      |    CAST(CAST(rel AS DECIMAL(10,0)) * w AS DECIMAL(22,9)) AS gain
+      |  FROM ranked JOIN wt ON rank = r WHERE rank <= 10),
+      |ideal AS (
+      |  SELECT rel,
+      |    ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irank
+      |  FROM rel),
+      |ig AS (
+      |  SELECT CAST(CAST(rel AS DECIMAL(10,0)) * w AS DECIMAL(22,9))
+      |    AS gain
+      |  FROM ideal JOIN wt ON irank = r WHERE irank <= 10),
+      |dcg AS (SELECT CAST(SUM(gain) AS DOUBLE) AS dcg FROM g),
+      |idcg AS (SELECT CAST(SUM(gain) AS DOUBLE) AS idcg FROM ig)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(rel AS BIGINT) AS rel_grade, bm25,
+      |  CAST(gain AS DOUBLE) AS gain, dcg, idcg, dcg / idcg AS ndcg
+      |FROM g, dcg, idcg ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_ndcg_at10" -> (q296NdcgAt10 _),
     "q237_bm25_stability" -> (q237Bm25Stability _),
     "q78_bm25" -> (q78Bm25 _),
     "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "q296_ndcg_at10" -> q296Sql,
     "q237_bm25_stability" -> q237Sql,
     "q78_bm25" -> q78Sql,
     "q151_rrf_fusion" -> q151Sql)

@@ -169,6 +169,27 @@ class Round12hSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
   }
 
+  test("q296: 10 ranked rows, nDCG in (0,1], IDCG dominates DCG, gains consistent") {
+    val rows = queries.RankQueries.q296NdcgAt10(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ranks = rows.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.sameElements(1L to 10L))
+    val dcg = rows.head.getAs[Double]("dcg")
+    val idcg = rows.head.getAs[Double]("idcg")
+    val ndcg = rows.head.getAs[Double]("ndcg")
+    assert(idcg >= dcg - 1e-9, s"IDCG $idcg < DCG $dcg")
+    assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-12)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-12)
+    // gain at rank 1 is the grade itself (weight 1.0)
+    val r1 = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[Double]("gain") ==
+      r1.getAs[Long]("rel_grade").toDouble)
+    // bm25 ordering is descending across the emitted positions
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Double]("bm25"))
+    byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
