@@ -517,7 +517,64 @@ object CorpusStatsQueries {
       |    + 0.0 AS eff_vocab
       |FROM st ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q298
+  /** Chao1 unseen-vocabulary estimate: from the token-frequency census,
+    * the bias-corrected Chao1 lower bound on TRUE vocabulary size,
+    * D̂ = D + f₁(f₁−1)/(2(f₂+1)) with f₁/f₂ the singleton/doubleton type
+    * counts — the species-richness answer to "how much vocabulary has
+    * this corpus NOT shown yet", complementing q147's Heaps growth CURVE
+    * (trajectory) and q242's coverage planner (top-k mass) with a point
+    * estimate of what lies beyond the sample. Coverage = D/D̂ says how
+    * close the observed vocabulary is to the estimated total.
+    *
+    * Exactness: D, f₁, f₂, token totals are exact integers; the
+    * correction term is ONE integer-ratio division, D̂ one further add,
+    * coverage one division of the two identically-derived doubles.
+    *
+    * Scale shape: one token shuffle into the frequency census, then a
+    * census-level map-combinable agg to a single row. */
+  def q298Chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val census = Kpis.table(spark, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = census.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("d_observed"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+    val chao1 = col("d_observed").cast("double") +
+      (col("f1") * (col("f1") - lit(1L))).cast("double") /
+        (lit(2L) * (col("f2") + lit(1L))).cast("double")
+    agg.select(col("n_tokens"), col("d_observed"), col("f1"), col("f2"),
+      chao1.as("chao1_est"),
+      (col("d_observed").cast("double") / chao1).as("coverage"))
+  }
+
+  val q298Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS d_observed,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM census)
+      |SELECT n_tokens, d_observed, f1, f2,
+      |  CAST(d_observed AS DOUBLE)
+      |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+      |    AS chao1_est,
+      |  CAST(d_observed AS DOUBLE) /
+      |    (CAST(d_observed AS DOUBLE)
+      |     + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE))
+      |    AS coverage
+      |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_chao1_vocab" -> (q298Chao1Vocab _),
     "q265_yule_diversity" -> (q265YuleDiversity _),
     "q112_pmi_collocations" -> (q112PmiCollocations _),
     "q114_lang_overlap" -> (q114LangOverlap _),
@@ -905,6 +962,7 @@ object CorpusStatsQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q298_chao1_vocab" -> q298Sql,
     "q265_yule_diversity" -> q265Sql,
     "q112_pmi_collocations" -> q112Sql,
     "q114_lang_overlap" -> q114Sql,

@@ -190,6 +190,42 @@ class Round12hSpec extends AnyFunSuite {
     byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("q297: HRW moves far fewer docs than mod-N; shares consistent") {
+    val r = queries.ShardQueries.q297ShardStability(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_docs")
+    val modMoved = row.getAs[Long]("mod_moved")
+    val hrwMoved = row.getAs[Long]("hrw_moved")
+    assert(n > 0)
+    assert(row.getAs[Double]("mod_share") == modMoved.toDouble / n)
+    assert(row.getAs[Double]("hrw_share") == hrwMoved.toDouble / n)
+    // theory: mod-N moves ~N/(N+1)=89%, HRW ~1/(N+1)=11% — allow wide
+    // tolerance, but the ORDERING must hold decisively
+    assert(hrwMoved * 4 < modMoved,
+      s"HRW ($hrwMoved) should move <<25% of mod-N ($modMoved)")
+    assert(row.getAs[Double]("hrw_share") < 0.25 &&
+      row.getAs[Double]("mod_share") > 0.5)
+  }
+
+  test("q298: Chao1 dominates observed vocabulary; coverage consistent") {
+    val r = queries.CorpusStatsQueries.q298Chao1Vocab(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val d = row.getAs[Long]("d_observed")
+    val f1 = row.getAs[Long]("f1")
+    val f2 = row.getAs[Long]("f2")
+    val est = row.getAs[Double]("chao1_est")
+    assert(d > 0 && f1 >= 0 && f2 >= 0 && f1 + f2 <= d)
+    assert(est >= d.toDouble, s"Chao1 $est below observed $d")
+    assert(math.abs(est - (d.toDouble +
+      (f1 * (f1 - 1)).toDouble / (2 * (f2 + 1)).toDouble)) < 1e-9)
+    val cov = row.getAs[Double]("coverage")
+    assert(cov > 0.0 && cov <= 1.0)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
