@@ -343,7 +343,100 @@ object EstimateQueries {
       |    + 0.0 AS violation_rate
       |FROM u ORDER BY rule""".stripMargin
 
+  // --------------------------------------------------------------- q299
+  /** Bloom-filter false-positive-rate certification: build a HAND-ROLLED
+    * m=8192-bit, k=3 bloom (positions = md5-60bit of key‖'#j' mod m —
+    * the shared replayable hash grid, NOT Spark's opaque
+    * BloomFilterAggregate) over the odd-custkey customer names, probe it
+    * with the DISJOINT even-custkey names, and compare the measured FP
+    * rate against the occupancy prediction p³ (p = bits-set/m, the
+    * probability all three probe positions land on set bits). The
+    * estimator-certification companion to q233's Count-Min overestimate
+    * cert, and the measured-math backing for the q116 BloomPrune
+    * production path (which stays on Spark's native bloom + exact
+    * verify; this query certifies the FPR THEORY that sizing decisions
+    * rely on). m is a fixture-scale literal — production sizes m ∝ n,
+    * and the cert's point is exact replay, not capacity.
+    *
+    * Exactness: every hash/position/count is integer; fp_rate and
+    * load_factor are single divisions; expected_fp_rate is the explicit
+    * product load·load·load (no cross-engine pow). Membership = all 3
+    * exploded positions match (duplicate positions within a probe count
+    * per-slot, identically in both engines).
+    *
+    * Scale shape: the position set broadcasts (≤ 3·|members| ints);
+    * probes explode ×3, broadcast-join, and reduce map-side — the same
+    * zero-shuffle probe shape the production bloom path has. */
+  def q299BloomFprCert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import graft.functions.TextFunctions.md5Hash60
+    val M = 8192L
+    def positions(key: Column): Column = array((1 to 3).map(j =>
+      pmod(md5Hash60(concat(key, lit(s"#$j"))), lit(M))): _*)
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val memberNames = cust.filter(pmod(col("c_custkey"), lit(2L)) === 1L)
+    val probeNames = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0L)
+    val bits = memberNames
+      .select(explode(positions(col("c_name"))).as("pos")).distinct()
+    val fp = probeNames
+      .select(col("c_custkey"), explode(positions(col("c_name"))).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3L)
+      .agg(count(lit(1)).as("fp_count"))
+    val counts = memberNames.agg(count(lit(1)).as("n_member"))
+      .crossJoin(broadcast(probeNames.agg(count(lit(1)).as("n_probe"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(fp))
+    val load = col("bits_set").cast("double") / lit(M.toDouble)
+    counts.select(col("n_member"), col("n_probe"),
+      lit(M).as("m_bits"), lit(3L).as("k_hashes"),
+      col("bits_set"), col("fp_count"),
+      (col("fp_count").cast("double") / col("n_probe").cast("double"))
+        .as("fp_rate"),
+      load.as("load_factor"),
+      (load * load * load).as("expected_fp_rate"))
+  }
+
+  val q299Sql: String = {
+    def pos(j: Int) =
+      s"(${md5Hash60Sql(s"c_name || '#$j'")}) % 8192"
+    s"""WITH memb AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1),
+      |prob AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+      |bits AS (
+      |  SELECT DISTINCT pos FROM (
+      |    SELECT ${pos(1)} AS pos FROM memb
+      |    UNION ALL SELECT ${pos(2)} FROM memb
+      |    UNION ALL SELECT ${pos(3)} FROM memb)),
+      |ppos AS (
+      |  SELECT c_custkey, ${pos(1)} AS pos FROM prob
+      |  UNION ALL SELECT c_custkey, ${pos(2)} FROM prob
+      |  UNION ALL SELECT c_custkey, ${pos(3)} FROM prob),
+      |fp AS (
+      |  SELECT COUNT(*) AS fp_count FROM (
+      |    SELECT p.c_custkey FROM ppos p JOIN bits USING (pos)
+      |    GROUP BY p.c_custkey HAVING COUNT(*) = 3)),
+      |c AS (
+      |  SELECT (SELECT COUNT(*) FROM memb) AS n_member,
+      |    (SELECT COUNT(*) FROM prob) AS n_probe,
+      |    (SELECT COUNT(*) FROM bits) AS bits_set,
+      |    (SELECT fp_count FROM fp) AS fp_count)
+      |SELECT n_member, n_probe, CAST(8192 AS BIGINT) AS m_bits,
+      |  CAST(3 AS BIGINT) AS k_hashes, bits_set,
+      |  CAST(fp_count AS BIGINT) AS fp_count,
+      |  CAST(fp_count AS DOUBLE) / CAST(n_probe AS DOUBLE) AS fp_rate,
+      |  CAST(bits_set AS DOUBLE) / 8192.0 AS load_factor,
+      |  (CAST(bits_set AS DOUBLE) / 8192.0)
+      |    * (CAST(bits_set AS DOUBLE) / 8192.0)
+      |    * (CAST(bits_set AS DOUBLE) / 8192.0) AS expected_fp_rate
+      |FROM c""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_bloom_fpr_cert" -> (q299BloomFprCert _),
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
     "q208_neyman_alloc" -> (q208NeymanAlloc _),
     "q216_bootstrap_ci" -> (q216BootstrapCi _),
@@ -832,6 +925,7 @@ object EstimateQueries {
       |FROM j""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q299_bloom_fpr_cert" -> q299Sql,
     "q204_sampled_dup_rate" -> q204Sql,
     "q208_neyman_alloc" -> q208Sql,
     "q216_bootstrap_ci" -> q216Sql,

@@ -226,6 +226,30 @@ class Round12hSpec extends AnyFunSuite {
     assert(cov > 0.0 && cov <= 1.0)
   }
 
+  test("q299: bloom cert identities and occupancy-prediction agreement") {
+    val r = queries.EstimateQueries.q299BloomFprCert(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val m = row.getAs[Long]("m_bits")
+    val nMem = row.getAs[Long]("n_member")
+    val nProbe = row.getAs[Long]("n_probe")
+    val bits = row.getAs[Long]("bits_set")
+    val fp = row.getAs[Long]("fp_count")
+    val load = row.getAs[Double]("load_factor")
+    val exp = row.getAs[Double]("expected_fp_rate")
+    val rate = row.getAs[Double]("fp_rate")
+    assert(m == 8192L && nMem > 0 && nProbe > 0)
+    assert(bits <= 3 * nMem && bits <= m)
+    assert(load == bits.toDouble / m)
+    assert(exp == load * load * load)
+    assert(rate == fp.toDouble / nProbe)
+    // measured FPR within binomial noise of the occupancy prediction:
+    // |rate − p³| ≤ 5·σ + 1/n (σ = sqrt(p³(1−p³)/n))
+    val sigma = math.sqrt(exp * (1 - exp) / nProbe)
+    assert(math.abs(rate - exp) <= 5 * sigma + 1.0 / nProbe,
+      s"measured $rate vs predicted $exp (σ=$sigma)")
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
