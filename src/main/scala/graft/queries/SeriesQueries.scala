@@ -925,7 +925,136 @@ object SeriesQueries {
       |    AS out_of_control
       |FROM m2, lim ORDER BY d""".stripMargin
 
+  // --------------------------------------------------------------- q300
+  /** STL-lite additive decomposition of daily revenue with Hyndman's
+    * trend/seasonal STRENGTH measures — the diagnostic that says whether
+    * a series is worth modeling with trend and/or weekly seasonality at
+    * all (q148 gives seasonal INDICES, q212 a weekday ANOVA; neither
+    * scores the decomposition). x = T + S + R with T the centered 7-day
+    * moving mean, S the weekday mean of the detrended series, R the
+    * remainder; then
+    *   F_trend    = max(0, 1 − Var(R)/Var(x−S))
+    *   F_seasonal = max(0, 1 − Var(R)/Var(x−T))
+    * Emits the 7 weekday seasonal components with the two strengths and
+    * variance ledger repeated.
+    *
+    * Exactness: daily revenue is exact integer CENTS; T and S are
+    * snapped to the 4-dp grid after ONE double division each, so
+    * detrended/remainder values are exact DECIMAL(16,4) arithmetic
+    * (16 digits holds daily cents to 1000× the sf0.1 fixture);
+    * every variance comes from exact decimal Σv and Σv² ((17,4)² =
+    * (35,8) products — inside both engines' 38-digit space) with the
+    * closing E[v²]−E[v]² chain in identical double ops. Weekday is
+    * epoch-day mod 7 (no cross-engine DOW convention).
+    *
+    * Scale shape: one map-combinable date agg to the daily census; the
+    * trend window and day grid live on the |days| census (global window
+    * — WindowGuardSpec pins it); the 7-row seasonal table broadcasts. */
+  def q300DecompositionStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("s7", sum(col("cents")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("t",
+        round(col("s7").cast("double") / col("c7").cast("double"), 4))
+      .withColumn("detr",
+        round(col("cents").cast("double") - col("t"), 4)
+          .cast("decimal(16,4)"))
+      .withColumn("wd",
+        pmod(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))),
+          lit(7)).cast("long"))
+    val seas = detr.groupBy(col("wd"))
+      .agg(round(sum(col("detr")).cast("double") /
+        count(lit(1)).cast("double"), 4).cast("decimal(16,4)").as("seasonal"))
+    val parts = detr.join(broadcast(seas), "wd")
+      .withColumn("resid", col("detr") - col("seasonal"))
+      .withColumn("xs",
+        col("cents").cast("decimal(16,4)") - col("seasonal"))
+    def varOf(c: String): (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) =
+      (sum(col(c)).cast("double"),
+        sum((col(c) * col(c)).cast("decimal(38,8)")).cast("double"))
+    val (sr, srr) = varOf("resid")
+    val (sd, sdd) = varOf("detr")
+    val (sx, sxx) = varOf("xs")
+    val n = count(lit(1)).cast("double")
+    val agg = parts.agg(
+      count(lit(1)).as("n_days"),
+      (srr / n - (sr / n) * (sr / n)).as("var_resid"),
+      (sdd / n - (sd / n) * (sd / n)).as("var_deseason_target"),
+      (sxx / n - (sx / n) * (sx / n)).as("var_detrend_target"))
+    seas.crossJoin(broadcast(agg))
+      .select(col("wd"), col("seasonal").cast("double").as("seasonal"),
+        col("n_days"), col("var_resid"),
+        col("var_deseason_target"), col("var_detrend_target"),
+        greatest(lit(0.0), lit(1.0) -
+          col("var_resid") / col("var_detrend_target")).as("f_trend"),
+        greatest(lit(0.0), lit(1.0) -
+          col("var_resid") / col("var_deseason_target")).as("f_seasonal"))
+      .orderBy("wd")
+  }
+
+  val q300Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT d, cents,
+      |    round(CAST(SUM(cents) OVER w AS DOUBLE)
+      |      / CAST(COUNT(*) OVER w AS DOUBLE), 4) AS t,
+      |    (d - DATE '1970-01-01') % 7 AS wd
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT d, cents, wd,
+      |    CAST(round(CAST(cents AS DOUBLE) - t, 4) AS DECIMAL(16,4))
+      |      AS detr
+      |  FROM tr),
+      |seas AS (
+      |  SELECT wd,
+      |    CAST(round(CAST(SUM(detr) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(16,4)) AS seasonal
+      |  FROM dt GROUP BY 1),
+      |parts AS (
+      |  SELECT dt.*, seas.seasonal,
+      |    dt.detr - seas.seasonal AS resid,
+      |    CAST(dt.cents AS DECIMAL(16,4)) - seas.seasonal AS xs
+      |  FROM dt JOIN seas USING (wd)),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_days,
+      |    CAST(SUM(CAST(resid AS DECIMAL(19,4))
+      |        * CAST(resid AS DECIMAL(19,4))) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(resid) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |        * (CAST(SUM(resid) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      AS var_resid,
+      |    CAST(SUM(CAST(detr AS DECIMAL(19,4))
+      |        * CAST(detr AS DECIMAL(19,4))) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |        * (CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      AS var_deseason_target,
+      |    CAST(SUM(CAST(xs AS DECIMAL(19,4))
+      |        * CAST(xs AS DECIMAL(19,4))) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |        * (CAST(SUM(xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      AS var_detrend_target
+      |  FROM parts)
+      |SELECT CAST(wd AS BIGINT) AS wd,
+      |  CAST(seasonal AS DOUBLE) AS seasonal, n_days, var_resid,
+      |  var_deseason_target, var_detrend_target,
+      |  GREATEST(0.0, 1.0 - var_resid / var_detrend_target) AS f_trend,
+      |  GREATEST(0.0, 1.0 - var_resid / var_deseason_target) AS f_seasonal
+      |FROM seas, agg ORDER BY wd""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_decomposition_strength" -> (q300DecompositionStrength _),
     "q293_imr_chart" -> (q293ImrChart _),
     "q288_max_drawdown" -> (q288MaxDrawdown _),
     "q276_mase_backtest" -> (q276MaseBacktest _),
@@ -1521,6 +1650,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q300_decomposition_strength" -> q300Sql,
     "q293_imr_chart" -> q293Sql,
     "q288_max_drawdown" -> q288Sql,
     "q276_mase_backtest" -> q276Sql,

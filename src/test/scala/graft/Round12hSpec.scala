@@ -250,6 +250,31 @@ class Round12hSpec extends AnyFunSuite {
       s"measured $rate vs predicted $exp (σ=$sigma)")
   }
 
+  test("q300: strengths in [0,1], variances positive, seasonal components near-centered") {
+    val rows = queries.SeriesQueries
+      .q300DecompositionStrength(spark, sfDir).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("wd")).sorted.sameElements(0L to 6L))
+    val r = rows.head
+    val fT = r.getAs[Double]("f_trend")
+    val fS = r.getAs[Double]("f_seasonal")
+    assert(fT >= 0.0 && fT <= 1.0)
+    assert(fS >= 0.0 && fS <= 1.0)
+    assert(r.getAs[Double]("var_resid") > 0.0)
+    assert(r.getAs[Double]("var_deseason_target") > 0.0)
+    assert(r.getAs[Double]("var_detrend_target") > 0.0)
+    // removing a component can only explain variance: Var(R) ≤ Var(x−T)
+    assert(r.getAs[Double]("var_resid") <=
+      r.getAs[Double]("var_deseason_target") + 1e-6)
+    // weekday means of the detrended series sum to ~0 (each is a mean
+    // of a near-partition of a near-zero-mean series; 4-dp snapping and
+    // unequal weekday counts leave only a small imbalance)
+    val sSum = rows.map(_.getAs[Double]("seasonal")).sum
+    val scale = rows.map(r0 => math.abs(r0.getAs[Double]("seasonal"))).max
+    assert(math.abs(sSum) <= math.max(7 * 0.0001, scale),
+      s"seasonal components sum $sSum vs scale $scale")
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
