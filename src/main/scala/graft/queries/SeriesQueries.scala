@@ -1053,7 +1053,77 @@ object SeriesQueries {
       |  GREATEST(0.0, 1.0 - var_resid / var_deseason_target) AS f_seasonal
       |FROM seas, agg ORDER BY wd""".stripMargin
 
+  // --------------------------------------------------------------- q301
+  /** Peak trailing-30-day revenue window per nation — the only query
+    * family member exercising a RANGE-mode window frame (every other
+    * window in the registry is ROWS-mode): the trailing sum must cover
+    * the last 30 CALENDAR days, not the last 30 observed rows, so days
+    * missing from a nation's history shrink the window's row count but
+    * not its time span. Emits, per nation, the day whose trailing-30-day
+    * revenue peaked, the peak amount, and how many active days the
+    * winning window actually contained.
+    *
+    * Exactness: all-integer cents; peak ties break by earliest day.
+    *
+    * Scale shape: dims broadcast into one date×nation map-combinable
+    * agg; both windows are PARTITIONED by nation over the daily census
+    * (never global, never fact-scale). Spark orders the range frame on
+    * the integer epoch-day (RangeFrame requires a numeric key); the
+    * oracle's `RANGE INTERVAL 29 DAY PRECEDING` over the date is the
+    * same day-span semantics. */
+  def q301PeakTrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Kpis.table(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val daily = Kpis.table(spark, dir, "orders")
+      .join(nat, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("ed",
+        datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("ed"))
+      .rangeBetween(-29, 0)
+    val tr = daily
+      .withColumn("trailing_cents", sum(col("cents")).over(w))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+    tr.withColumn("rn", row_number().over(Window.partitionBy(col("n_name"))
+        .orderBy(col("trailing_cents").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("n_name").as("nation"), col("d").as("peak_day"),
+        col("trailing_cents").as("peak_window_cents"),
+        col("days_in_window"))
+      .orderBy("nation")
+  }
+
+  val q301Sql: String =
+    """WITH daily AS (
+      |  SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT n_name, d, cents,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS trailing_cents,
+      |    COUNT(*) OVER w AS days_in_window
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY n_name ORDER BY d
+      |    RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)),
+      |pk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY n_name ORDER BY trailing_cents DESC, d) AS rn
+      |  FROM tr)
+      |SELECT n_name AS nation, d AS peak_day,
+      |  trailing_cents AS peak_window_cents, days_in_window
+      |FROM pk WHERE rn = 1 ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_peak_trailing_window" -> (q301PeakTrailingWindow _),
     "q300_decomposition_strength" -> (q300DecompositionStrength _),
     "q293_imr_chart" -> (q293ImrChart _),
     "q288_max_drawdown" -> (q288MaxDrawdown _),
@@ -1650,6 +1720,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q301_peak_trailing_window" -> q301Sql,
     "q300_decomposition_strength" -> q300Sql,
     "q293_imr_chart" -> q293Sql,
     "q288_max_drawdown" -> q288Sql,

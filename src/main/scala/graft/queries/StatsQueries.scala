@@ -1263,7 +1263,80 @@ object StatsQueries {
       |    AS share_reversed
       |FROM br, pp WHERE den > 0""".stripMargin
 
+  // --------------------------------------------------------------- q302
+  /** Median/MAD robust outlier screen over daily order counts — the
+    * robust-location member of the anomaly family (q105's z-scores use
+    * mean/σ, which an outlier itself inflates; median and MAD have 50%
+    * breakdown, so one crazy day cannot hide itself). Flags days with
+    * |x − median| > 3·1.4826·MAD (1.4826 ≈ the MAD→σ consistency
+    * constant for a normal core) and emits the one-row summary ledger:
+    * median, MAD, threshold, outlier count, worst deviation.
+    *
+    * Exactness: counts are integers; median and MAD are LOWER medians
+    * (the rank-⌈n/2⌉ order statistic — integer-valued, no midpoint
+    * averaging, so every intermediate stays in BIGINT space); the
+    * threshold is the single double chain 4.4478·MAD; the flag compares
+    * an integer deviation cast double against it, identically in both
+    * engines.
+    *
+    * Scale shape: one map-combinable date agg; the two median ranks run
+    * over the |days| census (global windows — WindowGuardSpec pins
+    * them); single-row output. */
+  def q302MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val n = df.count() // census-scale count, driver-side rank target
+      df.withColumn("rn",
+          row_number().over(Window.orderBy(col(c), col("d"))))
+        .filter(col("rn") === lit((n + 1) / 2))
+        .select(col(c).as("m"))
+    }
+    val med = lowerMedian(daily, "x")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("x") - col("m")))
+    val mad = lowerMedian(dev.select(col("d"), col("adev")), "adev")
+      .withColumnRenamed("m", "mad")
+    val thr = col("mad").cast("double") * lit(4.4478)
+    dev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("m")).as("median_daily"),
+        max(col("mad")).as("mad"),
+        max(thr).as("threshold"),
+        sum(when(col("adev").cast("double") > thr, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("adev")).as("max_abs_dev"))
+  }
+
+  val q302Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT x AS m FROM (
+      |    SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn FROM daily)
+      |  WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM daily)),
+      |dev AS (
+      |  SELECT d, x, m, ABS(x - m) AS adev FROM daily, med),
+      |mad AS (
+      |  SELECT adev AS mad FROM (
+      |    SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, d) AS rn
+      |    FROM dev)
+      |  WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM dev))
+      |SELECT COUNT(*) AS n_days,
+      |  CAST(MAX(m) AS BIGINT) AS median_daily,
+      |  CAST(MAX(mad) AS BIGINT) AS mad,
+      |  MAX(CAST(mad AS DOUBLE) * 4.4478) AS threshold,
+      |  CAST(SUM(CASE WHEN CAST(adev AS DOUBLE) >
+      |    CAST(mad AS DOUBLE) * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(MAX(adev) AS BIGINT) AS max_abs_dev
+      |FROM dev, mad""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_mad_outliers" -> (q302MadOutliers _),
     "q280_simpson_screen" -> (q280SimpsonScreen _),
     "q274_price_dispersion" -> (q274PriceDispersion _),
     "q271_negbin_fit" -> (q271NegbinFit _),
@@ -1284,6 +1357,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q302_mad_outliers" -> q302Sql,
     "q280_simpson_screen" -> q280Sql,
     "q274_price_dispersion" -> q274Sql,
     "q271_negbin_fit" -> q271Sql,

@@ -275,6 +275,59 @@ class Round12hSpec extends AnyFunSuite {
       s"seasonal components sum $sSum vs scale $scale")
   }
 
+  test("q301: one peak per nation; trailing window dominates the peak day itself") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SeriesQueries
+      .q301PeakTrailingWindow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nations = rows.map(_.getAs[String]("nation"))
+    assert(nations.distinct.length == nations.length)
+    rows.foreach { r =>
+      val win = r.getAs[Long]("days_in_window")
+      assert(win >= 1 && win <= 30)
+      assert(r.getAs[Long]("peak_window_cents") > 0)
+    }
+    // cross-check one nation against a brute-force recount
+    val n0 = nations.min
+    val daily = queries.Kpis.table(spark, sfDir, "orders")
+      .join(queries.Kpis.table(spark, sfDir, "customer")
+        .join(queries.Kpis.table(spark, sfDir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === n0)
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val brute = daily.map { case (ed, _) =>
+      daily.filter { case (e2, _) => e2 <= ed && e2 >= ed - 29 }
+        .map(_._2).sum
+    }.max
+    val got = rows.find(_.getAs[String]("nation") == n0).get
+      .getAs[Long]("peak_window_cents")
+    assert(got == brute, s"$n0: $got vs brute $brute")
+  }
+
+  test("q302: median/MAD ledger identities and robust-flag consistency") {
+    val r = queries.StatsQueries.q302MadOutliers(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_days")
+    val med = row.getAs[Long]("median_daily")
+    val mad = row.getAs[Long]("mad")
+    val thr = row.getAs[Double]("threshold")
+    val out = row.getAs[Long]("n_outliers")
+    val maxDev = row.getAs[Long]("max_abs_dev")
+    assert(n > 0 && med > 0 && mad >= 0)
+    assert(thr == mad.toDouble * 4.4478)
+    assert(out >= 0 && out <= n)
+    // at least half the days lie within one MAD of the median, by the
+    // defining property of the (lower) median of absolute deviations
+    assert(maxDev >= mad)
+    if (maxDev.toDouble <= thr) assert(out == 0)
+    else assert(out >= 1)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
