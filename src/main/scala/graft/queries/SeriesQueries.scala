@@ -1122,7 +1122,105 @@ object SeriesQueries {
       |  trailing_cents AS peak_window_cents, days_in_window
       |FROM pk WHERE rn = 1 ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------- q303
+  /** Order-3 permutation entropy of daily revenue — the ordinal-pattern
+    * complexity measure (Bandt–Pompe): every day's (xₜ, xₜ₊₁, xₜ₊₂)
+    * triple maps to one of 6 ordinal patterns (which of the 3! orderings
+    * the values realize, ties resolved by position — the standard stable
+    * convention), and the entropy of the pattern distribution says
+    * whether the series' TEMPORAL structure is trendy (few patterns
+    * dominate) or noise-like (all 6 equally likely). The existing
+    * entropy queries (q142 chars, q287 behavior) measure distributional
+    * diversity; this one measures dynamics — a series can have high
+    * value-entropy and near-zero permutation entropy (a staircase).
+    *
+    * Exactness: patterns come from integer comparisons on exact cents;
+    * the entropy is the ln9-grid weighted sum (the q137/q287
+    * convention), normalized by the 9-dp literal ln 3! = 1.791759469;
+    * the dominant-pattern share is one integer division.
+    *
+    * Scale shape: one date agg; lead() and the pattern census live on
+    * the |days| census (global window — WindowGuardSpec pins it);
+    * ≤6-row output. */
+  def q303PermutationEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactMath.ln9
+    val daily = Kpis.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val w = Window.orderBy(col("d"))
+    val triples = daily
+      .withColumn("x2", lead(col("x"), 1).over(w))
+      .withColumn("x3", lead(col("x"), 2).over(w))
+      .filter(col("x3").isNotNull)
+    // stable ordinal pattern: position i precedes j>i iff x_i <= x_j
+    val a = col("x") <= col("x2")   // 1 before 2
+    val b = col("x2") <= col("x3")  // 2 before 3
+    val c = col("x") <= col("x3")   // 1 before 3
+    val pattern = when(a && b, "123")
+      .when(a && !b && c, "132")
+      .when(!a && b && c, "213")
+      .when(a && !b && !c, "312")
+      .when(!a && b && !c, "231")
+      .otherwise("321") // !a && !b (⇒ !c)
+    val census = triples.groupBy(pattern.as("pattern"))
+      .agg(count(lit(1)).as("n_triples"))
+    val tot = census.agg(sum(col("n_triples")).as("n"),
+      max(col("n_triples")).as("top"))
+    val h = census.crossJoin(broadcast(tot))
+      .select((ln9(col("n").cast("double") / col("n_triples").cast("double"))
+        * col("n_triples")).as("hw"), col("n"), col("top"))
+      .groupBy(col("n"), col("top"))
+      .agg((round(sum(col("hw")).cast("double") / col("n").cast("double"), 6)
+        + lit(0.0)).as("pe_nats"))
+      .select(col("n"), col("top"), col("pe_nats"),
+        (col("pe_nats") / lit(1.791759469)).as("pe_normalized"),
+        (col("top").cast("double") / col("n").cast("double"))
+          .as("dominant_share"))
+    census.crossJoin(broadcast(h))
+      .select(col("pattern"), col("n_triples"), col("n").as("n_windows"),
+        col("pe_nats"), col("pe_normalized"), col("dominant_share"))
+      .orderBy("pattern")
+  }
+
+  val q303Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT x, LEAD(x, 1) OVER (ORDER BY d) AS x2,
+      |    LEAD(x, 2) OVER (ORDER BY d) AS x3
+      |  FROM daily),
+      |pat AS (
+      |  SELECT CASE
+      |    WHEN x <= x2 AND x2 <= x3 THEN '123'
+      |    WHEN x <= x2 AND NOT x2 <= x3 AND x <= x3 THEN '132'
+      |    WHEN NOT x <= x2 AND x2 <= x3 AND x <= x3 THEN '213'
+      |    WHEN x <= x2 AND NOT x2 <= x3 AND NOT x <= x3 THEN '312'
+      |    WHEN NOT x <= x2 AND x2 <= x3 AND NOT x <= x3 THEN '231'
+      |    ELSE '321' END AS pattern
+      |  FROM tr WHERE x3 IS NOT NULL),
+      |census AS (
+      |  SELECT pattern, COUNT(*) AS n_triples FROM pat GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_triples) AS BIGINT) AS n,
+      |    CAST(MAX(n_triples) AS BIGINT) AS top
+      |  FROM census),
+      |h AS (
+      |  SELECT n, top,
+      |    round(CAST(SUM(CAST(round(ln(CAST(n AS DOUBLE)
+      |        / CAST(n_triples AS DOUBLE)), 9) AS DECIMAL(12,9))
+      |      * n_triples) AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+      |      AS pe_nats
+      |  FROM census, tot GROUP BY 1, 2)
+      |SELECT pattern, n_triples, n AS n_windows, pe_nats,
+      |  pe_nats / 1.791759469 AS pe_normalized,
+      |  CAST(top AS DOUBLE) / CAST(n AS DOUBLE) AS dominant_share
+      |FROM census, h ORDER BY pattern""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_permutation_entropy" -> (q303PermutationEntropy _),
     "q301_peak_trailing_window" -> (q301PeakTrailingWindow _),
     "q300_decomposition_strength" -> (q300DecompositionStrength _),
     "q293_imr_chart" -> (q293ImrChart _),
@@ -1720,6 +1818,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q303_permutation_entropy" -> q303Sql,
     "q301_peak_trailing_window" -> q301Sql,
     "q300_decomposition_strength" -> q300Sql,
     "q293_imr_chart" -> q293Sql,

@@ -328,6 +328,23 @@ class Round12hSpec extends AnyFunSuite {
     else assert(out >= 1)
   }
 
+  test("q303: pattern census closes; entropy within [0, ln 6]; shares consistent") {
+    val rows = queries.SeriesQueries
+      .q303PermutationEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val pats = rows.map(_.getAs[String]("pattern"))
+    assert(pats.toSet.subsetOf(
+      Set("123", "132", "213", "231", "312", "321")))
+    val n = rows.head.getAs[Long]("n_windows")
+    assert(rows.map(_.getAs[Long]("n_triples")).sum == n)
+    val pe = rows.head.getAs[Double]("pe_nats")
+    assert(pe >= 0.0 && pe <= math.log(6.0) + 1e-6)
+    val norm = rows.head.getAs[Double]("pe_normalized")
+    assert(math.abs(norm - pe / 1.791759469) < 1e-12)
+    val top = rows.map(_.getAs[Long]("n_triples")).max
+    assert(rows.head.getAs[Double]("dominant_share") == top.toDouble / n)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()

@@ -124,5 +124,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q293_imr_chart",        // daily order-count census: |distinct days|
     "q296_ndcg_at10",        // matched-doc rank frames (both windows)
     "q300_decomposition_strength", // daily-revenue census: |distinct days|
-    "q302_mad_outliers")     // daily census median ranks: |distinct days|
+    "q302_mad_outliers",     // daily census median ranks: |distinct days|
+    "q303_permutation_entropy") // daily census lead(): |distinct days|
 }
