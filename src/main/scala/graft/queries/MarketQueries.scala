@@ -980,7 +980,104 @@ object MarketQueries {
       |WHERE a.yr = 1995
       |ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------- q304
+  /** Laspeyres / Paasche / Fisher price indices, 1996 → 1997 — the
+    * index-number answer to "did PRICES move, or did the MIX move":
+    * q252's revenue bridge decomposes a revenue delta additively; a
+    * price index weights per-part price relatives by a fixed basket
+    * (base-year quantities for Laspeyres, current-year for Paasche,
+    * their geometric mean for Fisher — the "ideal" index that cancels
+    * the two weightings' opposite biases). Computed over the parts
+    * traded in BOTH years.
+    *
+    * Exactness: per-part unit price = round(Σ extprice / Σ qty, 9)
+    * snapped to DECIMAL(18,9). The 9-dp grid is LOAD-BEARING: a 4-dp
+    * snap measurably diverged (5 parts at sf0.01) because 4-dp-scale
+    * extprice over small integer quantities often terminates EXACTLY on
+    * a 4-dp half boundary (94420.18/16 = 5901.26125), where Spark's
+    * exact-decimal HALF_UP and DuckDB's double-space rounding disagree;
+    * at 9 dp no ext/qty quotient can terminate on a boundary (qty ≤ 50
+    * ⇒ ≤5 extra decimal digits ⇒ ≤9 total, never the 10 a boundary
+    * needs). Quantities are exact integer-valued sums cast DECIMAL(18,4);
+    * all four basket sums are exact decimal Σ p·q; each index is ONE
+    * closing double division, and Fisher's sqrt(L·P) is safe
+    * cross-engine because IEEE-754 sqrt is correctly rounded (unlike
+    * pow/log — this is the only sqrt-of-product emitted anywhere
+    * without snapping).
+    *
+    * Scale shape: one (year, part) shuffle with map-side partial sums,
+    * a part-keyed self-join of two year slices (both sides already
+    * collapsed to the part grain), and a scalar agg. */
+  def q304PriceIndices(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(Kpis.table(spark, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+        .filter(col("yr").isin(1996, 1997)),
+        col("l_orderkey") === col("o_orderkey"))
+    val byYear = li.groupBy(col("l_partkey"), col("yr"))
+      .agg(sum(col("l_quantity")).as("qty_d"),
+        sum((col("l_extendedprice")).cast("decimal(18,4)")).as("ext"))
+      .select(col("l_partkey"), col("yr"),
+        col("qty_d").cast("decimal(18,4)").as("q"),
+        round(col("ext").cast("double") / col("qty_d"), 9)
+          .cast("decimal(18,9)").as("p"))
+    val base = byYear.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("q").as("q0"), col("p").as("p0"))
+    val cur = byYear.filter(col("yr") === 1997)
+      .select(col("l_partkey").as("pk1"), col("q").as("q1"),
+        col("p").as("p1"))
+    val joined = base.join(cur, col("l_partkey") === col("pk1"))
+    val agg = joined.agg(
+      count(lit(1)).as("n_parts"),
+      sum(col("p1") * col("q0")).cast("double").as("l_num"),
+      sum(col("p0") * col("q0")).cast("double").as("l_den"),
+      sum(col("p1") * col("q1")).cast("double").as("p_num"),
+      sum(col("p0") * col("q1")).cast("double").as("p_den"))
+    agg.select(col("n_parts"),
+      (col("l_num") / col("l_den")).as("laspeyres"),
+      (col("p_num") / col("p_den")).as("paasche"),
+      sqrt((col("l_num") / col("l_den")) * (col("p_num") / col("p_den")))
+        .as("fisher"))
+  }
+
+  val q304Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice,
+      |    year(o_orderdate) AS yr
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)),
+      |by_year AS (
+      |  SELECT l_partkey, yr,
+      |    CAST(SUM(l_quantity) AS DECIMAL(18,4)) AS q,
+      |    CAST(round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |        AS VARCHAR) AS DOUBLE) / SUM(l_quantity), 9)
+      |      AS DECIMAL(18,9)) AS p
+      |  FROM li GROUP BY 1, 2),
+      |j AS (
+      |  SELECT b.l_partkey, b.q AS q0, b.p AS p0, c.q AS q1, c.p AS p1
+      |  FROM (SELECT * FROM by_year WHERE yr = 1996) b
+      |  JOIN (SELECT * FROM by_year WHERE yr = 1997) c USING (l_partkey)),
+      |s AS (
+      |  SELECT COUNT(*) AS n_parts,
+      |    CAST(CAST(SUM(CAST(p1 AS DECIMAL(19,9)) * CAST(q0 AS DECIMAL(19,4)))
+      |      AS VARCHAR) AS DOUBLE) AS l_num,
+      |    CAST(CAST(SUM(CAST(p0 AS DECIMAL(19,9)) * CAST(q0 AS DECIMAL(19,4)))
+      |      AS VARCHAR) AS DOUBLE) AS l_den,
+      |    CAST(CAST(SUM(CAST(p1 AS DECIMAL(19,9)) * CAST(q1 AS DECIMAL(19,4)))
+      |      AS VARCHAR) AS DOUBLE) AS p_num,
+      |    CAST(CAST(SUM(CAST(p0 AS DECIMAL(19,9)) * CAST(q1 AS DECIMAL(19,4)))
+      |      AS VARCHAR) AS DOUBLE) AS p_den
+      |  FROM j)
+      |SELECT n_parts,
+      |  l_num / l_den AS laspeyres,
+      |  p_num / p_den AS paasche,
+      |  sqrt((l_num / l_den) * (p_num / p_den)) AS fisher
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_price_indices" -> (q304PriceIndices _),
     "q273_nation_cagr" -> (q273NationCagr _),
     "q267_diversity_profile" -> (q267DiversityProfile _),
     "q256_theil_decomposition" -> (q256TheilDecomposition _),
@@ -1218,6 +1315,7 @@ object MarketQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q304_price_indices" -> q304Sql,
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,
     "q139_rfm_segments" -> q139Sql,

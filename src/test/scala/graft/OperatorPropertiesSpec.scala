@@ -262,4 +262,62 @@ class OperatorPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+  test("jaro-winkler matches an independent sequential model on random strings") {
+    // independent reference: a direct transcription of the classic
+    // Winkler algorithm (match window, greedy first-unclaimed matching,
+    // floor-halved transpositions, 0.7-gated 4-cap prefix boost) written
+    // against plain Strings — no UTF8String machinery shared with the
+    // expression under test
+    def refJaro(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 || l2 == 0) return 0.0
+      val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val m2 = Array.fill(l2)(false)
+      val matched1 = Array.fill(l1)(false)
+      var m = 0
+      for (i <- 0 until l1) {
+        val hi = math.min(l2, i + win + 1)
+        var j = math.max(0, i - win)
+        var hit = false
+        while (j < hi && !hit) {
+          if (!m2(j) && s1(i) == s2(j)) {
+            m2(j) = true; matched1(i) = true; m += 1; hit = true
+          }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var (t, k) = (0, 0)
+      for (i <- 0 until l1 if matched1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) t += 1
+        k += 1
+      }
+      (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2).toDouble / m) / 3.0
+    }
+    def refJw(s1: String, s2: String): Double = {
+      val j = refJaro(s1, s2)
+      if (j <= 0.7) j
+      else {
+        val l = s1.zip(s2).take(4).takeWhile { case (a, b) => a == b }.size
+        j + 0.1 * l * (1.0 - j)
+      }
+    }
+    import org.apache.spark.sql.graft.JaroWinklerImpl
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val gen = for {
+      n1 <- Gen.choose(0, 14)
+      n2 <- Gen.choose(0, 14)
+      a <- Gen.stringOfN(n1, Gen.oneOf('a', 'b', 'c', 'd', ' '))
+      b <- Gen.stringOfN(n2, Gen.oneOf('a', 'b', 'c', 'd', ' '))
+    } yield (a, b)
+    (1L to 800L).foreach { seed =>
+      val (a, b) = sample(gen, seed)
+      val got = JaroWinklerImpl.jw(u(a), u(b))
+      val want = refJw(a, b)
+      assert(got == want, s"seed $seed: jw('$a','$b') = $got, ref $want")
+      assert(got == JaroWinklerImpl.jw(u(b), u(a)), s"seed $seed asymmetric")
+      assert(got >= 0.0 && got <= 1.0)
+    }
+  }
 }

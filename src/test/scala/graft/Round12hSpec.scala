@@ -345,6 +345,20 @@ class Round12hSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("dominant_share") == top.toDouble / n)
   }
 
+  test("q304: index identities — Fisher is the geometric mean, all positive") {
+    val r = queries.MarketQueries.q304PriceIndices(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val l = row.getAs[Double]("laspeyres")
+    val p = row.getAs[Double]("paasche")
+    val f = row.getAs[Double]("fisher")
+    assert(row.getAs[Long]("n_parts") > 0)
+    assert(l > 0 && p > 0 && f > 0)
+    assert(f == math.sqrt(l * p))
+    // Fisher lies between its two factor indices
+    assert(f >= math.min(l, p) - 1e-12 && f <= math.max(l, p) + 1e-12)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
