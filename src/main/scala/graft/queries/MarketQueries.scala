@@ -1076,7 +1076,189 @@ object MarketQueries {
       |  sqrt((l_num / l_den) * (p_num / p_den)) AS fisher
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q305
+  /** 4-4-5 fiscal-calendar revenue rollup — retail/finance close their
+    * books on a 4-4-5 week grid (periods of 4, 4, then 5 whole weeks per
+    * quarter), not calendar months, because it makes every period
+    * contain a whole number of weekends and period-over-period comps
+    * weekday-aligned. Fiscal years start Feb 1 (a fixture literal); each
+    * order date maps to (fiscal_year, period 1–12) by pure integer
+    * day/week arithmetic — the 53rd week of long fiscal years rolls into
+    * period 12, the standard convention. No engine calendar functions
+    * beyond year()/make_date, so there is no DOW/week-numbering
+    * convention to disagree on.
+    *
+    * Exactness: all-integer date math and cents sums; one closing
+    * division for period share.
+    *
+    * Scale shape: pure map-side expression then one (fy, period) agg —
+    * zero extra shuffles, ≤ 12·|years| output rows. */
+  def q305Fiscal445(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val febStart = make_date(year(d), lit(2), lit(1))
+    val fyStart = when(d >= febStart, febStart)
+      .otherwise(make_date(year(d) - 1, lit(2), lit(1)))
+    // Column `/` is true division — week/period arithmetic must stay on
+    // the integer grid, hence the explicit floor()s
+    val week = least(
+      floor(datediff(d, fyStart).cast("long") / lit(7L)).cast("long") + 1L,
+      lit(52L)) // 53rd week rolls into the final period
+    val wq = (week - 1L) % 13L
+    val periodInQ = when(wq < 4L, 1L).when(wq < 8L, 2L).otherwise(3L)
+    val period =
+      floor((week - 1L) / lit(13L)).cast("long") * 3L + periodInQ
+    val grouped = Kpis.table(spark, dir, "orders")
+      .select(year(fyStart).cast("long").as("fy"), period.as("period"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("fy"), col("period"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val fyTot = grouped.groupBy(col("fy").as("fy2"))
+      .agg(sum(col("cents")).as("fy_cents"))
+    grouped.join(broadcast(fyTot), col("fy") === col("fy2"))
+      .select(col("fy"), col("period"), col("n_orders"), col("cents"),
+        (col("cents").cast("double") / col("fy_cents").cast("double"))
+          .as("fy_share"))
+      .orderBy("fy", "period")
+  }
+
+  val q305Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |fy AS (
+      |  SELECT d, cents,
+      |    CASE WHEN d >= make_date(year(d), 2, 1)
+      |      THEN make_date(year(d), 2, 1)
+      |      ELSE make_date(year(d) - 1, 2, 1) END AS fy_start
+      |  FROM base),
+      |wk AS (
+      |  SELECT cents, CAST(year(fy_start) AS BIGINT) AS fy,
+      |    LEAST(CAST(d - fy_start AS BIGINT) // 7 + 1, 52) AS week
+      |  FROM fy),
+      |per AS (
+      |  SELECT cents, fy,
+      |    ((week - 1) // 13) * 3 +
+      |      (CASE WHEN (week - 1) % 13 < 4 THEN 1
+      |            WHEN (week - 1) % 13 < 8 THEN 2 ELSE 3 END) AS period
+      |  FROM wk),
+      |g AS (
+      |  SELECT fy, CAST(period AS BIGINT) AS period,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM per GROUP BY 1, 2),
+      |t AS (SELECT fy, CAST(SUM(cents) AS BIGINT) AS fy_cents
+      |  FROM g GROUP BY 1)
+      |SELECT g.fy, g.period, g.n_orders, g.cents,
+      |  CAST(g.cents AS DOUBLE) / CAST(t.fy_cents AS DOUBLE) AS fy_share
+      |FROM g JOIN t USING (fy) ORDER BY fy, period""".stripMargin
+
+  // --------------------------------------------------------------- q306
+  /** ABC-XYZ inventory matrix — the standard two-axis stocking policy
+    * grid: ABC slices parts by cumulative revenue share (q215's exact
+    * integer-space running sum, same 80/95 cuts), XYZ by demand
+    * VARIABILITY — coefficient of variation of monthly shipped quantity
+    * over the full month span, zero months counted — cut at cv
+    * TERCILES rather than the textbook 0.5/1.0 absolutes (on a sparse
+    * order grid every part's cv exceeds 1.5 and fixed cuts degenerate
+    * to all-Z; measured at sf0.01 before switching). The 3×3 census is
+    * what stocking policy reads: AX = automate replenishment, CZ =
+    * stock-to-order.
+    *
+    * Exactness: revenue in integer tenth-of-cents (q215's convention);
+    * cv = √(M·Σq² − (Σq)²) / Σq with every operand an exact BIGINT —
+    * one IEEE sqrt (correctly rounded) and one division; the tercile
+    * NTILE orders by (cv, partkey) — identical doubles in, identical
+    * tiles out.
+    *
+    * Scale shape: two part-keyed map-combinable aggs + the RangeRank
+    * running sum over the parts census; 9-cell output. */
+  def q306AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("decimal(18,4)") * lit(10000))
+        .cast("long").as("rt"))
+    val total = perPart.agg(sum(col("rt")).as("total"))
+    val abc = graft.operators.RangeRank
+      .withRunningSum(perPart, col("rt"), "cum",
+        Seq(col("rt").desc, col("l_partkey")))
+      .crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("rt"),
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C").as("abc_class"),
+        col("total"))
+    val monthly = li
+      .groupBy(col("l_partkey"), trunc(to_date(col("l_shipdate")), "month")
+        .as("m"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val nm = monthly.select(col("m")).distinct()
+      .agg(count(lit(1)).as("nm"))
+    val cvNum = sqrt((col("nm") * col("sq2") - col("sq") * col("sq"))
+      .cast("double"))
+    val xyz = monthly.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sq2"))
+      .crossJoin(broadcast(nm))
+      .select(col("pk"), (cvNum / col("sq").cast("double")).as("cv"))
+      .withColumn("t", ntile(3).over(Window.orderBy(col("cv"), col("pk"))))
+      .select(col("pk"),
+        when(col("t") === 1, "X").when(col("t") === 2, "Y")
+          .otherwise("Z").as("xyz_class"))
+    abc.join(xyz, col("l_partkey") === col("pk"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("rt")).cast("double") / max(col("total")).cast("double"))
+          .as("revenue_share"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  val q306Sql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rt
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rt) AS BIGINT) AS total FROM per_part),
+      |abc AS (
+      |  SELECT l_partkey, rt,
+      |    CAST(SUM(rt) OVER (ORDER BY rt DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM per_part),
+      |cls AS (
+      |  SELECT l_partkey, rt,
+      |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |         WHEN cum * 100 <= total * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM abc, tot),
+      |mon AS (
+      |  SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE))
+      |      AS m,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |mm AS (SELECT COUNT(DISTINCT m) AS nm FROM mon),
+      |cv AS (
+      |  SELECT l_partkey,
+      |    sqrt(CAST(nm * sq2 - sq * sq AS DOUBLE))
+      |      / CAST(sq AS DOUBLE) AS cv
+      |  FROM (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS sq,
+      |          CAST(SUM(q * q) AS BIGINT) AS sq2
+      |        FROM mon GROUP BY 1), mm),
+      |xyz AS (
+      |  SELECT l_partkey,
+      |    CASE t WHEN 1 THEN 'X' WHEN 2 THEN 'Y' ELSE 'Z' END
+      |      AS xyz_class
+      |  FROM (SELECT l_partkey,
+      |          NTILE(3) OVER (ORDER BY cv, l_partkey) AS t
+      |        FROM cv))
+      |SELECT abc_class, xyz_class, COUNT(*) AS n_parts,
+      |  CAST(SUM(rt) AS DOUBLE) / CAST(MAX(tot.total) AS DOUBLE)
+      |    AS revenue_share
+      |FROM cls JOIN xyz USING (l_partkey), tot
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_fiscal_445" -> (q305Fiscal445 _),
+    "q306_abc_xyz" -> (q306AbcXyz _),
     "q304_price_indices" -> (q304PriceIndices _),
     "q273_nation_cagr" -> (q273NationCagr _),
     "q267_diversity_profile" -> (q267DiversityProfile _),
@@ -1315,6 +1497,8 @@ object MarketQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q305_fiscal_445" -> q305Sql,
+    "q306_abc_xyz" -> q306Sql,
     "q304_price_indices" -> q304Sql,
     "q135_ohlc_hourly" -> q135Sql,
     "q136_twap_value" -> q136Sql,

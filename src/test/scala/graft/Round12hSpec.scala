@@ -359,6 +359,41 @@ class Round12hSpec extends AnyFunSuite {
     assert(f >= math.min(l, p) - 1e-12 && f <= math.max(l, p) + 1e-12)
   }
 
+  test("q305: periods in 1..12, fiscal-year shares close to 1, orders conserved") {
+    val rows = queries.MarketQueries.q305Fiscal445(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("period")
+      assert(p >= 1 && p <= 12, s"period $p out of the 4-4-5 grid")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+    rows.groupBy(_.getAs[Long]("fy")).foreach { case (fy, g) =>
+      val share = g.map(_.getAs[Double]("fy_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"FY$fy shares sum to $share")
+    }
+    val totalOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    val expected = queries.Kpis.table(spark, sfDir, "orders").count()
+    assert(totalOrders == expected)
+  }
+
+  test("q306: 3x3 grid closes; revenue shares sum to 1; ABC dominance order") {
+    val rows = queries.MarketQueries.q306AbcXyz(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val share = rows.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9, s"shares sum to $share")
+    val byAbc = rows.groupBy(_.getAs[String]("abc_class"))
+      .view.mapValues(_.map(_.getAs[Double]("revenue_share")).sum).toMap
+    // the 80/95 cuts mean A-revenue >= B-revenue >= C-revenue
+    assert(byAbc.getOrElse("A", 0.0) >= byAbc.getOrElse("B", 0.0))
+    assert(byAbc.getOrElse("B", 0.0) >= byAbc.getOrElse("C", 0.0))
+    // terciles balance part counts within ±1 per tier
+    val byXyz = rows.groupBy(_.getAs[String]("xyz_class"))
+      .view.mapValues(_.map(_.getAs[Long]("n_parts")).sum).toMap
+    val counts = byXyz.values.toSeq
+    assert(counts.max - counts.min <= 1,
+      s"terciles unbalanced: $byXyz")
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
