@@ -267,7 +267,109 @@ object SplitQueries {
       |    6) + 0.0 AS oov_type_rate
       |FROM s, v""".stripMargin
 
+  // --------------------------------------------------------------- q307
+  /** Data-mixture WATER-FILLING allocation: distribute a training-token
+    * budget (90% of corpus chars, the char count standing in for
+    * tokens) across sources proportionally to desired mix weights,
+    * respecting each source's availability cap — when a high-weight
+    * source runs out, its unmet demand REDISTRIBUTES to the uncapped
+    * sources, again by weight. This is the allocation step every LLM
+    * data-mixture recipe runs after q52 (sampling) and q57 (quotas):
+    * those enforce a mixture; this COMPUTES the feasible mixture when
+    * availability binds. Desired weights are the deterministic
+    * (source index mod 4)+1 grid so caps actually bind at fixture
+    * scale.
+    *
+    * Five redistribution rounds are unrolled in BOTH engines (the
+    * classical algorithm converges when no new source caps; the
+    * fixtures converge in <= 4 rounds, measured per scale factor, and
+    * the final allocation is least(share, available) so any deeper
+    * non-convergence stays feasible and auditable via the capped
+    * flag — Round12hSpec certifies feasibility and budget closure). ALL arithmetic is integer (floor-div shares;
+    * remainders stay in `unallocated`), so the ledger is bit-exact.
+    *
+    * Scale shape: one source-keyed map-combinable agg; everything after
+    * runs on the |sources| census via broadcast scalars. */
+  def q307WaterFilling(spark: SparkSession, dir: String): DataFrame = {
+    val av = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("a"))
+      .withColumn("w",
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4L) + 1L)
+    val t0 = av.agg(expr("(sum(a) * 9) div 10").as("t"),
+      sum(col("w")).as("sw1"))
+    // round 1 seeds the iteration; rounds 2..5 redistribute the budget
+    // freed by newly capped sources (5 rounds: the fixtures converge in
+    // <= 4, measured; the least() on the final allocation makes any
+    // deeper non-convergence safe-by-construction and auditable via the
+    // capped flag)
+    var cur = av.crossJoin(broadcast(t0))
+      .withColumn("b1", col("t"))
+      .withColumn("share1", expr("(b1 * w) div sw1"))
+      .withColumn("cap1", col("share1") >= col("a"))
+    for (r <- 2 to 5) {
+      val (pb, pc, ps) = (s"b${r - 1}", s"cap${r - 1}", s"sw${r - 1}")
+      val stats = cur.agg(
+        sum(when(col(pc), col("a")).otherwise(0L)).as(s"capA$r"),
+        sum(when(col(pc), 0L).otherwise(col("w"))).as(s"sw$r"))
+      cur = cur.crossJoin(broadcast(stats))
+        .withColumn(s"b$r", col("t") - col(s"capA$r"))
+        .withColumn(s"share$r", expr(s"(b$r * w) div sw$r"))
+        .withColumn(s"cap$r", col(pc) || col(s"share$r") >= col("a"))
+    }
+    val r5 = cur.withColumn("alloc",
+      when(col("cap5"), col("a")).otherwise(least(col("share5"), col("a"))))
+    val tot = r5.agg((max(col("t")) - sum(col("alloc"))).as("unallocated"))
+    r5.crossJoin(broadcast(tot))
+      .select(col("source"), col("w").as("weight"), col("a").as("available"),
+        col("alloc").as("allocated"), col("cap5").as("capped"),
+        col("t").as("target_budget"), col("unallocated"))
+      .orderBy("source")
+  }
+
+  val q307Sql: String = {
+    val rounds = (2 to 5).map { r =>
+      val (pr, pc) = (r - 1, s"cap${r - 1}")
+      s"""s$r AS (
+         |  SELECT CAST(SUM(CASE WHEN $pc THEN a ELSE 0 END) AS BIGINT)
+         |      AS capA$r,
+         |    CAST(SUM(CASE WHEN $pc THEN 0 ELSE w END) AS BIGINT) AS sw$r
+         |  FROM r$pr),
+         |r$r AS (
+         |  SELECT r$pr.*, t - capA$r AS b$r,
+         |    ((t - capA$r) * w) // sw$r AS share$r,
+         |    $pc OR ((t - capA$r) * w) // sw$r >= a AS cap$r
+         |  FROM r$pr, s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH av AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a,
+      |    (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) + 1
+      |      AS w
+      |  FROM documents GROUP BY 1),
+      |t0 AS (
+      |  SELECT CAST((SUM(a) * 9) // 10 AS BIGINT) AS t,
+      |    CAST(SUM(w) AS BIGINT) AS sw1
+      |  FROM av),
+      |r1 AS (
+      |  SELECT av.*, t, t AS b1, (t * w) // sw1 AS share1,
+      |    (t * w) // sw1 >= a AS cap1
+      |  FROM av, t0),
+      |$rounds,
+      |fin AS (
+      |  SELECT r5.*,
+      |    CASE WHEN cap5 THEN a ELSE LEAST(share5, a) END AS alloc
+      |  FROM r5),
+      |tot AS (
+      |  SELECT CAST(MAX(t) - SUM(alloc) AS BIGINT) AS unallocated
+      |  FROM fin)
+      |SELECT source, w AS weight, a AS available,
+      |  CAST(alloc AS BIGINT) AS allocated, cap5 AS capped,
+      |  t AS target_budget, unallocated
+      |FROM fin, tot ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_water_filling" -> (q307WaterFilling _),
     "q217_oov_rate" -> (q217OovRate _),
     "q52_mixture_sample" -> q52MixtureSample _,
     "q181_split_leakage" -> (q181SplitLeakage _),
@@ -286,6 +388,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q307_water_filling" -> q307Sql,
     "q217_oov_rate" -> q217Sql,
     "q52_mixture_sample" -> q52Sql,
     "q181_split_leakage" -> q181Sql,

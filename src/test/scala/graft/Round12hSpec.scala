@@ -394,6 +394,30 @@ class Round12hSpec extends AnyFunSuite {
       s"terciles unbalanced: $byXyz")
   }
 
+  test("q307: water-filling ledger — feasibility, budget closure, cap stability") {
+    val rows = queries.SplitQueries.q307WaterFilling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = rows.head.getAs[Long]("target_budget")
+    val un = rows.head.getAs[Long]("unallocated")
+    var allocSum = 0L
+    rows.foreach { r =>
+      val a = r.getAs[Long]("available")
+      val alloc = r.getAs[Long]("allocated")
+      assert(alloc >= 0 && alloc <= a, s"${r.getAs[String]("source")}")
+      if (r.getAs[Boolean]("capped")) assert(alloc == a)
+      allocSum += alloc
+    }
+    // budget closes exactly: allocated + unallocated remainder = target
+    assert(allocSum + un == t, s"$allocSum + $un != $t")
+    assert(un >= 0 && un < rows.length.toLong * 2,
+      s"remainder $un exceeds the floor-division slack bound")
+    // convergence: re-running one more round caps nothing new — every
+    // uncapped source's allocation is strictly under its availability
+    rows.filter(!_.getAs[Boolean]("capped")).foreach { r =>
+      assert(r.getAs[Long]("allocated") < r.getAs[Long]("available"))
+    }
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
