@@ -211,12 +211,82 @@ object LmQueries {
       |    AS token_loss_share
       |FROM u ORDER BY context_len""".stripMargin
 
+  // --------------------------------------------------------------- q308
+  /** BPE first-merge table: the top-20 adjacent symbol pairs over the
+    * end-of-word-marked character alphabet, weighted by word frequency —
+    * EXACTLY the statistic byte-pair-encoding tokenizer training
+    * computes to pick its first merge (Sennrich et al.'s algorithm,
+    * iteration 1). The corpus collapses to the word census first, so
+    * pair counting is O(|vocab|·word-length), not O(corpus) — the same
+    * trick real BPE trainers use — and the `</w>` marker keeps
+    * word-final pairs distinct from word-internal ones (the "er" in
+    * "her·" vs "herd"). Subsequent merge iterations re-run this count
+    * over re-segmented words; the first table is the certifiable
+    * distributed kernel.
+    *
+    * Exactness: all-integer counts; rank ties break lexicographically.
+    *
+    * Scale shape: one token shuffle to the word census, a per-word
+    * array expansion (≤ word-length pairs), one map-combinable pair
+    * agg; the rank window runs over the alphabet² pair census
+    * (WindowGuardSpec pins it). */
+  def q308BpeFirstMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val pairs = words.select(col("f"), explode(expr(
+      """concat(
+        |  case when length(w) < 2
+        |       then cast(array() as array<struct<a:string,b:string>>)
+        |       else transform(sequence(1, length(w) - 1),
+        |         i -> struct(substring(w, i, 1) as a,
+        |                     substring(w, i + 1, 1) as b)) end,
+        |  array(struct(substring(w, length(w), 1) as a,
+        |               '</w>' as b)))""".stripMargin)).as("pr"))
+      .select(col("pr.a").as("left_sym"), col("pr.b").as("right_sym"),
+        col("f"))
+    import org.apache.spark.sql.expressions.Window
+    pairs.groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("f")).as("pair_count"))
+      .withColumn("merge_rank", row_number().over(Window.orderBy(
+        col("pair_count").desc, col("left_sym"), col("right_sym"))))
+      .filter(col("merge_rank") <= 20)
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  val q308Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |words AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY 1),
+      |prs AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+      |    substr(w, CAST(i AS INTEGER) + 1, 1) AS b, f
+      |  FROM words, UNNEST(range(1, length(w))) AS t(i)
+      |  UNION ALL
+      |  SELECT substr(w, length(w), 1), '</w>', f FROM words),
+      |pc AS (
+      |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS pair_count
+      |  FROM prs GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    ORDER BY pair_count DESC, a, b) AS merge_rank
+      |  FROM pc)
+      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, a AS left_sym,
+      |  b AS right_sym, pair_count
+      |FROM rk WHERE merge_rank <= 20 ORDER BY merge_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_bpe_first_merges" -> (q308BpeFirstMerges _),
     "q236_context_overflow" -> (q236ContextOverflow _),
     "q59_unigram_nll" -> (q59UnigramNll _),
     "q83_bigram_nll" -> (q83BigramNll _))
 
   def oracles: Map[String, String] = Map(
+    "q308_bpe_first_merges" -> q308Sql,
     "q236_context_overflow" -> q236Sql,
     "q59_unigram_nll" -> q59Sql,
     "q83_bigram_nll" -> q83Sql)

@@ -418,6 +418,32 @@ class Round12hSpec extends AnyFunSuite {
     }
   }
 
+  test("q308: 20 ranked merges, descending counts, marker pairs counted once per word") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.LmQueries.q308BpeFirstMerges(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("merge_rank")).sorted
+      .sameElements(1L to 20L))
+    val counts = rows.sortBy(_.getAs[Long]("merge_rank"))
+      .map(_.getAs[Long]("pair_count"))
+    counts.zip(counts.tail).foreach { case (a, b) => assert(a >= b) }
+    rows.foreach { r =>
+      assert(r.getAs[String]("left_sym").length == 1)
+      val b = r.getAs[String]("right_sym")
+      assert(b.length == 1 || b == "</w>")
+    }
+    // no pair can outnumber the corpus' token occurrences (each token
+    // contributes one marker pair and word-length-1 inner pairs, but a
+    // SPECIFIC pair at most once per adjacent position; the top-1 count
+    // is far below the token total on natural text)
+    val totalToks = queries.Kpis.table(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions
+        .tokens(lower(col("text")))).as("w"))
+      .count()
+    assert(counts.head <= totalToks * 2,
+      s"top pair ${counts.head} vs $totalToks tokens")
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()

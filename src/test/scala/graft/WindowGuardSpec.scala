@@ -126,5 +126,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q300_decomposition_strength", // daily-revenue census: |distinct days|
     "q302_mad_outliers",     // daily census median ranks: |distinct days|
     "q303_permutation_entropy", // daily census lead(): |distinct days|
-    "q306_abc_xyz")          // RangeRank offset prefix + cv-tercile ntile over |parts|
+    "q306_abc_xyz",          // RangeRank offset prefix + cv-tercile ntile over |parts|
+    "q308_bpe_first_merges") // alphabet² pair census rank
 }
