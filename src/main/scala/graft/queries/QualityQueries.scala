@@ -85,9 +85,129 @@ object QualityQueries {
     candidates.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY table_name, lhs")
   }
 
+  // --------------------------------------------------------------- q309
+  /** Composed data-health scorecard: five independent quality gates in
+    * ONE query — referential orphans, null keys, exact-duplicate mass,
+    * price-digit heaping, and daily-volume robust outliers — each
+    * emitted as a (check, metric, threshold, pass) row. The composition
+    * certificate for the DQ family the way q154 is for curation and
+    * q275 for vector stores: the individual audits exist as their own
+    * registered queries (q106/q218/q19/q284/q302 machinery); a
+    * platform's nightly gate runs them as one job with one verdict
+    * frame, and the `pass` booleans are what a pipeline's circuit
+    * breaker reads. The outlier row literally REUSES the registered
+    * q302 plan (operator composition, not reimplementation).
+    *
+    * Exactness: every metric is one division of exact integers;
+    * thresholds are literals; `pass` compares identically-derived
+    * doubles.
+    *
+    * Scale shape: five independent map-combinable aggregates (one
+    * anti-join for orphans, key-domain censuses for heaping/outliers),
+    * unioned as 1-row frames — nothing wider than its audited table's
+    * single pass. */
+  def q309DqScorecard(spark: SparkSession, dir: String): DataFrame = {
+    def row(name: String, metric: org.apache.spark.sql.Column,
+            basis: org.apache.spark.sql.Column, thr: Double)
+            (df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), basis.as("n_basis"),
+        metric.as("metric"), lit(thr).as("threshold"),
+        (metric <= lit(thr)).as("pass"))
+    val li = Kpis.table(spark, dir, "lineitem").select(col("l_orderkey"))
+    val orders = Kpis.table(spark, dir, "orders")
+    val orphans = row("fk_orphan_lineitems",
+      col("orphans").cast("double") / col("n").cast("double"),
+      col("n"), 0.001)(
+      li.join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n")))))
+    val nulls = row("null_order_keys",
+      col("bad").cast("double") / col("n").cast("double"),
+      col("n"), 0.001)(
+      orders.agg(
+        sum(when(col("o_custkey").isNull || col("o_orderdate").isNull, 1L)
+          .otherwise(0L)).as("bad"),
+        count(lit(1)).as("n")))
+    val dups = row("exact_dup_docs",
+      (col("n") - col("d")).cast("double") / col("n").cast("double"),
+      col("n"), 0.01)(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(md5(col("text"))).as("d")))
+    val heap = row("cents_heaping_max_share",
+      col("mx").cast("double") / col("n").cast("double"),
+      col("n"), 0.05)(
+      orders
+        .groupBy((round(col("o_totalprice") * 100).cast("long") % 100L)
+          .as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("n")))
+    val outliers = row("daily_volume_outliers",
+      col("n_outliers").cast("double") / col("n_days").cast("double"),
+      col("n_days"), 0.05)(
+      StatsQueries.q302MadOutliers(spark, dir)
+        .select(col("n_outliers"), col("n_days")))
+    orphans.unionByName(nulls).unionByName(dups).unionByName(heap)
+      .unionByName(outliers)
+      .orderBy("check_name")
+  }
+
+  val q309Sql: String =
+    s"""WITH orphan AS (
+      |  SELECT COUNT(*) AS orphans FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                           WHERE o_orderkey IS NOT NULL)),
+      |lin AS (SELECT COUNT(*) AS n FROM lineitem),
+      |nulls AS (
+      |  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL
+      |        OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS bad,
+      |    COUNT(*) AS n
+      |  FROM orders),
+      |dups AS (
+      |  SELECT COUNT(*) AS n, COUNT(DISTINCT md5(text)) AS d
+      |  FROM documents),
+      |heap AS (
+      |  SELECT CAST(MAX(c) AS BIGINT) AS mx, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS c FROM orders
+      |        GROUP BY CAST(round(o_totalprice * 100) AS BIGINT) % 100)),
+      |outl AS (
+      |  SELECT n_outliers, n_days FROM (${"\n" +
+        StatsQueries.q302Sql.linesIterator
+          .map("        " + _).mkString("\n")}) q302)
+      |SELECT 'cents_heaping_max_share' AS check_name, n AS n_basis,
+      |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+      |  CAST(0.05 AS DOUBLE) AS threshold,
+      |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) <= 0.05 AS pass
+      |FROM heap
+      |UNION ALL
+      |SELECT 'daily_volume_outliers', n_days,
+      |  CAST(n_outliers AS DOUBLE) / CAST(n_days AS DOUBLE), CAST(0.05 AS DOUBLE),
+      |  CAST(n_outliers AS DOUBLE) / CAST(n_days AS DOUBLE) <= 0.05
+      |FROM outl
+      |UNION ALL
+      |SELECT 'exact_dup_docs', n,
+      |  CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE), CAST(0.01 AS DOUBLE),
+      |  CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) <= 0.01
+      |FROM dups
+      |UNION ALL
+      |SELECT 'fk_orphan_lineitems', lin.n,
+      |  CAST(orphans AS DOUBLE) / CAST(lin.n AS DOUBLE), CAST(0.001 AS DOUBLE),
+      |  CAST(orphans AS DOUBLE) / CAST(lin.n AS DOUBLE) <= 0.001
+      |FROM orphan, lin
+      |UNION ALL
+      |SELECT 'null_order_keys', n,
+      |  CAST(bad AS DOUBLE) / CAST(n AS DOUBLE), CAST(0.001 AS DOUBLE),
+      |  CAST(bad AS DOUBLE) / CAST(n AS DOUBLE) <= 0.001
+      |FROM nulls
+      |ORDER BY check_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_dq_scorecard" -> (q309DqScorecard _),
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
+    "q309_dq_scorecard" -> q309Sql,
     "q175_fd_audit" -> q175Sql)
 }

@@ -444,6 +444,27 @@ class Round12hSpec extends AnyFunSuite {
       s"top pair ${counts.head} vs $totalToks tokens")
   }
 
+  test("q309: five checks; pass flags consistent with metric vs threshold") {
+    val rows = queries.QualityQueries.q309DqScorecard(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val names = rows.map(_.getAs[String]("check_name")).toSet
+    assert(names == Set("fk_orphan_lineitems", "null_order_keys",
+      "exact_dup_docs", "cents_heaping_max_share", "daily_volume_outliers"))
+    rows.foreach { r =>
+      val m = r.getAs[Double]("metric")
+      val t = r.getAs[Double]("threshold")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Boolean]("pass") == (m <= t))
+      assert(r.getAs[Long]("n_basis") > 0)
+    }
+    // the q302 reuse: the outlier row's basis equals q302's n_days
+    val q302 = queries.StatsQueries.q302MadOutliers(spark, sfDir)
+      .collect().head
+    val outlierRow = rows
+      .find(_.getAs[String]("check_name") == "daily_volume_outliers").get
+    assert(outlierRow.getAs[Long]("n_basis") == q302.getAs[Long]("n_days"))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()

@@ -127,5 +127,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q302_mad_outliers",     // daily census median ranks: |distinct days|
     "q303_permutation_entropy", // daily census lead(): |distinct days|
     "q306_abc_xyz",          // RangeRank offset prefix + cv-tercile ntile over |parts|
-    "q308_bpe_first_merges") // alphabet² pair census rank
+    "q308_bpe_first_merges", // alphabet² pair census rank
+    "q309_dq_scorecard")     // embeds q302's daily-census median ranks
 }
