@@ -580,7 +580,99 @@ object FunnelQueries {
       |    + 0.0 AS conversion_rate
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q310
+  /** Chain-ladder development factors over the customer-cohort revenue
+    * triangle — the actuarial completion algorithm applied to cohort
+    * LTV: q146 plots each acquisition cohort's cumulative revenue
+    * curve; chain-ladder summarizes HOW curves develop (the
+    * volume-weighted lag-to-lag factor f_ℓ = Σ cum_{ℓ+1} / Σ cum_ℓ over
+    * the cohorts old enough to be observed at ℓ+1) — the factors young
+    * cohorts are multiplied by to project their ultimate value, which
+    * is how both insurance reserving and LTV forecasting complete an
+    * unfinished triangle.
+    *
+    * Exactness: the triangle is exact integer cents; missing
+    * (cohort, lag) cells are grid-filled with zero before the
+    * cumulative, so cum carries forward correctly; each factor is ONE
+    * integer division.
+    *
+    * Scale shape: one (custkey) agg for cohort assignment, one
+    * (cohort, lag) cells agg, a bounded |cohorts|×|lags| grid fill, a
+    * PARTITIONED cumulative window, and a lag-keyed factor agg —
+    * everything after the two fact aggs is calendar-census-sized. */
+  def q310ChainLadder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("idx")).as("origin"))
+    val cells = o.join(first, col("o_custkey") === col("ck"))
+      .groupBy(col("origin"), (col("idx") - col("origin")).as("lag"))
+      .agg(sum(col("cents")).as("inc"))
+    val maxIdx = o.agg(max(col("idx")).as("max_idx"))
+    val grid = cells.select(col("origin")).distinct()
+      .crossJoin(broadcast(maxIdx))
+      .select(col("origin"),
+        explode(sequence(lit(0L), col("max_idx") - col("origin")))
+          .as("lag"))
+      .join(cells, Seq("origin", "lag"), "left")
+      .withColumn("inc", coalesce(col("inc"), lit(0L)))
+      .withColumn("cum", sum(col("inc")).over(Window
+        .partitionBy(col("origin")).orderBy(col("lag"))))
+    val pairs = grid.as("a").join(grid.as("b"),
+        col("a.origin") === col("b.origin") &&
+          col("b.lag") === col("a.lag") + 1L)
+      .select(col("a.lag").as("lag"), col("a.origin").as("origin"),
+        col("a.cum").as("cum_l"), col("b.cum").as("cum_next"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_cohorts"),
+        sum(col("cum_l")).as("sum_cum"),
+        sum(col("cum_next")).as("sum_cum_next"))
+      .select(col("lag"), col("n_cohorts"), col("sum_cum"),
+        col("sum_cum_next"),
+        (col("sum_cum_next").cast("double") / col("sum_cum").cast("double"))
+          .as("dev_factor"))
+      .orderBy("lag")
+  }
+
+  val q310Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS idx,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |first AS (
+      |  SELECT o_custkey, MIN(idx) AS origin FROM o GROUP BY 1),
+      |cells AS (
+      |  SELECT origin, o.idx - origin AS lag,
+      |    CAST(SUM(cents) AS BIGINT) AS inc
+      |  FROM o JOIN first USING (o_custkey) GROUP BY 1, 2),
+      |mx AS (SELECT MAX(idx) AS max_idx FROM o),
+      |grid AS (
+      |  SELECT g.origin, g.lag,
+      |    CAST(SUM(COALESCE(c.inc, 0)) OVER (PARTITION BY g.origin
+      |      ORDER BY g.lag ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT DISTINCT origin, UNNEST(range(0,
+      |      (SELECT max_idx FROM mx) - origin + 1)) AS lag
+      |    FROM cells) g
+      |  LEFT JOIN cells c ON g.origin = c.origin AND g.lag = c.lag),
+      |pairs AS (
+      |  SELECT a.lag, a.cum AS cum_l, b.cum AS cum_next
+      |  FROM grid a JOIN grid b
+      |    ON a.origin = b.origin AND b.lag = a.lag + 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, COUNT(*) AS n_cohorts,
+      |  CAST(SUM(cum_l) AS BIGINT) AS sum_cum,
+      |  CAST(SUM(cum_next) AS BIGINT) AS sum_cum_next,
+      |  CAST(SUM(cum_next) AS DOUBLE) / CAST(SUM(cum_l) AS DOUBLE)
+      |    AS dev_factor
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_chain_ladder" -> (q310ChainLadder _),
     "q270_recency_conversion" -> (q270RecencyConversion _),
     "q268_purchase_regularity" -> (q268PurchaseRegularity _),
     "q229_new_vs_returning" -> (q229NewVsReturning _),
@@ -591,6 +683,7 @@ object FunnelQueries {
     "q192_kaplan_meier" -> (q192KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
+    "q310_chain_ladder" -> q310Sql,
     "q270_recency_conversion" -> q270Sql,
     "q268_purchase_regularity" -> q268Sql,
     "q229_new_vs_returning" -> q229Sql,

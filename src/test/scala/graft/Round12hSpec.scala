@@ -465,6 +465,24 @@ class Round12hSpec extends AnyFunSuite {
     assert(outlierRow.getAs[Long]("n_basis") == q302.getAs[Long]("n_days"))
   }
 
+  test("q310: factors >= 1, cohort counts non-increasing in lag, triangle closure") {
+    val rows = queries.FunnelQueries.q310ChainLadder(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // cum is non-decreasing per cohort, so every aggregate factor >= 1
+      assert(r.getAs[Double]("dev_factor") >= 1.0 - 1e-12)
+      assert(r.getAs[Long]("sum_cum") > 0)
+      assert(r.getAs[Long]("sum_cum_next") >= r.getAs[Long]("sum_cum"))
+    }
+    // the triangle narrows: older lags are observed by fewer-or-equal cohorts
+    val ns = rows.map(_.getAs[Long]("n_cohorts"))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(b <= a) }
+    // lag axis is a contiguous 0..max prefix
+    val lags = rows.map(_.getAs[Long]("lag"))
+    assert(lags.sameElements(lags.indices.map(_.toLong)))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
