@@ -105,9 +105,102 @@ object ScrubQueries {
        |    / COUNT(*) AS pii_doc_rate
        |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q311
+  /** k-anonymity / l-diversity audit of the customer table under the
+    * quasi-identifier (nation, account-balance band): the privacy
+    * check a data-release pipeline runs AFTER q51's direct-identifier
+    * redaction, because redaction alone does not stop re-identification
+    * — a customer unique on (nation, balance band) is re-identifiable
+    * from background knowledge, and a small group that all share one
+    * market segment leaks the "sensitive" attribute even without
+    * re-identification (the homogeneity attack l-diversity counts).
+    * Emits the k-band census (how many customers sit in QI groups of
+    * size 1 / 2–4 / 5–19 / 20+) with the summary columns a release gate
+    * reads: share of re-identifiable customers (k < 5), minimum
+    * l-diversity, and the share of groups with l < 3.
+    *
+    * The balance band is VALUE-based (floor(acctbal/1000) — a stable
+    * generalization level, shuffle-free and unchanged by corpus
+    * growth), not a quantile, exactly like a real release policy's
+    * generalization hierarchy.
+    *
+    * Exactness: every count is integer; shares are single divisions;
+    * the band edges compare exact integers.
+    *
+    * Scale shape: one QI-keyed map-combinable agg (count +
+    * count-distinct-sensitive), then a ≤|QI-domain| census rollup with
+    * 1-row broadcast summaries. */
+  def q311KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Kpis.table(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    val kband = when(col("k") === 1, "1_unique")
+      .when(col("k") < 5, "2_small(2-4)")
+      .when(col("k") < 20, "3_mid(5-19)")
+      .otherwise("4_large(20+)")
+    val summary = groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("k")).as("n_customers"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("reident"),
+      min(col("l")).as("min_l"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).as("low_l_groups"))
+    groups.groupBy(kband.as("k_band"))
+      .agg(count(lit(1)).as("n_groups_band"),
+        sum(col("k")).as("n_customers_band"))
+      .crossJoin(broadcast(summary))
+      .select(col("k_band"), col("n_groups_band"), col("n_customers_band"),
+        (col("n_customers_band").cast("double") /
+          col("n_customers").cast("double")).as("customer_share"),
+        (col("reident").cast("double") / col("n_customers").cast("double"))
+          .as("reidentifiable_share"),
+        col("min_l"),
+        (col("low_l_groups").cast("double") / col("n_groups").cast("double"))
+          .as("low_diversity_group_share"))
+      .orderBy("k_band")
+  }
+
+  val q311Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+      |    COUNT(*) AS k,
+      |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2),
+      |s AS (
+      |  SELECT COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_customers,
+      |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |      AS reident,
+      |    MIN(l) AS min_l,
+      |    CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS low_l_groups
+      |  FROM g),
+      |b AS (
+      |  SELECT CASE WHEN k = 1 THEN '1_unique'
+      |    WHEN k < 5 THEN '2_small(2-4)'
+      |    WHEN k < 20 THEN '3_mid(5-19)'
+      |    ELSE '4_large(20+)' END AS k_band,
+      |    COUNT(*) AS n_groups_band, CAST(SUM(k) AS BIGINT)
+      |      AS n_customers_band
+      |  FROM g GROUP BY 1)
+      |SELECT k_band, n_groups_band, n_customers_band,
+      |  CAST(n_customers_band AS DOUBLE) / CAST(n_customers AS DOUBLE)
+      |    AS customer_share,
+      |  CAST(reident AS DOUBLE) / CAST(n_customers AS DOUBLE)
+      |    AS reidentifiable_share,
+      |  min_l,
+      |  CAST(low_l_groups AS DOUBLE) / CAST(n_groups AS DOUBLE)
+      |    AS low_diversity_group_share
+      |FROM b, s ORDER BY k_band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_k_anonymity" -> (q311KAnonymity _),
     "q51_pii_scrub" -> q51PiiScrub _)
 
   def oracles: Map[String, String] = Map(
+    "q311_k_anonymity" -> q311Sql,
     "q51_pii_scrub" -> q51Sql)
 }

@@ -483,6 +483,29 @@ class Round12hSpec extends AnyFunSuite {
     assert(lags.sameElements(lags.indices.map(_.toLong)))
   }
 
+  test("q311: k/l audit — shares close, bands partition customers, l bounds") {
+    val rows = queries.ScrubQueries.q311KAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val totalShare = rows.map(_.getAs[Double]("customer_share")).sum
+    assert(math.abs(totalShare - 1.0) < 1e-9)
+    val custTotal = queries.Kpis.table(spark, sfDir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_customers_band")).sum == custTotal)
+    rows.foreach { r =>
+      val minL = r.getAs[Long]("min_l")
+      assert(minL >= 1 && minL <= 5) // 5 market segments exist
+      val rs = r.getAs[Double]("reidentifiable_share")
+      assert(rs >= 0.0 && rs <= 1.0)
+      val lds = r.getAs[Double]("low_diversity_group_share")
+      assert(lds >= 0.0 && lds <= 1.0)
+    }
+    // reidentifiable share equals the mass of the k<5 bands
+    val smallMass = rows.filter { r =>
+      val b = r.getAs[String]("k_band"); b.startsWith("1_") || b.startsWith("2_")
+    }.map(_.getAs[Long]("n_customers_band")).sum
+    assert(rows.head.getAs[Double]("reidentifiable_share") ==
+      smallMass.toDouble / custTotal)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
