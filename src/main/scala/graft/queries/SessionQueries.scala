@@ -774,7 +774,165 @@ object SessionQueries {
       |SELECT longest_streak, COUNT(*) AS n_users
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q312
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * first/last-touch credit (q75 pairs, q220 MRR): model user journeys
+    * as a Markov chain (START → events → EXIT, 'purchase' absorbing),
+    * compute the 8-step-bounded absorption probability P(reach purchase)
+    * by decimal value iteration, then for each channel rebuild the
+    * chain with that channel REMOVED (its state contributes zero value)
+    * and credit the channel with the conversion mass that disappears:
+    * removal_effect = (P − P₋c)/P, normalized to attribution shares.
+    * The q214 machinery (transition census + 12-dp-snapped decimal
+    * iteration) re-aimed from stationary mass at absorption value.
+    *
+    * The 8-step horizon is a DEFINED metric, not an approximation
+    * compromise: both engines iterate the identical snapped lattice, so
+    * parity is exact at any K, and removal effects compare chains under
+    * the same horizon. Removal can only destroy value (forcing a
+    * state's value to 0 is monotone), so effects are nonnegative.
+    *
+    * Exactness: transition probs and iterates live on the 12-dp decimal
+    * grid (q214's convention); removal effects snap to 9 dp before the
+    * exact-decimal normalization sum; shares are single divisions.
+    *
+    * Scale shape: one partitioned lead() pass to the transition census
+    * (|types|² + START/EXIT rows), then all iteration happens on the
+    * ≤6-state census via broadcast joins — 5 chains × 8 steps of
+    * census-sized work. */
+  def q312MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+    val tr = ev.select(col("event_type").as("src"),
+        coalesce(col("next_type"), lit("EXIT")).as("dst"))
+      .unionByName(ev.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst")))
+      .filter(col("src") =!= "purchase") // absorbing
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy(col("src")).agg(sum(col("cnt")).as("n_from"))
+    val pm = tr.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"),
+        round(col("cnt").cast("double") / col("n_from").cast("double"), 12)
+          .cast("decimal(14,12)").as("prob"))
+      .localCheckpoint(true)
+    val states = pm.select(col("src").as("state")).distinct()
+      .localCheckpoint(true)
+    val zero = lit(0).cast("decimal(14,12)")
+    def absorbedValue(removed: Option[String]): DataFrame = {
+      var v = states.select(col("state"), zero.as("v"))
+      for (_ <- 1 to 8) {
+        val dstVal = when(col("dst") === "purchase",
+            lit(1).cast("decimal(14,12)"))
+          .when(col("dst") === "EXIT", zero)
+          .when(removed.map(col("dst") === _).getOrElse(lit(false)), zero)
+          .otherwise(coalesce(col("v"), zero))
+        v = pm.join(v, col("dst") === col("state"), "left")
+          .select(col("src"), (col("prob") * dstVal).as("pv"))
+          .groupBy(col("src"))
+          .agg(round(sum(col("pv")).cast("double"), 12)
+            .cast("decimal(14,12)").as("v0"))
+          .select(col("src").as("state"),
+            when(removed.map(col("src") === _).getOrElse(lit(false)), zero)
+              .otherwise(col("v0")).as("v"))
+      }
+      v.filter(col("state") === "START")
+        .select(col("v").cast("double").as("p"))
+    }
+    val pFull = absorbedValue(None).select(col("p").as("p_full"))
+    val channels = Seq("click", "error", "signup", "view")
+    val perChannel = channels.map { c =>
+      absorbedValue(Some(c))
+        .select(lit(c).as("channel"), col("p").as("p_removed"))
+    }.reduce(_ unionByName _)
+    val effects = perChannel.crossJoin(broadcast(pFull))
+      .withColumn("removal_effect",
+        round((col("p_full") - col("p_removed")) / col("p_full"), 9)
+          .cast("decimal(12,9)"))
+    val totEff = effects.agg(sum(col("removal_effect")).as("te"))
+    effects.crossJoin(broadcast(totEff))
+      .select(col("channel"), col("p_full"), col("p_removed"),
+        col("removal_effect").cast("double").as("removal_effect"),
+        (col("removal_effect").cast("double") / col("te").cast("double"))
+          .as("attribution_share"))
+      .orderBy("channel")
+  }
+
+  val q312Sql: String = {
+    def chain(tag: String, removed: Option[String]): String = {
+      val remDst = removed
+        .map(c => s"WHEN p.dst = '$c' THEN CAST(0 AS DECIMAL(14,12))\n         |      ")
+        .getOrElse("")
+      val remSrc = (body: String) => removed match {
+        case Some(c) =>
+          s"CASE WHEN p.src = '$c' THEN CAST(0 AS DECIMAL(14,12)) " +
+            s"ELSE $body END"
+        case None => body
+      }
+      val steps = (1 to 8).map { k =>
+        s"""v${k}_$tag AS (
+           |  SELECT p.src AS state,
+           |    ${remSrc(s"""CAST(round(CAST(SUM(p.prob *
+           |      CASE WHEN p.dst = 'purchase' THEN CAST(1 AS DECIMAL(14,12))
+           |      WHEN p.dst = 'EXIT' THEN CAST(0 AS DECIMAL(14,12))
+           |      $remDst ELSE COALESCE(i.v, CAST(0 AS DECIMAL(14,12)))
+           |      END) AS DOUBLE), 12) AS DECIMAL(14,12))""")} AS v
+           |  FROM pm p LEFT JOIN v${k - 1}_$tag i ON p.dst = i.state
+           |  GROUP BY p.src)""".stripMargin
+      }.mkString(",\n")
+      s"""v0_$tag AS (
+         |  SELECT DISTINCT src AS state, CAST(0 AS DECIMAL(14,12)) AS v
+         |  FROM pm),
+         |$steps,
+         |p_$tag AS (
+         |  SELECT CAST(v AS DOUBLE) AS p FROM v8_$tag
+         |  WHERE state = 'START')""".stripMargin
+    }
+    val channels = Seq("click", "error", "signup", "view")
+    val chains = (chain("full", None) +: channels.map(c =>
+      chain(c, Some(c)))).mkString(",\n")
+    val unioned = channels.map { c =>
+      s"""SELECT '$c' AS channel, (SELECT p FROM p_full) AS p_full,
+         |  (SELECT p FROM p_$c) AS p_removed""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT src, dst, COUNT(*) AS cnt FROM (
+      |    SELECT event_type AS src, COALESCE(next_type, 'EXIT') AS dst
+      |    FROM seq
+      |    UNION ALL
+      |    SELECT 'START', event_type FROM seq WHERE rn = 1)
+      |  WHERE src <> 'purchase' GROUP BY 1, 2),
+      |tot AS (SELECT src, SUM(cnt) AS n_from FROM tr GROUP BY 1),
+      |pm AS (
+      |  SELECT tr.src, tr.dst,
+      |    CAST(round(CAST(cnt AS DOUBLE) / CAST(n_from AS DOUBLE), 12)
+      |      AS DECIMAL(14,12)) AS prob
+      |  FROM tr JOIN tot ON tr.src = tot.src),
+      |$chains,
+      |eff AS (
+      |  SELECT channel, p_full, p_removed,
+      |    CAST(round((p_full - p_removed) / p_full, 9) AS DECIMAL(12,9))
+      |      AS re
+      |  FROM ($unioned)),
+      |te AS (SELECT SUM(re) AS te FROM eff)
+      |SELECT channel, p_full, p_removed,
+      |  CAST(re AS DOUBLE) AS removal_effect,
+      |  CAST(re AS DOUBLE) / CAST(te.te AS DOUBLE) AS attribution_share
+      |FROM eff, te ORDER BY channel""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_markov_attribution" -> (q312MarkovAttribution _),
     "q292_activity_streaks" -> (q292ActivityStreaks _),
     "q287_behavioral_entropy" -> (q287BehavioralEntropy _),
     "q279_cooccurrence_lift" -> (q279CooccurrenceLift _),
@@ -788,6 +946,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q312_markov_attribution" -> q312Sql,
     "q292_activity_streaks" -> q292Sql,
     "q287_behavioral_entropy" -> q287Sql,
     "q279_cooccurrence_lift" -> q279Sql,

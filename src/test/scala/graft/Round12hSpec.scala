@@ -506,6 +506,24 @@ class Round12hSpec extends AnyFunSuite {
       smallMass.toDouble / custTotal)
   }
 
+  test("q312: removal effects nonnegative, shares normalize, removal only hurts") {
+    val rows = queries.SessionQueries.q312MarkovAttribution(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    val pFull = rows.head.getAs[Double]("p_full")
+    assert(pFull > 0.0 && pFull <= 1.0)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("p_removed")
+      assert(pr >= 0.0 && pr <= pFull + 1e-12,
+        s"${r.getAs[String]("channel")}: removal increased conversion")
+      assert(r.getAs[Double]("removal_effect") >= 0.0)
+      assert(r.getAs[Double]("p_full") == pFull)
+    }
+    val shares = rows.map(_.getAs[Double]("attribution_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")
+    shares.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
