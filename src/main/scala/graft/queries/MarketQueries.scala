@@ -1256,7 +1256,109 @@ object MarketQueries {
       |FROM cls JOIN xyz USING (l_partkey), tot
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q313
+  /** Price-drop event study: find every consecutive-month (part, month)
+    * pair where the unit price fell ≥10%, pool the quantity response
+    * (Σ after / Σ before over event pairs), and compare against the
+    * SAME ratio over all non-event consecutive pairs — the control that
+    * turns a raw before/after into an uplift estimate (q199 fits a
+    * continuous discount elasticity; this is its discrete-event
+    * counterpart, the pre/post design every promotions team runs).
+    * relative_uplift > 1 means quantity responded to price drops beyond
+    * the secular month-over-month drift.
+    *
+    * Exactness: unit prices on the 9-dp grid (q304's boundary lesson);
+    * the 10% trigger compares identically-derived doubles; quantities
+    * are exact integer sums and all four pooled ratios are single
+    * closing divisions.
+    *
+    * Scale shape: one (part, month) agg, one PARTITIONED lag window per
+    * part, one map-combinable global reduce to a single row. */
+  def q313PriceDropStudy(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("idx"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("ext"))
+      .withColumn("up",
+        round(col("ext").cast("double") / col("q").cast("double"), 9))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("idx"))
+    val pairs = pm
+      .withColumn("prev_idx", lag(col("idx"), 1).over(w))
+      .withColumn("prev_q", lag(col("q"), 1).over(w))
+      .withColumn("prev_up", lag(col("up"), 1).over(w))
+      .filter(col("prev_idx").isNotNull && col("idx") === col("prev_idx") + 1)
+      .withColumn("is_event", col("up") <= col("prev_up") * lit(0.9))
+    pairs.agg(
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("n_event_pairs"),
+        sum(when(!col("is_event"), 1L).otherwise(0L)).as("n_control_pairs"),
+        sum(when(col("is_event"), col("prev_q")).otherwise(0L))
+          .as("event_before"),
+        sum(when(col("is_event"), col("q")).otherwise(0L)).as("event_after"),
+        sum(when(!col("is_event"), col("prev_q")).otherwise(0L))
+          .as("control_before"),
+        sum(when(!col("is_event"), col("q")).otherwise(0L))
+          .as("control_after"))
+      .select(col("n_event_pairs"), col("n_control_pairs"),
+        col("event_before"), col("event_after"),
+        (col("event_after").cast("double") /
+          col("event_before").cast("double")).as("event_ratio"),
+        (col("control_after").cast("double") /
+          col("control_before").cast("double")).as("control_ratio"),
+        ((col("event_after").cast("double") /
+          col("event_before").cast("double")) /
+          (col("control_after").cast("double") /
+            col("control_before").cast("double"))).as("relative_uplift"))
+  }
+
+  val q313Sql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+      |      AS idx,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS q,
+      |    round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |      AS VARCHAR) AS DOUBLE) / CAST(SUM(l_quantity) AS DOUBLE), 9)
+      |      AS up
+      |  FROM lineitem GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT *,
+      |    LAG(idx) OVER w AS prev_idx,
+      |    LAG(q) OVER w AS prev_q,
+      |    LAG(up) OVER w AS prev_up
+      |  FROM pm WINDOW w AS (PARTITION BY l_partkey ORDER BY idx)),
+      |f AS (
+      |  SELECT *, up <= prev_up * 0.9 AS is_event
+      |  FROM pairs
+      |  WHERE prev_idx IS NOT NULL AND idx = prev_idx + 1),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_event_pairs,
+      |    CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_control_pairs,
+      |    CAST(SUM(CASE WHEN is_event THEN prev_q ELSE 0 END) AS BIGINT)
+      |      AS event_before,
+      |    CAST(SUM(CASE WHEN is_event THEN q ELSE 0 END) AS BIGINT)
+      |      AS event_after,
+      |    CAST(SUM(CASE WHEN is_event THEN 0 ELSE prev_q END) AS BIGINT)
+      |      AS control_before,
+      |    CAST(SUM(CASE WHEN is_event THEN 0 ELSE q END) AS BIGINT)
+      |      AS control_after
+      |  FROM f)
+      |SELECT n_event_pairs, n_control_pairs, event_before, event_after,
+      |  CAST(event_after AS DOUBLE) / CAST(event_before AS DOUBLE)
+      |    AS event_ratio,
+      |  CAST(control_after AS DOUBLE) / CAST(control_before AS DOUBLE)
+      |    AS control_ratio,
+      |  (CAST(event_after AS DOUBLE) / CAST(event_before AS DOUBLE))
+      |    / (CAST(control_after AS DOUBLE) / CAST(control_before AS DOUBLE))
+      |    AS relative_uplift
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_price_drop_study" -> (q313PriceDropStudy _),
     "q305_fiscal_445" -> (q305Fiscal445 _),
     "q306_abc_xyz" -> (q306AbcXyz _),
     "q304_price_indices" -> (q304PriceIndices _),
@@ -1497,6 +1599,7 @@ object MarketQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q313_price_drop_study" -> q313Sql,
     "q305_fiscal_445" -> q305Sql,
     "q306_abc_xyz" -> q306Sql,
     "q304_price_indices" -> q304Sql,

@@ -524,6 +524,34 @@ class Round12hSpec extends AnyFunSuite {
     shares.foreach(s => assert(s >= 0.0 && s <= 1.0))
   }
 
+  test("q313: pair partition closes; ratios consistent with pooled sums") {
+    import org.apache.spark.sql.functions._
+    val r = queries.MarketQueries.q313PriceDropStudy(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val ne = row.getAs[Long]("n_event_pairs")
+    val nc = row.getAs[Long]("n_control_pairs")
+    assert(ne > 0 && nc > 0)
+    // every consecutive-month pair is either event or control
+    val pairsTotal = queries.Kpis.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("idx"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("l_partkey"), col("idx"),
+        lead(col("idx"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey")).orderBy(col("idx"))).as("nxt"))
+      .filter(col("nxt") === col("idx") + 1)
+      .count()
+    assert(ne + nc == pairsTotal, s"$ne + $nc != $pairsTotal")
+    assert(row.getAs[Double]("event_ratio") ==
+      row.getAs[Long]("event_after").toDouble /
+        row.getAs[Long]("event_before"))
+    assert(row.getAs[Double]("relative_uplift") ==
+      row.getAs[Double]("event_ratio") / row.getAs[Double]("control_ratio"))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
