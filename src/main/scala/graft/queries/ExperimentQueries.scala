@@ -766,7 +766,169 @@ object ExperimentQueries {
       |  CAST(ks_num AS DOUBLE) / CAST(n_pos*n_neg AS DOUBLE) AS ks_stat
       |FROM tot, ksn""".stripMargin
 
+  // --------------------------------------------------------------- q314
+  /** Sample-ratio-mismatch (SRM) guardrail for q129's hash assignment:
+    * the first check every experimentation platform runs BEFORE reading
+    * a treatment effect — if the observed A/B split deviates from the
+    * designed ratio beyond binomial noise, the randomization itself is
+    * broken (redirects, bot filtering, logging loss) and q129's z-score
+    * is meaningless. Expected share is the EXACT design ratio of the
+    * assignment rule (first md5 hex char < '8' ⇒ 8/16 = 0.5);
+    * z = (n_a − n·p)/√(n·p·(1−p)), flagged at |z| > 3 (the industry
+    * SRM threshold).
+    *
+    * Exactness: counts are integers; z is one sqrt (IEEE
+    * correctly-rounded) and one division over identically-derived
+    * doubles; the flag compares identical doubles.
+    *
+    * Scale shape: one per-user agg, one global map-combinable reduce to
+    * a single row. */
+  def q314SrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val users = Kpis.eventsTable(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("is_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val c = users.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val z = (col("n_a").cast("double") - nD * lit(0.5)) /
+      sqrt(nD * lit(0.5) * lit(0.5))
+    c.select(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"),
+      lit(0.5).as("expected_share"),
+      (col("n_a").cast("double") / nD).as("observed_share"),
+      z.as("srm_z"),
+      (abs(z) > lit(3.0)).as("srm_flag"))
+  }
+
+  val q314Sql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |c AS (
+      |  SELECT CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    COUNT(*) AS n
+      |  FROM u)
+      |SELECT n_a, n - n_a AS n_b, n,
+      |  CAST(0.5 AS DOUBLE) AS expected_share,
+      |  CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE) AS observed_share,
+      |  (CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+      |    / sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5) AS srm_z,
+      |  abs((CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+      |    / sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) > 3.0 AS srm_flag
+      |FROM c""".stripMargin
+
+  // --------------------------------------------------------------- q315
+  /** CUPED variance reduction: how much experiment variance does the
+    * pre-period covariate remove? Per customer (full universe, 0-fill),
+    * x = 1995–96 spend cents, y = 1997–98 spend cents; the optimal
+    * adjustment θ = cov(x,y)/var(x) and the reduction equals ρ², so the
+    * adjusted metric variance is var(y)·(1−ρ²) — the Deng et al. result
+    * every experimentation platform implements to shrink confidence
+    * intervals without more traffic. q129 tests a difference; this
+    * measures how much cheaper that test gets with a covariate.
+    *
+    * Exactness: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * in exact DECIMAL(38,0) cents space and cross to double through the
+    * varchar bridge (the q130 convention — products exceed 2⁵³, where
+    * DuckDB's direct int128→double cast double-rounds); every closing
+    * statistic is the identical double chain in both engines.
+    *
+    * Scale shape: one per-customer agg over orders, one global
+    * map-combinable moment reduce to a single row. */
+  def q315CupedReduction(spark: SparkSession, dir: String): DataFrame = {
+    val per = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 1998))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") <= 1996,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("x0"),
+        sum(when(col("yr") >= 1997,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("y0"))
+    val xy = Kpis.table(spark, dir, "customer").select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).cast("decimal(19,0)").as("x"),
+        coalesce(col("y0"), lit(0L)).cast("decimal(19,0)").as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+        .as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double")
+        .as("syy"))
+    val nD = col("n").cast("double")
+    val varx = (col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0))
+    val vary = (col("syy") - col("sy") * col("sy") / nD) / (nD - lit(1.0))
+    val cov = (col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0))
+    m.select(col("n"),
+      (cov / varx).as("theta"),
+      ((cov * cov) / (varx * vary)).as("rho_sq"),
+      vary.as("var_post"),
+      (vary * (lit(1.0) - (cov * cov) / (varx * vary)))
+        .as("var_adjusted"))
+  }
+
+  val q315Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1996
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS x0,
+      |    SUM(CASE WHEN year(o_orderdate) >= 1997
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+      |      AS y0
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+      |  GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(COALESCE(x0, 0) AS DECIMAL(19,0)) AS x,
+      |    CAST(COALESCE(y0, 0) AS DECIMAL(19,0)) AS y
+      |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR)
+      |      AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR)
+      |      AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR)
+      |      AS DOUBLE) AS syy
+      |  FROM xy)
+      |SELECT n,
+      |  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      |    / ((sxx - sx * sx / CAST(n AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) - 1.0)) AS theta,
+      |  (((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      |   * ((sxy - sx * sy / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0)))
+      |  / (((sxx - sx * sx / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0))
+      |     * ((syy - sy * sy / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0))) AS rho_sq,
+      |  (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |    AS var_post,
+      |  ((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      |  * (1.0 -
+      |     (((sxy - sx * sy / CAST(n AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) - 1.0))
+      |      * ((sxy - sx * sy / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0)))
+      |     / (((sxx - sx * sx / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0))
+      |        * ((syy - sy * sy / CAST(n AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) - 1.0)))) AS var_adjusted
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_srm_check" -> (q314SrmCheck _),
+    "q315_cuped_reduction" -> (q315CupedReduction _),
     "q291_score_discrimination" -> (q291ScoreDiscrimination _),
     "q263_brier_calibration" -> (q263BrierCalibration _),
     "q260_mcnemar_activity" -> (q260McnemarActivity _),
@@ -777,6 +939,8 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q314_srm_check" -> q314Sql,
+    "q315_cuped_reduction" -> q315Sql,
     "q291_score_discrimination" -> q291Sql,
     "q263_brier_calibration" -> q263Sql,
     "q260_mcnemar_activity" -> q260Sql,

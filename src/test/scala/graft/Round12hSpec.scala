@@ -552,6 +552,34 @@ class Round12hSpec extends AnyFunSuite {
       row.getAs[Double]("event_ratio") / row.getAs[Double]("control_ratio"))
   }
 
+  test("q314: SRM counts close; z consistent; healthy hash split unflagged") {
+    val r = queries.ExperimentQueries.q314SrmCheck(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n")
+    val na = row.getAs[Long]("n_a")
+    assert(na + row.getAs[Long]("n_b") == n)
+    val z = row.getAs[Double]("srm_z")
+    assert(z == (na.toDouble - n * 0.5) / math.sqrt(n * 0.25))
+    assert(row.getAs[Boolean]("srm_flag") == (math.abs(z) > 3.0))
+    // md5 assignment is sound: a healthy split must not trip SRM
+    assert(!row.getAs[Boolean]("srm_flag"), s"hash split flagged, z=$z")
+  }
+
+  test("q315: CUPED identities — rho² in [0,1], adjusted variance consistent") {
+    val r = queries.ExperimentQueries.q315CupedReduction(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val rho2 = row.getAs[Double]("rho_sq")
+    val varPost = row.getAs[Double]("var_post")
+    val varAdj = row.getAs[Double]("var_adjusted")
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    assert(varPost > 0.0)
+    assert(varAdj == varPost * (1.0 - rho2))
+    assert(varAdj <= varPost)
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
