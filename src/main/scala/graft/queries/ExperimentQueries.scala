@@ -926,7 +926,145 @@ object ExperimentQueries {
       |           / (CAST(n AS DOUBLE) - 1.0)))) AS var_adjusted
       |FROM m""".stripMargin
 
+  // --------------------------------------------------------------- q316
+  /** Group-sequential monitoring of q129's A/B test: recompute the
+    * two-sample z at four interim LOOKS (25/50/75/100% of the event
+    * time range) and compare each against the O'Brien-Fleming spending
+    * boundary (z_k = 2.024·√(4/k): 4.048, 2.862, 2.337, 2.024) — the
+    * peeking-safe monitor an experimentation platform runs instead of
+    * re-testing at α=0.05 daily (which inflates false positives ~4×
+    * over 4 looks). A user enrolls at their first event; each look
+    * uses the purchases observed by its cutoff. q314 guards the
+    * randomization, q315 shrinks the variance, this guards the
+    * CALENDAR: together the experimentation control plane.
+    *
+    * Exactness: cutoffs are exact integer microsecond arithmetic
+    * (min + span·k/4, floor division); all per-look counts/moments are
+    * exact integers; each z is the q129 double chain; boundaries are
+    * literals, so stop flags compare identical doubles.
+    *
+    * Scale shape: one per-user agg (against a broadcast 1-row time
+    * range), one 24-column map-combinable moment reduce, stacked to 4
+    * look rows. */
+  def q316SequentialLooks(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Kpis.eventsTable(spark, dir).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"))
+    def cutoff(k: Int) =
+      (col("t0") + expr(s"((t1 - t0) * $k) div 4")).as(s"c$k")
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+      .crossJoin(broadcast(mm.select(cutoff(1), cutoff(2), cutoff(3),
+        cutoff(4))))
+    val userAggs = Seq(min(col("tus")).as("first_t")) ++
+      (1 to 4).map(k =>
+        sum(when(col("event_type") === "purchase" &&
+          col("tus") <= col(s"c$k"), 1L).otherwise(0L)).as(s"p$k")) ++
+      (1 to 4).map(k => max(col(s"c$k")).as(s"c$k"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(userAggs.head, userAggs.tail: _*)
+      .withColumn("is_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val momentAggs = (1 to 4).flatMap { k =>
+      val enrolled = col("first_t") <= col(s"c$k")
+      def arm(a: Boolean, tag: String) = Seq(
+        sum(when(enrolled && col("is_a") === a, 1L).otherwise(0L))
+          .as(s"n_${tag}_$k"),
+        sum(when(enrolled && col("is_a") === a, col(s"p$k"))
+          .otherwise(0L)).as(s"s_${tag}_$k"),
+        sum(when(enrolled && col("is_a") === a,
+          col(s"p$k") * col(s"p$k")).otherwise(0L)).as(s"ss_${tag}_$k"))
+      arm(a = true, "a") ++ arm(a = false, "b")
+    }
+    val moments = perUser.agg(momentAggs.head, momentAggs.tail: _*)
+    val bounds = Map(1 -> 4.048, 2 -> 2.862, 3 -> 2.337, 4 -> 2.024)
+    def zAt(k: Int) = {
+      def d(c: String) = col(s"${c}_$k").cast("double")
+      val va = (d("ss_a") - d("s_a") * d("s_a") / d("n_a")) /
+        (d("n_a") - lit(1.0))
+      val vb = (d("ss_b") - d("s_b") * d("s_b") / d("n_b")) /
+        (d("n_b") - lit(1.0))
+      (d("s_a") / d("n_a") - d("s_b") / d("n_b")) /
+        sqrt(va / d("n_a") + vb / d("n_b"))
+    }
+    val looks = (1 to 4).map { k =>
+      moments.select(lit(k.toLong).as("look"),
+        lit(k * 0.25).as("information_frac"),
+        (col(s"n_a_$k") + col(s"n_b_$k")).as("n_enrolled"),
+        zAt(k).as("z"),
+        lit(bounds(k)).as("obf_boundary"),
+        (abs(zAt(k)) > lit(bounds(k))).as("stop"))
+    }.reduce(_ unionByName _)
+    looks.orderBy("look")
+  }
+
+  val q316Sql: String = {
+    val bounds = Map(1 -> "4.048", 2 -> "2.862", 3 -> "2.337", 4 -> "2.024")
+    def z(k: Int) = {
+      def v(t: String) =
+        s"""((ss_${t}_$k - s_${t}_$k * s_${t}_$k / CAST(n_${t}_$k AS DOUBLE))
+           | / (CAST(n_${t}_$k AS DOUBLE) - 1.0))""".stripMargin
+      s"""((s_a_$k / CAST(n_a_$k AS DOUBLE)
+         |  - s_b_$k / CAST(n_b_$k AS DOUBLE))
+         | / sqrt(${v("a")} / CAST(n_a_$k AS DOUBLE)
+         |        + ${v("b")} / CAST(n_b_$k AS DOUBLE)))""".stripMargin
+    }
+    val momentCols = (1 to 4).flatMap { k =>
+      Seq("a", "b").flatMap { t =>
+        val arm = if (t == "a") "< '8'" else ">= '8'"
+        Seq(
+          s"""CAST(SUM(CASE WHEN first_t <= c$k AND arm $arm
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS n_${t}_$k""".stripMargin,
+          s"""CAST(SUM(CASE WHEN first_t <= c$k AND arm $arm
+             |  THEN p$k ELSE 0 END) AS DOUBLE) AS s_${t}_$k""".stripMargin,
+          s"""CAST(SUM(CASE WHEN first_t <= c$k AND arm $arm
+             |  THEN p$k * p$k ELSE 0 END) AS DOUBLE) AS ss_${t}_$k"""
+            .stripMargin)
+      }
+    }.mkString(",\n    ")
+    val looks = (1 to 4).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS look,
+         |  CAST(${k * 0.25} AS DOUBLE) AS information_frac,
+         |  n_a_$k + n_b_$k AS n_enrolled,
+         |  ${z(k)} AS z,
+         |  CAST(${bounds(k)} AS DOUBLE) AS obf_boundary,
+         |  abs(${z(k)}) > ${bounds(k)} AS stop
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH mm AS (
+      |  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+      |  FROM events),
+      |cut AS (
+      |  SELECT t0 + ((t1 - t0) * 1) // 4 AS c1,
+      |    t0 + ((t1 - t0) * 2) // 4 AS c2,
+      |    t0 + ((t1 - t0) * 3) // 4 AS c3,
+      |    t0 + ((t1 - t0) * 4) // 4 AS c4
+      |  FROM mm),
+      |pu AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS first_t,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) <= c1 THEN 1 ELSE 0 END) AS p1,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) <= c2 THEN 1 ELSE 0 END) AS p2,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) <= c3 THEN 1 ELSE 0 END) AS p3,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND epoch_us(ts) <= c4 THEN 1 ELSE 0 END) AS p4,
+      |    MAX(c1) AS c1, MAX(c2) AS c2, MAX(c3) AS c3, MAX(c4) AS c4,
+      |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS arm
+      |  FROM events, cut GROUP BY user_id
+      |    , substr(md5(CAST(user_id AS VARCHAR)), 1, 1)),
+      |m AS (
+      |  SELECT
+      |    $momentCols
+      |  FROM pu)
+      |$looks
+      |ORDER BY look""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_sequential_looks" -> (q316SequentialLooks _),
     "q314_srm_check" -> (q314SrmCheck _),
     "q315_cuped_reduction" -> (q315CupedReduction _),
     "q291_score_discrimination" -> (q291ScoreDiscrimination _),
@@ -939,6 +1077,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q316_sequential_looks" -> q316Sql,
     "q314_srm_check" -> q314Sql,
     "q315_cuped_reduction" -> q315Sql,
     "q291_score_discrimination" -> q291Sql,

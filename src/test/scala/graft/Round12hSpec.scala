@@ -580,6 +580,29 @@ class Round12hSpec extends AnyFunSuite {
     assert(varAdj <= varPost)
   }
 
+  test("q316: four looks, enrollment monotone, boundaries decrease, flags consistent") {
+    val rows = queries.ExperimentQueries.q316SequentialLooks(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("look"))
+    assert(rows.length == 4)
+    val enrolled = rows.map(_.getAs[Long]("n_enrolled"))
+    enrolled.zip(enrolled.tail).foreach { case (a, b) =>
+      assert(b >= a, "enrollment shrank between looks")
+    }
+    val bounds = rows.map(_.getAs[Double]("obf_boundary"))
+    assert(bounds.sameElements(Seq(4.048, 2.862, 2.337, 2.024)))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("stop") ==
+        (math.abs(r.getAs[Double]("z")) > r.getAs[Double]("obf_boundary")))
+    }
+    // final look's z equals q129's z over the same assignment only when
+    // enrollment covers all users — at look 4 every user has enrolled
+    assert(enrolled.last ==
+      queries.Kpis.eventsTable(spark, sfDir)
+        .select(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("user_id")))
+        .collect().head.getLong(0))
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
