@@ -1219,7 +1219,127 @@ object SeriesQueries {
       |  CAST(top AS DOUBLE) / CAST(n AS DOUBLE) AS dominant_share
       |FROM census, h ORDER BY pattern""".stripMargin
 
+  // --------------------------------------------------------------- q317
+  /** Hierarchical forecast reconciliation audit: forecast the final
+    * month's revenue with a 3-month MEDIAN (deliberately nonlinear — a
+    * linear forecaster commutes with aggregation and the question
+    * vanishes) two ways — TOP-DOWN (median of the total series) and
+    * BOTTOM-UP (sum of per-nation medians) — and measure the coherence
+    * gap between them plus both one-step backtest errors against the
+    * actual. This is the core dilemma of hierarchical forecasting
+    * (Hyndman's reconciliation literature): per-series forecasts don't
+    * add up, and a platform must pick (or reconcile) a level. The gap
+    * and the per-level errors are the evidence that choice reads.
+    *
+    * Exactness: ALL-integer — cents sums, a median-of-3 spelled as the
+    * branchless greatest/least form (identical in both engines), and
+    * integer gaps/errors; no division anywhere.
+    *
+    * Scale shape: one (nation, month) agg; the 3-month windows read a
+    * nation×3 grid built by explicit filter (no window function at
+    * all); single-row output. */
+  def q317HierForecast(spark: SparkSession, dir: String): DataFrame = {
+    def med3(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column) =
+      greatest(least(a, b), least(greatest(a, b), c))
+    val nat = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val monthly = Kpis.table(spark, dir, "orders")
+      .join(nat, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val lastIdx = monthly.agg(max(col("idx")).as("li"))
+    val hist = monthly.crossJoin(broadcast(lastIdx))
+      .filter(col("idx") >= col("li") - 4 && col("idx") <= col("li") - 2)
+    val perNation = monthly.select(col("nation")).distinct()
+      .crossJoin(broadcast(lastIdx))
+      .join(hist.select(col("nation").as("n2"), col("idx"), col("cents")),
+        col("nation") === col("n2") && col("idx") === col("li") - 4, "left")
+      .withColumnRenamed("cents", "m3")
+      .drop("n2", "idx")
+      .join(hist.select(col("nation").as("n2"), col("idx"), col("cents")),
+        col("nation") === col("n2") && col("idx") === col("li") - 3, "left")
+      .withColumnRenamed("cents", "m2")
+      .drop("n2", "idx")
+      .join(hist.select(col("nation").as("n2"), col("idx"), col("cents")),
+        col("nation") === col("n2") && col("idx") === col("li") - 2, "left")
+      .withColumnRenamed("cents", "m1")
+      .drop("n2", "idx")
+      .select(col("nation"),
+        med3(coalesce(col("m3"), lit(0L)), coalesce(col("m2"), lit(0L)),
+          coalesce(col("m1"), lit(0L))).as("f_nation"))
+    val bu = perNation.agg(sum(col("f_nation")).as("f_bottom_up"),
+      count(lit(1)).as("n_nations"))
+    val totals = monthly.groupBy(col("idx"))
+      .agg(sum(col("cents")).as("t"))
+      .crossJoin(broadcast(lastIdx))
+    val td = totals.agg(
+      max(when(col("idx") === col("li") - 4, col("t"))).as("t3"),
+      max(when(col("idx") === col("li") - 3, col("t"))).as("t2"),
+      max(when(col("idx") === col("li") - 2, col("t"))).as("t1"),
+      max(when(col("idx") === col("li") - 1, col("t"))).as("actual"),
+      (max(col("li")) - lit(1L)).as("target_idx"))
+      .select(col("target_idx"), col("actual"),
+        med3(coalesce(col("t3"), lit(0L)), coalesce(col("t2"), lit(0L)),
+          coalesce(col("t1"), lit(0L))).as("f_top_down"))
+    td.crossJoin(broadcast(bu))
+      .select(col("target_idx"), col("n_nations"), col("actual"),
+        col("f_top_down"), col("f_bottom_up"),
+        (col("f_top_down") - col("f_bottom_up")).as("coherence_gap"),
+        abs(col("f_top_down") - col("actual")).as("abs_err_top_down"),
+        abs(col("f_bottom_up") - col("actual")).as("abs_err_bottom_up"))
+  }
+
+  val q317Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS idx,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |li AS (SELECT MAX(idx) AS li FROM monthly),
+      |pn AS (
+      |  SELECT n.nation,
+      |    GREATEST(LEAST(COALESCE(a.cents, 0), COALESCE(b.cents, 0)),
+      |      LEAST(GREATEST(COALESCE(a.cents, 0), COALESCE(b.cents, 0)),
+      |        COALESCE(c.cents, 0))) AS f_nation
+      |  FROM (SELECT DISTINCT nation FROM monthly) n
+      |  CROSS JOIN li
+      |  LEFT JOIN monthly a ON a.nation = n.nation AND a.idx = li.li - 4
+      |  LEFT JOIN monthly b ON b.nation = n.nation AND b.idx = li.li - 3
+      |  LEFT JOIN monthly c ON c.nation = n.nation AND c.idx = li.li - 2),
+      |bu AS (
+      |  SELECT CAST(SUM(f_nation) AS BIGINT) AS f_bottom_up,
+      |    COUNT(*) AS n_nations
+      |  FROM pn),
+      |tot AS (
+      |  SELECT idx, CAST(SUM(cents) AS BIGINT) AS t
+      |  FROM monthly GROUP BY 1),
+      |td AS (
+      |  SELECT li.li - 1 AS target_idx,
+      |    (SELECT t FROM tot WHERE idx = li.li - 1) AS actual,
+      |    GREATEST(
+      |      LEAST(COALESCE((SELECT t FROM tot WHERE idx = li.li - 4), 0),
+      |            COALESCE((SELECT t FROM tot WHERE idx = li.li - 3), 0)),
+      |      LEAST(
+      |        GREATEST(
+      |          COALESCE((SELECT t FROM tot WHERE idx = li.li - 4), 0),
+      |          COALESCE((SELECT t FROM tot WHERE idx = li.li - 3), 0)),
+      |        COALESCE((SELECT t FROM tot WHERE idx = li.li - 2), 0)))
+      |      AS f_top_down
+      |  FROM li)
+      |SELECT target_idx, n_nations, actual, f_top_down, f_bottom_up,
+      |  f_top_down - f_bottom_up AS coherence_gap,
+      |  abs(f_top_down - actual) AS abs_err_top_down,
+      |  abs(f_bottom_up - actual) AS abs_err_bottom_up
+      |FROM td, bu""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_hier_forecast" -> (q317HierForecast _),
     "q303_permutation_entropy" -> (q303PermutationEntropy _),
     "q301_peak_trailing_window" -> (q301PeakTrailingWindow _),
     "q300_decomposition_strength" -> (q300DecompositionStrength _),
@@ -1818,6 +1938,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q317_hier_forecast" -> q317Sql,
     "q303_permutation_entropy" -> q303Sql,
     "q301_peak_trailing_window" -> q301Sql,
     "q300_decomposition_strength" -> q300Sql,

@@ -603,6 +603,23 @@ class Round12hSpec extends AnyFunSuite {
         .collect().head.getLong(0))
   }
 
+  test("q317: coherence gap identity; BU sums nation medians; errors consistent") {
+    val r = queries.SeriesQueries.q317HierForecast(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val td = row.getAs[Long]("f_top_down")
+    val bu = row.getAs[Long]("f_bottom_up")
+    val actual = row.getAs[Long]("actual")
+    assert(row.getAs[Long]("coherence_gap") == td - bu)
+    assert(row.getAs[Long]("abs_err_top_down") == math.abs(td - actual))
+    assert(row.getAs[Long]("abs_err_bottom_up") == math.abs(bu - actual))
+    assert(td > 0 && bu > 0 && actual > 0)
+    assert(row.getAs[Long]("n_nations") > 0)
+    // median is between min and max of its window, so both forecasts are
+    // bounded by 0 and the total revenue of any single month times nations
+    assert(bu <= td * 3 && td <= bu * 3, s"implausible gap: td=$td bu=$bu")
+  }
+
   test("q290: one row; revenue bounded by unfiltered quantity-sliced revenue") {
     import org.apache.spark.sql.functions._
     val r = queries.Tpch7Queries.q290DisjunctRevenue(spark, sfDir).collect()
