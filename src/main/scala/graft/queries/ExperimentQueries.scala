@@ -1063,7 +1063,359 @@ object ExperimentQueries {
       |ORDER BY look""".stripMargin
   }
 
+  // --------------------------------------------------------------- q320
+  /** Benjamini–Hochberg FDR screen over the 25-nation metric grid: for
+    * each nation, a 2×2 chi-square test of whether its 1997→1998 order
+    * mix shifted differently from the rest of the world, then the BH
+    * STEP-UP across all 25 tests — the multiple-comparisons control an
+    * experimentation platform applies when it reads one metric across
+    * many segments (q314/q315/q316 guard ONE test; this guards the
+    * family). Rejected segments are those at or below the largest rank
+    * k whose p-value clears α·k/m.
+    *
+    * Exactness: the BH decision never touches a p-value — p(i) ≤ α·i/m
+    * ⟺ χ²(i) ≥ F⁻¹(1−α·i/m), so each test compares
+    * N·(ad−bc)²·10⁹ ≥ crit9(rank)·(a+b)(c+d)(a+c)(b+d) in EXACT
+    * DECIMAL(38,0) integer space, with crit9 a 25-entry literal grid of
+    * 9-dp-scaled χ²(1 df) quantiles (α = 0.05, m = 25, fixed by the
+    * nation-table design). The double χ² is used only for RANKING (one
+    * exact-int→double cast + one IEEE division, identical in both
+    * engines; DuckDB crosses int128→double via the q130 varchar bridge)
+    * and 6-dp display.
+    *
+    * Scale shape: one fact-scale (nation, year) agg, a broadcast 1-row
+    * total, and a 25-row census for the rank window (pinned in
+    * WindowGuardSpec) — fact rows are never windowed. */
+  def q320BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val crit9 = Seq(9549535706L, 8283814996L, 7550302542L, 7033474266L,
+      6634896601L, 6310869124L, 6038143369L, 5802874107L, 5596149122L,
+      5411894431L, 5245785016L, 5094632426L, 4956018842L, 4828067421L,
+      4709292247L, 4598496911L, 4494703970L, 4397104643L, 4305022169L,
+      4217884588L, 4135204197L, 4056561799L, 3981594462L, 3909985901L,
+      3841458821L)
+    val perNation = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1997, 1998))
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("a0"),
+        sum(when(col("yr") === 1998, 1L).otherwise(0L)).as("b0"))
+    val cells = Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey").as("nation"))
+      .join(perNation, col("nation") === col("nk"), "left")
+      .select(col("nation"),
+        coalesce(col("a0"), lit(0L)).as("a"),
+        coalesce(col("b0"), lit(0L)).as("b"))
+    val tot = cells.agg(sum(col("a")).as("t97"), sum(col("b")).as("t98"))
+    val t = cells.crossJoin(broadcast(tot))
+      .withColumn("c", col("t97") - col("a"))
+      .withColumn("d", col("t98") - col("b"))
+      .withColumn("det",
+        (col("a") * col("d") - col("b") * col("c")).cast("decimal(19,0)"))
+      .withColumn("lhs",
+        ((col("det") * col("det")).cast("decimal(38,0)") *
+          (col("t97") + col("t98")).cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("prods",
+        (((col("a") + col("b")) * (col("c") + col("d")))
+          .cast("decimal(19,0)") *
+          ((col("a") + col("c")) * (col("b") + col("d")))
+            .cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .withColumn("chi2d",
+        when(col("prods") === lit(0L).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(col("lhs").cast("double") /
+            col("prods").cast("double")))
+    // rank window over the 25-row nation census (WindowGuardSpec)
+    val ranked = t.withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("chi2d").desc, col("nation").asc))
+          .cast("long"))
+      .withColumn("crit9",
+        element_at(array(crit9.map(lit(_)): _*), col("rank").cast("int"))
+          .cast("decimal(19,0)"))
+      .withColumn("pass_own",
+        col("prods") > lit(0L).cast("decimal(38,0)") &&
+          (col("lhs") * lit(1000000000L).cast("decimal(19,0)"))
+            .cast("decimal(38,0)") >=
+          (col("crit9") * col("prods")).cast("decimal(38,0)"))
+    val k = ranked.agg(
+      max(when(col("pass_own"), col("rank")).otherwise(0L)).as("k_bh"))
+    ranked.crossJoin(broadcast(k))
+      .select(col("nation"), col("a").as("n_1997"), col("b").as("n_1998"),
+        (round(col("chi2d"), 6) + lit(0.0)).as("chi2"),
+        col("rank"), col("pass_own"), col("k_bh"),
+        (col("rank") <= col("k_bh")).as("rejected"))
+      .orderBy("rank")
+  }
+
+  // DuckDB decimal widths are sized for the sf0.01 verify fixture (its
+  // multiply REQUIRES p1+p2 <= 38, unlike Spark's silent cap): det <=
+  // ~4e5 -> (12,0), det^2 (24,0) x N (4,0) -> lhs (28,0); lhs x 1e9
+  // (10,0) -> (38,0); crit9 (10,0) x prods (28,0) -> (38,0).
+  val q320Sql: String =
+    """WITH per AS (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a0,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b0
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1997, 1998)
+      |  GROUP BY 1),
+      |cells AS (
+      |  SELECT n_nationkey AS nation,
+      |    COALESCE(a0, 0) AS a, COALESCE(b0, 0) AS b
+      |  FROM nation LEFT JOIN per ON n_nationkey = nk),
+      |tot AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS t97,
+      |    CAST(SUM(b) AS BIGINT) AS t98 FROM cells),
+      |t AS (
+      |  SELECT nation, a, b,
+      |    CAST(CAST(a * d - b * c AS DECIMAL(12,0))
+      |      * CAST(a * d - b * c AS DECIMAL(12,0))
+      |      * CAST(t97 + t98 AS DECIMAL(4,0)) AS DECIMAL(28,0)) AS lhs,
+      |    CAST(CAST((a + b) * (c + d) AS DECIMAL(14,0))
+      |      * CAST((a + c) * (b + d) AS DECIMAL(14,0)) AS DECIMAL(28,0))
+      |      AS prods
+      |  FROM (SELECT nation, a, b, t97 - a AS c, t98 - b AS d, t97, t98
+      |        FROM cells CROSS JOIN tot)),
+      |scored AS (
+      |  SELECT nation, a, b, lhs, prods,
+      |    CASE WHEN prods = 0 THEN 0.0
+      |      ELSE CAST(CAST(lhs AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(prods AS VARCHAR) AS DOUBLE) END AS chi2d
+      |  FROM t),
+      |ranked AS (
+      |  SELECT nation, a, b, lhs, prods, chi2d,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY chi2d DESC, nation ASC)
+      |      AS BIGINT) AS rank
+      |  FROM scored),
+      |flagged AS (
+      |  SELECT nation, a, b, chi2d, rank,
+      |    (prods > 0 AND
+      |     lhs * CAST(1000000000 AS DECIMAL(10,0))
+      |       >= CAST([9549535706, 8283814996, 7550302542, 7033474266,
+      |            6634896601, 6310869124, 6038143369, 5802874107,
+      |            5596149122, 5411894431, 5245785016, 5094632426,
+      |            4956018842, 4828067421, 4709292247, 4598496911,
+      |            4494703970, 4397104643, 4305022169, 4217884588,
+      |            4135204197, 4056561799, 3981594462, 3909985901,
+      |            3841458821][CAST(rank AS INT)] AS DECIMAL(10,0))
+      |          * prods) AS pass_own
+      |  FROM ranked),
+      |kk AS (
+      |  SELECT CAST(MAX(CASE WHEN pass_own THEN rank ELSE 0 END)
+      |    AS BIGINT) AS k_bh FROM flagged)
+      |SELECT nation, a AS n_1997, b AS n_1998,
+      |  round(chi2d, 6) + 0.0 AS chi2, rank, pass_own, k_bh,
+      |  rank <= k_bh AS rejected
+      |FROM flagged CROSS JOIN kk
+      |ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- q325
+  /** Tie-corrected Kruskal–Wallis rank test: does lineitem quantity
+    * distribute differently across the 5 order priorities? The k-sample
+    * extension of q203's Mann–Whitney (rank-based, outlier-robust — a
+    * one-way ANOVA on ranks), closing the k-group gap in the test
+    * family (q129/q203 are two-sample, q212's ANOVA assumes normality).
+    * H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1) over midranks, divided by the
+    * tie correction 1 − Σ(t³−t)/(N³−N); compared against the χ²(4 df)
+    * 95% critical value as a 9-dp literal (the q320 grid discipline).
+    *
+    * Exactness: the fact collapses to the 50-value quantity census;
+    * DOUBLED midranks 2·mid(v) = 2·cumBefore(v) + t(v) + 1 keep
+    * everything integer, so each group's doubled rank sum R2_g and the
+    * tie term Σ(t³−t) are exact decimal sums. Every double that feeds H
+    * is an exact-integer cast below 2⁵³; H itself is a FIXED-ORDER
+    * expression tree (the five group terms added as literals u+h+m+s+l,
+    * never a data-ordered SUM over doubles) — identical IEEE chains in
+    * both engines.
+    *
+    * Scale shape: one fact join (orders⋈lineitem) into one
+    * map-combinable (v, priority) census agg; the cumulative window and
+    * everything after run on the 50-row census (WindowGuard). */
+  def q325KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val tags = Seq("u", "h", "m", "s", "l")
+    val joined = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)").as("v"))
+      .join(Kpis.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("g")),
+        col("l_orderkey") === col("o_orderkey"))
+    val censusAggs = count(lit(1)).as("t") +:
+      prios.zip(tags).map { case (p, tg) =>
+        sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c_$tg")
+      }
+    val census = joined.groupBy(col("v"))
+      .agg(censusAggs.head, censusAggs.tail: _*)
+    val cumBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withMid = census
+      .withColumn("m2",
+        lit(2) * coalesce(sum(col("t")).over(cumBefore), lit(0L)) +
+          col("t") + lit(1L))
+    val wideAggs =
+      (sum(col("t")).as("n_total") +:
+        sum(((col("t").cast("decimal(12,0)") * col("t").cast("decimal(12,0)"))
+          .cast("decimal(24,0)") * col("t").cast("decimal(12,0)") -
+          col("t").cast("decimal(12,0)")).cast("decimal(38,0)")).as("t3t") +:
+        tags.flatMap { tg =>
+          Seq(sum(col(s"c_$tg")).as(s"n_$tg"),
+            sum((col(s"c_$tg").cast("decimal(12,0)") *
+              col("m2").cast("decimal(18,0)")).cast("decimal(30,0)"))
+              .as(s"r2_$tg"))
+        })
+    val wide = withMid.agg(wideAggs.head, wideAggs.tail: _*)
+    val nD = col("n_total").cast("double")
+    def term(tg: String) = {
+      val r2d = col(s"r2_$tg").cast("double")
+      (r2d * r2d) / col(s"n_$tg").cast("double")
+    }
+    // fixed-order five-term sum: u + h + m + s + l
+    val sumTerms = term("u") + term("h") + term("m") + term("s") + term("l")
+    val h = lit(3.0) / (nD * (nD + lit(1.0))) * sumTerms -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("t3t").cast("double") / (nD * nD * nD - nD)
+    val scored = wide
+      .withColumn("h_stat", round(h, 6) + lit(0.0))
+      .withColumn("h_tie_corrected", round(h / corr, 6) + lit(0.0))
+      .withColumn("reject_95", h / corr >= lit(9.487729037))
+    scored.select(
+      explode(array(prios.zip(tags).map { case (p, tg) =>
+        struct(lit(p).as("priority"), col(s"n_$tg").as("n_lines"),
+          col(s"r2_$tg").cast("decimal(38,0)").as("rank_sum_x2"))
+      }: _*)).as("g"),
+      col("n_total"), col("h_stat"), col("h_tie_corrected"),
+      lit(4).as("df"), col("reject_95"))
+      .select(col("g.priority").as("priority"), col("g.n_lines"),
+        col("g.rank_sum_x2").cast("double").as("rank_sum_x2"),
+        col("n_total"), col("h_stat"), col("h_tie_corrected"), col("df"),
+        col("reject_95"))
+      .orderBy("priority")
+  }
+
+  val q325Sql: String =
+    """WITH joined AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+      |    o_orderpriority AS g
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |census AS (
+      |  SELECT v, COUNT(*) AS t,
+      |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_u,
+      |    CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_h,
+      |    CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_m,
+      |    CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_s,
+      |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_l
+      |  FROM joined GROUP BY 1),
+      |mid AS (
+      |  SELECT *,
+      |    2 * COALESCE(SUM(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t + 1 AS m2
+      |  FROM census),
+      |wide AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+      |    CAST(SUM(CAST(CAST(CAST(t AS DECIMAL(12,0))
+      |        * CAST(t AS DECIMAL(12,0)) AS DECIMAL(24,0))
+      |        * CAST(t AS DECIMAL(12,0))
+      |        - CAST(t AS DECIMAL(12,0)) AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS t3t,
+      |    CAST(SUM(c_u) AS BIGINT) AS n_u,
+      |    CAST(SUM(CAST(CAST(c_u AS DECIMAL(12,0))
+      |      * CAST(m2 AS DECIMAL(18,0)) AS DECIMAL(30,0)))
+      |      AS DECIMAL(38,0)) AS r2_u,
+      |    CAST(SUM(c_h) AS BIGINT) AS n_h,
+      |    CAST(SUM(CAST(CAST(c_h AS DECIMAL(12,0))
+      |      * CAST(m2 AS DECIMAL(18,0)) AS DECIMAL(30,0)))
+      |      AS DECIMAL(38,0)) AS r2_h,
+      |    CAST(SUM(c_m) AS BIGINT) AS n_m,
+      |    CAST(SUM(CAST(CAST(c_m AS DECIMAL(12,0))
+      |      * CAST(m2 AS DECIMAL(18,0)) AS DECIMAL(30,0)))
+      |      AS DECIMAL(38,0)) AS r2_m,
+      |    CAST(SUM(c_s) AS BIGINT) AS n_s,
+      |    CAST(SUM(CAST(CAST(c_s AS DECIMAL(12,0))
+      |      * CAST(m2 AS DECIMAL(18,0)) AS DECIMAL(30,0)))
+      |      AS DECIMAL(38,0)) AS r2_s,
+      |    CAST(SUM(c_l) AS BIGINT) AS n_l,
+      |    CAST(SUM(CAST(CAST(c_l AS DECIMAL(12,0))
+      |      * CAST(m2 AS DECIMAL(18,0)) AS DECIMAL(30,0)))
+      |      AS DECIMAL(38,0)) AS r2_l
+      |  FROM mid),
+      |scored AS (
+      |  SELECT *,
+      |    round(3.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE)
+      |        + 1.0))
+      |      * ((CAST(r2_u AS DOUBLE) * CAST(r2_u AS DOUBLE))
+      |           / CAST(n_u AS DOUBLE)
+      |         + (CAST(r2_h AS DOUBLE) * CAST(r2_h AS DOUBLE))
+      |           / CAST(n_h AS DOUBLE)
+      |         + (CAST(r2_m AS DOUBLE) * CAST(r2_m AS DOUBLE))
+      |           / CAST(n_m AS DOUBLE)
+      |         + (CAST(r2_s AS DOUBLE) * CAST(r2_s AS DOUBLE))
+      |           / CAST(n_s AS DOUBLE)
+      |         + (CAST(r2_l AS DOUBLE) * CAST(r2_l AS DOUBLE))
+      |           / CAST(n_l AS DOUBLE))
+      |      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0), 6) + 0.0 AS h_stat,
+      |    round((3.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE)
+      |        + 1.0))
+      |      * ((CAST(r2_u AS DOUBLE) * CAST(r2_u AS DOUBLE))
+      |           / CAST(n_u AS DOUBLE)
+      |         + (CAST(r2_h AS DOUBLE) * CAST(r2_h AS DOUBLE))
+      |           / CAST(n_h AS DOUBLE)
+      |         + (CAST(r2_m AS DOUBLE) * CAST(r2_m AS DOUBLE))
+      |           / CAST(n_m AS DOUBLE)
+      |         + (CAST(r2_s AS DOUBLE) * CAST(r2_s AS DOUBLE))
+      |           / CAST(n_s AS DOUBLE)
+      |         + (CAST(r2_l AS DOUBLE) * CAST(r2_l AS DOUBLE))
+      |           / CAST(n_l AS DOUBLE))
+      |      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+      |      / (1.0 - CAST(t3t AS DOUBLE)
+      |         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))),
+      |      6) + 0.0 AS h_tie_corrected,
+      |    (3.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE)
+      |        + 1.0))
+      |      * ((CAST(r2_u AS DOUBLE) * CAST(r2_u AS DOUBLE))
+      |           / CAST(n_u AS DOUBLE)
+      |         + (CAST(r2_h AS DOUBLE) * CAST(r2_h AS DOUBLE))
+      |           / CAST(n_h AS DOUBLE)
+      |         + (CAST(r2_m AS DOUBLE) * CAST(r2_m AS DOUBLE))
+      |           / CAST(n_m AS DOUBLE)
+      |         + (CAST(r2_s AS DOUBLE) * CAST(r2_s AS DOUBLE))
+      |           / CAST(n_s AS DOUBLE)
+      |         + (CAST(r2_l AS DOUBLE) * CAST(r2_l AS DOUBLE))
+      |           / CAST(n_l AS DOUBLE))
+      |      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+      |      / (1.0 - CAST(t3t AS DOUBLE)
+      |         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+      |      >= 9.487729037 AS reject_95
+      |  FROM wide),
+      |g(priority) AS (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+      |  ('4-NOT SPECIFIED'), ('5-LOW'))
+      |SELECT priority,
+      |  CASE priority WHEN '1-URGENT' THEN n_u WHEN '2-HIGH' THEN n_h
+      |    WHEN '3-MEDIUM' THEN n_m WHEN '4-NOT SPECIFIED' THEN n_s
+      |    ELSE n_l END AS n_lines,
+      |  CAST(CASE priority WHEN '1-URGENT' THEN r2_u
+      |    WHEN '2-HIGH' THEN r2_h WHEN '3-MEDIUM' THEN r2_m
+      |    WHEN '4-NOT SPECIFIED' THEN r2_s ELSE r2_l END AS DOUBLE)
+      |    AS rank_sum_x2,
+      |  n_total, h_stat, h_tie_corrected, 4 AS df, reject_95
+      |FROM scored CROSS JOIN g
+      |ORDER BY priority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_kruskal_wallis" -> (q325KruskalWallis _),
+    "q320_bh_fdr" -> (q320BhFdr _),
     "q316_sequential_looks" -> (q316SequentialLooks _),
     "q314_srm_check" -> (q314SrmCheck _),
     "q315_cuped_reduction" -> (q315CupedReduction _),
@@ -1077,6 +1429,8 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q325_kruskal_wallis" -> q325Sql,
+    "q320_bh_fdr" -> q320Sql,
     "q316_sequential_looks" -> q316Sql,
     "q314_srm_check" -> q314Sql,
     "q315_cuped_reduction" -> q315Sql,

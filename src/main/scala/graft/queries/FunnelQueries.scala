@@ -355,6 +355,118 @@ object FunnelQueries {
       |QUALIFY d > 0 AND t <= 60
       |ORDER BY gap_days""".stripMargin
 
+  // --------------------------------------------------------------- q322
+  /** Nelson–Aalen cumulative hazard for the same first→second-order
+    * process q192 estimates survival on: H(t) = Σ_{u≤t} dᵤ/nᵤ over
+    * event days, the counting-process companion every survival stack
+    * reports next to Kaplan–Meier (it is the integrand of S = e^{−H},
+    * better-behaved in small risk sets and the basis of hazard-ratio
+    * modeling). Also emits the Fleming–Harrington survival e^{−H(t)}
+    * rounded to 6 dp — directly comparable row-by-row against q192's
+    * product-limit survival (FH ≥ KM pointwise; the spec asserts it).
+    *
+    * Exactness: identical census/risk-set construction as q192 (exact
+    * integer d, c, nᵤ); each hazard step dᵤ/nᵤ is one IEEE division
+    * snapped to the 9-dp decimal grid; the cumulative hazard is an
+    * EXACT decimal prefix sum of snapped steps; exp is the one final
+    * double op, absorbed by 6-dp output rounding (q115 convention).
+    *
+    * Scale shape: same as q192 — per-customer collapse, then every
+    * window runs over the |distinct gap days| census (WindowGuard). */
+  def q322NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("corpus_max"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+    val perCust = o
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("first_od"),
+        max(when(col("rn") === 2, col("od"))).as("second_od"))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("second_od").isNotNull,
+          datediff(col("second_od"), col("first_od")))
+          .otherwise(datediff(col("corpus_max"), col("first_od"))).as("t"),
+        col("second_od").isNotNull.as("event"))
+    val census = perCust.groupBy(col("t"))
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val byT = Window.orderBy(col("t"))
+    val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("n_at_risk",
+        sum(col("d") + col("c")).over(Window.partitionBy()) -
+          coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("step",
+        when(col("d") > 0,
+          round(col("d").cast("double") / col("n_at_risk").cast("double"),
+            9).cast("decimal(12,9)"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(12,9)")))
+      .withColumn("cum_hazard", sum(col("step")).over(cum))
+      .filter(col("d") > 0 && col("t") <= 60)
+      .select(col("t").cast("long").as("gap_days"), col("n_at_risk"),
+        col("d").as("events"), col("c").as("censored"),
+        col("step").cast("double").as("hazard_step"),
+        col("cum_hazard").cast("double").as("cum_hazard"),
+        round(exp(-col("cum_hazard").cast("double")), 6).as("surv_fh"))
+      .orderBy("gap_days")
+  }
+
+  val q322Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |mx AS (SELECT MAX(od) AS corpus_max FROM o),
+      |r AS (
+      |  SELECT o_custkey, od,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY od) AS rn
+      |  FROM o),
+      |pc AS (
+      |  SELECT o_custkey, MIN(od) AS first_od,
+      |    MAX(CASE WHEN rn = 2 THEN od END) AS second_od
+      |  FROM r WHERE rn <= 2 GROUP BY 1),
+      |t AS (
+      |  SELECT CASE WHEN second_od IS NOT NULL
+      |              THEN date_diff('day', first_od, second_od)
+      |              ELSE date_diff('day', first_od, corpus_max) END AS t,
+      |    second_od IS NOT NULL AS event
+      |  FROM pc CROSS JOIN mx),
+      |census AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM t GROUP BY 1),
+      |k AS (
+      |  SELECT t, d, c,
+      |    SUM(d + c) OVER () -
+      |      COALESCE(SUM(d + c) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_at_risk
+      |  FROM census),
+      |l AS (
+      |  SELECT *,
+      |    CASE WHEN d > 0 THEN
+      |      CAST(round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 9)
+      |        AS DECIMAL(12,9))
+      |    ELSE CAST(0 AS DECIMAL(12,9)) END AS step
+      |  FROM k),
+      |h AS (
+      |  SELECT *,
+      |    SUM(step) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      |  FROM l)
+      |SELECT CAST(t AS BIGINT) AS gap_days,
+      |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  d AS events, c AS censored,
+      |  CAST(step AS DOUBLE) AS hazard_step,
+      |  CAST(ch AS DOUBLE) AS cum_hazard,
+      |  round(exp(-CAST(ch AS DOUBLE)), 6) AS surv_fh
+      |FROM h
+      |WHERE d > 0 AND t <= 60
+      |ORDER BY gap_days""".stripMargin
+
   // --------------------------------------------------------------- q229
   /** New-vs-returning revenue split by quarter: each quarter's revenue
     * decomposed into orders from customers whose FIRST-ever order falls
@@ -680,7 +792,8 @@ object FunnelQueries {
     "q87_retention" -> (q87Retention _),
     "q93_conversion_latency" -> (q93ConversionLatency _),
     "q146_cohort_ltv" -> (q146CohortLtv _),
-    "q192_kaplan_meier" -> (q192KaplanMeier _))
+    "q192_kaplan_meier" -> (q192KaplanMeier _),
+    "q322_nelson_aalen" -> (q322NelsonAalen _))
 
   def oracles: Map[String, String] = Map(
     "q310_chain_ladder" -> q310Sql,
@@ -691,5 +804,6 @@ object FunnelQueries {
     "q87_retention" -> q87Sql,
     "q93_conversion_latency" -> q93Sql,
     "q146_cohort_ltv" -> q146Sql,
-    "q192_kaplan_meier" -> q192Sql)
+    "q192_kaplan_meier" -> q192Sql,
+    "q322_nelson_aalen" -> q322Sql)
 }

@@ -203,11 +203,74 @@ object QualityQueries {
       |FROM nulls
       |ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------------------------- q324
+  /** Line-number contiguity audit: within an order, l_linenumber should
+    * enumerate the lines 1..n with no duplicates and no holes — the
+    * detail-table sequencing invariant every ERP extract is checked
+    * against (a duplicate means a double-extracted line, a gap means a
+    * dropped one; q221 reconciles AMOUNTS across header/detail, this
+    * audits the SEQUENCE). Orders are classified into a 3-way census —
+    * contiguous / has-duplicates / gapped (distinct but not 1..n) —
+    * with order and line counts, share, and the worst (max) sequence
+    * overrun max(linenumber) − n observed per class.
+    *
+    * Exactness: all-integer min/max/count/distinct per order; the share
+    * is one closing double division.
+    *
+    * Scale shape: one map-combinable per-order agg off the scan, then a
+    * 3-row census. No join, no window. */
+  def q324LinenumAudit(spark: SparkSession, dir: String): DataFrame = {
+    val po = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_linenumber")).as("mn"),
+        max(col("l_linenumber")).as("mx"),
+        countDistinct(col("l_linenumber")).as("d"))
+    val cls = when(col("d") < col("n"), "1_duplicated")
+      .when(col("mn") === 1 && col("mx") === col("n"), "0_contiguous")
+      .otherwise("2_gapped")
+    po.groupBy(cls.as("class"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n")).as("n_lines"),
+        max(col("mx") - col("n")).as("max_overrun"))
+      .withColumn("n_total",
+        sum(col("n_orders")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("class"), col("n_orders"), col("n_lines"),
+        col("max_overrun"),
+        (round(col("n_orders").cast("double") /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("share"))
+      .orderBy("class")
+  }
+
+  val q324Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, COUNT(*) AS n,
+      |    MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+      |    COUNT(DISTINCT l_linenumber) AS d
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT CASE WHEN d < n THEN '1_duplicated'
+      |    WHEN mn = 1 AND mx = n THEN '0_contiguous'
+      |    ELSE '2_gapped' END AS class, n, mx
+      |  FROM po),
+      |g AS (
+      |  SELECT class, COUNT(*) AS n_orders,
+      |    CAST(SUM(n) AS BIGINT) AS n_lines,
+      |    CAST(MAX(mx - n) AS BIGINT) AS max_overrun
+      |  FROM c GROUP BY 1),
+      |m AS (SELECT *, SUM(n_orders) OVER () AS n_total FROM g)
+      |SELECT class, n_orders, n_lines, max_overrun,
+      |  round(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE), 6) + 0.0
+      |    AS share
+      |FROM m ORDER BY class""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
+    "q324_linenum_audit" -> q324Sql,
     "q309_dq_scorecard" -> q309Sql,
     "q175_fd_audit" -> q175Sql)
 }

@@ -404,13 +404,147 @@ object RankQueries {
       |  CAST(gain AS DOUBLE) AS gain, dcg, idcg, dcg / idcg AS ndcg
       |FROM g, dcg, idcg ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- q321
+  /** Rank-biased overlap (RBO@10, p = 0.9) between the two rankings
+    * q151 FUSES — lexical BM25 and semantic cosine-vs-doc-0 — answering
+    * the question fusion design starts from: how much do the lists
+    * actually agree, weighted toward the top the way a user reads them
+    * (Webber et al., TOIS 2010)? The truncated RBO is
+    * Σ_{d=1..10} (1−p)·p^(d−1)·|A_d ∩ B_d|/d; because a matched doc is
+    * inside BOTH depth-d prefixes exactly when max(rank_A, rank_B) ≤ d,
+    * the per-depth intersection is a count over the ≤10-row matched
+    * table — no per-depth set machinery.
+    *
+    * Exactness: the (1−p)p^(d−1)/d weights are a 10-entry 9-dp DECIMAL
+    * literal grid (no cross-engine pow/division); per-depth contribution
+    * is weight × integer count in exact decimal space; the cumulative
+    * RBO and its perfect-agreement ceiling (Σ w_d·d) are exact decimal
+    * running sums; the normalized ratio is one closing double division.
+    * Ranks come from the same totally-ordered windows q151/q296 pin.
+    *
+    * Scale shape: the two rank windows run over the matched-doc frame
+    * and the embeddings entity table (both WindowGuardSpec-pinned, as
+    * in q151); everything downstream is a ≤10-row census. */
+  def q321RboOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val w9 = Seq(
+      "0.100000000", "0.045000000", "0.027000000", "0.018225000",
+      "0.013122000", "0.009841500", "0.007592014", "0.005978711",
+      "0.004782969", "0.003874205")
+    val wArr = array(w9.map(w => lit(w).cast("decimal(12,9)")): _*)
+    val lex = bm25Scored(spark, dir)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+      .filter(col("r_lex") <= 10)
+    val e = Kpis.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        dotD(col("qe"), col("embedding")) /
+          (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).as("r_sem"))
+      .filter(col("r_sem") <= 10)
+    val matched = lex.join(sem, "doc_id")
+      .select(greatest(col("r_lex"), col("r_sem")).as("m"))
+    val depths = spark.range(1, 11)
+      .select(col("id").cast("int").as("depth"))
+    val counts = depths
+      .join(broadcast(matched), col("m") <= col("depth"), "left")
+      .groupBy(col("depth"))
+      .agg(count(col("m")).as("n_common"))
+      .withColumn("w", element_at(wArr, col("depth")))
+      .withColumn("contrib",
+        (col("w") * col("n_common").cast("decimal(10,0)"))
+          .cast("decimal(22,9)"))
+      .withColumn("ceiling_d",
+        (col("w") * col("depth").cast("decimal(10,0)"))
+          .cast("decimal(22,9)"))
+    // running sums over the 10-row depth census (WindowGuardSpec)
+    val cw = Window.orderBy(col("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rbo_cum", sum(col("contrib")).over(cw))
+      .withColumn("rbo_max", sum(col("ceiling_d")).over(cw))
+      .select(col("depth"), col("n_common"),
+        col("w").cast("double").as("w"),
+        col("contrib").cast("double").as("contrib"),
+        col("rbo_cum").cast("double").as("rbo_cum"),
+        (col("rbo_cum").cast("double") / col("rbo_max").cast("double"))
+          .as("rbo_norm"))
+      .orderBy("depth")
+  }
+
+  val q321Sql: String = {
+    val dim = 64
+    s"""WITH $bm25Cte,
+      |wt(r, w) AS (VALUES
+      |  (1, CAST(0.100000000 AS DECIMAL(12,9))),
+      |  (2, CAST(0.045000000 AS DECIMAL(12,9))),
+      |  (3, CAST(0.027000000 AS DECIMAL(12,9))),
+      |  (4, CAST(0.018225000 AS DECIMAL(12,9))),
+      |  (5, CAST(0.013122000 AS DECIMAL(12,9))),
+      |  (6, CAST(0.009841500 AS DECIMAL(12,9))),
+      |  (7, CAST(0.007592014 AS DECIMAL(12,9))),
+      |  (8, CAST(0.005978711 AS DECIMAL(12,9))),
+      |  (9, CAST(0.004782969 AS DECIMAL(12,9))),
+      |  (10, CAST(0.003874205 AS DECIMAL(12,9)))),
+      |lex AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm
+      |  QUALIFY r_lex <= 10),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS n2
+      |  FROM embeddings),
+      |sem0 AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    (${dotSqlUnrolled("q.embedding", "c.embedding", dim)})
+      |      / (sqrt(q.n2) * sqrt(c.n2)) AS cos_sim
+      |  FROM e q, e c
+      |  WHERE q.vec_id = 0 AND c.vec_id != 0),
+      |sem AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_sem FROM sem0
+      |  QUALIFY r_sem <= 10),
+      |matched AS (
+      |  SELECT GREATEST(r_lex, r_sem) AS m
+      |  FROM lex JOIN sem USING (doc_id)),
+      |counts AS (
+      |  SELECT r AS depth, w, COUNT(m) AS n_common
+      |  FROM wt LEFT JOIN matched ON m <= r
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT depth, n_common, w,
+      |    CAST(w * CAST(n_common AS DECIMAL(10,0)) AS DECIMAL(22,9))
+      |      AS contrib,
+      |    CAST(w * CAST(depth AS DECIMAL(10,0)) AS DECIMAL(22,9))
+      |      AS ceiling_d
+      |  FROM counts)
+      |SELECT depth, n_common, CAST(w AS DOUBLE) AS w,
+      |  CAST(contrib AS DOUBLE) AS contrib,
+      |  CAST(SUM(contrib) OVER (ORDER BY depth
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS rbo_cum,
+      |  CAST(SUM(contrib) OVER (ORDER BY depth
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / CAST(SUM(ceiling_d) OVER (ORDER BY depth
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS rbo_norm
+      |FROM c2 ORDER BY depth""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_rbo_overlap" -> (q321RboOverlap _),
     "q296_ndcg_at10" -> (q296NdcgAt10 _),
     "q237_bm25_stability" -> (q237Bm25Stability _),
     "q78_bm25" -> (q78Bm25 _),
     "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "q321_rbo_overlap" -> q321Sql,
     "q296_ndcg_at10" -> q296Sql,
     "q237_bm25_stability" -> q237Sql,
     "q78_bm25" -> q78Sql,

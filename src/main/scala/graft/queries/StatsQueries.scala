@@ -1335,7 +1335,164 @@ object StatsQueries {
       |  CAST(MAX(adev) AS BIGINT) AS max_abs_dev
       |FROM dev, mad""".stripMargin
 
+  // --------------------------------------------------------------- q319
+  /** Keyspace fragmentation audit of the order-key domain: contiguous
+    * runs (islands), holes (gaps), and extremes — the surrogate-key
+    * health check a warehouse runs after deletes/partial loads (how
+    * fragmented is the ID space? is there one catastrophic hole or many
+    * pinpricks?). The classic gaps-and-islands formulation needs a
+    * GLOBAL row order (`k − row_number()` island ids, `lag(k)` gaps) —
+    * at fact scale that is exactly what [[graft.operators.RangeRank]]
+    * exists for: the island id comes from `withGlobalRank` and the
+    * predecessor key from the EXCLUSIVE `withRunningMax` (keys sorted
+    * ascending ⇒ running max of the strict prefix IS the previous key),
+    * so no single-partition window ever runs.
+    *
+    * Exactness: ALL-integer — key arithmetic, counts, max gap/run.
+    *
+    * Scale shape: two range shuffles (rank + prefix-max) over the
+    * distinct-key table, one fact-scale hash agg for island run
+    * lengths, two 1-row summaries cross-joined. Every step distributed. */
+  def q319KeyFragmentation(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("k")).distinct()
+    val ranked = graft.operators.RangeRank
+      .withGlobalRank(keys, "rk", Seq(col("k")))
+    val withPrev = graft.operators.RangeRank
+      .withRunningMax(ranked, col("k"), "prev_k", Seq(col("k")),
+        inclusive = false)
+    val gaps = withPrev.withColumn("gap",
+        when(col("prev_k").isNull, lit(0L))
+          .otherwise(col("k") - col("prev_k") - 1L))
+      .withColumn("isl", col("k") - col("rk"))
+    val runs = gaps.groupBy(col("isl")).agg(count(lit(1)).as("run_len"))
+    val s = gaps.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+      max(col("gap")).as("max_gap"),
+      (lit(1L) + sum(when(col("gap") > 0L, 1L).otherwise(0L)))
+        .as("n_islands"))
+    val rr = runs.agg(max(col("run_len")).as("max_run"))
+    s.crossJoin(broadcast(rr))
+      .select(col("n_keys"), col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1L).as("span"),
+        (col("max_key") - col("min_key") + 1L - col("n_keys"))
+          .as("missing"),
+        col("n_islands"), col("max_gap"), col("max_run"))
+  }
+
+  val q319Sql: String =
+    """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+      |           FROM orders),
+      |r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rk,
+      |        LAG(k) OVER (ORDER BY k) AS prev_k FROM k),
+      |g AS (SELECT k, rk,
+      |        CASE WHEN prev_k IS NULL THEN 0 ELSE k - prev_k - 1 END
+      |          AS gap,
+      |        k - rk AS isl
+      |      FROM r),
+      |runs AS (SELECT isl, COUNT(*) AS run_len FROM g GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, MIN(k) AS min_key,
+      |        MAX(k) AS max_key, CAST(MAX(gap) AS BIGINT) AS max_gap,
+      |        CAST(1 + SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_islands
+      |      FROM g),
+      |rr AS (SELECT MAX(run_len) AS max_run FROM runs)
+      |SELECT n_keys, min_key, max_key,
+      |  max_key - min_key + 1 AS span,
+      |  max_key - min_key + 1 - n_keys AS missing,
+      |  n_islands, max_gap, max_run
+      |FROM s, rr""".stripMargin
+
+  // --------------------------------------------------------------- q323
+  /** Winsorized mean of per-customer spend by nation: values below the
+    * exact p05 order statistic are raised to it and values above the
+    * exact p95 are lowered to it before averaging — the robust-location
+    * companion of q178's TRIMMED mean (trimming deletes the tails and
+    * shrinks n; winsorizing keeps n and caps influence, the estimator
+    * used when every unit must stay in the book, e.g. revenue
+    * accounting that cannot drop customers).
+    *
+    * Exactness: spend is the exact BIGINT cent rollup (zero-spend
+    * customers included via left join — excluding them is the classic
+    * silent bias); bound ranks are type-1 integer arithmetic
+    * (⌈p·n⌉ = (n·k+99) div 100); the clamp and the winsorized sum stay
+    * in exact cents; the two means are one double division each.
+    *
+    * Scale shape: per-nation rank windows are PARTITIONED by nation
+    * (parallel at any scale, the q249 discipline); the 25-row bounds
+    * table broadcasts back onto the entity frame. */
+  def q323WinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s0"))
+    val per = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nation"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("nation"), col("c_custkey"),
+        coalesce(col("s0"), lit(0L)).as("cents"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("cents"), col("c_custkey"))
+    val ranked = per
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_obs",
+        count(lit(1)).over(Window.partitionBy(col("nation"))))
+    val bounds = ranked
+      .groupBy(col("nation"))
+      .agg(
+        max(when(col("rk") === expr("(n_obs * 5 + 99) div 100"),
+          col("cents"))).as("lo"),
+        max(when(col("rk") === expr("(n_obs * 95 + 99) div 100"),
+          col("cents"))).as("hi"))
+    per.join(broadcast(bounds), "nation")
+      .withColumn("wcents",
+        greatest(col("lo"), least(col("hi"), col("cents"))))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+        (sum(col("wcents")).cast("double") /
+          count(lit(1)).cast("double")).as("winsor_mean_cents"),
+        (sum(col("cents")).cast("double") /
+          count(lit(1)).cast("double")).as("raw_mean_cents"))
+      .orderBy("nation")
+  }
+
+  val q323Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS s0
+      |  FROM orders GROUP BY 1),
+      |per AS (
+      |  SELECT c_nationkey AS nation, c_custkey,
+      |    COALESCE(s0, 0) AS cents
+      |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT nation, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY cents, c_custkey) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY nation) AS n_obs
+      |  FROM per),
+      |bounds AS (
+      |  SELECT nation,
+      |    MAX(CASE WHEN rk = (n_obs * 5 + 99) // 100 THEN cents END)
+      |      AS lo,
+      |    MAX(CASE WHEN rk = (n_obs * 95 + 99) // 100 THEN cents END)
+      |      AS hi
+      |  FROM r GROUP BY 1)
+      |SELECT nation, COUNT(*) AS n_customers,
+      |  CAST(MAX(lo) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(hi) AS BIGINT) AS hi_cents,
+      |  CAST(CAST(SUM(GREATEST(lo, LEAST(hi, cents))) AS BIGINT)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS winsor_mean_cents,
+      |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS raw_mean_cents
+      |FROM per JOIN bounds USING (nation)
+      |GROUP BY nation ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_winsorized_mean" -> (q323WinsorizedMean _),
+    "q319_key_fragmentation" -> (q319KeyFragmentation _),
     "q302_mad_outliers" -> (q302MadOutliers _),
     "q280_simpson_screen" -> (q280SimpsonScreen _),
     "q274_price_dispersion" -> (q274PriceDispersion _),
@@ -1357,6 +1514,8 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q323_winsorized_mean" -> q323Sql,
+    "q319_key_fragmentation" -> q319Sql,
     "q302_mad_outliers" -> q302Sql,
     "q280_simpson_screen" -> q280Sql,
     "q274_price_dispersion" -> q274Sql,

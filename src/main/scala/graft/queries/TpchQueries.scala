@@ -437,7 +437,98 @@ object TpchQueries {
       |    AS avg_lines_per_order
       |FROM m ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q318
+  /** Yearly open-order BACKLOG profile via a sweep line: an order is
+    * OPEN from its order date through its LAST line shipment (the
+    * fixture's lineitem carries l_shipdate as the fulfillment date).
+    * Fulfillment recorded BEFORE the order date (the fixture's
+    * generator draws the two dates independently; ~20% of orders) is
+    * clamped to a same-day close — an order is open at least on its
+    * order day, and the clamp keeps the sweep's +1/−1 ledger exact
+    * instead of letting inverted spans drive the running count
+    * negative. Interval counting is
+    * done the warehouse way — each order contributes a +1 boundary at
+    * open and a −1 boundary the day AFTER close; the running sum of the
+    * per-day net deltas over the date census IS the daily backlog, and
+    * because the series is piecewise constant between boundaries, the
+    * change-point values (plus the carry-in level from the prior year)
+    * witness every yearly extreme exactly. Reported per year: number of
+    * change days, start/close flows, opening level (carry-in), peak
+    * (greatest of carry-in and any within-year value), closing level.
+    *
+    * Exactness: ALL-integer — boundary counts, running sums, min_by/
+    * max_by on the unique census date; no division anywhere.
+    *
+    * Scale shape: one per-order max(receipt) agg + one boundary agg off
+    * the fact scans; the ONLY window runs over the boundary-date census,
+    * bounded by the date DOMAIN (|days in range|+1, ~2.5k for 7 years)
+    * — never by row count. Orders without lines never open (inner join;
+    * none exist in the fixture, asserted in the spec). */
+  def q318OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val closes = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("closed"))
+    val spans = Kpis.table(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("opened"))
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(col("opened"),
+        greatest(col("closed"), col("opened")).as("closed"))
+    val bounds = spans.select(col("opened").as("d"), lit(1L).as("delta"))
+      .unionAll(spans.select(date_add(col("closed"), 1).as("d"),
+        lit(-1L).as("delta")))
+    val census0 = bounds.groupBy(col("d")).agg(
+      sum(col("delta")).as("net"),
+      sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"),
+      sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("ends"))
+    // global window over the date-domain-bounded census (WindowGuardSpec)
+    val census = census0.withColumn("backlog",
+      sum(col("net")).over(Window.orderBy(col("d"))))
+    census.groupBy(year(col("d")).as("yr")).agg(
+        count(lit(1)).as("n_change_days"),
+        sum(col("starts")).as("starts"),
+        sum(col("ends")).as("ends"),
+        min_by(col("backlog") - col("net"), col("d")).as("opening"),
+        max(col("backlog")).as("mx"),
+        max_by(col("backlog"), col("d")).as("closing"))
+      .select(col("yr"), col("n_change_days"), col("starts"), col("ends"),
+        col("opening"), greatest(col("opening"), col("mx")).as("peak"),
+        col("closing"))
+      .orderBy("yr")
+  }
+
+  val q318Sql: String =
+    """WITH closes AS (
+      |  SELECT l_orderkey AS k, MAX(CAST(l_shipdate AS DATE)) AS closed
+      |  FROM lineitem GROUP BY 1),
+      |spans AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS opened,
+      |    GREATEST(closed, CAST(o_orderdate AS DATE)) + 1 AS ended
+      |  FROM orders JOIN closes ON o_orderkey = k),
+      |census0 AS (
+      |  SELECT d, CAST(SUM(delta) AS BIGINT) AS net,
+      |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS starts,
+      |    CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ends
+      |  FROM (SELECT opened AS d, 1 AS delta FROM spans
+      |        UNION ALL SELECT ended, -1 FROM spans)
+      |  GROUP BY 1),
+      |census AS (
+      |  SELECT d, net, starts, ends,
+      |    CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS backlog
+      |  FROM census0)
+      |SELECT CAST(year(d) AS INT) AS yr,
+      |  COUNT(*) AS n_change_days,
+      |  CAST(SUM(starts) AS BIGINT) AS starts,
+      |  CAST(SUM(ends) AS BIGINT) AS ends,
+      |  CAST(MIN_BY(backlog - net, d) AS BIGINT) AS opening,
+      |  CAST(GREATEST(MIN_BY(backlog - net, d), MAX(backlog)) AS BIGINT)
+      |    AS peak,
+      |  CAST(MAX_BY(backlog, d) AS BIGINT) AS closing
+      |FROM census GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_order_backlog" -> (q318OrderBacklog _),
     "q282_shipment_spread" -> (q282ShipmentSpread _),
     "q266_wilson_reliability" -> (q266WilsonReliability _),
     "q248_rank_stability" -> (q248RankStability _),
@@ -447,6 +538,7 @@ object TpchQueries {
     "q202_dead_stock" -> (q202DeadStock _))
 
   def oracles: Map[String, String] = Map(
+    "q318_order_backlog" -> q318Sql,
     "q282_shipment_spread" -> q282Sql,
     "q266_wilson_reliability" -> q266Sql,
     "q248_rank_stability" -> q248Sql,

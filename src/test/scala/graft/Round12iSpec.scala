@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the round-12j queries (q318–). */
+class Round12iSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("q318: yearly backlog ledger telescopes and peak dominates") {
+    val rows = queries.TpchQueries.q318OrderBacklog(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-year ledger: opening + starts − ends = closing; peak dominates
+    rows.foreach { r =>
+      val opening = r.getAs[Long]("opening")
+      val closing = r.getAs[Long]("closing")
+      val peak = r.getAs[Long]("peak")
+      val starts = r.getAs[Long]("starts")
+      val ends = r.getAs[Long]("ends")
+      assert(opening + starts - ends == closing,
+        s"yr ${r.getAs[Int]("yr")}: $opening + $starts - $ends != $closing")
+      assert(peak >= opening && peak >= closing)
+      assert(opening >= 0 && closing >= 0)
+    }
+    // cross-year: closing carries into the next year's opening
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("opening") == a.getAs[Long]("closing"),
+          s"carry-in broke between ${a.getAs[Int]("yr")} and ${b.getAs[Int]("yr")}")
+      case _ => ()
+    }
+    assert(rows.head.getAs[Long]("opening") == 0L)
+    assert(rows.last.getAs[Long]("closing") == 0L,
+      "every order closes, so the final backlog must drain to zero")
+    // flow conservation: total starts = total ends = orders with lines
+    val nOrders = queries.Kpis.table(spark, sfDir, "orders")
+      .join(queries.Kpis.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(rows.map(_.getAs[Long]("starts")).sum == nOrders)
+    assert(rows.map(_.getAs[Long]("ends")).sum == nOrders)
+  }
+
+  test("q318: first-year peak matches a brute-force interval count") {
+    val spans = queries.Kpis.table(spark, sfDir, "orders")
+      .join(queries.Kpis.table(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("closed")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).as("opened"),
+        greatest(col("closed"), to_date(col("o_orderdate"))).as("closed"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    val rows = queries.TpchQueries.q318OrderBacklog(spark, sfDir).collect()
+    val yr = rows.head.getAs[Int]("yr")
+    // evaluate the backlog at every boundary date in the first year
+    val boundaries = (spans.map(_._1) ++ spans.map(_._2.plusDays(1)))
+      .filter(_.getYear == yr).distinct
+    val brute = boundaries.map { d =>
+      spans.count(s => !s._1.isAfter(d) && !s._2.isBefore(d)).toLong
+    }.max
+    // first year opens at 0, so the boundary max IS the peak
+    assert(rows.head.getAs[Long]("peak") == brute,
+      s"peak ${rows.head.getAs[Long]("peak")} vs brute $brute")
+  }
+
+  test("q319: fragmentation summary matches a driver-side recount") {
+    val ks = queries.Kpis.table(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val gaps = ks.indices.drop(1).map(i => ks(i) - ks(i - 1) - 1)
+    val runs = scala.collection.mutable.ArrayBuffer(1L)
+    gaps.foreach { g =>
+      if (g == 0) runs(runs.length - 1) += 1 else runs += 1L
+    }
+    val r = queries.StatsQueries.q319KeyFragmentation(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_keys") == ks.length.toLong)
+    assert(r.getAs[Long]("min_key") == ks.head)
+    assert(r.getAs[Long]("max_key") == ks.last)
+    assert(r.getAs[Long]("span") == ks.last - ks.head + 1)
+    assert(r.getAs[Long]("missing") == ks.last - ks.head + 1 - ks.length)
+    assert(r.getAs[Long]("n_islands") == runs.length.toLong)
+    assert(r.getAs[Long]("max_gap") == (if (gaps.isEmpty) 0L else gaps.max))
+    assert(r.getAs[Long]("max_run") == runs.max)
+  }
+
+  test("q320: BH step-up is internally consistent over the 25-nation grid") {
+    val rows = queries.ExperimentQueries.q320BhFdr(spark, sfDir).collect()
+    assert(rows.length == 25, "the test family is the 25-nation design")
+    val ranks = rows.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.sameElements(1L to 25L))
+    val k = rows.head.getAs[Long]("k_bh")
+    assert(rows.forall(_.getAs[Long]("k_bh") == k))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") == (r.getAs[Long]("rank") <= k))
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+    // step-up: k is the LARGEST rank whose own threshold passes
+    val passRanks = rows.filter(_.getAs[Boolean]("pass_own"))
+      .map(_.getAs[Long]("rank"))
+    assert(k == (if (passRanks.isEmpty) 0L else passRanks.max))
+    // chi2 ordering follows rank
+    val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("chi2"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q320: one nation's chi2 matches the closed-form recount") {
+    val cells = queries.Kpis.table(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1997, 1998))
+      .join(queries.Kpis.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("a"),
+        sum(when(col("yr") === 1998, 1L).otherwise(0L)).as("b"))
+      .collect()
+      .map(r => r.getAs[Int]("c_nationkey").toLong ->
+        (r.getAs[Long]("a"), r.getAs[Long]("b"))).toMap
+    val t97 = cells.values.map(_._1).sum
+    val t98 = cells.values.map(_._2).sum
+    val rows = queries.ExperimentQueries.q320BhFdr(spark, sfDir).collect()
+    rows.filter(r => cells.contains(r.getAs[Int]("nation").toLong))
+      .take(5).foreach { r =>
+        val (a, b) = cells(r.getAs[Int]("nation").toLong)
+        val (c, d) = (t97 - a, t98 - b)
+        val det = (a * d - b * c).toDouble
+        val den = ((a + b) * (c + d)).toDouble * ((a + c) * (b + d)).toDouble
+        val chi2 = if (den == 0) 0.0 else (t97 + t98) * det * det / den
+        assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-4,
+          s"nation ${r.getAs[Int]("nation")}: ${r.getAs[Double]("chi2")} vs $chi2")
+      }
+  }
+
+  test("q321: RBO profile is monotone, bounded, and matches the grid") {
+    val grid = Seq(
+      BigDecimal("0.100000000"), BigDecimal("0.045000000"),
+      BigDecimal("0.027000000"), BigDecimal("0.018225000"),
+      BigDecimal("0.013122000"), BigDecimal("0.009841500"),
+      BigDecimal("0.007592014"), BigDecimal("0.005978711"),
+      BigDecimal("0.004782969"), BigDecimal("0.003874205"))
+    val rows = queries.RankQueries.q321RboOverlap(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("depth") == i + 1)
+      assert(math.abs(r.getAs[Double]("w") - grid(i).toDouble) < 1e-12)
+      val n = r.getAs[Long]("n_common")
+      assert(n >= 0 && n <= i + 1, s"n_common $n exceeds depth ${i + 1}")
+      assert(math.abs(r.getAs[Double]("contrib") -
+        (grid(i) * BigDecimal(n)).toDouble) < 1e-12)
+      assert(r.getAs[Double]("rbo_norm") >= 0.0 &&
+        r.getAs[Double]("rbo_norm") <= 1.0 + 1e-12)
+    }
+    val ns = rows.map(_.getAs[Long]("n_common"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      "prefix intersections can only grow with depth")
+    val cums = rows.map(_.getAs[Double]("rbo_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-15 })
+  }
+
+  test("q321: per-depth intersections match independently cut top-10 lists") {
+    import graft.functions.VectorFunctions.{dotD, norm2}
+    val lex10 = queries.RankQueries.q78Bm25(spark, sfDir)
+      .limit(10).collect()
+      .sortBy(r => (-r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id"))
+    val e = queries.Kpis.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val sem10 = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", dotD(col("qe"), col("embedding")) /
+        (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id"))
+    val rows = queries.RankQueries.q321RboOverlap(spark, sfDir).collect()
+    rows.foreach { r =>
+      val d = r.getAs[Int]("depth")
+      val expected = lex10.take(d).toSet.intersect(sem10.take(d).toSet).size
+      assert(r.getAs[Long]("n_common") == expected.toLong,
+        s"depth $d: ${r.getAs[Long]("n_common")} vs $expected")
+    }
+  }
+
+  test("q323: winsorized means match a driver-side recount") {
+    val per = queries.Kpis.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(queries.Kpis.table(spark, sfDir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), coalesce(col("s"), lit(0L)).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("cents")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = queries.StatsQueries.q323WinsorizedMean(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = per(r.getAs[Int]("nation"))
+      val n = vals.length
+      val lo = vals(((n * 5 + 99) / 100).toInt - 1)
+      val hi = vals(((n * 95 + 99) / 100).toInt - 1)
+      assert(r.getAs[Long]("n_customers") == n.toLong)
+      assert(r.getAs[Long]("lo_cents") == lo)
+      assert(r.getAs[Long]("hi_cents") == hi)
+      val wm = vals.map(v => math.max(lo, math.min(hi, v))).sum.toDouble / n
+      assert(r.getAs[Double]("winsor_mean_cents") == wm)
+      val rm = vals.sum.toDouble / n
+      assert(r.getAs[Double]("raw_mean_cents") == rm)
+      assert(lo <= hi)
+    }
+    assert(rows.length == per.size)
+  }
+
+  test("q324: sequencing census matches a driver-side reclassification") {
+    val po = queries.Kpis.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), min(col("l_linenumber")).as("mn"),
+        max(col("l_linenumber")).as("mx"),
+        countDistinct(col("l_linenumber")).as("d"))
+      .collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Int]("mn"),
+        r.getAs[Int]("mx"), r.getAs[Long]("d")))
+    val expected = po.groupBy { case (n, mn, mx, d) =>
+      if (d < n) "1_duplicated"
+      else if (mn == 1 && mx == n) "0_contiguous"
+      else "2_gapped"
+    }.view.mapValues(v => (v.length.toLong, v.map(_._1).sum)).toMap
+    val rows = queries.QualityQueries.q324LinenumAudit(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("class")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nOrders, nLines) = expected(r.getAs[String]("class"))
+      assert(r.getAs[Long]("n_orders") == nOrders)
+      assert(r.getAs[Long]("n_lines") == nLines)
+      assert(r.getAs[Double]("share") > 0.0 &&
+        r.getAs[Double]("share") <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == po.length.toLong)
+  }
+
+  test("q325: Kruskal–Wallis H matches a driver-side midrank recount") {
+    val obs = queries.Kpis.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("v"))
+      .join(queries.Kpis.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("g")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("g", "v").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("v")))
+    val n = obs.length.toDouble
+    // midranks over the pooled sample
+    val byV = obs.map(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val sortedVals = byV.keys.toSeq.sorted
+    val midrank = sortedVals.foldLeft((Map.empty[Double, Double], 0L)) {
+      case ((m, before), v) =>
+        val t = byV(v).toLong
+        (m + (v -> (before + (t + 1) / 2.0)), before + t)
+    }._1
+    val groups = obs.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toDouble, vs.map(p => midrank(p._2)).sum))
+      .toMap
+    val hRaw = 12.0 / (n * (n + 1)) *
+      groups.values.map { case (ng, rg) => rg * rg / ng }.sum -
+      3 * (n + 1)
+    val ties = byV.values.map(t => t.toDouble * t * t - t).sum
+    val hCorr = hRaw / (1.0 - ties / (n * n * n - n))
+    val rows = queries.ExperimentQueries.q325KruskalWallis(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.head.getAs[Double]("h_stat") - hRaw) < 1e-4)
+    assert(math.abs(rows.head.getAs[Double]("h_tie_corrected") - hCorr)
+      < 1e-4)
+    rows.foreach { r =>
+      val g = r.getAs[String]("priority")
+      assert(r.getAs[Long]("n_lines") == groups(g)._1.toLong)
+      // doubled rank sum = 2 * midrank sum
+      assert(math.abs(r.getAs[Double]("rank_sum_x2") - 2 * groups(g)._2)
+        < 1e-6)
+      assert(r.getAs[Boolean]("reject_95") ==
+        (r.getAs[Double]("h_tie_corrected") >= 9.487729 - 1e-3) ||
+        math.abs(r.getAs[Double]("h_tie_corrected") - 9.487729) < 1e-2)
+    }
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == obs.length.toLong)
+  }
+
+  test("q322: Nelson–Aalen dominates Kaplan–Meier and the ledger is sane") {
+    val na = queries.FunnelQueries.q322NelsonAalen(spark, sfDir).collect()
+    assert(na.nonEmpty)
+    val km = queries.FunnelQueries.q192KaplanMeier(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("gap_days") -> r.getAs[Double]("survival"))
+      .toMap
+    var lastH = 0.0
+    var lastN = Long.MaxValue
+    na.foreach { r =>
+      val t = r.getAs[Long]("gap_days")
+      val n = r.getAs[Long]("n_at_risk")
+      val d = r.getAs[Long]("events")
+      val h = r.getAs[Double]("cum_hazard")
+      val fh = r.getAs[Double]("surv_fh")
+      assert(d > 0 && n >= d)
+      assert(n <= lastN, "risk set can only shrink"); lastN = n
+      assert(h > lastH, "cumulative hazard strictly increases on event days")
+      lastH = h
+      // step = d/n on the 9-dp grid
+      val step = BigDecimal(d.toDouble / n.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("hazard_step") - step) < 1e-12)
+      assert(fh > 0.0 && fh <= 1.0)
+      // Fleming–Harrington ≥ product-limit, pointwise (e^{-x} ≥ 1-x)
+      km.get(t).foreach { s =>
+        assert(fh >= s - 1e-9, s"t=$t: FH $fh below KM $s")
+      }
+      // same census as q192 where both report
+      assert(km.contains(t), s"event day $t missing from the KM census")
+    }
+    assert(na.length == km.size,
+      "both estimators report exactly the event days <= 60")
+  }
+}

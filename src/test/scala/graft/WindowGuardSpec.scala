@@ -74,6 +74,13 @@ class WindowGuardSpec extends AnyFunSuite {
     * rationale at the site. */
   private val PinnedSites: Set[String] = Set(
     "q4_rolling_7day",       // daily-revenue table: |distinct days|
+    "q318_order_backlog",    // boundary-date census: |date domain|+1
+    "q319_key_fragmentation", // RangeRank offset prefix: <= #partitions rows
+    "q320_bh_fdr",           // 25-row nation census (rank window)
+    "q321_rbo_overlap",      // matched-doc/embedding rank lists + 10-row depth census
+    "q322_nelson_aalen",     // gap-day census (date-range-bounded), as q192
+    "q324_linenum_audit",    // 3-row class census
+    "q325_kruskal_wallis",   // 50-row quantity value census (q203 grid)
     "q74_dod_growth",        // daily-revenue table
     "q97_vocab_coverage",    // token-frequency census (vocab-bounded)
     "q125_ewma_revenue",     // daily-revenue table
