@@ -573,7 +573,120 @@ object CorpusStatsQueries {
       |    AS coverage
       |FROM r""".stripMargin
 
+  // --------------------------------------------------------------- q326
+  /** Jarque–Bera log-normality probe of document lengths per source:
+    * natural-text corpora famously have ~log-normal length
+    * distributions, and a source whose log-lengths FAIL normality
+    * (JB = n/6·(S² + K²/4) over skewness S and excess kurtosis K) is
+    * the signature of mixed content — boilerplate floods, truncation
+    * caps, concatenated shards — that length-quantile screens (q283)
+    * see only as fatter tails. The distribution-SHAPE gate of the
+    * curation family.
+    *
+    * Exactness: x = ln(n_chars) snapped to the 4-dp decimal grid, so
+    * the four power sums Σx..Σx⁴ are EXACT decimal arithmetic (4-dp
+    * powers stay within width 38; the 9-dp grid would not); every
+    * moment/statistic after is a fixed IEEE expression over those exact
+    * sums (all below 2⁵³ — doubles cast exactly); JB is compared
+    * against the χ²(2 df) 95% literal 5.991464547.
+    *
+    * Scale shape: one map-combinable per-source agg off the scan —
+    * no join, no window, |sources| output rows. */
+  def q326JarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val x = round(log(col("n_chars").cast("double")), 4)
+      .cast("decimal(8,4)")
+    val sums = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") > 0)
+      .select(col("source"), x.as("x"))
+      .withColumn("x2", (col("x") * col("x")).cast("decimal(17,8)"))
+      .withColumn("x3", (col("x2") * col("x")).cast("decimal(26,12)"))
+      .withColumn("x4", (col("x3") * col("x")).cast("decimal(35,16)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("s1"),
+        sum(col("x2")).cast("double").as("s2"),
+        sum(col("x3")).cast("double").as("s3"),
+        sum(col("x4")).cast("double").as("s4"))
+    val nD = col("n").cast("double")
+    val m1 = col("s1") / nD
+    val m2 = col("s2") / nD - m1 * m1
+    val m3 = col("s3") / nD - lit(3.0) * m1 * (col("s2") / nD) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4") / nD - lit(4.0) * m1 * (col("s3") / nD) +
+      lit(6.0) * m1 * m1 * (col("s2") / nD) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))
+    sums.select(col("source"), col("n").as("n_docs"),
+        (round(m1, 6) + lit(0.0)).as("mean_loglen"),
+        (round(m2, 6) + lit(0.0)).as("var_loglen"),
+        (round(skew, 6) + lit(0.0)).as("skewness"),
+        (round(kurt, 6) + lit(0.0)).as("excess_kurtosis"),
+        (round(jb, 6) + lit(0.0)).as("jb_stat"),
+        (jb >= lit(5.991464547)).as("reject_normal_95"))
+      .orderBy("source")
+  }
+
+  val q326Sql: String =
+    """WITH obs AS (
+      |  SELECT source,
+      |    CAST(round(ln(CAST(n_chars AS DOUBLE)), 4) AS DECIMAL(8,4))
+      |      AS x
+      |  FROM documents WHERE n_chars > 0),
+      |pw AS (
+      |  SELECT source, x,
+      |    CAST(x * x AS DECIMAL(17,8)) AS x2
+      |  FROM obs),
+      |pw2 AS (
+      |  SELECT source, x, x2,
+      |    CAST(x2 * x AS DECIMAL(26,12)) AS x3
+      |  FROM pw),
+      |pw3 AS (
+      |  SELECT source, x, x2, x3,
+      |    CAST(x3 * x AS DECIMAL(35,16)) AS x4
+      |  FROM pw2),
+      |sums AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+      |    CAST(CAST(SUM(x3) AS VARCHAR) AS DOUBLE) AS s3,
+      |    CAST(CAST(SUM(x4) AS VARCHAR) AS DOUBLE) AS s4
+      |  FROM pw3 GROUP BY 1),
+      |m AS (
+      |  SELECT source, n,
+      |    s1 / CAST(n AS DOUBLE) AS m1,
+      |    s2 / CAST(n AS DOUBLE)
+      |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+      |    s3 / CAST(n AS DOUBLE)
+      |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+      |      + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+      |        * (s1 / CAST(n AS DOUBLE)) AS m3,
+      |    s4 / CAST(n AS DOUBLE)
+      |      - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+      |      + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+      |        * (s2 / CAST(n AS DOUBLE))
+      |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+      |        * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+      |  FROM sums),
+      |st AS (
+      |  SELECT source, n, m1, m2,
+      |    m3 / (m2 * sqrt(m2)) AS skew,
+      |    m4 / (m2 * m2) - 3.0 AS kurt
+      |  FROM m)
+      |SELECT source, n AS n_docs,
+      |  round(m1, 6) + 0.0 AS mean_loglen,
+      |  round(m2, 6) + 0.0 AS var_loglen,
+      |  round(skew, 6) + 0.0 AS skewness,
+      |  round(kurt, 6) + 0.0 AS excess_kurtosis,
+      |  round(CAST(n AS DOUBLE) / 6.0
+      |    * (skew * skew + kurt * kurt / 4.0), 6) + 0.0 AS jb_stat,
+      |  CAST(n AS DOUBLE) / 6.0 * (skew * skew + kurt * kurt / 4.0)
+      |    >= 5.991464547 AS reject_normal_95
+      |FROM st ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_jarque_bera" -> (q326JarqueBera _),
     "q298_chao1_vocab" -> (q298Chao1Vocab _),
     "q265_yule_diversity" -> (q265YuleDiversity _),
     "q112_pmi_collocations" -> (q112PmiCollocations _),
@@ -962,6 +1075,7 @@ object CorpusStatsQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q326_jarque_bera" -> q326Sql,
     "q298_chao1_vocab" -> q298Sql,
     "q265_yule_diversity" -> q265Sql,
     "q112_pmi_collocations" -> q112Sql,

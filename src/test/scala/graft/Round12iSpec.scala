@@ -288,6 +288,39 @@ class Round12iSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_lines")).sum == obs.length.toLong)
   }
 
+  test("q326: Jarque–Bera moments match a driver-side recount") {
+    val obs = queries.Kpis.table(spark, sfDir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("source"),
+        round(log(col("n_chars").cast("double")), 4).as("x"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("x")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = queries.CorpusStatsQueries.q326JarqueBera(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == obs.keySet)
+    rows.foreach { r =>
+      val xs = obs(r.getAs[String]("source"))
+      val n = xs.length.toDouble
+      val m1 = xs.sum / n
+      val m2 = xs.map(x => (x - m1) * (x - m1)).sum / n
+      val m3 = xs.map(x => math.pow(x - m1, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - m1, 4)).sum / n
+      val skew = m3 / (m2 * math.sqrt(m2))
+      val kurt = m4 / (m2 * m2) - 3.0
+      val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+      assert(r.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_loglen") - m1) < 1e-4)
+      assert(math.abs(r.getAs[Double]("var_loglen") - m2) < 1e-4)
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-3)
+      assert(math.abs(r.getAs[Double]("excess_kurtosis") - kurt) < 1e-3)
+      assert(math.abs(r.getAs[Double]("jb_stat") - jb) <
+        math.max(1e-2, jb * 1e-3))
+      assert(r.getAs[Boolean]("reject_normal_95") == (jb >= 5.991464547)
+        || math.abs(jb - 5.991464547) < 1e-3)
+    }
+  }
+
   test("q322: Nelson–Aalen dominates Kaplan–Meier and the ledger is sane") {
     val na = queries.FunnelQueries.q322NelsonAalen(spark, sfDir).collect()
     assert(na.nonEmpty)
