@@ -279,13 +279,145 @@ object LmQueries {
       |  b AS right_sym, pair_count
       |FROM rk WHERE merge_rank <= 20 ORDER BY merge_rank""".stripMargin
 
+  // --------------------------------------------------------------- q327
+  /** BPE merge LADDER — three full training iterations, not just q308's
+    * first pair table: each round counts adjacent-symbol pairs over the
+    * frequency-weighted word census, picks the argmax pair (ties
+    * lexicographic), RE-SEGMENTS every word by applying the merge, and
+    * repeats on the new symbol stream — the actual Sennrich et al.
+    * training loop whose iteration-1 statistic q308 certifies. Merge
+    * application is a greedy LEFT-TO-RIGHT fold over the symbol
+    * sequence (a freshly merged token never re-merges as the left
+    * element unless it literally equals the pair's left symbol — the
+    * standard non-overlapping semantics), expressed as the IDENTICAL
+    * string-accumulator lambda in both engines (Spark `aggregate`,
+    * DuckDB `list_reduce`): append `b` without a space when the
+    * accumulator's last token is exactly `a` and the next symbol is
+    * `b`.
+    *
+    * Exactness: all-integer counts; segmentations are deterministic
+    * strings; ties break lexicographically at every argmax.
+    *
+    * Scale shape: everything after the one token shuffle runs on the
+    * WORD CENSUS (vocab-bounded, not corpus-bounded — the real-BPE
+    * trick); each iteration is one pair agg + a TakeOrdered(1) + one
+    * broadcast of the single merge row; three iterations, each
+    * checkpointed so no lineage re-execution. */
+  def q327BpeMergeLadder(spark: SparkSession, dir: String): DataFrame = {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val seg0 = words.select(expr(
+      """concat(concat_ws(' ',
+        |  transform(sequence(1, length(w)), i -> substring(w, i, 1))),
+        |  ' </w>')""".stripMargin).as("seg"), col("f"))
+      .localCheckpoint()
+    def pairCounts(seg: org.apache.spark.sql.DataFrame) =
+      seg.select(col("f"), explode(expr(
+        """transform(sequence(1, size(split(seg, ' ')) - 1),
+          | i -> struct(element_at(split(seg, ' '), i) as a,
+          |             element_at(split(seg, ' '), i + 1) as b))"""
+          .stripMargin)).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("f")).as("pair_count"))
+    def top1(pc: org.apache.spark.sql.DataFrame) =
+      pc.orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+    def applyMerge(seg: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      seg.crossJoin(broadcast(t.select(col("a"), col("b"))))
+        .select(expr(
+          """aggregate(
+            |  slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1),
+            |  element_at(split(seg, ' '), 1),
+            |  (acc, x) -> if((acc = a
+            |                  or right(acc, length(a) + 1) = concat(' ', a))
+            |                 and x = b,
+            |    concat(acc, b), concat(acc, ' ', x)))""".stripMargin)
+          .as("seg"), col("f"))
+        .localCheckpoint()
+    def symbolsAfter(seg: org.apache.spark.sql.DataFrame) =
+      seg.agg(sum(col("f") *
+        size(split(col("seg"), " ")).cast("long")).as("symbols_after"))
+    def stepRow(step: Int, t: org.apache.spark.sql.DataFrame,
+        after: org.apache.spark.sql.DataFrame) =
+      t.crossJoin(broadcast(after))
+        .select(lit(step).as("step"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("pair_count"),
+          col("symbols_after"))
+    val t1 = top1(pairCounts(seg0)).localCheckpoint()
+    val seg1 = applyMerge(seg0, t1)
+    val t2 = top1(pairCounts(seg1)).localCheckpoint()
+    val seg2 = applyMerge(seg1, t2)
+    val t3 = top1(pairCounts(seg2)).localCheckpoint()
+    val seg3 = applyMerge(seg2, t3)
+    stepRow(1, t1, symbolsAfter(seg1))
+      .unionAll(stepRow(2, t2, symbolsAfter(seg2)))
+      .unionAll(stepRow(3, t3, symbolsAfter(seg3)))
+      .orderBy("step")
+  }
+
+  val q327Sql: String = {
+    // one BPE iteration in SQL: pairs -> argmax -> list_reduce re-segment
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "seg0" else s"seg${k - 1}"
+      s"""prs$k AS (
+         |  SELECT f, syms[i] AS a, syms[i + 1] AS b
+         |  FROM (SELECT f, string_split(seg, ' ') AS syms FROM $prev),
+         |    UNNEST(range(1, len(syms))) AS t(i)),
+         |pc$k AS (
+         |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS pair_count
+         |  FROM prs$k GROUP BY 1, 2),
+         |top$k AS (
+         |  SELECT a, b, pair_count FROM pc$k
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |seg$k AS (
+         |  SELECT f,
+         |    list_reduce(string_split(seg, ' '),
+         |      (acc, x) -> CASE WHEN (acc = a
+         |            OR right(acc, length(a) + 1) = ' ' || a)
+         |          AND x = b
+         |        THEN acc || b ELSE acc || ' ' || x END) AS seg
+         |  FROM $prev CROSS JOIN top$k),
+         |after$k AS (
+         |  SELECT CAST(SUM(f * len(string_split(seg, ' '))) AS BIGINT)
+         |    AS symbols_after
+         |  FROM seg$k)""".stripMargin
+    }
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      |    AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |words AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY 1),
+      |seg0 AS (
+      |  SELECT array_to_string(
+      |      list_transform(range(1, length(w) + 1),
+      |        i -> substr(w, CAST(i AS INTEGER), 1)), ' ')
+      |      || ' </w>' AS seg, f
+      |  FROM words),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT 1 AS step, a AS left_sym, b AS right_sym, pair_count,
+      |  symbols_after
+      |FROM top1 CROSS JOIN after1
+      |UNION ALL
+      |SELECT 2, a, b, pair_count, symbols_after
+      |FROM top2 CROSS JOIN after2
+      |UNION ALL
+      |SELECT 3, a, b, pair_count, symbols_after
+      |FROM top3 CROSS JOIN after3
+      |ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
     "q308_bpe_first_merges" -> (q308BpeFirstMerges _),
     "q236_context_overflow" -> (q236ContextOverflow _),
     "q59_unigram_nll" -> (q59UnigramNll _),
     "q83_bigram_nll" -> (q83BigramNll _))
 
   def oracles: Map[String, String] = Map(
+    "q327_bpe_merge_ladder" -> q327Sql,
     "q308_bpe_first_merges" -> q308Sql,
     "q236_context_overflow" -> q236Sql,
     "q59_unigram_nll" -> q59Sql,

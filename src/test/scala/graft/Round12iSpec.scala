@@ -288,6 +288,44 @@ class Round12iSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_lines")).sum == obs.length.toLong)
   }
 
+  test("q327: three BPE merges match a driver-side trainer") {
+    val words = queries.Kpis.table(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("f")))
+    // greedy left-to-right merge fold (the registered semantics)
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms.tail.foldLeft(List(syms.head)) { (acc, x) =>
+        if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    var segs = words.map { case (w, f) =>
+      (w.toSeq.map(_.toString).toList :+ "</w>", f)
+    }
+    val got = queries.LmQueries.q327BpeMergeLadder(spark, sfDir).collect()
+    assert(got.length == 3)
+    (1 to 3).foreach { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (ba, bb) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+      val bc = counts((ba, bb))
+      segs = segs.map { case (syms, f) => (applyMerge(syms, ba, bb), f) }
+      val after = segs.map { case (syms, f) => syms.length * f }.sum
+      val r = got(step - 1)
+      assert(r.getAs[Int]("step") == step)
+      assert(r.getAs[String]("left_sym") == ba,
+        s"step $step: ${r.getAs[String]("left_sym")} vs $ba")
+      assert(r.getAs[String]("right_sym") == bb)
+      assert(r.getAs[Long]("pair_count") == bc)
+      assert(r.getAs[Long]("symbols_after") == after)
+    }
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
