@@ -435,7 +435,134 @@ object EstimateQueries {
       |FROM c""".stripMargin
   }
 
+  // --------------------------------------------------------------- q329
+  /** Poisson-bootstrap confidence interval for the MEDIAN line
+    * quantity: q216 put an error bar on a mean (a one-division
+    * statistic); medians have no closed-form variance, which is exactly
+    * when the bootstrap earns its keep. 32 deterministic Poisson(1)
+    * replicas (q216's md5 derandomization, fresh salt), each reduced to
+    * a WEIGHTED median — and because quantity lives on a 50-value
+    * domain, every replica's median comes from a (replica, value)
+    * census cumulative-weight scan, never a per-replica sort: the
+    * lower weighted median is the smallest v whose cumulative weight
+    * reaches ⌈(W+1)/2⌉, the same type-1 rule as the observed median.
+    *
+    * Exactness: weights are integer CASE cuts at Poisson-CDF double
+    * literals; cumulative weights and targets are exact integers;
+    * medians are exact DECIMAL(18,2) domain values — the interval
+    * endpoints are order statistics of 32 exact values, nothing to
+    * round.
+    *
+    * Scale shape: one fact×32 map-generated explode (linear, no join)
+    * into a map-combinable (replica, value) census agg — 32×50 cells;
+    * the cumulative windows are PARTITIONED by replica over that
+    * census. */
+  def q329MedianBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    import org.apache.spark.sql.expressions.Window
+    val twoPow60 = 1152921504606846976.0
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("v"))
+    val cells = li
+      .select(col("v"), explode(sequence(lit(0), lit(31))).as("b"),
+        md5Hash60(concat(lit("mb:"), col("b").cast("string"), lit(":"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).cast("double")
+          ./(lit(twoPow60)).as("u"))
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0)
+          .when(col("u") < 0.7357588823428847, 1)
+          .when(col("u") < 0.9196986029286058, 2)
+          .when(col("u") < 0.9810118431238463, 3)
+          .when(col("u") < 0.9963401531726563, 4)
+          .otherwise(5).cast("long"))
+      .groupBy(col("b"), col("v")).agg(sum(col("w")).as("cw"))
+    val cum = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("b"))
+    val medians = cells
+      .withColumn("cumw", sum(col("cw")).over(cum))
+      .withColumn("tw", sum(col("cw")).over(tot))
+      .withColumn("target", expr("(tw + 1L) div 2"))
+      .filter(col("cumw") >= col("target"))
+      .groupBy(col("b")).agg(min(col("v")).as("med"))
+    val obsCensus = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val obsMedian = obsCensus
+      .withColumn("cumc", sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("target", expr("(tw + 1L) div 2"))
+      .filter(col("cumc") >= col("target"))
+      .agg(min(col("v")).as("obs_median"))
+    val n = li.agg(count(lit(1)).as("n_lines"))
+    medians.agg(sort_array(collect_list(col("med"))).as("ms"))
+      .crossJoin(broadcast(obsMedian))
+      .crossJoin(broadcast(n))
+      .select(col("n_lines"),
+        col("obs_median").cast("double").as("obs_median"),
+        element_at(col("ms"), 2).cast("double").as("boot_lo"),
+        element_at(col("ms"), 31).cast("double").as("boot_hi"),
+        size(col("ms")).as("n_replicas"))
+  }
+
+  val q329Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS v
+      |  FROM lineitem),
+      |reps AS (
+      |  SELECT v, unnest(range(0, 32)) AS b, l_orderkey, l_linenumber
+      |  FROM li),
+      |wts AS (
+      |  SELECT b, v,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238463 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         ELSE 5 END AS w
+      |  FROM (SELECT b, v,
+      |          ${graft.functions.TextFunctions.md5Hash60Sql(
+               "'mb:' || CAST(b AS VARCHAR) || ':' || " +
+               "CAST(l_orderkey AS VARCHAR) || ':' || " +
+               "CAST(l_linenumber AS VARCHAR)")}
+      |            / 1152921504606846976.0 AS u
+      |        FROM reps)),
+      |cells AS (
+      |  SELECT b, v, CAST(SUM(w) AS BIGINT) AS cw
+      |  FROM wts GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT b, v, cw,
+      |    CAST(SUM(cw) OVER (PARTITION BY b ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumw,
+      |    (CAST(SUM(cw) OVER (PARTITION BY b) AS BIGINT) + 1) // 2
+      |      AS target
+      |  FROM cells),
+      |meds AS (
+      |  SELECT b, MIN(v) AS med FROM c2 WHERE cumw >= target GROUP BY 1),
+      |l AS (SELECT list_sort(list(med)) AS ms FROM meds),
+      |oc AS (SELECT v, COUNT(*) AS c FROM li GROUP BY 1),
+      |oc2 AS (
+      |  SELECT v,
+      |    CAST(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumc,
+      |    (CAST(SUM(c) OVER () AS BIGINT) + 1) // 2 AS target
+      |  FROM oc),
+      |om AS (SELECT MIN(v) AS obs_median FROM oc2 WHERE cumc >= target),
+      |n AS (SELECT COUNT(*) AS n_lines FROM li)
+      |SELECT n_lines,
+      |  CAST(obs_median AS DOUBLE) AS obs_median,
+      |  CAST(ms[2] AS DOUBLE) AS boot_lo,
+      |  CAST(ms[31] AS DOUBLE) AS boot_hi,
+      |  CAST(len(ms) AS INTEGER) AS n_replicas
+      |FROM l, om, n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_median_bootstrap" -> (q329MedianBootstrap _),
     "q299_bloom_fpr_cert" -> (q299BloomFprCert _),
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
     "q208_neyman_alloc" -> (q208NeymanAlloc _),
@@ -925,6 +1052,7 @@ object EstimateQueries {
       |FROM j""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q329_median_bootstrap" -> q329Sql,
     "q299_bloom_fpr_cert" -> q299Sql,
     "q204_sampled_dup_rate" -> q204Sql,
     "q208_neyman_alloc" -> q208Sql,

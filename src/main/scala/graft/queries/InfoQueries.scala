@@ -839,7 +839,114 @@ object InfoQueries {
       |SELECT type_a, type_b, CAST(SUM(t) AS DOUBLE) AS js_nats
       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q328
+  /** Information-gain feature ranking: which categorical feature —
+    * order priority, market segment, or customer nation — tells you
+    * most about the order-status label? For each feature F,
+    * IG = H(label) − H(label|F) plus Quinlan's gain ratio IG/H(F)
+    * (raw IG favors high-arity features like nation; the ratio is the
+    * C4.5 correction) — the feature-selection primitive a modeling
+    * pipeline runs before training, generalizing q137's single-pair MI
+    * to a ranked sweep. One fact pass serves all three features: each
+    * row explodes into (feature, value) entries and ONE hash agg builds
+    * every contingency cell.
+    *
+    * Exactness: cells are exact BIGINTs; every entropy term is a
+    * count-weighted ln9 on the exact decimal grid (q137/q259
+    * convention); the closing divisions are doubles over identical
+    * operands.
+    *
+    * Scale shape: one orders⋈customer join, one 3×-exploded
+    * map-combinable agg to ≤ Σ|F_i|·|labels| cells; all windows are
+    * PARTITIONED by feature / (feature, value) / (feature, label) over
+    * that census. */
+  def q328FeatureIg(spark: SparkSession, dir: String): DataFrame = {
+    val base = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus").as("label"),
+        col("o_orderpriority"))
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val cells = base.select(col("label"), explode(array(
+        struct(lit("priority").as("feature"),
+          col("o_orderpriority").as("fv")),
+        struct(lit("segment").as("feature"), col("c_mktsegment").as("fv")),
+        struct(lit("nation").as("feature"),
+          col("c_nationkey").cast("string").as("fv")))).as("e"))
+      .groupBy(col("e.feature").as("feature"), col("e.fv").as("fv"),
+        col("label"))
+      .agg(count(lit(1)).as("c"))
+    val dbl = (c: String) => col(c).cast("double")
+    val m = cells
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("feature"))))
+      .withColumn("cf", sum(col("c")).over(
+        Window.partitionBy(col("feature"), col("fv"))))
+      .withColumn("cl", sum(col("c")).over(
+        Window.partitionBy(col("feature"), col("label"))))
+      .select(col("feature"), col("n"),
+        (ln9(dbl("n") / dbl("cl")) * col("c")).as("hl_w"),
+        (ln9(dbl("cf") / dbl("c")) * col("c")).as("hc_w"),
+        (ln9(dbl("n") / dbl("cf")) * col("c")).as("hf_w"))
+    m.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("n_rows"),
+        (sum(col("hl_w")).cast("double") / max(col("n")).cast("double"))
+          .as("h_label"),
+        (sum(col("hc_w")).cast("double") / max(col("n")).cast("double"))
+          .as("h_cond"),
+        (sum(col("hf_w")).cast("double") / max(col("n")).cast("double"))
+          .as("h_feature"))
+      .select(col("feature"), col("n_cells"), col("n_rows"),
+        col("h_label"), col("h_cond"), col("h_feature"),
+        (col("h_label") - col("h_cond")).as("info_gain"),
+        ((col("h_label") - col("h_cond")) / col("h_feature"))
+          .as("gain_ratio"))
+      .orderBy("feature")
+  }
+
+  val q328Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderstatus AS label, o_orderpriority, c_mktsegment,
+      |    c_nationkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (
+      |  SELECT feature, fv, label, COUNT(*) AS c FROM (
+      |    SELECT 'priority' AS feature, o_orderpriority AS fv, label
+      |    FROM base
+      |    UNION ALL
+      |    SELECT 'segment', c_mktsegment, label FROM base
+      |    UNION ALL
+      |    SELECT 'nation', CAST(c_nationkey AS VARCHAR), label FROM base)
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT feature,
+      |    SUM(c) OVER (PARTITION BY feature) AS n,
+      |    CAST(round(ln(CAST(SUM(c) OVER (PARTITION BY feature)
+      |        AS DOUBLE)
+      |      / CAST(SUM(c) OVER (PARTITION BY feature, label) AS DOUBLE)),
+      |      9) AS DECIMAL(12,9)) * c AS hl_w,
+      |    CAST(round(ln(CAST(SUM(c) OVER (PARTITION BY feature, fv)
+      |        AS DOUBLE)
+      |      / CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) * c AS hc_w,
+      |    CAST(round(ln(CAST(SUM(c) OVER (PARTITION BY feature)
+      |        AS DOUBLE)
+      |      / CAST(SUM(c) OVER (PARTITION BY feature, fv) AS DOUBLE)),
+      |      9) AS DECIMAL(12,9)) * c AS hf_w
+      |  FROM cells),
+      |agg AS (
+      |  SELECT feature, COUNT(*) AS n_cells,
+      |    CAST(MAX(n) AS BIGINT) AS n_rows,
+      |    CAST(SUM(hl_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_label,
+      |    CAST(SUM(hc_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_cond,
+      |    CAST(SUM(hf_w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS h_feature
+      |  FROM m GROUP BY 1)
+      |SELECT feature, n_cells, n_rows, h_label, h_cond, h_feature,
+      |  h_label - h_cond AS info_gain,
+      |  (h_label - h_cond) / h_feature AS gain_ratio
+      |FROM agg ORDER BY feature""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_feature_ig" -> (q328FeatureIg _),
     "q285_circadian_js" -> (q285CircadianJs _),
     "q284_cents_heaping" -> (q284CentsHeaping _),
     "q259_entropy_rate" -> (q259EntropyRate _),
@@ -853,6 +960,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q328_feature_ig" -> q328Sql,
     "q285_circadian_js" -> q285Sql,
     "q284_cents_heaping" -> q284Sql,
     "q259_entropy_rate" -> q259Sql,

@@ -326,6 +326,91 @@ class Round12iSpec extends AnyFunSuite {
     }
   }
 
+  test("q328: IG ranking matches a driver-side entropy recount") {
+    val base = queries.Kpis.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus").as("label"),
+        col("o_orderpriority"))
+      .join(queries.Kpis.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("label"), col("o_orderpriority").as("priority"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("string").as("nation"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    def entropy[K](xs: Seq[K]): Double = {
+      val n = xs.length.toDouble
+      xs.groupBy(identity).values
+        .map(g => g.length / n * math.log(n / g.length)).sum
+    }
+    val rows = queries.InfoQueries.q328FeatureIg(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("feature")).sorted.sameElements(
+      Seq("nation", "priority", "segment")))
+    val feats = Map[String, ((String, String, String, String)) => String](
+      "priority" -> (_._2), "segment" -> (_._3), "nation" -> (_._4))
+    rows.foreach { r =>
+      val f = feats(r.getAs[String]("feature"))
+      val hL = entropy(base.map(_._1))
+      val hF = entropy(base.map(f))
+      val hJoint = entropy(base.map(t => (t._1, f(t))))
+      val hCond = hJoint - hF
+      assert(r.getAs[Long]("n_rows") == base.length.toLong)
+      assert(math.abs(r.getAs[Double]("h_label") - hL) < 1e-4)
+      assert(math.abs(r.getAs[Double]("h_cond") - hCond) < 1e-4)
+      assert(math.abs(r.getAs[Double]("h_feature") - hF) < 1e-4)
+      assert(math.abs(r.getAs[Double]("info_gain") - (hL - hCond)) < 1e-4)
+      assert(r.getAs[Double]("info_gain") >= -1e-9,
+        "information gain is non-negative")
+      assert(r.getAs[Double]("gain_ratio") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q329: bootstrap median CI brackets sanely and replays exactly") {
+    val r = queries.EstimateQueries.q329MedianBootstrap(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Int]("n_replicas") == 32)
+    val lo = r.getAs[Double]("boot_lo")
+    val hi = r.getAs[Double]("boot_hi")
+    val obs = r.getAs[Double]("obs_median")
+    assert(lo <= hi)
+    // replay one replica driver-side with the registered md5 weights
+    val rows = queries.Kpis.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("v"),
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit("mb:7:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).cast("double")
+          ./(lit(1152921504606846976.0)).as("u"))
+      .collect()
+      .map(x => (x.getAs[Double]("v"), x.getAs[Double]("u")))
+    def pw(u: Double): Long =
+      if (u < 0.36787944117144233) 0L else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L else if (u < 0.9810118431238463) 3L
+      else if (u < 0.9963401531726563) 4L else 5L
+    val weighted = rows.map { case (v, u) => (v, pw(u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val tw = weighted.map(_._2).sum
+    val target = (tw + 1) / 2
+    val med7 = weighted.scanLeft(("", 0L)) { case ((_, acc), (v, w)) =>
+      (v.toString, acc + w)
+    }.drop(1).find(_._2 >= target).get._1.toDouble
+    // every endpoint (and the replayed replica median) is a value from
+    // the quantity DOMAIN — the estimator never interpolates
+    val domain = rows.map(_._1).toSet
+    assert(domain.contains(lo) && domain.contains(hi))
+    assert(domain.contains(med7))
+    // strict: observed median must equal the driver-side unweighted rule
+    val census = rows.map(_._1).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val n = census.map(_._2).sum
+    val t2 = (n + 1) / 2
+    val obsBrute = census.scanLeft((0.0, 0L)) { case ((_, acc), (v, c)) =>
+      (v, acc + c)
+    }.drop(1).find(_._2 >= t2).get._1
+    assert(obs == obsBrute)
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
