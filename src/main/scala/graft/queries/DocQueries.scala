@@ -1320,6 +1320,75 @@ object DocQueries {
       |    + 0.0 AS dup_share
       |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------- q330
+  /** Cohen's kappa for the q35 language-ID classifier: chance-corrected
+    * agreement between the declared and predicted labels,
+    * κ = (N·Σdiag − Σ_l r_l·c_l) / (N² − Σ_l r_l·c_l) over the
+    * confusion matrix q35 already emits — the metric that separates a
+    * classifier from a marginal-matching coin (raw accuracy flatters
+    * any skewed label mix; κ = 0 is exactly chance). Composes the
+    * REGISTERED q35 plan (the q309 composition discipline), so this
+    * certifies the confusion matrix and the chance correction in one
+    * oracle.
+    *
+    * Exactness: all marginal products are exact BIGINTs (N² at 100 TB
+    * doc counts still < 2⁶³ for N < 3×10⁹; the oracle widths match);
+    * accuracy/expected-accuracy/κ are single double expressions over
+    * identical exact operands.
+    *
+    * Scale shape: q35's plan plus a |langs|²-cell rollup — marginals
+    * and the κ reduction are census-scale aggs, no window. */
+  def q330LangidKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cm = q35LangIdNgram(spark, dir)
+      .select(col("lang"), col("predicted"), col("n_docs").as("n"))
+    val tot = cm.agg(sum(col("n")).as("nn"),
+      sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
+        .as("diag"))
+    val rmar = cm.groupBy(col("lang")).agg(sum(col("n")).as("r"))
+    val cmar = cm.groupBy(col("predicted")).agg(sum(col("n")).as("c"))
+    val pe = rmar.join(cmar, col("lang") === col("predicted"))
+      .agg(sum(col("r") * col("c")).as("pe_num"))
+    val nD = col("nn").cast("double")
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").as("n_docs"), col("diag").as("n_correct"),
+        col("pe_num"),
+        (col("diag").cast("double") / nD).as("accuracy"),
+        (col("pe_num").cast("double") / (nD * nD))
+          .as("expected_accuracy"),
+        ((nD * col("diag").cast("double") - col("pe_num").cast("double"))
+          / (nD * nD - col("pe_num").cast("double"))).as("kappa"))
+  }
+
+  val q330Sql: String = {
+    val cte = q35Sql.substring(0, q35Sql.indexOf("SELECT lang, p_lang"))
+    s"""$cte,
+      |cm AS (
+      |  SELECT lang, p_lang AS predicted, COUNT(*) AS n
+      |  FROM best GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END)
+      |      AS BIGINT) AS diag
+      |  FROM cm),
+      |rmar AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r
+      |         FROM cm GROUP BY 1),
+      |cmar AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS c
+      |         FROM cm GROUP BY 1),
+      |pe AS (
+      |  SELECT CAST(SUM(r * c) AS BIGINT) AS pe_num
+      |  FROM rmar JOIN cmar ON lang = predicted)
+      |SELECT nn AS n_docs, diag AS n_correct, pe_num,
+      |  CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) AS accuracy,
+      |  CAST(pe_num AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+      |    AS expected_accuracy,
+      |  (CAST(nn AS DOUBLE) * CAST(diag AS DOUBLE)
+      |     - CAST(pe_num AS DOUBLE))
+      |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |       - CAST(pe_num AS DOUBLE)) AS kappa
+      |FROM tot, pe""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_dup_by_length" -> q283DupByLength _,
     "q281_lsh_calibration" -> q281LshCalibration _,
@@ -1338,6 +1407,7 @@ object DocQueries {
     "q31_token_analysis" -> q31TokenAnalysis _,
     "q32_ngram_jaccard" -> q32NgramJaccard _,
     "q35_langid_ngram" -> q35LangIdNgram _,
+    "q330_langid_kappa" -> q330LangidKappa _,
     "q41_sketch_profile" -> q41SketchProfile _,
     "q42_corpus_curation" -> q42CorpusCuration _,
     "q58_exact_profile" -> q58ExactProfile _)
@@ -1361,6 +1431,7 @@ object DocQueries {
     "q31_token_analysis" -> q31Sql,
     "q32_ngram_jaccard" -> q32Sql,
     "q35_langid_ngram" -> q35Sql,
+    "q330_langid_kappa" -> q330Sql,
     "q42_corpus_curation" -> q42Sql,
     "q58_exact_profile" -> q58Sql)
 }

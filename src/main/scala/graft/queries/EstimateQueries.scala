@@ -182,9 +182,12 @@ object EstimateQueries {
   def q216BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Hash60
     val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+    // spread the x32 hash explode across cores (q329's single-split
+    // note: the md5 stage otherwise runs on one task at fixture scale)
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val reps = orders
       .select(col("o_orderkey"), col("cents"),
         explode(sequence(lit(0), lit(31))).as("b"))
@@ -461,9 +464,14 @@ object EstimateQueries {
     import graft.functions.TextFunctions.md5Hash60
     import org.apache.spark.sql.expressions.Window
     val twoPow60 = 1152921504606846976.0
+    // spread the x32 hash explode across cores: the fixture arrives as
+    // ONE parquet split, and without this the 19M-row md5 stage runs on
+    // a single task (at cluster scale the scan arrives pre-split and
+    // the exchange is a no-op cost-wise)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("decimal(18,2)").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val cells = li
       .select(col("v"), explode(sequence(lit(0), lit(31))).as("b"),
         md5Hash60(concat(lit("mb:"), col("b").cast("string"), lit(":"),

@@ -411,6 +411,29 @@ class Round12iSpec extends AnyFunSuite {
     assert(obs == obsBrute)
   }
 
+  test("q330: kappa matches the confusion matrix q35 emits") {
+    val cm = queries.DocQueries.q35LangIdNgram(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("predicted")),
+        r.getAs[Long]("n_docs"))).toMap
+    val n = cm.values.sum
+    val diag = cm.collect { case ((l, p), c) if l == p => c }.sum
+    val rmar = cm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cmar = cm.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val peNum = rmar.map { case (l, r) =>
+      r * cmar.getOrElse(l, 0L)
+    }.sum
+    val r = queries.DocQueries.q330LangidKappa(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_correct") == diag)
+    assert(r.getAs[Long]("pe_num") == peNum)
+    val kappa = (n.toDouble * diag - peNum) / (n.toDouble * n - peNum)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-12)
+    assert(r.getAs[Double]("accuracy") >= r.getAs[Double]("kappa") - 1e-12,
+      "chance correction can only lower the agreement score")
+    assert(r.getAs[Double]("kappa") <= 1.0 + 1e-12)
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
