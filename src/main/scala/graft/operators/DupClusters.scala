@@ -268,13 +268,15 @@ object DupClusters {
       .unionByName(variant(100000L, " zz extra tail"))
       .unionByName(variant(200000L, " zz extra tail rr more pad"))
     variants
+      // single-file fixture scan = one split; the exchange must sit BELOW
+      // the shingling projection or the per-row shingle work still runs
+      // on the scan's single task (q329's lesson — repartition-then-select,
+      // not select-then-repartition)
+      .repartition(variants.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .select(col("id"),
         array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(col("text")), 3)).as("sh"))
-      // single-file fixture scan = one split; spread before the per-row
-      // shingling + the joins below (q29's lesson)
-      .repartition(variants.sparkSession.sparkContext.defaultParallelism,
-        col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 

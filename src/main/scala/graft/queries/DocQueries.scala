@@ -894,7 +894,10 @@ object DocQueries {
     * agg is a plain hash shuffle — the same shape as every dedup
     * signature pass. */
   def q240BoilerplateShingles(spark: SparkSession, dir: String): DataFrame = {
+    // spread the tokenize+shingle explode: the fixture scan is a single
+    // parquet split (q329's note), and this stage is the whole cost
     val sh = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(shingles(tokens(lower(col("text"))), 5)))
