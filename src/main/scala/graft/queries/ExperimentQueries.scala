@@ -1413,7 +1413,94 @@ object ExperimentQueries {
       |FROM scored CROSS JOIN g
       |ORDER BY priority""".stripMargin
 
+  // --------------------------------------------------------------- q331
+  /** Expected / maximum calibration error for q263's churn score:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| and MCE = max_b |acc_b −
+    * conf_b| over the same score bins q263 Brier-scores — the
+    * reliability-diagram summary numbers (Guo et al.'s recalibration
+    * metric). Brier mixes calibration with resolution; ECE isolates
+    * the calibration gap a temperature-scaling pass would fix. Bins
+    * are the exact distinct score inputs (each carries one predicted
+    * probability), so no binning convention can disagree.
+    *
+    * Exactness: the per-bin weighted gap collapses to |k − n·p| — an
+    * EXACT decimal (k integer, n·p at scale 9), so the ECE numerator
+    * is an exact decimal sum and ECE is one closing double division;
+    * MCE maxes the 6-dp-rounded per-bin double gaps (identical chains
+    * both sides).
+    *
+    * Scale shape: q263's per-customer agg → |score domain| bins; the
+    * reduction is a census agg, no window. */
+  def q331CalibrationError(spark: SparkSession, dir: String): DataFrame = {
+    val act = Kpis.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1995, 2000))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
+        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
+    val xy = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(act, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+    val p = round(lit(1.0) /
+      (lit(1.0) + exp(-(col("x").cast("double") / lit(4.0) - lit(1.0)))), 9)
+      .cast("decimal(12,9)")
+    val grp = xy.groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .withColumn("p", p)
+      // |k − n·p| exact at scale 9: the bin's weighted calibration gap
+      .withColumn("gap_w",
+        abs(col("k").cast("decimal(22,9)") -
+          (col("n").cast("decimal(10,0)") * col("p"))
+            .cast("decimal(22,9)")).cast("decimal(22,9)"))
+      .withColumn("gap_b",
+        round(abs(col("k").cast("double") / col("n").cast("double") -
+          col("p").cast("double")), 6))
+    grp.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("n")).as("n_customers"),
+      (round(sum(col("gap_w")).cast("double") /
+        sum(col("n")).cast("double"), 6) + lit(0.0)).as("ece"),
+      (max(col("gap_b")) + lit(0.0)).as("mce"))
+  }
+
+  val q331Sql: String =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS x0,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS y0
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |xy AS (
+      |  SELECT COALESCE(x0, 0) AS x, COALESCE(y0, 0) AS y
+      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+      |grp AS (
+      |  SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k,
+      |    CAST(round(1.0 / (1.0 + exp(-(CAST(x AS DOUBLE) / 4.0 - 1.0))),
+      |      9) AS DECIMAL(12,9)) AS p
+      |  FROM xy GROUP BY 1),
+      |g2 AS (
+      |  SELECT *,
+      |    CAST(abs(CAST(k AS DECIMAL(22,9))
+      |      - CAST(CAST(n AS DECIMAL(10,0)) * p AS DECIMAL(22,9)))
+      |      AS DECIMAL(22,9)) AS gap_w,
+      |    round(abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(p AS DOUBLE)), 6) AS gap_b
+      |  FROM grp)
+      |SELECT COUNT(*) AS n_bins,
+      |  CAST(SUM(n) AS BIGINT) AS n_customers,
+      |  round(CAST(SUM(gap_w) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+      |    + 0.0 AS ece,
+      |  MAX(gap_b) + 0.0 AS mce
+      |FROM g2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_calibration_error" -> (q331CalibrationError _),
     "q325_kruskal_wallis" -> (q325KruskalWallis _),
     "q320_bh_fdr" -> (q320BhFdr _),
     "q316_sequential_looks" -> (q316SequentialLooks _),
@@ -1429,6 +1516,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q331_calibration_error" -> q331Sql,
     "q325_kruskal_wallis" -> q325Sql,
     "q320_bh_fdr" -> q320Sql,
     "q316_sequential_looks" -> q316Sql,

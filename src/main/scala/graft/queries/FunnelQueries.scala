@@ -467,6 +467,80 @@ object FunnelQueries {
       |WHERE d > 0 AND t <= 60
       |ORDER BY gap_days""".stripMargin
 
+  // --------------------------------------------------------------- q332
+  /** TIME-BOUNDED funnel: view → click within 7 days of the first view
+    * → purchase within 7 days of that click. q86's cascade is
+    * unbounded (a purchase three months later still converts); real
+    * funnel reporting attributes a stage only inside its conversion
+    * window, which changes both the counts and the product decision
+    * they drive (a long-latency conversion is a RE-ACQUISITION, not
+    * funnel success). Same cascade plan as q86 — each stage one
+    * selective scan joined to the previous user-sized frame — with the
+    * window upper bound added to each stage's join predicate.
+    *
+    * Exactness: timestamp comparisons and interval arithmetic are
+    * exact in both engines; counts are integers; one double division
+    * per stage.
+    *
+    * Scale shape: identical to q86 — per-stage selective scans, no
+    * event-sequence window, user-sized shuffles. */
+  def q332BoundedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, n: Int, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(label).as("step"), col("n_users"))
+    val out = stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click_within_7d"))
+      .unionAll(stage(p, 3, "purchase_within_7d"))
+    val base = v.agg(count(lit(1)).as("n_base"))
+    out.crossJoin(broadcast(base))
+      .select(col("stage"), col("step"), col("n_users"),
+        (col("n_users").cast("double") / col("n_base").cast("double"))
+          .as("conversion"))
+      .orderBy("stage")
+  }
+
+  val q332Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |    AND e.ts <= v.t1 + INTERVAL 7 DAY
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |    AND e.ts <= c.t2 + INTERVAL 7 DAY
+      |  GROUP BY 1),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click_within_7d', COUNT(*) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase_within_7d', COUNT(*) FROM p),
+      |base AS (SELECT COUNT(*) AS n_base FROM v)
+      |SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_users AS DOUBLE) / CAST(n_base AS DOUBLE) AS conversion
+      |FROM stages CROSS JOIN base
+      |ORDER BY stage""".stripMargin
+
   // --------------------------------------------------------------- q229
   /** New-vs-returning revenue split by quarter: each quarter's revenue
     * decomposed into orders from customers whose FIRST-ever order falls
@@ -793,7 +867,8 @@ object FunnelQueries {
     "q93_conversion_latency" -> (q93ConversionLatency _),
     "q146_cohort_ltv" -> (q146CohortLtv _),
     "q192_kaplan_meier" -> (q192KaplanMeier _),
-    "q322_nelson_aalen" -> (q322NelsonAalen _))
+    "q322_nelson_aalen" -> (q322NelsonAalen _),
+    "q332_bounded_funnel" -> (q332BoundedFunnel _))
 
   def oracles: Map[String, String] = Map(
     "q310_chain_ladder" -> q310Sql,
@@ -805,5 +880,6 @@ object FunnelQueries {
     "q93_conversion_latency" -> q93Sql,
     "q146_cohort_ltv" -> q146Sql,
     "q192_kaplan_meier" -> q192Sql,
-    "q322_nelson_aalen" -> q322Sql)
+    "q322_nelson_aalen" -> q322Sql,
+    "q332_bounded_funnel" -> q332Sql)
 }

@@ -434,6 +434,71 @@ class Round12iSpec extends AnyFunSuite {
     assert(r.getAs[Double]("kappa") <= 1.0 + 1e-12)
   }
 
+  test("q331: ECE/MCE match a driver-side reliability recount") {
+    val xy = queries.Kpis.table(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+      .join(queries.Kpis.table(spark, sfDir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .filter(col("yr").between(1995, 2000))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
+          max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x0"), lit(0L)).as("x"),
+        coalesce(col("y0"), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bins = xy.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum)
+    }.toMap
+    def pOf(x: Long): BigDecimal =
+      BigDecimal(1.0 / (1.0 + math.exp(-(x / 4.0 - 1.0))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = xy.length.toLong
+    val eceNum = bins.map { case (x, (nb, k)) =>
+      (BigDecimal(k) - BigDecimal(nb) * pOf(x)).abs
+    }.sum
+    val ece = BigDecimal(eceNum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mce = bins.map { case (x, (nb, k)) =>
+      BigDecimal(math.abs(k.toDouble / nb - pOf(x).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.max
+    val r = queries.ExperimentQueries
+      .q331CalibrationError(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_bins") == bins.size.toLong)
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(math.abs(r.getAs[Double]("ece") - ece) < 2e-6)
+    assert(math.abs(r.getAs[Double]("mce") - mce) < 2e-6)
+    assert(r.getAs[Double]("mce") >= r.getAs[Double]("ece") - 1e-12,
+      "the max bin gap dominates the weighted mean gap")
+  }
+
+  test("q332: bounded funnel is dominated by the unbounded one") {
+    val bounded = queries.FunnelQueries.q332BoundedFunnel(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    val open = queries.FunnelQueries.q86Funnel(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(bounded(1) == open(1), "stage 1 has no window to bound")
+    assert(bounded(2) <= open(2) && bounded(3) <= open(3),
+      "a window can only remove conversions")
+    assert(bounded(1) >= bounded(2) && bounded(2) >= bounded(3))
+    // stage-2 recount: first click within (t1, t1 + 7d]
+    val ev = queries.Kpis.eventsTable(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime))
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val week = 7L * 24 * 3600 * 1000
+    val s2 = ev.filter(_._2 == "click").filter { case (u, _, t) =>
+      t1.get(u).exists(v => t > v && t <= v + week)
+    }.map(_._1).distinct.length
+    assert(bounded(2) == s2.toLong, s"${bounded(2)} vs $s2")
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
