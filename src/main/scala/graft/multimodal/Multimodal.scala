@@ -375,9 +375,124 @@ object Multimodal {
       |    AS avg_entropy_bits
       |FROM per_doc GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Per-frame decode output for the video corpus. */
+  final case class FrameRow(
+      media_id: Long,
+      n_frames: Int,
+      frame_idx: Int,        // 0-based
+      frame_sum: Long,       // sum of the frame's W×H luma byte values
+      sampled: Boolean)      // stride-2 frame-sampling policy keeps it
+
+  /** Partition-batched per-FRAME extraction for video rows: the decode
+    * slices the y4m payload into its W×H luma planes and emits one row
+    * per frame — the frame-sampling primitive of a video training-data
+    * pipeline (q29 reduces a container to one feature row; training
+    * pipelines need the per-frame stream to sample from). */
+  def extractFrames(ds: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
+        val d = Codec.decode(bytes)
+        if (d.kind != "video") Iterator.empty
+        else {
+          val fb = d.width * d.height
+          val keep = sampleFrameIndices(d.frames, 2).toSet
+          (0 until d.frames).iterator.map { f =>
+            var s = 0L
+            var i = f * fb
+            val end = i + fb
+            while (i < end) { s += (d.payload(i) & 0xff); i += 1 }
+            FrameRow(r.media_id, d.frames, f, s, keep(f))
+          }
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- q333
+  /** Video frame-sampling + scene-change census: decode every video,
+    * emit per-frame luma sums, apply the stride-2 sampling policy, and
+    * flag scene changes (consecutive frames whose luma sums differ by
+    * ≥ 400) — reported per video-length group. This is the per-FRAME
+    * half of the multimodal brief (q29 certifies container decode;
+    * this certifies frame slicing, the sampling policy, and a
+    * between-frame feature), with the oracle re-deriving every frame
+    * sum from the documented payload derivation.
+    *
+    * Exactness: frame sums, sampling counts, and the ≥400 scene-change
+    * comparisons are ALL integer; no doubles anywhere.
+    *
+    * Scale shape: the decode repartitions off the single-split scan
+    * (q29's note) and emits frames, not blobs; the consecutive-frame
+    * window is PARTITIONED per video; the census is ≤5 rows. */
+  def q333FrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spread = mediaFromDocuments(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .as[MediaRow]
+    val frames = extractFrames(spread)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.toDF()
+      .withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+      .groupBy(col("n_frames").as("frames_in_video"))
+      .agg(
+        countDistinct(col("media_id")).as("n_videos"),
+        count(lit(1)).as("total_frames"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("sampled_frames"),
+        sum(when(col("prev_sum").isNotNull, 1L).otherwise(0L))
+          .as("n_frame_pairs"),
+        sum(when(col("prev_sum").isNotNull &&
+          abs(col("frame_sum") - col("prev_sum")) >= 400L, 1L)
+          .otherwise(0L)).as("n_scene_changes"),
+        min(col("frame_sum")).as("min_frame_sum"),
+        max(col("frame_sum")).as("max_frame_sum"))
+      .orderBy("frames_in_video")
+  }
+
+  /** DuckDB replay from `documents`: video payload bytes re-derived by
+    * cycling the ASCII text, sliced at 64-byte frame boundaries; the
+    * stride-2 policy and the ≥400 scene-change rule are integer
+    * arithmetic on the re-derived frame sums. */
+  val q333Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS frames,
+      |    CAST(64 * (doc_id % 5 + 1) AS INTEGER) AS plen,
+      |    text, length(text) AS tlen
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |bytes AS (
+      |  SELECT doc_id, frames, CAST(i // 64 AS INTEGER) AS frame_idx,
+      |    ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1)) AS b
+      |  FROM d CROSS JOIN LATERAL unnest(range(0, plen)) AS t(i)),
+      |fs AS (
+      |  SELECT doc_id, frames, frame_idx,
+      |    CAST(SUM(b) AS BIGINT) AS frame_sum
+      |  FROM bytes GROUP BY ALL),
+      |fd AS (
+      |  SELECT *,
+      |    LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+      |      AS prev_sum
+      |  FROM fs)
+      |SELECT frames AS frames_in_video,
+      |  COUNT(DISTINCT doc_id) AS n_videos,
+      |  COUNT(*) AS total_frames,
+      |  CAST(SUM(CASE WHEN frame_idx % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS sampled_frames,
+      |  CAST(SUM(CASE WHEN prev_sum IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_frame_pairs,
+      |  CAST(SUM(CASE WHEN prev_sum IS NOT NULL
+      |      AND abs(frame_sum - prev_sum) >= 400 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_scene_changes,
+      |  MIN(frame_sum) AS min_frame_sum,
+      |  MAX(frame_sum) AS max_frame_sum
+      |FROM fd GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_media_features" -> q29MediaFeatures _)
+    "q29_media_features" -> q29MediaFeatures _,
+    "q333_frame_stats" -> q333FrameStats _)
 
   def oracles: Map[String, String] = Map(
-    "q29_media_features" -> q29Sql)
+    "q29_media_features" -> q29Sql,
+    "q333_frame_stats" -> q333Sql)
 }

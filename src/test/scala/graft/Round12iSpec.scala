@@ -499,6 +499,40 @@ class Round12iSpec extends AnyFunSuite {
     assert(bounded(2) == s2.toLong, s"${bounded(2)} vs $s2")
   }
 
+  test("q333: frame census matches a driver-side codec replay") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).collect()
+      .filter(_.meta.kind == "video")
+    val frames = media.flatMap { r =>
+      val d = Multimodal.Codec.decode(r.content)
+      val fb = d.width * d.height
+      (0 until d.frames).map { f =>
+        val sum = (f * fb until (f + 1) * fb)
+          .map(i => (d.payload(i) & 0xff).toLong).sum
+        (r.media_id, d.frames, f, sum)
+      }
+    }
+    val rows = Multimodal.q333FrameStats(spark, sfDir).collect()
+    val byLen = frames.groupBy(_._2)
+    assert(rows.map(_.getAs[Int]("frames_in_video")).toSet == byLen.keySet)
+    rows.foreach { r =>
+      val g = byLen(r.getAs[Int]("frames_in_video"))
+      val vids = g.groupBy(_._1)
+      assert(r.getAs[Long]("n_videos") == vids.size.toLong)
+      assert(r.getAs[Long]("total_frames") == g.length.toLong)
+      assert(r.getAs[Long]("sampled_frames") ==
+        g.count(_._3 % 2 == 0).toLong)
+      val changes = vids.values.map { fs =>
+        fs.sortBy(_._3).map(_._4).sliding(2).count { p =>
+          p.length == 2 && math.abs(p(1) - p(0)) >= 400
+        }
+      }.sum
+      assert(r.getAs[Long]("n_scene_changes") == changes.toLong)
+      assert(r.getAs[Long]("min_frame_sum") == g.map(_._4).min)
+      assert(r.getAs[Long]("max_frame_sum") == g.map(_._4).max)
+    }
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
