@@ -931,7 +931,104 @@ object SessionQueries {
       |FROM eff, te ORDER BY channel""".stripMargin
   }
 
+  // --------------------------------------------------------------- q334
+  /** Frequent session-opening paths: the top-20 length-≤3 event-type
+    * PREFIXES across q34's sessions — the path-mining census behind
+    * "how do sessions start?" (landing flows, onboarding funnels).
+    * q214/q312 model TRANSITIONS (memoryless, pairwise); this reads
+    * actual ordered prefixes, which is what a UX review and a
+    * next-event-model's context window both consume.
+    *
+    * Exactness: session assignment is q34's integer-microsecond gap
+    * rule; the three prefix slots are conditional aggregates over the
+    * deterministic (ts, event_id) rank; concat_ws skips NULL slots
+    * identically in both engines; share is one 6-dp division.
+    *
+    * Scale shape: the two per-user windows (sessionize + rank) are
+    * q34's partitioned shape; prefix rows collapse to one per session,
+    * then a path census; top-20 lowers to TakeOrderedAndProject. */
+  def q334SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Kpis.eventsTable(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            GapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val prefixes = e
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("p1"),
+        max(when(col("rn") === 2, col("event_type"))).as("p2"),
+        max(when(col("rn") === 3, col("event_type"))).as("p3"))
+      .select(concat_ws(">", col("p1"), col("p2"), col("p3")).as("path"),
+        (lit(1) + when(col("p2").isNotNull, 1).otherwise(0) +
+          when(col("p3").isNotNull, 1).otherwise(0)).as("depth"))
+    val tot = prefixes.agg(count(lit(1)).as("n_total"))
+    prefixes.groupBy(col("path"), col("depth"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("depth"), col("n_sessions"),
+        (round(col("n_sessions").cast("double") /
+          col("n_total").cast("double"), 6) + lit(0.0)).as("share"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val q334Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) >
+      |        ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_seq
+      |  FROM m),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+      |    AS rn
+      |  FROM s),
+      |pfx AS (
+      |  SELECT user_id, session_seq,
+      |    MAX(CASE WHEN rn = 1 THEN event_type END) AS p1,
+      |    MAX(CASE WHEN rn = 2 THEN event_type END) AS p2,
+      |    MAX(CASE WHEN rn = 3 THEN event_type END) AS p3
+      |  FROM r WHERE rn <= 3 GROUP BY 1, 2),
+      |paths AS (
+      |  SELECT concat_ws('>', p1, p2, p3) AS path,
+      |    1 + CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END
+      |      + CASE WHEN p3 IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |  FROM pfx),
+      |tot AS (SELECT COUNT(*) AS n_total FROM paths)
+      |SELECT path, depth, COUNT(*) AS n_sessions,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE), 6)
+      |    + 0.0 AS share
+      |FROM paths CROSS JOIN tot
+      |GROUP BY path, depth
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_session_paths" -> (q334SessionPaths _),
     "q312_markov_attribution" -> (q312MarkovAttribution _),
     "q292_activity_streaks" -> (q292ActivityStreaks _),
     "q287_behavioral_entropy" -> (q287BehavioralEntropy _),
@@ -946,6 +1043,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q334_session_paths" -> q334Sql,
     "q312_markov_attribution" -> q312Sql,
     "q292_activity_streaks" -> q292Sql,
     "q287_behavioral_entropy" -> q287Sql,

@@ -533,6 +533,47 @@ class Round12iSpec extends AnyFunSuite {
     }
   }
 
+  test("q334: session opening paths match a driver-side sessionizer") {
+    val ev = queries.Kpis.eventsTable(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L,
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val gap = 30L * 60 * 1000000
+    val prefixes = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._2 - a._2 > gap)
+            sessions += scala.collection.mutable.ArrayBuffer(b)
+          else sessions.last += b
+        case _ => ()
+      }
+      sessions.map(_.take(3).map(_._4).mkString(">"))
+    }.toSeq
+    val counts = prefixes.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20)
+    val rows = queries.SessionQueries.q334SessionPaths(spark, sfDir)
+      .collect()
+    assert(rows.length == counts.length)
+    rows.zip(counts).foreach { case (r, (p, c)) =>
+      assert(r.getAs[String]("path") == p,
+        s"${r.getAs[String]("path")} vs $p")
+      assert(r.getAs[Long]("n_sessions") == c.toLong)
+      assert(r.getAs[Int]("depth") == p.split(">").length)
+    }
+    val total = prefixes.size
+    rows.foreach { r =>
+      val expected = BigDecimal(
+        r.getAs[Long]("n_sessions").toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("share") - expected) < 1e-9)
+    }
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
