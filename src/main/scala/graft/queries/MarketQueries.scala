@@ -1008,6 +1008,162 @@ object MarketQueries {
     * Scale shape: one (year, part) shuffle with map-side partial sums,
     * a part-keyed self-join of two year slices (both sides already
     * collapsed to the part grain), and a scalar agg. */
+  // --------------------------------------------------------------- q335
+  /** Monthly revenue FAN CHART: exact p10/median/p90 (plus min/max) of
+    * the per-nation revenue distribution for every month — the banded
+    * time series an executive dashboard draws to show dispersion, not
+    * just the total (q1's daily revenue says how much; this says how
+    * unevenly it spreads across markets, month by month). Quantiles are
+    * type-1 order statistics at rank ⌈p·n⌉ in pure integer arithmetic,
+    * computed with PER-MONTH partitioned rank windows (the q249
+    * discipline — parallel at any scale, never global).
+    *
+    * Exactness: revenue in exact BIGINT cents; ranks and targets are
+    * integers; the output bands are exact domain values.
+    *
+    * Scale shape: one fact rollup to (nation, month) cells, partitioned
+    * windows over the ≤25-row month groups, one bounds agg. */
+  def q335RevenueFan(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Kpis.table(spark, dir, "orders")
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("m"))
+      .orderBy(col("cents"), col("nation"))
+    monthly
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_obs",
+        count(lit(1)).over(Window.partitionBy(col("m"))))
+      .groupBy(col("m"))
+      .agg(max(col("n_obs")).as("n_nations"),
+        min(col("cents")).as("min_cents"),
+        max(when(col("rk") === expr("(n_obs * 10 + 99) div 100"),
+          col("cents"))).as("p10_cents"),
+        max(when(col("rk") === expr("(n_obs * 50 + 99) div 100"),
+          col("cents"))).as("median_cents"),
+        max(when(col("rk") === expr("(n_obs * 90 + 99) div 100"),
+          col("cents"))).as("p90_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("m")
+  }
+
+  val q335Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS m,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT m, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY m
+      |      ORDER BY cents, nation) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY m) AS n_obs
+      |  FROM monthly)
+      |SELECT m, CAST(MAX(n_obs) AS BIGINT) AS n_nations,
+      |  MIN(cents) AS min_cents,
+      |  MAX(CASE WHEN rk = (n_obs * 10 + 99) // 100 THEN cents END)
+      |    AS p10_cents,
+      |  MAX(CASE WHEN rk = (n_obs * 50 + 99) // 100 THEN cents END)
+      |    AS median_cents,
+      |  MAX(CASE WHEN rk = (n_obs * 90 + 99) // 100 THEN cents END)
+      |    AS p90_cents,
+      |  MAX(cents) AS max_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q336
+  /** Chain-linked monthly Laspeyres price index: each month's link is
+    * Σp_m·q_{m−1} / Σp_{m−1}·q_{m−1} over parts traded in BOTH months
+    * (prior-month basket weights), and the index is the running product
+    * of links — how statistical agencies actually publish CPI (q304's
+    * fixed-base index drifts as the basket ages; chaining re-weights
+    * every month). The chain is carried in LOG space (a cumulative ln9
+    * sum over the month census): on this synthetic basket the monthly
+    * matched sample drifts hard (links ≈ 2), so the multiplicative
+    * chain explodes past any absolute rounding grid, while the log
+    * chain is an exact decimal at every month — the numerically honest
+    * publication form (agencies chain in logs internally too).
+    *
+    * Exactness: per-(part, month) unit prices are q304's 9-dp decimal
+    * convention; link numerators/denominators are exact decimal sums
+    * with one double division; each ln collapses to the 9-dp grid, the
+    * cumulative sum is exact decimal, and exp is absorbed by 6-dp
+    * output rounding (q192's convention).
+    *
+    * Scale shape: one fact rollup to (part, month), one self-join on
+    * (part, month−1) — an equi-join, co-partitionable — then a
+    * |months|-row census for the chaining window (WindowGuard). */
+  def q336ChainedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val byMonth = Kpis.table(spark, dir, "lineitem")
+      .join(Kpis.table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("l_quantity")).as("qty_d"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("ext"))
+      .select(col("l_partkey"), col("m"),
+        col("qty_d").cast("decimal(18,4)").as("q"),
+        // (19,9): forces the int128 decimal path in DuckDB, whose
+        // DECIMAL(18)x(18) multiply overflows at month-level magnitudes
+        round(col("ext").cast("double") / col("qty_d"), 9)
+          .cast("decimal(19,9)").as("p"))
+    val prev = byMonth.select(col("l_partkey").as("pk0"),
+      (col("m") + 1L).as("m0"), col("q").as("q0"), col("p").as("p0"))
+    val links = byMonth
+      .join(prev, col("l_partkey") === col("pk0") && col("m") === col("m0"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p") * col("q0")).cast("double").as("num"),
+        sum(col("p0") * col("q0")).cast("double").as("den"))
+      .withColumn("lnlink",
+        graft.functions.ExactMath.ln9(col("num") / col("den")))
+    // chaining window over the |months| census (WindowGuardSpec)
+    val cum = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    links
+      .withColumn("chained_ln", sum(col("lnlink")).over(cum))
+      .select(col("m"), col("n_parts"),
+        (round(col("num") / col("den"), 6) + lit(0.0)).as("link"),
+        col("chained_ln").cast("double").as("chained_ln"))
+      .orderBy("m")
+  }
+
+  val q336Sql: String =
+    """WITH bym AS (
+      |  SELECT l_partkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS m,
+      |    CAST(SUM(l_quantity) AS DECIMAL(18,4)) AS q,
+      |    CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |        AS DOUBLE) / SUM(l_quantity), 9) AS DECIMAL(19,9)) AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |links AS (
+      |  SELECT c.m, COUNT(*) AS n_parts,
+      |    CAST(SUM(c.p * b.q) AS DOUBLE) AS num,
+      |    CAST(SUM(b.p * b.q) AS DOUBLE) AS den
+      |  FROM bym c JOIN bym b
+      |    ON c.l_partkey = b.l_partkey AND c.m = b.m + 1
+      |  GROUP BY 1),
+      |l2 AS (
+      |  SELECT m, n_parts, num, den,
+      |    CAST(round(ln(num / den), 9) AS DECIMAL(12,9)) AS lnlink
+      |  FROM links)
+      |SELECT m, n_parts,
+      |  round(num / den, 6) + 0.0 AS link,
+      |  CAST(SUM(lnlink) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS chained_ln
+      |FROM l2 ORDER BY m""".stripMargin
+
   def q304PriceIndices(spark: SparkSession, dir: String): DataFrame = {
     val li = Kpis.table(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"),
@@ -1358,6 +1514,8 @@ object MarketQueries {
       |FROM s""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_revenue_fan" -> (q335RevenueFan _),
+    "q336_chained_index" -> (q336ChainedIndex _),
     "q313_price_drop_study" -> (q313PriceDropStudy _),
     "q305_fiscal_445" -> (q305Fiscal445 _),
     "q306_abc_xyz" -> (q306AbcXyz _),
@@ -1599,6 +1757,8 @@ object MarketQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q335_revenue_fan" -> q335Sql,
+    "q336_chained_index" -> q336Sql,
     "q313_price_drop_study" -> q313Sql,
     "q305_fiscal_445" -> q305Sql,
     "q306_abc_xyz" -> q306Sql,

@@ -574,6 +574,58 @@ class Round12iSpec extends AnyFunSuite {
     }
   }
 
+  test("q335: fan bands match driver-side order statistics per month") {
+    val cells = queries.Kpis.table(spark, sfDir, "orders")
+      .join(queries.Kpis.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("cents")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = queries.MarketQueries.q335RevenueFan(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("m")).toSet == cells.keySet)
+    rows.foreach { r =>
+      val vs = cells(r.getAs[Long]("m"))
+      val n = vs.length
+      def os(k: Int) = vs(((n * k + 99) / 100) - 1)
+      assert(r.getAs[Long]("n_nations") == n.toLong)
+      assert(r.getAs[Long]("min_cents") == vs.head)
+      assert(r.getAs[Long]("p10_cents") == os(10))
+      assert(r.getAs[Long]("median_cents") == os(50))
+      assert(r.getAs[Long]("p90_cents") == os(90))
+      assert(r.getAs[Long]("max_cents") == vs.last)
+      assert(vs.head <= os(10) && os(10) <= os(50) && os(50) <= os(90) &&
+        os(90) <= vs.last)
+    }
+  }
+
+  test("q336: the log chain is the exact prefix sum of snapped links") {
+    val rows = queries.MarketQueries.q336ChainedIndex(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ms = rows.map(_.getAs[Long]("m"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a < b })
+    var acc = BigDecimal(0)
+    rows.foreach { r =>
+      // re-snap the 6-dp link back through ln9: matches to grid error
+      val link = r.getAs[Double]("link")
+      assert(link > 0.0)
+      val ln9 = BigDecimal(math.log(link))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      acc += ln9
+      // the published 6-dp link loses precision vs the internal 9-dp
+      // chain; bound the drift by the accumulated grid error
+      assert(math.abs(r.getAs[Double]("chained_ln") - acc.toDouble)
+        <= rows.length * 5e-7 + 1e-9,
+        s"m=${r.getAs[Long]("m")}")
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)

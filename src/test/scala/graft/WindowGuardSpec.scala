@@ -82,6 +82,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q324_linenum_audit",    // 3-row class census
     "q325_kruskal_wallis",   // 50-row quantity value census (q203 grid)
     "q329_median_bootstrap", // observed-median scan: 50-row value census
+    "q336_chained_index",    // chaining window: |months| census
     "q74_dod_growth",        // daily-revenue table
     "q97_vocab_coverage",    // token-frequency census (vocab-bounded)
     "q125_ewma_revenue",     // daily-revenue table
