@@ -1077,6 +1077,98 @@ object MarketQueries {
       |  MAX(cents) AS max_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q337
+  /** Robust monthly revenue anomaly screen per nation: a month is
+    * anomalous for a nation when its revenue sits ≥ 3 scaled-MADs from
+    * the nation's OWN median — q302's median/MAD rule applied per
+    * series, which is how a metrics monitor actually runs it (a global
+    * screen drowns small markets in big-market variance). Emits only
+    * the anomalous (nation, month) rows with their robust z.
+    *
+    * Exactness: revenue in exact cents; the per-nation median and MAD
+    * are type-1 order statistics from PARTITIONED rank windows (two
+    * passes: values, then absolute deviations); the 3·MAD flag
+    * cross-multiplies in exact integer space (|x−med|·10000 ≥
+    * 3·14826·MAD/10000-scaled — the 1.4826 consistency constant as the
+    * exact rational 14826/10000), and the reported robust z is one
+    * 6-dp double division.
+    *
+    * Scale shape: one fact rollup to (nation, month) cells; every
+    * window is partitioned by nation over ≤|months| rows. */
+  def q337RevenueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Kpis.table(spark, dir, "orders")
+      .join(Kpis.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    def groupMedian(df: DataFrame, value: String, out: String) = {
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col(value), col("m"))
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_obs",
+          count(lit(1)).over(Window.partitionBy(col("nation"))))
+        .groupBy(col("nation"))
+        .agg(max(when(col("rk") === expr("(n_obs + 1) div 2"),
+          col(value))).as(out))
+    }
+    val med = groupMedian(monthly, "cents", "med")
+    val dev = monthly.join(broadcast(med), "nation")
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = groupMedian(dev.select(col("nation"), col("m"),
+      col("adev").as("cents")), "cents", "mad")
+    dev.join(broadcast(mad), "nation")
+      .filter(col("mad") > 0L &&
+        col("adev") * lit(10000L) >= lit(3L) * lit(14826L) * col("mad"))
+      .select(col("nation"), col("m"), col("cents"), col("med"),
+        col("mad"),
+        (round(col("adev").cast("double") /
+          (lit(1.4826) * col("mad").cast("double")), 6) + lit(0.0))
+          .as("robust_z"))
+      .orderBy("nation", "m")
+  }
+
+  val q337Sql: String =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS m,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r1 AS (
+      |  SELECT nation, m, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY cents, m) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY nation) AS n_obs
+      |  FROM monthly),
+      |med AS (
+      |  SELECT nation,
+      |    MAX(CASE WHEN rk = (n_obs + 1) // 2 THEN cents END) AS med
+      |  FROM r1 GROUP BY 1),
+      |dev AS (
+      |  SELECT monthly.*, med, abs(cents - med) AS adev
+      |  FROM monthly JOIN med USING (nation)),
+      |r2 AS (
+      |  SELECT nation, m, adev,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nation
+      |      ORDER BY adev, m) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY nation) AS n_obs
+      |  FROM dev),
+      |mad AS (
+      |  SELECT nation,
+      |    MAX(CASE WHEN rk = (n_obs + 1) // 2 THEN adev END) AS mad
+      |  FROM r2 GROUP BY 1)
+      |SELECT nation, m, cents, med, mad,
+      |  round(CAST(adev AS DOUBLE) / (1.4826 * CAST(mad AS DOUBLE)), 6)
+      |    + 0.0 AS robust_z
+      |FROM dev JOIN mad USING (nation)
+      |WHERE mad > 0 AND adev * 10000 >= 3 * 14826 * mad
+      |ORDER BY nation, m""".stripMargin
+
   // --------------------------------------------------------------- q336
   /** Chain-linked monthly Laspeyres price index: each month's link is
     * Σp_m·q_{m−1} / Σp_{m−1}·q_{m−1} over parts traded in BOTH months
@@ -1515,6 +1607,7 @@ object MarketQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q335_revenue_fan" -> (q335RevenueFan _),
+    "q337_revenue_anomalies" -> (q337RevenueAnomalies _),
     "q336_chained_index" -> (q336ChainedIndex _),
     "q313_price_drop_study" -> (q313PriceDropStudy _),
     "q305_fiscal_445" -> (q305Fiscal445 _),
@@ -1758,6 +1851,7 @@ object MarketQueries {
 
   def oracles: Map[String, String] = Map(
     "q335_revenue_fan" -> q335Sql,
+    "q337_revenue_anomalies" -> q337Sql,
     "q336_chained_index" -> q336Sql,
     "q313_price_drop_study" -> q313Sql,
     "q305_fiscal_445" -> q305Sql,

@@ -626,6 +626,42 @@ class Round12iSpec extends AnyFunSuite {
     }
   }
 
+  test("q337: anomaly screen matches a driver-side median/MAD replay") {
+    val cells = queries.Kpis.table(spark, sfDir, "orders")
+      .join(queries.Kpis.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Int]("nation"), r.getAs[Long]("m"),
+        r.getAs[Long]("cents")))
+    def lowMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(((s.length + 1) / 2) - 1)
+    }
+    val expected = cells.groupBy(_._1).toSeq.flatMap { case (nation, g) =>
+      val med = lowMedian(g.toSeq.map(_._3))
+      val mad = lowMedian(g.toSeq.map(x => math.abs(x._3 - med)))
+      g.toSeq.filter(x => mad > 0 &&
+          math.abs(x._3 - med) * 10000L >= 3L * 14826L * mad)
+        .map(x => (nation, x._2) -> ((med, mad, x._3)))
+    }.toMap
+    val rows = queries.MarketQueries.q337RevenueAnomalies(spark, sfDir)
+      .collect()
+    assert(rows.length == expected.size,
+      s"${rows.length} vs ${expected.size}")
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("nation"), r.getAs[Long]("m"))
+      val (med, mad, cents) = expected(key)
+      assert(r.getAs[Long]("med") == med)
+      assert(r.getAs[Long]("mad") == mad)
+      assert(r.getAs[Long]("cents") == cents)
+      assert(r.getAs[Double]("robust_z") >= 3.0 - 1e-6)
+    }
+  }
+
   test("q326: Jarque–Bera moments match a driver-side recount") {
     val obs = queries.Kpis.table(spark, sfDir, "documents")
       .filter(col("n_chars") > 0)
