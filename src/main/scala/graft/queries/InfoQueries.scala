@@ -945,7 +945,113 @@ object InfoQueries {
       |  (h_label - h_cond) / h_feature AS gain_ratio
       |FROM agg ORDER BY feature""".stripMargin
 
+  // --------------------------------------------------------------- q338
+  /** First-TWO-digit Benford screen — the forensic upgrade of q138's
+    * first-digit audit (Nigrini's standard workflow: the 90-cell
+    * two-digit test localizes WHERE a distribution was manipulated —
+    * psychological price points, threshold-dodging amounts — that the
+    * 9-cell test smears). Emits the 90-cell census with expected
+    * Benford frequencies log10(1+1/d), per-cell chi-square terms, and
+    * the cross-cell MAD (mean absolute deviation of observed vs
+    * expected frequency) with Nigrini's two-digit conformity verdict
+    * (close < 0.0012 ≤ acceptable < 0.0018 ≤ marginal < 0.0022 ≤
+    * nonconforming).
+    *
+    * Exactness: digit extraction is the q138 floor spelling; expected
+    * frequencies come from ln9-snapped logs (no 90-entry literal
+    * grid needed — both engines snap identical doubles); the MAD mean
+    * is an order-independent 9-dp decimal sum; verdict cuts compare
+    * identical doubles.
+    *
+    * Scale shape: one map-combinable census agg to ≤90 cells; the
+    * total and MAD windows run over that census (WindowGuard). */
+  def q338Benford2Digit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val d2 = floor(col("cents").cast("double") /
+      pow(lit(10.0), length(col("cents").cast("string")) - 2))
+    val expected =
+      ln9(lit(1.0) + lit(1.0) / col("d2").cast("double")).cast("double") /
+        ln9(lit(10.0)).cast("double")
+    val census = Kpis.table(spark, dir, "orders")
+      .select(cents.as("cents"))
+      .filter(length(col("cents").cast("string")) >= 2)
+      .select(d2.cast("long").as("d2"))
+      .groupBy(col("d2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_total",
+        sum(col("n_orders")).over(Window.partitionBy()))
+      .withColumn("expected_freq", expected)
+      .withColumn("obs_freq",
+        col("n_orders").cast("double") / col("n_total").cast("double"))
+      .withColumn("abs_dev9",
+        round(abs(col("obs_freq") - col("expected_freq")), 9)
+          .cast("decimal(12,9)"))
+    val mad = census.agg(
+      (round(sum(col("abs_dev9")).cast("double") /
+        count(lit(1)).cast("double"), 6) + lit(0.0)).as("mad"))
+      .withColumn("conformity",
+        when(col("mad") < 0.0012, "0_close")
+          .when(col("mad") < 0.0018, "1_acceptable")
+          .when(col("mad") < 0.0022, "2_marginal")
+          .otherwise("3_nonconforming"))
+    census.crossJoin(broadcast(mad))
+      .withColumn("chi2_term", {
+        val exp = col("expected_freq") * col("n_total").cast("double")
+        val diff = col("n_orders").cast("double") - exp
+        diff * diff / exp
+      })
+      .select(col("d2"), col("n_orders"), col("expected_freq"),
+        (round(col("obs_freq"), 6) + lit(0.0)).as("obs_freq"),
+        col("chi2_term"), col("mad"), col("conformity"))
+      .orderBy("d2")
+  }
+
+  val q338Sql: String =
+    """WITH digits AS (
+      |  SELECT CAST(FLOOR(CAST(cents AS DOUBLE)
+      |              / POWER(10.0, LENGTH(CAST(cents AS VARCHAR)) - 2))
+      |              AS BIGINT) AS d2
+      |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |        FROM orders)
+      |  WHERE LENGTH(CAST(cents AS VARCHAR)) >= 2),
+      |census AS (
+      |  SELECT d2, COUNT(*) AS n_orders FROM digits GROUP BY 1),
+      |freq AS (
+      |  SELECT d2, n_orders, SUM(n_orders) OVER () AS n_total,
+      |    CAST(CAST(round(ln(1.0 + 1.0 / CAST(d2 AS DOUBLE)), 9)
+      |              AS DECIMAL(12,9)) AS DOUBLE)
+      |      / CAST(CAST(round(ln(10.0), 9) AS DECIMAL(12,9)) AS DOUBLE)
+      |      AS expected_freq
+      |  FROM census),
+      |f2 AS (
+      |  SELECT *,
+      |    CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_freq,
+      |    CAST(round(abs(CAST(n_orders AS DOUBLE)
+      |        / CAST(n_total AS DOUBLE) - expected_freq), 9)
+      |      AS DECIMAL(12,9)) AS abs_dev9
+      |  FROM freq),
+      |m AS (
+      |  SELECT round(CAST(SUM(abs_dev9) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mad
+      |  FROM f2),
+      |m2 AS (
+      |  SELECT mad,
+      |    CASE WHEN mad < 0.0012 THEN '0_close'
+      |         WHEN mad < 0.0018 THEN '1_acceptable'
+      |         WHEN mad < 0.0022 THEN '2_marginal'
+      |         ELSE '3_nonconforming' END AS conformity
+      |  FROM m)
+      |SELECT d2, n_orders, expected_freq,
+      |  round(obs_freq, 6) + 0.0 AS obs_freq,
+      |  (CAST(n_orders AS DOUBLE) - expected_freq * CAST(n_total AS DOUBLE))
+      |    * (CAST(n_orders AS DOUBLE)
+      |       - expected_freq * CAST(n_total AS DOUBLE))
+      |    / (expected_freq * CAST(n_total AS DOUBLE)) AS chi2_term,
+      |  mad, conformity
+      |FROM f2 CROSS JOIN m2 ORDER BY d2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_benford_2digit" -> (q338Benford2Digit _),
     "q328_feature_ig" -> (q328FeatureIg _),
     "q285_circadian_js" -> (q285CircadianJs _),
     "q284_cents_heaping" -> (q284CentsHeaping _),
@@ -961,6 +1067,7 @@ object InfoQueries {
 
   def oracles: Map[String, String] = Map(
     "q328_feature_ig" -> q328Sql,
+    "q338_benford_2digit" -> q338Sql,
     "q285_circadian_js" -> q285Sql,
     "q284_cents_heaping" -> q284Sql,
     "q259_entropy_rate" -> q259Sql,
