@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default zone too: java.sql.Date/Timestamp <-> Catalyst
+  // conversions consult it, and an unpinned west-of-UTC driver would
+  // shift externally-constructed dates by a day (ADVICE r12).
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

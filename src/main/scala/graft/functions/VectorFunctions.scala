@@ -101,6 +101,23 @@ object VectorFunctions {
   def dequantize8(q: Column, scale: Column): Column =
     transform(q, x => (x.cast("double") * scale).cast("float"))
 
+  /** Sign-LSH band width (bits per band) that scales with corpus size:
+    * w = max(8, ceil(log2(n/16))), capped at 28. Expected random-pair
+    * collisions per band are n²/2^w ≈ 16·n — LINEAR in the corpus — so
+    * the banded candidate self-join stops being the quadratic term a
+    * FIXED width is (measured 62–72× shuffle at 10× clones with w=8,
+    * SCALE_NOTES_r12; the r12 calibration table q281 is the
+    * precision/recall evidence for the operating point). At every
+    * fixture scale (≤4096 vectors) the floor keeps w = 8 — exactly the
+    * 16-bit/2-band point the DuckDB oracles replay as literals — the
+    * same pin-at-fixture discipline as SemanticCells.adaptiveK. */
+  def adaptiveBandBits(n: Long): Int = {
+    val buckets = math.max(1L, n / 16L)
+    val ceilLog2 =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1L))
+    math.min(28, math.max(8, ceilLog2))
+  }
+
   /** Band an LSH signature into `bands` chunk values (same pigeonhole
     * rationale as SimHash chunking). */
   def lshBands(sigColName: String, nBits: Int, bands: Int): Column = {

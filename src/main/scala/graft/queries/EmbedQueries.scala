@@ -446,21 +446,36 @@ object EmbedQueries {
     * have no row — an approximate kNN join reports reachable neighbors,
     * not a dense matrix.
     *
+    * Operating point (r13, retiring the r12 `weak`): band width is
+    * [[VectorFunctions.adaptiveBandBits]] — w = max(8, ceil(log2(N/16)))
+    * bits per band, so expected random-pair admittance is ~16·N (LINEAR)
+    * instead of the fixed-width quadratic term measured at 62–72×
+    * shuffle growth under 10× clones in SCALE_NOTES_r12. At every
+    * fixture scale (N ≤ 4096) the floor pins w = 8, i.e. the exact
+    * 16-bit/2-band point the oracle replays — same discipline as
+    * SemanticCells.adaptiveK (k grows with N, oracle pinned at the
+    * fixture value). Recall at the chosen point is certified by q281's
+    * precision/recall calibration table.
+    *
     * The oracle replays the same bands (plan-time literal hyperplanes,
     * q28's convention) as an OR-of-bands join plus the same rank window,
     * so candidate generation, cosine arithmetic, and tie-breaks are all
     * hash-certified. */
   def q53KnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(16, Dim)
     val par = spark.sparkContext.defaultParallelism
     // persist: feeds the banded branch + both candidate fetches (q26's
     // persist-for-multiple-consumers convention); released after the
     // (small: ≤k rows per vector) result materializes
     val e = withNorm(emb(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one count (driver-side scalar, the adaptiveK convention) picks the
+    // log-N band width; the hyperplane LCG is prefix-stable, so at w = 8
+    // the planes/signature/bands are bit-identical to the pinned oracle
+    val bandBits = adaptiveBandBits(e.count())
+    val planes = hyperplanes(2 * bandBits, Dim)
     val banded = e
       .withColumn("sig", lshSignature(col("embedding"), planes))
-      .select(col("vec_id"), explode(lshBands("sig", 16, 2)).as("b"))
+      .select(col("vec_id"), explode(lshBands("sig", 2 * bandBits, 2)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"),
         col("b.band_val").as("band_val"))
       // single-file fixture scan = one split; the repartition IS the
@@ -601,14 +616,11 @@ object EmbedQueries {
     * equality.
     *
     * Scale shape: the mutuality join itself is linear (id-pair hash
-    * joins). The CANDIDATE stage inherits q53's fixture-tuned operating
-    * point — two 8-bit sign-LSH bands admit ~0.8% of random pairs, a
-    * quadratic term the 2 000-vector certification accepts for recall
-    * (measured 62× shuffle at 10× clones, SCALE_NOTES_r12). At corpus
-    * scale band bits grow with log N, or the NN feed routes through the
-    * measured-linear IVF/semantic-cell paths (q33/q66/q99); this entry
-    * certifies the reciprocal-match arithmetic at the fixture point,
-    * mirroring q50's certification-slice discipline. */
+    * joins). The CANDIDATE stage is q53's, which since r13 scales its
+    * band width with log N ([[VectorFunctions.adaptiveBandBits]]) — the
+    * r12-measured 62× shuffle growth came from the then-fixed 8-bit
+    * bands; admittance is now ~16·N (linear), with the fixture point
+    * (w = 8) pinned so the oracle's literal bands still replay it. */
   def q209ReciprocalNn(spark: SparkSession, dir: String): DataFrame = {
     val nn = q53KnnJoin(spark, dir)
       .filter(col("rank") === 1)
@@ -668,16 +680,20 @@ object EmbedQueries {
     * vectors with <2 reachable neighbors drop, as TwoNN prescribes.
     *
     * Scale shape: q53's candidate plan with the same WindowGroupLimit
-    * top-2; the estimator adds one census-scale aggregate. Operating
-    * point caveat as q209/q53 (band bits are the knob). */
+    * top-2; the estimator adds one census-scale aggregate. Band width is
+    * [[VectorFunctions.adaptiveBandBits]] (log-N, linear admittance;
+    * fixture-pinned w = 8 matches the oracle's literal bands) — the r12
+    * fixed-width operating point and its 72× measured shuffle growth
+    * are retired with q53's. */
   def q254IntrinsicDim(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(16, Dim)
     val par = spark.sparkContext.defaultParallelism
     val e = withNorm(emb(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandBits = adaptiveBandBits(e.count())
+    val planes = hyperplanes(2 * bandBits, Dim)
     val banded = e
       .withColumn("sig", lshSignature(col("embedding"), planes))
-      .select(col("vec_id"), explode(lshBands("sig", 16, 2)).as("b"))
+      .select(col("vec_id"), explode(lshBands("sig", 2 * bandBits, 2)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"),
         col("b.band_val").as("band_val"))
       .repartition(par, col("band"), col("band_val"))
@@ -769,10 +785,11 @@ object EmbedQueries {
     * (occ DESC, vec_id) — no third-moment arithmetic anywhere, so every
     * statistic is exact integer work plus ONE closing double division.
     *
-    * Scale shape: q53's candidate plan (fixture operating point, the
-    * q209/q254 documented class) feeds one map-combinable occurrence
-    * agg; the densify join is entity-scale; the rank is RangeRank's two
-    * linear shuffles — no single-partition pass at any size. */
+    * Scale shape: q53's candidate plan (log-N adaptive band width since
+    * r13 — linear admittance, fixture-pinned w = 8 for the oracle) feeds
+    * one map-combinable occurrence agg; the densify join is
+    * entity-scale; the rank is RangeRank's two linear shuffles — no
+    * single-partition pass at any size. */
   def q262HubnessAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeRank
     val occ = q53KnnJoin(spark, dir)

@@ -960,11 +960,15 @@ object InfoQueries {
     * Exactness: digit extraction is the q138 floor spelling; expected
     * frequencies come from ln9-snapped logs (no 90-entry literal
     * grid needed — both engines snap identical doubles); the MAD mean
-    * is an order-independent 9-dp decimal sum; verdict cuts compare
-    * identical doubles.
+    * is an order-independent 9-dp decimal sum over the FULL 10..99
+    * grid (Nigrini's fixed 90-cell denominator: the observed census is
+    * left-joined against a generated grid so an empty cell contributes
+    * |0 − expected_freq|, not a shrunken denominator); verdict cuts
+    * compare identical doubles.
     *
-    * Scale shape: one map-combinable census agg to ≤90 cells; the
-    * total and MAD windows run over that census (WindowGuard). */
+    * Scale shape: one map-combinable census agg to ≤90 cells joined to
+    * a broadcast 90-row grid; the total and MAD windows run over that
+    * exactly-90-row census (WindowGuard). */
   def q338Benford2Digit(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val d2 = floor(col("cents").cast("double") /
@@ -972,12 +976,16 @@ object InfoQueries {
     val expected =
       ln9(lit(1.0) + lit(1.0) / col("d2").cast("double")).cast("double") /
         ln9(lit(10.0)).cast("double")
-    val census = Kpis.table(spark, dir, "orders")
+    val grid = spark.range(10, 100).select(col("id").as("d2"))
+    val observed = Kpis.table(spark, dir, "orders")
       .select(cents.as("cents"))
       .filter(length(col("cents").cast("string")) >= 2)
       .select(d2.cast("long").as("d2"))
       .groupBy(col("d2"))
-      .agg(count(lit(1)).as("n_orders"))
+      .agg(count(lit(1)).as("n_obs"))
+    val census = grid.join(observed, Seq("d2"), "left")
+      .withColumn("n_orders", coalesce(col("n_obs"), lit(0L)))
+      .drop("n_obs")
       .withColumn("n_total",
         sum(col("n_orders")).over(Window.partitionBy()))
       .withColumn("expected_freq", expected)
@@ -988,7 +996,7 @@ object InfoQueries {
           .cast("decimal(12,9)"))
     val mad = census.agg(
       (round(sum(col("abs_dev9")).cast("double") /
-        count(lit(1)).cast("double"), 6) + lit(0.0)).as("mad"))
+        lit(90.0), 6) + lit(0.0)).as("mad"))
       .withColumn("conformity",
         when(col("mad") < 0.0012, "0_close")
           .when(col("mad") < 0.0018, "1_acceptable")
@@ -1015,7 +1023,10 @@ object InfoQueries {
       |        FROM orders)
       |  WHERE LENGTH(CAST(cents AS VARCHAR)) >= 2),
       |census AS (
-      |  SELECT d2, COUNT(*) AS n_orders FROM digits GROUP BY 1),
+      |  SELECT g.d2, COALESCE(o.n_obs, 0) AS n_orders
+      |  FROM (SELECT range AS d2 FROM range(10, 100)) g
+      |  LEFT JOIN (SELECT d2, COUNT(*) AS n_obs FROM digits GROUP BY 1) o
+      |  USING (d2)),
       |freq AS (
       |  SELECT d2, n_orders, SUM(n_orders) OVER () AS n_total,
       |    CAST(CAST(round(ln(1.0 + 1.0 / CAST(d2 AS DOUBLE)), 9)
@@ -1031,8 +1042,7 @@ object InfoQueries {
       |      AS DECIMAL(12,9)) AS abs_dev9
       |  FROM freq),
       |m AS (
-      |  SELECT round(CAST(SUM(abs_dev9) AS DOUBLE)
-      |      / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mad
+      |  SELECT round(CAST(SUM(abs_dev9) AS DOUBLE) / 90.0, 6) + 0.0 AS mad
       |  FROM f2),
       |m2 AS (
       |  SELECT mad,

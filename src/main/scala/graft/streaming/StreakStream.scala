@@ -28,8 +28,12 @@ object StreakStream {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class StreakState(lastDay: Long, cur: Long, best: Long)
-  case class Upd(user_id: Long, as_of: java.sql.Date, current_streak: Long,
-      longest_streak: Long)
+  // as_of is a java.time.LocalDate built straight from the epoch-day:
+  // unlike java.sql.Date(ms), its DateType conversion never consults the
+  // driver JVM's default timezone, so the emitted day is stable even on
+  // a JVM not pinned to UTC.
+  case class Upd(user_id: Long, as_of: java.time.LocalDate,
+      current_streak: Long, longest_streak: Long)
 
   private val MsPerDay = 86400000L
 
@@ -58,7 +62,7 @@ object StreakStream {
             }
             state.update(s)
             Iterator.single(Upd(key,
-              new java.sql.Date(s.lastDay * MsPerDay), s.cur, s.best))
+              java.time.LocalDate.ofEpochDay(s.lastDay), s.cur, s.best))
           }
       }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Repartition, RepartitionByExpression, Window}
 import org.apache.spark.sql.graft.PlanProbe
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -37,14 +37,33 @@ class WindowGuardSpec extends AnyFunSuite {
   private def globalWindowChildren(plan: LogicalPlan): Seq[LogicalPlan] =
     plan.collect { case w: Window if w.partitionSpec.isEmpty => w.child }
 
+  /** Explicit single-partition funnels — `repartition(1)` / `coalesce(1)`
+    * — in a registered declarative plan (VERDICT r12 #8: the same
+    * pin-plus-bound discipline as global windows, mechanically enforced).
+    * The pinned inventory is EMPTY and should stay that way: a global
+    * window at least carries its census rationale; an explicit 1-partition
+    * exchange serializes everything below it with no bound at all. */
+  private def singlePartitionSites(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case r: Repartition if r.numPartitions == 1 =>
+        if (r.shuffle) "repartition(1)" else "coalesce(1)"
+      case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
+        "repartitionByExpression(1)"
+    }
+
   test("global-window inventory is pinned and every site is entity/census-bounded at sf0.1") {
-    // Phase 1 (sf0.001): discover which queries carry global windows.
+    // Phase 1 (sf0.001): discover which queries carry global windows —
+    // and, on the same traversal, any single-partition funnel.
+    val singlePart = scala.collection.mutable.ArrayBuffer.empty[String]
     val discovered = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val sites = globalWindowChildren(
-          fn(spark, sfDir).queryExecution.optimizedPlan)
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        singlePartitionSites(plan).foreach(s => singlePart += s"$name: $s")
+        val sites = globalWindowChildren(plan)
         if (sites.isEmpty) None else Some(name -> sites.size)
     }
+    assert(singlePart.isEmpty,
+      s"single-partition funnels in registered plans (pinned inventory is empty):\n  ${singlePart.mkString("\n  ")}")
     val names = discovered.map(_._1).toSet
     assert(names == PinnedSites,
       s"global-window inventory drifted.\n  discovered: ${names.toSeq.sorted.mkString(", ")}\n" +
@@ -137,5 +156,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q303_permutation_entropy", // daily census lead(): |distinct days|
     "q306_abc_xyz",          // RangeRank offset prefix + cv-tercile ntile over |parts|
     "q308_bpe_first_merges", // alphabet² pair census rank
-    "q309_dq_scorecard")     // embeds q302's daily-census median ranks
+    "q309_dq_scorecard",     // embeds q302's daily-census median ranks
+    "q338_benford_2digit")   // <=90-row two-digit (10..99) census
 }
