@@ -1063,6 +1063,63 @@ object ExperimentQueries {
       |ORDER BY look""".stripMargin
   }
 
+  // --------------------------------------------------------------- q341
+  /** Daily SRM census — the day-scoped form of q314's sample-ratio
+    * guardrail, and the registered batch anchor of
+    * [[graft.streaming.SrmStream]]: per event-time day, the day's
+    * DISTINCT active users split by the q129/q314 hash arm, with the
+    * binomial z against the exact 8/16 design share and the |z| > 3
+    * flag. This is how a live experimentation platform actually runs
+    * SRM — each day's traffic is checked independently, so a
+    * randomization break (redirect change, bot-filter deploy, logging
+    * loss) is localized TO ITS ONSET DAY instead of diluting into the
+    * cumulative counts q314 reads.
+    *
+    * Exactness: per-day distinct-user counts are exact integers; z is
+    * the q314 double chain per day; the flag compares identical doubles.
+    *
+    * Scale shape: one (day, user) distinct agg (map-side combinable),
+    * one day-census agg — no windows, no driver collect. The streaming
+    * twin is the same two stateful ops under a watermark
+    * (dropDuplicatesWithinWatermark → windowed agg, SrmStreamSpec). */
+  def q341DailySrm(spark: SparkSession, dir: String): DataFrame = {
+    val u = Kpis.eventsTable(spark, dir)
+      .select((floor(unix_micros(col("ts")) / 86400000000L) * 86400L)
+        .as("day_start_s"), col("user_id"))
+      .distinct()
+      .withColumn("is_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val c = u.groupBy(col("day_start_s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"))
+    val nD = col("n").cast("double")
+    val z = (col("n_a").cast("double") - nD * lit(0.5)) /
+      sqrt(nD * lit(0.5) * lit(0.5))
+    c.select(col("day_start_s"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        col("n"), (col("n_a").cast("double") / nD).as("observed_share"),
+        z.as("srm_z"), (abs(z) > lit(3.0)).as("srm_flag"))
+      .orderBy("day_start_s")
+  }
+
+  val q341Sql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS day_start_s,
+      |    user_id
+      |  FROM events),
+      |c AS (
+      |  SELECT day_start_s,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |      < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+      |  FROM u GROUP BY 1)
+      |SELECT day_start_s, n_a, n - n_a AS n_b, n,
+      |  CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE) AS observed_share,
+      |  (CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+      |    / sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5) AS srm_z,
+      |  abs((CAST(n_a AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+      |    / sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5)) > 3.0 AS srm_flag
+      |FROM c ORDER BY day_start_s""".stripMargin
+
   // --------------------------------------------------------------- q320
   /** Benjamini–Hochberg FDR screen over the 25-nation metric grid: for
     * each nation, a 2×2 chi-square test of whether its 1997→1998 order
@@ -1505,6 +1562,7 @@ object ExperimentQueries {
     "q320_bh_fdr" -> (q320BhFdr _),
     "q316_sequential_looks" -> (q316SequentialLooks _),
     "q314_srm_check" -> (q314SrmCheck _),
+    "q341_daily_srm" -> (q341DailySrm _),
     "q315_cuped_reduction" -> (q315CupedReduction _),
     "q291_score_discrimination" -> (q291ScoreDiscrimination _),
     "q263_brier_calibration" -> (q263BrierCalibration _),
@@ -1521,6 +1579,7 @@ object ExperimentQueries {
     "q320_bh_fdr" -> q320Sql,
     "q316_sequential_looks" -> q316Sql,
     "q314_srm_check" -> q314Sql,
+    "q341_daily_srm" -> q341Sql,
     "q315_cuped_reduction" -> q315Sql,
     "q291_score_discrimination" -> q291Sql,
     "q263_brier_calibration" -> q263Sql,
