@@ -569,7 +569,113 @@ object EstimateQueries {
       |  CAST(len(ms) AS INTEGER) AS n_replicas
       |FROM l, om, n""".stripMargin
 
+  // --------------------------------------------------------------- q349
+  /** HyperLogLog distinct-count certificate over the corpus vocabulary
+    * (m = 64 registers, p = 6): build the registers with exact integer
+    * arithmetic and certify the harmonic-mean estimate against the
+    * exact distinct-token count — the sketch a 100 TB pipeline uses for
+    * vocabulary/cardinality planning where exact countDistinct would
+    * shuffle every token (q41's sketch-profile family; this query is
+    * the error CERT, q233's Count-Min discipline applied to HLL).
+    * Emits the full 64-register census plus the summary columns.
+    *
+    * Exactness: the 60-bit md5 hash splits into bucket (low 6 bits)
+    * and a 54-bit suffix whose leading-zero rank is derived by JOINING
+    * against a 55-row power-of-two table — no cross-engine log2 ever
+    * runs; ranks cap at 30 so each harmonic term 2^(30−M) is an exact
+    * integer (the Σ2^−M sum scaled by 2^30 — scaling cancels in the
+    * estimate), keeping the whole register pipeline in BIGINT space
+    * below 2⁵³; the estimate α·m²·2^30/Σ is literal·literal/integer —
+    * three IEEE ops over identical operands; rel-error snaps at 6 dp.
+    *
+    * Scale shape: ONE map-side hash pass over the exploded token
+    * stream, a 64-group max aggregate (map-combinable — the register
+    * array is the whole reduce state, the reason HLL merges across
+    * 1000 executors for free); the exact count runs beside it for the
+    * cert only. The power-table and bucket-grid joins are broadcast. */
+  def q349HllCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val terms = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val hashed = terms
+      .withColumn("h", md5Hash60(col("term")))
+      .withColumn("bucket", col("h").bitwiseAND(lit(63L)))
+      .withColumn("w", shiftright(col("h"), 6))
+    val kTbl = spark.range(55).select(col("id").cast("int").as("k"))
+      .withColumn("lo", pow(lit(2.0), col("k")).cast("long"))
+      .withColumn("hi", pow(lit(2.0), col("k") + 1).cast("long"))
+    val ranked = hashed.join(broadcast(kTbl),
+        col("w") >= col("lo") && col("w") < col("hi"), "left")
+      .withColumn("rank",
+        least(lit(55) - coalesce(col("k") + lit(1), lit(0)), lit(30)))
+    val buckets = spark.range(64).select(col("id").cast("long").as("bucket"))
+    val regs = buckets.join(
+        ranked.groupBy(col("bucket")).agg(max(col("rank")).as("mr")),
+        Seq("bucket"), "left")
+      .withColumn("register", coalesce(col("mr"), lit(0)))
+      .select(col("bucket"), col("register").cast("long").as("register"))
+    val summary = regs.agg(
+      sum(pow(lit(2.0), lit(30) - col("register")).cast("long"))
+        .as("sum_scaled"),
+      sum(when(col("register") === 0L, 1L).otherwise(0L))
+        .as("n_zero_registers"))
+    val exact = terms.agg(count(lit(1)).as("n_exact"))
+    // alpha_64 * m^2 = 0.709 * 4096 = 2904.064; the 2^30 term-scaling
+    // cancels: E = 2904.064 * 2^30 / sum_scaled
+    val est = lit(2904.064) * lit(1073741824.0) /
+      col("sum_scaled").cast("double")
+    regs.crossJoin(broadcast(summary)).crossJoin(broadcast(exact))
+      .select(col("bucket"), col("register"), col("n_exact"),
+        col("n_zero_registers"), col("sum_scaled"),
+        (round(est, 6) + lit(0.0)).as("hll_estimate"),
+        (round((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6) + lit(0.0)).as("rel_error"))
+      .orderBy("bucket")
+  }
+
+  val q349Sql: String = {
+    val h = md5Hash60Sql("term")
+    s"""WITH tok AS (
+      |  SELECT DISTINCT term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) > 0),
+      |hashed AS (
+      |  SELECT ($h & 63) AS bucket, ($h >> 6) AS w FROM tok),
+      |kt AS (
+      |  SELECT CAST(range AS INTEGER) AS k,
+      |    CAST(POWER(2, range) AS BIGINT) AS lo,
+      |    CAST(POWER(2, range + 1) AS BIGINT) AS hi
+      |  FROM range(55)),
+      |ranked AS (
+      |  SELECT bucket,
+      |    LEAST(55 - COALESCE(k + 1, 0), 30) AS rnk
+      |  FROM hashed LEFT JOIN kt ON w >= lo AND w < hi),
+      |regs AS (
+      |  SELECT CAST(g.range AS BIGINT) AS bucket,
+      |    CAST(COALESCE(MAX(r.rnk), 0) AS BIGINT) AS register
+      |  FROM range(64) g LEFT JOIN ranked r ON r.bucket = g.range
+      |  GROUP BY 1),
+      |summary AS (
+      |  SELECT
+      |    CAST(SUM(CAST(POWER(2, 30 - register) AS BIGINT)) AS BIGINT)
+      |      AS sum_scaled,
+      |    CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero_registers
+      |  FROM regs),
+      |exact AS (SELECT COUNT(*) AS n_exact FROM tok)
+      |SELECT bucket, register, n_exact, n_zero_registers, sum_scaled,
+      |  ROUND(2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE), 6)
+      |    + 0.0 AS hll_estimate,
+      |  ROUND((2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE)
+      |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+      |    + 0.0 AS rel_error
+      |FROM regs, summary, exact ORDER BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_hll_cert" -> (q349HllCert _),
     "q329_median_bootstrap" -> (q329MedianBootstrap _),
     "q299_bloom_fpr_cert" -> (q299BloomFprCert _),
     "q204_sampled_dup_rate" -> (q204SampledDupRate _),
@@ -1060,6 +1166,7 @@ object EstimateQueries {
       |FROM j""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q349_hll_cert" -> q349Sql,
     "q329_median_bootstrap" -> q329Sql,
     "q299_bloom_fpr_cert" -> q299Sql,
     "q204_sampled_dup_rate" -> q204Sql,

@@ -857,7 +857,182 @@ object FunnelQueries {
       |    AS dev_factor
       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q347
+  /** Two-sample log-rank test: does time-to-repeat-purchase differ
+    * between the BUILDING and MACHINERY segments? The hypothesis test
+    * the survival pair (q192 Kaplan–Meier, q322 Nelson–Aalen) was
+    * built to feed — censoring-aware, so it uses every customer,
+    * including the ones who never repeated (a naive t-test on observed
+    * gaps silently drops them, q192's bias note). At each event day u:
+    * observed group-1 events d₁ᵤ vs expected dᵤ·n₁ᵤ/nᵤ under H₀, with
+    * hypergeometric variance dᵤ·n₁ᵤ·n₂ᵤ·(nᵤ−dᵤ)/(nᵤ²(nᵤ−1)); the
+    * statistic (O₁−E₁)²/V is χ²(1 df) against the 95% literal.
+    *
+    * Exactness: the (day, d₁, c₁, d₂, c₂) census and both at-risk
+    * prefixes are exact integers; each expectation term is dᵤ·n₁ᵤ
+    * (exact-integer product, < 2⁵³) followed by ONE division, and each
+    * variance term is the FIXED-ORDER chain ((((d·n₁/n)·n₂)/n)·(n−d))
+    * /(n−1) — single IEEE ops over identical operands, never a >2⁵³
+    * integer forced through a decimal→double cast (the q125 DuckDB
+    * pitfall); both snap to the 9-dp grid before their exact decimal
+    * sums; the closing χ² is three double ops, 6-dp snapped.
+    *
+    * Scale shape: orders collapse to the per-customer (first, second)
+    * frame in one agg (q192's shape); everything after runs on the
+    * |distinct gap days| census — the two prefix windows are the
+    * WindowGuard-pinned q192/q322 sites. */
+  def q347LogRank(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("BUILDING", "MACHINERY")
+    val o = Kpis.table(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+    val mx = o.agg(max(col("od")).as("corpus_max"))
+    val seg = Kpis.table(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+    val perCust = o
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("od")).as("first_od"),
+        max(when(col("rn") === 2, col("od"))).as("second_od"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(mx))
+      .select(col("g"),
+        when(col("second_od").isNotNull,
+          datediff(col("second_od"), col("first_od")))
+          .otherwise(datediff(col("corpus_max"), col("first_od"))).as("t"),
+        col("second_od").isNotNull.as("event"))
+    val census = perCust.groupBy(col("t")).agg(
+      sum(when(col("event") && col("g") === segs.head, 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(!col("event") && col("g") === segs.head, 1L).otherwise(0L))
+        .as("c1"),
+      sum(when(col("event") && col("g") === segs(1), 1L).otherwise(0L))
+        .as("d2"),
+      sum(when(!col("event") && col("g") === segs(1), 1L).otherwise(0L))
+        .as("c2"))
+    val prior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = census
+      .withColumn("n1",
+        sum(col("d1") + col("c1")).over(Window.partitionBy()) -
+          coalesce(sum(col("d1") + col("c1")).over(prior), lit(0L)))
+      .withColumn("n2",
+        sum(col("d2") + col("c2")).over(Window.partitionBy()) -
+          coalesce(sum(col("d2") + col("c2")).over(prior), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0 && col("n") > 1)
+    val dD = col("d").cast("double")
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val nD = col("n").cast("double")
+    val terms = risk
+      .withColumn("e1_term",
+        round((col("d") * col("n1")).cast("double") / nD, 9)
+          .cast("decimal(20,9)"))
+      .withColumn("v_term",
+        round((col("d") * col("n1")).cast("double") / nD * n2D / nD *
+          (nD - dD) / (nD - lit(1.0)), 9).cast("decimal(20,9)"))
+    val sums = terms.agg(
+      sum(col("d1")).as("observed_b"),
+      sum(col("e1_term")).as("e1"),
+      sum(col("v_term")).as("v"))
+    val sizes = perCust.agg(
+      sum(when(col("g") === segs.head, 1L).otherwise(0L)).as("n_building"),
+      sum(when(col("g") === segs(1), 1L).otherwise(0L)).as("n_machinery"))
+    val chi2 = (col("observed_b").cast("double") - col("e1").cast("double")) *
+      (col("observed_b").cast("double") - col("e1").cast("double")) /
+      col("v").cast("double")
+    sums.crossJoin(broadcast(sizes))
+      .select(col("n_building"), col("n_machinery"), col("observed_b"),
+        (round(col("e1").cast("double"), 6) + lit(0.0)).as("expected_b"),
+        (round(col("v").cast("double"), 6) + lit(0.0)).as("variance"),
+        (round(chi2, 6) + lit(0.0)).as("chi2"),
+        (chi2 >= lit(3.841458821)).as("reject_95"))
+  }
+
+  val q347Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |mx AS (SELECT MAX(od) AS corpus_max FROM o),
+      |r AS (
+      |  SELECT o_custkey, od,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY od) AS rn
+      |  FROM o),
+      |pc AS (
+      |  SELECT o_custkey, MIN(od) AS first_od,
+      |    MAX(CASE WHEN rn = 2 THEN od END) AS second_od
+      |  FROM r WHERE rn <= 2 GROUP BY 1),
+      |seg AS (
+      |  SELECT c_custkey, c_mktsegment AS g FROM customer
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |t AS (
+      |  SELECT g,
+      |    CASE WHEN second_od IS NOT NULL
+      |         THEN date_diff('day', first_od, second_od)
+      |         ELSE date_diff('day', first_od, corpus_max) END AS t,
+      |    second_od IS NOT NULL AS event
+      |  FROM pc JOIN seg ON o_custkey = c_custkey CROSS JOIN mx),
+      |census AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN event AND g = 'BUILDING' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN NOT event AND g = 'BUILDING' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN event AND g = 'MACHINERY' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d2,
+      |    CAST(SUM(CASE WHEN NOT event AND g = 'MACHINERY' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c2
+      |  FROM t GROUP BY 1),
+      |k AS (
+      |  SELECT t, d1, d2,
+      |    SUM(d1 + c1) OVER () -
+      |      COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+      |    SUM(d2 + c2) OVER () -
+      |      COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      |  FROM census),
+      |f AS (
+      |  SELECT t, d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
+      |  FROM k WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+      |terms AS (
+      |  SELECT d1,
+      |    CAST(ROUND(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+      |      AS DECIMAL(20,9)) AS e1_term,
+      |    CAST(ROUND(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0), 9)
+      |      AS DECIMAL(20,9)) AS v_term
+      |  FROM f),
+      |sums AS (
+      |  SELECT CAST(SUM(d1) AS BIGINT) AS observed_b,
+      |    CAST(SUM(e1_term) AS DECIMAL(30,9)) AS e1,
+      |    CAST(SUM(v_term) AS DECIMAL(30,9)) AS v
+      |  FROM terms),
+      |sizes AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_building,
+      |    CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_machinery
+      |  FROM t)
+      |SELECT n_building, n_machinery, observed_b,
+      |  ROUND(CAST(e1 AS DOUBLE), 6) + 0.0 AS expected_b,
+      |  ROUND(CAST(v AS DOUBLE), 6) + 0.0 AS variance,
+      |  ROUND((CAST(observed_b AS DOUBLE) - CAST(e1 AS DOUBLE))
+      |    * (CAST(observed_b AS DOUBLE) - CAST(e1 AS DOUBLE))
+      |    / CAST(v AS DOUBLE), 6) + 0.0 AS chi2,
+      |  (CAST(observed_b AS DOUBLE) - CAST(e1 AS DOUBLE))
+      |    * (CAST(observed_b AS DOUBLE) - CAST(e1 AS DOUBLE))
+      |    / CAST(v AS DOUBLE) >= 3.841458821 AS reject_95
+      |FROM sums, sizes""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_logrank_test" -> (q347LogRank _),
     "q310_chain_ladder" -> (q310ChainLadder _),
     "q270_recency_conversion" -> (q270RecencyConversion _),
     "q268_purchase_regularity" -> (q268PurchaseRegularity _),
@@ -871,6 +1046,7 @@ object FunnelQueries {
     "q332_bounded_funnel" -> (q332BoundedFunnel _))
 
   def oracles: Map[String, String] = Map(
+    "q347_logrank_test" -> q347Sql,
     "q310_chain_ladder" -> q310Sql,
     "q270_recency_conversion" -> q270Sql,
     "q268_purchase_regularity" -> q268Sql,

@@ -536,11 +536,94 @@ object RankQueries {
       |FROM c2 ORDER BY depth""".stripMargin
   }
 
+  // --------------------------------------------------------------- q342
+  /** Average precision @10 of the BM25 ranking — the BINARY-relevance
+    * summary metric beside q296's graded nDCG: AP rewards putting the
+    * relevant docs early, and (averaged over queries) is the MAP every
+    * retrieval eval reports. Relevance binarizes q296's ground truth
+    * (≥2 raw query-term occurrences — a cut the BM25 length/idf shaping
+    * cannot see); AP@10 = Σ_{k≤10, rel_k=1} P@k / min(R, 10) with
+    * P@k = hits@k / k. Emits the 10 ranked positions (hit flag, running
+    * hit count, P@k) plus the corpus relevant-count and the AP summary.
+    *
+    * Exactness: hits@k and k are integers; each P@k is ONE double
+    * division of identical operands snapped to 9 dp decimal (the q78
+    * per-element discipline); the AP numerator is an exact decimal sum
+    * of ≤10 such terms; AP itself is one closing double division.
+    *
+    * Scale shape: the two rank windows run over the matched-doc frame
+    * (docs containing a query term — WindowGuardSpec-pinned, exactly
+    * q296's sites); at retrieval scale the top-k-per-shard cut applies
+    * before any global rank, as in q151. The relevant-count and AP
+    * aggregates are 1-row broadcasts. */
+  def q342AveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val rel = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("occ"))
+      .withColumn("relevant", (col("occ") >= 2L).cast("long"))
+    val nRel = rel.agg(sum(col("relevant")).as("n_relevant"))
+    val ranked = bm25Scored(spark, dir).join(rel, "doc_id")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .withColumn("hits_at_k",
+        sum(col("relevant")).over(Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prec_at_k",
+        round(col("hits_at_k").cast("double") / col("rank").cast("double"),
+          9).cast("decimal(12,9)"))
+    val apNum = ranked.agg(
+      sum(when(col("relevant") === 1L, col("prec_at_k"))
+        .otherwise(lit("0").cast("decimal(12,9)"))).as("sum_prec"))
+    ranked.crossJoin(broadcast(nRel)).crossJoin(broadcast(apNum))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("bm25"), col("relevant"), col("hits_at_k"),
+        col("prec_at_k").cast("double").as("prec_at_k"),
+        col("n_relevant"),
+        (col("sum_prec").cast("double") /
+          least(col("n_relevant"), lit(10L)).cast("double")).as("ap_at_10"))
+      .orderBy("rank")
+  }
+
+  val q342Sql: String =
+    s"""WITH $bm25Cte,
+      |rel AS (
+      |  SELECT doc_id, COUNT(*) AS occ,
+      |    CAST(COUNT(*) >= 2 AS BIGINT) AS relevant
+      |  FROM tok1 WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id),
+      |nrel AS (SELECT CAST(SUM(relevant) AS BIGINT) AS n_relevant FROM rel),
+      |ranked0 AS (
+      |  SELECT bm.doc_id, bm.bm25, rel.relevant,
+      |    ROW_NUMBER() OVER (ORDER BY bm.bm25 DESC, bm.doc_id) AS rank
+      |  FROM bm JOIN rel USING (doc_id)),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(SUM(relevant) OVER (ORDER BY rank
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits_at_k
+      |  FROM ranked0 WHERE rank <= 10),
+      |p AS (
+      |  SELECT *,
+      |    CAST(ROUND(CAST(hits_at_k AS DOUBLE) / CAST(rank AS DOUBLE), 9)
+      |      AS DECIMAL(12,9)) AS prec_at_k
+      |  FROM ranked),
+      |ap AS (
+      |  SELECT CAST(SUM(CASE WHEN relevant = 1 THEN prec_at_k
+      |    ELSE CAST(0 AS DECIMAL(12,9)) END) AS DECIMAL(22,9)) AS sum_prec
+      |  FROM p)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25, relevant,
+      |  hits_at_k, CAST(prec_at_k AS DOUBLE) AS prec_at_k, n_relevant,
+      |  CAST(sum_prec AS DOUBLE)
+      |    / CAST(LEAST(n_relevant, 10) AS DOUBLE) AS ap_at_10
+      |FROM p, nrel, ap ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q321_rbo_overlap" -> (q321RboOverlap _),
     "q296_ndcg_at10" -> (q296NdcgAt10 _),
     "q237_bm25_stability" -> (q237Bm25Stability _),
     "q78_bm25" -> (q78Bm25 _),
+    "q342_average_precision" -> (q342AveragePrecision _),
     "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
@@ -548,5 +631,6 @@ object RankQueries {
     "q296_ndcg_at10" -> q296Sql,
     "q237_bm25_stability" -> q237Sql,
     "q78_bm25" -> q78Sql,
+    "q342_average_precision" -> q342Sql,
     "q151_rrf_fusion" -> q151Sql)
 }

@@ -1027,7 +1027,160 @@ object SessionQueries {
       |ORDER BY n_sessions DESC, path
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q348
+  /** Shapley-value channel attribution — the coalition-game companion
+    * to q312's Markov removal effects (the two data-driven attribution
+    * models every marketing stack compares): each converting user's
+    * pre-purchase journey contributes to the characteristic function
+    * v(S) = conversions whose touched-channel set ⊆ S, and channel i's
+    * credit is φᵢ = Σ_{S∌i} w(|S|)·(v(S∪{i}) − v(S)) with the exact
+    * Shapley weights w(s) = s!(n−1−s)!/n! over the n = 4 non-purchase
+    * channels. Emits per channel: φ, the normalized share, and the two
+    * marginal-contribution extremes (solo value v({i}) and full-game
+    * removal v(C) − v(C∖{i})) that bracket it.
+    *
+    * Exactness: journeys collapse to a 16-cell touched-set census
+    * (bitmask over 4 channels); v(S) is an integer subset-sum; the
+    * weights are 9-dp DECIMAL LITERALS (¼ exact, 1/12 snapped — the
+    * q296 grid discipline); each φ is an exact decimal sum of
+    * weight×integer products; shares are single double divisions.
+    *
+    * Scale shape: one partitioned min-purchase-time pass + one per-user
+    * agg collapse the event stream to the 16-row census; every
+    * coalition/Shapley step is broadcast arithmetic on ≤16×16 rows —
+    * constant work regardless of corpus size. */
+  def q348ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4,
+      "view" -> 8)
+    val ev = Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wU = Window.partitionBy(col("user_id"))
+    val firstPurchase = min(when(col("event_type") === "purchase",
+      struct(col("ts"), col("event_id")))).over(wU)
+    // touched-channel bitmask per CONVERTING user, over events strictly
+    // before the first purchase (ts, event_id order — q312's journey key)
+    val pre = col("ts") < col("fp.ts") ||
+      (col("ts") === col("fp.ts") && col("event_id") < col("fp.event_id"))
+    val maskExpr = channels.map { case (c, b) =>
+      max(when(pre && col("event_type") === c, lit(b)).otherwise(lit(0)))
+    }.reduce(_ + _)
+    val census = ev
+      .withColumn("fp", firstPurchase)
+      .filter(col("fp").isNotNull)
+      .groupBy(col("user_id")).agg(maskExpr.as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("conv"))
+    // v(S) for all 16 coalitions: subset-sum over the census
+    val coalitions = spark.range(16)
+      .select(col("id").cast("int").as("s"))
+    val vTbl = coalitions.join(broadcast(census),
+        census("mask").bitwiseAND(col("s")) === census("mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("conv")), lit(0L)).as("v"))
+      .localCheckpoint(true)
+    // Shapley: phi_i = sum over S not containing i of w(|S|)(v(S+i)-v(S))
+    import spark.implicits._
+    val chTbl = channels.toDF("channel", "bit")
+    val popcnt = (col("s").bitwiseAND(lit(1))) +
+      shiftright(col("s").bitwiseAND(lit(2)), 1) +
+      shiftright(col("s").bitwiseAND(lit(4)), 2) +
+      shiftright(col("s").bitwiseAND(lit(8)), 3)
+    val wLit = when(popcnt === 0, lit("0.250000000"))
+      .when(popcnt === 3, lit("0.250000000"))
+      .otherwise(lit("0.083333333")).cast("decimal(12,9)")
+    val terms = chTbl.join(broadcast(coalitions),
+        col("s").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(vTbl.select(col("s").as("s0"), col("v").as("v_s"))),
+        col("s0") === col("s"))
+      .join(broadcast(vTbl.select(col("s").as("s1"), col("v").as("v_si"))),
+        col("s1") === col("s").bitwiseOR(col("bit")))
+      .withColumn("term",
+        (wLit * (col("v_si") - col("v_s")).cast("decimal(12,0)"))
+          .cast("decimal(26,9)"))
+    val phi = terms.groupBy(col("channel"), col("bit"))
+      .agg(sum(col("term")).cast("decimal(36,9)").as("phi"))
+    val solo = vTbl.select(col("s").as("bit_solo"), col("v").as("v_solo"))
+    val full = vTbl.filter(col("s") === 15)
+      .select(col("v").as("v_full"))
+    val without = vTbl.select(col("s").as("s_wo"), col("v").as("v_without"))
+    val totPhi = phi.agg(sum(col("phi")).as("phi_total"))
+    phi
+      .join(broadcast(solo), col("bit_solo") === col("bit"))
+      .join(broadcast(without), col("s_wo") === (lit(15) - col("bit")))
+      .crossJoin(broadcast(full))
+      .crossJoin(broadcast(totPhi))
+      .select(col("channel"),
+        col("phi").cast("double").as("shapley_value"),
+        (col("phi").cast("double") / col("phi_total").cast("double"))
+          .as("share"),
+        col("v_solo"),
+        (col("v_full") - col("v_without")).as("full_removal"),
+        col("v_full").as("conversions"))
+      .orderBy("channel")
+  }
+
+  val q348Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events),
+      |fp AS (
+      |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+      |    SELECT user_id, ts, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM ev WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |masks AS (
+      |  SELECT e.user_id,
+      |    MAX(CASE WHEN e.event_type = 'click' AND (e.ts < f.fts OR
+      |      (e.ts = f.fts AND e.event_id < f.fid)) THEN 1 ELSE 0 END) +
+      |    MAX(CASE WHEN e.event_type = 'error' AND (e.ts < f.fts OR
+      |      (e.ts = f.fts AND e.event_id < f.fid)) THEN 2 ELSE 0 END) +
+      |    MAX(CASE WHEN e.event_type = 'signup' AND (e.ts < f.fts OR
+      |      (e.ts = f.fts AND e.event_id < f.fid)) THEN 4 ELSE 0 END) +
+      |    MAX(CASE WHEN e.event_type = 'view' AND (e.ts < f.fts OR
+      |      (e.ts = f.fts AND e.event_id < f.fid)) THEN 8 ELSE 0 END)
+      |      AS mask
+      |  FROM ev e JOIN fp f ON e.user_id = f.user_id
+      |  GROUP BY e.user_id),
+      |census AS (SELECT mask, COUNT(*) AS conv FROM masks GROUP BY 1),
+      |coal AS (SELECT CAST(range AS INTEGER) AS s FROM range(16)),
+      |vt AS (
+      |  SELECT s, CAST(COALESCE(SUM(conv), 0) AS BIGINT) AS v
+      |  FROM coal LEFT JOIN census ON (census.mask & coal.s) = census.mask
+      |  GROUP BY s),
+      |ch(channel, bit) AS (VALUES
+      |  ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+      |terms AS (
+      |  SELECT ch.channel, ch.bit,
+      |    CAST(
+      |      CASE WHEN ((coal.s & 1) + ((coal.s & 2) >> 1)
+      |                 + ((coal.s & 4) >> 2) + ((coal.s & 8) >> 3))
+      |        IN (0, 3)
+      |        THEN CAST(0.250000000 AS DECIMAL(12,9))
+      |        ELSE CAST(0.083333333 AS DECIMAL(12,9)) END
+      |      * CAST(v1.v - v0.v AS DECIMAL(12,0)) AS DECIMAL(26,9))
+      |      AS term
+      |  FROM ch JOIN coal ON (coal.s & ch.bit) = 0
+      |  JOIN vt v0 ON v0.s = coal.s
+      |  JOIN vt v1 ON v1.s = (coal.s | ch.bit)),
+      |phi AS (
+      |  SELECT channel, bit,
+      |    CAST(SUM(term) AS DECIMAL(36,9)) AS phi
+      |  FROM terms GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(phi) AS DECIMAL(38,9)) AS phi_total FROM phi),
+      |fullv AS (SELECT v AS v_full FROM vt WHERE s = 15)
+      |SELECT p.channel,
+      |  CAST(p.phi AS DOUBLE) AS shapley_value,
+      |  CAST(p.phi AS DOUBLE) / CAST(t.phi_total AS DOUBLE) AS share,
+      |  sv.v AS v_solo,
+      |  f.v_full - wo.v AS full_removal,
+      |  f.v_full AS conversions
+      |FROM phi p
+      |JOIN vt sv ON sv.s = p.bit
+      |JOIN vt wo ON wo.s = (15 - p.bit)
+      |CROSS JOIN fullv f CROSS JOIN tot t
+      |ORDER BY p.channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_shapley_attribution" -> (q348ShapleyAttribution _),
     "q334_session_paths" -> (q334SessionPaths _),
     "q312_markov_attribution" -> (q312MarkovAttribution _),
     "q292_activity_streaks" -> (q292ActivityStreaks _),
@@ -1043,6 +1196,7 @@ object SessionQueries {
     "q200_bounce_rate" -> (q200BounceRate _))
 
   def oracles: Map[String, String] = Map(
+    "q348_shapley_attribution" -> q348Sql,
     "q334_session_paths" -> q334Sql,
     "q312_markov_attribution" -> q312Sql,
     "q292_activity_streaks" -> q292Sql,

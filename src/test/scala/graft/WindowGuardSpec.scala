@@ -123,6 +123,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q179_chi2_independence", // (segment, priority) contingency cells
     "q187_psi_drift",        // (source, length-bucket) grid census
     "q192_kaplan_meier",     // gap-day census (date-range-bounded)
+    "q347_logrank_test",     // gap-day census (date-range-bounded), as q192
     "q196_equidepth_hist",   // RangeRank offset prefix: <= #partitions rows
     "q197_crosscorr",        // daily click/purchase census
     "q203_mann_whitney",     // l_quantity value census: 50 rows
@@ -151,6 +152,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q291_score_discrimination", // order-count score census: <= |max orders|
     "q293_imr_chart",        // daily order-count census: |distinct days|
     "q296_ndcg_at10",        // matched-doc rank frames (both windows)
+    "q342_average_precision", // matched-doc rank frame + 10-row P@k prefix
     "q300_decomposition_strength", // daily-revenue census: |distinct days|
     "q302_mad_outliers",     // daily census median ranks: |distinct days|
     "q303_permutation_entropy", // daily census lead(): |distinct days|
