@@ -587,6 +587,9 @@ object EstimateQueries {
     * estimate), keeping the whole register pipeline in BIGINT space
     * below 2⁵³; the estimate α·m²·2^30/Σ is literal·literal/integer —
     * three IEEE ops over identical operands; rel-error snaps at 6 dp.
+    * The standard small-range correction applies in both engines: when
+    * E ≤ 2.5m and zero registers exist, E* = m·ln(m/V) (linear
+    * counting) replaces the biased raw harmonic mean.
     *
     * Scale shape: ONE map-side hash pass over the exploded token
     * stream, a 64-group max aggregate (map-combinable — the register
@@ -624,8 +627,17 @@ object EstimateQueries {
     val exact = terms.agg(count(lit(1)).as("n_exact"))
     // alpha_64 * m^2 = 0.709 * 4096 = 2904.064; the 2^30 term-scaling
     // cancels: E = 2904.064 * 2^30 / sum_scaled
-    val est = lit(2904.064) * lit(1073741824.0) /
+    val rawEst = lit(2904.064) * lit(1073741824.0) /
       col("sum_scaled").cast("double")
+    // small-range (linear-counting) correction (ADVICE r13): when the
+    // raw estimate is <= 2.5m = 160 and empty registers exist, the raw
+    // harmonic mean is known-biased — switch to E* = m·ln(m/V). ln runs
+    // over only 63 possible integer ratios in BOTH engines (IEEE libm,
+    // snapped at 6 dp), so the no-cross-engine-transcendental discipline
+    // holds in practice; on the corpus vocabulary the branch never fires
+    val est = when(rawEst <= lit(160.0) && col("n_zero_registers") > 0L,
+        lit(64.0) * log(lit(64.0) / col("n_zero_registers").cast("double")))
+      .otherwise(rawEst)
     regs.crossJoin(broadcast(summary)).crossJoin(broadcast(exact))
       .select(col("bucket"), col("register"), col("n_exact"),
         col("n_zero_registers"), col("sum_scaled"),
@@ -664,14 +676,18 @@ object EstimateQueries {
       |    CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_zero_registers
       |  FROM regs),
-      |exact AS (SELECT COUNT(*) AS n_exact FROM tok)
+      |exact AS (SELECT COUNT(*) AS n_exact FROM tok),
+      |est AS (
+      |  SELECT CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+      |      THEN 64.0 * LN(64.0 / CAST(n_zero_registers AS DOUBLE))
+      |      ELSE raw END AS e
+      |  FROM (SELECT 2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE)
+      |      AS raw, n_zero_registers FROM summary))
       |SELECT bucket, register, n_exact, n_zero_registers, sum_scaled,
-      |  ROUND(2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE), 6)
-      |    + 0.0 AS hll_estimate,
-      |  ROUND((2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE)
-      |      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+      |  ROUND(e, 6) + 0.0 AS hll_estimate,
+      |  ROUND((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
       |    + 0.0 AS rel_error
-      |FROM regs, summary, exact ORDER BY bucket""".stripMargin
+      |FROM regs, summary, exact, est ORDER BY bucket""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

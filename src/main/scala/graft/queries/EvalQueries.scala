@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries {
 
+  /** Shared per-brand census (q343 / q345 — ADVICE r13): corpus order
+    * volume x (exact decimal quantity sum over the lineitem⋈part fact
+    * join) beside the part-side retail-price total ysum and part count,
+    * one row per brand (catalog-bounded, ≤25 cells). Consumers compare
+    * means cross-multiplied or cast x down — the decimal cast
+    * discipline lives here ONCE so the two stay in lockstep. */
+  private[queries] def brandCensus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val vol = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(18,2)").as("q"))
+      .join(Kpis.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("q")).cast("decimal(28,2)").as("x"))
+    val price = Kpis.table(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)").as("ysum"),
+        count(lit(1)).as("n_parts"))
+    vol.join(price, "p_brand")
+  }
+
+  /** SQL twin of [[brandCensus]]; interpolate after WITH. */
+  private[queries] val brandCensusCte: String =
+    """vol AS (
+      |  SELECT p_brand,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |      AS x
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |price AS (
+      |  SELECT p_brand,
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
+      |      AS ysum,
+      |    COUNT(*) AS n_parts
+      |  FROM part GROUP BY 1),
+      |census AS (SELECT * FROM vol JOIN price USING (p_brand))""".stripMargin
+
   // --------------------------------------------------------------- q343
   /** Kendall τ-b between a brand's order volume and its average retail
     * price, on the 25-brand census: do expensive brands move less?
@@ -37,20 +77,7 @@ object EvalQueries {
     * that census with itself (≤625 pairs) — at 100 TB the fact scans
     * dominate and the census arithmetic stays constant-size. */
   def q343KendallTau(spark: SparkSession, dir: String): DataFrame = {
-    val vol = Kpis.table(spark, dir, "lineitem")
-      .select(col("l_partkey"),
-        col("l_quantity").cast("decimal(18,2)").as("q"))
-      .join(Kpis.table(spark, dir, "part")
-        .select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"))
-      .agg(sum(col("q")).cast("decimal(28,2)").as("x"))
-    val price = Kpis.table(spark, dir, "part")
-      .groupBy(col("p_brand"))
-      .agg(sum(col("p_retailprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)").as("ysum"),
-        count(lit(1)).as("n_parts"))
-    val census = vol.join(price, "p_brand")
+    val census = brandCensus(spark, dir)
     val a = census.select(col("p_brand").as("brand_a"), col("x").as("xa"),
       col("ysum").as("ysa"), col("n_parts").as("na"))
     val b = census.select(col("p_brand").as("brand_b"), col("x").as("xb"),
@@ -91,19 +118,7 @@ object EvalQueries {
   }
 
   val q343Sql: String =
-    """WITH vol AS (
-      |  SELECT p_brand,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
-      |      AS x
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  GROUP BY 1),
-      |price AS (
-      |  SELECT p_brand,
-      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
-      |      AS ysum,
-      |    COUNT(*) AS n_parts
-      |  FROM part GROUP BY 1),
-      |census AS (SELECT * FROM vol JOIN price USING (p_brand)),
+    s"""WITH $brandCensusCte,
       |pairs AS (
       |  SELECT
       |    CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END

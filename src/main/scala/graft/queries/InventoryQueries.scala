@@ -32,20 +32,11 @@ object InventoryQueries {
     * per-brand agg (25 cells, catalog-bounded); the part-side agg is
     * entity-scale; the closing arithmetic is constant-size. */
   def q345Eoq(spark: SparkSession, dir: String): DataFrame = {
-    val demand = Kpis.table(spark, dir, "lineitem")
-      .select(col("l_partkey"),
-        col("l_quantity").cast("decimal(18,2)").as("q"))
-      .join(Kpis.table(spark, dir, "part")
-        .select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"))
-      .agg(sum(col("q")).cast("decimal(18,2)").as("d"))
-    val price = Kpis.table(spark, dir, "part")
-      .groupBy(col("p_brand"))
-      .agg(sum(col("p_retailprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)").as("ysum"),
-        count(lit(1)).as("n_parts"))
-    val joined = demand.join(price, "p_brand")
+    // shared brand census (ADVICE r13): x arrives DECIMAL(28,2); cast
+    // down to the (18,2) demand width HERE so the dn product stays
+    // inside DuckDB's 38-digit decimal ceiling (28+12 would not)
+    val joined = EvalQueries.brandCensus(spark, dir)
+      .withColumn("d", col("x").cast("decimal(18,2)"))
       .withColumn("dn", (col("d") * col("n_parts").cast("decimal(12,0)"))
         .cast("decimal(31,2)"))
     val eoqRaw = sqrt(lit(1000.0) * col("dn").cast("double") /
@@ -60,22 +51,12 @@ object InventoryQueries {
   }
 
   val q345Sql: String =
-    """WITH demand AS (
-      |  SELECT p_brand,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-      |      AS d
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  GROUP BY 1),
-      |price AS (
-      |  SELECT p_brand,
-      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(24,2))
-      |      AS ysum,
-      |    COUNT(*) AS n_parts
-      |  FROM part GROUP BY 1),
+    s"""WITH ${EvalQueries.brandCensusCte},
       |j AS (
-      |  SELECT p_brand, d, ysum, n_parts,
-      |    CAST(d * CAST(n_parts AS DECIMAL(12,0)) AS DECIMAL(31,2)) AS dn
-      |  FROM demand JOIN price USING (p_brand))
+      |  SELECT p_brand, CAST(x AS DECIMAL(18,2)) AS d, ysum, n_parts,
+      |    CAST(CAST(x AS DECIMAL(18,2)) * CAST(n_parts AS DECIMAL(12,0))
+      |      AS DECIMAL(31,2)) AS dn
+      |  FROM census)
       |SELECT p_brand, CAST(d AS DOUBLE) AS total_demand, n_parts,
       |  ROUND(SQRT(1000.0 * CAST(dn AS DOUBLE) / CAST(ysum AS DOUBLE)), 6)
       |    + 0.0 AS eoq,

@@ -582,8 +582,13 @@ object RankQueries {
         col("bm25"), col("relevant"), col("hits_at_k"),
         col("prec_at_k").cast("double").as("prec_at_k"),
         col("n_relevant"),
-        (col("sum_prec").cast("double") /
-          least(col("n_relevant"), lit(10L)).cast("double")).as("ap_at_10"))
+        // zero-relevant guard (ADVICE r13): with no relevant docs the
+        // denominator min(R,10) is 0 and Spark's 0/0 (NaN) would diverge
+        // from whatever DuckDB emits — define AP = 0.0 in BOTH engines
+        when(col("n_relevant") === 0L, lit(0.0))
+          .otherwise(col("sum_prec").cast("double") /
+            least(col("n_relevant"), lit(10L)).cast("double"))
+          .as("ap_at_10"))
       .orderBy("rank")
   }
 
@@ -614,8 +619,9 @@ object RankQueries {
       |  FROM p)
       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25, relevant,
       |  hits_at_k, CAST(prec_at_k AS DOUBLE) AS prec_at_k, n_relevant,
-      |  CAST(sum_prec AS DOUBLE)
-      |    / CAST(LEAST(n_relevant, 10) AS DOUBLE) AS ap_at_10
+      |  CASE WHEN n_relevant = 0 THEN 0.0
+      |    ELSE CAST(sum_prec AS DOUBLE)
+      |      / CAST(LEAST(n_relevant, 10) AS DOUBLE) END AS ap_at_10
       |FROM p, nrel, ap ORDER BY rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
