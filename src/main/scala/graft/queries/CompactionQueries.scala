@@ -19,6 +19,47 @@ import graft.operators.DupClusters
   */
 object CompactionQueries {
 
+  /** The PERSISTED-store half of q340 (VERDICT r13 #3): q340 certifies
+    * the drop set in-plan; production GC operates on the WRITTEN q98
+    * band store. Given that store (bucket_key, doc_id — q98's layout,
+    * bucket_key = band ':' band_hash) and an adjudicated cluster map
+    * (doc_id, canon), the droppable rows are the non-canonical rows
+    * whose bucket the cluster's canonical ALSO occupies — exactly
+    * q340's coverage test, keyed by (canon, bucket_key) so each store
+    * row probes once. Rows the canonical does not cover survive:
+    * dropping them would orphan their bucket (a recall regression, not
+    * a compaction). */
+  private[graft] def gcDropRows(store: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val marked = store.join(clusters, Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("canon"), col("doc_id")))
+    val canonRows = marked.filter(col("doc_id") === col("canon"))
+      .select(col("canon"), col("bucket_key"))
+      .withColumn("covered", lit(1))
+    marked.join(canonRows, Seq("canon", "bucket_key"), "left")
+      .filter(col("doc_id") =!= col("canon") && col("covered").isNotNull)
+      .select(col("bucket_key"), col("doc_id"))
+  }
+
+  /** Apply the GC to the persisted store as an anti-join delete and
+    * write the survivors as the next store GENERATION — same bucket
+    * column, same bucket count ([[graft.sink.Warehouse.writeBucketed]]),
+    * so post-GC probe joins still come straight off the bucketed scan
+    * with no store-side shuffle. Generation-swap (write new table, then
+    * retire the old) rather than delete-in-place keeps a complete copy
+    * live at every step, the [[graft.sink.Warehouse.compactDay]]
+    * crash-safety discipline applied to the band store. */
+  private[graft] def compactStore(spark: SparkSession, table: String,
+      path: String, clusters: DataFrame, gcTable: String,
+      gcPath: String, nBuckets: Int): Unit = {
+    val store = spark.table(table)
+    val kept = store.join(gcDropRows(store, clusters),
+      Seq("bucket_key", "doc_id"), "left_anti")
+    graft.sink.Warehouse.writeBucketed(
+      kept.select(col("bucket_key"), col("doc_id")),
+      gcTable, gcPath, "bucket_key", nBuckets, mode = "overwrite")
+  }
+
   // --------------------------------------------------------------- q340
   /** Band-store compaction ledger over the near-dup corpus (q22/q98's
     * 16-minhash, 8-band × 2-row operating point): build the band store,

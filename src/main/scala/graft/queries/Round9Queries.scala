@@ -162,12 +162,20 @@ object Round9Queries {
     * parameters) and joined against the accumulated corpus's band table;
     * only band-colliding pairs are exact-Jaccard verified.
     *
-    * Store layout mirrors q94: (band, band_hash, doc_id) bucketed on
-    * band_hash via [[Warehouse.writeBucketed]], so the store side of
-    * every batch's candidate join comes straight off the bucketed scan —
-    * the accumulated band table (8 rows per admitted doc) never
-    * re-shuffles. Verification re-reads shingles ONLY for candidate
-    * store docs (an equi-join on doc_id), never the whole corpus.
+    * Store layout mirrors q94: (bucket_key, doc_id) with bucket_key =
+    * band ':' band_hash — ONE column carrying the full collision
+    * identity — bucketed on bucket_key via [[Warehouse.writeBucketed]],
+    * so the store side of every batch's candidate join comes straight
+    * off the bucketed scan: the accumulated band table (8 rows per
+    * admitted doc) never re-shuffles. The single-column key is
+    * load-bearing, not cosmetic: a (band, band_hash) two-column join
+    * makes the planner reject the bucketed scan outright (subset-key
+    * co-partitioning fails requireAllClusterKeysForCoPartition), and a
+    * band-equality post-filter gets folded back into the join keys —
+    * composing the key at WRITE time is what keeps the probe
+    * shuffle-free (BandStoreGcSpec pins the plan). Verification
+    * re-reads shingles ONLY for candidate store docs (an equi-join on
+    * doc_id), never the whole corpus.
     *
     * The simulated batch: every 10th doc returns as a near-clone
     * (+1e12 ids, 3 appended tokens — must flag against its original) and
@@ -200,8 +208,10 @@ object Round9Queries {
     val table = s"graft_q98_bands$slug"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_q98_bands$slug"
     Warehouse.writeBucketed(
-      bandsOf(corpusSh).select(col("band"), col("band_hash"), col("doc_id")),
-      table, path, "band_hash", IncrementalDedup.StoreBuckets,
+      bandsOf(corpusSh).select(
+        concat_ws(":", col("band"), col("band_hash")).as("bucket_key"),
+        col("doc_id")),
+      table, path, "bucket_key", IncrementalDedup.StoreBuckets,
       mode = "overwrite")
     // the incoming crawl
     val near = corpusSh.filter(col("doc_id") % 10 === 0)
@@ -216,9 +226,10 @@ object Round9Queries {
         shingles(tokens(col("text")), 3).as("sh"))
     val cand = spark.table(table)
       .withColumnRenamed("doc_id", "a_id")
-      .join(bandsOf(batchSh).select(col("band"), col("band_hash"),
+      .join(bandsOf(batchSh).select(
+        concat_ws(":", col("band"), col("band_hash")).as("bucket_key"),
         col("doc_id").as("b_id")),
-        Seq("band", "band_hash"))
+        Seq("bucket_key"))
     // verify: dedup BARE id pairs first (a pair colliding in several bands
     // must not ship its shingle array once per band — the q26 convention),
     // then fetch both sides' shingles by id
