@@ -20,6 +20,9 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // print the REAL pre-checkpoint plans: an eager localCheckpoint
+    // collapses the dump to `Scan ExistingRDD` (see graft.plans.Eager)
+    graft.plans.Eager.enabled = false
     list.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
       println(s"\n======================= $name =======================")
       println(SparkEntry.queries(name)(spark, sfDir)

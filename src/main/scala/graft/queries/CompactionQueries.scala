@@ -129,7 +129,7 @@ object CompactionQueries {
           .cast("long"))
     // materialize the 8-row ledger eagerly so both persisted inputs can
     // release (the q98 store-query convention)
-    val out = flagged.groupBy(col("band"))
+    val out = graft.plans.Eager.ckpt(flagged.groupBy(col("band"))
       .agg(count(lit(1)).as("rows_before"),
         sum(col("dropped")).as("rows_dropped"),
         (count(lit(1)) - sum(col("dropped"))).as("rows_after"),
@@ -138,8 +138,7 @@ object CompactionQueries {
           .as("buckets_after"))
       .withColumn("buckets_preserved",
         col("buckets_before") === col("buckets_after"))
-      .orderBy("band")
-      .localCheckpoint(true)
+      .orderBy("band"))
     bands.unpersist()
     corpusSh.unpersist()
     out

@@ -235,14 +235,14 @@ object Round9Queries {
     // then fetch both sides' shingles by id
     val aSh = corpusSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val bSh = batchSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val out = cand.select(col("a_id"), col("b_id")).distinct()
-      .join(aSh, "a_id")
-      .join(bSh, "b_id")
-      .select(col("a_id"), col("b_id"),
-        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("a_id", "b_id")
-      .localCheckpoint(true)
+    val out = graft.plans.Eager.ckpt(
+      cand.select(col("a_id"), col("b_id")).distinct()
+        .join(aSh, "a_id")
+        .join(bSh, "b_id")
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id"))
     corpusSh.unpersist()
     out
   }

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SubstringQueries
+
+/** q350's stitching contract on a CONSTRUCTED corpus (the oracle hash
+  * certifies arithmetic parity on the real corpus; this spec certifies
+  * the span geometry): a single shared run recovers its exact length
+  * and both start offsets; two same-diagonal runs separated by a gap
+  * stay two islands; a shared run below L is excluded. Doc ids avoid
+  * multiples of 10 so the fixture corpus gains no near-dup clones. */
+class SubstringDedupSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val rows = {
+    val dir = Files.createTempDirectory("graft-substr")
+    val a = (t: Int) => s"a$t"
+    // doc 1: a1..a60
+    val d1 = (1 to 60).map(a).mkString(" ")
+    // doc 2: 9 unique tokens, then a11..a40 (30 shared, at pos 9), tail
+    val d2 = ((1 to 9).map(j => s"x$j") ++ (11 to 40).map(a) ++
+      (1 to 20).map(j => s"y$j")).mkString(" ")
+    // doc 3: a1..a20, a 10-token gap, a31..a50 — two runs on diagonal 0
+    val d3 = ((1 to 20).map(a) ++ (1 to 10).map(j => s"z$j") ++
+      (31 to 50).map(a)).mkString(" ")
+    Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    SubstringQueries.q350SubstringDedup(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r).toMap
+  }
+
+  test("a single shared run yields one island with exact length and offsets") {
+    val r = rows((1L, 2L))
+    assert(r.getAs[Long]("longest_span_tokens") == 30L)
+    assert(r.getAs[Long]("n_islands") == 1L)
+    assert(r.getAs[Long]("n_matched_shingles") == 23L) // 30 - 8 + 1
+    assert(r.getAs[Long]("a_start") == 10L, "a11 sits at doc-1 position 10")
+    assert(r.getAs[Long]("b_start") == 9L, "a11 sits at doc-2 position 9")
+  }
+
+  test("two same-diagonal runs split by a gap remain two islands") {
+    val r = rows((1L, 3L))
+    assert(r.getAs[Long]("n_islands") == 2L)
+    assert(r.getAs[Long]("longest_span_tokens") == 20L)
+    assert(r.getAs[Long]("n_matched_shingles") == 26L) // 13 + 13
+    // equal-length runs tie-break to the earlier start
+    assert(r.getAs[Long]("a_start") == 0L &&
+      r.getAs[Long]("b_start") == 0L)
+  }
+
+  test("pairs whose longest span is under L are excluded") {
+    // docs 2 and 3 share a11..a20 and a31..a40: 10-token runs < L = 16
+    assert(!rows.contains((2L, 3L)))
+    assert(rows.keySet == Set((1L, 2L), (1L, 3L)))
+  }
+}
