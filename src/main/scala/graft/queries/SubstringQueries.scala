@@ -33,29 +33,15 @@ object SubstringQueries {
   /** Report pairs whose longest shared span reaches L tokens. */
   private val L = 16
 
-  // --------------------------------------------------------------- q350
-  /** Longest-shared-span census per cross-document pair over the
-    * near-dup corpus (q45's fixture shape — clones guarantee known long
-    * spans; organic raw-corpus repeats surface beside them): per pair
-    * with a span ≥ L, the island count, total matched shingle
-    * positions, the longest span's token length, and its start
-    * positions in both documents.
-    *
-    * Exactness: positions, diagonals, run lengths, and starts are all
-    * integers; the longest-island pick is the lexicographic max-struct
-    * (run_len, −a_start, −b_start) — unique per pair since two islands
-    * of one pair cannot share (a_start, b_start); no floating point
-    * anywhere.
-    *
-    * Scale shape: shingling is array-level per doc (no shuffle); the
-    * df-cap and the position join key on the md5 hex fingerprint, so
-    * the two span-keyed exchanges never carry span text (q55's lesson);
-    * the cap bounds each fingerprint's cross-doc fan-out at F docs →
-    * ≤ F²/2 doc pairs per position — candidate volume stays linear in
-    * total positions. The stitching window partitions by (pair,
-    * diagonal) — bounded by one document's length, never the corpus.
-    * The island → pair rollups are map-side-combinable aggs. */
-  def q350SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared stage chain of the substring family (q350/q351): the
+    * maximal shared-run table. Tokenize → position-indexed K-shingle
+    * fingerprints → df-cap → cross-doc position join → gaps-and-islands
+    * stitch on the alignment diagonal. Returns (runsDf, release) where
+    * `release` unpersists the capped position table — callers invoke it
+    * after materializing their rollup (the q26 multi-consumer
+    * convention: the position table feeds both sides of the join). */
+  private def sharedRuns(spark: SparkSession, dir: String)
+      : (DataFrame, () => Unit) = {
     val par = spark.sparkContext.defaultParallelism
     val d = DocQueries.corpusWithNearDups(spark, dir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -68,8 +54,6 @@ object SubstringQueries {
     val keep = sh.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= F).select(col("fp"))
-    // persist the capped position table: it feeds BOTH sides of the
-    // cross-doc position join (the q26 multi-consumer convention)
     val m = sh.join(keep, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = m.select(col("fp"), col("doc_id").as("a_id"),
@@ -87,24 +71,13 @@ object SubstringQueries {
     val runs = isl.groupBy(col("a_id"), col("b_id"), col("diag"), col("iid"))
       .agg(count(lit(1)).as("rl"), min(col("ap")).as("a0"))
       .withColumn("b0", col("a0") - col("diag"))
-    val out = graft.plans.Eager.ckpt(runs.groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_islands"),
-        sum(col("rl")).as("n_matched_shingles"),
-        max(struct(col("rl"), (-col("a0")).as("na"), (-col("b0")).as("nb")))
-          .as("m"))
-      .select(col("a_id"), col("b_id"), col("n_islands"),
-        col("n_matched_shingles"),
-        (col("m.rl") + lit(K - 1)).as("longest_span_tokens"),
-        (-col("m.na")).cast("long").as("a_start"),
-        (-col("m.nb")).cast("long").as("b_start"))
-      .filter(col("longest_span_tokens") >= L)
-      .orderBy("a_id", "b_id"))
-    m.unpersist()
-    out
+    (runs, () => { m.unpersist(); () })
   }
 
-  val q350Sql: String =
-    s"""WITH corpus AS (${DocQueries.corpusNearDupSql}),
+  /** SQL twin of [[sharedRuns]]: CTE chain ending in `runs`
+    * (a_id, b_id, diag, rl, a0, b0); interpolate after WITH. */
+  private val sharedRunsCte: String =
+    s"""corpus AS (${DocQueries.corpusNearDupSql}),
       |d AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
@@ -130,12 +103,56 @@ object SubstringQueries {
       |      PARTITION BY a_id, b_id, ap - bp ORDER BY ap) AS iid
       |  FROM matches),
       |runs AS (
-      |  SELECT a_id, b_id, diag, iid, COUNT(*) AS rl, MIN(ap) AS a0
-      |  FROM isl GROUP BY 1, 2, 3, 4),
+      |  SELECT a_id, b_id, diag, COUNT(*) AS rl, MIN(ap) AS a0,
+      |    MIN(ap) - diag AS b0
+      |  FROM isl GROUP BY a_id, b_id, diag, iid)""".stripMargin
+
+  // --------------------------------------------------------------- q350
+  /** Longest-shared-span census per cross-document pair over the
+    * near-dup corpus (q45's fixture shape — clones guarantee known long
+    * spans; organic raw-corpus repeats surface beside them): per pair
+    * with a span ≥ L, the island count, total matched shingle
+    * positions, the longest span's token length, and its start
+    * positions in both documents.
+    *
+    * Exactness: positions, diagonals, run lengths, and starts are all
+    * integers; the longest-island pick is the lexicographic max-struct
+    * (run_len, −a_start, −b_start) — unique per pair since two islands
+    * of one pair cannot share (a_start, b_start); no floating point
+    * anywhere.
+    *
+    * Scale shape: shingling is array-level per doc (no shuffle); the
+    * df-cap and the position join key on the md5 hex fingerprint, so
+    * the two span-keyed exchanges never carry span text (q55's lesson);
+    * the cap bounds each fingerprint's cross-doc fan-out at F docs →
+    * ≤ F²/2 doc pairs per position — candidate volume stays linear in
+    * total positions. The stitching window partitions by (pair,
+    * diagonal) — bounded by one document's length, never the corpus.
+    * The island → pair rollups are map-side-combinable aggs. */
+  def q350SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (runs, release) = sharedRuns(spark, dir)
+    val out = graft.plans.Eager.ckpt(runs.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("rl")).as("n_matched_shingles"),
+        max(struct(col("rl"), (-col("a0")).as("na"), (-col("b0")).as("nb")))
+          .as("m"))
+      .select(col("a_id"), col("b_id"), col("n_islands"),
+        col("n_matched_shingles"),
+        (col("m.rl") + lit(K - 1)).as("longest_span_tokens"),
+        (-col("m.na")).cast("long").as("a_start"),
+        (-col("m.nb")).cast("long").as("b_start"))
+      .filter(col("longest_span_tokens") >= L)
+      .orderBy("a_id", "b_id"))
+    release()
+    out
+  }
+
+  val q350Sql: String =
+    s"""WITH $sharedRunsCte,
       |best AS (
-      |  SELECT a_id, b_id, rl, a0, a0 - diag AS b0,
+      |  SELECT a_id, b_id, rl, a0, b0,
       |    row_number() OVER (PARTITION BY a_id, b_id
-      |      ORDER BY rl DESC, a0, a0 - diag) AS rn
+      |      ORDER BY rl DESC, a0, b0) AS rn
       |  FROM runs),
       |pairs AS (
       |  SELECT a_id, b_id, COUNT(*) AS n_islands,
@@ -149,9 +166,256 @@ object SubstringQueries {
       |WHERE b.rl + ${K - 1} >= $L
       |ORDER BY p.a_id, p.b_id""".stripMargin
 
+  // --------------------------------------------------------------- q351
+  /** Per-document substring REMOVAL mask — the actionable half of q350
+    * (what a Lee et al.-style curation pass actually deletes): for every
+    * document that shares a span ≥ L with an EARLIER document (smaller
+    * doc_id keeps, q85's winner discipline), the union of its removable
+    * token intervals — interval count after merging
+    * overlapping/adjacent spans, covered token total, and the removable
+    * fraction of the document.
+    *
+    * Exactness: interval endpoints are integers; the union is the
+    * classic sweep — per doc, an EXCLUSIVE running max of interval ends
+    * (q319's predecessor idiom) marks region starts, a running sum
+    * numbers regions, min/max per region give exact union length; the
+    * only double is the final 6-dp-snapped fraction.
+    *
+    * Scale shape: rides [[sharedRuns]] (measured linear, SCALE_NOTES
+    * r14); the sweep windows partition per DOCUMENT over that doc's
+    * interval list (bounded by doc length / L, never the corpus); both
+    * rollups are map-side-combinable aggs; the length join is a hash
+    * equi-join on doc_id. */
+  /** Interval-union sweep shared by q351/q352: merge a document's
+    * overlapping/adjacent [s, e] token intervals and report the exact
+    * union — (doc_id, n_regions, covered_tokens). Per-doc windows over
+    * that doc's interval list (bounded by doc length / L); the region
+    * rollups are map-side-combinable aggs. */
+  private def intervalSweep(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val marked = spans
+      .withColumn("pme", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L)
+          .otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("re") - col("rs") + 1).as("covered_tokens"))
+  }
+
+  /** SQL twin of [[intervalSweep]]: CTE chain over a prior `spans`
+    * (doc_id, s, e) ending in `cov` (doc_id, n_regions, covered_tokens). */
+  private val sweepCte: String =
+    """mk AS (
+      |  SELECT doc_id, s, e,
+      |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM spans),
+      |g AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM mk),
+      |regions AS (
+      |  SELECT doc_id, grp, MIN(s) AS rs, MAX(e) AS re
+      |  FROM g GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT doc_id, COUNT(*) AS n_regions,
+      |    CAST(SUM(re - rs + 1) AS BIGINT) AS covered_tokens
+      |  FROM regions GROUP BY 1)""".stripMargin
+
+  def q351RemovalMask(spark: SparkSession, dir: String): DataFrame = {
+    val (runs, release) = sharedRuns(spark, dir)
+    val spans = runs.filter(col("rl") + lit(K - 1) >= L)
+      .select(col("b_id").as("doc_id"), col("b0").as("s"),
+        (col("b0") + col("rl") + lit(K - 2)).as("e"))
+      .distinct()
+    val cover = intervalSweep(spans)
+    val lens = DocQueries.corpusWithNearDups(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(lower(col("text")))).cast("long").as("n_tokens"))
+    val out = graft.plans.Eager.ckpt(cover.join(lens, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_regions"),
+        col("covered_tokens"),
+        (round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("removable_frac"))
+      .orderBy("doc_id"))
+    release()
+    out
+  }
+
+  val q351Sql: String =
+    s"""WITH $sharedRunsCte,
+      |spans AS (
+      |  SELECT DISTINCT b_id AS doc_id, b0 AS s, b0 + rl + ${K - 2} AS e
+      |  FROM runs WHERE rl + ${K - 1} >= $L),
+      |$sweepCte,
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+      |SELECT c.doc_id, l.n_tokens, c.n_regions, c.covered_tokens,
+      |  round(CAST(c.covered_tokens AS DOUBLE)
+      |    / CAST(l.n_tokens AS DOUBLE), 6) + 0.0 AS removable_frac
+      |FROM cov c JOIN lens l ON c.doc_id = l.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q352
+  /** Boilerplate cap on the BENCH side of q352: fingerprints occurring at
+    * more than BF benchmark positions are boilerplate phrases, not leaks;
+    * dropping them bounds each corpus position's probe fan-out at BF. */
+  private val BF = 16
+
+  /** Span-level benchmark contamination — the verbatim-leak modality the
+    * set-overlap decontam (q48/q116) misses: a doc quoting one long
+    * benchmark passage has low distinct-shingle overlap_frac yet is
+    * exactly what eval contamination looks like (the GPT-3 n-gram-span
+    * discipline). Benchmark = the q48 derived holdout (doc_id % 10 == 7);
+    * the fixture additionally injects a known leak — every corpus doc
+    * with doc_id % 10 == 3 gets the first 30 tokens of benchmark doc
+    * (doc_id + 4) appended — so contaminated spans exist by construction
+    * in BOTH engines. Per contaminated corpus doc: merged contaminated
+    * region count, contaminated token total (interval union across ALL
+    * benchmark matches), longest single contaminated span, and the
+    * contaminated fraction.
+    *
+    * Exactness: positions/diagonals/run lengths are integers; the union
+    * is [[intervalSweep]]; the only double is the 6-dp-snapped fraction.
+    *
+    * Scale shape: UNLIKE q350's corpus self-join, the probe side here is
+    * the benchmark — thousands of docs against a 100 TB corpus — so the
+    * capped benchmark position table is BROADCAST and the corpus
+    * fingerprint stream probes it map-side: zero shuffle until the
+    * stitching window (keyed by corpus doc), whose partitions are bounded
+    * by one document's match list (≤ BF hits per position). The q48
+    * broadcast-holdout posture applied position-wise. */
+  def q352ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val toksrc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val bench = toksrc.filter(col("doc_id") % 10 === 7)
+    // fixture leak injection: corpus doc 10k+3 quotes bench doc 10k+7
+    val corp = toksrc.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
+        col("toks").as("btoks"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("btoks").isNotNull,
+          concat(col("toks"), slice(col("btoks"), 1, 30)))
+          .otherwise(col("toks")).as("toks"))
+      .filter(size(col("toks")) >= K)
+      .repartition(par, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def fps(d: DataFrame, id: String, p: String): DataFrame =
+      d.select(col("doc_id").as(id),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
+          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
+          .as(Seq(p, "fp")))
+    val bpos = fps(bench.filter(size(col("toks")) >= K), "bench_id", "bp")
+    val bprobe = bpos.join(
+      bpos.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= BF).select(col("fp")), "fp")
+    val matches = fps(corp, "doc_id", "cp").join(broadcast(bprobe), Seq("fp"))
+    val isl = matches.withColumn("diag", col("cp") - col("bp"))
+      .withColumn("iid", col("cp") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
+          .orderBy(col("cp"))))
+    val runs = isl
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("iid"))
+      .agg(count(lit(1)).as("rl"), min(col("cp")).as("c0"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cover = intervalSweep(runs.select(col("doc_id"), col("c0").as("s"),
+      (col("c0") + col("rl") + lit(K - 2)).as("e")).distinct())
+    val longest = runs.groupBy(col("doc_id"))
+      .agg((max(col("rl")) + lit(K - 1)).as("longest_contam_tokens"))
+    val lens = corp.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val out = graft.plans.Eager.ckpt(cover.join(longest, "doc_id")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_regions"),
+        col("covered_tokens").as("contam_tokens"),
+        col("longest_contam_tokens"),
+        (round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("contam_frac"))
+      .orderBy("doc_id"))
+    runs.unpersist(); corp.unpersist()
+    out
+  }
+
+  val q352Sql: String =
+    s"""WITH toksrc AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bench AS (SELECT * FROM toksrc WHERE doc_id % 10 = 7),
+      |corp AS (
+      |  SELECT c.doc_id,
+      |    CASE WHEN b.toks IS NOT NULL THEN c.toks || b.toks[1:30]
+      |         ELSE c.toks END AS toks
+      |  FROM toksrc c LEFT JOIN bench b ON b.doc_id = c.doc_id + 4
+      |  WHERE c.doc_id % 10 != 7),
+      |corpk AS MATERIALIZED (SELECT * FROM corp WHERE len(toks) >= $K),
+      |bpos AS (
+      |  SELECT doc_id AS bench_id,
+      |    unnest(generate_series(0, len(toks) - $K)) AS bp, toks
+      |  FROM bench WHERE len(toks) >= $K),
+      |bfp AS MATERIALIZED (
+      |  SELECT bench_id, bp,
+      |    md5(array_to_string(toks[bp + 1 : bp + $K], ' ')) AS fp
+      |  FROM bpos),
+      |bkeep AS (SELECT fp FROM bfp GROUP BY fp HAVING COUNT(*) <= $BF),
+      |bprobe AS (SELECT * FROM bfp JOIN bkeep USING (fp)),
+      |cpos AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - $K)) AS cp,
+      |    toks
+      |  FROM corpk),
+      |cfp AS (
+      |  SELECT doc_id, cp,
+      |    md5(array_to_string(toks[cp + 1 : cp + $K], ' ')) AS fp
+      |  FROM cpos),
+      |matches AS (
+      |  SELECT c.doc_id, b.bench_id, c.cp, b.bp
+      |  FROM cfp c JOIN bprobe b USING (fp)),
+      |isl AS (
+      |  SELECT doc_id, bench_id, cp - bp AS diag, cp,
+      |    cp - row_number() OVER (
+      |      PARTITION BY doc_id, bench_id, cp - bp ORDER BY cp) AS iid
+      |  FROM matches),
+      |runs AS (
+      |  SELECT doc_id, bench_id, diag, COUNT(*) AS rl, MIN(cp) AS c0
+      |  FROM isl GROUP BY doc_id, bench_id, diag, iid),
+      |lruns AS MATERIALIZED (SELECT * FROM runs WHERE rl + ${K - 1} >= $L),
+      |spans AS (
+      |  SELECT DISTINCT doc_id, c0 AS s, c0 + rl + ${K - 2} AS e
+      |  FROM lruns),
+      |$sweepCte,
+      |lng AS (
+      |  SELECT doc_id, CAST(MAX(rl) + ${K - 1} AS BIGINT)
+      |    AS longest_contam_tokens
+      |  FROM lruns GROUP BY doc_id),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM corpk)
+      |SELECT c.doc_id, l.n_tokens, c.n_regions,
+      |  c.covered_tokens AS contam_tokens, g.longest_contam_tokens,
+      |  round(CAST(c.covered_tokens AS DOUBLE)
+      |    / CAST(l.n_tokens AS DOUBLE), 6) + 0.0 AS contam_frac
+      |FROM cov c
+      |JOIN lng g ON c.doc_id = g.doc_id
+      |JOIN lens l ON c.doc_id = l.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q350_substring_dedup" -> (q350SubstringDedup _))
+    "q350_substring_dedup" -> (q350SubstringDedup _),
+    "q351_removal_mask" -> (q351RemovalMask _),
+    "q352_contam_spans" -> (q352ContamSpans _))
 
   def oracles: Map[String, String] = Map(
-    "q350_substring_dedup" -> q350Sql)
+    "q350_substring_dedup" -> q350Sql,
+    "q351_removal_mask" -> q351Sql,
+    "q352_contam_spans" -> q352Sql)
 }

@@ -58,4 +58,43 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!rows.contains((2L, 3L)))
     assert(rows.keySet == Set((1L, 2L), (1L, 3L)))
   }
+
+  // ------------------------------------------------------------- q351
+  // Same fixture, removal-mask side: doc 1 is the earliest (keeper, no
+  // mask row); doc 2 masks its single 30-token excerpt; doc 3 masks two
+  // disjoint regions (the 10-token z-gap keeps them from merging); the
+  // sub-L runs of pair (2,3) contribute nothing.
+  private lazy val maskRows = {
+    val dir = Files.createTempDirectory("graft-substr-mask")
+    val a = (t: Int) => s"a$t"
+    val d1 = (1 to 60).map(a).mkString(" ")
+    val d2 = ((1 to 9).map(j => s"x$j") ++ (11 to 40).map(a) ++
+      (1 to 20).map(j => s"y$j")).mkString(" ")
+    val d3 = ((1 to 20).map(a) ++ (1 to 10).map(j => s"z$j") ++
+      (31 to 50).map(a)).mkString(" ")
+    Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    SubstringQueries.q351RemovalMask(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("the earliest document of every pair carries no removal mask") {
+    assert(maskRows.keySet == Set(2L, 3L), "doc 1 keeps; 2 and 3 mask")
+  }
+
+  test("a single excerpt yields one region with exact coverage") {
+    val r = maskRows(2L)
+    assert(r.getAs[Long]("n_regions") == 1L)
+    assert(r.getAs[Long]("covered_tokens") == 30L, "a11..a40 at pos 9..38")
+    assert(r.getAs[Long]("n_tokens") == 59L)
+    assert(math.abs(r.getAs[Double]("removable_frac") - 30.0 / 59) < 1e-6)
+  }
+
+  test("gap-separated spans stay two regions; coverage sums exactly") {
+    val r = maskRows(3L)
+    assert(r.getAs[Long]("n_regions") == 2L, "positions 0..19 and 30..49")
+    assert(r.getAs[Long]("covered_tokens") == 40L)
+    assert(r.getAs[Double]("removable_frac") == 0.8)
+  }
 }
