@@ -97,4 +97,67 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("covered_tokens") == 40L)
     assert(r.getAs[Double]("removable_frac") == 0.8)
   }
+
+  // ------------------------------------------------------------- q352
+  // Benchmark contamination fixture: bench docs 7 (b1..b40) and
+  // 17 (d1..d40); corpus docs exercise the injected leak (doc 3 gains
+  // b1..b30 by construction), an organic verbatim quote (doc 11), a
+  // gap-split two-region doc (doc 21), an ADJACENT cross-bench pair
+  // that must merge to one region (doc 31), and a clean doc (doc 12).
+  private lazy val contamRows = {
+    val dir = Files.createTempDirectory("graft-substr-contam")
+    val b = (t: Int) => s"b$t"; val d = (t: Int) => s"d$t"
+    val mk = (xs: Seq[String]) => xs.mkString(" ")
+    Seq(
+      (7L, mk((1 to 40).map(b)), "en"),
+      (17L, mk((1 to 40).map(d)), "en"),
+      (3L, mk((1 to 20).map(j => s"c$j")), "en"),
+      (11L, mk((1 to 5).map(j => s"u$j") ++ (5 to 24).map(b) ++
+        (1 to 5).map(j => s"v$j")), "en"),
+      (12L, mk((1 to 20).map(j => s"z$j")), "en"),
+      (21L, mk((1 to 26).map(b) ++ (1 to 10).map(j => s"x$j") ++
+        (1 to 26).map(b)), "en"),
+      (31L, mk((1 to 20).map(b) ++ (1 to 20).map(d)), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    SubstringQueries.q352ContamSpans(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("clean docs and bench docs are absent; the leak set is exact") {
+    assert(contamRows.keySet == Set(3L, 11L, 21L, 31L))
+  }
+
+  test("the injected 30-token leak is recovered span-exactly") {
+    val r = contamRows(3L)
+    assert(r.getAs[Long]("n_tokens") == 50L, "20 own + 30 injected")
+    assert(r.getAs[Long]("n_regions") == 1L)
+    assert(r.getAs[Long]("contam_tokens") == 30L)
+    assert(r.getAs[Long]("longest_contam_tokens") == 30L)
+    assert(r.getAs[Double]("contam_frac") == 0.6)
+  }
+
+  test("an embedded verbatim quote masks exactly its own extent") {
+    val r = contamRows(11L)
+    assert(r.getAs[Long]("contam_tokens") == 20L &&
+      r.getAs[Long]("n_regions") == 1L)
+    assert(math.abs(r.getAs[Double]("contam_frac") - 0.666667) < 1e-9,
+      "20 of 30 tokens, 6-dp snap")
+  }
+
+  test("a gap keeps two regions; repeated quotes both count") {
+    val r = contamRows(21L)
+    assert(r.getAs[Long]("n_regions") == 2L)
+    assert(r.getAs[Long]("contam_tokens") == 52L)
+    assert(r.getAs[Long]("longest_contam_tokens") == 26L)
+  }
+
+  test("adjacent spans from two different bench docs merge to one region") {
+    val r = contamRows(31L)
+    assert(r.getAs[Long]("n_regions") == 1L, "[0,19] + [20,39] are adjacent")
+    assert(r.getAs[Long]("contam_tokens") == 40L)
+    assert(r.getAs[Double]("contam_frac") == 1.0)
+    assert(r.getAs[Long]("longest_contam_tokens") == 20L,
+      "merge is mask-level; no single span crosses the bench boundary")
+  }
 }
