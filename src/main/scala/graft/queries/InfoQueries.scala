@@ -1060,7 +1060,102 @@ object InfoQueries {
       |  mad, conformity
       |FROM f2 CROSS JOIN m2 ORDER BY d2""".stripMargin
 
+  // --------------------------------------------------------------- q353
+  /** Pairwise 1-Wasserstein (earth-mover) distance matrix between the
+    * per-nation order-quantity distributions, with the KS statistic
+    * beside it — the drift metric the divergence family here lacks: KL
+    * (q140), JS (q257/q285), and PSI (q187) are support-pointwise and
+    * blind to ORDER (moving mass from qty 1 to qty 2 scores the same as
+    * 1 to 50); W₁ = ∫|F_a − F_b| dv prices drift by how far the mass
+    * moved, which is what shifting quantity/price distributions mean
+    * operationally.
+    *
+    * Exactness: the census CDFs are exact integer ratios; each support
+    * term |cum_a/n_a − cum_b/n_b|·Δv is one deterministic IEEE chain on
+    * those integers, snapped to 9 dp and summed as DECIMAL(12,9) (the
+    * q257 term convention); KS is the max of the same snapped terms
+    * normalized by Δv.
+    *
+    * Scale shape: one map-side-combinable census (nation × quantity,
+    * ≤25×50 rows) is the only fact-scale pass; the dense grid, CDF
+    * windows, support-spacing join, and the a<b pair join all run on
+    * broadcast census rows (≤31k pair-terms) — constant at any corpus.
+    * The fact join to nation is a broadcast dim join. */
+  def q353WassersteinMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Kpis.table(spark, dir, "lineitem")
+    val sup = Kpis.table(spark, dir, "supplier")
+    val nat = Kpis.table(spark, dir, "nation")
+    val census = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        col("l_quantity").cast("int").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val nations = census.select(col("nation")).distinct()
+    val support = census.select(col("v")).distinct()
+      .withColumn("dv", coalesce(lead(col("v"), 1).over(
+        Window.orderBy(col("v"))) - col("v"), lit(0)))
+    val grid = nations.crossJoin(broadcast(census.select(col("v")).distinct()))
+      .join(census, Seq("nation", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("nation")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("nation"))))
+    val a = grid.select(col("nation").as("nation_a"), col("v"),
+      col("cum").as("cua"), col("n").as("na"))
+    val b = grid.select(col("nation").as("nation_b"), col("v"),
+      col("cum").as("cub"), col("n").as("nb"))
+    val gap = abs(col("cua").cast("double") / col("na").cast("double") -
+      col("cub").cast("double") / col("nb").cast("double"))
+    a.join(b, Seq("v")).filter(col("nation_a") < col("nation_b"))
+      .join(broadcast(support), Seq("v"))
+      .select(col("nation_a"), col("nation_b"),
+        round(gap * col("dv").cast("double"), 9)
+          .cast("decimal(12,9)").as("t"),
+        round(gap, 9).cast("decimal(12,9)").as("g"))
+      .groupBy(col("nation_a"), col("nation_b"))
+      .agg(sum(col("t")).cast("double").as("w1_qty"),
+        max(col("g")).cast("double").as("ks_qty"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  val q353Sql: String =
+    """WITH census AS (
+      |  SELECT n.n_name AS nation, CAST(l.l_quantity AS INTEGER) AS v,
+      |    COUNT(*) AS c
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |support AS (
+      |  SELECT v, COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS dv
+      |  FROM (SELECT DISTINCT v FROM census)),
+      |grid AS (
+      |  SELECT nn.nation, sv.v, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT nation FROM census) nn
+      |  CROSS JOIN (SELECT DISTINCT v FROM census) sv
+      |  LEFT JOIN census c ON c.nation = nn.nation AND c.v = sv.v),
+      |g AS (
+      |  SELECT nation, v,
+      |    SUM(c) OVER (PARTITION BY nation ORDER BY v) AS cum,
+      |    SUM(c) OVER (PARTITION BY nation) AS n
+      |  FROM grid),
+      |terms AS (
+      |  SELECT a.nation AS nation_a, b.nation AS nation_b,
+      |    CAST(round(abs(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      * CAST(s.dv AS DOUBLE), 9) AS DECIMAL(12,9)) AS t,
+      |    CAST(round(abs(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE)), 9)
+      |      AS DECIMAL(12,9)) AS g
+      |  FROM g a
+      |  JOIN g b ON a.v = b.v AND a.nation < b.nation
+      |  JOIN support s ON s.v = a.v)
+      |SELECT nation_a, nation_b, CAST(SUM(t) AS DOUBLE) AS w1_qty,
+      |  CAST(MAX(g) AS DOUBLE) AS ks_qty
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_wasserstein_matrix" -> (q353WassersteinMatrix _),
     "q338_benford_2digit" -> (q338Benford2Digit _),
     "q328_feature_ig" -> (q328FeatureIg _),
     "q285_circadian_js" -> (q285CircadianJs _),
@@ -1076,6 +1171,7 @@ object InfoQueries {
     "q187_psi_drift" -> (q187PsiDrift _))
 
   def oracles: Map[String, String] = Map(
+    "q353_wasserstein_matrix" -> q353Sql,
     "q328_feature_ig" -> q328Sql,
     "q338_benford_2digit" -> q338Sql,
     "q285_circadian_js" -> q285Sql,

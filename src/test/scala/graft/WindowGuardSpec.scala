@@ -124,6 +124,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q187_psi_drift",        // (source, length-bucket) grid census
     "q192_kaplan_meier",     // gap-day census (date-range-bounded)
     "q347_logrank_test",     // gap-day census (date-range-bounded), as q192
+    "q353_wasserstein_matrix", // support-spacing lead: 50-row quantity value census
     "q196_equidepth_hist",   // RangeRank offset prefix: <= #partitions rows
     "q197_crosscorr",        // daily click/purchase census
     "q203_mann_whitney",     // l_quantity value census: 50 rows
