@@ -1338,7 +1338,130 @@ object SeriesQueries {
       |  abs(f_bottom_up - actual) AS abs_err_bottom_up
       |FROM td, bu""".stripMargin
 
+  // --------------------------------------------------------------- q354
+  /** Pairwise dynamic-time-warping distance matrix between the 25
+    * per-nation monthly-revenue series — the alignment-aware series
+    * similarity the point-wise family here lacks: cross-correlation
+    * (q197) only shifts whole series by a fixed lag, and Euclidean
+    * month-by-month comparison penalizes a one-month phase slip along
+    * the whole series; DTW's monotone warping path absorbs local
+    * tempo differences (a nation whose seasonal peak lands a month
+    * late) and prices only genuine level differences. The classic
+    * O(m²) DP runs as a RELATIONAL FOLD — `aggregate` over one series
+    * carrying the previous DP row, with an inner `aggregate` over the
+    * other building the next row (the q327 convention: the identical
+    * fold replayed as nested DuckDB `list_reduce`).
+    *
+    * Exactness: series values are exact integer revenue cents (q273's
+    * round(×100) convention); every DP cell is |Δ| + min of three
+    * BIGINTs — no floating point until the final cents→dollars
+    * divisions by 100.0 and by the 2m step bound.
+    *
+    * Scale shape: one map-side-combinable (nation × month) census is
+    * the only fact-scale pass (broadcast dim joins); the dense grid,
+    * the per-nation sorted vector collapse, and the 300-pair DP all
+    * run on ≤25×|months| census rows. The DP is per-pair-row lambda
+    * compute — embarrassingly parallel across the pair census, zero
+    * shuffle, and constant in the corpus size. */
+  def q354DtwMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val nat = broadcast(Kpis.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val monthly = Kpis.table(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), trunc(col("o_orderdate"), "MM").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val months = monthly.select(col("mon")).distinct()
+    val vecs = monthly.select(col("c_nationkey")).distinct()
+      .crossJoin(broadcast(months))
+      .join(monthly, Seq("c_nationkey", "mon"), "left")
+      .na.fill(0L, Seq("cents"))
+      .groupBy(col("c_nationkey"))
+      .agg(transform(sort_array(collect_list(struct(col("mon"),
+        col("cents")))), s => s.getField("cents")).as("v"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("v"))
+    val dtwCents = expr(
+      """element_at(
+        |  aggregate(
+        |    slice(va, 2, size(va) - 1),
+        |    transform(sequence(1, size(vb)), j ->
+        |      aggregate(slice(vb, 1, j), CAST(0 AS BIGINT),
+        |        (s, y) -> s + abs(element_at(va, 1) - y))),
+        |    (prev, x) ->
+        |      aggregate(
+        |        slice(vb, 2, size(vb) - 1),
+        |        array(abs(x - element_at(vb, 1)) + element_at(prev, 1)),
+        |        (cur, y) -> concat(cur, array(abs(x - y) +
+        |          least(element_at(prev, size(cur) + 1),
+        |                element_at(prev, size(cur)),
+        |                element_at(cur, size(cur))))))),
+        |  -1)""".stripMargin)
+    vecs.select(col("nation").as("nation_a"), col("v").as("va"))
+      .crossJoin(broadcast(
+        vecs.select(col("nation").as("nation_b"), col("v").as("vb"))))
+      .filter(col("nation_a") < col("nation_b"))
+      .select(col("nation_a"), col("nation_b"),
+        dtwCents.as("dtw_cents"), size(col("va")).as("m"))
+      .select(col("nation_a"), col("nation_b"), col("dtw_cents"),
+        (col("dtw_cents").cast("double") / 100.0).as("dtw_dollars"),
+        (round(col("dtw_cents").cast("double") /
+          (lit(2.0) * col("m").cast("double")), 4) / 100.0)
+          .as("avg_step_dollars"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  val q354Sql: String =
+    """WITH monthly AS (
+      |  SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS mon,
+      |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |months AS (SELECT DISTINCT mon FROM monthly),
+      |grid AS (
+      |  SELECT nk.c_nationkey, ms.mon, COALESCE(m.cents, 0) AS cents
+      |  FROM (SELECT DISTINCT c_nationkey FROM monthly) nk
+      |  CROSS JOIN months ms
+      |  LEFT JOIN monthly m
+      |    ON m.c_nationkey = nk.c_nationkey AND m.mon = ms.mon),
+      |vecs AS (
+      |  SELECT n.n_name AS nation,
+      |    list_transform(
+      |      list_sort(list({'mon': g.mon, 'cents': g.cents})),
+      |      s -> s.cents) AS v
+      |  FROM grid g JOIN nation n ON g.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.nation AS nation_a, b.nation AS nation_b,
+      |    a.v AS va, b.v AS vb
+      |  FROM vecs a JOIN vecs b ON a.nation < b.nation),
+      |dp AS (
+      |  SELECT nation_a, nation_b, len(va) AS m,
+      |    list_reduce(
+      |      [list_transform(range(1, len(vb) + 1),
+      |          j -> CAST(list_sum(list_transform(
+      |            vb[1:CAST(j AS INTEGER)], y -> abs(va[1] - y)))
+      |            AS BIGINT))]
+      |      || list_transform(va[2:], x -> [x]),
+      |      (prev, xx) ->
+      |        list_reduce(
+      |          [[abs(xx[1] - vb[1]) + prev[1]]]
+      |          || list_transform(vb[2:], y -> [y]),
+      |          (cur, yy) -> cur || [abs(xx[1] - yy[1]) +
+      |            least(prev[CAST(len(cur) + 1 AS INTEGER)],
+      |                  prev[CAST(len(cur) AS INTEGER)], cur[-1])]
+      |        )
+      |    )[-1] AS dtw_cents
+      |  FROM pairs)
+      |SELECT nation_a, nation_b, CAST(dtw_cents AS BIGINT) AS dtw_cents,
+      |  CAST(dtw_cents AS DOUBLE) / 100.0 AS dtw_dollars,
+      |  round(CAST(dtw_cents AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)), 4)
+      |    / 100.0 AS avg_step_dollars
+      |FROM dp ORDER BY nation_a, nation_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_dtw_matrix" -> (q354DtwMatrix _),
     "q317_hier_forecast" -> (q317HierForecast _),
     "q303_permutation_entropy" -> (q303PermutationEntropy _),
     "q301_peak_trailing_window" -> (q301PeakTrailingWindow _),
@@ -1938,6 +2061,7 @@ object SeriesQueries {
       |FROM win ORDER BY ship_day""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q354_dtw_matrix" -> q354Sql,
     "q317_hier_forecast" -> q317Sql,
     "q303_permutation_entropy" -> q303Sql,
     "q301_peak_trailing_window" -> q301Sql,
