@@ -88,9 +88,173 @@ object ShardQueries {
       |FROM flags""".stripMargin
   }
 
+  // --------------------------------------------------------------- q355
+  /** Z-order vs linear file-layout skip audit — the lakehouse
+    * OPTIMIZE ZORDER decision as an audited number. Lineitem rows are
+    * assigned to 64 equal "files" under three layouts — sorted by ship
+    * date, sorted by part key, and sorted by the Morton z-value
+    * interleaving the two 16-bit dimensions — then every file's
+    * (min, max) zone map of BOTH dimensions is probed by two realistic
+    * workloads: one month-range predicate per distinct ship month, and
+    * 32 equal-width part-key ranges. Reported per layout: average
+    * files a date probe must scan, average for a part probe, and the
+    * combined mean — certifying the z-order trade (each single
+    * dimension a bit worse than its dedicated sort, the mixed workload
+    * far better than either's worst case).
+    *
+    * Exactness: day indices, part keys, bit-interleaved z-values, file
+    * assignments (NTILE arithmetic on exact global rank), zone bounds,
+    * and overlap counts are all integers; the three averages are
+    * single int/int divisions snapped to 6 dp.
+    *
+    * Scale shape: file assignment is [[graft.operators.RangeRank
+    * .withNtile]] — range shuffle + broadcast offsets, never a
+    * single-partition window — once per layout over the persisted
+    * z-augmented fact (the z-value itself is a per-row 16-step integer
+    * fold, map-side); zone maps collapse to 64 rows per layout and the
+    * probe joins run on broadcast censuses (≤84 months, 32 ranges).
+    * The 16-bit dimension normalization is the fixture's domain
+    * (days < 2^13, part keys < 2^15 at sf0.1); production would
+    * min-max-rescale each dimension to 16 bits first. */
+  def q355ZorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(datediff(col("l_shipdate"), epoch).as("d"),
+        col("l_partkey").cast("int").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+    val base = li.withColumn("z", expr(
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc
+        |  + shiftleft(CAST(shiftright(d, b) & 1 AS BIGINT), 2 * b + 1)
+        |  + shiftleft(CAST(shiftright(p, b) & 1 AS BIGINT), 2 * b))"""
+        .stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def zoneMaps(name: String, keys: Seq[org.apache.spark.sql.Column]) =
+      graft.operators.RangeRank.withNtile(base, "f", 64, keys)
+        .groupBy(col("f"))
+        .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+        .withColumn("layout", lit(name))
+    val zm = zoneMaps("1_by_date",
+        Seq(col("d"), col("p"), col("l_orderkey"), col("l_linenumber")))
+      .unionAll(zoneMaps("2_by_part",
+        Seq(col("p"), col("d"), col("l_orderkey"), col("l_linenumber"))))
+      .unionAll(zoneMaps("3_zorder",
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dateProbes = Kpis.table(spark, dir, "lineitem")
+      .select(trunc(col("l_shipdate"), "MM").as("mon")).distinct()
+      .select(datediff(col("mon"), epoch).as("lo"),
+        datediff(last_day(col("mon")), epoch).as("hi"))
+    val partProbes = Kpis.table(spark, dir, "part")
+      .agg(min(col("p_partkey")).cast("int").as("pmin"),
+        max(col("p_partkey")).cast("int").as("pmax"))
+      .select(col("pmin"), col("pmax"),
+        expr("(pmax - pmin) div 32 + 1").as("w"))
+      .select(explode(sequence(lit(0), lit(31))).as("k"),
+        col("pmin"), col("pmax"), col("w"))
+      .select((col("pmin") + col("k") * col("w")).as("lo"),
+        least(col("pmin") + (col("k") + 1) * col("w") - 1,
+          col("pmax")).as("hi"))
+    def scannedPairs(probes: DataFrame, lo: String, hi: String,
+        out: String) =
+      zm.join(broadcast(probes),
+          col(s"min_$lo") <= col("hi") && col(s"max_$lo") >= col("lo"))
+        .groupBy(col("layout")).agg(count(lit(1)).as(out))
+    val dp = scannedPairs(dateProbes, "d", "d", "dpairs")
+    val pp = scannedPairs(partProbes, "p", "p", "ppairs")
+    val out = graft.plans.Eager.ckpt(
+      zm.groupBy(col("layout")).agg(count(lit(1)).as("n_files"))
+        .join(dp, "layout").join(pp, "layout")
+        .crossJoin(broadcast(dateProbes.agg(count(lit(1)).as("n_dp"))))
+        .crossJoin(broadcast(partProbes.agg(count(lit(1)).as("n_pp"))))
+        .select(col("layout"), col("n_files"),
+          (round(col("dpairs").cast("double") / col("n_dp").cast("double"),
+            6) + lit(0.0)).as("avg_files_date_probe"),
+          (round(col("ppairs").cast("double") / col("n_pp").cast("double"),
+            6) + lit(0.0)).as("avg_files_part_probe"),
+          (round((col("dpairs").cast("double") / col("n_dp").cast("double")
+            + col("ppairs").cast("double") / col("n_pp").cast("double"))
+            / 2.0, 6) + lit(0.0)).as("avg_files_combined"))
+        .orderBy("layout"))
+    zm.unpersist(); base.unpersist()
+    out
+  }
+
+  val q355Sql: String = {
+    val z =
+      """CAST(list_sum(list_transform(range(0, 16), b ->
+        |    (CAST((d >> CAST(b AS INTEGER)) & 1 AS BIGINT)
+        |      << CAST(2 * b + 1 AS INTEGER))
+        |    + (CAST((p >> CAST(b AS INTEGER)) & 1 AS BIGINT)
+        |      << CAST(2 * b AS INTEGER)))) AS BIGINT)""".stripMargin
+    s"""WITH base AS (
+      |  SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS d,
+      |    CAST(l_partkey AS INTEGER) AS p, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |bz AS MATERIALIZED (SELECT *, $z AS z FROM base),
+      |t1 AS (SELECT d, p,
+      |  NTILE(64) OVER (ORDER BY d, p, l_orderkey, l_linenumber) AS f
+      |  FROM bz),
+      |t2 AS (SELECT d, p,
+      |  NTILE(64) OVER (ORDER BY p, d, l_orderkey, l_linenumber) AS f
+      |  FROM bz),
+      |t3 AS (SELECT d, p,
+      |  NTILE(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f
+      |  FROM bz),
+      |zm AS MATERIALIZED (
+      |  SELECT '1_by_date' AS layout, f, MIN(d) AS min_d, MAX(d) AS max_d,
+      |    MIN(p) AS min_p, MAX(p) AS max_p FROM t1 GROUP BY f
+      |  UNION ALL
+      |  SELECT '2_by_part', f, MIN(d), MAX(d), MIN(p), MAX(p)
+      |  FROM t2 GROUP BY f
+      |  UNION ALL
+      |  SELECT '3_zorder', f, MIN(d), MAX(d), MIN(p), MAX(p)
+      |  FROM t3 GROUP BY f),
+      |dprobes AS MATERIALIZED (
+      |  SELECT datediff('day', DATE '1992-01-01', mon) AS lo,
+      |    datediff('day', DATE '1992-01-01', last_day(mon)) AS hi
+      |  FROM (SELECT DISTINCT date_trunc('month', l_shipdate) AS mon
+      |        FROM lineitem)),
+      |pbounds AS (
+      |  SELECT CAST(MIN(p_partkey) AS INTEGER) AS pmin,
+      |    CAST(MAX(p_partkey) AS INTEGER) AS pmax,
+      |    (CAST(MAX(p_partkey) AS INTEGER)
+      |      - CAST(MIN(p_partkey) AS INTEGER)) // 32 + 1 AS w
+      |  FROM part),
+      |pprobes AS MATERIALIZED (
+      |  SELECT pmin + k * w AS lo,
+      |    least(pmin + (k + 1) * w - 1, pmax) AS hi
+      |  FROM pbounds, UNNEST(range(0, 32)) AS t(k)),
+      |dp AS (
+      |  SELECT layout, COUNT(*) AS dpairs
+      |  FROM zm JOIN dprobes pr ON zm.min_d <= pr.hi AND zm.max_d >= pr.lo
+      |  GROUP BY layout),
+      |pp AS (
+      |  SELECT layout, COUNT(*) AS ppairs
+      |  FROM zm JOIN pprobes pr ON zm.min_p <= pr.hi AND zm.max_p >= pr.lo
+      |  GROUP BY layout),
+      |nf AS (SELECT layout, COUNT(*) AS n_files FROM zm GROUP BY layout),
+      |nd AS (SELECT COUNT(*) AS n_dp FROM dprobes),
+      |np AS (SELECT COUNT(*) AS n_pp FROM pprobes)
+      |SELECT nf.layout, nf.n_files,
+      |  round(CAST(dpairs AS DOUBLE) / CAST(n_dp AS DOUBLE), 6) + 0.0
+      |    AS avg_files_date_probe,
+      |  round(CAST(ppairs AS DOUBLE) / CAST(n_pp AS DOUBLE), 6) + 0.0
+      |    AS avg_files_part_probe,
+      |  round((CAST(dpairs AS DOUBLE) / CAST(n_dp AS DOUBLE)
+      |    + CAST(ppairs AS DOUBLE) / CAST(n_pp AS DOUBLE)) / 2.0, 6) + 0.0
+      |    AS avg_files_combined
+      |FROM nf JOIN dp ON nf.layout = dp.layout
+      |JOIN pp ON nf.layout = pp.layout
+      |CROSS JOIN nd CROSS JOIN np
+      |ORDER BY nf.layout""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q297_shard_stability" -> (q297ShardStability _))
+    "q297_shard_stability" -> (q297ShardStability _),
+    "q355_zorder_skip" -> (q355ZorderSkip _))
 
   def oracles: Map[String, String] = Map(
-    "q297_shard_stability" -> q297Sql)
+    "q297_shard_stability" -> q297Sql,
+    "q355_zorder_skip" -> q355Sql)
 }
