@@ -690,7 +690,179 @@ object EstimateQueries {
       |FROM regs, summary, exact, est ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- q356
+  /** HLL MERGEABILITY certificate — the property that makes q349's
+    * sketch a distributed object at all: per-source register sets
+    * max-merged must equal the registers built directly over the union
+    * stream (max is associative/commutative/idempotent, so sketches
+    * combine across 1000 executors or 20 ingest sources with zero
+    * error — unlike an average or a sample). This query replays that
+    * algebra relationally: one row per source with its own register
+    * summary, estimate, and exact distinct-vocabulary cert, plus a
+    * final `union` row whose registers come from the per-source
+    * MAX-merge and whose `registers_agree` column counts bucket-level
+    * agreement with the direct global build (64 = perfect).
+    *
+    * Exactness: q349's machinery verbatim — md5-60-bit hash, power-
+    * table rank join, capped ranks, BIGINT scaled harmonic sums, the
+    * same linear-counting branch (which MAY fire for small per-source
+    * vocabularies, deterministically in both engines).
+    *
+    * Scale shape: ONE map-side hash pass over the (source, term)
+    * distinct stream; everything after is (source × 64)-grid censuses
+    * and 64-row merges. The per-source exact counts ride the same
+    * distinct shuffle. This is the cert for sharded ingest: registers
+    * written per shard/day can be OR-merged later without rereading. */
+  def q356HllMergeCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val st = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kTbl = spark.range(55).select(col("id").cast("int").as("k"))
+      .withColumn("lo", pow(lit(2.0), col("k")).cast("long"))
+      .withColumn("hi", pow(lit(2.0), col("k") + 1).cast("long"))
+    val ranked = st
+      .withColumn("h", md5Hash60(col("term")))
+      .withColumn("bucket", col("h").bitwiseAND(lit(63L)))
+      .withColumn("w", shiftright(col("h"), 6))
+      .join(broadcast(kTbl),
+        col("w") >= col("lo") && col("w") < col("hi"), "left")
+      .withColumn("rank",
+        least(lit(55) - coalesce(col("k") + lit(1), lit(0)), lit(30)))
+    val buckets = spark.range(64).select(col("id").cast("long").as("bucket"))
+    val srcRegs = st.select(col("source")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(ranked.groupBy(col("source"), col("bucket"))
+        .agg(max(col("rank")).as("mr")), Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        coalesce(col("mr"), lit(0)).cast("long").as("register"))
+    val merged = srcRegs.groupBy(col("bucket"))
+      .agg(max(col("register")).as("mreg"))
+    val direct = buckets.join(
+        ranked.groupBy(col("bucket")).agg(max(col("rank")).as("gr")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("gr"), lit(0)).cast("long")
+        .as("greg"))
+    val agree = merged.join(direct, "bucket")
+      .agg(sum((col("mreg") === col("greg")).cast("long"))
+        .as("registers_agree"))
+    def summarize(regs: DataFrame, reg: String, keys: Seq[String]) = {
+      val g = if (keys.isEmpty) regs.groupBy() else regs.groupBy(keys.head)
+      g.agg(
+        sum(pow(lit(2.0), lit(30) - col(reg)).cast("long")).as("sum_scaled"),
+        sum(when(col(reg) === 0L, 1L).otherwise(0L)).as("n_zero_registers"))
+    }
+    def estOf(sumScaled: org.apache.spark.sql.Column,
+        nZero: org.apache.spark.sql.Column) = {
+      val raw = lit(2904.064) * lit(1073741824.0) / sumScaled.cast("double")
+      when(raw <= lit(160.0) && nZero > 0L,
+        lit(64.0) * log(lit(64.0) / nZero.cast("double"))).otherwise(raw)
+    }
+    val perSrc = summarize(srcRegs, "register", Seq("source"))
+      .join(st.groupBy(col("source")).agg(count(lit(1)).as("n_exact")),
+        "source")
+      .select(col("source").as("scope"), col("n_exact"),
+        col("n_zero_registers"), col("sum_scaled"),
+        lit(null).cast("long").as("registers_agree"))
+    val unionRow = summarize(merged, "mreg", Seq.empty)
+      .crossJoin(broadcast(st.select(col("term")).distinct()
+        .agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(agree))
+      .select(lit("union").as("scope"), col("n_exact"),
+        col("n_zero_registers"), col("sum_scaled"), col("registers_agree"))
+    val e = estOf(col("sum_scaled"), col("n_zero_registers"))
+    val out = graft.plans.Eager.ckpt(perSrc.unionAll(unionRow)
+      .select(col("scope"), col("n_exact"), col("n_zero_registers"),
+        col("sum_scaled"),
+        (round(e, 6) + lit(0.0)).as("hll_estimate"),
+        (round((e - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6) + lit(0.0)).as("rel_error"),
+        col("registers_agree"))
+      .orderBy("scope"))
+    st.unpersist()
+    out
+  }
+
+  val q356Sql: String = {
+    val h = md5Hash60Sql("term")
+    s"""WITH stok AS (
+      |  SELECT DISTINCT source, term FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0),
+      |kt AS (
+      |  SELECT CAST(range AS INTEGER) AS k,
+      |    CAST(POWER(2, range) AS BIGINT) AS lo,
+      |    CAST(POWER(2, range + 1) AS BIGINT) AS hi
+      |  FROM range(55)),
+      |ranked AS (
+      |  SELECT source, ($h & 63) AS bucket,
+      |    LEAST(55 - COALESCE(k + 1, 0), 30) AS rnk
+      |  FROM stok LEFT JOIN kt ON ($h >> 6) >= lo AND ($h >> 6) < hi),
+      |srcregs AS MATERIALIZED (
+      |  SELECT s.source, CAST(g.range AS BIGINT) AS bucket,
+      |    CAST(COALESCE(MAX(r.rnk), 0) AS BIGINT) AS register
+      |  FROM (SELECT DISTINCT source FROM stok) s
+      |  CROSS JOIN range(64) g
+      |  LEFT JOIN ranked r ON r.source = s.source AND r.bucket = g.range
+      |  GROUP BY 1, 2),
+      |merged AS MATERIALIZED (
+      |  SELECT bucket, MAX(register) AS mreg FROM srcregs GROUP BY 1),
+      |direct AS (
+      |  SELECT CAST(g.range AS BIGINT) AS bucket,
+      |    CAST(COALESCE(MAX(r.rnk), 0) AS BIGINT) AS greg
+      |  FROM range(64) g LEFT JOIN ranked r ON r.bucket = g.range
+      |  GROUP BY 1),
+      |agree AS (
+      |  SELECT CAST(SUM(CASE WHEN m.mreg = d.greg THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS registers_agree
+      |  FROM merged m JOIN direct d ON m.bucket = d.bucket),
+      |persrc AS (
+      |  SELECT sr.source AS scope,
+      |    CAST(SUM(CAST(POWER(2, 30 - register) AS BIGINT)) AS BIGINT)
+      |      AS sum_scaled,
+      |    CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero_registers
+      |  FROM srcregs sr GROUP BY 1),
+      |srcexact AS (
+      |  SELECT source AS scope, COUNT(*) AS n_exact
+      |  FROM stok GROUP BY 1),
+      |uexact AS (
+      |  SELECT COUNT(DISTINCT term) AS n_exact FROM stok),
+      |usum AS (
+      |  SELECT
+      |    CAST(SUM(CAST(POWER(2, 30 - mreg) AS BIGINT)) AS BIGINT)
+      |      AS sum_scaled,
+      |    CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero_registers
+      |  FROM merged),
+      |rows0 AS (
+      |  SELECT p.scope, e.n_exact, p.n_zero_registers, p.sum_scaled,
+      |    NULL::BIGINT AS registers_agree
+      |  FROM persrc p JOIN srcexact e ON p.scope = e.scope
+      |  UNION ALL
+      |  SELECT 'union', uexact.n_exact, usum.n_zero_registers,
+      |    usum.sum_scaled, agree.registers_agree
+      |  FROM usum, uexact, agree),
+      |est AS (
+      |  SELECT *, CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+      |      THEN 64.0 * LN(64.0 / CAST(n_zero_registers AS DOUBLE))
+      |      ELSE raw END AS e
+      |  FROM (SELECT *,
+      |      2904.064 * 1073741824.0 / CAST(sum_scaled AS DOUBLE) AS raw
+      |    FROM rows0))
+      |SELECT scope, n_exact, n_zero_registers, sum_scaled,
+      |  ROUND(e, 6) + 0.0 AS hll_estimate,
+      |  ROUND((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+      |    + 0.0 AS rel_error,
+      |  registers_agree
+      |FROM est ORDER BY scope""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_hll_merge_cert" -> (q356HllMergeCert _),
     "q349_hll_cert" -> (q349HllCert _),
     "q329_median_bootstrap" -> (q329MedianBootstrap _),
     "q299_bloom_fpr_cert" -> (q299BloomFprCert _),
@@ -1183,6 +1355,7 @@ object EstimateQueries {
 
   def oracles: Map[String, String] = Map(
     "q349_hll_cert" -> q349Sql,
+    "q356_hll_merge_cert" -> q356Sql,
     "q329_median_bootstrap" -> q329Sql,
     "q299_bloom_fpr_cert" -> q299Sql,
     "q204_sampled_dup_rate" -> q204Sql,
