@@ -22,16 +22,16 @@ object SubstringQueries {
 
   /** Shingle length: spans shorter than K are invisible (the standard
     * suffix-automaton min-match); K = 8 tokens. */
-  private val K = 8
+  private[graft] val K = 8
   /** Document-frequency cap: shingles occurring in more than F docs are
     * boilerplate, not provenance — they would quadratically inflate the
     * position join (every cross pair of occurrences) while stitching
     * into spans every pair shares. Dropping them breaks only spans made
     * PURELY of ubiquitous shingles; Lee et al.-style suffix dedup
     * applies the same frequency pruning. */
-  private val F = 8
+  private[graft] val F = 8
   /** Report pairs whose longest shared span reaches L tokens. */
-  private val L = 16
+  private[graft] val L = 16
 
   /** Shared stage chain of the substring family (q350/q351): the
     * maximal shared-run table. Tokenize → position-indexed K-shingle
@@ -267,7 +267,7 @@ object SubstringQueries {
   /** Boilerplate cap on the BENCH side of q352: fingerprints occurring at
     * more than BF benchmark positions are boilerplate phrases, not leaks;
     * dropping them bounds each corpus position's probe fan-out at BF. */
-  private val BF = 16
+  private[graft] val BF = 16
 
   /** Span-level benchmark contamination — the verbatim-leak modality the
     * set-overlap decontam (q48/q116) misses: a doc quoting one long
