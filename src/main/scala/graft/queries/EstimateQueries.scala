@@ -861,7 +861,159 @@ object EstimateQueries {
       |FROM est ORDER BY scope""".stripMargin
   }
 
+  // --------------------------------------------------------------- q357
+  /** KMV/theta-sketch set-operation certificate — the estimate family
+    * HLL (q349/q356) cannot provide: a k-minimum-values sketch is a
+    * uniform SAMPLE of the hashed key space below its threshold θ, so
+    * two sketches support INTERSECTION and union estimates, not just
+    * cardinality. Domain: distinct (part, supplier) supply
+    * relationships active in 1995 (side A) vs 1996 (side B) — the
+    * sketch answers "how many relationships survived the year" without
+    * a distinct-pair join, certified against the exact counts.
+    *
+    * Mechanics (k = 256): per side keep the k smallest md5-60-bit
+    * hashes via the native bounded TopK aggregate (k-min = k-max of
+    * the negated hash — map-side partial, never a window sort);
+    * θ_side = k-th minimum (or the full 2⁶⁰ range when a side holds
+    * fewer than k keys — the sketch then IS the set and estimates turn
+    * exact); est = (k−1)·2⁶⁰/θ. Intersection: the sample values
+    * present in BOTH sketches below θ = min(θ_A, θ_B), scaled by
+    * 2⁶⁰/θ. Union: the k smallest of the merged samples, same rule.
+    * Jaccard comes out as est_int/est_union beside its exact twin.
+    *
+    * Exactness: hashes/counts/thresholds are exact BIGINTs; each
+    * estimate is one literal·literal/integer IEEE chain snapped at
+    * 6 dp (q349's discipline); array order is ascending-hash in both
+    * engines.
+    *
+    * Scale shape: one distinct shuffle per side over (part, supp)
+    * pairs, then the bounded aggregate collapses each side to ≤ k
+    * longs map-combinably; every set operation runs on two ≤ 256-
+    * element arrays in a single census row. The exact counts ride the
+    * same distinct passes (cert-only, as q349). */
+  def q357ThetaSketchCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val KK = 256
+    val full = lit(1152921504606846976L) // 2^60: θ when the side is small
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(year(col("l_shipdate")).as("yr"), col("l_partkey"),
+        col("l_suppkey"))
+      .filter(col("yr").isin(1995, 1996))
+      .select((col("yr") - 1995).as("side"),
+        md5Hash60(concat(col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"))).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sideRow(s: Int, arr: String, n: String) =
+      li.filter(col("side") === s).groupBy()
+        .agg(transform(
+          graft.operators.TopK.topKLongPairs(-col("h"), col("h"), KK),
+          p => p.getField("id")).as(arr),
+          count(lit(1)).as(n))
+    val inter = li.groupBy(col("h"))
+      .agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .agg(count(lit(1)).as("n_exact_int"))
+    def theta(arr: org.apache.spark.sql.Column) =
+      when(size(arr) < KK, full).otherwise(element_at(arr, KK))
+    def estOf(arr: org.apache.spark.sql.Column,
+        th: org.apache.spark.sql.Column) =
+      when(size(arr) < KK, size(arr).cast("double"))
+        .otherwise(lit((KK - 1).toDouble) * lit(1.152921504606846976e18) /
+          th.cast("double"))
+    val thA = theta(col("ka")); val thB = theta(col("kb"))
+    val thI = least(thA, thB)
+    val uArr = slice(array_sort(array_distinct(
+      concat(col("ka"), col("kb")))), 1, KK)
+    val mInt = size(filter(array_intersect(col("ka"), col("kb")),
+      x => x < thI))
+    val estInt = mInt.cast("double") * lit(1.152921504606846976e18) /
+      thI.cast("double")
+    val estU = estOf(uArr, theta(uArr))
+    val out = graft.plans.Eager.ckpt(
+      sideRow(0, "ka", "n_exact_a").crossJoin(sideRow(1, "kb", "n_exact_b"))
+        .crossJoin(inter)
+        .select(lit(KK).as("k"),
+          col("n_exact_a"), col("n_exact_b"), col("n_exact_int"),
+          (round(estOf(col("ka"), thA), 6) + lit(0.0)).as("est_a"),
+          (round(estOf(col("kb"), thB), 6) + lit(0.0)).as("est_b"),
+          (round(estInt, 6) + lit(0.0)).as("est_int"),
+          (round(estU, 6) + lit(0.0)).as("est_union"),
+          (round((estInt - col("n_exact_int").cast("double")) /
+            col("n_exact_int").cast("double"), 6) + lit(0.0))
+            .as("rel_err_int"),
+          (round(col("n_exact_int").cast("double") /
+            (col("n_exact_a") + col("n_exact_b") - col("n_exact_int"))
+              .cast("double"), 6) + lit(0.0)).as("jaccard_exact"),
+          (round(estInt / estU, 6) + lit(0.0)).as("jaccard_est")))
+    li.unpersist()
+    out
+  }
+
+  val q357Sql: String = {
+    val h = md5Hash60Sql(
+      "CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT date_part('year', l_shipdate) - 1995 AS side,
+      |    $h AS h
+      |  FROM lineitem
+      |  WHERE date_part('year', l_shipdate) IN (1995, 1996)),
+      |ka AS (
+      |  SELECT list(h ORDER BY h) AS ka,
+      |    (SELECT COUNT(*) FROM pairs WHERE side = 0) AS n_exact_a
+      |  FROM (SELECT h FROM pairs WHERE side = 0 ORDER BY h LIMIT 256)),
+      |kb AS (
+      |  SELECT list(h ORDER BY h) AS kb,
+      |    (SELECT COUNT(*) FROM pairs WHERE side = 1) AS n_exact_b
+      |  FROM (SELECT h FROM pairs WHERE side = 1 ORDER BY h LIMIT 256)),
+      |ni AS (
+      |  SELECT COUNT(*) AS n_exact_int FROM (
+      |    SELECT h FROM pairs GROUP BY h HAVING COUNT(*) = 2)),
+      |base AS (
+      |  SELECT *,
+      |    CASE WHEN len(ka) < 256 THEN 1152921504606846976
+      |         ELSE ka[256] END AS tha,
+      |    CASE WHEN len(kb) < 256 THEN 1152921504606846976
+      |         ELSE kb[256] END AS thb,
+      |    list_sort(list_distinct(ka || kb))[1:256] AS ua
+      |  FROM ka, kb, ni),
+      |calc AS (
+      |  SELECT *,
+      |    LEAST(tha, thb) AS thi,
+      |    CASE WHEN len(ua) < 256 THEN 1152921504606846976
+      |         ELSE ua[256] END AS thu
+      |  FROM base),
+      |est AS (
+      |  SELECT *,
+      |    CASE WHEN len(ka) < 256 THEN CAST(len(ka) AS DOUBLE)
+      |         ELSE 255.0 * 1.152921504606846976e18 / CAST(tha AS DOUBLE)
+      |    END AS est_a,
+      |    CASE WHEN len(kb) < 256 THEN CAST(len(kb) AS DOUBLE)
+      |         ELSE 255.0 * 1.152921504606846976e18 / CAST(thb AS DOUBLE)
+      |    END AS est_b,
+      |    CAST(len(list_filter(list_intersect(ka, kb), x -> x < thi))
+      |      AS DOUBLE) * 1.152921504606846976e18 / CAST(thi AS DOUBLE)
+      |      AS est_int,
+      |    CASE WHEN len(ua) < 256 THEN CAST(len(ua) AS DOUBLE)
+      |         ELSE 255.0 * 1.152921504606846976e18 / CAST(thu AS DOUBLE)
+      |    END AS est_union
+      |  FROM calc)
+      |SELECT 256 AS k, n_exact_a, n_exact_b, n_exact_int,
+      |  ROUND(est_a, 6) + 0.0 AS est_a,
+      |  ROUND(est_b, 6) + 0.0 AS est_b,
+      |  ROUND(est_int, 6) + 0.0 AS est_int,
+      |  ROUND(est_union, 6) + 0.0 AS est_union,
+      |  ROUND((est_int - CAST(n_exact_int AS DOUBLE))
+      |    / CAST(n_exact_int AS DOUBLE), 6) + 0.0 AS rel_err_int,
+      |  ROUND(CAST(n_exact_int AS DOUBLE)
+      |    / CAST(n_exact_a + n_exact_b - n_exact_int AS DOUBLE), 6) + 0.0
+      |    AS jaccard_exact,
+      |  ROUND(est_int / est_union, 6) + 0.0 AS jaccard_est
+      |FROM est""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_theta_sketch_cert" -> (q357ThetaSketchCert _),
     "q356_hll_merge_cert" -> (q356HllMergeCert _),
     "q349_hll_cert" -> (q349HllCert _),
     "q329_median_bootstrap" -> (q329MedianBootstrap _),
@@ -1356,6 +1508,7 @@ object EstimateQueries {
   def oracles: Map[String, String] = Map(
     "q349_hll_cert" -> q349Sql,
     "q356_hll_merge_cert" -> q356Sql,
+    "q357_theta_sketch_cert" -> q357Sql,
     "q329_median_bootstrap" -> q329Sql,
     "q299_bloom_fpr_cert" -> q299Sql,
     "q204_sampled_dup_rate" -> q204Sql,
