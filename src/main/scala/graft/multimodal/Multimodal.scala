@@ -488,11 +488,135 @@ object Multimodal {
       |  MAX(frame_sum) AS max_frame_sum
       |FROM fd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q360
+  final case class AudioFrame(
+      media_id: Long,
+      parsed_rate: Int,      // from the REAL WAV fmt-chunk walk
+      frame_idx: Int,        // 0-based 32-sample frame
+      energy: Long)          // Σ (sample − 128)² over the frame
+
+  /** Per-frame energy extraction for audio rows: the real RIFF/fmt/data
+    * chunk walk yields the 8-bit PCM payload, sliced into 32-sample
+    * frames with integer squared-deviation energy — the
+    * voice-activity-detection primitive of an audio training-data
+    * pipeline (q29 reduces a container to one feature row; VAD needs
+    * the per-frame energy stream). */
+  def audioFrames(ds: Dataset[MediaRow], frameLen: Int)
+      : Dataset[AudioFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
+        val d = Codec.decode(bytes)
+        if (d.kind != "audio") Iterator.empty
+        else (0 until d.payload.length / frameLen).iterator.map { f =>
+          var e = 0L
+          var i = f * frameLen
+          val end = i + frameLen
+          while (i < end) {
+            val v = (d.payload(i) & 0xff) - 128
+            e += (v * v).toLong; i += 1
+          }
+          AudioFrame(r.media_id, d.sampleRate, f, e)
+        }
+      }
+    }
+  }
+
+  /** Activity-segmentation census over the audio corpus — the VAD
+    * (voice-activity-detection) shape on the synthesized WAV corpus:
+    * per audio document, frame count, frames above the energy
+    * threshold, their gaps-and-islands segment count, and the longest
+    * active run, with `parsed_rate` carried from the REAL container
+    * parse (a wrong fmt-chunk walk would break the oracle hash).
+    *
+    * Threshold 66000 is the corpus midpoint of the 32-sample
+    * squared-deviation energies (ASCII payloads put every byte well
+    * below the 128 midline, so absolute silence does not exist —
+    * production calibrates the threshold from a q117-style energy
+    * census the same way).
+    *
+    * Exactness: all-integer energies, counts, and run lengths; the
+    * oracle re-derives every sample byte from the document text
+    * (q333's replay convention).
+    *
+    * Scale shape: decode is partition-batched `mapPartitions` (the
+    * multimodal idiom); the segment stitch windows partition per
+    * DOCUMENT over its ≤ 8 frames; rollups are map-combinable. */
+  def q360AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = 66000L
+    val frames = audioFrames(
+      mediaFromDocuments(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+        .as[MediaRow], 32).toDF()
+    val isl = frames.filter(col("energy") >= T)
+      .withColumn("iid", col("frame_idx") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_idx"))))
+    val perDoc = isl.groupBy(col("media_id"), col("iid"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("longest_run"))
+    frames.groupBy(col("media_id"), col("parsed_rate"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum((col("energy") >= T).cast("long")).as("n_active"),
+        sum(col("energy")).as("total_energy"))
+      .join(perDoc, Seq("media_id"), "left")
+      .select(col("media_id"), col("parsed_rate"), col("n_frames"),
+        col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        col("total_energy"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay from `documents`: audio payload bytes re-derived by
+    * cycling the ASCII text over the 256-sample payload; energies,
+    * threshold flags, and the gaps-and-islands stitch are integer
+    * arithmetic; `parsed_rate` is the literal the builder wrote into
+    * the fmt chunk. */
+  val q360Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS tlen
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |b AS (
+      |  SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx,
+      |    ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1)) - 128 AS v
+      |  FROM d CROSS JOIN LATERAL unnest(range(0, 256)) AS t(i)),
+      |fe AS (
+      |  SELECT doc_id, frame_idx, CAST(SUM(v * v) AS BIGINT) AS energy
+      |  FROM b GROUP BY 1, 2),
+      |isl AS (
+      |  SELECT doc_id, frame_idx,
+      |    frame_idx - row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY frame_idx) AS iid
+      |  FROM fe WHERE energy >= 66000),
+      |segs AS (SELECT doc_id, iid, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |    CAST(MAX(len) AS BIGINT) AS longest_run
+      |  FROM segs GROUP BY 1),
+      |tot AS (
+      |  SELECT doc_id, COUNT(*) AS n_frames,
+      |    CAST(SUM(CASE WHEN energy >= 66000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_active,
+      |    CAST(SUM(energy) AS BIGINT) AS total_energy
+      |  FROM fe GROUP BY 1)
+      |SELECT t.doc_id AS media_id, 16000 AS parsed_rate, t.n_frames,
+      |  t.n_active,
+      |  COALESCE(p.n_segments, 0) AS n_segments,
+      |  COALESCE(p.longest_run, 0) AS longest_run, t.total_energy
+      |FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> q29MediaFeatures _,
-    "q333_frame_stats" -> q333FrameStats _)
+    "q333_frame_stats" -> q333FrameStats _,
+    "q360_audio_segments" -> q360AudioSegments _)
 
   def oracles: Map[String, String] = Map(
     "q29_media_features" -> q29Sql,
-    "q333_frame_stats" -> q333Sql)
+    "q333_frame_stats" -> q333Sql,
+    "q360_audio_segments" -> q360Sql)
 }

@@ -250,11 +250,108 @@ object ShardQueries {
       |ORDER BY nf.layout""".stripMargin
   }
 
+  // --------------------------------------------------------------- q359
+  /** First-fit-decreasing compaction plan for the small-files problem —
+    * the OPTIMIZE/compaction DECISION beside [[graft.sink.Warehouse
+    * .compactDay]]'s physical execution: every incremental lake
+    * accumulates one file per ingest tick (here: one "file" per order
+    * day, its row count the size), and the maintenance pass must pack
+    * them into target-capacity files. FFD — sort sizes descending,
+    * place each into the first bin that fits — is the classic
+    * guarantee (≤ 11/9·OPT + 1 bins) and runs here as a RELATIONAL
+    * FOLD over the size census (the q354 convention), with the packing
+    * verdict beside the information-theoretic lower bound
+    * ⌈total/capacity⌉ so the plan's overhead is an audited number.
+    *
+    * Exactness: sizes, capacity (4× the largest file — data-derived,
+    * scale-invariant), bin loads, and bounds are all integers; the
+    * only double is the 6-dp fill fraction.
+    *
+    * Scale shape: one map-side-combinable (day, count) census is the
+    * only fact-scale pass; the descending sort and the FFD fold run on
+    * the date-domain-bounded census array (≤ |days| elements) inside
+    * one row. First-fit scans bins per file — O(files × bins) integer
+    * lambda steps, date-domain-bounded, zero shuffle. */
+  def q359CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("c"))
+    val census = files.agg(
+        sort_array(collect_list(struct((-col("c")).as("nc"), col("day"))))
+          .as("sf"),
+        count(lit(1)).as("n_files_before"),
+        sum(col("c")).as("total_rows"),
+        (max(col("c")) * lit(4L)).as("cap"))
+      .select(transform(col("sf"), s => (-s.getField("nc")).cast("long"))
+        .as("sizes"), col("n_files_before"), col("total_rows"), col("cap"))
+    val bins = expr(
+      """aggregate(sizes, CAST(array() AS ARRAY<BIGINT>),
+        |  (acc, x) -> CASE
+        |    WHEN size(acc) = 0 THEN array(x)
+        |    WHEN array_min(filter(sequence(1, size(acc)),
+        |           j -> element_at(acc, j) + x <= cap)) IS NULL
+        |      THEN concat(acc, array(x))
+        |    ELSE transform(sequence(1, size(acc)),
+        |      j -> CASE WHEN j = array_min(filter(sequence(1, size(acc)),
+        |             k -> element_at(acc, k) + x <= cap))
+        |           THEN element_at(acc, j) + x
+        |           ELSE element_at(acc, j) END)
+        |  END)""".stripMargin)
+    census.select(col("n_files_before"), col("total_rows"), col("cap"),
+        bins.as("bins"))
+      .select(col("n_files_before"), col("total_rows"),
+        col("cap").as("capacity"),
+        size(col("bins")).cast("long").as("n_bins_after"),
+        expr("(total_rows + cap - 1) div cap").as("lb_bins"),
+        array_max(col("bins")).as("max_bin_rows"),
+        array_min(col("bins")).as("min_bin_rows"),
+        (round(col("total_rows").cast("double") /
+          (size(col("bins")).cast("double") * col("cap").cast("double")),
+          6) + lit(0.0)).as("fill_frac"))
+  }
+
+  val q359Sql: String =
+    """WITH files AS (
+      |  SELECT o_orderdate AS day, COUNT(*) AS c FROM orders GROUP BY 1),
+      |census AS (
+      |  SELECT list_transform(list_sort(list({'nc': -c, 'day': day})),
+      |      s -> CAST(-s.nc AS BIGINT)) AS sizes,
+      |    COUNT(*) AS n_files_before,
+      |    CAST(SUM(c) AS BIGINT) AS total_rows,
+      |    CAST(MAX(c) * 4 AS BIGINT) AS cap
+      |  FROM files),
+      |packed AS (
+      |  SELECT *,
+      |    list_reduce(
+      |      [[]::BIGINT[]] || list_transform(sizes, x -> [x]),
+      |      (acc, xx) -> CASE
+      |        WHEN list_min(list_filter(range(1, len(acc) + 1),
+      |               j -> acc[CAST(j AS INTEGER)] + xx[1] <= cap)) IS NULL
+      |          THEN acc || [xx[1]]
+      |        ELSE list_transform(range(1, len(acc) + 1),
+      |          j -> CASE WHEN j = list_min(list_filter(
+      |                 range(1, len(acc) + 1),
+      |                 k -> acc[CAST(k AS INTEGER)] + xx[1] <= cap))
+      |               THEN acc[CAST(j AS INTEGER)] + xx[1]
+      |               ELSE acc[CAST(j AS INTEGER)] END)
+      |      END) AS bins
+      |  FROM census)
+      |SELECT n_files_before, total_rows, cap AS capacity,
+      |  CAST(len(bins) AS BIGINT) AS n_bins_after,
+      |  (total_rows + cap - 1) // cap AS lb_bins,
+      |  CAST(list_max(bins) AS BIGINT) AS max_bin_rows,
+      |  CAST(list_min(bins) AS BIGINT) AS min_bin_rows,
+      |  round(CAST(total_rows AS DOUBLE)
+      |    / (CAST(len(bins) AS DOUBLE) * CAST(cap AS DOUBLE)), 6) + 0.0
+      |    AS fill_frac
+      |FROM packed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_shard_stability" -> (q297ShardStability _),
-    "q355_zorder_skip" -> (q355ZorderSkip _))
+    "q355_zorder_skip" -> (q355ZorderSkip _),
+    "q359_compaction_plan" -> (q359CompactionPlan _))
 
   def oracles: Map[String, String] = Map(
     "q297_shard_stability" -> q297Sql,
-    "q355_zorder_skip" -> q355Sql)
+    "q355_zorder_skip" -> q355Sql,
+    "q359_compaction_plan" -> q359Sql)
 }
