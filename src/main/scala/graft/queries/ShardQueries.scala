@@ -345,13 +345,188 @@ object ShardQueries {
       |    AS fill_frac
       |FROM packed""".stripMargin
 
+  // --------------------------------------------------------------- q361
+  /** Layout-drift / re-OPTIMIZE trigger audit — the third leg of the
+    * storage-maintenance stool (q355 chooses the layout, q359 plans the
+    * compaction, this decides WHEN to re-sort): a z-ordered table
+    * degrades as appends land in arrival order, and the decision to pay
+    * a full re-sort should be a measured number, not a hunch. The first
+    * 75% of lineitem (by order key — the "historical ingest") is
+    * z-ordered into 48 files; the last 25% ("recent appends") lands in
+    * 16 arrival-order files. Both probe workloads from q355 run against
+    * three states — the pristine z-order of the base alone, the drifted
+    * base+tail table, and the re-optimized full re-sort into 64 files —
+    * so the drift penalty and the re-sort payoff are read side by side.
+    *
+    * Exactness: q355's machinery verbatim (integer z-values, NTILE on
+    * exact ranks, integer zone maps and overlap counts; 6-dp snapped
+    * averages).
+    *
+    * Scale shape: as q355 — RangeRank range-shuffles per layout build
+    * are the whole cost; zone maps collapse to ≤64 rows per state and
+    * probes are broadcast censuses. The 75/25 split is one pushed-down
+    * predicate on the already-scanned fact. */
+  def q361LayoutDrift(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(datediff(col("l_shipdate"), epoch).as("d"),
+        col("l_partkey").cast("int").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+    val cut = li.agg(
+      expr("(min(l_orderkey) * 25 + max(l_orderkey) * 75) div 100")
+        .as("cutk"))
+    val base = li.crossJoin(broadcast(cut))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc
+          |  + shiftleft(CAST(shiftright(d, b) & 1 AS BIGINT), 2 * b + 1)
+          |  + shiftleft(CAST(shiftright(p, b) & 1 AS BIGINT), 2 * b))"""
+          .stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def zoneMaps(df: DataFrame, name: String, nFiles: Int,
+        keys: Seq[org.apache.spark.sql.Column], fileOffset: Int = 0) =
+      graft.operators.RangeRank.withNtile(df, "f", nFiles, keys)
+        .groupBy((col("f") + lit(fileOffset)).as("f"))
+        .agg(min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+        .withColumn("layout", lit(name))
+    val zKeys = Seq(col("z"), col("l_orderkey"), col("l_linenumber"))
+    val arrivalKeys = Seq(col("l_orderkey"), col("l_linenumber"))
+    val pristine = zoneMaps(base.filter(col("l_orderkey") <= col("cutk")),
+      "1_pristine_base", 48, zKeys)
+    val drifted = pristine
+      .withColumn("layout", lit("2_drifted_appends"))
+      .unionAll(zoneMaps(base.filter(col("l_orderkey") > col("cutk")),
+        "2_drifted_appends", 16, arrivalKeys, fileOffset = 48))
+    val reopt = zoneMaps(base, "3_reoptimized", 64, zKeys)
+    val zm = pristine.unionAll(drifted).unionAll(reopt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dateProbes = Kpis.table(spark, dir, "lineitem")
+      .select(trunc(col("l_shipdate"), "MM").as("mon")).distinct()
+      .select(datediff(col("mon"), epoch).as("lo"),
+        datediff(last_day(col("mon")), epoch).as("hi"))
+    val partProbes = Kpis.table(spark, dir, "part")
+      .agg(min(col("p_partkey")).cast("int").as("pmin"),
+        max(col("p_partkey")).cast("int").as("pmax"))
+      .select(col("pmin"), col("pmax"),
+        expr("(pmax - pmin) div 32 + 1").as("w"))
+      .select(explode(sequence(lit(0), lit(31))).as("k"),
+        col("pmin"), col("pmax"), col("w"))
+      .select((col("pmin") + col("k") * col("w")).as("lo"),
+        least(col("pmin") + (col("k") + 1) * col("w") - 1,
+          col("pmax")).as("hi"))
+    def pairs(probes: DataFrame, dim: String, out: String) =
+      zm.join(broadcast(probes),
+          col(s"min_$dim") <= col("hi") && col(s"max_$dim") >= col("lo"))
+        .groupBy(col("layout")).agg(count(lit(1)).as(out))
+    val out = graft.plans.Eager.ckpt(
+      zm.groupBy(col("layout")).agg(count(lit(1)).as("n_files"))
+        .join(pairs(dateProbes, "d", "dpairs"), "layout")
+        .join(pairs(partProbes, "p", "ppairs"), "layout")
+        .crossJoin(broadcast(dateProbes.agg(count(lit(1)).as("n_dp"))))
+        .crossJoin(broadcast(partProbes.agg(count(lit(1)).as("n_pp"))))
+        .select(col("layout"), col("n_files"),
+          (round(col("dpairs").cast("double") / col("n_dp").cast("double"),
+            6) + lit(0.0)).as("avg_files_date_probe"),
+          (round(col("ppairs").cast("double") / col("n_pp").cast("double"),
+            6) + lit(0.0)).as("avg_files_part_probe"),
+          (round((col("dpairs").cast("double") / col("n_dp").cast("double")
+            + col("ppairs").cast("double") / col("n_pp").cast("double"))
+            / 2.0, 6) + lit(0.0)).as("avg_files_combined"))
+        .orderBy("layout"))
+    zm.unpersist(); base.unpersist()
+    out
+  }
+
+  val q361Sql: String = {
+    val z =
+      """CAST(list_sum(list_transform(range(0, 16), b ->
+        |    (CAST((d >> CAST(b AS INTEGER)) & 1 AS BIGINT)
+        |      << CAST(2 * b + 1 AS INTEGER))
+        |    + (CAST((p >> CAST(b AS INTEGER)) & 1 AS BIGINT)
+        |      << CAST(2 * b AS INTEGER)))) AS BIGINT)""".stripMargin
+    s"""WITH li AS (
+      |  SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS d,
+      |    CAST(l_partkey AS INTEGER) AS p, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |cut AS (
+      |  SELECT (MIN(l_orderkey) * 25 + MAX(l_orderkey) * 75) // 100
+      |    AS cutk
+      |  FROM li),
+      |bz AS MATERIALIZED (SELECT li.*, $z AS z FROM li),
+      |pristine AS (
+      |  SELECT '1_pristine_base' AS layout, f, MIN(d) AS min_d,
+      |    MAX(d) AS max_d, MIN(p) AS min_p, MAX(p) AS max_p
+      |  FROM (SELECT d, p,
+      |          NTILE(48) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f
+      |        FROM bz, cut WHERE l_orderkey <= cutk)
+      |  GROUP BY f),
+      |drifted AS (
+      |  SELECT '2_drifted_appends' AS layout, f, min_d, max_d, min_p, max_p
+      |  FROM pristine
+      |  UNION ALL
+      |  SELECT '2_drifted_appends', f + 48, MIN(d), MAX(d), MIN(p), MAX(p)
+      |  FROM (SELECT d, p,
+      |          NTILE(16) OVER (ORDER BY l_orderkey, l_linenumber) AS f
+      |        FROM bz, cut WHERE l_orderkey > cutk)
+      |  GROUP BY f),
+      |reopt AS (
+      |  SELECT '3_reoptimized' AS layout, f, MIN(d), MAX(d), MIN(p), MAX(p)
+      |  FROM (SELECT d, p,
+      |          NTILE(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f
+      |        FROM bz)
+      |  GROUP BY f),
+      |zm AS MATERIALIZED (
+      |  SELECT * FROM pristine UNION ALL SELECT * FROM drifted
+      |  UNION ALL SELECT * FROM reopt),
+      |dprobes AS MATERIALIZED (
+      |  SELECT datediff('day', DATE '1992-01-01', mon) AS lo,
+      |    datediff('day', DATE '1992-01-01', last_day(mon)) AS hi
+      |  FROM (SELECT DISTINCT date_trunc('month', l_shipdate) AS mon
+      |        FROM lineitem)),
+      |pbounds AS (
+      |  SELECT CAST(MIN(p_partkey) AS INTEGER) AS pmin,
+      |    CAST(MAX(p_partkey) AS INTEGER) AS pmax,
+      |    (CAST(MAX(p_partkey) AS INTEGER)
+      |      - CAST(MIN(p_partkey) AS INTEGER)) // 32 + 1 AS w
+      |  FROM part),
+      |pprobes AS MATERIALIZED (
+      |  SELECT pmin + k * w AS lo,
+      |    least(pmin + (k + 1) * w - 1, pmax) AS hi
+      |  FROM pbounds, UNNEST(range(0, 32)) AS t(k)),
+      |dp AS (
+      |  SELECT layout, COUNT(*) AS dpairs
+      |  FROM zm JOIN dprobes pr ON zm.min_d <= pr.hi AND zm.max_d >= pr.lo
+      |  GROUP BY layout),
+      |pp AS (
+      |  SELECT layout, COUNT(*) AS ppairs
+      |  FROM zm JOIN pprobes pr ON zm.min_p <= pr.hi AND zm.max_p >= pr.lo
+      |  GROUP BY layout),
+      |nf AS (SELECT layout, COUNT(*) AS n_files FROM zm GROUP BY layout),
+      |nd AS (SELECT COUNT(*) AS n_dp FROM dprobes),
+      |np AS (SELECT COUNT(*) AS n_pp FROM pprobes)
+      |SELECT nf.layout, nf.n_files,
+      |  round(CAST(dpairs AS DOUBLE) / CAST(n_dp AS DOUBLE), 6) + 0.0
+      |    AS avg_files_date_probe,
+      |  round(CAST(ppairs AS DOUBLE) / CAST(n_pp AS DOUBLE), 6) + 0.0
+      |    AS avg_files_part_probe,
+      |  round((CAST(dpairs AS DOUBLE) / CAST(n_dp AS DOUBLE)
+      |    + CAST(ppairs AS DOUBLE) / CAST(n_pp AS DOUBLE)) / 2.0, 6) + 0.0
+      |    AS avg_files_combined
+      |FROM nf JOIN dp ON nf.layout = dp.layout
+      |JOIN pp ON nf.layout = pp.layout
+      |CROSS JOIN nd CROSS JOIN np
+      |ORDER BY nf.layout""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_shard_stability" -> (q297ShardStability _),
     "q355_zorder_skip" -> (q355ZorderSkip _),
-    "q359_compaction_plan" -> (q359CompactionPlan _))
+    "q359_compaction_plan" -> (q359CompactionPlan _),
+    "q361_layout_drift" -> (q361LayoutDrift _))
 
   def oracles: Map[String, String] = Map(
     "q297_shard_stability" -> q297Sql,
     "q355_zorder_skip" -> q355Sql,
-    "q359_compaction_plan" -> q359Sql)
+    "q359_compaction_plan" -> q359Sql,
+    "q361_layout_drift" -> q361Sql)
 }
