@@ -409,7 +409,95 @@ object LmQueries {
       |ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q362
+  /** T5/UL2-style span-corruption masking PLAN — the denoising-objective
+    * data-prep step between curation and batching (q47 packs sequences;
+    * this decides what gets masked): every document receives
+    * deterministic, reproducible mask spans at the standard ~15% rate
+    * with mean span length 3. The classic iid span sampler is
+    * sequential (each span's start depends on the previous span's end);
+    * here the corruption is BLOCK-STRATIFIED to stay relational — one
+    * 3-token span per 20-token block, started at the block position
+    * with the minimum md5 hash of (doc_id, position) — which keeps the
+    * 3/20 = 15% rate and non-overlap BY CONSTRUCTION while every block
+    * masks independently in parallel (the q329 md5-derandomization
+    * discipline applied to masking).
+    *
+    * Exactness: positions, block bounds, span lengths (clipped at block
+    * end), and the masked-position checksum (arithmetic-series sum per
+    * span — no second explode) are all integers; the only double is
+    * the 6-dp corruption rate.
+    *
+    * Scale shape: one position explode + one (doc, block) min-struct
+    * agg + one per-doc rollup — all map-side-combinable, keyed by
+    * document; zero windows, zero sequential dependence. */
+  def q362SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokens}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val pos = d.select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("n") - 1)).as("p"))
+      .withColumn("blk", expr("p div 20"))
+      .withColumn("h", md5Hash60(concat(col("doc_id").cast("string"),
+        lit(":"), col("p").cast("string"))))
+    val spans = pos.groupBy(col("doc_id"), col("blk"))
+      .agg(min(struct(col("h"), col("p"))).as("w"),
+        max(col("n")).as("n"))
+      .select(col("doc_id"), col("n"), col("w.p").as("s"),
+        least(expr("blk * 20 + 19"), col("n") - 1).as("be"))
+      .select(col("doc_id"), col("n"), col("s"),
+        least(lit(3), col("be") - col("s") + 1).as("len"))
+    spans.groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("len")).cast("long").as("n_masked"),
+        sum(expr("len * s + len * (len - 1) div 2")).cast("long")
+          .as("mask_checksum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_masked"),
+        (round(col("n_masked").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("corruption_rate"),
+        col("mask_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val q362Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |pos AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS p
+      |  FROM d),
+      |hp AS (
+      |  SELECT doc_id, n, p, p // 20 AS blk, $h AS hh
+      |  FROM pos),
+      |spans AS (
+      |  SELECT doc_id, MAX(n) AS n, arg_min(p, hh) AS s,
+      |    LEAST(blk * 20 + 19, MAX(n) - 1) AS be
+      |  FROM hp GROUP BY doc_id, blk),
+      |lens AS (
+      |  SELECT doc_id, n, s, LEAST(3, be - s + 1) AS len
+      |  FROM spans)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_spans,
+      |  CAST(SUM(len) AS BIGINT) AS n_masked,
+      |  round(CAST(SUM(len) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) + 0.0
+      |    AS corruption_rate,
+      |  CAST(SUM(len * s + len * (len - 1) // 2) AS BIGINT)
+      |    AS mask_checksum
+      |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_span_corruption" -> (q362SpanCorruption _),
     "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
     "q308_bpe_first_merges" -> (q308BpeFirstMerges _),
     "q236_context_overflow" -> (q236ContextOverflow _),
@@ -417,6 +505,7 @@ object LmQueries {
     "q83_bigram_nll" -> (q83BigramNll _))
 
   def oracles: Map[String, String] = Map(
+    "q362_span_corruption" -> q362Sql,
     "q327_bpe_merge_ladder" -> q327Sql,
     "q308_bpe_first_merges" -> q308Sql,
     "q236_context_overflow" -> q236Sql,
