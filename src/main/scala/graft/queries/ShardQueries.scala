@@ -518,15 +518,324 @@ object ShardQueries {
       |ORDER BY nf.layout""".stripMargin
   }
 
+  // --------------------------------------------------------------- q363
+  /** Per-file bloom-filter vs zone-map POINT-LOOKUP skip audit — the
+    * fourth leg of the storage-maintenance stool (q355 picks the sort
+    * layout, q359 packs the files, q361 prices layout drift; all three
+    * probe RANGES, where min/max zone maps shine). Point lookups are
+    * where zone maps fail on any layout NOT sorted by the probed
+    * column: every arrival-order file spans nearly the full key domain,
+    * so min ≤ k ≤ max admits every file. Lineitem rows are assigned to
+    * 64 files under the part-sorted and arrival-order layouts; each
+    * file gets BOTH a (min,max) zone map and a hand-rolled bloom filter
+    * on the part key (m = 131072 bits, k = 3 — the q299 replayable md5
+    * position grid, never Spark's opaque BloomFilterAggregate); every
+    * 499th part key is probed as a point lookup. Reported per layout:
+    * average files a lookup truly needs, and the averages a zone-map
+    * gate, a bloom gate, and the stacked zone∧bloom gate would scan —
+    * certifying the lakehouse rule "zone maps for the sort key, blooms
+    * for point lookups on everything else" as audited numbers (on the
+    * sorted layout the zone map alone is ~1 file; on arrival order it
+    * degenerates to ~all files while the bloom stays within false-
+    * positive reach of the true count).
+    *
+    * Exactness: file assignments (NTILE arithmetic on exact global
+    * rank), zone bounds, bit positions, hit counts, and pair counts are
+    * all integers; bloom membership = all 3 exploded probe positions
+    * set, counted per-slot identically in both engines (q299's rule);
+    * the four averages are single int/int divisions snapped to 6 dp.
+    * m is a fixture-scale literal — production sizes m ∝ distinct keys
+    * per file (q299's note); the cert's point is exact replay.
+    *
+    * Scale shape: two [[graft.operators.RangeRank.withNtile]] range
+    * shuffles of the fact (one per layout) into one distinct over
+    * (layout, file, key) — all linear; zone maps collapse to 128 rows,
+    * bloom bit sets are census-bounded by 3·distinct keys per file and
+    * are probed MAP-SIDE by the broadcast ≤3·|probes| position table
+    * (the production bloom-skip shape: the index is scanned once, the
+    * probe set ships to it); every downstream set operation runs on
+    * ≤ 2·64·|probes| census rows. */
+  def q363BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val M = 131072L
+    def positions(key: Column): Column = array((1 to 3).map(j =>
+      pmod(md5Hash60(concat(key.cast("string"), lit(s"#$j"))), lit(M))): _*)
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("int").as("p"),
+        col("l_orderkey"), col("l_linenumber"))
+    def filesOf(name: String, keys: Seq[Column]) =
+      graft.operators.RangeRank.withNtile(li, "f", 64, keys)
+        .select(lit(name).as("layout"), col("f"), col("p"))
+    val fp = filesOf("1_by_part",
+        Seq(col("p"), col("l_orderkey"), col("l_linenumber")))
+      .unionAll(filesOf("2_arrival",
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zm = fp.groupBy(col("layout"), col("f"))
+      .agg(min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+    val bits = fp.select(col("layout"), col("f"),
+      explode(positions(col("p"))).as("pos")).distinct()
+    val probes = Kpis.table(spark, dir, "part")
+      .select(col("p_partkey").cast("int").as("k"))
+      .filter(pmod(col("k"), lit(53)) === 11)
+    val probePos = probes.select(col("k"),
+      explode(positions(col("k"))).as("pos"))
+    val bloomPairs = bits.join(broadcast(probePos), "pos")
+      .groupBy(col("layout"), col("f"), col("k"))
+      .agg(count(lit(1)).as("hits")).filter(col("hits") === 3L)
+      .select(col("layout"), col("f"), col("k"))
+    val zonePairs = zm.join(broadcast(probes),
+        col("min_p") <= col("k") && col("max_p") >= col("k"))
+      .select(col("layout"), col("f"), col("k"))
+    val truePairs = fp.join(broadcast(probes), col("p") === col("k"))
+      .select(col("layout"), col("f"), col("k"))
+    val bothPairs = bloomPairs.join(zonePairs, Seq("layout", "f", "k"))
+      .select(col("layout"), col("f"), col("k"))
+    def cnt(df: DataFrame, out: String) =
+      df.groupBy(col("layout")).agg(count(lit(1)).as(out))
+    import spark.implicits._
+    val spine = Seq("1_by_part", "2_arrival").toDF("layout")
+    def avg6(pairs: Column, n: Column) =
+      round(coalesce(pairs, lit(0L)).cast("double") / n.cast("double"), 6) +
+        lit(0.0)
+    val out = graft.plans.Eager.ckpt(
+      spine.join(cnt(truePairs, "tpairs"), Seq("layout"), "left")
+        .join(cnt(zonePairs, "zpairs"), Seq("layout"), "left")
+        .join(cnt(bloomPairs, "bpairs"), Seq("layout"), "left")
+        .join(cnt(bothPairs, "apairs"), Seq("layout"), "left")
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .select(col("layout"), lit(64L).as("n_files"), col("n_probes"),
+          avg6(col("tpairs"), col("n_probes")).as("avg_files_true"),
+          avg6(col("zpairs"), col("n_probes")).as("avg_files_zone"),
+          avg6(col("bpairs"), col("n_probes")).as("avg_files_bloom"),
+          avg6(col("apairs"), col("n_probes")).as("avg_files_both"))
+        .orderBy("layout"))
+    fp.unpersist()
+    out
+  }
+
+  val q363Sql: String = {
+    def pos(e: String, j: Int) =
+      s"(${md5Hash60Sql(s"CAST($e AS VARCHAR) || '#$j'")}) % 131072"
+    s"""WITH li AS (
+      |  SELECT CAST(l_partkey AS INTEGER) AS p, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |t1 AS (SELECT p,
+      |  NTILE(64) OVER (ORDER BY p, l_orderkey, l_linenumber) AS f FROM li),
+      |t2 AS (SELECT p,
+      |  NTILE(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f FROM li),
+      |fp AS MATERIALIZED (
+      |  SELECT DISTINCT layout, f, p FROM (
+      |    SELECT '1_by_part' AS layout, f, p FROM t1
+      |    UNION ALL SELECT '2_arrival', f, p FROM t2)),
+      |zm AS MATERIALIZED (
+      |  SELECT layout, f, MIN(p) AS min_p, MAX(p) AS max_p
+      |  FROM fp GROUP BY layout, f),
+      |bits AS MATERIALIZED (
+      |  SELECT DISTINCT layout, f, pos FROM (
+      |    SELECT layout, f, ${pos("p", 1)} AS pos FROM fp
+      |    UNION ALL SELECT layout, f, ${pos("p", 2)} FROM fp
+      |    UNION ALL SELECT layout, f, ${pos("p", 3)} FROM fp)),
+      |probes AS MATERIALIZED (
+      |  SELECT CAST(p_partkey AS INTEGER) AS k FROM part
+      |  WHERE p_partkey % 53 = 11),
+      |ppos AS (
+      |  SELECT k, ${pos("k", 1)} AS pos FROM probes
+      |  UNION ALL SELECT k, ${pos("k", 2)} FROM probes
+      |  UNION ALL SELECT k, ${pos("k", 3)} FROM probes),
+      |bloomp AS MATERIALIZED (
+      |  SELECT layout, f, k FROM bits JOIN ppos USING (pos)
+      |  GROUP BY layout, f, k HAVING COUNT(*) = 3),
+      |zonep AS MATERIALIZED (
+      |  SELECT layout, f, k FROM zm JOIN probes
+      |  ON min_p <= k AND max_p >= k),
+      |truep AS (SELECT layout, f, p AS k FROM fp JOIN probes ON p = k),
+      |bothp AS (
+      |  SELECT layout, f, k FROM bloomp
+      |  INTERSECT SELECT layout, f, k FROM zonep),
+      |np AS (SELECT COUNT(*) AS n_probes FROM probes),
+      |spine AS (SELECT * FROM (VALUES ('1_by_part'), ('2_arrival'))
+      |  AS s(layout)),
+      |tc AS (SELECT layout, COUNT(*) AS tpairs FROM truep GROUP BY layout),
+      |zc AS (SELECT layout, COUNT(*) AS zpairs FROM zonep GROUP BY layout),
+      |bc AS (SELECT layout, COUNT(*) AS bpairs FROM bloomp GROUP BY layout),
+      |ac AS (SELECT layout, COUNT(*) AS apairs FROM bothp GROUP BY layout)
+      |SELECT spine.layout, CAST(64 AS BIGINT) AS n_files, n_probes,
+      |  round(CAST(COALESCE(tpairs, 0) AS DOUBLE)
+      |    / CAST(n_probes AS DOUBLE), 6) + 0.0 AS avg_files_true,
+      |  round(CAST(COALESCE(zpairs, 0) AS DOUBLE)
+      |    / CAST(n_probes AS DOUBLE), 6) + 0.0 AS avg_files_zone,
+      |  round(CAST(COALESCE(bpairs, 0) AS DOUBLE)
+      |    / CAST(n_probes AS DOUBLE), 6) + 0.0 AS avg_files_bloom,
+      |  round(CAST(COALESCE(apairs, 0) AS DOUBLE)
+      |    / CAST(n_probes AS DOUBLE), 6) + 0.0 AS avg_files_both
+      |FROM spine
+      |LEFT JOIN tc ON spine.layout = tc.layout
+      |LEFT JOIN zc ON spine.layout = zc.layout
+      |LEFT JOIN bc ON spine.layout = bc.layout
+      |LEFT JOIN ac ON spine.layout = ac.layout
+      |CROSS JOIN np
+      |ORDER BY spine.layout""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q365
+  /** Columnar encoding planner — the page-level storage decision a
+    * 100 TB parquet estate rides on, audited per column: for seven
+    * lineitem columns, the exact cardinality, the exact RUN count in
+    * arrival order (what RLE sees on the table as written), and the
+    * run count a re-sort would produce (= cardinality), folded into
+    * byte estimates for plain, dictionary (⌈log₂ d⌉ bits/value + the
+    * dictionary itself), and RLE encodings, plus the winning encoding
+    * for the table as laid out. The q355/q361/q363 family audits WHICH
+    * rows a query reads; this audits what each read row COSTS — and
+    * quantifies the q355 corollary that sorting is also a compression
+    * decision (runs_arrival vs n_distinct is exactly the RLE win a
+    * re-sort buys, e.g. return-flag collapses from ~n/. runs to 3).
+    *
+    * Exactness: ALL-integer — counts, run counts (predecessor
+    * comparison), dict bits = length of the binary spelling of d−1
+    * (both engines' `bin`), byte formulas are integer arithmetic, and
+    * the winner is a deterministic CASE with the documented
+    * plain ≺ dict ≺ rle tie order.
+    *
+    * Scale shape: one [[graft.operators.RangeRank.withGlobalRank]]
+    * range shuffle over the fact for arrival positions, one rank
+    * self-join (two hash exchanges on the dense rank — linear, never a
+    * single-partition window) for the predecessor row, then ONE
+    * map-combinable aggregate carrying all seven change-flags; the
+    * seven count-distincts ride the same aggregate (Catalyst expands
+    * ×7 — linear, shuffle-partitioned by the expand key). Everything
+    * downstream operates on a 1-row census checkpointed before the
+    * 7-way unpivot. Widths are schema literals; production would read
+    * them from the catalog. */
+  def q365EncodingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val li = Kpis.table(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("v_rf"),
+      col("l_linestatus").as("v_ls"),
+      round(col("l_discount") * 100).cast("long").as("v_dc"),
+      datediff(col("l_shipdate"), epoch).cast("long").as("v_sd"),
+      col("l_partkey").cast("long").as("v_pk"),
+      col("l_quantity").cast("long").as("v_qt"),
+      round(col("l_extendedprice") * 100).cast("long").as("v_ep"))
+    val keys = Seq("rf", "ls", "dc", "sd", "pk", "qt", "ep")
+    val ranked = graft.operators.RangeRank.withGlobalRank(li, "rk",
+      Seq(col("l_orderkey"), col("l_linenumber")))
+    val prev = ranked.select((col("rk") + 1L).as("rk") +:
+      keys.map(k => col(s"v_$k").as(s"p_$k")): _*)
+    val chg = ranked.join(prev, Seq("rk"), "left")
+    val aggs =
+      keys.map(k => countDistinct(col(s"v_$k")).as(s"nd_$k")) ++
+      keys.map(k => sum(when(col(s"p_$k").isNull ||
+        col(s"v_$k") =!= col(s"p_$k"), 1L).otherwise(0L)).as(s"runs_$k"))
+    val census = graft.plans.Eager.ckpt(
+      chg.agg(count(lit(1)).as("n_rows"), aggs: _*))
+    val cols7 = Seq(("l_extendedprice", "ep", 8L), ("l_linestatus", "ls", 1L),
+      ("l_partkey", "pk", 4L), ("l_quantity", "qt", 4L),
+      ("l_returnflag", "rf", 1L), ("l_shipdate", "sd", 4L),
+      ("l_discount", "dc", 4L))
+    val stacked = cols7.map { case (name, k, w) =>
+      census.select(lit(name).as("column_name"), col("n_rows"),
+        col(s"nd_$k").as("n_distinct"),
+        col(s"runs_$k").as("runs_arrival"), lit(w).as("width_bytes"))
+    }.reduce(_ unionAll _)
+    val bits = when(col("n_distinct") <= 1L, lit(0L))
+      .otherwise(length(bin(col("n_distinct") - 1L)).cast("long"))
+    stacked.withColumn("dict_bits", bits)
+      .withColumn("bytes_plain", col("n_rows") * col("width_bytes"))
+      .withColumn("bytes_dict",
+        expr("(n_rows * dict_bits + 7) div 8") +
+          col("n_distinct") * col("width_bytes"))
+      .withColumn("bytes_rle_arrival",
+        col("runs_arrival") * (col("width_bytes") + 4L))
+      .withColumn("bytes_rle_sorted",
+        col("n_distinct") * (col("width_bytes") + 4L))
+      .withColumn("best_encoding",
+        when(col("bytes_plain") <= col("bytes_dict") &&
+          col("bytes_plain") <= col("bytes_rle_arrival"), lit("plain"))
+          .when(col("bytes_dict") <= col("bytes_rle_arrival"), lit("dict"))
+          .otherwise(lit("rle")))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("dict_bits"), col("runs_arrival"), col("bytes_plain"),
+        col("bytes_dict"), col("bytes_rle_arrival"),
+        col("bytes_rle_sorted"), col("best_encoding"))
+      .orderBy("column_name")
+  }
+
+  val q365Sql: String = {
+    val keys = Seq("rf", "ls", "dc", "sd", "pk", "qt", "ep")
+    val lags = keys.map(k => s"LAG(v_$k) OVER o AS p_$k").mkString(",\n      |    ")
+    val nds = keys.map(k => s"COUNT(DISTINCT v_$k) AS nd_$k")
+      .mkString(",\n      |    ")
+    val runs = keys.map(k =>
+      s"CAST(SUM(CASE WHEN p_$k IS NULL OR v_$k <> p_$k THEN 1 ELSE 0 END) AS BIGINT) AS runs_$k")
+      .mkString(",\n      |    ")
+    val cols7 = Seq(("l_extendedprice", "ep", 8), ("l_linestatus", "ls", 1),
+      ("l_partkey", "pk", 4), ("l_quantity", "qt", 4),
+      ("l_returnflag", "rf", 1), ("l_shipdate", "sd", 4),
+      ("l_discount", "dc", 4))
+    val unpivot = cols7.map { case (name, k, w) =>
+      s"SELECT '$name' AS column_name, n_rows, nd_$k AS n_distinct, " +
+        s"runs_$k AS runs_arrival, CAST($w AS BIGINT) AS width_bytes FROM census"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_returnflag AS v_rf, l_linestatus AS v_ls,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS v_dc,
+      |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+      |      AS v_sd,
+      |    CAST(l_partkey AS BIGINT) AS v_pk,
+      |    CAST(l_quantity AS BIGINT) AS v_qt,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v_ep
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT *,
+      |    $lags
+      |  FROM li WINDOW o AS (ORDER BY l_orderkey, l_linenumber)),
+      |census AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    $nds,
+      |    $runs
+      |  FROM w),
+      |cols AS (
+      |  $unpivot),
+      |m AS (
+      |  SELECT *,
+      |    CASE WHEN n_distinct <= 1 THEN 0
+      |         ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT)
+      |    END AS dict_bits
+      |  FROM cols),
+      |b AS (
+      |  SELECT column_name, n_rows, n_distinct, dict_bits, runs_arrival,
+      |    n_rows * width_bytes AS bytes_plain,
+      |    (n_rows * dict_bits + 7) // 8 + n_distinct * width_bytes
+      |      AS bytes_dict,
+      |    runs_arrival * (width_bytes + 4) AS bytes_rle_arrival,
+      |    n_distinct * (width_bytes + 4) AS bytes_rle_sorted
+      |  FROM m)
+      |SELECT column_name, n_rows, n_distinct, dict_bits, runs_arrival,
+      |  bytes_plain, bytes_dict, bytes_rle_arrival, bytes_rle_sorted,
+      |  CASE WHEN bytes_plain <= bytes_dict
+      |         AND bytes_plain <= bytes_rle_arrival THEN 'plain'
+      |       WHEN bytes_dict <= bytes_rle_arrival THEN 'dict'
+      |       ELSE 'rle' END AS best_encoding
+      |FROM b ORDER BY column_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_encoding_plan" -> (q365EncodingPlan _),
     "q297_shard_stability" -> (q297ShardStability _),
     "q355_zorder_skip" -> (q355ZorderSkip _),
     "q359_compaction_plan" -> (q359CompactionPlan _),
-    "q361_layout_drift" -> (q361LayoutDrift _))
+    "q361_layout_drift" -> (q361LayoutDrift _),
+    "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q365_encoding_plan" -> q365Sql,
     "q297_shard_stability" -> q297Sql,
     "q355_zorder_skip" -> q355Sql,
     "q359_compaction_plan" -> q359Sql,
-    "q361_layout_drift" -> q361Sql)
+    "q361_layout_drift" -> q361Sql,
+    "q363_bloom_skip" -> q363Sql)
 }
