@@ -311,11 +311,100 @@ object DupClusters {
     out
   }
 
+  // --------------------------------------------------------------- q364
+  /** Soft-dedup sampling weights — the duplicate-aware TRAINING-MIX
+    * alternative to dropping: instead of keeping one member per
+    * near-dup cluster (q45's keep-min, priced by q247), every member
+    * stays in the corpus with sampling weight 1/cluster_size, so each
+    * duplicated passage contributes ONE document's worth of expected
+    * gradient mass regardless of how many copies exist (the
+    * down-weighting used when provenance or licensing requires keeping
+    * all copies, and the standard soft variant of near-dedup in
+    * LLM-data curation). Per source: document count, how many carry a
+    * reduced weight, raw token mass, EFFECTIVE token mass
+    * Σ n_tok/cluster_size, and the dedup discount 1 − eff/raw — the
+    * number a mixture planner (q52/q307) feeds on instead of raw line
+    * counts when sources differ in internal duplication.
+    *
+    * Exactness: cluster sizes and token counts are exact integers from
+    * q45's oracle-certified clusters; each per-doc weighted term is one
+    * IEEE division snapped at 9 dp into DECIMAL(22,9) (the q179/q257
+    * snapped-term discipline), so the per-source sums are
+    * order-independent exact decimals; the two reported doubles are
+    * single casts/divisions snapped at 6 dp.
+    *
+    * Scale shape: q45's cluster build dominates (measured linear, r09);
+    * on top ride one left join of the doc census against the (tiny)
+    * cluster membership and one map-combinable per-source aggregate. */
+  def q364SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q45DupClusters(spark, dir)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    def variant(offset: Long, tail: String): DataFrame =
+      base.select((col("doc_id") + offset).as("id"), col("source"),
+        (if (tail.isEmpty) col("text") else concat(col("text"), lit(tail)))
+          .as("text"))
+    val docs = variant(0L, "")
+      .unionByName(variant(100000L, " zz extra tail"))
+      .unionByName(variant(200000L, " zz extra tail rr more pad"))
+      .select(col("id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val weighted = docs
+      .join(clusters.select(col("doc_id").as("id"), col("cluster_size")),
+        Seq("id"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("cluster_size"), lit(1L)).as("sz"))
+    weighted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sz") > 1L, 1L).otherwise(0L)).as("n_weighted"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(round(col("n_tok").cast("double") / col("sz").cast("double"), 9)
+          .cast("decimal(22,9)")).as("eff_dec"))
+      .select(col("source"), col("n_docs"), col("n_weighted"),
+        col("raw_tokens"),
+        (round(col("eff_dec").cast("double"), 6) + lit(0.0))
+          .as("effective_tokens"),
+        (round(lit(1.0) - col("eff_dec").cast("double") /
+          col("raw_tokens").cast("double"), 6) + lit(0.0))
+          .as("dedup_discount"))
+      .orderBy("source")
+  }
+
+  lazy val q364Sql: String = q45Cte +
+    """,src AS (
+      |  SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (
+      |  SELECT id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |    AS BIGINT) AS n_tok
+      |  FROM variants),
+      |docs AS (
+      |  SELECT t.id, s.source, t.n_tok
+      |  FROM toks t JOIN src s ON t.id % 100000 = s.doc_id),
+      |w AS (
+      |  SELECT d.source, d.n_tok, COALESCE(z.n, 1) AS sz
+      |  FROM docs d
+      |  LEFT JOIN comp c ON d.id = c.node
+      |  LEFT JOIN sizes z ON c.cluster_id = z.cluster_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_weighted,
+      |  CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+      |  round(CAST(SUM(CAST(round(CAST(n_tok AS DOUBLE)
+      |    / CAST(sz AS DOUBLE), 9) AS DECIMAL(22,9))) AS DOUBLE), 6) + 0.0
+      |    AS effective_tokens,
+      |  round(1.0 - CAST(SUM(CAST(round(CAST(n_tok AS DOUBLE)
+      |    / CAST(sz AS DOUBLE), 9) AS DECIMAL(22,9))) AS DOUBLE)
+      |    / CAST(SUM(n_tok) AS DOUBLE), 6) + 0.0 AS dedup_discount
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_dup_clusters" -> (q45DupClusters _),
     "q189_cluster_census" -> (q189ClusterCensus _),
     "q198_similarity_histogram" -> (q198SimilarityHistogram _),
-    "q247_dedup_keep_audit" -> (q247DedupKeepAudit _))
+    "q247_dedup_keep_audit" -> (q247DedupKeepAudit _),
+    "q364_soft_dedup_weights" -> (q364SoftDedupWeights _))
 
   // --------------------------------------------------------------- q247
   /** Dedup keep-choice audit: q45's clusters keep the MIN-id member —
@@ -534,6 +623,7 @@ object DupClusters {
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q364_soft_dedup_weights" -> q364Sql,
     "q247_dedup_keep_audit" -> q247Sql,
     "q189_cluster_census" -> q189Sql,
     "q198_similarity_histogram" -> q198Sql,
