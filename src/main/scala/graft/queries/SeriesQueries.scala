@@ -1363,7 +1363,12 @@ object SeriesQueries {
     * run on ≤25×|months| census rows. The DP is per-pair-row lambda
     * compute — embarrassingly parallel across the pair census, zero
     * shuffle, and constant in the corpus size. */
-  def q354DtwMatrix(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-nation monthly revenue as a zero-filled, month-sorted vector of
+    * exact integer cents — the series census shared by the DTW matrix
+    * (q354) and the Holt–Winters backtest (q366). One map-combinable
+    * (nation × month) aggregate is the only fact-scale pass. */
+  private[graft] def nationMonthlyCentsVecs(spark: SparkSession,
+      dir: String): DataFrame = {
     val cust = broadcast(Kpis.table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey")))
     val nat = broadcast(Kpis.table(spark, dir, "nation")
@@ -1373,7 +1378,7 @@ object SeriesQueries {
       .groupBy(col("c_nationkey"), trunc(col("o_orderdate"), "MM").as("mon"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val months = monthly.select(col("mon")).distinct()
-    val vecs = monthly.select(col("c_nationkey")).distinct()
+    monthly.select(col("c_nationkey")).distinct()
       .crossJoin(broadcast(months))
       .join(monthly, Seq("c_nationkey", "mon"), "left")
       .na.fill(0L, Seq("cents"))
@@ -1382,6 +1387,33 @@ object SeriesQueries {
         col("cents")))), s => s.getField("cents")).as("v"))
       .join(nat, col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("v"))
+  }
+
+  /** DuckDB spelling of [[nationMonthlyCentsVecs]]: CTE prefix ending at
+    * `vecs` = (nation, v) — shared verbatim by q354Sql and q366Sql. */
+  private val nationVecsCte: String =
+    """WITH monthly AS (
+      |  SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS mon,
+      |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |months AS (SELECT DISTINCT mon FROM monthly),
+      |grid AS (
+      |  SELECT nk.c_nationkey, ms.mon, COALESCE(m.cents, 0) AS cents
+      |  FROM (SELECT DISTINCT c_nationkey FROM monthly) nk
+      |  CROSS JOIN months ms
+      |  LEFT JOIN monthly m
+      |    ON m.c_nationkey = nk.c_nationkey AND m.mon = ms.mon),
+      |vecs AS (
+      |  SELECT n.n_name AS nation,
+      |    list_transform(
+      |      list_sort(list({'mon': g.mon, 'cents': g.cents})),
+      |      s -> s.cents) AS v
+      |  FROM grid g JOIN nation n ON g.c_nationkey = n.n_nationkey
+      |  GROUP BY 1)""".stripMargin
+
+  def q354DtwMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = nationMonthlyCentsVecs(spark, dir)
     val dtwCents = expr(
       """element_at(
         |  aggregate(
@@ -1412,26 +1444,8 @@ object SeriesQueries {
       .orderBy("nation_a", "nation_b")
   }
 
-  val q354Sql: String =
-    """WITH monthly AS (
-      |  SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS mon,
-      |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
-      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |  GROUP BY 1, 2),
-      |months AS (SELECT DISTINCT mon FROM monthly),
-      |grid AS (
-      |  SELECT nk.c_nationkey, ms.mon, COALESCE(m.cents, 0) AS cents
-      |  FROM (SELECT DISTINCT c_nationkey FROM monthly) nk
-      |  CROSS JOIN months ms
-      |  LEFT JOIN monthly m
-      |    ON m.c_nationkey = nk.c_nationkey AND m.mon = ms.mon),
-      |vecs AS (
-      |  SELECT n.n_name AS nation,
-      |    list_transform(
-      |      list_sort(list({'mon': g.mon, 'cents': g.cents})),
-      |      s -> s.cents) AS v
-      |  FROM grid g JOIN nation n ON g.c_nationkey = n.n_nationkey
-      |  GROUP BY 1),
+  val q354Sql: String = nationVecsCte +
+    """,
       |pairs AS (
       |  SELECT a.nation AS nation_a, b.nation AS nation_b,
       |    a.v AS va, b.v AS vb
@@ -1460,7 +1474,147 @@ object SeriesQueries {
       |    / 100.0 AS avg_step_dollars
       |FROM dp ORDER BY nation_a, nation_b""".stripMargin
 
+  // --------------------------------------------------------------- q366
+  /** Holt–Winters additive triple exponential smoothing — the
+    * exponential-smoothing family member the forecast bench here lacks
+    * (q177 fits AR(1), q276 backtests the naive pair, q300 decomposes,
+    * q317 reconciles): level + trend + 12 additive seasonal states per
+    * nation, smoothed over the monthly revenue series with the
+    * textbook recursions (α=0.3, β=0.1, γ=0.2), scored one-step-ahead
+    * against the seasonal-naive baseline over the post-burn-in months,
+    * and emitting the next-month forecast — the actual planning number.
+    * The whole recursion is a RELATIONAL FOLD (the q327/q354
+    * convention): state = a 16-double array [level, trend, Σ|err|, t,
+    * s₁..s₁₂] carried by Spark `aggregate` and replayed as the
+    * identical left fold in DuckDB `list_reduce` (init emulated by
+    * prepending the state to singleton-wrapped items).
+    *
+    * Exactness: inputs are exact integer cents; the smoothing chain is
+    * IEEE doubles in ONE fixed fold order with identical expression
+    * trees in both engines (sums seeded by left-folded adds, constants
+    * promoted decimal→double identically), so every state is
+    * bit-equal; the seasonal-naive error sum stays exact BIGINT; the
+    * four reported doubles are snapped at 6 dp.
+    *
+    * Scale shape: rides [[nationMonthlyCentsVecs]] — one
+    * map-combinable (nation × month) census is the only fact-scale
+    * pass; the fold is per-census-row lambda compute, constant in the
+    * corpus. */
+  def q366HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = nationMonthlyCentsVecs(spark, dir)
+      .select(col("nation"), col("v"),
+        expr("transform(v, c -> CAST(c AS DOUBLE))").as("vd"),
+        size(col("v")).cast("long").as("m"))
+      .filter(col("m") >= 25L)
+    val mean12a =
+      "aggregate(slice(vd, 1, 12), CAST(0.0 AS DOUBLE), (s, x) -> s + x)" +
+        " / 12.0"
+    val mean12b =
+      "aggregate(slice(vd, 13, 12), CAST(0.0 AS DOUBLE), (s, x) -> s + x)" +
+        " / 12.0"
+    val idx = "((CAST(element_at(st, 4) AS INT) - 1) % 12 + 1)"
+    val scur = s"element_at(st, 4 + $idx)"
+    val lp = s"(0.3 * (x - $scur) + 0.7 * (element_at(st, 1)" +
+      " + element_at(st, 2)))"
+    val hw = expr(
+      s"""aggregate(
+         |  slice(vd, 13, size(vd) - 12),
+         |  concat(
+         |    array(
+         |      $mean12a,
+         |      ($mean12b - $mean12a) / 12.0,
+         |      CAST(0.0 AS DOUBLE),
+         |      CAST(13.0 AS DOUBLE)),
+         |    transform(sequence(1, 12), i ->
+         |      element_at(vd, i) - $mean12a)),
+         |  (st, x) -> concat(
+         |    array(
+         |      $lp,
+         |      0.1 * ($lp - element_at(st, 1)) + 0.9 * element_at(st, 2),
+         |      element_at(st, 3) + abs(x - (element_at(st, 1)
+         |        + element_at(st, 2) + $scur)),
+         |      element_at(st, 4) + 1.0),
+         |    transform(sequence(1, 12), j ->
+         |      IF(j = $idx,
+         |        0.2 * (x - $lp) + 0.8 * element_at(st, 4 + j),
+         |        element_at(st, 4 + j)))))""".stripMargin)
+    val sn = expr(
+      """aggregate(sequence(13, CAST(size(v) AS INT)), CAST(0 AS BIGINT),
+        |  (s, t) -> s + abs(element_at(v, t) - element_at(v, t - 12)))"""
+        .stripMargin)
+    vecs.select(col("nation"), col("m"), hw.as("hw"), sn.as("sn"))
+      .select(col("nation"), col("m").as("n_months"),
+        (col("m") - 12L).as("n_test"),
+        (round(expr("element_at(hw, 3)") /
+          (col("m") - 12L).cast("double") / lit(100.0), 6) + lit(0.0))
+          .as("mae_hw"),
+        (round(col("sn").cast("double") /
+          (col("m") - 12L).cast("double") / lit(100.0), 6) + lit(0.0))
+          .as("mae_snaive"),
+        when(col("sn") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) - expr("element_at(hw, 3)") /
+            col("sn").cast("double"), 6) + lit(0.0))
+          .as("skill_vs_snaive"),
+        (round(expr("element_at(hw, 1) + element_at(hw, 2)" +
+          " + element_at(hw, CAST(4 + m % 12 + 1 AS INT))") /
+          lit(100.0), 6) + lit(0.0)).as("forecast_next"))
+      .orderBy("nation")
+  }
+
+  val q366Sql: String = {
+    val mean12a = "list_reduce(vd[1:12], (s, x) -> s + x) / 12.0"
+    val mean12b = "list_reduce(vd[13:24], (s, x) -> s + x) / 12.0"
+    val idx = "((CAST(st[4] AS INTEGER) - 1) % 12 + 1)"
+    val scur = s"st[CAST(4 + $idx AS INTEGER)]"
+    val lp = s"(0.3 * (xx[1] - $scur) + 0.7 * (st[1] + st[2]))"
+    nationVecsCte +
+      s""",
+        |vd AS (
+        |  SELECT nation, v, list_transform(v, c -> CAST(c AS DOUBLE)) AS vd,
+        |    CAST(len(v) AS BIGINT) AS m
+        |  FROM vecs WHERE len(v) >= 25),
+        |folded AS (
+        |  SELECT nation, m, v,
+        |    list_reduce(
+        |      [[
+        |        $mean12a,
+        |        ($mean12b - $mean12a) / 12.0,
+        |        CAST(0.0 AS DOUBLE),
+        |        CAST(13.0 AS DOUBLE)
+        |      ] || list_transform(range(1, 13), i ->
+        |            vd[CAST(i AS INTEGER)] - $mean12a)]
+        |      || list_transform(vd[13:], x -> [x]),
+        |      (st, xx) ->
+        |        [
+        |          $lp,
+        |          0.1 * ($lp - st[1]) + 0.9 * st[2],
+        |          st[3] + abs(xx[1] - (st[1] + st[2] + $scur)),
+        |          st[4] + 1.0
+        |        ] || list_transform(range(1, 13), j ->
+        |              CASE WHEN j = $idx
+        |                THEN 0.2 * (xx[1] - $lp)
+        |                  + 0.8 * st[CAST(4 + j AS INTEGER)]
+        |                ELSE st[CAST(4 + j AS INTEGER)] END)
+        |    ) AS hw,
+        |    CAST(list_reduce(
+        |      [CAST(0 AS BIGINT)] || list_transform(range(13, len(v) + 1),
+        |        t -> abs(v[CAST(t AS INTEGER)] - v[CAST(t - 12 AS INTEGER)])),
+        |      (s, x) -> s + x) AS BIGINT) AS sn
+        |  FROM vd)
+        |SELECT nation, m AS n_months, m - 12 AS n_test,
+        |  round(hw[3] / CAST(m - 12 AS DOUBLE) / 100.0, 6) + 0.0 AS mae_hw,
+        |  round(CAST(sn AS DOUBLE) / CAST(m - 12 AS DOUBLE) / 100.0, 6)
+        |    + 0.0 AS mae_snaive,
+        |  CASE WHEN sn = 0 THEN 0.0
+        |       ELSE round(1.0 - hw[3] / CAST(sn AS DOUBLE), 6) + 0.0
+        |  END AS skill_vs_snaive,
+        |  round((hw[1] + hw[2] + hw[CAST(4 + m % 12 + 1 AS INTEGER)])
+        |    / 100.0, 6) + 0.0 AS forecast_next
+        |FROM folded ORDER BY nation""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_holt_winters" -> (q366HoltWinters _),
     "q354_dtw_matrix" -> (q354DtwMatrix _),
     "q317_hier_forecast" -> (q317HierForecast _),
     "q303_permutation_entropy" -> (q303PermutationEntropy _),
@@ -2062,6 +2216,7 @@ object SeriesQueries {
 
   def oracles: Map[String, String] = Map(
     "q354_dtw_matrix" -> q354Sql,
+    "q366_holt_winters" -> q366Sql,
     "q317_hier_forecast" -> q317Sql,
     "q303_permutation_entropy" -> q303Sql,
     "q301_peak_trailing_window" -> q301Sql,
