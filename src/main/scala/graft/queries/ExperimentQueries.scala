@@ -565,7 +565,11 @@ object ExperimentQueries {
     * Scale shape: orders collapse to per-customer (x, y) in one
     * map-combinable agg; groups are the ≤|max orders| census; the
     * overall row is a 1-row broadcast. */
-  def q263BrierCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-customer retention pair over the full customer universe:
+    * x = 1995–97 order count, y = active 1998+ (left join, 0-fill) —
+    * the (x, y) construction shared by q263 (calibration), q291
+    * (discrimination), and q369 (isotonic recalibration). */
+  private def retentionXy(spark: SparkSession, dir: String): DataFrame = {
     val act = Kpis.table(spark, dir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
       .filter(col("yr").between(1995, 2000))
@@ -573,11 +577,32 @@ object ExperimentQueries {
       .agg(
         sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
         max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
-    val xy = Kpis.table(spark, dir, "customer")
+    Kpis.table(spark, dir, "customer")
       .select(col("c_custkey"))
       .join(act, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("x0"), lit(0L)).as("x"),
         coalesce(col("y0"), lit(0L)).as("y"))
+  }
+
+  /** DuckDB spelling of [[retentionXy]]: CTE prefix ending at `xy`. */
+  private val retentionXyCte: String =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+      |      AS x0,
+      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+      |      AS y0
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+      |  GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(COALESCE(x0, 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(y0, 0) AS BIGINT) AS y
+      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey)"""
+      .stripMargin
+
+  def q263BrierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val xy = retentionXy(spark, dir)
     val p = round(lit(1.0) /
       (lit(1.0) + exp(-(col("x").cast("double") / lit(4.0) - lit(1.0)))), 9)
       .cast("decimal(12,9)")
@@ -615,20 +640,8 @@ object ExperimentQueries {
       .orderBy("p1_orders")
   }
 
-  val q263Sql: String =
-    """WITH act AS (
-      |  SELECT o_custkey,
-      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
-      |      AS x0,
-      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
-      |      AS y0
-      |  FROM orders
-      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
-      |  GROUP BY 1),
-      |xy AS (
-      |  SELECT CAST(COALESCE(x0, 0) AS BIGINT) AS x,
-      |    CAST(COALESCE(y0, 0) AS BIGINT) AS y
-      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+  val q263Sql: String = retentionXyCte +
+    """,
       |grp AS (
       |  SELECT x, COUNT(*) AS n_customers, CAST(SUM(y) AS BIGINT) AS k,
       |    CAST(round(1.0 / (1.0 +
@@ -682,18 +695,7 @@ object ExperimentQueries {
     * score census (a global window over ~30 rows — WindowGuardSpec
     * pins it); totals broadcast as 1-row frames. */
   def q291ScoreDiscrimination(spark: SparkSession, dir: String): DataFrame = {
-    val act = Kpis.table(spark, dir, "orders")
-      .withColumn("yr", year(col("o_orderdate")))
-      .filter(col("yr").between(1995, 2000))
-      .groupBy(col("o_custkey"))
-      .agg(
-        sum(when(col("yr") <= 1997, 1L).otherwise(0L)).as("x0"),
-        max(when(col("yr") >= 1998, 1L).otherwise(0L)).as("y0"))
-    val xy = Kpis.table(spark, dir, "customer")
-      .select(col("c_custkey"))
-      .join(act, col("c_custkey") === col("o_custkey"), "left")
-      .select(coalesce(col("x0"), lit(0L)).as("x"),
-        coalesce(col("y0"), lit(0L)).as("y"))
+    val xy = retentionXy(spark, dir)
     val census = xy.groupBy(col("x"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
       .withColumn("neg", col("n") - col("k"))
@@ -722,20 +724,8 @@ object ExperimentQueries {
       (col("ks_num").cast("double") / pairs.cast("double")).as("ks_stat"))
   }
 
-  val q291Sql: String =
-    """WITH act AS (
-      |  SELECT o_custkey,
-      |    SUM(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
-      |      AS x0,
-      |    MAX(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
-      |      AS y0
-      |  FROM orders
-      |  WHERE year(o_orderdate) BETWEEN 1995 AND 2000
-      |  GROUP BY 1),
-      |xy AS (
-      |  SELECT CAST(COALESCE(x0, 0) AS BIGINT) AS x,
-      |    CAST(COALESCE(y0, 0) AS BIGINT) AS y
-      |  FROM customer LEFT JOIN act ON c_custkey = o_custkey),
+  val q291Sql: String = retentionXyCte +
+    """,
       |census AS (
       |  SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k,
       |    COUNT(*) - CAST(SUM(y) AS BIGINT) AS neg
@@ -1556,7 +1546,181 @@ object ExperimentQueries {
       |  MAX(gap_b) + 0.0 AS mce
       |FROM g2""".stripMargin
 
+  // --------------------------------------------------------------- q367
+  /** Split-conformal prediction-interval certificate — the
+    * distribution-free UNCERTAINTY wrapper the eval family lacks: q263
+    * calibrates probabilities and q331 prices miscalibration, but
+    * nothing here certifies an INTERVAL. A deliberately simple point
+    * predictor (extended price ≈ β·quantity, β fit as one integer
+    * ratio on the calibration half) is wrapped by the split-conformal
+    * recipe: absolute calibration residuals, q̂ = the
+    * ⌈0.9·(n_cal+1)⌉-th smallest (the finite-sample-valid order
+    * statistic, NOT the plug-in 90th percentile), and the certified
+    * claim — ≥90% of held-out points fall within ±q̂ — measured on the
+    * disjoint test half. Split assignment is the replayable md5 grid.
+    * The machinery is predictor-agnostic: the cert holds for ANY fixed
+    * point model, which is why it earns a place as an operator.
+    *
+    * Exactness: β is one integer division (milli-cents per unit), so
+    * every residual is an exact BIGINT; the rank index k is integer
+    * ceiling arithmetic; q̂ is an exact order statistic; coverage is a
+    * single int/int division snapped at 6 dp.
+    *
+    * Scale shape: one map-combinable fit aggregate, one
+    * [[graft.operators.RangeRank.withGlobalRank]] range shuffle over
+    * the calibration residuals for the order statistic (never a
+    * single-partition window — the oracle's ROW_NUMBER is the fixture-
+    * scale spelling), and one map-side broadcast-q̂ coverage aggregate
+    * over the test half. All linear. */
+  def q367ConformalCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val base = Kpis.table(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      col("l_quantity").cast("long").as("q"))
+      .withColumn("grp", pmod(md5Hash60(concat(lit("conf:"),
+        col("okey").cast("string"), lit("-"), col("lnum").cast("string"))),
+        lit(2L)))
+    val cal = base.filter(col("grp") === 0L)
+    val tst = base.filter(col("grp") === 1L)
+    val fit = broadcast(cal.agg(
+      expr("sum(y * 1000) div sum(q)").as("beta")))
+    val calR = cal.crossJoin(fit)
+      .select(abs(col("y") * 1000L - col("beta") * col("q")).as("r"),
+        col("okey"), col("lnum"))
+    val nk = broadcast(calR.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"), expr("((n_cal + 1) * 9 + 9) div 10").as("k")))
+    val qhat = broadcast(graft.operators.RangeRank
+      .withGlobalRank(calR, "rk", Seq(col("r"), col("okey"), col("lnum")))
+      .crossJoin(nk)
+      .filter(col("rk") === col("k"))
+      .select(col("r").as("qhat"), col("n_cal"), col("k")))
+    tst.crossJoin(fit).crossJoin(qhat)
+      .select(col("n_cal"), col("k"), col("qhat"),
+        when(abs(col("y") * 1000L - col("beta") * col("q")) <= col("qhat"),
+          1L).otherwise(0L).as("inside"))
+      .groupBy(col("n_cal"), col("k"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"), sum(col("inside")).as("n_inside"))
+      .select(col("n_cal"), col("n_test"), col("k"),
+        col("qhat").as("qhat_millicents"),
+        (round(col("n_inside").cast("double") /
+          col("n_test").cast("double"), 6) + lit(0.0)).as("coverage"),
+        (round(col("n_inside").cast("double") /
+          col("n_test").cast("double") - 0.9, 6) + lit(0.0))
+          .as("coverage_gap"))
+  }
+
+  val q367Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql(
+      "'conf:' || CAST(l_orderkey AS VARCHAR) || '-' || " +
+        "CAST(l_linenumber AS VARCHAR)")
+    s"""WITH base AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    ($h) % 2 AS grp
+      |  FROM lineitem),
+      |fit AS (SELECT CAST(SUM(y * 1000) // SUM(q) AS BIGINT) AS beta
+      |        FROM base WHERE grp = 0),
+      |calr AS (SELECT abs(y * 1000 - beta * q) AS r
+      |         FROM base, fit WHERE grp = 0),
+      |nk AS (SELECT COUNT(*) AS n_cal,
+      |         ((COUNT(*) + 1) * 9 + 9) // 10 AS k FROM calr),
+      |qh AS (SELECT r AS qhat, n_cal, k FROM
+      |         (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM calr),
+      |         nk
+      |       WHERE rk = k),
+      |cov AS (
+      |  SELECT n_cal, k, qhat, COUNT(*) AS n_test,
+      |    SUM(CASE WHEN abs(y * 1000 - beta * q) <= qhat
+      |        THEN 1 ELSE 0 END) AS n_inside
+      |  FROM base, fit, qh WHERE grp = 1
+      |  GROUP BY n_cal, k, qhat)
+      |SELECT n_cal, n_test, k, qhat AS qhat_millicents,
+      |  round(CAST(n_inside AS DOUBLE) / CAST(n_test AS DOUBLE), 6) + 0.0
+      |    AS coverage,
+      |  round(CAST(n_inside AS DOUBLE) / CAST(n_test AS DOUBLE) - 0.9, 6)
+      |    + 0.0 AS coverage_gap
+      |FROM cov""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q369
+  /** Isotonic recalibration of the retention score — the FIX for what
+    * q263 diagnoses: q263's reliability diagram shows where the
+    * logistic score's probabilities drift from observed rates; the
+    * monotone (isotonic) regression of observed rate on score is the
+    * standard recalibration map (the pool-adjacent-violators fit).
+    * Computed RELATIONALLY via the minimax identity — iso(i) =
+    * max_{j≤i} min_{l≥i} rate(j..l) over contiguous bin intervals —
+    * which equals the PAVA solution exactly (HoltWinters-style fold
+    * avoided: the identity needs no sequential state, just three
+    * census-scale non-equi joins, so it parallelizes trivially).
+    * Output: per score bin, the raw observed rate beside its monotone
+    * recalibrated rate — the lookup table a scorer applies at
+    * inference.
+    *
+    * Exactness: interval sums are exact integers; each interval rate
+    * is ONE int/int division (identical doubles both engines); min/max
+    * over identical double sets agree; emitted rates snap at 6 dp.
+    *
+    * Scale shape: orders collapse to per-customer (x, y) in one
+    * map-combinable agg ([[retentionXy]]); bins are the ≤|max orders|
+    * census, checkpointed once; the interval triangle and minimax
+    * joins are broadcast non-equi joins over ≤B³ census rows (B ≈ 30),
+    * constant in the corpus. */
+  def q369IsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val census = graft.plans.Eager.ckpt(
+      retentionXy(spark, dir).groupBy(col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("k")))
+    val jF = census.select(col("x").as("j"))
+    val lF = census.select(col("x").as("l"))
+    val tF = census.select(col("x").as("t"), col("n").as("tn"),
+      col("k").as("tk"))
+    val iv = jF.join(broadcast(lF), col("j") <= col("l"))
+      .join(broadcast(tF), col("t") >= col("j") && col("t") <= col("l"))
+      .groupBy(col("j"), col("l"))
+      .agg((sum(col("tk")).cast("double") / sum(col("tn")).cast("double"))
+        .as("rate"))
+    val minr = census.select(col("x").as("i"))
+      .join(broadcast(iv), col("j") <= col("i") && col("l") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("rate")).as("minr"))
+    val iso = minr.groupBy(col("i")).agg(max(col("minr")).as("iso"))
+    census.join(broadcast(iso), col("x") === col("i"))
+      .select(col("x").as("p1_orders"), col("n").as("n_customers"),
+        col("k").as("k_active"),
+        (round(col("k").cast("double") / col("n").cast("double"), 6) +
+          lit(0.0)).as("raw_rate"),
+        (round(col("iso"), 6) + lit(0.0)).as("iso_rate"))
+      .orderBy("p1_orders")
+  }
+
+  val q369Sql: String = retentionXyCte +
+    """,
+      |census AS (
+      |  SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k
+      |  FROM xy GROUP BY 1),
+      |iv AS (
+      |  SELECT j.x AS j, l.x AS l,
+      |    CAST(SUM(t.k) AS DOUBLE) / CAST(SUM(t.n) AS DOUBLE) AS rate
+      |  FROM census j JOIN census l ON j.x <= l.x
+      |  JOIN census t ON t.x >= j.x AND t.x <= l.x
+      |  GROUP BY 1, 2),
+      |minr AS (
+      |  SELECT i.x AS i, iv.j, MIN(iv.rate) AS minr
+      |  FROM census i JOIN iv ON iv.j <= i.x AND iv.l >= i.x
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i, MAX(minr) AS iso FROM minr GROUP BY 1)
+      |SELECT c.x AS p1_orders, c.n AS n_customers, c.k AS k_active,
+      |  round(CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE), 6) + 0.0
+      |    AS raw_rate,
+      |  round(iso.iso, 6) + 0.0 AS iso_rate
+      |FROM census c JOIN iso ON c.x = iso.i
+      |ORDER BY p1_orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_isotonic_calibration" -> (q369IsotonicCalibration _),
+    "q367_conformal_cert" -> (q367ConformalCert _),
     "q331_calibration_error" -> (q331CalibrationError _),
     "q325_kruskal_wallis" -> (q325KruskalWallis _),
     "q320_bh_fdr" -> (q320BhFdr _),
@@ -1574,6 +1738,8 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q369_isotonic_calibration" -> q369Sql,
+    "q367_conformal_cert" -> q367Sql,
     "q331_calibration_error" -> q331Sql,
     "q325_kruskal_wallis" -> q325Sql,
     "q320_bh_fdr" -> q320Sql,
