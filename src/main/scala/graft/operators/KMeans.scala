@@ -476,17 +476,113 @@ object KMeans {
       |FROM st""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q368
+  /** Adjusted Rand index between the q277 Lloyd cells and the label
+    * column — the PAIR-COUNTING external-validity companion to q278's
+    * information-theoretic NMI. The two disagree in exactly the cases
+    * that matter for an index audit: NMI stays high under many small
+    * pure-but-fragmented cells (it measures information, not
+    * agreement), while ARI's chance correction punishes fragmentation
+    * because the expected pair agreement of a fine partition is low.
+    * Reporting both (same census, same assignment) turns "the cells
+    * track the labels" into two numbers that must AGREE before the
+    * claim stands.
+    *
+    * Exactness: pair counts n(n−1)/2 are exact integers off the same
+    * contingency census as q278; the a·b cross product is exact
+    * DECIMAL(38,0) (q320's integer-space discipline — BIGINT would
+    * overflow at ~10⁵ rows since a·b ~ n⁴/4); ARI is one closing
+    * double chain snapped at 6 dp — no logs, no grids.
+    *
+    * Scale shape: one Lloyd pass + an id-equi-join to labels + ONE
+    * map-combinable contingency agg; marginal pair sums are two
+    * census-scale aggregates; the ARI arithmetic runs on one row. */
+  def q368CellLabelAri(spark: SparkSession, dir: String): DataFrame = {
+    val base = Kpis.table(spark, dir, "embeddings")
+    val e = base.select(col("vec_id"), col("embedding"))
+      .withColumn("n2",
+        graft.functions.VectorFunctions.norm2(col("embedding")))
+    val joint = lloyd(e, k = 8, iters = 1)
+      .join(base.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairs(c: String): Column =
+      expr(s"CAST(($c * ($c - 1)) div 2 AS DECIMAL(38,0))")
+    val jointPairs = joint.agg(sum(pairs("cxy")).as("p_joint"),
+      sum(col("cxy")).as("n_vectors"))
+    val cellPairs = joint.groupBy(col("cluster"))
+      .agg(sum(col("cxy")).as("cx"))
+      .agg(sum(pairs("cx")).as("p_cells"))
+    val labelPairs = joint.groupBy(col("label"))
+      .agg(sum(col("cxy")).as("cy"))
+      .agg(sum(pairs("cy")).as("p_labels"))
+    val dbl = (c: String) => col(c).cast("double")
+    val exp = dbl("p_cells") * dbl("p_labels") / dbl("p_all")
+    val out = graft.plans.Eager.ckpt(
+      jointPairs.crossJoin(broadcast(cellPairs))
+        .crossJoin(broadcast(labelPairs))
+        .withColumn("p_all", pairs("n_vectors"))
+        .select(col("n_vectors"),
+          col("p_joint").cast("long").as("pairs_joint"),
+          col("p_cells").cast("long").as("pairs_cells"),
+          col("p_labels").cast("long").as("pairs_labels"),
+          (round((dbl("p_joint") - exp) /
+            ((dbl("p_cells") + dbl("p_labels")) / 2.0 - exp), 6) + lit(0.0))
+            .as("ari")))
+    joint.unpersist()
+    out
+  }
+
+  val q368Sql: String = {
+    val (chain, out) = lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", dim = Dim, k = 8,
+      iters = 1, p = "ar")
+    s"""WITH $chain,
+      |joint AS (
+      |  SELECT a.cluster, e.label, COUNT(*) AS cxy
+      |  FROM $out a JOIN embeddings e ON a.vec_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT SUM(CAST((cxy * (cxy - 1)) // 2 AS DECIMAL(38,0))) AS p_joint,
+      |    CAST(SUM(cxy) AS BIGINT) AS n_vectors
+      |  FROM joint),
+      |cp AS (
+      |  SELECT SUM(CAST((cx * (cx - 1)) // 2 AS DECIMAL(38,0))) AS p_cells
+      |  FROM (SELECT SUM(cxy) AS cx FROM joint GROUP BY cluster)),
+      |lp AS (
+      |  SELECT SUM(CAST((cy * (cy - 1)) // 2 AS DECIMAL(38,0))) AS p_labels
+      |  FROM (SELECT SUM(cxy) AS cy FROM joint GROUP BY label)),
+      |m AS (
+      |  SELECT n_vectors, p_joint, p_cells, p_labels,
+      |    CAST((n_vectors * (n_vectors - 1)) // 2 AS DECIMAL(38,0)) AS p_all
+      |  FROM jp, cp, lp)
+      |SELECT n_vectors,
+      |  CAST(p_joint AS BIGINT) AS pairs_joint,
+      |  CAST(p_cells AS BIGINT) AS pairs_cells,
+      |  CAST(p_labels AS BIGINT) AS pairs_labels,
+      |  round((CAST(p_joint AS DOUBLE)
+      |      - CAST(p_cells AS DOUBLE) * CAST(p_labels AS DOUBLE)
+      |        / CAST(p_all AS DOUBLE))
+      |    / ((CAST(p_cells AS DOUBLE) + CAST(p_labels AS DOUBLE)) / 2.0
+      |      - CAST(p_cells AS DOUBLE) * CAST(p_labels AS DOUBLE)
+      |        / CAST(p_all AS DOUBLE)), 6) + 0.0 AS ari
+      |FROM m""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_kmeans" -> (q60Kmeans _),
     "q64_pq_codes" -> (q64PqCodes _),
     "q272_pq_utilization" -> (q272PqUtilization _),
     "q277_ivf_imbalance" -> (q277IvfImbalance _),
-    "q278_cell_label_nmi" -> (q278CellLabelNmi _))
+    "q278_cell_label_nmi" -> (q278CellLabelNmi _),
+    "q368_cell_label_ari" -> (q368CellLabelAri _))
 
   def oracles: Map[String, String] = Map(
     "q60_kmeans" -> q60Sql,
     "q64_pq_codes" -> q64Sql,
     "q272_pq_utilization" -> q272Sql,
     "q277_ivf_imbalance" -> q277Sql,
-    "q278_cell_label_nmi" -> q278Sql)
+    "q278_cell_label_nmi" -> q278Sql,
+    "q368_cell_label_ari" -> q368Sql)
 }
