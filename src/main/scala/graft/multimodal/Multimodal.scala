@@ -610,13 +610,254 @@ object Multimodal {
       |FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q370
+  /** 56-bit difference hash (dHash) of a decoded W×H RGB image: one
+    * gradient-sign bit per horizontally adjacent gray pair, bit
+    * position y·(W−1)+x set iff gray(x+1,y) > gray(x,y), gray = r+g+b
+    * (exact integer — no luma weights, so the oracle replays it in
+    * integer SQL). The standard perceptual fingerprint: robust to
+    * brightness shifts (monotone per-pixel maps preserve most gradient
+    * signs), cheap to band for LSH. */
+  def dhash56(payload: Array[Byte], w: Int, h: Int): Long = {
+    require(payload.length == w * h * 3, "dhash needs a W*H*3 RGB payload")
+    def g(x: Int, y: Int): Int = {
+      val o = (y * w + x) * 3
+      (payload(o) & 0xff) + (payload(o + 1) & 0xff) + (payload(o + 2) & 0xff)
+    }
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (g(x + 1, y) > g(x, y)) hash |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Image perceptual-hash near-dup detection — the IMAGE modality of
+    * the dedup family (exact q19, MinHash q22, SimHash q27, semantic
+    * q50/q99, substring q350 are all text/vector; a multimodal corpus
+    * dedups its images by perceptual fingerprint, not byte equality,
+    * because a re-encode/brightness-shift breaks byte hashes). Every
+    * image is decoded with the REAL PPM parser and fingerprinted with
+    * [[dhash56]]; a planted "re-encoded copy" of each image (id +
+    * 100000, every 37th payload byte brightened +40 and clipped — a
+    * local exposure artifact) joins the corpus. The pipeline is the
+    * PRODUCTION shape: (1) exact-duplicate hashes collapse FIRST into
+    * a group census (identical fingerprints are duplicates by
+    * definition — their C(g,2) pairs need no join, and skipping this
+    * step is the classic LSH scale trap: every popular image makes a
+    * hot band bucket with quadratic pair fan-out, measured 65× shuffle
+    * at 10× before this collapse); (2) only DISTINCT hashes are banded
+    * 4×14 bits, with hot buckets above 16 distinct hashes dropped and
+    * COUNTED (q350's df-cap discipline); (3) surviving band pairs are
+    * verified by exact Hamming ≤ 8 and expanded back to image-pair
+    * counts via group-size products. The planted-copy ledger is
+    * measured EXACTLY via one id-keyed join (orig vs copy hash):
+    * Hamming per planted pair, how many are exact, how many share ≥ 1
+    * band (the banding operating point), how many pass the threshold.
+    *
+    * Exactness: grays, hash bits, bands, Hamming distances, group
+    * sizes, and pair counts are ALL integer; the oracle re-derives
+    * every pixel byte from the document text (q333's replay
+    * convention) and rebuilds the same 56-bit integers.
+    *
+    * Scale shape: decode + hash is partition-batched `mapPartitions`
+    * (the multimodal idiom) emitting ONE long per image — blobs never
+    * shuffle; the exact collapse and the planted join are keyed and
+    * linear; banding runs on DISTINCT hashes only, bucket membership
+    * is df-capped at 16, so candidate volume is bounded by 16·bands·
+    * |distinct hashes| — linear with a hard per-bucket constant. */
+  def q370ImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = mediaFromDocuments(spark, dir)
+      .filter(col("meta.kind") === "image")
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .as[MediaRow]
+    val CAP = 16
+    val hashes = imgs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = Codec.decode(r.content)
+        val pert = Array.tabulate(d.payload.length) { i =>
+          val v = d.payload(i) & 0xff
+          (if (i % 37 == 0) math.min(v + 40, 255) else v).toByte
+        }
+        Iterator(
+          (r.media_id, dhash56(d.payload, d.width, d.height)),
+          (r.media_id + 100000L, dhash56(pert, d.width, d.height)))
+      }
+    }.toDF("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (1) exact-hash collapse: group census + closed-form exact pairs
+    val groups = hashes.groupBy(col("h"))
+      .agg(count(lit(1)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = groups.agg(
+      count(lit(1)).as("n_distinct_hashes"),
+      sum(expr("(g * (g - 1)) div 2")).as("exact_dup_pairs"))
+    // planted ledger: one id-keyed join, every metric exact
+    def bandEq(j: Int) =
+      expr(s"(shiftright(ho, ${14 * j}) & 16383) = " +
+        s"(shiftright(hc, ${14 * j}) & 16383)")
+    val planted = hashes.filter(col("id") < 100000L)
+      .select(col("id"), col("h").as("ho"))
+      .join(hashes.filter(col("id") >= 100000L)
+        .select((col("id") - 100000L).as("id"), col("h").as("hc")), "id")
+      .select(expr("CAST(bit_count(ho ^ hc) AS BIGINT)").as("ham"),
+        (bandEq(0) || bandEq(1) || bandEq(2) || bandEq(3)).as("reach"))
+      .agg(count(lit(1)).as("planted_total"),
+        sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("planted_exact"),
+        sum(when(col("reach"), 1L).otherwise(0L))
+          .as("planted_band_reachable"),
+        sum(when(col("ham") <= 8L, 1L).otherwise(0L)).as("planted_dups"),
+        max(col("ham")).as("max_planted_ham"))
+    // (2) band only DISTINCT hashes, df-cap hot buckets
+    val inv = groups.select(col("h"), col("g"),
+      expr("explode(sequence(0, 3))").as("j"))
+      .select(col("h"), col("g"), col("j"),
+        expr("shiftright(h, 14 * j) & 16383").as("v"))
+    val buckets = inv.groupBy(col("j"), col("v"))
+      .agg(count(lit(1)).as("bs"))
+    val dropped = buckets.agg(
+      sum(when(col("bs") > CAP, 1L).otherwise(0L)).as("buckets_dropped"))
+    val kept = inv.join(buckets.filter(col("bs") <= CAP), Seq("j", "v"))
+    // (3) verify surviving pairs, expand via group-size products
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
+        col("a.g").as("ga"), col("b.g").as("gb"))
+      .distinct()
+      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+    val near = cand.agg(
+      count(lit(1)).as("cand_hash_pairs"),
+      coalesce(sum(when(col("ham") <= 8L, 1L).otherwise(0L)), lit(0L))
+        .as("dup_hash_pairs"),
+      coalesce(sum(when(col("ham") <= 8L, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("near_dup_id_pairs"))
+    val nImg = hashes.filter(col("id") < 100000L)
+      .agg(count(lit(1)).as("n_images"))
+    val out = graft.plans.Eager.ckpt(
+      nImg.crossJoin(broadcast(exact))
+        .crossJoin(broadcast(planted))
+        .crossJoin(broadcast(dropped))
+        .crossJoin(broadcast(near))
+        .select(col("n_images"), col("n_distinct_hashes"),
+          col("exact_dup_pairs"), col("planted_total"),
+          col("planted_exact"), col("planted_band_reachable"),
+          col("planted_dups"), col("max_planted_ham"),
+          col("buckets_dropped"), col("cand_hash_pairs"),
+          col("dup_hash_pairs"),
+          (col("exact_dup_pairs") + col("near_dup_id_pairs"))
+            .as("dup_id_pairs_total")))
+    groups.unpersist(); hashes.unpersist()
+    out
+  }
+
+  /** DuckDB replay from `documents`: pixel bytes re-derived by cycling
+    * the ASCII text (variant 1 applies the every-37th +40-clip rule),
+    * grays summed per pixel, the 56 gradient bits assembled into the
+    * same BIGINT, then the identical collapse → df-capped band join →
+    * Hamming verify → group-product expansion. */
+  val q370Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS tlen
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, v.variant, i,
+      |    CASE WHEN v.variant = 1 AND i % 37 = 0
+      |      THEN least(ascii(substr(text, CAST(i % tlen AS INTEGER) + 1,
+      |        1)) + 40, 255)
+      |      ELSE ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1))
+      |    END AS b
+      |  FROM d CROSS JOIN (VALUES (0), (1)) v(variant)
+      |  CROSS JOIN LATERAL unnest(range(0, 192)) AS t(i)),
+      |g AS (
+      |  SELECT doc_id, variant, CAST(i // 3 AS INTEGER) AS p,
+      |    CAST(SUM(b) AS BIGINT) AS gv
+      |  FROM px GROUP BY ALL),
+      |hb AS (
+      |  SELECT a.doc_id, a.variant,
+      |    CAST(SUM(CASE WHEN n.gv > a.gv
+      |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+      |      AS BIGINT) AS h
+      |  FROM (SELECT doc_id, variant, p, gv,
+      |          CAST((p // 8) * 7 + (p % 8) AS INTEGER) AS k
+      |        FROM g WHERE p % 8 < 7) a
+      |  JOIN g n ON n.doc_id = a.doc_id AND n.variant = a.variant
+      |    AND n.p = a.p + 1
+      |  GROUP BY ALL),
+      |ih AS (SELECT doc_id + 100000 * variant AS id, h FROM hb),
+      |grp AS (SELECT h, COUNT(*) AS g FROM ih GROUP BY h),
+      |exact AS (
+      |  SELECT COUNT(*) AS n_distinct_hashes,
+      |    CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS exact_dup_pairs
+      |  FROM grp),
+      |pl AS (
+      |  SELECT o.h AS ho, c.h AS hc,
+      |    CAST(bit_count(xor(o.h, c.h)) AS BIGINT) AS ham,
+      |    CASE WHEN ((o.h >> 0) & 16383) = ((c.h >> 0) & 16383)
+      |      OR ((o.h >> 14) & 16383) = ((c.h >> 14) & 16383)
+      |      OR ((o.h >> 28) & 16383) = ((c.h >> 28) & 16383)
+      |      OR ((o.h >> 42) & 16383) = ((c.h >> 42) & 16383)
+      |    THEN 1 ELSE 0 END AS reach
+      |  FROM (SELECT id, h FROM ih WHERE id < 100000) o
+      |  JOIN (SELECT id - 100000 AS id, h FROM ih WHERE id >= 100000) c
+      |    USING (id)),
+      |pls AS (
+      |  SELECT COUNT(*) AS planted_total,
+      |    CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS planted_exact,
+      |    CAST(SUM(reach) AS BIGINT) AS planted_band_reachable,
+      |    CAST(SUM(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS planted_dups,
+      |    MAX(ham) AS max_planted_ham
+      |  FROM pl),
+      |inv AS (
+      |  SELECT h, g, j, (h >> CAST(14 * j AS INTEGER)) & 16383 AS v
+      |  FROM grp CROSS JOIN LATERAL unnest(range(0, 4)) AS t(j)),
+      |bk AS (SELECT j, v, COUNT(*) AS bs FROM inv GROUP BY 1, 2),
+      |dropped AS (
+      |  SELECT CAST(SUM(CASE WHEN bs > 16 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS buckets_dropped
+      |  FROM bk),
+      |kept AS (SELECT inv.* FROM inv JOIN bk USING (j, v) WHERE bs <= 16),
+      |cand AS (
+      |  SELECT DISTINCT a.h AS ha, b.h AS hb2, a.g AS ga, b.g AS gb
+      |  FROM kept a JOIN kept b
+      |    ON a.j = b.j AND a.v = b.v AND a.h < b.h),
+      |sc AS (
+      |  SELECT *, CAST(bit_count(xor(ha, hb2)) AS BIGINT) AS ham
+      |  FROM cand),
+      |near AS (
+      |  SELECT COUNT(*) AS cand_hash_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN ham <= 8 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS dup_hash_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN ham <= 8 THEN ga * gb ELSE 0 END),
+      |      0) AS BIGINT) AS near_dup_id_pairs
+      |  FROM sc),
+      |ni AS (SELECT COUNT(*) AS n_images FROM ih WHERE id < 100000)
+      |SELECT n_images, n_distinct_hashes, exact_dup_pairs,
+      |  planted_total, planted_exact, planted_band_reachable,
+      |  planted_dups, max_planted_ham, buckets_dropped, cand_hash_pairs,
+      |  dup_hash_pairs,
+      |  exact_dup_pairs + near_dup_id_pairs AS dup_id_pairs_total
+      |FROM ni, exact, pls, dropped, near""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> q29MediaFeatures _,
     "q333_frame_stats" -> q333FrameStats _,
-    "q360_audio_segments" -> q360AudioSegments _)
+    "q360_audio_segments" -> q360AudioSegments _,
+    "q370_image_phash_dedup" -> q370ImagePhashDedup _)
 
   def oracles: Map[String, String] = Map(
     "q29_media_features" -> q29Sql,
     "q333_frame_stats" -> q333Sql,
-    "q360_audio_segments" -> q360Sql)
+    "q360_audio_segments" -> q360Sql,
+    "q370_image_phash_dedup" -> q370Sql)
 }
