@@ -496,13 +496,170 @@ object LmQueries {
       |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q371
+  /** Stupid-backoff trigram scoring of a HELD-OUT half — the n-gram LM
+    * the q59/q83 self-trained scores can't provide: those have no OOV
+    * mass by construction, so they never exercise what a real corpus
+    * scorer spends most of its time doing — backing off. The model
+    * trains on even doc_ids (trigram/bigram/unigram censuses) and
+    * scores the odd half with Brants' stupid backoff (α = 0.4):
+    * S = c₃/c₂ctx if the trigram was seen, else α·c₂/c₁ctx, else
+    * α²·c₁/N, else the α²·1/N OOV floor. Besides the per-doc mean NLL,
+    * the per-doc BACKOFF CENSUS (trigram hits / bigram / unigram
+    * fallbacks / OOV) is emitted — the novelty fingerprint that makes
+    * this a curation signal: a held-out doc whose trigrams mostly HIT
+    * the train tables is a near-duplicate of the training set (q48's
+    * decontamination concern, measured at the LM level).
+    *
+    * Exactness: all counts are exact integers; each branch's log-prob
+    * is round(ln(one int/int division), 9) plus k · the 9-dp literal
+    * ln α (the q59 ln-snap convention — ln's ≤1-ulp cross-engine
+    * jitter collapses at 9 dp); per-doc means snap at 6 dp.
+    *
+    * Scale shape: three map-combinable train censuses (vocabⁿ-bounded
+    * hash aggs); scoring is the exploded held-out trigram stream LEFT
+    * equi-joined to five count tables (AQE broadcasts those that fit)
+    * then ONE hash agg per doc — q83's plan family, every stage linear
+    * in the token count. */
+  def q371StupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val lnAlpha = lit(-0.916290732) // round(ln 0.4, 9)
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val train = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val test = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def tris(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("doc_id"), col("lang"),
+        (size(col("toks")) - 2).as("n_trigrams"),
+        explode(expr("transform(sequence(1, size(toks) - 2), i -> " +
+          "struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))"))
+          .as("t"))
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val t3 = tris(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val t2 = train.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val t1 = train.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTot = t1.agg(sum(col("c1")).as("n_train"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val scored = tris(test)
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(t2.select(col("a").as("w1"), col("b").as("w2"),
+        col("c2").as("ctx12")), Seq("w1", "w2"), "left")
+      .join(t2.select(col("a").as("w2"), col("b").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left")
+      .join(t1.select(col("w").as("w2"), col("c1").as("cu2")),
+        Seq("w2"), "left")
+      .join(t1.select(col("w").as("w3"), col("c1").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        when(col("c3").isNotNull, lit("tri"))
+          .when(col("c23").isNotNull, lit("bi"))
+          .when(col("cu3").isNotNull, lit("uni"))
+          .otherwise(lit("oov")).as("kind"),
+        when(col("c3").isNotNull,
+          round(log(dbl(col("c3")) / dbl(col("ctx12"))), 9))
+          .when(col("c23").isNotNull,
+            round(log(dbl(col("c23")) / dbl(col("cu2"))), 9) + lnAlpha)
+          .when(col("cu3").isNotNull,
+            round(log(dbl(col("cu3")) / dbl(col("n_train"))), 9) +
+              lnAlpha * 2.0)
+          .otherwise(
+            round(log(lit(1.0) / dbl(col("n_train"))), 9) +
+              lnAlpha * 2.0).as("lp"))
+    scored.groupBy(col("doc_id"), col("lang"), col("n_trigrams"))
+      .agg(
+        sum(when(col("kind") === "tri", 1L).otherwise(0L)).as("tri_hits"),
+        sum(when(col("kind") === "bi", 1L).otherwise(0L)).as("bi_backoffs"),
+        sum(when(col("kind") === "uni", 1L).otherwise(0L))
+          .as("uni_backoffs"),
+        sum(when(col("kind") === "oov", 1L).otherwise(0L)).as("oov_floor"),
+        (round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val q371Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |d3 AS (SELECT * FROM d WHERE len(toks) >= 3),
+      |tr AS (SELECT * FROM d3 WHERE doc_id % 2 = 0),
+      |te AS (SELECT * FROM d3 WHERE doc_id % 2 = 1),
+      |trt AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM tr)),
+      |t3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM trt GROUP BY 1, 2, 3),
+      |trb AS (
+      |  SELECT toks[i] AS a, toks[i + 1] AS b
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tr)),
+      |t2 AS (SELECT a, b, COUNT(*) AS c2 FROM trb GROUP BY 1, 2),
+      |t1 AS (
+      |  SELECT w, COUNT(*) AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_train FROM t1),
+      |tet AS (
+      |  SELECT doc_id, lang, CAST(len(toks) - 2 AS INTEGER) AS n_trigrams,
+      |    toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+      |  FROM (SELECT doc_id, lang, toks,
+      |          unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM te)),
+      |sc AS (
+      |  SELECT tet.doc_id, tet.lang, tet.n_trigrams,
+      |    CASE WHEN t3.c3 IS NOT NULL THEN 'tri'
+      |         WHEN b23.c2 IS NOT NULL THEN 'bi'
+      |         WHEN u3.c1 IS NOT NULL THEN 'uni'
+      |         ELSE 'oov' END AS kind,
+      |    CASE WHEN t3.c3 IS NOT NULL
+      |      THEN round(ln(CAST(t3.c3 AS DOUBLE)
+      |        / CAST(x12.c2 AS DOUBLE)), 9)
+      |    WHEN b23.c2 IS NOT NULL
+      |      THEN round(ln(CAST(b23.c2 AS DOUBLE)
+      |        / CAST(u2.c1 AS DOUBLE)), 9) + (-0.916290732)
+      |    WHEN u3.c1 IS NOT NULL
+      |      THEN round(ln(CAST(u3.c1 AS DOUBLE)
+      |        / CAST(nt.n_train AS DOUBLE)), 9) + (-0.916290732) * 2.0
+      |    ELSE round(ln(1.0 / CAST(nt.n_train AS DOUBLE)), 9)
+      |      + (-0.916290732) * 2.0
+      |    END AS lp
+      |  FROM tet
+      |  LEFT JOIN t3 ON tet.w1 = t3.w1 AND tet.w2 = t3.w2
+      |    AND tet.w3 = t3.w3
+      |  LEFT JOIN t2 x12 ON tet.w1 = x12.a AND tet.w2 = x12.b
+      |  LEFT JOIN t2 b23 ON tet.w2 = b23.a AND tet.w3 = b23.b
+      |  LEFT JOIN t1 u2 ON tet.w2 = u2.w
+      |  LEFT JOIN t1 u3 ON tet.w3 = u3.w
+      |  CROSS JOIN nt)
+      |SELECT doc_id, lang, n_trigrams,
+      |  CAST(SUM(CASE WHEN kind = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tri_hits,
+      |  CAST(SUM(CASE WHEN kind = 'bi' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bi_backoffs,
+      |  CAST(SUM(CASE WHEN kind = 'uni' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS uni_backoffs,
+      |  CAST(SUM(CASE WHEN kind = 'oov' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS oov_floor,
+      |  round(-avg(lp), 6) + 0.0 AS avg_nll
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q362_span_corruption" -> (q362SpanCorruption _),
     "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
     "q308_bpe_first_merges" -> (q308BpeFirstMerges _),
     "q236_context_overflow" -> (q236ContextOverflow _),
     "q59_unigram_nll" -> (q59UnigramNll _),
-    "q83_bigram_nll" -> (q83BigramNll _))
+    "q83_bigram_nll" -> (q83BigramNll _),
+    "q371_stupid_backoff" -> (q371StupidBackoff _))
 
   def oracles: Map[String, String] = Map(
     "q362_span_corruption" -> q362Sql,
@@ -510,5 +667,6 @@ object LmQueries {
     "q308_bpe_first_merges" -> q308Sql,
     "q236_context_overflow" -> q236Sql,
     "q59_unigram_nll" -> q59Sql,
-    "q83_bigram_nll" -> q83Sql)
+    "q83_bigram_nll" -> q83Sql,
+    "q371_stupid_backoff" -> q371Sql)
 }
