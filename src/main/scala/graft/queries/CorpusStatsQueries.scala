@@ -685,7 +685,97 @@ object CorpusStatsQueries {
       |    >= 5.991464547 AS reject_normal_95
       |FROM st ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q372
+  /** Good–Turing unseen-mass certificate — the PREDICTION-vs-MEASUREMENT
+    * pairing the vocabulary family lacks: q298's Chao1 estimates how
+    * many types are unseen; Good–Turing estimates how much PROBABILITY
+    * MASS the next tokens will spend on them (P₀ ≈ f₁/N, the Good
+    * estimator), and q371's train/held-out split lets this query verify
+    * the prediction against reality — the measured share of held-out
+    * tokens whose type never occurs in training. Also emits the
+    * singleton Good–Turing discount r*₁ = 2·f₂/f₁ (what a singleton's
+    * count is "worth" after smoothing) — the quantity Katz/Kneser-Ney
+    * implementations are built around.
+    *
+    * Exactness: all counts exact integers off the train frequency
+    * census and one LEFT join of the held-out token stream; every
+    * emitted double is a single int/int division snapped at 6 dp.
+    *
+    * Scale shape: one train token shuffle into the frequency census,
+    * one held-out token stream LEFT-joined against it (AQE broadcasts
+    * the census while it fits) into a map-combinable 1-row agg. */
+  def q372GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val c1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = c1.agg(
+      sum(col("cnt")).as("n_train_tokens"),
+      count(lit(1)).as("n_train_types"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+    val m = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(explode(col("toks")).as("w"))
+      .join(c1, Seq("w"), "left")
+      .agg(count(lit(1)).as("n_test_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+    val dbl = (c: String) => col(c).cast("double")
+    val gtMass = dbl("f1") / dbl("n_train_tokens")
+    val oovRate = dbl("oov_tokens") / dbl("n_test_tokens")
+    val out = graft.plans.Eager.ckpt(
+      gt.crossJoin(broadcast(m)).select(
+        col("n_train_tokens"), col("n_train_types"), col("f1"), col("f2"),
+        col("n_test_tokens"), col("oov_tokens"),
+        (round(gtMass, 6) + lit(0.0)).as("gt_unseen_mass"),
+        when(col("f1") === 0L, lit(0.0))
+          .otherwise(round(lit(2.0) * dbl("f2") / dbl("f1"), 6) + lit(0.0))
+          .as("r_star_1"),
+        (round(oovRate, 6) + lit(0.0)).as("measured_oov_rate"),
+        (round(gtMass - oovRate, 6) + lit(0.0)).as("gt_minus_measured")))
+    c1.unpersist()
+    out
+  }
+
+  val q372Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c1 AS (
+      |  SELECT w, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 0)
+      |  GROUP BY 1),
+      |gt AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_train_tokens,
+      |    COUNT(*) AS n_train_types,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM c1),
+      |m AS (
+      |  SELECT COUNT(*) AS n_test_tokens,
+      |    CAST(SUM(CASE WHEN c1.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS oov_tokens
+      |  FROM (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 1) t
+      |  LEFT JOIN c1 USING (w))
+      |SELECT n_train_tokens, n_train_types, f1, f2, n_test_tokens,
+      |  oov_tokens,
+      |  round(CAST(f1 AS DOUBLE) / CAST(n_train_tokens AS DOUBLE), 6)
+      |    + 0.0 AS gt_unseen_mass,
+      |  CASE WHEN f1 = 0 THEN 0.0
+      |       ELSE round(2.0 * CAST(f2 AS DOUBLE) / CAST(f1 AS DOUBLE), 6)
+      |         + 0.0 END AS r_star_1,
+      |  round(CAST(oov_tokens AS DOUBLE) / CAST(n_test_tokens AS DOUBLE),
+      |    6) + 0.0 AS measured_oov_rate,
+      |  round(CAST(f1 AS DOUBLE) / CAST(n_train_tokens AS DOUBLE)
+      |    - CAST(oov_tokens AS DOUBLE) / CAST(n_test_tokens AS DOUBLE), 6)
+      |    + 0.0 AS gt_minus_measured
+      |FROM gt, m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_good_turing" -> (q372GoodTuring _),
     "q326_jarque_bera" -> (q326JarqueBera _),
     "q298_chao1_vocab" -> (q298Chao1Vocab _),
     "q265_yule_diversity" -> (q265YuleDiversity _),
@@ -1075,6 +1165,7 @@ object CorpusStatsQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q372_good_turing" -> q372Sql,
     "q326_jarque_bera" -> q326Sql,
     "q298_chao1_vocab" -> q298Sql,
     "q265_yule_diversity" -> q265Sql,

@@ -368,7 +368,81 @@ object SplitQueries {
       |FROM fin, tot ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q373
+  /** Temperature-scaled mixture weights (τ = 2) — the standard
+    * multilingual/multi-source rebalancing rule (sample source s with
+    * probability ∝ massₛ^(1/τ)) that q52's fixed rates and q307's
+    * water-filling both presuppose someone has already chosen: raw
+    * proportional sampling starves small sources, uniform sampling
+    * drowns in epochs over them; τ between 1 and ∞ interpolates. τ = 2
+    * makes the exponent a SQUARE ROOT — the one power both engines
+    * compute correctly-rounded, so no pow/exp-ln chain enters the
+    * hash. Per source: raw token share, the τ=2 share, the allocation
+    * of a fixed 10⁹-token budget, and the effective epochs (>1 means
+    * the source repeats — the overfitting signal temperature tuning
+    * watches).
+    *
+    * Exactness: token masses are exact integers; each √mass is one
+    * correctly-rounded IEEE sqrt snapped at 9 dp into DECIMAL(28,9),
+    * so the normalizing sum is order-free exact decimal; shares,
+    * allocations (floor of identical doubles), and epochs snap at
+    * 6 dp.
+    *
+    * Scale shape: one map-combinable per-source token census (the
+    * |sources|-row frame); everything after is census arithmetic
+    * against one broadcast totals row. */
+  def q373TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val census = Kpis.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text")).cast("long")).as("toks"))
+      .withColumn("sq", round(sqrt(col("toks").cast("double")), 9)
+        .cast("decimal(28,9)"))
+    val tot = census.agg(sum(col("toks")).as("tot_toks"),
+      sum(col("sq")).as("tot_sq"))
+    val B = lit(1000000000L)
+    val dbl = (c: String) => col(c).cast("double")
+    val shareT2 = dbl("sq") / dbl("tot_sq")
+    census.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks").as("tokens_s"),
+        (round(dbl("toks") / dbl("tot_toks"), 6) + lit(0.0))
+          .as("share_raw"),
+        (round(shareT2, 6) + lit(0.0)).as("share_tau2"),
+        floor(shareT2 * B.cast("double")).cast("long")
+          .as("alloc_tokens_1b"),
+        (round(floor(shareT2 * B.cast("double")) / dbl("toks"), 6) +
+          lit(0.0)).as("effective_epochs"))
+      .orderBy("source")
+  }
+
+  val q373Sql: String =
+    """WITH census AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+      |      AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |c2 AS (
+      |  SELECT *, CAST(round(sqrt(CAST(toks AS DOUBLE)), 9)
+      |    AS DECIMAL(28,9)) AS sq
+      |  FROM census),
+      |tot AS (
+      |  SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks, SUM(sq) AS tot_sq
+      |  FROM c2)
+      |SELECT source, toks AS tokens_s,
+      |  round(CAST(toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6) + 0.0
+      |    AS share_raw,
+      |  round(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 6) + 0.0
+      |    AS share_tau2,
+      |  CAST(floor(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)
+      |    * 1000000000.0) AS BIGINT) AS alloc_tokens_1b,
+      |  round(floor(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)
+      |    * 1000000000.0) / CAST(toks AS DOUBLE), 6) + 0.0
+      |    AS effective_epochs
+      |FROM c2, tot ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_temperature_mix" -> (q373TemperatureMix _),
     "q307_water_filling" -> (q307WaterFilling _),
     "q217_oov_rate" -> (q217OovRate _),
     "q52_mixture_sample" -> q52MixtureSample _,
@@ -388,6 +462,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q373_temperature_mix" -> q373Sql,
     "q307_water_filling" -> q307Sql,
     "q217_oov_rate" -> q217Sql,
     "q52_mixture_sample" -> q52Sql,
