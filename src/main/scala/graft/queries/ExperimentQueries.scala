@@ -1572,17 +1572,26 @@ object ExperimentQueries {
     * single-partition window — the oracle's ROW_NUMBER is the fixture-
     * scale spelling), and one map-side broadcast-q̂ coverage aggregate
     * over the test half. All linear. */
-  def q367ConformalCert(spark: SparkSession, dir: String): DataFrame = {
+  /** The (okey, lnum, y-cents, quantity, md5 split) frame under q367
+    * and its streaming twin. */
+  private[graft] def conformalBase(spark: SparkSession,
+      dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Hash60
-    val base = Kpis.table(spark, dir, "lineitem").select(
+    Kpis.table(spark, dir, "lineitem").select(
       col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
       round(col("l_extendedprice") * 100).cast("long").as("y"),
       col("l_quantity").cast("long").as("q"))
       .withColumn("grp", pmod(md5Hash60(concat(lit("conf:"),
         col("okey").cast("string"), lit("-"), col("lnum").cast("string"))),
         lit(2L)))
-    val cal = base.filter(col("grp") === 0L)
-    val tst = base.filter(col("grp") === 1L)
+  }
+
+  /** q367's frozen fit — ONE row (beta, n_cal, k, qhat) from the
+    * calibration half; the artifact the streaming gate
+    * ([[graft.streaming.ConformalStream]]) captures at query start. */
+  private[graft] def conformalFit(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cal = conformalBase(spark, dir).filter(col("grp") === 0L)
     val fit = broadcast(cal.agg(
       expr("sum(y * 1000) div sum(q)").as("beta")))
     val calR = cal.crossJoin(fit)
@@ -1590,12 +1599,18 @@ object ExperimentQueries {
         col("okey"), col("lnum"))
     val nk = broadcast(calR.agg(count(lit(1)).as("n_cal"))
       .select(col("n_cal"), expr("((n_cal + 1) * 9 + 9) div 10").as("k")))
-    val qhat = broadcast(graft.operators.RangeRank
+    graft.operators.RangeRank
       .withGlobalRank(calR, "rk", Seq(col("r"), col("okey"), col("lnum")))
       .crossJoin(nk)
       .filter(col("rk") === col("k"))
-      .select(col("r").as("qhat"), col("n_cal"), col("k")))
-    tst.crossJoin(fit).crossJoin(qhat)
+      .crossJoin(fit)
+      .select(col("beta"), col("n_cal"), col("k"), col("r").as("qhat"))
+  }
+
+  def q367ConformalCert(spark: SparkSession, dir: String): DataFrame = {
+    val tst = conformalBase(spark, dir).filter(col("grp") === 1L)
+    val qhat = broadcast(conformalFit(spark, dir))
+    tst.crossJoin(qhat)
       .select(col("n_cal"), col("k"), col("qhat"),
         when(abs(col("y") * 1000L - col("beta") * col("q")) <= col("qhat"),
           1L).otherwise(0L).as("inside"))
