@@ -849,15 +849,216 @@ object Multimodal {
       |  exact_dup_pairs + near_dup_id_pairs AS dup_id_pairs_total
       |FROM ni, exact, pls, dropped, near""".stripMargin
 
+  // --------------------------------------------------------------- q374
+  /** Audio energy-fingerprint near-dup detection — the AUDIO modality
+    * of the dedup family (q370's dHash recipe applied to sound, the
+    * Chromaprint/Shazam shape reduced to its relational core): each
+    * WAV decodes through the REAL RIFF chunk walk into 8-sample
+    * integer frame energies (q360's primitive at finer grain), and the
+    * 31 energy-DELTA signs between consecutive frames form the
+    * fingerprint — robust to level shifts the way gradient signs are
+    * robust to brightness. A planted "re-recorded copy" of every clip
+    * (id + 100000, all samples DC-shifted +2 and clipped) joins the
+    * corpus; the q370 pipeline follows verbatim: exact-fingerprint
+    * collapse first (closed-form pair census), df-capped 4×8-bit
+    * banding over DISTINCT fingerprints, Hamming ≤ 4 verify, group-
+    * product expansion, and the exact keyed planted ledger.
+    *
+    * Exactness: energies, delta signs, fingerprints, bands, Hamming
+    * distances, and counts are ALL integer; the oracle re-derives
+    * every sample byte from the document text (q360's replay) and
+    * rebuilds the same 31-bit integers.
+    *
+    * Scale shape: identical to q370 — decode is partition-batched,
+    * one long per clip shuffles, the band join runs on distinct
+    * fingerprints with a 16-entry bucket cap; everything census-
+    * bounded past the collapse. The fingerprint itself is a relational
+    * fold over the per-clip energy array (no JVM hash — energies are
+    * already relational). */
+  def q374AudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val CAP = 16
+    val auds = mediaFromDocuments(spark, dir)
+      .filter(col("meta.kind") === "audio")
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .as[MediaRow]
+    val withCopies = auds.flatMap { r =>
+      val d = Codec.decode(r.content)
+      val pert = d.payload.map(b => math.min((b & 0xff) + 2, 255).toByte)
+      Iterator(r,
+        MediaRow(r.media_id + 100000L, Codec.buildWav(pert, d.sampleRate),
+          r.meta))
+    }
+    val frames = audioFrames(withCopies, 8).toDF()
+    val fps = frames.groupBy(col("media_id"))
+      .agg(transform(sort_array(collect_list(struct(col("frame_idx"),
+        col("energy")))), s => s.getField("energy")).as("e"))
+      .select(col("media_id").as("id"),
+        expr("""aggregate(sequence(0, 30), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + IF(element_at(e, i + 2) > element_at(e, i + 1),
+          |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+          .stripMargin).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = fps.groupBy(col("h")).agg(count(lit(1)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = groups.agg(
+      count(lit(1)).as("n_distinct_fps"),
+      sum(expr("(g * (g - 1)) div 2")).as("exact_dup_pairs"))
+    def bandEq(j: Int) =
+      expr(s"(shiftright(ho, ${8 * j}) & 255) = " +
+        s"(shiftright(hc, ${8 * j}) & 255)")
+    val planted = fps.filter(col("id") < 100000L)
+      .select(col("id"), col("h").as("ho"))
+      .join(fps.filter(col("id") >= 100000L)
+        .select((col("id") - 100000L).as("id"), col("h").as("hc")), "id")
+      .select(expr("CAST(bit_count(ho ^ hc) AS BIGINT)").as("ham"),
+        (bandEq(0) || bandEq(1) || bandEq(2) || bandEq(3)).as("reach"))
+      .agg(count(lit(1)).as("planted_total"),
+        sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("planted_exact"),
+        sum(when(col("reach"), 1L).otherwise(0L))
+          .as("planted_band_reachable"),
+        sum(when(col("ham") <= 4L, 1L).otherwise(0L)).as("planted_dups"),
+        max(col("ham")).as("max_planted_ham"))
+    val inv = groups.select(col("h"), col("g"),
+      expr("explode(sequence(0, 3))").as("j"))
+      .select(col("h"), col("g"), col("j"),
+        expr("shiftright(h, 8 * j) & 255").as("v"))
+    val buckets = inv.groupBy(col("j"), col("v"))
+      .agg(count(lit(1)).as("bs"))
+    val dropped = buckets.agg(
+      sum(when(col("bs") > CAP, 1L).otherwise(0L)).as("buckets_dropped"))
+    val kept = inv.join(buckets.filter(col("bs") <= CAP), Seq("j", "v"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
+        col("a.g").as("ga"), col("b.g").as("gb"))
+      .distinct()
+      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+    val near = cand.agg(
+      count(lit(1)).as("cand_fp_pairs"),
+      coalesce(sum(when(col("ham") <= 4L, 1L).otherwise(0L)), lit(0L))
+        .as("dup_fp_pairs"),
+      coalesce(sum(when(col("ham") <= 4L, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("near_dup_id_pairs"))
+    val nClip = fps.filter(col("id") < 100000L)
+      .agg(count(lit(1)).as("n_clips"))
+    val out = graft.plans.Eager.ckpt(
+      nClip.crossJoin(broadcast(exact))
+        .crossJoin(broadcast(planted))
+        .crossJoin(broadcast(dropped))
+        .crossJoin(broadcast(near))
+        .select(col("n_clips"), col("n_distinct_fps"),
+          col("exact_dup_pairs"), col("planted_total"),
+          col("planted_exact"), col("planted_band_reachable"),
+          col("planted_dups"), col("max_planted_ham"),
+          col("buckets_dropped"), col("cand_fp_pairs"),
+          col("dup_fp_pairs"),
+          (col("exact_dup_pairs") + col("near_dup_id_pairs"))
+            .as("dup_id_pairs_total")))
+    groups.unpersist(); fps.unpersist()
+    out
+  }
+
+  /** DuckDB replay from `documents`: sample bytes re-derived by cycling
+    * the ASCII text (variant 1 applies the +2 DC shift, clipped),
+    * 8-sample frame energies, 31 delta-sign bits into the same BIGINT,
+    * then the identical collapse → df-capped band join → Hamming
+    * verify → group-product expansion. */
+  val q374Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS tlen
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |b AS (
+      |  SELECT doc_id, v.variant, CAST(i // 8 AS INTEGER) AS frame_idx,
+      |    CASE WHEN v.variant = 1
+      |      THEN least(ascii(substr(text, CAST(i % tlen AS INTEGER) + 1,
+      |        1)) + 2, 255) - 128
+      |      ELSE ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1))
+      |        - 128
+      |    END AS v
+      |  FROM d CROSS JOIN (VALUES (0), (1)) v(variant)
+      |  CROSS JOIN LATERAL unnest(range(0, 256)) AS t(i)),
+      |fe AS (
+      |  SELECT doc_id, variant, frame_idx,
+      |    CAST(SUM(v * v) AS BIGINT) AS energy
+      |  FROM b GROUP BY 1, 2, 3),
+      |fp AS (
+      |  SELECT a.doc_id, a.variant,
+      |    CAST(SUM(CASE WHEN n.energy > a.energy
+      |      THEN (CAST(1 AS BIGINT) << a.frame_idx) ELSE 0 END)
+      |      AS BIGINT) AS h
+      |  FROM fe a JOIN fe n ON n.doc_id = a.doc_id
+      |    AND n.variant = a.variant AND n.frame_idx = a.frame_idx + 1
+      |  WHERE a.frame_idx < 31
+      |  GROUP BY 1, 2),
+      |ih AS (SELECT doc_id + 100000 * variant AS id, h FROM fp),
+      |grp AS (SELECT h, COUNT(*) AS g FROM ih GROUP BY h),
+      |exact AS (
+      |  SELECT COUNT(*) AS n_distinct_fps,
+      |    CAST(SUM((g * (g - 1)) // 2) AS BIGINT) AS exact_dup_pairs
+      |  FROM grp),
+      |pl AS (
+      |  SELECT CAST(bit_count(xor(o.h, c.h)) AS BIGINT) AS ham,
+      |    CASE WHEN ((o.h >> 0) & 255) = ((c.h >> 0) & 255)
+      |      OR ((o.h >> 8) & 255) = ((c.h >> 8) & 255)
+      |      OR ((o.h >> 16) & 255) = ((c.h >> 16) & 255)
+      |      OR ((o.h >> 24) & 255) = ((c.h >> 24) & 255)
+      |    THEN 1 ELSE 0 END AS reach
+      |  FROM (SELECT id, h FROM ih WHERE id < 100000) o
+      |  JOIN (SELECT id - 100000 AS id, h FROM ih WHERE id >= 100000) c
+      |    USING (id)),
+      |pls AS (
+      |  SELECT COUNT(*) AS planted_total,
+      |    CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS planted_exact,
+      |    CAST(SUM(reach) AS BIGINT) AS planted_band_reachable,
+      |    CAST(SUM(CASE WHEN ham <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS planted_dups,
+      |    MAX(ham) AS max_planted_ham
+      |  FROM pl),
+      |inv AS (
+      |  SELECT h, g, j, (h >> CAST(8 * j AS INTEGER)) & 255 AS v
+      |  FROM grp CROSS JOIN LATERAL unnest(range(0, 4)) AS t(j)),
+      |bk AS (SELECT j, v, COUNT(*) AS bs FROM inv GROUP BY 1, 2),
+      |dropped AS (
+      |  SELECT CAST(SUM(CASE WHEN bs > 16 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS buckets_dropped
+      |  FROM bk),
+      |kept AS (SELECT inv.* FROM inv JOIN bk USING (j, v) WHERE bs <= 16),
+      |cand AS (
+      |  SELECT DISTINCT a.h AS ha, b.h AS hb2, a.g AS ga, b.g AS gb
+      |  FROM kept a JOIN kept b
+      |    ON a.j = b.j AND a.v = b.v AND a.h < b.h),
+      |sc AS (
+      |  SELECT *, CAST(bit_count(xor(ha, hb2)) AS BIGINT) AS ham
+      |  FROM cand),
+      |near AS (
+      |  SELECT COUNT(*) AS cand_fp_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN ham <= 4 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS dup_fp_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN ham <= 4 THEN ga * gb ELSE 0 END),
+      |      0) AS BIGINT) AS near_dup_id_pairs
+      |  FROM sc),
+      |ni AS (SELECT COUNT(*) AS n_clips FROM ih WHERE id < 100000)
+      |SELECT n_clips, n_distinct_fps, exact_dup_pairs,
+      |  planted_total, planted_exact, planted_band_reachable,
+      |  planted_dups, max_planted_ham, buckets_dropped, cand_fp_pairs,
+      |  dup_fp_pairs,
+      |  exact_dup_pairs + near_dup_id_pairs AS dup_id_pairs_total
+      |FROM ni, exact, pls, dropped, near""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> q29MediaFeatures _,
     "q333_frame_stats" -> q333FrameStats _,
     "q360_audio_segments" -> q360AudioSegments _,
-    "q370_image_phash_dedup" -> q370ImagePhashDedup _)
+    "q370_image_phash_dedup" -> q370ImagePhashDedup _,
+    "q374_audio_fp_dedup" -> q374AudioFpDedup _)
 
   def oracles: Map[String, String] = Map(
     "q29_media_features" -> q29Sql,
     "q333_frame_stats" -> q333Sql,
     "q360_audio_segments" -> q360Sql,
-    "q370_image_phash_dedup" -> q370Sql)
+    "q370_image_phash_dedup" -> q370Sql,
+    "q374_audio_fp_dedup" -> q374Sql)
 }

@@ -95,6 +95,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q4_rolling_7day",       // daily-revenue table: |distinct days|
     "q318_order_backlog",    // boundary-date census: |date domain|+1
     "q319_key_fragmentation", // RangeRank offset prefix: <= #partitions rows
+    "q367_conformal_cert",   // RangeRank offset prefix: <= #partitions rows
     "q320_bh_fdr",           // 25-row nation census (rank window)
     "q321_rbo_overlap",      // matched-doc/embedding rank lists + 10-row depth census
     "q322_nelson_aalen",     // gap-day census (date-range-bounded), as q192
