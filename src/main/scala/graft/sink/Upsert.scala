@@ -58,12 +58,19 @@ object Upsert {
     *
     * `sqlOverride` swaps the statement text (same `?`-per-column binding
     * order) for non-Postgres dialects — also how the embedded-Derby
-    * integration test drives this exact partition/batch/transaction path. */
+    * integration test drives this exact partition/batch/transaction path.
+    * `paramOrder` remaps placeholders to row-column indices for dialects
+    * whose upsert statement must BIND A COLUMN MORE THAN ONCE (standard
+    * SQL MERGE repeats the key in the ON clause and the INSERT arm;
+    * Postgres ON CONFLICT does not) — None keeps the one-?-per-column
+    * order. */
   def upsert(df: DataFrame, url: String, props: Properties, table: String,
              conflictKey: String, batchSize: Int = 1000,
-             sqlOverride: Option[String] = None): Long = {
+             sqlOverride: Option[String] = None,
+             paramOrder: Option[Seq[Int]] = None): Long = {
     val cols = df.columns.toSeq
     val sql = sqlOverride.getOrElse(upsertSql(table, cols, conflictKey))
+    val order = paramOrder.getOrElse(cols.indices)
     val acc: LongAccumulator =
       df.sparkSession.sparkContext.longAccumulator("upserted_rows")
     df.foreachPartition { (rows: Iterator[Row]) =>
@@ -74,7 +81,9 @@ object Upsert {
           val st = conn.prepareStatement(sql)
           val n = batched(rows, batchSize) { chunk =>
             chunk.foreach { r =>
-              cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              order.zipWithIndex.foreach { case (ci, pi) =>
+                st.setObject(pi + 1, r.get(ci))
+              }
               st.addBatch()
             }
             st.executeBatch()
