@@ -570,13 +570,93 @@ object KMeans {
       |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q375
+  /** Prototypicality coreset per semantic cell — the D4-style
+    * DIVERSIFICATION step that follows dedup in a curation pipeline:
+    * within each Lloyd cell, the vectors CLOSEST to the centroid are
+    * the cell's redundant prototypes (the mass a model sees over and
+    * over), so the selection keeps the FARTHEST half of every cell and
+    * drops the prototypical half. This is the embedding-space
+    * complement of q364's soft-dedup: q364 down-weights literal
+    * copies; this prunes semantic redundancy that never hashes equal.
+    * Per cell: member count, kept count, mean squared distance of all
+    * vs kept members (the measured diversity gain), and the cut
+    * distance (the d² threshold the cell splits at).
+    *
+    * Exactness: assignments and d² come from the hash-certified lloyd
+    * chain; ranks are integer (ties break on vec_id); each d² is
+    * snapped at 9 dp into DECIMAL(28,9) before the per-cell sums, so
+    * means are exact-decimal ÷ integer, emitted at 6 dp.
+    *
+    * Scale shape: one Lloyd pass + ONE window PARTITIONED BY CELL
+    * (never global — a cell is n/k rows and production k scales with
+    * n, the q99/q101 discipline) + a map-combinable per-cell agg. */
+  def q375CoresetCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = lloyd(emb(spark, dir), k = 8, iters = 1)
+      .select(col("vec_id"), col("cluster"),
+        round(col("d2"), 9).cast("decimal(28,9)").as("d2s"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2s"), col("vec_id"))
+    val ranked = asg.withColumn("rk", row_number().over(w))
+      .withColumn("n_cell", count(lit(1))
+        .over(Window.partitionBy(col("cluster"))))
+    val kept = col("rk") > expr("n_cell div 2")
+    ranked.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("d2s")).as("sum_all"),
+        sum(when(kept, col("d2s")).otherwise(lit(0).cast("decimal(28,9)")))
+          .as("sum_kept"),
+        max(when(!kept, col("d2s"))).as("cut_d2"))
+      .select(col("cluster"), col("n_members"), col("n_kept"),
+        (round(col("sum_all").cast("double") /
+          col("n_members").cast("double"), 6) + lit(0.0))
+          .as("mean_d2_all"),
+        (round(col("sum_kept").cast("double") /
+          col("n_kept").cast("double"), 6) + lit(0.0)).as("mean_d2_kept"),
+        (round(coalesce(col("cut_d2"), lit(0).cast("decimal(28,9)"))
+          .cast("double"), 6) + lit(0.0)).as("cut_d2"))
+      .orderBy("cluster")
+  }
+
+  val q375Sql: String = {
+    val (chain, out) = lloydSqlCtes(
+      "SELECT vec_id, embedding FROM embeddings", dim = Dim, k = 8,
+      iters = 1, p = "cs")
+    s"""WITH $chain,
+      |asg AS (
+      |  SELECT vec_id, cluster,
+      |    CAST(round(d2, 9) AS DECIMAL(28,9)) AS d2s
+      |  FROM $out),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d2s, vec_id)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY cluster) AS n_cell
+      |  FROM asg)
+      |SELECT cluster, COUNT(*) AS n_members,
+      |  CAST(SUM(CASE WHEN rk > n_cell // 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  round(CAST(SUM(d2s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS mean_d2_all,
+      |  round(CAST(SUM(CASE WHEN rk > n_cell // 2 THEN d2s
+      |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN rk > n_cell // 2 THEN 1 ELSE 0 END)
+      |      AS DOUBLE), 6) + 0.0 AS mean_d2_kept,
+      |  round(CAST(COALESCE(MAX(CASE WHEN rk <= n_cell // 2 THEN d2s END),
+      |    CAST(0 AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS cut_d2
+      |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_kmeans" -> (q60Kmeans _),
     "q64_pq_codes" -> (q64PqCodes _),
     "q272_pq_utilization" -> (q272PqUtilization _),
     "q277_ivf_imbalance" -> (q277IvfImbalance _),
     "q278_cell_label_nmi" -> (q278CellLabelNmi _),
-    "q368_cell_label_ari" -> (q368CellLabelAri _))
+    "q368_cell_label_ari" -> (q368CellLabelAri _),
+    "q375_coreset_cells" -> (q375CoresetCells _))
 
   def oracles: Map[String, String] = Map(
     "q60_kmeans" -> q60Sql,
@@ -584,5 +664,6 @@ object KMeans {
     "q272_pq_utilization" -> q272Sql,
     "q277_ivf_imbalance" -> q277Sql,
     "q278_cell_label_nmi" -> q278Sql,
-    "q368_cell_label_ari" -> q368Sql)
+    "q368_cell_label_ari" -> q368Sql,
+    "q375_coreset_cells" -> q375Sql)
 }
