@@ -823,7 +823,105 @@ object ShardQueries {
       |FROM b ORDER BY column_name""".stripMargin
   }
 
+  // --------------------------------------------------------------- q376
+  /** Physical sortedness audit — Spearman ρ between ARRIVAL position
+    * and value rank, per candidate sort column: the single number that
+    * says how close the table already is to each sort order (ρ ≈ 1
+    * means writes arrive nearly ordered and a re-sort is cheap noise;
+    * ρ ≈ 0 means q355's layout win requires a full shuffle; negative ρ
+    * means reverse-ordered arrival). Complements q361 (which prices
+    * drift AFTER choosing a layout) and q365 (which prices encodings
+    * GIVEN the layout) with the pre-decision diagnostic: which
+    * candidate columns the data is already clustered by.
+    *
+    * Exactness: both ranks are exact integers (value ties broken by
+    * arrival rank — the "as laid out" convention, deterministic in
+    * both engines); Σd² accumulates in DECIMAL(38,0) (n·n² overflows
+    * BIGINT past ~10⁶ rows); ρ = 1 − 6Σd²/(n³−n) is one double chain
+    * snapped at 6 dp; the verdict is a deterministic CASE.
+    *
+    * Scale shape: one [[graft.operators.RangeRank.withGlobalRank]]
+    * range shuffle for the arrival rank, then ONE more per audited
+    * column — the value rank is computed over (value, arrival rank)
+    * carrying the arrival rank along, so Σd² is a map-combinable agg
+    * with NO join anywhere. Four columns = five linear passes. */
+  def q376SortednessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val li = Kpis.table(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      datediff(col("l_shipdate"), epoch).cast("long").as("v_sd"),
+      col("l_partkey").cast("long").as("v_pk"),
+      col("l_quantity").cast("long").as("v_qt"),
+      round(col("l_extendedprice") * 100).cast("long").as("v_ep"))
+    val ra = graft.operators.RangeRank.withGlobalRank(li, "ra",
+      Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("ra"), col("v_sd"), col("v_pk"), col("v_qt"),
+        col("v_ep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rhoOf(name: String, v: String) =
+      graft.operators.RangeRank.withGlobalRank(ra, "rv",
+        Seq(col(v), col("ra")))
+        .select(((col("rv") - col("ra")) * (col("rv") - col("ra")))
+          .cast("decimal(38,0)").as("d2"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("d2")).as("sum_d2"))
+        .select(lit(name).as("column_name"), col("n_rows"),
+          (round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double") *
+              col("n_rows").cast("double") - col("n_rows").cast("double")),
+            6) + lit(0.0)).as("spearman_rho"))
+    val out = graft.plans.Eager.ckpt(
+      rhoOf("l_extendedprice", "v_ep")
+        .unionAll(rhoOf("l_partkey", "v_pk"))
+        .unionAll(rhoOf("l_quantity", "v_qt"))
+        .unionAll(rhoOf("l_shipdate", "v_sd"))
+        .withColumn("verdict",
+          when(abs(col("spearman_rho")) > 0.95, lit("sorted"))
+            .when(abs(col("spearman_rho")) > 0.5, lit("clustered"))
+            .otherwise(lit("shuffled")))
+        .orderBy("column_name"))
+    ra.unpersist()
+    out
+  }
+
+  val q376Sql: String = {
+    def one(name: String, v: String) =
+      s"""SELECT '$name' AS column_name, COUNT(*) AS n_rows,
+        |  round(1.0 - 6.0 * CAST(SUM(d2) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+        |       * CAST(COUNT(*) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)),
+        |    6) + 0.0 AS spearman_rho
+        |FROM (
+        |  SELECT CAST((rv - ra) * (rv - ra) AS DECIMAL(38,0)) AS d2
+        |  FROM (SELECT ra,
+        |          ROW_NUMBER() OVER (ORDER BY $v, ra) AS rv
+        |        FROM base))""".stripMargin
+    s"""WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+      |      AS v_sd,
+      |    CAST(l_partkey AS BIGINT) AS v_pk,
+      |    CAST(l_quantity AS BIGINT) AS v_qt,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v_ep
+      |  FROM lineitem),
+      |base AS MATERIALIZED (
+      |  SELECT v_sd, v_pk, v_qt, v_ep,
+      |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS ra
+      |  FROM li),
+      |u AS (
+      |  ${one("l_extendedprice", "v_ep")}
+      |  UNION ALL ${one("l_partkey", "v_pk")}
+      |  UNION ALL ${one("l_quantity", "v_qt")}
+      |  UNION ALL ${one("l_shipdate", "v_sd")})
+      |SELECT column_name, n_rows, spearman_rho,
+      |  CASE WHEN abs(spearman_rho) > 0.95 THEN 'sorted'
+      |       WHEN abs(spearman_rho) > 0.5 THEN 'clustered'
+      |       ELSE 'shuffled' END AS verdict
+      |FROM u ORDER BY column_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_sortedness_audit" -> (q376SortednessAudit _),
     "q365_encoding_plan" -> (q365EncodingPlan _),
     "q297_shard_stability" -> (q297ShardStability _),
     "q355_zorder_skip" -> (q355ZorderSkip _),
@@ -832,6 +930,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q376_sortedness_audit" -> q376Sql,
     "q365_encoding_plan" -> q365Sql,
     "q297_shard_stability" -> q297Sql,
     "q355_zorder_skip" -> q355Sql,
