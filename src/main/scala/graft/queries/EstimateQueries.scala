@@ -1012,7 +1012,108 @@ object EstimateQueries {
       |FROM est""".stripMargin
   }
 
+  // --------------------------------------------------------------- q379
+  /** Quantile-federation error certificate — the mergeability study the
+    * sketch family's q356 (HLL registers merge EXACTLY) sets up by
+    * contrast: quantiles do NOT merge, and the ubiquitous hack (average
+    * each shard's local quantiles) carries a bias this query MEASURES
+    * instead of hand-waving. Orders shard 4 ways by the replayable md5
+    * grid; for each decile p₁₀..p₉₀: the TRUE global order statistic,
+    * the mean of the four per-shard order statistics, and the absolute
+    * federation error in dollars — the table that justifies (or, on
+    * benign distributions, waives) shipping a real mergeable sketch.
+    *
+    * Exactness: all order statistics are exact integer cents at exact
+    * integer ranks (type-1, k = ⌈p·n/10⌉); per-shard ranks derive from
+    * ONE global rank over (shard, value, key) minus broadcast shard
+    * offsets — never a per-shard window over a quarter of the fact;
+    * the 4-value mean and the error are single decimal/double chains
+    * snapped at 6 dp.
+    *
+    * Scale shape: two [[graft.operators.RangeRank.withGlobalRank]]
+    * range shuffles (one global order, one shard-major order); rank
+    * targets are a ≤45-row broadcast census joined map-side; everything
+    * after is census arithmetic. */
+  def q379QuantileMergeErr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val base = Kpis.table(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("shard", pmod(md5Hash60(concat(lit("qshard:"),
+        col("k").cast("string"))), lit(4L)))
+    val g = graft.operators.RangeRank.withGlobalRank(base, "rg",
+      Seq(col("cents"), col("k")))
+    val nTot = broadcast(g.agg(count(lit(1)).as("n")))
+    val deciles = broadcast(spark.range(1, 10).select(col("id").as("p")))
+    val trueVals = g.crossJoin(nTot).crossJoin(deciles)
+      .filter(col("rg") === expr("(p * n + 9) div 10"))
+      .select(col("p"), col("cents").as("true_cents"))
+    val s = graft.operators.RangeRank.withGlobalRank(base, "rs",
+      Seq(col("shard"), col("cents"), col("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = broadcast(s.groupBy(col("shard"))
+      .agg(min(col("rs")).as("off"), count(lit(1)).as("ns")))
+    val shardVals = s.join(offs, "shard").crossJoin(deciles)
+      .filter(col("rs") - col("off") + 1L === expr("(p * ns + 9) div 10"))
+      .select(col("p"), col("cents"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("cents")).as("sum_shard_cents"))
+    val out = graft.plans.Eager.ckpt(
+      trueVals.join(shardVals, "p")
+        .select(col("p").as("decile"), col("n_shards"),
+          (round(col("true_cents").cast("double") / 100.0, 6) + lit(0.0))
+            .as("true_value"),
+          (round(col("sum_shard_cents").cast("double") /
+            col("n_shards").cast("double") / 100.0, 6) + lit(0.0))
+            .as("merged_value"),
+          (round(abs(col("sum_shard_cents").cast("double") /
+            col("n_shards").cast("double") -
+            col("true_cents").cast("double")) / 100.0, 6) + lit(0.0))
+            .as("abs_error"))
+        .orderBy("decile"))
+    s.unpersist()
+    out
+  }
+
+  val q379Sql: String = {
+    val h = md5Hash60Sql("'qshard:' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    ($h) % 4 AS shard
+      |  FROM orders),
+      |g AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY cents, k) AS rg,
+      |    COUNT(*) OVER () AS n
+      |  FROM base),
+      |deciles AS (SELECT unnest(range(1, 10)) AS p),
+      |tv AS (
+      |  SELECT p, cents AS true_cents
+      |  FROM g JOIN deciles ON rg = (p * n + 9) // 10),
+      |s AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY cents, k) AS ri,
+      |    COUNT(*) OVER (PARTITION BY shard) AS ns
+      |  FROM base),
+      |sv AS (
+      |  SELECT p, COUNT(*) AS n_shards,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_shard_cents
+      |  FROM s JOIN deciles ON ri = (p * ns + 9) // 10
+      |  GROUP BY p)
+      |SELECT p AS decile, n_shards,
+      |  round(CAST(true_cents AS DOUBLE) / 100.0, 6) + 0.0 AS true_value,
+      |  round(CAST(sum_shard_cents AS DOUBLE)
+      |    / CAST(n_shards AS DOUBLE) / 100.0, 6) + 0.0 AS merged_value,
+      |  round(abs(CAST(sum_shard_cents AS DOUBLE)
+      |    / CAST(n_shards AS DOUBLE) - CAST(true_cents AS DOUBLE))
+      |    / 100.0, 6) + 0.0 AS abs_error
+      |FROM tv JOIN sv USING (p)
+      |ORDER BY decile""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_quantile_merge_err" -> (q379QuantileMergeErr _),
     "q357_theta_sketch_cert" -> (q357ThetaSketchCert _),
     "q356_hll_merge_cert" -> (q356HllMergeCert _),
     "q349_hll_cert" -> (q349HllCert _),
@@ -1508,6 +1609,7 @@ object EstimateQueries {
   def oracles: Map[String, String] = Map(
     "q349_hll_cert" -> q349Sql,
     "q356_hll_merge_cert" -> q356Sql,
+    "q379_quantile_merge_err" -> q379Sql,
     "q357_theta_sketch_cert" -> q357Sql,
     "q329_median_bootstrap" -> q329Sql,
     "q299_bloom_fpr_cert" -> q299Sql,

@@ -264,13 +264,106 @@ object QualityQueries {
       |    AS share
       |FROM m ORDER BY class""".stripMargin
 
+  // --------------------------------------------------------------- q378
+  /** Referential-integrity census over the WHOLE foreign-key graph —
+    * the schema-level companion to q175's FD audit and q218's rule
+    * census: for each of the seven FK edges in the star schema, the
+    * child row count, the ORPHAN count (children whose key matches no
+    * parent — broken joins waiting to happen), and the CHILDLESS parent
+    * count (parents no child references — informational: dead dimension
+    * members a pruning compactor could archive). A warehouse runs
+    * exactly this sweep after every load; at 100 TB an undetected
+    * orphan edge silently drops rows from every inner join downstream.
+    *
+    * Exactness: ALL-integer counts off anti-join/distinct aggregates.
+    *
+    * Scale shape: per edge, one distinct-key collapse of the child side
+    * (map-combinable) and one left-anti join each way — linear, AQE
+    * broadcasts dimension key sets while they fit; the seven summaries
+    * union to 7 rows. */
+  /** One FK edge's integrity summary — shared by q378 and its spec's
+    * adversarial fixtures. */
+  private[graft] def fkEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val ckeys = child.select(col(ck).as("k"))
+    val pkeys = parent.select(col(pk).as("k")).distinct()
+    val orphans = ckeys.join(pkeys, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"))
+    val childless = pkeys.join(ckeys.distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parents"))
+    ckeys.agg(count(lit(1)).as("n_child_rows"))
+      .crossJoin(broadcast(pkeys.agg(count(lit(1)).as("n_parents"))))
+      .crossJoin(broadcast(orphans))
+      .crossJoin(broadcast(childless))
+      .select(lit(name).as("fk_edge"), col("n_child_rows"),
+        col("n_parents"), col("n_orphan_rows"),
+        col("n_childless_parents"))
+  }
+
+  def q378FkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      fkEdge(name, child, ck, parent, pk)
+    val t = (n: String) => Kpis.table(spark, dir, n)
+    Seq(
+      edge("1_lineitem_orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      edge("2_lineitem_part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      edge("3_lineitem_supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      edge("4_orders_customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      edge("5_customer_nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      edge("6_supplier_nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey"),
+      edge("7_nation_region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"))
+      .reduce(_ unionAll _)
+      .orderBy("fk_edge")
+  }
+
+  val q378Sql: String = {
+    def edge(name: String, child: String, ck: String, parent: String,
+        pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+        |  (SELECT COUNT(*) FROM $child) AS n_child_rows,
+        |  (SELECT COUNT(DISTINCT $pk) FROM $parent) AS n_parents,
+        |  (SELECT COUNT(*) FROM $child c
+        |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+        |                     WHERE p.$pk = c.$ck)) AS n_orphan_rows,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT $pk AS k FROM $parent) p
+        |   WHERE NOT EXISTS (SELECT 1 FROM $child c
+        |                     WHERE c.$ck = p.k)) AS n_childless_parents"""
+        .stripMargin
+    Seq(
+      edge("1_lineitem_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("2_lineitem_part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("3_lineitem_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("4_orders_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("5_customer_nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("6_supplier_nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("7_nation_region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
+    "q378_fk_integrity" -> (q378FkIntegrity _),
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
     "q324_linenum_audit" -> q324Sql,
     "q309_dq_scorecard" -> q309Sql,
+    "q378_fk_integrity" -> q378Sql,
     "q175_fd_audit" -> q175Sql)
 }

@@ -66,6 +66,82 @@ object SessionQueries {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // --------------------------------------------------------------- q377
+  /** Session-gap calibration table — the tuning study BEHIND q34's 30-
+    * minute constant: for candidate gap thresholds {5, 15, 30, 60, 120}
+    * minutes, the session count the corpus would sessionize into, the
+    * mean session length, and sessions per active user. The elbow of
+    * n_sessions vs gap is how the threshold is actually chosen (too
+    * small fragments journeys, too large merges visits); this emits the
+    * whole curve from ONE pass so the 30-minute choice is an audited
+    * decision, not folklore. Every candidate evaluates as a conditional
+    * sum over the SAME lag column — adding a threshold is one more
+    * column, never another shuffle (q236's multi-threshold discipline).
+    *
+    * Exactness: gaps are integer microseconds (q34's convention);
+    * session counts are exact conditional sums; the two ratios are
+    * single int/int divisions snapped at 6 dp.
+    *
+    * Scale shape: one hash shuffle on user_id for the lag window
+    * (per-user state only), ONE map-combinable aggregate carrying all
+    * five thresholds, then a 5-row unpivot off the checkpointed 1-row
+    * census. */
+  def q377GapCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Seq(5L, 15L, 30L, 60L, 120L)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Kpis.eventsTable(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+    val aggs =
+      Seq(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users")) ++
+      gaps.map(g => sum(when(col("gap_us").isNull ||
+        col("gap_us") > g * 60L * 1000000L, 1L).otherwise(0L)).as(s"s$g"))
+    val census = graft.plans.Eager.ckpt(e.agg(aggs.head, aggs.tail: _*))
+    gaps.map { g =>
+      census.select(lit(g).as("gap_minutes"),
+        col(s"s$g").as("n_sessions"), col("n_events"), col("n_users"))
+    }.reduce(_ unionAll _)
+      .select(col("gap_minutes"), col("n_sessions"),
+        (round(col("n_events").cast("double") /
+          col("n_sessions").cast("double"), 6) + lit(0.0))
+          .as("mean_events_per_session"),
+        (round(col("n_sessions").cast("double") /
+          col("n_users").cast("double"), 6) + lit(0.0))
+          .as("sessions_per_user"))
+      .orderBy("gap_minutes")
+  }
+
+  val q377Sql: String = {
+    val gaps = Seq(5L, 15L, 30L, 60L, 120L)
+    val sums = gaps.map(g =>
+      s"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > " +
+        s"${g * 60L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS s$g")
+      .mkString(",\n      |    ")
+    val unpivot = gaps.map(g =>
+      s"SELECT CAST($g AS BIGINT) AS gap_minutes, s$g AS n_sessions, " +
+        s"n_events, n_users FROM census").mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events),
+      |census AS (
+      |  SELECT COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    $sums
+      |  FROM e),
+      |u AS (
+      |  $unpivot)
+      |SELECT gap_minutes, n_sessions,
+      |  round(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+      |    + 0.0 AS mean_events_per_session,
+      |  round(CAST(n_sessions AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+      |    + 0.0 AS sessions_per_user
+      |FROM u ORDER BY gap_minutes""".stripMargin
+  }
+
   // --------------------------------------------------------------- q128
   /** Top-20 event 3-paths (trigram path mining): the most frequent
     * length-3 consecutive event-type sequences across all user streams —
@@ -1189,6 +1265,7 @@ object SessionQueries {
     "q220_session_mrr" -> (q220SessionMrr _),
     "q214_markov_stationary" -> (q214MarkovStationary _),
     "q34_sessions" -> q34Sessions _,
+    "q377_gap_calibration" -> (q377GapCalibration _),
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
     "q182_interarrival_fit" -> (q182InterarrivalFit _),
@@ -1205,6 +1282,7 @@ object SessionQueries {
     "q220_session_mrr" -> q220Sql,
     "q214_markov_stationary" -> q214Sql,
     "q34_sessions" -> q34Sql,
+    "q377_gap_calibration" -> q377Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
     "q182_interarrival_fit" -> q182Sql,
