@@ -355,15 +355,61 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  // --------------------------------------------------------------- q381
+  /** Schema-on-read audit of the semi-structured `props` column — the
+    * JSON-payload profiling a pipeline runs before promoting an opaque
+    * string column to typed storage: per event type, how many payloads
+    * parse, how many are null/malformed, and the extracted field's
+    * exact range/sum/cardinality (the evidence for "props.k is a dense
+    * small integer — promote it to INT"). The Spark side uses the
+    * native codegen'd JSON path (`get_json_object`, the engine
+    * capability under test); the oracle replays the extraction with a
+    * regex over the same fixture shape, so a hash match certifies the
+    * JSON path recovered exactly the payload the generator wrote.
+    *
+    * Exactness: ALL-integer counts/min/max/sum over the extracted
+    * BIGINTs.
+    *
+    * Scale shape: one narrow projection + one map-combinable per-type
+    * aggregate; the census is |event types| rows. */
+  def q381PropsSchemaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Kpis.eventsTable(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+
+  val q381Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1),
+      |      '') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unparsed,
+      |  MIN(k) AS k_min, MAX(k) AS k_max,
+      |  CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  COUNT(DISTINCT k) AS n_distinct_k
+      |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
     "q378_fk_integrity" -> (q378FkIntegrity _),
+    "q381_props_schema_audit" -> (q381PropsSchemaAudit _),
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
     "q324_linenum_audit" -> q324Sql,
     "q309_dq_scorecard" -> q309Sql,
     "q378_fk_integrity" -> q378Sql,
+    "q381_props_schema_audit" -> q381Sql,
     "q175_fd_audit" -> q175Sql)
 }

@@ -196,11 +196,96 @@ object ScrubQueries {
       |    AS low_diversity_group_share
       |FROM b, s ORDER BY k_band""".stripMargin
 
+  // --------------------------------------------------------------- q380
+  /** Right-to-be-forgotten deletion-cost audit — the operational HALF
+    * of the privacy family (q51 redacts content, q311 certifies the
+    * release; this prices the DELETE): for a replayable md5-selected
+    * victim cohort (~0.5% of customers), the rows that must go from
+    * each table of the star, the ship-month partitions those rows
+    * touch, and the REWRITE AMPLIFICATION — immutable columnar files
+    * mean deleting one row rewrites its whole partition, so cost =
+    * rows-in-touched-partitions / rows-deleted, the number that decides
+    * between eager rewrites, deletion-vector sidecars, and
+    * tombstone-then-compact (q340/q359's machinery downstream).
+    *
+    * Exactness: ALL-integer counts off keyed joins; amplification is
+    * one int/int division snapped at 6 dp.
+    *
+    * Scale shape: victims are a broadcast key set; orders and lineitems
+    * filter via keyed semi-joins (linear); partition touch counts are
+    * month censuses; one map-combinable rollup each. */
+  def q380DeletionCost(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val victims = Kpis.table(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .filter(pmod(md5Hash60(concat(lit("forget:"),
+        col("c_custkey").cast("string"))), lit(200L)) === 7L)
+    val vOrders = Kpis.table(spark, dir, "orders")
+      .join(broadcast(victims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val li = Kpis.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), trunc(col("l_shipdate"), "MM").as("mon"))
+    val vLines = li.join(vOrders, col("l_orderkey") === col("o_orderkey"))
+    val touched = broadcast(vLines.select(col("mon")).distinct())
+    val monthRows = li.groupBy(col("mon")).agg(count(lit(1)).as("mrows"))
+    val touchedRows = monthRows.join(touched, "mon")
+      .agg(coalesce(sum(col("mrows")), lit(0L)).as("rows_touched"),
+        count(lit(1)).as("months_touched"))
+    val counts = victims.agg(count(lit(1)).as("n_victims"))
+      .crossJoin(broadcast(vOrders.agg(count(lit(1)).as("n_orders"))))
+      .crossJoin(broadcast(vLines.agg(count(lit(1)).as("n_lineitems"))))
+      .crossJoin(broadcast(
+        monthRows.agg(count(lit(1)).as("months_total"))))
+      .crossJoin(broadcast(touchedRows))
+    counts.select(col("n_victims"), col("n_orders"), col("n_lineitems"),
+      col("months_touched"), col("months_total"), col("rows_touched"),
+      when(col("n_lineitems") === 0L, lit(0.0))
+        .otherwise(round(col("rows_touched").cast("double") /
+          col("n_lineitems").cast("double"), 6) + lit(0.0))
+        .as("rewrite_amplification"))
+  }
+
+  val q380Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("'forget:' || CAST(c_custkey AS VARCHAR)")
+    s"""WITH victims AS (
+      |  SELECT c_custkey FROM customer WHERE ($h) % 200 = 7),
+      |vo AS (
+      |  SELECT o_orderkey FROM orders
+      |  JOIN victims ON o_custkey = c_custkey),
+      |li AS (
+      |  SELECT l_orderkey, date_trunc('month', l_shipdate) AS mon
+      |  FROM lineitem),
+      |vl AS (SELECT li.* FROM li JOIN vo ON l_orderkey = o_orderkey),
+      |touched AS (SELECT DISTINCT mon FROM vl),
+      |mr AS (SELECT mon, COUNT(*) AS mrows FROM li GROUP BY 1),
+      |tr AS (
+      |  SELECT CAST(COALESCE(SUM(mrows), 0) AS BIGINT) AS rows_touched,
+      |    COUNT(*) AS months_touched
+      |  FROM mr JOIN touched USING (mon)),
+      |c AS (
+      |  SELECT (SELECT COUNT(*) FROM victims) AS n_victims,
+      |    (SELECT COUNT(*) FROM vo) AS n_orders,
+      |    (SELECT COUNT(*) FROM vl) AS n_lineitems,
+      |    (SELECT months_touched FROM tr) AS months_touched,
+      |    (SELECT COUNT(*) FROM mr) AS months_total,
+      |    (SELECT rows_touched FROM tr) AS rows_touched)
+      |SELECT n_victims, n_orders, n_lineitems, months_touched,
+      |  months_total, rows_touched,
+      |  CASE WHEN n_lineitems = 0 THEN 0.0
+      |       ELSE round(CAST(rows_touched AS DOUBLE)
+      |         / CAST(n_lineitems AS DOUBLE), 6) + 0.0
+      |  END AS rewrite_amplification
+      |FROM c""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q311_k_anonymity" -> (q311KAnonymity _),
+    "q380_deletion_cost" -> (q380DeletionCost _),
     "q51_pii_scrub" -> q51PiiScrub _)
 
   def oracles: Map[String, String] = Map(
     "q311_k_anonymity" -> q311Sql,
+    "q380_deletion_cost" -> q380Sql,
     "q51_pii_scrub" -> q51Sql)
 }
