@@ -142,6 +142,85 @@ object SessionQueries {
       |FROM u ORDER BY gap_minutes""".stripMargin
   }
 
+  // --------------------------------------------------------------- q382
+  /** Watermark-lateness calibration — the tuning study BEHIND every
+    * watermark in the streaming twins (DriftStream's close, SrmStream's
+    * day windows, DedupStream's horizon): replaying the event stream in
+    * ARRIVAL order (event_id — the generator's write order), each
+    * event's lateness is the event-time high-water mark seen so far
+    * minus its own event time; for candidate watermark delays {1 min,
+    * 10 min, 1 h, 1 d}, the share of events a stateful operator would
+    * DROP as too late. The curve is how a delay is actually chosen
+    * (too short drops data, too long bloats state linearly in the
+    * delay); this emits it from one pass, with all four candidates as
+    * conditional sums over the SAME lateness column (q377's
+    * multi-threshold discipline).
+    *
+    * Exactness: lateness is exact integer microseconds off the exact
+    * running maximum ([[graft.operators.RangeRank.withRunningMax]],
+    * exclusive — never a single-partition window); drop counts are
+    * conditional sums; the share is one division snapped at 6 dp.
+    *
+    * Scale shape: one range shuffle for the running max, ONE
+    * map-combinable aggregate carrying all four candidates, a 4-row
+    * unpivot off the checkpointed 1-row census. */
+  def q382WatermarkCalibration(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val delays = Seq(60L, 600L, 3600L, 86400L)
+    val e = Kpis.eventsTable(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    val hw = graft.operators.RangeRank.withRunningMax(e, col("tus"),
+      "hwm", Seq(col("event_id")), inclusive = false)
+      .select((greatest(coalesce(col("hwm"), col("tus")) - col("tus"),
+        lit(0L))).as("late_us"))
+    val aggs =
+      Seq(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us")) ++
+      delays.map(d => sum(when(col("late_us") > d * 1000000L, 1L)
+        .otherwise(0L)).as(s"d$d"))
+    val census = graft.plans.Eager.ckpt(hw.agg(aggs.head, aggs.tail: _*))
+    delays.map { d =>
+      census.select(lit(d).as("delay_seconds"),
+        col(s"d$d").as("n_dropped"), col("n_events"), col("max_late_us"))
+    }.reduce(_ unionAll _)
+      .select(col("delay_seconds"), col("n_dropped"),
+        (round(col("n_dropped").cast("double") /
+          col("n_events").cast("double"), 6) + lit(0.0)).as("drop_share"),
+        (round(col("max_late_us").cast("double") / lit(1000000.0), 6) +
+          lit(0.0)).as("max_lateness_sec"))
+      .orderBy("delay_seconds")
+  }
+
+  val q382Sql: String = {
+    val delays = Seq(60L, 600L, 3600L, 86400L)
+    val sums = delays.map(d =>
+      s"CAST(SUM(CASE WHEN late_us > ${d * 1000000L} THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS d$d").mkString(",\n      |    ")
+    val unpivot = delays.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS delay_seconds, d$d AS n_dropped, " +
+        s"n_events, max_late_us FROM census")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (
+      |  SELECT greatest(COALESCE(MAX(epoch_us(ts)) OVER (
+      |      ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      epoch_us(ts)) - epoch_us(ts), 0) AS late_us
+      |  FROM events),
+      |census AS (
+      |  SELECT COUNT(*) AS n_events,
+      |    CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |    $sums
+      |  FROM e),
+      |u AS (
+      |  $unpivot)
+      |SELECT delay_seconds, n_dropped,
+      |  round(CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+      |    + 0.0 AS drop_share,
+      |  round(CAST(max_late_us AS DOUBLE) / 1000000.0, 6) + 0.0
+      |    AS max_lateness_sec
+      |FROM u ORDER BY delay_seconds""".stripMargin
+  }
+
   // --------------------------------------------------------------- q128
   /** Top-20 event 3-paths (trigram path mining): the most frequent
     * length-3 consecutive event-type sequences across all user streams —
@@ -1266,6 +1345,7 @@ object SessionQueries {
     "q214_markov_stationary" -> (q214MarkovStationary _),
     "q34_sessions" -> q34Sessions _,
     "q377_gap_calibration" -> (q377GapCalibration _),
+    "q382_watermark_calibration" -> (q382WatermarkCalibration _),
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
     "q182_interarrival_fit" -> (q182InterarrivalFit _),
@@ -1283,6 +1363,7 @@ object SessionQueries {
     "q214_markov_stationary" -> q214Sql,
     "q34_sessions" -> q34Sql,
     "q377_gap_calibration" -> q377Sql,
+    "q382_watermark_calibration" -> q382Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
     "q182_interarrival_fit" -> q182Sql,
