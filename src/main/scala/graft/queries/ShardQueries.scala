@@ -920,7 +920,86 @@ object ShardQueries {
       |FROM u ORDER BY column_name""".stripMargin
   }
 
+  // --------------------------------------------------------------- q383
+  /** Cache sizing from access skew — the hit-rate curve that decides
+    * how much of a hot dimension to pin (broadcast slice, block cache,
+    * or executor-side map): rank part keys by access frequency in the
+    * fact, take exact prefix mass, and report the request hit share a
+    * cache holding the hottest {1, 5, 10, 25}% of keys would serve.
+    * Zipfian access makes small caches disproportionately effective;
+    * uniform access makes caching pointless — this emits the measured
+    * curve (plus the top-1-key share as the skew headline), turning
+    * the q63-salting / broadcast-threshold discussions into numbers.
+    *
+    * Exactness: access counts, frequency ranks (ties break on key),
+    * prefix sums, and cut ranks ⌈f·K⌉ are ALL integer; hit shares are
+    * single divisions snapped at 6 dp.
+    *
+    * Scale shape: one map-combinable per-key census off the fact, one
+    * [[graft.operators.RangeRank.withRunningSum]] range shuffle over
+    * the census (key-domain-bounded, never the fact), and a 4-row
+    * broadcast threshold join. */
+  def q383CacheHitCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = Seq(1L, 5L, 10L, 25L)
+    val census = Kpis.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.RangeRank.withRunningSum(
+      census, col("c"), "cum", Seq(col("c") * -1L, col("k")))
+    val ranks = graft.operators.RangeRank.withGlobalRank(
+      ranked, "rk", Seq(col("c") * -1L, col("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(ranks.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_accesses"),
+      max(when(col("rk") === 1L, col("c"))).as("top1")))
+    val curve = ranks.crossJoin(tot)
+      .crossJoin(broadcast(
+        spark.range(0, pcts.length).select(col("id"))
+          .withColumn("pct", element_at(
+            typedLit(pcts), col("id").cast("int") + 1))))
+      .filter(col("rk") === expr("(pct * n_keys + 99) div 100"))
+      .select(col("pct"), col("rk").as("cache_keys"), col("cum"),
+        col("n_keys"), col("n_accesses"), col("top1"))
+    val out = graft.plans.Eager.ckpt(
+      curve.select(col("pct").as("cache_pct"), col("cache_keys"),
+        col("n_keys"), col("n_accesses"),
+        (round(col("cum").cast("double") /
+          col("n_accesses").cast("double"), 6) + lit(0.0))
+          .as("hit_share"),
+        (round(col("top1").cast("double") /
+          col("n_accesses").cast("double"), 6) + lit(0.0))
+          .as("top1_share"))
+        .orderBy("cache_pct"))
+    ranks.unpersist()
+    out
+  }
+
+  val q383Sql: String =
+    """WITH census AS (
+      |  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk,
+      |    SUM(c) OVER (ORDER BY c DESC, k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM census),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_accesses,
+      |    CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top1
+      |  FROM r),
+      |pcts AS (SELECT unnest([1, 5, 10, 25]) AS pct)
+      |SELECT CAST(pct AS BIGINT) AS cache_pct,
+      |  rk AS cache_keys, n_keys, n_accesses,
+      |  round(CAST(cum AS DOUBLE) / CAST(n_accesses AS DOUBLE), 6) + 0.0
+      |    AS hit_share,
+      |  round(CAST(top1 AS DOUBLE) / CAST(n_accesses AS DOUBLE), 6) + 0.0
+      |    AS top1_share
+      |FROM r, tot, pcts
+      |WHERE rk = (pct * n_keys + 99) // 100
+      |ORDER BY cache_pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_cache_hit_curve" -> (q383CacheHitCurve _),
     "q376_sortedness_audit" -> (q376SortednessAudit _),
     "q365_encoding_plan" -> (q365EncodingPlan _),
     "q297_shard_stability" -> (q297ShardStability _),
@@ -930,6 +1009,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q383_cache_hit_curve" -> q383Sql,
     "q376_sortedness_audit" -> q376Sql,
     "q365_encoding_plan" -> q365Sql,
     "q297_shard_stability" -> q297Sql,
