@@ -854,7 +854,91 @@ object EmbedQueries {
       |FROM ranked""".stripMargin
   }
 
+  // --------------------------------------------------------------- q384
+  /** Hard-negative mining certificate — the contrastive-training data
+    * prep the retrieval family (q21 top-k, q28/q33 ANN) feeds but never
+    * emits: for a replayable md5-sampled probe set, the best SAME-label
+    * neighbor (the positive a contrastive pair would use), the hardest
+    * DIFFERENT-label neighbor (the negative that actually teaches), and
+    * the margin between them — with margin ≤ 0 flagging label
+    * violations where a foreign vector sits closer than every
+    * in-label one (either a mislabel or the genuinely hard training
+    * pair; both are exactly what a curation pass wants surfaced).
+    *
+    * Exactness: cosine chains are the q21 bit-identical spelling; max
+    * over identical double sets agrees across engines; emitted sims
+    * and margins snap at 6 dp; counts are exact.
+    *
+    * Scale shape: the probe side (~1/31 of vectors) BROADCASTS and the
+    * corpus streams past it (q21's build-side discipline) into one
+    * map-combinable per-probe aggregate — no window, no pairwise
+    * blow-up beyond |probes|·N. */
+  def q384HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val e = emb(spark, dir).select(col("vec_id"), col("label"),
+      col("embedding"), norm2(col("embedding")).as("n2"))
+    // probe set capped to the deterministic cert slice (q26/q50's
+    // CertSliceMax convention): a no-op at every correctness fixture,
+    // while pinning the |probes|*N product to a FIXED factor at scale
+    val probes = e.filter(col("vec_id") < lit(CertSliceMax))
+      .filter(pmod(md5Hash60(concat(lit("hn:"),
+        col("vec_id").cast("string"))), lit(31L)) === 3L)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val sim = dotD(col("qe"), col("embedding")) /
+      (sqrt(col("qn2")) * sqrt(col("n2")))
+    e.crossJoin(broadcast(probes))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"),
+        (col("label") === col("qlabel")).as("same"), sim.as("s"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(
+        sum(when(col("same"), 1L).otherwise(0L)).as("n_same"),
+        sum(when(!col("same"), 1L).otherwise(0L)).as("n_diff"),
+        max(when(col("same"), col("s"))).as("pos"),
+        max(when(!col("same"), col("s"))).as("neg"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("n_same"), col("n_diff"),
+        (round(col("pos"), 6) + lit(0.0)).as("pos_sim"),
+        (round(col("neg"), 6) + lit(0.0)).as("hard_neg_sim"),
+        (round(col("pos") - col("neg"), 6) + lit(0.0)).as("margin"),
+        (col("neg") > col("pos")).as("violation"))
+      .orderBy("query_id")
+  }
+
+  val q384Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("'hn:' || CAST(vec_id AS VARCHAR)")
+    val dot = dotSqlUnrolled("q.embedding", "c.embedding", Dim)
+    s"""WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2
+      |  FROM embeddings),
+      |probes AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, embedding, n2
+      |  FROM e WHERE vec_id < 2000 AND ($h) % 31 = 3),
+      |p AS (
+      |  SELECT q.query_id, q.qlabel,
+      |    c.label = q.qlabel AS same,
+      |    ($dot) / (sqrt(q.n2) * sqrt(c.n2)) AS s
+      |  FROM probes q, e c
+      |  WHERE c.vec_id != q.query_id)
+      |SELECT query_id, qlabel AS label,
+      |  CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+      |  CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_diff,
+      |  round(MAX(CASE WHEN same THEN s END), 6) + 0.0 AS pos_sim,
+      |  round(MAX(CASE WHEN NOT same THEN s END), 6) + 0.0
+      |    AS hard_neg_sim,
+      |  round(MAX(CASE WHEN same THEN s END)
+      |    - MAX(CASE WHEN NOT same THEN s END), 6) + 0.0 AS margin,
+      |  MAX(CASE WHEN NOT same THEN s END)
+      |    > MAX(CASE WHEN same THEN s END) AS violation
+      |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_hard_negatives" -> (q384HardNegatives _),
     "q262_hubness_audit" -> q262HubnessAudit _,
     "q254_intrinsic_dim" -> q254IntrinsicDim _,
     "q209_reciprocal_nn" -> q209ReciprocalNn _,
@@ -866,6 +950,7 @@ object EmbedQueries {
     "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
+    "q384_hard_negatives" -> q384Sql,
     "q262_hubness_audit" -> q262Sql,
     "q254_intrinsic_dim" -> q254Sql,
     "q209_reciprocal_nn" -> q209Sql,
