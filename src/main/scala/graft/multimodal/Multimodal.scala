@@ -673,13 +673,85 @@ object Multimodal {
     * linear; banding runs on DISTINCT hashes only, bucket membership
     * is df-capped at 16, so candidate volume is bounded by 16·bands·
     * |distinct hashes| — linear with a hard per-bucket constant. */
+  /** The shared perceptual-dedup pipeline (q370 images / q374 audio):
+    * exact-fingerprint collapse (closed-form pair census) → df-capped
+    * banding over DISTINCT fingerprints → Hamming-threshold verify →
+    * group-product expansion, plus the exact keyed planted-copy ledger
+    * (copies at id + 100000). `hashes` = (id, h); output column names
+    * are parameters so each modality keeps its oracle contract. */
+  private def perceptualDedup(hashes: DataFrame, bandBits: Int,
+      hamThr: Int, cap: Int, entityCol: String, distinctCol: String,
+      candCol: String, dupCol: String): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val groups = hashes.groupBy(col("h"))
+      .agg(count(lit(1)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = groups.agg(
+      count(lit(1)).as(distinctCol),
+      sum(expr("(g * (g - 1)) div 2")).as("exact_dup_pairs"))
+    def bandEq(j: Int) =
+      expr(s"(shiftright(ho, ${bandBits * j}) & $mask) = " +
+        s"(shiftright(hc, ${bandBits * j}) & $mask)")
+    val planted = hashes.filter(col("id") < 100000L)
+      .select(col("id"), col("h").as("ho"))
+      .join(hashes.filter(col("id") >= 100000L)
+        .select((col("id") - 100000L).as("id"), col("h").as("hc")), "id")
+      .select(expr("CAST(bit_count(ho ^ hc) AS BIGINT)").as("ham"),
+        (bandEq(0) || bandEq(1) || bandEq(2) || bandEq(3)).as("reach"))
+      .agg(count(lit(1)).as("planted_total"),
+        sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("planted_exact"),
+        sum(when(col("reach"), 1L).otherwise(0L))
+          .as("planted_band_reachable"),
+        sum(when(col("ham") <= hamThr, 1L).otherwise(0L))
+          .as("planted_dups"),
+        max(col("ham")).as("max_planted_ham"))
+    val inv = groups.select(col("h"), col("g"),
+      expr("explode(sequence(0, 3))").as("j"))
+      .select(col("h"), col("g"), col("j"),
+        expr(s"shiftright(h, $bandBits * j) & $mask").as("v"))
+    val buckets = inv.groupBy(col("j"), col("v"))
+      .agg(count(lit(1)).as("bs"))
+    val dropped = buckets.agg(
+      sum(when(col("bs") > cap, 1L).otherwise(0L)).as("buckets_dropped"))
+    val kept = inv.join(buckets.filter(col("bs") <= cap), Seq("j", "v"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
+        col("a.g").as("ga"), col("b.g").as("gb"))
+      .distinct()
+      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+    val near = cand.agg(
+      count(lit(1)).as(candCol),
+      coalesce(sum(when(col("ham") <= hamThr, 1L).otherwise(0L)), lit(0L))
+        .as(dupCol),
+      coalesce(sum(when(col("ham") <= hamThr, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("near_dup_id_pairs"))
+    val nEnt = hashes.filter(col("id") < 100000L)
+      .agg(count(lit(1)).as(entityCol))
+    val out = graft.plans.Eager.ckpt(
+      nEnt.crossJoin(broadcast(exact))
+        .crossJoin(broadcast(planted))
+        .crossJoin(broadcast(dropped))
+        .crossJoin(broadcast(near))
+        .select(col(entityCol), col(distinctCol),
+          col("exact_dup_pairs"), col("planted_total"),
+          col("planted_exact"), col("planted_band_reachable"),
+          col("planted_dups"), col("max_planted_ham"),
+          col("buckets_dropped"), col(candCol),
+          col(dupCol),
+          (col("exact_dup_pairs") + col("near_dup_id_pairs"))
+            .as("dup_id_pairs_total")))
+    groups.unpersist()
+    out
+  }
+
   def q370ImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val imgs = mediaFromDocuments(spark, dir)
       .filter(col("meta.kind") === "image")
       .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .as[MediaRow]
-    val CAP = 16
     val hashes = imgs.mapPartitions { rows =>
       rows.flatMap { r =>
         val d = Codec.decode(r.content)
@@ -693,69 +765,10 @@ object Multimodal {
       }
     }.toDF("id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (1) exact-hash collapse: group census + closed-form exact pairs
-    val groups = hashes.groupBy(col("h"))
-      .agg(count(lit(1)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = groups.agg(
-      count(lit(1)).as("n_distinct_hashes"),
-      sum(expr("(g * (g - 1)) div 2")).as("exact_dup_pairs"))
-    // planted ledger: one id-keyed join, every metric exact
-    def bandEq(j: Int) =
-      expr(s"(shiftright(ho, ${14 * j}) & 16383) = " +
-        s"(shiftright(hc, ${14 * j}) & 16383)")
-    val planted = hashes.filter(col("id") < 100000L)
-      .select(col("id"), col("h").as("ho"))
-      .join(hashes.filter(col("id") >= 100000L)
-        .select((col("id") - 100000L).as("id"), col("h").as("hc")), "id")
-      .select(expr("CAST(bit_count(ho ^ hc) AS BIGINT)").as("ham"),
-        (bandEq(0) || bandEq(1) || bandEq(2) || bandEq(3)).as("reach"))
-      .agg(count(lit(1)).as("planted_total"),
-        sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("planted_exact"),
-        sum(when(col("reach"), 1L).otherwise(0L))
-          .as("planted_band_reachable"),
-        sum(when(col("ham") <= 8L, 1L).otherwise(0L)).as("planted_dups"),
-        max(col("ham")).as("max_planted_ham"))
-    // (2) band only DISTINCT hashes, df-cap hot buckets
-    val inv = groups.select(col("h"), col("g"),
-      expr("explode(sequence(0, 3))").as("j"))
-      .select(col("h"), col("g"), col("j"),
-        expr("shiftright(h, 14 * j) & 16383").as("v"))
-    val buckets = inv.groupBy(col("j"), col("v"))
-      .agg(count(lit(1)).as("bs"))
-    val dropped = buckets.agg(
-      sum(when(col("bs") > CAP, 1L).otherwise(0L)).as("buckets_dropped"))
-    val kept = inv.join(buckets.filter(col("bs") <= CAP), Seq("j", "v"))
-    // (3) verify surviving pairs, expand via group-size products
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
-          col("a.h") < col("b.h"))
-      .select(col("a.h").as("ha"), col("b.h").as("hb"),
-        col("a.g").as("ga"), col("b.g").as("gb"))
-      .distinct()
-      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-    val near = cand.agg(
-      count(lit(1)).as("cand_hash_pairs"),
-      coalesce(sum(when(col("ham") <= 8L, 1L).otherwise(0L)), lit(0L))
-        .as("dup_hash_pairs"),
-      coalesce(sum(when(col("ham") <= 8L, col("ga") * col("gb"))
-        .otherwise(0L)), lit(0L)).as("near_dup_id_pairs"))
-    val nImg = hashes.filter(col("id") < 100000L)
-      .agg(count(lit(1)).as("n_images"))
-    val out = graft.plans.Eager.ckpt(
-      nImg.crossJoin(broadcast(exact))
-        .crossJoin(broadcast(planted))
-        .crossJoin(broadcast(dropped))
-        .crossJoin(broadcast(near))
-        .select(col("n_images"), col("n_distinct_hashes"),
-          col("exact_dup_pairs"), col("planted_total"),
-          col("planted_exact"), col("planted_band_reachable"),
-          col("planted_dups"), col("max_planted_ham"),
-          col("buckets_dropped"), col("cand_hash_pairs"),
-          col("dup_hash_pairs"),
-          (col("exact_dup_pairs") + col("near_dup_id_pairs"))
-            .as("dup_id_pairs_total")))
-    groups.unpersist(); hashes.unpersist()
+    val out = perceptualDedup(hashes, bandBits = 14, hamThr = 8, cap = 16,
+      entityCol = "n_images", distinctCol = "n_distinct_hashes",
+      candCol = "cand_hash_pairs", dupCol = "dup_hash_pairs")
+    hashes.unpersist()
     out
   }
 
@@ -877,7 +890,6 @@ object Multimodal {
     * already relational). */
   def q374AudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val CAP = 16
     val auds = mediaFromDocuments(spark, dir)
       .filter(col("meta.kind") === "audio")
       .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
@@ -899,64 +911,10 @@ object Multimodal {
           |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
           .stripMargin).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = fps.groupBy(col("h")).agg(count(lit(1)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = groups.agg(
-      count(lit(1)).as("n_distinct_fps"),
-      sum(expr("(g * (g - 1)) div 2")).as("exact_dup_pairs"))
-    def bandEq(j: Int) =
-      expr(s"(shiftright(ho, ${8 * j}) & 255) = " +
-        s"(shiftright(hc, ${8 * j}) & 255)")
-    val planted = fps.filter(col("id") < 100000L)
-      .select(col("id"), col("h").as("ho"))
-      .join(fps.filter(col("id") >= 100000L)
-        .select((col("id") - 100000L).as("id"), col("h").as("hc")), "id")
-      .select(expr("CAST(bit_count(ho ^ hc) AS BIGINT)").as("ham"),
-        (bandEq(0) || bandEq(1) || bandEq(2) || bandEq(3)).as("reach"))
-      .agg(count(lit(1)).as("planted_total"),
-        sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("planted_exact"),
-        sum(when(col("reach"), 1L).otherwise(0L))
-          .as("planted_band_reachable"),
-        sum(when(col("ham") <= 4L, 1L).otherwise(0L)).as("planted_dups"),
-        max(col("ham")).as("max_planted_ham"))
-    val inv = groups.select(col("h"), col("g"),
-      expr("explode(sequence(0, 3))").as("j"))
-      .select(col("h"), col("g"), col("j"),
-        expr("shiftright(h, 8 * j) & 255").as("v"))
-    val buckets = inv.groupBy(col("j"), col("v"))
-      .agg(count(lit(1)).as("bs"))
-    val dropped = buckets.agg(
-      sum(when(col("bs") > CAP, 1L).otherwise(0L)).as("buckets_dropped"))
-    val kept = inv.join(buckets.filter(col("bs") <= CAP), Seq("j", "v"))
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
-          col("a.h") < col("b.h"))
-      .select(col("a.h").as("ha"), col("b.h").as("hb"),
-        col("a.g").as("ga"), col("b.g").as("gb"))
-      .distinct()
-      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-    val near = cand.agg(
-      count(lit(1)).as("cand_fp_pairs"),
-      coalesce(sum(when(col("ham") <= 4L, 1L).otherwise(0L)), lit(0L))
-        .as("dup_fp_pairs"),
-      coalesce(sum(when(col("ham") <= 4L, col("ga") * col("gb"))
-        .otherwise(0L)), lit(0L)).as("near_dup_id_pairs"))
-    val nClip = fps.filter(col("id") < 100000L)
-      .agg(count(lit(1)).as("n_clips"))
-    val out = graft.plans.Eager.ckpt(
-      nClip.crossJoin(broadcast(exact))
-        .crossJoin(broadcast(planted))
-        .crossJoin(broadcast(dropped))
-        .crossJoin(broadcast(near))
-        .select(col("n_clips"), col("n_distinct_fps"),
-          col("exact_dup_pairs"), col("planted_total"),
-          col("planted_exact"), col("planted_band_reachable"),
-          col("planted_dups"), col("max_planted_ham"),
-          col("buckets_dropped"), col("cand_fp_pairs"),
-          col("dup_fp_pairs"),
-          (col("exact_dup_pairs") + col("near_dup_id_pairs"))
-            .as("dup_id_pairs_total")))
-    groups.unpersist(); fps.unpersist()
+    val out = perceptualDedup(fps, bandBits = 8, hamThr = 4, cap = 16,
+      entityCol = "n_clips", distinctCol = "n_distinct_fps",
+      candCol = "cand_fp_pairs", dupCol = "dup_fp_pairs")
+    fps.unpersist()
     out
   }
 
