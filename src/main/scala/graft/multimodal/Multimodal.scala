@@ -1006,17 +1006,98 @@ object Multimodal {
       |  exact_dup_pairs + near_dup_id_pairs AS dup_id_pairs_total
       |FROM ni, exact, pls, dropped, near""".stripMargin
 
+  // --------------------------------------------------------------- q386
+  /** End-to-end multimodal curation ledger — the composition
+    * certificate for the media family, the way q154 is for text
+    * curation and q275 for vector stores: four stages, each REUSING
+    * its registered operator's plan (composition, not
+    * reimplementation), reduced to one verdict row apiece. Stage
+    * semantics: a_decode — containers decoded, frames recovered,
+    * payload bytes (ratio = frames per container); b_image_dedup /
+    * c_audio_dedup — corpus size, id-level duplicate pairs found,
+    * planted copies confirmed (ratio = planted recall at the
+    * threshold); d_audio_vad — frames scanned, frames active, segments
+    * (ratio = activity share). One frame a platform's nightly media
+    * job emits; any stage drifting breaks the oracle hash of the whole
+    * ledger.
+    *
+    * Exactness: every cell is an integer or a single snapped division
+    * off the (already hash-certified) stage outputs.
+    *
+    * Scale shape: the four registered plans, each reduced by one
+    * map-combinable aggregate; the union is 4 rows. */
+  def q386MultimodalLedger(spark: SparkSession, dir: String): DataFrame = {
+    val dec = q29MediaFeatures(spark, dir)
+      .agg(sum(col("n_media")).as("n_items"),
+        sum(col("total_frames")).as("n_detected"),
+        sum(col("total_payload_bytes")).as("detail"))
+      .select(lit("a_decode").as("stage"), col("n_items"),
+        col("n_detected"), col("detail"),
+        (round(col("n_detected").cast("double") /
+          col("n_items").cast("double"), 6) + lit(0.0)).as("ratio"))
+    def dedupStage(name: String, df: DataFrame, items: String) =
+      df.select(lit(name).as("stage"), col(items).as("n_items"),
+        col("dup_id_pairs_total").as("n_detected"),
+        col("planted_dups").as("detail"),
+        (round(col("planted_dups").cast("double") /
+          col("planted_total").cast("double"), 6) + lit(0.0)).as("ratio"))
+    val img = dedupStage("b_image_dedup",
+      q370ImagePhashDedup(spark, dir), "n_images")
+    val aud = dedupStage("c_audio_dedup",
+      q374AudioFpDedup(spark, dir), "n_clips")
+    val vad = q360AudioSegments(spark, dir)
+      .agg(sum(col("n_frames")).as("n_items"),
+        sum(col("n_active")).as("n_detected"),
+        sum(col("n_segments")).as("detail"))
+      .select(lit("d_audio_vad").as("stage"), col("n_items"),
+        col("n_detected"), col("detail"),
+        (round(col("n_detected").cast("double") /
+          col("n_items").cast("double"), 6) + lit(0.0)).as("ratio"))
+    dec.unionAll(img).unionAll(aud).unionAll(vad).orderBy("stage")
+  }
+
+  val q386Sql: String =
+    s"""SELECT 'a_decode' AS stage,
+      |  (SELECT CAST(SUM(n_media) AS BIGINT) FROM ($q29Sql)) AS n_items,
+      |  (SELECT CAST(SUM(total_frames) AS BIGINT) FROM ($q29Sql))
+      |    AS n_detected,
+      |  (SELECT CAST(SUM(total_payload_bytes) AS BIGINT) FROM ($q29Sql))
+      |    AS detail,
+      |  (SELECT round(CAST(SUM(total_frames) AS DOUBLE)
+      |     / CAST(SUM(n_media) AS DOUBLE), 6) + 0.0 FROM ($q29Sql))
+      |    AS ratio
+      |UNION ALL
+      |SELECT 'b_image_dedup', n_images, dup_id_pairs_total, planted_dups,
+      |  round(CAST(planted_dups AS DOUBLE)
+      |    / CAST(planted_total AS DOUBLE), 6) + 0.0
+      |FROM ($q370Sql)
+      |UNION ALL
+      |SELECT 'c_audio_dedup', n_clips, dup_id_pairs_total, planted_dups,
+      |  round(CAST(planted_dups AS DOUBLE)
+      |    / CAST(planted_total AS DOUBLE), 6) + 0.0
+      |FROM ($q374Sql)
+      |UNION ALL
+      |SELECT 'd_audio_vad',
+      |  (SELECT CAST(SUM(n_frames) AS BIGINT) FROM ($q360Sql)),
+      |  (SELECT CAST(SUM(n_active) AS BIGINT) FROM ($q360Sql)),
+      |  (SELECT CAST(SUM(n_segments) AS BIGINT) FROM ($q360Sql)),
+      |  (SELECT round(CAST(SUM(n_active) AS DOUBLE)
+      |     / CAST(SUM(n_frames) AS DOUBLE), 6) + 0.0 FROM ($q360Sql))
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> q29MediaFeatures _,
     "q333_frame_stats" -> q333FrameStats _,
     "q360_audio_segments" -> q360AudioSegments _,
     "q370_image_phash_dedup" -> q370ImagePhashDedup _,
-    "q374_audio_fp_dedup" -> q374AudioFpDedup _)
+    "q374_audio_fp_dedup" -> q374AudioFpDedup _,
+    "q386_multimodal_ledger" -> q386MultimodalLedger _)
 
   def oracles: Map[String, String] = Map(
     "q29_media_features" -> q29Sql,
     "q333_frame_stats" -> q333Sql,
     "q360_audio_segments" -> q360Sql,
     "q370_image_phash_dedup" -> q370Sql,
-    "q374_audio_fp_dedup" -> q374Sql)
+    "q374_audio_fp_dedup" -> q374Sql,
+    "q386_multimodal_ledger" -> q386Sql)
 }

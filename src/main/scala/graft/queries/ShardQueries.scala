@@ -998,7 +998,81 @@ object ShardQueries {
       |WHERE rk = (pct * n_keys + 99) // 100
       |ORDER BY cache_pct""".stripMargin
 
+  // --------------------------------------------------------------- q385
+  /** Bucket-count skew advisor for the written warehouse — the sizing
+    * study behind [[graft.sink.Warehouse]]'s bucketed writes and the
+    * q358/q98 bucketed stores: for candidate bucket counts
+    * {8, 16, 32, 64}, hash customer keys by order volume onto the md5
+    * grid and report each layout's max-bucket share vs the uniform
+    * ideal (the straggler factor a bucketed join inherits) and the
+    * empty-bucket count (wasted task slots). More buckets cut skew
+    * until key cardinality runs out; this emits the measured curve so
+    * the bucket count is chosen from data, not habit.
+    *
+    * Exactness: bucket assignment is the replayable md5 grid; all
+    * counts are integer; shares and the straggler factor are single
+    * divisions snapped at 6 dp.
+    *
+    * Scale shape: one per-key order-volume census, then ONE
+    * map-combinable (n_buckets, bucket) aggregate per candidate off
+    * the SAME census (a 4-way unpivot of bucket ids computed in one
+    * projection — no re-scan), all census-bounded. */
+  def q385BucketSkewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val cands = Seq(8, 16, 32, 64)
+    val census = Kpis.table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .withColumn("h", md5Hash60(concat(lit("bkt:"),
+        col("o_custkey").cast("string"))))
+    val perBucket = cands.map { nb =>
+      census.select(lit(nb.toLong).as("n_buckets"),
+        pmod(col("h"), lit(nb.toLong)).as("b"), col("c"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("n_buckets"), col("b"))
+      .agg(sum(col("c")).as("rows_in_bucket"))
+    perBucket.groupBy(col("n_buckets"))
+      .agg(count(lit(1)).as("buckets_used"),
+        sum(col("rows_in_bucket")).as("n_rows"),
+        max(col("rows_in_bucket")).as("max_bucket_rows"))
+      .select(col("n_buckets"),
+        (col("n_buckets") - col("buckets_used")).as("empty_buckets"),
+        col("max_bucket_rows"),
+        (round(col("max_bucket_rows").cast("double") /
+          col("n_rows").cast("double"), 6) + lit(0.0))
+          .as("max_bucket_share"),
+        (round(col("max_bucket_rows").cast("double") *
+          col("n_buckets").cast("double") /
+          col("n_rows").cast("double"), 6) + lit(0.0))
+          .as("straggler_factor"))
+      .orderBy("n_buckets")
+  }
+
+  val q385Sql: String = {
+    val h = md5Hash60Sql("'bkt:' || CAST(o_custkey AS VARCHAR)")
+    s"""WITH census AS (
+      |  SELECT o_custkey, COUNT(*) AS c, ($h) AS h
+      |  FROM orders GROUP BY 1),
+      |per AS (
+      |  SELECT nb.n_buckets, census.h % nb.n_buckets AS b,
+      |    CAST(SUM(c) AS BIGINT) AS rows_in_bucket
+      |  FROM census
+      |  CROSS JOIN (VALUES (8), (16), (32), (64)) nb(n_buckets)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(n_buckets - COUNT(*) AS BIGINT) AS empty_buckets,
+      |  MAX(rows_in_bucket) AS max_bucket_rows,
+      |  round(CAST(MAX(rows_in_bucket) AS DOUBLE)
+      |    / CAST(SUM(rows_in_bucket) AS DOUBLE), 6) + 0.0
+      |    AS max_bucket_share,
+      |  round(CAST(MAX(rows_in_bucket) AS DOUBLE)
+      |    * CAST(n_buckets AS DOUBLE)
+      |    / CAST(SUM(rows_in_bucket) AS DOUBLE), 6) + 0.0
+      |    AS straggler_factor
+      |FROM per GROUP BY n_buckets ORDER BY n_buckets""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_bucket_skew_advisor" -> (q385BucketSkewAdvisor _),
     "q383_cache_hit_curve" -> (q383CacheHitCurve _),
     "q376_sortedness_audit" -> (q376SortednessAudit _),
     "q365_encoding_plan" -> (q365EncodingPlan _),
@@ -1009,6 +1083,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q385_bucket_skew_advisor" -> q385Sql,
     "q383_cache_hit_curve" -> q383Sql,
     "q376_sortedness_audit" -> q376Sql,
     "q365_encoding_plan" -> q365Sql,
