@@ -107,6 +107,28 @@ object SubstringStore {
         (col("longest_span_tokens").isNotNull).cast("int").as("is_dup"))
   }
 
+  /** Retire documents from the persisted position store — the GC story
+    * completing this store's maintenance pair (append = [[appendToStore]]),
+    * the way q340 completes q98's band store: takedowns (copyright,
+    * PII, right-to-be-forgotten — q380's cohort) must remove a
+    * document's POSITIONS so future crawls stop being flagged against
+    * retired content, without disturbing any other document's verdicts.
+    * The delete is one doc_id anti-join; the surviving generation is
+    * rewritten with the SAME fp bucketing (q340's generation-swap
+    * discipline — write new table, retire old), so post-GC probes stay
+    * store-side shuffle-free. SubstringGcSpec pins verdict
+    * preservation for unrelated probes and admission for probes whose
+    * only match was retired. */
+  def retireFromStore(spark: SparkSession, table: String,
+      retired: DataFrame, gcTable: String, gcPath: String,
+      nBuckets: Int = StoreBuckets): Unit = {
+    val kept = spark.table(table)
+      .join(retired.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    Warehouse.writeBucketed(
+      kept.select(col("fp"), col("doc_id"), col("p")),
+      gcTable, gcPath, "fp", nBuckets, mode = "overwrite")
+  }
+
   // --------------------------------------------------------------- q358
   /** Registered incremental-substring entry driving the REAL bucketed
     * store end to end each run: batch 1 = the `documents` corpus,
