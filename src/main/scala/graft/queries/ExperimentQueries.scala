@@ -1733,7 +1733,107 @@ object ExperimentQueries {
       |FROM census c JOIN iso ON c.x = iso.i
       |ORDER BY p1_orders""".stripMargin
 
+  // --------------------------------------------------------------- q387
+  /** Wald's SPRT monitor — the third sequential design beside q316's
+    * group-sequential looks and q172's fixed-horizon permutation test:
+    * the SPRT watches a Bernoulli stream (here: is the event a
+    * purchase?) day by day and stops the moment the cumulative
+    * log-likelihood ratio between H₁ (p = 0.22) and H₀ (p = 0.18)
+    * leaves (ln β/(1−α), ln (1−β)/α) — the design with the smallest
+    * EXPECTED sample size at the design points, which is why ops
+    * monitors (quality gates, canary analysis) prefer it over fixed
+    * looks. Run per md5 arm: cumulative purchases/events by day, the
+    * running LLR, the verdict and the day it fired (first boundary
+    * crossing), or 'continue' if the data ran out undecided.
+    *
+    * Exactness: k and n are exact day-census running sums (windows
+    * PARTITIONED per arm over the day census); the LLR is
+    * k·L₁ + (n−k)·L₀ with the two log terms as shared 9-dp literals
+    * (no cross-engine ln); boundaries are ±ln 19 at α = β = 0.05,
+    * also 9-dp literals; the first-crossing day is a min over exact
+    * comparisons.
+    *
+    * Scale shape: one map-combinable (arm, day) census off the event
+    * stream; running sums and the crossing scan are censuses windows;
+    * output is 2 rows. */
+  def q387SprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val L1 = lit(0.200670695)  // round(ln(0.22/0.18), 9)
+    val L0 = lit(-0.050010421) // round(ln(0.78/0.82), 9)
+    val A = lit(2.944438979)   // round(ln(19), 9) = ln((1-b)/a)
+    val byDay = Kpis.eventsTable(spark, dir)
+      .withColumn("arm", pmod(md5Hash60(concat(lit("sprt:"),
+        col("user_id").cast("string"))), lit(2L)))
+      .groupBy(col("arm"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = byDay
+      .withColumn("ck", sum(col("k")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("llr", col("ck").cast("double") * L1 +
+        (col("cn") - col("ck")).cast("double") * L0)
+    run.groupBy(col("arm"))
+      .agg(count(lit(1)).as("days_observed"),
+        max(col("cn")).as("n_events"),
+        min(when(col("llr") >= A, col("day"))).as("d_h1"),
+        min(when(col("llr") <= -A, col("day"))).as("d_h0"),
+        (round(max(struct(col("day"), col("llr"))).getField("llr"), 6) +
+          lit(0.0)).as("final_llr"))
+      .select(col("arm"), col("days_observed"), col("n_events"),
+        when(col("d_h1").isNotNull &&
+          (col("d_h0").isNull || col("d_h1") <= col("d_h0")),
+          lit("accept_h1"))
+          .when(col("d_h0").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("verdict"),
+        date_format(least(col("d_h1"), col("d_h0")), "yyyy-MM-dd")
+          .as("decision_day"),
+        col("final_llr"))
+      .orderBy("arm")
+  }
+
+  val q387Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("'sprt:' || CAST(user_id AS VARCHAR)")
+    """WITH byday AS (
+      |  SELECT (HASHEXPR) % 2 AS arm, CAST(ts AS DATE) AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events GROUP BY 1, 2),
+      |run AS (
+      |  SELECT *,
+      |    SUM(k) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+      |    SUM(n) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      |  FROM byday),
+      |l AS (
+      |  SELECT *, CAST(ck AS DOUBLE) * 0.200670695
+      |    + CAST(cn - ck AS DOUBLE) * (-0.050010421) AS llr
+      |  FROM run),
+      |agg AS (
+      |  SELECT arm, COUNT(*) AS days_observed,
+      |    CAST(MAX(cn) AS BIGINT) AS n_events,
+      |    MIN(CASE WHEN llr >= 2.944438979 THEN day END) AS d_h1,
+      |    MIN(CASE WHEN llr <= -2.944438979 THEN day END) AS d_h0,
+      |    round(max_by(llr, day), 6) + 0.0 AS final_llr
+      |  FROM l GROUP BY 1)
+      |SELECT arm, days_observed, n_events,
+      |  CASE WHEN d_h1 IS NOT NULL
+      |         AND (d_h0 IS NULL OR d_h1 <= d_h0) THEN 'accept_h1'
+      |       WHEN d_h0 IS NOT NULL THEN 'accept_h0'
+      |       ELSE 'continue' END AS verdict,
+      |  strftime(LEAST(d_h1, d_h0), '%Y-%m-%d') AS decision_day,
+      |  final_llr
+      |FROM agg ORDER BY arm""".stripMargin
+      .replace("(HASHEXPR)", s"($h)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q387_sprt_monitor" -> (q387SprtMonitor _),
     "q369_isotonic_calibration" -> (q369IsotonicCalibration _),
     "q367_conformal_cert" -> (q367ConformalCert _),
     "q331_calibration_error" -> (q331CalibrationError _),
@@ -1753,6 +1853,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q387_sprt_monitor" -> q387Sql,
     "q369_isotonic_calibration" -> q369Sql,
     "q367_conformal_cert" -> q367Sql,
     "q331_calibration_error" -> q331Sql,
