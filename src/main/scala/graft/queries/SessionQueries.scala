@@ -221,6 +221,87 @@ object SessionQueries {
       |FROM u ORDER BY delay_seconds""".stripMargin
   }
 
+  // --------------------------------------------------------------- q388
+  /** Streaming state-budget census — capacity planning for the
+    * stateful twins, measured from the batch table instead of asserted
+    * in prose: for each state class a live operator holds, the exact
+    * row count at the stream's cutoff. a_open_sessions — users whose
+    * last event is within the 30-minute gap of the global cutoff (the
+    * sessions Sessionize still holds open); b_final_day_active — the
+    * day-window state SrmStream carries on the last day;
+    * c_event_type_slots — HeavyHitterStream's bounded map;
+    * d_per_user_keyed — the per-user keyed state RecordStream /
+    * StreakStream retain for every user ever seen (the class that
+    * GROWS — its share is the argument for state TTLs). Each row
+    * carries the state's share of total events — what fraction of the
+    * stream a restart would have to rebuild from state vs replay.
+    *
+    * Exactness: ALL-integer counts and single snapped divisions.
+    *
+    * Scale shape: one map-combinable per-user census (max ts), three
+    * distinct collapses, a 4-row union — every stage linear or
+    * census-bounded. */
+  def q388StreamStateBudget(spark: SparkSession, dir: String): DataFrame = {
+    val e = Kpis.eventsTable(spark, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutoff = broadcast(perUser.agg(max(col("last_us")).as("cut"),
+      count(lit(1)).as("n_users")))
+    val open = perUser.crossJoin(cutoff)
+      .filter(col("cut") - col("last_us") <= lit(GapMinutes * 60L * 1000000L))
+      .agg(count(lit(1)).as("v"))
+    val finalDay = e.select(to_date(col("ts")).as("d"), col("user_id"))
+      .crossJoin(broadcast(
+        e.agg(max(to_date(col("ts"))).as("dmax"))))
+      .filter(col("d") === col("dmax"))
+      .agg(countDistinct(col("user_id")).as("v"))
+    val types = e.agg(countDistinct(col("event_type")).as("v"))
+    val users = cutoff.select(col("n_users").as("v"))
+    val total = broadcast(e.agg(count(lit(1)).as("n_events")))
+    def row(name: String, df: DataFrame) =
+      df.crossJoin(total)
+        .select(lit(name).as("state_class"), col("v").as("state_rows"),
+          col("n_events"),
+          (round(col("v").cast("double") / col("n_events").cast("double"),
+            6) + lit(0.0)).as("share_of_events"))
+    val out = graft.plans.Eager.ckpt(
+      row("a_open_sessions", open)
+        .unionAll(row("b_final_day_active", finalDay))
+        .unionAll(row("c_event_type_slots", types))
+        .unionAll(row("d_per_user_keyed", users))
+        .orderBy("state_class"))
+    perUser.unpersist()
+    out
+  }
+
+  val q388Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+      |  GROUP BY 1),
+      |cutoff AS (
+      |  SELECT MAX(last_us) AS cut, COUNT(*) AS n_users FROM pu),
+      |tot AS (SELECT COUNT(*) AS n_events FROM events),
+      |a AS (
+      |  SELECT COUNT(*) AS v FROM pu, cutoff
+      |  WHERE cut - last_us <= ${GapMinutes * 60L * 1000000L}),
+      |b AS (
+      |  SELECT COUNT(DISTINCT user_id) AS v FROM events
+      |  WHERE CAST(ts AS DATE) =
+      |    (SELECT MAX(CAST(ts AS DATE)) FROM events)),
+      |c AS (SELECT COUNT(DISTINCT event_type) AS v FROM events),
+      |d AS (SELECT n_users AS v FROM cutoff),
+      |u AS (
+      |  SELECT 'a_open_sessions' AS state_class, v FROM a
+      |  UNION ALL SELECT 'b_final_day_active', v FROM b
+      |  UNION ALL SELECT 'c_event_type_slots', v FROM c
+      |  UNION ALL SELECT 'd_per_user_keyed', v FROM d)
+      |SELECT state_class, CAST(v AS BIGINT) AS state_rows,
+      |  n_events,
+      |  round(CAST(v AS DOUBLE) / CAST(n_events AS DOUBLE), 6) + 0.0
+      |    AS share_of_events
+      |FROM u, tot ORDER BY state_class""".stripMargin
+
   // --------------------------------------------------------------- q128
   /** Top-20 event 3-paths (trigram path mining): the most frequent
     * length-3 consecutive event-type sequences across all user streams —
@@ -1346,6 +1427,7 @@ object SessionQueries {
     "q34_sessions" -> q34Sessions _,
     "q377_gap_calibration" -> (q377GapCalibration _),
     "q382_watermark_calibration" -> (q382WatermarkCalibration _),
+    "q388_stream_state_budget" -> (q388StreamStateBudget _),
     "q128_event_3paths" -> (q128Event3Paths _),
     "q131_peak_concurrency" -> (q131PeakConcurrency _),
     "q182_interarrival_fit" -> (q182InterarrivalFit _),
@@ -1364,6 +1446,7 @@ object SessionQueries {
     "q34_sessions" -> q34Sql,
     "q377_gap_calibration" -> q377Sql,
     "q382_watermark_calibration" -> q382Sql,
+    "q388_stream_state_budget" -> q388Sql,
     "q128_event_3paths" -> q128Sql,
     "q131_peak_concurrency" -> q131Sql,
     "q182_interarrival_fit" -> q182Sql,
