@@ -192,6 +192,148 @@ object DocQueries {
        |SELECT a_id, b_id, jaccard FROM pairs
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------------- q389
+  /** MinHash signature-length calibration — the SIGNATURE-side study
+    * completing q281's banding calibration: q281 fixes k = 16 and
+    * sweeps band shapes; this sweeps k ∈ {8, 16, 32} (prefixes of ONE
+    * 32-permutation family, so longer signatures reuse the shorter
+    * ones' minima) and measures, over the registered operating point's
+    * own surfaced candidate pairs, how far the signature-agreement
+    * estimate sits from exact Jaccard: bias, mean |error|, and worst
+    * case. The estimator's σ = √(J(1−J)/k) halves per 4× k — this
+    * emits the measured curve so "16 hashes" is a chosen point on it,
+    * not folklore.
+    *
+    * Exactness: match counts are integers (prefix agreement of exact
+    * signature minima); each per-pair error is est − true with both
+    * operands single divisions of exact integers, snapped at 9 dp into
+    * DECIMAL(22,9) terms (the q179 discipline) so the per-k means are
+    * order-free; emitted stats snap at 6 dp.
+    *
+    * Scale shape: q22's measured-linear candidate stack (skinny band
+    * join, id-level dedup, fetch-back by id); the 3-k sweep is an
+    * expression-level explode ×3 over the candidate census — adding a
+    * k is one more array slice, never another corpus pass. */
+  def q389SigLengthCalibration(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val base = corpusWithNearDups(spark, dir)
+      .repartition(par, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), 3))
+      .withColumn("sig", minhashSignature(col("sh"), 32))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("doc_id"),
+        explode(minhashBands(slice(col("sig"), 1, 16), 8, 2)).as("b"))
+      .select(col("doc_id"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val candIds = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id")), Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sa = base.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("sig").as("a_sig"))
+    val sb = base.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("sig").as("b_sig"))
+    def matches(k: Int) = expr(
+      s"size(filter(zip_with(slice(a_sig, 1, $k), slice(b_sig, 1, $k), " +
+        s"(x, y) -> x = y), z -> z))")
+    val scored = candIds.join(sa, "a_id").join(sb, "b_id")
+      .select(jaccard(col("a_sh"), col("b_sh")).as("tj"),
+        explode(array(
+          struct(lit(8L).as("k"), matches(8).as("m")),
+          struct(lit(16L).as("k"), matches(16).as("m")),
+          struct(lit(32L).as("k"), matches(32).as("m")))).as("e"))
+      .select(col("e.k").as("k"),
+        (col("e.m").cast("double") / col("e.k").cast("double") - col("tj"))
+          .as("err"))
+    val out = graft.plans.Eager.ckpt(
+      scored.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("err"), 9).cast("decimal(22,9)")).as("se"),
+          sum(round(abs(col("err")), 9).cast("decimal(22,9)")).as("sae"),
+          max(abs(col("err"))).as("mx"))
+        .select(col("k"), col("n_pairs"),
+          (round(col("se").cast("double") / col("n_pairs").cast("double"),
+            6) + lit(0.0)).as("mean_err"),
+          (round(col("sae").cast("double") / col("n_pairs").cast("double"),
+            6) + lit(0.0)).as("mean_abs_err"),
+          (round(col("mx"), 6) + lit(0.0)).as("max_abs_err"))
+        .orderBy("k"))
+    base.unpersist()
+    out
+  }
+
+  val q389Sql: String = {
+    val P = org.apache.spark.sql.graft.MinHashP61.P
+    val sigCols = (0 until 32).map { j =>
+      val a = org.apache.spark.sql.graft.MinHashP61.a(j)
+      val b = org.apache.spark.sql.graft.MinHashP61.b(j)
+      s"MIN((h * ${a}::HUGEINT + $b) % $P)::BIGINT AS s$j"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until 8).map { bd =>
+      s"SELECT doc_id, $bd AS band, s${2 * bd}::VARCHAR || ',' || " +
+        s"s${2 * bd + 1}::VARCHAR AS bh FROM sig"
+    }.mkString("\n      |  UNION ALL ")
+    def m(k: Int) = (0 until k).map(j =>
+      s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH corpus AS ($corpusNearDupSql),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+      |       AS toks FROM corpus),
+      |shg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END AS sh
+      |  FROM tk),
+      |hs AS (SELECT doc_id, ${md5Hash60Sql("s")} AS h
+      |       FROM (SELECT doc_id, unnest(sh) AS s FROM shg)),
+      |sig AS (SELECT doc_id,
+      |    $sigCols
+      |  FROM hs GROUP BY doc_id),
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pj AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(list_distinct(sa.sh),
+      |        list_distinct(sb.sh))) AS DOUBLE)
+      |      / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+      |         - len(list_intersect(list_distinct(sa.sh),
+      |             list_distinct(sb.sh)))) AS tj
+      |  FROM cand c
+      |  JOIN shg sa ON c.a_id = sa.doc_id
+      |  JOIN shg sb ON c.b_id = sb.doc_id),
+      |ms AS (
+      |  SELECT pj.tj,
+      |    ${m(8)} AS m8,
+      |    ${m(16)} AS m16,
+      |    ${m(32)} AS m32
+      |  FROM pj
+      |  JOIN sig a ON pj.a_id = a.doc_id
+      |  JOIN sig b ON pj.b_id = b.doc_id),
+      |u AS (
+      |  SELECT CAST(8 AS BIGINT) AS k,
+      |    CAST(m8 AS DOUBLE) / 8.0 - tj AS err FROM ms
+      |  UNION ALL SELECT 16, CAST(m16 AS DOUBLE) / 16.0 - tj FROM ms
+      |  UNION ALL SELECT 32, CAST(m32 AS DOUBLE) / 32.0 - tj FROM ms)
+      |SELECT k, COUNT(*) AS n_pairs,
+      |  round(CAST(SUM(CAST(round(err, 9) AS DECIMAL(22,9))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_err,
+      |  round(CAST(SUM(CAST(round(abs(err), 9) AS DECIMAL(22,9)))
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS mean_abs_err,
+      |  round(MAX(abs(err)), 6) + 0.0 AS max_abs_err
+      |FROM u GROUP BY k ORDER BY k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q23
   /** Per-document quality scoring: token/char counts, stopword ratio,
     * average token length, and a bounded composite score — the
@@ -1413,6 +1555,7 @@ object DocQueries {
     "q330_langid_kappa" -> q330LangidKappa _,
     "q41_sketch_profile" -> q41SketchProfile _,
     "q42_corpus_curation" -> q42CorpusCuration _,
+    "q389_sig_calibration" -> (q389SigLengthCalibration _),
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
@@ -1436,5 +1579,6 @@ object DocQueries {
     "q35_langid_ngram" -> q35Sql,
     "q330_langid_kappa" -> q330Sql,
     "q42_corpus_curation" -> q42Sql,
+    "q389_sig_calibration" -> q389Sql,
     "q58_exact_profile" -> q58Sql)
 }
