@@ -1613,7 +1613,97 @@ object SeriesQueries {
         |FROM folded ORDER BY nation""".stripMargin
   }
 
+  // --------------------------------------------------------------- q390
+  /** Dominant-period detection — the question every seasonal operator
+    * here ASSUMES an answer to (q148's indices, q300's STL, q366's 12
+    * seasonal states all hardcode period 12): per nation, the
+    * autocorrelation of monthly revenue at every lag 1..12 and the lag
+    * that maximizes it — data-driven evidence that 12 IS the period
+    * (or that a nation's demand cycles differently). Centered algebra
+    * stays EXACT: with y_t = n·x_t − Σx (integer cents scaled by n),
+    * ACF(k) = Σ y_t·y_{t+k} / Σ y_t² needs no means or doubles until
+    * the final ratio — every product accumulates in DECIMAL(38,0).
+    *
+    * Exactness: y values and their products are exact integers/
+    * decimals; each ACF is ONE decimal/decimal→double division snapped
+    * at 6 dp; the argmax breaks ties on the smaller lag via an exact
+    * struct max.
+    *
+    * Scale shape: rides [[nationMonthlyCentsVecs]]'s single
+    * map-combinable census; the lag self-join runs on the ≤25×|months|
+    * census rows ×12 lags — constant in the corpus. */
+  def q390PeriodDetect(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = nationMonthlyCentsVecs(spark, dir)
+      .select(col("nation"), col("v"), size(col("v")).as("m"))
+      .filter(col("m") >= 24)
+    // y_t = m*x_t - S (exact longs; |y| <= m*max cents ~ 1e12)
+    val withY = vecs.select(col("nation"), col("m"),
+      expr("""transform(v, x -> CAST(size(v) AS BIGINT) * x
+        |  - aggregate(v, CAST(0 AS BIGINT), (s, e) -> s + e))"""
+        .stripMargin).as("y"))
+    val cells = withY.select(col("nation"), col("m"),
+      posexplode(col("y")).as(Seq("t", "yt")))
+    val den = cells.groupBy(col("nation"))
+      .agg(sum(col("yt").cast("decimal(19,0)") * col("yt")).as("d"))
+    val lagged = cells.select(col("nation"), col("t"), col("yt"))
+      .join(cells.select(col("nation"), (col("t") - 1).as("t0"),
+        col("yt").as("ylag"), col("t").as("tl")), Seq("nation"))
+      .filter(col("tl") > col("t") && col("tl") - col("t") <= 12)
+      .select(col("nation"), (col("tl") - col("t")).as("lag"),
+        (col("yt").cast("decimal(19,0)") * col("ylag")).as("p"))
+    val acf = lagged.groupBy(col("nation"), col("lag"))
+      .agg(sum(col("p")).as("num"))
+      .join(den, "nation")
+      .select(col("nation"), col("lag"),
+        (round(col("num").cast("double") / col("d").cast("double"), 9) +
+          lit(0.0)).as("r"))
+    acf.groupBy(col("nation"))
+      .agg(max(struct(col("r"), (-col("lag")).as("nl"))).as("best"),
+        max(when(col("lag") === 12, col("r"))).as("r12"))
+      .select(col("nation"), (-col("best.nl")).cast("long").as("best_lag"),
+        (round(col("best.r"), 6) + lit(0.0)).as("r_best"),
+        (round(col("r12"), 6) + lit(0.0)).as("r_annual"),
+        (col("best.nl") === -12).as("annual_dominant"))
+      .orderBy("nation")
+  }
+
+  val q390Sql: String = nationVecsCte +
+    """,
+      |wy AS (
+      |  SELECT nation, len(v) AS m,
+      |    list_transform(v, x -> CAST(len(v) AS BIGINT) * x
+      |      - list_reduce(v, (s, e) -> s + e)) AS y
+      |  FROM vecs WHERE len(v) >= 24),
+      |cells AS (
+      |  SELECT nation, m, CAST(i AS INTEGER) - 1 AS t,
+      |    y[CAST(i AS INTEGER)] AS yt
+      |  FROM wy CROSS JOIN LATERAL unnest(range(1, len(y) + 1)) AS u(i)),
+      |den AS (
+      |  SELECT nation, SUM(CAST(yt AS DECIMAL(19,0)) * yt) AS d
+      |  FROM cells GROUP BY 1),
+      |lagged AS (
+      |  SELECT a.nation, b.t - a.t AS lag,
+      |    CAST(a.yt AS DECIMAL(19,0)) * b.yt AS p
+      |  FROM cells a JOIN cells b
+      |    ON a.nation = b.nation AND b.t > a.t AND b.t - a.t <= 12),
+      |acf AS (
+      |  SELECT l.nation, l.lag,
+      |    round(CAST(SUM(p) AS DOUBLE) / CAST(MAX(d) AS DOUBLE), 9) + 0.0
+      |      AS r
+      |  FROM lagged l JOIN den USING (nation)
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT nation, MAX({'r': r, 'nl': -lag}) AS b,
+      |    MAX(CASE WHEN lag = 12 THEN r END) AS r12
+      |  FROM acf GROUP BY 1)
+      |SELECT nation, CAST(-(b.nl) AS BIGINT) AS best_lag,
+      |  round(b.r, 6) + 0.0 AS r_best,
+      |  round(r12, 6) + 0.0 AS r_annual,
+      |  -(b.nl) = 12 AS annual_dominant
+      |FROM best ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_period_detect" -> (q390PeriodDetect _),
     "q366_holt_winters" -> (q366HoltWinters _),
     "q354_dtw_matrix" -> (q354DtwMatrix _),
     "q317_hier_forecast" -> (q317HierForecast _),
@@ -2217,6 +2307,7 @@ object SeriesQueries {
   def oracles: Map[String, String] = Map(
     "q354_dtw_matrix" -> q354Sql,
     "q366_holt_winters" -> q366Sql,
+    "q390_period_detect" -> q390Sql,
     "q317_hier_forecast" -> q317Sql,
     "q303_permutation_entropy" -> q303Sql,
     "q301_peak_trailing_window" -> q301Sql,
