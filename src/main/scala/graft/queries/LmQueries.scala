@@ -652,6 +652,81 @@ object LmQueries {
       |  round(-avg(lp), 6) + 0.0 AS avg_nll
       |FROM sc GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q391
+  /** Perplexity-filter threshold sweep — the tuning table for the
+    * CCNet-style cut this module exists to support: q59 scores every
+    * document; the operational question is WHERE to cut. For NLL
+    * thresholds {6, 7, 8, 9} nats, per language: documents dropped,
+    * TOKENS dropped (the number that matters for a token budget), and
+    * both shares — all four candidates as conditional sums over the
+    * SAME registered q59 plan (q377's multi-threshold discipline:
+    * adding a candidate is one more column, never another scoring
+    * pass). A cut that drops 2% of docs but 15% of tokens is pruning
+    * long documents — exactly the pathology this table makes visible
+    * before anyone commits a threshold.
+    *
+    * Exactness: q59's avg_nll is already 6-dp-snapped and oracle-
+    * certified; drop flags are exact comparisons against literal
+    * thresholds; counts/sums integer; shares single snapped divisions.
+    *
+    * Scale shape: the registered q59 plan + ONE map-combinable per-lang
+    * aggregate + a 4-row-per-lang unpivot off the census. */
+  def q391NllThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(6.0, 7.0, 8.0, 9.0)
+    val scored = q59UnigramNll(spark, dir)
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens")) ++
+      ts.flatMap(t => Seq(
+        sum(when(col("avg_nll") > t, 1L).otherwise(0L))
+          .as(s"d${t.toInt}"),
+        sum(when(col("avg_nll") > t, col("n_tokens").cast("long"))
+          .otherwise(0L)).as(s"t${t.toInt}")))
+    val census = graft.plans.Eager.ckpt(
+      scored.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*))
+    ts.map { t =>
+      census.select(col("lang"), lit(t).as("nll_cut"),
+        col(s"d${t.toInt}").as("docs_dropped"),
+        col(s"t${t.toInt}").as("tokens_dropped"),
+        col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+      .select(col("lang"), col("nll_cut"), col("docs_dropped"),
+        col("tokens_dropped"),
+        (round(col("docs_dropped").cast("double") /
+          col("n_docs").cast("double"), 6) + lit(0.0)).as("doc_drop_share"),
+        (round(col("tokens_dropped").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("token_drop_share"))
+      .orderBy("lang", "nll_cut")
+  }
+
+  val q391Sql: String = {
+    val ts = Seq(6, 7, 8, 9)
+    val sums = ts.flatMap(t => Seq(
+      s"CAST(SUM(CASE WHEN avg_nll > $t.0 THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS d$t",
+      s"CAST(SUM(CASE WHEN avg_nll > $t.0 THEN n_tokens ELSE 0 END)" +
+        s" AS BIGINT) AS t$t")).mkString(",\n      |    ")
+    val unpivot = ts.map(t =>
+      s"SELECT lang, CAST($t.0 AS DOUBLE) AS nll_cut, d$t AS docs_dropped, " +
+        s"t$t AS tokens_dropped, n_docs, n_tokens FROM census")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH scored AS ($q59Sql),
+      |census AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    $sums
+      |  FROM scored GROUP BY 1),
+      |u AS (
+      |  $unpivot)
+      |SELECT lang, nll_cut, docs_dropped, tokens_dropped,
+      |  round(CAST(docs_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    + 0.0 AS doc_drop_share,
+      |  round(CAST(tokens_dropped AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+      |    6) + 0.0 AS token_drop_share
+      |FROM u ORDER BY lang, nll_cut""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q362_span_corruption" -> (q362SpanCorruption _),
     "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
@@ -659,7 +734,8 @@ object LmQueries {
     "q236_context_overflow" -> (q236ContextOverflow _),
     "q59_unigram_nll" -> (q59UnigramNll _),
     "q83_bigram_nll" -> (q83BigramNll _),
-    "q371_stupid_backoff" -> (q371StupidBackoff _))
+    "q371_stupid_backoff" -> (q371StupidBackoff _),
+    "q391_nll_threshold_sweep" -> (q391NllThresholdSweep _))
 
   def oracles: Map[String, String] = Map(
     "q362_span_corruption" -> q362Sql,
@@ -668,5 +744,6 @@ object LmQueries {
     "q236_context_overflow" -> q236Sql,
     "q59_unigram_nll" -> q59Sql,
     "q83_bigram_nll" -> q83Sql,
-    "q371_stupid_backoff" -> q371Sql)
+    "q371_stupid_backoff" -> q371Sql,
+    "q391_nll_threshold_sweep" -> q391Sql)
 }
