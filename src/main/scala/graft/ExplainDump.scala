@@ -21,14 +21,19 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // print the REAL pre-checkpoint plans: an eager localCheckpoint
-    // collapses the dump to `Scan ExistingRDD` (see graft.plans.Eager)
+    // collapses the dump to `Scan ExistingRDD` (see graft.plans.Eager).
+    // Restored in the finally so a same-JVM caller (tests, a combined
+    // tooling run) keeps the eager-release behavior afterwards.
+    val prevEager = graft.plans.Eager.enabled
     graft.plans.Eager.enabled = false
-    list.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
-      println(s"\n======================= $name =======================")
-      println(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-    }
+    try {
+      list.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+        println(s"\n======================= $name =======================")
+        println(SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+    } finally graft.plans.Eager.enabled = prevEager
     spark.stop()
   }
 }

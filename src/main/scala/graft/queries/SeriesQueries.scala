@@ -1645,10 +1645,14 @@ object SeriesQueries {
       posexplode(col("y")).as(Seq("t", "yt")))
     val den = cells.groupBy(col("nation"))
       .agg(sum(col("yt").cast("decimal(19,0)") * col("yt")).as("d"))
+    // lag predicates live IN the join condition (applied as the pairs
+    // stream out of the equi-join on nation) so the bounded O(m*12)
+    // pair set is never widened to the full O(m^2) per nation
+    val laggedR = cells.select(col("nation").as("n2"),
+      col("yt").as("ylag"), col("t").as("tl"))
     val lagged = cells.select(col("nation"), col("t"), col("yt"))
-      .join(cells.select(col("nation"), (col("t") - 1).as("t0"),
-        col("yt").as("ylag"), col("t").as("tl")), Seq("nation"))
-      .filter(col("tl") > col("t") && col("tl") - col("t") <= 12)
+      .join(laggedR, col("nation") === col("n2") &&
+        col("tl") > col("t") && col("tl") - col("t") <= 12)
       .select(col("nation"), (col("tl") - col("t")).as("lag"),
         (col("yt").cast("decimal(19,0)") * col("ylag")).as("p"))
     val acf = lagged.groupBy(col("nation"), col("lag"))

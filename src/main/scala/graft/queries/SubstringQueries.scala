@@ -33,7 +33,7 @@ object SubstringQueries {
   /** Report pairs whose longest shared span reaches L tokens. */
   private[graft] val L = 16
 
-  /** Shared stage chain of the substring family (q350/q351): the
+  /** Shared stage chain of the substring family (q350/q351/q392): the
     * maximal shared-run table. Tokenize → position-indexed K-shingle
     * fingerprints → df-cap → cross-doc position join → gaps-and-islands
     * stitch on the alignment diagonal. Returns (runsDf, release) where
@@ -41,10 +41,18 @@ object SubstringQueries {
     * after materializing their rollup (the q26 multi-consumer
     * convention: the position table feeds both sides of the join). */
   private def sharedRuns(spark: SparkSession, dir: String)
+      : (DataFrame, () => Unit) =
+    sharedRunsFrom(spark, DocQueries.corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks")))
+
+  /** [[sharedRuns]] over an arbitrary tokenized corpus (doc_id, toks) —
+    * the detector itself, reusable against a REWRITTEN corpus (q392's
+    * re-certification pass runs the identical chain on the cleaned
+    * output). */
+  private def sharedRunsFrom(spark: SparkSession, toksDf: DataFrame)
       : (DataFrame, () => Unit) = {
     val par = spark.sparkContext.defaultParallelism
-    val d = DocQueries.corpusWithNearDups(spark, dir)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val d = toksDf
       .filter(size(col("toks")) >= K)
       .repartition(par, col("doc_id"))
     val sh = d.select(col("doc_id"),
@@ -74,6 +82,36 @@ object SubstringQueries {
     (runs, () => { m.unpersist(); () })
   }
 
+  /** SQL twin of [[sharedRunsFrom]]: the detector chain from a prior
+    * tokens CTE `$toksCte` (doc_id, toks) to `runs$sfx`
+    * (a_id, b_id, diag, rl, a0, b0); CTE names suffixed so q392 can run
+    * the chain twice (original + cleaned corpus) in one statement. */
+  private def runsChainSql(toksCte: String, sfx: String): String =
+    s"""sh$sfx AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - $K)) AS p,
+      |    toks
+      |  FROM $toksCte WHERE len(toks) >= $K),
+      |fps$sfx AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(toks[p + 1 : p + $K], ' ')) AS fp
+      |  FROM sh$sfx),
+      |keep$sfx AS (
+      |  SELECT fp FROM fps$sfx GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) <= $F),
+      |m$sfx AS MATERIALIZED (SELECT * FROM fps$sfx JOIN keep$sfx USING (fp)),
+      |matches$sfx AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS ap, b.p AS bp
+      |  FROM m$sfx a JOIN m$sfx b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |isl$sfx AS (
+      |  SELECT a_id, b_id, ap - bp AS diag, ap,
+      |    ap - row_number() OVER (
+      |      PARTITION BY a_id, b_id, ap - bp ORDER BY ap) AS iid
+      |  FROM matches$sfx),
+      |runs$sfx AS (
+      |  SELECT a_id, b_id, diag, COUNT(*) AS rl, MIN(ap) AS a0,
+      |    MIN(ap) - diag AS b0
+      |  FROM isl$sfx GROUP BY a_id, b_id, diag, iid)""".stripMargin
+
   /** SQL twin of [[sharedRuns]]: CTE chain ending in `runs`
     * (a_id, b_id, diag, rl, a0, b0); interpolate after WITH. */
   private val sharedRunsCte: String =
@@ -82,30 +120,7 @@ object SubstringQueries {
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       |  FROM corpus WHERE length(trim(text)) > 0),
-      |sh AS (
-      |  SELECT doc_id, unnest(generate_series(0, len(toks) - $K)) AS p,
-      |    toks
-      |  FROM d WHERE len(toks) >= $K),
-      |fps AS MATERIALIZED (
-      |  SELECT doc_id, p,
-      |    md5(array_to_string(toks[p + 1 : p + $K], ' ')) AS fp
-      |  FROM sh),
-      |keep AS (
-      |  SELECT fp FROM fps GROUP BY fp
-      |  HAVING COUNT(DISTINCT doc_id) <= $F),
-      |m AS MATERIALIZED (SELECT * FROM fps JOIN keep USING (fp)),
-      |matches AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS ap, b.p AS bp
-      |  FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-      |isl AS (
-      |  SELECT a_id, b_id, ap - bp AS diag, ap,
-      |    ap - row_number() OVER (
-      |      PARTITION BY a_id, b_id, ap - bp ORDER BY ap) AS iid
-      |  FROM matches),
-      |runs AS (
-      |  SELECT a_id, b_id, diag, COUNT(*) AS rl, MIN(ap) AS a0,
-      |    MIN(ap) - diag AS b0
-      |  FROM isl GROUP BY a_id, b_id, diag, iid)""".stripMargin
+      |${runsChainSql("d", "")}""".stripMargin
 
   // --------------------------------------------------------------- q350
   /** Longest-shared-span census per cross-document pair over the
@@ -191,7 +206,16 @@ object SubstringQueries {
     * union — (doc_id, n_regions, covered_tokens). Per-doc windows over
     * that doc's interval list (bounded by doc length / L); the region
     * rollups are map-side-combinable aggs. */
-  private def intervalSweep(spans: DataFrame): DataFrame = {
+  private def intervalSweep(spans: DataFrame): DataFrame =
+    mergedRegions(spans)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("re") - col("rs") + 1).as("covered_tokens"))
+
+  /** The merged-interval half of [[intervalSweep]]: per-doc disjoint
+    * regions (doc_id, rs, re) after the union sweep — q392 needs the
+    * regions themselves (to excise), not just their totals. */
+  private def mergedRegions(spans: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val marked = spans
       .withColumn("pme", max(col("e")).over(
@@ -202,9 +226,6 @@ object SubstringQueries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     marked.groupBy(col("doc_id"), col("grp"))
       .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_regions"),
-        sum(col("re") - col("rs") + 1).as("covered_tokens"))
   }
 
   /** SQL twin of [[intervalSweep]]: CTE chain over a prior `spans`
@@ -409,13 +430,123 @@ object SubstringQueries {
       |JOIN lens l ON c.doc_id = l.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q392
+  /** Substring-dedup REWRITE certification — the end-to-end half q351's
+    * mask only plans (VERDICT r14 #2, the q154/q275/q386 composition
+    * pattern applied to the text family): materialize the cleaned
+    * corpus by EXCISING every removable token interval (Lee et al.'s
+    * actual rewrite: later doc loses the span, the earlier keeper
+    * retains it), then re-run the IDENTICAL q350 detector on the output
+    * and certify the result — one verdict row with the doc/token ledger,
+    * token-mass conservation (tokens_in − tokens_removed = tokens_out,
+    * measured from the actual rewritten corpus, not inferred), the
+    * residual cross-doc pair count at the same ≥ L threshold, and the
+    * clean verdict.
+    *
+    * Exactness: intervals, excision, and all ledger sums are integers;
+    * the excision is an index-filter over each doc's token array against
+    * its merged region list — no floating point anywhere in the query.
+    *
+    * Scale shape: two passes of the measured-linear [[sharedRuns]] chain
+    * (SCALE_NOTES r14: 9.4× at 10×) + one hash join of the region lists
+    * onto the corpus (region lists are bounded by doc_len/L per doc) +
+    * array-level excision with no shuffle; every ledger reduction is a
+    * map-combinable 1-row aggregate. ~2× q350's cost by construction. */
+  def q392RewriteCert(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocQueries.corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (runs, release) = sharedRunsFrom(spark, corpus)
+    val spans = runs.filter(col("rl") + lit(K - 1) >= L)
+      .select(col("b_id").as("doc_id"), col("b0").as("s"),
+        (col("b0") + col("rl") + lit(K - 2)).as("e"))
+      .distinct()
+    val regions = mergedRegions(spans)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regs = regions.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("rs"), col("re"))))
+        .as("regs"))
+    val cleaned = corpus.join(regs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("regs").isNull, col("toks"))
+          .otherwise(expr(
+            "filter(toks, (x, i) -> NOT exists(regs, r -> i >= r.rs AND i <= r.re))"))
+          .as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (runs2, release2) = sharedRunsFrom(spark, cleaned)
+    val residual = runs2.filter(col("rl") + lit(K - 1) >= L)
+      .select(col("a_id"), col("b_id")).distinct()
+      .agg(count(lit(1)).as("residual_pairs"))
+    val ins = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("tokens_in"))
+    val rw = regions.groupBy(col("doc_id"))
+      .agg(sum(col("re") - col("rs") + 1).as("cov"))
+      .agg(count(lit(1)).as("docs_rewritten"),
+        coalesce(sum(col("cov")), lit(0L)).as("tokens_removed"))
+    val outs = cleaned
+      .agg(sum(size(col("toks")).cast("long")).as("tokens_out"))
+    val out = graft.plans.Eager.ckpt(
+      ins.crossJoin(rw).crossJoin(outs).crossJoin(residual)
+        .select(col("n_docs"), col("docs_rewritten"), col("tokens_in"),
+          col("tokens_removed"), col("tokens_out"),
+          (col("tokens_in") - col("tokens_removed") === col("tokens_out"))
+            .as("mass_conserved"),
+          col("residual_pairs"),
+          (col("residual_pairs") === 0).as("residual_clean")))
+    release(); release2()
+    regions.unpersist(); cleaned.unpersist(); corpus.unpersist()
+    out
+  }
+
+  val q392Sql: String =
+    s"""WITH $sharedRunsCte,
+      |spans AS (
+      |  SELECT DISTINCT b_id AS doc_id, b0 AS s, b0 + rl + ${K - 2} AS e
+      |  FROM runs WHERE rl + ${K - 1} >= $L),
+      |$sweepCte,
+      |regs AS (
+      |  SELECT doc_id, list({'rs': rs, 're': re} ORDER BY rs, re) AS regs
+      |  FROM regions GROUP BY doc_id),
+      |cleaned AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    CASE WHEN r.regs IS NULL THEN d.toks
+      |         ELSE list_filter(d.toks, (x, i) ->
+      |           len(list_filter(r.regs,
+      |             rg -> rg.rs <= i - 1 AND i - 1 <= rg.re)) = 0)
+      |    END AS toks
+      |  FROM d LEFT JOIN regs r ON d.doc_id = r.doc_id),
+      |${runsChainSql("cleaned", "2")},
+      |residual AS (
+      |  SELECT COUNT(*) AS residual_pairs FROM (
+      |    SELECT DISTINCT a_id, b_id FROM runs2
+      |    WHERE rl + ${K - 1} >= $L)),
+      |ins AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT)
+      |    AS tokens_in
+      |  FROM d),
+      |rw AS (
+      |  SELECT COUNT(*) AS docs_rewritten,
+      |    CAST(COALESCE(SUM(covered_tokens), 0) AS BIGINT)
+      |      AS tokens_removed
+      |  FROM cov),
+      |outs AS (
+      |  SELECT CAST(SUM(len(toks)) AS BIGINT) AS tokens_out FROM cleaned)
+      |SELECT i.n_docs, rw.docs_rewritten, i.tokens_in, rw.tokens_removed,
+      |  o.tokens_out,
+      |  (i.tokens_in - rw.tokens_removed = o.tokens_out) AS mass_conserved,
+      |  r.residual_pairs, (r.residual_pairs = 0) AS residual_clean
+      |FROM ins i, rw, outs o, residual r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q350_substring_dedup" -> (q350SubstringDedup _),
     "q351_removal_mask" -> (q351RemovalMask _),
-    "q352_contam_spans" -> (q352ContamSpans _))
+    "q352_contam_spans" -> (q352ContamSpans _),
+    "q392_rewrite_cert" -> (q392RewriteCert _))
 
   def oracles: Map[String, String] = Map(
     "q350_substring_dedup" -> q350Sql,
     "q351_removal_mask" -> q351Sql,
-    "q352_contam_spans" -> q352Sql)
+    "q352_contam_spans" -> q352Sql,
+    "q392_rewrite_cert" -> q392Sql)
 }

@@ -18,21 +18,44 @@ import graft.sink.Upsert
   * CONFLICT in production; the embedded-Derby spec drives the identical
   * partition/batch/transaction path through Derby's standard MERGE).
   *
+  * Convergence caveat: idempotence-by-key makes REDELIVERY of the same
+  * rows a no-op, but if one micro-batch carries TWO DIFFERENT payloads
+  * for the same `conflictKey` in different partitions, raw commit order
+  * would decide the winner nondeterministically. `dedupeBatch` (default
+  * on) closes that hole by collapsing each batch to one row per key
+  * before the write — the deterministic max-struct of the payload
+  * columns — so the converged table is a pure function of the delivered
+  * row SET, independent of batch splits, retries, and partition order.
+  *
   * Scale shape: per micro-batch this is the batch writer — connection
   * per partition, batched statements, transaction per partition — so
   * stream parallelism equals write parallelism; no state store, no
-  * watermark (keyed idempotence replaces dedup state). */
+  * watermark (keyed idempotence replaces dedup state). The pre-dedupe
+  * is one map-combinable max-aggregate on the conflict key, shuffled at
+  * micro-batch (not corpus) scale. */
 object StreamUpsert {
 
   /** Start a foreachBatch upsert of `stream` into `table`. */
   def start(stream: DataFrame, url: String, props: Properties,
       table: String, conflictKey: String, batchSize: Int = 1000,
       sqlOverride: Option[String] = None,
-      paramOrder: Option[Seq[Int]] = None): StreamingQuery =
+      paramOrder: Option[Seq[Int]] = None,
+      dedupeBatch: Boolean = true): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.upsert(batch, url, props, table, conflictKey,
+        val toWrite =
+          if (!dedupeBatch) batch
+          else {
+            import org.apache.spark.sql.functions.{col, max, struct}
+            val payload = batch.columns.filter(_ != conflictKey).toSeq
+            if (payload.isEmpty) batch.distinct()
+            else batch.groupBy(col(conflictKey))
+              .agg(max(struct(payload.map(col): _*)).as("__p"))
+              .select(col(conflictKey) +:
+                payload.map(c => col(s"__p.$c").as(c)): _*)
+          }
+        Upsert.upsert(toWrite, url, props, table, conflictKey,
           batchSize, sqlOverride, paramOrder)
         ()
       }

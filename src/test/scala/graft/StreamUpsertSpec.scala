@@ -68,6 +68,16 @@ class StreamUpsertSpec extends AnyFunSuite {
       assert(rows.size == 150)
       (1 to 49).foreach(i => assert(rows(s"s$i") == i * 1.0))
       (50 to 150).foreach(i => assert(rows(s"s$i") == i * 2.0))
+
+      // epoch 4: ONE batch carrying CONFLICTING payloads for the same
+      // keys (the nondeterministic-commit-order hole the pre-dedupe
+      // closes) — the deterministic max-struct payload must win
+      mem.addData((1 to 20).flatMap(i =>
+        Seq((s"s$i", i * 7.0), (s"s$i", i * 3.0))): _*)
+      q.processAllAvailable()
+      val rows2 = query("SELECT sale_id, amount FROM sales_su").toMap
+      assert(rows2.size == 150)
+      (1 to 20).foreach(i => assert(rows2(s"s$i") == i * 7.0))
     } finally q.stop()
   }
 }

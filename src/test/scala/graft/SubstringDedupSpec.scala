@@ -160,4 +160,37 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("longest_contam_tokens") == 20L,
       "merge is mask-level; no single span crosses the bench boundary")
   }
+
+  // ------------------------------------------------------------- q392
+  // Same fixture as q351: doc 1 keeps all 60 tokens, doc 2 excises its
+  // 30-token excerpt, doc 3 excises both 20-token regions. The cert row
+  // must reconcile the ledger exactly and the re-run detector must find
+  // the cleaned corpus span-free.
+  private lazy val certRow = {
+    val dir = Files.createTempDirectory("graft-substr-cert")
+    val a = (t: Int) => s"a$t"
+    val d1 = (1 to 60).map(a).mkString(" ")
+    val d2 = ((1 to 9).map(j => s"x$j") ++ (11 to 40).map(a) ++
+      (1 to 20).map(j => s"y$j")).mkString(" ")
+    val d3 = ((1 to 20).map(a) ++ (1 to 10).map(j => s"z$j") ++
+      (31 to 50).map(a)).mkString(" ")
+    Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    SubstringQueries.q392RewriteCert(spark, dir.toString).collect().head
+  }
+
+  test("the rewrite ledger reconciles token mass exactly") {
+    assert(certRow.getAs[Long]("n_docs") == 3L)
+    assert(certRow.getAs[Long]("docs_rewritten") == 2L)
+    assert(certRow.getAs[Long]("tokens_in") == 169L, "60 + 59 + 50")
+    assert(certRow.getAs[Long]("tokens_removed") == 70L, "30 + (20 + 20)")
+    assert(certRow.getAs[Long]("tokens_out") == 99L)
+    assert(certRow.getAs[Boolean]("mass_conserved"))
+  }
+
+  test("the cleaned corpus carries zero residual cross-doc spans") {
+    assert(certRow.getAs[Long]("residual_pairs") == 0L)
+    assert(certRow.getAs[Boolean]("residual_clean"))
+  }
 }
