@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -441,7 +441,91 @@ object SplitQueries {
       |    AS effective_epochs
       |FROM c2, tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q395
+  /** Sequence-packing efficiency curve — the max_len decision table for
+    * the packing operator (q47): for each candidate context length
+    * (128/256/512/1024/2048), the cost of the two standard strategies.
+    * One-doc-per-sequence: exact padding mass (and its fraction of the
+    * grid) plus the token mass lost to truncation. Concat-and-split
+    * packing: the exact sequence count ⌈total/max_len⌉ and its residual
+    * pad fraction (only the last sequence pads). The gap between the
+    * two pad columns is the wasted-compute price paid to avoid
+    * cross-document attention contamination — the number the packing
+    * decision actually weighs.
+    *
+    * Exactness: all masses are integer sums of per-doc min/max terms;
+    * ⌈total/max_len⌉ is integer arithmetic ((total + ml − 1) div ml);
+    * each fraction is ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE map-combinable aggregate over documents carrying
+    * all five lengths as conditional sums (the q382 one-pass-sweep
+    * discipline), then a 5-row stack of the 1-row result. No window,
+    * no join, census-bounded output. */
+  def q395PackingCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val mls = Seq(128L, 256L, 512L, 1024L, 2048L)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val exprs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens")) ++
+      mls.flatMap(ml => Seq(
+        sum(greatest(col("n") - lit(ml), lit(0L))).as(s"tr_$ml"),
+        sum(lit(ml) - least(col("n"), lit(ml))).as(s"pd_$ml")))
+    val a = lens.agg(exprs.head, exprs.tail: _*)
+    val stacked = a.select(col("n_docs"), col("total_tokens"), expr(
+      s"stack(${mls.length}, " + mls.map(ml =>
+        s"${ml}L, tr_$ml, pd_$ml").mkString(", ") +
+        ") as (max_len, tokens_truncated, pad_tokens)"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    stacked
+      .withColumn("n_seqs_packed",
+        expr("(total_tokens + max_len - 1) div max_len"))
+      .select(col("max_len"), col("n_docs"), col("total_tokens"),
+        col("tokens_truncated"),
+        r6(col("tokens_truncated").cast("double") /
+          col("total_tokens").cast("double")).as("trunc_frac"),
+        col("pad_tokens"),
+        r6(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("max_len")).cast("double")).as("pad_frac"),
+        col("n_seqs_packed"),
+        r6((col("n_seqs_packed") * col("max_len") - col("total_tokens"))
+          .cast("double") /
+          (col("n_seqs_packed") * col("max_len")).cast("double"))
+          .as("packed_pad_frac"))
+      .orderBy("max_len")
+  }
+
+  val q395Sql: String =
+    """WITH lens AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |    AS BIGINT) AS n
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |ml(max_len) AS (
+      |  VALUES (CAST(128 AS BIGINT)), (256), (512), (1024), (2048)),
+      |per AS (
+      |  SELECT m.max_len, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(GREATEST(n - m.max_len, 0)) AS BIGINT)
+      |      AS tokens_truncated,
+      |    CAST(SUM(m.max_len - LEAST(n, m.max_len)) AS BIGINT)
+      |      AS pad_tokens
+      |  FROM lens CROSS JOIN ml m GROUP BY 1)
+      |SELECT max_len, n_docs, total_tokens, tokens_truncated,
+      |  round(CAST(tokens_truncated AS DOUBLE)
+      |    / CAST(total_tokens AS DOUBLE), 6) + 0.0 AS trunc_frac,
+      |  pad_tokens,
+      |  round(CAST(pad_tokens AS DOUBLE)
+      |    / CAST(n_docs * max_len AS DOUBLE), 6) + 0.0 AS pad_frac,
+      |  (total_tokens + max_len - 1) // max_len AS n_seqs_packed,
+      |  round(CAST((total_tokens + max_len - 1) // max_len * max_len
+      |      - total_tokens AS DOUBLE)
+      |    / CAST((total_tokens + max_len - 1) // max_len * max_len
+      |      AS DOUBLE), 6) + 0.0 AS packed_pad_frac
+      |FROM per ORDER BY max_len""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q395_packing_curve" -> (q395PackingCurve _),
     "q373_temperature_mix" -> (q373TemperatureMix _),
     "q307_water_filling" -> (q307WaterFilling _),
     "q217_oov_rate" -> (q217OovRate _),
@@ -462,6 +546,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q395_packing_curve" -> q395Sql,
     "q373_temperature_mix" -> q373Sql,
     "q307_water_filling" -> q307Sql,
     "q217_oov_rate" -> q217Sql,

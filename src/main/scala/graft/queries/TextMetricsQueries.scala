@@ -101,9 +101,85 @@ object TextMetricsQueries {
       |FROM agg ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q394
+  /** Per-language tokenizer-fertility audit — the cost-equity table
+    * behind every multilingual tokenizer decision (fertility disparity
+    * is the standard measure of how much more a tokenizer charges one
+    * language than another per unit of text): exact corpus totals per
+    * language of whitespace tokens, BPE-style pre-tokens (q31's
+    * `[a-z0-9]+|[^a-z0-9\s]` pre-tokenizer, the GPT-style coarse shape),
+    * characters, and UTF-8 bytes, plus the derived rates — fertility
+    * (pre-tokens per whitespace token), bytes per pre-token, and
+    * characters per whitespace token. Read together the rates say which
+    * languages the pre-tokenizer fragments hardest and how byte-level
+    * models would re-price them.
+    *
+    * Exactness: all four counts are exact per-doc integers (regex
+    * counts are RE2/Java-identical on these ASCII classes; byte counts
+    * are UTF-8 octet lengths — Spark `octet_length` = DuckDB `strlen`);
+    * per-lang sums are BIGINTs; each rate is ONE 6-dp-snapped division.
+    *
+    * Scale shape: a single map-combinable aggregate over documents —
+    * no window, no join; |langs| output rows. q20/q31's shape. */
+  def q394TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        tokenCount(col("text")).cast("long").as("ws"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("chars"),
+        sum(col("bytes")).as("bytes_utf8"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("chars"), col("bytes_utf8"),
+        r6(col("bpe_tokens").cast("double") /
+          col("ws_tokens").cast("double")).as("fertility"),
+        r6(col("bytes_utf8").cast("double") /
+          col("bpe_tokens").cast("double")).as("bytes_per_bpe_token"),
+        r6(col("chars").cast("double") /
+          col("ws_tokens").cast("double")).as("chars_per_ws_token"))
+      .orderBy("lang")
+  }
+
+  val q394Sql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |         END AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+      |      AS BIGINT) AS bpe,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(strlen(text) AS BIGINT) AS bytes
+      |  FROM documents),
+      |agg AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      |    CAST(SUM(chars) AS BIGINT) AS chars,
+      |    CAST(SUM(bytes) AS BIGINT) AS bytes_utf8
+      |  FROM t GROUP BY lang)
+      |SELECT lang, n_docs, ws_tokens, bpe_tokens, chars, bytes_utf8,
+      |  round(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6)
+      |    + 0.0 AS fertility,
+      |  round(CAST(bytes_utf8 AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6)
+      |    + 0.0 AS bytes_per_bpe_token,
+      |  round(CAST(chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6)
+      |    + 0.0 AS chars_per_ws_token
+      |FROM agg ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q170_readability" -> (q170Readability _))
+    "q170_readability" -> (q170Readability _),
+    "q394_tokenizer_fertility" -> (q394TokenizerFertility _))
 
   def oracles: Map[String, String] = Map(
-    "q170_readability" -> q170Sql)
+    "q170_readability" -> q170Sql,
+    "q394_tokenizer_fertility" -> q394Sql)
 }

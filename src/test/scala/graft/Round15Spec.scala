@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{SplitQueries, TextMetricsQueries}
+
+/** Constructed-fixture pins for the round-15 census queries: q394's
+  * four count columns and three rates on documents with hand-countable
+  * token/char/byte totals (including a multi-byte char, where UTF-8
+  * bytes ≠ chars), and q395's packing arithmetic on two documents whose
+  * truncation/padding masses are exact by hand. */
+class Round15Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("q394: fertility counts and rates are exact on constructed docs") {
+    val dir = Files.createTempDirectory("graft-q394")
+    Seq((1L, "Hello world!", "en"), (2L, "héllo", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextMetricsQueries
+      .q394TokenizerFertility(spark, dir.toString)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+
+    val en = rows("en") // ws: [Hello, world!]; bpe: H | ello | world | !
+    assert(en.getAs[Long]("ws_tokens") == 2L)
+    assert(en.getAs[Long]("bpe_tokens") == 4L)
+    assert(en.getAs[Long]("chars") == 12L)
+    assert(en.getAs[Long]("bytes_utf8") == 12L)
+    assert(en.getAs[Double]("fertility") == 2.0)
+    assert(en.getAs[Double]("bytes_per_bpe_token") == 3.0)
+    assert(en.getAs[Double]("chars_per_ws_token") == 6.0)
+
+    val fr = rows("fr") // bpe: h | é | llo; é is 2 UTF-8 bytes
+    assert(fr.getAs[Long]("ws_tokens") == 1L)
+    assert(fr.getAs[Long]("bpe_tokens") == 3L)
+    assert(fr.getAs[Long]("chars") == 5L)
+    assert(fr.getAs[Long]("bytes_utf8") == 6L)
+    assert(fr.getAs[Double]("fertility") == 3.0)
+    assert(fr.getAs[Double]("bytes_per_bpe_token") == 2.0)
+  }
+
+  test("q395: truncation, padding, and packed-sequence math are exact") {
+    val dir = Files.createTempDirectory("graft-q395")
+    val doc = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq((1L, doc("a", 100), "en"), (2L, doc("b", 300), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SplitQueries.q395PackingCurve(spark, dir.toString)
+      .collect().map(r => r.getAs[Long]("max_len") -> r).toMap
+    assert(rows.keySet == Set(128L, 256L, 512L, 1024L, 2048L))
+
+    val r128 = rows(128L)
+    assert(r128.getAs[Long]("n_docs") == 2L)
+    assert(r128.getAs[Long]("total_tokens") == 400L)
+    assert(r128.getAs[Long]("tokens_truncated") == 172L, "300 − 128")
+    assert(r128.getAs[Long]("pad_tokens") == 28L, "128 − 100")
+    assert(r128.getAs[Double]("pad_frac") == 0.109375, "28 / 256")
+    assert(r128.getAs[Long]("n_seqs_packed") == 4L, "⌈400/128⌉")
+    assert(r128.getAs[Double]("packed_pad_frac") == 0.21875, "112 / 512")
+
+    val r256 = rows(256L)
+    assert(r256.getAs[Long]("tokens_truncated") == 44L)
+    assert(r256.getAs[Long]("pad_tokens") == 156L)
+    assert(r256.getAs[Long]("n_seqs_packed") == 2L)
+
+    val r512 = rows(512L)
+    assert(r512.getAs[Long]("tokens_truncated") == 0L)
+    assert(r512.getAs[Long]("pad_tokens") == 624L, "412 + 212")
+    assert(r512.getAs[Long]("n_seqs_packed") == 1L)
+    assert(r512.getAs[Double]("packed_pad_frac") == 0.21875, "112 / 512")
+  }
+}

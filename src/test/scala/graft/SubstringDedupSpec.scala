@@ -193,4 +193,58 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(certRow.getAs[Long]("residual_pairs") == 0L)
     assert(certRow.getAs[Boolean]("residual_clean"))
   }
+
+  // ------------------------------------------------------------- q393
+  // Constructed loops: doc 1 = 30 unique tokens + a 10-token block
+  // repeated 3×; doc 2 clean; doc 3 = a 20-token block repeated twice
+  // (the whole doc is the loop); doc 4 = a 10-token block repeated
+  // twice — the repeated SPAN is only 10 tokens, under L; doc 13
+  // (13 % 8 == 5) exercises the fixture injection (3 appended copies of
+  // its first 10 tokens). Ids otherwise avoid % 8 == 5.
+  private lazy val loopRows = {
+    val dir = Files.createTempDirectory("graft-selfrep")
+    val mk = (p: String, r: Range) => r.map(i => s"$p$i").mkString(" ")
+    val block = (p: String, n: Int) => mk(p, 1 to n)
+    Seq(
+      (1L, mk("w", 1 to 30) + " " + Seq.fill(3)(block("r", 10)).mkString(" "),
+        "en"),
+      (2L, mk("q", 1 to 40), "en"),
+      (3L, block("s", 20) + " " + block("s", 20), "en"),
+      (4L, block("b", 10) + " " + block("b", 10), "en"),
+      (13L, mk("u", 1 to 12), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    SubstringQueries.q393SelfRepeats(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("clean and sub-L-repeat docs are absent; the loop set is exact") {
+    assert(loopRows.keySet == Set(1L, 3L, 13L))
+  }
+
+  test("a 3-copy tandem block recovers span, period, and coverage exactly") {
+    val r = loopRows(1L)
+    assert(r.getAs[Long]("n_tokens") == 60L)
+    assert(r.getAs[Long]("n_loops") == 1L)
+    assert(r.getAs[Long]("longest_loop_tokens") == 20L,
+      "13 consecutive gap-10 matches → 13 + K − 1")
+    assert(r.getAs[Long]("loop_period") == 10L)
+    assert(r.getAs[Double]("loop_frac") == 0.5, "[30, 59] of 60 tokens")
+  }
+
+  test("a whole-doc two-copy loop covers the full document") {
+    val r = loopRows(3L)
+    assert(r.getAs[Long]("longest_loop_tokens") == 20L)
+    assert(r.getAs[Long]("loop_period") == 20L)
+    assert(r.getAs[Double]("loop_frac") == 1.0)
+  }
+
+  test("the fixture injection flags with the expected geometry") {
+    val r = loopRows(13L)
+    assert(r.getAs[Long]("n_tokens") == 42L, "12 own + 3 × 10 appended")
+    assert(r.getAs[Long]("longest_loop_tokens") == 20L)
+    assert(r.getAs[Long]("loop_period") == 10L)
+    assert(math.abs(r.getAs[Double]("loop_frac") - 30.0 / 42) < 1e-6,
+      "[12, 41] of 42 tokens")
+  }
 }
