@@ -399,12 +399,96 @@ object DupClusters {
       |    / CAST(SUM(n_tok) AS DOUBLE), 6) + 0.0 AS dedup_discount
       |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q396
+  /** Cluster-quality / chaining audit — the false-merge risk inherent
+    * to connected-component dedup, measured on the operator's own
+    * output: transitive closure happily merges A–B–C into one cluster
+    * when A–C was never verified similar (the well-known chaining
+    * failure of CC-based near-dedup; keep-one-per-cluster then deletes
+    * documents that are NOT near-dups of the kept one). Per cluster:
+    * member count, VERIFIED edge count, edge density 2E/(n(n−1)), the
+    * weakest verified edge, and the clique flag — density 1 means every
+    * pair was independently verified (merge is safe); anything lower is
+    * exactly the chained case a curation reviewer must price. The q45
+    * fixture exercises both shapes by construction: its A/B/C variant
+    * triples form triangles where the two tails stay similar and chains
+    * where A–C falls under the threshold.
+    *
+    * Exactness: edge counts and sizes are integers; density is ONE
+    * 6-dp-snapped division of exact integers; the min edge Jaccard
+    * minimizes values both engines compute through the identical
+    * integer-set-size chain (the q45-proven spelling) and snaps at 6 dp;
+    * the clique test is exact integer arithmetic (n(n−1) is even).
+    *
+    * Scale shape: q45's candidate/verify plan and CC build dominate
+    * (measured linear, r09); on top ride one edge→cluster hash join and
+    * a map-combinable per-cluster aggregate — both linear in the edge
+    * set. No per-cluster quadratic work: the audit reads only verified
+    * edges, never materializing non-edges. */
+  def q396ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = q45ShingleTable(spark, dir)
+    val edgesJ = prefixCandidatePairs(withShingles, 0.7)
+      .join(withShingles.select(col("id").as("a"), col("sh").as("sa")), "a")
+      .join(withShingles.select(col("id").as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"),
+        TextFunctions.jaccard(col("sa"), col("sb")).as("j"))
+      .where(col("j") >= 0.7)
+      .localCheckpoint(true)
+    val comp = connectedComponents(edgesJ.select("a", "b"), "a", "b")
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    val per = edgesJ
+      .join(comp.select(col("node").as("a"), col("comp")), "a")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_edges"), min(col("j")).as("mj"))
+    val out = per.join(sizes, "comp")
+      .select(col("comp").as("cluster_id"), col("n_members"),
+        col("n_edges"),
+        (round(lit(2.0) * col("n_edges").cast("double") /
+          (col("n_members") * (col("n_members") - 1)).cast("double"), 6)
+          + lit(0.0)).as("density"),
+        (round(col("mj"), 6) + lit(0.0)).as("min_edge_jaccard"),
+        (col("n_edges") === col("n_members") * (col("n_members") - 1) / 2)
+          .as("is_clique"))
+      .orderBy("cluster_id")
+      .localCheckpoint(true)
+    withShingles.unpersist()
+    out
+  }
+
+  lazy val q396Sql: String = q45Cte +
+    """,ej AS (
+      |  SELECT a, b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / (len(sa.sh) + len(sb.sh)
+      |         - len(list_intersect(sa.sh, sb.sh))) AS j
+      |  FROM cand
+      |  JOIN shs sa ON cand.a = sa.id
+      |  JOIN shs sb ON cand.b = sb.id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
+      |ec AS (
+      |  SELECT c.cluster_id, e.j
+      |  FROM ej e JOIN comp c ON e.a = c.node),
+      |per AS (
+      |  SELECT cluster_id, COUNT(*) AS n_edges, MIN(j) AS mj
+      |  FROM ec GROUP BY cluster_id)
+      |SELECT p.cluster_id, z.n AS n_members,
+      |  CAST(p.n_edges AS BIGINT) AS n_edges,
+      |  round(2.0 * p.n_edges
+      |    / CAST(z.n * (z.n - 1) AS DOUBLE), 6) + 0.0 AS density,
+      |  round(p.mj, 6) + 0.0 AS min_edge_jaccard,
+      |  (p.n_edges = z.n * (z.n - 1) // 2) AS is_clique
+      |FROM per p JOIN sizes z USING (cluster_id)
+      |ORDER BY p.cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_dup_clusters" -> (q45DupClusters _),
     "q189_cluster_census" -> (q189ClusterCensus _),
     "q198_similarity_histogram" -> (q198SimilarityHistogram _),
     "q247_dedup_keep_audit" -> (q247DedupKeepAudit _),
-    "q364_soft_dedup_weights" -> (q364SoftDedupWeights _))
+    "q364_soft_dedup_weights" -> (q364SoftDedupWeights _),
+    "q396_cluster_quality" -> (q396ClusterQuality _))
 
   // --------------------------------------------------------------- q247
   /** Dedup keep-choice audit: q45's clusters keep the MIN-id member —
@@ -623,6 +707,7 @@ object DupClusters {
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q396_cluster_quality" -> q396Sql,
     "q364_soft_dedup_weights" -> q364Sql,
     "q247_dedup_keep_audit" -> q247Sql,
     "q189_cluster_census" -> q189Sql,

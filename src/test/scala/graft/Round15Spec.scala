@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.DupClusters
 import graft.queries.{SplitQueries, TextMetricsQueries}
 
 /** Constructed-fixture pins for the round-15 census queries: q394's
@@ -71,5 +72,36 @@ class Round15Spec extends AnyFunSuite {
     assert(r512.getAs[Long]("pad_tokens") == 624L, "412 + 212")
     assert(r512.getAs[Long]("n_seqs_packed") == 1L)
     assert(r512.getAs[Double]("packed_pad_frac") == 0.21875, "112 / 512")
+  }
+
+  // q396 geometry on the q45 variant fixture (A, A+3-token tail,
+  // A+6-token tail): with n word-trigrams in the base doc, the pairwise
+  // Jaccards are n/(n+3), (n+3)/(n+6), n/(n+6) — a 30-token doc
+  // (n = 28) makes all three ≥ 0.7 (a verified TRIANGLE), a 12-token
+  // doc (n = 10) drops A–C to 10/16 = 0.625 < 0.7 (a CHAIN: the CC
+  // merge keeps the cluster, density exposes the unverified pair).
+  test("q396: triangles score density 1, chains are flagged with exact geometry") {
+    val dir = Files.createTempDirectory("graft-q396")
+    val mk = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq((10L, mk("a", 30), "en"), (20L, mk("b", 12), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = DupClusters.q396ClusterQuality(spark, dir.toString)
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(rows.keySet == Set(10L, 20L))
+
+    val tri = rows(10L)
+    assert(tri.getAs[Long]("n_members") == 3L)
+    assert(tri.getAs[Long]("n_edges") == 3L)
+    assert(tri.getAs[Double]("density") == 1.0)
+    assert(tri.getAs[Boolean]("is_clique"))
+    assert(tri.getAs[Double]("min_edge_jaccard") == 0.823529, "28/34")
+
+    val chain = rows(20L)
+    assert(chain.getAs[Long]("n_members") == 3L)
+    assert(chain.getAs[Long]("n_edges") == 2L, "A-C at 10/16 < 0.7 is absent")
+    assert(chain.getAs[Double]("density") == 0.666667)
+    assert(!chain.getAs[Boolean]("is_clique"))
+    assert(chain.getAs[Double]("min_edge_jaccard") == 0.769231, "10/13")
   }
 }
