@@ -297,15 +297,120 @@ object CurationQueries {
       |FROM keyed
       |ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------------------------- q397
+  /** Shard-balance audit of the deterministic shuffle (q57) — the
+    * interleaving certificate a training run needs before trusting the
+    * shard order: each of the 16 md5-keyed shards should be an unbiased
+    * sample of the global source mixture (a shard over-weighted toward
+    * one source makes early training see a skewed distribution). Per
+    * shard: doc count, token mass, the size deviation from the uniform
+    * n/16 expectation, the L∞ deviation of its source shares from the
+    * global shares (computed over the FULL shard × source grid so an
+    * absent cell counts its whole global share as deviation), and the
+    * ≤ 2%-absolute balance verdict.
+    *
+    * Exactness: all counts are exact integers on the full grid (shards
+    * census × sources census, coalesced 0); each deviation is a
+    * fixed-order IEEE expression spelled identically in the twin and
+    * snapped at 6 dp; the verdict compares the snapped value.
+    *
+    * Scale shape: ONE map-combinable (shard, source) census off the
+    * fact (the md5 key is per-row codegen'd work); everything after
+    * runs on the ≤ 16 × |sources| grid — the grid cross join is two
+    * censuses, the adjudicated tiny-frame pattern. */
+  def q397ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokenCount}
+    val nShards = 16L
+    val keyed = Kpis.table(spark, dir, "documents")
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        pmod(md5Hash60(concat(lit("graft-shuffle-r7:"),
+          col("doc_id").cast("string"))), lit(nShards)).cast("int")
+          .as("shard"))
+    val cells = keyed.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("t"))
+      .localCheckpoint(true)
+    val shards = spark.range(nShards).select(col("id").cast("int")
+      .as("shard"))
+    val sources = cells.select(col("source")).distinct()
+    val gsrc = cells.groupBy(col("source")).agg(sum(col("c")).as("gs"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val grid = shards.crossJoin(sources)
+      .join(cells, Seq("shard", "source"), "left")
+      .select(col("shard"), col("source"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .join(gsrc, "source").crossJoin(tot)
+      .withColumn("shn", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+    val per = grid.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("t")).as("tokens"),
+        max(abs(col("c").cast("double") / col("shn").cast("double") -
+          col("gs").cast("double") / col("n").cast("double")))
+          .as("dev_raw"),
+        max(col("n").cast("double")).as("nd"))
+    per.select(col("shard"), col("n_docs"), col("tokens"),
+        (round(col("n_docs").cast("double") /
+          (col("nd") / lit(nShards.toDouble)) - lit(1.0), 6) + lit(0.0))
+          .as("size_dev_frac"),
+        (round(col("dev_raw"), 6) + lit(0.0)).as("max_source_dev"))
+      .withColumn("balanced", col("max_source_dev") <= 0.02)
+      .orderBy("shard")
+  }
+
+  val q397Sql: String =
+    s"""WITH keyed AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+      |         END AS BIGINT) AS n_tok,
+      |    CAST(('0x' || substr(md5('graft-shuffle-r7:' || doc_id::VARCHAR),
+      |                         1, 15))::BIGINT % 16 AS INTEGER) AS shard
+      |  FROM documents),
+      |cells AS (
+      |  SELECT shard, source, COUNT(*) AS c,
+      |    CAST(SUM(n_tok) AS BIGINT) AS t
+      |  FROM keyed GROUP BY 1, 2),
+      |shards AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS shard),
+      |sources AS (SELECT DISTINCT source FROM cells),
+      |gsrc AS (SELECT source, CAST(SUM(c) AS BIGINT) AS gs
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT sh.shard, so.source,
+      |    COALESCE(ce.c, 0) AS c, COALESCE(ce.t, 0) AS t, g.gs, tot.n
+      |  FROM shards sh
+      |  CROSS JOIN sources so
+      |  LEFT JOIN cells ce ON sh.shard = ce.shard AND so.source = ce.source
+      |  JOIN gsrc g ON so.source = g.source
+      |  CROSS JOIN tot),
+      |grid2 AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY shard) AS shn FROM grid),
+      |per AS (
+      |  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(SUM(t) AS BIGINT) AS tokens,
+      |    MAX(ABS(CAST(c AS DOUBLE) / CAST(shn AS DOUBLE)
+      |      - CAST(gs AS DOUBLE) / CAST(n AS DOUBLE))) AS dev_raw,
+      |    MAX(CAST(n AS DOUBLE)) AS nd
+      |  FROM grid2 GROUP BY shard)
+      |SELECT shard, n_docs, tokens,
+      |  round(CAST(n_docs AS DOUBLE) / (nd / 16.0) - 1.0, 6) + 0.0
+      |    AS size_dev_frac,
+      |  round(dev_raw, 6) + 0.0 AS max_source_dev,
+      |  (round(dev_raw, 6) + 0.0 <= 0.02) AS balanced
+      |FROM per ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_containment_dup" -> (q55ContainmentDup _),
     "q56_quota_curation" -> (q56QuotaCuration _),
     "q57_global_shuffle" -> (q57GlobalShuffle _),
-    "q85_paragraph_dedup" -> (q85ParagraphDedup _))
+    "q85_paragraph_dedup" -> (q85ParagraphDedup _),
+    "q397_shard_balance" -> (q397ShardBalance _))
 
   def oracles: Map[String, String] = Map(
     "q55_containment_dup" -> q55Sql,
     "q56_quota_curation" -> q56Sql,
     "q57_global_shuffle" -> q57Sql,
-    "q85_paragraph_dedup" -> q85Sql)
+    "q85_paragraph_dedup" -> q85Sql,
+    "q397_shard_balance" -> q397Sql)
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.DupClusters
-import graft.queries.{SplitQueries, TextMetricsQueries}
+import graft.queries.{CurationQueries, SplitQueries, TextMetricsQueries}
 
 /** Constructed-fixture pins for the round-15 census queries: q394's
   * four count columns and three rates on documents with hand-countable
@@ -103,5 +103,26 @@ class Round15Spec extends AnyFunSuite {
     assert(chain.getAs[Double]("density") == 0.666667)
     assert(!chain.getAs[Boolean]("is_clique"))
     assert(chain.getAs[Double]("min_edge_jaccard") == 0.769231, "10/13")
+  }
+
+  // q397 must agree with the registered shuffle operator itself: the
+  // audit's per-shard doc counts are q57's own shard assignment,
+  // re-derived — reconcile them row-for-row on the fixture corpus, and
+  // pin the structural contract (all 16 shards reported, counts
+  // conserve the corpus, a constructed one-doc source still audits).
+  test("q397 reconciles with q57's shard assignment and conserves the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val fromQ57 = CurationQueries.q57GlobalShuffle(spark, dir)
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    val audit = CurationQueries.q397ShardBalance(spark, dir).collect()
+    assert(audit.length == 16, "every shard reports, even if empty")
+    audit.foreach { r =>
+      val s = r.getAs[Int]("shard")
+      assert(r.getAs[Long]("n_docs") == fromQ57.getOrElse(s, 0L),
+        s"shard $s count must equal q57's assignment")
+      assert(r.getAs[Double]("max_source_dev") >= 0.0)
+    }
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == fromQ57.values.sum)
   }
 }
