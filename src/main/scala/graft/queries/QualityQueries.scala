@@ -399,11 +399,101 @@ object QualityQueries {
       |  COUNT(DISTINCT k) AS n_distinct_k
       |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q398
+  /** Filter-interaction (overlap) audit — the redundancy question every
+    * multi-gate curation pipeline must answer before stacking filters:
+    * does the perplexity gate drop the SAME documents the quality gate
+    * already drops (stack it for free) or different ones (each gate
+    * pays its own token price)? Joint 2×2 census per language of the
+    * two REGISTERED gates at their registered operating points — q23's
+    * composite quality at q154's floor (≥ 0.5) and q59's unigram NLL at
+    * q391's middle cut (≤ 8.0) — with doc counts, token mass, and each
+    * cell's share of its language. The (q_pass=false, nll_pass=false)
+    * cell is the overlap; a pipeline reads redundancy straight off the
+    * four cells.
+    *
+    * Exactness: both per-doc scores are the oracle-certified chains
+    * (q23 bit-exact doubles, q59 6-dp-snapped), so the gate comparisons
+    * agree across engines; counts/token sums are exact integers; the
+    * share is ONE 6-dp-snapped division.
+    *
+    * Scale shape: two registered linear plans (q23 = one map pass;
+    * q59 = vocab-bounded hash aggs + one equi-join) joined once on
+    * doc_id, then a map-combinable (lang, 2×2) census; the per-lang
+    * share window runs over the ≤ 4·|langs| census. */
+  def q398FilterOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = DocQueries.q23DocQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val nll = graft.queries.LmQueries.q59UnigramNll(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nll"))
+    val cells = nll.join(q, "doc_id")
+      .select(col("lang"), col("n_tokens"),
+        (col("quality") >= 0.5).as("q_pass"),
+        (col("avg_nll") <= 8.0).as("nll_pass"))
+      .groupBy(col("lang"), col("q_pass"), col("nll_pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+    cells
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+            .cast("double"), 6) + lit(0.0))
+      .orderBy("lang", "q_pass", "nll_pass")
+  }
+
+  val q398Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM d),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |lp AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab)), 9) AS lp
+      |  FROM vocab),
+      |nll AS (
+      |  SELECT doc_id, lang, n_tokens, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |  FROM tok JOIN lp USING (token)
+      |  GROUP BY doc_id, lang, n_tokens),
+      |qm AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |         END AS INTEGER) AS n_tokens,
+      |    CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              t -> t IN ('the', 'a')))
+      |         END AS INTEGER) AS n_stop
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS quality
+      |  FROM qm),
+      |cells AS (
+      |  SELECT n.lang, (q.quality >= 0.5) AS q_pass,
+      |    (n.avg_nll <= 8.0) AS nll_pass,
+      |    COUNT(*) AS n_docs, CAST(SUM(n.n_tokens) AS BIGINT) AS tokens
+      |  FROM nll n JOIN qual q USING (doc_id)
+      |  GROUP BY 1, 2, 3)
+      |SELECT lang, q_pass, nll_pass, n_docs, tokens,
+      |  round(CAST(n_docs AS DOUBLE)
+      |    / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) + 0.0
+      |    AS doc_share
+      |FROM cells ORDER BY lang, q_pass, nll_pass""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
     "q378_fk_integrity" -> (q378FkIntegrity _),
     "q381_props_schema_audit" -> (q381PropsSchemaAudit _),
+    "q398_filter_overlap" -> (q398FilterOverlap _),
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
@@ -411,5 +501,6 @@ object QualityQueries {
     "q309_dq_scorecard" -> q309Sql,
     "q378_fk_integrity" -> q378Sql,
     "q381_props_schema_audit" -> q381Sql,
+    "q398_filter_overlap" -> q398Sql,
     "q175_fd_audit" -> q175Sql)
 }

@@ -524,7 +524,129 @@ object SplitQueries {
       |      AS DOUBLE), 6) + 0.0 AS packed_pad_frac
       |FROM per ORDER BY max_len""".stripMargin
 
+  // --------------------------------------------------------------- q399
+  /** NEAR-dup cross-split leakage — the contamination q181's exact
+    * fingerprints cannot see: a test document whose near-clone (edited,
+    * tail-padded, boilerplate-shifted) sits in train leaks evaluation
+    * signal exactly as hard as an exact copy, and real crawls leak this
+    * way far more often. Count q45's VERIFIED near-dup edges (Jaccard
+    * ≥ 0.7, the registered operating point, on the q45 variant corpus)
+    * by the split pair q46's consistent hash assigns their endpoints —
+    * the same six-cell output shape as q181, so the exact and near
+    * leakage tables read side by side. Off-diagonal train/test mass is
+    * the evaluation-integrity hole a dedup-before-split pipeline
+    * exists to close.
+    *
+    * Exactness: edges come from the q45-proven integer-set-size chain;
+    * the split is the registered md5 rule; cell counts are exact
+    * integers via order-normalized conditional sums (each unordered
+    * pair counted once).
+    *
+    * Scale shape: q45's measured-linear candidate/verify plan + one
+    * map-combinable 6-cell aggregate and a 6-row stack — strictly
+    * cheaper than q45 itself (no CC rounds). */
+  def q399NearDupLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DupClusters
+    val sh = DupClusters.q45ShingleTable(spark, dir)
+    val edges = DupClusters.jaccardEdges(sh, 0.7)
+      .select(splitFor(col("a").cast("string")).as("sa"),
+        splitFor(col("b").cast("string")).as("sb"))
+    def cell(x: String, y: String) =
+      sum(when((col("sa") === x && col("sb") === y) ||
+        (col("sa") === y && col("sb") === x), 1L).otherwise(0L))
+    val out = edges.agg(
+        cell("train", "train").as("tt"), cell("train", "val").as("tv"),
+        cell("train", "test").as("ts"), cell("val", "val").as("vv"),
+        cell("val", "test").as("vs"), cell("test", "test").as("ss"))
+      .selectExpr(
+        """stack(6,
+          |  'train', 'train', tt,
+          |  'train', 'val',   tv,
+          |  'train', 'test',  ts,
+          |  'val',   'val',   vv,
+          |  'val',   'test',  vs,
+          |  'test',  'test',  ss) AS (split_a, split_b, n_neardup_pairs)
+          |""".stripMargin)
+      .orderBy("split_a", "split_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  val q399Sql: String = {
+    val split = (c: String) =>
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |           < 'cc' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |           < 'e6' THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    s"""WITH
+      |base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |variants AS (
+      |  SELECT doc_id AS id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz extra tail' FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz extra tail rr more pad'
+      |  FROM base),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END) AS sh
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |        FROM variants)),
+      |inv AS (
+      |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
+      |cand AS (
+      |  SELECT DISTINCT i1.id AS a, i2.id AS b
+      |  FROM inv i1 JOIN inv i2 USING (s)
+      |  WHERE i1.id < i2.id),
+      |edges AS (
+      |  SELECT a, b
+      |  FROM cand
+      |  JOIN shs sa ON cand.a = sa.id
+      |  JOIN shs sb ON cand.b = sb.id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
+      |sp AS (
+      |  SELECT ${split("a")} AS sa,
+      |    ${split("b")} AS sb
+      |  FROM edges),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN sa = 'train' AND sb = 'train' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS tt,
+      |    CAST(SUM(CASE WHEN (sa = 'train' AND sb = 'val')
+      |      OR (sa = 'val' AND sb = 'train') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tv,
+      |    CAST(SUM(CASE WHEN (sa = 'train' AND sb = 'test')
+      |      OR (sa = 'test' AND sb = 'train') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ts,
+      |    CAST(SUM(CASE WHEN sa = 'val' AND sb = 'val' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS vv,
+      |    CAST(SUM(CASE WHEN (sa = 'val' AND sb = 'test')
+      |      OR (sa = 'test' AND sb = 'val') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vs,
+      |    CAST(SUM(CASE WHEN sa = 'test' AND sb = 'test' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS ss
+      |  FROM sp)
+      |SELECT split_a, split_b, n_neardup_pairs FROM (
+      |  SELECT 'train' AS split_a, 'train' AS split_b, tt
+      |    AS n_neardup_pairs FROM s
+      |  UNION ALL SELECT 'train', 'val', tv FROM s
+      |  UNION ALL SELECT 'train', 'test', ts FROM s
+      |  UNION ALL SELECT 'val', 'val', vv FROM s
+      |  UNION ALL SELECT 'val', 'test', vs FROM s
+      |  UNION ALL SELECT 'test', 'test', ss FROM s)
+      |ORDER BY split_a, split_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_neardup_leakage" -> (q399NearDupLeakage _),
     "q395_packing_curve" -> (q395PackingCurve _),
     "q373_temperature_mix" -> (q373TemperatureMix _),
     "q307_water_filling" -> (q307WaterFilling _),
@@ -546,6 +668,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q399_neardup_leakage" -> q399Sql,
     "q395_packing_curve" -> q395Sql,
     "q373_temperature_mix" -> q373Sql,
     "q307_water_filling" -> q307Sql,

@@ -5,7 +5,8 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.DupClusters
-import graft.queries.{CurationQueries, SplitQueries, TextMetricsQueries}
+import graft.queries.{CurationQueries, DocQueries, LmQueries, QualityQueries,
+  SplitQueries, TextMetricsQueries}
 
 /** Constructed-fixture pins for the round-15 census queries: q394's
   * four count columns and three rates on documents with hand-countable
@@ -124,5 +125,51 @@ class Round15Spec extends AnyFunSuite {
       assert(r.getAs[Double]("max_source_dev") >= 0.0)
     }
     assert(audit.map(_.getAs[Long]("n_docs")).sum == fromQ57.values.sum)
+  }
+
+  // q398's cells must PARTITION the scored corpus per language AND
+  // reconcile cell-for-cell with the gates recomputed directly from the
+  // registered per-doc plans (q23 quality, q59 NLL) — the audit is a
+  // pure census of those two columns.
+  test("q398 cells reconcile with the gates recomputed from q23/q59") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val expected = LmQueries.q59UnigramNll(spark, dir)
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
+      .join(DocQueries.q23DocQuality(spark, dir)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .collect()
+      .groupBy(r => (r.getAs[String]("lang"),
+        r.getAs[Double]("quality") >= 0.5,
+        r.getAs[Double]("avg_nll") <= 8.0))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val cells = QualityQueries.q398FilterOverlap(spark, dir).collect()
+    val got = cells.map(r => (r.getAs[String]("lang"),
+      r.getAs[Boolean]("q_pass"), r.getAs[Boolean]("nll_pass")) ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(got == expected, "every reported cell must equal the recomputed gate census")
+    assert(cells.exists(r => !r.getAs[Boolean]("q_pass")), "quality gate fires")
+    cells.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val shares = rs.map(_.getAs[Double]("doc_share")).sum
+      assert(math.abs(shares - 1.0) < 1e-4, s"$lang shares must sum to 1")
+    }
+  }
+
+  // q399's six cells must conserve q45's verified edge set exactly, and
+  // the fixture (variant ids scattered by the hash split) must leak
+  // across splits — the off-diagonal mass the audit exists to expose.
+  test("q399 conserves the verified edge count and exposes cross-split leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val sh = DupClusters.q45ShingleTable(spark, dir)
+    val edgeTotal = DupClusters.jaccardEdges(sh, 0.7).count()
+    sh.unpersist()
+    val cells = SplitQueries.q399NearDupLeakage(spark, dir).collect()
+    assert(cells.length == 6)
+    val total = cells.map(_.getAs[Long]("n_neardup_pairs")).sum
+    assert(total == edgeTotal, "six cells must partition the edge set")
+    val offDiag = cells.filter(r =>
+      r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      .map(_.getAs[Long]("n_neardup_pairs")).sum
+    assert(offDiag > 0, "hash-scattered variants must straddle splits")
   }
 }
