@@ -293,9 +293,431 @@ object CurationPipeline {
       |ORDER BY stage_no""".stripMargin
   }
 
+  // --------------------------------------------------------------- q400
+  /** Curation ledger v2 — the round-14/15 modalities composed end to
+    * end, the way q154 composed the round-12 ones: ingest (with
+    * deterministic injections that give every NEW gate real work) →
+    * quality gate (q23 ≥ 0.5) → perplexity gate (q59's self-trained
+    * unigram NLL ≤ 8.0, q391's grid — kills the injected gibberish, the
+    * gate's real-world job) → self-repetition gate (q393's tandem-repeat
+    * rule: any intra-doc repeated span ≥ L drops the doc) → exact dedup
+    * (q19 keep-min) → substring REWRITE (q392's excision: cross-doc
+    * spans ≥ L cut from the later doc — tokens drop, docs stay) →
+    * span-contamination gate (q352's benchmark probe: any leaked span
+    * ≥ L drops the doc) → packing (q395's ⌈total/512⌉ concat plan).
+    *
+    * The output is the per-stage (docs, tokens) ledger — v2 carries the
+    * TOKEN column because its signature stage (the rewrite) changes
+    * token mass without changing doc count. Injections, derived
+    * identically in both engines: docs ≡ 5 (mod 8) gain three copies of
+    * their first 10 tokens (loop-gate prey); docs ≡ 4 (mod 9) spawn a
+    * 40-token doc-unique gibberish clone at +3·10¹¹ (perplexity-gate
+    * prey); docs ≡ 1 (mod 6), ≥ 28 tokens, spawn a filler-wrapped
+    * 24-token verbatim excerpt at +4·10¹¹ (rewrite prey); docs whose
+    * id+4 is a benchmark doc (≡ 3 mod 10) append that benchmark's first
+    * 30 tokens (contamination prey); the benchmark is the %10 == 7
+    * slice, excluded from the pipeline corpus. In-place modifications
+    * compose loop-append THEN quote-append.
+    *
+    * Exactness: the ledger is all-integer; the two gate scores are the
+    * proven q23/q59 chains (bit-exact / 6-dp-snapped); every span stage
+    * is integer position arithmetic.
+    *
+    * Scale shape: each stage is the standalone query's plan composed
+    * through eager stage barriers (q154's convention): map-combinable
+    * censuses, vocab-bounded LM aggregates, the q393 one-exchange loop
+    * chain, the q350-family df-capped position joins, and a broadcast
+    * benchmark probe — no all-pairs product anywhere. */
+  def q400CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.SubstringQueries.{BF, F, K, L}
+    val par = spark.sparkContext.defaultParallelism
+    val d = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val bench = d.filter(col("doc_id") % 10 === 7)
+      .localCheckpoint(true)
+    val body = d.filter(col("doc_id") % 10 =!= 7)
+
+    // stage 0 — ingest with the four injections
+    val did = col("doc_id").cast("string")
+    val withLoop = body.select(col("doc_id"),
+      when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
+        concat(col("toks"), slice(col("toks"), 1, 10),
+          slice(col("toks"), 1, 10), slice(col("toks"), 1, 10)))
+        .otherwise(col("toks")).as("toks"))
+    val withQuote = withLoop
+      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
+        col("toks").as("btoks"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("btoks").isNotNull,
+          concat(col("toks"), slice(col("btoks"), 1, 30)))
+          .otherwise(col("toks")).as("toks"))
+    val noise = body.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
+        transform(sequence(lit(1), lit(40)),
+          i => concat(lit("nf"), did, lit("_"), i.cast("string")))
+          .as("toks"))
+    val excerpt = body.filter(col("doc_id") % 6 === 1 &&
+        size(col("toks")) >= 28)
+      .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
+        concat(
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("xg"), did, lit("_"), i.cast("string"))),
+          slice(col("toks"), 5, 24),
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("yg"), did, lit("_"), i.cast("string"))))
+          .as("toks"))
+    val s0 = withQuote.unionAll(noise).unionAll(excerpt)
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+
+    // stage 1 — quality gate (q23's composite over the joined text)
+    val s1 = s0
+      .withColumn("text", array_join(col("toks"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))))
+      .filter(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
+        + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
+        >= QualityMin)
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 2 — perplexity gate: q59's unigram NLL, self-trained on the
+    // s1 survivors, cut at q391's middle threshold
+    val tok2 = s1.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      explode(col("toks")).as("token"))
+    val vocab = tok2.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
+    val dropNll = tok2.join(lp, "token")
+      .groupBy(col("doc_id"))
+      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
+      .filter(col("avg_nll") > 8.0)
+      .select("doc_id")
+    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 3 — self-repetition gate: q393's rule, any tandem repeat ≥ L
+    def positions(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
+          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
+          .as(Seq("p", "fp")))
+    val nxt3 = positions(s2)
+      .withColumn("pn", lead(col("p"), 1).over(
+        Window.partitionBy(col("doc_id"), col("fp")).orderBy(col("p"))))
+      .filter(col("pn").isNotNull)
+      .select(col("doc_id"), col("p"), (col("pn") - col("p")).as("prd"))
+    val dropLoop = nxt3
+      .withColumn("iid", col("p") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("prd")).orderBy(col("p"))))
+      .groupBy(col("doc_id"), col("prd"), col("iid"))
+      .agg(count(lit(1)).as("rl"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .select("doc_id").distinct()
+    val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 4 — exact dedup: q19's fingerprint, keep-min
+    val fp4 = s3.withColumn("fp", md5(array_join(col("toks"), " ")))
+    val s4 = fp4
+      .join(fp4.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 5 — substring rewrite: q392's excision (later doc loses the
+    // shared span), tokens drop while docs stay
+    val m5 = positions(s4)
+    val keep5 = m5.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= F).select(col("fp"))
+    val mm5 = m5.join(keep5, "fp").localCheckpoint(true)
+    val runs5 = mm5.select(col("fp"), col("doc_id").as("a_id"),
+        col("p").as("ap"))
+      .join(mm5.select(col("fp"), col("doc_id").as("b_id"),
+        col("p").as("bp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("diag", col("ap") - col("bp"))
+      .withColumn("iid", col("ap") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+          .orderBy(col("ap"))))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("iid"))
+      .agg(count(lit(1)).as("rl"), min(col("ap")).as("a0"))
+      .filter(col("rl") + lit(K - 1) >= L)
+    val spans5 = runs5
+      .select(col("b_id").as("doc_id"), (col("a0") - col("diag")).as("s"),
+        (col("a0") - col("diag") + col("rl") + lit(K - 2)).as("e"))
+      .distinct()
+    val w5 = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val regs5 = spans5
+      .withColumn("pme", max(col("e")).over(
+        w5.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(when(col("pme").isNull ||
+        col("s") > col("pme") + 1, 1L).otherwise(0L)).over(
+        w5.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("rs"), col("re"))))
+        .as("regs"))
+    val s5 = s4.join(regs5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("regs").isNull, col("toks"))
+          .otherwise(expr(
+            "filter(toks, (x, i) -> NOT exists(regs, r -> i >= r.rs AND i <= r.re))"))
+          .as("toks"))
+      .localCheckpoint(true)
+
+    // stage 6 — span-contamination gate: q352's probe, benchmark
+    // positions broadcast with the BF boilerplate cap
+    val bpos = positions(bench)
+      .select(col("fp"), col("doc_id").as("bench_id"), col("p").as("bp"))
+    val bprobe = bpos.join(
+      bpos.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= BF).select(col("fp")), "fp")
+    val dropContam = positions(s5)
+      .select(col("fp"), col("doc_id"), col("p").as("cp"))
+      .join(broadcast(bprobe), Seq("fp"))
+      .withColumn("diag", col("cp") - col("bp"))
+      .withColumn("iid", col("cp") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
+          .orderBy(col("cp"))))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("iid"))
+      .agg(count(lit(1)).as("rl"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .select("doc_id").distinct()
+    val s6 = s5.join(dropContam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // the (docs, tokens) ledger + the packing terminal (q395, 512)
+    def census(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+          .as("n_tokens"))
+    val stages = Seq(
+      (0, "ingest", s0), (1, "quality", s1), (2, "perplexity", s2),
+      (3, "loop_gate", s3), (4, "exact_dedup", s4),
+      (5, "substring_rewrite", s5), (6, "contam_gate", s6))
+    val ledger = stages.map { case (no, nm, cur) =>
+      census(cur).select(lit(no).as("stage_no"), lit(nm).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    }.reduce(_.unionAll(_))
+    val pack = census(s6).select(lit(7).as("stage_no"),
+      lit("pack_512").as("stage"),
+      expr("(n_tokens + 511) div 512").as("n_docs"), col("n_tokens"))
+    ledger.unionAll(pack).orderBy("stage_no")
+  }
+
+  val q400Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bench AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      |body AS (SELECT * FROM d WHERE doc_id % 10 != 7),
+      |wl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 8 = 5 AND len(toks) >= 10
+      |      THEN toks || toks[1:10] || toks[1:10] || toks[1:10]
+      |      ELSE toks END AS toks
+      |  FROM body),
+      |wq AS (
+      |  SELECT w.doc_id,
+      |    CASE WHEN b.toks IS NOT NULL THEN w.toks || b.toks[1:30]
+      |         ELSE w.toks END AS toks
+      |  FROM wl w LEFT JOIN bench b ON b.doc_id = w.doc_id + 4),
+      |noise AS (
+      |  SELECT bb.doc_id + 300000000000 AS doc_id,
+      |    list_transform(range(1, 41),
+      |      i -> 'nf' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 9 = 4),
+      |exc AS (
+      |  SELECT bb.doc_id + 400000000000 AS doc_id,
+      |    list_transform(range(1, 7),
+      |      i -> 'xg' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR))
+      |    || bb.toks[5:28]
+      |    || list_transform(range(1, 7),
+      |      i -> 'yg' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 6 = 1 AND len(bb.toks) >= 28),
+      |s0 AS MATERIALIZED (
+      |  SELECT * FROM wq
+      |  UNION ALL SELECT * FROM noise
+      |  UNION ALL SELECT * FROM exc),
+      |s1 AS MATERIALIZED (
+      |  SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks,
+      |      len(toks) AS n_tokens,
+      |      length(array_to_string(toks, ' ')) AS n_chars,
+      |      len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop
+      |    FROM s0)
+      |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 >= 0.5),
+      |tok2 AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM s1),
+      |vocab2 AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+      |lp2 AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab2)), 9) AS lp
+      |  FROM vocab2),
+      |drop2 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |    FROM tok2 JOIN lp2 USING (token) GROUP BY doc_id)
+      |  WHERE avg_nll > 8.0),
+      |s2 AS MATERIALIZED (
+      |  SELECT * FROM s1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+      |fps3 AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s2 WHERE len(toks) >= 8)),
+      |nxt3 AS (
+      |  SELECT doc_id, p,
+      |    lead(p) OVER (PARTITION BY doc_id, fp ORDER BY p) AS pn
+      |  FROM fps3),
+      |drop3 AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, prd, iid, COUNT(*) AS rl
+      |    FROM (SELECT doc_id, prd, p,
+      |            p - row_number() OVER
+      |              (PARTITION BY doc_id, prd ORDER BY p) AS iid
+      |          FROM (SELECT doc_id, p, pn - p AS prd
+      |                FROM nxt3 WHERE pn IS NOT NULL))
+      |    GROUP BY doc_id, prd, iid
+      |    HAVING COUNT(*) + 7 >= 16)),
+      |s3 AS MATERIALIZED (
+      |  SELECT * FROM s2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |fp4 AS (
+      |  SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS fp
+      |  FROM s3),
+      |s4 AS MATERIALIZED (
+      |  SELECT doc_id, toks FROM fp4
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM fp4 GROUP BY fp)),
+      |m5 AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s4 WHERE len(toks) >= 8)),
+      |keep5 AS (
+      |  SELECT fp FROM m5 GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) <= 8),
+      |mm5 AS MATERIALIZED (SELECT * FROM m5 JOIN keep5 USING (fp)),
+      |runs5 AS (
+      |  SELECT a_id, b_id, diag, COUNT(*) AS rl, MIN(ap) AS a0
+      |  FROM (SELECT a_id, b_id, ap - bp AS diag, ap,
+      |          ap - row_number() OVER
+      |            (PARTITION BY a_id, b_id, ap - bp ORDER BY ap) AS iid
+      |        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |                a.p AS ap, b.p AS bp
+      |              FROM mm5 a JOIN mm5 b
+      |                ON a.fp = b.fp AND a.doc_id < b.doc_id))
+      |  GROUP BY a_id, b_id, diag, iid
+      |  HAVING COUNT(*) + 7 >= 16),
+      |spans5 AS (
+      |  SELECT DISTINCT b_id AS doc_id, a0 - diag AS s,
+      |    a0 - diag + rl + 6 AS e
+      |  FROM runs5),
+      |mk5 AS (
+      |  SELECT doc_id, s, e,
+      |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM spans5),
+      |g5 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM mk5),
+      |regions5 AS (
+      |  SELECT doc_id, grp, MIN(s) AS rs, MAX(e) AS re
+      |  FROM g5 GROUP BY 1, 2),
+      |regs5 AS (
+      |  SELECT doc_id, list({'rs': rs, 're': re} ORDER BY rs, re) AS regs
+      |  FROM regions5 GROUP BY doc_id),
+      |s5 AS MATERIALIZED (
+      |  SELECT t.doc_id,
+      |    CASE WHEN r.regs IS NULL THEN t.toks
+      |         ELSE list_filter(t.toks, (x, i) ->
+      |           len(list_filter(r.regs,
+      |             rg -> rg.rs <= i - 1 AND i - 1 <= rg.re)) = 0)
+      |    END AS toks
+      |  FROM s4 t LEFT JOIN regs5 r ON t.doc_id = r.doc_id),
+      |bpos6 AS MATERIALIZED (
+      |  SELECT md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp,
+      |    doc_id AS bench_id, p AS bp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM bench WHERE len(toks) >= 8)),
+      |bkeep6 AS (SELECT fp FROM bpos6 GROUP BY fp HAVING COUNT(*) <= 16),
+      |bprobe6 AS (SELECT * FROM bpos6 JOIN bkeep6 USING (fp)),
+      |cpos6 AS (
+      |  SELECT doc_id, p AS cp,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s5 WHERE len(toks) >= 8)),
+      |drop6 AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, bench_id, diag, iid, COUNT(*) AS rl
+      |    FROM (SELECT c.doc_id, b.bench_id, c.cp - b.bp AS diag, c.cp,
+      |            c.cp - row_number() OVER (PARTITION BY c.doc_id,
+      |              b.bench_id, c.cp - b.bp ORDER BY c.cp) AS iid
+      |          FROM cpos6 c JOIN bprobe6 b USING (fp))
+      |    GROUP BY doc_id, bench_id, diag, iid
+      |    HAVING COUNT(*) + 7 >= 16)),
+      |s6 AS MATERIALIZED (
+      |  SELECT * FROM s5
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop6))
+      |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT 0 AS stage_no, 'ingest' AS stage,
+      |    (SELECT COUNT(*) FROM s0) AS n_docs,
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s0) AS n_tokens
+      |  UNION ALL SELECT 1, 'quality',
+      |    (SELECT COUNT(*) FROM s1),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s1)
+      |  UNION ALL SELECT 2, 'perplexity',
+      |    (SELECT COUNT(*) FROM s2),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s2)
+      |  UNION ALL SELECT 3, 'loop_gate',
+      |    (SELECT COUNT(*) FROM s3),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s3)
+      |  UNION ALL SELECT 4, 'exact_dedup',
+      |    (SELECT COUNT(*) FROM s4),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s4)
+      |  UNION ALL SELECT 5, 'substring_rewrite',
+      |    (SELECT COUNT(*) FROM s5),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s5)
+      |  UNION ALL SELECT 6, 'contam_gate',
+      |    (SELECT COUNT(*) FROM s6),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s6)
+      |  UNION ALL SELECT 7, 'pack_512',
+      |    (SELECT (COALESCE(SUM(len(toks)), 0) + 511) // 512 FROM s6),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s6))
+      |ORDER BY stage_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q154_curation_pipeline" -> (q154CurationPipeline _))
+    "q154_curation_pipeline" -> (q154CurationPipeline _),
+    "q400_curation_v2" -> (q400CurationV2 _))
 
   def oracles: Map[String, String] = Map(
-    "q154_curation_pipeline" -> q154Sql)
+    "q154_curation_pipeline" -> q154Sql,
+    "q400_curation_v2" -> q400Sql)
 }

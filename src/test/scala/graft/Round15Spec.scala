@@ -172,4 +172,42 @@ class Round15Spec extends AnyFunSuite {
       .map(_.getAs[Long]("n_neardup_pairs")).sum
     assert(offDiag > 0, "hash-scattered variants must straddle splits")
   }
+
+  // q400's ledger invariants: doc counts monotone non-increasing
+  // through the gates, token mass never grows, the rewrite stage keeps
+  // docs while cutting tokens, the perplexity stage drops EXACTLY the
+  // injected gibberish docs (no natural doc at this fixture scores near
+  // the 8.0 cut — q391's sweep measures the natural ceiling ~3.7), and
+  // the packing row is exact ceil arithmetic on the surviving mass.
+  test("q400 ledger: gate monotonicity, rewrite semantics, injection counts") {
+    import org.apache.spark.sql.functions.{col, length, trim}
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationQueries.queries // touch to keep imports honest
+    val ledger = graft.queries.CurationPipeline.q400CurationV2(spark, dir)
+      .collect().map(r => r.getAs[Int]("stage_no") -> r).toMap
+    assert(ledger.size == 8 && rows.nonEmpty)
+    def docs(i: Int) = ledger(i).getAs[Long]("n_docs")
+    def toks(i: Int) = ledger(i).getAs[Long]("n_tokens")
+    (1 to 6).foreach { i =>
+      assert(docs(i) <= docs(i - 1), s"stage $i must not add docs")
+      assert(toks(i) <= toks(i - 1), s"stage $i must not add tokens")
+    }
+    // the rewrite keeps every doc and cuts tokens (the fixture plants
+    // 24-token excerpts, so the cut is strict)
+    assert(docs(5) == docs(4), "substring rewrite never drops a doc")
+    assert(toks(5) < toks(4), "planted excerpts must be excised")
+    // the perplexity stage drops exactly the injected noise docs
+    val noiseCount = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 4)
+      .count()
+    assert(docs(1) - docs(2) == noiseCount,
+      "NLL gate kills the gibberish injections and nothing else")
+    // loop + contamination gates both fire on their planted prey
+    assert(docs(3) < docs(2), "loop gate fires")
+    assert(docs(6) < docs(5), "contamination gate fires")
+    // packing: exact ceil over the surviving token mass
+    assert(toks(7) == toks(6))
+    assert(ledger(7).getAs[Long]("n_docs") == (toks(6) + 511) / 512)
+  }
 }
