@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -937,7 +937,157 @@ object EmbedQueries {
       |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q401
+  /** IVF nprobe operating-point curve — the FAISS-style tuning table for
+    * the registered IVF queries (q33/q66 hardcode nprobe = 4; this
+    * measures what that choice buys and costs): for every nprobe in
+    * {1, 2, 4, 8, 16}, exact recall@10 of cell-probed search against
+    * brute force, plus the candidate volume and its share of all pairs —
+    * the recall/cost frontier a deployment reads before picking nprobe.
+    * The whole curve comes from ONE pass: each (query, neighbor) pair
+    * carries the neighbor's cell rank for that query, so "candidate at
+    * nprobe = p" is the predicate c_rank ≤ p and all five points are
+    * conditional sums (the q382/q395 one-pass-sweep discipline).
+    *
+    * Ground truth runs on the [[CertSliceMax]] cert slice (q26/q384's
+    * convention — exact brute force is the certificate, so its input is
+    * deterministically bounded; at production scale the probe set is
+    * md5-sampled and the same curve is measured on the sample).
+    *
+    * Exactness: cosines are the bit-exact q33 spelling with rounded-grid
+    * centroids; ranks tie-break on ids; recall and share are exact
+    * integer ratios snapped at 6 dp.
+    *
+    * Scale shape: |Q| = 32 broadcast queries × the bounded slice — one
+    * broadcast nested-loop of census scale, one per-query rank window,
+    * ONE map-combinable aggregate carrying all five nprobe points, a
+    * 5-row stack. Constant in the corpus by construction. */
+  def q401NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(4, Dim, seed = 7L)
+    val e = withNorm(emb(spark, dir).filter(col("vec_id") < CertSliceMax))
+      .withColumn("cell", lshSignature(col("embedding"), planes))
+      .localCheckpoint(true)
+    val centroids = e
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .withColumn("cn2", norm2(col("centroid")))
+    val q = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val crank = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        dotD(col("qe"), col("centroid")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("c_rank", row_number().over(wCell))
+      .select(col("query_id"), col("cell"), col("c_rank"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val pairs = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("n2").as("cn2v"), col("cell"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dotD(col("qe"), col("ce")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2v")))).as("cos_sim"))
+      .withColumn("exact_rank", row_number().over(wTop))
+      .join(crank, Seq("query_id", "cell"))
+    val ps = Seq(1, 2, 4, 8, 16)
+    val aggs = Seq(
+        sum(when(col("exact_rank") <= 10, 1L).otherwise(0L)).as("exact10"),
+        count(lit(1)).as("all_pairs")) ++
+      ps.flatMap(p => Seq(
+        sum(when(col("exact_rank") <= 10 && col("c_rank") <= p, 1L)
+          .otherwise(0L)).as(s"h_$p"),
+        sum(when(col("c_rank") <= p, 1L).otherwise(0L)).as(s"c_$p")))
+    val s = pairs.agg(aggs.head, aggs.tail: _*)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    s.select(col("exact10"), col("all_pairs"), expr(
+        s"stack(${ps.length}, " + ps.map(p =>
+          s"$p, h_$p, c_$p").mkString(", ") +
+          ") as (nprobe, hits, candidates)"))
+      .select(col("nprobe").cast("int").as("nprobe"), col("hits"),
+        col("candidates"),
+        r6(col("hits").cast("double") / col("exact10").cast("double"))
+          .as("recall_at10"),
+        r6(col("candidates").cast("double") /
+          col("all_pairs").cast("double")).as("candidate_share"))
+      .orderBy("nprobe")
+  }
+
+  val q401Sql: String = {
+    val cell = sigSqlLit("embedding", hyperplanes(4, Dim, seed = 7L))
+    val centroidList = (1 to Dim)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
+      .mkString("[", ", ", "]")
+    val ps = Seq(1, 2, 4, 8, 16)
+    val sums = ps.flatMap(p => Seq(
+      s"CAST(SUM(CASE WHEN exact_rank <= 10 AND c_rank <= $p THEN 1" +
+        s" ELSE 0 END) AS BIGINT) AS h_$p",
+      s"CAST(SUM(CASE WHEN c_rank <= $p THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS c_$p")).mkString(",\n      |    ")
+    val rows = ps.map(p =>
+      s"SELECT $p AS nprobe, h_$p AS hits, c_$p AS candidates FROM s")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    ${dotSqlUnrolled("embedding", "embedding", Dim)} AS n2,
+      |    ($cell) AS cell
+      |  FROM embeddings WHERE vec_id < $CertSliceMax),
+      |cent AS (
+      |  SELECT cell, $centroidList AS centroid
+      |  FROM e GROUP BY cell),
+      |cent2 AS (
+      |  SELECT cell, centroid,
+      |    ${dotSqlUnrolled("centroid", "centroid", Dim)} AS cn2
+      |  FROM cent),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+      |  FROM e WHERE vec_id < 32),
+      |cr AS (
+      |  SELECT query_id, cell,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      (${dotSqlUnrolled("qe", "centroid", Dim)})
+      |        / (sqrt(qn2) * sqrt(cn2)) DESC, cell) AS c_rank
+      |  FROM q, cent2),
+      |p AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id, e.cell,
+      |    (${dotSqlUnrolled("qe", "e.embedding", Dim)})
+      |      / (sqrt(qn2) * sqrt(e.n2)) AS cos_sim
+      |  FROM q, e WHERE e.vec_id != query_id),
+      |r AS (
+      |  SELECT query_id, cell,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS exact_rank
+      |  FROM p),
+      |j AS (
+      |  SELECT r.query_id, r.exact_rank, cr.c_rank
+      |  FROM r JOIN cr ON r.query_id = cr.query_id AND r.cell = cr.cell),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN exact_rank <= 10 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS exact10,
+      |    CAST(COUNT(*) AS BIGINT) AS all_pairs,
+      |    $sums
+      |  FROM j)
+      |SELECT CAST(nprobe AS INTEGER) AS nprobe, hits, candidates,
+      |  round(CAST(hits AS DOUBLE)
+      |    / CAST((SELECT exact10 FROM s) AS DOUBLE), 6) + 0.0
+      |    AS recall_at10,
+      |  round(CAST(candidates AS DOUBLE)
+      |    / CAST((SELECT all_pairs FROM s) AS DOUBLE), 6) + 0.0
+      |    AS candidate_share
+      |FROM ($rows)
+      |ORDER BY nprobe""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_nprobe_curve" -> (q401NprobeCurve _),
     "q384_hard_negatives" -> (q384HardNegatives _),
     "q262_hubness_audit" -> q262HubnessAudit _,
     "q254_intrinsic_dim" -> q254IntrinsicDim _,
@@ -950,6 +1100,7 @@ object EmbedQueries {
     "q53_knn_join" -> q53KnnJoin _)
 
   def oracles: Map[String, String] = Map(
+    "q401_nprobe_curve" -> q401Sql,
     "q384_hard_negatives" -> q384Sql,
     "q262_hubness_audit" -> q262Sql,
     "q254_intrinsic_dim" -> q254Sql,

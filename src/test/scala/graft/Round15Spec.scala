@@ -210,4 +210,25 @@ class Round15Spec extends AnyFunSuite {
     assert(toks(7) == toks(6))
     assert(ledger(7).getAs[Long]("n_docs") == (toks(6) + 511) / 512)
   }
+
+  // q401's curve contract: recall and candidate volume are monotone in
+  // nprobe, probing ALL 16 cells recovers brute force exactly (recall
+  // and share both 1.0 — the DocOpsSpec ivf≡brute-force theorem read off
+  // the curve), and hits never exceed candidates.
+  test("q401: the nprobe curve is monotone and exact at full probe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.EmbedQueries.q401NprobeCurve(spark, dir)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("recall_at10") <=
+        hi.getAs[Double]("recall_at10"), "recall must be monotone")
+      assert(lo.getAs[Long]("candidates") <= hi.getAs[Long]("candidates"))
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("candidates")))
+    val full = rows.last
+    assert(full.getAs[Double]("recall_at10") == 1.0)
+    assert(full.getAs[Double]("candidate_share") == 1.0)
+  }
 }
