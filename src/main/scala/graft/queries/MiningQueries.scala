@@ -195,7 +195,11 @@ object MiningQueries {
     * cost. Labels checkpoint each round so the lineage stays flat.
     * Everything is exact integer min — bit-exact in the unrolled CTE
     * twin. */
-  def q162LabelProp(spark: SparkSession, dir: String): DataFrame = {
+  /** The co-purchase part graph + 3-round min-label propagation shared
+    * by q162/q402: (pairs, sym, labels) — undirected support-≥2 edges
+    * (pa < pb), both directions, and the final (node, label) table. */
+  private[graft] def partGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val baskets = Kpis.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
@@ -223,6 +227,11 @@ object MiningQueries {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
     }
+    (pairs, sym, labels)
+  }
+
+  def q162LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, labels) = partGraph(spark, dir)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
@@ -269,13 +278,95 @@ object MiningQueries {
       |FROM l3 JOIN sizes ON l3.label = sizes.label
       |ORDER BY part""".stripMargin
 
+  // --------------------------------------------------------------- q402
+  /** Newman modularity of the q162 communities — the partition-quality
+    * certificate the label-propagation output needs before anyone acts
+    * on it (a community assignment with Q near 0 is noise; the audit
+    * sibling of q396's density check for near-dup clusters): per
+    * community, node count, INTRA-community edge count, degree sum, and
+    * its modularity contribution E_c/m − (D_c/2m)². The sum of the
+    * contribution column is the partition's Q.
+    *
+    * Exactness: m, E_c, D_c are exact integers (each undirected edge
+    * counted once; degrees off the symmetrized edge list); the
+    * contribution is ONE fixed-order IEEE expression spelled identically
+    * in the twin — x/m − t·t with t = d/(2·m) — snapped at 6 dp.
+    *
+    * Scale shape: q162's measured plan (basket pair explosion + 3
+    * bounded join rounds) dominates; on top ride two hash joins of the
+    * edge list against the label table and map-combinable per-community
+    * aggregates — linear in edges. The 1-row m frame broadcasts. */
+  def q402Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, sym, labels) = partGraph(spark, dir)
+    val m1 = pairs.agg(count(lit(1)).as("m"))
+    val intra = pairs
+      .join(labels.select(col("node").as("pa"), col("label").as("ca")),
+        "pa")
+      .join(labels.select(col("node").as("pb"), col("label").as("cb")),
+        "pb")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("intra_edges"))
+      .withColumnRenamed("ca", "label")
+    val degc = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(labels, col("node") === col("src"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("degree_sum"))
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .join(degc, "label")
+      .join(intra, Seq("label"), "left")
+      .crossJoin(m1)
+      .select(col("label").as("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (round(coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          col("m").cast("double") -
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("m").cast("double"))) *
+          (col("degree_sum").cast("double") /
+            (lit(2.0) * col("m").cast("double"))), 6) + lit(0.0))
+          .as("contribution"))
+      .orderBy("community")
+  }
+
+  val q402Sql: String = {
+    // reuse q162's chain through l3, then the modularity census
+    val chain = q162Sql.substring(0, q162Sql.indexOf("sizes AS ("))
+    s"""${chain}m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+      |intra AS (
+      |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      |  FROM pairs p
+      |  JOIN l3 la ON p.pa = la.node
+      |  JOIN l3 lb ON p.pb = lb.node
+      |  WHERE la.label = lb.label
+      |  GROUP BY la.label),
+      |degc AS (
+      |  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+      |  FROM (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src) d
+      |  JOIN l3 l ON l.node = d.src
+      |  GROUP BY l.label),
+      |nn AS (SELECT label, COUNT(*) AS n_nodes FROM l3 GROUP BY label)
+      |SELECT nn.label AS community, nn.n_nodes,
+      |  COALESCE(i.intra_edges, 0) AS intra_edges, degc.degree_sum,
+      |  round(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE)
+      |      / CAST(m AS DOUBLE)
+      |    - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |      * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))),
+      |    6) + 0.0 AS contribution
+      |FROM nn
+      |JOIN degc ON nn.label = degc.label
+      |LEFT JOIN intra i ON nn.label = i.label
+      |CROSS JOIN m1
+      |ORDER BY community""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_heavy_hitters" -> (q160HeavyHitters _),
     "q161_assoc_rules" -> (q161AssocRules _),
-    "q162_label_prop" -> (q162LabelProp _))
+    "q162_label_prop" -> (q162LabelProp _),
+    "q402_modularity" -> (q402Modularity _))
 
   def oracles: Map[String, String] = Map(
     "q160_heavy_hitters" -> q160Sql,
     "q161_assoc_rules" -> q161Sql,
-    "q162_label_prop" -> q162Sql)
+    "q162_label_prop" -> q162Sql,
+    "q402_modularity" -> q402Sql)
 }

@@ -231,4 +231,26 @@ class Round15Spec extends AnyFunSuite {
     assert(full.getAs[Double]("recall_at10") == 1.0)
     assert(full.getAs[Double]("candidate_share") == 1.0)
   }
+
+  // q402's exact conservation identities against the shared graph:
+  // Σ n_nodes = |labeled nodes|, Σ degree_sum = 2m (every endpoint of
+  // every undirected edge lands in exactly one community), and
+  // Σ intra_edges ≤ m with equality iff no edge crosses communities.
+  test("q402 conserves nodes, degrees, and edges of the q162 graph") {
+    import graft.queries.MiningQueries
+    val dir = "/root/testdata/sf0.001"
+    val (pairs, _, labels) = MiningQueries.partGraph(spark, dir)
+    val m = pairs.count()
+    val nNodes = labels.count()
+    val rows = MiningQueries.q402Modularity(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nNodes)
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum == 2 * m,
+      "degree mass must equal twice the undirected edge count")
+    val intra = rows.map(_.getAs[Long]("intra_edges")).sum
+    assert(intra <= m)
+    // min-label propagation converges clusters to near-components on
+    // this fixture; Q must at least be a valid partition score
+    val q = rows.map(_.getAs[Double]("contribution")).sum
+    assert(q >= -0.5 && q <= 1.0)
+  }
 }
