@@ -1832,7 +1832,93 @@ object ExperimentQueries {
       .replace("(HASHEXPR)", s"($h)")
   }
 
+  // --------------------------------------------------------------- q403
+  /** Power-analysis / minimum-detectable-effect table — the planning
+    * half the experimentation control plane still lacked: q129 analyzes
+    * a finished test, q314/q341 guard its integrity, q316/q387 monitor
+    * it; this answers "how large an effect CAN a test of size n see?"
+    * BEFORE launch. From the exact corpus variance of order value, for
+    * each per-arm n in {1k, 10k, 100k, 1M}: the absolute and relative
+    * two-sample MDE at α = 0.05 (two-sided) and power 0.80 —
+    * MDE = (z_{α/2} + z_β) · σ · √(2/n) with the standard literal
+    * z-grid (1.959964 + 0.841621), the fixed-n dual of q387's
+    * fixed-boundary sequential design.
+    *
+    * Exactness: Σx and Σx² accumulate in exact DECIMAL(38,0) cents (the
+    * q315 convention); the variance, σ, and each MDE are ONE fixed-order
+    * IEEE chain with literal z constants spelled identically in the
+    * twin, snapped at 6 dp.
+    *
+    * Scale shape: ONE map-combinable aggregate over orders (count + two
+    * decimal sums), then a 4-row stack of the 1-row result. Zero
+    * shuffle beyond the aggregate; census-bounded by construction. */
+  def q403MdeTable(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Seq(1000L, 10000L, 100000L, 1000000L)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val s = Kpis.table(spark, dir, "orders")
+      .select(cents.as("c"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("c").cast("decimal(38,0)")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+    val z = 1.959964 + 0.841621
+    val stacked = s.select(col("n_pop"), col("s1"), col("s2"), expr(
+      s"stack(${ns.length}, " + ns.map(n => s"${n}L").mkString(", ") +
+        ") as (n_per_arm)"))
+    stacked
+      .withColumn("mean_cents",
+        col("s1").cast("double") / col("n_pop").cast("double"))
+      .withColumn("var_cents",
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_pop").cast("double")) /
+          (col("n_pop").cast("double") - 1.0))
+      .select(col("n_per_arm"), col("n_pop"),
+        (round(col("mean_cents") / 100.0, 6) + lit(0.0)).as("mean_value"),
+        (round(sqrt(col("var_cents")) / 100.0, 6) + lit(0.0)).as("sd_value"),
+        (round(lit(z) * sqrt(col("var_cents")) *
+          sqrt(lit(2.0) / col("n_per_arm").cast("double")) / 100.0, 6)
+          + lit(0.0)).as("mde_abs"),
+        (round(lit(z) * sqrt(col("var_cents")) *
+          sqrt(lit(2.0) / col("n_per_arm").cast("double")) /
+          col("mean_cents"), 6) + lit(0.0)).as("mde_rel"))
+      .orderBy("n_per_arm")
+  }
+
+  val q403Sql: String = {
+    val ns = Seq(1000L, 10000L, 100000L, 1000000L)
+    val rows = ns.map(n => s"SELECT CAST($n AS BIGINT) AS n_per_arm")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH s AS (
+      |  SELECT COUNT(*) AS n_pop,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS s1,
+      |    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS s2
+      |  FROM orders),
+      |grid AS ($rows),
+      |x AS (
+      |  SELECT n_per_arm, n_pop,
+      |    CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE) AS mean_cents,
+      |    (CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / CAST(n_pop AS DOUBLE))
+      |      / (CAST(n_pop AS DOUBLE) - 1.0) AS var_cents
+      |  FROM grid, s)
+      |SELECT n_per_arm, n_pop,
+      |  round(mean_cents / 100.0, 6) + 0.0 AS mean_value,
+      |  round(sqrt(var_cents) / 100.0, 6) + 0.0 AS sd_value,
+      |  round((1.959964 + 0.841621) * sqrt(var_cents)
+      |    * sqrt(2.0 / CAST(n_per_arm AS DOUBLE)) / 100.0, 6) + 0.0
+      |    AS mde_abs,
+      |  round((1.959964 + 0.841621) * sqrt(var_cents)
+      |    * sqrt(2.0 / CAST(n_per_arm AS DOUBLE)) / mean_cents, 6) + 0.0
+      |    AS mde_rel
+      |FROM x ORDER BY n_per_arm""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_mde_table" -> (q403MdeTable _),
     "q387_sprt_monitor" -> (q387SprtMonitor _),
     "q369_isotonic_calibration" -> (q369IsotonicCalibration _),
     "q367_conformal_cert" -> (q367ConformalCert _),
@@ -1853,6 +1939,7 @@ object ExperimentQueries {
     "q203_mann_whitney" -> (q203MannWhitney _))
 
   def oracles: Map[String, String] = Map(
+    "q403_mde_table" -> q403Sql,
     "q387_sprt_monitor" -> q387Sql,
     "q369_isotonic_calibration" -> q369Sql,
     "q367_conformal_cert" -> q367Sql,

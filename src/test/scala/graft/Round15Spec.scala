@@ -253,4 +253,33 @@ class Round15Spec extends AnyFunSuite {
     val q = rows.map(_.getAs[Double]("contribution")).sum
     assert(q >= -0.5 && q <= 1.0)
   }
+
+  // q403's closed form is hand-checkable: MDE scales as 1/√n, so the
+  // 1k→100k rows must differ by exactly the snapped factor 10, and a
+  // JVM replay of the (z, σ, n) chain must reproduce every cell.
+  test("q403 MDE table replays the closed form exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.ExperimentQueries.q403MdeTable(spark, dir)
+      .collect().map(r => r.getAs[Long]("n_per_arm") -> r).toMap
+    assert(rows.keySet == Set(1000L, 10000L, 100000L, 1000000L))
+    // JVM replay from the exact cents sums
+    val cents = graft.queries.Kpis.table(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.round(col("o_totalprice") *
+        100).cast("long").as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val n = cents.length.toDouble
+    val s1 = cents.map(BigDecimal(_)).sum.toDouble
+    val s2 = cents.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble
+    val varC = (s2 - s1 * s1 / n) / (n - 1.0)
+    val z = 1.959964 + 0.841621
+    def snap(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    Seq(1000L, 10000L, 100000L, 1000000L).foreach { np =>
+      val expected = snap(z * math.sqrt(varC) *
+        math.sqrt(2.0 / np.toDouble) / 100.0)
+      assert(rows(np).getAs[Double]("mde_abs") == expected,
+        s"n=$np must replay the closed form")
+    }
+  }
 }
