@@ -313,7 +313,11 @@ object SubstringQueries {
     * stitching window (keyed by corpus doc), whose partitions are bounded
     * by one document's match list (≤ BF hits per position). The q48
     * broadcast-holdout posture applied position-wise. */
-  def q352ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** q352's probe chain, shared with q404's bench-side rollup:
+    * (runs, corp, bench, release) where runs =
+    * (doc_id, bench_id, diag, rl, c0) for every leaked span ≥ L. */
+  private def contamRuns(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val par = spark.sparkContext.defaultParallelism
     val toksrc = spark.read.parquet(s"$dir/documents.parquet")
       .filter(length(trim(col("text"))) > 0)
@@ -349,6 +353,12 @@ object SubstringQueries {
       .agg(count(lit(1)).as("rl"), min(col("cp")).as("c0"))
       .filter(col("rl") + lit(K - 1) >= L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (runs, corp, bench,
+      () => { runs.unpersist(); corp.unpersist(); () })
+  }
+
+  def q352ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val (runs, corp, _, release) = contamRuns(spark, dir)
     val cover = intervalSweep(runs.select(col("doc_id"), col("c0").as("s"),
       (col("c0") + col("rl") + lit(K - 2)).as("e")).distinct())
     val longest = runs.groupBy(col("doc_id"))
@@ -364,7 +374,54 @@ object SubstringQueries {
           col("n_tokens").cast("double"), 6) + lit(0.0))
           .as("contam_frac"))
       .orderBy("doc_id"))
-    runs.unpersist(); corp.unpersist()
+    release()
+    out
+  }
+
+  // --------------------------------------------------------------- q404
+  /** Per-benchmark-item leak census — q352 flipped to the EVAL OWNER's
+    * view: q352 tells the curator which corpus docs to drop; this tells
+    * the benchmark maintainer which eval items are compromised and how
+    * badly (the item-retirement decision table): for every leaked
+    * benchmark doc, the count of distinct corpus docs quoting it, the
+    * leaked-span count, the union of leaked BENCHMARK positions (how
+    * much of the item is out), its fraction, and the longest single
+    * leak. Same runs as q352 — the bench-side interval union uses the
+    * mapped start bp0 = c0 − diag.
+    *
+    * Exactness: positions/spans are integers; the union is
+    * [[intervalSweep]] keyed by bench doc; the only double is the
+    * 6-dp-snapped fraction.
+    *
+    * Scale shape: rides [[contamRuns]] (q352's measured plan — the
+    * broadcast capped benchmark probe); the rollup windows partition by
+    * BENCH doc over that item's leak list (bounded by the item's
+    * length), and the final joins are benchmark-census-scale. */
+  def q404BenchLeaks(spark: SparkSession, dir: String): DataFrame = {
+    val (runs, _, bench, release) = contamRuns(spark, dir)
+    val cover = intervalSweep(runs
+      .select(col("bench_id").as("doc_id"),
+        (col("c0") - col("diag")).as("s"),
+        (col("c0") - col("diag") + col("rl") + lit(K - 2)).as("e"))
+      .distinct())
+    val per = runs.groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaking_docs"),
+        count(lit(1)).as("n_leak_spans"),
+        (max(col("rl")) + lit(K - 1)).as("longest_leak_tokens"))
+    val lens = bench.select(col("doc_id").as("bench_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val out = graft.plans.Eager.ckpt(per
+      .join(cover.withColumnRenamed("doc_id", "bench_id"), "bench_id")
+      .join(lens, "bench_id")
+      .select(col("bench_id"), col("n_tokens"), col("n_leaking_docs"),
+        col("n_leak_spans"),
+        col("covered_tokens").as("leaked_tokens"),
+        (round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0))
+          .as("leaked_frac"),
+        col("longest_leak_tokens"))
+      .orderBy("bench_id"))
+    release()
     out
   }
 
@@ -429,6 +486,35 @@ object SubstringQueries {
       |JOIN lng g ON c.doc_id = g.doc_id
       |JOIN lens l ON c.doc_id = l.doc_id
       |ORDER BY c.doc_id""".stripMargin
+
+  /** q404's twin: q352's chain through `lruns`, then the bench-side
+    * interval union and per-item rollup. */
+  val q404Sql: String = {
+    val chain = q352Sql.substring(0, q352Sql.indexOf("spans AS ("))
+    s"""${chain}spans AS (
+      |  SELECT DISTINCT bench_id AS doc_id, c0 - diag AS s,
+      |    c0 - diag + rl + ${K - 2} AS e
+      |  FROM lruns),
+      |$sweepCte,
+      |per AS (
+      |  SELECT bench_id,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_leaking_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_leak_spans,
+      |    CAST(MAX(rl) + ${K - 1} AS BIGINT) AS longest_leak_tokens
+      |  FROM lruns GROUP BY bench_id),
+      |blens AS (
+      |  SELECT doc_id AS bench_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM bench)
+      |SELECT p.bench_id, l.n_tokens, p.n_leaking_docs, p.n_leak_spans,
+      |  c.covered_tokens AS leaked_tokens,
+      |  round(CAST(c.covered_tokens AS DOUBLE)
+      |    / CAST(l.n_tokens AS DOUBLE), 6) + 0.0 AS leaked_frac,
+      |  p.longest_leak_tokens
+      |FROM per p
+      |JOIN cov c ON p.bench_id = c.doc_id
+      |JOIN blens l ON p.bench_id = l.bench_id
+      |ORDER BY p.bench_id""".stripMargin
+  }
 
   // --------------------------------------------------------------- q392
   /** Substring-dedup REWRITE certification — the end-to-end half q351's
@@ -679,12 +765,14 @@ object SubstringQueries {
     "q351_removal_mask" -> (q351RemovalMask _),
     "q352_contam_spans" -> (q352ContamSpans _),
     "q392_rewrite_cert" -> (q392RewriteCert _),
-    "q393_self_repeats" -> (q393SelfRepeats _))
+    "q393_self_repeats" -> (q393SelfRepeats _),
+    "q404_bench_leaks" -> (q404BenchLeaks _))
 
   def oracles: Map[String, String] = Map(
     "q350_substring_dedup" -> q350Sql,
     "q351_removal_mask" -> q351Sql,
     "q352_contam_spans" -> q352Sql,
     "q392_rewrite_cert" -> q392Sql,
-    "q393_self_repeats" -> q393Sql)
+    "q393_self_repeats" -> q393Sql,
+    "q404_bench_leaks" -> q404Sql)
 }

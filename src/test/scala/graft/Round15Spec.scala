@@ -282,4 +282,25 @@ class Round15Spec extends AnyFunSuite {
         s"n=$np must replay the closed form")
     }
   }
+
+  // q404 is q352's runs rolled up by bench item: every leaking corpus
+  // doc appears under at least one bench item, so Σ n_leaking_docs must
+  // cover q352's flagged-doc count; the injected 30-token quotes must
+  // surface; fractions are valid shares of each item.
+  test("q404 bench-leak census reconciles with q352's contaminated docs") {
+    import graft.queries.SubstringQueries
+    val dir = "/root/testdata/sf0.001"
+    val contamDocs = SubstringQueries.q352ContamSpans(spark, dir).count()
+    val rows = SubstringQueries.q404BenchLeaks(spark, dir).collect()
+    assert(rows.nonEmpty, "the injected quotes must leak")
+    rows.foreach { r =>
+      val f = r.getAs[Double]("leaked_frac")
+      assert(f > 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("leaked_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    assert(rows.map(_.getAs[Long]("n_leaking_docs")).sum >= contamDocs,
+      "every contaminated doc leaks at least one bench item")
+    assert(rows.exists(_.getAs[Long]("longest_leak_tokens") >= 30L),
+      "the 30-token injected quote is recovered")
+  }
 }
