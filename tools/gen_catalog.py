@@ -118,12 +118,13 @@ def main():
         head = "## Query catalog (per module)"
         tail = "## Correctness & parity conventions"
         i, j = t.index(head), t.index(tail)
-        intro = t[i:j].split("\n\n")[0] + "\n\n"  # keep the section intro paragraph
-        # intro = everything up to the first "### `" heading
+        # intro = everything up to the first "### `" heading, wherever it sits
+        # (must NOT require a leading newline: a past glue bug left "### `"
+        # mid-line, which made the old "\n### `" search keep stale copies)
         sec = t[i:j]
-        k = sec.index("\n### `")
-        intro = sec[:k]
-        t = t[:i] + intro + body.lstrip("\n") + "\n\n" + t[j:]
+        k = sec.index("### `")
+        intro = sec[:k].rstrip() + "\n\n"
+        t = t[:i] + intro + body.lstrip("\n") + "\n" + t[j:]
         open(readme_path, "w").write(t)
         print("README.md updated", file=sys.stderr)
     else:
