@@ -279,13 +279,88 @@ object ScrubQueries {
       |FROM c""".stripMargin
   }
 
+  // --------------------------------------------------------------- q405
+  /** User-contribution clipping audit — the PREPROCESSING decision table
+    * for user-level differentially-private aggregation (the Dwork-style
+    * sensitivity bound; DP-SGD and DP analytics both require it): before
+    * noise can be calibrated, each user's contribution to every (day)
+    * cell must be capped at a bound C, and the bound trades BIAS (events
+    * discarded above the cap) against SENSITIVITY (the noise scale is
+    * proportional to C). For C ∈ {1,2,4,8,16}: events kept after
+    * per-(user, day) clipping, the kept share (the bias side), user-days
+    * clipped (how many cells the cap actually touches), and the
+    * unclipped max contribution (what the sensitivity would be with NO
+    * bound — the number that makes the case for clipping at all).
+    * A privacy engineer reads the elbow straight off the five rows.
+    *
+    * Exactness: the (user, day) contribution census is exact integer
+    * counts; every per-bound column is an integer sum of min/indicator
+    * terms; the two shares are each ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE fact-scale map-combinable (user, day) groupBy —
+    * the only data-scale shuffle — then ONE aggregate carrying all five
+    * bounds' conditional sums (the q382/q395 one-pass-sweep discipline)
+    * and a 5-row stack of the 1-row result. No window, no join. */
+  def q405ContributionClipping(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Seq(1L, 2L, 4L, 8L, 16L)
+    val ud = Kpis.eventsTable(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val exprs = Seq(count(lit(1)).as("n_user_days"),
+        max(col("c")).as("max_contrib"),
+        sum(col("c")).as("total_events")) ++
+      bounds.flatMap(b => Seq(
+        sum(least(col("c"), lit(b))).as(s"kept_$b"),
+        sum(when(col("c") > b, 1L).otherwise(0L)).as(s"cl_$b")))
+    val a = ud.agg(exprs.head, exprs.tail: _*)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    a.select(col("n_user_days"), col("max_contrib"), col("total_events"),
+        expr(s"stack(${bounds.length}, " + bounds.map(b =>
+          s"${b}L, kept_$b, cl_$b").mkString(", ") +
+          ") as (clip_bound, kept_events, clipped_user_days)"))
+      .select(col("clip_bound"), col("n_user_days"), col("max_contrib"),
+        col("total_events"), col("kept_events"),
+        r6(col("kept_events").cast("double") /
+          col("total_events").cast("double")).as("kept_share"),
+        col("clipped_user_days"),
+        r6(col("clipped_user_days").cast("double") /
+          col("n_user_days").cast("double")).as("clipped_share"))
+      .orderBy("clip_bound")
+  }
+
+  val q405Sql: String =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cb(clip_bound) AS (
+      |  VALUES (CAST(1 AS BIGINT)), (2), (4), (8), (16)),
+      |per AS (
+      |  SELECT b.clip_bound,
+      |    COUNT(*) AS n_user_days,
+      |    CAST(MAX(c) AS BIGINT) AS max_contrib,
+      |    CAST(SUM(c) AS BIGINT) AS total_events,
+      |    CAST(SUM(LEAST(c, b.clip_bound)) AS BIGINT) AS kept_events,
+      |    CAST(SUM(CASE WHEN c > b.clip_bound THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS clipped_user_days
+      |  FROM ud CROSS JOIN cb b GROUP BY 1)
+      |SELECT clip_bound, n_user_days, max_contrib, total_events,
+      |  kept_events,
+      |  round(CAST(kept_events AS DOUBLE)
+      |    / CAST(total_events AS DOUBLE), 6) + 0.0 AS kept_share,
+      |  clipped_user_days,
+      |  round(CAST(clipped_user_days AS DOUBLE)
+      |    / CAST(n_user_days AS DOUBLE), 6) + 0.0 AS clipped_share
+      |FROM per ORDER BY clip_bound""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q311_k_anonymity" -> (q311KAnonymity _),
     "q380_deletion_cost" -> (q380DeletionCost _),
+    "q405_contribution_clipping" -> (q405ContributionClipping _),
     "q51_pii_scrub" -> q51PiiScrub _)
 
   def oracles: Map[String, String] = Map(
     "q311_k_anonymity" -> q311Sql,
     "q380_deletion_cost" -> q380Sql,
+    "q405_contribution_clipping" -> q405Sql,
     "q51_pii_scrub" -> q51Sql)
 }
