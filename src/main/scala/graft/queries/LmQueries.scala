@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -727,7 +727,107 @@ object LmQueries {
       |FROM u ORDER BY lang, nll_cut""".stripMargin
   }
 
+  // --------------------------------------------------------------- q406
+  /** DSIR-style importance weights — data selection toward a TARGET
+    * domain by importance resampling (Xie et al. 2023, public method):
+    * score every raw-corpus document by the average per-token
+    * log-likelihood RATIO between a target-domain unigram LM (here the
+    * `lang = 'en'` slice, Laplace-smoothed over the raw vocabulary so
+    * out-of-target tokens get finite mass) and the raw-corpus unigram
+    * LM (q59's MLE — every corpus token has raw count ≥ 1, no smoothing
+    * needed). A positive weight means the document looks more like the
+    * target than like the corpus average; selecting on w > 0 shifts the
+    * mixture toward the target domain without a classifier. Per-lang
+    * summary: docs, token mass, mean weight, and the selected share /
+    * token mass at the w > 0 cut — the resampling headline. The target
+    * lang scoring highest is the method working (asserted in spec).
+    *
+    * Exactness: both LMs' per-token log terms are 9-dp-snapped before
+    * the per-doc average (the q59/q398 discipline); per-doc weights are
+    * 6-dp-snapped doubles summed as DECIMAL(18,6) per lang (the
+    * q179/q257 snapped-term discipline), so the lang mean is ONE IEEE
+    * division; every count/token column is an exact integer.
+    *
+    * Scale shape: q59's linear doc-scoring exchange run twice over ONE
+    * shared token explode (raw counts = vocab-bounded hash agg; target
+    * counts = the same agg over the target slice), a vocab-bounded
+    * left join + broadcast of three 1-row totals, one linear token→lp
+    * equi-join, then a per-doc hash agg and a map-combinable per-lang
+    * census. No window, no fact-scale join beyond the token→lp probe. */
+  def q406DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tok = d.select(col("doc_id"), col("lang"),
+      size(col("toks")).as("n_tokens"), explode(col("toks")).as("token"))
+    val raw = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(count(lit(1)).as("tcnt"))
+    val rawTot = raw.agg(sum(col("cnt")).as("rn"),
+      count(lit(1)).as("v"))
+    val tgtTot = tgt.agg(sum(col("tcnt")).as("tn"))
+    val lp = raw.join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("token"),
+        (round(log((coalesce(col("tcnt"), lit(0L)) + lit(1L))
+            .cast("double") / (col("tn") + col("v")).cast("double")), 9)
+          - round(log(col("cnt").cast("double") / col("rn")), 9)).as("lr"))
+    val docw = tok.join(lp, "token")
+      .groupBy(col("doc_id"), col("lang"), col("n_tokens"))
+      .agg((round(avg(col("lr")), 6) + lit(0.0)).as("w"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    docw.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"),
+        sum(col("w").cast("decimal(18,6)")).as("wsum"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("w") > 0, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("selected_tokens"))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        r6(col("wsum").cast("double") / col("n_docs").cast("double"))
+          .as("mean_w"),
+        col("n_selected"),
+        r6(col("n_selected").cast("double") / col("n_docs").cast("double"))
+          .as("selected_share"),
+        col("selected_tokens"))
+      .orderBy("lang")
+  }
+
+  val q406Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM d),
+      |raw AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |tgt AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE lang = 'en'
+      |  GROUP BY token),
+      |lp AS (
+      |  SELECT r.token,
+      |    round(ln((COALESCE(t.cnt, 0) + 1)::DOUBLE /
+      |      ((SELECT SUM(cnt) FROM tgt) + (SELECT COUNT(*) FROM raw))), 9)
+      |    - round(ln(r.cnt::DOUBLE / (SELECT SUM(cnt) FROM raw)), 9) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (token)),
+      |docw AS (
+      |  SELECT doc_id, lang, n_tokens, round(avg(lr), 6) + 0.0 AS w
+      |  FROM tok JOIN lp USING (token) GROUP BY 1, 2, 3)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*), 6) + 0.0 AS mean_w,
+      |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_selected,
+      |  round(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END)::DOUBLE
+      |    / COUNT(*), 6) + 0.0 AS selected_share,
+      |  CAST(SUM(CASE WHEN w > 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS selected_tokens
+      |FROM docw GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_dsir_weights" -> (q406DsirWeights _),
     "q362_span_corruption" -> (q362SpanCorruption _),
     "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
     "q308_bpe_first_merges" -> (q308BpeFirstMerges _),
@@ -738,6 +838,7 @@ object LmQueries {
     "q391_nll_threshold_sweep" -> (q391NllThresholdSweep _))
 
   def oracles: Map[String, String] = Map(
+    "q406_dsir_weights" -> q406Sql,
     "q362_span_corruption" -> q362Sql,
     "q327_bpe_merge_ladder" -> q327Sql,
     "q308_bpe_first_merges" -> q308Sql,
