@@ -645,7 +645,102 @@ object SplitQueries {
       |ORDER BY split_a, split_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q407
+  /** Sliding-window chunking ledger — the THIRD long-document strategy
+    * beside q395's two (truncate-and-pad, concat-and-split): cut every
+    * document into fixed windows of W tokens advancing by stride S,
+    * padding only the final window, so no token is ever dropped and
+    * boundary context is preserved by the W−S token overlap. The price
+    * is DUPLICATED compute: every overlapped token is emitted in two or
+    * more windows. For W = 32 (the fixture-scaled context; max doc is
+    * 99 tokens) and S ∈ {32, 24, 16, 8}: exact window count, duplicated
+    * token mass and its share of the corpus, final-window pad mass, and
+    * the compute blow-up (device tokens per real token) — the stride
+    * decision table, read against q395's pad/truncation columns.
+    *
+    * Exactness: pure integer arithmetic per document — the last window
+    * start is L = ⌈(n−W)/S⌉·S via (n−W+S−1) div S, windows = L/S + 1,
+    * pad = L+W−n, duplicated = windows·W − pad − n — summed exactly;
+    * each share is ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE map-combinable aggregate over documents carrying
+    * all four strides' conditional sums (the q382/q395 one-pass-sweep
+    * discipline), then a 4-row stack of the 1-row result. No window
+    * function, no join, census-bounded output. */
+  def q407ChunkingLedger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val w = 32L
+    val strides = Seq(32L, 24L, 16L, 8L)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    // last-window start / window count / pad / duplicated mass, all in
+    // INTEGER arithmetic (Column./ is IEEE division — div via expr)
+    val perStride = strides.map { s =>
+      s -> expr(s"CASE WHEN n <= $w THEN 0L " +
+        s"ELSE ((n - $w + $s - 1) div $s) * $s END")
+    }
+    val exprs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens")) ++
+      perStride.flatMap { case (s, l) =>
+        val chunks = expr(s"ls_$s div $s") + lit(1L)
+        val pad = col(s"ls_$s") + lit(w) - col("n")
+        Seq(sum(chunks).as(s"ch_$s"), sum(pad).as(s"pd_$s"),
+          sum(chunks * w - pad - col("n")).as(s"dp_$s"))
+      }
+    val a = perStride.foldLeft(lens) { case (df, (s, l)) =>
+        df.withColumn(s"ls_$s", l)
+      }.agg(exprs.head, exprs.tail: _*)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    a.select(col("n_docs"), col("total_tokens"), expr(
+        s"stack(${strides.length}, " + strides.map(s =>
+          s"${s}L, ch_$s, pd_$s, dp_$s").mkString(", ") +
+          ") as (stride, n_chunks, pad_tokens, dup_tokens)"))
+      .select(lit(w).as("window"), col("stride"), col("n_docs"),
+        col("total_tokens"), col("n_chunks"), col("dup_tokens"),
+        r6(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("dup_share"),
+        col("pad_tokens"),
+        r6(col("pad_tokens").cast("double") /
+          (col("n_chunks") * w).cast("double")).as("pad_share"),
+        r6((col("n_chunks") * w).cast("double") /
+          col("total_tokens").cast("double")).as("compute_blowup"))
+      .orderBy(col("stride").desc)
+  }
+
+  val q407Sql: String =
+    """WITH lens AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |    AS BIGINT) AS n
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |st(stride) AS (
+      |  VALUES (CAST(32 AS BIGINT)), (24), (16), (8)),
+      |per AS (
+      |  SELECT stride, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(ls // stride + 1) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(ls + 32 - n) AS BIGINT) AS pad_tokens,
+      |    CAST(SUM((ls // stride + 1) * 32 - (ls + 32 - n) - n)
+      |      AS BIGINT) AS dup_tokens
+      |  FROM (SELECT n, s2.stride,
+      |          CASE WHEN n <= 32 THEN 0
+      |               ELSE ((n - 32 + s2.stride - 1) // s2.stride)
+      |                 * s2.stride END AS ls
+      |        FROM lens CROSS JOIN st s2) t
+      |  GROUP BY 1)
+      |SELECT CAST(32 AS BIGINT) AS window, stride, n_docs, total_tokens,
+      |  n_chunks, dup_tokens,
+      |  round(CAST(dup_tokens AS DOUBLE)
+      |    / CAST(total_tokens AS DOUBLE), 6) + 0.0 AS dup_share,
+      |  pad_tokens,
+      |  round(CAST(pad_tokens AS DOUBLE)
+      |    / CAST(n_chunks * 32 AS DOUBLE), 6) + 0.0 AS pad_share,
+      |  round(CAST(n_chunks * 32 AS DOUBLE)
+      |    / CAST(total_tokens AS DOUBLE), 6) + 0.0 AS compute_blowup
+      |FROM per ORDER BY stride DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q407_chunking_ledger" -> (q407ChunkingLedger _),
     "q399_neardup_leakage" -> (q399NearDupLeakage _),
     "q395_packing_curve" -> (q395PackingCurve _),
     "q373_temperature_mix" -> (q373TemperatureMix _),
@@ -668,6 +763,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q407_chunking_ledger" -> q407Sql,
     "q399_neardup_leakage" -> q399Sql,
     "q395_packing_curve" -> q395Sql,
     "q373_temperature_mix" -> q373Sql,
