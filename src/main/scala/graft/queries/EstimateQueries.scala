@@ -1112,7 +1112,137 @@ object EstimateQueries {
       |ORDER BY decile""".stripMargin
   }
 
+  // --------------------------------------------------------------- q408
+  /** Conjunctive-predicate correlation audit — the FILTER-side companion
+    * to q234's join-cardinality q-error: a cost-based optimizer prices
+    * `WHERE a AND b` as sel(a)·sel(b), and that independence assumption
+    * is exactly what breaks on correlated predicates. Six predicate
+    * pairs over lineitem, chosen to span the three regimes: independent
+    * base columns (quantity/discount/price — the generator draws them
+    * independently, so the factor certifies ≈1), a DERIVED-expression
+    * pair (price vs revenue = price·(1−discount) — the expression
+    * predicate an optimizer cannot decompose), and a SAME-COLUMN range
+    * pair (shipdate ≥ 1999-01-01 vs year(shipdate) = 1999 — overlapping
+    * ranges in different syntax). Per pair: exact selectivities, the
+    * measured joint, the independence estimate, the correlation factor
+    * joint/(sel_a·sel_b), and the row-count q-error the planner would
+    * eat. Factors ≫ 1 are where a real engine needs multi-column stats.
+    *
+    * Exactness: every count is an exact integer from ONE aggregate;
+    * shares/factors/q-errors are single IEEE expressions over those
+    * integers (identical operand order in both engines), 6-dp-snapped.
+    *
+    * Scale shape: ONE map-combinable aggregate over lineitem carrying
+    * all indicator sums (the q382/q395 one-pass-sweep discipline), then
+    * a 6-row stack of the 1-row result. No window, no join. */
+  def q408PredicateCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "qty_gt25" -> (col("l_quantity") > 25.0),
+      "disc_gt05" -> (col("l_discount") > 0.05),
+      "price_gt30k" -> (col("l_extendedprice") > 30000.0),
+      "rev_gt30k" ->
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 30000.0),
+      "ship_ge99" -> (col("l_shipdate") >= lit("1999-01-01").cast("date")),
+      "ship_in99" -> (year(col("l_shipdate")) === 1999))
+    val pm = preds.toMap
+    val pairs = Seq(
+      ("qty_gt25", "disc_gt05"), ("qty_gt25", "price_gt30k"),
+      ("disc_gt05", "price_gt30k"), ("price_gt30k", "rev_gt30k"),
+      ("disc_gt05", "rev_gt30k"), ("ship_ge99", "ship_in99"))
+    def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(c, 1L).otherwise(0L))
+    val exprs = Seq(count(lit(1)).as("n")) ++
+      preds.map { case (nm, c) => cnt(c).as(s"c_$nm") } ++
+      pairs.map { case (a, b) => cnt(pm(a) && pm(b)).as(s"j_${a}__$b") }
+    val agg = li.agg(exprs.head, exprs.tail: _*)
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    agg.select(col("n"), expr(
+        s"stack(${pairs.length}, " + pairs.map { case (a, b) =>
+          s"'$a', '$b', c_$a, c_$b, j_${a}__$b"
+        }.mkString(", ") +
+          ") as (pred_a, pred_b, n_a, n_b, n_joint)"))
+      .select(col("pred_a"), col("pred_b"), col("n"), col("n_a"),
+        col("n_b"), col("n_joint"),
+        r6(col("n_a").cast("double") / col("n").cast("double"))
+          .as("sel_a"),
+        r6(col("n_b").cast("double") / col("n").cast("double"))
+          .as("sel_b"),
+        r6(col("n_joint").cast("double") / col("n").cast("double"))
+          .as("sel_joint"),
+        r6(col("n_a").cast("double") * col("n_b").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("indep_est"),
+        r6(col("n_joint").cast("double") * col("n").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("corr_factor"),
+        when(col("n_joint") === 0L, lit(null).cast("double"))
+          .otherwise(r6(greatest(
+            col("n_a").cast("double") * col("n_b").cast("double") /
+              (col("n").cast("double") * col("n_joint").cast("double")),
+            col("n").cast("double") * col("n_joint").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")))))
+          .as("q_error"))
+      .orderBy("pred_a", "pred_b")
+  }
+
+  val q408Sql: String =
+    """WITH f AS (
+      |  SELECT l_quantity > 25.0 AS qty_gt25,
+      |    l_discount > 0.05 AS disc_gt05,
+      |    l_extendedprice > 30000.0 AS price_gt30k,
+      |    l_extendedprice * (1.0 - l_discount) > 30000.0 AS rev_gt30k,
+      |    l_shipdate >= DATE '1999-01-01' AS ship_ge99,
+      |    year(l_shipdate) = 1999 AS ship_in99
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN qty_gt25 THEN 1 ELSE 0 END) AS c_qty_gt25,
+      |    SUM(CASE WHEN disc_gt05 THEN 1 ELSE 0 END) AS c_disc_gt05,
+      |    SUM(CASE WHEN price_gt30k THEN 1 ELSE 0 END) AS c_price_gt30k,
+      |    SUM(CASE WHEN rev_gt30k THEN 1 ELSE 0 END) AS c_rev_gt30k,
+      |    SUM(CASE WHEN ship_ge99 THEN 1 ELSE 0 END) AS c_ship_ge99,
+      |    SUM(CASE WHEN ship_in99 THEN 1 ELSE 0 END) AS c_ship_in99,
+      |    SUM(CASE WHEN qty_gt25 AND disc_gt05 THEN 1 ELSE 0 END) AS j1,
+      |    SUM(CASE WHEN qty_gt25 AND price_gt30k THEN 1 ELSE 0 END) AS j2,
+      |    SUM(CASE WHEN disc_gt05 AND price_gt30k THEN 1 ELSE 0 END) AS j3,
+      |    SUM(CASE WHEN price_gt30k AND rev_gt30k THEN 1 ELSE 0 END) AS j4,
+      |    SUM(CASE WHEN disc_gt05 AND rev_gt30k THEN 1 ELSE 0 END) AS j5,
+      |    SUM(CASE WHEN ship_ge99 AND ship_in99 THEN 1 ELSE 0 END) AS j6
+      |  FROM f),
+      |s AS (
+      |  SELECT n, pred_a, pred_b, n_a, n_b, n_joint FROM a,
+      |  LATERAL (VALUES
+      |    ('qty_gt25', 'disc_gt05', c_qty_gt25, c_disc_gt05, j1),
+      |    ('qty_gt25', 'price_gt30k', c_qty_gt25, c_price_gt30k, j2),
+      |    ('disc_gt05', 'price_gt30k', c_disc_gt05, c_price_gt30k, j3),
+      |    ('price_gt30k', 'rev_gt30k', c_price_gt30k, c_rev_gt30k, j4),
+      |    ('disc_gt05', 'rev_gt30k', c_disc_gt05, c_rev_gt30k, j5),
+      |    ('ship_ge99', 'ship_in99', c_ship_ge99, c_ship_in99, j6))
+      |    AS v(pred_a, pred_b, n_a, n_b, n_joint))
+      |SELECT pred_a, pred_b, n, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(n_joint AS BIGINT) AS n_joint,
+      |  round(CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS sel_a,
+      |  round(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS sel_b,
+      |  round(CAST(n_joint AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+      |    AS sel_joint,
+      |  round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0
+      |    AS indep_est,
+      |  round(CAST(n_joint AS DOUBLE) * CAST(n AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) + 0.0
+      |    AS corr_factor,
+      |  CASE WHEN n_joint = 0 THEN NULL
+      |    ELSE round(GREATEST(
+      |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n_joint AS DOUBLE)),
+      |      CAST(n AS DOUBLE) * CAST(n_joint AS DOUBLE)
+      |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) + 0.0
+      |  END AS q_error
+      |FROM s ORDER BY pred_a, pred_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_predicate_correlation" -> (q408PredicateCorrelation _),
     "q379_quantile_merge_err" -> (q379QuantileMergeErr _),
     "q357_theta_sketch_cert" -> (q357ThetaSketchCert _),
     "q356_hll_merge_cert" -> (q356HllMergeCert _),
@@ -1607,6 +1737,7 @@ object EstimateQueries {
       |FROM j""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q408_predicate_correlation" -> q408Sql,
     "q349_hll_cert" -> q349Sql,
     "q356_hll_merge_cert" -> q356Sql,
     "q379_quantile_merge_err" -> q379Sql,
