@@ -136,7 +136,18 @@ object EntityQueries {
     * exact verify runs before the pair-dedup (the q81 ordering), and the
     * probe side is explicitly repartitioned for the same
     * single-input-split reason. */
-  def q88SymspellNames(spark: SparkSession, dir: String): DataFrame = {
+  def q88SymspellNames(spark: SparkSession, dir: String): DataFrame =
+    symspellCandidates(spark, dir)
+      .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"),
+        levenshtein(col("name_1"), col("name_2"), 1).as("dist"))
+      .filter(col("dist") >= 0) // -1 = early-exited past the threshold
+      .distinct() // a pair may share several keys
+      .orderBy("id_1", "id_2")
+
+  /** q88's derived corpus: customer names ∪ a typo'd variant of every
+    * 7th name (one character deleted at a name-dependent position).
+    * Shared with q409's blocking-strategy census. */
+  private[graft] def typoCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Kpis.table(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // clone-id offset far above any real custkey at ANY scale factor
@@ -150,7 +161,16 @@ object EntityQueries {
           substr(col("name"),
             pmod(col("id"), length(col("name"))) + lit(2),
             length(col("name")))).as("name"))
-    val corpus = base.unionAll(typos)
+    base.unionAll(typos)
+  }
+
+  /** Raw symspell candidate pair stream (id_1 < id_2; NOT dedup'd — a
+    * pair may surface under several shared deletion keys). q88 verifies
+    * then dedups; q409 counts the distinct pairs as the strategy's
+    * candidate cost. */
+  private[graft] def symspellCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val corpus = typoCorpus(spark, dir)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // key set: self ∪ all delete-1 variants (dedup'd — deleting any char
     // of a run yields the same string)
@@ -168,11 +188,7 @@ object EntityQueries {
       col("key"))
     a.join(b, Seq("key"))
       .filter(col("id_1") < col("id_2"))
-      .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"),
-        levenshtein(col("name_1"), col("name_2"), 1).as("dist"))
-      .filter(col("dist") >= 0) // -1 = early-exited past the threshold
-      .distinct() // a pair may share several keys
-      .orderBy("id_1", "id_2")
+      .select(col("id_1"), col("id_2"), col("name_1"), col("name_2"))
   }
 
   val q88Sql: String =
@@ -286,13 +302,162 @@ object EntityQueries {
       |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.7
       |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q409
+  /** Blocking-strategy decision table — the COST/RECALL census behind
+    * the choice q81 and q88 each hard-code: on the q88 typo corpus,
+    * four standard ER blocking schemes are priced against the complete
+    * lev ≤ 1 truth (q88's deletion-neighborhood verify, which is
+    * recall-complete for that relation by construction). Per strategy:
+    * exact candidate-pair count (the verify bill), true matches its
+    * blocks retain, recall against the full relation, and
+    * pairs-per-match (the cost of one found match). `len_only`'s row is
+    * the cautionary one — TPC-H names are fixed-width, so length-only
+    * blocking IS the quadratic all-pairs bill; its candidate count is
+    * computed from the length census in closed form (Σ n·(n−1)/2), so
+    * the query itself never materializes the quadratic pair set.
+    *
+    * Exactness: candidate counts for the single-key strategies are
+    * integer census arithmetic; the stride strategy's OR-of-two-keys
+    * count is inclusion-exclusion over three key censuses (pairs
+    * matching h1, plus h2, minus both); symspell's is the distinct
+    * count of the registered candidate stream; matches are conditional
+    * counts over the verified truth annotated with both sides' keys.
+    * recall / pairs_per_match are single 6-dp-snapped divisions.
+    *
+    * Scale shape: the symspell candidate build (measured linear, the
+    * q88 plan) is eagerly materialized ONCE and shared by the truth
+    * verify and the candidate count; every other term is a
+    * census-bounded groupBy over the dimension-scale name table; the
+    * final assembly crossJoins seven 1-row frames. */
+  def q409BlockingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val feat = typoCorpus(spark, dir).select(col("id"),
+      length(col("name")).as("len"),
+      stride(col("name"), keepFirst = true).as("h1"),
+      stride(col("name"), keepFirst = false).as("h2"),
+      substring(col("name"), 1, 4).as("p4"))
+    val raw = graft.plans.Eager.ckpt(symspellCandidates(spark, dir))
+    val truth = raw
+      .withColumn("dist", levenshtein(col("name_1"), col("name_2"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("id_1"), col("id_2")).distinct()
+    def side(t: String) = feat.select(col("id").as(s"id_$t"),
+      col("len").as(s"len_$t"), col("h1").as(s"h1_$t"),
+      col("h2").as(s"h2_$t"), col("p4").as(s"p4_$t"))
+    val m = truth.join(side("1"), "id_1").join(side("2"), "id_2")
+      .agg(count(lit(1)).as("m_all"),
+        sum(when(col("len_1") === col("len_2"), 1L).otherwise(0L))
+          .as("m_len"),
+        sum(when(col("len_1") === col("len_2") &&
+          (col("h1_1") === col("h1_2") || col("h2_1") === col("h2_2")),
+          1L).otherwise(0L)).as("m_stride"),
+        sum(when(col("p4_1") === col("p4_2"), 1L).otherwise(0L))
+          .as("m_p4"))
+    def pairsOf(keys: Seq[Column], out: String): DataFrame =
+      feat.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(out))
+    val one = m
+      .crossJoin(pairsOf(Seq(col("len")), "c_len"))
+      .crossJoin(pairsOf(Seq(col("p4")), "c_p4"))
+      .crossJoin(pairsOf(Seq(col("len"), col("h1")), "c_lh1"))
+      .crossJoin(pairsOf(Seq(col("len"), col("h2")), "c_lh2"))
+      .crossJoin(pairsOf(Seq(col("len"), col("h1"), col("h2")), "c_lh12"))
+      .crossJoin(raw.select(col("id_1"), col("id_2")).distinct()
+        .agg(count(lit(1)).as("c_ss")))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    one.select(col("m_all"), expr("stack(4, " +
+        "'symspell', c_ss, m_all, " +
+        "'len_stride', c_lh1 + c_lh2 - c_lh12, m_stride, " +
+        "'prefix4', c_p4, m_p4, " +
+        "'len_only', c_len, m_len) " +
+        "as (strategy, n_candidates, n_matches)"))
+      .select(col("strategy"), col("n_candidates"), col("n_matches"),
+        r6(col("n_matches").cast("double") / col("m_all").cast("double"))
+          .as("recall"),
+        when(col("n_matches") === 0L, lit(null).cast("double"))
+          .otherwise(r6(col("n_candidates").cast("double") /
+            col("n_matches").cast("double"))).as("pairs_per_match"))
+      .orderBy("strategy")
+  }
+
+  val q409Sql: String =
+    """WITH corpus AS (
+      |  SELECT c_custkey AS id, c_name AS name FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000000,
+      |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
+      |      || substr(c_name,
+      |           CAST(c_custkey % length(c_name) AS INTEGER) + 2,
+      |           length(c_name))
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |feat AS (
+      |  SELECT id, name, length(name) AS len,
+      |    regexp_replace(name, '(.).?', '\1', 'g') AS h1,
+      |    regexp_replace(name, '.(.)?', '\1', 'g') AS h2,
+      |    substr(name, 1, 4) AS p4
+      |  FROM corpus),
+      |truth AS (
+      |  SELECT a.id AS id_1, b.id AS id_2,
+      |    a.len AS len_1, b.len AS len_2, a.h1 AS h1_1, b.h1 AS h1_2,
+      |    a.h2 AS h2_1, b.h2 AS h2_2, a.p4 AS p4_1, b.p4 AS p4_2
+      |  FROM feat a JOIN feat b ON a.id < b.id
+      |  WHERE levenshtein(a.name, b.name) <= 1),
+      |m AS (
+      |  SELECT COUNT(*) AS m_all,
+      |    SUM(CASE WHEN len_1 = len_2 THEN 1 ELSE 0 END) AS m_len,
+      |    SUM(CASE WHEN len_1 = len_2
+      |      AND (h1_1 = h1_2 OR h2_1 = h2_2) THEN 1 ELSE 0 END)
+      |      AS m_stride,
+      |    SUM(CASE WHEN p4_1 = p4_2 THEN 1 ELSE 0 END) AS m_p4
+      |  FROM truth),
+      |c_len AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS c FROM
+      |  (SELECT COUNT(*) AS n FROM feat GROUP BY len)),
+      |c_p4 AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS c FROM
+      |  (SELECT COUNT(*) AS n FROM feat GROUP BY p4)),
+      |c_lh1 AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS c FROM
+      |  (SELECT COUNT(*) AS n FROM feat GROUP BY len, h1)),
+      |c_lh2 AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS c FROM
+      |  (SELECT COUNT(*) AS n FROM feat GROUP BY len, h2)),
+      |c_lh12 AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS c FROM
+      |  (SELECT COUNT(*) AS n FROM feat GROUP BY len, h1, h2)),
+      |keys AS (
+      |  SELECT id, unnest(list_distinct(list_prepend(name,
+      |    list_transform(range(1, length(name) + 1),
+      |      i -> substr(name, 1, i - 1)
+      |        || substr(name, i + 1, length(name)))))) AS key
+      |  FROM corpus),
+      |c_ss AS (
+      |  SELECT COUNT(*) AS c FROM (
+      |    SELECT DISTINCT k1.id, k2.id
+      |    FROM keys k1 JOIN keys k2 USING (key) WHERE k1.id < k2.id)),
+      |s AS (
+      |  SELECT strategy, n_candidates, n_matches, m_all FROM m,
+      |  LATERAL (VALUES
+      |    ('symspell', (SELECT c FROM c_ss), m_all),
+      |    ('len_stride',
+      |      (SELECT c FROM c_lh1) + (SELECT c FROM c_lh2)
+      |        - (SELECT c FROM c_lh12), m_stride),
+      |    ('prefix4', (SELECT c FROM c_p4), m_p4),
+      |    ('len_only', (SELECT c FROM c_len), m_len))
+      |    AS v(strategy, n_candidates, n_matches))
+      |SELECT strategy, CAST(n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(n_matches AS BIGINT) AS n_matches,
+      |  round(CAST(n_matches AS DOUBLE) / CAST(m_all AS DOUBLE), 6)
+      |    + 0.0 AS recall,
+      |  CASE WHEN n_matches = 0 THEN NULL
+      |    ELSE round(CAST(n_candidates AS DOUBLE)
+      |      / CAST(n_matches AS DOUBLE), 6) + 0.0
+      |  END AS pairs_per_match
+      |FROM s ORDER BY strategy""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q409_blocking_plan" -> (q409BlockingPlan _),
     "q295_jw_name_pairs" -> (q295JwNamePairs _),
     "q81_fuzzy_names" -> (q81FuzzyNames _),
     "q88_symspell_names" -> (q88SymspellNames _),
     "q191_entity_clusters" -> (q191EntityClusters _))
 
   def oracles: Map[String, String] = Map(
+    "q409_blocking_plan" -> q409Sql,
     "q295_jw_name_pairs" -> q295Sql,
     "q81_fuzzy_names" -> q81Sql,
     "q88_symspell_names" -> q88Sql,
