@@ -739,7 +739,96 @@ object SplitQueries {
       |    / CAST(total_tokens AS DOUBLE), 6) + 0.0 AS compute_blowup
       |FROM per ORDER BY stride DESC""".stripMargin
 
+  // --------------------------------------------------------------- q410
+  /** Length-bucketed batching savings — the DYNAMIC-batching decision
+    * table completing the q395/q407 family: instead of padding every
+    * sequence to one global max, sort by length and cut the corpus into
+    * B equal-count buckets, padding each bucket only to ITS max. For
+    * B ∈ {1, 2, 4, 8, 16}: exact pad mass, its share of the device
+    * tokens actually scheduled, and the saving against the B = 1
+    * (global-max) baseline — the curve a batch scheduler reads to pick
+    * its bucket count (diminishing returns set in exactly where the
+    * length distribution's tail stops dominating the bucket max).
+    *
+    * Exactness: bucket assignment is pure integer arithmetic on the
+    * exact global length rank (⌊(rk−1)·B/N⌋ over the (n, doc_id) total
+    * order), pad masses are integer sums of per-bucket max−n terms, and
+    * each share is ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE [[graft.operators.RangeRank.withGlobalRank]]
+    * range shuffle gives every bucket count its assignment (the ranked
+    * frame is eagerly materialized and shared); per B the census is a
+    * map-combinable ≤ B-row aggregate; the savings join broadcasts the
+    * 1-row B = 1 baseline. No fact-scale window, no quadratic stage. */
+  def q410BucketBatching(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val bs = Seq(1, 2, 4, 8, 16)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val ranked = graft.plans.Eager.ckpt(
+      graft.operators.RangeRank.withGlobalRank(lens, "rk",
+        Seq(col("n"), col("doc_id"))))
+    val total = ranked.agg(count(lit(1)).as("nd")).head().getLong(0)
+    val perB = bs.map { b =>
+      ranked
+        .groupBy(expr(s"((rk - 1) * $b) div $total").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"),
+          sum(col("n")).as("toks"))
+        .agg(lit(b.toLong).as("n_buckets"),
+          sum(col("cnt")).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("cnt") * col("mx") - col("toks")).as("pad_tokens"))
+    }.reduce(_ unionAll _)
+    val base = perB.filter(col("n_buckets") === 1L)
+      .select(col("pad_tokens").as("pad_base"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    perB.crossJoin(broadcast(base))
+      .select(col("n_buckets"), col("n_docs"), col("total_tokens"),
+        col("pad_tokens"),
+        (col("total_tokens") + col("pad_tokens")).as("device_tokens"),
+        r6(col("pad_tokens").cast("double") /
+          (col("total_tokens") + col("pad_tokens")).cast("double"))
+          .as("pad_share"),
+        r6(lit(1.0) - col("pad_tokens").cast("double") /
+          col("pad_base").cast("double")).as("saving_vs_global"))
+      .orderBy("n_buckets")
+  }
+
+  val q410Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |    AS BIGINT) AS n
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, doc_id) AS rk,
+      |    COUNT(*) OVER () AS nd
+      |  FROM lens),
+      |bset(b) AS (VALUES (CAST(1 AS BIGINT)), (2), (4), (8), (16)),
+      |bucketed AS (
+      |  SELECT b, ((rk - 1) * b) // nd AS bucket, n FROM ranked
+      |  CROSS JOIN bset),
+      |census AS (
+      |  SELECT b, bucket, COUNT(*) AS cnt, MAX(n) AS mx,
+      |    CAST(SUM(n) AS BIGINT) AS toks
+      |  FROM bucketed GROUP BY 1, 2),
+      |per AS (
+      |  SELECT b AS n_buckets, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(cnt * mx - toks) AS BIGINT) AS pad_tokens
+      |  FROM census GROUP BY 1),
+      |base AS (SELECT pad_tokens AS pad_base FROM per WHERE n_buckets = 1)
+      |SELECT n_buckets, n_docs, total_tokens, pad_tokens,
+      |  total_tokens + pad_tokens AS device_tokens,
+      |  round(CAST(pad_tokens AS DOUBLE)
+      |    / CAST(total_tokens + pad_tokens AS DOUBLE), 6) + 0.0
+      |    AS pad_share,
+      |  round(1.0 - CAST(pad_tokens AS DOUBLE)
+      |    / CAST(pad_base AS DOUBLE), 6) + 0.0 AS saving_vs_global
+      |FROM per CROSS JOIN base ORDER BY n_buckets""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_bucket_batching" -> (q410BucketBatching _),
     "q407_chunking_ledger" -> (q407ChunkingLedger _),
     "q399_neardup_leakage" -> (q399NearDupLeakage _),
     "q395_packing_curve" -> (q395PackingCurve _),
@@ -763,6 +852,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q410_bucket_batching" -> q410Sql,
     "q407_chunking_ledger" -> q407Sql,
     "q399_neardup_leakage" -> q399Sql,
     "q395_packing_curve" -> q395Sql,
