@@ -1534,7 +1534,126 @@ object DocQueries {
       |FROM tot, pe""".stripMargin
   }
 
+  // --------------------------------------------------------------- q411
+  /** Normalization-ladder dedup census — HOW AGGRESSIVELY to normalize
+    * before exact dedup, measured instead of guessed: the same corpus
+    * fingerprinted at four cumulative normalization levels (raw bytes →
+    * casefold → whitespace collapse → punctuation strip), each level
+    * reporting distinct fingerprints, duplicate docs/groups, and the
+    * MARGINAL dups only that level exposes. q19/q25 hard-code level 2
+    * (the md5-of-normText convention); this query is the decision table
+    * that justifies the choice — and shows what level 3 would
+    * additionally merge (with its false-merge risk: "don't!" vs
+    * "don't" collide once punctuation dies).
+    *
+    * Derived corpus (the q19 clone convention, ids offset per class far
+    * above fixture ids): every 5th doc gains an UPPERCASED copy
+    * (invisible to raw, caught from casefold on), every 7th a
+    * whitespace-mangled copy (doubled inner spaces + leading pad),
+    * every 11th a punctuation-decorated copy (quoted + trailing
+    * ellipsis) — so each ladder step catches exactly one planted class
+    * and the census is oracle-checkable end to end.
+    *
+    * Exactness: md5 fingerprints and integer counts only; the share is
+    * ONE 6-dp-snapped division. Both engines apply the identical regex
+    * chain (Java regexp_replace replaces all matches = RE2 'g').
+    *
+    * Scale shape: the 4-level fingerprint stack is a per-row projection
+    * (4× explode of the corpus), ONE (level, fp) hash agg — map-
+    * combinable, fingerprint-census-scale — then a ≤ 4-row rollup and
+    * a broadcast lag-join for the marginal column. */
+  def q411NormalizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    def planted(mod: Int, offset: Long, mangle: Column): DataFrame =
+      d.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + offset).as("doc_id"), mangle.as("text"))
+    val corpus = d
+      .unionAll(planted(5, 1000000000000L, upper(col("text"))))
+      .unionAll(planted(7, 2000000000000L,
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "))))
+      .unionAll(planted(11, 3000000000000L,
+        concat(lit("\" "), col("text"), lit(" ...\""))))
+    val lv = corpus
+      .withColumn("f0", md5(col("text")))
+      .withColumn("f1", md5(lower(col("text"))))
+      .withColumn("f2",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("f3", md5(regexp_replace(trim(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ")),
+        "\\s+", " ")))
+      .select(expr("stack(4, 0L, f0, 1L, f1, 2L, f2, 3L, f3) " +
+        "as (level_id, fp)"))
+    val census = lv.groupBy(col("level_id"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = census.groupBy(col("level_id"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1L).as("dup_docs"),
+        sum(when(col("cnt") >= 2L, 1L).otherwise(0L)).as("n_dup_groups"))
+    val prev = per.select((col("level_id") + 1L).as("level_id"),
+      col("dup_docs").as("dup_prev"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    per.join(broadcast(prev), Seq("level_id"), "left")
+      .select(col("level_id"),
+        when(col("level_id") === 0L, "raw")
+          .when(col("level_id") === 1L, "casefold")
+          .when(col("level_id") === 2L, "whitespace")
+          .otherwise("punct_strip").as("level"),
+        col("n_docs"), col("n_distinct"), col("dup_docs"),
+        col("n_dup_groups"),
+        (col("dup_docs") - coalesce(col("dup_prev"), lit(0L)))
+          .as("marginal_dups"),
+        r6(col("dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_share"))
+      .orderBy("level_id")
+  }
+
+  val q411Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000000, upper(text) FROM documents
+      |  WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000000,
+      |    '  ' || regexp_replace(text, ' ', '  ', 'g') FROM documents
+      |  WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000000000, '" ' || text || ' ..."'
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |lv AS (
+      |  SELECT 0 AS level_id, md5(text) AS fp FROM corpus
+      |  UNION ALL
+      |  SELECT 1, md5(lower(text)) FROM corpus
+      |  UNION ALL
+      |  SELECT 2, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |  FROM corpus
+      |  UNION ALL
+      |  SELECT 3, md5(regexp_replace(trim(
+      |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+      |    '\s+', ' ', 'g'))
+      |  FROM corpus),
+      |census AS (
+      |  SELECT level_id, fp, COUNT(*) AS cnt FROM lv GROUP BY 1, 2),
+      |per AS (
+      |  SELECT level_id, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |    COUNT(*) AS n_distinct,
+      |    CAST(SUM(cnt - 1) AS BIGINT) AS dup_docs,
+      |    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_groups
+      |  FROM census GROUP BY 1)
+      |SELECT CAST(p.level_id AS BIGINT) AS level_id,
+      |  CASE p.level_id WHEN 0 THEN 'raw' WHEN 1 THEN 'casefold'
+      |    WHEN 2 THEN 'whitespace' ELSE 'punct_strip' END AS level,
+      |  p.n_docs, p.n_distinct, p.dup_docs, p.n_dup_groups,
+      |  p.dup_docs - COALESCE(q.dup_docs, 0) AS marginal_dups,
+      |  round(CAST(p.dup_docs AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6)
+      |    + 0.0 AS dup_share
+      |FROM per p LEFT JOIN per q ON q.level_id = p.level_id - 1
+      |ORDER BY p.level_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q411_normalization_ladder" -> (q411NormalizationLadder _),
     "q283_dup_by_length" -> q283DupByLength _,
     "q281_lsh_calibration" -> q281LshCalibration _,
     "q269_dup_flow_matrix" -> q269DupFlowMatrix _,
@@ -1559,6 +1678,7 @@ object DocQueries {
     "q58_exact_profile" -> q58ExactProfile _)
 
   def oracles: Map[String, String] = Map(
+    "q411_normalization_ladder" -> q411Sql,
     "q283_dup_by_length" -> q283Sql,
     "q281_lsh_calibration" -> q281Sql,
     "q269_dup_flow_matrix" -> q269Sql,
