@@ -826,7 +826,113 @@ object LmQueries {
       |    AS selected_tokens
       |FROM docw GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q412
+  /** LM log-prob quantization loss table — sizing the FROZEN scoring-LM
+    * artifact the admission gates ship (AdmissionStream's lmIndex, the
+    * CCNet-style frozen model): the (token → log-prob) map is the one
+    * artifact whose bytes matter at broadcast time, and uniform scalar
+    * quantization of the log-probs is the standard shrink. For b ∈
+    * {4, 6, 8} bits: the codebook bytes, the corpus NLL measured under
+    * the quantized log-probs vs the exact ones, and the signed NLL
+    * drift — read against the guarantee |drift| ≤ step/2 (each token's
+    * log-prob moves at most half a grid step, so the cnt-weighted mean
+    * moves at most that too; asserted in spec). The elbow says how few
+    * bits the gate can ship without moving its q391-calibrated
+    * thresholds.
+    *
+    * Exactness: log-probs are q59's 9-dp-snapped MLE; the grid step and
+    * code assignment are identical IEEE expressions in both engines
+    * with integer level counts (15/63/255 as literals, no pow); each
+    * quantized log-prob re-snaps at 9 dp; corpus NLLs are exact
+    * DECIMAL sums of cnt × (9-dp) terms with ONE final division, 6-dp
+    * snapped (the q179/q257 discipline).
+    *
+    * Scale shape: q59's vocab-bounded census (the one linear explode +
+    * hash agg), a broadcast 1-row min/max, then all three bit widths
+    * ride a 3× explode of the VOCAB (not the corpus) and one
+    * map-combinable per-b aggregate. */
+  def q412LmQuantization(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Kpis.table(spark, dir, "documents")
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(col("toks")).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("cnt"), col("n"), col("v"),
+        round(log(col("cnt").cast("double") / col("n")), 9).as("lp"))
+    val mm = lp.agg(min(col("lp")).as("lo"), max(col("lp")).as("hi"))
+    val graded = lp.crossJoin(broadcast(mm))
+      .select(col("cnt"), col("n"), col("v"), col("lp"), col("lo"),
+        col("hi"),
+        expr("stack(3, 4, 15L, 6, 63L, 8, 255L) as (b, levels)"))
+      .withColumn("step", (col("hi") - col("lo")) / col("levels"))
+      .withColumn("lpq", round(col("lo") +
+        round((col("lp") - col("lo")) / col("step"), 0).cast("long")
+          * col("step"), 9))
+    def nllOf(term: Column): Column =
+      sum((term.cast("decimal(22,9)") * col("cnt")).cast("decimal(38,9)"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    graded.groupBy(col("b"))
+      .agg(max(col("v")).as("vocab"), max(col("n")).as("n_tokens"),
+        max(col("levels")).as("levels"), max(col("step")).as("step_raw"),
+        nllOf(col("lp")).as("se"), nllOf(col("lpq")).as("sq"))
+      .select(col("b").cast("long").as("bits"), col("vocab"),
+        col("n_tokens"),
+        expr("(vocab * b + 7) div 8").as("codebook_bytes"),
+        r6(abs(col("step_raw"))).as("step"),
+        r6(-col("se").cast("double") / col("n_tokens").cast("double"))
+          .as("nll_exact"),
+        r6(-col("sq").cast("double") / col("n_tokens").cast("double"))
+          .as("nll_quant"),
+        r6((col("se") - col("sq")).cast("double") /
+          col("n_tokens").cast("double")).as("nll_drift"))
+      .orderBy("bits")
+  }
+
+  val q412Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (SELECT unnest(toks) AS token FROM d),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v
+      |  FROM vocab),
+      |lp AS (
+      |  SELECT cnt, n, v,
+      |    round(ln(cnt::DOUBLE / n), 9) AS lp
+      |  FROM vocab CROSS JOIN tot),
+      |mm AS (SELECT MIN(lp) AS lo, MAX(lp) AS hi FROM lp),
+      |bits(b, levels) AS (VALUES (4, CAST(15 AS BIGINT)), (6, 63),
+      |  (8, 255)),
+      |graded AS (
+      |  SELECT b, levels, cnt, n, v, lp,
+      |    (hi - lo) / levels AS step,
+      |    round(lo + CAST(round((lp - lo) / ((hi - lo) / levels), 0)
+      |      AS BIGINT) * ((hi - lo) / levels), 9) AS lpq
+      |  FROM lp CROSS JOIN mm CROSS JOIN bits),
+      |per AS (
+      |  SELECT b, MAX(v) AS vocab, MAX(n) AS n_tokens,
+      |    MAX(step) AS step_raw,
+      |    SUM(CAST(CAST(lp AS DECIMAL(22,9)) * cnt AS DECIMAL(38,9)))
+      |      AS se,
+      |    SUM(CAST(CAST(lpq AS DECIMAL(22,9)) * cnt AS DECIMAL(38,9)))
+      |      AS sq
+      |  FROM graded GROUP BY b)
+      |SELECT CAST(b AS BIGINT) AS bits, vocab,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  (vocab * b + 7) // 8 AS codebook_bytes,
+      |  round(abs(step_raw), 6) + 0.0 AS step,
+      |  round(-CAST(se AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+      |    AS nll_exact,
+      |  round(-CAST(sq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0
+      |    AS nll_quant,
+      |  round(CAST(se - sq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    + 0.0 AS nll_drift
+      |FROM per ORDER BY bits""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q412_lm_quantization" -> (q412LmQuantization _),
     "q406_dsir_weights" -> (q406DsirWeights _),
     "q362_span_corruption" -> (q362SpanCorruption _),
     "q327_bpe_merge_ladder" -> (q327BpeMergeLadder _),
@@ -838,6 +944,7 @@ object LmQueries {
     "q391_nll_threshold_sweep" -> (q391NllThresholdSweep _))
 
   def oracles: Map[String, String] = Map(
+    "q412_lm_quantization" -> q412Sql,
     "q406_dsir_weights" -> q406Sql,
     "q362_span_corruption" -> q362Sql,
     "q327_bpe_merge_ladder" -> q327Sql,
