@@ -155,12 +155,100 @@ object Scd2 {
       |  AND valid_to > DATE '1997-06-01'
       |GROUP BY priority ORDER BY priority""".stripMargin
 
+  // --------------------------------------------------------------- q413
+  /** Time-travel retention / GC planner over the q54 SCD2 history — the
+    * lifecycle decision every versioned warehouse table needs: a
+    * superseded version can be garbage-collected only once its entire
+    * validity interval has fallen out of the time-travel horizon (no
+    * as-of query within the last R days can land inside it). For R ∈
+    * {7, 30, 90, 365} days behind the history's high-water date: the
+    * GC-able version count and share, the live (open-interval) versions
+    * a GC must never touch, and the order-row mass carried by the
+    * GC-able versions — the rewrite bill a vacuum pass would pay.
+    * The q380 deletion-cost audit prices ONE targeted erasure; this
+    * prices the standing retention policy.
+    *
+    * Semantics: "now" is max(valid_from) over the history (the last
+    * recorded change); a version is GC-able iff it is closed (its
+    * valid_to is not the far-future sentinel) AND valid_to <
+    * now − R — strictly before the horizon, so an as-of probe AT the
+    * horizon still resolves. Live versions are horizon-independent.
+    *
+    * Exactness: all date arithmetic and counts are integers; each share
+    * is ONE 6-dp-snapped division.
+    *
+    * Scale shape: the history build is q54's (one key-partitioned
+    * window + run collapse — one row per run, never per order); "now"
+    * is a broadcast 1-row max; all four horizons ride ONE map-
+    * combinable aggregate (the q382/q395 one-pass-sweep discipline)
+    * and a 4-row stack. */
+  def q413RetentionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val horizons = Seq(7, 30, 90, 365)
+    val sentinel = to_date(lit("9999-12-31"))
+    val scd = q54PriorityScd2(spark, dir)
+    val now = scd.agg(max(col("valid_from")).as("now"))
+    val exprs = Seq(count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to") === sentinel, 1L).otherwise(0L))
+          .as("n_live"),
+        sum(col("n_orders")).as("orders_total")) ++
+      horizons.flatMap(r => Seq(
+        sum(when(col("valid_to") =!= sentinel &&
+          col("valid_to") < date_sub(col("now"), r), 1L).otherwise(0L))
+          .as(s"gc_$r"),
+        sum(when(col("valid_to") =!= sentinel &&
+          col("valid_to") < date_sub(col("now"), r), col("n_orders"))
+          .otherwise(0L)).as(s"go_$r")))
+    val a = scd.crossJoin(broadcast(now)).agg(exprs.head, exprs.tail: _*)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    a.select(col("n_versions"), col("n_live"), col("orders_total"), expr(
+        s"stack(${horizons.length}, " + horizons.map(r =>
+          s"${r}L, gc_$r, go_$r").mkString(", ") +
+          ") as (retention_days, gc_versions, gc_orders)"))
+      .select(col("retention_days"), col("n_versions"), col("n_live"),
+        col("gc_versions"),
+        (col("n_versions") - col("gc_versions")).as("retained_versions"),
+        r6(col("gc_versions").cast("double") /
+          col("n_versions").cast("double")).as("gc_share"),
+        col("gc_orders"),
+        r6(col("gc_orders").cast("double") /
+          col("orders_total").cast("double")).as("gc_order_share"))
+      .orderBy("retention_days")
+  }
+
+  val q413Sql: String = scd2Cte +
+    """, now AS (SELECT MAX(valid_from) AS now FROM scd),
+      |r(retention_days) AS (
+      |  VALUES (CAST(7 AS BIGINT)), (30), (90), (365)),
+      |per AS (
+      |  SELECT retention_days,
+      |    COUNT(*) AS n_versions,
+      |    CAST(SUM(CASE WHEN valid_to = DATE '9999-12-31'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |    CAST(SUM(n_orders) AS BIGINT) AS orders_total,
+      |    CAST(SUM(CASE WHEN valid_to <> DATE '9999-12-31'
+      |      AND valid_to < now - CAST(retention_days AS INTEGER)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS gc_versions,
+      |    CAST(SUM(CASE WHEN valid_to <> DATE '9999-12-31'
+      |      AND valid_to < now - CAST(retention_days AS INTEGER)
+      |      THEN n_orders ELSE 0 END) AS BIGINT) AS gc_orders
+      |  FROM scd CROSS JOIN now CROSS JOIN r GROUP BY 1)
+      |SELECT retention_days, n_versions, n_live, gc_versions,
+      |  n_versions - gc_versions AS retained_versions,
+      |  round(CAST(gc_versions AS DOUBLE) / CAST(n_versions AS DOUBLE),
+      |    6) + 0.0 AS gc_share,
+      |  gc_orders,
+      |  round(CAST(gc_orders AS DOUBLE) / CAST(orders_total AS DOUBLE),
+      |    6) + 0.0 AS gc_order_share
+      |FROM per ORDER BY retention_days""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_priority_scd2" -> (q54PriorityScd2 _),
+    "q413_retention_plan" -> (q413RetentionPlan _),
     "q171_scd2_asof" -> (q171Scd2Asof _))
 
   def oracles: Map[String, String] = Map(
     "q54_priority_scd2" ->
       (scd2Cte + "SELECT * FROM scd ORDER BY custkey, version"),
+    "q413_retention_plan" -> q413Sql,
     "q171_scd2_asof" -> q171Sql)
 }
