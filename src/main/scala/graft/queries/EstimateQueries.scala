@@ -1241,8 +1241,138 @@ object EstimateQueries {
       |  END AS q_error
       |FROM s ORDER BY pred_a, pred_b""".stripMargin
 
+  // --------------------------------------------------------------- q414
+  /** Federated top-k merge certification — the heavy-hitter member the
+    * mergeability family (q356 HLL ∪, q357 theta, q379 quantile
+    * federation) was missing: S shards each hold a disjoint md5-split
+    * of the fact, each returns its LOCAL top-k part keys, and the
+    * coordinator re-scores the union with exact global counts (the
+    * standard two-round-trip protocol). The failure mode is a key that
+    * is globally top-k but locally mediocre on EVERY shard — it never
+    * enters the union and no re-scoring can recover it. For S ∈
+    * {2, 4, 8}: union size, overlap with the exact global top-k,
+    * recall@k, the k-th true count, and the largest global count the
+    * union EXCLUDED — when that excluded max is below the k-th true
+    * count, the protocol provably lost nothing (asserted in spec
+    * against the overlap).
+    *
+    * Exactness: shard assignment is the md5Hash60 parity hash both
+    * engines spell identically; every census/rank is integer with the
+    * (cnt desc, key) total order; recall is ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE (shard-hash, partkey) map-combinable census per
+    * shard count off the fact scan (shards are a projection of one
+    * hash), per-shard top-k via a shard-PARTITIONED window over the
+    * part-entity census (never global), the union re-score joins a
+    * ≤ S·k row frame against the global census, and the exact top-k
+    * comes from [[graft.operators.RangeRank.withGlobalRank]] over the
+    * same census. */
+  def q414TopkFederation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.md5Hash60
+    val k = 10
+    val shardCounts = Seq(2, 4, 8)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"),
+        md5Hash60(col("l_orderkey").cast("string")).as("h"))
+    val global = graft.plans.Eager.ckpt(
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("gcnt")))
+    val trueTop = graft.operators.RangeRank
+      .withGlobalRank(global, "trk", Seq(col("gcnt").desc, col("l_partkey")))
+      .filter(col("trk") <= k)
+      .select(col("l_partkey"), col("gcnt"), col("trk"))
+    val kthTrue = trueTop.agg(min(col("gcnt")).as("kth_true_cnt"))
+    val perS = shardCounts.map { s =>
+      val census = li.select(pmod(col("h"), lit(s.toLong)).as("shard"),
+          col("l_partkey"))
+        .groupBy(col("shard"), col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val localTop = census.withColumn("lrk", row_number().over(Window
+          .partitionBy(col("shard"))
+          .orderBy(col("cnt").desc, col("l_partkey"))))
+        .filter(col("lrk") <= k)
+      val union = localTop.select(col("l_partkey")).distinct()
+      // union is ≤ S·k rows; the constant partition key keeps the rank
+      // window bounded AND out of the global-window (empty-partitionSpec)
+      // class the guard audits
+      val fed = union.join(global, "l_partkey")
+        .withColumn("frk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("gcnt").desc, col("l_partkey"))))
+        .filter(col("frk") <= k)
+      val overlap = fed.join(trueTop.select(col("l_partkey")), "l_partkey")
+        .agg(count(lit(1)).as("overlap"))
+      val excluded = global.join(union, Seq("l_partkey"), "left_anti")
+        .agg(coalesce(max(col("gcnt")), lit(0L)).as("max_excluded_cnt"))
+      union.agg(count(lit(1)).as("union_size"))
+        .select(lit(s.toLong).as("n_shards"), lit(k.toLong).as("k"),
+          col("union_size"))
+        .crossJoin(overlap).crossJoin(excluded).crossJoin(broadcast(kthTrue))
+    }.reduce(_ unionAll _)
+    def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c, 6) + lit(0.0)
+    perS.select(col("n_shards"), col("k"), col("union_size"),
+        col("overlap"),
+        r6(col("overlap").cast("double") / col("k").cast("double"))
+          .as("recall_at_k"),
+        col("kth_true_cnt"), col("max_excluded_cnt"),
+        (col("max_excluded_cnt") < col("kth_true_cnt")).as("provably_safe"))
+      .orderBy("n_shards")
+  }
+
+  val q414Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("CAST(l_orderkey AS VARCHAR)")
+    """WITH li AS (
+      |  SELECT l_partkey, (HASHEXPR) AS h FROM lineitem),
+      |global AS (
+      |  SELECT l_partkey, COUNT(*) AS gcnt FROM li GROUP BY 1),
+      |true_top AS (
+      |  SELECT l_partkey, gcnt,
+      |    row_number() OVER (ORDER BY gcnt DESC, l_partkey) AS trk
+      |  FROM global QUALIFY trk <= 10),
+      |kth AS (SELECT MIN(gcnt) AS kth_true_cnt FROM true_top),
+      |s(n_shards) AS (VALUES (CAST(2 AS BIGINT)), (4), (8)),
+      |census AS (
+      |  SELECT n_shards, h % n_shards AS shard, l_partkey,
+      |    COUNT(*) AS cnt
+      |  FROM li CROSS JOIN s GROUP BY 1, 2, 3),
+      |local_top AS (
+      |  SELECT n_shards, shard, l_partkey,
+      |    row_number() OVER (PARTITION BY n_shards, shard
+      |      ORDER BY cnt DESC, l_partkey) AS lrk
+      |  FROM census QUALIFY lrk <= 10),
+      |u AS (
+      |  SELECT DISTINCT n_shards, l_partkey FROM local_top),
+      |fed AS (
+      |  SELECT n_shards, u.l_partkey,
+      |    row_number() OVER (PARTITION BY n_shards
+      |      ORDER BY gcnt DESC, u.l_partkey) AS frk
+      |  FROM u JOIN global ON u.l_partkey = global.l_partkey
+      |  QUALIFY frk <= 10),
+      |per AS (
+      |  SELECT n_shards,
+      |    (SELECT COUNT(*) FROM u u2 WHERE u2.n_shards = s.n_shards)
+      |      AS union_size,
+      |    (SELECT COUNT(*) FROM fed f JOIN true_top t
+      |       ON f.l_partkey = t.l_partkey WHERE f.n_shards = s.n_shards)
+      |      AS overlap,
+      |    (SELECT COALESCE(MAX(gcnt), 0) FROM global g
+      |       WHERE NOT EXISTS (SELECT 1 FROM u u3
+      |         WHERE u3.n_shards = s.n_shards
+      |           AND u3.l_partkey = g.l_partkey)) AS max_excluded_cnt
+      |  FROM s)
+      |SELECT n_shards, CAST(10 AS BIGINT) AS k, union_size, overlap,
+      |  round(CAST(overlap AS DOUBLE) / 10.0, 6) + 0.0 AS recall_at_k,
+      |  kth_true_cnt, CAST(max_excluded_cnt AS BIGINT)
+      |    AS max_excluded_cnt,
+      |  max_excluded_cnt < kth_true_cnt AS provably_safe
+      |FROM per CROSS JOIN kth ORDER BY n_shards""".stripMargin
+      .replace("(HASHEXPR)", s"($h)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q408_predicate_correlation" -> (q408PredicateCorrelation _),
+    "q414_topk_federation" -> (q414TopkFederation _),
     "q379_quantile_merge_err" -> (q379QuantileMergeErr _),
     "q357_theta_sketch_cert" -> (q357ThetaSketchCert _),
     "q356_hll_merge_cert" -> (q356HllMergeCert _),
@@ -1738,6 +1868,7 @@ object EstimateQueries {
 
   def oracles: Map[String, String] = Map(
     "q408_predicate_correlation" -> q408Sql,
+    "q414_topk_federation" -> q414Sql,
     "q349_hll_cert" -> q349Sql,
     "q356_hll_merge_cert" -> q356Sql,
     "q379_quantile_merge_err" -> q379Sql,

@@ -161,5 +161,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q306_abc_xyz",          // RangeRank offset prefix + cv-tercile ntile over |parts|
     "q308_bpe_first_merges", // alphabet² pair census rank
     "q309_dq_scorecard",     // embeds q302's daily-census median ranks
+    "q414_topk_federation",  // RangeRank offset prefix: <= #partitions rows
     "q338_benford_2digit")   // <=90-row two-digit (10..99) census
 }
