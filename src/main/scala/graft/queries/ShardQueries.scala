@@ -1071,7 +1071,93 @@ object ShardQueries {
       |FROM per GROUP BY n_buckets ORDER BY n_buckets""".stripMargin
   }
 
+  // --------------------------------------------------------------- q415
+  /** Bucket-resize (graceful doubling) plan — WHAT a repartition of the
+    * bucketed warehouse actually moves: growing a hash-mod layout from
+    * 16 buckets to target t rewrites every row whose h mod t differs
+    * from h mod 16, and the movement share is a pure number-theory
+    * fact of (16, t) — stay share = |{r < lcm : r mod 16 = r mod t}| /
+    * lcm, i.e. 1/17 for t = 17, 1/3 for t = 24, and exactly 1/2 for
+    * the power-of-two double t = 32, where additionally every key
+    * either STAYS at b or moves to b + 16 (the split property that
+    * lets a doubling run bucket-by-bucket with no global shuffle).
+    * Per target: measured moved share on the real key hash, the exact
+    * uniform-hash theory, their gap (a hash-uniformity audit for
+    * free), and the split-property compliance share (1.0 at t = 32 by
+    * construction, reported as measured proof). The q297 HRW audit
+    * shows WHICH scheme to use against arbitrary resizes; this table
+    * says that if mod-bucketing stays (as warehouse layouts S8 uses
+    * do), resizes should be doublings — and prices the alternatives.
+    *
+    * Exactness: indicator sums over the md5Hash60 parity hash; theory
+    * shares are exact literals; each share is ONE 6-dp-snapped
+    * division.
+    *
+    * Scale shape: ONE map-combinable aggregate over the fact scan
+    * carrying all three targets' indicators (no shuffle beyond the
+    * 1-row final), then a 3-row stack. */
+  def q415BucketResize(spark: SparkSession, dir: String): DataFrame = {
+    val targets = Seq(17L, 24L, 32L)
+    // stay share = |{r < lcm(16,t) : r%16 = r%t}| / lcm — for t > 16
+    // the matches are exactly r in [0, 16), so stay = 16/lcm(16, t)
+    def lcm(a: Long, b: Long): Long = {
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(md5Hash60(col("l_orderkey").cast("string")).as("h"))
+    val exprs = Seq(count(lit(1)).as("n")) ++
+      targets.flatMap(t => Seq(
+        sum(when(pmod(col("h"), lit(16L)) =!= pmod(col("h"), lit(t)), 1L)
+          .otherwise(0L)).as(s"mv_$t"),
+        sum(when(pmod(pmod(col("h"), lit(t)), lit(16L)) ===
+          pmod(col("h"), lit(16L)), 1L).otherwise(0L)).as(s"sp_$t")))
+    val a = li.agg(exprs.head, exprs.tail: _*)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    a.select(col("n"), expr(s"stack(${targets.length}, " +
+        targets.map(t => s"${t}L, mv_$t, sp_$t, " +
+          s"${1.0 - 16.0 / lcm(16L, t)}D").mkString(", ") +
+        ") as (target_buckets, moved, split_ok, theory_moved)"))
+      .select(col("target_buckets"), col("n").as("n_rows"), col("moved"),
+        r6(col("moved").cast("double") / col("n").cast("double"))
+          .as("moved_share"),
+        r6(col("theory_moved")).as("theory_moved"),
+        r6(abs(col("moved").cast("double") / col("n").cast("double")
+          - col("theory_moved"))).as("uniformity_gap"),
+        r6(col("split_ok").cast("double") / col("n").cast("double"))
+          .as("split_property_share"))
+      .orderBy("target_buckets")
+  }
+
+  val q415Sql: String = {
+    val h = md5Hash60Sql("CAST(l_orderkey AS VARCHAR)")
+    """WITH li AS (SELECT (HASHEXPR) AS h FROM lineitem),
+      |t(target_buckets, theory_moved) AS (VALUES
+      |  (CAST(17 AS BIGINT), 1.0 - 16.0 / 272.0),
+      |  (24, 1.0 - 16.0 / 48.0),
+      |  (32, 1.0 - 16.0 / 32.0)),
+      |per AS (
+      |  SELECT target_buckets, theory_moved, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN h % 16 <> h % target_buckets
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+      |    CAST(SUM(CASE WHEN (h % target_buckets) % 16 = h % 16
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS split_ok
+      |  FROM li CROSS JOIN t GROUP BY 1, 2)
+      |SELECT target_buckets, n_rows, moved,
+      |  round(CAST(moved AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) + 0.0
+      |    AS moved_share,
+      |  round(theory_moved, 6) + 0.0 AS theory_moved,
+      |  round(abs(CAST(moved AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    - theory_moved), 6) + 0.0 AS uniformity_gap,
+      |  round(CAST(split_ok AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |    + 0.0 AS split_property_share
+      |FROM per ORDER BY target_buckets""".stripMargin
+      .replace("(HASHEXPR)", s"($h)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_bucket_resize" -> (q415BucketResize _),
     "q385_bucket_skew_advisor" -> (q385BucketSkewAdvisor _),
     "q383_cache_hit_curve" -> (q383CacheHitCurve _),
     "q376_sortedness_audit" -> (q376SortednessAudit _),
@@ -1083,6 +1169,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q415_bucket_resize" -> q415Sql,
     "q385_bucket_skew_advisor" -> q385Sql,
     "q383_cache_hit_curve" -> q383Sql,
     "q376_sortedness_audit" -> q376Sql,
