@@ -486,7 +486,114 @@ object EmbedStatsQueries {
       |    AS effective_dim
       |FROM v9""".stripMargin
 
+  // --------------------------------------------------------------- q416
+  /** In-batch positive-pair coverage — the data-LAYOUT half of
+    * contrastive training (the loss only sees pairs that land in the
+    * SAME device batch): for batch counts B ∈ {4, 16, 64} over the
+    * labeled embedding corpus, the exact share of same-label pairs
+    * that are co-batched under (a) random assignment (the md5 parity
+    * hash — in expectation 1/B, and the measured gap doubles as a
+    * uniformity audit) and (b) label-sorted chunking (rank by (label,
+    * id), cut into B equal chunks — the label-aware batching that
+    * preserves positives at the price of zero in-batch label
+    * diversity). The two columns bound the design space every
+    * contrastive dataloader interpolates (shuffled ↔ grouped); the
+    * advantage column is what label-aware batching buys at each B.
+    *
+    * Exactness: both assignments are integer arithmetic (hash mod;
+    * ⌊(rk−1)·B/N⌋ over the exact global rank); pair counts are
+    * Σ n·(n−1)/2 census sums; every share is ONE 6-dp-snapped
+    * division.
+    *
+    * Scale shape: ONE [[graft.operators.RangeRank.withGlobalRank]]
+    * range shuffle for the label-sorted order (eagerly shared by all
+    * three B); per (B, batch, label) censuses are map-combinable
+    * aggregates over the entity-scale corpus; the positive-pair total
+    * is a |labels|-row census. */
+  def q416InbatchPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    import org.apache.spark.sql.Column
+    val bs = Seq(4L, 16L, 64L)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        md5Hash60(col("vec_id").cast("string")).as("h"))
+    val ranked = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withGlobalRank(e, "rk", Seq(col("label"), col("vec_id"))))
+    val n = ranked.agg(count(lit(1))).head().getLong(0)
+    // n·(n−1)/2 in INTEGER arithmetic (Column./ is IEEE division)
+    def pairs(c: String): Column = expr(s"$c * ($c - 1) div 2")
+    val totalPos = ranked.groupBy(col("label"))
+      .agg(count(lit(1)).as("nl"))
+      .agg(sum(pairs("nl")).as("pos_pairs"))
+    val perB = bs.map { b =>
+      val cells = ranked.select(col("label"),
+          pmod(col("h"), lit(b)).as("rb"),
+          expr(s"((rk - 1) * $b) div $n").as("sb"))
+      val rnd = cells.groupBy(col("rb"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(pairs("c")), lit(0L)).as("rnd_pairs"))
+      val srt = cells.groupBy(col("sb"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(pairs("c")), lit(0L)).as("srt_pairs"))
+      rnd.crossJoin(srt).select(lit(b).as("n_batches"), col("rnd_pairs"),
+        col("srt_pairs"))
+    }.reduce(_ unionAll _)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    perB.crossJoin(broadcast(totalPos))
+      .select(col("n_batches"), col("pos_pairs"),
+        col("rnd_pairs"),
+        r6(col("rnd_pairs").cast("double") / col("pos_pairs").cast("double"))
+          .as("random_cobatch"),
+        r6(lit(1.0) / col("n_batches").cast("double")).as("random_theory"),
+        col("srt_pairs"),
+        r6(col("srt_pairs").cast("double") / col("pos_pairs").cast("double"))
+          .as("sorted_cobatch"),
+        r6((col("srt_pairs") - col("rnd_pairs")).cast("double") /
+          col("pos_pairs").cast("double")).as("advantage"))
+      .orderBy("n_batches")
+  }
+
+  val q416Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("CAST(vec_id AS VARCHAR)")
+    """WITH e AS (
+      |  SELECT vec_id, label, (HASHEXPR) AS h,
+      |    row_number() OVER (ORDER BY label, vec_id) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM embeddings),
+      |tot AS (
+      |  SELECT CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS pos_pairs
+      |  FROM (SELECT COUNT(*) AS nl FROM e GROUP BY label)),
+      |bset(b) AS (VALUES (CAST(4 AS BIGINT)), (16), (64)),
+      |cells AS (
+      |  SELECT b, label, h % b AS rb, ((rk - 1) * b) // n AS sb
+      |  FROM e CROSS JOIN bset),
+      |rnd AS (
+      |  SELECT b, CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+      |    AS rnd_pairs
+      |  FROM (SELECT b, rb, label, COUNT(*) AS c FROM cells
+      |        GROUP BY 1, 2, 3) GROUP BY b),
+      |srt AS (
+      |  SELECT b, CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+      |    AS srt_pairs
+      |  FROM (SELECT b, sb, label, COUNT(*) AS c FROM cells
+      |        GROUP BY 1, 2, 3) GROUP BY b)
+      |SELECT b AS n_batches, pos_pairs, rnd_pairs,
+      |  round(CAST(rnd_pairs AS DOUBLE) / CAST(pos_pairs AS DOUBLE), 6)
+      |    + 0.0 AS random_cobatch,
+      |  round(1.0 / CAST(b AS DOUBLE), 6) + 0.0 AS random_theory,
+      |  srt_pairs,
+      |  round(CAST(srt_pairs AS DOUBLE) / CAST(pos_pairs AS DOUBLE), 6)
+      |    + 0.0 AS sorted_cobatch,
+      |  round(CAST(srt_pairs - rnd_pairs AS DOUBLE)
+      |    / CAST(pos_pairs AS DOUBLE), 6) + 0.0 AS advantage
+      |FROM rnd JOIN srt USING (b) CROSS JOIN tot
+      |ORDER BY n_batches""".stripMargin
+      .replace("(HASHEXPR)", s"($h)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q416_inbatch_pairs" -> (q416InbatchPairs _),
     "q119_embed_covariance" -> (q119EmbedCovariance _),
     "q126_pca_power" -> (q126PcaPower _),
     "q166_source_drift" -> (q166SourceDrift _),
@@ -494,6 +601,7 @@ object EmbedStatsQueries {
     "q183_effective_dim" -> (q183EffectiveDim _))
 
   def oracles: Map[String, String] = Map(
+    "q416_inbatch_pairs" -> q416Sql,
     "q119_embed_covariance" -> q119Sql,
     "q126_pca_power" -> q126Sql,
     "q166_source_drift" -> q166Sql,
