@@ -482,7 +482,119 @@ object DupClusters {
       |FROM per p JOIN sizes z USING (cluster_id)
       |ORDER BY p.cluster_id""".stripMargin
 
+  // --------------------------------------------------------------- q417
+  /** Cluster-aware split certification — THE FIX for what q399
+    * measures: a doc-level md5 split leaks near-duplicate pairs across
+    * train/test because clone siblings hash independently; splitting by
+    * the q45 CLUSTER key (every member of a near-dup component shares
+    * its cluster_id; singletons keep their own id) sends whole
+    * components to one side, so cross-split near-dup leakage is ZERO by
+    * construction. Both policies are scored on the same corpus and the
+    * same verified edge set: per policy, the split census and the
+    * leaked (cross-split) vs contained (within-split) edge counts — the
+    * doc-level row is q399's finding, the cluster-level row is the
+    * certified repair (leaked = 0, asserted in spec), and the split
+    * censuses show the price: group-atomic assignment moves whole
+    * clusters, so the split proportions wobble slightly.
+    *
+    * Exactness: md5 split assignment and integer edge counts; the
+    * leak share is ONE 6-dp-snapped division.
+    *
+    * Scale shape: q45's candidate/verify chain (measured linear, r09)
+    * built ONCE and shared — the shingle table is persisted by its
+    * builder and both the edge set and the cluster map derive from it;
+    * policy scoring is two broadcast-joins of the edge list against
+    * the doc→split maps and ONE map-combinable aggregate per policy. */
+  def q417ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.SplitQueries.splitFor
+    val sh = q45ShingleTable(spark, dir)
+    val edges = graft.plans.Eager.ckpt(jaccardEdges(sh, threshold = 0.7))
+    val comp = connectedComponents(edges, "a", "b")
+      .select(col("node").as("id"), col("comp").as("cluster_id"))
+    val ids = sh.select(col("id"))
+    val assign = graft.plans.Eager.ckpt(ids
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        splitFor(col("id").cast("string")).as("doc_split"),
+        splitFor(coalesce(col("cluster_id"), col("id")).cast("string"))
+          .as("cluster_split")))
+    sh.unpersist()
+    def score(splitCol: String, policy: String): DataFrame = {
+      val sa = assign.select(col("id").as("a"),
+        col(splitCol).as("sa"))
+      val sb = assign.select(col("id").as("b"),
+        col(splitCol).as("sb"))
+      val e = edges.join(sa, "a").join(sb, "b")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("leaked_pairs"))
+      val census = assign.groupBy(col(splitCol).as("s"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("s") === "train", col("c"))).as("n_train"),
+          sum(when(col("s") === "val", col("c"))).as("n_val"),
+          sum(when(col("s") === "test", col("c"))).as("n_test"))
+      census.crossJoin(e).select(lit(policy).as("policy"),
+        col("n_train"), col("n_val"), col("n_test"), col("n_edges"),
+        col("leaked_pairs"),
+        (round(col("leaked_pairs").cast("double") /
+          col("n_edges").cast("double"), 6) + lit(0.0)).as("leak_share"))
+    }
+    score("doc_split", "doc_level")
+      .unionAll(score("cluster_split", "cluster_aware"))
+      .orderBy("policy")
+  }
+
+  lazy val q417Sql: String = {
+    val split = (c: String) =>
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |           < 'cc' THEN 'train'
+         |         WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2)
+         |           < 'e6' THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    q45Cte +
+      s""", assign AS (
+      |  SELECT v.id,
+      |    ${split("v.id")} AS doc_split,
+      |    ${split("COALESCE(c.cluster_id, v.id)")} AS cluster_split
+      |  FROM (SELECT id FROM variants) v
+      |  LEFT JOIN comp c ON c.node = v.id),
+      |pol(policy) AS (VALUES ('doc_level'), ('cluster_aware')),
+      |scored AS (
+      |  SELECT p.policy,
+      |    CASE WHEN p.policy = 'doc_level' THEN a1.doc_split
+      |         ELSE a1.cluster_split END AS sa,
+      |    CASE WHEN p.policy = 'doc_level' THEN a2.doc_split
+      |         ELSE a2.cluster_split END AS sb
+      |  FROM edges e
+      |  JOIN assign a1 ON a1.id = e.a
+      |  JOIN assign a2 ON a2.id = e.b
+      |  CROSS JOIN pol p),
+      |eagg AS (
+      |  SELECT policy, COUNT(*) AS n_edges,
+      |    CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS leaked_pairs
+      |  FROM scored GROUP BY 1),
+      |cagg AS (
+      |  SELECT p.policy,
+      |    CAST(SUM(CASE WHEN (CASE WHEN p.policy = 'doc_level'
+      |        THEN doc_split ELSE cluster_split END) = 'train'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN (CASE WHEN p.policy = 'doc_level'
+      |        THEN doc_split ELSE cluster_split END) = 'val'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      |    CAST(SUM(CASE WHEN (CASE WHEN p.policy = 'doc_level'
+      |        THEN doc_split ELSE cluster_split END) = 'test'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM assign CROSS JOIN pol p GROUP BY 1)
+      |SELECT c.policy, n_train, n_val, n_test, n_edges, leaked_pairs,
+      |  round(CAST(leaked_pairs AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+      |    + 0.0 AS leak_share
+      |FROM cagg c JOIN eagg e ON c.policy = e.policy
+      |ORDER BY c.policy""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q417_cluster_split" -> (q417ClusterSplit _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q189_cluster_census" -> (q189ClusterCensus _),
     "q198_similarity_histogram" -> (q198SimilarityHistogram _),
@@ -707,6 +819,7 @@ object DupClusters {
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q417_cluster_split" -> q417Sql,
     "q396_cluster_quality" -> q396Sql,
     "q364_soft_dedup_weights" -> q364Sql,
     "q247_dedup_keep_audit" -> q247Sql,
