@@ -774,7 +774,110 @@ object CorpusStatsQueries {
       |    + 0.0 AS gt_minus_measured
       |FROM gt, m""".stripMargin
 
+  // --------------------------------------------------------------- q418
+  /** Negative-sampling smoothing table — the unigram^α exponent every
+    * embedding trainer hard-codes (word2vec ships α = 0.75), priced on
+    * the real census: for α ∈ {0.5, 0.75, 1.0} the smoothed sampling
+    * distribution p_α(t) ∝ cnt(t)^α is summarized by its entropy (and
+    * the implied effective vocabulary 2^H — how many "equally likely"
+    * tokens the sampler behaves as), the mass captured by the top
+    * decile of tokens, and the mass granted to the bottom half — the
+    * rare-token boost that IS the reason α < 1 exists. Reading the
+    * three rows against each other is choosing α.
+    *
+    * Exactness: smoothed weights are pow(cnt, α) snapped at 9 dp into
+    * DECIMAL sums (exact totals); each p and entropy term is an
+    * identical-operand IEEE expression snapped at 9 dp before the
+    * DECIMAL entropy sum; headline numbers are 6-dp snapped. Decile /
+    * half membership comes from the exact (cnt desc, token) vocab
+    * rank.
+    *
+    * Scale shape: ONE token census (the q59 explode + vocab-bounded
+    * hash agg), one eagerly-shared RangeRank over the CENSUS (vocab
+    * scale), a 3× explode of the vocab for the α grid, per-α totals
+    * broadcast back for the entropy pass. Nothing beyond the census
+    * explode touches fact scale. */
+  def q418NegSampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val census = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withGlobalRank(census, "rk", Seq(col("cnt").desc, col("token"))))
+    val v = ranked.agg(count(lit(1))).head().getLong(0)
+    val graded = ranked.select(col("cnt"), col("rk"),
+        expr("stack(3, 0.5D, 0.75D, 1.0D) as (alpha)"))
+      .withColumn("w",
+        round(pow(col("cnt").cast("double"), col("alpha")), 9)
+          .cast("decimal(24,9)"))
+    val totals = graded.groupBy(col("alpha"))
+      .agg(sum(col("w")).as("tw"))
+    def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c, 6) + lit(0.0)
+    graded.join(broadcast(totals), "alpha")
+      .withColumn("p", col("w").cast("double") / col("tw").cast("double"))
+      .withColumn("ent_term",
+        round(-col("p") * log2(col("p")), 9).cast("decimal(22,9)"))
+      .groupBy(col("alpha"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("ent_term")).as("se"),
+        sum(when(col("rk") <= (v + 9) / 10,
+          col("w")).otherwise(lit(0).cast("decimal(24,9)")))
+          .as("wtop"),
+        sum(when(col("rk") > v / 2,
+          col("w")).otherwise(lit(0).cast("decimal(24,9)")))
+          .as("wbot"),
+        max(col("tw")).as("tw"))
+      .select(col("alpha"), col("vocab"),
+        r6(col("se").cast("double")).as("entropy_bits"),
+        r6(pow(lit(2.0), round(col("se").cast("double"), 6)))
+          .as("effective_vocab"),
+        r6(col("wtop").cast("double") / col("tw").cast("double"))
+          .as("top_decile_mass"),
+        r6(col("wbot").cast("double") / col("tw").cast("double"))
+          .as("bottom_half_mass"))
+      .orderBy("alpha")
+  }
+
+  val q418Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (
+      |  SELECT token, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(toks) AS token FROM d) GROUP BY token),
+      |ranked AS (
+      |  SELECT cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+      |    COUNT(*) OVER () AS v
+      |  FROM census),
+      |a(alpha) AS (VALUES (CAST(0.5 AS DOUBLE)), (0.75), (1.0)),
+      |graded AS (
+      |  SELECT alpha, cnt, rk, v,
+      |    CAST(round(pow(cnt::DOUBLE, alpha), 9) AS DECIMAL(24,9)) AS w
+      |  FROM ranked CROSS JOIN a),
+      |totals AS (SELECT alpha, SUM(w) AS tw FROM graded GROUP BY 1),
+      |terms AS (
+      |  SELECT g.alpha, g.rk, g.v, g.w, t.tw,
+      |    CAST(round(-(g.w::DOUBLE / t.tw::DOUBLE)
+      |      * log2(g.w::DOUBLE / t.tw::DOUBLE), 9) AS DECIMAL(22,9))
+      |      AS ent_term
+      |  FROM graded g JOIN totals t ON g.alpha = t.alpha)
+      |SELECT alpha, COUNT(*) AS vocab,
+      |  round(CAST(SUM(ent_term) AS DOUBLE), 6) + 0.0 AS entropy_bits,
+      |  round(pow(2.0, round(CAST(SUM(ent_term) AS DOUBLE), 6)), 6)
+      |    + 0.0 AS effective_vocab,
+      |  round(CAST(SUM(CASE WHEN rk <= (v + 9) // 10 THEN w
+      |    ELSE CAST(0 AS DECIMAL(24,9)) END) AS DOUBLE)
+      |    / CAST(MAX(tw) AS DOUBLE), 6) + 0.0 AS top_decile_mass,
+      |  round(CAST(SUM(CASE WHEN rk > v // 2 THEN w
+      |    ELSE CAST(0 AS DECIMAL(24,9)) END) AS DOUBLE)
+      |    / CAST(MAX(tw) AS DOUBLE), 6) + 0.0 AS bottom_half_mass
+      |FROM terms GROUP BY alpha ORDER BY alpha""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q418_neg_sampling" -> (q418NegSampling _),
     "q372_good_turing" -> (q372GoodTuring _),
     "q326_jarque_bera" -> (q326JarqueBera _),
     "q298_chao1_vocab" -> (q298Chao1Vocab _),
@@ -1165,6 +1268,7 @@ object CorpusStatsQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q418_neg_sampling" -> q418Sql,
     "q372_good_turing" -> q372Sql,
     "q326_jarque_bera" -> q326Sql,
     "q298_chao1_vocab" -> q298Sql,
