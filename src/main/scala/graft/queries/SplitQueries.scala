@@ -827,7 +827,112 @@ object SplitQueries {
       |    / CAST(pad_base AS DOUBLE), 6) + 0.0 AS saving_vs_global
       |FROM per CROSS JOIN base ORDER BY n_buckets""".stripMargin
 
+  // --------------------------------------------------------------- q419
+  /** Eval-split design audit for EVENT data — the leakage taxonomy the
+    * doc-split family (q46/q181/q399/q417) cannot see, because events
+    * carry a user AND a clock: three standard policies split the event
+    * log ~80/20 and each fails differently. Per policy: the split
+    * sizes, users STRADDLING both sides (identity leakage — any
+    * user-level feature computed on train has seen the test user), and
+    * causal leaks — test events with a LATER train event by the same
+    * user (the future bleeding into training, the failure that
+    * invalidates temporal eval). Event-random leaks both ways;
+    * user-grouped kills straddling (and with it causal leakage) but
+    * evaluates only unseen users; the time cutoff zeroes causal
+    * leakage by construction while every active user straddles. The
+    * table IS the design choice.
+    *
+    * Exactness: md5 split assignment (the splitFor hash family), exact
+    * timestamp comparisons and integer counts; shares are single
+    * 6-dp-snapped divisions.
+    *
+    * Scale shape: the 3-policy stack is a per-row projection; ONE
+    * map-combinable (policy, user) census (max train ts + side
+    * counts), one linear hash join of the test events back against
+    * that census for the causal count, and a ≤ 3-row rollup. */
+  def q419SplitDesign(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    def trainHash(c: Column): Column =
+      substring(md5(concat(lit("split:"), c.cast("string"))), 1, 2) < "cc"
+    val lab = graft.queries.Kpis.eventsTable(spark, dir)
+      .select(col("user_id"), col("ts"),
+        trainHash(col("event_id")).as("t1"),
+        (col("ts") < cutoff).as("t2"),
+        trainHash(col("user_id")).as("t3"))
+      .select(col("user_id"), col("ts"), expr(
+        "stack(3, 'event_random', t1, 'time_cutoff', t2, " +
+          "'user_grouped', t3) as (policy, is_train)"))
+    val census = graft.plans.Eager.ckpt(lab
+      .groupBy(col("policy"), col("user_id"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_te"),
+        max(when(col("is_train"), col("ts"))).as("max_tr")))
+    val leaks = lab.filter(!col("is_train"))
+      .join(census, Seq("policy", "user_id"))
+      .groupBy(col("policy"))
+      .agg(sum(when(col("max_tr").isNotNull && col("ts") < col("max_tr"),
+        1L).otherwise(0L)).as("causal_leaks"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    census.groupBy(col("policy"))
+      .agg(sum(col("n_tr")).as("n_train"), sum(col("n_te")).as("n_test"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+          .as("straddling_users"))
+      .join(leaks, "policy")
+      .select(col("policy"), col("n_train"), col("n_test"),
+        col("n_users"), col("straddling_users"),
+        r6(col("straddling_users").cast("double") /
+          col("n_users").cast("double")).as("straddle_share"),
+        col("causal_leaks"),
+        r6(col("causal_leaks").cast("double") /
+          col("n_test").cast("double")).as("causal_leak_share"))
+      .orderBy("policy")
+  }
+
+  val q419Sql: String = {
+    val th = (c: String) =>
+      s"substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2) < 'cc'"
+    s"""WITH lab AS (
+      |  SELECT user_id, ts, policy, is_train FROM events,
+      |  LATERAL (VALUES
+      |    ('event_random', ${th("event_id")}),
+      |    ('time_cutoff', ts < TIMESTAMP '2024-01-25 00:00:00'),
+      |    ('user_grouped', ${th("user_id")}))
+      |    AS v(policy, is_train)),
+      |census AS (
+      |  SELECT policy, user_id,
+      |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_tr,
+      |    CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_te,
+      |    MAX(CASE WHEN is_train THEN ts END) AS max_tr
+      |  FROM lab GROUP BY 1, 2),
+      |leaks AS (
+      |  SELECT l.policy,
+      |    CAST(SUM(CASE WHEN c.max_tr IS NOT NULL AND l.ts < c.max_tr
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS causal_leaks
+      |  FROM lab l JOIN census c
+      |    ON l.policy = c.policy AND l.user_id = c.user_id
+      |  WHERE NOT l.is_train GROUP BY 1),
+      |agg AS (
+      |  SELECT policy, CAST(SUM(n_tr) AS BIGINT) AS n_train,
+      |    CAST(SUM(n_te) AS BIGINT) AS n_test,
+      |    COUNT(*) AS n_users,
+      |    CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS straddling_users
+      |  FROM census GROUP BY 1)
+      |SELECT a.policy, n_train, n_test, n_users, straddling_users,
+      |  round(CAST(straddling_users AS DOUBLE)
+      |    / CAST(n_users AS DOUBLE), 6) + 0.0 AS straddle_share,
+      |  causal_leaks,
+      |  round(CAST(causal_leaks AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+      |    + 0.0 AS causal_leak_share
+      |FROM agg a JOIN leaks k ON a.policy = k.policy
+      |ORDER BY a.policy""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q419_split_design" -> (q419SplitDesign _),
     "q410_bucket_batching" -> (q410BucketBatching _),
     "q407_chunking_ledger" -> (q407ChunkingLedger _),
     "q399_neardup_leakage" -> (q399NearDupLeakage _),
@@ -852,6 +957,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q419_split_design" -> q419Sql,
     "q410_bucket_batching" -> q410Sql,
     "q407_chunking_ledger" -> q407Sql,
     "q399_neardup_leakage" -> q399Sql,
