@@ -1156,7 +1156,102 @@ object ShardQueries {
       .replace("(HASHEXPR)", s"($h)")
   }
 
+  // --------------------------------------------------------------- q420
+  /** Broadcast-join size ledger — the planning fact behind every forced
+    * or withheld broadcast() in this library, measured instead of
+    * assumed: for the five dimension tables, exact row counts and an
+    * exact in-memory byte estimate (fixed column widths + measured
+    * string bytes), the verdict against the classic 10 MiB
+    * auto-broadcast threshold, and — the column that matters at
+    * 100 TB — the same verdict at 1000× scale, where TPC-H's scaling
+    * dims (customer, supplier, part) leave broadcast range while the
+    * FIXED-cardinality dims (region, nation) stay broadcastable
+    * forever. This table is why q8/q67 broadcast nation/region freely
+    * while q2/q9 leave customer/supplier join strategy to AQE (the
+    * per-query Scaladocs cite the convention; this is its ledger).
+    *
+    * Exactness: counts and byte sums are exact integers (8 B for
+    * 64-bit/double columns, 4 B for ints/dates, string bytes measured
+    * by length over the ASCII fixture); shares/averages are single
+    * 6-dp-snapped divisions; the 1000× projection is integer
+    * multiplication gated by the public TPC-H scaling rule.
+    *
+    * Scale shape: one map-combinable aggregate per dimension table
+    * (the tables being audited are by definition the small ones),
+    * 5-row union. Fact tables are excluded on purpose — nobody
+    * broadcasts a fact. */
+  def q420BroadcastLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val threshold = 10L * 1024 * 1024
+    // region (5 rows) and nation (25) are FIXED at every TPC-H scale
+    // factor; customer/supplier/part grow linearly with SF
+    val tables = Seq(("region", false), ("nation", false),
+      ("supplier", true), ("customer", true), ("part", true))
+    def one(name: String, scales: Boolean): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val perRow: Column = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType => length(col(f.name)).cast("long") + lit(4L)
+          case IntegerType | DateType => lit(4L)
+          case _ => lit(8L) // long / double / timestamp / decimal word
+        }
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), sum(perRow).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("est_bytes"), lit(scales).as("scales_with_sf"))
+    }
+    val base = tables.map { case (t, s) => one(t, s) }.reduce(_ unionAll _)
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    base.select(col("table_name"), col("n_rows"), col("est_bytes"),
+        r6(col("est_bytes").cast("double") / col("n_rows").cast("double"))
+          .as("bytes_per_row"),
+        (col("est_bytes") <= threshold).as("broadcast_ok"),
+        col("scales_with_sf"),
+        when(col("scales_with_sf"), col("est_bytes") * 1000L)
+          .otherwise(col("est_bytes")).as("est_bytes_1000x"),
+        (when(col("scales_with_sf"), col("est_bytes") * 1000L)
+          .otherwise(col("est_bytes")) <= threshold)
+          .as("broadcast_ok_1000x"))
+      .orderBy("table_name")
+  }
+
+  val q420Sql: String =
+    """WITH per AS (
+      |  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+      |    CAST(SUM(4 + length(r_name) + 4) AS BIGINT) AS est_bytes,
+      |    FALSE AS scales_with_sf
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'nation', COUNT(*),
+      |    CAST(SUM(4 + length(n_name) + 4 + 4) AS BIGINT), FALSE
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'supplier', COUNT(*),
+      |    CAST(SUM(8 + length(s_name) + 4 + 4 + 8) AS BIGINT), TRUE
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT 'customer', COUNT(*),
+      |    CAST(SUM(8 + length(c_name) + 4 + 4 + 8
+      |      + length(c_mktsegment) + 4) AS BIGINT), TRUE
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'part', COUNT(*),
+      |    CAST(SUM(8 + length(p_name) + 4 + length(p_brand) + 4
+      |      + length(p_type) + 4 + 4 + 8) AS BIGINT), TRUE
+      |  FROM part)
+      |SELECT table_name, n_rows, est_bytes,
+      |  round(CAST(est_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |    + 0.0 AS bytes_per_row,
+      |  est_bytes <= 10485760 AS broadcast_ok,
+      |  scales_with_sf,
+      |  CASE WHEN scales_with_sf THEN est_bytes * 1000
+      |       ELSE est_bytes END AS est_bytes_1000x,
+      |  (CASE WHEN scales_with_sf THEN est_bytes * 1000
+      |        ELSE est_bytes END) <= 10485760 AS broadcast_ok_1000x
+      |FROM per ORDER BY table_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q420_broadcast_ledger" -> (q420BroadcastLedger _),
     "q415_bucket_resize" -> (q415BucketResize _),
     "q385_bucket_skew_advisor" -> (q385BucketSkewAdvisor _),
     "q383_cache_hit_curve" -> (q383CacheHitCurve _),
@@ -1169,6 +1264,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q420_broadcast_ledger" -> q420Sql,
     "q415_bucket_resize" -> q415Sql,
     "q385_bucket_skew_advisor" -> q385Sql,
     "q383_cache_hit_curve" -> q383Sql,
