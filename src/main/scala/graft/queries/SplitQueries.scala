@@ -931,7 +931,72 @@ object SplitQueries {
       |ORDER BY a.policy""".stripMargin
   }
 
+  // --------------------------------------------------------------- q421
+  /** Multi-epoch value-decay planning table — the data-constrained
+    * scaling question (Muennighoff et al. 2023, public result: repeated
+    * tokens lose value with an effective repetition constant R* ≈ 15):
+    * for each language and epoch count E ∈ {1, 2, 4, 8, 16}, the raw
+    * token budget spent (U·E), the EFFECTIVE unique-token-equivalent
+    * data under the published decay D_eff = U·(1 + R*·(1 − e^{−(E−1)/R*}))
+    * …scaled per epoch, and the marginal efficiency of the E-th doubling
+    * — the table a budget planner reads to decide when repeating this
+    * corpus stops paying and new data must be bought. Smaller languages
+    * hit the flat region of the curve at the same E (the decay is
+    * per-epoch, not per-token), which is exactly why mixtures
+    * up-sample small sources by epochs (q373) only so far.
+    *
+    * Exactness: U is an exact integer census; the decay is a single
+    * exp() expression over integer E and the literal R*, evaluated with
+    * identical operands in both engines and 6-dp snapped; raw budgets
+    * are integer products.
+    *
+    * Scale shape: ONE map-combinable per-lang token census off the doc
+    * scan, then a 5× census explode for the epoch grid. Nothing else
+    * touches fact scale. */
+  def q421EpochDecay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val rStar = 15.0
+    val u = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(sum(tokenCount(col("text")).cast("long")).as("u_tokens"))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    u.select(col("lang"), col("u_tokens"),
+        expr("stack(5, 1L, 2L, 4L, 8L, 16L) as (epochs)"))
+      .withColumn("raw_tokens", col("u_tokens") * col("epochs"))
+      .withColumn("eff_tokens_raw",
+        col("u_tokens").cast("double") * (lit(1.0) + lit(rStar) *
+          (lit(1.0) - exp((lit(1.0) - col("epochs").cast("double"))
+            / lit(rStar)))))
+      .select(col("lang"), col("epochs"), col("u_tokens"),
+        col("raw_tokens"),
+        r6(col("eff_tokens_raw")).as("eff_tokens"),
+        r6(col("eff_tokens_raw") / col("raw_tokens").cast("double"))
+          .as("efficiency"))
+      .orderBy("lang", "epochs")
+  }
+
+  val q421Sql: String =
+    """WITH u AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |      END) AS BIGINT) AS u_tokens
+      |  FROM documents GROUP BY 1),
+      |e(epochs) AS (VALUES (CAST(1 AS BIGINT)), (2), (4), (8), (16)),
+      |g AS (
+      |  SELECT lang, epochs, u_tokens, u_tokens * epochs AS raw_tokens,
+      |    CAST(u_tokens AS DOUBLE) * (1.0 + 15.0 *
+      |      (1.0 - exp((1.0 - CAST(epochs AS DOUBLE)) / 15.0)))
+      |      AS eff_raw
+      |  FROM u CROSS JOIN e)
+      |SELECT lang, epochs, u_tokens, raw_tokens,
+      |  round(eff_raw, 6) + 0.0 AS eff_tokens,
+      |  round(eff_raw / CAST(raw_tokens AS DOUBLE), 6) + 0.0
+      |    AS efficiency
+      |FROM g ORDER BY lang, epochs""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q421_epoch_decay" -> (q421EpochDecay _),
     "q419_split_design" -> (q419SplitDesign _),
     "q410_bucket_batching" -> (q410BucketBatching _),
     "q407_chunking_ledger" -> (q407ChunkingLedger _),
@@ -957,6 +1022,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q421_epoch_decay" -> q421Sql,
     "q419_split_design" -> q419Sql,
     "q410_bucket_batching" -> q410Sql,
     "q407_chunking_ledger" -> q407Sql,
