@@ -995,7 +995,112 @@ object SplitQueries {
       |    AS efficiency
       |FROM g ORDER BY lang, epochs""".stripMargin
 
+  // --------------------------------------------------------------- q422
+  /** Concat-packing contamination census — the OTHER side of the
+    * tradeoff q395 prices: concat-and-split packing wastes almost no
+    * pad, but it makes documents share sequences, and without
+    * attention masking every co-resident pair cross-attends. For the
+    * deterministic doc_id-order concatenation at L ∈ {128, 512, 2048}:
+    * sequences produced, documents SPLIT across a boundary (their
+    * context is truncated mid-doc), co-resident document pairs (the
+    * contamination count — docs are disjoint intervals, so each pair
+    * shares exactly one sequence and the per-sequence pair census
+    * counts it exactly once), and mean docs per sequence. Read beside
+    * q395's pad columns, this is the full decision: pad cost of
+    * one-doc-per-sequence vs contamination cost of packing.
+    *
+    * Exactness: positions are an exact running sum over the (doc_id)
+    * total order; sequence indices are integer division; all counts
+    * are integers and each share is ONE 6-dp-snapped division.
+    *
+    * Scale shape: ONE [[graft.operators.RangeRank.withRunningSum]]
+    * range shuffle (eagerly shared by all three L); the touched-
+    * sequence explode fans out ≤ n_tokens/L + 1 rows per doc; per-L
+    * censuses are map-combinable aggregates keyed by sequence id. */
+  def q422PackingContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val ls = Seq(128L, 512L, 2048L)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val pos = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withRunningSum(lens, col("n"), "cum", Seq(col("doc_id"))))
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    val perL = ls.map { l =>
+      val seqs = pos
+        .withColumn("first_seq", expr(s"(cum - n) div $l"))
+        .withColumn("last_seq", expr(s"(cum - 1) div $l"))
+      val split = seqs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .as("split_docs"))
+      val cross = seqs
+        .select(explode(sequence(col("first_seq"), col("last_seq")))
+          .as("seq"))
+        .groupBy(col("seq")).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("cross_pairs"),
+          sum(col("m")).as("doc_seq_edges"))
+      split.crossJoin(cross).select(lit(l).as("max_len"), col("n_docs"),
+        col("total_tokens"),
+        expr(s"(total_tokens + $l - 1) div $l").as("n_seqs"),
+        col("split_docs"),
+        r6(col("split_docs").cast("double") / col("n_docs").cast("double"))
+          .as("split_share"),
+        col("cross_pairs"),
+        r6(col("doc_seq_edges").cast("double") /
+          expr(s"(total_tokens + $l - 1) div $l").cast("double"))
+          .as("avg_docs_per_seq"))
+    }.reduce(_ unionAll _)
+    perL.orderBy("max_len")
+  }
+
+  val q422Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+'))
+      |    AS BIGINT) AS n
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |pos AS (
+      |  SELECT doc_id, n,
+      |    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM lens),
+      |ml(max_len) AS (VALUES (CAST(128 AS BIGINT)), (512), (2048)),
+      |seqs AS (
+      |  SELECT max_len, doc_id, n, cum,
+      |    (cum - n) // max_len AS first_seq,
+      |    (cum - 1) // max_len AS last_seq
+      |  FROM pos CROSS JOIN ml),
+      |split AS (
+      |  SELECT max_len, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS split_docs
+      |  FROM seqs GROUP BY 1),
+      |touch AS (
+      |  SELECT max_len, unnest(range(CAST(first_seq AS BIGINT),
+      |    CAST(last_seq + 1 AS BIGINT))) AS seq
+      |  FROM seqs),
+      |cross_c AS (
+      |  SELECT max_len,
+      |    CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT)
+      |      AS cross_pairs,
+      |    CAST(SUM(m) AS BIGINT) AS doc_seq_edges
+      |  FROM (SELECT max_len, seq, COUNT(*) AS m FROM touch
+      |        GROUP BY 1, 2) GROUP BY 1)
+      |SELECT s.max_len, n_docs, total_tokens,
+      |  (total_tokens + s.max_len - 1) // s.max_len AS n_seqs,
+      |  split_docs,
+      |  round(CAST(split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    + 0.0 AS split_share,
+      |  cross_pairs,
+      |  round(CAST(doc_seq_edges AS DOUBLE)
+      |    / CAST((total_tokens + s.max_len - 1) // s.max_len AS DOUBLE),
+      |    6) + 0.0 AS avg_docs_per_seq
+      |FROM split s JOIN cross_c c ON s.max_len = c.max_len
+      |ORDER BY s.max_len""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q422_packing_contamination" -> (q422PackingContamination _),
     "q421_epoch_decay" -> (q421EpochDecay _),
     "q419_split_design" -> (q419SplitDesign _),
     "q410_bucket_batching" -> (q410BucketBatching _),
@@ -1022,6 +1127,7 @@ object SplitQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q422_packing_contamination" -> q422Sql,
     "q421_epoch_decay" -> q421Sql,
     "q419_split_design" -> q419Sql,
     "q410_bucket_batching" -> q410Sql,
