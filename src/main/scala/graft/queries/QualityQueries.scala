@@ -488,7 +488,123 @@ object QualityQueries {
       |    AS doc_share
       |FROM cells ORDER BY lang, q_pass, nll_pass""".stripMargin
 
+  // --------------------------------------------------------------- q424
+  /** Joint-gate threshold grid — the 2-D tuning surface behind q398's
+    * single operating point: the quality floor and the perplexity
+    * ceiling are chosen TOGETHER (each gate's marginal cost depends on
+    * where the other sits — q398 measures exactly that overlap), so
+    * the decision artifact is the full grid: for quality floors
+    * {0.4, 0.5, 0.6} × NLL ceilings {3.40, 3.41, 3.43} (the quartile
+    * band of the measured per-doc NLL distribution — ceilings that
+    * actually BITE, unlike a loose cut that passes everything), the
+    * documents and
+    * token mass surviving BOTH gates and their shares of the corpus.
+    * The grid's center row prices the joint gate where both margins
+    * are active; the eight neighbors price every one-step loosening
+    * or tightening.
+    *
+    * Exactness: both per-doc scores are the oracle-certified chains
+    * (q23 bit-exact doubles, q59 6-dp-snapped), so gate comparisons
+    * agree across engines; counts and token sums are exact integers;
+    * shares are single 6-dp-snapped divisions.
+    *
+    * Scale shape: the q398 plan — two registered linear scoring passes
+    * joined once on doc_id — then ONE map-combinable aggregate
+    * carrying all nine cells' conditional sums (the q382/q395
+    * one-pass-sweep discipline) and a 9-row stack. */
+  def q424GateGrid(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.4, 0.5, 0.6)
+    val ns = Seq(3.40, 3.41, 3.43)
+    val q = DocQueries.q23DocQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val nll = graft.queries.LmQueries.q59UnigramNll(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+    val joined = nll.join(q, "doc_id")
+    val cells = for { qm <- qs; nm <- ns } yield (qm, nm)
+    def tag(qm: Double, nm: Double): String =
+      s"${(qm * 100).round}_${(nm * 100).round}"
+    val exprs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens")) ++
+      cells.flatMap { case (qm, nm) =>
+        val pass = col("quality") >= qm && col("avg_nll") <= nm
+        Seq(sum(when(pass, 1L).otherwise(0L)).as(s"d_${tag(qm, nm)}"),
+          sum(when(pass, col("n_tokens").cast("long")).otherwise(0L))
+            .as(s"t_${tag(qm, nm)}"))
+      }
+    val a = joined.agg(exprs.head, exprs.tail: _*)
+    def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c, 6) + lit(0.0)
+    a.select(col("n_docs"), col("total_tokens"), expr(
+        s"stack(${cells.length}, " + cells.map { case (qm, nm) =>
+          s"${qm}D, ${nm}D, d_${tag(qm, nm)}, t_${tag(qm, nm)}"
+        }.mkString(", ") +
+        ") as (quality_min, nll_max, kept_docs, kept_tokens)"))
+      .select(col("quality_min"), col("nll_max"), col("n_docs"),
+        col("kept_docs"),
+        r6(col("kept_docs").cast("double") / col("n_docs").cast("double"))
+          .as("doc_share"),
+        col("kept_tokens"),
+        r6(col("kept_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_share"))
+      .orderBy("quality_min", "nll_max")
+  }
+
+  val q424Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+      |    AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM d),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |lp AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab)), 9) AS lp
+      |  FROM vocab),
+      |nll AS (
+      |  SELECT doc_id, n_tokens, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |  FROM tok JOIN lp USING (token) GROUP BY doc_id, n_tokens),
+      |qm AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |         END AS INTEGER) AS n_tokens,
+      |    CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              t -> t IN ('the', 'a')))
+      |         END AS INTEGER) AS n_stop
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS quality
+      |  FROM qm),
+      |j AS (
+      |  SELECT n.doc_id, n.n_tokens, n.avg_nll, q.quality
+      |  FROM nll n JOIN qual q USING (doc_id)),
+      |grid(quality_min, nll_max) AS (VALUES
+      |  (CAST(0.4 AS DOUBLE), CAST(3.40 AS DOUBLE)), (0.4, 3.41),
+      |  (0.4, 3.43), (0.5, 3.40), (0.5, 3.41), (0.5, 3.43), (0.6, 3.40),
+      |  (0.6, 3.41), (0.6, 3.43))
+      |SELECT quality_min, nll_max, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN quality >= quality_min AND avg_nll <= nll_max
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  round(CAST(SUM(CASE WHEN quality >= quality_min
+      |      AND avg_nll <= nll_max THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS doc_share,
+      |  CAST(SUM(CASE WHEN quality >= quality_min AND avg_nll <= nll_max
+      |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  round(CAST(SUM(CASE WHEN quality >= quality_min
+      |      AND avg_nll <= nll_max THEN n_tokens ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS DOUBLE), 6) + 0.0 AS token_share
+      |FROM j CROSS JOIN grid GROUP BY 1, 2
+      |ORDER BY quality_min, nll_max""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q424_gate_grid" -> (q424GateGrid _),
     "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
     "q378_fk_integrity" -> (q378FkIntegrity _),
@@ -497,6 +613,7 @@ object QualityQueries {
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
+    "q424_gate_grid" -> q424Sql,
     "q324_linenum_audit" -> q324Sql,
     "q309_dq_scorecard" -> q309Sql,
     "q378_fk_integrity" -> q378Sql,
