@@ -624,7 +624,181 @@ object RankQueries {
       |      / CAST(LEAST(n_relevant, 10) AS DOUBLE) END AS ap_at_10
       |FROM p, nrel, ap ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- q425
+  /** Federated-IDF ranking drift — the RANKING member of the federation
+    * family (q414 certifies federated COUNTS; this certifies federated
+    * SEARCH): in a sharded search tier each shard scores its own
+    * documents with its LOCAL document frequencies and corpus stats,
+    * and the coordinator merges by score — so the merged ranking
+    * drifts from what a global-IDF scorer would return. For S ∈
+    * {2, 4, 8} md5 shards: the overlap of the federated top-10 with
+    * the global top-10 (BM25 at the standard k1 = 1.2, b = 0.75 on
+    * the q237 query terms), the recall, and the largest per-doc score
+    * distortion |local − global| over the global top-10 — the numbers
+    * that decide whether a tier needs a global-IDF broadcast (the
+    * two-phase "global IDF refresh" every production search engine
+    * runs) or can live with local stats.
+    *
+    * Exactness: scores are the q237 discipline — each per-term score
+    * 9-dp-snapped into DECIMAL(28,9), summed exactly; ranks use the
+    * (score desc, doc_id) total order on exact decimals; overlap is an
+    * integer; recall/distortion are single 6-dp-snapped casts.
+    *
+    * Scale shape: one tokenize + tf/df pass shared by every shard
+    * count (eagerly materialized); per S the local-df census is one
+    * map-combinable (shard, term) agg over the |terms|-bounded tf
+    * frame; rankings are rank windows over the matched-doc frame (the
+    * q237/q296 boundedness class) keyed by a constant partition. */
+  def q425FederatedIdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val shardCounts = Seq(2, 4, 8)
+    val k = 10
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = graft.plans.Eager.ckpt(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .withColumn("h", md5Hash60(col("doc_id").cast("string"))))
+    val tf = graft.plans.Eager.ckpt(
+      toks.filter(col("term").isin(QueryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id"))
+    def idf(nDocs: org.apache.spark.sql.Column,
+            df: org.apache.spark.sql.Column) =
+      log(lit(1.0) + ((nDocs.cast("double") - df) + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    def bm25(nDocs: org.apache.spark.sql.Column,
+             df: org.apache.spark.sql.Column,
+             sumDl: org.apache.spark.sql.Column) =
+      round(idf(nDocs, df) * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (sumDl.cast("double") / nDocs.cast("double"))))), 9)
+        .cast("decimal(28,9)")
+    val gStats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val gDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val gScored = tf.join(broadcast(gDf), "term")
+      .crossJoin(broadcast(gStats))
+      .withColumn("sc", bm25(col("n_docs"), col("df"), col("sum_dl")))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("g_bm25"))
+    val gTop = graft.plans.Eager.ckpt(gScored
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("g_bm25").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("g_bm25")))
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    val perS = shardCounts.map { s =>
+      val withShard = tf.withColumn("shard", pmod(col("h"), lit(s.toLong)))
+      val lStats = dl.select(pmod(col("h"), lit(s.toLong)).as("shard"),
+          col("dl"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("l_docs"), sum(col("dl")).as("l_sum_dl"))
+      val lDf = withShard.groupBy("shard", "term")
+        .agg(count(lit(1)).as("l_df"))
+      val fScored = withShard.join(broadcast(lDf), Seq("shard", "term"))
+        .join(broadcast(lStats), "shard")
+        .withColumn("sc", bm25(col("l_docs"), col("l_df"),
+          col("l_sum_dl")))
+        .groupBy(col("doc_id")).agg(sum(col("sc")).as("f_bm25"))
+      val fTop = fScored
+        .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("f_bm25").desc, col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("f_bm25"))
+      val overlap = fTop.join(gTop.select(col("doc_id")), "doc_id")
+        .agg(count(lit(1)).as("overlap"))
+      val dist = gTop.join(fScored, Seq("doc_id"), "left")
+        .agg(max(abs(coalesce(col("f_bm25"),
+          lit(0).cast("decimal(28,9)")) - col("g_bm25")))
+          .as("max_dist"))
+      overlap.crossJoin(dist)
+        .select(lit(s.toLong).as("n_shards"), lit(k.toLong).as("k"),
+          col("overlap"),
+          r6(col("overlap").cast("double") / lit(k.toDouble))
+            .as("recall_at_k"),
+          r6(col("max_dist").cast("double")).as("max_score_drift"))
+    }.reduce(_ unionAll _)
+    perS.orderBy("n_shards")
+  }
+
+  val q425Sql: String = {
+    import graft.functions.TextFunctions.md5Hash60Sql
+    val h = md5Hash60Sql("CAST(doc_id AS VARCHAR)")
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+      |dl AS (
+      |  SELECT doc_id, COUNT(*) AS dl, (HASHEXPR) AS h
+      |  FROM tok2 GROUP BY doc_id),
+      |tf AS (
+      |  SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |  FROM tok2 t WHERE t.term IN ('spark', 'query', 'join')
+      |  GROUP BY 1, 2),
+      |tfd AS (SELECT tf.*, dl.dl, dl.h FROM tf JOIN dl USING (doc_id)),
+      |gs AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
+      |  AS sum_dl FROM dl),
+      |gdf AS (SELECT term, COUNT(*) AS df FROM tfd GROUP BY term),
+      |gsc AS (
+      |  SELECT doc_id, SUM(CAST(round(
+      |    ln(1.0 + ((n_docs::DOUBLE - df) + 0.5) / (df::DOUBLE + 0.5))
+      |    * (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+      |      (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))), 9)
+      |    AS DECIMAL(28,9))) AS g_bm25
+      |  FROM tfd JOIN gdf USING (term) CROSS JOIN gs GROUP BY doc_id),
+      |gtop AS (
+      |  SELECT doc_id, g_bm25,
+      |    row_number() OVER (ORDER BY g_bm25 DESC, doc_id) AS rk
+      |  FROM gsc QUALIFY rk <= 10),
+      |s(n_shards) AS (VALUES (CAST(2 AS BIGINT)), (4), (8)),
+      |ls AS (
+      |  SELECT n_shards, h % n_shards AS shard, COUNT(*) AS l_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS l_sum_dl
+      |  FROM dl CROSS JOIN s GROUP BY 1, 2),
+      |ldf AS (
+      |  SELECT n_shards, h % n_shards AS shard, term, COUNT(*) AS l_df
+      |  FROM tfd CROSS JOIN s GROUP BY 1, 2, 3),
+      |fsc AS (
+      |  SELECT l.n_shards, t.doc_id, SUM(CAST(round(
+      |    ln(1.0 + ((l_docs::DOUBLE - l_df) + 0.5) / (l_df::DOUBLE + 0.5))
+      |    * (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+      |      (dl::DOUBLE / (l_sum_dl::DOUBLE / l_docs::DOUBLE)))), 9)
+      |    AS DECIMAL(28,9))) AS f_bm25
+      |  FROM tfd t
+      |  JOIN ldf d ON d.term = t.term
+      |  JOIN ls l ON l.n_shards = d.n_shards AND l.shard = d.shard
+      |  WHERE t.h % d.n_shards = d.shard
+      |  GROUP BY 1, 2),
+      |ftop AS (
+      |  SELECT n_shards, doc_id, f_bm25,
+      |    row_number() OVER (PARTITION BY n_shards
+      |      ORDER BY f_bm25 DESC, doc_id) AS rk
+      |  FROM fsc QUALIFY rk <= 10),
+      |ov AS (
+      |  SELECT f.n_shards, COUNT(*) AS overlap
+      |  FROM ftop f JOIN gtop g ON f.doc_id = g.doc_id GROUP BY 1),
+      |dist AS (
+      |  SELECT s.n_shards,
+      |    MAX(abs(COALESCE(c.f_bm25, CAST(0 AS DECIMAL(28,9)))
+      |      - g.g_bm25)) AS max_dist
+      |  FROM s CROSS JOIN gtop g
+      |  LEFT JOIN fsc c
+      |    ON c.doc_id = g.doc_id AND c.n_shards = s.n_shards
+      |  GROUP BY 1)
+      |SELECT s.n_shards, CAST(10 AS BIGINT) AS k,
+      |  CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+      |  round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / 10.0, 6) + 0.0
+      |    AS recall_at_k,
+      |  round(CAST(max_dist AS DOUBLE), 6) + 0.0 AS max_score_drift
+      |FROM s LEFT JOIN ov ON s.n_shards = ov.n_shards
+      |JOIN dist ON s.n_shards = dist.n_shards
+      |ORDER BY s.n_shards""".stripMargin
+      .replace("(HASHEXPR)", s"($h)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q425_federated_idf" -> (q425FederatedIdf _),
     "q321_rbo_overlap" -> (q321RboOverlap _),
     "q296_ndcg_at10" -> (q296NdcgAt10 _),
     "q237_bm25_stability" -> (q237Bm25Stability _),
@@ -633,6 +807,7 @@ object RankQueries {
     "q151_rrf_fusion" -> (q151RrfFusion _))
 
   def oracles: Map[String, String] = Map(
+    "q425_federated_idf" -> q425Sql,
     "q321_rbo_overlap" -> q321Sql,
     "q296_ndcg_at10" -> q296Sql,
     "q237_bm25_stability" -> q237Sql,
