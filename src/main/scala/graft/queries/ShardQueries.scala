@@ -1250,7 +1250,111 @@ object ShardQueries {
       |        ELSE est_bytes END) <= 10485760 AS broadcast_ok_1000x
       |FROM per ORDER BY table_name""".stripMargin
 
+  // --------------------------------------------------------------- q426
+  /** Projection-pruning payoff ledger — "a scan that reads all columns
+    * for a 4-column projection is wrong", quantified: the exact
+    * in-memory byte mass of every lineitem column (fixed widths +
+    * measured string bytes, the q420 estimator), rolled up into the
+    * bytes a columnar scan actually touches for four representative
+    * registered access patterns (q1's revenue-by-day projection, q7's
+    * pricing summary, q12's distinct-parts profile, and the full-width
+    * SELECT *) vs the full row. The saving column is the ReadSchema
+    * discipline's measured value — at 100 TB it is the difference
+    * between scanning 100 TB and scanning the ~30 TB the query needs
+    * (column shares are scale-invariant: every column grows with the
+    * same row count).
+    *
+    * Exactness: per-column byte sums are exact integers; shares are
+    * single 6-dp-snapped divisions.
+    *
+    * Scale shape: ONE map-combinable aggregate over lineitem carrying
+    * all 11 column byte sums, then a 4-row stack. */
+  def q426ProjectionLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def width(f: org.apache.spark.sql.types.StructField): Column =
+      f.dataType match {
+        case StringType => length(col(f.name)).cast("long") + lit(4L)
+        case IntegerType | DateType => lit(4L)
+        case _ => lit(8L)
+      }
+    val fields = li.schema.fields.toSeq
+    val exprs = Seq(count(lit(1)).as("n")) ++
+      fields.map(f => sum(width(f)).as(s"b_${f.name}"))
+    val a = li.agg(exprs.head, exprs.tail: _*)
+    val classes: Seq[(String, Seq[String])] = Seq(
+      ("q1_daily_revenue", Seq("l_shipdate", "l_extendedprice",
+        "l_discount", "l_quantity")),
+      ("q7_pricing_summary", Seq("l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_shipdate")),
+      ("q12_distinct_parts", Seq("l_returnflag", "l_partkey",
+        "l_suppkey", "l_orderkey")),
+      ("select_star", fields.map(_.name)))
+    val full = fields.map(f => s"b_${f.name}").mkString(" + ")
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    a.select(col("n"), expr(s"($full)").as("bytes_full"), expr(
+        s"stack(${classes.length}, " + classes.map { case (nm, cs) =>
+          s"'$nm', ${cs.size}L, (${cs.map(c => s"b_$c").mkString(" + ")})"
+        }.mkString(", ") +
+        ") as (access_pattern, n_cols, bytes_read)"))
+      .select(col("access_pattern"), col("n").as("n_rows"),
+        col("n_cols"), col("bytes_read"), col("bytes_full"),
+        r6(col("bytes_read").cast("double") /
+          col("bytes_full").cast("double")).as("read_share"),
+        r6(lit(1.0) - col("bytes_read").cast("double") /
+          col("bytes_full").cast("double")).as("saving_share"))
+      .orderBy("access_pattern")
+  }
+
+  val q426Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_orderkey,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_partkey,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_suppkey,
+      |    CAST(SUM(4) AS BIGINT) AS b_l_linenumber,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_quantity,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_extendedprice,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_discount,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_tax,
+      |    CAST(SUM(length(l_returnflag) + 4) AS BIGINT)
+      |      AS b_l_returnflag,
+      |    CAST(SUM(length(l_linestatus) + 4) AS BIGINT)
+      |      AS b_l_linestatus,
+      |    CAST(SUM(8) AS BIGINT) AS b_l_shipdate
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT n, access_pattern, n_cols, bytes_read,
+      |    b_l_orderkey + b_l_partkey + b_l_suppkey + b_l_linenumber
+      |      + b_l_quantity + b_l_extendedprice + b_l_discount + b_l_tax
+      |      + b_l_returnflag + b_l_linestatus + b_l_shipdate
+      |      AS bytes_full
+      |  FROM a, LATERAL (VALUES
+      |    ('q1_daily_revenue', CAST(4 AS BIGINT),
+      |      b_l_shipdate + b_l_extendedprice + b_l_discount
+      |        + b_l_quantity),
+      |    ('q7_pricing_summary', 7,
+      |      b_l_returnflag + b_l_linestatus + b_l_quantity
+      |        + b_l_extendedprice + b_l_discount + b_l_tax
+      |        + b_l_shipdate),
+      |    ('q12_distinct_parts', 4,
+      |      b_l_returnflag + b_l_partkey + b_l_suppkey + b_l_orderkey),
+      |    ('select_star', 11,
+      |      b_l_orderkey + b_l_partkey + b_l_suppkey + b_l_linenumber
+      |        + b_l_quantity + b_l_extendedprice + b_l_discount
+      |        + b_l_tax + b_l_returnflag + b_l_linestatus
+      |        + b_l_shipdate))
+      |    AS v(access_pattern, n_cols, bytes_read))
+      |SELECT access_pattern, n AS n_rows, n_cols, bytes_read, bytes_full,
+      |  round(CAST(bytes_read AS DOUBLE) / CAST(bytes_full AS DOUBLE), 6)
+      |    + 0.0 AS read_share,
+      |  round(1.0 - CAST(bytes_read AS DOUBLE)
+      |    / CAST(bytes_full AS DOUBLE), 6) + 0.0 AS saving_share
+      |FROM s ORDER BY access_pattern""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q426_projection_ledger" -> (q426ProjectionLedger _),
     "q420_broadcast_ledger" -> (q420BroadcastLedger _),
     "q415_bucket_resize" -> (q415BucketResize _),
     "q385_bucket_skew_advisor" -> (q385BucketSkewAdvisor _),
@@ -1264,6 +1368,7 @@ object ShardQueries {
     "q363_bloom_skip" -> (q363BloomSkip _))
 
   def oracles: Map[String, String] = Map(
+    "q426_projection_ledger" -> q426Sql,
     "q420_broadcast_ledger" -> q420Sql,
     "q415_bucket_resize" -> q415Sql,
     "q385_bucket_skew_advisor" -> q385Sql,
