@@ -593,7 +593,160 @@ object DupClusters {
       |ORDER BY c.policy""".stripMargin
   }
 
+  // --------------------------------------------------------------- q427
+  /** Edit-tolerance curve of the near-dup detector — WHERE the q45
+    * operating point (3-shingles, Jaccard ≥ 0.7, prefix-filter
+    * candidates) stops seeing an edited copy: for edit intensities
+    * k ∈ {1, 2, 4, 8} token substitutions, every 10th document gets a
+    * variant with k evenly-spaced tokens replaced by junk, and the
+    * (original, variant) pairs are pushed through BOTH detector
+    * stages — the prefix-filter candidate stage and the exact-Jaccard
+    * verify. Per intensity: pair counts surfacing at each stage, their
+    * shares, and the mean exact Jaccard — the measured robustness
+    * curve a threshold choice trades against (each substitution kills
+    * up to 3 shingles per side, so ~54-token docs pass at k ≤ 2 and
+    * fall off the 0.7 cliff by k = 4). The candidate column documents
+    * the prefix filter's grace zone: recall-complete above the
+    * threshold by construction, it still surfaces many sub-threshold
+    * pairs which the verify then correctly rejects.
+    *
+    * Exactness: the edit positions are integer arithmetic on token
+    * index and doc length (identical construction in both engines);
+    * Jaccard is exact rational arithmetic compared on identical
+    * operands; per-pair jaccard snaps at 9 dp into a DECIMAL mean.
+    *
+    * Scale shape: the q45 candidate/verify chain (measured linear, and
+    * past its one-time broadcast-step — see the r15 deep-multiplier
+    * adjudication) on a 5×(n/10)-doc derived corpus; per-k rollups are
+    * map-combinable aggregates over the planted-pair frame. */
+  def q427EditTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1L, 2L, 4L, 8L)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    def edited(k: Long): DataFrame = base.select(
+      (col("doc_id") + k * 1000000000000L).as("id"),
+      concat_ws(" ", expr(
+        s"""transform(sequence(1, size(toks)), i ->
+           |  CASE WHEN (i - 1) % greatest(1, size(toks) div $k) = 0
+           |        AND (i - 1) div greatest(1, size(toks) div $k) < $k
+           |       THEN concat('zzq', i)
+           |       ELSE element_at(toks, i) END)""".stripMargin))
+        .as("text"))
+    val corpus = base.select(col("doc_id").as("id"), col("text"))
+      .unionAll(ks.map(edited).reduce(_ unionAll _))
+    val sh = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
+      .select(col("id"),
+        array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col("text")), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // planted pairs with their exact jaccard (the ground truth)
+    val orig = sh.filter(col("id") < 1000000000000L)
+      .select(col("id").as("a"), col("sh").as("sa"))
+    val pairs = graft.plans.Eager.ckpt(
+      ks.map { k =>
+        sh.filter(col("id") >= k * 1000000000000L &&
+            col("id") < (k + 1) * 1000000000000L)
+          .select(lit(k).as("k_edits"),
+            (col("id") - k * 1000000000000L).as("a"),
+            col("id").as("b"), col("sh").as("sb"))
+      }.reduce(_ unionAll _)
+        .join(orig, "a")
+        .select(col("k_edits"), col("a"), col("b"),
+          round(TextFunctions.jaccard(col("sa"), col("sb")), 9)
+            .cast("decimal(12,9)").as("j")))
+    val cand = graft.plans.Eager.ckpt(
+      prefixCandidatePairs(sh, t = 0.7)
+        .select(col("a"), col("b"), lit(1L).as("is_cand")))
+    sh.unpersist()
+    def r6(c: Column): Column = round(c, 6) + lit(0.0)
+    pairs.join(cand, Seq("a", "b"), "left")
+      .groupBy(col("k_edits"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
+        sum(when(col("j") >= 0.7, 1L).otherwise(0L)).as("n_verified"),
+        sum(col("j")).as("jsum"))
+      .select(col("k_edits"), col("n_pairs"), col("n_candidates"),
+        r6(col("n_candidates").cast("double") /
+          col("n_pairs").cast("double")).as("candidate_share"),
+        col("n_verified"),
+        r6(col("n_verified").cast("double") /
+          col("n_pairs").cast("double")).as("verified_share"),
+        r6(col("jsum").cast("double") / col("n_pairs").cast("double"))
+          .as("avg_jaccard"))
+      .orderBy("k_edits")
+  }
+
+  val q427Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE doc_id % 10 = 0 AND length(trim(text)) > 0),
+      |ks(k) AS (VALUES (CAST(1 AS BIGINT)), (2), (4), (8)),
+      |corpus AS (
+      |  SELECT doc_id AS id, array_to_string(toks, ' ') AS text
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id + k * 1000000000000,
+      |    array_to_string(list_transform(range(1, len(toks) + 1), i ->
+      |      CASE WHEN (i - 1) % greatest(1, len(toks) // k) = 0
+      |            AND (i - 1) // greatest(1, len(toks) // k) < k
+      |           THEN 'zzq' || i
+      |           ELSE toks[CAST(i AS INTEGER)] END), ' ')
+      |  FROM base CROSS JOIN ks),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(t2) < 3 THEN [array_to_string(t2, ' ')]
+      |         ELSE list_transform(range(1, len(t2) - 1),
+      |                i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2])
+      |    END) AS sh
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t2
+      |        FROM corpus)),
+      |pairs AS (
+      |  SELECT k.k AS k_edits, o.id AS a, v.id AS b,
+      |    CAST(round(CAST(len(list_intersect(o.sh, v.sh)) AS DOUBLE)
+      |      / (len(o.sh) + len(v.sh) - len(list_intersect(o.sh, v.sh))),
+      |      9) AS DECIMAL(12,9)) AS j
+      |  FROM ks k
+      |  JOIN shs v ON v.id >= k.k * 1000000000000
+      |            AND v.id < (k.k + 1) * 1000000000000
+      |  JOIN shs o ON o.id = v.id - k.k * 1000000000000),
+      |inv AS (
+      |  SELECT DISTINCT id, unnest(sh) AS s FROM shs),
+      |dfs AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+      |pref AS (
+      |  SELECT id AS x, s FROM (
+      |    SELECT i.id, i.s,
+      |      row_number() OVER (PARTITION BY i.id
+      |        ORDER BY d.df, i.s) AS rk,
+      |      len(sh.sh) AS sz
+      |    FROM inv i JOIN dfs d ON i.s = d.s
+      |    JOIN shs sh ON sh.id = i.id)
+      |  WHERE rk <= sz - CAST(ceil(sz * 0.7) AS BIGINT) + 1),
+      |cand AS (
+      |  SELECT DISTINCT LEAST(p.x, i.id) AS a, GREATEST(p.x, i.id) AS b
+      |  FROM pref p JOIN inv i ON p.s = i.s AND p.x <> i.id)
+      |SELECT k_edits, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_candidates,
+      |  round(CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS candidate_share,
+      |  CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_verified,
+      |  round(CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS verified_share,
+      |  round(CAST(SUM(j) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS avg_jaccard
+      |FROM pairs p LEFT JOIN cand c ON p.a = c.a AND p.b = c.b
+      |GROUP BY k_edits ORDER BY k_edits""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q427_edit_tolerance" -> (q427EditTolerance _),
     "q417_cluster_split" -> (q417ClusterSplit _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q189_cluster_census" -> (q189ClusterCensus _),
@@ -819,6 +972,7 @@ object DupClusters {
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q427_edit_tolerance" -> q427Sql,
     "q417_cluster_split" -> q417Sql,
     "q396_cluster_quality" -> q396Sql,
     "q364_soft_dedup_weights" -> q364Sql,
