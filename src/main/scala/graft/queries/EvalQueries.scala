@@ -255,11 +255,120 @@ object EvalQueries {
       |    ELSE 'large' END AS magnitude
       |FROM counted, sizes""".stripMargin
 
+  // --------------------------------------------------------------- q428
+  /** Preference-pair construction census — the DPO/RLHF data-prep
+    * operator: build (chosen, rejected) pairs from a scored corpus by
+    * rank-matching each language's i-th best document with its i-th
+    * worst (the maximally-separated matching — every document is used
+    * at most once, no quadratic pair set, and the score gap is as
+    * large as the corpus allows per pair). Per language: documents,
+    * pairs built, the mean quality gap, and how many pairs clear the
+    * gap floors {0.1, 0.2, 0.4} — the floor is the knob that trades
+    * pair count against label confidence, and this table is its
+    * decision surface.
+    *
+    * Exactness: quality is q23's oracle-certified bit-exact double, so
+    * the (quality desc, doc_id) order is identical across engines;
+    * ranks come from one global RangeRank lifted to per-lang ranks via
+    * the broadcast per-lang offset census; gaps snap at 9 dp into a
+    * DECIMAL mean; pair counts are integers.
+    *
+    * Scale shape: ONE RangeRank range shuffle (never a per-lang window
+    * over doc-scale rows — the offset census is ≤ |langs| rows), one
+    * linear (lang, rank) equi-self-join for the matching, then a
+    * map-combinable per-lang rollup. */
+  def q428PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = DocQueries.q23DocQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(q, "doc_id")
+    val ranked = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withGlobalRank(d, "rg",
+        Seq(col("lang"), col("quality").desc, col("doc_id"))))
+    val offs = ranked.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .withColumn("off", coalesce(sum(col("nl")).over(
+        Window.orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val r = ranked.join(broadcast(offs), "lang")
+      .select(col("lang"), col("nl"), (col("rg") - col("off")).as("r"),
+        col("quality"), col("doc_id"))
+    val top = r.filter(col("r") <= expr("nl div 2"))
+      .select(col("lang"), col("nl"), col("r"),
+        (col("nl") - col("r") + 1L).as("partner"),
+        col("quality").as("q_hi"), col("doc_id").as("chosen"))
+    val bot = r.select(col("lang").as("lang2"), col("r").as("pr"),
+      col("quality").as("q_lo"), col("doc_id").as("rejected"))
+    val pairs = top.join(bot,
+        col("lang") === col("lang2") && col("partner") === col("pr"))
+      .select(col("lang"), col("nl"),
+        round(col("q_hi") - col("q_lo"), 9).cast("decimal(12,9)")
+          .as("gap"))
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    pairs.groupBy(col("lang"))
+      .agg(max(col("nl")).as("n_docs"), count(lit(1)).as("n_pairs"),
+        sum(col("gap")).as("gsum"),
+        sum(when(col("gap") >= 0.1, 1L).otherwise(0L)).as("ge_010"),
+        sum(when(col("gap") >= 0.2, 1L).otherwise(0L)).as("ge_020"),
+        sum(when(col("gap") >= 0.4, 1L).otherwise(0L)).as("ge_040"))
+      .select(col("lang"), col("n_docs"), col("n_pairs"),
+        r6(col("gsum").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_gap"),
+        col("ge_010"), col("ge_020"), col("ge_040"))
+      .orderBy("lang")
+  }
+
+  val q428Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |         END AS INTEGER) AS n_tokens,
+      |    CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              t -> t IN ('the', 'a')))
+      |         END AS INTEGER) AS n_stop
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3
+      |      AS quality
+      |  FROM m),
+      |r AS (
+      |  SELECT lang, doc_id, quality,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nl
+      |  FROM scored),
+      |pairs AS (
+      |  SELECT t.lang, t.nl,
+      |    CAST(round(t.quality - b.quality, 9) AS DECIMAL(12,9)) AS gap
+      |  FROM r t JOIN r b
+      |    ON t.lang = b.lang AND b.r = t.nl - t.r + 1
+      |  WHERE t.r <= t.nl // 2)
+      |SELECT lang, CAST(MAX(nl) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_pairs,
+      |  round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS mean_gap,
+      |  CAST(SUM(CASE WHEN gap >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ge_010,
+      |  CAST(SUM(CASE WHEN gap >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ge_020,
+      |  CAST(SUM(CASE WHEN gap >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ge_040
+      |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q428_preference_pairs" -> (q428PreferencePairs _),
     "q343_kendall_tau" -> (q343KendallTau _),
     "q344_cliff_delta" -> (q344CliffDelta _))
 
   def oracles: Map[String, String] = Map(
+    "q428_preference_pairs" -> q428Sql,
     "q343_kendall_tau" -> q343Sql,
     "q344_cliff_delta" -> q344Sql)
 }

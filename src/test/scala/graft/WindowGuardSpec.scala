@@ -162,5 +162,7 @@ class WindowGuardSpec extends AnyFunSuite {
     "q308_bpe_first_merges", // alphabet² pair census rank
     "q309_dq_scorecard",     // embeds q302's daily-census median ranks
     "q414_topk_federation",  // RangeRank offset prefix: <= #partitions rows
+    "q425_federated_idf",    // matched-doc rank frames (q237/q296 class)
+    "q428_preference_pairs", // per-lang offset prefix: <= |langs| rows
     "q338_benford_2digit")   // <=90-row two-digit (10..99) census
 }
