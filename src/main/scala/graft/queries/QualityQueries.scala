@@ -603,7 +603,106 @@ object QualityQueries {
       |FROM j CROSS JOIN grid GROUP BY 1, 2
       |ORDER BY quality_min, nll_max""".stripMargin
 
+  // --------------------------------------------------------------- q429
+  /** Gate length-bias audit — WHO the quality gates reject, sliced by
+    * document length: equal-count length deciles of the corpus, each
+    * scored with both registered gates at the q424 operating points
+    * (quality ≥ 0.5; NLL ≤ 3.41). The q23 composite is
+    * length-increasing BY CONSTRUCTION (two of its three terms saturate
+    * with length), so its pass rate climbing monotonically across the
+    * deciles is not a bug but a designed bias this table makes visible
+    * and quantifies — the number a curator needs before blaming short
+    * documents for failing a gate that was never length-neutral. The
+    * NLL gate's per-decile profile is the contrast: perplexity has no
+    * built-in length term, so its column reads as the UNBIASED
+    * baseline.
+    *
+    * Exactness: deciles come from integer arithmetic on the exact
+    * (n_tokens, doc_id) global rank; pass counts are integers; shares
+    * are single 6-dp-snapped divisions.
+    *
+    * Scale shape: the q398 scoring join, ONE RangeRank range shuffle
+    * for the length order (eagerly materialized), a map-combinable
+    * ≤ 10-row decile census. */
+  def q429GateLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    val q = DocQueries.q23DocQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val nll = graft.queries.LmQueries.q59UnigramNll(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+    val joined = nll.join(q, "doc_id")
+    val ranked = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withGlobalRank(joined, "rk", Seq(col("n_tokens"), col("doc_id"))))
+    val n = ranked.agg(count(lit(1))).head().getLong(0)
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    ranked
+      .groupBy((expr(s"((rk - 1) * 10) div $n") + 1L).as("length_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("q_pass"),
+        sum(when(col("avg_nll") <= 3.41, 1L).otherwise(0L))
+          .as("nll_pass"))
+      .select(col("length_decile"), col("n_docs"), col("min_tokens"),
+        col("max_tokens"),
+        r6(col("q_pass").cast("double") / col("n_docs").cast("double"))
+          .as("quality_pass_share"),
+        r6(col("nll_pass").cast("double") / col("n_docs").cast("double"))
+          .as("nll_pass_share"))
+      .orderBy("length_decile")
+  }
+
+  val q429Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+      |    AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM d),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |lp AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab)), 9) AS lp
+      |  FROM vocab),
+      |nll AS (
+      |  SELECT doc_id, n_tokens, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |  FROM tok JOIN lp USING (token) GROUP BY doc_id, n_tokens),
+      |qm AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+      |         END AS INTEGER) AS n_tokens,
+      |    CAST(length(text) AS INTEGER) AS n_chars,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                              t -> t IN ('the', 'a')))
+      |         END AS INTEGER) AS n_stop
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS quality
+      |  FROM qm),
+      |j AS (
+      |  SELECT n.doc_id, n.n_tokens, n.avg_nll, q.quality,
+      |    row_number() OVER (ORDER BY n.n_tokens, n.doc_id) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM nll n JOIN qual q USING (doc_id))
+      |SELECT ((rk - 1) * 10) // n + 1 AS length_decile,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+      |  CAST(MAX(n_tokens) AS INTEGER) AS max_tokens,
+      |  round(CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS quality_pass_share,
+      |  round(CAST(SUM(CASE WHEN avg_nll <= 3.41 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS nll_pass_share
+      |FROM j GROUP BY 1 ORDER BY length_decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_gate_length_bias" -> (q429GateLengthBias _),
     "q424_gate_grid" -> (q424GateGrid _),
     "q324_linenum_audit" -> (q324LinenumAudit _),
     "q309_dq_scorecard" -> (q309DqScorecard _),
@@ -613,6 +712,7 @@ object QualityQueries {
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
+    "q429_gate_length_bias" -> q429Sql,
     "q424_gate_grid" -> q424Sql,
     "q324_linenum_audit" -> q324Sql,
     "q309_dq_scorecard" -> q309Sql,
