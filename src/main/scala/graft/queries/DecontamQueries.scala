@@ -222,14 +222,176 @@ object DecontamQueries {
     out
   }
 
+  // --------------------------------------------------------------- q430
+  /** Pipeline-order audit: dedup → decontam vs decontam → dedup. The
+    * two stages do not commute: keep-min dedup (q45's convention)
+    * elects a representative BEFORE knowing it is contaminated, and
+    * dropping a contaminated representative afterwards erases the
+    * whole cluster even when a clean sibling existed — decontam-first
+    * (equivalently, electing the min-id among CLEAN members) rescues
+    * exactly those clusters. On the q45 near-dup corpus scored against
+    * the q48 holdout shingle set (cut at 0.2 — deliberately tighter
+    * than q48's registered 0.5 so the interaction is populated; a
+    * variant's appended tail grows its shingle denominator, so bases
+    * cross the cut their variants do not): group counts, dirty counts,
+    * survivors under each order, and the rescued clusters — the
+    * measured reason curation pipelines decontaminate BEFORE electing
+    * dedup representatives.
+    *
+    * Semantics: group-atomic (a cluster is q45's component; singletons
+    * are their own group); decontam-first keeps one clean member per
+    * group with ≥ 1 clean member (min-id among clean — sub-component
+    * splits after removal would only ADD survivors, so the reported
+    * rescue count is a lower bound, noted here by design).
+    *
+    * Exactness: overlap fractions are identical single divisions in
+    * both engines compared to the same literal; everything else is
+    * integer census arithmetic.
+    *
+    * Scale shape: q45's candidate/verify chain (measured linear,
+    * post-step — the r15 adjudication) + ONE broadcast semi-join of
+    * the corpus shingle stream against the holdout set (the q48
+    * plan), then a group census and a 1-row summary. */
+  def q430PipelineOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DupClusters
+    val sh = DupClusters.q45ShingleTable(spark, dir)
+    val edges = DupClusters.jaccardEdges(sh, threshold = 0.7)
+    val comp = DupClusters.connectedComponents(edges, "a", "b")
+      .select(col("node").as("id"), col("comp"))
+    val holdout = withShingles(spark, dir, 3)
+      .filter(col("doc_id") % 10 === 7)
+      .select(explode(col("sh")).as("s")).distinct()
+    val hits = sh.select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(holdout), Seq("s"), "leftsemi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val flagged = sh.select(col("id"), size(col("sh")).as("nsh"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("dirty",
+        coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("nsh").cast("double") >= 0.2)
+      .join(comp, Seq("id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("id")))
+    sh.unpersist()
+    val groups = flagged.groupBy(col("grp"))
+      .agg(count(lit(1)).as("members"),
+        sum(when(!col("dirty"), 1L).otherwise(0L)).as("n_clean"),
+        min(col("id")).as("rep"),
+        min(when(!col("dirty"), col("id"))).as("clean_rep"))
+    groups.agg(
+        sum(col("members")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(col("members") - col("n_clean")).as("n_dirty_docs"),
+        sum(when(col("rep") === col("clean_rep"), 1L).otherwise(0L))
+          .as("kept_dedup_first"),
+        sum(when(col("n_clean") > 0, 1L).otherwise(0L))
+          .as("kept_decontam_first"),
+        sum(when(col("rep") =!= col("clean_rep") && col("n_clean") > 0,
+          1L).otherwise(0L)).as("groups_rescued"),
+        sum(when(col("n_clean") === 0, 1L).otherwise(0L))
+          .as("groups_fully_dirty"))
+      .select(col("n_docs"), col("n_groups"), col("n_dirty_docs"),
+        col("kept_dedup_first"), col("kept_decontam_first"),
+        col("groups_rescued"), col("groups_fully_dirty"),
+        (round(col("groups_rescued").cast("double") /
+          col("n_groups").cast("double"), 6) + lit(0.0))
+          .as("rescued_share"))
+  }
+
+  val q430Sql: String =
+    """WITH RECURSIVE
+      |base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |variants AS (
+      |  SELECT doc_id AS id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' zz extra tail' FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zz extra tail rr more pad'
+      |  FROM base),
+      |shs AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END) AS sh
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM variants)),
+      |inv AS (
+      |  SELECT DISTINCT * FROM (SELECT id, unnest(sh) AS s FROM shs)),
+      |cand AS (
+      |  SELECT DISTINCT i1.id AS a, i2.id AS b
+      |  FROM inv i1 JOIN inv i2 USING (s)
+      |  WHERE i1.id < i2.id),
+      |edges AS (
+      |  SELECT a, b
+      |  FROM cand
+      |  JOIN shs sa ON cand.a = sa.id
+      |  JOIN shs sb ON cand.b = sb.id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / (len(sa.sh) + len(sb.sh)
+      |           - len(list_intersect(sa.sh, sb.sh))) >= 0.7),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION
+      |  SELECT b, a FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |hold AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END)) AS s
+      |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 10 = 7)),
+      |hits AS (
+      |  SELECT id, COUNT(*) AS n_hit
+      |  FROM inv JOIN hold USING (s) GROUP BY id),
+      |flagged AS (
+      |  SELECT shs.id,
+      |    COALESCE(h.n_hit, 0)::DOUBLE / len(shs.sh) >= 0.2 AS dirty,
+      |    COALESCE(c.cluster_id, shs.id) AS grp
+      |  FROM shs
+      |  LEFT JOIN hits h ON shs.id = h.id
+      |  LEFT JOIN comp c ON shs.id = c.node),
+      |groups AS (
+      |  SELECT grp, COUNT(*) AS members,
+      |    CAST(SUM(CASE WHEN dirty THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_clean,
+      |    MIN(id) AS rep,
+      |    MIN(CASE WHEN dirty THEN NULL ELSE id END) AS clean_rep
+      |  FROM flagged GROUP BY grp)
+      |SELECT CAST(SUM(members) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_groups,
+      |  CAST(SUM(members - n_clean) AS BIGINT) AS n_dirty_docs,
+      |  CAST(SUM(CASE WHEN rep = clean_rep THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_dedup_first,
+      |  CAST(SUM(CASE WHEN n_clean > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_decontam_first,
+      |  CAST(SUM(CASE WHEN rep <> clean_rep AND n_clean > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS groups_rescued,
+      |  CAST(SUM(CASE WHEN n_clean = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_fully_dirty,
+      |  round(CAST(SUM(CASE WHEN rep <> clean_rep AND n_clean > 0
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS rescued_share
+      |FROM groups""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_decontam" -> q48Decontam _,
     "q49_repetition" -> q49Repetition _,
+    "q430_pipeline_order" -> (q430PipelineOrder _),
     "q116_bloom_decontam" -> q116BloomDecontam _)
 
   def oracles: Map[String, String] = Map(
     "q48_decontam" -> q48Sql,
     "q49_repetition" -> q49Sql,
+    "q430_pipeline_order" -> q430Sql,
     // identical output contract to q48 — the bloom is plan-side only
     "q116_bloom_decontam" -> q48Sql)
 }
