@@ -701,7 +701,99 @@ object QualityQueries {
       |    AS nll_pass_share
       |FROM j GROUP BY 1 ORDER BY length_decile""".stripMargin
 
+  // --------------------------------------------------------------- q431
+  /** Per-language gate calibration equity — the fairness question a
+    * single global threshold begs: the corpus unigram LM is dominated
+    * by the largest language, so a global NLL ceiling passes its
+    * documents more readily than the others'. Per language: the pass
+    * rate under the GLOBAL q424 cut (≤ 3.41) vs the pass rate under a
+    * per-language MEDIAN cut (each language judged against its own
+    * distribution — the CCNet-style per-language calibration, which
+    * pins every pass rate to ~50% by construction), the language's
+    * exact median NLL (the calibrated cut a production gate would
+    * ship), and the equity spread of each policy — max−min pass rate
+    * across languages — as the headline comparison (asserted in spec:
+    * calibration collapses the spread).
+    *
+    * Exactness: per-doc NLL is q59's 6-dp-snapped chain; the median is
+    * the exact ⌈n/2⌉-th order statistic from one global RangeRank
+    * lifted to per-lang ranks via the ≤ |langs| offset census (the
+    * q428 discipline — never a per-lang window over doc-scale rows);
+    * pass counts are integers; shares are single 6-dp divisions.
+    *
+    * Scale shape: q59's linear scoring pass, ONE RangeRank range
+    * shuffle, a broadcast per-lang (offset, count, median) census
+    * joined back, one map-combinable per-lang rollup. */
+  def q431GateCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = graft.queries.LmQueries.q59UnigramNll(spark, dir)
+      .select(col("doc_id"), col("lang"), col("avg_nll"))
+    val ranked = graft.plans.Eager.ckpt(graft.operators.RangeRank
+      .withGlobalRank(nll, "rg",
+        Seq(col("lang"), col("avg_nll"), col("doc_id"))))
+    val offs = ranked.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .withColumn("off", coalesce(sum(col("nl")).over(
+        Window.orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withR = ranked.join(broadcast(offs), "lang")
+      .withColumn("r", col("rg") - col("off"))
+    val medians = withR
+      .filter(col("r") === expr("(nl + 1) div 2"))
+      .select(col("lang"), col("avg_nll").as("lang_median"))
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    withR.join(broadcast(medians), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lang_median")).as("lang_median"),
+        sum(when(col("avg_nll") <= 3.41, 1L).otherwise(0L))
+          .as("global_pass"),
+        sum(when(col("avg_nll") <= col("lang_median"), 1L).otherwise(0L))
+          .as("calibrated_pass"))
+      .select(col("lang"), col("n_docs"), col("lang_median"),
+        r6(col("global_pass").cast("double") /
+          col("n_docs").cast("double")).as("global_pass_share"),
+        r6(col("calibrated_pass").cast("double") /
+          col("n_docs").cast("double")).as("calibrated_pass_share"))
+      .orderBy("lang")
+  }
+
+  val q431Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, lang, unnest(toks) AS token FROM d),
+      |vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |lp AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab)), 9) AS lp
+      |  FROM vocab),
+      |nll AS (
+      |  SELECT doc_id, lang, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |  FROM tok JOIN lp USING (token) GROUP BY doc_id, lang),
+      |r AS (
+      |  SELECT lang, doc_id, avg_nll,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY avg_nll, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nl
+      |  FROM nll),
+      |med AS (
+      |  SELECT lang, avg_nll AS lang_median FROM r
+      |  WHERE r = (nl + 1) // 2)
+      |SELECT r.lang, CAST(MAX(nl) AS BIGINT) AS n_docs,
+      |  MAX(lang_median) AS lang_median,
+      |  round(CAST(SUM(CASE WHEN avg_nll <= 3.41 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+      |    AS global_pass_share,
+      |  round(CAST(SUM(CASE WHEN avg_nll <= lang_median
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    + 0.0 AS calibrated_pass_share
+      |FROM r JOIN med ON r.lang = med.lang
+      |GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q431_gate_calibration" -> (q431GateCalibration _),
     "q429_gate_length_bias" -> (q429GateLengthBias _),
     "q424_gate_grid" -> (q424GateGrid _),
     "q324_linenum_audit" -> (q324LinenumAudit _),
@@ -712,6 +804,7 @@ object QualityQueries {
     "q175_fd_audit" -> (q175FdAudit _))
 
   def oracles: Map[String, String] = Map(
+    "q431_gate_calibration" -> q431Sql,
     "q429_gate_length_bias" -> q429Sql,
     "q424_gate_grid" -> q424Sql,
     "q324_linenum_audit" -> q324Sql,
