@@ -441,6 +441,172 @@ object SplitQueries {
       |    AS effective_epochs
       |FROM c2, tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q433
+  /** Mixture-MATERIALIZATION certificate (VERDICT r15 #3) — the sampling
+    * analog of q392's rewrite certification: q373 computes the τ=2
+    * temperature weights, [[graft.operators.WeightedSample]] proves the
+    * deterministic-hash sampling primitive, but nothing had materialized
+    * a sampled training mixture and certified the REALIZED per-source
+    * token shares against the target. This query does: per source, the
+    * τ=2 allocation of a 60%-of-corpus token budget is materialized as a
+    * greedy prefix of the source's documents in deterministic md5-hash
+    * order (a uniform random permutation, replayable bit-exactly — the
+    * A-ES key at equal weights), and the certificate row pins the exact
+    * realized token mass, the overshoot, and the EXACT bound the greedy
+    * prefix guarantees: alloc ≤ realized < alloc + boundary-doc tokens
+    * (or realized = everything for sources whose τ=2 upsampling exceeds
+    * their supply — the capped / effective-epochs>1 case q373 flags).
+    * `bound_ok` is the certificate: any drift in the sampler, the hash,
+    * or the census breaks an integer column, not just a 6-dp share.
+    *
+    * Exactness: token masses, cumulative sums, allocations (floor of the
+    * q373-spelled share double × an integer budget), counts, overshoots,
+    * and both bound flags are all integer; the three share columns are
+    * single 6-dp-snapped divisions of exact integers (and the q373
+    * decimal-sqrt normalizer, the proven spelling).
+    *
+    * Scale shape: one per-doc token census, then ONE
+    * [[graft.operators.RangeRank.withRunningSum]] range shuffle over the
+    * global (source, u, doc_id) order, lifted to per-source running sums
+    * by subtracting the ≤|sources| exclusive-prefix census (the q428
+    * offset-lift — the census window is |sources|-bounded, pinned in
+    * WindowGuardSpec); selection is a per-row comparison against the
+    * broadcast |sources|-row allocation table, and the certificate is a
+    * map-combinable per-source aggregate. No per-source doc-scale window
+    * anywhere. */
+  def q433MixtureCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokenCount}
+    val docs = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n"),
+        md5Hash60(concat(lit("mix"), col("doc_id").cast("string")))
+          .as("u"))
+    val dbl = (c: String) => col(c).cast("double")
+    // per-source census → τ=2 allocations of B = 60% of corpus tokens
+    // (q373's exact decimal-sqrt spelling, so the weights ARE q373's)
+    val census = docs.groupBy(col("source")).agg(sum(col("n")).as("toks"))
+      .withColumn("sq", round(sqrt(col("toks").cast("double")), 9)
+        .cast("decimal(28,9)"))
+    val tot = census.agg(sum(col("toks")).as("tot_toks"),
+      sum(col("sq")).as("tot_sq"))
+    val alloc = census.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        floor(dbl("sq") / dbl("tot_sq") *
+          expr("CAST((tot_toks * 3) div 5 AS DOUBLE)")).cast("long"))
+    // ONE RangeRank running-sum pass over (source, u, doc_id), lifted to
+    // per-source cumulative token mass via the exclusive source prefix
+    val ranked = graft.operators.RangeRank.withRunningSum(
+      docs, col("n"), "gcum", Seq(col("source"), col("u"), col("doc_id")))
+    val offs = census.select(col("source"), col("toks"))
+      .withColumn("coff", coalesce(sum(col("toks")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("coff"))
+    // greedy prefix: a doc is sampled iff its source-local EXCLUSIVE
+    // cumulative mass is still under the allocation (so the boundary doc
+    // that crosses the line is included — the overshoot the bound pins)
+    val sel = ranked.join(broadcast(offs), "source")
+      .withColumn("cum", col("gcum") - col("coff"))
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
+      .filter(col("cum") - col("n") < col("alloc"))
+    val per = sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum(col("n")).as("realized_tokens"),
+        max(struct(col("cum"), col("n"))).as("last"))
+      .select(col("source"), col("n_docs_sampled"), col("realized_tokens"),
+        col("last").getField("n").as("boundary_tokens"))
+    val j = alloc.join(per, Seq("source"), "left")
+      .withColumn("n_docs_sampled", coalesce(col("n_docs_sampled"), lit(0L)))
+      .withColumn("realized_tokens", coalesce(col("realized_tokens"), lit(0L)))
+    val totReal = j.agg(sum(col("realized_tokens")).as("tot_realized"))
+    j.crossJoin(broadcast(totReal))
+      .select(col("source"), col("toks").as("tokens_s"),
+        (round(dbl("sq") / dbl("tot_sq"), 6) + lit(0.0)).as("target_share"),
+        col("alloc").as("target_tokens"),
+        col("n_docs_sampled"), col("realized_tokens"),
+        (col("realized_tokens") - col("alloc")).as("overshoot"),
+        (col("alloc") >= col("toks")).cast("int").as("capped"),
+        when(col("alloc") >= col("toks"),
+          (col("realized_tokens") === col("toks")).cast("int"))
+          .otherwise((col("realized_tokens") >= col("alloc") &&
+            col("realized_tokens") - col("alloc") <
+              coalesce(col("boundary_tokens"), lit(Long.MaxValue)))
+            .cast("int"))
+          .as("bound_ok"),
+        (round(dbl("realized_tokens") / dbl("tot_realized"), 6) + lit(0.0))
+          .as("realized_share"),
+        (round(abs(dbl("realized_tokens") / dbl("tot_realized") -
+          dbl("sq") / dbl("tot_sq")), 6) + lit(0.0)).as("share_abs_err"))
+      .orderBy("source")
+  }
+
+  val q433Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n,
+      |    ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS u
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |census AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS toks,
+      |    CAST(round(sqrt(CAST(SUM(n) AS DOUBLE)), 9) AS DECIMAL(28,9))
+      |      AS sq
+      |  FROM docs GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks, SUM(sq) AS tot_sq
+      |  FROM census),
+      |alloc AS (
+      |  SELECT source, toks, sq,
+      |    CAST(floor(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)
+      |      * CAST((tot_toks * 3) // 5 AS DOUBLE)) AS BIGINT) AS alloc
+      |  FROM census, tot),
+      |cums AS (
+      |  SELECT source, doc_id, n,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY u, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM docs),
+      |sel AS (
+      |  SELECT c.* FROM cums c JOIN alloc a USING (source)
+      |  WHERE c.cum - c.n < a.alloc),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs_sampled,
+      |    CAST(SUM(n) AS BIGINT) AS realized_tokens,
+      |    CAST(max_by(n, cum) AS BIGINT) AS boundary_tokens
+      |  FROM sel GROUP BY 1),
+      |j AS (
+      |  SELECT a.source, a.toks, a.sq, a.alloc,
+      |    CAST(COALESCE(p.n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled,
+      |    CAST(COALESCE(p.realized_tokens, 0) AS BIGINT)
+      |      AS realized_tokens,
+      |    p.boundary_tokens
+      |  FROM alloc a LEFT JOIN per p USING (source)),
+      |tr AS (
+      |  SELECT CAST(SUM(realized_tokens) AS BIGINT) AS tot_realized
+      |  FROM j)
+      |SELECT source, toks AS tokens_s,
+      |  round(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 6) + 0.0
+      |    AS target_share,
+      |  alloc AS target_tokens, n_docs_sampled, realized_tokens,
+      |  realized_tokens - alloc AS overshoot,
+      |  CAST(CASE WHEN alloc >= toks THEN 1 ELSE 0 END AS INTEGER)
+      |    AS capped,
+      |  CAST(CASE WHEN alloc >= toks
+      |    THEN CASE WHEN realized_tokens = toks THEN 1 ELSE 0 END
+      |    ELSE CASE WHEN realized_tokens >= alloc
+      |      AND realized_tokens - alloc
+      |        < COALESCE(boundary_tokens, 9223372036854775807)
+      |      THEN 1 ELSE 0 END
+      |    END AS INTEGER) AS bound_ok,
+      |  round(CAST(realized_tokens AS DOUBLE)
+      |    / CAST(tot_realized AS DOUBLE), 6) + 0.0 AS realized_share,
+      |  round(abs(CAST(realized_tokens AS DOUBLE)
+      |      / CAST(tot_realized AS DOUBLE)
+      |    - CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)), 6) + 0.0
+      |    AS share_abs_err
+      |FROM j, tot, tr ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q395
   /** Sequence-packing efficiency curve — the max_len decision table for
     * the packing operator (q47): for each candidate context length
@@ -1108,6 +1274,7 @@ object SplitQueries {
     "q399_neardup_leakage" -> (q399NearDupLeakage _),
     "q395_packing_curve" -> (q395PackingCurve _),
     "q373_temperature_mix" -> (q373TemperatureMix _),
+    "q433_mixture_cert" -> (q433MixtureCert _),
     "q307_water_filling" -> (q307WaterFilling _),
     "q217_oov_rate" -> (q217OovRate _),
     "q52_mixture_sample" -> q52MixtureSample _,
@@ -1135,6 +1302,7 @@ object SplitQueries {
     "q399_neardup_leakage" -> q399Sql,
     "q395_packing_curve" -> q395Sql,
     "q373_temperature_mix" -> q373Sql,
+    "q433_mixture_cert" -> q433Sql,
     "q307_water_filling" -> q307Sql,
     "q217_oov_rate" -> q217Sql,
     "q52_mixture_sample" -> q52Sql,

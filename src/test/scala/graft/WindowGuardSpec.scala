@@ -165,5 +165,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q425_federated_idf",    // matched-doc rank frames (q237/q296 class)
     "q428_preference_pairs", // per-lang offset prefix: <= |langs| rows
     "q431_gate_calibration", // per-lang offset prefix: <= |langs| rows
+    "q433_mixture_cert",     // per-source offset prefix: <= |sources| rows (+ RangeRank offsets)
     "q338_benford_2digit")   // <=90-row two-digit (10..99) census
 }
