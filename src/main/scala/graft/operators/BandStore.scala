@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{jaccard, minhashBands, minhashSignature, shingles, tokens}
+import graft.queries.Kpis
+import graft.sink.Warehouse
+
+/** The persisted MinHash band store as a first-class OPERATOR (VERDICT
+  * r15 #1): q98 drives the store end to end inside one registered query
+  * and q340 GCs it, but the build/probe halves were not callable — which
+  * is exactly what the live admission twin ([[graft.streaming.NearDupProbeStream]])
+  * needs: "is this incoming document a NEAR-dup of the stored corpus?"
+  * as a pure per-document function of (document, frozen store).
+  *
+  * Store layout is q98's, split into TWO bucketed tables so a probe
+  * touches no unbucketed side:
+  *   - `<table>_bands` (bucket_key, doc_id), hash-bucketed + sorted on
+  *     the single composed `bucket_key` = band ':' band_hash — the one-
+  *     column key is load-bearing (a two-column join key makes the
+  *     planner reject the bucketed scan; see q98's scaladoc and
+  *     BandStoreGcSpec's pinned plan);
+  *   - `<table>_shingles` (doc_id, sh), hash-bucketed + sorted on
+  *     doc_id — the verify side. q98 re-derives candidate shingles from
+  *     the corpus text each run (fine inside one query, where the
+  *     corpus scan is already warm); a store probed per micro-batch
+  *     must NOT re-tokenize 100 TB per batch, so the shingle sets are
+  *     persisted once at admission time and every batch's verify fetch
+  *     is a bucketed equi-join on doc_id.
+  *
+  * Probe shape per batch: band the batch docs (8×2 over 16-element
+  * signatures, q22's parameters — ONE spelling of the signature
+  * arithmetic), equi-join `bucket_key` against the bucketed band scan
+  * (store side shuffle-free), dedup bare candidate id pairs BEFORE
+  * fetching either side's shingles (the q26 convention), fetch store
+  * shingles off the bucketed doc_id scan, exact-Jaccard verify, and
+  * collapse to ONE verdict row per batch document — clean documents
+  * included with is_near_dup = 0 (the q48/q358 admission-report
+  * discipline). Every column of the verdict is a deterministic
+  * aggregate (count / min / 6-dp-snapped max), so the verdict is a
+  * pure function of (document, store generation) — the property the
+  * streaming twin's batch-split invariance rests on. */
+object BandStore {
+
+  val StoreBuckets: Int = IncrementalDedup.StoreBuckets
+  val JaccardMin = 0.5
+
+  /** Distinct-3-shingle sets of a (doc_id, text) frame — the stored
+    * verify side and the probe-side derivation (ONE spelling). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+
+  /** (doc_id, sh) → one (bucket_key, doc_id) row per band (8 per doc). */
+  def bandsOf(docsSh: DataFrame): DataFrame = docsSh
+    .withColumn("sig", minhashSignature(col("sh"), 16))
+    .select(col("doc_id"),
+      explode(minhashBands(col("sig"), 8, 2)).as("b"))
+    .select(
+      concat_ws(":", col("b.band"), col("b.band_hash")).as("bucket_key"),
+      col("doc_id"))
+
+  def bandsTable(table: String): String = s"${table}_bands"
+  def shinglesTable(table: String): String = s"${table}_shingles"
+
+  /** (Over)write both halves of the store from a (doc_id, text) corpus:
+    * bands bucketed on bucket_key, shingle sets bucketed on doc_id. */
+  def writeStore(corpus: DataFrame, table: String, path: String,
+                 nBuckets: Int = StoreBuckets): Unit = {
+    val sh = shingleSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
+      s"${path}_bands", "bucket_key", nBuckets, mode = "overwrite")
+    Warehouse.writeBucketed(sh, shinglesTable(table),
+      s"${path}_shingles", "doc_id", nBuckets, mode = "overwrite")
+    sh.unpersist()
+    ()
+  }
+
+  /** One verdict row per `batch` (doc_id, text) document against the
+    * frozen store generation (`bands`, `shingles` — the two bucketed
+    * tables): (doc_id, n_candidates, n_matches, best_jaccard,
+    * best_match, is_near_dup). `best_match` is the SMALLEST store doc
+    * id among Jaccard-≥-0.5 matches (deterministic without argmax
+    * pairing), −1 when clean; `best_jaccard` the 6-dp-snapped max. */
+  def probeStore(batch: DataFrame, bands: DataFrame,
+                 shingles: DataFrame): DataFrame = {
+    val bsh = graft.plans.Eager.ckpt(shingleSets(batch))
+    val cand = bands
+      .withColumnRenamed("doc_id", "a_id")
+      .join(bandsOf(bsh).withColumnRenamed("doc_id", "b_id"),
+        Seq("bucket_key"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val verified = cand
+      .join(shingles.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(bsh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .select(col("b_id"), col("a_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("j"))
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= JaccardMin, 1L).otherwise(0L)).as("n_matches"),
+        max(when(col("j") >= JaccardMin, col("j"))).as("bj"),
+        min(when(col("j") >= JaccardMin, col("a_id"))).as("bm"))
+    batch.select(col("doc_id"))
+      .join(verified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (round(coalesce(col("bj"), lit(0.0)), 6) + lit(0.0))
+          .as("best_jaccard"),
+        coalesce(col("bm"), lit(-1L)).as("best_match"),
+        (coalesce(col("n_matches"), lit(0L)) > 0L).cast("int")
+          .as("is_near_dup"))
+  }
+
+  // --------------------------------------------------------------- q435
+  /** Registered store-probe entry, driving BOTH bucketed store tables
+    * end to end each run — the batch twin the streaming gate
+    * ([[graft.streaming.NearDupProbeStream]]) replays per micro-batch.
+    * Store = the `documents` corpus; probe batch = q98's injections
+    * (every 10th doc as a near-clone at +1e12 with a 3-token tail —
+    * must flag against its original; every 7th doc token-remapped at
+    * +2e12 — disjoint shingles, must stay clean). Output is the per-doc
+    * admission report rather than q98's pair list: the row a live gate
+    * acts on. The DuckDB oracle replays store ∪ batch through the
+    * shared MinHash SQL fragment and aggregates the cross-side pairs
+    * per batch doc — a hash match certifies the two-table store
+    * round-trip, the banding arithmetic, and the verdict collapse. */
+  def q435BandStoreProbe(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val corpus = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_q435_store$slug"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q435_store$slug"
+    writeStore(corpus, table, path)
+    val near = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz extra tail")).as("text"))
+    val novel = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(2000000000000L)).as("doc_id"),
+        concat_ws(" ", transform(tokens(col("text")),
+          t => concat(t, lit("_n9")))).as("text"))
+    probeStore(near.unionAll(novel),
+      spark.table(bandsTable(table)), spark.table(shinglesTable(table)))
+      .orderBy("doc_id")
+  }
+
+  val q435Sql: String = {
+    val corpus =
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 AS doc_id,
+        |    text || ' zz extra tail' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000 AS doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN ''
+        |         ELSE array_to_string(list_transform(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           t -> t || '_n9'), ' ') END AS text
+        |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    s"""WITH corpus AS ($corpus),
+       |${graft.queries.DocQueries.minhashPairsSqlFragment("corpus")},
+       |agg AS (
+       |  SELECT b_id AS doc_id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_matches,
+       |    MAX(CASE WHEN jaccard >= 0.5 THEN jaccard END) AS bj,
+       |    MIN(CASE WHEN jaccard >= 0.5 THEN a_id END) AS bm
+       |  FROM pairs
+       |  WHERE a_id < 1000000000000 AND b_id >= 1000000000000
+       |  GROUP BY 1),
+       |batch AS (
+       |  SELECT doc_id FROM corpus WHERE doc_id >= 1000000000000)
+       |SELECT b.doc_id,
+       |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+       |  round(COALESCE(bj, 0.0), 6) + 0.0 AS best_jaccard,
+       |  CAST(COALESCE(bm, -1) AS BIGINT) AS best_match,
+       |  CAST(CASE WHEN COALESCE(n_matches, 0) > 0 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS is_near_dup
+       |FROM batch b LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q435_band_store_probe" -> (q435BandStoreProbe _))
+
+  def oracles: Map[String, String] = Map(
+    "q435_band_store_probe" -> q435Sql)
+}
