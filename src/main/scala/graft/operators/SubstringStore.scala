@@ -147,22 +147,28 @@ object SubstringStore {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("text"))
-    val toks = d.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-    val did = col("doc_id").cast("string")
+    // `did0` captures the PRE-offset id before the +offset select (the
+    // q400/q432 stage-0 note: a bare col("doc_id") in the same select
+    // resolves against the POST-offset lateral alias, diverging from the
+    // oracle's pre-offset spelling — verdict-invariant here since filler
+    // tokens are doc-unique either way, but the corpora must agree)
+    val toks = d.select(col("doc_id"), tokens(lower(col("text"))).as("toks"),
+      col("doc_id").cast("string").as("did0"))
     val excerpt = toks
       .filter(col("doc_id") % 4 === 0 && size(col("toks")) >= 28)
       .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
         array_join(concat(
           transform(sequence(lit(1), lit(10)),
-            i => concat(lit("xf"), did, lit("_"), i.cast("string"))),
+            i => concat(lit("xf"), col("did0"), lit("_"), i.cast("string"))),
           slice(col("toks"), 5, 24),
           transform(sequence(lit(1), lit(10)),
-            i => concat(lit("yf"), did, lit("_"), i.cast("string")))),
+            i => concat(lit("yf"), col("did0"), lit("_"), i.cast("string")))),
           " ").as("text"))
-    val rewrite = d.filter(col("doc_id") % 9 === 0)
+    val rewrite = d.withColumn("did0", col("doc_id").cast("string"))
+      .filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + lit(2000000000000L)).as("doc_id"),
         array_join(transform(sequence(lit(1), lit(40)),
-          i => concat(lit("zf"), did, lit("_"), i.cast("string"))), " ")
+          i => concat(lit("zf"), col("did0"), lit("_"), i.cast("string"))), " ")
           .as("text"))
     val batch2 = excerpt.unionAll(rewrite)
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")

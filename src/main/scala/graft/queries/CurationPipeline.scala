@@ -338,8 +338,15 @@ object CurationPipeline {
       .localCheckpoint(true)
     val body = d.filter(col("doc_id") % 10 =!= 7)
 
-    // stage 0 — ingest with the four injections
-    val did = col("doc_id").cast("string")
+    // stage 0 — ingest with the four injections. The PRE-offset id is
+    // captured as a real column (`did0`) before the +offset select: in a
+    // single select list, Spark 4 resolves a bare col("doc_id") against
+    // the select's own `.as("doc_id")` lateral alias — the POST-offset id
+    // — silently diverging from the oracle's bb.doc_id spelling (masked
+    // here because the gate verdicts coincide; caught by q432's quality
+    // boundary and fixed at all three injection sites).
+    val tagged = body.select(col("doc_id"), col("toks"),
+      col("doc_id").cast("string").as("did0"))
     val withLoop = body.select(col("doc_id"),
       when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
         concat(col("toks"), slice(col("toks"), 1, 10),
@@ -352,20 +359,20 @@ object CurationPipeline {
         when(col("btoks").isNotNull,
           concat(col("toks"), slice(col("btoks"), 1, 30)))
           .otherwise(col("toks")).as("toks"))
-    val noise = body.filter(col("doc_id") % 9 === 4)
+    val noise = tagged.filter(col("doc_id") % 9 === 4)
       .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
         transform(sequence(lit(1), lit(40)),
-          i => concat(lit("nf"), did, lit("_"), i.cast("string")))
+          i => concat(lit("nf"), col("did0"), lit("_"), i.cast("string")))
           .as("toks"))
-    val excerpt = body.filter(col("doc_id") % 6 === 1 &&
+    val excerpt = tagged.filter(col("doc_id") % 6 === 1 &&
         size(col("toks")) >= 28)
       .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
         concat(
           transform(sequence(lit(1), lit(6)),
-            i => concat(lit("xg"), did, lit("_"), i.cast("string"))),
+            i => concat(lit("xg"), col("did0"), lit("_"), i.cast("string"))),
           slice(col("toks"), 5, 24),
           transform(sequence(lit(1), lit(6)),
-            i => concat(lit("yg"), did, lit("_"), i.cast("string"))))
+            i => concat(lit("yg"), col("did0"), lit("_"), i.cast("string"))))
           .as("toks"))
     val s0 = withQuote.unionAll(noise).unionAll(excerpt)
       .repartition(par, col("doc_id"))
@@ -713,11 +720,595 @@ object CurationPipeline {
       |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s6))
       |ORDER BY stage_no""".stripMargin
 
+  // --------------------------------------------------------------- q432
+  /** Curation ledger v3 (VERDICT r15 #2) — q400 re-ordered to the
+    * decontam-FIRST ordering q430 certified, plus the cluster-collapse
+    * stage q400 lacked: the span-contamination gate now runs BEFORE any
+    * representative election (exact keep-min and the new q45-style
+    * near-dup cluster collapse), so every elected representative is
+    * clean by construction — q430's "min-id among clean members" policy
+    * realized structurally rather than patched after the fact. Stage
+    * order: ingest → quality (q23) → perplexity (q59/q391) →
+    * self-repetition (q393) → span-contamination gate (q352) → exact
+    * dedup (q19 keep-min) → near-dup cluster collapse (q22 banding +
+    * Jaccard ≥ 0.5 verify + q45 connected components, one survivor per
+    * component) → substring rewrite (q392 excision) → packing (q395).
+    *
+    * Two certificate rows close the loop on the audits that motivated
+    * the reorder: `rescued_groups` counts the components whose MIN-id
+    * member is contaminated but which have ≥ 1 clean member — exactly
+    * the clusters q430 proved dedup-first erases and this ordering
+    * keeps (n_tokens = the rescued clean representatives' token mass);
+    * `residual_contam` re-runs the q352 detector on the FINAL corpus
+    * (q392's residual-assertion discipline) — structurally zero, and
+    * the ledger pins it as a measured zero, not a claim.
+    *
+    * Injections: q400's four (loop prey ≡5 mod 8, noise clones ≡4 mod
+    * 9, excerpt clones ≡1 mod 6, benchmark quotes appended to ≡3 mod
+    * 10) plus the rescue population — every contamination-prey doc
+    * (≡3 mod 10) ALSO spawns a near-clone of its PRISTINE text at
+    * +5·10¹¹ with a 3-token unique tail: the clone is clean and
+    * Jaccard-≈(T−2)/(T+31) similar to its quote-carrying original, so
+    * components with a dirty min-id representative and a clean sibling
+    * are populated by construction.
+    *
+    * Exactness: the ledger is all-integer; the gate scores are the
+    * proven q23/q59 chains; banding/Jaccard are the q22 spelling (ONE
+    * SQL spelling via the shared MinHash fragment); components are
+    * integer min-labels (the oracle recomputes them by recursive CTE,
+    * the q430 spelling).
+    *
+    * Scale shape: every stage is the standalone registered plan behind
+    * eager stage barriers (q154's convention); the new cluster stage is
+    * the q22/q154 banded candidate join + the q45 CC contraction on
+    * VERIFIED edges only (near-dup-scale, orders below doc-scale); the
+    * rescue and residual rows are one group census and one re-run of
+    * the broadcast benchmark probe. No all-pairs product anywhere. */
+  def q432CurationV3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.SubstringQueries.{BF, F, K, L}
+    val par = spark.sparkContext.defaultParallelism
+    val d = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val bench = d.filter(col("doc_id") % 10 === 7)
+      .localCheckpoint(true)
+    val body = d.filter(col("doc_id") % 10 =!= 7)
+
+    // stage 0 — q400's injections + the near-clone rescue population.
+    // `did0` captures the PRE-offset id before the +offset select (see
+    // the q400 stage-0 note: a bare col("doc_id") in the same select
+    // resolves against the POST-offset lateral alias).
+    val tagged = body.select(col("doc_id"), col("toks"),
+      col("doc_id").cast("string").as("did0"))
+    val withLoop = body.select(col("doc_id"),
+      when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
+        concat(col("toks"), slice(col("toks"), 1, 10),
+          slice(col("toks"), 1, 10), slice(col("toks"), 1, 10)))
+        .otherwise(col("toks")).as("toks"))
+    val withQuote = withLoop
+      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
+        col("toks").as("btoks"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("btoks").isNotNull,
+          concat(col("toks"), slice(col("btoks"), 1, 30)))
+          .otherwise(col("toks")).as("toks"))
+    val noise = tagged.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
+        transform(sequence(lit(1), lit(40)),
+          i => concat(lit("nf"), col("did0"), lit("_"), i.cast("string")))
+          .as("toks"))
+    val excerpt = tagged.filter(col("doc_id") % 6 === 1 &&
+        size(col("toks")) >= 28)
+      .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
+        concat(
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("xg"), col("did0"), lit("_"), i.cast("string"))),
+          slice(col("toks"), 5, 24),
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("yg"), col("did0"), lit("_"), i.cast("string"))))
+          .as("toks"))
+    val clone = tagged.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(500000000000L)).as("doc_id"),
+        concat(col("toks"), transform(sequence(lit(1), lit(3)),
+          i => concat(lit("cl"), col("did0"), lit("_"), i.cast("string"))))
+          .as("toks"))
+    val s0 = withQuote.unionAll(noise).unionAll(excerpt).unionAll(clone)
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+
+    // stage 1 — quality gate (q23, as q400)
+    val s1 = s0
+      .withColumn("text", array_join(col("toks"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))))
+      .filter(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
+        + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
+        >= QualityMin)
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 2 — perplexity gate (q59 NLL, q391's threshold, as q400)
+    val tok2 = s1.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      explode(col("toks")).as("token"))
+    val vocab = tok2.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
+    val dropNll = tok2.join(lp, "token")
+      .groupBy(col("doc_id"))
+      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
+      .filter(col("avg_nll") > 8.0)
+      .select("doc_id")
+    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 3 — self-repetition gate (q393, as q400)
+    def positions(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
+          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
+          .as(Seq("p", "fp")))
+    val nxt3 = positions(s2)
+      .withColumn("pn", lead(col("p"), 1).over(
+        Window.partitionBy(col("doc_id"), col("fp")).orderBy(col("p"))))
+      .filter(col("pn").isNotNull)
+      .select(col("doc_id"), col("p"), (col("pn") - col("p")).as("prd"))
+    val dropLoop = nxt3
+      .withColumn("iid", col("p") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("prd")).orderBy(col("p"))))
+      .groupBy(col("doc_id"), col("prd"), col("iid"))
+      .agg(count(lit(1)).as("rl"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .select("doc_id").distinct()
+    val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // the benchmark probe (q352's df-capped position artifact) and the
+    // contamination verdict as a REUSABLE pass — run on s3 for the gate
+    // and on the final corpus for the residual certificate
+    val bpos = positions(bench)
+      .select(col("fp"), col("doc_id").as("bench_id"), col("p").as("bp"))
+    val bprobe = bpos.join(
+      bpos.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= BF).select(col("fp")), "fp")
+    def contamFlagged(df: DataFrame): DataFrame = positions(df)
+      .select(col("fp"), col("doc_id"), col("p").as("cp"))
+      .join(broadcast(bprobe), Seq("fp"))
+      .withColumn("diag", col("cp") - col("bp"))
+      .withColumn("iid", col("cp") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
+          .orderBy(col("cp"))))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("iid"))
+      .agg(count(lit(1)).as("rl"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .select("doc_id").distinct()
+    val dirty = contamFlagged(s3).localCheckpoint(true)
+
+    // the near-dup component labels over the PRE-gate corpus (s3): the
+    // q22 banded candidate join + exact-Jaccard verify + q45 CC. Labels
+    // over s3 (not s5) so the rescue census can compare the dirty-blind
+    // min-id representative against the clean election.
+    val sh6 = s3.select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      .localCheckpoint(true)
+    val banded6 = sh6
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+      .select(col("doc_id"),
+        explode(minhashBands(col("sig"), 8, 2)).as("b"))
+      .select(col("doc_id"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val candPairs = banded6.select(col("band"), col("band_hash"),
+        col("doc_id").as("a"))
+      .join(banded6.select(col("band"), col("band_hash"),
+        col("doc_id").as("b")), Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val edges = candPairs
+      .join(sh6.select(col("doc_id").as("a"), col("sh").as("a_sh")), "a")
+      .join(sh6.select(col("doc_id").as("b"), col("sh").as("b_sh")), "b")
+      .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
+      .select(col("a"), col("b"))
+    val comp = graft.operators.DupClusters
+      .connectedComponents(edges, "a", "b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .localCheckpoint(true)
+
+    // stage 4 — span-contamination gate FIRST (q430's certified order)
+    val s4 = s3.join(dirty, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 5 — exact dedup (q19 keep-min, now electing among clean docs)
+    val fp5 = s4.withColumn("fp", md5(array_join(col("toks"), " ")))
+    val s5 = fp5
+      .join(fp5.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 6 — near-dup cluster collapse: one survivor per component,
+    // min-id among the (all-clean) survivors = q430's clean-sibling
+    // election, group-atomic via the s3 component labels
+    val grp5 = s5.join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+    val s6 = grp5
+      .join(grp5.groupBy("grp").agg(min(col("doc_id")).as("keep_id")),
+        "grp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 7 — substring rewrite (q392's excision, as q400's stage 5)
+    val m7 = positions(s6)
+    val keep7 = m7.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= F).select(col("fp"))
+    val mm7 = m7.join(keep7, "fp").localCheckpoint(true)
+    val runs7 = mm7.select(col("fp"), col("doc_id").as("a_id"),
+        col("p").as("ap"))
+      .join(mm7.select(col("fp"), col("doc_id").as("b_id"),
+        col("p").as("bp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("diag", col("ap") - col("bp"))
+      .withColumn("iid", col("ap") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+          .orderBy(col("ap"))))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("iid"))
+      .agg(count(lit(1)).as("rl"), min(col("ap")).as("a0"))
+      .filter(col("rl") + lit(K - 1) >= L)
+    val spans7 = runs7
+      .select(col("b_id").as("doc_id"), (col("a0") - col("diag")).as("s"),
+        (col("a0") - col("diag") + col("rl") + lit(K - 2)).as("e"))
+      .distinct()
+    val w7 = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val regs7 = spans7
+      .withColumn("pme", max(col("e")).over(
+        w7.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(when(col("pme").isNull ||
+        col("s") > col("pme") + 1, 1L).otherwise(0L)).over(
+        w7.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("rs"), col("re"))))
+        .as("regs"))
+    val s7 = s6.join(regs7, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("regs").isNull, col("toks"))
+          .otherwise(expr(
+            "filter(toks, (x, i) -> NOT exists(regs, r -> i >= r.rs AND i <= r.re))"))
+          .as("toks"))
+      .localCheckpoint(true)
+
+    // rescue census: components whose dirty-blind min-id representative
+    // is contaminated but which have >= 1 clean member — the clusters
+    // q430 proved dedup-first erases; n_tokens = the clean reps' mass
+    val flagged = s3.select(col("doc_id"), size(col("toks")).as("ntok"))
+      .join(dirty.withColumn("isd", lit(1)), Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+        col("isd").isNotNull.as("is_dirty"),
+        coalesce(col("comp"), col("doc_id")).as("grp"))
+    val groups = flagged.groupBy(col("grp"))
+      .agg(sum(when(!col("is_dirty"), 1L).otherwise(0L)).as("n_clean"),
+        min(col("doc_id")).as("rep"),
+        min(when(!col("is_dirty"), col("doc_id"))).as("clean_rep"))
+    val rescued = groups
+      .filter(col("n_clean") > 0 && col("rep") =!= col("clean_rep"))
+    val rescRow = rescued
+      .join(flagged.select(col("doc_id").as("clean_rep"), col("ntok")),
+        "clean_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("ntok").cast("long")), lit(0L)).as("n_tokens"))
+
+    // residual certificate: the q352 detector re-run on the FINAL corpus
+    val resid = contamFlagged(s7)
+    val residRow = s7.join(resid, Seq("doc_id"), "leftsemi")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+          .as("n_tokens"))
+
+    def census(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+          .as("n_tokens"))
+    val stages = Seq(
+      (0, "ingest", s0), (1, "quality", s1), (2, "perplexity", s2),
+      (3, "loop_gate", s3), (4, "contam_gate", s4),
+      (5, "exact_dedup", s5), (6, "cluster_collapse", s6),
+      (7, "substring_rewrite", s7))
+    val ledger = stages.map { case (no, nm, cur) =>
+      census(cur).select(lit(no).as("stage_no"), lit(nm).as("stage"),
+        col("n_docs"), col("n_tokens"))
+    }.reduce(_.unionAll(_))
+    val pack = census(s7).select(lit(8).as("stage_no"),
+      lit("pack_512").as("stage"),
+      expr("(n_tokens + 511) div 512").as("n_docs"), col("n_tokens"))
+    val resc = rescRow.select(lit(9).as("stage_no"),
+      lit("rescued_groups").as("stage"), col("n_docs"), col("n_tokens"))
+    val residual = residRow.select(lit(10).as("stage_no"),
+      lit("residual_contam").as("stage"), col("n_docs"), col("n_tokens"))
+    ledger.unionAll(pack).unionAll(resc).unionAll(residual)
+      .orderBy("stage_no")
+  }
+
+  val q432Sql: String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bench AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+      |body AS (SELECT * FROM d WHERE doc_id % 10 != 7),
+      |wl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 8 = 5 AND len(toks) >= 10
+      |      THEN toks || toks[1:10] || toks[1:10] || toks[1:10]
+      |      ELSE toks END AS toks
+      |  FROM body),
+      |wq AS (
+      |  SELECT w.doc_id,
+      |    CASE WHEN b.toks IS NOT NULL THEN w.toks || b.toks[1:30]
+      |         ELSE w.toks END AS toks
+      |  FROM wl w LEFT JOIN bench b ON b.doc_id = w.doc_id + 4),
+      |noise AS (
+      |  SELECT bb.doc_id + 300000000000 AS doc_id,
+      |    list_transform(range(1, 41),
+      |      i -> 'nf' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 9 = 4),
+      |exc AS (
+      |  SELECT bb.doc_id + 400000000000 AS doc_id,
+      |    list_transform(range(1, 7),
+      |      i -> 'xg' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR))
+      |    || bb.toks[5:28]
+      |    || list_transform(range(1, 7),
+      |      i -> 'yg' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 6 = 1 AND len(bb.toks) >= 28),
+      |cl AS (
+      |  SELECT bb.doc_id + 500000000000 AS doc_id,
+      |    bb.toks || list_transform(range(1, 4),
+      |      i -> 'cl' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 10 = 3),
+      |s0 AS MATERIALIZED (
+      |  SELECT * FROM wq
+      |  UNION ALL SELECT * FROM noise
+      |  UNION ALL SELECT * FROM exc
+      |  UNION ALL SELECT * FROM cl),
+      |s1 AS MATERIALIZED (
+      |  SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks,
+      |      len(toks) AS n_tokens,
+      |      length(array_to_string(toks, ' ')) AS n_chars,
+      |      len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop
+      |    FROM s0)
+      |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 >= 0.5),
+      |tok2 AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
+      |  FROM s1),
+      |vocab2 AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+      |lp2 AS (
+      |  SELECT token,
+      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab2)), 9) AS lp
+      |  FROM vocab2),
+      |drop2 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, round(-avg(lp), 6) + 0.0 AS avg_nll
+      |    FROM tok2 JOIN lp2 USING (token) GROUP BY doc_id)
+      |  WHERE avg_nll > 8.0),
+      |s2 AS MATERIALIZED (
+      |  SELECT * FROM s1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+      |fps3 AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s2 WHERE len(toks) >= 8)),
+      |nxt3 AS (
+      |  SELECT doc_id, p,
+      |    lead(p) OVER (PARTITION BY doc_id, fp ORDER BY p) AS pn
+      |  FROM fps3),
+      |drop3 AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, prd, iid, COUNT(*) AS rl
+      |    FROM (SELECT doc_id, prd, p,
+      |            p - row_number() OVER
+      |              (PARTITION BY doc_id, prd ORDER BY p) AS iid
+      |          FROM (SELECT doc_id, p, pn - p AS prd
+      |                FROM nxt3 WHERE pn IS NOT NULL))
+      |    GROUP BY doc_id, prd, iid
+      |    HAVING COUNT(*) + 7 >= 16)),
+      |s3 AS MATERIALIZED (
+      |  SELECT * FROM s2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |bpos AS MATERIALIZED (
+      |  SELECT md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp,
+      |    doc_id AS bench_id, p AS bp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM bench WHERE len(toks) >= 8)),
+      |bkeep AS (SELECT fp FROM bpos GROUP BY fp HAVING COUNT(*) <= 16),
+      |bprobe AS (SELECT * FROM bpos JOIN bkeep USING (fp)),
+      |cpos4 AS (
+      |  SELECT doc_id, p AS cp,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s3 WHERE len(toks) >= 8)),
+      |dirty AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, bench_id, diag, iid, COUNT(*) AS rl
+      |    FROM (SELECT c.doc_id, b.bench_id, c.cp - b.bp AS diag, c.cp,
+      |            c.cp - row_number() OVER (PARTITION BY c.doc_id,
+      |              b.bench_id, c.cp - b.bp ORDER BY c.cp) AS iid
+      |          FROM cpos4 c JOIN bprobe b USING (fp))
+      |    GROUP BY doc_id, bench_id, diag, iid
+      |    HAVING COUNT(*) + 7 >= 16)),
+      |s3t AS (SELECT doc_id, array_to_string(toks, ' ') AS text FROM s3),
+      |${DocQueries.minhashPairsSqlFragment("s3t")},
+      |nedges AS (
+      |  SELECT a_id AS a, b_id AS b FROM pairs WHERE jaccard >= 0.5),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM nedges
+      |  UNION
+      |  SELECT b, a FROM nedges),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      |comp AS (
+      |  SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+      |  FROM reach GROUP BY src),
+      |s4 AS MATERIALIZED (
+      |  SELECT * FROM s3
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      |fp5 AS (
+      |  SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS fp
+      |  FROM s4),
+      |s5 AS MATERIALIZED (
+      |  SELECT doc_id, toks FROM fp5
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM fp5 GROUP BY fp)),
+      |grp5 AS (
+      |  SELECT s5.doc_id, s5.toks, COALESCE(c.comp, s5.doc_id) AS grp
+      |  FROM s5 LEFT JOIN comp c ON s5.doc_id = c.node),
+      |s6 AS MATERIALIZED (
+      |  SELECT doc_id, toks FROM grp5
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM grp5 GROUP BY grp)),
+      |m7 AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s6 WHERE len(toks) >= 8)),
+      |keep7 AS (
+      |  SELECT fp FROM m7 GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) <= 8),
+      |mm7 AS MATERIALIZED (SELECT * FROM m7 JOIN keep7 USING (fp)),
+      |runs7 AS (
+      |  SELECT a_id, b_id, diag, COUNT(*) AS rl, MIN(ap) AS a0
+      |  FROM (SELECT a_id, b_id, ap - bp AS diag, ap,
+      |          ap - row_number() OVER
+      |            (PARTITION BY a_id, b_id, ap - bp ORDER BY ap) AS iid
+      |        FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |                a.p AS ap, b.p AS bp
+      |              FROM mm7 a JOIN mm7 b
+      |                ON a.fp = b.fp AND a.doc_id < b.doc_id))
+      |  GROUP BY a_id, b_id, diag, iid
+      |  HAVING COUNT(*) + 7 >= 16),
+      |spans7 AS (
+      |  SELECT DISTINCT b_id AS doc_id, a0 - diag AS s,
+      |    a0 - diag + rl + 6 AS e
+      |  FROM runs7),
+      |mk7 AS (
+      |  SELECT doc_id, s, e,
+      |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM spans7),
+      |g7 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM mk7),
+      |regions7 AS (
+      |  SELECT doc_id, grp, MIN(s) AS rs, MAX(e) AS re
+      |  FROM g7 GROUP BY 1, 2),
+      |regs7 AS (
+      |  SELECT doc_id, list({'rs': rs, 're': re} ORDER BY rs, re) AS regs
+      |  FROM regions7 GROUP BY doc_id),
+      |s7 AS MATERIALIZED (
+      |  SELECT t.doc_id,
+      |    CASE WHEN r.regs IS NULL THEN t.toks
+      |         ELSE list_filter(t.toks, (x, i) ->
+      |           len(list_filter(r.regs,
+      |             rg -> rg.rs <= i - 1 AND i - 1 <= rg.re)) = 0)
+      |    END AS toks
+      |  FROM s6 t LEFT JOIN regs7 r ON t.doc_id = r.doc_id),
+      |cpos8 AS (
+      |  SELECT doc_id, p AS cp,
+      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS p
+      |        FROM s7 WHERE len(toks) >= 8)),
+      |resid AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, bench_id, diag, iid, COUNT(*) AS rl
+      |    FROM (SELECT c.doc_id, b.bench_id, c.cp - b.bp AS diag, c.cp,
+      |            c.cp - row_number() OVER (PARTITION BY c.doc_id,
+      |              b.bench_id, c.cp - b.bp ORDER BY c.cp) AS iid
+      |          FROM cpos8 c JOIN bprobe b USING (fp))
+      |    GROUP BY doc_id, bench_id, diag, iid
+      |    HAVING COUNT(*) + 7 >= 16)),
+      |flagged AS (
+      |  SELECT s3.doc_id, len(s3.toks) AS ntok,
+      |    CASE WHEN s3.doc_id IN (SELECT doc_id FROM dirty)
+      |      THEN 1 ELSE 0 END AS dirty,
+      |    COALESCE(c.comp, s3.doc_id) AS grp
+      |  FROM s3 LEFT JOIN comp c ON s3.doc_id = c.node),
+      |groups AS (
+      |  SELECT grp, CAST(SUM(1 - dirty) AS BIGINT) AS n_clean,
+      |    MIN(doc_id) AS rep,
+      |    MIN(CASE WHEN dirty = 0 THEN doc_id END) AS clean_rep
+      |  FROM flagged GROUP BY grp),
+      |resc AS (
+      |  SELECT f.ntok
+      |  FROM groups g JOIN flagged f ON f.doc_id = g.clean_rep
+      |  WHERE g.n_clean > 0 AND g.rep <> g.clean_rep)
+      |SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT 0 AS stage_no, 'ingest' AS stage,
+      |    (SELECT COUNT(*) FROM s0) AS n_docs,
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s0) AS n_tokens
+      |  UNION ALL SELECT 1, 'quality',
+      |    (SELECT COUNT(*) FROM s1),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s1)
+      |  UNION ALL SELECT 2, 'perplexity',
+      |    (SELECT COUNT(*) FROM s2),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s2)
+      |  UNION ALL SELECT 3, 'loop_gate',
+      |    (SELECT COUNT(*) FROM s3),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s3)
+      |  UNION ALL SELECT 4, 'contam_gate',
+      |    (SELECT COUNT(*) FROM s4),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s4)
+      |  UNION ALL SELECT 5, 'exact_dedup',
+      |    (SELECT COUNT(*) FROM s5),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s5)
+      |  UNION ALL SELECT 6, 'cluster_collapse',
+      |    (SELECT COUNT(*) FROM s6),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s6)
+      |  UNION ALL SELECT 7, 'substring_rewrite',
+      |    (SELECT COUNT(*) FROM s7),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s7)
+      |  UNION ALL SELECT 8, 'pack_512',
+      |    (SELECT (COALESCE(SUM(len(toks)), 0) + 511) // 512 FROM s7),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s7)
+      |  UNION ALL SELECT 9, 'rescued_groups',
+      |    (SELECT COUNT(*) FROM resc),
+      |    (SELECT COALESCE(SUM(ntok), 0) FROM resc)
+      |  UNION ALL SELECT 10, 'residual_contam',
+      |    (SELECT COUNT(*) FROM s7
+      |     WHERE doc_id IN (SELECT doc_id FROM resid)),
+      |    (SELECT COALESCE(SUM(len(toks)), 0) FROM s7
+      |     WHERE doc_id IN (SELECT doc_id FROM resid)))
+      |ORDER BY stage_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_curation_pipeline" -> (q154CurationPipeline _),
-    "q400_curation_v2" -> (q400CurationV2 _))
+    "q400_curation_v2" -> (q400CurationV2 _),
+    "q432_curation_v3" -> (q432CurationV3 _))
 
   def oracles: Map[String, String] = Map(
     "q154_curation_pipeline" -> q154Sql,
-    "q400_curation_v2" -> q400Sql)
+    "q400_curation_v2" -> q400Sql,
+    "q432_curation_v3" -> q432Sql)
 }
