@@ -65,6 +65,9 @@ object CrossModal {
   private val JaccardMin = 0.5
 
   // --------------------------------------------------------------- q434
+  /** Cross-modal (image, caption) pair dedup interaction census — the
+    * per-quadrant decision table of four curation policies (see the
+    * object Scaladoc for pair synthesis and verdict semantics). */
   def q434CrossmodalPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
