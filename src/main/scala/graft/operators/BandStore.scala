@@ -77,6 +77,46 @@ object BandStore {
     ()
   }
 
+  /** Append admitted documents to BOTH halves of the store; `saveAsTable`
+    * append keeps each table's bucket spec, so later probes stay
+    * store-side shuffle-free (q94's append discipline, both keys). */
+  def appendToStore(admitted: DataFrame, table: String, path: String,
+                    nBuckets: Int = StoreBuckets): Unit = {
+    val sh = shingleSets(admitted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
+      s"${path}_bands", "bucket_key", nBuckets, mode = "append")
+    Warehouse.writeBucketed(sh, shinglesTable(table),
+      s"${path}_shingles", "doc_id", nBuckets, mode = "append")
+    sh.unpersist()
+    ()
+  }
+
+  /** Retire documents from BOTH halves of the store — the takedown GC
+    * completing this store's maintenance pair, [[SubstringStore.retireFromStore]]'s
+    * discipline applied to the two-table layout: one doc_id anti-join
+    * per half, each surviving generation rewritten with its OWN
+    * bucketing (bands on bucket_key, shingles on doc_id — the q340
+    * generation-swap rule), so post-GC probes stay exchange-free on
+    * both store sides. A running [[graft.streaming.NearDupProbeStream]]
+    * holds the PRIOR generation (resolved at query start) and is
+    * undisturbed; admitting the new generation is an explicit restart. */
+  def retireFromStore(spark: SparkSession, table: String,
+      retired: DataFrame, gcTable: String, gcPath: String,
+      nBuckets: Int = StoreBuckets): Unit = {
+    val r = retired.select(col("doc_id"))
+    Warehouse.writeBucketed(
+      spark.table(bandsTable(table)).join(r, Seq("doc_id"), "left_anti")
+        .select(col("bucket_key"), col("doc_id")),
+      bandsTable(gcTable), s"${gcPath}_bands", "bucket_key", nBuckets,
+      mode = "overwrite")
+    Warehouse.writeBucketed(
+      spark.table(shinglesTable(table)).join(r, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("sh")),
+      shinglesTable(gcTable), s"${gcPath}_shingles", "doc_id", nBuckets,
+      mode = "overwrite")
+  }
+
   /** One verdict row per `batch` (doc_id, text) document against the
     * frozen store generation (`bands`, `shingles` — the two bucketed
     * tables): (doc_id, n_candidates, n_matches, best_jaccard,
