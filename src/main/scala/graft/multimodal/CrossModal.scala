@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{fingerprint, jaccard, minhashBands, minhashSignature, shingles, tokens}
+import graft.functions.TextFunctions.{fingerprint, jaccard, shingles, tokens}
 import graft.multimodal.Multimodal.{Codec, FrameH, FrameW, dhash56}
 
 /** Cross-modal PAIR curation (VERDICT r15 #4): the multimodal family
@@ -150,18 +150,9 @@ object CrossModal {
     val capsh = caps
       .select(col("pair_id"), shingles(tokens(col("cap")), 3).as("sh"))
       .localCheckpoint(true)
-    val bandedc = capsh
-      .withColumn("sig", minhashSignature(col("sh"), 16))
-      .select(col("pair_id"),
-        explode(minhashBands(col("sig"), 8, 2)).as("b"))
-      .select(col("pair_id"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val candc = bandedc.select(col("band"), col("band_hash"),
-        col("pair_id").as("a_id"))
-      .join(bandedc.select(col("band"), col("band_hash"),
-        col("pair_id").as("b_id")), Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val candc = graft.operators.BandStore.candidatePairs(
+        capsh.withColumnRenamed("pair_id", "doc_id"))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
     val nearcap = candc
       .join(capsh.select(col("pair_id").as("a_id"), col("sh").as("a_sh")),
         "a_id")
@@ -268,9 +259,10 @@ object CrossModal {
        |  SELECT doc_id AS pair_id, text AS cap FROM d
        |  UNION ALL
        |  SELECT doc_id + 100000000000,
-       |    array_to_string(list_transform(
-       |      regexp_split_to_array(trim(text), '\\s+'),
-       |      t -> t || '_cva'), ' ')
+       |    CASE WHEN length(trim(text)) = 0 THEN ''
+       |         ELSE array_to_string(list_transform(
+       |           regexp_split_to_array(trim(text), '\\s+'),
+       |           t -> t || '_cva'), ' ') END
        |  FROM d
        |  UNION ALL
        |  SELECT doc_id + 200000000000, text FROM d

@@ -60,6 +60,20 @@ object BandStore {
       concat_ws(":", col("b.band"), col("b.band_hash")).as("bucket_key"),
       col("doc_id"))
 
+  /** Distinct band-colliding candidate id pairs (a < b) of a
+    * (doc_id, sh) frame — the in-query half of the banding chain,
+    * reusing [[bandsOf]]'s composed key so the near-dup family's
+    * candidate join has exactly ONE spelling (q432's cluster stage and
+    * q434's caption side call this; the store probe joins the same
+    * bandsOf output against the bucketed band table). */
+  def candidatePairs(docsSh: DataFrame): DataFrame = {
+    val banded = bandsOf(docsSh)
+    banded.withColumnRenamed("doc_id", "a")
+      .join(banded.withColumnRenamed("doc_id", "b"), Seq("bucket_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   def bandsTable(table: String): String = s"${table}_bands"
   def shinglesTable(table: String): String = s"${table}_shingles"
 
@@ -79,10 +93,19 @@ object BandStore {
 
   /** Append admitted documents to BOTH halves of the store; `saveAsTable`
     * append keeps each table's bucket spec, so later probes stay
-    * store-side shuffle-free (q94's append discipline, both keys). */
+    * store-side shuffle-free (q94's append discipline, both keys).
+    * Already-stored doc_ids are anti-joined out FIRST: an at-least-once
+    * admission flow may re-deliver a document, and a duplicate shingle
+    * row would double-count every later probe's n_candidates/n_matches
+    * — the guard makes append idempotent per document (one bucketed
+    * doc_id scan, the store's own key). */
   def appendToStore(admitted: DataFrame, table: String, path: String,
                     nBuckets: Int = StoreBuckets): Unit = {
-    val sh = shingleSets(admitted)
+    val spark = admitted.sparkSession
+    val novel = admitted.join(
+      spark.table(shinglesTable(table)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val sh = shingleSets(novel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
       s"${path}_bands", "bucket_key", nBuckets, mode = "append")

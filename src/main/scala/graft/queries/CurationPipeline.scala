@@ -293,6 +293,134 @@ object CurationPipeline {
       |ORDER BY stage_no""".stripMargin
   }
 
+  /** q350-family K-shingle position rows (doc_id, p, fp) of a `toks`
+    * frame — ONE spelling shared by the v2/v3 self-repetition gates,
+    * substring rewrites, and contamination probes. */
+  private def positionsOf(df: DataFrame): DataFrame = {
+    import graft.queries.SubstringQueries.K
+    df.filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
+          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
+          .as(Seq("p", "fp")))
+  }
+
+  /** The shared v2/v3 FRONT HALF: tokenized corpus split into benchmark
+    * (doc_id ≡ 7 mod 10) and body, the deterministic injections — loop
+    * prey (≡5 mod 8), benchmark quotes (≡3 mod 10), gibberish clones
+    * (≡4 mod 9, +3·10¹¹), excerpt clones (≡1 mod 6, +4·10¹¹), and,
+    * when `withClone` (v3), the near-clone rescue population (≡3 mod
+    * 10, +5·10¹¹, pristine text + 3-token unique tail) — then the three
+    * front gates (q23 quality, q59/q391 perplexity, q393
+    * self-repetition), each stage eagerly materialized. Returns
+    * (bench, s0, s1, s2, s3). One spelling for both ledgers: the
+    * lateral-alias divergence this file fixed (see the stage-0 note)
+    * is exactly the drift risk two copies of this chain carried.
+    *
+    * Stage-0 note: the PRE-offset id is captured as a real column
+    * (`did0`) before the +offset select — in a single select list,
+    * Spark 4 resolves a bare col("doc_id") against the select's own
+    * `.as("doc_id")` lateral alias (the POST-offset id), silently
+    * diverging from the oracle's bb.doc_id spelling. */
+  private def frontStages(spark: SparkSession, dir: String,
+      withClone: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.queries.SubstringQueries.{K, L}
+    val par = spark.sparkContext.defaultParallelism
+    val d = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val bench = d.filter(col("doc_id") % 10 === 7)
+      .localCheckpoint(true)
+    val body = d.filter(col("doc_id") % 10 =!= 7)
+
+    // stage 0 — the injections (did0 = the pre-offset id, see above)
+    val tagged = body.select(col("doc_id"), col("toks"),
+      col("doc_id").cast("string").as("did0"))
+    val withLoop = body.select(col("doc_id"),
+      when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
+        concat(col("toks"), slice(col("toks"), 1, 10),
+          slice(col("toks"), 1, 10), slice(col("toks"), 1, 10)))
+        .otherwise(col("toks")).as("toks"))
+    val withQuote = withLoop
+      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
+        col("toks").as("btoks"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("btoks").isNotNull,
+          concat(col("toks"), slice(col("btoks"), 1, 30)))
+          .otherwise(col("toks")).as("toks"))
+    val noise = tagged.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
+        transform(sequence(lit(1), lit(40)),
+          i => concat(lit("nf"), col("did0"), lit("_"), i.cast("string")))
+          .as("toks"))
+    val excerpt = tagged.filter(col("doc_id") % 6 === 1 &&
+        size(col("toks")) >= 28)
+      .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
+        concat(
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("xg"), col("did0"), lit("_"), i.cast("string"))),
+          slice(col("toks"), 5, 24),
+          transform(sequence(lit(1), lit(6)),
+            i => concat(lit("yg"), col("did0"), lit("_"), i.cast("string"))))
+          .as("toks"))
+    val clone = tagged.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + lit(500000000000L)).as("doc_id"),
+        concat(col("toks"), transform(sequence(lit(1), lit(3)),
+          i => concat(lit("cl"), col("did0"), lit("_"), i.cast("string"))))
+          .as("toks"))
+    val injected = withQuote.unionAll(noise).unionAll(excerpt)
+    val s0 = (if (withClone) injected.unionAll(clone) else injected)
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+
+    // stage 1 — quality gate (q23's composite over the joined text)
+    val s1 = s0
+      .withColumn("text", array_join(col("toks"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))))
+      .filter(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
+        + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
+        >= QualityMin)
+      .select("doc_id", "toks")
+      .localCheckpoint(true)
+
+    // stage 2 — perplexity gate: q59's unigram NLL, self-trained on the
+    // s1 survivors, cut at q391's middle threshold
+    val tok2 = s1.select(col("doc_id"), explode(col("toks")).as("token"))
+    val vocab = tok2.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
+    val dropNll = tok2.join(lp, "token")
+      .groupBy(col("doc_id"))
+      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
+      .filter(col("avg_nll") > 8.0)
+      .select("doc_id")
+    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // stage 3 — self-repetition gate: q393's rule, any tandem repeat ≥ L
+    val nxt3 = positionsOf(s2)
+      .withColumn("pn", lead(col("p"), 1).over(
+        Window.partitionBy(col("doc_id"), col("fp")).orderBy(col("p"))))
+      .filter(col("pn").isNotNull)
+      .select(col("doc_id"), col("p"), (col("pn") - col("p")).as("prd"))
+    val dropLoop = nxt3
+      .withColumn("iid", col("p") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("prd")).orderBy(col("p"))))
+      .groupBy(col("doc_id"), col("prd"), col("iid"))
+      .agg(count(lit(1)).as("rl"))
+      .filter(col("rl") + lit(K - 1) >= L)
+      .select("doc_id").distinct()
+    val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    (bench, s0, s1, s2, s3)
+  }
+
   // --------------------------------------------------------------- q400
   /** Curation ledger v2 — the round-14/15 modalities composed end to
     * end, the way q154 composed the round-12 ones: ingest (with
@@ -330,105 +458,10 @@ object CurationPipeline {
     * benchmark probe — no all-pairs product anywhere. */
   def q400CurationV2(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.SubstringQueries.{BF, F, K, L}
-    val par = spark.sparkContext.defaultParallelism
-    val d = Kpis.table(spark, dir, "documents")
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-    val bench = d.filter(col("doc_id") % 10 === 7)
-      .localCheckpoint(true)
-    val body = d.filter(col("doc_id") % 10 =!= 7)
-
-    // stage 0 — ingest with the four injections. The PRE-offset id is
-    // captured as a real column (`did0`) before the +offset select: in a
-    // single select list, Spark 4 resolves a bare col("doc_id") against
-    // the select's own `.as("doc_id")` lateral alias — the POST-offset id
-    // — silently diverging from the oracle's bb.doc_id spelling (masked
-    // here because the gate verdicts coincide; caught by q432's quality
-    // boundary and fixed at all three injection sites).
-    val tagged = body.select(col("doc_id"), col("toks"),
-      col("doc_id").cast("string").as("did0"))
-    val withLoop = body.select(col("doc_id"),
-      when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
-        concat(col("toks"), slice(col("toks"), 1, 10),
-          slice(col("toks"), 1, 10), slice(col("toks"), 1, 10)))
-        .otherwise(col("toks")).as("toks"))
-    val withQuote = withLoop
-      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
-        col("toks").as("btoks"))), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("btoks").isNotNull,
-          concat(col("toks"), slice(col("btoks"), 1, 30)))
-          .otherwise(col("toks")).as("toks"))
-    val noise = tagged.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
-        transform(sequence(lit(1), lit(40)),
-          i => concat(lit("nf"), col("did0"), lit("_"), i.cast("string")))
-          .as("toks"))
-    val excerpt = tagged.filter(col("doc_id") % 6 === 1 &&
-        size(col("toks")) >= 28)
-      .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
-        concat(
-          transform(sequence(lit(1), lit(6)),
-            i => concat(lit("xg"), col("did0"), lit("_"), i.cast("string"))),
-          slice(col("toks"), 5, 24),
-          transform(sequence(lit(1), lit(6)),
-            i => concat(lit("yg"), col("did0"), lit("_"), i.cast("string"))))
-          .as("toks"))
-    val s0 = withQuote.unionAll(noise).unionAll(excerpt)
-      .repartition(par, col("doc_id"))
-      .localCheckpoint(true)
-
-    // stage 1 — quality gate (q23's composite over the joined text)
-    val s1 = s0
-      .withColumn("text", array_join(col("toks"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_chars", length(col("text")))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin("the", "a"))))
-      .filter(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
-        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
-        + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
-        >= QualityMin)
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
-
-    // stage 2 — perplexity gate: q59's unigram NLL, self-trained on the
-    // s1 survivors, cut at q391's middle threshold
-    val tok2 = s1.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-      explode(col("toks")).as("token"))
-    val vocab = tok2.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
-      .select(col("token"),
-        round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
-    val dropNll = tok2.join(lp, "token")
-      .groupBy(col("doc_id"))
-      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
-      .filter(col("avg_nll") > 8.0)
-      .select("doc_id")
-    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-
-    // stage 3 — self-repetition gate: q393's rule, any tandem repeat ≥ L
-    def positions(df: DataFrame): DataFrame = df
-      .filter(size(col("toks")) >= K)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
-          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
-          .as(Seq("p", "fp")))
-    val nxt3 = positions(s2)
-      .withColumn("pn", lead(col("p"), 1).over(
-        Window.partitionBy(col("doc_id"), col("fp")).orderBy(col("p"))))
-      .filter(col("pn").isNotNull)
-      .select(col("doc_id"), col("p"), (col("pn") - col("p")).as("prd"))
-    val dropLoop = nxt3
-      .withColumn("iid", col("p") - row_number().over(
-        Window.partitionBy(col("doc_id"), col("prd")).orderBy(col("p"))))
-      .groupBy(col("doc_id"), col("prd"), col("iid"))
-      .agg(count(lit(1)).as("rl"))
-      .filter(col("rl") + lit(K - 1) >= L)
-      .select("doc_id").distinct()
-    val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // stages 0-3 (injections + quality + perplexity + loop gate) are the
+    // shared v2/v3 front half — see [[frontStages]]
+    val (bench, s0, s1, s2, s3) = frontStages(spark, dir, withClone = false)
+    def positions(df: DataFrame): DataFrame = positionsOf(df)
 
     // stage 4 — exact dedup: q19's fingerprint, keep-min
     val fp4 = s3.withColumn("fp", md5(array_join(col("toks"), " ")))
@@ -521,10 +554,28 @@ object CurationPipeline {
     ledger.unionAll(pack).orderBy("stage_no")
   }
 
-  val q400Sql: String =
-    """WITH d AS (
+  /** Shared v2/v3 oracle front half (CTEs d..s3): the injections and
+    * the three front gates, `withClone` adding the v3 near-clone CTE —
+    * ONE SQL spelling mirroring [[frontStages]]. Returns already-
+    * margin-stripped text for interpolation right after WITH. */
+  private def frontSql(withClone: Boolean): String = {
+    // NOTE: this builder returns MARGIN-BEARING text — the callers
+    // interpolate it inside their own s"""...""".stripMargin, and a
+    // pre-stripped block would have its '||' operators eaten by the
+    // caller's stripMargin (the first '|' of a line becomes the margin)
+    val cloneCte = if (!withClone) "" else
+      """,
+      |cl AS (
+      |  SELECT bb.doc_id + 500000000000 AS doc_id,
+      |    bb.toks || list_transform(range(1, 4),
+      |      i -> 'cl' || CAST(bb.doc_id AS VARCHAR) || '_'
+      |        || CAST(i AS VARCHAR)) AS toks
+      |  FROM body bb WHERE bb.doc_id % 10 = 3)"""
+    val cloneUnion = if (!withClone) "" else
+      "\n      |  UNION ALL SELECT * FROM cl"
+    s"""d AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       |  FROM documents WHERE length(trim(text)) > 0),
       |bench AS (SELECT * FROM d WHERE doc_id % 10 = 7),
       |body AS (SELECT * FROM d WHERE doc_id % 10 != 7),
@@ -554,11 +605,11 @@ object CurationPipeline {
       |    || list_transform(range(1, 7),
       |      i -> 'yg' || CAST(bb.doc_id AS VARCHAR) || '_'
       |        || CAST(i AS VARCHAR)) AS toks
-      |  FROM body bb WHERE bb.doc_id % 6 = 1 AND len(bb.toks) >= 28),
+      |  FROM body bb WHERE bb.doc_id % 6 = 1 AND len(bb.toks) >= 28)$cloneCte,
       |s0 AS MATERIALIZED (
       |  SELECT * FROM wq
       |  UNION ALL SELECT * FROM noise
-      |  UNION ALL SELECT * FROM exc),
+      |  UNION ALL SELECT * FROM exc$cloneUnion),
       |s1 AS MATERIALIZED (
       |  SELECT doc_id, toks FROM (
       |    SELECT doc_id, toks,
@@ -569,9 +620,7 @@ object CurationPipeline {
       |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
       |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
       |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 >= 0.5),
-      |tok2 AS (
-      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
-      |  FROM s1),
+      |tok2 AS (SELECT doc_id, unnest(toks) AS token FROM s1),
       |vocab2 AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
       |lp2 AS (
       |  SELECT token,
@@ -607,7 +656,11 @@ object CurationPipeline {
       |    HAVING COUNT(*) + 7 >= 16)),
       |s3 AS MATERIALIZED (
       |  SELECT * FROM s2
-      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3))"""
+  }
+
+  val q400Sql: String =
+    s"""WITH ${frontSql(false)},
       |fp4 AS (
       |  SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS fp
       |  FROM s3),
@@ -766,106 +819,10 @@ object CurationPipeline {
     * the broadcast benchmark probe. No all-pairs product anywhere. */
   def q432CurationV3(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.SubstringQueries.{BF, F, K, L}
-    val par = spark.sparkContext.defaultParallelism
-    val d = Kpis.table(spark, dir, "documents")
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-    val bench = d.filter(col("doc_id") % 10 === 7)
-      .localCheckpoint(true)
-    val body = d.filter(col("doc_id") % 10 =!= 7)
-
-    // stage 0 — q400's injections + the near-clone rescue population.
-    // `did0` captures the PRE-offset id before the +offset select (see
-    // the q400 stage-0 note: a bare col("doc_id") in the same select
-    // resolves against the POST-offset lateral alias).
-    val tagged = body.select(col("doc_id"), col("toks"),
-      col("doc_id").cast("string").as("did0"))
-    val withLoop = body.select(col("doc_id"),
-      when(col("doc_id") % 8 === 5 && size(col("toks")) >= 10,
-        concat(col("toks"), slice(col("toks"), 1, 10),
-          slice(col("toks"), 1, 10), slice(col("toks"), 1, 10)))
-        .otherwise(col("toks")).as("toks"))
-    val withQuote = withLoop
-      .join(broadcast(bench.select((col("doc_id") - 4).as("doc_id"),
-        col("toks").as("btoks"))), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("btoks").isNotNull,
-          concat(col("toks"), slice(col("btoks"), 1, 30)))
-          .otherwise(col("toks")).as("toks"))
-    val noise = tagged.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + lit(300000000000L)).as("doc_id"),
-        transform(sequence(lit(1), lit(40)),
-          i => concat(lit("nf"), col("did0"), lit("_"), i.cast("string")))
-          .as("toks"))
-    val excerpt = tagged.filter(col("doc_id") % 6 === 1 &&
-        size(col("toks")) >= 28)
-      .select((col("doc_id") + lit(400000000000L)).as("doc_id"),
-        concat(
-          transform(sequence(lit(1), lit(6)),
-            i => concat(lit("xg"), col("did0"), lit("_"), i.cast("string"))),
-          slice(col("toks"), 5, 24),
-          transform(sequence(lit(1), lit(6)),
-            i => concat(lit("yg"), col("did0"), lit("_"), i.cast("string"))))
-          .as("toks"))
-    val clone = tagged.filter(col("doc_id") % 10 === 3)
-      .select((col("doc_id") + lit(500000000000L)).as("doc_id"),
-        concat(col("toks"), transform(sequence(lit(1), lit(3)),
-          i => concat(lit("cl"), col("did0"), lit("_"), i.cast("string"))))
-          .as("toks"))
-    val s0 = withQuote.unionAll(noise).unionAll(excerpt).unionAll(clone)
-      .repartition(par, col("doc_id"))
-      .localCheckpoint(true)
-
-    // stage 1 — quality gate (q23, as q400)
-    val s1 = s0
-      .withColumn("text", array_join(col("toks"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_chars", length(col("text")))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin("the", "a"))))
-      .filter(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
-        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
-        + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
-        >= QualityMin)
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
-
-    // stage 2 — perplexity gate (q59 NLL, q391's threshold, as q400)
-    val tok2 = s1.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-      explode(col("toks")).as("token"))
-    val vocab = tok2.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
-      .select(col("token"),
-        round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
-    val dropNll = tok2.join(lp, "token")
-      .groupBy(col("doc_id"))
-      .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
-      .filter(col("avg_nll") > 8.0)
-      .select("doc_id")
-    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-
-    // stage 3 — self-repetition gate (q393, as q400)
-    def positions(df: DataFrame): DataFrame = df
-      .filter(size(col("toks")) >= K)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - K),
-          i => md5(array_join(slice(col("toks"), i + lit(1), lit(K)), " "))))
-          .as(Seq("p", "fp")))
-    val nxt3 = positions(s2)
-      .withColumn("pn", lead(col("p"), 1).over(
-        Window.partitionBy(col("doc_id"), col("fp")).orderBy(col("p"))))
-      .filter(col("pn").isNotNull)
-      .select(col("doc_id"), col("p"), (col("pn") - col("p")).as("prd"))
-    val dropLoop = nxt3
-      .withColumn("iid", col("p") - row_number().over(
-        Window.partitionBy(col("doc_id"), col("prd")).orderBy(col("p"))))
-      .groupBy(col("doc_id"), col("prd"), col("iid"))
-      .agg(count(lit(1)).as("rl"))
-      .filter(col("rl") + lit(K - 1) >= L)
-      .select("doc_id").distinct()
-    val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // stages 0-3 are the shared v2/v3 front half WITH the near-clone
+    // rescue population — see [[frontStages]]
+    val (bench, s0, s1, s2, s3) = frontStages(spark, dir, withClone = true)
+    def positions(df: DataFrame): DataFrame = positionsOf(df)
 
     // the benchmark probe (q352's df-capped position artifact) and the
     // contamination verdict as a REUSABLE pass — run on s3 for the gate
@@ -894,19 +851,7 @@ object CurationPipeline {
     // min-id representative against the clean election.
     val sh6 = s3.select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
       .localCheckpoint(true)
-    val banded6 = sh6
-      .withColumn("sig", minhashSignature(col("sh"), 16))
-      .select(col("doc_id"),
-        explode(minhashBands(col("sig"), 8, 2)).as("b"))
-      .select(col("doc_id"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val candPairs = banded6.select(col("band"), col("band_hash"),
-        col("doc_id").as("a"))
-      .join(banded6.select(col("band"), col("band_hash"),
-        col("doc_id").as("b")), Seq("band", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val edges = candPairs
+    val edges = graft.operators.BandStore.candidatePairs(sh6)
       .join(sh6.select(col("doc_id").as("a"), col("sh").as("a_sh")), "a")
       .join(sh6.select(col("doc_id").as("b"), col("sh").as("b_sh")), "b")
       .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
@@ -1035,99 +980,7 @@ object CurationPipeline {
   }
 
   val q432Sql: String =
-    s"""WITH RECURSIVE d AS (
-      |  SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |bench AS (SELECT * FROM d WHERE doc_id % 10 = 7),
-      |body AS (SELECT * FROM d WHERE doc_id % 10 != 7),
-      |wl AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 8 = 5 AND len(toks) >= 10
-      |      THEN toks || toks[1:10] || toks[1:10] || toks[1:10]
-      |      ELSE toks END AS toks
-      |  FROM body),
-      |wq AS (
-      |  SELECT w.doc_id,
-      |    CASE WHEN b.toks IS NOT NULL THEN w.toks || b.toks[1:30]
-      |         ELSE w.toks END AS toks
-      |  FROM wl w LEFT JOIN bench b ON b.doc_id = w.doc_id + 4),
-      |noise AS (
-      |  SELECT bb.doc_id + 300000000000 AS doc_id,
-      |    list_transform(range(1, 41),
-      |      i -> 'nf' || CAST(bb.doc_id AS VARCHAR) || '_'
-      |        || CAST(i AS VARCHAR)) AS toks
-      |  FROM body bb WHERE bb.doc_id % 9 = 4),
-      |exc AS (
-      |  SELECT bb.doc_id + 400000000000 AS doc_id,
-      |    list_transform(range(1, 7),
-      |      i -> 'xg' || CAST(bb.doc_id AS VARCHAR) || '_'
-      |        || CAST(i AS VARCHAR))
-      |    || bb.toks[5:28]
-      |    || list_transform(range(1, 7),
-      |      i -> 'yg' || CAST(bb.doc_id AS VARCHAR) || '_'
-      |        || CAST(i AS VARCHAR)) AS toks
-      |  FROM body bb WHERE bb.doc_id % 6 = 1 AND len(bb.toks) >= 28),
-      |cl AS (
-      |  SELECT bb.doc_id + 500000000000 AS doc_id,
-      |    bb.toks || list_transform(range(1, 4),
-      |      i -> 'cl' || CAST(bb.doc_id AS VARCHAR) || '_'
-      |        || CAST(i AS VARCHAR)) AS toks
-      |  FROM body bb WHERE bb.doc_id % 10 = 3),
-      |s0 AS MATERIALIZED (
-      |  SELECT * FROM wq
-      |  UNION ALL SELECT * FROM noise
-      |  UNION ALL SELECT * FROM exc
-      |  UNION ALL SELECT * FROM cl),
-      |s1 AS MATERIALIZED (
-      |  SELECT doc_id, toks FROM (
-      |    SELECT doc_id, toks,
-      |      len(toks) AS n_tokens,
-      |      length(array_to_string(toks, ' ')) AS n_chars,
-      |      len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop
-      |    FROM s0)
-      |  WHERE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
-      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
-      |      + least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 >= 0.5),
-      |tok2 AS (
-      |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token
-      |  FROM s1),
-      |vocab2 AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
-      |lp2 AS (
-      |  SELECT token,
-      |    round(ln(cnt::DOUBLE / (SELECT SUM(cnt) FROM vocab2)), 9) AS lp
-      |  FROM vocab2),
-      |drop2 AS (
-      |  SELECT doc_id FROM (
-      |    SELECT doc_id, round(-avg(lp), 6) + 0.0 AS avg_nll
-      |    FROM tok2 JOIN lp2 USING (token) GROUP BY doc_id)
-      |  WHERE avg_nll > 8.0),
-      |s2 AS MATERIALIZED (
-      |  SELECT * FROM s1
-      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
-      |fps3 AS MATERIALIZED (
-      |  SELECT doc_id, p,
-      |    md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp
-      |  FROM (SELECT doc_id, toks,
-      |          unnest(generate_series(0, len(toks) - 8)) AS p
-      |        FROM s2 WHERE len(toks) >= 8)),
-      |nxt3 AS (
-      |  SELECT doc_id, p,
-      |    lead(p) OVER (PARTITION BY doc_id, fp ORDER BY p) AS pn
-      |  FROM fps3),
-      |drop3 AS (
-      |  SELECT DISTINCT doc_id FROM (
-      |    SELECT doc_id, prd, iid, COUNT(*) AS rl
-      |    FROM (SELECT doc_id, prd, p,
-      |            p - row_number() OVER
-      |              (PARTITION BY doc_id, prd ORDER BY p) AS iid
-      |          FROM (SELECT doc_id, p, pn - p AS prd
-      |                FROM nxt3 WHERE pn IS NOT NULL))
-      |    GROUP BY doc_id, prd, iid
-      |    HAVING COUNT(*) + 7 >= 16)),
-      |s3 AS MATERIALIZED (
-      |  SELECT * FROM s2
-      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+    s"""WITH RECURSIVE ${frontSql(true)},
       |bpos AS MATERIALIZED (
       |  SELECT md5(array_to_string(toks[p + 1 : p + 8], ' ')) AS fp,
       |    doc_id AS bench_id, p AS bp

@@ -37,19 +37,29 @@ import graft.operators.BandStore
 object NearDupProbeStream {
 
   /** Start the admission gate: probe each micro-batch of `docs`
-    * (doc_id, text) against the frozen store generation, appending
+    * (doc_id, text) against the frozen store generation, writing
     * verdict rows (q435's schema — one per batch document, clean docs
-    * included with is_near_dup = 0) as parquet under `outPath`. */
+    * included with is_near_dup = 0) as parquet under `outPath`,
+    * partitioned by batch_id with dynamic-partition OVERWRITE so a
+    * replayed micro-batch (at-least-once foreachBatch delivery)
+    * rewrites its own partition instead of appending duplicates —
+    * the output stays a pure function of the delivered doc set even
+    * across sink retries. */
   def start(docs: DataFrame, bands: DataFrame, shingles: DataFrame,
             outPath: String): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           if (!b.isEmpty)
             BandStore.probeStore(b, bands, shingles)
-              .write.mode("append").parquet(outPath)
+              .withColumn("batch_id",
+                org.apache.spark.sql.functions.lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outPath)
         } finally { b.unpersist(); () }
       }
       .start()

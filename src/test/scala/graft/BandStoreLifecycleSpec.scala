@@ -55,6 +55,21 @@ class BandStoreLifecycleSpec extends AnyFunSuite {
       assert(v1(103L) == ((1, 3L)), "appended doc must be probe-visible")
       assert(v1(101L) == v0(101L) && v1(102L) == v0(102L))
 
+      // re-delivering an admitted doc (at-least-once flows) must be a
+      // no-op: the anti-join guard keeps one shingle row per doc_id, so
+      // a clone still sees exactly ONE candidate store doc
+      BandStore.appendToStore(docsDf(3L -> e(1 to 40)), t1,
+        base.resolve("s").toString)
+      val v1b = probe(t1)
+      assert(v1b == v1, "re-append must not change any verdict")
+      val cand103 = BandStore.probeStore(log,
+        spark.table(BandStore.bandsTable(t1)),
+        spark.table(BandStore.shinglesTable(t1)))
+        .where("doc_id = 103").select("n_candidates")
+        .head().getLong(0)
+      assert(cand103 == 1L,
+        s"duplicate admission would double-count candidates: $cand103")
+
       // retire doc 1 into a new generation: its clone admits clean,
       // the other verdicts are untouched
       BandStore.retireFromStore(spark, t1, Seq(1L).toDF("doc_id"),

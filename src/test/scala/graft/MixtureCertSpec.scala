@@ -70,24 +70,23 @@ class MixtureCertSpec extends AnyFunSuite {
     assert(cum >= allocBig && cum - allocBig < boundary)
   }
 
-  test("the sample is a deterministic prefix: growing the allocation only adds docs") {
-    // replaying the same corpus must select a superset when the budget
-    // grows — the prefix property that makes the mixture reproducible and
-    // monotone in B. Exercised by comparing doc-level selections computed
-    // through the same public query at two budgets via a doctored corpus
-    // (tokens scaled so B doubles the allocation).
+  test("single-source corpus: exact ceil(B / doc_tokens) docs, overshoot under one doc") {
+    // equal-length docs make the greedy prefix's arithmetic closed-form:
+    // share = 1, B = 60% of mass, every doc 10 tokens -> exactly
+    // ceil(B/10) docs sampled and overshoot strictly below one doc. The
+    // budget-independence of the ORDER (what makes the sample a prefix,
+    // monotone in B) is the md5 key itself — pinned by the ground-truth
+    // replay in the first test and the suite-wide determinism check.
     val base = (1L to 60L).map(i =>
       (i, "s", (1 to 10).map(t => s"w${i}_$t").mkString(" ")))
     val dir = Files.createTempDirectory("graft-mixcert2").toString
     base.toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val one = SparkEntry.queries("q433_mixture_cert")(spark, dir)
-      .select("n_docs_sampled").as[Long].head()
-    // single-source corpus: share = 1, alloc = 60% of mass -> a strict
-    // prefix; the certificate's overshoot must stay under one doc
     val row = SparkEntry.queries("q433_mixture_cert")(spark, dir).head()
     assert(row.getAs[Long]("overshoot") >= 0L &&
       row.getAs[Long]("overshoot") < 10L)
-    assert(one == math.ceil(600L * 0.6 / 10.0).toLong)
+    assert(row.getAs[Long]("n_docs_sampled") ==
+      math.ceil(600L * 0.6 / 10.0).toLong)
+    assert(row.getAs[Int]("bound_ok") == 1)
   }
 }
