@@ -71,8 +71,14 @@ object CrossModal {
   def q434CrossmodalPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
+    // The empty-text guard (q432/q433/q435's filter, mirrored in the
+    // oracle) keeps Codec.cyclePayload's non-empty precondition and the
+    // oracle's `i % tlen` off the degenerate doc; the pixel replay
+    // inherits q370's ASCII-only assumption (Spark cycles UTF-8 BYTES,
+    // the oracle cycles DuckDB CHARACTERS — equal only while the
+    // fixture text is single-byte).
     val d = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 3 === 0)
+      .filter(col("doc_id") % 3 === 0 && length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("text"))
       .repartition(par, col("doc_id"))
       .localCheckpoint(true)
@@ -195,7 +201,8 @@ object CrossModal {
        |  SELECT doc_id, text, length(text) AS tlen,
        |    'zz' || CAST(doc_id AS VARCHAR) || ' ' || text AS mtext,
        |    length('zz' || CAST(doc_id AS VARCHAR) || ' ' || text) AS mlen
-       |  FROM documents WHERE doc_id % 3 = 0),
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(trim(text)) > 0),
        |px AS (
        |  SELECT doc_id, v.variant, i,
        |    CASE

@@ -94,22 +94,32 @@ object BandStore {
   /** Append admitted documents to BOTH halves of the store; `saveAsTable`
     * append keeps each table's bucket spec, so later probes stay
     * store-side shuffle-free (q94's append discipline, both keys).
-    * Already-stored doc_ids are anti-joined out FIRST: an at-least-once
-    * admission flow may re-deliver a document, and a duplicate shingle
-    * row would double-count every later probe's n_candidates/n_matches
-    * — the guard makes append idempotent per document (one bucketed
-    * doc_id scan, the store's own key). */
+    * Idempotence is per HALF and per DOCUMENT: the batch is first
+    * deduped on doc_id (an at-least-once flow may deliver the same doc
+    * twice in ONE batch — both copies would pass a store-only guard and
+    * double-count every later probe), then EACH half anti-joins the
+    * batch against its OWN table's doc_ids, so a crash between the two
+    * writes leaves no permanent skew — the retry fills exactly the
+    * missing half instead of re-appending the written one (orphan band
+    * rows would otherwise accrete across failures with retirement as
+    * the only cleanup). The shingles-side guard rides the bucketed
+    * doc_id scan; the bands-side guard pays one single-column shuffle
+    * of the (8-rows-per-doc) band projection — the price of the
+    * crash-consistency guarantee. */
   def appendToStore(admitted: DataFrame, table: String, path: String,
                     nBuckets: Int = StoreBuckets): Unit = {
     val spark = admitted.sparkSession
-    val novel = admitted.join(
+    val sh = shingleSets(admitted.dropDuplicates("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val novelBands = sh.join(
+      spark.table(bandsTable(table)).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val novelSh = sh.join(
       spark.table(shinglesTable(table)).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val sh = shingleSets(novel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
+    Warehouse.writeBucketed(bandsOf(novelBands), bandsTable(table),
       s"${path}_bands", "bucket_key", nBuckets, mode = "append")
-    Warehouse.writeBucketed(sh, shinglesTable(table),
+    Warehouse.writeBucketed(novelSh, shinglesTable(table),
       s"${path}_shingles", "doc_id", nBuckets, mode = "append")
     sh.unpersist()
     ()
@@ -145,10 +155,15 @@ object BandStore {
     * tables): (doc_id, n_candidates, n_matches, best_jaccard,
     * best_match, is_near_dup). `best_match` is the SMALLEST store doc
     * id among Jaccard-≥-0.5 matches (deterministic without argmax
-    * pairing), −1 when clean; `best_jaccard` the 6-dp-snapped max. */
+    * pairing), −1 when clean; `best_jaccard` the 6-dp-snapped max.
+    * The batch is deduped on doc_id first — a re-delivered document
+    * (at-least-once) would otherwise fan the final left join into
+    * duplicate verdict rows, breaking the one-row-per-document contract
+    * the streaming twin's batch-split invariance rests on. */
   def probeStore(batch: DataFrame, bands: DataFrame,
                  shingles: DataFrame): DataFrame = {
-    val bsh = graft.plans.Eager.ckpt(shingleSets(batch))
+    val bsh = graft.plans.Eager.ckpt(
+      shingleSets(batch.dropDuplicates("doc_id")))
     val cand = bands
       .withColumnRenamed("doc_id", "a_id")
       .join(bandsOf(bsh).withColumnRenamed("doc_id", "b_id"),
@@ -166,7 +181,7 @@ object BandStore {
         sum(when(col("j") >= JaccardMin, 1L).otherwise(0L)).as("n_matches"),
         max(when(col("j") >= JaccardMin, col("j"))).as("bj"),
         min(when(col("j") >= JaccardMin, col("a_id"))).as("bm"))
-    batch.select(col("doc_id"))
+    bsh.select(col("doc_id"))
       .join(verified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"),
         "left")
       .select(col("doc_id"),

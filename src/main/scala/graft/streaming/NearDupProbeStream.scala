@@ -44,11 +44,19 @@ object NearDupProbeStream {
     * replayed micro-batch (at-least-once foreachBatch delivery)
     * rewrites its own partition instead of appending duplicates —
     * the output stays a pure function of the delivered doc set even
-    * across sink retries. */
+    * across sink retries. The replay-dedup guarantee holds ACROSS
+    * RESTARTS only if batch ids are stable, which requires a DURABLE
+    * `checkpointLocation` — without one Spark allocates a temp
+    * checkpoint and batch ids restart at 0, overwriting old partitions
+    * with differently-grouped data. Production callers must pass it;
+    * the default (None) is for single-run tests only. */
   def start(docs: DataFrame, bands: DataFrame, shingles: DataFrame,
-            outPath: String): StreamingQuery =
-    docs.writeStream
+            outPath: String,
+            checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
@@ -63,4 +71,5 @@ object NearDupProbeStream {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 }

@@ -43,11 +43,19 @@ object SubstringProbeStream {
     * micro-batch (at-least-once foreachBatch delivery) rewrites its
     * own partition instead of appending duplicates — the output stays
     * a pure function of the delivered doc set even across sink
-    * retries (the NearDupProbeStream discipline). */
-  def start(docs: DataFrame, store: DataFrame, outPath: String)
-      : StreamingQuery =
-    docs.writeStream
+    * retries (the NearDupProbeStream discipline). Replay dedup holds
+    * ACROSS RESTARTS only with stable batch ids, i.e. a DURABLE
+    * `checkpointLocation` — without one Spark allocates a temp
+    * checkpoint and batch ids restart at 0, overwriting old partitions
+    * with differently-grouped data. Production callers must pass it;
+    * the default (None) is for single-run tests only. */
+  def start(docs: DataFrame, store: DataFrame, outPath: String,
+            checkpointLocation: Option[String] = None)
+      : StreamingQuery = {
+    val w = docs.writeStream
       .outputMode(OutputMode.Append())
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
@@ -62,4 +70,5 @@ object SubstringProbeStream {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 }

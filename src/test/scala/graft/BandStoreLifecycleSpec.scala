@@ -99,4 +99,37 @@ class BandStoreLifecycleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("at-least-once dedup INSIDE one batch: a doubly-delivered doc appends once and a repeated probe doc_id emits one verdict row") {
+    val base = Files.createTempDirectory("graft-bsl2")
+    val t = "band_lifecycle_t3"
+    try {
+      BandStore.writeStore(docsDf(1L -> a(1 to 40)), t,
+        base.resolve("s").toString)
+      // the same admitted doc twice in ONE batch — the store-only guard
+      // would pass both copies and double every later candidate count
+      BandStore.appendToStore(
+        docsDf(5L -> c(1 to 40), 5L -> c(1 to 40)), t,
+        base.resolve("s").toString)
+      assert(spark.table(BandStore.shinglesTable(t))
+        .where("doc_id = 5").count() == 1L,
+        "in-batch duplicate must append ONE shingle row")
+      assert(spark.table(BandStore.bandsTable(t))
+        .where("doc_id = 5").count() == 8L,
+        "in-batch duplicate must append ONE band set (8 rows)")
+      val probe = BandStore.probeStore(
+        docsDf(201L -> (c(1 to 40) + " zz tail"),
+          201L -> (c(1 to 40) + " zz tail")),
+        spark.table(BandStore.bandsTable(t)),
+        spark.table(BandStore.shinglesTable(t)))
+      val rows = probe.collect()
+      assert(rows.length == 1, s"one verdict row per distinct doc: ${rows.length}")
+      assert(rows.head.getAs[Long]("n_candidates") == 1L &&
+        rows.head.getAs[Int]("is_near_dup") == 1 &&
+        rows.head.getAs[Long]("best_match") == 5L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${BandStore.bandsTable(t)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${BandStore.shinglesTable(t)}")
+    }
+  }
 }
