@@ -266,9 +266,124 @@ object BandStore {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q436
+  /** Store EVOLUTION certificate (VERDICT r16 #2): q435 drives
+    * overwrite-build + probe, and BandStoreLifecycleSpec proves
+    * [[appendToStore]]/[[retireFromStore]] on toy rows — this registers
+    * the full lifecycle as an oracle-checked query, the q340/q358
+    * discipline applied to the two-table store. One FIXED probe batch
+    * (a near-clone at +1e12 with a 3-token tail for every corpus doc ≡
+    * 0 mod 4) is probed against three store GENERATIONS of the same
+    * physical tables:
+    *   phase 1 — generation 1 = docs ≡ 0,1 mod 3 (overwrite build);
+    *   phase 2 — after [[appendToStore]] of the ≡ 2 mod 3 delta
+    *     (probes whose original lives in the delta flip to near-dup);
+    *   phase 3 — after [[retireFromStore]] of docs ≡ 0 mod 6 (a
+    *     generation-1 cohort) and ≡ 2 mod 9 (a delta cohort) into the
+    *     GC generation (probes whose only match was retired revert to
+    *     clean; both append-then-retire transitions are populated).
+    * Phase 1's verdicts are materialized eagerly (localCheckpoint)
+    * BEFORE the append mutates the tables — the probe plan reads the
+    * live store, so without the barrier all three phases would see the
+    * final state.
+    *
+    * The DuckDB oracle replays the shared MinHash fragment ONCE over
+    * corpus ∪ probes and re-aggregates per phase under a store-
+    * MEMBERSHIP filter — valid because a doc's bands and shingle set
+    * depend on nothing but the doc, so evolving the store only changes
+    * WHICH store docs exist, never their band keys. A hash match
+    * certifies append visibility, retire invisibility, bucket-
+    * preserving round-trips, and the verdict collapse, phase by phase.
+    *
+    * Scale shape: three probes of the q435 plan (store sides bucketed,
+    * batch pays 8 band rows + 1 shingle set per doc) plus one append
+    * (delta-proportional) and one retire (two anti-join rewrites — the
+    * GC generation swap, each half keeping its own bucketing). */
+  def q436BandStoreEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val d = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+    val gen1 = d.filter(col("doc_id") % 3 =!= 2)
+    val delta = d.filter(col("doc_id") % 3 === 2)
+    val retired = d.filter(col("doc_id") % 6 === 0 ||
+      col("doc_id") % 9 === 2).select(col("doc_id"))
+    val probe = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz extra tail")).as("text"))
+      .localCheckpoint(true)
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_q436_store$slug"
+    val gcTable = s"graft_q436_gc$slug"
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_q436_store$slug"
+    val gcPath = s"$tmp/graft_q436_gc$slug"
+    def probeNow(t: String) = probeStore(probe,
+      spark.table(bandsTable(t)), spark.table(shinglesTable(t)))
+    writeStore(gen1, table, path)
+    val p1 = probeNow(table).withColumn("phase", lit(1))
+      .localCheckpoint(true)
+    appendToStore(delta, table, path)
+    val p2 = probeNow(table).withColumn("phase", lit(2))
+      .localCheckpoint(true)
+    retireFromStore(spark, table, retired, gcTable, gcPath)
+    val p3 = probeNow(gcTable).withColumn("phase", lit(3))
+    p1.unionAll(p2).unionAll(p3)
+      .select(col("phase"), col("doc_id"), col("n_candidates"),
+        col("n_matches"), col("best_jaccard"), col("best_match"),
+        col("is_near_dup"))
+      .orderBy("phase", "doc_id")
+  }
+
+  val q436Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |probe AS (
+       |  SELECT doc_id + 1000000000000 AS doc_id,
+       |    text || ' zz extra tail' AS text
+       |  FROM d WHERE doc_id % 4 = 0),
+       |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM probe),
+       |${graft.queries.DocQueries.minhashPairsSqlFragment("corpus")},
+       |cp AS (
+       |  SELECT a_id, b_id, jaccard FROM pairs
+       |  WHERE a_id < 1000000000000 AND b_id >= 1000000000000),
+       |phases(phase) AS (VALUES (1), (2), (3)),
+       |member AS (
+       |  SELECT p.phase, dd.doc_id FROM d dd CROSS JOIN phases p
+       |  WHERE (p.phase = 1 AND dd.doc_id % 3 <> 2)
+       |     OR p.phase = 2
+       |     OR (p.phase = 3
+       |         AND NOT (dd.doc_id % 6 = 0 OR dd.doc_id % 9 = 2))),
+       |agg AS (
+       |  SELECT m.phase, c.b_id AS doc_id, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_matches,
+       |    MAX(CASE WHEN jaccard >= 0.5 THEN jaccard END) AS bj,
+       |    MIN(CASE WHEN jaccard >= 0.5 THEN a_id END) AS bm
+       |  FROM cp c JOIN member m ON m.doc_id = c.a_id
+       |  GROUP BY 1, 2),
+       |bp AS (
+       |  SELECT p.phase, b.doc_id
+       |  FROM (SELECT doc_id FROM probe) b CROSS JOIN phases p)
+       |SELECT CAST(b.phase AS INTEGER) AS phase, b.doc_id,
+       |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+       |  round(COALESCE(bj, 0.0), 6) + 0.0 AS best_jaccard,
+       |  CAST(COALESCE(bm, -1) AS BIGINT) AS best_match,
+       |  CAST(CASE WHEN COALESCE(n_matches, 0) > 0 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS is_near_dup
+       |FROM bp b LEFT JOIN agg a
+       |  ON a.phase = b.phase AND a.doc_id = b.doc_id
+       |ORDER BY b.phase, b.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q435_band_store_probe" -> (q435BandStoreProbe _))
+    "q435_band_store_probe" -> (q435BandStoreProbe _),
+    "q436_band_store_evolution" -> (q436BandStoreEvolution _))
 
   def oracles: Map[String, String] = Map(
-    "q435_band_store_probe" -> q435Sql)
+    "q435_band_store_probe" -> q435Sql,
+    "q436_band_store_evolution" -> q436Sql)
 }
