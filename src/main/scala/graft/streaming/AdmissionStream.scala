@@ -59,8 +59,9 @@ object AdmissionStream {
     sb.toString
   }
 
-  /** Spark `round(x, n)` image (HALF_UP through decimal). */
-  private def snap(v: Double, n: Int): Double =
+  /** Spark `round(x, n)` image (HALF_UP through decimal); shared with
+    * the composed live gate ([[CurationGateStream]]). */
+  private[streaming] def snap(v: Double, n: Int): Double =
     java.math.BigDecimal.valueOf(v)
       .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
 

@@ -82,6 +82,42 @@ object ContamStream {
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Maximal matched runs ((start, end, runLenShingles) in positions) of
+    * `toks` against the frozen index — q352's per-(bench, diagonal)
+    * gaps-and-islands stitch as a closure, factored out of [[verdicts]]
+    * so the composed live gate ([[CurationGateStream]]) shares the ONE
+    * spelling. Only runs spanning ≥ L tokens (rl + K − 1 ≥ L) return. */
+  private[streaming] def spanRuns(toks: Array[String],
+      index: Map[String, Array[(Long, Int)]]): Array[(Int, Int, Int)] = {
+    if (toks.length < K) return Array.empty
+    // (bench_id, diag) -> sorted corpus positions, stitched to maximal
+    // runs exactly as the batch window does
+    val hits = shingleFps(toks).iterator.zipWithIndex.flatMap {
+      case (fp, cp) => index.getOrElse(fp, Array.empty)
+        .iterator.map { case (bid, bp) => ((bid, cp - bp), cp) }
+    }.toArray
+    hits.groupBy(_._1).iterator.flatMap { case (_, grp) =>
+      val cps = grp.map(_._2).sorted
+      // split ascending positions into consecutive runs
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int)] // (start, len)
+      var s = cps(0); var len = 1
+      cps.iterator.drop(1).foreach { cp =>
+        if (cp == s + len) len += 1
+        else { runs += ((s, len)); s = cp; len = 1 }
+      }
+      runs += ((s, len))
+      runs.iterator.filter(_._2 + K - 1 >= L)
+        .map { case (c0, rl) => (c0, c0 + rl + K - 2, rl) }
+    }.toArray
+  }
+
+  /** True iff the document shares a verbatim span of ≥ L tokens with any
+    * indexed benchmark document — the gate boolean of [[spanRuns]]. */
+  private[streaming] def contaminated(toks: Array[String],
+      index: Map[String, Array[(Long, Int)]]): Boolean =
+    spanRuns(toks, index).nonEmpty
+
   /** Contamination verdicts for a stream of raw documents against the
     * frozen index. Emits one [[Contam]] row per CONTAMINATED document
     * (a span of ≥ L tokens shared with any benchmark doc); clean and
@@ -96,27 +132,7 @@ object ContamStream {
         val toks = tokenize(d.text)
         if (toks.length < K) Iterator.empty
         else {
-          // (bench_id, diag) -> sorted corpus positions, stitched to
-          // maximal runs exactly as the batch window does
-          val hits = shingleFps(toks).iterator.zipWithIndex.flatMap {
-            case (fp, cp) => index.getOrElse(fp, Array.empty)
-              .iterator.map { case (bid, bp) => ((bid, cp - bp), cp) }
-          }.toArray
-          val spans = hits.groupBy(_._1).iterator.flatMap {
-            case (_, grp) =>
-              val cps = grp.map(_._2).sorted
-              // split ascending positions into consecutive runs
-              val runs = scala.collection.mutable.ArrayBuffer
-                .empty[(Int, Int)] // (start, len)
-              var s = cps(0); var len = 1
-              cps.iterator.drop(1).foreach { cp =>
-                if (cp == s + len) len += 1
-                else { runs += ((s, len)); s = cp; len = 1 }
-              }
-              runs += ((s, len))
-              runs.iterator.filter(_._2 + K - 1 >= L)
-                .map { case (c0, rl) => (c0, c0 + rl + K - 2, rl) }
-          }.toArray
+          val spans = spanRuns(toks, index)
           if (spans.isEmpty) Iterator.empty
           else {
             val longest = spans.map(_._3).max + K - 1
