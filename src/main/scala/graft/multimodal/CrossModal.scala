@@ -64,11 +64,14 @@ object CrossModal {
   private val BucketCap = 16
   private val JaccardMin = 0.5
 
-  // --------------------------------------------------------------- q434
-  /** Cross-modal (image, caption) pair dedup interaction census — the
-    * per-quadrant decision table of four curation policies (see the
-    * object Scaladoc for pair synthesis and verdict semantics). */
-  def q434CrossmodalPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-pair flag frame: (pair_id, h, fp, img_dup,
+    * img_drop, cap_dup, cap_drop) — both modality pipelines (q370's
+    * image chain, q19/q22's caption chain) run once and joined at pair
+    * granularity, eagerly materialized. q434 aggregates it into the
+    * interaction census; q438 filters it into the kept pair CORPUS
+    * under the pair policy. ONE spelling for both registered outputs
+    * (the frontStages discipline). */
+  private def pairFlags(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     // The empty-text guard (q432/q433/q435's filter, mirrored in the
@@ -134,7 +137,7 @@ object CrossModal {
       .groupBy(col("h")).agg(min(col("omin")).as("near_min"))
     val imgflags = hashes.join(hgrp, "h")
       .join(nearMin, Seq("h"), "left")
-      .select(col("pair_id"),
+      .select(col("pair_id"), col("h"),
         (col("g") >= 2 || col("near_min").isNotNull).cast("int")
           .as("img_dup"),
         (col("pair_id") > col("hmin") ||
@@ -173,31 +176,59 @@ object CrossModal {
     val capflags = capfp.join(fpg, "fp")
       .join(capAny.withColumn("any1", lit(1)), Seq("pair_id"), "left")
       .join(capLater.withColumn("lat1", lit(1)), Seq("pair_id"), "left")
-      .select(col("pair_id"),
+      .select(col("pair_id"), col("fp"),
         (col("g") >= 2 || col("any1").isNotNull).cast("int").as("cap_dup"),
         (col("pair_id") > col("fmin") || col("lat1").isNotNull)
           .cast("int").as("cap_drop"))
 
-    // the interaction census + per-policy decision table
-    val out = graft.plans.Eager.ckpt(
-      imgflags.join(capflags, "pair_id")
-        .groupBy(col("img_dup"), col("cap_dup"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(lit(1) - col("img_drop")).as("kept_image_dedup"),
-          sum(lit(1) - col("cap_drop")).as("kept_caption_dedup"),
-          sum(when(col("img_drop") === 0 && col("cap_drop") === 0, 1L)
-            .otherwise(0L)).as("kept_strict"),
-          sum(when(col("img_drop") === 1 && col("cap_drop") === 1, 0L)
-            .otherwise(1L)).as("kept_pair_policy"))
-        .orderBy("img_dup", "cap_dup"))
+    val out = graft.plans.Eager.ckpt(imgflags.join(capflags, "pair_id"))
     hashes.unpersist()
     out
   }
 
-  val q434Sql: String = {
+  // --------------------------------------------------------------- q434
+  /** Cross-modal (image, caption) pair dedup interaction census — the
+    * per-quadrant decision table of four curation policies (see the
+    * object Scaladoc for pair synthesis and verdict semantics). */
+  def q434CrossmodalPairs(spark: SparkSession, dir: String): DataFrame =
+    pairFlags(spark, dir)
+      .groupBy(col("img_dup"), col("cap_dup"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(lit(1) - col("img_drop")).as("kept_image_dedup"),
+        sum(lit(1) - col("cap_drop")).as("kept_caption_dedup"),
+        sum(when(col("img_drop") === 0 && col("cap_drop") === 0, 1L)
+          .otherwise(0L)).as("kept_strict"),
+        sum(when(col("img_drop") === 1 && col("cap_drop") === 1, 0L)
+          .otherwise(1L)).as("kept_pair_policy"))
+      .orderBy("img_dup", "cap_dup")
+
+  // --------------------------------------------------------------- q438
+  /** The kept (image, caption) pair CORPUS under the pair policy (drop
+    * only when BOTH modalities would drop — keep any novel modality),
+    * VERDICT r16 #3: q434 counts the decision table, this query SHIPS
+    * the decision — one row per kept pair with its 56-bit image dHash,
+    * its caption fingerprint, and the four provenance flags, i.e. the
+    * artifact a LAION-style curation actually publishes (ids +
+    * dedup-provenance manifest). Reconciles with q434 by construction:
+    * COUNT(*) here = Σ kept_pair_policy there, and the per-quadrant
+    * group sizes match (CrossModalPairSpec asserts both). Scale shape:
+    * the shared [[pairFlags]] plan plus one filter — no new shuffle. */
+  def q438CrossmodalKept(spark: SparkSession, dir: String): DataFrame =
+    pairFlags(spark, dir)
+      .filter(!(col("img_drop") === 1 && col("cap_drop") === 1))
+      .select(col("pair_id"), col("h").as("img_hash"),
+        col("fp").as("cap_fp"), col("img_dup"), col("img_drop"),
+        col("cap_dup"), col("cap_drop"))
+      .orderBy("pair_id")
+
+  /** Shared oracle front (CTEs d..capflags): both modality chains down
+    * to the per-pair flags — ONE SQL spelling mirroring [[pairFlags]].
+    * NOTE: returns MARGIN-BEARING text; callers interpolate it inside
+    * their own stripMargin strings (the frontSql convention). */
+  private def crossFlagsSql: String = {
     val fragment =
       graft.queries.DocQueries.minhashPairsSqlFragment("capst")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, text, length(text) AS tlen,
        |    'zz' || CAST(doc_id AS VARCHAR) || ' ' || text AS mtext,
        |    length('zz' || CAST(doc_id AS VARCHAR) || ' ' || text) AS mlen
@@ -254,7 +285,7 @@ object CrossModal {
        |    FROM hedges e JOIN hgrp g1 ON g1.h = e.ha)
        |  GROUP BY h),
        |imgflags AS (
-       |  SELECT i.pair_id,
+       |  SELECT i.pair_id, i.h,
        |    CASE WHEN gg.g >= 2 OR nm.near_min IS NOT NULL
        |      THEN 1 ELSE 0 END AS img_dup,
        |    CASE WHEN i.pair_id > gg.hmin
@@ -292,14 +323,18 @@ object CrossModal {
        |  SELECT fp, COUNT(*) AS g, MIN(pair_id) AS fmin
        |  FROM capfp GROUP BY fp),
        |capflags AS (
-       |  SELECT c.pair_id,
+       |  SELECT c.pair_id, c.fp,
        |    CASE WHEN f.g >= 2
        |      OR c.pair_id IN (SELECT pair_id FROM capany)
        |      THEN 1 ELSE 0 END AS cap_dup,
        |    CASE WHEN c.pair_id > f.fmin
        |      OR c.pair_id IN (SELECT pair_id FROM caplater)
        |      THEN 1 ELSE 0 END AS cap_drop
-       |  FROM capfp c JOIN fpg f USING (fp))
+       |  FROM capfp c JOIN fpg f USING (fp))"""
+  }
+
+  val q434Sql: String =
+    s"""WITH $crossFlagsSql
        |SELECT CAST(img_dup AS INTEGER) AS img_dup,
        |  CAST(cap_dup AS INTEGER) AS cap_dup,
        |  COUNT(*) AS n_pairs,
@@ -311,11 +346,23 @@ object CrossModal {
        |    THEN 0 ELSE 1 END) AS BIGINT) AS kept_pair_policy
        |FROM imgflags JOIN capflags USING (pair_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
+
+  val q438Sql: String =
+    s"""WITH $crossFlagsSql
+       |SELECT pair_id, CAST(h AS BIGINT) AS img_hash, fp AS cap_fp,
+       |  CAST(img_dup AS INTEGER) AS img_dup,
+       |  CAST(img_drop AS INTEGER) AS img_drop,
+       |  CAST(cap_dup AS INTEGER) AS cap_dup,
+       |  CAST(cap_drop AS INTEGER) AS cap_drop
+       |FROM imgflags JOIN capflags USING (pair_id)
+       |WHERE NOT (img_drop = 1 AND cap_drop = 1)
+       |ORDER BY pair_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q434_crossmodal_pairs" -> (q434CrossmodalPairs _))
+    "q434_crossmodal_pairs" -> (q434CrossmodalPairs _),
+    "q438_crossmodal_kept" -> (q438CrossmodalKept _))
 
   def oracles: Map[String, String] = Map(
-    "q434_crossmodal_pairs" -> q434Sql)
+    "q434_crossmodal_pairs" -> q434Sql,
+    "q438_crossmodal_kept" -> q438Sql)
 }

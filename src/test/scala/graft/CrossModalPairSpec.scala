@@ -167,5 +167,25 @@ class CrossModalPairSpec extends AnyFunSuite {
     assert(got.keySet.intersect(Set((1, 0), (0, 1), (1, 1))) ==
       Set((1, 0), (0, 1), (1, 1)),
       "the three planted interaction quadrants must all be populated")
+
+    // q438 (the SHIPPED kept-pair corpus under the pair policy) must
+    // reconcile exactly with q434's census: total = Σ kept_pair_policy,
+    // per-quadrant group sizes equal, and no kept row has both drops
+    val kept = SparkEntry.queries("q438_crossmodal_kept")(spark, sfDir)
+      .collect()
+    assert(kept.length.toLong ==
+      got.values.map(_._5).sum,
+      "q438 row count must equal q434's kept_pair_policy total")
+    val keptByQuad = kept.groupBy(r =>
+        (r.getAs[Int]("img_dup"), r.getAs[Int]("cap_dup")))
+      .view.mapValues(_.length.toLong).toMap
+    got.foreach { case (quad, (_, _, _, _, keptPp)) =>
+      assert(keptByQuad.getOrElse(quad, 0L) == keptPp,
+        s"quadrant $quad kept count must reconcile: " +
+          s"${keptByQuad.getOrElse(quad, 0L)} vs $keptPp")
+    }
+    assert(kept.forall(r => !(r.getAs[Int]("img_drop") == 1 &&
+      r.getAs[Int]("cap_drop") == 1)),
+      "no kept pair may be dropped by BOTH modalities")
   }
 }
