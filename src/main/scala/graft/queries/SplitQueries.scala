@@ -607,6 +607,246 @@ object SplitQueries {
       |    AS share_abs_err
       |FROM j, tot, tr ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q439
+  /** Incremental mixture RE-certification (VERDICT r16 #4) — the
+    * [[graft.operators.IncrementalRollup]] discipline applied to q433:
+    * appending a corpus delta changes every τ=2 allocation (the
+    * temperature weights couple all sources through the normalizer), so
+    * the mixture must be re-cut and re-certified — WITHOUT re-scanning
+    * the base corpus text. The base generation persists its slim INDEX
+    * (doc_id, source, n, u — two longs and a string per document, built
+    * once by q433's derivation); the re-certification reads that index,
+    * text-scans ONLY the delta (every doc ≡ 2 mod 5 re-crawled as a new
+    * doc at +1e12 with a 3-token tail — mass shifts, not just
+    * identity), merges censuses (base census + delta-only census),
+    * recomputes the τ=2 allocations of the NEW 60% budget, and re-cuts
+    * the greedy prefixes over the merged index in the same
+    * deterministic (u, doc_id) order — delta docs interleave into the
+    * permutation wherever their hash lands, so membership genuinely
+    * reshuffles. The certificate row per source carries the old→new
+    * allocation shift, how many delta docs entered the prefix, and
+    * q433's exact bound (alloc ≤ realized < alloc + boundary-doc
+    * tokens; capped sources realize everything).
+    *
+    * Exactness: q433's discipline verbatim — integer masses/allocs/
+    * counts/flags, 6-dp-snapped shares, the decimal-sqrt normalizer.
+    *
+    * Scale shape: the delta text scan is DELTA-proportional; the index
+    * re-rank is ONE RangeRank range shuffle over the merged index
+    * (orders of magnitude below corpus text mass) with the ≤|sources|
+    * offset census lift; everything else is broadcast-sized. */
+  def q439MixtureDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokenCount}
+    val dbl = (c: String) => col(c).cast("double")
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idxPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q439_idx$slug"
+    // phase 1 — the persisted base index (the per-generation artifact)
+    Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n"),
+        md5Hash60(concat(lit("mix"), col("doc_id").cast("string")))
+          .as("u"))
+      .write.mode("overwrite").parquet(idxPath)
+    val base = spark.read.parquet(idxPath)
+    // phase 2 — delta-only text scan + index-level re-certification
+    val delta = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0 && col("doc_id") % 5 === 2)
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        col("source"),
+        (tokenCount(col("text")) + lit(3)).cast("long").as("n"))
+      .withColumn("u",
+        md5Hash60(concat(lit("mix"), col("doc_id").cast("string"))))
+    val docs = base.unionAll(delta.select("doc_id", "source", "n", "u"))
+    val cbase = base.groupBy(col("source"))
+      .agg(sum(col("n")).as("toks_base"))
+    val cdelta = delta.groupBy(col("source"))
+      .agg(sum(col("n")).as("toks_delta"))
+    val census = cbase.join(cdelta, Seq("source"), "left")
+      .select(col("source"), col("toks_base"),
+        coalesce(col("toks_delta"), lit(0L)).as("toks_delta"))
+      .withColumn("toks", col("toks_base") + col("toks_delta"))
+      .withColumn("sq", round(sqrt(col("toks").cast("double")), 9)
+        .cast("decimal(28,9)"))
+    val tot = census.agg(sum(col("toks")).as("tot_toks"),
+      sum(col("sq")).as("tot_sq"))
+    val alloc = census.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        floor(dbl("sq") / dbl("tot_sq") *
+          expr("CAST((tot_toks * 3) div 5 AS DOUBLE)")).cast("long"))
+    // the OLD allocation (base-only census) for the shift column
+    val cb2 = cbase.withColumn("sqb",
+      round(sqrt(col("toks_base").cast("double")), 9)
+        .cast("decimal(28,9)"))
+    val totb = cb2.agg(sum(col("toks_base")).as("tb"),
+      sum(col("sqb")).as("tsb"))
+    val allocOld = cb2.crossJoin(broadcast(totb))
+      .select(col("source"),
+        floor(col("sqb").cast("double") / col("tsb").cast("double") *
+          expr("CAST((tb * 3) div 5 AS DOUBLE)")).cast("long")
+          .as("alloc_old"))
+    // re-cut: ONE RangeRank pass over the merged index (q433's lift)
+    val ranked = graft.operators.RangeRank.withRunningSum(
+      docs, col("n"), "gcum", Seq(col("source"), col("u"), col("doc_id")))
+    val offs = census.select(col("source"), col("toks"))
+      .withColumn("coff", coalesce(sum(col("toks")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("coff"))
+    val sel = ranked.join(broadcast(offs), "source")
+      .withColumn("cum", col("gcum") - col("coff"))
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
+      .filter(col("cum") - col("n") < col("alloc"))
+    val per = sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum(when(col("doc_id") >= 1000000000000L, 1L).otherwise(0L))
+          .as("n_delta_docs_sampled"),
+        sum(col("n")).as("realized_tokens"),
+        max(struct(col("cum"), col("n"))).as("last"))
+      .select(col("source"), col("n_docs_sampled"),
+        col("n_delta_docs_sampled"), col("realized_tokens"),
+        col("last").getField("n").as("boundary_tokens"))
+    val j = alloc.join(broadcast(allocOld), "source")
+      .join(per, Seq("source"), "left")
+      .withColumn("n_docs_sampled",
+        coalesce(col("n_docs_sampled"), lit(0L)))
+      .withColumn("n_delta_docs_sampled",
+        coalesce(col("n_delta_docs_sampled"), lit(0L)))
+      .withColumn("realized_tokens",
+        coalesce(col("realized_tokens"), lit(0L)))
+    val totReal = j.agg(sum(col("realized_tokens")).as("tot_realized"))
+    j.crossJoin(broadcast(totReal))
+      .select(col("source"), col("toks_base").as("tokens_base"),
+        col("toks_delta").as("tokens_delta"),
+        (round(dbl("sq") / dbl("tot_sq"), 6) + lit(0.0))
+          .as("target_share"),
+        col("alloc").as("target_tokens"),
+        (col("alloc") - col("alloc_old")).as("alloc_shift"),
+        col("n_docs_sampled"), col("n_delta_docs_sampled"),
+        col("realized_tokens"),
+        (col("realized_tokens") - col("alloc")).as("overshoot"),
+        (col("alloc") >= col("toks")).cast("int").as("capped"),
+        when(col("alloc") >= col("toks"),
+          (col("realized_tokens") === col("toks")).cast("int"))
+          .otherwise((col("realized_tokens") >= col("alloc") &&
+            col("realized_tokens") - col("alloc") <
+              coalesce(col("boundary_tokens"), lit(Long.MaxValue)))
+            .cast("int"))
+          .as("bound_ok"),
+        (round(dbl("realized_tokens") / dbl("tot_realized"), 6) +
+          lit(0.0)).as("realized_share"),
+        (round(abs(dbl("realized_tokens") / dbl("tot_realized") -
+          dbl("sq") / dbl("tot_sq")), 6) + lit(0.0)).as("share_abs_err"))
+      .orderBy("source")
+  }
+
+  val q439Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n,
+      |    ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS u
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |delta AS (
+      |  SELECT doc_id, source, n,
+      |    ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS u
+      |  FROM (
+      |    SELECT doc_id + 1000000000000 AS doc_id, source,
+      |      CAST(len(regexp_split_to_array(trim(text), '\s+')) + 3
+      |        AS BIGINT) AS n
+      |    FROM documents
+      |    WHERE length(trim(text)) > 0 AND doc_id % 5 = 2)),
+      |docs AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+      |cbase AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS toks_base
+      |  FROM base GROUP BY 1),
+      |cdelta AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS toks_delta
+      |  FROM delta GROUP BY 1),
+      |census AS (
+      |  SELECT b.source, b.toks_base,
+      |    CAST(COALESCE(d.toks_delta, 0) AS BIGINT) AS toks_delta,
+      |    b.toks_base + COALESCE(d.toks_delta, 0) AS toks,
+      |    CAST(round(sqrt(CAST(b.toks_base + COALESCE(d.toks_delta, 0)
+      |      AS DOUBLE)), 9) AS DECIMAL(28,9)) AS sq
+      |  FROM cbase b LEFT JOIN cdelta d USING (source)),
+      |tot AS (
+      |  SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks, SUM(sq) AS tot_sq
+      |  FROM census),
+      |alloc AS (
+      |  SELECT source, toks_base, toks_delta, toks, sq,
+      |    CAST(floor(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)
+      |      * CAST((tot_toks * 3) // 5 AS DOUBLE)) AS BIGINT) AS alloc
+      |  FROM census, tot),
+      |cb2 AS (
+      |  SELECT source, toks_base,
+      |    CAST(round(sqrt(CAST(toks_base AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS sqb
+      |  FROM cbase),
+      |totb AS (
+      |  SELECT CAST(SUM(toks_base) AS BIGINT) AS tb, SUM(sqb) AS tsb
+      |  FROM cb2),
+      |alloc_old AS (
+      |  SELECT source,
+      |    CAST(floor(CAST(sqb AS DOUBLE) / CAST(tsb AS DOUBLE)
+      |      * CAST((tb * 3) // 5 AS DOUBLE)) AS BIGINT) AS alloc_old
+      |  FROM cb2, totb),
+      |cums AS (
+      |  SELECT source, doc_id, n,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY u, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM docs),
+      |sel AS (
+      |  SELECT c.* FROM cums c JOIN alloc a USING (source)
+      |  WHERE c.cum - c.n < a.alloc),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs_sampled,
+      |    CAST(SUM(CASE WHEN doc_id >= 1000000000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_delta_docs_sampled,
+      |    CAST(SUM(n) AS BIGINT) AS realized_tokens,
+      |    CAST(max_by(n, cum) AS BIGINT) AS boundary_tokens
+      |  FROM sel GROUP BY 1),
+      |j AS (
+      |  SELECT a.source, a.toks_base, a.toks_delta, a.toks, a.sq,
+      |    a.alloc, o.alloc_old,
+      |    CAST(COALESCE(p.n_docs_sampled, 0) AS BIGINT)
+      |      AS n_docs_sampled,
+      |    CAST(COALESCE(p.n_delta_docs_sampled, 0) AS BIGINT)
+      |      AS n_delta_docs_sampled,
+      |    CAST(COALESCE(p.realized_tokens, 0) AS BIGINT)
+      |      AS realized_tokens,
+      |    p.boundary_tokens
+      |  FROM alloc a JOIN alloc_old o USING (source)
+      |  LEFT JOIN per p USING (source)),
+      |tr AS (
+      |  SELECT CAST(SUM(realized_tokens) AS BIGINT) AS tot_realized
+      |  FROM j)
+      |SELECT source, toks_base AS tokens_base, toks_delta AS tokens_delta,
+      |  round(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 6) + 0.0
+      |    AS target_share,
+      |  alloc AS target_tokens, alloc - alloc_old AS alloc_shift,
+      |  n_docs_sampled, n_delta_docs_sampled, realized_tokens,
+      |  realized_tokens - alloc AS overshoot,
+      |  CAST(CASE WHEN alloc >= toks THEN 1 ELSE 0 END AS INTEGER)
+      |    AS capped,
+      |  CAST(CASE WHEN alloc >= toks
+      |    THEN CASE WHEN realized_tokens = toks THEN 1 ELSE 0 END
+      |    ELSE CASE WHEN realized_tokens >= alloc
+      |      AND realized_tokens - alloc
+      |        < COALESCE(boundary_tokens, 9223372036854775807)
+      |      THEN 1 ELSE 0 END
+      |    END AS INTEGER) AS bound_ok,
+      |  round(CAST(realized_tokens AS DOUBLE)
+      |    / CAST(tot_realized AS DOUBLE), 6) + 0.0 AS realized_share,
+      |  round(abs(CAST(realized_tokens AS DOUBLE)
+      |      / CAST(tot_realized AS DOUBLE)
+      |    - CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE)), 6) + 0.0
+      |    AS share_abs_err
+      |FROM j, tot, tr ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q395
   /** Sequence-packing efficiency curve — the max_len decision table for
     * the packing operator (q47): for each candidate context length
@@ -1275,6 +1515,7 @@ object SplitQueries {
     "q395_packing_curve" -> (q395PackingCurve _),
     "q373_temperature_mix" -> (q373TemperatureMix _),
     "q433_mixture_cert" -> (q433MixtureCert _),
+    "q439_mixture_delta" -> (q439MixtureDelta _),
     "q307_water_filling" -> (q307WaterFilling _),
     "q217_oov_rate" -> (q217OovRate _),
     "q52_mixture_sample" -> q52MixtureSample _,
@@ -1303,6 +1544,7 @@ object SplitQueries {
     "q395_packing_curve" -> q395Sql,
     "q373_temperature_mix" -> q373Sql,
     "q433_mixture_cert" -> q433Sql,
+    "q439_mixture_delta" -> q439Sql,
     "q307_water_filling" -> q307Sql,
     "q217_oov_rate" -> q217Sql,
     "q52_mixture_sample" -> q52Sql,

@@ -89,4 +89,43 @@ class MixtureCertSpec extends AnyFunSuite {
       math.ceil(600L * 0.6 / 10.0).toLong)
     assert(row.getAs[Int]("bound_ok") == 1)
   }
+
+  test("q439 incremental re-cert: delta shifts every allocation, delta docs enter prefixes, bounds re-certify") {
+    // two sources; only 'grow' receives delta docs (ids = 2 mod 5 spawn
+    // +1e12 re-crawls with a 3-token tail; 2 mod 5 means last digit 2 or
+    // 7), so its allocation must rise by MORE than the budget-growth
+    // alone gives 'flat'
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 10 == 2 || i % 10 == 7) "grow" else "flat",
+        (1 to 20).map(t => s"w${i}_$t").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-mixdelta").toString
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q439_mixture_delta")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("grow", "flat"))
+    val grow = out("grow"); val flat = out("flat")
+    // delta mass lands only on 'grow': ids = 2 mod 5 are all even
+    assert(grow.getAs[Long]("tokens_delta") > 0L &&
+      flat.getAs[Long]("tokens_delta") == 0L)
+    assert(grow.getAs[Long]("n_delta_docs_sampled") > 0L,
+      "delta docs must interleave into the re-cut prefix")
+    assert(flat.getAs[Long]("n_delta_docs_sampled") == 0L)
+    // both allocations shift (the tau2 normalizer couples them), and
+    // grow's shift strictly exceeds flat's
+    assert(grow.getAs[Long]("alloc_shift") >
+      flat.getAs[Long]("alloc_shift"),
+      s"grow must gain more than flat: " +
+        s"${grow.getAs[Long]("alloc_shift")} vs " +
+        s"${flat.getAs[Long]("alloc_shift")}")
+    assert(out.values.forall(_.getAs[Int]("bound_ok") == 1),
+      "every re-certified source must satisfy the exact bound")
+    // the realized masses obey the q433 bound against the NEW allocs
+    out.values.foreach { r =>
+      val alloc = r.getAs[Long]("target_tokens")
+      val realized = r.getAs[Long]("realized_tokens")
+      assert(realized >= alloc && realized - alloc < 23L,
+        s"${r.getAs[String]("source")}: $realized vs $alloc")
+    }
+  }
 }
