@@ -293,6 +293,30 @@ object CurationPipeline {
       |ORDER BY stage_no""".stripMargin
   }
 
+  /** Registered-stage cache for the v2/v3 ledgers (VERDICT r16 #5): the
+    * former per-stage `localCheckpoint(true)` barriers serialized ~15
+    * EAGER jobs whose fixed costs dominated q432's wall and made it
+    * swing 10.6–27.0 s across same-HEAD runs (JVM/heap-state-sensitive
+    * constants). Each stage is now a LAZY MEMORY_AND_DISK persist: the
+    * ledger's one action materializes every stage exactly once and the
+    * census rows reuse the columnar cache — same single-materialization
+    * guarantee, no per-stage job submission, and the columnar cache is
+    * cheaper than checkpoint's row serialization. The iterative CC
+    * contraction and the (tiny) contamination verdict keep their
+    * checkpoints — unbounded lineage is the one thing persist does not
+    * truncate. Entries drop every stage cache after materializing their
+    * 11-row ledger, so a repeated bench run cannot poach caches. */
+  private final class StageCache {
+    private val frames = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    def apply(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames += df
+      df
+    }
+    def release(): Unit = { frames.foreach(_.unpersist(false)); () }
+  }
+
   /** q350-family K-shingle position rows (doc_id, p, fp) of a `toks`
     * frame — ONE spelling shared by the v2/v3 self-repetition gates,
     * substring rewrites, and contamination probes. */
@@ -323,15 +347,14 @@ object CurationPipeline {
     * `.as("doc_id")` lateral alias (the POST-offset id), silently
     * diverging from the oracle's bb.doc_id spelling. */
   private def frontStages(spark: SparkSession, dir: String,
-      withClone: Boolean)
+      withClone: Boolean, st: StageCache)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.queries.SubstringQueries.{K, L}
     val par = spark.sparkContext.defaultParallelism
     val d = Kpis.table(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-    val bench = d.filter(col("doc_id") % 10 === 7)
-      .localCheckpoint(true)
+    val bench = st(d.filter(col("doc_id") % 10 === 7))
     val body = d.filter(col("doc_id") % 10 =!= 7)
 
     // stage 0 — the injections (did0 = the pre-offset id, see above)
@@ -370,12 +393,11 @@ object CurationPipeline {
           i => concat(lit("cl"), col("did0"), lit("_"), i.cast("string"))))
           .as("toks"))
     val injected = withQuote.unionAll(noise).unionAll(excerpt)
-    val s0 = (if (withClone) injected.unionAll(clone) else injected)
-      .repartition(par, col("doc_id"))
-      .localCheckpoint(true)
+    val s0 = st((if (withClone) injected.unionAll(clone) else injected)
+      .repartition(par, col("doc_id")))
 
     // stage 1 — quality gate (q23's composite over the joined text)
-    val s1 = s0
+    val s1 = st(s0
       .withColumn("text", array_join(col("toks"), " "))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_chars", length(col("text")))
@@ -385,8 +407,7 @@ object CurationPipeline {
         + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
         + least(lit(1.0), col("n_chars").cast("double") / 500.0) * 0.3
         >= QualityMin)
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
+      .select("doc_id", "toks"))
 
     // stage 2 — perplexity gate: q59's unigram NLL, self-trained on the
     // s1 survivors, cut at q391's middle threshold
@@ -400,8 +421,7 @@ object CurationPipeline {
       .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
       .filter(col("avg_nll") > 8.0)
       .select("doc_id")
-    val s2 = s1.join(dropNll, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s2 = st(s1.join(dropNll, Seq("doc_id"), "left_anti"))
 
     // stage 3 — self-repetition gate: q393's rule, any tandem repeat ≥ L
     val nxt3 = positionsOf(s2)
@@ -416,6 +436,10 @@ object CurationPipeline {
       .agg(count(lit(1)).as("rl"))
       .filter(col("rl") + lit(K - 1) >= L)
       .select("doc_id").distinct()
+    // s3 keeps the CHECKPOINT: it is the chain's most-reused frame (four
+    // v3 consumers including the iterative CC contraction), and lineage
+    // reaching an iterative consumer is the one case persist cannot
+    // bound (the v3 heap blowup that pinned this split of barriers)
     val s3 = s2.join(dropLoop, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     (bench, s0, s1, s2, s3)
@@ -460,16 +484,17 @@ object CurationPipeline {
     import graft.queries.SubstringQueries.{BF, F, K, L}
     // stages 0-3 (injections + quality + perplexity + loop gate) are the
     // shared v2/v3 front half — see [[frontStages]]
-    val (bench, s0, s1, s2, s3) = frontStages(spark, dir, withClone = false)
+    val st = new StageCache
+    val (bench, s0, s1, s2, s3) =
+      frontStages(spark, dir, withClone = false, st)
     def positions(df: DataFrame): DataFrame = positionsOf(df)
 
     // stage 4 — exact dedup: q19's fingerprint, keep-min
     val fp4 = s3.withColumn("fp", md5(array_join(col("toks"), " ")))
-    val s4 = fp4
+    val s4 = st(fp4
       .join(fp4.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
       .filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
+      .select("doc_id", "toks"))
 
     // stage 5 — substring rewrite: q392's excision (later doc loses the
     // shared span), tokens drop while docs stay
@@ -477,7 +502,7 @@ object CurationPipeline {
     val keep5 = m5.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= F).select(col("fp"))
-    val mm5 = m5.join(keep5, "fp").localCheckpoint(true)
+    val mm5 = st(m5.join(keep5, "fp"))
     val runs5 = mm5.select(col("fp"), col("doc_id").as("a_id"),
         col("p").as("ap"))
       .join(mm5.select(col("fp"), col("doc_id").as("b_id"),
@@ -506,13 +531,12 @@ object CurationPipeline {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("rs"), col("re"))))
         .as("regs"))
-    val s5 = s4.join(regs5, Seq("doc_id"), "left")
+    val s5 = st(s4.join(regs5, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("regs").isNull, col("toks"))
           .otherwise(expr(
             "filter(toks, (x, i) -> NOT exists(regs, r -> i >= r.rs AND i <= r.re))"))
-          .as("toks"))
-      .localCheckpoint(true)
+          .as("toks")))
 
     // stage 6 — span-contamination gate: q352's probe, benchmark
     // positions broadcast with the BF boilerplate cap
@@ -532,8 +556,7 @@ object CurationPipeline {
       .agg(count(lit(1)).as("rl"))
       .filter(col("rl") + lit(K - 1) >= L)
       .select("doc_id").distinct()
-    val s6 = s5.join(dropContam, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s6 = st(s5.join(dropContam, Seq("doc_id"), "left_anti"))
 
     // the (docs, tokens) ledger + the packing terminal (q395, 512)
     def census(df: DataFrame): DataFrame =
@@ -551,7 +574,10 @@ object CurationPipeline {
     val pack = census(s6).select(lit(7).as("stage_no"),
       lit("pack_512").as("stage"),
       expr("(n_tokens + 511) div 512").as("n_docs"), col("n_tokens"))
-    ledger.unionAll(pack).orderBy("stage_no")
+    val out = graft.plans.Eager.ckpt(
+      ledger.unionAll(pack).orderBy("stage_no"))
+    st.release()
+    out
   }
 
   /** Shared v2/v3 oracle front half (CTEs d..s3): the injections and
@@ -821,7 +847,9 @@ object CurationPipeline {
     import graft.queries.SubstringQueries.{BF, F, K, L}
     // stages 0-3 are the shared v2/v3 front half WITH the near-clone
     // rescue population — see [[frontStages]]
-    val (bench, s0, s1, s2, s3) = frontStages(spark, dir, withClone = true)
+    val st = new StageCache
+    val (bench, s0, s1, s2, s3) =
+      frontStages(spark, dir, withClone = true, st)
     def positions(df: DataFrame): DataFrame = positionsOf(df)
 
     // the benchmark probe (q352's df-capped position artifact) and the
@@ -849,6 +877,9 @@ object CurationPipeline {
     // q22 banded candidate join + exact-Jaccard verify + q45 CC. Labels
     // over s3 (not s5) so the rescue census can compare the dirty-blind
     // min-id representative against the clean election.
+    // checkpointed, not persisted: sh6 feeds the ITERATIVE CC
+    // contraction, whose per-round plans would otherwise re-embed the
+    // whole upstream lineage (see the StageCache scaladoc)
     val sh6 = s3.select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
       .localCheckpoint(true)
     val edges = graft.operators.BandStore.candidatePairs(sh6)
@@ -862,35 +893,32 @@ object CurationPipeline {
       .localCheckpoint(true)
 
     // stage 4 — span-contamination gate FIRST (q430's certified order)
-    val s4 = s3.join(dirty, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s4 = st(s3.join(dirty, Seq("doc_id"), "left_anti"))
 
     // stage 5 — exact dedup (q19 keep-min, now electing among clean docs)
     val fp5 = s4.withColumn("fp", md5(array_join(col("toks"), " ")))
-    val s5 = fp5
+    val s5 = st(fp5
       .join(fp5.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
       .filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
+      .select("doc_id", "toks"))
 
     // stage 6 — near-dup cluster collapse: one survivor per component,
     // min-id among the (all-clean) survivors = q430's clean-sibling
     // election, group-atomic via the s3 component labels
     val grp5 = s5.join(comp, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("comp"), col("doc_id")))
-    val s6 = grp5
+    val s6 = st(grp5
       .join(grp5.groupBy("grp").agg(min(col("doc_id")).as("keep_id")),
         "grp")
       .filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "toks")
-      .localCheckpoint(true)
+      .select("doc_id", "toks"))
 
     // stage 7 — substring rewrite (q392's excision, as q400's stage 5)
     val m7 = positions(s6)
     val keep7 = m7.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= F).select(col("fp"))
-    val mm7 = m7.join(keep7, "fp").localCheckpoint(true)
+    val mm7 = st(m7.join(keep7, "fp"))
     val runs7 = mm7.select(col("fp"), col("doc_id").as("a_id"),
         col("p").as("ap"))
       .join(mm7.select(col("fp"), col("doc_id").as("b_id"),
@@ -919,13 +947,12 @@ object CurationPipeline {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("rs"), col("re"))))
         .as("regs"))
-    val s7 = s6.join(regs7, Seq("doc_id"), "left")
+    val s7 = st(s6.join(regs7, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("regs").isNull, col("toks"))
           .otherwise(expr(
             "filter(toks, (x, i) -> NOT exists(regs, r -> i >= r.rs AND i <= r.re))"))
-          .as("toks"))
-      .localCheckpoint(true)
+          .as("toks")))
 
     // rescue census: components whose dirty-blind min-id representative
     // is contaminated but which have >= 1 clean member — the clusters
@@ -975,8 +1002,11 @@ object CurationPipeline {
       lit("rescued_groups").as("stage"), col("n_docs"), col("n_tokens"))
     val residual = residRow.select(lit(10).as("stage_no"),
       lit("residual_contam").as("stage"), col("n_docs"), col("n_tokens"))
-    ledger.unionAll(pack).unionAll(resc).unionAll(residual)
-      .orderBy("stage_no")
+    val out = graft.plans.Eager.ckpt(
+      ledger.unionAll(pack).unionAll(resc).unionAll(residual)
+        .orderBy("stage_no"))
+    st.release()
+    out
   }
 
   val q432Sql: String =
