@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{fingerprint, jaccard, shingles, tokens}
 import graft.multimodal.Multimodal.{Codec, FrameH, FrameW, dhash56}
 
-/** Cross-modal PAIR curation (VERDICT r15 #4): the multimodal family
-  * dedups images (q370) and audio (q374) per-modality, and the text
-  * family dedups documents (q19/q22/q45) — but a paired corpus
-  * ((image, caption) rows, the LAION shape) makes its keep/drop
+/** Cross-modal PAIR curation (VERDICT r15 #4 + r16 #3): the multimodal
+  * family dedups images (q370) and audio (q374) per-modality, and the
+  * text family dedups documents (q19/q22/q45) — but a paired corpus
+  * ((image, caption) rows, the LAION shape; (audio, transcript) rows,
+  * the ASR-corpus shape) makes its keep/drop
   * decision at PAIR granularity, where the modalities interact: a pair
   * whose image is a near-dup but whose caption is unique still carries
   * novel supervision (new description of a seen image), and vice
@@ -221,6 +222,283 @@ object CrossModal {
         col("cap_dup"), col("cap_drop"))
       .orderBy("pair_id")
 
+  // --------------------------------------------------------------- q440
+  /** q374's 31-bit energy-delta fingerprint as a closure — frame
+    * energies over 8-sample windows of the 8-bit PCM payload, delta
+    * signs packed little-endian (the q374 relational fold's image;
+    * [[Multimodal.dhash56]]'s role for the audio modality). */
+  private def fp31(payload: Array[Byte]): Long = {
+    val nFrames = payload.length / 8
+    val e = Array.tabulate(nFrames) { f =>
+      var s = 0L; var i = f * 8
+      while (i < f * 8 + 8) {
+        val v = (payload(i) & 0xff) - 128; s += v.toLong * v; i += 1
+      }
+      s
+    }
+    var h = 0L; var i = 0
+    while (i < 31 && i + 1 < nFrames) {
+      if (e(i + 1) > e(i)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Cross-modal (audio, transcript) pair dedup interaction census —
+    * q434's pair treatment extended to the AUDIO modality (VERDICT r16
+    * #3's second half): the audio side is q374's machinery (exact
+    * fingerprint collapse + df-capped 4×8-bit banding over DISTINCT
+    * fingerprints + Hamming ≤ 4 verify) over the REAL WAV containers,
+    * the transcript side q19's fingerprint + the q22/q432 banded
+    * Jaccard chain — joined per pair into the (aud_dup, txt_dup)
+    * quadrant census with kept counts under the same four policies.
+    * Pair synthesis mirrors q434 on the audio-kind documents (doc_id ≡
+    * 1 mod 3, [[Multimodal.mediaFromDocuments]]'s assignment):
+    *   +1·10¹¹ — re-recorded clip (q374's +2 DC shift, clipped — the
+    *     planted near-dup) × UNIQUE transcript ('_tva' token remap);
+    *   +2·10¹¹ — unique clip (payload cycled from "zz<id> <text>") ×
+    *     EXACT transcript;
+    *   +3·10¹¹ — identical clip (same payload, same fingerprint) ×
+    *     NEAR transcript (3-token tail).
+    * The oracle re-derives every sample byte from the document text
+    * (q360/q374's replay) and replays both chains; exactness and scale
+    * shape are q434's (one long per clip crosses the shuffle, banded
+    * joins df-capped, census 4 cells). */
+  def q440AudiotextPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Multimodal.{AudioRate, AudioSamples}
+    val par = spark.sparkContext.defaultParallelism
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 1 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+
+    // audio side: 4 variants per base doc through the REAL containers
+    val hashes = d.as[(Long, String)].mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val src = text.getBytes(StandardCharsets.UTF_8)
+        val dec = Codec.decode(Codec.buildWav(
+          Codec.cyclePayload(src, AudioSamples), AudioRate))
+        val rerec = dec.payload.map(b => math.min((b & 0xff) + 2, 255).toByte)
+        val msrc = s"zz$id $text".getBytes(StandardCharsets.UTF_8)
+        val mdec = Codec.decode(Codec.buildWav(
+          Codec.cyclePayload(msrc, AudioSamples), AudioRate))
+        Iterator(
+          (id, fp31(dec.payload)),
+          (id + Off, fp31(rerec)),
+          (id + 2 * Off, fp31(mdec.payload)),
+          (id + 3 * Off, fp31(dec.payload)))
+      }
+    }.toDF("pair_id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hgrp = hashes.groupBy(col("h"))
+      .agg(count(lit(1)).as("g"), min(col("pair_id")).as("hmin"))
+      .localCheckpoint(true)
+    val inv = hgrp.select(col("h"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .select(col("h"), col("j"),
+        expr(s"shiftright(h, 8 * j) & 255").as("v"))
+    val kept = inv.join(
+      inv.groupBy(col("j"), col("v")).agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= BucketCap), Seq("j", "v"))
+    val hedges = kept.as("a").join(kept.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 4"))
+      .localCheckpoint(true)
+    val hmins = hgrp.select(col("h"), col("hmin"))
+    val nearMin = hedges
+      .join(hmins.select(col("h").as("hb"), col("hmin").as("omin")), "hb")
+      .select(col("ha").as("h"), col("omin"))
+      .unionAll(hedges
+        .join(hmins.select(col("h").as("ha"), col("hmin").as("omin")),
+          "ha")
+        .select(col("hb").as("h"), col("omin")))
+      .groupBy(col("h")).agg(min(col("omin")).as("near_min"))
+    val audflags = hashes.join(hgrp, "h")
+      .join(nearMin, Seq("h"), "left")
+      .select(col("pair_id"),
+        (col("g") >= 2 || col("near_min").isNotNull).cast("int")
+          .as("aud_dup"),
+        (col("pair_id") > col("hmin") ||
+          (col("near_min").isNotNull && col("near_min") < col("pair_id")))
+          .cast("int").as("aud_drop"))
+
+    // transcript side: exact fingerprint + q22 banded Jaccard near-dup
+    val txts = d.select(col("doc_id").as("pair_id"), col("text").as("cap"))
+      .unionAll(d.select((col("doc_id") + lit(Off)).as("pair_id"),
+        concat_ws(" ", transform(tokens(col("text")),
+          t => concat(t, lit("_tva")))).as("cap")))
+      .unionAll(d.select((col("doc_id") + lit(2 * Off)).as("pair_id"),
+        col("text").as("cap")))
+      .unionAll(d.select((col("doc_id") + lit(3 * Off)).as("pair_id"),
+        concat(col("text"), lit(" zz extra tail")).as("cap")))
+    val txtfp = txts.select(col("pair_id"), fingerprint(col("cap")).as("fp"))
+    val fpg = txtfp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("g"), min(col("pair_id")).as("fmin"))
+    val txtsh = txts
+      .select(col("pair_id"), shingles(tokens(col("cap")), 3).as("sh"))
+      .localCheckpoint(true)
+    val candt = graft.operators.BandStore.candidatePairs(
+        txtsh.withColumnRenamed("pair_id", "doc_id"))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+    val neartxt = candt
+      .join(txtsh.select(col("pair_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(txtsh.select(col("pair_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val txtAny = neartxt.select(col("a_id").as("pair_id"))
+      .unionAll(neartxt.select(col("b_id").as("pair_id"))).distinct()
+    val txtLater = neartxt.select(col("b_id").as("pair_id")).distinct()
+    val txtflags = txtfp.join(fpg, "fp")
+      .join(txtAny.withColumn("any1", lit(1)), Seq("pair_id"), "left")
+      .join(txtLater.withColumn("lat1", lit(1)), Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        (col("g") >= 2 || col("any1").isNotNull).cast("int").as("txt_dup"),
+        (col("pair_id") > col("fmin") || col("lat1").isNotNull)
+          .cast("int").as("txt_drop"))
+
+    val out = graft.plans.Eager.ckpt(
+      audflags.join(txtflags, "pair_id")
+        .groupBy(col("aud_dup"), col("txt_dup"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(lit(1) - col("aud_drop")).as("kept_audio_dedup"),
+          sum(lit(1) - col("txt_drop")).as("kept_transcript_dedup"),
+          sum(when(col("aud_drop") === 0 && col("txt_drop") === 0, 1L)
+            .otherwise(0L)).as("kept_strict"),
+          sum(when(col("aud_drop") === 1 && col("txt_drop") === 1, 0L)
+            .otherwise(1L)).as("kept_pair_policy"))
+        .orderBy("aud_dup", "txt_dup"))
+    hashes.unpersist()
+    out
+  }
+
+  val q440Sql: String = {
+    val fragment =
+      graft.queries.DocQueries.minhashPairsSqlFragment("txtst")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS tlen,
+       |    'zz' || CAST(doc_id AS VARCHAR) || ' ' || text AS mtext,
+       |    length('zz' || CAST(doc_id AS VARCHAR) || ' ' || text) AS mlen
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(trim(text)) > 0),
+       |b AS (
+       |  SELECT doc_id, v.variant, CAST(i // 8 AS INTEGER) AS frame_idx,
+       |    CASE
+       |      WHEN v.variant = 1
+       |        THEN least(ascii(substr(text, CAST(i % tlen AS INTEGER)
+       |          + 1, 1)) + 2, 255) - 128
+       |      WHEN v.variant = 2
+       |        THEN ascii(substr(mtext, CAST(i % mlen AS INTEGER) + 1, 1))
+       |          - 128
+       |      ELSE ascii(substr(text, CAST(i % tlen AS INTEGER) + 1, 1))
+       |        - 128
+       |    END AS v
+       |  FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) v(variant)
+       |  CROSS JOIN LATERAL unnest(range(0, 256)) AS t(i)),
+       |fe AS (
+       |  SELECT doc_id, variant, frame_idx,
+       |    CAST(SUM(v * v) AS BIGINT) AS energy
+       |  FROM b GROUP BY ALL),
+       |fp AS (
+       |  SELECT a.doc_id, a.variant,
+       |    CAST(SUM(CASE WHEN n.energy > a.energy
+       |      THEN (CAST(1 AS BIGINT) << a.frame_idx) ELSE 0 END)
+       |      AS BIGINT) AS h
+       |  FROM fe a JOIN fe n ON n.doc_id = a.doc_id
+       |    AND n.variant = a.variant AND n.frame_idx = a.frame_idx + 1
+       |  WHERE a.frame_idx < 31
+       |  GROUP BY 1, 2),
+       |ih AS (
+       |  SELECT doc_id + 100000000000 * variant AS pair_id, h FROM fp),
+       |hgrp AS (
+       |  SELECT h, COUNT(*) AS g, MIN(pair_id) AS hmin FROM ih GROUP BY h),
+       |inv AS (
+       |  SELECT h, hmin, j, (h >> CAST(8 * j AS INTEGER)) & 255 AS v
+       |  FROM hgrp CROSS JOIN LATERAL unnest(range(0, 4)) AS t(j)),
+       |bk AS (SELECT j, v, COUNT(*) AS bs FROM inv GROUP BY 1, 2),
+       |keptb AS (SELECT inv.* FROM inv JOIN bk USING (j, v) WHERE bs <= 16),
+       |hedges AS (
+       |  SELECT ha, hb2 FROM (
+       |    SELECT DISTINCT a.h AS ha, b.h AS hb2
+       |    FROM keptb a JOIN keptb b ON a.j = b.j AND a.v = b.v
+       |      AND a.h < b.h)
+       |  WHERE bit_count(xor(ha, hb2)) <= 4),
+       |nearmin AS (
+       |  SELECT h, MIN(omin) AS near_min FROM (
+       |    SELECT e.ha AS h, g2.hmin AS omin
+       |    FROM hedges e JOIN hgrp g2 ON g2.h = e.hb2
+       |    UNION ALL
+       |    SELECT e.hb2, g1.hmin
+       |    FROM hedges e JOIN hgrp g1 ON g1.h = e.ha)
+       |  GROUP BY h),
+       |audflags AS (
+       |  SELECT i.pair_id,
+       |    CASE WHEN gg.g >= 2 OR nm.near_min IS NOT NULL
+       |      THEN 1 ELSE 0 END AS aud_dup,
+       |    CASE WHEN i.pair_id > gg.hmin
+       |      OR (nm.near_min IS NOT NULL AND nm.near_min < i.pair_id)
+       |      THEN 1 ELSE 0 END AS aud_drop
+       |  FROM ih i JOIN hgrp gg USING (h)
+       |  LEFT JOIN nearmin nm ON nm.h = i.h),
+       |txts AS (
+       |  SELECT doc_id AS pair_id, text AS cap FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 100000000000,
+       |    CASE WHEN length(trim(text)) = 0 THEN ''
+       |         ELSE array_to_string(list_transform(
+       |           regexp_split_to_array(trim(text), '\\s+'),
+       |           t -> t || '_tva'), ' ') END
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 200000000000, text FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 300000000000, text || ' zz extra tail' FROM d),
+       |txtst AS (SELECT pair_id AS doc_id, cap AS text FROM txts),
+       |$fragment,
+       |neartxt AS (
+       |  SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
+       |txtany AS (
+       |  SELECT a_id AS pair_id FROM neartxt
+       |  UNION
+       |  SELECT b_id FROM neartxt),
+       |txtlater AS (SELECT DISTINCT b_id AS pair_id FROM neartxt),
+       |txtfp AS (
+       |  SELECT pair_id,
+       |    md5(lower(regexp_replace(trim(cap), '\\s+', ' ', 'g'))) AS fp
+       |  FROM txts),
+       |fpg AS (
+       |  SELECT fp, COUNT(*) AS g, MIN(pair_id) AS fmin
+       |  FROM txtfp GROUP BY fp),
+       |txtflags AS (
+       |  SELECT c.pair_id,
+       |    CASE WHEN f.g >= 2
+       |      OR c.pair_id IN (SELECT pair_id FROM txtany)
+       |      THEN 1 ELSE 0 END AS txt_dup,
+       |    CASE WHEN c.pair_id > f.fmin
+       |      OR c.pair_id IN (SELECT pair_id FROM txtlater)
+       |      THEN 1 ELSE 0 END AS txt_drop
+       |  FROM txtfp c JOIN fpg f USING (fp))
+       |SELECT CAST(aud_dup AS INTEGER) AS aud_dup,
+       |  CAST(txt_dup AS INTEGER) AS txt_dup,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(1 - aud_drop) AS BIGINT) AS kept_audio_dedup,
+       |  CAST(SUM(1 - txt_drop) AS BIGINT) AS kept_transcript_dedup,
+       |  CAST(SUM(CASE WHEN aud_drop = 0 AND txt_drop = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_strict,
+       |  CAST(SUM(CASE WHEN aud_drop = 1 AND txt_drop = 1
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS kept_pair_policy
+       |FROM audflags JOIN txtflags USING (pair_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Shared oracle front (CTEs d..capflags): both modality chains down
     * to the per-pair flags — ONE SQL spelling mirroring [[pairFlags]].
     * NOTE: returns MARGIN-BEARING text; callers interpolate it inside
@@ -360,9 +638,11 @@ object CrossModal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q434_crossmodal_pairs" -> (q434CrossmodalPairs _),
-    "q438_crossmodal_kept" -> (q438CrossmodalKept _))
+    "q438_crossmodal_kept" -> (q438CrossmodalKept _),
+    "q440_audiotext_pairs" -> (q440AudiotextPairs _))
 
   def oracles: Map[String, String] = Map(
     "q434_crossmodal_pairs" -> q434Sql,
-    "q438_crossmodal_kept" -> q438Sql)
+    "q438_crossmodal_kept" -> q438Sql,
+    "q440_audiotext_pairs" -> q440Sql)
 }

@@ -188,4 +188,33 @@ class CrossModalPairSpec extends AnyFunSuite {
       r.getAs[Int]("cap_drop") == 1)),
       "no kept pair may be dropped by BOTH modalities")
   }
+
+  test("the audio pair census (q440) populates every planted quadrant with coherent policy counts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q440_audiotext_pairs")(spark, sfDir)
+      .collect().map { r =>
+        (r.getAs[Int]("aud_dup"), r.getAs[Int]("txt_dup")) ->
+          ((r.getAs[Long]("n_pairs"), r.getAs[Long]("kept_audio_dedup"),
+            r.getAs[Long]("kept_transcript_dedup"),
+            r.getAs[Long]("kept_strict"),
+            r.getAs[Long]("kept_pair_policy")))
+      }.toMap
+    // the three planted interaction quadrants: re-recorded clip ×
+    // unique transcript (1,0), unique clip × exact transcript (0,1),
+    // identical clip × near transcript (1,1)
+    assert(got.keySet.intersect(Set((1, 0), (0, 1), (1, 1))) ==
+      Set((1, 0), (0, 1), (1, 1)),
+      s"planted quadrants must be populated: ${got.keySet}")
+    got.foreach { case (quad, (n, ka, kt, ks, kp)) =>
+      assert(ks <= math.min(ka, kt) && math.max(ka, kt) <= kp && kp <= n,
+        s"policy counts must nest (strict <= single <= pair <= all) " +
+          s"at $quad: ($n, $ka, $kt, $ks, $kp)")
+    }
+    // a both-dup quadrant exists and the pair policy keeps strictly
+    // more of it than the strict policy (the whole point of the pair
+    // granularity)
+    val bb = got((1, 1))
+    assert(bb._5 > bb._4,
+      s"pair policy must rescue pairs strict drops: $bb")
+  }
 }
