@@ -166,5 +166,6 @@ class WindowGuardSpec extends AnyFunSuite {
     "q428_preference_pairs", // per-lang offset prefix: <= |langs| rows
     "q431_gate_calibration", // per-lang offset prefix: <= |langs| rows
     "q433_mixture_cert",     // per-source offset prefix: <= |sources| rows (+ RangeRank offsets)
+    "q439_mixture_delta",    // q433's offset census on the merged index: <= |sources| rows (+ RangeRank offsets)
     "q338_benford_2digit")   // <=90-row two-digit (10..99) census
 }
