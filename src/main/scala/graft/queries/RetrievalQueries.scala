@@ -267,12 +267,233 @@ object RetrievalQueries {
       |FROM rk WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------------------- planted corpus
+  /** 24-token header/footer boilerplate literals, planted so the two
+    * boilerplate detectors (q444 fixed-stride, q446 content-defined) have
+    * known ground truth: the header PREPENDS (so it is window-aligned at
+    * t0 = 0 in every variant), the footer APPENDS (so its fixed-stride
+    * alignment depends on the host document's length — the miss mode the
+    * q444/q446 comparison measures). */
+  private val Hdr: String = (0 until 24).map(i => f"hdr$i%02d").mkString(" ")
+  private val Ftr: String = (0 until 24).map(i => f"ftr$i%02d").mkString(" ")
+  private val HdrOff = 2000000000000L
+  private val FtrOff = 3000000000000L
+  /** Boilerplate document-frequency threshold: a chunk fingerprint in ≥ B
+    * distinct docs is template text, not content (organic chunk fps in
+    * this corpus reach df ≤ 2 — a doc and its appended-footer variant
+    * share their interior chunks). */
+  private[graft] val B = 5
+  /** CDC breakpoint divisor: a token whose md5-60 hash ≡ 0 (mod 8) ends a
+    * chunk → expected chunk length = 1/P(break) tokens. */
+  private val CdcMod = 8
+  /** CDC chunks shorter than this are never boilerplate-eligible (the
+    * standard CDC min-length guard: 1-token chunks from a finite vocab
+    * repeat across unrelated docs by construction). */
+  private val CdcMinLen = 4
+
+  /** documents ∪ header-prefixed variants of every doc ≡ 0 mod 5 (ids
+    * +2e12) ∪ footer-suffixed variants of every doc ≡ 1 mod 5 (+3e12). */
+  private def plantedToks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + HdrOff).as("doc_id"),
+          concat_ws(" ", lit(Hdr), col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + FtrOff).as("doc_id"),
+          concat_ws(" ", col("text"), lit(Ftr)).as("text")))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+  }
+
+  /** SQL twin of [[plantedToks]]: CTEs `pl` (planted corpus) and `d`
+    * (doc_id, toks). */
+  private val plantedTokSql: String =
+    s"""pl AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $HdrOff AS doc_id, '$Hdr' || ' ' || text AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + $FtrOff AS doc_id, text || ' ' || '$Ftr' AS text
+      |  FROM documents WHERE doc_id % 5 = 1),
+      |d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM pl WHERE length(trim(text)) > 0)""".stripMargin
+
+  private def cohortCol: Column =
+    when(col("doc_id") >= FtrOff, lit("ftr"))
+      .when(col("doc_id") >= HdrOff, lit("hdr"))
+      .otherwise(lit("base"))
+
+  private val cohortSql: String =
+    s"CASE WHEN doc_id >= $FtrOff THEN 'ftr' WHEN doc_id >= $HdrOff THEN 'hdr' ELSE 'base' END"
+
+  // ---------------------------------------------------------------- q444
+  /** Fixed-stride boilerplate removal census: chunks whose exact-text
+    * fingerprint occurs in ≥ B distinct documents are template text; per
+    * affected document, the interval union of its boilerplate windows
+    * (q351's sweep — overlapping windows merge) gives the removable token
+    * mass. Ground truth is planted: the PREPENDED header aligns at t0 = 0
+    * in every header variant (detected at full strength), while the
+    * APPENDED footer aligns with the 16-token stride grid only when the
+    * host document's length ≡ 0 mod 16 — fixed-stride chunking
+    * structurally misses unaligned boilerplate, which is exactly what the
+    * q446 content-defined detector fixes.
+    *
+    * Exactness: intervals are integer [s, e]; the sweep is q351's exact
+    * exclusive-running-max region numbering; the only double is the final
+    * 6-dp-snapped removable fraction.
+    *
+    * Scale shape: chunking + fingerprinting are per-row array ops (zero
+    * shuffle); the df census and the boiler join are fp-keyed hash
+    * exchanges carrying (fp, doc_id, t0, len) — never chunk text; the
+    * sweep windows partition per DOCUMENT (bounded by doc length / S);
+    * all rollups are map-side-combinable. */
+  def q444ChunkBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunked(plantedToks(spark, dir))
+      .select(col("doc_id"), col("t0"), size(col("ctoks")).as("cl"),
+        md5(concat_ws(" ", col("ctoks"))).as("fp"))
+    val boiler = ch.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= B).select(col("fp"))
+    val bc = ch.join(boiler, "fp")
+    val cover = SubstringQueries.intervalSweep(
+      bc.select(col("doc_id"), col("t0").cast("long").as("s"),
+        (col("t0") + col("cl") - 1).cast("long").as("e")))
+    val nb = bc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_boiler_chunks"))
+    val lens = plantedToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("doc_tokens"))
+    nb.join(cover, "doc_id").join(lens, "doc_id")
+      .select(col("doc_id"), cohortCol.as("cohort"), col("n_boiler_chunks"),
+        col("n_regions"), col("covered_tokens"), col("doc_tokens"),
+        (round(col("covered_tokens").cast("double") /
+          col("doc_tokens").cast("double"), 6) + lit(0.0))
+          .as("removable_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q444Sql: String =
+    s"""WITH $plantedTokSql,
+      |${chunkSql("d", "")},
+      |chf AS (
+      |  SELECT doc_id, t0, CAST(len(ctoks) AS BIGINT) AS cl,
+      |    md5(array_to_string(ctoks, ' ')) AS fp
+      |  FROM ck),
+      |boiler AS (
+      |  SELECT fp FROM chf GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) >= $B),
+      |bc AS (SELECT c.* FROM chf c JOIN boiler USING (fp)),
+      |spans AS (
+      |  SELECT doc_id, CAST(t0 AS BIGINT) AS s, t0 + cl - 1 AS e FROM bc),
+      |${SubstringQueries.sweepCte},
+      |nb AS (SELECT doc_id, COUNT(*) AS n_boiler_chunks FROM bc GROUP BY 1),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_tokens FROM d)
+      |SELECT n.doc_id, $cohortSql AS cohort,
+      |  CAST(n.n_boiler_chunks AS BIGINT) AS n_boiler_chunks,
+      |  CAST(c.n_regions AS BIGINT) AS n_regions, c.covered_tokens,
+      |  l.doc_tokens,
+      |  round(CAST(c.covered_tokens AS DOUBLE)
+      |    / CAST(l.doc_tokens AS DOUBLE), 6) + 0.0 AS removable_frac
+      |FROM nb n JOIN cov c USING (doc_id) JOIN lens l USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q446
+  /** Content-defined chunking (CDC) boilerplate census — the rsync/LBFS
+    * breakpoint idea applied to tokens: a token whose hash ≡ 0 mod 8 ends
+    * a chunk, so chunk boundaries realign to CONTENT after any prefix
+    * insertion. The planted footer (which q444's stride grid misses in
+    * ~15/16 of its hosts) is cut into the SAME chunks in every footer
+    * variant regardless of the host document's length, so CDC detects it
+    * in every host. Output is the per-cohort census (base / hdr / ftr):
+    * docs, docs with detected boilerplate, boilerplate chunks, covered
+    * tokens — read beside q444's per-doc rows, it is the measured
+    * fixed-stride-vs-CDC comparison.
+    *
+    * Exactness: all-integer (CDC chunks are disjoint, so coverage is a
+    * plain sum — no sweep needed); fingerprints are md5 hex.
+    *
+    * Scale shape: chunk formation is a per-row array expression (break
+    * positions → start/end zip — zero shuffle, same posture as q441); the
+    * df census and boiler join are fp-keyed hash exchanges; the cohort
+    * rollup is a 3-group map-side-combinable agg. */
+  def q446CdcBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val td = plantedToks(spark, dir)
+    val n = size(col("toks"))
+    val breaks = filter(sequence(lit(0), n - 1),
+      i => md5Hash60(element_at(col("toks"), i + 1)) % CdcMod === 0)
+    val starts = concat(array(lit(0)), transform(breaks, b => b + 1))
+    val ends = concat(transform(breaks, b => b + 1), array(n))
+    val chunks = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("t0"), (e - s).as("cl"))),
+      c => c.getField("cl") > 0)
+    val cch = td
+      .select(col("doc_id"), col("toks"), posexplode(chunks).as(Seq("cid", "c")))
+      .select(col("doc_id"), col("c.t0").as("t0"), col("c.cl").as("cl"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("c.t0") + 1, col("c.cl")))).as("fp"))
+    val elig = cch.filter(col("cl") >= CdcMinLen)
+    val boiler = elig.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= B).select(col("fp"))
+    val perDoc = elig.join(boiler, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("cl")).as("cov"))
+    td.select(col("doc_id"), cohortCol.as("cohort"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("nb")).as("docs_with_boiler"),
+        coalesce(sum(col("nb")), lit(0L)).as("n_boiler_chunks"),
+        coalesce(sum(col("cov")), lit(0L)).as("covered_tokens"))
+      .orderBy("cohort")
+  }
+
+  val q446Sql: String =
+    s"""WITH $plantedTokSql,
+      |tk AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+      |  FROM d),
+      |tb AS (
+      |  SELECT doc_id, p, toks[p] AS tok,
+      |    CASE WHEN ${md5Hash60Sql("toks[p]")} % $CdcMod = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM tk),
+      |tc AS (
+      |  SELECT doc_id, p, tok,
+      |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM tb),
+      |cch AS (
+      |  SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS cl,
+      |    md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+      |  FROM tc GROUP BY 1, 2),
+      |elig AS (SELECT * FROM cch WHERE cl >= $CdcMinLen),
+      |boiler AS (
+      |  SELECT fp FROM elig GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) >= $B),
+      |pd AS (
+      |  SELECT doc_id, COUNT(*) AS nb, SUM(cl) AS cov
+      |  FROM elig JOIN boiler USING (fp) GROUP BY 1),
+      |dc AS (SELECT doc_id, $cohortSql AS cohort FROM d)
+      |SELECT dc.cohort, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(pd.nb) AS BIGINT) AS docs_with_boiler,
+      |  CAST(COALESCE(SUM(pd.nb), 0) AS BIGINT) AS n_boiler_chunks,
+      |  CAST(COALESCE(SUM(pd.cov), 0) AS BIGINT) AS covered_tokens
+      |FROM dc LEFT JOIN pd USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
-    "q442_passage_retrieval" -> (q442PassageRetrieval _))
+    "q442_passage_retrieval" -> (q442PassageRetrieval _),
+    "q444_chunk_boilerplate" -> (q444ChunkBoilerplate _),
+    "q446_cdc_boilerplate" -> (q446CdcBoilerplate _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
-    "q442_passage_retrieval" -> q442Sql)
+    "q442_passage_retrieval" -> q442Sql,
+    "q444_chunk_boilerplate" -> q444Sql,
+    "q446_cdc_boilerplate" -> q446Sql)
 }

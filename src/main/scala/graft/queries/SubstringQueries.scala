@@ -206,7 +206,7 @@ object SubstringQueries {
     * union — (doc_id, n_regions, covered_tokens). Per-doc windows over
     * that doc's interval list (bounded by doc length / L); the region
     * rollups are map-side-combinable aggs. */
-  private def intervalSweep(spans: DataFrame): DataFrame =
+  private[queries] def intervalSweep(spans: DataFrame): DataFrame =
     mergedRegions(spans)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_regions"),
@@ -230,7 +230,7 @@ object SubstringQueries {
 
   /** SQL twin of [[intervalSweep]]: CTE chain over a prior `spans`
     * (doc_id, s, e) ending in `cov` (doc_id, n_regions, covered_tokens). */
-  private val sweepCte: String =
+  private[queries] val sweepCte: String =
     """mk AS (
       |  SELECT doc_id, s, e,
       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
