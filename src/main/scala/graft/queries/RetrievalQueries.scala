@@ -484,16 +484,206 @@ object RetrievalQueries {
       |FROM dc LEFT JOIN pd USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q443
+  /** Semi-hard triplet mining over the `embeddings` table — the
+    * contrastive-training data-prep operator (FaceNet's semi-hard
+    * selection, public): for each anchor in a deterministic modulus
+    * cohort, the POSITIVE is its highest-cosine same-label neighbor and
+    * the NEGATIVE is the highest-cosine different-label vector that is
+    * still farther than the positive (neg_cos < pos_cos); `in_margin`
+    * marks negatives inside the 0.05 semi-hard band. Anchors lacking
+    * either pick drop out (inner-join semantics on both engines).
+    *
+    * Exactness: cosines follow the q21 convention — float→double
+    * element-exact products, sequential left fold, identical unrolled sum
+    * in DuckDB → bit-identical doubles, so the `cos < pos_cos` cut and
+    * both tie-breaks (candidate id) replay exactly.
+    *
+    * Scale shape: the modulus-bounded anchor side broadcasts (q21/q26's
+    * CertSlice discipline) and the corpus streams through one BNLJ; both
+    * picks are per-anchor top-1 windows over the scored rows (bounded by
+    * corpus × |anchors|, all skinny id+double rows). An unbounded anchor
+    * set flips to the sign-LSH banded candidate join (q28) with exact
+    * re-scoring — the same plan swap every ANN query in this library
+    * documents. */
+  def q443SemiHardTriplets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Kpis.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        norm2(col("embedding")).as("n2"))
+    val a = e.filter(col("vec_id") % 29 === 1)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("label").as("a_label"), col("n2").as("an2"))
+    val sc = e.crossJoin(broadcast(a))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("cand_id"),
+        col("label").as("cand_label"),
+        (dotD(col("ae"), col("embedding")) /
+          (sqrt(col("an2")) * sqrt(col("n2")))).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val pos = sc.filter(col("cand_label") === col("a_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_id"), col("a_label").as("label"),
+        col("cand_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = sc.filter(col("cand_label") =!= col("a_label"))
+      .join(pos.select(col("a_id"), col("pos_cos")), "a_id")
+      .filter(col("cos") < col("pos_cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    val out = graft.plans.Eager.ckpt(pos.join(neg, "a_id")
+      .select(col("a_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("gap"),
+        (col("neg_cos") > col("pos_cos") - lit(0.05)).as("in_margin"))
+      .orderBy("a_id"))
+    sc.unpersist()
+    out
+  }
+
+  val q443Sql: String = {
+    import graft.functions.VectorFunctions.dotSqlUnrolled
+    val dim = 64
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, label,
+      |    ${dotSqlUnrolled("embedding", "embedding", dim)} AS n2
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT a.vec_id AS a_id, a.label AS a_label,
+      |    c.vec_id AS cand_id, c.label AS cand_label,
+      |    (${dotSqlUnrolled("a.embedding", "c.embedding", dim)})
+      |      / (sqrt(a.n2) * sqrt(c.n2)) AS cos
+      |  FROM e a JOIN e c ON c.vec_id != a.vec_id
+      |  WHERE a.vec_id % 29 = 1),
+      |posr AS (
+      |  SELECT a_id, a_label, cand_id, cos,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY cos DESC, cand_id) AS rn
+      |  FROM sc WHERE cand_label = a_label),
+      |pos AS (
+      |  SELECT a_id, a_label AS label, cand_id AS pos_id, cos AS pos_cos
+      |  FROM posr WHERE rn = 1),
+      |negr AS (
+      |  SELECT s.a_id, s.cand_id, s.cos, p.pos_cos,
+      |    row_number() OVER (PARTITION BY s.a_id
+      |      ORDER BY s.cos DESC, s.cand_id) AS rn
+      |  FROM sc s JOIN pos p ON p.a_id = s.a_id
+      |  WHERE s.cand_label != s.a_label AND s.cos < p.pos_cos),
+      |neg AS (
+      |  SELECT a_id, cand_id AS neg_id, cos AS neg_cos
+      |  FROM negr WHERE rn = 1)
+      |SELECT p.a_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+      |  p.pos_cos - n.neg_cos AS gap,
+      |  n.neg_cos > p.pos_cos - 0.05 AS in_margin
+      |FROM pos p JOIN neg n ON p.a_id = n.a_id
+      |ORDER BY p.a_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q445
+  /** Banded-signature index health census for the q441 passage index —
+    * the diagnostic that says whether the banded equi-join scale path
+    * stays join-safe: 16 Rademacher ±1 sign-projection bits (random ±1
+    * projections, Achlioptas 2001 — INTEGER dots over the integer chunk
+    * vectors, so the signature replays order-free on both engines) cut
+    * into 2 bands × 8 bits; per band, bucket-occupancy stats and the
+    * EXACT candidate-pair mass Σ c·(c−1)/2 a band self-join would
+    * generate — the quantity whose growth flags a skewed index at scale.
+    *
+    * Exactness: all-integer — weights, ternary dots (ties dot = 0 → bit
+    * 0), bucket counts, pair mass (c·(c−1) is even, the /2 is exact in
+    * double well below 2⁵³).
+    *
+    * Scale shape: signatures are per-row folds over the 32-dim vector
+    * (zero shuffle); the census is two map-side-combinable aggs over
+    * (band, band_val) keys. The per-band candidate mass is what
+    * [[graft.functions.VectorFunctions.adaptiveBandBits]] keeps linear by
+    * widening bands with corpus size; this census is its measured
+    * counterpart at the passage granularity. */
+  private def ternSigns(nPlanes: Int, dim: Int, seed: Long): Array[Array[Long]] = {
+    var s = seed
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 20) & 1L) == 0L) 1L else -1L
+    }
+    Array.fill(nPlanes, dim)(next())
+  }
+  private val Planes: Array[Array[Long]] = ternSigns(16, D, 7L)
+
+  def q445IndexBucketSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunked(tokDocs(spark, dir))
+      .withColumn("vec", chunkVec(col("ctoks")))
+    val sigExpr = Planes.zipWithIndex.map { case (p, j) =>
+      val dj = aggregate(
+        zip_with(col("vec"), typedLit(p.toSeq), (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      when(dj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val bands = ch.select(sigExpr.as("sig"))
+      .select(explode(array(
+        struct(lit(0).as("band"),
+          col("sig").bitwiseAND(lit(255L)).as("band_val")),
+        struct(lit(1).as("band"),
+          shiftright(col("sig"), 8).bitwiseAND(lit(255L)).as("band_val"))))
+        .as("b"))
+      .select(col("b.band").as("band"), col("b.band_val").as("band_val"))
+    bands.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+        sum(col("c")).as("total_chunks"),
+        (sum(col("c") * (col("c") - 1)) / 2).cast("long").as("cand_pairs"))
+      .orderBy("band")
+  }
+
+  val q445Sql: String = {
+    val planeRows = Planes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (s, i) => s"($j, $i, $s)" }
+    }.mkString(", ")
+    s"""WITH d AS ($tokSql),
+      |${chunkSql("d", "")},
+      |${wtSql("")},
+      |planes AS (SELECT * FROM (VALUES $planeRows) t(j, dim, s)),
+      |dj AS (
+      |  SELECT w.doc_id, w.chunk_id, p.j,
+      |    CAST(SUM(w.w * p.s) AS BIGINT) AS dj
+      |  FROM wt w JOIN planes p ON p.dim = w.dim GROUP BY 1, 2, 3),
+      |sig AS (
+      |  SELECT doc_id, chunk_id,
+      |    CAST(SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |      AS BIGINT) AS sig
+      |  FROM dj GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT 0 AS band, sig & 255 AS band_val FROM sig
+      |  UNION ALL
+      |  SELECT 1 AS band, (sig >> 8) & 255 FROM sig),
+      |bk AS (SELECT band, band_val, COUNT(*) AS c FROM bands GROUP BY 1, 2)
+      |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS singleton_buckets,
+      |  CAST(SUM(c) AS BIGINT) AS total_chunks,
+      |  CAST(CAST(SUM(c * (c - 1)) AS BIGINT) / 2 AS BIGINT) AS cand_pairs
+      |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
     "q442_passage_retrieval" -> (q442PassageRetrieval _),
+    "q443_semi_hard_triplets" -> (q443SemiHardTriplets _),
     "q444_chunk_boilerplate" -> (q444ChunkBoilerplate _),
+    "q445_index_bucket_skew" -> (q445IndexBucketSkew _),
     "q446_cdc_boilerplate" -> (q446CdcBoilerplate _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
     "q442_passage_retrieval" -> q442Sql,
+    "q443_semi_hard_triplets" -> q443Sql,
     "q444_chunk_boilerplate" -> q444Sql,
+    "q445_index_bucket_skew" -> q445Sql,
     "q446_cdc_boilerplate" -> q446Sql)
 }
