@@ -40,6 +40,14 @@ object RetrievalQueries {
   private val MinTail = 8
   /** Feature-hash dimensions. */
   private[graft] val D = 32
+  /** Query/anchor slice bound (q26's CertSliceMax discipline): ABOVE every
+    * real fixture id (documents ≤ 4999, embeddings ≤ 1999 at sf0.1), so
+    * it is a no-op at every correctness scale — but it pins the
+    * modulus-cohort CARDINALITY constant on ScaleStress clone corpora
+    * (clone ids start at 10¹²), keeping the broadcast-side of the
+    * brute-force certificates fixed while the index side grows. The
+    * unbounded production path is the banded index (q445 / q28). */
+  private val QuerySliceMax = 1000000L
 
   private def tokDocs(spark: SparkSession, dir: String): DataFrame =
     Kpis.table(spark, dir, "documents")
@@ -197,7 +205,8 @@ object RetrievalQueries {
     * equi-join whose bucket health q445 certifies. */
   def q442PassageRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val td = tokDocs(spark, dir)
-    val qs = td.filter(col("doc_id") % 41 === 3 && size(col("toks")) >= 28)
+    val qs = td.filter(col("doc_id") % 41 === 3 &&
+        col("doc_id") < QuerySliceMax && size(col("toks")) >= 28)
       .select(col("doc_id").as("query_id"),
         slice(col("toks"), 4, 16).as("qtoks"))
       .withColumn("qvec", chunkVec(col("qtoks")))
@@ -233,7 +242,8 @@ object RetrievalQueries {
       |  FROM wt GROUP BY 1, 2 HAVING SUM(w * w) > 0),
       |qd AS (
       |  SELECT doc_id AS query_id, toks[4 : 19] AS qtoks
-      |  FROM d WHERE doc_id % 41 = 3 AND len(toks) >= 28),
+      |  FROM d WHERE doc_id % 41 = 3 AND doc_id < $QuerySliceMax
+      |    AND len(toks) >= 28),
       |qtk AS (SELECT query_id, unnest(qtoks) AS t FROM qd),
       |qh AS (SELECT query_id, ${md5Hash60Sql("t")} AS h FROM qtk),
       |qwt AS (
@@ -511,7 +521,8 @@ object RetrievalQueries {
     val e = Kpis.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
         norm2(col("embedding")).as("n2"))
-    val a = e.filter(col("vec_id") % 29 === 1)
+    val a = e.filter(col("vec_id") % 29 === 1 &&
+        col("vec_id") < QuerySliceMax)
       .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
         col("label").as("a_label"), col("n2").as("an2"))
     val sc = e.crossJoin(broadcast(a))
@@ -556,7 +567,7 @@ object RetrievalQueries {
       |    (${dotSqlUnrolled("a.embedding", "c.embedding", dim)})
       |      / (sqrt(a.n2) * sqrt(c.n2)) AS cos
       |  FROM e a JOIN e c ON c.vec_id != a.vec_id
-      |  WHERE a.vec_id % 29 = 1),
+      |  WHERE a.vec_id % 29 = 1 AND a.vec_id < $QuerySliceMax),
       |posr AS (
       |  SELECT a_id, a_label, cand_id, cos,
       |    row_number() OVER (PARTITION BY a_id
