@@ -681,6 +681,217 @@ object RetrievalQueries {
       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q447
+  /** The PRODUCTION retrieval path for the q441 index, certified against
+    * the exact path: queries retrieve through the banded-signature
+    * equi-join (a query is a candidate match for a chunk when they share
+    * ≥ 1 of the 2 × 8-bit signature bands q445 censuses), candidates are
+    * exactly re-scored, and the per-query report compares the banded
+    * top-3 with the brute-force top-3 — `recall_at_3` is the MEASURED
+    * quality of the approximate path on this corpus, the number a RAG
+    * operator actually watches. n_cand / the q445 pair mass are the cost
+    * side of the same dial.
+    *
+    * Exactness: signatures are ternary integer dots (order-free), band
+    * matching is exact set intersection via the equi-join, re-scoring
+    * reuses the integer-dot/one-FP-cosine convention, and recall is a
+    * count of id-pairs in both top-3 sets — every column replays exactly.
+    *
+    * Scale shape: this is the plan that REPLACES q442's bounded BNLJ when
+    * the query side is unbounded — both sides shuffle only on
+    * (band, band_val) with skinny id rows, candidate volume is the q445
+    * census's Σ c·(c−1)-bounded mass, and vectors are fetched back by id
+    * for the deduped candidate set only. The exact-top-3 side retained
+    * here is the CERTIFICATE (CertSlice-bounded, constant cost on clone
+    * corpora); production drops it and keeps the banded chain. */
+  def q447BandedRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val td = tokDocs(spark, dir)
+    def sigOf(vecCol: Column): Column =
+      Planes.zipWithIndex.map { case (p, j) =>
+        val dj = aggregate(
+          zip_with(vecCol, typedLit(p.toSeq), (x, y) => x * y),
+          lit(0L), (a, x) => a + x)
+        when(dj > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    def bandsOf(sigCol: Column): Column = array(
+      struct(lit(0).as("band"), sigCol.bitwiseAND(lit(255L)).as("band_val")),
+      struct(lit(1).as("band"),
+        shiftright(sigCol, 8).bitwiseAND(lit(255L)).as("band_val")))
+    val ch = chunked(td)
+      .withColumn("vec", chunkVec(col("ctoks")))
+      .select(col("doc_id"), col("chunk_id"), col("vec"),
+        vecN2(col("vec")).as("n2"), sigOf(col("vec")).as("sig"))
+      .filter(col("n2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = td.filter(col("doc_id") % 41 === 3 &&
+        col("doc_id") < QuerySliceMax && size(col("toks")) >= 28)
+      .select(col("doc_id").as("query_id"),
+        slice(col("toks"), 4, 16).as("qtoks"))
+      .withColumn("qvec", chunkVec(col("qtoks")))
+      .select(col("query_id"), col("qvec"), vecN2(col("qvec")).as("qn2"),
+        sigOf(col("qvec")).as("qsig"))
+      .filter(col("qn2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banded candidates: equi-join on (band, band_val), skinny id rows
+    val cb = ch.select(col("doc_id"), col("chunk_id"),
+      explode(bandsOf(col("sig"))).as("b"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("b.band").as("band"), col("b.band_val").as("band_val"))
+    val qb = qs.select(col("query_id"), explode(bandsOf(col("qsig"))).as("b"))
+      .select(col("query_id"),
+        col("b.band").as("band"), col("b.band_val").as("band_val"))
+    val cand = qb.join(cb, Seq("band", "band_val"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id")).distinct()
+    // exact re-score of candidates only (vectors fetched back by id)
+    val scoreCols = (df: DataFrame) => df
+      .withColumn("dot", aggregate(
+        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn2") * col("n2")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+    val btop = scoreCols(cand
+      .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"), col("n2")),
+        Seq("doc_id", "chunk_id"))
+      .join(qs.select(col("query_id"), col("qvec"), col("qn2")), "query_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the certificate side: brute-force exact top-3 (q442's chain)
+    val etop = scoreCols(ch.select(col("doc_id"), col("chunk_id"),
+        col("vec"), col("n2")).crossJoin(broadcast(
+        qs.select(col("query_id"), col("qvec"), col("qn2")))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"))
+    val recall = btop.join(etop, Seq("query_id", "doc_id", "chunk_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val nc = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+    val r1 = btop.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("r1_doc"),
+        col("chunk_id").as("r1_chunk"), col("cos").as("r1_cos"))
+    val out = graft.plans.Eager.ckpt(
+      qs.select(col("query_id")).join(nc, Seq("query_id"), "left")
+        .join(r1, Seq("query_id"), "left")
+        .join(recall, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("r1_doc"), lit(-1L)).as("r1_doc"),
+          coalesce(col("r1_chunk"), lit(-1)).as("r1_chunk"),
+          coalesce(col("r1_cos"), lit(0.0)).as("r1_cos"),
+          coalesce(col("hits"), lit(0L)).as("recall_at_3"))
+        .orderBy("query_id"))
+    ch.unpersist(); qs.unpersist(); btop.unpersist()
+    out
+  }
+
+  val q447Sql: String = {
+    val planeRows = Planes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (s, i) => s"($j, $i, $s)" }
+    }.mkString(", ")
+    s"""WITH d AS ($tokSql),
+      |${chunkSql("d", "")},
+      |${wtSql("")},
+      |planes AS (SELECT * FROM (VALUES $planeRows) t(j, dim, s)),
+      |cst AS (
+      |  SELECT doc_id, chunk_id, CAST(SUM(w * w) AS BIGINT) AS n2
+      |  FROM wt GROUP BY 1, 2 HAVING SUM(w * w) > 0),
+      |cdj AS (
+      |  SELECT w.doc_id, w.chunk_id, p.j, CAST(SUM(w.w * p.s) AS BIGINT) AS dj
+      |  FROM wt w JOIN planes p ON p.dim = w.dim GROUP BY 1, 2, 3),
+      |csig AS (
+      |  SELECT doc_id, chunk_id,
+      |    CAST(SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |      AS BIGINT) AS sig
+      |  FROM cdj GROUP BY 1, 2),
+      |qd AS (
+      |  SELECT doc_id AS query_id, toks[4 : 19] AS qtoks
+      |  FROM d WHERE doc_id % 41 = 3 AND doc_id < $QuerySliceMax
+      |    AND len(toks) >= 28),
+      |qtk AS (SELECT query_id, unnest(qtoks) AS t FROM qd),
+      |qh AS (SELECT query_id, ${md5Hash60Sql("t")} AS h FROM qtk),
+      |qwt AS (
+      |  SELECT query_id, CAST(h % $D AS INTEGER) AS dim,
+      |    CAST(SUM(CASE WHEN ((h >> 5) & 1) = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS w
+      |  FROM qh GROUP BY 1, 2),
+      |qst AS (
+      |  SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS qn2
+      |  FROM qwt GROUP BY 1 HAVING SUM(w * w) > 0),
+      |qdj AS (
+      |  SELECT w.query_id, p.j, CAST(SUM(w.w * p.s) AS BIGINT) AS dj
+      |  FROM qwt w JOIN planes p ON p.dim = w.dim GROUP BY 1, 2),
+      |qsig AS (
+      |  SELECT query_id,
+      |    CAST(SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |      AS BIGINT) AS sig
+      |  FROM qdj WHERE query_id IN (SELECT query_id FROM qst) GROUP BY 1),
+      |cbands AS (
+      |  SELECT s.doc_id, s.chunk_id, 0 AS band, s.sig & 255 AS band_val
+      |  FROM csig s JOIN cst USING (doc_id, chunk_id)
+      |  UNION ALL
+      |  SELECT s.doc_id, s.chunk_id, 1 AS band, (s.sig >> 8) & 255
+      |  FROM csig s JOIN cst USING (doc_id, chunk_id)),
+      |qbands AS (
+      |  SELECT query_id, 0 AS band, sig & 255 AS band_val FROM qsig
+      |  UNION ALL
+      |  SELECT query_id, 1 AS band, (sig >> 8) & 255 FROM qsig),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, c.doc_id, c.chunk_id
+      |  FROM qbands q JOIN cbands c USING (band, band_val)),
+      |dots AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      |  FROM qwt q JOIN wt c USING (dim) GROUP BY 1, 2, 3),
+      |bsc AS (
+      |  SELECT cd.query_id, cd.doc_id, cd.chunk_id,
+      |    CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(qs.qn2 * cs.n2 AS DOUBLE)) AS cos
+      |  FROM cand cd
+      |  JOIN qst qs ON qs.query_id = cd.query_id
+      |  JOIN cst cs ON cs.doc_id = cd.doc_id AND cs.chunk_id = cd.chunk_id
+      |  LEFT JOIN dots dt ON dt.query_id = cd.query_id
+      |    AND dt.doc_id = cd.doc_id AND dt.chunk_id = cd.chunk_id),
+      |btop AS (
+      |  SELECT query_id, doc_id, chunk_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM bsc QUALIFY rank <= 3),
+      |esc AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(q.qn2 * c.n2 AS DOUBLE)) AS cos
+      |  FROM qst q CROSS JOIN cst c
+      |  LEFT JOIN dots dt ON dt.query_id = q.query_id
+      |    AND dt.doc_id = c.doc_id AND dt.chunk_id = c.chunk_id),
+      |etop AS (
+      |  SELECT query_id, doc_id, chunk_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM esc QUALIFY rank <= 3),
+      |rc AS (
+      |  SELECT b.query_id, COUNT(*) AS hits
+      |  FROM btop b JOIN etop e ON e.query_id = b.query_id
+      |    AND e.doc_id = b.doc_id AND e.chunk_id = b.chunk_id
+      |  GROUP BY 1),
+      |ncand AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+      |r1 AS (
+      |  SELECT query_id, doc_id AS r1_doc, chunk_id AS r1_chunk,
+      |    cos AS r1_cos
+      |  FROM btop WHERE rank = 1)
+      |SELECT q.query_id,
+      |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+      |  COALESCE(r.r1_doc, -1) AS r1_doc,
+      |  CAST(COALESCE(r.r1_chunk, -1) AS INTEGER) AS r1_chunk,
+      |  COALESCE(r.r1_cos, 0.0) AS r1_cos,
+      |  CAST(COALESCE(rc.hits, 0) AS BIGINT) AS recall_at_3
+      |FROM qst q
+      |LEFT JOIN ncand n ON n.query_id = q.query_id
+      |LEFT JOIN r1 r ON r.query_id = q.query_id
+      |LEFT JOIN rc ON rc.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
@@ -688,7 +899,8 @@ object RetrievalQueries {
     "q443_semi_hard_triplets" -> (q443SemiHardTriplets _),
     "q444_chunk_boilerplate" -> (q444ChunkBoilerplate _),
     "q445_index_bucket_skew" -> (q445IndexBucketSkew _),
-    "q446_cdc_boilerplate" -> (q446CdcBoilerplate _))
+    "q446_cdc_boilerplate" -> (q446CdcBoilerplate _),
+    "q447_banded_retrieval" -> (q447BandedRetrieval _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
@@ -696,5 +908,6 @@ object RetrievalQueries {
     "q443_semi_hard_triplets" -> q443Sql,
     "q444_chunk_boilerplate" -> q444Sql,
     "q445_index_bucket_skew" -> q445Sql,
-    "q446_cdc_boilerplate" -> q446Sql)
+    "q446_cdc_boilerplate" -> q446Sql,
+    "q447_banded_retrieval" -> q447Sql)
 }
