@@ -193,6 +193,69 @@ class RetrievalSpec extends AnyFunSuite {
       "CDC must recover strictly more footer mass than the stride grid")
   }
 
+  test("q447 equals the banded-candidates + exact-recall replay") {
+    var s = 7L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 20) & 1L) == 0L) 1L else -1L
+    }
+    val planes = Array.fill(16, 32)(next())
+    def sigOf(v: Array[Long]): Long = (0 until 16).map { j =>
+      val dj = (v, planes(j)).zipped.map(_ * _).sum
+      if (dj > 0) 1L << j else 0L
+    }.reduce(_ | _)
+    def bandsOf(g: Long): Set[(Int, Long)] =
+      Set((0, g & 255L), (1, (g >> 8) & 255L))
+    val chunks = docs.flatMap { case (id, text) =>
+      val ts = toksOf(text)
+      chunkStarts(ts.length).zipWithIndex.map { case (t0, ci) =>
+        val v = hashVec(ts.slice(t0, math.min(t0 + 24, ts.length)).toSeq)
+        (id, ci, v, v.map(x => x * x).sum)
+      }.filter(_._4 > 0L)
+    }.map { case (id, ci, v, n2) => (id, ci, v, n2, bandsOf(sigOf(v))) }
+    val expected = docs.filter { case (id, text) =>
+      id % 41 == 3 && id < 1000000L && toksOf(text).length >= 28
+    }.flatMap { case (qid, text) =>
+      val qv = hashVec(toksOf(text).slice(3, 19).toSeq)
+      val qn2 = qv.map(x => x * x).sum
+      if (qn2 == 0L) None else {
+        val qb = bandsOf(sigOf(qv))
+        def cos(cv: Array[Long], cn2: Long): Double = {
+          val dot = (cv, qv).zipped.map(_ * _).sum
+          dot.toDouble / math.sqrt((qn2 * cn2).toDouble)
+        }
+        val cand = chunks.filter(c => (c._5 & qb).nonEmpty)
+        val btop = cand
+          .map { case (id, ci, cv, cn2, _) => (id, ci, cos(cv, cn2)) }
+          .sortBy { case (id, ci, c) => (-c, id, ci) }.take(3)
+        val etop = chunks
+          .map { case (id, ci, cv, cn2, _) => (id, ci, cos(cv, cn2)) }
+          .sortBy { case (id, ci, c) => (-c, id, ci) }.take(3)
+          .map { case (id, ci, _) => (id, ci) }.toSet
+        val recall = btop.count { case (id, ci, _) => etop((id, ci)) }
+        val (r1d, r1c, r1cos) =
+          if (btop.isEmpty) (-1L, -1, 0.0)
+          else (btop.head._1, btop.head._2, btop.head._3)
+        Some(qid ->
+          ((cand.length.toLong, r1d, r1c, r1cos, recall.toLong)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q447_banded_retrieval")(spark, sfDir)
+      .collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (nc, r1d, r1c, r1cos, rec) = expected(r.getLong(0))
+      assert(r.getLong(1) == nc, "candidate count")
+      assert(r.getLong(2) == r1d && r.getInt(3) == r1c, "banded rank-1 id")
+      assert(r.getDouble(4) == r1cos, "banded rank-1 cosine")
+      assert(r.getLong(5) == rec, "recall@3")
+    }
+    // the approximate path must actually prune: every query's candidate
+    // set is a strict subset of the index
+    val nChunks = chunks.length.toLong
+    assert(expected.values.forall(_._1 < nChunks))
+  }
+
   test("q445 equals the banded-signature census replay") {
     // independent regeneration of the ternary planes (same LCG)
     var s = 7L
