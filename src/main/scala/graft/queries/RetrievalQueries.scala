@@ -291,15 +291,12 @@ object RetrievalQueries {
   /** Boilerplate document-frequency threshold: a chunk fingerprint in ≥ B
     * distinct docs is template text, not content (organic chunk fps in
     * this corpus reach df ≤ 2 — a doc and its appended-footer variant
-    * share their interior chunks). */
-  private[graft] val B = 5
-  /** CDC breakpoint divisor: a token whose md5-60 hash ≡ 0 (mod 8) ends a
-    * chunk → expected chunk length = 1/P(break) tokens. */
-  private val CdcMod = 8
-  /** CDC chunks shorter than this are never boilerplate-eligible (the
-    * standard CDC min-length guard: 1-token chunks from a finite vocab
-    * repeat across unrelated docs by construction). */
-  private val CdcMinLen = 4
+    * share their interior chunks). ONE spelling with the persisted store
+    * ([[graft.operators.BoilerStore]], q450's operator). */
+  private[graft] val B = graft.operators.BoilerStore.B
+  /** CDC parameters — owned by the store operator since round 17 (q446
+    * and the store must chunk identically). */
+  private val CdcMinLen = graft.operators.BoilerStore.CdcMinLen
 
   /** documents ∪ header-prefixed variants of every doc ≡ 0 mod 5 (ids
     * +2e12) ∪ footer-suffixed variants of every doc ≡ 1 mod 5 (+3e12). */
@@ -430,19 +427,7 @@ object RetrievalQueries {
     * rollup is a 3-group map-side-combinable agg. */
   def q446CdcBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val td = plantedToks(spark, dir)
-    val n = size(col("toks"))
-    val breaks = filter(sequence(lit(0), n - 1),
-      i => md5Hash60(element_at(col("toks"), i + 1)) % CdcMod === 0)
-    val starts = concat(array(lit(0)), transform(breaks, b => b + 1))
-    val ends = concat(transform(breaks, b => b + 1), array(n))
-    val chunks = filter(
-      zip_with(starts, ends, (s, e) => struct(s.as("t0"), (e - s).as("cl"))),
-      c => c.getField("cl") > 0)
-    val cch = td
-      .select(col("doc_id"), col("toks"), posexplode(chunks).as(Seq("cid", "c")))
-      .select(col("doc_id"), col("c.t0").as("t0"), col("c.cl").as("cl"),
-        md5(concat_ws(" ",
-          slice(col("toks"), col("c.t0") + 1, col("c.cl")))).as("fp"))
+    val cch = graft.operators.BoilerStore.cdcChunks(td)
     val elig = cch.filter(col("cl") >= CdcMinLen)
     val boiler = elig.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -462,23 +447,7 @@ object RetrievalQueries {
 
   val q446Sql: String =
     s"""WITH $plantedTokSql,
-      |tk AS (
-      |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
-      |  FROM d),
-      |tb AS (
-      |  SELECT doc_id, p, toks[p] AS tok,
-      |    CASE WHEN ${md5Hash60Sql("toks[p]")} % $CdcMod = 0
-      |      THEN 1 ELSE 0 END AS b
-      |  FROM tk),
-      |tc AS (
-      |  SELECT doc_id, p, tok,
-      |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
-      |  FROM tb),
-      |cch AS (
-      |  SELECT doc_id, cid, CAST(COUNT(*) AS BIGINT) AS cl,
-      |    md5(string_agg(tok, ' ' ORDER BY p)) AS fp
-      |  FROM tc GROUP BY 1, 2),
+      |${graft.operators.BoilerStore.cdcChunkSql("d", "")},
       |elig AS (SELECT * FROM cch WHERE cl >= $CdcMinLen),
       |boiler AS (
       |  SELECT fp FROM elig GROUP BY fp
