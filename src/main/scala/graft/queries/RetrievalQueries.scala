@@ -861,6 +861,241 @@ object RetrievalQueries {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q451
+  /** The RECALL DIAL on the banded retrieval path — multi-probe banding
+    * (the q99/q101 multi-probe knob applied to sign-LSH, cf. multi-probe
+    * LSH, Lv et al. 2007): probe level 0 queries each band at its exact
+    * 8-bit value (q447's plan); level 1 ADDITIONALLY probes every 1-bit
+    * flip of each band value (16 more buckets per query). Per
+    * (probe_level, query): the candidate cost actually paid and the
+    * recall@3 against the exact top-3 — the measured recall/cost curve a
+    * RAG operator tunes (the q281/q427 trade-off-curve discipline).
+    * Candidate sets are CUMULATIVE by construction (level 1 ⊇ level 0),
+    * so both columns are monotone in the level — spec-asserted as a law.
+    *
+    * Exactness: candidate membership is exact integer band arithmetic
+    * (XOR bit flips); re-scoring reuses the integer-dot/one-FP-cosine
+    * convention; recall counts id pairs. The per-pair MIN probe level
+    * makes each level's candidate set derivable from one joined frame.
+    *
+    * Scale shape: identical to q447 with a constant 9× band-probe
+    * fan-out on the QUERY side only (the index side is untouched); the
+    * exact side remains the CertSlice-bounded certificate. */
+  def q451MultiprobeRetrieval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val td = tokDocs(spark, dir)
+    def sigOf(vecCol: Column): Column =
+      Planes.zipWithIndex.map { case (p, j) =>
+        val dj = aggregate(
+          zip_with(vecCol, typedLit(p.toSeq), (x, y) => x * y),
+          lit(0L), (a, x) => a + x)
+        when(dj > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    def bandsOf(sigCol: Column): Column = array(
+      struct(lit(0).as("band"), sigCol.bitwiseAND(lit(255L)).as("band_val")),
+      struct(lit(1).as("band"),
+        shiftright(sigCol, 8).bitwiseAND(lit(255L)).as("band_val")))
+    val ch = chunked(td)
+      .withColumn("vec", chunkVec(col("ctoks")))
+      .select(col("doc_id"), col("chunk_id"), col("vec"),
+        vecN2(col("vec")).as("n2"), sigOf(col("vec")).as("sig"))
+      .filter(col("n2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = td.filter(col("doc_id") % 41 === 3 &&
+        col("doc_id") < QuerySliceMax && size(col("toks")) >= 28)
+      .select(col("doc_id").as("query_id"),
+        slice(col("toks"), 4, 16).as("qtoks"))
+      .withColumn("qvec", chunkVec(col("qtoks")))
+      .select(col("query_id"), col("qvec"), vecN2(col("qvec")).as("qn2"),
+        sigOf(col("qvec")).as("qsig"))
+      .filter(col("qn2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = ch.select(col("doc_id"), col("chunk_id"),
+        explode(bandsOf(col("sig"))).as("b"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("b.band").as("band"), col("b.band_val").as("band_val"))
+    // query probes: level 0 = the exact band values; level 1 = 1-bit flips
+    val qb0 = qs.select(col("query_id"), explode(bandsOf(col("qsig"))).as("b"))
+      .select(col("query_id"), col("b.band").as("band"),
+        col("b.band_val").as("band_val"))
+    val qb = qb0.withColumn("lvl", lit(0))
+      .unionAll(qb0
+        .select(col("query_id"), col("band"), col("band_val"),
+          explode(sequence(lit(0), lit(7))).as("bit"))
+        .select(col("query_id"), col("band"),
+          col("band_val").bitwiseXOR(expr("shiftleft(1L, bit)"))
+            .as("band_val"),
+          lit(1).as("lvl")))
+    // per candidate pair: the MINIMUM probe level that reaches it
+    val cand = qb.join(cb, Seq("band", "band_val"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+      .agg(min(col("lvl")).as("min_lvl"))
+    val scored = cand
+      .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"), col("n2")),
+        Seq("doc_id", "chunk_id"))
+      .join(qs.select(col("query_id"), col("qvec"), col("qn2")), "query_id")
+      .withColumn("dot", aggregate(
+        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn2") * col("n2")).cast("double")))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        col("min_lvl"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact top-3: the certificate side (q447's convention)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+    val etop = ch.select(col("doc_id"), col("chunk_id"), col("vec"),
+        col("n2"))
+      .crossJoin(broadcast(qs.select(col("query_id"), col("qvec"),
+        col("qn2"))))
+      .withColumn("dot", aggregate(
+        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn2") * col("n2")).cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"))
+    // per level: rank candidates reachable at that level, compare to exact
+    val wl = Window.partitionBy(col("lvl"), col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+    val perLvl = scored
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"),
+        explode(sequence(col("min_lvl"), lit(1))).as("lvl"))
+    val btop = perLvl
+      .withColumn("rank", row_number().over(wl)).filter(col("rank") <= 3)
+    val recall = btop.join(etop, Seq("query_id", "doc_id", "chunk_id"),
+        "left_semi")
+      .groupBy(col("lvl"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val nc = perLvl.groupBy(col("lvl"), col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val grid = qs.select(col("query_id"))
+      .select(col("query_id"), explode(sequence(lit(0), lit(1))).as("lvl"))
+    val out = graft.plans.Eager.ckpt(grid
+      .join(nc, Seq("lvl", "query_id"), "left")
+      .join(recall, Seq("lvl", "query_id"), "left")
+      .select(col("lvl").as("probe_level"), col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("hits"), lit(0L)).as("recall_at_3"))
+      .orderBy("probe_level", "query_id"))
+    ch.unpersist(); qs.unpersist(); scored.unpersist()
+    out
+  }
+
+  val q451Sql: String = {
+    val planeRows = Planes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (s, i) => s"($j, $i, $s)" }
+    }.mkString(", ")
+    s"""WITH d AS ($tokSql),
+      |${chunkSql("d", "")},
+      |${wtSql("")},
+      |planes AS (SELECT * FROM (VALUES $planeRows) t(j, dim, s)),
+      |cst AS (
+      |  SELECT doc_id, chunk_id, CAST(SUM(w * w) AS BIGINT) AS n2
+      |  FROM wt GROUP BY 1, 2 HAVING SUM(w * w) > 0),
+      |cdj AS (
+      |  SELECT w.doc_id, w.chunk_id, p.j, CAST(SUM(w.w * p.s) AS BIGINT) AS dj
+      |  FROM wt w JOIN planes p ON p.dim = w.dim GROUP BY 1, 2, 3),
+      |csig AS (
+      |  SELECT doc_id, chunk_id,
+      |    CAST(SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |      AS BIGINT) AS sig
+      |  FROM cdj GROUP BY 1, 2),
+      |qd AS (
+      |  SELECT doc_id AS query_id, toks[4 : 19] AS qtoks
+      |  FROM d WHERE doc_id % 41 = 3 AND doc_id < $QuerySliceMax
+      |    AND len(toks) >= 28),
+      |qtk AS (SELECT query_id, unnest(qtoks) AS t FROM qd),
+      |qh AS (SELECT query_id, ${md5Hash60Sql("t")} AS h FROM qtk),
+      |qwt AS (
+      |  SELECT query_id, CAST(h % $D AS INTEGER) AS dim,
+      |    CAST(SUM(CASE WHEN ((h >> 5) & 1) = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS w
+      |  FROM qh GROUP BY 1, 2),
+      |qst AS (
+      |  SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS qn2
+      |  FROM qwt GROUP BY 1 HAVING SUM(w * w) > 0),
+      |qdj AS (
+      |  SELECT w.query_id, p.j, CAST(SUM(w.w * p.s) AS BIGINT) AS dj
+      |  FROM qwt w JOIN planes p ON p.dim = w.dim GROUP BY 1, 2),
+      |qsig AS (
+      |  SELECT query_id,
+      |    CAST(SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |      AS BIGINT) AS sig
+      |  FROM qdj WHERE query_id IN (SELECT query_id FROM qst) GROUP BY 1),
+      |cbands AS (
+      |  SELECT s.doc_id, s.chunk_id, 0 AS band, s.sig & 255 AS band_val
+      |  FROM csig s JOIN cst USING (doc_id, chunk_id)
+      |  UNION ALL
+      |  SELECT s.doc_id, s.chunk_id, 1 AS band, (s.sig >> 8) & 255
+      |  FROM csig s JOIN cst USING (doc_id, chunk_id)),
+      |qb0 AS (
+      |  SELECT query_id, 0 AS band, sig & 255 AS band_val FROM qsig
+      |  UNION ALL
+      |  SELECT query_id, 1 AS band, (sig >> 8) & 255 FROM qsig),
+      |qb AS (
+      |  SELECT query_id, band, band_val, 0 AS lvl FROM qb0
+      |  UNION ALL
+      |  SELECT query_id, band,
+      |    xor(band_val, 1::BIGINT << b.bit) AS band_val, 1 AS lvl
+      |  FROM qb0 CROSS JOIN (SELECT unnest(range(0, 8)) AS bit) b),
+      |cand AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id, MIN(q.lvl) AS min_lvl
+      |  FROM qb q JOIN cbands c USING (band, band_val)
+      |  GROUP BY 1, 2, 3),
+      |dots AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      |  FROM qwt q JOIN wt c USING (dim) GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT cd.query_id, cd.doc_id, cd.chunk_id, cd.min_lvl,
+      |    CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(qs2.qn2 * cs.n2 AS DOUBLE)) AS cos
+      |  FROM cand cd
+      |  JOIN qst qs2 ON qs2.query_id = cd.query_id
+      |  JOIN cst cs ON cs.doc_id = cd.doc_id AND cs.chunk_id = cd.chunk_id
+      |  LEFT JOIN dots dt ON dt.query_id = cd.query_id
+      |    AND dt.doc_id = cd.doc_id AND dt.chunk_id = cd.chunk_id),
+      |esc AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(q.qn2 * c.n2 AS DOUBLE)) AS cos
+      |  FROM qst q CROSS JOIN cst c
+      |  LEFT JOIN dots dt ON dt.query_id = q.query_id
+      |    AND dt.doc_id = c.doc_id AND dt.chunk_id = c.chunk_id),
+      |etop AS (
+      |  SELECT query_id, doc_id, chunk_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM esc QUALIFY rank <= 3),
+      |perlvl AS (
+      |  SELECT s.query_id, s.doc_id, s.chunk_id, s.cos, l.lvl
+      |  FROM scored s
+      |  JOIN (SELECT unnest(range(0, 2)) AS lvl) l ON l.lvl >= s.min_lvl),
+      |btop AS (
+      |  SELECT lvl, query_id, doc_id, chunk_id,
+      |    row_number() OVER (PARTITION BY lvl, query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM perlvl QUALIFY rank <= 3),
+      |rc AS (
+      |  SELECT b.lvl, b.query_id, COUNT(*) AS hits
+      |  FROM btop b JOIN etop e ON e.query_id = b.query_id
+      |    AND e.doc_id = b.doc_id AND e.chunk_id = b.chunk_id
+      |  GROUP BY 1, 2),
+      |ncand AS (
+      |  SELECT lvl, query_id, COUNT(*) AS n_cand FROM perlvl GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT l.lvl, q.query_id FROM qst q
+      |  CROSS JOIN (SELECT unnest(range(0, 2)) AS lvl) l)
+      |SELECT CAST(g.lvl AS INTEGER) AS probe_level, g.query_id,
+      |  CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+      |  CAST(COALESCE(rc.hits, 0) AS BIGINT) AS recall_at_3
+      |FROM grid g
+      |LEFT JOIN ncand n ON n.lvl = g.lvl AND n.query_id = g.query_id
+      |LEFT JOIN rc ON rc.lvl = g.lvl AND rc.query_id = g.query_id
+      |ORDER BY probe_level, g.query_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
@@ -869,7 +1104,8 @@ object RetrievalQueries {
     "q444_chunk_boilerplate" -> (q444ChunkBoilerplate _),
     "q445_index_bucket_skew" -> (q445IndexBucketSkew _),
     "q446_cdc_boilerplate" -> (q446CdcBoilerplate _),
-    "q447_banded_retrieval" -> (q447BandedRetrieval _))
+    "q447_banded_retrieval" -> (q447BandedRetrieval _),
+    "q451_multiprobe_retrieval" -> (q451MultiprobeRetrieval _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
@@ -878,5 +1114,6 @@ object RetrievalQueries {
     "q444_chunk_boilerplate" -> q444Sql,
     "q445_index_bucket_skew" -> q445Sql,
     "q446_cdc_boilerplate" -> q446Sql,
-    "q447_banded_retrieval" -> q447Sql)
+    "q447_banded_retrieval" -> q447Sql,
+    "q451_multiprobe_retrieval" -> q451Sql)
 }

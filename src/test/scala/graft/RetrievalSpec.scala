@@ -256,6 +256,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(expected.values.forall(_._1 < nChunks))
   }
 
+  test("q451: the probe dial is cumulative — level 0 equals q447, level 1 " +
+    "is a superset, and widening strictly buys recall on this corpus") {
+    val q447 = SparkEntry.queries("q447_banded_retrieval")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(5))))
+      .toMap
+    val rows = SparkEntry.queries("q451_multiprobe_retrieval")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val queries = rows.keySet.map(_._2)
+    assert(queries == q447.keySet && queries.nonEmpty)
+    queries.foreach { q =>
+      val (c0, r0) = rows((0, q))
+      val (c1, r1) = rows((1, q))
+      assert((c0, r0) == q447(q), s"level 0 must BE q447's plan for $q")
+      assert(c1 >= c0 && r1 >= r0, s"the dial must be monotone for $q")
+    }
+    val sum0 = queries.toSeq.map(q => rows((0, q))._2).sum
+    val sum1 = queries.toSeq.map(q => rows((1, q))._2).sum
+    assert(sum1 > sum0,
+      s"1-bit probes must strictly improve total recall ($sum0 -> $sum1)")
+  }
+
   test("q445 equals the banded-signature census replay") {
     // independent regeneration of the ternary planes (same LCG)
     var s = 7L
