@@ -12,6 +12,8 @@ object PrivacyQueries {
 
   /** The k-grid every census row is evaluated at. */
   private val Ks = Seq(2, 5, 10)
+  /** The l-grid of the diversity census. */
+  private val Ls = Seq(2, 3, 5)
 
   // ---------------------------------------------------------------- q448
   /** k-anonymity suppression census over a 3-level quasi-identifier
@@ -97,10 +99,88 @@ object PrivacyQueries {
       |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q453
+  /** l-diversity census (Machanavajjhala et al. 2007, public) — the gap
+    * k-anonymity leaves open: an equivalence class can be large yet
+    * reveal everyone's SENSITIVE value when all members share it. Over
+    * q448's generalization ladder with the balance band as the sensitive
+    * attribute (levels 1 and 2 only — level 0 carries the band inside
+    * the QI, where diversity is trivially 1), per (level, l ∈ {2, 3, 5}):
+    * classes whose distinct-sensitive-value count falls below l, the
+    * rows EXPOSED by them, and the class-diversity extrema — read beside
+    * q448, the release decision's second axis.
+    *
+    * Exactness: distinct counts and row counts are integers; the only
+    * double is the 6-dp-snapped exposed fraction.
+    *
+    * Scale shape: one agg per ladder level computing (rows,
+    * distinct-sensitive) per class — countDistinct expands to the
+    * standard two-stage partial plan, both map-side-combinable; the
+    * l-grid explodes the already-collapsed class table; 6 output rows. */
+  def q453LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Kpis.table(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    def classes(level: Int, qi: Seq[Column]): DataFrame =
+      cust.groupBy(qi: _*)
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("bal_band")).as("ndist"))
+        .select(lit(level).as("level"), col("cnt"), col("ndist"))
+    val cls = classes(1, Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionAll(classes(2, Seq(col("c_mktsegment"))))
+    cls.select(col("level"), col("cnt"), col("ndist"),
+        explode(typedLit(Ls)).as("l"))
+      .groupBy(col("level"), col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("ndist") < col("l"), 1L).otherwise(0L))
+          .as("failing_classes"),
+        min(col("ndist")).as("min_diversity"),
+        max(col("ndist")).as("max_diversity"),
+        sum(when(col("ndist") < col("l"), col("cnt")).otherwise(0L))
+          .as("exposed_rows"),
+        sum(col("cnt")).as("total_rows"))
+      .select(col("level"), col("l"), col("n_classes"),
+        col("failing_classes"), col("min_diversity"),
+        col("max_diversity"), col("exposed_rows"),
+        (round(col("exposed_rows").cast("double") /
+          col("total_rows").cast("double"), 6) + lit(0.0))
+          .as("exposed_frac"))
+      .orderBy("level", "l")
+  }
+
+  val q453Sql: String =
+    s"""WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      |  FROM customer),
+      |cls AS (
+      |  SELECT 1 AS level, COUNT(*) AS cnt,
+      |    COUNT(DISTINCT bal_band) AS ndist
+      |  FROM c GROUP BY c_nationkey, c_mktsegment
+      |  UNION ALL
+      |  SELECT 2 AS level, COUNT(*) AS cnt,
+      |    COUNT(DISTINCT bal_band) AS ndist
+      |  FROM c GROUP BY c_mktsegment),
+      |grid AS (SELECT level, cnt, ndist, unnest([${Ls.mkString(", ")}]) AS l
+      |  FROM cls)
+      |SELECT level, l,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS failing_classes,
+      |  CAST(MIN(ndist) AS BIGINT) AS min_diversity,
+      |  CAST(MAX(ndist) AS BIGINT) AS max_diversity,
+      |  CAST(SUM(CASE WHEN ndist < l THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS exposed_rows,
+      |  round(CAST(SUM(CASE WHEN ndist < l THEN cnt ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(cnt) AS DOUBLE), 6) + 0.0 AS exposed_frac
+      |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q448_k_anonymity" -> (q448KAnonymity _))
+    "q448_k_anonymity" -> (q448KAnonymity _),
+    "q453_l_diversity" -> (q453LDiversity _))
 
   def oracles: Map[String, String] = Map(
-    "q448_k_anonymity" -> q448Sql)
+    "q448_k_anonymity" -> q448Sql,
+    "q453_l_diversity" -> q453Sql)
 }

@@ -1096,6 +1096,117 @@ object RetrievalQueries {
       |ORDER BY probe_level, g.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q452
+  /** RAG-index decontamination — eval leakage at the INDEX level: a
+    * served retrieval index must not contain chunks of the evaluation
+    * set, including near-copies the document-level exact dedup misses.
+    * The benchmark is a deterministic bounded eval slice (docs ≡ 5
+    * mod 23, CertSlice-bounded); the corpus to index is everything else
+    * PLUS planted leaks — every second benchmark doc re-crawled at +4e12
+    * with a 3-token tail appended (the canonical near-copy). Both sides
+    * are cut with the CONTENT-DEFINED chunker (BoilerStore's — ONE
+    * spelling), which is the point: the tail edit shifts no interior
+    * breakpoint, so the leak still shares every internal chunk with its
+    * benchmark original and is caught, while a fixed-stride cut would
+    * only match by luck of alignment (q444's measured miss mode). Output
+    * is the per-document contamination manifest of the index: every
+    * corpus doc sharing ≥ 1 eligible chunk fingerprint with the
+    * benchmark, with chunk/token counts and the removable fraction —
+    * what an index build actually drops.
+    *
+    * Exactness: integer counts + md5 fps; CDC chunks are disjoint so
+    * contaminated-token mass is a plain sum; the fraction is 6-dp-snapped.
+    *
+    * Scale shape: the benchmark side is bounded (CertSlice) and its fp
+    * set broadcasts; the corpus pays one per-row chunking pass (zero
+    * shuffle) plus the fp semi-join and a per-doc rollup — linear in the
+    * corpus, constant in it for the benchmark. */
+  def q452IndexDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.BoilerStore
+    val d = Kpis.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+    val isBench = (col("doc_id") % 23 === 5) &&
+      (col("doc_id") < QuerySliceMax)
+    val bench = d.filter(isBench)
+    val corpus = d.filter(!isBench)
+      .unionAll(bench.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + lit(4000000000000L)).as("doc_id"),
+          concat(col("text"), lit(" zz leak tail")).as("text")))
+    def eligChunks(docs: DataFrame): DataFrame =
+      store.cdcChunks(docs
+          .select(col("doc_id"), tokens(lower(col("text"))).as("toks")))
+        .filter(col("cl") >= store.CdcMinLen)
+    val bfps = eligChunks(bench).select(col("fp")).distinct()
+    val cch = store.cdcChunks(corpus
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks")))
+    val flagged = cch
+      .join(broadcast(bfps.withColumn("contam", lit(1))),
+        cch("fp") === bfps("fp") && cch("cl") >= store.CdcMinLen, "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("contam").cast("long"), lit(0L)))
+          .as("n_contam_chunks"),
+        sum(when(col("contam").isNotNull, col("cl").cast("long"))
+          .otherwise(0L)).as("contam_tokens"),
+        sum(col("cl").cast("long")).as("doc_tokens"))
+      .filter(col("n_contam_chunks") > 0)
+    flagged.select(col("doc_id"),
+        (col("doc_id") >= 4000000000000L).as("planted_leak"),
+        col("n_chunks"), col("n_contam_chunks"), col("contam_tokens"),
+        col("doc_tokens"),
+        (round(col("contam_tokens").cast("double") /
+          col("doc_tokens").cast("double"), 6) + lit(0.0))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q452Sql: String = {
+    val store = graft.operators.BoilerStore
+    s"""WITH d0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(trim(text)) > 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM d0
+      |  WHERE NOT (doc_id % 23 = 5 AND doc_id < $QuerySliceMax)
+      |  UNION ALL
+      |  SELECT doc_id + 4000000000000 AS doc_id,
+      |    text || ' zz leak tail' AS text
+      |  FROM d0 WHERE doc_id % 23 = 5 AND doc_id < $QuerySliceMax
+      |    AND doc_id % 2 = 1),
+      |bench AS (
+      |  SELECT doc_id, text FROM d0
+      |  WHERE doc_id % 23 = 5 AND doc_id < $QuerySliceMax),
+      |db AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM bench),
+      |${store.cdcChunkSql("db", "b")},
+      |bfps AS (
+      |  SELECT DISTINCT fp FROM cchb WHERE cl >= ${store.CdcMinLen}),
+      |dc AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM corpus),
+      |${store.cdcChunkSql("dc", "")},
+      |fl AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_contam_chunks,
+      |    CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN c.cl ELSE 0 END)
+      |      AS BIGINT) AS contam_tokens,
+      |    CAST(SUM(c.cl) AS BIGINT) AS doc_tokens
+      |  FROM cch c LEFT JOIN bfps b
+      |    ON b.fp = c.fp AND c.cl >= ${store.CdcMinLen}
+      |  GROUP BY 1 HAVING SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) > 0)
+      |SELECT doc_id, doc_id >= 4000000000000 AS planted_leak,
+      |  CAST(n_chunks AS BIGINT) AS n_chunks, n_contam_chunks,
+      |  contam_tokens, doc_tokens,
+      |  round(CAST(contam_tokens AS DOUBLE)
+      |    / CAST(doc_tokens AS DOUBLE), 6) + 0.0 AS contam_frac
+      |FROM fl ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
@@ -1105,7 +1216,8 @@ object RetrievalQueries {
     "q445_index_bucket_skew" -> (q445IndexBucketSkew _),
     "q446_cdc_boilerplate" -> (q446CdcBoilerplate _),
     "q447_banded_retrieval" -> (q447BandedRetrieval _),
-    "q451_multiprobe_retrieval" -> (q451MultiprobeRetrieval _))
+    "q451_multiprobe_retrieval" -> (q451MultiprobeRetrieval _),
+    "q452_index_decontam" -> (q452IndexDecontam _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
@@ -1115,5 +1227,6 @@ object RetrievalQueries {
     "q445_index_bucket_skew" -> q445Sql,
     "q446_cdc_boilerplate" -> q446Sql,
     "q447_banded_retrieval" -> q447Sql,
-    "q451_multiprobe_retrieval" -> q451Sql)
+    "q451_multiprobe_retrieval" -> q451Sql,
+    "q452_index_decontam" -> q452Sql)
 }

@@ -56,6 +56,35 @@ class GovernanceSpec extends AnyFunSuite {
         got((1, k))._5 >= got((2, k))._5, s"level-monotone at k=$k")
   }
 
+  test("q453 equals the diversity replay and exposure is monotone in l") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val levels: Seq[Seq[(Int, Int)]] = Seq(
+      cust.groupBy(c => (c._1, c._2)).values
+        .map(v => (v.length, v.map(_._3).distinct.length)).toSeq,
+      cust.groupBy(_._2).values
+        .map(v => (v.length, v.map(_._3).distinct.length)).toSeq)
+    val got = SparkEntry.queries("q453_l_diversity")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.size == 6)
+    for (level <- 1 to 2; l <- Seq(2, 3, 5)) {
+      val cls = levels(level - 1)
+      val (nc, fc, mn, mx, exp) = got((level, l))
+      assert(nc == cls.length.toLong)
+      assert(fc == cls.count(_._2 < l).toLong, s"failing ($level, $l)")
+      assert(mn == cls.map(_._2).min.toLong && mx == cls.map(_._2).max.toLong)
+      assert(exp == cls.filter(_._2 < l).map(_._1.toLong).sum,
+        s"exposed rows ($level, $l)")
+    }
+    for (level <- 1 to 2)
+      assert(got((level, 2))._5 <= got((level, 3))._5 &&
+        got((level, 3))._5 <= got((level, 5))._5, s"l-monotone at $level")
+  }
+
   test("q449 equals the vote replay, and reweighting dominates the majority") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang").collect()
