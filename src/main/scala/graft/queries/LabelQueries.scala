@@ -47,7 +47,9 @@ object LabelQueries {
     * 5-row census broadcast back onto the votes; every agg is
     * map-side-combinable. Two passes over the votes by design (weights
     * need the majority) — the classic two-pass EM step. */
-  def q449LabelAggregation(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthesized vote table (doc_id, lang, m, vote) — ONE spelling,
+    * shared by q449/q454/q455. */
+  private def votesFrame(spark: SparkSession, dir: String): DataFrame = {
     val docs = Kpis.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
     val langs = docs.select(col("lang")).distinct()
@@ -58,7 +60,7 @@ object LabelQueries {
       .join(langs.select(col("lang").as("ol")), col("ol") =!= col("tl"))
       .withColumn("k", row_number().over(
         Window.partitionBy(col("tl")).orderBy(col("ol"))) - 1)
-    val votes = docs
+    docs
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(0), lit(NAnn - 1))).as("m"))
       .withColumn("h_err", md5Hash60(
@@ -72,6 +74,33 @@ object LabelQueries {
         col("tl") === col("lang") && col("k") === col("kp"))
       .select(col("doc_id"), col("lang"), col("m"),
         when(col("errs"), col("ol")).otherwise(col("lang")).as("vote"))
+  }
+
+  /** SQL twin of [[votesFrame]]: CTEs ending in `votes`
+    * (doc_id, lang, m, vote). */
+  private val votesSqlCte: String =
+    s"""docs AS (SELECT doc_id, lang FROM documents),
+      |langs AS (SELECT DISTINCT lang FROM docs),
+      |no AS (SELECT COUNT(*) - 1 AS n_other FROM langs),
+      |wrongs AS (
+      |  SELECT t.lang AS tl, o.lang AS ol,
+      |    row_number() OVER (PARTITION BY t.lang ORDER BY o.lang) - 1 AS k
+      |  FROM langs t JOIN langs o ON o.lang != t.lang),
+      |votes AS (
+      |  SELECT d.doc_id, d.lang, m.m,
+      |    CASE WHEN ${md5Hash60Sql("'ann ' || m.m || ':' || d.doc_id")}
+      |        % 20 < (m.m + 1) * 2
+      |      THEN w.ol ELSE d.lang END AS vote
+      |  FROM docs d
+      |  CROSS JOIN (SELECT unnest(range(0, $NAnn)) AS m) m
+      |  CROSS JOIN no
+      |  JOIN wrongs w ON w.tl = d.lang AND w.k =
+      |    ${md5Hash60Sql("'pick ' || m.m || ':' || d.doc_id")} % no.n_other)""".stripMargin
+
+  def q449LabelAggregation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val votes = votesFrame(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wMaj = Window.partitionBy(col("doc_id"))
       .orderBy(col("n").desc, col("vote"))
@@ -104,23 +133,7 @@ object LabelQueries {
   }
 
   val q449Sql: String =
-    s"""WITH docs AS (SELECT doc_id, lang FROM documents),
-      |langs AS (SELECT DISTINCT lang FROM docs),
-      |no AS (SELECT COUNT(*) - 1 AS n_other FROM langs),
-      |wrongs AS (
-      |  SELECT t.lang AS tl, o.lang AS ol,
-      |    row_number() OVER (PARTITION BY t.lang ORDER BY o.lang) - 1 AS k
-      |  FROM langs t JOIN langs o ON o.lang != t.lang),
-      |votes AS (
-      |  SELECT d.doc_id, d.lang, m.m,
-      |    CASE WHEN ${md5Hash60Sql("'ann ' || m.m || ':' || d.doc_id")}
-      |        % 20 < (m.m + 1) * 2
-      |      THEN w.ol ELSE d.lang END AS vote
-      |  FROM docs d
-      |  CROSS JOIN (SELECT unnest(range(0, $NAnn)) AS m) m
-      |  CROSS JOIN no
-      |  JOIN wrongs w ON w.tl = d.lang AND w.k =
-      |    ${md5Hash60Sql("'pick ' || m.m || ':' || d.doc_id")} % no.n_other),
+    s"""WITH $votesSqlCte,
       |mc AS (
       |  SELECT doc_id, vote, COUNT(*) AS n FROM votes GROUP BY 1, 2),
       |majority AS (
@@ -146,10 +159,123 @@ object LabelQueries {
       |JOIN weighted t USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q454
+  /** Per-annotator confusion matrix — the Dawid-Skene sufficient
+    * statistic and the audit an annotation platform actually publishes:
+    * for every (annotator, true label, voted label) cell, the vote count
+    * plus the annotator's row total (so cells read as exact rational
+    * rates). The planted design is visible in the output: diagonal mass
+    * decays with the annotator index (error rates 0.1 … 0.5) and
+    * off-diagonal mass spreads over the 4 wrong labels by the
+    * deterministic pick hash.
+    *
+    * Exactness: all-integer counts; labels are strings.
+    *
+    * Scale shape: one map-side-combinable agg over the vote explode
+    * (≤ |annotators| × |langs|² cells) plus an annotator-total census
+    * joined back — both collapsed frames. */
+  def q454AnnotatorConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val votes = votesFrame(spark, dir)
+    val cells = votes.groupBy(col("m"), col("lang").as("true_lang"),
+        col("vote").as("vote_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = votes.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_votes"))
+    cells.join(broadcast(totals), "m")
+      .select(col("m").as("annotator"), col("true_lang"), col("vote_lang"),
+        col("n"), col("n_votes"),
+        (col("true_lang") === col("vote_lang")).as("diagonal"))
+      .orderBy("annotator", "true_lang", "vote_lang")
+  }
+
+  val q454Sql: String =
+    s"""WITH $votesSqlCte,
+      |cells AS (
+      |  SELECT m, lang AS true_lang, vote AS vote_lang, COUNT(*) AS n
+      |  FROM votes GROUP BY 1, 2, 3),
+      |totals AS (SELECT m, COUNT(*) AS n_votes FROM votes GROUP BY 1)
+      |SELECT CAST(c.m AS INTEGER) AS annotator, c.true_lang, c.vote_lang,
+      |  CAST(c.n AS BIGINT) AS n, CAST(t.n_votes AS BIGINT) AS n_votes,
+      |  c.true_lang = c.vote_lang AS diagonal
+      |FROM cells c JOIN totals t USING (m)
+      |ORDER BY annotator, true_lang, vote_lang""".stripMargin
+
+  // ---------------------------------------------------------------- q455
+  /** Fleiss' kappa for the annotator panel (Fleiss 1971, public) — the
+    * chance-corrected agreement number a labeling pipeline gates on
+    * before trusting aggregated labels. One output row: observed
+    * agreement P_o = Σ_d Σ_j n_dj(n_dj − 1) / (N·n·(n−1)), expected
+    * agreement P_e = Σ_j (c_j / (N·n))², κ = (P_o − P_e)/(1 − P_e).
+    *
+    * Exactness: ALL aggregation happens in integers (agree-pair mass,
+    * squared category totals) — the handful of FP ops run once on exact
+    * integer inputs far below 2⁵³, spelled identically on both engines →
+    * bit-identical doubles with no FP-order exposure anywhere.
+    *
+    * Scale shape: one per-(doc, vote) count (map-side-combinable), one
+    * 1-row pair-mass census, one |langs|-row category census — the two
+    * 1-row frames meet by cross-broadcast (the adjudicated 1-row-totals
+    * pattern). */
+  def q455FleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val votes = votesFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perCell = votes.groupBy(col("doc_id"), col("vote"))
+      .agg(count(lit(1)).as("c"))
+    val agree = perCell.agg(
+      sum(col("c") * (col("c") - 1)).as("agree_pairs"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val cats = votes.groupBy(col("vote")).agg(count(lit(1)).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("sum_cat_sq"),
+        sum(col("cj")).as("n_votes"))
+    val out = graft.plans.Eager.ckpt(agree.crossJoin(broadcast(cats))
+      .select(col("n_docs"), lit(NAnn).as("n_raters"),
+        col("agree_pairs"), col("sum_cat_sq"),
+        (col("agree_pairs").cast("double") /
+          (col("n_docs") * NAnn * (NAnn - 1)).cast("double")).as("p_o"),
+        (col("sum_cat_sq").cast("double") /
+          (col("n_votes") * col("n_votes")).cast("double")).as("p_e"))
+      .select(col("n_docs"), col("n_raters"), col("agree_pairs"),
+        col("sum_cat_sq"), col("p_o"), col("p_e"),
+        ((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa")))
+    votes.unpersist()
+    out
+  }
+
+  val q455Sql: String =
+    s"""WITH $votesSqlCte,
+      |pc AS (
+      |  SELECT doc_id, vote, COUNT(*) AS c FROM votes GROUP BY 1, 2),
+      |agree AS (
+      |  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS agree_pairs,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM pc),
+      |cj AS (SELECT vote, COUNT(*) AS n FROM votes GROUP BY 1),
+      |cats AS (
+      |  SELECT CAST(SUM(n * n) AS BIGINT) AS sum_cat_sq,
+      |    CAST(SUM(n) AS BIGINT) AS n_votes
+      |  FROM cj),
+      |j AS (SELECT * FROM agree CROSS JOIN cats),
+      |pp AS (
+      |  SELECT n_docs, CAST($NAnn AS INTEGER) AS n_raters, agree_pairs,
+      |    sum_cat_sq,
+      |    CAST(agree_pairs AS DOUBLE)
+      |      / CAST(n_docs * $NAnn * ${NAnn - 1} AS DOUBLE) AS p_o,
+      |    CAST(sum_cat_sq AS DOUBLE)
+      |      / CAST(n_votes * n_votes AS DOUBLE) AS p_e
+      |  FROM j)
+      |SELECT n_docs, n_raters, agree_pairs, sum_cat_sq, p_o, p_e,
+      |  (p_o - p_e) / (1.0 - p_e) AS kappa
+      |FROM pp""".stripMargin
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q449_label_aggregation" -> (q449LabelAggregation _))
+    "q449_label_aggregation" -> (q449LabelAggregation _),
+    "q454_annotator_confusion" -> (q454AnnotatorConfusion _),
+    "q455_fleiss_kappa" -> (q455FleissKappa _))
 
   def oracles: Map[String, String] = Map(
-    "q449_label_aggregation" -> q449Sql)
+    "q449_label_aggregation" -> q449Sql,
+    "q454_annotator_confusion" -> q454Sql,
+    "q455_fleiss_kappa" -> q455Sql)
 }
