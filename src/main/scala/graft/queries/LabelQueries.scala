@@ -268,14 +268,145 @@ object LabelQueries {
       |  (p_o - p_e) / (1.0 - p_e) AS kappa
       |FROM pp""".stripMargin
 
+  // ---------------------------------------------------------------- q456
+  /** One honest Dawid-Skene E-step (Dawid & Skene 1979, public) — the
+    * upgrade q449's scalar weights cannot express: an annotator may be
+    * reliable on SOME labels and systematically confused on others, so
+    * the per-doc posterior uses each annotator's full confusion matrix.
+    * Truth is never consulted: confusion cells are counted against the
+    * MAJORITY initialization (the classic bootstrap), Laplace-smoothed
+    * (+1 / +|langs|) so unseen cells stay positive, and each document's
+    * label is the argmax over candidate labels t of the likelihood
+    * Π_m P(vote_m | t, m). Output per doc: both aggregate labels and
+    * their correctness flags — the spec pins the planted dominance
+    * (confusion-aware ≥ majority accuracy).
+    *
+    * Exactness: the five likelihood factors are exact-double ratios of
+    * integers (smoothed cell / smoothed row total), multiplied in a
+    * FIXED left-associated annotator order (m = 0…4, pivoted to
+    * columns) — bit-identical doubles on both engines; the argmax
+    * tie-breaks on the lexicographically smallest label.
+    *
+    * Scale shape: votes explode ×|langs| candidate labels (a constant
+    * 25 rows per doc), the confusion table is a
+    * ≤ |annotators|·|langs|² census broadcast, the pivot is a per-doc
+    * 5-to-1 agg, and the argmax window partitions per document. */
+  def q456DawidSkene(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Kpis.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val nLangs = docs.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("nl"))
+    val votes = votesFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wMaj = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n").desc, col("vote"))
+    val majority = votes.groupBy(col("doc_id"), col("vote"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wMaj)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("vote").as("mt"),
+        col("n").as("majority_votes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = votes.join(majority.select(col("doc_id"), col("mt")),
+        "doc_id")
+      .groupBy(col("m"), col("mt"), col("vote"))
+      .agg(count(lit(1)).as("cn"))
+    val rowTot = cells.groupBy(col("m"), col("mt"))
+      .agg(sum(col("cn")).as("rt"))
+    val cellsR = cells.select(col("m").as("cm"), col("mt").as("cmt"),
+      col("vote").as("cv"), col("cn"))
+    val rowTotR = rowTot.select(col("m").as("rm"), col("mt").as("rmt"),
+      col("rt"))
+    // candidate-label grid: every (doc, vote_m) against every label t
+    val tGrid = votes.select(col("doc_id"), col("m"), col("vote"))
+      .crossJoin(broadcast(docs.select(col("lang").as("t")).distinct()))
+    val rated = tGrid
+      .join(broadcast(cellsR), col("cm") === col("m") &&
+        col("cmt") === col("t") && col("cv") === col("vote"), "left")
+      .join(broadcast(rowTotR), col("rm") === col("m") &&
+        col("rmt") === col("t"), "left")
+      .crossJoin(broadcast(nLangs))
+      .select(col("doc_id"), col("m"), col("t"),
+        ((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("rt"), lit(0L)) + col("nl")).cast("double"))
+          .as("r"))
+    val pivoted = rated.groupBy(col("doc_id"), col("t"))
+      .agg(max(when(col("m") === 0, col("r"))).as("r0"),
+        max(when(col("m") === 1, col("r"))).as("r1"),
+        max(when(col("m") === 2, col("r"))).as("r2"),
+        max(when(col("m") === 3, col("r"))).as("r3"),
+        max(when(col("m") === 4, col("r"))).as("r4"))
+      .withColumn("score", col("r0") * col("r1") * col("r2") *
+        col("r3") * col("r4"))
+    val wT = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    val ds = pivoted.withColumn("rn", row_number().over(wT))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("t").as("ds_label"), col("score"))
+    val out = graft.plans.Eager.ckpt(docs
+      .join(majority, "doc_id").join(ds, "doc_id")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("mt").as("majority_label"),
+        (col("mt") === col("lang")).as("majority_correct"),
+        col("ds_label"), col("score").as("ds_score"),
+        (col("ds_label") === col("lang")).as("ds_correct"))
+      .orderBy("doc_id"))
+    votes.unpersist(); majority.unpersist()
+    out
+  }
+
+  val q456Sql: String =
+    s"""WITH $votesSqlCte,
+      |nl AS (SELECT COUNT(*) AS nl FROM langs),
+      |mc AS (
+      |  SELECT doc_id, vote, COUNT(*) AS n FROM votes GROUP BY 1, 2),
+      |majority AS (
+      |  SELECT doc_id, vote AS mt, n AS majority_votes
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY n DESC, vote) AS rn FROM mc) WHERE rn = 1),
+      |cells AS (
+      |  SELECT v.m, j.mt, v.vote, COUNT(*) AS cn
+      |  FROM votes v JOIN majority j USING (doc_id) GROUP BY 1, 2, 3),
+      |rt AS (SELECT m, mt, SUM(cn) AS rt FROM cells GROUP BY 1, 2),
+      |tg AS (
+      |  SELECT v.doc_id, v.m, v.vote, t.lang AS t
+      |  FROM votes v CROSS JOIN langs t),
+      |rated AS (
+      |  SELECT g.doc_id, g.m, g.t,
+      |    CAST(COALESCE(c.cn, 0) + 1 AS DOUBLE)
+      |      / CAST(COALESCE(r.rt, 0) + nl.nl AS DOUBLE) AS rr
+      |  FROM tg g
+      |  LEFT JOIN cells c ON c.m = g.m AND c.mt = g.t AND c.vote = g.vote
+      |  LEFT JOIN rt r ON r.m = g.m AND r.mt = g.t
+      |  CROSS JOIN nl),
+      |pv AS (
+      |  SELECT doc_id, t,
+      |    MAX(CASE WHEN m = 0 THEN rr END) AS r0,
+      |    MAX(CASE WHEN m = 1 THEN rr END) AS r1,
+      |    MAX(CASE WHEN m = 2 THEN rr END) AS r2,
+      |    MAX(CASE WHEN m = 3 THEN rr END) AS r3,
+      |    MAX(CASE WHEN m = 4 THEN rr END) AS r4
+      |  FROM rated GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, t, r0 * r1 * r2 * r3 * r4 AS score FROM pv),
+      |ds AS (
+      |  SELECT doc_id, t AS ds_label, score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, t) AS rn FROM sc) WHERE rn = 1)
+      |SELECT d.doc_id, d.lang AS true_lang, j.mt AS majority_label,
+      |  j.mt = d.lang AS majority_correct,
+      |  s.ds_label, s.score AS ds_score, s.ds_label = d.lang AS ds_correct
+      |FROM docs d JOIN majority j USING (doc_id) JOIN ds s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q449_label_aggregation" -> (q449LabelAggregation _),
     "q454_annotator_confusion" -> (q454AnnotatorConfusion _),
-    "q455_fleiss_kappa" -> (q455FleissKappa _))
+    "q455_fleiss_kappa" -> (q455FleissKappa _),
+    "q456_dawid_skene" -> (q456DawidSkene _))
 
   def oracles: Map[String, String] = Map(
     "q449_label_aggregation" -> q449Sql,
     "q454_annotator_confusion" -> q454Sql,
-    "q455_fleiss_kappa" -> q455Sql)
+    "q455_fleiss_kappa" -> q455Sql,
+    "q456_dawid_skene" -> q456Sql)
 }

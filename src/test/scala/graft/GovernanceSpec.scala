@@ -135,6 +135,55 @@ class GovernanceSpec extends AnyFunSuite {
       "the 10%-error annotator must out-weigh the 50%-error one")
   }
 
+  test("q456 equals the Dawid-Skene E-step replay and never loses to the majority") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val langs = docs.map(_._2).distinct.sorted
+    def vote(m: Int, id: Long, lang: String): String = {
+      val errs = h60(s"ann $m:$id") % 20 < 2 * (m + 1)
+      if (!errs) lang
+      else {
+        val others = langs.filter(_ != lang)
+        others((h60(s"pick $m:$id") % others.length).toInt)
+      }
+    }
+    val votes = docs.flatMap { case (id, lang) =>
+      (0 until 5).map(m => (id, m, vote(m, id, lang))) }
+    val majority = votes.groupBy(_._1).map { case (id, vs) =>
+      id -> vs.groupBy(_._3).map { case (l, g) => l -> g.length }
+        .toSeq.maxBy { case (l, n) => (n, ReverseLex(l)) }._1
+    }
+    val cells = votes.groupBy(v => (v._2, majority(v._1), v._3))
+      .map { case (k, g) => k -> g.length.toLong }
+    val rowTot = cells.groupBy { case ((m, mt, _), _) => (m, mt) }
+      .map { case (k, g) => k -> g.values.sum }
+    val expected = votes.groupBy(_._1).map { case (id, vs) =>
+      val scored = langs.map { t =>
+        val rs = vs.sortBy(_._2).map { case (_, m, v) =>
+          (cells.getOrElse((m, t, v), 0L) + 1L).toDouble /
+            (rowTot.getOrElse((m, t), 0L) + langs.length).toDouble
+        }
+        // the FIXED left-associated annotator-order product
+        (t, rs.foldLeft(1.0)(_ * _))
+      }
+      id -> scored.maxBy { case (t, s) => (s, ReverseLex(t)) }._1
+    }
+    val got = SparkEntry.queries("q456_dawid_skene")(spark, sfDir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) == majority(id), s"majority $id")
+      assert(r.getString(4) == expected(id), s"DS label $id")
+      assert(r.getBoolean(3) == (majority(id) == r.getString(1)))
+      assert(r.getBoolean(6) == (expected(id) == r.getString(1)))
+    }
+    val mAcc = got.count(_.getBoolean(3))
+    val dAcc = got.count(_.getBoolean(6))
+    assert(dAcc >= mAcc,
+      s"confusion-aware labels must not lose to majority ($mAcc -> $dAcc)")
+  }
+
   /** Lexicographically-smallest tie-break under maxBy: order strings by
     * REVERSED comparison so the max picks the smallest label. */
   private case class ReverseLex(s: String) extends Ordered[ReverseLex] {
