@@ -1207,6 +1207,176 @@ object RetrievalQueries {
       |FROM fl ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q457
+  /** Retrieval under INDEX DUPLICATION — why the dedup layer matters to
+    * the serving layer: on the near-dup-injected corpus (q22/q45's
+    * fixture: every 10th doc cloned with a 3-token tail), a clone shares
+    * its PREFIX chunks verbatim with its original, so the raw top-3 for
+    * a query quoting such a doc fills multiple slots with the same
+    * passage text. The collapsed variant retrieves over one
+    * representative per chunk fingerprint (smallest (doc, chunk) —
+    * identical fps score identically, so collapse loses nothing) and
+    * frees the crowded slots for NEW passages. Per query: both rank-1
+    * results, the raw top-3's DISTINCT-fp count (< 3 = measured
+    * crowding), and how many fingerprints the collapsed top-3 surfaces
+    * that the raw top-3 could not.
+    *
+    * Exactness: one scoring pass serves both variants (integer dots, the
+    * one-FP-cosine convention); collapse picks min (doc, chunk) per
+    * (query, fp); both rankings tie-break on (doc, chunk); the counts
+    * are set cardinalities over md5 fps.
+    *
+    * Scale shape: q442's bounded-broadcast certificate shape (queries =
+    * the cloned originals, CertSlice-bounded) plus one per-(query, fp)
+    * collapse agg — skinny id rows throughout; at production scale both
+    * variants ride the banded index (q447) with collapse as a store-side
+    * dedup at INDEX BUILD time, which is exactly what q444/q446/q450
+    * feed. */
+  def q457DedupRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = DocQueries.corpusWithNearDups(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val ch = chunked(corpus)
+      .withColumn("vec", chunkVec(col("ctoks")))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(concat_ws(" ", col("ctoks"))).as("fp"), col("vec"),
+        vecN2(col("vec")).as("n2"))
+      .filter(col("n2") > 0)
+    val qs = corpus.filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") < 100000L && size(col("toks")) >= 28)
+      .select(col("doc_id").as("query_id"),
+        slice(col("toks"), 4, 16).as("qtoks"))
+      .withColumn("qvec", chunkVec(col("qtoks")))
+      .select(col("query_id"), col("qvec"), vecN2(col("qvec")).as("qn2"))
+      .filter(col("qn2") > 0)
+    val scored = ch.crossJoin(broadcast(qs))
+      .withColumn("dot", aggregate(
+        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn2") * col("n2")).cast("double")))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("fp"),
+        col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+    val raw = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val collapsed0 = scored
+      .groupBy(col("query_id"), col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("rep"),
+        max(col("cos")).as("cos"))
+      .select(col("query_id"), col("rep.doc_id").as("doc_id"),
+        col("rep.chunk_id").as("chunk_id"), col("fp"), col("cos"))
+    val coll = collapsed0.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val rawAgg = raw.groupBy(col("query_id"))
+      .agg(min(when(col("rank") === 1,
+          struct(col("doc_id"), col("chunk_id")))).as("r1"),
+        countDistinct(col("fp")).as("raw_distinct_fps"),
+        collect_set(col("fp")).as("raw_fps"))
+    val collAgg = coll.groupBy(col("query_id"))
+      .agg(min(when(col("rank") === 1,
+          struct(col("doc_id"), col("chunk_id")))).as("c1"),
+        collect_set(col("fp")).as("coll_fps"))
+    val out = graft.plans.Eager.ckpt(rawAgg.join(collAgg, "query_id")
+      .select(col("query_id"),
+        col("r1.doc_id").as("raw_r1_doc"),
+        col("r1.chunk_id").as("raw_r1_chunk"),
+        col("raw_distinct_fps"),
+        col("c1.doc_id").as("coll_r1_doc"),
+        col("c1.chunk_id").as("coll_r1_chunk"),
+        size(array_except(col("coll_fps"), col("raw_fps")))
+          .as("new_fps_vs_raw"))
+      .orderBy("query_id"))
+    scored.unpersist()
+    out
+  }
+
+  val q457Sql: String =
+    s"""WITH nd AS (${DocQueries.corpusNearDupSql}),
+      |d AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      |  FROM nd WHERE length(trim(text)) > 0),
+      |${chunkSql("d", "")},
+      |${wtSql("")},
+      |cfp AS (
+      |  SELECT doc_id, chunk_id, md5(array_to_string(ctoks, ' ')) AS fp
+      |  FROM ck),
+      |cst AS (
+      |  SELECT doc_id, chunk_id, CAST(SUM(w * w) AS BIGINT) AS n2
+      |  FROM wt GROUP BY 1, 2 HAVING SUM(w * w) > 0),
+      |qd AS (
+      |  SELECT doc_id AS query_id, toks[4 : 19] AS qtoks
+      |  FROM d WHERE doc_id % 10 = 0 AND doc_id < 100000
+      |    AND len(toks) >= 28),
+      |qtk AS (SELECT query_id, unnest(qtoks) AS t FROM qd),
+      |qh AS (SELECT query_id, ${md5Hash60Sql("t")} AS h FROM qtk),
+      |qwt AS (
+      |  SELECT query_id, CAST(h % $D AS INTEGER) AS dim,
+      |    CAST(SUM(CASE WHEN ((h >> 5) & 1) = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS w
+      |  FROM qh GROUP BY 1, 2),
+      |qst AS (
+      |  SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS qn2
+      |  FROM qwt GROUP BY 1 HAVING SUM(w * w) > 0),
+      |dots AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      |  FROM qwt q JOIN wt c USING (dim) GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT q.query_id, c.doc_id, c.chunk_id, f.fp,
+      |    CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(q.qn2 * c.n2 AS DOUBLE)) AS cos
+      |  FROM qst q CROSS JOIN cst c
+      |  JOIN cfp f ON f.doc_id = c.doc_id AND f.chunk_id = c.chunk_id
+      |  LEFT JOIN dots dt ON dt.query_id = q.query_id
+      |    AND dt.doc_id = c.doc_id AND dt.chunk_id = c.chunk_id),
+      |raw3 AS (
+      |  SELECT query_id, doc_id, chunk_id, fp,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM scored QUALIFY rank <= 3),
+      |coll0 AS (
+      |  SELECT query_id, doc_id, chunk_id, fp, cos,
+      |    row_number() OVER (PARTITION BY query_id, fp
+      |      ORDER BY doc_id, chunk_id) AS rn
+      |  FROM scored),
+      |coll1 AS (
+      |  SELECT query_id, doc_id, chunk_id, fp, cos
+      |  FROM coll0 WHERE rn = 1),
+      |coll3 AS (
+      |  SELECT query_id, doc_id, chunk_id, fp,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, doc_id, chunk_id) AS rank
+      |  FROM coll1 QUALIFY rank <= 3),
+      |ra AS (
+      |  SELECT query_id,
+      |    MIN(CASE WHEN rank = 1 THEN doc_id END) AS raw_r1_doc,
+      |    MIN(CASE WHEN rank = 1 THEN chunk_id END) AS raw_r1_chunk,
+      |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS raw_distinct_fps
+      |  FROM raw3 GROUP BY 1),
+      |ca AS (
+      |  SELECT query_id,
+      |    MIN(CASE WHEN rank = 1 THEN doc_id END) AS coll_r1_doc,
+      |    MIN(CASE WHEN rank = 1 THEN chunk_id END) AS coll_r1_chunk
+      |  FROM coll3 GROUP BY 1),
+      |nf AS (
+      |  SELECT c.query_id, CAST(COUNT(*) AS INTEGER) AS new_fps_vs_raw
+      |  FROM (SELECT DISTINCT query_id, fp FROM coll3) c
+      |  LEFT JOIN (SELECT DISTINCT query_id, fp FROM raw3) r
+      |    ON r.query_id = c.query_id AND r.fp = c.fp
+      |  WHERE r.fp IS NULL GROUP BY 1)
+      |SELECT ra.query_id, ra.raw_r1_doc,
+      |  CAST(ra.raw_r1_chunk AS INTEGER) AS raw_r1_chunk,
+      |  ra.raw_distinct_fps, ca.coll_r1_doc,
+      |  CAST(ca.coll_r1_chunk AS INTEGER) AS coll_r1_chunk,
+      |  COALESCE(nf.new_fps_vs_raw, 0) AS new_fps_vs_raw
+      |FROM ra JOIN ca USING (query_id)
+      |LEFT JOIN nf USING (query_id)
+      |ORDER BY ra.query_id""".stripMargin
+
   // -------------------------------------------------------------- maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q441_chunk_index" -> (q441ChunkIndex _),
@@ -1217,7 +1387,8 @@ object RetrievalQueries {
     "q446_cdc_boilerplate" -> (q446CdcBoilerplate _),
     "q447_banded_retrieval" -> (q447BandedRetrieval _),
     "q451_multiprobe_retrieval" -> (q451MultiprobeRetrieval _),
-    "q452_index_decontam" -> (q452IndexDecontam _))
+    "q452_index_decontam" -> (q452IndexDecontam _),
+    "q457_dedup_retrieval" -> (q457DedupRetrieval _))
 
   def oracles: Map[String, String] = Map(
     "q441_chunk_index" -> q441Sql,
@@ -1228,5 +1399,6 @@ object RetrievalQueries {
     "q446_cdc_boilerplate" -> q446Sql,
     "q447_banded_retrieval" -> q447Sql,
     "q451_multiprobe_retrieval" -> q451Sql,
-    "q452_index_decontam" -> q452Sql)
+    "q452_index_decontam" -> q452Sql,
+    "q457_dedup_retrieval" -> q457Sql)
 }

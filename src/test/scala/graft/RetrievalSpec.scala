@@ -279,6 +279,27 @@ class RetrievalSpec extends AnyFunSuite {
       s"1-bit probes must strictly improve total recall ($sum0 -> $sum1)")
   }
 
+  test("q457: collapse's gain is exactly the crowding deficit, and the " +
+    "clone fixture crowds most queries") {
+    val got = SparkEntry.queries("q457_dedup_retrieval")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getInt(6)))
+    assert(got.nonEmpty)
+    // identical fps score identically, so if the raw top-3 already holds
+    // 3 distinct fps the collapsed top-3 is the SAME fp set; otherwise
+    // collapse must surface exactly the missing count
+    got.foreach { case (q, rawDistinct, newFps) =>
+      assert(newFps.toLong == 3L - rawDistinct,
+        s"query $q: gain $newFps != 3 - $rawDistinct")
+    }
+    // the planted clones (a near-copy of every queried doc) crowd the
+    // raw top-3 for most queries — the measured reason index-time dedup
+    // exists
+    val crowded = got.count(_._2 < 3L)
+    assert(crowded * 2 > got.length,
+      s"expected most queries crowded: $crowded of ${got.length}")
+  }
+
   test("q445 equals the banded-signature census replay") {
     // independent regeneration of the ternary planes (same LCG)
     var s = 7L
