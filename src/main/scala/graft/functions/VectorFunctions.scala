@@ -34,6 +34,54 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = dotD(a, a)
 
+  /** INTEGER dot product over `array<bigint>` vectors — the int64 twin of
+    * [[dotD]], backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.DotProductL]]. Bit-identical to
+    * [[dotLHof]] (int64 adds are exact and order-free; asserted in
+    * IntVecExprSpec) but stays inside whole-stage codegen instead of
+    * paying interpreted-lambda dispatch per element — the round-17 fix
+    * for the retrieval-index family's brute-force certificate sides,
+    * which evaluate this dot over millions of (query, chunk) pairs. */
+  def dotL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.DotProductL(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** The same int64 fold spelled with built-in higher-order functions —
+    * kept as the executable specification of [[dotL]]'s semantics. */
+  def dotLHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared L2 norm of an `array<bigint>` vector:
+    * `dotL(v, v)` — bit-identical to the left fold
+    * `aggregate(v, 0L, (a, x) -> a + x*x)`. */
+  def norm2L(v: Column): Column = dotL(v, v)
+
+  /** Feature-hash histogram (hashing trick) over a pre-hashed token array:
+    * d-length signed-count `array<bigint>`, dimension = hash mod d, sign
+    * from hash bit 5. Backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.FeatureHashVecL]]; bit-identical to the
+    * HOF fold spelling kept as [[featureHashVecHof]] (asserted in
+    * IntVecExprSpec) but one O(n) primitive pass instead of O(n·d)
+    * interpreted lambda steps with a d-length array allocation per
+    * token. */
+  def featureHashVec(hashes: Column, d: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.FeatureHashVecL(
+        org.apache.spark.sql.graft.ColumnShim.expression(hashes), d))
+
+  /** Executable HOF specification of [[featureHashVec]]. */
+  def featureHashVecHof(hashes: Column, d: Int): Column = {
+    val enc = transform(hashes, h =>
+      struct((h % d).cast("int").as("d"),
+        when(shiftright(h, 5).bitwiseAND(lit(1L)) === lit(0L), lit(1L))
+          .otherwise(lit(-1L)).as("s")))
+    aggregate(enc, array_repeat(lit(0L), d),
+      (acc, e) => transform(acc, (v, i) =>
+        v + when(e.getField("d") === i, e.getField("s")).otherwise(lit(0L))))
+  }
+
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharNGrams, DotProductD, JaroWinkler, MinHashMod61, SimHash64}
+import org.apache.spark.sql.graft.{CharNGrams, DotProductD, DotProductL, DtwCentsL, FeatureHashVecL, FfdPackL, JaroWinkler, MinHashMod61, SimHash64}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -20,6 +20,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dot_product_d takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_product_l"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product_l takes exactly 2 arguments")
+        DotProductL(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("feature_hash_vec_l"),
+      new ExpressionInfo(classOf[FeatureHashVecL].getName, "feature_hash_vec_l"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "feature_hash_vec_l takes (array<long>, d)")
+        val d = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"feature_hash_vec_l d must be an integer literal, got $other")
+        }
+        FeatureHashVecL(children.head, d)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ffd_pack_l"),
+      new ExpressionInfo(classOf[FfdPackL].getName, "ffd_pack_l"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ffd_pack_l takes (array<long>, cap)")
+        FfdPackL(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dtw_cents_l"),
+      new ExpressionInfo(classOf[DtwCentsL].getName, "dtw_cents_l"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dtw_cents_l takes exactly 2 arguments")
+        DtwCentsL(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.{dotL, featureHashVec}
 
 /** The RETRIEVAL-INDEX layer over the `documents` table — what a user does
   * with a curated corpus next: cut it into overlapping passages, featurize
@@ -58,6 +59,7 @@ object RetrievalQueries {
     * (doc_id, toks) frame. Start positions 0, S, 2S, … < n; a non-initial
     * window is kept only when ≥ MinTail tokens remain. Pure array ops —
     * no shuffle. */
+  private[graft] def chunkedPub(toksDf: DataFrame): DataFrame = chunked(toksDf)
   private def chunked(toksDf: DataFrame): DataFrame = {
     val starts = filter(
       sequence(lit(0), size(col("toks")) - 1, lit(S)),
@@ -98,14 +100,25 @@ object RetrievalQueries {
       .otherwise(lit(-1L))
 
   /** Chunk vector: D-length signed token-count histogram (array<bigint>),
-    * built by a per-row fold — zero shuffle. */
-  private def chunkVec(ctoks: Column): Column = {
+    * built per row — zero shuffle. Native codegen'd
+    * [[graft.functions.VectorFunctions.featureHashVec]] over the per-token
+    * md5-60 hashes (r17 optimization: the HOF fold paid O(tokens·D)
+    * interpreted lambda steps and hashed every token TWICE — once for the
+    * dimension, once for the sign; bit-identical law asserted in
+    * IntVecExprSpec against [[chunkVecHof]]). */
+  private def chunkVec(ctoks: Column): Column =
+    featureHashVec(transform(ctoks, t => md5Hash60(t)), D)
+
+  /** Executable HOF specification of [[chunkVec]] (the pre-r17 spelling,
+    * kept for the bit-equality spec). */
+  private[graft] def chunkVecHof(ctoks: Column): Column = {
     val enc = transform(ctoks, t =>
       struct(dimOf(md5Hash60(t)).as("d"), signOf(md5Hash60(t)).as("s")))
     aggregate(enc, array_repeat(lit(0L), D),
       (acc, e) => transform(acc, (v, i) =>
         v + when(e.getField("d") === i, e.getField("s")).otherwise(lit(0L))))
   }
+  private[graft] def chunkVecNative(ctoks: Column): Column = chunkVec(ctoks)
 
   /** Dimension with the largest |weight| (smallest dim on ties); −1 when
     * the vector is all-zero (total sign cancellation). */
@@ -118,9 +131,10 @@ object RetrievalQueries {
       .getField("d")
   }
 
-  /** Exact integer squared L2 norm of the chunk vector. */
-  private def vecN2(vec: Column): Column =
-    aggregate(vec, lit(0L), (a, x) => a + x * x)
+  /** Exact integer squared L2 norm of the chunk vector (native codegen'd
+    * int64 dot with itself — bit-identical to the left fold
+    * `aggregate(vec, 0L, (a, x) -> a + x*x)`). */
+  private def vecN2(vec: Column): Column = dotL(vec, vec)
 
   /** SQL twin of the per-chunk dim-weight table from `ck$sfx`: CTE
     * `wt$sfx` (doc_id, chunk_id, dim INTEGER, w BIGINT) — one row per
@@ -220,11 +234,14 @@ object RetrievalQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
     ch.crossJoin(broadcast(qs))
-      .withColumn("dot", aggregate(
-        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
+      // project BEFORE the window exchange (r17, guide §2.3): only the
+      // skinny score row crosses the shuffle — the 32-long vec/qvec
+      // arrays (~550 B/row) otherwise ride it for nothing
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        col("dot"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
@@ -595,9 +612,7 @@ object RetrievalQueries {
     val ch = chunked(tokDocs(spark, dir))
       .withColumn("vec", chunkVec(col("ctoks")))
     val sigExpr = Planes.zipWithIndex.map { case (p, j) =>
-      val dj = aggregate(
-        zip_with(col("vec"), typedLit(p.toSeq), (x, y) => x * y),
-        lit(0L), (a, x) => a + x)
+      val dj = dotL(col("vec"), typedLit(p.toSeq))
       when(dj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val bands = ch.select(sigExpr.as("sig"))
@@ -677,9 +692,7 @@ object RetrievalQueries {
     val td = tokDocs(spark, dir)
     def sigOf(vecCol: Column): Column =
       Planes.zipWithIndex.map { case (p, j) =>
-        val dj = aggregate(
-          zip_with(vecCol, typedLit(p.toSeq), (x, y) => x * y),
-          lit(0L), (a, x) => a + x)
+        val dj = dotL(vecCol, typedLit(p.toSeq))
         when(dj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
     def bandsOf(sigCol: Column): Column = array(
@@ -713,9 +726,7 @@ object RetrievalQueries {
       .select(col("query_id"), col("doc_id"), col("chunk_id")).distinct()
     // exact re-score of candidates only (vectors fetched back by id)
     val scoreCols = (df: DataFrame) => df
-      .withColumn("dot", aggregate(
-        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
     val w = Window.partitionBy(col("query_id"))
@@ -724,12 +735,16 @@ object RetrievalQueries {
       .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"), col("n2")),
         Seq("doc_id", "chunk_id"))
       .join(qs.select(col("query_id"), col("qvec"), col("qn2")), "query_id"))
+      // project BEFORE the window exchange (r17, guide §2.3): drop the
+      // vec/qvec arrays so only the skinny score row is shuffled/sorted
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the certificate side: brute-force exact top-3 (q442's chain)
     val etop = scoreCols(ch.select(col("doc_id"), col("chunk_id"),
         col("vec"), col("n2")).crossJoin(broadcast(
         qs.select(col("query_id"), col("qvec"), col("qn2")))))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("query_id"), col("doc_id"), col("chunk_id"))
     val recall = btop.join(etop, Seq("query_id", "doc_id", "chunk_id"),
@@ -886,9 +901,7 @@ object RetrievalQueries {
     val td = tokDocs(spark, dir)
     def sigOf(vecCol: Column): Column =
       Planes.zipWithIndex.map { case (p, j) =>
-        val dj = aggregate(
-          zip_with(vecCol, typedLit(p.toSeq), (x, y) => x * y),
-          lit(0L), (a, x) => a + x)
+        val dj = dotL(vecCol, typedLit(p.toSeq))
         when(dj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
     def bandsOf(sigCol: Column): Column = array(
@@ -934,9 +947,7 @@ object RetrievalQueries {
       .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"), col("n2")),
         Seq("doc_id", "chunk_id"))
       .join(qs.select(col("query_id"), col("qvec"), col("qn2")), "query_id")
-      .withColumn("dot", aggregate(
-        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
       .select(col("query_id"), col("doc_id"), col("chunk_id"),
@@ -949,11 +960,10 @@ object RetrievalQueries {
         col("n2"))
       .crossJoin(broadcast(qs.select(col("query_id"), col("qvec"),
         col("qn2"))))
-      .withColumn("dot", aggregate(
-        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("query_id"), col("doc_id"), col("chunk_id"))
     // per level: rank candidates reachable at that level, compare to exact
@@ -1236,12 +1246,19 @@ object RetrievalQueries {
     val corpus = DocQueries.corpusWithNearDups(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    // The chunk table persists (it is ~corpus-chunk scale, NOT pair
+    // scale) so the fp/vec projections materialize exactly once —
+    // r17: the previous shape persisted the Q·N SCORED frame instead,
+    // and Catalyst's projection collapse re-evaluated the md5 chunk
+    // fingerprint once per (query, chunk) PAIR on the way in (measured
+    // 18.8 s vs 3.0 s for the same BNLJ without fp at sf0.1).
     val ch = chunked(corpus)
       .withColumn("vec", chunkVec(col("ctoks")))
       .select(col("doc_id"), col("chunk_id"),
         md5(concat_ws(" ", col("ctoks"))).as("fp"), col("vec"),
         vecN2(col("vec")).as("n2"))
       .filter(col("n2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = corpus.filter(col("doc_id") % 10 === 0 &&
         col("doc_id") < 100000L && size(col("toks")) >= 28)
       .select(col("doc_id").as("query_id"),
@@ -1249,27 +1266,41 @@ object RetrievalQueries {
       .withColumn("qvec", chunkVec(col("qtoks")))
       .select(col("query_id"), col("qvec"), vecN2(col("qvec")).as("qn2"))
       .filter(col("qn2") > 0)
-    val scored = ch.crossJoin(broadcast(qs))
-      .withColumn("dot", aggregate(
-        zip_with(col("vec"), col("qvec"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x))
-      .withColumn("cos", col("dot").cast("double") /
-        sqrt((col("qn2") * col("n2")).cast("double")))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("fp"),
-        col("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    val fpMap = ch.select(col("doc_id"), col("chunk_id"), col("fp"))
+    // Collapse BEFORE scoring (r17 algebraic rewrite, proven equivalent:
+    // a chunk fingerprint determines its token text, hence its vector,
+    // norm, and every per-query cosine; and the raw scored frame is the
+    // COMPLETE cross product — so the old per-(query, fp) collapse
+    // [min (doc, chunk) representative, max cos] equals scoring one
+    // global min-(doc, chunk) representative per fp. The old shape paid
+    // a Q·N-row hash aggregate with ~|fps|·Q groups; this groups the
+    // chunk table once. The DuckDB oracle still spells the per-(query,
+    // fp) collapse, so the round's hash-exact gate IS the equivalence
+    // proof.)
+    val reps = ch.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"),
+        col("rep.chunk_id").as("chunk_id"))
+      .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"),
+        col("n2")), Seq("doc_id", "chunk_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
-    val raw = scored.withColumn("rank", row_number().over(w))
+    // one scoring shape serves both variants; only the skinny score row
+    // crosses the top-3 window exchange (guide §2.3), and the fp string
+    // is attached AFTER selection — to 3 rows per query, not Q·N
+    def scoreTop3(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(qs))
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn2") * col("n2")).cast("double")))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-    val collapsed0 = scored
-      .groupBy(col("query_id"), col("fp"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("rep"),
-        max(col("cos")).as("cos"))
-      .select(col("query_id"), col("rep.doc_id").as("doc_id"),
-        col("rep.chunk_id").as("chunk_id"), col("fp"), col("cos"))
-    val coll = collapsed0.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .join(broadcast(fpMap), Seq("doc_id", "chunk_id"))
+    val raw = scoreTop3(ch.select(col("doc_id"), col("chunk_id"),
+      col("vec"), col("n2")))
+    val coll = scoreTop3(reps)
     val rawAgg = raw.groupBy(col("query_id"))
       .agg(min(when(col("rank") === 1,
           struct(col("doc_id"), col("chunk_id")))).as("r1"),
@@ -1289,7 +1320,7 @@ object RetrievalQueries {
         size(array_except(col("coll_fps"), col("raw_fps")))
           .as("new_fps_vs_raw"))
       .orderBy("query_id"))
-    scored.unpersist()
+    ch.unpersist()
     out
   }
 

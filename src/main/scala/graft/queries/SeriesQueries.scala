@@ -1414,22 +1414,14 @@ object SeriesQueries {
 
   def q354DtwMatrix(spark: SparkSession, dir: String): DataFrame = {
     val vecs = nationMonthlyCentsVecs(spark, dir)
-    val dtwCents = expr(
-      """element_at(
-        |  aggregate(
-        |    slice(va, 2, size(va) - 1),
-        |    transform(sequence(1, size(vb)), j ->
-        |      aggregate(slice(vb, 1, j), CAST(0 AS BIGINT),
-        |        (s, y) -> s + abs(element_at(va, 1) - y))),
-        |    (prev, x) ->
-        |      aggregate(
-        |        slice(vb, 2, size(vb) - 1),
-        |        array(abs(x - element_at(vb, 1)) + element_at(prev, 1)),
-        |        (cur, y) -> concat(cur, array(abs(x - y) +
-        |          least(element_at(prev, size(cur) + 1),
-        |                element_at(prev, size(cur)),
-        |                element_at(cur, size(cur))))))),
-        |  -1)""".stripMargin)
+    // Native codegen-era DTW (r17 optimization): one primitive O(m*n)
+    // pass per pair, bit-identical to the relational HOF fold kept as
+    // [[dtwCentsHof]] (asserted in IntVecExprSpec) — the HOF spelling
+    // paid an interpreted lambda step AND an array concat per DP cell.
+    val dtwCents = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.DtwCentsL(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("va")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("vb"))))
     vecs.select(col("nation").as("nation_a"), col("v").as("va"))
       .crossJoin(broadcast(
         vecs.select(col("nation").as("nation_b"), col("v").as("vb"))))
@@ -1443,6 +1435,25 @@ object SeriesQueries {
           .as("avg_step_dollars"))
       .orderBy("nation_a", "nation_b")
   }
+
+  /** Executable HOF specification of q354's native DTW expression (the
+    * pre-r17 spelling, kept for the bit-equality spec). */
+  private[graft] def dtwCentsHof: org.apache.spark.sql.Column = expr(
+    """element_at(
+      |  aggregate(
+      |    slice(va, 2, size(va) - 1),
+      |    transform(sequence(1, size(vb)), j ->
+      |      aggregate(slice(vb, 1, j), CAST(0 AS BIGINT),
+      |        (s, y) -> s + abs(element_at(va, 1) - y))),
+      |    (prev, x) ->
+      |      aggregate(
+      |        slice(vb, 2, size(vb) - 1),
+      |        array(abs(x - element_at(vb, 1)) + element_at(prev, 1)),
+      |        (cur, y) -> concat(cur, array(abs(x - y) +
+      |          least(element_at(prev, size(cur) + 1),
+      |                element_at(prev, size(cur)),
+      |                element_at(cur, size(cur))))))),
+      |  -1)""".stripMargin)
 
   val q354Sql: String = nationVecsCte +
     """,

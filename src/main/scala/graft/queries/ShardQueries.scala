@@ -116,17 +116,52 @@ object ShardQueries {
     * The 16-bit dimension normalization is the fixture's domain
     * (days < 2^13, part keys < 2^15 at sf0.1); production would
     * min-max-rescale each dimension to 16 bits first. */
+  /** Morton z-value interleaving the low 16 bits of day index `d` (odd
+    * bit lanes) and part key `p` (even bit lanes) — unrolled into a
+    * 32-term builtin sum so it stays inside whole-stage codegen (r17
+    * optimization: the previous `aggregate(sequence(0, 15), ...)` HOF
+    * fold paid interpreted lambda dispatch plus a sequence allocation on
+    * every fact row; int64 adds are exact and order-free, so the two
+    * spellings are bit-identical — asserted in IntVecExprSpec against
+    * [[mortonZ16Hof]]). */
+  private[graft] def mortonZ16(d: Column, p: Column): Column =
+    (0 until 16).map { b =>
+      shiftleft(shiftright(d, b).bitwiseAND(lit(1)).cast("long"),
+        2 * b + 1) +
+        shiftleft(shiftright(p, b).bitwiseAND(lit(1)).cast("long"), 2 * b)
+    }.reduce(_ + _)
+
+  /** Executable HOF specification of [[mortonZ16]] over columns named
+    * `d` and `p` (the pre-r17 spelling). */
+  private[graft] def mortonZ16Hof: Column = expr(
+    """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc
+      |  + shiftleft(CAST(shiftright(d, b) & 1 AS BIGINT), 2 * b + 1)
+      |  + shiftleft(CAST(shiftright(p, b) & 1 AS BIGINT), 2 * b))"""
+      .stripMargin)
+
+  /** Executable HOF specification of q359's native FFD fold over columns
+    * named `sizes` and `cap` (the pre-r17 spelling). */
+  private[graft] def ffdBinsHof: Column = expr(
+    """aggregate(sizes, CAST(array() AS ARRAY<BIGINT>),
+      |  (acc, x) -> CASE
+      |    WHEN size(acc) = 0 THEN array(x)
+      |    WHEN array_min(filter(sequence(1, size(acc)),
+      |           j -> element_at(acc, j) + x <= cap)) IS NULL
+      |      THEN concat(acc, array(x))
+      |    ELSE transform(sequence(1, size(acc)),
+      |      j -> CASE WHEN j = array_min(filter(sequence(1, size(acc)),
+      |             k -> element_at(acc, k) + x <= cap))
+      |           THEN element_at(acc, j) + x
+      |           ELSE element_at(acc, j) END)
+      |  END)""".stripMargin)
+
   def q355ZorderSkip(spark: SparkSession, dir: String): DataFrame = {
     val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
     val li = Kpis.table(spark, dir, "lineitem")
       .select(datediff(col("l_shipdate"), epoch).as("d"),
         col("l_partkey").cast("int").as("p"),
         col("l_orderkey"), col("l_linenumber"))
-    val base = li.withColumn("z", expr(
-      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc
-        |  + shiftleft(CAST(shiftright(d, b) & 1 AS BIGINT), 2 * b + 1)
-        |  + shiftleft(CAST(shiftright(p, b) & 1 AS BIGINT), 2 * b))"""
-        .stripMargin))
+    val base = li.withColumn("z", mortonZ16(col("d"), col("p")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def zoneMaps(name: String, keys: Seq[org.apache.spark.sql.Column]) =
       graft.operators.RangeRank.withNtile(base, "f", 64, keys)
@@ -283,19 +318,16 @@ object ShardQueries {
         (max(col("c")) * lit(4L)).as("cap"))
       .select(transform(col("sf"), s => (-s.getField("nc")).cast("long"))
         .as("sizes"), col("n_files_before"), col("total_rows"), col("cap"))
-    val bins = expr(
-      """aggregate(sizes, CAST(array() AS ARRAY<BIGINT>),
-        |  (acc, x) -> CASE
-        |    WHEN size(acc) = 0 THEN array(x)
-        |    WHEN array_min(filter(sequence(1, size(acc)),
-        |           j -> element_at(acc, j) + x <= cap)) IS NULL
-        |      THEN concat(acc, array(x))
-        |    ELSE transform(sequence(1, size(acc)),
-        |      j -> CASE WHEN j = array_min(filter(sequence(1, size(acc)),
-        |             k -> element_at(acc, k) + x <= cap))
-        |           THEN element_at(acc, j) + x
-        |           ELSE element_at(acc, j) END)
-        |  END)""".stripMargin)
+    // Native FFD fold (r17 optimization): one in-place O(files x bins)
+    // primitive pass, bit-identical to the relational HOF fold kept as
+    // [[ffdBinsHof]] (asserted in IntVecExprSpec) — the HOF spelling
+    // rebuilt the whole bin array per placed file (an interpreted lambda
+    // step and an array allocation per (file, bin) probe, which WAS
+    // q359's measured 14 s).
+    val bins = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.FfdPackL(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("sizes")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cap"))))
     census.select(col("n_files_before"), col("total_rows"), col("cap"),
         bins.as("bins"))
       .select(col("n_files_before"), col("total_rows"),
@@ -376,11 +408,7 @@ object ShardQueries {
       expr("(min(l_orderkey) * 25 + max(l_orderkey) * 75) div 100")
         .as("cutk"))
     val base = li.crossJoin(broadcast(cut))
-      .withColumn("z", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc
-          |  + shiftleft(CAST(shiftright(d, b) & 1 AS BIGINT), 2 * b + 1)
-          |  + shiftleft(CAST(shiftright(p, b) & 1 AS BIGINT), 2 * b))"""
-          .stripMargin))
+      .withColumn("z", mortonZ16(col("d"), col("p")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def zoneMaps(df: DataFrame, name: String, nFiles: Int,
         keys: Seq[org.apache.spark.sql.Column], fileOffset: Int = 0) =
