@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharNGrams, DotProductD, DotProductL, DtwCentsL, FeatureHashVecL, FfdPackL, JaroWinkler, MinHashMod61, SimHash64}
+import org.apache.spark.sql.graft.{CharNGrams, DotProductD, DotProductL, DtwCentsL, FeatureHashVecL, FfdPackL, JaroWinkler, MinHashMod61, SimHash64, SortableBitsToDouble, SortableDoubleBits}
 
 /** Session extensions registering graft's native expressions with the SQL
   * function registry, so `spark.sql("SELECT dot_product_d(a, b) …")` works
@@ -53,6 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "dtw_cents_l takes exactly 2 arguments")
         DtwCentsL(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sortable_double_bits"),
+      new ExpressionInfo(classOf[SortableDoubleBits].getName,
+        "sortable_double_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "sortable_double_bits takes 1 argument")
+        SortableDoubleBits(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sortable_bits_to_double"),
+      new ExpressionInfo(classOf[SortableBitsToDouble].getName,
+        "sortable_bits_to_double"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "sortable_bits_to_double takes 1 argument")
+        SortableBitsToDouble(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),

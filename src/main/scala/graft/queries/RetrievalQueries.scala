@@ -136,6 +136,42 @@ object RetrievalQueries {
     * `aggregate(vec, 0L, (a, x) -> a + x*x)`). */
   private def vecN2(vec: Column): Column = dotL(vec, vec)
 
+  /** Per-group exact top-3 by (cos DESC, doc ASC, chunk ASC) through the
+    * bounded [[graft.operators.TopK.topKLongPairs]] aggregate instead of
+    * a row_number window (r17, the q168 discipline): the window form
+    * shuffles and fully sorts every scored row of every query before
+    * discarding all but 3, while the aggregate ships ≤ 3 pairs per group
+    * per map partition. The ranking key is the cosine's order-isomorphic
+    * IEEE-754 long ([[org.apache.spark.sql.graft.SortableDoubleBits]] —
+    * bijective here: NaN/−0.0 are unreachable since both norms are
+    * strictly positive), so key-DESC equals cos-DESC and the decoded
+    * cosine is the bit-identical original. The id packs (doc_id,
+    * chunk_id) as doc·2²⁰ + chunk — ascending ⟺ (doc, chunk) ascending —
+    * which holds for every ranked corpus (doc ids < 2⁴², chunk index
+    * < 2²⁰ ⟺ docs shorter than ~16M tokens). Tie order (key DESC, id
+    * ASC) is exactly the window's (cos DESC, doc, chunk); the unchanged
+    * DuckDB oracles re-prove value- and tie-identity hash-exactly. */
+  private def top3ByCos(scored: DataFrame, groupCols: Seq[String])
+      : DataFrame = {
+    val packed = col("doc_id") * lit(1048576L) + col("chunk_id").cast("long")
+    val g = groupCols.map(col)
+    scored.groupBy(g: _*)
+      .agg(graft.operators.TopK.topKLongPairs(
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.SortableDoubleBits(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("cos")))),
+        packed, 3).as("top"))
+      .select(g :+ posexplode(col("top")).as(Seq("i", "e")): _*)
+      .select(g ++ Seq(
+        (col("i") + 1).as("rank"),
+        shiftright(col("e.id"), 20).as("doc_id"),
+        col("e.id").bitwiseAND(lit(1048575L)).cast("int").as("chunk_id"),
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.SortableBitsToDouble(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("e.key"))))
+          .as("cos")): _*)
+  }
+
   /** SQL twin of the per-chunk dim-weight table from `ck$sfx`: CTE
     * `wt$sfx` (doc_id, chunk_id, dim INTEGER, w BIGINT) — one row per
     * dimension HIT by ≥1 token (weights may cancel to 0; dimensions never
@@ -226,28 +262,32 @@ object RetrievalQueries {
       .withColumn("qvec", chunkVec(col("qtoks")))
       .select(col("query_id"), col("qvec"), vecN2(col("qvec")).as("qn2"))
       .filter(col("qn2") > 0)
+      .localCheckpoint(true)
     val ch = chunked(td)
       .withColumn("vec", chunkVec(col("ctoks")))
       .select(col("doc_id"), col("chunk_id"), col("vec"),
         vecN2(col("vec")).as("n2"))
       .filter(col("n2") > 0)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
-    ch.crossJoin(broadcast(qs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // top-3 through the bounded aggregate (r17, see [[top3ByCos]]): the
+    // former row_number window shuffled+sorted every scored pair; the
+    // exact integer dot is re-attached to the 3·Q selected rows only
+    val scored = ch.crossJoin(broadcast(qs))
       .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
-      // project BEFORE the window exchange (r17, guide §2.3): only the
-      // skinny score row crosses the shuffle — the 32-long vec/qvec
-      // arrays (~550 B/row) otherwise ride it for nothing
-      .select(col("query_id"), col("doc_id"), col("chunk_id"),
-        col("dot"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
+    val out = graft.plans.Eager.ckpt(top3ByCos(scored, Seq("query_id"))
+      .join(ch.select(col("doc_id"), col("chunk_id"), col("vec")),
+        Seq("doc_id", "chunk_id"))
+      .join(broadcast(qs.select(col("query_id"), col("qvec"))), "query_id")
+      .withColumn("dot", dotL(col("vec"), col("qvec")))
       .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
         col("dot"), col("cos"),
         (col("doc_id") === col("query_id")).as("self_hit"))
-      .orderBy("query_id", "rank")
+      .orderBy("query_id", "rank"))
+    ch.unpersist()
+    out
   }
 
   val q442Sql: String =
@@ -729,23 +769,21 @@ object RetrievalQueries {
       .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
-    val btop = scoreCols(cand
+    // both top-3 selections ride the bounded aggregate (r17, see
+    // [[top3ByCos]]) instead of row_number windows over every scored row
+    val btop = top3ByCos(scoreCols(cand
       .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"), col("n2")),
         Seq("doc_id", "chunk_id"))
       .join(qs.select(col("query_id"), col("qvec"), col("qn2")), "query_id"))
-      // project BEFORE the window exchange (r17, guide §2.3): drop the
-      // vec/qvec arrays so only the skinny score row is shuffled/sorted
-      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos")),
+      Seq("query_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the certificate side: brute-force exact top-3 (q442's chain)
-    val etop = scoreCols(ch.select(col("doc_id"), col("chunk_id"),
+    val etop = top3ByCos(scoreCols(ch.select(col("doc_id"), col("chunk_id"),
         col("vec"), col("n2")).crossJoin(broadcast(
         qs.select(col("query_id"), col("qvec"), col("qn2")))))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos")),
+      Seq("query_id"))
       .select(col("query_id"), col("doc_id"), col("chunk_id"))
     val recall = btop.join(etop, Seq("query_id", "doc_id", "chunk_id"),
         "left_semi")
@@ -953,27 +991,23 @@ object RetrievalQueries {
       .select(col("query_id"), col("doc_id"), col("chunk_id"),
         col("min_lvl"), col("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact top-3: the certificate side (q447's convention)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
-    val etop = ch.select(col("doc_id"), col("chunk_id"), col("vec"),
-        col("n2"))
+    // exact top-3: the certificate side (q447's convention), through the
+    // bounded aggregate (r17, see [[top3ByCos]])
+    val etop = top3ByCos(ch.select(col("doc_id"), col("chunk_id"),
+        col("vec"), col("n2"))
       .crossJoin(broadcast(qs.select(col("query_id"), col("qvec"),
         col("qn2"))))
       .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos")),
+      Seq("query_id"))
       .select(col("query_id"), col("doc_id"), col("chunk_id"))
     // per level: rank candidates reachable at that level, compare to exact
-    val wl = Window.partitionBy(col("lvl"), col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
     val perLvl = scored
       .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"),
         explode(sequence(col("min_lvl"), lit(1))).as("lvl"))
-    val btop = perLvl
-      .withColumn("rank", row_number().over(wl)).filter(col("rank") <= 3)
+    val btop = top3ByCos(perLvl, Seq("lvl", "query_id"))
     val recall = btop.join(etop, Seq("query_id", "doc_id", "chunk_id"),
         "left_semi")
       .groupBy(col("lvl"), col("query_id")).agg(count(lit(1)).as("hits"))
@@ -1284,19 +1318,16 @@ object RetrievalQueries {
         col("rep.chunk_id").as("chunk_id"))
       .join(ch.select(col("doc_id"), col("chunk_id"), col("vec"),
         col("n2")), Seq("doc_id", "chunk_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
-    // one scoring shape serves both variants; only the skinny score row
-    // crosses the top-3 window exchange (guide §2.3), and the fp string
+    // one scoring shape serves both variants; the top-3 selection rides
+    // the bounded aggregate (r17, see [[top3ByCos]]) and the fp string
     // is attached AFTER selection — to 3 rows per query, not Q·N
-    def scoreTop3(side: DataFrame): DataFrame = side
+    def scoreTop3(side: DataFrame): DataFrame = top3ByCos(side
       .crossJoin(broadcast(qs))
       .withColumn("dot", dotL(col("vec"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt((col("qn2") * col("n2")).cast("double")))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"), col("cos")),
+      Seq("query_id"))
       .join(broadcast(fpMap), Seq("doc_id", "chunk_id"))
     val raw = scoreTop3(ch.select(col("doc_id"), col("chunk_id"),
       col("vec"), col("n2")))

@@ -278,3 +278,70 @@ case class DtwCentsL(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DtwCentsL =
     copy(left = newLeft, right = newRight)
 }
+
+/** Order-isomorphic IEEE-754 encoding of a double as a signed long:
+  * `d1 < d2  ⟺  sortableDoubleBits(d1) < sortableDoubleBits(d2)` over all
+  * non-NaN doubles (with −0.0 ordered just below +0.0 — callers must not
+  * feed −0.0/NaN where that matters; the retrieval cosines cannot produce
+  * either: denominators are strictly positive and a zero dot divides to
+  * +0.0). The map is the classic bit trick — non-negative doubles keep
+  * their raw bits (already ascending), negative doubles flip the
+  * 63 value bits so "more negative" sorts lower — and it is a BIJECTION,
+  * so [[SortableBitsToDouble]] recovers the exact input double. Purpose
+  * (r17): lets the per-group top-k-by-cosine windows ride the bounded
+  * [[TopKLongPairs]] aggregate (long keys by design) instead of a full
+  * shuffle+sort of every scored row.
+  */
+case class SortableDoubleBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sortable_double_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
+    if (b >= 0L) b else b ^ 0x7fffffffffffffffL
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = Double.doubleToRawLongBits($x);
+         |${ev.value} = ($b >= 0L) ? $b : ($b ^ 0x7fffffffffffffffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SortableDoubleBits =
+    copy(child = newChild)
+}
+
+/** Exact inverse of [[SortableDoubleBits]] (xor with the 63 value bits is
+  * an involution), recovering the bit-identical original double. */
+case class SortableBitsToDouble(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sortable_bits_to_double"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Long]
+    java.lang.Double.longBitsToDouble(
+      if (v >= 0L) v else v ^ 0x7fffffffffffffffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = ($x >= 0L) ? $x : ($x ^ 0x7fffffffffffffffL);
+         |${ev.value} = Double.longBitsToDouble($b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsToDouble =
+    copy(child = newChild)
+}

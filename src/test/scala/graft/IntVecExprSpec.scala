@@ -153,6 +153,62 @@ class IntVecExprSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("sortable_double_bits is order-isomorphic and exactly invertible") {
+    val vals = Seq(-3.5, -1.0, -0.25, -1e-300, 0.0, 1e-300, 0.3,
+      0.9999999, 1.0, 7.25)
+    val df = vals.toDF("d").select(col("d"),
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.SortableDoubleBits(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("d"))))
+        .as("bits"))
+      .select(col("d"), col("bits"),
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.SortableBitsToDouble(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("bits"))))
+          .as("back"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"round-trip drift at ${r.getDouble(0)}")
+    }
+    val byVal = rows.sortBy(_.getDouble(0)).map(_.getLong(1)).toSeq
+    assert(byVal == byVal.sorted, "bits must order exactly like the doubles")
+  }
+
+  test("bounded top-3 by sortable cosine equals the row_number window") {
+    // the generic law behind the r17 retrieval rewires: TopKLongPairs on
+    // (sortable cos bits, doc*2^20+chunk) reproduces the
+    // (cos DESC, doc, chunk) window top-3 row-for-row, ties included
+    val rows = Seq(
+      (1L, 10L, 0, 0.5), (1L, 11L, 1, 0.5), (1L, 9L, 2, 0.5),
+      (1L, 12L, 0, -0.25), (1L, 8L, 5, 0.9),
+      (2L, 3L, 1, 0.0), (2L, 3L, 0, 0.0))
+      .toDF("query_id", "doc_id", "chunk_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+    val win = rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "doc_id", "chunk_id", "cos")
+    val agg = rows.groupBy(col("query_id"))
+      .agg(graft.operators.TopK.topKLongPairs(
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.SortableDoubleBits(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("cos")))),
+        col("doc_id") * lit(1048576L) + col("chunk_id").cast("long"),
+        3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        shiftright(col("e.id"), 20).as("doc_id"),
+        col("e.id").bitwiseAND(lit(1048575L)).cast("int").as("chunk_id"),
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.SortableBitsToDouble(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("e.key"))))
+          .as("cos"))
+    assert(win.exceptAll(agg).count() == 0 && agg.exceptAll(win).count() == 0)
+  }
+
   test("new natives are registered for SQL via GraftExtensions") {
     assert(spark.sql("SELECT dot_product_l(array(1L, 2L), array(3L, 4L))")
       .head().getLong(0) == 11L)
