@@ -1590,14 +1590,22 @@ object ExperimentQueries {
     * calibration half; the artifact the streaming gate
     * ([[graft.streaming.ConformalStream]]) captures at query start. */
   private[graft] def conformalFit(spark: SparkSession,
-      dir: String): DataFrame = {
-    val cal = conformalBase(spark, dir).filter(col("grp") === 0L)
+      dir: String): DataFrame =
+    conformalFitFrom(conformalBase(spark, dir).filter(col("grp") === 0L))
+
+  /** [[conformalFit]] over an already-resolved calibration half — lets
+    * q367 materialize [[conformalBase]] ONCE and feed both halves from
+    * it (r17: the fit previously re-scanned lineitem and re-hashed the
+    * md5 split three times — fit aggregate, residual frame, n_cal
+    * count; n_cal now counts `cal` directly, the same count since the
+    * residual frame is 1:1 with it). */
+  private[graft] def conformalFitFrom(cal: DataFrame): DataFrame = {
     val fit = broadcast(cal.agg(
       expr("sum(y * 1000) div sum(q)").as("beta")))
     val calR = cal.crossJoin(fit)
       .select(abs(col("y") * 1000L - col("beta") * col("q")).as("r"),
         col("okey"), col("lnum"))
-    val nk = broadcast(calR.agg(count(lit(1)).as("n_cal"))
+    val nk = broadcast(cal.agg(count(lit(1)).as("n_cal"))
       .select(col("n_cal"), expr("((n_cal + 1) * 9 + 9) div 10").as("k")))
     graft.operators.RangeRank
       .withGlobalRank(calR, "rk", Seq(col("r"), col("okey"), col("lnum")))
@@ -1608,8 +1616,13 @@ object ExperimentQueries {
   }
 
   def q367ConformalCert(spark: SparkSession, dir: String): DataFrame = {
-    val tst = conformalBase(spark, dir).filter(col("grp") === 1L)
-    val qhat = broadcast(conformalFit(spark, dir))
+    // ONE fact-scale pass (r17): the md5-split base materializes once;
+    // the calibration fit, the residual rank pass, and the test-half
+    // coverage all read the checkpoint instead of re-scanning lineitem
+    // (4 scans, each re-hashing the split md5, before).
+    val base = graft.plans.Eager.ckpt(conformalBase(spark, dir))
+    val tst = base.filter(col("grp") === 1L)
+    val qhat = broadcast(conformalFitFrom(base.filter(col("grp") === 0L)))
     tst.crossJoin(qhat)
       .select(col("n_cal"), col("k"), col("qhat"),
         when(abs(col("y") * 1000L - col("beta") * col("q")) <= col("qhat"),
