@@ -72,7 +72,7 @@ object CrossModal {
     * interaction census; q438 filters it into the kept pair CORPUS
     * under the pair policy. ONE spelling for both registered outputs
     * (the frontStages discipline). */
-  private def pairFlags(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pairFlags(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     // The empty-text guard (q432/q433/q435's filter, mirrored in the

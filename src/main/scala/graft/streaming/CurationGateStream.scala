@@ -179,31 +179,26 @@ object CurationGateStream {
     * shared MinHash fragment with a cross-side filter). */
   def q437LiveGateReplay(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
+    // ONE tokenize pass (r17): the corpus checkpoint materializes the
+    // tokenized rows once; the bench/body halves are filters over the
+    // in-memory blocks (previously each half's own checkpoint re-ran the
+    // scan+tokenize job for its side).
     val d = Kpis.table(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("text"),
         TextFunctions.tokens(lower(col("text"))).as("toks"))
       .repartition(par, col("doc_id"))
-    val bench = d.filter(col("doc_id") % 10 === 7).localCheckpoint(true)
-    val body = d.filter(col("doc_id") % 10 =!= 7).localCheckpoint(true)
+      .localCheckpoint(true)
+    val bench = d.filter(col("doc_id") % 10 === 7)
+    val body = d.filter(col("doc_id") % 10 =!= 7)
 
     // frozen artifacts (fixture-scale: full vocab, whole benchmark;
-    // production caps the LM with lmIndex's topV)
-    val (lp, floor) =
-      AdmissionStream.lmIndex(body.select(col("doc_id"), col("toks")))
-    val contamIdx =
-      ContamStream.benchIndex(bench.select(col("doc_id"), col("text")))
+    // production caps the LM with lmIndex's topV), built concurrently
+    // with the arrivals materialization below — see the pool note there.
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val tmp = System.getProperty("java.io.tmpdir")
     val fpTable = s"graft_q437_fp$slug"
     val bandTable = s"graft_q437_band$slug"
-    IncrementalDedup.writeStore(
-      body.select(TextFunctions.fingerprint(col("text")).as("fp")),
-      fpTable, s"$tmp/$fpTable")
-    BandStore.writeStore(
-      body.select(col("doc_id"), array_join(col("toks"), " ").as("text")),
-      bandTable, s"$tmp/$bandTable")
-
     // the seven arrival cohorts (did0 = the pre-offset id captured as a
     // real column — the q400/q432 stage-0 lateral-alias note)
     val tagged = body.select(col("doc_id"), col("toks"),
@@ -236,11 +231,45 @@ object CurationGateStream {
     val c7 = body.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + lit(700000000000L)).as("doc_id"),
         reverse(col("toks")).as("toks"))
-    val arrivals = c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5)
-      .unionAll(c6).unionAll(c7)
+    val arrivalsPlan = c1.unionAll(c2).unionAll(c3).unionAll(c4)
+      .unionAll(c5).unionAll(c6).unionAll(c7)
       .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
       .repartition(par, col("doc_id"))
-      .localCheckpoint(true)
+
+    // the four artifact builds and the arrivals materialization are five
+    // mutually independent jobs over the one corpus checkpoint, so they
+    // overlap on a small thread pool (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially): each job's
+    // task tail and driver-side gaps (two collects, four write commits)
+    // stop idling the cores the next job wants. Measured isolated at
+    // sf0.1: 8.4–8.9 s sequential → 7.1–8.6 s overlapped (the pool, not
+    // the shared checkpoint, carries the win — the sequential-with-ckpt
+    // control measured 8.7–9.3). Results are byte-identical — the same
+    // five jobs, just concurrent.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        def call(): T = f
+      })
+    val (lp, floor, contamIdx, arrivals) =
+      try {
+        val fLm = submit(
+          AdmissionStream.lmIndex(body.select(col("doc_id"), col("toks"))))
+        val fContam = submit(
+          ContamStream.benchIndex(bench.select(col("doc_id"), col("text"))))
+        val fFp = submit(IncrementalDedup.writeStore(
+          body.select(TextFunctions.fingerprint(col("text")).as("fp")),
+          fpTable, s"$tmp/$fpTable"))
+        val fBand = submit(BandStore.writeStore(
+          body.select(col("doc_id"),
+            array_join(col("toks"), " ").as("text")),
+          bandTable, s"$tmp/$bandTable"))
+        val fArr = submit(arrivalsPlan.localCheckpoint(true))
+        val lmRes = fLm.get()
+        val contamRes = fContam.get()
+        fFp.get(); fBand.get()
+        (lmRes._1, lmRes._2, contamRes, fArr.get())
+      } finally pool.shutdown()
 
     verdicts(arrivals, lp, floor, contamIdx, spark.table(fpTable),
       spark.table(BandStore.bandsTable(bandTable)),
