@@ -50,7 +50,11 @@ object RangeRank {
 
   /** Per-partition (count, sum) and their exclusive prefix offsets.
     * `valueCol` None ⇒ sums are omitted. The prefix window runs over at
-    * most `defaultParallelism` rows — metadata scale by construction. */
+    * most `defaultParallelism` rows — metadata scale by construction.
+    * The per-partition count `rr_n` is KEPT (r17): Σ rr_n is the exact
+    * global row count, which lets [[withNtile]]/[[quantiles]] read their
+    * totals off this metadata frame instead of re-counting the ranked
+    * data frame (an extra full pass + offsets join per call). */
   private def offsets(r: DataFrame, valueCol: Option[Column]): DataFrame = {
     val aggs = count(lit(1)).as("rr_n") +:
       valueCol.map(v => sum(v).as("rr_s")).toSeq
@@ -63,18 +67,26 @@ object RangeRank {
       if (valueCol.isEmpty) withCnt
       else withCnt.withColumn("rr_sum_off",
         coalesce(sum(col("rr_s")).over(prev), lit(0L)))
-    full.drop("rr_n", "rr_s")
+    full.drop("rr_s")
   }
 
   /** Add `rankCol`: the exact 1-based global rank of each row under the
     * total order `keys`. */
   def withGlobalRank(df: DataFrame, rankCol: String, keys: Seq[Column]): DataFrame = {
     val r = ranged(df, keys)
+    rankOver(r, rankCol, keys, offsets(r, None))
+  }
+
+  /** The rank join over an already-ranged frame and its offsets frame —
+    * factored out so [[withNtile]]/[[quantiles]] can reuse ONE offsets
+    * plan for both the rank lift and their row-count total. */
+  private def rankOver(r: DataFrame, rankCol: String, keys: Seq[Column],
+      off: DataFrame): DataFrame = {
     val local = Window.partitionBy(col(Pid)).orderBy(keys: _*)
     r.withColumn("rr_local", row_number().over(local).cast("long"))
-      .join(broadcast(offsets(r, None)), Pid)
+      .join(broadcast(off), Pid)
       .withColumn(rankCol, col("rr_local") + col("rr_cnt_off"))
-      .drop(Pid, "rr_local", "rr_cnt_off")
+      .drop(Pid, "rr_local", "rr_cnt_off", "rr_n")
   }
 
   /** Add `outCol`: the exact running sum of `value` (current row
@@ -88,7 +100,7 @@ object RangeRank {
     r.withColumn("rr_lsum", sum(value).over(local))
       .join(broadcast(offsets(r, Some(value))), Pid)
       .withColumn(outCol, col("rr_lsum") + col("rr_sum_off"))
-      .drop(Pid, "rr_lsum", "rr_cnt_off", "rr_sum_off")
+      .drop(Pid, "rr_lsum", "rr_cnt_off", "rr_sum_off", "rr_n")
   }
 
   /** Add `outCol`: the exact running MAX of `value` (current row
@@ -143,8 +155,14 @@ object RangeRank {
       s"per-mille points must be in [1,1000]: $permille")
     val spark = df.sparkSession
     val v = df.select(value.as("rr_v") +: keys: _*)
-    val ranked = withGlobalRank(v, "rr_rk", col("rr_v") +: keys)
-    val tot = v.agg(count(lit(1)).as("rr_n"))
+    val vk = col("rr_v") +: keys
+    val r = ranged(v, vk)
+    val off = offsets(r, None)
+    val ranked = rankOver(r, "rr_rk", vk, off)
+    // r17: the total is Σ rr_n off the metadata-scale offsets frame —
+    // previously `v.agg(count)` re-evaluated the caller's UPSTREAM plan
+    // (v is pre-checkpoint), paying a second full pass for one number.
+    val tot = off.agg(sum(col("rr_n")).as("rr_n"))
     val targets = spark.range(1)
       .select(explode(array(permille.map(lit(_)): _*)).as("rr_k"))
       .crossJoin(broadcast(tot))
@@ -166,8 +184,13 @@ object RangeRank {
       keys: Seq[Column]): DataFrame = {
     require(n >= 1, s"ntile bucket count must be >= 1: $n")
     val rankCol = "rr_rank"
-    val ranked = withGlobalRank(df, rankCol, keys)
-    val total = ranked.agg(count(lit(1)).as("rr_total"))
+    val r = ranged(df, keys)
+    val off = offsets(r, None)
+    val ranked = rankOver(r, rankCol, keys, off)
+    // r17: Σ rr_n off the metadata-scale offsets frame — previously
+    // `ranked.agg(count)` re-scanned the checkpointed frame and re-ran
+    // the offsets join once more per withNtile call, for one number.
+    val total = off.agg(sum(col("rr_n")).as("rr_total"))
     // SQL NTILE: small = total div n buckets of size `small`, after
     // (total mod n) buckets of size small+1. CASE branches evaluate
     // lazily, so the `small`-division is never reached when small = 0
