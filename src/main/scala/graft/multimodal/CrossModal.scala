@@ -145,7 +145,12 @@ object CrossModal {
           (col("near_min").isNotNull && col("near_min") < col("pair_id")))
           .cast("int").as("img_drop"))
 
-    // caption side: exact fingerprint + q22 banded Jaccard near-dup
+    // caption side: exact fingerprint + q22 banded Jaccard near-dup.
+    // The 4-variant caption corpus materializes ONCE (r17): it feeds the
+    // fingerprint pass (itself consumed twice — the group census and the
+    // flag join) AND the shingle pass, so the lazy form re-ran the
+    // variant construction (a per-token transform on variant 2) three
+    // times.
     val caps = d.select(col("doc_id").as("pair_id"), col("text").as("cap"))
       .unionAll(d.select((col("doc_id") + lit(Off)).as("pair_id"),
         concat_ws(" ", transform(tokens(col("text")),
@@ -154,6 +159,7 @@ object CrossModal {
         col("text").as("cap")))
       .unionAll(d.select((col("doc_id") + lit(3 * Off)).as("pair_id"),
         concat(col("text"), lit(" zz extra tail")).as("cap")))
+      .localCheckpoint(true)
     val capfp = caps.select(col("pair_id"), fingerprint(col("cap")).as("fp"))
     val fpg = capfp.groupBy(col("fp"))
       .agg(count(lit(1)).as("g"), min(col("pair_id")).as("fmin"))
@@ -328,7 +334,11 @@ object CrossModal {
           (col("near_min").isNotNull && col("near_min") < col("pair_id")))
           .cast("int").as("aud_drop"))
 
-    // transcript side: exact fingerprint + q22 banded Jaccard near-dup
+    // transcript side: exact fingerprint + q22 banded Jaccard near-dup.
+    // (r17 note: materializing this variant corpus the way pairFlags'
+    // caption side now does measured NEUTRAL-to-negative here — 5.4 s →
+    // 5.7–6.1 — the audio decode dominates q440 and the extra barrier
+    // costs more than the re-run variant construction; left lazy.)
     val txts = d.select(col("doc_id").as("pair_id"), col("text").as("cap"))
       .unionAll(d.select((col("doc_id") + lit(Off)).as("pair_id"),
         concat_ws(" ", transform(tokens(col("text")),
