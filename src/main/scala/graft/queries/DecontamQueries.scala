@@ -255,15 +255,31 @@ object DecontamQueries {
   def q430PipelineOrder(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DupClusters
     val sh = DupClusters.q45ShingleTable(spark, dir)
+    // edges materialize FIRST (one job, also filling the shared shingle
+    // cache); the decontam probe — a separate holdout corpus scan — is
+    // then independent of the CC contraction rounds, so it overlaps them
+    // on a single worker thread (guide §2.6, the q437 discipline): the
+    // CC rounds are small barrier-laden jobs that leave most cores idle.
+    // Byte-identical results — the same jobs, just concurrent.
     val edges = DupClusters.jaccardEdges(sh, threshold = 0.7)
-    val comp = DupClusters.connectedComponents(edges, "a", "b")
-      .select(col("node").as("id"), col("comp"))
+      .localCheckpoint(true)
     val holdout = withShingles(spark, dir, 3)
       .filter(col("doc_id") % 10 === 7)
       .select(explode(col("sh")).as("s")).distinct()
-    val hits = sh.select(col("id"), explode(col("sh")).as("s"))
+    val hitsPlan = sh.select(col("id"), explode(col("sh")).as("s"))
       .join(broadcast(holdout), Seq("s"), "leftsemi")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (comp, hits) =
+      try {
+        val fHits = pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = hitsPlan.localCheckpoint(true)
+          })
+        val c = DupClusters.connectedComponents(edges, "a", "b")
+          .select(col("node").as("id"), col("comp"))
+        (c, fHits.get())
+      } finally pool.shutdown()
     val flagged = sh.select(col("id"), size(col("sh")).as("nsh"))
       .join(hits, Seq("id"), "left")
       .withColumn("dirty",
