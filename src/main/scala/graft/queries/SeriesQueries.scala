@@ -939,7 +939,10 @@ object SeriesQueries {
     * variance ledger repeated.
     *
     * Exactness: daily revenue is exact integer CENTS; T and S are
-    * snapped to the 4-dp grid after ONE double division each, so
+    * snapped to the 4-dp grid by EXACT integer half-up division (r17:
+    * round(double, 4) broke ties differently across engines — Spark
+    * rounds the shortest-string form up, DuckDB's multiply-path lands
+    * below — and cents·10⁴/c ties whenever c ∈ {4, 5}), so
     * detrended/remainder values are exact DECIMAL(16,4) arithmetic
     * (16 digits holds daily cents to 1000× the sf0.1 fixture);
     * every variance comes from exact decimal Σv and Σv² ((17,4)² =
@@ -954,38 +957,76 @@ object SeriesQueries {
     val daily = Kpis.table(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    // r17 inherited-state fix: the 4-dp snaps of t and seasonal are
+    // EXACT integer half-up instead of round(double, 4) — cents·10⁴/c7
+    // ties at 4 dp whenever c7 ∈ {4, 5} (the series edges), and the two
+    // engines break double ties differently (Spark rounds the shortest-
+    // string form up, DuckDB's multiply-path lands below), which
+    // cascaded one sf0.001 tie through seasonal into every variance.
+    // detr is then an exact decimal subtraction — no double round left
+    // anywhere before the closing variance chain.
     val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
     val detr = daily
       .withColumn("s7", sum(col("cents")).over(w7))
       .withColumn("c7", count(lit(1)).over(w7))
-      .withColumn("t",
-        round(col("s7").cast("double") / col("c7").cast("double"), 4))
+      .withColumn("t", expr(
+        "CAST(CAST((2 * s7 * 10000 + c7) div (2 * c7) AS DECIMAL(16,0))" +
+          " / 10000 AS DECIMAL(16,4))"))
       .withColumn("detr",
-        round(col("cents").cast("double") - col("t"), 4)
+        (col("cents").cast("decimal(16,4)") - col("t"))
           .cast("decimal(16,4)"))
       .withColumn("wd",
         pmod(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))),
           lit(7)).cast("long"))
     val seas = detr.groupBy(col("wd"))
-      .agg(round(sum(col("detr")).cast("double") /
-        count(lit(1)).cast("double"), 4).cast("decimal(16,4)").as("seasonal"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("detr")).as("sd"))
+      .select(col("wd"), expr(
+        """CAST(CAST(CASE
+          |  WHEN sd >= 0 THEN
+          |    (2 * CAST(sd * 10000 AS BIGINT) + cnt) div (2 * cnt)
+          |  ELSE
+          |    -((2 * CAST(-sd * 10000 AS BIGINT) + cnt) div (2 * cnt))
+          |END AS DECIMAL(16,0)) / 10000 AS DECIMAL(16,4))""".stripMargin)
+        .as("seasonal"))
     val parts = detr.join(broadcast(seas), "wd")
       .withColumn("resid", col("detr") - col("seasonal"))
       .withColumn("xs",
         col("cents").cast("decimal(16,4)") - col("seasonal"))
-    def varOf(c: String): (org.apache.spark.sql.Column,
-        org.apache.spark.sql.Column) =
-      (sum(col(c)).cast("double"),
-        sum((col(c) * col(c)).cast("decimal(38,8)")).cast("double"))
-    val (sr, srr) = varOf("resid")
-    val (sd, sdd) = varOf("detr")
-    val (sx, sxx) = varOf("xs")
-    val n = count(lit(1)).cast("double")
+    // r17 inherited-state fix, part 2: the Σv and Σv² sums are carried
+    // as exact INTEGER decimals (units 10⁻⁴ / 10⁻⁸) and converted to
+    // double through an explicit hi·2⁵³ + lo split — casting a decimal
+    // whose unscaled value exceeds 2⁵³ to double is correctly rounded
+    // in Spark (BigDecimal) but 1 ulp off in DuckDB (two-step
+    // int128→double→scale divide), which is exactly the bit-level
+    // variance divergence the sf0.001 gate caught. hi·2⁵³ is an exact
+    // double product; the add and the final scale divisions are single
+    // identically-spelled IEEE ops on both engines.
+    def sumU(c: String): org.apache.spark.sql.Column =
+      sum(expr(s"CAST($c * 10000 AS DECIMAL(19,0))"))
+    def sumUU(c: String): org.apache.spark.sql.Column =
+      sum(expr(s"CAST($c * 10000 AS DECIMAL(19,0))" +
+        s" * CAST($c * 10000 AS DECIMAL(19,0))"))
+    def dblOf(u: String, scaleDiv: String): String =
+      s"""(CASE WHEN $u >= 0 THEN 1.0E0 ELSE -1.0E0 END *
+         |  ((CAST(abs($u) div 9007199254740992 AS DOUBLE)
+         |      * 9007199254740992.0E0
+         |    + CAST(abs($u) % 9007199254740992 AS DOUBLE))
+         |   / $scaleDiv))""".stripMargin
+    def varExpr(pfx: String): String =
+      s"""(${dblOf(s"uu_$pfx", "1.0E8")} / CAST(n_days AS DOUBLE)
+         |  - (${dblOf(s"su_$pfx", "1.0E4")} / CAST(n_days AS DOUBLE))
+         |    * (${dblOf(s"su_$pfx", "1.0E4")} / CAST(n_days AS DOUBLE)))"""
+        .stripMargin
     val agg = parts.agg(
       count(lit(1)).as("n_days"),
-      (srr / n - (sr / n) * (sr / n)).as("var_resid"),
-      (sdd / n - (sd / n) * (sd / n)).as("var_deseason_target"),
-      (sxx / n - (sx / n) * (sx / n)).as("var_detrend_target"))
+      sumU("resid").as("su_r"), sumUU("resid").as("uu_r"),
+      sumU("detr").as("su_d"), sumUU("detr").as("uu_d"),
+      sumU("xs").as("su_x"), sumUU("xs").as("uu_x"))
+      .select(col("n_days"),
+        expr(varExpr("r")).as("var_resid"),
+        expr(varExpr("d")).as("var_deseason_target"),
+        expr(varExpr("x")).as("var_detrend_target"))
     seas.crossJoin(broadcast(agg))
       .select(col("wd"), col("seasonal").cast("double").as("seasonal"),
         col("n_days"), col("var_resid"),
@@ -997,7 +1038,19 @@ object SeriesQueries {
       .orderBy("wd")
   }
 
-  val q300Sql: String =
+  /** DuckDB spelling of the hi·2⁵³ + lo decimal→double conversion used
+    * by q300's variance sums (see the inline note in
+    * [[q300DecompositionStrength]]); hugeint floor-div/mod are exact
+    * integer ops, the FP recombination is op-for-op the Spark chain. */
+  private def q300Dbl(u: String, scaleDiv: String): String =
+    s"""(CASE WHEN $u >= 0 THEN 1.0E0 ELSE -1.0E0 END *
+       |      ((CAST(CAST(abs($u) AS HUGEINT) // 9007199254740992
+       |          AS DOUBLE) * 9007199254740992.0E0
+       |        + CAST(CAST(abs($u) AS HUGEINT) % 9007199254740992
+       |          AS DOUBLE))
+       |       / $scaleDiv))""".stripMargin
+
+  val q300Sql: String = expandQ300Dbl(
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS d,
       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1005,53 +1058,72 @@ object SeriesQueries {
       |  FROM orders GROUP BY 1),
       |tr AS (
       |  SELECT d, cents,
-      |    round(CAST(SUM(cents) OVER w AS DOUBLE)
-      |      / CAST(COUNT(*) OVER w AS DOUBLE), 4) AS t,
+      |    CAST(CAST((2 * SUM(cents) OVER w * 10000 + COUNT(*) OVER w)
+      |        // (2 * COUNT(*) OVER w) AS DECIMAL(16,0)) / 10000
+      |      AS DECIMAL(16,4)) AS t,
       |    (d - DATE '1970-01-01') % 7 AS wd
       |  FROM daily
       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |dt AS (
       |  SELECT d, cents, wd,
-      |    CAST(round(CAST(cents AS DOUBLE) - t, 4) AS DECIMAL(16,4))
-      |      AS detr
+      |    CAST(CAST(cents AS DECIMAL(16,4)) - t AS DECIMAL(16,4)) AS detr
       |  FROM tr),
       |seas AS (
       |  SELECT wd,
-      |    CAST(round(CAST(SUM(detr) AS DOUBLE)
-      |      / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(16,4)) AS seasonal
+      |    CAST(CAST(CASE
+      |      WHEN SUM(detr) >= 0 THEN
+      |        (2 * CAST(SUM(detr) * 10000 AS BIGINT) + COUNT(*))
+      |          // (2 * COUNT(*))
+      |      ELSE
+      |        -((2 * CAST(-SUM(detr) * 10000 AS BIGINT) + COUNT(*))
+      |          // (2 * COUNT(*)))
+      |    END AS DECIMAL(16,0)) / 10000 AS DECIMAL(16,4)) AS seasonal
       |  FROM dt GROUP BY 1),
       |parts AS (
       |  SELECT dt.*, seas.seasonal,
       |    dt.detr - seas.seasonal AS resid,
       |    CAST(dt.cents AS DECIMAL(16,4)) - seas.seasonal AS xs
       |  FROM dt JOIN seas USING (wd)),
-      |agg AS (
+      |sums AS (
       |  SELECT COUNT(*) AS n_days,
-      |    CAST(SUM(CAST(resid AS DECIMAL(19,4))
-      |        * CAST(resid AS DECIMAL(19,4))) AS DOUBLE)
-      |        / CAST(COUNT(*) AS DOUBLE)
-      |      - (CAST(SUM(resid) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |        * (CAST(SUM(resid) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |      AS var_resid,
-      |    CAST(SUM(CAST(detr AS DECIMAL(19,4))
-      |        * CAST(detr AS DECIMAL(19,4))) AS DOUBLE)
-      |        / CAST(COUNT(*) AS DOUBLE)
-      |      - (CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |        * (CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    SUM(CAST(resid * 10000 AS DECIMAL(19,0))) AS su_r,
+      |    SUM(CAST(resid * 10000 AS DECIMAL(19,0))
+      |      * CAST(resid * 10000 AS DECIMAL(19,0))) AS uu_r,
+      |    SUM(CAST(detr * 10000 AS DECIMAL(19,0))) AS su_d,
+      |    SUM(CAST(detr * 10000 AS DECIMAL(19,0))
+      |      * CAST(detr * 10000 AS DECIMAL(19,0))) AS uu_d,
+      |    SUM(CAST(xs * 10000 AS DECIMAL(19,0))) AS su_x,
+      |    SUM(CAST(xs * 10000 AS DECIMAL(19,0))
+      |      * CAST(xs * 10000 AS DECIMAL(19,0))) AS uu_x
+      |  FROM parts),
+      |agg AS (
+      |  SELECT n_days,
+      |    (DBL(uu_r, 1.0E8) / CAST(n_days AS DOUBLE)
+      |      - (DBL(su_r, 1.0E4) / CAST(n_days AS DOUBLE))
+      |        * (DBL(su_r, 1.0E4) / CAST(n_days AS DOUBLE))) AS var_resid,
+      |    (DBL(uu_d, 1.0E8) / CAST(n_days AS DOUBLE)
+      |      - (DBL(su_d, 1.0E4) / CAST(n_days AS DOUBLE))
+      |        * (DBL(su_d, 1.0E4) / CAST(n_days AS DOUBLE)))
       |      AS var_deseason_target,
-      |    CAST(SUM(CAST(xs AS DECIMAL(19,4))
-      |        * CAST(xs AS DECIMAL(19,4))) AS DOUBLE)
-      |        / CAST(COUNT(*) AS DOUBLE)
-      |      - (CAST(SUM(xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |        * (CAST(SUM(xs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    (DBL(uu_x, 1.0E8) / CAST(n_days AS DOUBLE)
+      |      - (DBL(su_x, 1.0E4) / CAST(n_days AS DOUBLE))
+      |        * (DBL(su_x, 1.0E4) / CAST(n_days AS DOUBLE)))
       |      AS var_detrend_target
-      |  FROM parts)
+      |  FROM sums)
       |SELECT CAST(wd AS BIGINT) AS wd,
       |  CAST(seasonal AS DOUBLE) AS seasonal, n_days, var_resid,
       |  var_deseason_target, var_detrend_target,
       |  GREATEST(0.0, 1.0 - var_resid / var_detrend_target) AS f_trend,
       |  GREATEST(0.0, 1.0 - var_resid / var_deseason_target) AS f_seasonal
-      |FROM seas, agg ORDER BY wd""".stripMargin
+      |FROM seas, agg ORDER BY wd""".stripMargin)
+
+  /** Expands the `DBL(col, scale)` placeholders in q300's oracle text
+    * into [[q300Dbl]] spellings (kept as placeholders so the agg CTE
+    * stays readable). */
+  private def expandQ300Dbl(raw: String): String =
+    "DBL\\((\\w+), ([0-9.E]+)\\)".r.replaceAllIn(raw,
+      m => scala.util.matching.Regex.quoteReplacement(
+        q300Dbl(m.group(1), m.group(2))))
 
   // --------------------------------------------------------------- q301
   /** Peak trailing-30-day revenue window per nation — the only query

@@ -1096,11 +1096,21 @@ object StatsQueries {
     * Scale shape: one map-combinable per-part agg off the scan; the
     * top-20 lowers to TakeOrderedAndProject. No join, no window. */
   def q274PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
-    val p = round(col("l_extendedprice") / col("l_quantity"), 4)
-      .cast("decimal(18,4)")
+    // r17 inherited-state fix: the 4-dp unit-price snap is EXACT integer
+    // half-up — round(double, 4) diverges cross-engine exactly on this
+    // query's data because cents·100/qty ties at 4 dp whenever qty
+    // divides 2·10⁶ (Spark rounds the double's shortest-string form up,
+    // DuckDB's multiply-path lands below the tie), which flipped one
+    // sf0.001 top-20 mean by 4e-6. (2·num + den) div (2·den) is true
+    // HALF_UP of the exact rational (all positive here); the decimal
+    // reconstruction keeps every downstream spelling byte-identical.
     val st = Kpis.table(spark, dir, "lineitem")
       .filter(col("l_quantity") > 0)
-      .select(col("l_partkey"), p.as("p"))
+      .select(col("l_partkey"), expr(
+        "CAST(CAST((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 100" +
+          " + CAST(l_quantity AS BIGINT))" +
+          " div (2 * CAST(l_quantity AS BIGINT)) AS DECIMAL(18,0)) / 10000" +
+          " AS DECIMAL(18,4))").as("p"))
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("p")).as("s1"),
@@ -1124,8 +1134,10 @@ object StatsQueries {
   val q274Sql: String =
     """WITH pl AS (
       |  SELECT l_partkey,
-      |    CAST(round(l_extendedprice / l_quantity, 4) AS DECIMAL(18,4))
-      |      AS p
+      |    CAST(CAST((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+      |        + CAST(l_quantity AS BIGINT))
+      |      // (2 * CAST(l_quantity AS BIGINT)) AS DECIMAL(18,0)) / 10000
+      |      AS DECIMAL(18,4)) AS p
       |  FROM lineitem WHERE l_quantity > 0),
       |st AS (
       |  SELECT l_partkey, COUNT(*) AS n_lines,
