@@ -270,7 +270,14 @@ object CrossModal {
     * (q360/q374's replay) and replays both chains; exactness and scale
     * shape are q434's (one long per clip crosses the shuffle, banded
     * joins df-capped, census 4 cells). */
-  def q440AudiotextPairs(spark: SparkSession, dir: String): DataFrame = {
+  def q440AudiotextPairs(spark: SparkSession, dir: String): DataFrame =
+    q440Audiotext(spark, dir, _ => ())
+
+  /** q440 with a per-barrier completion callback (`lap`) so diagnostics
+    * can attribute wall time to the chain's eager materializations —
+    * the q154 `pipeline` convention. */
+  private[graft] def q440Audiotext(spark: SparkSession, dir: String,
+      lap: String => Unit): DataFrame = {
     import spark.implicits._
     import Multimodal.{AudioRate, AudioSamples}
     val par = spark.sparkContext.defaultParallelism
@@ -279,6 +286,7 @@ object CrossModal {
       .select(col("doc_id"), col("text"))
       .repartition(par, col("doc_id"))
       .localCheckpoint(true)
+    lap("d ckpt")
 
     // audio side: 4 variants per base doc through the REAL containers
     val hashes = d.as[(Long, String)].mapPartitions { rows =>
@@ -302,6 +310,7 @@ object CrossModal {
     val hgrp = hashes.groupBy(col("h"))
       .agg(count(lit(1)).as("g"), min(col("pair_id")).as("hmin"))
       .localCheckpoint(true)
+    lap("hgrp ckpt (decode+fp31)")
     val inv = hgrp.select(col("h"),
         explode(sequence(lit(0), lit(3))).as("j"))
       .select(col("h"), col("j"),
@@ -316,6 +325,7 @@ object CrossModal {
       .distinct()
       .filter(expr("bit_count(ha ^ hb) <= 4"))
       .localCheckpoint(true)
+    lap("hedges ckpt")
     val hmins = hgrp.select(col("h"), col("hmin"))
     val nearMin = hedges
       .join(hmins.select(col("h").as("hb"), col("hmin").as("omin")), "hb")
@@ -353,6 +363,7 @@ object CrossModal {
     val txtsh = txts
       .select(col("pair_id"), shingles(tokens(col("cap")), 3).as("sh"))
       .localCheckpoint(true)
+    lap("txtsh ckpt")
     val candt = graft.operators.BandStore.candidatePairs(
         txtsh.withColumnRenamed("pair_id", "doc_id"))
       .select(col("a").as("a_id"), col("b").as("b_id"))
@@ -364,6 +375,7 @@ object CrossModal {
       .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint(true)
+    lap("neartxt ckpt")
     val txtAny = neartxt.select(col("a_id").as("pair_id"))
       .unionAll(neartxt.select(col("b_id").as("pair_id"))).distinct()
     val txtLater = neartxt.select(col("b_id").as("pair_id")).distinct()
@@ -386,6 +398,7 @@ object CrossModal {
           sum(when(col("aud_drop") === 1 && col("txt_drop") === 1, 0L)
             .otherwise(1L)).as("kept_pair_policy"))
         .orderBy("aud_dup", "txt_dup"))
+    lap("final census ckpt")
     hashes.unpersist()
     out
   }

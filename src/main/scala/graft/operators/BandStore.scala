@@ -83,10 +83,16 @@ object BandStore {
                  nBuckets: Int = StoreBuckets): Unit = {
     val sh = shingleSets(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
-      s"${path}_bands", "bucket_key", nBuckets, mode = "overwrite")
-    Warehouse.writeBucketed(sh, shinglesTable(table),
-      s"${path}_shingles", "doc_id", nBuckets, mode = "overwrite")
+    // the two halves are independent write jobs over the one persisted
+    // shingle frame — overlapped (guide §2.6, r18): each write's 8-task
+    // bucket stage and driver-side commit otherwise idle every core the
+    // other write wants. Concurrent first-materialization of `sh` is
+    // safe (per-block cache locking); results byte-identical.
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(bandsOf(sh), bandsTable(table),
+        s"${path}_bands", "bucket_key", nBuckets, mode = "overwrite"),
+      Warehouse.writeBucketed(sh, shinglesTable(table),
+        s"${path}_shingles", "doc_id", nBuckets, mode = "overwrite"))
     sh.unpersist()
     ()
   }
@@ -117,10 +123,16 @@ object BandStore {
     val novelSh = sh.join(
       spark.table(shinglesTable(table)).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    Warehouse.writeBucketed(bandsOf(novelBands), bandsTable(table),
-      s"${path}_bands", "bucket_key", nBuckets, mode = "append")
-    Warehouse.writeBucketed(novelSh, shinglesTable(table),
-      s"${path}_shingles", "doc_id", nBuckets, mode = "append")
+    // independent appends to the two halves, overlapped (guide §2.6):
+    // each half still self-guards against ITS OWN table, so the
+    // crash-consistency story is unchanged — a crash now may leave
+    // EITHER half (not just the first) written, and the retry fills
+    // exactly the missing one either way.
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(bandsOf(novelBands), bandsTable(table),
+        s"${path}_bands", "bucket_key", nBuckets, mode = "append"),
+      Warehouse.writeBucketed(novelSh, shinglesTable(table),
+        s"${path}_shingles", "doc_id", nBuckets, mode = "append"))
     sh.unpersist()
     ()
   }
@@ -138,16 +150,20 @@ object BandStore {
       retired: DataFrame, gcTable: String, gcPath: String,
       nBuckets: Int = StoreBuckets): Unit = {
     val r = retired.select(col("doc_id"))
-    Warehouse.writeBucketed(
-      spark.table(bandsTable(table)).join(r, Seq("doc_id"), "left_anti")
-        .select(col("bucket_key"), col("doc_id")),
-      bandsTable(gcTable), s"${gcPath}_bands", "bucket_key", nBuckets,
-      mode = "overwrite")
-    Warehouse.writeBucketed(
-      spark.table(shinglesTable(table)).join(r, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("sh")),
-      shinglesTable(gcTable), s"${gcPath}_shingles", "doc_id", nBuckets,
-      mode = "overwrite")
+    // the two GC rewrites read/write disjoint tables — overlapped
+    // (guide §2.6), same jobs, byte-identical generations.
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(
+        spark.table(bandsTable(table)).join(r, Seq("doc_id"), "left_anti")
+          .select(col("bucket_key"), col("doc_id")),
+        bandsTable(gcTable), s"${gcPath}_bands", "bucket_key", nBuckets,
+        mode = "overwrite"),
+      Warehouse.writeBucketed(
+        spark.table(shinglesTable(table)).join(r, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("sh")),
+        shinglesTable(gcTable), s"${gcPath}_shingles", "doc_id", nBuckets,
+        mode = "overwrite"))
+    ()
   }
 
   /** One verdict row per `batch` (doc_id, text) document against the
@@ -161,9 +177,18 @@ object BandStore {
     * duplicate verdict rows, breaking the one-row-per-document contract
     * the streaming twin's batch-split invariance rests on. */
   def probeStore(batch: DataFrame, bands: DataFrame,
-                 shingles: DataFrame): DataFrame = {
-    val bsh = graft.plans.Eager.ckpt(
-      shingleSets(batch.dropDuplicates("doc_id")))
+                 shingles: DataFrame): DataFrame =
+    probeStoreSh(graft.plans.Eager.ckpt(
+      shingleSets(batch.dropDuplicates("doc_id"))), bands, shingles)
+
+  /** [[probeStore]] over PRE-DERIVED batch shingle sets (`bsh` —
+    * doc_id-distinct, materialized): the store-evolution certificates
+    * probe one FIXED batch against three store generations, and the
+    * batch's tokenize+shingle+checkpoint job is a pure function of the
+    * batch alone — deriving it once and probing three times is the same
+    * computation (r18, guide §2.4). */
+  def probeStoreSh(bsh: DataFrame, bands: DataFrame,
+                   shingles: DataFrame): DataFrame = {
     val cand = bands
       .withColumnRenamed("doc_id", "a_id")
       .join(bandsOf(bsh).withColumnRenamed("doc_id", "b_id"),
@@ -320,7 +345,12 @@ object BandStore {
     val tmp = System.getProperty("java.io.tmpdir")
     val path = s"$tmp/graft_q436_store$slug"
     val gcPath = s"$tmp/graft_q436_gc$slug"
-    def probeNow(t: String) = probeStore(probe,
+    // the FIXED probe batch's shingle sets are derived once and reused
+    // by all three phase probes (guide §2.4) — a doc's shingles depend
+    // on nothing but the doc, so the three probes are byte-identical
+    val probeSh = graft.plans.Eager.ckpt(
+      shingleSets(probe.dropDuplicates("doc_id")))
+    def probeNow(t: String) = probeStoreSh(probeSh,
       spark.table(bandsTable(t)), spark.table(shinglesTable(t)))
     writeStore(gen1, table, path)
     val p1 = probeNow(table).withColumn("phase", lit(1))

@@ -107,11 +107,15 @@ object BoilerStore {
   /** (Over)write both halves from a (doc_id, text) corpus. */
   def writeStore(corpus: DataFrame, table: String, path: String,
                  nBuckets: Int = StoreBuckets): Unit = {
-    Warehouse.writeBucketed(incidence(corpus), incTable(table),
-      s"${path}_inc", "fp", nBuckets, mode = "overwrite")
-    Warehouse.writeBucketed(
-      corpus.select(col("doc_id")).distinct(), docsTable(table),
-      s"${path}_docs", "doc_id", nBuckets, mode = "overwrite")
+    // independent write jobs over disjoint tables — overlapped (guide
+    // §2.6, r18, the BandStore.writeStore discipline)
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(incidence(corpus), incTable(table),
+        s"${path}_inc", "fp", nBuckets, mode = "overwrite"),
+      Warehouse.writeBucketed(
+        corpus.select(col("doc_id")).distinct(), docsTable(table),
+        s"${path}_docs", "doc_id", nBuckets, mode = "overwrite"))
+    ()
   }
 
   /** Append admitted documents to both halves — the [[BandStore]]
@@ -130,10 +134,14 @@ object BoilerStore {
     val novelDocs = a.select(col("doc_id")).join(
       spark.table(docsTable(table)).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    Warehouse.writeBucketed(novelInc, incTable(table),
-      s"${path}_inc", "fp", nBuckets, mode = "append")
-    Warehouse.writeBucketed(novelDocs, docsTable(table),
-      s"${path}_docs", "doc_id", nBuckets, mode = "append")
+    // independent self-guarded appends, overlapped (guide §2.6): each
+    // half anti-joins its OWN table, so the crash-retry contract is
+    // unchanged — either half may land first, the retry fills the gap.
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(novelInc, incTable(table),
+        s"${path}_inc", "fp", nBuckets, mode = "append"),
+      Warehouse.writeBucketed(novelDocs, docsTable(table),
+        s"${path}_docs", "doc_id", nBuckets, mode = "append"))
     a.unpersist()
     ()
   }
@@ -148,15 +156,18 @@ object BoilerStore {
       retired: DataFrame, gcTable: String, gcPath: String,
       nBuckets: Int = StoreBuckets): Unit = {
     val r = retired.select(col("doc_id"))
-    Warehouse.writeBucketed(
-      spark.table(incTable(table)).join(r, Seq("doc_id"), "left_anti")
-        .select(col("fp"), col("doc_id")),
-      incTable(gcTable), s"${gcPath}_inc", "fp", nBuckets,
-      mode = "overwrite")
-    Warehouse.writeBucketed(
-      spark.table(docsTable(table)).join(r, Seq("doc_id"), "left_anti"),
-      docsTable(gcTable), s"${gcPath}_docs", "doc_id", nBuckets,
-      mode = "overwrite")
+    // disjoint-table GC rewrites, overlapped (guide §2.6)
+    graft.plans.Overlap.two(
+      Warehouse.writeBucketed(
+        spark.table(incTable(table)).join(r, Seq("doc_id"), "left_anti")
+          .select(col("fp"), col("doc_id")),
+        incTable(gcTable), s"${gcPath}_inc", "fp", nBuckets,
+        mode = "overwrite"),
+      Warehouse.writeBucketed(
+        spark.table(docsTable(table)).join(r, Seq("doc_id"), "left_anti"),
+        docsTable(gcTable), s"${gcPath}_docs", "doc_id", nBuckets,
+        mode = "overwrite"))
+    ()
   }
 
   /** One verdict row per `batch` (doc_id, text) document against the
@@ -169,7 +180,18 @@ object BoilerStore {
     * batch-split-invariance contract). */
   def probeStore(batch: DataFrame, inc: DataFrame): DataFrame = {
     val b = batch.dropDuplicates("doc_id")
-    val ch = graft.plans.Eager.ckpt(cdcChunks(toksOf(b)))
+    probeStoreCh(b.select(col("doc_id")).distinct(),
+      graft.plans.Eager.ckpt(cdcChunks(toksOf(b))), inc)
+  }
+
+  /** [[probeStore]] over PRE-DERIVED batch chunks (`ch` — the
+    * materialized [[cdcChunks]] of the doc_id-deduped batch, `ids` its
+    * distinct doc ids): the evolution certificate probes one FIXED
+    * batch against three store generations, and a doc's chunks depend
+    * on nothing but the doc — chunk once, probe three times (r18,
+    * guide §2.4). */
+  def probeStoreCh(ids: DataFrame, ch: DataFrame,
+                   inc: DataFrame): DataFrame = {
     val batchFps = ch.filter(col("cl") >= CdcMinLen)
       .select(col("fp")).distinct()
     val boiler = inc.join(batchFps, "fp")
@@ -188,7 +210,7 @@ object BoilerStore {
         sum(when(col("isb").isNotNull, col("cl").cast("long"))
           .otherwise(0L)).as("boiler_tokens"),
         sum(col("cl").cast("long")).as("doc_tokens"))
-    b.select(col("doc_id")).distinct()
+    ids
       .join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -248,8 +270,15 @@ object BoilerStore {
     val tmp = System.getProperty("java.io.tmpdir")
     val path = s"$tmp/graft_q450_store$slug"
     val gcPath = s"$tmp/graft_q450_gc$slug"
+    // the FIXED probe batch is CDC-chunked once and reused by all three
+    // phase probes (guide §2.4) — a doc's chunks depend on nothing but
+    // the doc, so the three probes are byte-identical
+    val pb = probe.dropDuplicates("doc_id")
+    val probeIds = graft.plans.Eager.ckpt(
+      pb.select(col("doc_id")).distinct())
+    val probeCh = graft.plans.Eager.ckpt(cdcChunks(toksOf(pb)))
     def probeNow(t: String) =
-      probeStore(probe, spark.table(incTable(t)))
+      probeStoreCh(probeIds, probeCh, spark.table(incTable(t)))
     writeStore(d, table, path)
     val p1 = probeNow(table).withColumn("phase", lit(1))
       .localCheckpoint(true)

@@ -292,6 +292,12 @@ object DupClusters {
     * stays bounded by |candidates|·|set| — the prefix filter's scale
     * shape is untouched. j is the identical IEEE double: inter/sza/szb
     * are the same exact integers and the division is spelled as before.
+    *
+    * INPUT CONTRACT (as for [[prefixCandidatePairs]]): `sh` must be
+    * ELEMENT-DISTINCT — the co-occurrence count equals the set
+    * intersection only then (every current caller applies
+    * `array_distinct` upstream; a raw-shingle caller would silently
+    * overcount `inter`).
     */
   private[graft] def jaccardScored(withShingles: DataFrame,
                                    t: Double): DataFrame = {

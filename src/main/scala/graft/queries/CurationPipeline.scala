@@ -306,7 +306,7 @@ object CurationPipeline {
     * checkpoints — unbounded lineage is the one thing persist does not
     * truncate. Entries drop every stage cache after materializing their
     * 11-row ledger, so a repeated bench run cannot poach caches. */
-  private final class StageCache {
+  private[graft] final class StageCache {
     private val frames = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame]
     def apply(df: DataFrame): DataFrame = {
@@ -320,7 +320,7 @@ object CurationPipeline {
   /** q350-family K-shingle position rows (doc_id, p, fp) of a `toks`
     * frame — ONE spelling shared by the v2/v3 self-repetition gates,
     * substring rewrites, and contamination probes. */
-  private def positionsOf(df: DataFrame): DataFrame = {
+  private[graft] def positionsOf(df: DataFrame): DataFrame = {
     import graft.queries.SubstringQueries.K
     df.filter(size(col("toks")) >= K)
       .select(col("doc_id"),
@@ -346,7 +346,7 @@ object CurationPipeline {
     * Spark 4 resolves a bare col("doc_id") against the select's own
     * `.as("doc_id")` lateral alias (the POST-offset id), silently
     * diverging from the oracle's bb.doc_id spelling. */
-  private def frontStages(spark: SparkSession, dir: String,
+  private[graft] def frontStages(spark: SparkSession, dir: String,
       withClone: Boolean, st: StageCache)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.queries.SubstringQueries.{K, L}

@@ -269,17 +269,14 @@ object DecontamQueries {
     val hitsPlan = sh.select(col("id"), explode(col("sh")).as("s"))
       .join(broadcast(holdout), Seq("s"), "leftsemi")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
-    val (comp, hits) =
-      try {
-        val fHits = pool.submit(
-          new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = hitsPlan.localCheckpoint(true)
-          })
-        val c = DupClusters.connectedComponents(edges, "a", "b")
-          .select(col("node").as("id"), col("comp"))
-        (c, fHits.get())
-      } finally pool.shutdown()
+    // Overlap.two carries the failure contract (r17 ADVICE): if the CC
+    // rounds throw on the driver thread, the probe future is cancelled
+    // best-effort instead of left running detached against the shared
+    // shingle cache, and ExecutionException is unwrapped.
+    val (comp, hits) = graft.plans.Overlap.two(
+      DupClusters.connectedComponents(edges, "a", "b")
+        .select(col("node").as("id"), col("comp")),
+      hitsPlan.localCheckpoint(true))
     val flagged = sh.select(col("id"), size(col("sh")).as("nsh"))
       .join(hits, Seq("id"), "left")
       .withColumn("dirty",

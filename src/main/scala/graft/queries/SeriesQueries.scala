@@ -943,11 +943,17 @@ object SeriesQueries {
     * round(double, 4) broke ties differently across engines — Spark
     * rounds the shortest-string form up, DuckDB's multiply-path lands
     * below — and cents·10⁴/c ties whenever c ∈ {4, 5}), so
-    * detrended/remainder values are exact DECIMAL(16,4) arithmetic
-    * (16 digits holds daily cents to 1000× the sf0.1 fixture);
+    * detrended/remainder values are exact DECIMAL(16,4) arithmetic;
     * every variance comes from exact decimal Σv and Σv² ((17,4)² =
     * (35,8) products — inside both engines' 38-digit space) with the
-    * closing E[v²]−E[v]² chain in identical double ops. Weekday is
+    * closing E[v²]−E[v]² chain in identical double ops. Headroom bound
+    * (r18, tightened per the r17 advisor): the hi·2⁵³+lo split below
+    * uses Spark's `div`, whose quotient is a LONG, so the exactness
+    * story covers |Σv²| < 2⁶³·2⁵³ ≈ 8.5e34 — i.e. daily cents to
+    * ~600× the sf0.1 fixture (Σ(detr·10⁴)² grows quadratically), NOT
+    * the full DECIMAL(38) space; past that the quotient would overflow
+    * before the decimal does. Production series at that magnitude need
+    * the split carried in DECIMAL, not LONG. Weekday is
     * epoch-day mod 7 (no cross-engine DOW convention).
     *
     * Scale shape: one map-combinable date agg to the daily census; the

@@ -1050,12 +1050,22 @@ object SessionQueries {
       .filter(col("src") =!= "purchase") // absorbing
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
     val tot = tr.groupBy(col("src")).agg(sum(col("cnt")).as("n_from"))
+    // pm/states are METADATA-SCALE BY CONSTRUCTION (≤ |event_type
+    // domain|² transition rows at any data scale), but checkpointed off
+    // a CPU-count shuffle they carried defaultParallelism partitions —
+    // every one of the 40 value-iteration rounds below then re-paid
+    // CPU-count task scheduling on ≤ 49 rows, which is why this query
+    // ANTI-scaled with cores (r17 scaling block: c8/c32 = 0.67). One
+    // partition is the right layout for a domain-bounded frame at ANY
+    // scale; the data-scale work (the events window) is untouched.
     val pm = tr.join(broadcast(tot), "src")
       .select(col("src"), col("dst"),
         round(col("cnt").cast("double") / col("n_from").cast("double"), 12)
           .cast("decimal(14,12)").as("prob"))
+      .repartition(1)
       .localCheckpoint(true)
     val states = pm.select(col("src").as("state")).distinct()
+      .repartition(1)
       .localCheckpoint(true)
     val zero = lit(0).cast("decimal(14,12)")
     def absorbedValue(removed: Option[String]): DataFrame = {
@@ -1066,7 +1076,12 @@ object SessionQueries {
           .when(col("dst") === "EXIT", zero)
           .when(removed.map(col("dst") === _).getOrElse(lit(false)), zero)
           .otherwise(coalesce(col("v"), zero))
-        v = pm.join(v, col("dst") === col("state"), "left")
+        // v is ≤ |states| rows — broadcast it so each round is a
+        // map-side hash join over pm's one partition instead of a
+        // sort-merge join with two CPU-count exchanges (the stats of a
+        // checkpointed frame are opaque, so the planner never chose
+        // broadcast by itself)
+        v = pm.join(broadcast(v), col("dst") === col("state"), "left")
           .select(col("src"), (col("prob") * dstVal).as("pv"))
           .groupBy(col("src"))
           .agg(round(sum(col("pv")).cast("double"), 12)

@@ -587,16 +587,40 @@ object ShardQueries {
     val M = 131072L
     def positions(key: Column): Column = array((1 to 3).map(j =>
       pmod(md5Hash60(concat(key.cast("string"), lit(s"#$j"))), lit(M))): _*)
+    // ONE fact scan for BOTH layout passes (r18, guide §2.4): each
+    // RangeRank pass range-shuffles and checkpoints the fact, and
+    // previously each re-ran the parquet scan + projection. The
+    // checkpoint is a scan-PROJECTION (no shuffle above it), so it keeps
+    // the scan's partitioning — the q367-good materialization shape,
+    // not the q414 post-shuffle pathology.
     val li = Kpis.table(spark, dir, "lineitem")
       .select(col("l_partkey").cast("int").as("p"),
         col("l_orderkey"), col("l_linenumber"))
+      .localCheckpoint(true)
     def filesOf(name: String, keys: Seq[Column]) =
       graft.operators.RangeRank.withNtile(li, "f", 64, keys)
         .select(lit(name).as("layout"), col("f"), col("p"))
-    val fp = filesOf("1_by_part",
-        Seq(col("p"), col("l_orderkey"), col("l_linenumber")))
-      .unionAll(filesOf("2_arrival",
-        Seq(col("l_orderkey"), col("l_linenumber"))))
+    // the two layout passes are independent jobs over the one fact
+    // checkpoint — overlap them (guide §2.6, the q430/q437 discipline):
+    // each pass's range shuffle + eager checkpoint leaves cores idle in
+    // its task tail that the other pass's jobs back-fill. Same jobs,
+    // just concurrent ⇒ byte-identical results.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (fpPart, fpArr) =
+      try {
+        val fArr = pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = filesOf("2_arrival",
+              Seq(col("l_orderkey"), col("l_linenumber")))
+          })
+        val byPart = filesOf("1_by_part",
+          Seq(col("p"), col("l_orderkey"), col("l_linenumber")))
+        (byPart, fArr.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow(); throw e.getCause
+      } finally pool.shutdown()
+    val fp = fpPart.unionAll(fpArr)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zm = fp.groupBy(col("layout"), col("f"))

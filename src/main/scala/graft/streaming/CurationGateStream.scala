@@ -251,6 +251,16 @@ object CurationGateStream {
       pool.submit(new java.util.concurrent.Callable[T] {
         def call(): T = f
       })
+    // ExecutionException is unwrapped so failures surface as the
+    // original exception (the sequential contract), and the finally
+    // uses shutdownNow() so an early failure best-effort-cancels the
+    // remaining in-flight builds instead of leaving them detached
+    // (r17 ADVICE).
+    def getU[T](f: java.util.concurrent.Future[T]): T =
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     val (lp, floor, contamIdx, arrivals) =
       try {
         val fLm = submit(
@@ -265,11 +275,11 @@ object CurationGateStream {
             array_join(col("toks"), " ").as("text")),
           bandTable, s"$tmp/$bandTable"))
         val fArr = submit(arrivalsPlan.localCheckpoint(true))
-        val lmRes = fLm.get()
-        val contamRes = fContam.get()
-        fFp.get(); fBand.get()
-        (lmRes._1, lmRes._2, contamRes, fArr.get())
-      } finally pool.shutdown()
+        val lmRes = getU(fLm)
+        val contamRes = getU(fContam)
+        getU(fFp); getU(fBand)
+        (lmRes._1, lmRes._2, contamRes, getU(fArr))
+      } finally { pool.shutdownNow(); () }
 
     verdicts(arrivals, lp, floor, contamIdx, spark.table(fpTable),
       spark.table(BandStore.bandsTable(bandTable)),
