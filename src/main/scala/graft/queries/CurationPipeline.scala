@@ -52,7 +52,16 @@ object CurationPipeline {
 
   /** The staged pipeline with a per-stage completion callback (`lap`) so
     * diagnostics can attribute wall time to stages — each stage is
-    * eagerly materialized, so the callback fires when its work is done. */
+    * eagerly materialized, so the callback fires when its work is done.
+    * r18 measured-and-rejected (kept out): (a) demoting the seven eager
+    * stage checkpoints to the q400/q432 StageCache lazy persists made
+    * the query SLOWER back-to-back (5.6 -> 6.8 s isolated at sf0.1 —
+    * the one-action tree stalls task slots on cache locks while 14
+    * census branches race the chain's first materialization); (b) a
+    * corpus checkpoint of `d` also measured slower (5.6 -> 6.0 s — `d`
+    * is RAW text here, and three extra OS-cached parquet scans are
+    * cheaper than materializing the text rows; contrast frontStages,
+    * whose corpus is TOKENIZED and whose checkpoint measured a win). */
   private[graft] def pipeline(spark: SparkSession, dir: String,
       lap: String => Unit): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
@@ -351,9 +360,15 @@ object CurationPipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.queries.SubstringQueries.{K, L}
     val par = spark.sparkContext.defaultParallelism
+    // ONE tokenize pass (r18, the q437 r17 discipline): the four-to-five
+    // injection branches below each re-derive `body`, so an unmaterialized
+    // `d` re-ran the scan+tokenize job once per branch inside the s0
+    // materialization. A scan-projection checkpoint keeps the scan's
+    // partitioning (the q367-good shape).
     val d = Kpis.table(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .localCheckpoint(true)
     val bench = st(d.filter(col("doc_id") % 10 === 7))
     val body = d.filter(col("doc_id") % 10 =!= 7)
 
@@ -416,7 +431,12 @@ object CurationPipeline {
     val lp = vocab.crossJoin(vocab.agg(sum(col("cnt")).as("total")))
       .select(col("token"),
         round(log(col("cnt").cast("double") / col("total")), 9).as("lp"))
-    val dropNll = tok2.join(lp, "token")
+    // lp is the VOCAB-bounded scoring table — the exact artifact the
+    // streaming twin freezes as a broadcast closure (lmIndex), so
+    // broadcasting it here matches the certified production shape and
+    // stops the exploded token stream (data-scale) from shuffling on
+    // `token` (r18, guide §3.1)
+    val dropNll = tok2.join(broadcast(lp), "token")
       .groupBy(col("doc_id"))
       .agg((round(-avg(col("lp")), 6) + lit(0.0)).as("avg_nll"))
       .filter(col("avg_nll") > 8.0)
@@ -489,10 +509,14 @@ object CurationPipeline {
       frontStages(spark, dir, withClone = false, st)
     def positions(df: DataFrame): DataFrame = positionsOf(df)
 
-    // stage 4 — exact dedup: q19's fingerprint, keep-min
+    // stage 4 — exact dedup: q19's fingerprint, keep-min. The election
+    // is a PARTITIONED window min over fp (r18): one exchange + sort
+    // instead of the agg+join-back spelling's two passes over s3 and
+    // two exchanges — identical keep set (min per fp is min per fp).
     val fp4 = s3.withColumn("fp", md5(array_join(col("toks"), " ")))
     val s4 = st(fp4
-      .join(fp4.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "toks"))
 
@@ -855,11 +879,17 @@ object CurationPipeline {
     // the benchmark probe (q352's df-capped position artifact) and the
     // contamination verdict as a REUSABLE pass — run on s3 for the gate
     // and on the final corpus for the residual certificate
+    // bprobe is materialized ONCE (r18): it is read by BOTH detector
+    // passes (the s3 gate and the s7 residual certificate), and lazily it
+    // re-derived the benchmark position census inside each pass's job.
+    // BF-capped benchmark positions are an artifact-scale frame (q352's
+    // index — the thing ContamStream freezes).
     val bpos = positions(bench)
       .select(col("fp"), col("doc_id").as("bench_id"), col("p").as("bp"))
     val bprobe = bpos.join(
       bpos.groupBy(col("fp")).agg(count(lit(1)).as("n"))
         .filter(col("n") <= BF).select(col("fp")), "fp")
+      .localCheckpoint(true)
     def contamFlagged(df: DataFrame): DataFrame = positions(df)
       .select(col("fp"), col("doc_id"), col("p").as("cp"))
       .join(broadcast(bprobe), Seq("fp"))
@@ -871,7 +901,6 @@ object CurationPipeline {
       .agg(count(lit(1)).as("rl"))
       .filter(col("rl") + lit(K - 1) >= L)
       .select("doc_id").distinct()
-    val dirty = contamFlagged(s3).localCheckpoint(true)
 
     // the near-dup component labels over the PRE-gate corpus (s3): the
     // q22 banded candidate join + exact-Jaccard verify + q45 CC. Labels
@@ -887,18 +916,27 @@ object CurationPipeline {
       .join(sh6.select(col("doc_id").as("b"), col("sh").as("b_sh")), "b")
       .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
       .select(col("a"), col("b"))
-    val comp = graft.operators.DupClusters
-      .connectedComponents(edges, "a", "b")
-      .select(col("node").as("doc_id"), col("comp"))
-      .localCheckpoint(true)
+    // the contamination probe on s3 and the CC contraction are
+    // independent given (s3, sh6) — overlap them (guide §2.6, the
+    // q430/q437 discipline): the probe checkpoints on a worker thread
+    // while the barrier-laden CC rounds run on the driver thread.
+    // Byte-identical — the same jobs, just concurrent.
+    val (comp, dirty) = graft.plans.Overlap.two(
+      graft.operators.DupClusters
+        .connectedComponents(edges, "a", "b")
+        .select(col("node").as("doc_id"), col("comp"))
+        .localCheckpoint(true),
+      contamFlagged(s3).localCheckpoint(true))
 
     // stage 4 — span-contamination gate FIRST (q430's certified order)
     val s4 = st(s3.join(dirty, Seq("doc_id"), "left_anti"))
 
-    // stage 5 — exact dedup (q19 keep-min, now electing among clean docs)
+    // stage 5 — exact dedup (q19 keep-min, now electing among clean
+    // docs); window-min election as q400's stage 4 (r18)
     val fp5 = s4.withColumn("fp", md5(array_join(col("toks"), " ")))
     val s5 = st(fp5
-      .join(fp5.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "toks"))
 
@@ -908,8 +946,8 @@ object CurationPipeline {
     val grp5 = s5.join(comp, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("comp"), col("doc_id")))
     val s6 = st(grp5
-      .join(grp5.groupBy("grp").agg(min(col("doc_id")).as("keep_id")),
-        "grp")
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("grp"))))
       .filter(col("doc_id") === col("keep_id"))
       .select("doc_id", "toks"))
 
