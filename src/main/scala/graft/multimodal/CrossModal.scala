@@ -307,25 +307,73 @@ object CrossModal {
     }.toDF("pair_id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hgrp = hashes.groupBy(col("h"))
-      .agg(count(lit(1)).as("g"), min(col("pair_id")).as("hmin"))
-      .localCheckpoint(true)
-    lap("hgrp ckpt (decode+fp31)")
-    val inv = hgrp.select(col("h"),
-        explode(sequence(lit(0), lit(3))).as("j"))
-      .select(col("h"), col("j"),
-        expr(s"shiftright(h, 8 * j) & 255").as("v"))
-    val kept = inv.join(
-      inv.groupBy(col("j"), col("v")).agg(count(lit(1)).as("bs"))
-        .filter(col("bs") <= BucketCap), Seq("j", "v"))
-    val hedges = kept.as("a").join(kept.as("b"),
-        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
-          col("a.h") < col("b.h"))
-      .select(col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-      .filter(expr("bit_count(ha ^ hb) <= 4"))
-      .localCheckpoint(true)
-    lap("hedges ckpt")
+    // r18: the audio chain (hash census + banded Hamming edges) and the
+    // transcript chain (fingerprints + banded Jaccard verify) are
+    // independent given `d` — their eager barriers overlap (guide §2.6,
+    // the q437/q430 discipline); byte-identical, same jobs concurrent.
+    def audioChain(): (DataFrame, DataFrame) = {
+      val hgrp = hashes.groupBy(col("h"))
+        .agg(count(lit(1)).as("g"), min(col("pair_id")).as("hmin"))
+        .localCheckpoint(true)
+      lap("hgrp ckpt (decode+fp31)")
+      val inv = hgrp.select(col("h"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("h"), col("j"),
+          expr(s"shiftright(h, 8 * j) & 255").as("v"))
+      val kept = inv.join(
+        inv.groupBy(col("j"), col("v")).agg(count(lit(1)).as("bs"))
+          .filter(col("bs") <= BucketCap), Seq("j", "v"))
+      val hedges = kept.as("a").join(kept.as("b"),
+          col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+            col("a.h") < col("b.h"))
+        .select(col("a.h").as("ha"), col("b.h").as("hb"))
+        .distinct()
+        .filter(expr("bit_count(ha ^ hb) <= 4"))
+        .localCheckpoint(true)
+      lap("hedges ckpt")
+      (hgrp, hedges)
+    }
+    // transcript side: exact fingerprint + q22 banded Jaccard near-dup.
+    // (r17 note, still honored: materializing the variant CORPUS (txts)
+    // measured NEUTRAL-to-negative — 5.4 s → 5.7–6.1; left lazy. r18:
+    // the skinny (pair_id, fp) FINGERPRINT frame is checkpointed
+    // instead — the final census's txtflags previously re-ran the
+    // variant construction + md5 TWICE more (once for txtfp, once for
+    // fpg), and a 32-char fp row is cheap to hold.)
+    def textChain(): (DataFrame, DataFrame) = {
+      val txts = d.select(col("doc_id").as("pair_id"), col("text").as("cap"))
+        .unionAll(d.select((col("doc_id") + lit(Off)).as("pair_id"),
+          concat_ws(" ", transform(tokens(col("text")),
+            t => concat(t, lit("_tva")))).as("cap")))
+        .unionAll(d.select((col("doc_id") + lit(2 * Off)).as("pair_id"),
+          col("text").as("cap")))
+        .unionAll(d.select((col("doc_id") + lit(3 * Off)).as("pair_id"),
+          concat(col("text"), lit(" zz extra tail")).as("cap")))
+      val txtfp = txts
+        .select(col("pair_id"), fingerprint(col("cap")).as("fp"))
+        .localCheckpoint(true)
+      val txtsh = txts
+        .select(col("pair_id"), shingles(tokens(col("cap")), 3).as("sh"))
+        .localCheckpoint(true)
+      lap("txtsh ckpt")
+      val candt = graft.operators.BandStore.candidatePairs(
+          txtsh.withColumnRenamed("pair_id", "doc_id"))
+        .select(col("a").as("a_id"), col("b").as("b_id"))
+      val neartxt = candt
+        .join(txtsh.select(col("pair_id").as("a_id"), col("sh").as("a_sh")),
+          "a_id")
+        .join(txtsh.select(col("pair_id").as("b_id"), col("sh").as("b_sh")),
+          "b_id")
+        .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      lap("neartxt ckpt")
+      (txtfp, neartxt)
+    }
+
+    val ((hgrp, hedges), (txtfp, neartxt)) =
+      graft.plans.Overlap.two(audioChain(), textChain())
+
     val hmins = hgrp.select(col("h"), col("hmin"))
     val nearMin = hedges
       .join(hmins.select(col("h").as("hb"), col("hmin").as("omin")), "hb")
@@ -343,39 +391,8 @@ object CrossModal {
         (col("pair_id") > col("hmin") ||
           (col("near_min").isNotNull && col("near_min") < col("pair_id")))
           .cast("int").as("aud_drop"))
-
-    // transcript side: exact fingerprint + q22 banded Jaccard near-dup.
-    // (r17 note: materializing this variant corpus the way pairFlags'
-    // caption side now does measured NEUTRAL-to-negative here — 5.4 s →
-    // 5.7–6.1 — the audio decode dominates q440 and the extra barrier
-    // costs more than the re-run variant construction; left lazy.)
-    val txts = d.select(col("doc_id").as("pair_id"), col("text").as("cap"))
-      .unionAll(d.select((col("doc_id") + lit(Off)).as("pair_id"),
-        concat_ws(" ", transform(tokens(col("text")),
-          t => concat(t, lit("_tva")))).as("cap")))
-      .unionAll(d.select((col("doc_id") + lit(2 * Off)).as("pair_id"),
-        col("text").as("cap")))
-      .unionAll(d.select((col("doc_id") + lit(3 * Off)).as("pair_id"),
-        concat(col("text"), lit(" zz extra tail")).as("cap")))
-    val txtfp = txts.select(col("pair_id"), fingerprint(col("cap")).as("fp"))
     val fpg = txtfp.groupBy(col("fp"))
       .agg(count(lit(1)).as("g"), min(col("pair_id")).as("fmin"))
-    val txtsh = txts
-      .select(col("pair_id"), shingles(tokens(col("cap")), 3).as("sh"))
-      .localCheckpoint(true)
-    lap("txtsh ckpt")
-    val candt = graft.operators.BandStore.candidatePairs(
-        txtsh.withColumnRenamed("pair_id", "doc_id"))
-      .select(col("a").as("a_id"), col("b").as("b_id"))
-    val neartxt = candt
-      .join(txtsh.select(col("pair_id").as("a_id"), col("sh").as("a_sh")),
-        "a_id")
-      .join(txtsh.select(col("pair_id").as("b_id"), col("sh").as("b_sh")),
-        "b_id")
-      .filter(jaccard(col("a_sh"), col("b_sh")) >= JaccardMin)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
-    lap("neartxt ckpt")
     val txtAny = neartxt.select(col("a_id").as("pair_id"))
       .unionAll(neartxt.select(col("b_id").as("pair_id"))).distinct()
     val txtLater = neartxt.select(col("b_id").as("pair_id")).distinct()
