@@ -1041,10 +1041,14 @@ object Multimodal {
         col("planted_dups").as("detail"),
         (round(col("planted_dups").cast("double") /
           col("planted_total").cast("double"), 6) + lit(0.0)).as("ratio"))
-    val img = dedupStage("b_image_dedup",
-      q370ImagePhashDedup(spark, dir), "n_images")
-    val aud = dedupStage("c_audio_dedup",
-      q374AudioFpDedup(spark, dir), "n_clips")
+    // the image and audio dedup components are independent and each
+    // materializes eagerly at construction (perceptualDedup checkpoints
+    // its 1-row certificate) — overlap them (r18, guide §2.6); the
+    // decode and VAD branches are lazy and ride the final union's action
+    val (imgDf, audDf) = graft.plans.Overlap.two(
+      q370ImagePhashDedup(spark, dir), q374AudioFpDedup(spark, dir))
+    val img = dedupStage("b_image_dedup", imgDf, "n_images")
+    val aud = dedupStage("c_audio_dedup", audDf, "n_clips")
     val vad = q360AudioSegments(spark, dir)
       .agg(sum(col("n_frames")).as("n_items"),
         sum(col("n_active")).as("n_detected"),
