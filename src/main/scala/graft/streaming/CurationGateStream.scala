@@ -110,19 +110,10 @@ object CurationGateStream {
         }.toDF())
     val surv = closure.filter(col("stage") === "")
       .withColumn("fp", TextFunctions.fingerprint(col("norm")))
-    // ONE pass over the fingerprint store instead of a semi + an anti
-    // join (r18, guide §2.4): the store's fps are unique by the write
-    // contract (IncrementalDedup writes distinct fps and append
-    // anti-join-guards), and the inline distinct() rides the bucketed
-    // fp scan exchange-free, so the left join is 1:<=1 and the hit/miss
-    // split is value-identical to the two-join spelling.
-    val hitFlag = surv.join(
-      fpStore.select(col("fp")).distinct().withColumn("fhit", lit(1)),
-      Seq("fp"), "left")
-    val exactHit = hitFlag.filter(col("fhit").isNotNull)
+    val exactHit = surv.join(fpStore.select("fp"), Seq("fp"), "left_semi")
       .select(col("doc_id"), lit("exact_dedup").as("pstage"))
     val near = BandStore.probeStore(
-        hitFlag.filter(col("fhit").isNull)
+        surv.join(fpStore.select("fp"), Seq("fp"), "left_anti")
           .select(col("doc_id"), col("norm").as("text")),
         bands, shingles)
       .filter(col("is_near_dup") === 1)
